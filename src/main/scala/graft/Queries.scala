@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.state.{FilterBy, StateFilter, StateOps, StateQuery}
+
+/** The operator-coverage query catalog (SURVEY.md §2) with DuckDB
+  * oracles. Kept separate from SparkEntry so the catalog can grow
+  * per-operator-batch; every query is deterministically ordered so both
+  * engines produce byte-identical result sets.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.core.Tables.load(s, dir, name)
+
+  /** lineitem has no arrival-order column; derive a deterministic seq
+    * from its unique (l_orderkey, l_linenumber) key, mirrored in SQL. */
+  private def liSeq = col("l_orderkey") * 100 + col("l_linenumber")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- T1: last-tick-per-key state accumulation (channels.py:696-739)
+    "t1_state_last_by_key" -> ((s, dir) =>
+      StateOps.queryTicks(t(s, dir, "events"), Seq("user_id"), "event_id")),
+
+    // ---- T2: two-key state scan, ASC NULLS FIRST (state.py:284-299)
+    "t2_state_scan_two_keys" -> ((s, dir) =>
+      StateOps.queryTicks(t(s, dir, "events"), Seq("user_id", "event_type"), "event_id")),
+
+    // ---- T3: conjunctive value+attr filters over state (state.py:339-376)
+    "t3_state_filter_query" -> ((s, dir) =>
+      StateOps.queryTicks(
+        t(s, dir, "events"),
+        Seq("user_id"),
+        "event_id",
+        StateQuery(Seq(
+          StateFilter("value", FilterBy.Value(500.0), "<="),
+          StateFilter("event_type", FilterBy.Value("click"), "=="))))),
+
+    // ---- T3b: timestamp (`when`) filter (test_state_query_timestamp)
+    "t3_state_when_filter" -> ((s, dir) =>
+      StateOps.queryTicks(
+        t(s, dir, "lineitem").withColumn("_seq", liSeq),
+        Seq("l_partkey", "l_suppkey"),
+        "_seq",
+        StateQuery(Seq(StateFilter(
+          "l_shipdate",
+          FilterBy.When(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")),
+          ">="))))),
+
+    // ---- T5: last — most recent tick of a channel (channels.py:747-787)
+    "t5_last" -> ((s, dir) =>
+      StateOps.last(t(s, dir, "events"), "event_id")),
+
+    // ---- T7: lookup by id (utils/struct/base.py:26-94)
+    "t7_lookup" -> ((s, dir) =>
+      StateOps.lookup(t(s, dir, "events"), "event_id", "42")),
+
+    // ---- T9: block-until time gate (channels.py:455-470)
+    "t9_time_gate" -> ((s, dir) =>
+      StateOps.timeGate(
+        t(s, dir, "orders"), "o_orderdate",
+        java.sql.Timestamp.valueOf("1997-06-01 00:00:00"))
+        .orderBy(col("o_orderkey"))),
+
+    // ---- A1: group-by aggregate (perspective server views)
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t1_state_last_by_key" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+    "t2_state_scan_two_keys" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1
+        |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+    "t3_state_filter_query" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1 AND value <= 500.0 AND event_type = 'click'
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+    "t3_state_when_filter" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |       l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, _seq
+        |FROM (SELECT *, l_orderkey * 100 + l_linenumber AS _seq,
+        |             row_number() OVER (PARTITION BY l_partkey, l_suppkey
+        |                                ORDER BY l_orderkey * 100 + l_linenumber DESC) AS rn
+        |      FROM lineitem) WHERE rn = 1 AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY l_partkey ASC NULLS FIRST, l_suppkey ASC NULLS FIRST""".stripMargin,
+    "t5_last" ->
+      "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events ORDER BY event_id DESC LIMIT 1",
+    "t7_lookup" ->
+      "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events WHERE event_id = 42",
+    "t9_time_gate" ->
+      """SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       round(sum(l_extendedprice), 4) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+}

@@ -1,0 +1,153 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
+
+import scala.collection.mutable
+
+/** Channel graph — the gateway's "streaming data catalog".
+  *
+  * A channel is a named, typed stream of rows
+  * (reference: csp_gateway/server/gateway/csp/channels.py:182-194 —
+  * there, a csp `ts[T]` edge on a Channels subclass). Here a channel is
+  * a named `DataFrame` (batch) or streaming DataFrame bound into a
+  * registry; dict-basket channels (reference: utils/csp.py:31-36) are a
+  * single DataFrame with an extra key column, list channels are
+  * `array<struct>` columns normalized via `explode`.
+  *
+  * Semantics reproduced from the reference:
+  *  - modules `connect(channels)` and get/set channels by name; getting
+  *    an unset channel yields a *delayed* edge resolved at finalize
+  *    (channels.py:547-604);
+  *  - multiple setters of the same channel are merged
+  *    (`csp.flatten` ≙ `unionByName`, channels.py:439-472);
+  *  - a module whose output feeds back into its own input would form a
+  *    cycle; the reference auto-breaks these with one-cycle-delay
+  *    feedbacks (channels.py:474-545). Spark DAGs cannot cycle — the
+  *    registry detects the cycle at finalize and requires an explicit
+  *    [[ChannelGraph.feedback]] declaration, which the streaming runtime
+  *    implements as a `foreachBatch` re-injection (one micro-batch
+  *    delay);
+  *  - required channels without a provider raise
+  *    [[NoProviderException]] (channels.py:331-437).
+  */
+final case class ChannelSpec(
+    name: String,
+    schema: StructType,
+    /** dict-basket key column, if this channel is a keyed basket. */
+    basketKey: Option[String] = None,
+    /** `s_`-state requested: keyby attribute names (may be dotted). */
+    stateKeyby: Seq[String] = Nil,
+    /** required=false channels resolve to an empty frame when unset. */
+    required: Boolean = true
+)
+
+class NoProviderException(channel: String)
+    extends RuntimeException(s"No provider for required channel '$channel'")
+
+class CycleException(path: Seq[String])
+    extends RuntimeException(
+      s"Channel cycle ${path.mkString(" -> ")}; declare feedback(...) to break it")
+
+/** Include/exclude channel-name selection with declaration ordering —
+  * reference: csp_gateway/server/shared/channel_selection.py:13-111.
+  */
+final case class ChannelSelection(
+    include: Option[Seq[String]] = None,
+    exclude: Seq[String] = Nil
+) {
+  def select(all: Seq[String]): Seq[String] = {
+    val base = include match {
+      case Some(inc) => inc.filter(all.contains)
+      case None      => all
+    }
+    base.filterNot(exclude.contains)
+  }
+}
+
+trait Module {
+  def connect(g: ChannelGraph): Unit
+}
+
+/** Build-phase wiring of channels. Two phases like the reference
+  * (`ChannelsFactory.build`, channels.py:241-278): modules declare edges
+  * (`set`, `transform`), then [[finalizeGraph]] resolves delayed gets,
+  * merges multi-providers, validates cycles and providers.
+  */
+final class ChannelGraph(val specs: Map[String, ChannelSpec]) {
+
+  private val providers =
+    mutable.LinkedHashMap.empty[String, mutable.Buffer[() => DataFrame]]
+  /** transform edges: (inputs, output, fn) — fn sees resolved inputs. */
+  private val transforms =
+    mutable.Buffer.empty[(Seq[String], String, Seq[DataFrame] => DataFrame)]
+  private val feedbacks = mutable.Set.empty[String]
+  private val resolved = mutable.LinkedHashMap.empty[String, DataFrame]
+
+  def spec(name: String): ChannelSpec =
+    specs.getOrElse(name, throw new NoSuchElementException(s"Unknown channel '$name'"))
+
+  /** Provide rows for a channel (a source module). */
+  def set(name: String)(df: => DataFrame): Unit = {
+    spec(name)
+    providers.getOrElseUpdate(name, mutable.Buffer.empty) += (() => df)
+  }
+
+  /** Declare a derived channel: output = fn(inputs). */
+  def transform(inputs: Seq[String], output: String)(
+      fn: Seq[DataFrame] => DataFrame): Unit = {
+    (inputs :+ output).foreach(spec)
+    transforms += ((inputs, output, fn))
+  }
+
+  /** Explicitly allow a cycle through this channel (one-batch delay in
+    * the streaming runtime — reference channels.py:474-545 feedback). */
+  def feedback(name: String): Unit = { spec(name); feedbacks += name }
+
+  /** Resolve the graph: topo-evaluate transforms, merge providers with
+    * `unionByName(allowMissingColumns)` (≙ csp.flatten), detect cycles.
+    */
+  def finalizeGraph(): Map[String, DataFrame] = {
+    // edges: output depends on inputs (minus declared feedbacks)
+    val deps: Map[String, Seq[String]] = transforms
+      .groupBy(_._2)
+      .map { case (out, ts) =>
+        out -> ts.flatMap(_._1).distinct.filterNot(feedbacks.contains).toSeq
+      }
+      .toMap
+    // cycle detection: DFS over transform dependency edges
+    val visiting = mutable.Set.empty[String]
+    val done = mutable.Set.empty[String]
+    def visit(n: String, path: List[String]): Unit = {
+      if (visiting.contains(n)) throw new CycleException((n :: path).reverse)
+      if (!done.contains(n)) {
+        visiting += n
+        deps.getOrElse(n, Nil).foreach(visit(_, n :: path))
+        visiting -= n
+        done += n
+      }
+    }
+    deps.keys.foreach(visit(_, Nil))
+
+    def resolve(name: String): DataFrame = resolved.getOrElseUpdate(
+      name, {
+        val fromProviders = providers.getOrElse(name, Nil).map(_.apply()).toSeq
+        val fromTransforms = transforms.filter(_._2 == name).map {
+          case (ins, _, fn) => fn(ins.map(resolve))
+        }.toSeq
+        val all = fromProviders ++ fromTransforms
+        if (all.isEmpty) {
+          if (spec(name).required) throw new NoProviderException(name)
+          else // null_ts analogue (channels.py:418-421): empty frame
+            org.apache.spark.sql.SparkSession.active
+              .createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+                spec(name).schema)
+        } else all.reduce(_.unionByName(_, allowMissingColumns = true))
+      }
+    )
+    specs.keys.flatMap { n =>
+      val hasAny = providers.contains(n) || transforms.exists(_._2 == n)
+      if (hasAny || specs(n).required) Some(n -> resolve(n)) else None
+    }.toMap
+  }
+}

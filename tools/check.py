@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local correctness harness mirroring the driver's gate:
+run Verify's parquet outputs against DuckDB executing oracle_sql.json
+over the same testdata tables; sort columns by name, sort rows, compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json, math, sys
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow as pa
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
+    return v
+
+def rows_of(table: pa.Table):
+    cols = sorted(table.column_names)
+    data = [table.column(c).to_pylist() for c in cols]
+    return cols, sorted(
+        (tuple(norm_cell(col[i]) for col in data) for i in range(table.num_rows)),
+        key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r),
+    )
+
+def close(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    if isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b):
+        return all(close(x, y) for x, y in zip(a, b))
+    return a == b
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            got = pq.read_table(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})")
+            fail += 1
+            continue
+        try:
+            want = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            fail += 1
+            continue
+        gc, gr = rows_of(got)
+        wc, wr = rows_of(want)
+        if gc != wc:
+            print(f"FAIL {name}: columns differ spark={gc} duckdb={wc}")
+            fail += 1
+            continue
+        if len(gr) != len(wr):
+            print(f"FAIL {name}: rowcount spark={len(gr)} duckdb={len(wr)}")
+            fail += 1
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(gr, wr)) if not close(a, b)]
+        exact = gr == wr
+        if bad:
+            print(f"FAIL {name}: {len(bad)} differing rows; first: spark={bad[0][1]} duckdb={bad[0][2]}")
+            fail += 1
+        else:
+            print(f"OK   {name} rows={len(gr)}" + ("" if exact else "  (float-tolerant only!)"))
+            ok += 1
+    print(f"== {ok} ok, {fail} fail")
+    sys.exit(1 if fail else 0)
+
+if __name__ == "__main__":
+    main()
