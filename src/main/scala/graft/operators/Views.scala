@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Perspective-style analytics views compiled to Catalyst plans —
+  * reference capabilities A1-A9 (SURVEY.md §2.5; ViewConfig literal at
+  * modules/web/perspective.py:133-142). The reference delegates these to
+  * the embedded Perspective engine; here the whole view is ONE declarative
+  * Spark plan, so Catalyst gets to push filters below the aggregate and
+  * prune columns down to the scan.
+  *
+  * Config surface mirrors the reference:
+  *   group_by, split_by (pivot), aggregates {col -> fn}, sort, filter,
+  *   expressions (computed columns), limit, index (upsert key).
+  */
+final case class ViewConfig(
+    groupBy: Seq[String] = Nil,
+    /** pivot column with its (required, for plan determinism) values. */
+    splitBy: Option[(String, Seq[String])] = None,
+    /** output alias -> (input column, aggregate fn name). */
+    aggregates: Seq[(String, (String, String))] = Nil,
+    /** (column, asc?) pairs. */
+    sort: Seq[(String, Boolean)] = Nil,
+    /** view filters [[col, op, operand]] (perspective.py:133-142). */
+    filter: Seq[(String, String, Any)] = Nil,
+    /** output alias -> SQL expression (ExprTK analogue = Spark SQL). */
+    expressions: Seq[(String, String)] = Nil,
+    limit: Option[Int] = None,
+    /** upsert key: one row per index value, last (by seq) wins (A7). */
+    index: Option[(Seq[String], String)] = None
+)
+
+object Views {
+
+  /** Aggregate name -> Column fn, matching Perspective's aggregate set
+    * (sum/avg/count/median/min/max/distinct count …).
+    */
+  def aggFn(fn: String, c: String): Column = fn match {
+    case "sum"            => sum(col(c))
+    case "avg" | "mean"   => avg(col(c))
+    case "count"          => count(col(c))
+    case "distinct count" => countDistinct(col(c))
+    case "min"            => min(col(c))
+    case "max"            => max(col(c))
+    case "median"         => expr(s"percentile_approx($c, 0.5)")
+    case "stddev"         => stddev_samp(col(c))
+    case "var"            => var_samp(col(c))
+    case "first"          => min_by(col(c), col("_seq"))
+    case "last"           => max_by(col(c), col("_seq"))
+    case other => throw new IllegalArgumentException(s"Unknown aggregate '$other'")
+  }
+
+  private def filterCol(f: (String, String, Any)): Column = {
+    val (c, op, v) = f
+    val lhs = col(c)
+    op match {
+      case "==" | "="  => lhs === lit(v)
+      case "!="        => lhs =!= lit(v)
+      case "<"         => lhs < lit(v)
+      case "<="        => lhs <= lit(v)
+      case ">"         => lhs > lit(v)
+      case ">="        => lhs >= lit(v)
+      case "contains"  => lhs.contains(lit(v))
+      case "in"        => lhs.isin(v.asInstanceOf[Seq[Any]]: _*)
+      case "is null"   => lhs.isNull
+      case "is not null" => lhs.isNotNull
+      case other => throw new IllegalArgumentException(s"Unknown view op '$other'")
+    }
+  }
+
+  /** Compile a view over a source frame. Stages in reference order:
+    * filter → expressions → index-upsert → group/pivot/aggregate →
+    * sort → limit.  `seqCol` feeds A7 upsert (last wins) and
+    * first/last aggregates.
+    */
+  def compile(df: DataFrame, v: ViewConfig, seqCol: Option[String] = None): DataFrame = {
+    var d = df
+    seqCol.foreach(s => d = d.withColumn("_seq", col(s)))
+    if (v.filter.nonEmpty) d = d.filter(v.filter.map(filterCol).reduce(_ && _))
+    v.expressions.foreach { case (alias, e) => d = d.withColumn(alias, expr(e)) }
+    v.index.foreach { case (keys, seq) =>
+      d = graft.state.StateOps.lastByKey(d, keys, seq) // A7: one row per index, last wins
+    }
+    if (v.groupBy.nonEmpty || v.aggregates.nonEmpty) {
+      val aggs = v.aggregates.map { case (alias, (c, fn)) => aggFn(fn, c).as(alias) }
+      d = v.splitBy match {
+        case Some((p, values)) =>
+          require(aggs.nonEmpty, "split_by requires aggregates")
+          d.groupBy(v.groupBy.map(col): _*).pivot(p, values).agg(aggs.head, aggs.tail: _*)
+        case None =>
+          if (aggs.isEmpty) d.select(v.groupBy.map(col): _*).distinct()
+          else d.groupBy(v.groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      }
+    }
+    if (v.sort.nonEmpty)
+      d = d.orderBy(v.sort.map { case (c, asc) =>
+        if (asc) col(c).asc_nulls_first else col(c).desc_nulls_last }: _*)
+    v.limit.foreach(n => d = d.limit(n))
+    d.drop("_seq")
+  }
+
+  /** A9 — time-bucketed batching: tumbling window + aggregate
+    * (reference perspective.py:491-515 alarm-driven flush).
+    */
+  def timeBucket(df: DataFrame, tsCol: String, width: String,
+      groupBy: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy((window(col(tsCol), width) +: groupBy.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("bucket", col("window.start"))
+      .drop("window")
+}
