@@ -1,0 +1,294 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.pipeline.{Dedup, Multimodal, Similarity}
+
+/** Training-data pipeline query catalog: dedup, similarity search,
+  * text analysis, multimodal plumbing — each with a DuckDB oracle that
+  * mirrors the exact arithmetic (portable polynomial hash, left-to-right
+  * float sums), so results hash-match bit-for-bit.
+  *
+  * Oracle SQL for the sketch operators (minhash/simhash/LSH) is
+  * *generated* by the same Scala loops that build the Catalyst
+  * expressions, keeping both sides structurally in sync.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.core.Tables.load(s, dir, name)
+
+  private val P = TextFunctions.P
+
+  // ---- shared DuckDB SQL fragments --------------------------------------
+
+  /** Portable polynomial hash of a string expression (mirror of
+    * TextFunctions.polyHash: list_reduce seeds with the first element,
+    * which equals Spark's 0-seeded fold since 0*31+c0 = c0).
+    */
+  private def phSql(s: String): String =
+    s"list_reduce([CAST(unicode(c) AS BIGINT) for c in string_split_regex($s,'')], (h,c) -> (h*31+c) % $P)"
+
+  /** doc_id + distinct word-3-gram shingles CTEs over `documents`. */
+  private val shingleCtes =
+    """toks AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(generate_series(1, len(w)-2)) AS i, w FROM toks),
+      |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM g)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
+      s"(sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) * " +
+      s"sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))"
+
+  /** Sign-LSH bucket SQL (mirror of Similarity.signLshBucket). */
+  private def bucketSql(vec: String, planes: Int = 8, dims: Int = 64): String = {
+    val bits = (0 until planes).map { j =>
+      val plane = s"list_transform(generate_series(0, ${dims - 1}), d -> " +
+        s"CAST((1103515245*(${j.toLong * dims} + d) + 12345) % 2000003 - 1000001 AS DOUBLE))"
+      s"CASE WHEN list_dot_product(CAST($vec AS DOUBLE[]), $plane) > 0.0 THEN ${1L << j} ELSE 0 END"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** SimHash SQL over a precomputed token-hash list column `hs`
+    * (mirror of Dedup.simhash).
+    */
+  private def simhashSql(hs: String, bits: Int = 32): String =
+    (0 until bits).map { b =>
+      val mask = 1L << b
+      s"CASE WHEN 2*len(list_filter($hs, h -> (h & $mask) <> 0)) > len($hs) THEN $mask ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  // ---- queries ----------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup: hash-groupBy on text, keep min id
+    "d1_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")),
+
+    // ---- n-gram Jaccard near-dup via shingle inverted index
+    "d2_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8, maxDocFreq = 100)),
+
+    // ---- MinHash + LSH banding (shingle→minhash→band→bucket-join)
+    "d3_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.5)),
+
+    // ---- SimHash sketch per document
+    "d4_simhash" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Dedup.simhash(col("text")).as("simhash"))),
+
+    // ---- SimHash near-dup pairs (byte-block candidates, Hamming<=3)
+    "d4_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+
+    // ---- embedding-cosine near-dup pairs (exact; LSH path in s2)
+    "d5_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
+
+    // ---- ANN brute-force cosine top-k (broadcast queries)
+    "s1_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+    }),
+
+    // ---- ANN via deterministic sign-LSH buckets
+    "s2_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 3, planes = 8, dims = 64)
+    }),
+
+    // ---- token counting (whitespace + BPE-ish regex lexer)
+    "tx1_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
+
+    // ---- quality scoring (length/punct/stopword ratios)
+    "tx2_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality"))),
+
+    // ---- language ID (stopword n-gram heuristic + CJK ratio)
+    "tx3_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("lang_detected"))),
+
+    // ---- winnowing document fingerprint (rolling hash)
+    "tx4_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.fingerprint(col("text"), k = 8, w = 4).as("fps"))),
+
+    // ---- multimodal: batch decode/feature-extract over binary payloads
+    "mm1_media_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(Multimodal.syntheticMedia(t(s, dir, "documents")))),
+
+    // ---- multimodal: video frame sampling
+    "mm2_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.syntheticMedia(t(s, dir, "documents")), stride = 4))
+  )
+
+  // ---- oracles ----------------------------------------------------------
+
+  private val minhashSigCols: String = (0 until 16).map { j =>
+    s"min((${Dedup.mhA(j)}*h + ${Dedup.mhB(j)}) % $P) AS s$j"
+  }.mkString(", ")
+
+  private def bandHashSql(b: Int, rpb: Int = 4): String =
+    (0 until rpb).foldLeft("0") { (acc, r) => s"(($acc*131 + s${b * rpb + r}) % $P)" }
+
+  private val sigAgreeSql: String =
+    (0 until 16).map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END").mkString("(", " + ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      "SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
+
+    "d2_ngram_jaccard" ->
+      s"""WITH $shingleCtes,
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+         |idx AS (SELECT doc_id, sh.s FROM sh JOIN rare USING (s)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         |          FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+         |j AS (SELECT id1, id2, i*1.0/(s1.n + s2.n - i) AS jaccard
+         |      FROM pairs JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id)
+         |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin,
+
+    "d3_minhash_lsh" ->
+      s"""WITH $shingleCtes,
+         |hs AS (SELECT doc_id, ${phSql("s")} AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashSigCols FROM hs GROUP BY doc_id),
+         |bands AS (${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, ${bandHashSql(b)} AS bh FROM sig")
+             .mkString(" UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |est AS (SELECT id1, id2, $sigAgreeSql / 16.0 AS est_jaccard
+         |        FROM cand JOIN sig a ON id1 = a.doc_id JOIN sig b ON id2 = b.doc_id)
+         |SELECT id1, id2, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin,
+
+    "d4_simhash" ->
+      s"""WITH th AS (SELECT doc_id, [${phSql("t")} for t in string_split(text,' ')] AS hs
+         |            FROM documents)
+         |SELECT doc_id, ${simhashSql("hs")} AS simhash FROM th""".stripMargin,
+
+    "d4_simhash_pairs" ->
+      s"""WITH th AS (SELECT doc_id, [${phSql("t")} for t in string_split(text,' ')] AS hs
+         |            FROM documents),
+         |sk AS (SELECT doc_id, ${simhashSql("hs")} AS sh FROM th),
+         |blocks AS (${(0 until 4).map(k =>
+             s"SELECT doc_id, sh, $k AS blk, sh & ${255L << (8 * k)} AS bv FROM sk")
+             .mkString(" UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sh AS h1, b.sh AS h2
+         |         FROM blocks a JOIN blocks b
+         |           ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |hd AS (SELECT id1, id2, bit_count(xor(h1, h2)) AS hamming FROM cand)
+         |SELECT id1, id2, hamming FROM hd WHERE hamming <= 3""".stripMargin,
+
+    "d5_embed_neardup" ->
+      s"""SELECT * FROM (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |         ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.45""".stripMargin,
+
+    "s1_ann_bruteforce" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM embeddings c JOIN embeddings q ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 8),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+         |      FROM scored)
+         |SELECT qid, cid, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "s2_ann_lsh" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS b FROM embeddings),
+         |q AS (SELECT * FROM bk WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM bk c JOIN q ON c.b = q.b AND q.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+         |      FROM scored)
+         |SELECT qid, cid, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "tx1_token_stats" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "tx2_quality" -> {
+      val stopEn = TextFunctions.StopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT doc_id, text, string_split(text,' ') AS w, len(text) AS L
+         |           FROM documents),
+         |c AS (SELECT doc_id,
+         |  (L - len(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))*1.0 / greatest(L, 1) AS punct_ratio,
+         |  len(list_filter(w, t -> list_contains($stopEn, t)))*1.0 / greatest(len(w), 1) AS stop_ratio,
+         |  len(w) AS n_tok,
+         |  list_sum([len(t) for t in w])*1.0 / greatest(len(w), 1) AS mean_len
+         |  FROM b)
+         |SELECT doc_id, punct_ratio, stop_ratio,
+         |       0.4*least(n_tok/100.0, 1.0) + 0.3*(1.0 - punct_ratio) +
+         |       0.2*stop_ratio + 0.1*least(mean_len/8.0, 1.0) AS quality
+         |FROM c""".stripMargin
+    },
+
+    "tx3_lang_id" -> {
+      def ratio(words: Seq[String]) = {
+        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(w, t -> list_contains($arr, t)))*1.0 / greatest(len(w), 1)"
+      }
+      s"""WITH b AS (SELECT doc_id, lang, text, string_split(text,' ') AS w FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |  len(regexp_extract_all(text, '[一-鿿]'))*1.0 / greatest(len(text), 1) AS cjk,
+         |  ${ratio(TextFunctions.StopEn)} AS s_en, ${ratio(TextFunctions.StopDe)} AS s_de,
+         |  ${ratio(TextFunctions.StopFr)} AS s_fr, ${ratio(TextFunctions.StopEs)} AS s_es
+         |  FROM b)
+         |SELECT doc_id, lang,
+         |  CASE WHEN cjk > 0.3 THEN 'zh'
+         |       WHEN s_en = 0.0 AND s_de = 0.0 AND s_fr = 0.0 AND s_es = 0.0 THEN 'und'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS lang_detected
+         |FROM c""".stripMargin
+    },
+
+    "tx4_fingerprint" ->
+      s"""WITH b AS (SELECT doc_id, text, len(text) AS L FROM documents),
+         |kh AS (SELECT doc_id,
+         |         [${phSql("substr(text, i, 8)")} for i in generate_series(1, L-7)] AS kh
+         |       FROM b WHERE L >= 11),
+         |f AS (SELECT doc_id,
+         |        list_sort(list_distinct([list_min(kh[j:j+3]) for j in generate_series(1, len(kh)-3)])) AS fps
+         |      FROM kh)
+         |SELECT doc_id, fps FROM f
+         |UNION ALL
+         |SELECT doc_id, CAST([] AS BIGINT[]) AS fps FROM b WHERE L < 11""".stripMargin,
+
+    "mm1_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  len(text) AS n_bytes,
+        |  list_transform(generate_series(0, 7), k ->
+        |    len(list_filter(string_split_regex(text,''), c -> (unicode(c) & 7) = k)) * 1.0
+        |      / greatest(len(text), 1)) AS feature
+        |FROM documents""".stripMargin,
+
+    "mm2_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |       unnest(generate_series(0, (n_chars % 32 + 1) - 1, 4)) AS frame_idx
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin
+  )
+}

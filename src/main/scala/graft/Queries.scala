@@ -19,7 +19,11 @@ object Queries {
     * from its unique (l_orderkey, l_linenumber) key, mirrored in SQL. */
   private def liSeq = col("l_orderkey") * 100 + col("l_linenumber")
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val all: Map[String, (SparkSession, String) => DataFrame] = base ++ PipelineQueries.all
+
+  lazy val oracles: Map[String, String] = baseOracles ++ PipelineQueries.oracles
+
+  private val base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- T1: last-tick-per-key state accumulation (channels.py:696-739)
     "t1_state_last_by_key" -> ((s, dir) =>
       StateOps.queryTicks(t(s, dir, "events"), Seq("user_id"), "event_id")),
@@ -77,7 +81,7 @@ object Queries {
         .orderBy(col("l_returnflag"), col("l_linestatus")))
   )
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "t1_state_last_by_key" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

@@ -1,0 +1,245 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{polyHash, tokens, P}
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design (the point of each shape):
+  *  - nothing here ever does an all-pairs O(N²) comparison on the full
+  *    corpus: candidate pairs always come from an *inverted-index /
+  *    bucket equi-join* (shingle, LSH band bucket, SimHash byte-block,
+  *    sign-LSH bucket), which Spark executes as an ordinary shuffled
+  *    hash join keyed on the bucket — linear shuffle, parallel probe;
+  *  - hot buckets are the classic skew hazard: `maxDocFreq` drops
+  *    shingles shared by more than that many docs (stopword shingles
+  *    contribute no discriminative signal but O(df²) pairs). AQE skew
+  *    handling splits what remains;
+  *  - signatures (minhash/simhash/fingerprint) are computed in one
+  *    narrow codegen'd pass over the corpus — per-doc cost is O(len),
+  *    no shuffle until the tiny (id, sig) projection is joined.
+  *
+  * Every operator is expressible in portable SQL (see
+  * [[graft.PipelineQueries]]) so the DuckDB oracle can verify results
+  * exactly — including hash values, thanks to the shared portable
+  * polynomial hash (no murmur3 dependence).
+  */
+object Dedup {
+
+  /** Word n-gram shingle set (distinct) of a text column. Texts with
+    * fewer than `n` tokens shingle to the empty set (guarded: Spark's
+    * `sequence(1, k)` for k<1 would generate a *descending* range).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = tokens(text)
+    val grams = transform(
+      sequence(lit(1), size(w) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(w, i + lit(o))): _*))
+    array_distinct(when(size(w) >= lit(n), grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** Exact dedup summary: one row per distinct text with the kept
+    * (minimum) id and the duplicate count. Single hash-aggregate
+    * shuffle on the text; at 100 TB group on `hash` of the text first
+    * and only compare full texts within hash groups (the grouping here
+    * is by the text value itself — Spark hashes it internally anyway).
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact dedup: keep the minimum-id row per distinct text. One
+    * shuffle (hash aggregate with map-side partial min).
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = exactGroups(df, textCol, idCol).select(col("keep_id").as(idCol))
+    df.join(keep, idCol) // broadcast-able when the dup summary is small
+  }
+
+  /** Inverted index (id, shingle) with document-frequency cap —
+    * the candidate generator for [[jaccardPairs]].
+    */
+  def shingleIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      maxDocFreq: Long = 100): DataFrame = {
+    val idx = df
+      .select(col(idCol).as("_id"), explode(shingles(col(textCol), n)).as("_sh"))
+    val rare = idx.groupBy("_sh").count().filter(col("count") <= maxDocFreq).drop("count")
+    idx.join(rare, "_sh") // drops degenerate hot shingles (skew guard)
+  }
+
+  /** N-gram Jaccard near-dup pairs above `threshold`, candidates from
+    * the shingle inverted index (intersection counts come from the
+    * index self-join; set sizes from one aggregate). Never all-pairs.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxDocFreq: Long = 100): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, n, maxDocFreq).cache()
+    val sizes = idx.groupBy("_id").agg(count(lit(1)).as("_n"))
+    val inter = idx.as("a")
+      .join(idx.as("b"), col("a._sh") === col("b._sh") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id1"), col("b._id").as("id2"))
+      .agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.withColumnRenamed("_id", "id1").withColumnRenamed("_n", "_n1"), "id1")
+      .join(sizes.withColumnRenamed("_id", "id2").withColumnRenamed("_n", "_n2"), "id2")
+      .withColumn("jaccard",
+        col("_inter").cast("double") / (col("_n1") + col("_n2") - col("_inter")).cast("double"))
+      .filter(col("jaccard") >= lit(threshold))
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  // ---- MinHash ----------------------------------------------------------
+
+  /** Hash-permutation constants: `g_j(h) = (a_j*h + b_j) mod P` with
+    * a_j odd. All intermediates < 2^36 — portable BIGINT arithmetic.
+    */
+  def mhA(j: Int): Long = 2L * j + 1
+  def mhB(j: Int): Long = 97L * j + 13
+
+  /** MinHash signature (array of `numHashes` minima) over the distinct
+    * word n-gram shingles of a text. One narrow pass, no shuffle.
+    */
+  def minhashSignature(text: Column, n: Int = 3, numHashes: Int = 16): Column = {
+    val hs = transform(shingles(text, n), s => polyHash(s))
+    array((0 until numHashes).map { j =>
+      array_min(transform(hs, h => (lit(mhA(j)) * h + lit(mhB(j))) % lit(P)))
+    }: _*)
+  }
+
+  /** LSH band bucket: fold `rowsPerBand` consecutive signature slots
+    * into one bucket hash (`bh = (bh*131 + sig_j) mod P`).
+    */
+  def bandHash(sig: Column, band: Int, rowsPerBand: Int): Column =
+    (0 until rowsPerBand).foldLeft(lit(0L)) { (acc, r) =>
+      (acc * lit(131L) + element_at(sig, band * rowsPerBand + r + 1)) % lit(P)
+    }
+
+  /** MinHash+LSH near-dup pairs: shingle→minhash→band→bucket-join.
+    * Candidates are pairs agreeing on at least one band bucket; each
+    * candidate is then verified with its exact signature agreement
+    * ratio (estimated Jaccard) and kept if >= `threshold`.
+    *
+    * At scale: the bucket join is an equi-join on (band, bucket) — the
+    * only shuffle moves (id, 16-long signature) tuples, never text.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rpb = numHashes / bands
+    val sigs = df
+      .select(col(idCol).as("_id"), minhashSignature(col(textCol), n, numHashes).as("_sig"))
+      .cache()
+    val buckets = sigs.select(
+      col("_id"), col("_sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandHash(col("_sig"), b, rpb).as("bh"))): _*)).as("_b"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a._b.band") === col("b._b.band") && col("a._b.bh") === col("b._b.bh") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id1"), col("b._id").as("id2"),
+        col("a._sig").as("_s1"), col("b._sig").as("_s2"))
+      .dropDuplicates("id1", "id2")
+    cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("_s1"), col("_s2"), (x, y) => x === y), b => b))
+          .cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= lit(threshold))
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 32-bit SimHash over whitespace tokens (with multiplicity): bit b
+    * is set iff more token hashes have bit b set than clear. One
+    * narrow pass; bit tests use literal masks (no variable shifts, so
+    * the same expression runs on any SQL engine).
+    */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    val hs = transform(tokens(text), t => polyHash(t))
+    val n = size(hs)
+    (0 until bits)
+      .map { b =>
+        val mask = 1L << b
+        val ones = size(filter(hs, h => (h.bitwiseAND(lit(mask))) =!= lit(0L)))
+        when(ones * lit(2) > n, lit(mask)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= `maxHamming`,
+    * candidates blocked on agreeing 8-bit sub-blocks (any pair within
+    * Hamming 3 of a 32-bit sketch must agree on at least one of the 4
+    * bytes — pigeonhole, as in HmSearch). The block join is again a
+    * bucket equi-join; only (id, 64-bit sketch) shuffles.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sk = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sh")).cache()
+    val blocks = sk.select(
+      col("_id"), col("_sh"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("blk"), col("_sh").bitwiseAND(lit(255L << (8 * k))).as("bv"))): _*))
+        .as("_b"))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a._b.blk") === col("b._b.blk") && col("a._b.bv") === col("b._b.bv") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id1"), col("b._id").as("id2"),
+        col("a._sh").as("_h1"), col("b._sh").as("_h2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", bit_count(col("_h1").bitwiseXOR(col("_h2"))))
+      .filter(col("hamming") <= lit(maxHamming))
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  // ---- Embedding near-dup ----------------------------------------------
+
+  /** Embedding-cosine near-dup pairs above `threshold`. `blocked=true`
+    * routes candidates through sign-LSH buckets
+    * ([[Similarity.signLshBucket]]) — the 100 TB path; `false` compares
+    * all pairs (only for small/verification runs, and the shape the
+    * oracle mirrors).
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      blocked: Boolean = false): DataFrame = {
+    val v = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val pairs =
+      if (!blocked)
+        v.as("a").join(v.as("b"), col("a._id") < col("b._id"))
+      else {
+        val bk = v.withColumn("_bk", Similarity.signLshBucket(col("_v")))
+        bk.as("a").join(bk.as("b"),
+          col("a._bk") === col("b._bk") && col("a._id") < col("b._id"))
+      }
+    pairs
+      .select(col("a._id").as("id1"), col("b._id").as("id2"),
+        Similarity.cosine(col("a._v"), col("b._v")).as("cosine"))
+      .filter(col("cosine") >= lit(threshold))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline,
+  * and a sign-LSH (random-hyperplane) bucketed variant as the scale
+  * path.
+  *
+  * Scale design:
+  *  - the query set is always the *broadcast* side — brute force is a
+  *    broadcast-nested-loop over corpus partitions (linear scan, no
+  *    corpus shuffle), and the top-k reduction happens per query key;
+  *  - the LSH variant turns the scan into a bucket equi-join: corpus
+  *    and queries are hashed to `planes`-bit sign buckets, and only
+  *    same-bucket candidates are scored — at 1000 executors this is an
+  *    ordinary shuffled join on the bucket key, ~N/2^planes candidates
+  *    per query instead of N;
+  *  - hyperplanes are generated from a deterministic LCG (seeded by
+  *    plane and dimension index), so the bucketing is reproducible in
+  *    plain SQL on any engine — no driver-side randomness shipped to
+  *    executors, and the DuckDB oracle can mirror it exactly.
+  *
+  * The dot products run as `zip_with`+`aggregate` Catalyst expressions
+  * (codegen'd, no UDF); both engines evaluate the sum left-to-right,
+  * which makes cosine values bitwise-identical across Spark and DuckDB
+  * — verified, and load-bearing for exact threshold/top-k oracles.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float vectors, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(
+        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (s, v) => s + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Deterministic hyperplane component: LCG over (plane, dim),
+    * centered to zero mean. Portable integer arithmetic.
+    */
+  def planeWeight(plane: Int, dim: Column, dims: Int): Column =
+    ((lit(1103515245L) * (lit(plane.toLong * dims) + dim) + lit(12345L)) % lit(2000003L)) -
+      lit(1000001L)
+
+  /** Sign-LSH bucket id of a vector: bit `j` = sign of the dot product
+    * with pseudo-random hyperplane `j`. 2^planes buckets.
+    */
+  def signLshBucket(vec: Column, planes: Int = 8, dims: Int = 64): Column =
+    (0 until planes)
+      .map { j =>
+        val dotj = aggregate(
+          zip_with(vec, sequence(lit(0), lit(dims - 1)),
+            (x, d) => x.cast("double") * planeWeight(j, d, dims).cast("double")),
+          lit(0.0), (s, v) => s + v)
+        when(dotj > lit(0.0), lit(1L << j)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+
+  /** Exact brute-force cosine top-k: for each query row, the `k`
+    * corpus rows (self excluded) with highest cosine. The query frame
+    * must be small — it is broadcast so the corpus never shuffles; the
+    * per-query top-k then reduces over `qid`.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("_qv")))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("_cv"))
+    val scored = c.join(q, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("_qv"), col("_cv")).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** ANN via sign-LSH buckets: candidates are same-bucket corpus rows;
+    * otherwise identical shape to [[bruteForceTopK]]. Approximate —
+    * recall depends on `planes` (fewer planes = bigger buckets =
+    * higher recall and cost). Multi-probe: also probes the `probes`
+    * single-bit-flip neighbor buckets of each query to recover
+    * borderline misses.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int = 8,
+      dims: Int = 64,
+      probes: Int = 0): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("cid"), col(vecCol).as("_cv"),
+      signLshBucket(col(vecCol), planes, dims).as("_bk"))
+    val qb = queries.select(
+      col(idCol).as("qid"), col(vecCol).as("_qv"),
+      signLshBucket(col(vecCol), planes, dims).as("_b0"))
+    val probed = qb.select(
+      col("qid"), col("_qv"),
+      explode(array((col("_b0") +: (0 until probes).map(j =>
+        col("_b0").bitwiseXOR(lit(1L << j)))): _*)).as("_bk"))
+      .dropDuplicates("qid", "_bk")
+    val scored = c.join(broadcast(probed), Seq("_bk"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("_qv"), col("_cv")).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}
