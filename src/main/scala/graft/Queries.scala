@@ -19,9 +19,11 @@ object Queries {
     * from its unique (l_orderkey, l_linenumber) key, mirrored in SQL. */
   private def liSeq = col("l_orderkey") * 100 + col("l_linenumber")
 
-  lazy val all: Map[String, (SparkSession, String) => DataFrame] = base ++ PipelineQueries.all
+  lazy val all: Map[String, (SparkSession, String) => DataFrame] =
+    base ++ PipelineQueries.all ++ RelationalQueries.all
 
-  lazy val oracles: Map[String, String] = baseOracles ++ PipelineQueries.oracles
+  lazy val oracles: Map[String, String] =
+    baseOracles ++ PipelineQueries.oracles ++ RelationalQueries.oracles
 
   private val base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- T1: last-tick-per-key state accumulation (channels.py:696-739)

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsofJoin, Transforms, ViewConfig, Views}
+
+/** Relational / view / transform query catalog: the SQL surface the
+  * reference exposes through its embedded engines (Perspective views
+  * A1-A9, DuckDB-over-engine-log A8) plus the transform operators
+  * X1-X11 and the as-of join — each with a DuckDB oracle.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.core.Tables.load(s, dir, name)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X2/X3: list wrap + unroll roundtrip (ts[T] ⇄ ts[List[T]])
+    "x2_unroll_roundtrip" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("value"))
+      val wrapped = Transforms.toList(ev, Seq("event_id", "user_id", "value"))
+      Transforms.unrollWithPos(wrapped.select(col("items")), "items", "item", "pos")
+        .select(col("item.*"))
+    }),
+
+    // ---- X5: struct → JSON → struct serde roundtrip
+    "x5_serde_roundtrip" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      val li = t(s, dir, "lineitem").select(cols.map(col): _*)
+      val ser = Transforms.serializeJson(li, cols).select(col("json"))
+      Transforms.deserializeJson(ser, "json", li.schema)
+    }),
+
+    // ---- X6: psp_flatten — nested struct → dotted columns, list rows
+    "x6_psp_flatten" -> ((s, dir) => {
+      val nested = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        struct(col("o_custkey"), col("o_totalprice")).as("meta"),
+        array(struct(col("o_orderpriority").as("p"))).as("tags"))
+      Transforms.pspFlatten(nested)
+        .toDF("o_orderkey", "meta_o_custkey", "meta_o_totalprice", "tags_p")
+    }),
+
+    // ---- X8+X9: rename/augment projection + computed multi-field index
+    "x8_index_rename" -> ((s, dir) => {
+      val ren = Transforms.renameAugment(
+        t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity"),
+        rename = Map("l_orderkey" -> "order_id", "l_linenumber" -> "line_no"),
+        augment = Map("src" -> "graft"))
+      Transforms.computedIndex(ren, Seq("order_id", "line_no"), "idx")
+    }),
+
+    // ---- A2: pivot (split_by) through the view compiler
+    "a2_pivot" -> ((s, dir) =>
+      Views.compile(t(s, dir, "lineitem"), ViewConfig(
+        groupBy = Seq("l_returnflag"),
+        splitBy = Some(("l_linestatus", Seq("F", "O"))),
+        aggregates = Seq(
+          "sum_qty" -> ("l_quantity", "sum"),
+          "cnt" -> ("l_quantity", "count"))))),
+
+    // ---- A4+A5: view filter + computed expression + aggregate
+    "a45_view_filter_expr" -> ((s, dir) =>
+      Views.compile(t(s, dir, "lineitem"), ViewConfig(
+        filter = Seq(("l_shipdate", ">=", "1997-01-01")),
+        expressions = Seq(("revenue", "l_extendedprice * (1 - l_discount)")),
+        groupBy = Seq("l_returnflag"),
+        aggregates = Seq("sum_rev" -> ("revenue", "sum"), "n" -> ("revenue", "count"))))),
+
+    // ---- A6+A7: index upsert (last per key) + sort + row limit
+    "a67_upsert_limit" -> ((s, dir) =>
+      Views.compile(t(s, dir, "events"), ViewConfig(
+        index = Some((Seq("user_id"), "event_id")),
+        sort = Seq(("value", false), ("user_id", true)),
+        limit = Some(50)))),
+
+    // ---- A9: tumbling time-bucket aggregation
+    "a9_time_bucket" -> ((s, dir) =>
+      Views.timeBucket(t(s, dir, "events"), "ts", "1 hour", Seq("event_type"),
+        Seq(count(lit(1)).as("n"), sum(col("value")).as("sum_value")))),
+
+    // ---- A8: multi-way join + aggregate (full SQL surface; dim broadcast)
+    "j1_join_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ---- as-of join: latest order at-or-before each event
+    "j2_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val od = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max_by(struct(col("o_orderkey"), col("o_totalprice")), col("o_orderkey")).as("_o"))
+        .select(col("o_custkey"), col("o_orderdate"), col("_o.o_orderkey"), col("_o.o_totalprice"))
+      AsofJoin.asofBackward(ev, od, "user_id", "o_custkey", "ts", "o_orderdate")
+    }),
+
+    // ---- ranking window: top-3 orders by totalprice per priority
+    "w1_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x2_unroll_roundtrip" ->
+      "SELECT event_id, user_id, value FROM events",
+
+    "x5_serde_roundtrip" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+
+    "x6_psp_flatten" ->
+      """SELECT o_orderkey, o_custkey AS meta_o_custkey, o_totalprice AS meta_o_totalprice,
+        |       o_orderpriority AS tags_p
+        |FROM orders""".stripMargin,
+
+    "x8_index_rename" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS line_no, l_quantity,
+        |       'graft' AS src,
+        |       CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS idx
+        |FROM lineitem""".stripMargin,
+
+    "a2_pivot" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F_sum_qty,
+        |  count(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F_cnt,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O_sum_qty,
+        |  count(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O_cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "a45_view_filter_expr" ->
+      """SELECT l_returnflag, sum(revenue) AS sum_rev, count(revenue) AS n
+        |FROM (SELECT l_returnflag, l_extendedprice * (1 - l_discount) AS revenue
+        |      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00')
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "a67_upsert_limit" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1
+        |ORDER BY value DESC NULLS LAST, user_id ASC NULLS FIRST LIMIT 50""".stripMargin,
+
+    "a9_time_bucket" ->
+      """SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+        |       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket
+        |FROM events GROUP BY event_type, bucket""".stripMargin,
+
+    "j1_join_agg" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "j2_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+        |              max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |       FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |       o.o_custkey, o.o_orderdate, o.o_orderkey, o.o_totalprice
+        |FROM ev e ASOF LEFT JOIN od o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "w1_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |         o_orderpriority,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM orders) WHERE rank <= 3""".stripMargin
+  )
+}
