@@ -129,11 +129,19 @@ final class ChannelGraph(val specs: Map[String, ChannelSpec]) {
     }
     deps.keys.foreach(visit(_, Nil))
 
+    def empty(name: String): DataFrame =
+      org.apache.spark.sql.SparkSession.active.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), spec(name).schema)
+
     def resolve(name: String): DataFrame = resolved.getOrElseUpdate(
       name, {
         val fromProviders = providers.getOrElse(name, Nil).map(_.apply()).toSeq
         val fromTransforms = transforms.filter(_._2 == name).map {
-          case (ins, _, fn) => fn(ins.map(resolve))
+          // A declared feedback input resolves to an empty frame at
+          // build time (csp feedback = initially-empty delayed edge;
+          // the streaming runtime does the actual one-batch loop-back).
+          case (ins, _, fn) =>
+            fn(ins.map(i => if (feedbacks.contains(i)) empty(i) else resolve(i)))
         }.toSeq
         val all = fromProviders ++ fromTransforms
         if (all.isEmpty) {

@@ -1,0 +1,154 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.state.QueryTranslator
+import graft.streaming.{ChannelRuntime, EngineLog}
+
+/** REST query surface over a running [[ChannelRuntime]] — the
+  * reference's FastAPI routes re-expressed on the JDK http server
+  * (zero-dependency; SURVEY.md §3.1/§3.3 response semantics):
+  *
+  *   GET  /api/v1/last/{channel}            → [row] | []
+  *   GET  /api/v1/next/{channel}            → [row] (blocks for next tick)
+  *   GET  /api/v1/state/{channel}?query=…   → [rows] (filters + NULLS FIRST order)
+  *   POST /api/v1/send/{channel}            → echo of validated rows
+  *   GET  /api/v1/lookup/{channel}/{id}     → row | 404
+  *
+  * Status mapping mirrors the reference routes: unknown channel → 404,
+  * validation failure on send → 422, state-query execution errors are
+  * swallowed to `[]` (reference state.py:614-622). Optional per-identity
+  * row filtering (X13, auth_filter.py): a configured field must equal
+  * the identity's value on every row served or accepted.
+  */
+final class Gateway(
+    runtime: ChannelRuntime,
+    port: Int = 0,
+    /** X13: channel -> field that must equal the caller identity
+      * (header `x-identity`) on reads and writes. */
+    authFilterFields: Map[String, String] = Map.empty) {
+
+  private val mapper = new ObjectMapper()
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def rowsJson(name: String, rows: Seq[org.apache.spark.sql.Row]): String = {
+    val schema = runtime.runtimeSchema(runtime.specs(name))
+    val arr = mapper.createArrayNode()
+    rows.foreach(r => arr.add(EngineLog.rowToJson(mapper, r, schema)))
+    mapper.writeValueAsString(arr)
+  }
+
+  /** X13 row-level security: keep only rows owned by the identity. */
+  private def identityFilter(
+      name: String, identity: Option[String],
+      rows: Seq[org.apache.spark.sql.Row]): Seq[org.apache.spark.sql.Row] =
+    (authFilterFields.get(name), identity) match {
+      case (Some(field), Some(id)) =>
+        val schema = runtime.runtimeSchema(runtime.specs(name))
+        val i = schema.fieldNames.indexOf(field)
+        if (i < 0) rows else rows.filter(r => !r.isNullAt(i) && String.valueOf(r.get(i)) == id)
+      case (Some(_), None) => Nil // auth-filtered channel, anonymous caller
+      case _ => rows
+    }
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val path = ex.getRequestURI.getPath.stripPrefix("/api/v1/")
+      val parts = path.split("/").toList
+      val identity = Option(ex.getRequestHeaders.getFirst("x-identity"))
+      parts match {
+        case "last" :: name :: Nil if known(name) =>
+          respond(ex, 200, rowsJson(name, identityFilter(name, identity, runtime.last(name).toSeq)))
+        case "next" :: name :: Nil if known(name) =>
+          val r = runtime.awaitNext(name, 30.seconds)
+          respond(ex, 200, rowsJson(name, identityFilter(name, identity, r.toSeq)))
+        case "state" :: name :: Nil if known(name) =>
+          val q = queryParam(ex).map(QueryTranslator.parseJson)
+            .getOrElse(graft.state.StateQuery())
+          val rows =
+            try runtime.state(name, q)
+            catch { case NonFatal(_) => Nil } // reference: errors → []
+          respond(ex, 200, rowsJson(name, identityFilter(name, identity, rows)))
+        case "lookup" :: name :: id :: Nil if known(name) =>
+          identityFilter(name, identity, runtime.lookup(name, id).toSeq) match {
+            case Seq(row) =>
+              val schema = runtime.runtimeSchema(runtime.specs(name))
+              respond(ex, 200, mapper.writeValueAsString(EngineLog.rowToJson(mapper, row, schema)))
+            case _ => respond(ex, 404, """{"detail":"id not found"}""")
+          }
+        case "send" :: name :: Nil if known(name) && ex.getRequestMethod == "POST" =>
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val node = mapper.readTree(body)
+          val objs: Seq[JsonNode] =
+            if (node.isArray) node.elements().asScala.toSeq else Seq(node)
+          val maps = objs.map(jsonToMap)
+          // X13 write validation: rows must carry the caller's identity
+          authFilterFields.get(name).foreach { field =>
+            identity match {
+              case Some(id) if maps.forall(m => m.get(field).forall(v => String.valueOf(v) == id)) => ()
+              case _ => throw new IllegalArgumentException(s"identity mismatch on '$field'")
+            }
+          }
+          try {
+            val rows = runtime.send(name, maps)
+            respond(ex, 200, rowsJson(name, rows))
+          } catch {
+            case e: IllegalArgumentException =>
+              respond(ex, 422, s"""{"detail":${mapper.writeValueAsString(e.getMessage)}}""")
+          }
+        case _ => respond(ex, 404, """{"detail":"Not Found"}""")
+      }
+    } catch {
+      case e: IllegalArgumentException =>
+        respond(ex, 422, s"""{"detail":${mapper.writeValueAsString(e.getMessage)}}""")
+      case NonFatal(e) =>
+        respond(ex, 500, s"""{"detail":${mapper.writeValueAsString(String.valueOf(e.getMessage))}}""")
+    }
+
+  private def known(name: String): Boolean = runtime.specs.contains(name)
+
+  private def queryParam(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestURI.getRawQuery).flatMap(_.split("&").collectFirst {
+      case kv if kv.startsWith("query=") =>
+        java.net.URLDecoder.decode(kv.stripPrefix("query="), "UTF-8")
+    })
+
+  private def jsonToMap(node: JsonNode): Map[String, Any] =
+    node.properties().asScala.map { e =>
+      val v = e.getValue
+      val value: Any =
+        if (v.isNull) null
+        else if (v.isIntegralNumber) v.asLong()
+        else if (v.isFloatingPointNumber) v.asDouble()
+        else if (v.isBoolean) v.asBoolean()
+        else v.asText()
+      e.getKey -> value
+    }.toMap
+
+  def start(): Gateway = {
+    server.createContext("/api/v1", (ex: HttpExchange) => handle(ex))
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+}

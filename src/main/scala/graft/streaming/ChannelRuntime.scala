@@ -1,0 +1,260 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, Future, Promise}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+
+import graft.core.ChannelSpec
+import graft.state.{StateOps, StateQuery, QueryTranslator}
+
+/** The live gateway engine: Structured Streaming channels + the
+  * request/serving surface (`send` / `last` / `next` / `state` /
+  * `lookup`) of the reference gateway (SURVEY.md §2.3, §3).
+  *
+  * Execution model mapping (reference csp engine → Spark):
+  *  - a channel's tick stream = a `MemoryStream[Row]` (push ingress:
+  *    REST send / initializer / replay) consumed by ONE streaming query
+  *    per channel; an engine cycle = a micro-batch;
+  *  - csp's total tick order = the explicit `_seq` column assigned by
+  *    the single-writer [[send]] path (SURVEY.md §7.5.3) — load-bearing
+  *    for last/state determinism;
+  *  - the `State[T]` accumulator (T1) = per-batch upsert of
+  *    last-row-per-key into a serving snapshot; queries (T2/T3) build a
+  *    DataFrame over the snapshot and reuse the batch
+  *    [[graft.state.StateOps]] path, so streaming and batch answers
+  *    share one translator and one set of semantics;
+  *  - `next` futures (T6) = promises resolved on the next micro-batch
+  *    containing rows for the channel (reference
+  *    futures/adapter.py:68-96 incl. shutdown resolution with None);
+  *  - feedback edges (T8) = foreachBatch re-injection into the target
+  *    channel's MemoryStream, one micro-batch delay (reference
+  *    channels.py:474-545 one-cycle feedback delay).
+  *
+  * Scale note: the serving maps (last/lookup/state) hold only the
+  * *distinct-key frontier*, not history — the same bound as the
+  * reference's DuckDB state tables. On a cluster the foreachBatch
+  * upsert would target a keyed external store (or Delta) instead of
+  * driver memory; everything upstream of the sink is ordinary
+  * distributed streaming and is unaffected by that swap.
+  */
+final class ChannelRuntime(
+    val spark: SparkSession,
+    val specs: Map[String, ChannelSpec],
+    checkpointDir: String = java.nio.file.Files.createTempDirectory("graft-ckpt").toString) {
+
+  import ChannelRuntime._
+
+  private val seqGen = new AtomicLong(0L)
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  /** Engine-side schema = declared schema + the arrival-order column. */
+  def runtimeSchema(spec: ChannelSpec): StructType =
+    StructType(spec.schema.fields :+ StructField(SeqCol, LongType, nullable = false))
+
+  private final class Chan(val spec: ChannelSpec) {
+    val schema: StructType = runtimeSchema(spec)
+    val stream: MemoryStream[Row] = MemoryStream[Row](Encoders.row(schema), sqlCtx)
+    @volatile var lastRow: Option[Row] = None
+    val lookupMap = new TrieMap[String, Row]
+    val stateStore = new TrieMap[Seq[Any], Row]
+    val nextWaiters = new ConcurrentLinkedQueue[Promise[Option[Row]]]
+    @volatile var query: StreamingQuery = _
+    @volatile var tickCount: Long = 0L
+  }
+
+  private val chans: Map[String, Chan] =
+    specs.map { case (n, s) => n -> new Chan(s) }
+
+  /** Batch listeners: engine-log encoders, feedback edges, user sinks.
+    * Called on the driver per (channel, micro-batch of rows in seq
+    * order).
+    */
+  private val listeners =
+    mutable.Buffer.empty[(String, Seq[Row]) => Unit]
+
+  def addListener(f: (String, Seq[Row]) => Unit): Unit = listeners += f
+
+  /** Feedback edge (T8): rows of `from` re-injected into `to` on the
+    * next micro-batch (one-cycle delay), optionally transformed.
+    */
+  def addFeedback(from: String, to: String)(f: Row => Option[Row]): Unit =
+    addListener { (ch, rows) =>
+      if (ch == from) {
+        val out = rows.flatMap(r => f(r))
+        if (out.nonEmpty) sendRows(to, out)
+      }
+    }
+
+  private def chan(name: String): Chan =
+    chans.getOrElse(name, throw new NoSuchElementException(s"Unknown channel '$name'"))
+
+  /** Start one streaming query per channel. */
+  def start(): Unit = chans.foreach { case (name, c) =>
+    val idIdx = c.schema.fieldNames.indexOf(IdCol)
+    val keyIdxs = c.spec.stateKeyby.map(k => c.schema.fieldNames.indexOf(k))
+    val seqIdx = c.schema.fieldNames.indexOf(SeqCol)
+    c.query = c.stream.toDF().writeStream
+      .queryName(s"graft_$name")
+      .option("checkpointLocation", s"$checkpointDir/$name")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        // One engine cycle: rows in arrival order (seq assigned at send).
+        val rows = df.sort(col(SeqCol)).collectAsList().asScala.toSeq
+        if (rows.nonEmpty) {
+          c.lastRow = Some(rows.last)
+          c.tickCount += rows.length
+          if (idIdx >= 0)
+            rows.foreach(r => if (!r.isNullAt(idIdx)) c.lookupMap.put(String.valueOf(r.get(idIdx)), r))
+          if (keyIdxs.nonEmpty)
+            rows.foreach { r =>
+              val key = keyIdxs.map(i => if (i >= 0 && !r.isNullAt(i)) r.get(i) else null)
+              c.stateStore.put(key, r)
+            }
+          var p = c.nextWaiters.poll()
+          while (p != null) { p.trySuccess(Some(rows.head)); p = c.nextWaiters.poll() }
+          listeners.foreach(l => l(name, rows))
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Block until every in-flight tick has been processed. */
+  def processAllAvailable(): Unit =
+    chans.values.foreach(c => if (c.query != null) c.query.processAllAvailable())
+
+  /** Stop all queries; dangling `next` futures resolve with None
+    * (reference futures/adapter.py:90-93 shutdown semantics).
+    */
+  def stop(): Unit = {
+    chans.values.foreach { c =>
+      var p = c.nextWaiters.poll()
+      while (p != null) { p.trySuccess(None); p = c.nextWaiters.poll() }
+      if (c.query != null) c.query.stop()
+    }
+  }
+
+  // ---- write path (S5/S6/S7) -------------------------------------------
+
+  /** Validate + ingest rows: values coerced against the declared
+    * schema (missing nullable fields → null; `id`/`timestamp` system
+    * fields auto-assigned when absent, reference base.py:61-65), a
+    * monotonic `_seq` appended (single-writer order). Returns the
+    * validated rows as ingested.
+    */
+  def send(name: String, values: Seq[Map[String, Any]]): Seq[Row] = {
+    val c = chan(name)
+    val rows = values.map { m =>
+      val unknown = m.keySet.diff(c.spec.schema.fieldNames.toSet)
+      if (unknown.nonEmpty)
+        throw new IllegalArgumentException(s"Unknown fields $unknown for channel '$name'")
+      val vals = c.spec.schema.fields.map { f =>
+        m.get(f.name) match {
+          case Some(v) => coerce(v, f.dataType, f.name)
+          case None =>
+            f.name match {
+              case IdCol if f.dataType == StringType => graft.core.IdGen.global.next()
+              case TsCol if f.dataType == TimestampType =>
+                new java.sql.Timestamp(System.currentTimeMillis())
+              case _ if f.nullable => null
+              case _ => throw new IllegalArgumentException(
+                s"Missing required field '${f.name}' for channel '$name'")
+            }
+        }
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        (vals.toSeq :+ seqGen.incrementAndGet()).toArray, c.schema): Row
+    }
+    c.stream.addData(rows)
+    rows
+  }
+
+  private def sendRows(name: String, rows: Seq[Row]): Unit = {
+    val c = chan(name)
+    val reseq = rows.map(r => Row.fromSeq(r.toSeq.dropRight(1) :+ seqGen.incrementAndGet()))
+    c.stream.addData(reseq)
+  }
+
+  // ---- read path (T2/T3/T5/T6/T7) --------------------------------------
+
+  /** T5 — most recent tick (None if never ticked). */
+  def last(name: String): Option[Row] = chan(name).lastRow
+
+  /** T5 basket variant — last per basket key. */
+  def lastByBasketKey(name: String): Map[Any, Row] = {
+    val c = chan(name)
+    c.spec.basketKey match {
+      case Some(k) =>
+        val i = c.schema.fieldNames.indexOf(k)
+        c.stateStore.toMap.map { case (_, r) => r.get(i) -> r } // keyed store holds frontier
+      case None => Map.empty
+    }
+  }
+
+  /** T6 — future resolved by the channel's next tick (None at
+    * shutdown). Await with `Await.result(rt.next("ch"), timeout)`.
+    */
+  def next(name: String): Future[Option[Row]] = {
+    val p = Promise[Option[Row]]()
+    chan(name).nextWaiters.add(p)
+    p.future
+  }
+
+  /** T6, blocking convenience. */
+  def awaitNext(name: String, timeout: Duration): Option[Row] =
+    Await.result(next(name), timeout)
+
+  /** T7 — O(1) lookup by id (reference struct registry). */
+  def lookup(name: String, id: String): Option[Row] = chan(name).lookupMap.get(id)
+
+  /** Current accumulated state (T1 result) as a DataFrame. */
+  def stateFrame(name: String): DataFrame = {
+    val c = chan(name)
+    require(c.spec.stateKeyby.nonEmpty, s"Channel '$name' has no state keyby")
+    spark.createDataFrame(c.stateStore.values.toSeq.asJava, c.schema)
+  }
+
+  /** T2/T3 — state query: filters + ASC NULLS FIRST key ordering,
+    * exactly the batch StateOps semantics (shared translator).
+    */
+  def state(name: String, q: StateQuery = StateQuery()): Seq[Row] = {
+    val c = chan(name)
+    StateOps.query(stateFrame(name), c.spec.stateKeyby, q, tieBreak = Seq(SeqCol))
+      .collect().toSeq
+  }
+
+  def tickCount(name: String): Long = chan(name).tickCount
+}
+
+object ChannelRuntime {
+  val SeqCol = "_seq"
+  val IdCol = "id"
+  val TsCol = "timestamp"
+
+  /** Lenient value coercion at the ingress boundary (pydantic-validate
+    * analogue): numbers widen, ISO strings parse to timestamps;
+    * anything else must already match.
+    */
+  def coerce(v: Any, dt: org.apache.spark.sql.types.DataType, field: String): Any = (v, dt) match {
+    case (null, _) => null
+    case (x: Int, LongType) => x.toLong
+    case (x: Int, org.apache.spark.sql.types.DoubleType) => x.toDouble
+    case (x: Long, org.apache.spark.sql.types.DoubleType) => x.toDouble
+    case (x: java.math.BigDecimal, org.apache.spark.sql.types.DoubleType) => x.doubleValue()
+    case (x: String, TimestampType) =>
+      java.sql.Timestamp.from(java.time.OffsetDateTime.parse(x).toInstant)
+    case (x: java.sql.Timestamp, TimestampType) => x
+    case (x, _) => x
+  }
+}

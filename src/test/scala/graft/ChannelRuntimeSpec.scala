@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.ChannelSpec
+import graft.state.{FilterBy, StateFilter, StateQuery}
+import graft.streaming.{ChannelRuntime, EngineLog}
+
+/** End-to-end streaming gateway tests, mirroring the reference's
+  * GatewayTestHarness flow: send events into the graph, let micro-
+  * batches process, assert last/next/state/lookup and the engine-log
+  * encode/replay roundtrip.
+  */
+class ChannelRuntimeSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+
+  private val exampleSchema = StructType(Seq(
+    StructField("id", StringType),
+    StructField("timestamp", TimestampType),
+    StructField("x", LongType),
+    StructField("y", StringType)))
+
+  private def newRuntime(): ChannelRuntime = {
+    val specs = Map(
+      "example" -> ChannelSpec("example", exampleSchema, stateKeyby = Seq("y")),
+      "basket" -> ChannelSpec("basket", exampleSchema, basketKey = Some("y"),
+        stateKeyby = Seq("y")),
+      "out" -> ChannelSpec("out", exampleSchema))
+    new ChannelRuntime(spark, specs,
+      Files.createTempDirectory("graft-test-ckpt").toString)
+  }
+
+  test("send assigns system fields and state accumulates last-per-key") {
+    val rt = newRuntime()
+    rt.start()
+    try {
+      val sent = rt.send("example", Seq(
+        Map("x" -> 1L, "y" -> "a"), Map("x" -> 2L, "y" -> "b"), Map("x" -> 3L, "y" -> "a")))
+      assert(sent.forall(r => r.getAs[String]("id") != null))
+      rt.processAllAvailable()
+
+      assert(rt.last("example").map(_.getAs[Long]("x")) === Some(3L))
+      assert(rt.tickCount("example") === 3L)
+
+      val st = rt.state("example")
+      assert(st.map(r => (r.getAs[String]("y"), r.getAs[Long]("x"))) === Seq("a" -> 3L, "b" -> 2L))
+
+      val filtered = rt.state("example",
+        StateQuery(Seq(StateFilter("x", FilterBy.Value(2), "<="))))
+      assert(filtered.map(_.getAs[String]("y")) === Seq("b"))
+
+      val id = sent.head.getAs[String]("id")
+      assert(rt.lookup("example", id).map(_.getAs[Long]("x")) === Some(1L))
+      assert(rt.lookup("example", "nope").isEmpty)
+    } finally rt.stop()
+  }
+
+  test("send validation: unknown fields and missing required fields rejected") {
+    val rt = newRuntime()
+    intercept[IllegalArgumentException] {
+      rt.send("example", Seq(Map("ghost" -> 1)))
+    }
+    intercept[NoSuchElementException] { rt.send("ghost_channel", Seq(Map.empty)) }
+  }
+
+  test("next future resolves on the following tick; None at shutdown") {
+    val rt = newRuntime()
+    rt.start()
+    try {
+      val fut = rt.next("example")
+      rt.send("example", Seq(Map("x" -> 42L, "y" -> "z")))
+      rt.processAllAvailable()
+      val row = scala.concurrent.Await.result(fut, 10.seconds)
+      assert(row.map(_.getAs[Long]("x")) === Some(42L))
+      val dangling = rt.next("example")
+      rt.stop()
+      assert(scala.concurrent.Await.result(dangling, 10.seconds).isEmpty)
+    } finally rt.stop()
+  }
+
+  test("basket: last per basket key") {
+    val rt = newRuntime()
+    rt.start()
+    try {
+      rt.send("basket", Seq(
+        Map("x" -> 1L, "y" -> "k1"), Map("x" -> 2L, "y" -> "k2"), Map("x" -> 9L, "y" -> "k1")))
+      rt.processAllAvailable()
+      val byKey = rt.lastByBasketKey("basket")
+      assert(byKey("k1").getAs[Long]("x") === 9L)
+      assert(byKey("k2").getAs[Long]("x") === 2L)
+    } finally rt.stop()
+  }
+
+  test("feedback edge re-injects with one-batch delay (T8)") {
+    val rt = newRuntime()
+    rt.addFeedback("example", "out") { r =>
+      if (r.getAs[Long]("x") < 3) Some(org.apache.spark.sql.Row(
+        r.get(0), r.get(1), r.getAs[Long]("x") + 1, r.get(3), 0L))
+      else None
+    }
+    rt.addFeedback("out", "example")(r => Some(r)) // cycle: out -> example
+    rt.start()
+    try {
+      rt.send("example", Seq(Map("x" -> 1L, "y" -> "fb")))
+      // loop: 1 -> out(2) -> example(2) -> out(3) -> example(3) -> stop
+      var tries = 0
+      while (rt.tickCount("example") < 3 && tries < 100) {
+        rt.processAllAvailable(); Thread.sleep(20); tries += 1
+      }
+      assert(rt.last("example").map(_.getAs[Long]("x")) === Some(3L))
+    } finally rt.stop()
+  }
+
+  test("engine log: encode cycles, demux with SQL, replay into fresh runtime") {
+    val rt = newRuntime()
+    val log = Files.createTempFile("graft", ".jsonl").toString
+    new java.io.File(log).delete()
+    val writer = new EngineLog.Writer(log, rt)
+    rt.start()
+    try {
+      rt.send("example", Seq(Map("x" -> 1L, "y" -> "a",
+        "timestamp" -> "2020-01-01T00:00:00Z")))
+      rt.processAllAvailable(); writer.flushCycle()
+      rt.send("example", Seq(Map("x" -> 2L, "y" -> "b",
+        "timestamp" -> "2020-01-01T00:01:00Z")))
+      rt.processAllAvailable(); writer.flushCycle()
+      writer.close()
+    } finally rt.stop()
+
+    // T11 demux via typed read
+    val demuxed = EngineLog.demux(spark, log, "example",
+      StructType(exampleSchema.fields :+ StructField("_seq", LongType)))
+    assert(demuxed.collect().map(_.getAs[Long]("x")).sorted.toSeq === Seq(1L, 2L))
+
+    // A8: full SQL over the log
+    assert(EngineLog.readLog(spark, log).count() === 2)
+
+    // replay into a fresh runtime with forced new ids (X11)
+    val rt2 = newRuntime()
+    rt2.start()
+    try {
+      val n = EngineLog.replay(rt2, log, Seq("example"), forceNewIds = true)
+      assert(n === 2)
+      rt2.processAllAvailable()
+      assert(rt2.tickCount("example") === 2)
+      assert(rt2.state("example").map(_.getAs[Long]("x")).toSet === Set(1L, 2L))
+    } finally rt2.stop()
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.ChannelSpec
+import graft.server.Gateway
+import graft.streaming.ChannelRuntime
+
+/** REST surface tests mirroring the reference's webserver e2e suite
+  * (tests/server/web/test_webserver.py): send single + list, last,
+  * state with filter query, lookup, 404/422 rules, identity filter.
+  */
+class GatewaySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val http = HttpClient.newHttpClient()
+
+  private val schema = StructType(Seq(
+    StructField("id", StringType),
+    StructField("timestamp", TimestampType),
+    StructField("x", LongType),
+    StructField("owner", StringType)))
+
+  private def withGateway(auth: Map[String, String] = Map.empty)(
+      f: (String, ChannelRuntime) => Unit): Unit = {
+    val rt = new ChannelRuntime(spark,
+      Map("example" -> ChannelSpec("example", schema, stateKeyby = Seq("owner"))),
+      Files.createTempDirectory("graft-gw-ckpt").toString)
+    rt.start()
+    val gw = new Gateway(rt, 0, auth).start()
+    try f(s"http://127.0.0.1:${gw.boundPort}/api/v1", rt)
+    finally { gw.stop(); rt.stop() }
+  }
+
+  private def get(url: String, headers: Map[String, String] = Map.empty): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def post(url: String, body: String,
+      headers: Map[String, String] = Map.empty): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("send single + list, last, state query, lookup") {
+    withGateway() { (base, rt) =>
+      val r1 = post(s"$base/send/example", """{"x": 1, "owner": "alice"}""")
+      assert(r1.statusCode() === 200)
+      val id = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(r1.body()).get(0).get("id").asText()
+
+      val r2 = post(s"$base/send/example",
+        """[{"x": 2, "owner": "bob"}, {"x": 3, "owner": "alice"}]""")
+      assert(r2.statusCode() === 200)
+      rt.processAllAvailable()
+
+      val last = get(s"$base/last/example")
+      assert(last.body().contains("\"x\":3"))
+
+      val state = get(s"$base/state/example")
+      assert(state.body().contains("alice") && state.body().contains("bob"))
+
+      val q = java.net.URLEncoder.encode(
+        """{"filters":[{"attr":"x","by":{"value":2},"where":"<="}]}""", "UTF-8")
+      val filtered = get(s"$base/state/example?query=$q")
+      assert(filtered.body().contains("bob") && !filtered.body().contains("alice"))
+
+      val look = get(s"$base/lookup/example/$id")
+      assert(look.statusCode() === 200 && look.body().contains("\"x\":1"))
+      assert(get(s"$base/lookup/example/zzz").statusCode() === 404)
+    }
+  }
+
+  test("404 unknown channel, 422 bad payload") {
+    withGateway() { (base, _) =>
+      assert(get(s"$base/last/ghost").statusCode() === 404)
+      assert(post(s"$base/send/ghost", "{}").statusCode() === 404)
+      assert(post(s"$base/send/example", """{"ghost_field": 1}""").statusCode() === 422)
+    }
+  }
+
+  test("identity row filter (X13): reads filtered, writes validated") {
+    withGateway(Map("example" -> "owner")) { (base, rt) =>
+      assert(post(s"$base/send/example", """{"x":1,"owner":"alice"}""",
+        Map("x-identity" -> "alice")).statusCode() === 200)
+      // bob cannot write alice's rows
+      assert(post(s"$base/send/example", """{"x":2,"owner":"alice"}""",
+        Map("x-identity" -> "bob")).statusCode() === 422)
+      rt.processAllAvailable()
+      // alice sees her row; bob sees nothing; anonymous sees nothing
+      assert(get(s"$base/state/example", Map("x-identity" -> "alice")).body().contains("alice"))
+      assert(get(s"$base/state/example", Map("x-identity" -> "bob")).body() === "[]")
+      assert(get(s"$base/state/example").body() === "[]")
+    }
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.pipeline.{Dedup, Similarity}
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per distinct text") {
+    val groups = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    assert(groups.length === 3)
+    val dup = groups.find(_.getAs[Long]("n_dups") == 2L).get
+    assert(dup.getAs[Long]("keep_id") === 1L)
+    assert(Dedup.exactDedup(docs, "text", "doc_id").collect().length === 3)
+  }
+
+  test("shingles produce distinct word n-grams; short texts empty") {
+    val sh = spark.range(1).select(Dedup.shingles(lit("a b c d"), 3).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(sh.toSet === Set("a b c", "b c d"))
+    val short = spark.range(1).select(Dedup.shingles(lit("a b"), 3).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("jaccard pairs find near-dups, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical => jaccard 1
+    assert(pairs.contains((1L, 2L))) // near-dup
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash: identical texts get identical signatures; lsh finds dups") {
+    val sigs = docs.select($"doc_id", Dedup.minhashSignature($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(4L))
+    assert(sigs(1L) !== sigs(3L))
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("simhash: identical => equal, near-dup => small hamming") {
+    val sk = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(1L) === sk(4L))
+    assert(java.lang.Long.bitCount(sk(1L) ^ sk(2L)) <= 6)
+  }
+
+  test("cosine and brute-force top-k") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1), "vec_id", "embedding", 1)
+      .collect()
+    assert(top.length === 1)
+    assert(top.head.getAs[Long]("cid") === 2L)
+  }
+
+  test("sign-LSH bucket is deterministic and groups identical vectors") {
+    val vecs = Seq((1L, Array.fill(64)(0.5f)), (2L, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val bks = vecs.select(Similarity.signLshBucket($"embedding").as("b"))
+      .collect().map(_.getLong(0))
+    assert(bks(0) === bks(1))
+  }
+
+  test("text functions: counts, quality in [0,1], langid, fingerprint stability") {
+    val r = spark.range(1).select(
+      TextFunctions.tokenCount(lit("the cat sat")).as("n"),
+      TextFunctions.qualityScore(lit("the cat sat on the mat")).as("q"),
+      TextFunctions.langId(lit("the cat is in the house of it")).as("l"),
+      TextFunctions.fingerprint(lit("abcdefghijklmnop")).as("f1"),
+      TextFunctions.fingerprint(lit("abcdefghijklmnop")).as("f2")).collect().head
+    assert(r.getAs[Int]("n") === 3)
+    val q = r.getAs[Double]("q")
+    assert(q >= 0.0 && q <= 1.0)
+    assert(r.getAs[String]("l") === "en")
+    assert(r.getSeq[Long](3) === r.getSeq[Long](4))
+    assert(r.getSeq[Long](3).nonEmpty)
+  }
+}
