@@ -53,12 +53,11 @@ object PipelineQueries {
   }
 
   /** SimHash SQL over a precomputed token-hash list column `hs`
-    * (mirror of Dedup.simhash).
+    * (mirror of Dedup.simhash: per-bit independent re-hash).
     */
   private def simhashSql(hs: String, bits: Int = 32): String =
     (0 until bits).map { b =>
-      val mask = 1L << b
-      s"CASE WHEN 2*len(list_filter($hs, h -> (h & $mask) <> 0)) > len($hs) THEN $mask ELSE 0 END"
+      s"CASE WHEN 2*len(list_filter($hs, h -> ((h * ${2L * b + 3}) % $P) & 1 = 1)) > len($hs) THEN ${1L << b} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
   // ---- queries ----------------------------------------------------------
@@ -83,9 +82,9 @@ object PipelineQueries {
       t(s, dir, "documents").select(col("doc_id"),
         Dedup.simhash(col("text")).as("simhash"))),
 
-    // ---- SimHash near-dup pairs (byte-block candidates, Hamming<=3)
+    // ---- SimHash near-dup pairs (16-bit-block candidates, Hamming<=2)
     "d4_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2)),
 
     // ---- embedding-cosine near-dup pairs (exact; LSH path in s2)
     "d5_embed_neardup" -> ((s, dir) =>
@@ -154,11 +153,12 @@ object PipelineQueries {
 
     "d2_ngram_jaccard" ->
       s"""WITH $shingleCtes,
-         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
-         |idx AS (SELECT doc_id, sh.s FROM sh JOIN rare USING (s)),
+         |shh AS (SELECT DISTINCT doc_id, ${phSql("s")} AS sh FROM sh),
+         |rare AS (SELECT sh FROM shh GROUP BY sh HAVING count(*) <= 100),
+         |idx AS (SELECT doc_id, shh.sh FROM shh JOIN rare USING (sh)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id),
          |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
-         |          FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+         |          FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
          |j AS (SELECT id1, id2, i*1.0/(s1.n + s2.n - i) AS jaccard
          |      FROM pairs JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id)
          |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin,
@@ -185,15 +185,15 @@ object PipelineQueries {
     "d4_simhash_pairs" ->
       s"""WITH th AS (SELECT doc_id, [${phSql("t")} for t in string_split(text,' ')] AS hs
          |            FROM documents),
-         |sk AS (SELECT doc_id, ${simhashSql("hs")} AS sh FROM th),
-         |blocks AS (${(0 until 4).map(k =>
-             s"SELECT doc_id, sh, $k AS blk, sh & ${255L << (8 * k)} AS bv FROM sk")
+         |sk AS (SELECT doc_id, ${simhashSql("hs", 48)} AS sh FROM th),
+         |blocks AS (${(0 until 3).map(k =>
+             s"SELECT doc_id, sh, $k AS blk, sh & ${65535L << (16 * k)} AS bv FROM sk")
              .mkString(" UNION ALL ")}),
          |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sh AS h1, b.sh AS h2
          |         FROM blocks a JOIN blocks b
          |           ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id),
          |hd AS (SELECT id1, id2, bit_count(xor(h1, h2)) AS hamming FROM cand)
-         |SELECT id1, id2, hamming FROM hd WHERE hamming <= 3""".stripMargin,
+         |SELECT id1, id2, hamming FROM hd WHERE hamming <= 2""".stripMargin,
 
     "d5_embed_neardup" ->
       s"""SELECT * FROM (

@@ -1,0 +1,212 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the pipeline hot paths.
+  *
+  * The declarative formulations (split→transform→aggregate chains in
+  * [[TextFunctions]] / [[graft.pipeline.Similarity]]) are semantically
+  * exact but materialize per-character / per-element arrays; these
+  * expressions compute the identical values in one fused loop and
+  * participate in whole-stage codegen (`doGenCode` emits a static
+  * call, so the generated code stays a single JVM method call inside
+  * the produce/consume loop — no UDF boxing, no Catalyst array
+  * allocation).
+  *
+  * Parity contract: bit-for-bit the same results as the declarative
+  * versions AND the DuckDB oracles — same codepoint order, same
+  * left-to-right double accumulation. The correctness gate
+  * (tools/check.py) verifies this every round.
+  */
+object PolyHash {
+  final val P = 1000000007L
+
+  /** h = (h*31 + codepoint) mod P, left to right over codepoints. */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/** `graft_polyhash(str)` — portable polynomial hash, codegen'd. */
+case class PolyHashExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    PolyHash.hash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_polyhash"
+}
+
+object CosineSim {
+  /** Cosine over two equal-length numeric arrays, accumulating in
+    * double, element order — identical to the zip_with/aggregate
+    * formulation and DuckDB's list_dot_product.
+    */
+  def cos(a: ArrayData, b: ArrayData, floatInput: Boolean): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (floatInput) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (floatInput) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** `graft_cosine(vec, vec)` — cosine similarity, codegen'd. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def floatInput: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.cos(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], floatInput)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CosineSim.cos($a, $b, $floatInput)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_cosine"
+}
+
+object MinHashSig {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** MinHash signature over an array of shingle strings: one pass,
+    * hashing each shingle once and updating all `numHashes` minima —
+    * vs the declarative form's numHashes re-traversals. Same values:
+    * sig_j = min over shingles of ((2j+1)*h + 97j+13) mod P.
+    */
+  def sig(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return new GenericArrayData(Array.fill[Any](numHashes)(null))
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = PolyHash.hash(shingles.getUTF8String(i))
+      var j = 0
+      while (j < numHashes) {
+        val v = ((2L * j + 1) * h + 97L * j + 13) % PolyHash.P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** `graft_minhash(shingles, numHashes)` — fused MinHash signature. */
+case class MinHashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.sig(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.sig($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash"
+}
+
+object SimHash {
+  /** SimHash over an array of token strings: one pass, each token
+    * hashed once, bit votes accumulated — vs the declarative form's
+    * `bits` re-traversals.
+    *
+    * Bit b's vote comes from an independent re-hash of the token hash
+    * (`((h*(2b+3)) mod P) & 1`), NOT from raw bit b of h: the base
+    * hash is mod P < 2^30, so raw bits 30+ would be constant zero and
+    * any sketch wider than 30 bits would silently degenerate (all
+    * docs agreeing on the upper bits — catastrophic for block-join
+    * candidate generation).
+    */
+  def simhash(tokens: ArrayData, bits: Int): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = PolyHash.hash(tokens.getUTF8String(i))
+      var b = 0
+      while (b < bits) {
+        if ((((h * (2L * b + 3)) % PolyHash.P) & 1L) == 1L) counts(b) += 1
+        else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** `graft_simhash(tokens, bits)` — fused SimHash sketch. */
+case class SimHashExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SimHash.simhash(input.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.simhash($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash"
+}
+
+object NativeExpressions {
+  /** Column wrappers for direct DataFrame use. */
+  def polyHash(c: Column): Column =
+    ColumnBridge.column(PolyHashExpr(ColumnBridge.expression(c)))
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), numHashes))
+  def simhash(tokens: Column, bits: Int): Column =
+    ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens), bits))
+}
+
+/** SparkSessionExtensions hook: registers the native functions into
+  * the session's FunctionRegistry so they are callable from SQL
+  * (`SELECT graft_polyhash(text) …`). Enable with
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_polyhash"),
+      new ExpressionInfo(classOf[PolyHashExpr].getName, "graft_polyhash"),
+      (exprs: Seq[Expression]) => PolyHashExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))))
+  }
+}

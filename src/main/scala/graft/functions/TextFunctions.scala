@@ -29,8 +29,17 @@ object TextFunctions {
 
   /** Portable polynomial rolling hash of a string:
     * `h = (h*31 + codepoint) mod P`, left to right.
+    * Dispatches to the fused codegen'd [[PolyHashExpr]]; the
+    * declarative formulation below is the SQL-portable reference
+    * semantics (bit-identical — the oracle gate checks it).
     */
-  def polyHash(s: Column): Column =
+  def polyHash(s: Column): Column = NativeExpressions.polyHash(s)
+
+  /** Declarative (pure built-in) polyHash — same values as
+    * [[polyHash]], kept as the portable specification and for engines
+    * without the extension.
+    */
+  def polyHashDeclarative(s: Column): Column =
     aggregate(
       transform(split(s, ""), c => ascii(c).cast("long")),
       lit(0L),

@@ -59,8 +59,13 @@ object Dedup {
     df.join(keep, idCol) // broadcast-able when the dup summary is small
   }
 
-  /** Inverted index (id, shingle) with document-frequency cap —
-    * the candidate generator for [[jaccardPairs]].
+  /** Inverted index (id, shingle-hash) with document-frequency cap —
+    * the candidate generator for [[jaccardPairs]]. Shingles are
+    * hashed to longs BEFORE the index is materialized: the self-join
+    * shuffles and compares 8-byte keys instead of ~20-byte strings
+    * (same result both engines — the oracle hashes identically; hash
+    * collisions are deterministic and astronomically rare vs the
+    * shingle universe).
     */
   def shingleIndex(
       df: DataFrame,
@@ -69,7 +74,8 @@ object Dedup {
       n: Int = 3,
       maxDocFreq: Long = 100): DataFrame = {
     val idx = df
-      .select(col(idCol).as("_id"), explode(shingles(col(textCol), n)).as("_sh"))
+      .select(col(idCol).as("_id"),
+        explode(array_distinct(transform(shingles(col(textCol), n), s => polyHash(s)))).as("_sh"))
     val rare = idx.groupBy("_sh").count().filter(col("count") <= maxDocFreq).drop("count")
     idx.join(rare, "_sh") // drops degenerate hot shingles (skew guard)
   }
@@ -109,9 +115,18 @@ object Dedup {
   def mhB(j: Int): Long = 97L * j + 13
 
   /** MinHash signature (array of `numHashes` minima) over the distinct
-    * word n-gram shingles of a text. One narrow pass, no shuffle.
+    * word n-gram shingles of a text. One narrow pass, no shuffle —
+    * fused native expression (each shingle hashed exactly once; the
+    * declarative variant below re-expands the shingle pipeline per
+    * hash function, numHashes× the work).
     */
-  def minhashSignature(text: Column, n: Int = 3, numHashes: Int = 16): Column = {
+  def minhashSignature(text: Column, n: Int = 3, numHashes: Int = 16): Column =
+    graft.functions.NativeExpressions.minhashSig(shingles(text, n), numHashes)
+
+  /** Declarative minhash — the SQL-portable specification, bit-equal
+    * to [[minhashSignature]] (oracle-checked).
+    */
+  def minhashSignatureDeclarative(text: Column, n: Int = 3, numHashes: Int = 16): Column = {
     val hs = transform(shingles(text, n), s => polyHash(s))
     array((0 until numHashes).map { j =>
       array_min(transform(hs, h => (lit(mhA(j)) * h + lit(mhB(j))) % lit(P)))
@@ -170,37 +185,53 @@ object Dedup {
 
   /** 32-bit SimHash over whitespace tokens (with multiplicity): bit b
     * is set iff more token hashes have bit b set than clear. One
-    * narrow pass; bit tests use literal masks (no variable shifts, so
-    * the same expression runs on any SQL engine).
+    * narrow pass — fused native expression (each token hashed once;
+    * the declarative variant re-scans the hash array per bit).
     */
-  def simhash(text: Column, bits: Int = 32): Column = {
+  def simhash(text: Column, bits: Int = 32): Column =
+    graft.functions.NativeExpressions.simhash(tokens(text), bits)
+
+  /** Declarative simhash — the SQL-portable specification, bit-equal
+    * to [[simhash]] (oracle-checked); literal masks only, no variable
+    * shifts, so it runs on any SQL engine.
+    */
+  def simhashDeclarative(text: Column, bits: Int = 32): Column = {
     val hs = transform(tokens(text), t => polyHash(t))
     val n = size(hs)
     (0 until bits)
       .map { b =>
-        val mask = 1L << b
-        val ones = size(filter(hs, h => (h.bitwiseAND(lit(mask))) =!= lit(0L)))
-        when(ones * lit(2) > n, lit(mask)).otherwise(lit(0L))
+        // independent per-bit re-hash (see SimHash scaladoc)
+        val ones = size(filter(hs, h =>
+          ((h * lit(2L * b + 3)) % lit(P)).bitwiseAND(lit(1L)) === lit(1L)))
+        when(ones * lit(2) > n, lit(1L << b)).otherwise(lit(0L))
       }
       .reduce(_ + _)
   }
 
   /** SimHash near-dup pairs with Hamming distance <= `maxHamming`,
-    * candidates blocked on agreeing 8-bit sub-blocks (any pair within
-    * Hamming 3 of a 32-bit sketch must agree on at least one of the 4
-    * bytes — pigeonhole, as in HmSearch). The block join is again a
-    * bucket equi-join; only (id, 64-bit sketch) shuffles.
+    * candidates blocked on agreeing 16-bit sub-blocks of a 48-bit
+    * sketch (pigeonhole: a pair within Hamming `blocks-1` must agree
+    * on at least one block, as in HmSearch). 16-bit blocks keep
+    * buckets selective even on vocabulary-limited corpora where 8-bit
+    * blocks collide pathologically. The block join is a bucket
+    * equi-join; only (id, sketch) pairs shuffle.
     */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sk = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sh")).cache()
+      maxHamming: Int = 2,
+      bits: Int = 48,
+      blockBits: Int = 16): DataFrame = {
+    val nBlocks = bits / blockBits
+    require(maxHamming < nBlocks, "pigeonhole needs maxHamming < number of blocks")
+    val blockMask = (1L << blockBits) - 1
+    val sk = df.select(col(idCol).as("_id"), simhash(col(textCol), bits).as("_sh")).cache()
     val blocks = sk.select(
       col("_id"), col("_sh"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k).as("blk"), col("_sh").bitwiseAND(lit(255L << (8 * k))).as("bv"))): _*))
+      explode(array((0 until nBlocks).map(k =>
+        struct(lit(k).as("blk"),
+          col("_sh").bitwiseAND(lit(blockMask << (blockBits * k))).as("bv"))): _*))
         .as("_b"))
     blocks.as("a")
       .join(blocks.as("b"),

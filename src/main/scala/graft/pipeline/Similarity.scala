@@ -30,8 +30,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float vectors, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two float vectors, computed in double.
+    * Dispatches to the fused codegen'd
+    * [[graft.functions.CosineSimExpr]] (one loop, no intermediate
+    * arrays); [[cosineDeclarative]] is the SQL-portable specification
+    * — bit-identical accumulation order, checked by the oracle gate.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.NativeExpressions.cosine(a, b)
+
+  /** Declarative (pure built-in) cosine — same values as [[cosine]]. */
+  def cosineDeclarative(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(
         zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),

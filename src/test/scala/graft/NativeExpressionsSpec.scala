@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{NativeExpressions, TextFunctions}
+import graft.pipeline.Similarity
+
+/** Parity tests: the fused codegen expressions must be bit-identical
+  * to their declarative (built-in-composed) specifications.
+  */
+class NativeExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("polyhash: native == declarative on varied strings, null-safe") {
+    val df = Seq("", "a", "abc", "the quick brown fox", "x y z 123 !?", null)
+      .toDF("s")
+    val r = df.select(
+      TextFunctions.polyHash($"s").as("native"),
+      TextFunctions.polyHashDeclarative($"s").as("decl")).collect()
+    r.foreach { row =>
+      assert(row.isNullAt(0) === row.isNullAt(1))
+      if (!row.isNullAt(0)) assert(row.getLong(0) === row.getLong(1))
+    }
+  }
+
+  test("cosine: native == declarative bitwise on float vectors") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.0f, 2.0f)),
+      (Array(0.1f, 0.0f, -0.3f), Array(0.9f, 0.2f, 0.4f))
+    ).toDF("a", "b")
+    df.select(
+      Similarity.cosine($"a", $"b").as("n"),
+      Similarity.cosineDeclarative($"a", $"b").as("d"))
+      .collect().foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("minhash + simhash: native == declarative on real corpus") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val r = docs.select(
+      graft.pipeline.Dedup.minhashSignature($"text").as("mn"),
+      graft.pipeline.Dedup.minhashSignatureDeclarative($"text").as("md"),
+      graft.pipeline.Dedup.simhash($"text").as("sn"),
+      graft.pipeline.Dedup.simhashDeclarative($"text").as("sd")).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getSeq[Long](0) === row.getSeq[Long](1))
+      assert(row.getLong(2) === row.getLong(3))
+    }
+  }
+
+  test("expressions registered in SQL via GraftExtensions") {
+    // TestSpark session is built by GraftSession -> extensions active
+    val r = spark.sql("SELECT graft_polyhash('abc') AS h, graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .collect().head
+    assert(r.getLong(0) === ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+    assert(r.getDouble(1) === 1.0)
+  }
+
+  test("whole-stage codegen keeps the expression inline (no UDF fallback)") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val df = docs.select(TextFunctions.polyHash($"text").as("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan) // '*' = inside WholeStageCodegen
+    assert(plan.contains("graft_polyhash"), plan)
+    assert(plan.contains("ReadSchema: struct<text:string>"), plan) // pruned scan
+    assert(df.count() > 0)
+  }
+}
