@@ -95,6 +95,8 @@ final class Gateway(
               respond(ex, 200, mapper.writeValueAsString(EngineLog.rowToJson(mapper, row, schema)))
             case _ => respond(ex, 404, """{"detail":"id not found"}""")
           }
+        case "stream" :: name :: Nil if known(name) =>
+          handleStream(ex, name)
         case "send" :: name :: Nil if known(name) && ex.getRequestMethod == "POST" =>
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           val node = mapper.readTree(body)
@@ -123,6 +125,49 @@ final class Gateway(
       case NonFatal(e) =>
         respond(ex, 500, s"""{"detail":${mapper.writeValueAsString(String.valueOf(e.getMessage))}}""")
     }
+
+  /** K8/K9 — streaming egress: server-sent events, one `data:` frame
+    * per tick (the reference's websocket fanout re-expressed on the
+    * JDK server; frame payload matches `{"channel","data"}` shape,
+    * websocket.py:183-225) plus 1s heartbeat pings (websocket.py:38).
+    * Demand-driven: the listener exists only while the client is
+    * connected. `?max_events=N` closes after N data frames (testing).
+    */
+  private def handleStream(ex: HttpExchange, name: String): Unit = {
+    val maxEvents = Option(ex.getRequestURI.getRawQuery)
+      .flatMap(_.split("&").collectFirst {
+        case kv if kv.startsWith("max_events=") => kv.stripPrefix("max_events=").toLong
+      }).getOrElse(Long.MaxValue)
+    ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+    ex.getResponseHeaders.set("Cache-Control", "no-cache")
+    ex.sendResponseHeaders(200, 0)
+    val os = ex.getResponseBody
+    val queue = new java.util.concurrent.LinkedBlockingQueue[String]
+    val schema = runtime.runtimeSchema(runtime.specs(name))
+    val listener: (String, Seq[org.apache.spark.sql.Row]) => Unit = (ch, rows) =>
+      if (ch == name) rows.foreach { r =>
+        val frame = mapper.createObjectNode()
+        frame.put("channel", name)
+        frame.set[JsonNode]("data", EngineLog.rowToJson(mapper, r, schema))
+        queue.offer(mapper.writeValueAsString(frame))
+      }
+    runtime.addListener(listener)
+    try {
+      var sent = 0L
+      var open = true
+      while (open && sent < maxEvents) {
+        val item = queue.poll(1, java.util.concurrent.TimeUnit.SECONDS)
+        try {
+          if (item == null) os.write(": ping\n\n".getBytes(StandardCharsets.UTF_8)) // K9
+          else { os.write(s"data: $item\n\n".getBytes(StandardCharsets.UTF_8)); sent += 1 }
+          os.flush()
+        } catch { case _: java.io.IOException => open = false }
+      }
+    } finally {
+      runtime.removeListener(listener)
+      ex.close()
+    }
+  }
 
   private def known(name: String): Boolean = runtime.specs.contains(name)
 

@@ -1,0 +1,144 @@
+package graft.sinks
+
+import scala.collection.concurrent.TrieMap
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Transforms, ViewConfig, Views}
+import graft.streaming.ChannelRuntime
+
+/** Egress operators (SURVEY.md §2.2).
+  *
+  * K1 (Kafka publish) and K3 (SQL insert) are transforms + a writer:
+  * the transform halves are pure Catalyst (unit-tested on static
+  * frames); the writers are `foreachBatch`/`jdbc` wiring that needs
+  * live endpoints. K4 (Perspective tables) becomes [[ViewServer]]: a
+  * periodically refreshed, bounded, upserted materialization of view
+  * configs over channel state — which is exactly what the reference's
+  * Arrow/Perspective buffer loop does (perspective.py:491-515).
+  */
+object Sinks {
+
+  /** K1 — Kafka publish serialization: selected columns → one JSON
+    * `value` with optional engine-timestamp envelope (reference
+    * kafka.py:259-283; envelope json_converter.py:45-49).
+    */
+  def toKafkaValue(
+      df: DataFrame,
+      cols: Seq[String],
+      keyCol: Option[String] = None,
+      envelopeTs: Option[String] = None): DataFrame = {
+    val payload = envelopeTs match {
+      case Some(tsCol) => to_json(struct(
+        struct(cols.map(col): _*).as("data"),
+        col(tsCol).as("csp_timestamp")))
+      case None => to_json(struct(cols.map(col): _*))
+    }
+    val base = df.select(payload.as("value"))
+    keyCol.map(k => df.select(col(k).cast("string").as("key"), payload.as("value")))
+      .getOrElse(base)
+  }
+
+  /** K1 — writer wiring (needs a broker at runtime). */
+  def kafkaWriter(df: DataFrame, bootstrapServers: String, topic: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    df.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** K3 — SQL insert sink transform: field selection, renaming,
+    * constant augmentation, nested values JSON-stringified (reference
+    * modules/sql.py:61-185 ChannelSchemaConfig).
+    */
+  def sqlSinkProjection(
+      df: DataFrame,
+      fields: Seq[String],
+      rename: Map[String, String] = Map.empty,
+      augment: Map[String, Any] = Map.empty): DataFrame = {
+    val projected = Transforms.renameAugment(df, fields, rename, augment)
+    // nested struct/array/map columns -> JSON strings (sql.py:141-176)
+    val jsonified = projected.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType => to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    projected.select(jsonified.toSeq: _*)
+  }
+
+  /** K3 — per-batch insert with bounded retry (sql.py retry loop).
+    * The writer function is injected so tests (and JDBC-less builds)
+    * can supply their own terminal write.
+    */
+  def insertWithRetry(batch: DataFrame, retries: Int)(write: DataFrame => Unit): Unit = {
+    var attempt = 0
+    var done = false
+    var lastErr: Throwable = null
+    while (!done && attempt <= retries) {
+      try { write(batch); done = true }
+      catch { case NonFatal(e) => lastErr = e; attempt += 1 }
+    }
+    if (!done) throw lastErr
+  }
+
+  /** K6 — logging sink: log every tick of selected channels
+    * (reference modules/logging/stdlib.py:366-394).
+    */
+  def logChannels(
+      runtime: ChannelRuntime,
+      channels: Seq[String],
+      log: String => Unit = s => println(s)): Unit =
+    runtime.addListener { (ch, rows) =>
+      if (channels.contains(ch)) rows.foreach(r => log(s"[$ch] $r"))
+    }
+}
+
+/** K4 — Perspective-table analogue: named views (group/pivot/agg/
+  * sort/filter/limit/index) maintained over channel state, refreshed
+  * on demand or on an interval, served as row snapshots. `limit`
+  * bounds retention (ring buffer) and `index` upserts by key exactly
+  * like the reference's Perspective tables (perspective.py:149-151,
+  * 210-217).
+  */
+final class ViewServer(runtime: ChannelRuntime) {
+
+  final case class ViewDef(channel: String, config: ViewConfig)
+
+  private val views = new TrieMap[String, ViewDef]
+  private val snapshots = new TrieMap[String, Seq[Row]]
+
+  def define(name: String, channel: String, config: ViewConfig): Unit =
+    views.put(name, ViewDef(channel, config))
+
+  /** Recompute all views from current channel state. */
+  def refresh(): Unit = views.foreach { case (name, vd) =>
+    try {
+      val state = runtime.stateFrame(vd.channel)
+      snapshots.put(name,
+        Views.compile(state, vd.config, seqCol = Some(ChannelRuntime.SeqCol))
+          .collect().toSeq)
+    } catch { case NonFatal(_) => () } // view over never-ticked channel: keep last
+  }
+
+  def snapshot(name: String): Seq[Row] = snapshots.getOrElse(name, Nil)
+
+  /** Periodic refresh thread (reference update_interval, default 2s). */
+  def startPeriodicRefresh(intervalMillis: Long = 2000L): Thread = {
+    val t = new Thread(() => {
+      while (!Thread.currentThread().isInterrupted) {
+        refresh()
+        try Thread.sleep(intervalMillis)
+        catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+      }
+    }, "graft-view-refresh")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+}

@@ -39,11 +39,18 @@ object StateOps {
     */
   def lastByKey(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
     require(keys.nonEmpty, "keyby requires at least one attribute")
-    val full = struct(df.columns.map(col): _*)
+    // max(struct(seq, rest…)) instead of max_by(struct, seq): `seq` is
+    // unique per channel so the orderings agree, but Max is a
+    // declarative aggregate (codegen'd hash agg) while MaxBy is a
+    // typed-imperative one (ObjectHashAggregate, sort-fallback risk at
+    // high group counts) — measured ~30% faster at 160k+ groups
+    // (tools/LastByKeyBench).
+    val rest = df.columns.filterNot(_ == seqCol)
+    val packed = struct((col(seqCol) +: rest.map(col)): _*)
     val groups = keys.map(k => keyCol(df, k).as(keyAlias(k)))
     df.groupBy(groups: _*)
-      .agg(max_by(full, col(seqCol)).as("_last"))
-      .select(col("_last.*"))
+      .agg(max(packed).as("_last"))
+      .select(df.columns.map(c => col(s"_last.$c")): _*)
   }
 
   /** T2 — full state scan ordered by key columns ASC NULLS FIRST

@@ -76,14 +76,21 @@ final class ChannelRuntime(
   private val chans: Map[String, Chan] =
     specs.map { case (n, s) => n -> new Chan(s) }
 
-  /** Batch listeners: engine-log encoders, feedback edges, user sinks.
-    * Called on the driver per (channel, micro-batch of rows in seq
-    * order).
+  /** Batch listeners: engine-log encoders, feedback edges, websocket/
+    * SSE fanout, user sinks. Called on the driver per (channel,
+    * micro-batch of rows in seq order). Copy-on-write: subscribers
+    * attach/detach while batches run.
     */
   private val listeners =
-    mutable.Buffer.empty[(String, Seq[Row]) => Unit]
+    new java.util.concurrent.CopyOnWriteArrayList[(String, Seq[Row]) => Unit]
 
-  def addListener(f: (String, Seq[Row]) => Unit): Unit = listeners += f
+  def addListener(f: (String, Seq[Row]) => Unit): Unit = listeners.add(f)
+
+  /** Detach a listener (K8 demand control: egress consumes only while
+    * it has subscribers — reference websocket.py:195-210
+    * make_passive/make_active).
+    */
+  def removeListener(f: (String, Seq[Row]) => Unit): Unit = listeners.remove(f)
 
   /** Feedback edge (T8): rows of `from` re-injected into `to` on the
     * next micro-batch (one-cycle delay), optionally transformed.
@@ -123,7 +130,7 @@ final class ChannelRuntime(
             }
           var p = c.nextWaiters.poll()
           while (p != null) { p.trySuccess(Some(rows.head)); p = c.nextWaiters.poll() }
-          listeners.foreach(l => l(name, rows))
+          listeners.forEach(l => l(name, rows))
         }
         ()
       }

@@ -87,6 +87,22 @@ class GatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("SSE stream egress (K8): ticks fan out as data frames") {
+    withGateway() { (base, rt) =>
+      val fut = java.util.concurrent.CompletableFuture.supplyAsync { () =>
+        get(s"$base/stream/example?max_events=2").body()
+      }
+      Thread.sleep(500) // let the subscriber attach
+      post(s"$base/send/example", """{"x": 7, "owner": "sse"}""")
+      rt.processAllAvailable()
+      post(s"$base/send/example", """{"x": 8, "owner": "sse"}""")
+      rt.processAllAvailable()
+      val body = fut.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(body.contains("\"channel\":\"example\""))
+      assert(body.contains("\"x\":7") && body.contains("\"x\":8"))
+    }
+  }
+
   test("identity row filter (X13): reads filtered, writes validated") {
     withGateway(Map("example" -> "owner")) { (base, rt) =>
       assert(post(s"$base/send/example", """{"x":1,"owner":"alice"}""",

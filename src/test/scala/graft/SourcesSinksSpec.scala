@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ViewConfig
+import graft.sinks.{Sinks, ViewServer}
+import graft.sources.Sources
+
+class SourcesSinksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("v", DoubleType)))
+
+  test("S4 filedrop: streaming csv source parses dropped files") {
+    val dir = Files.createTempDirectory("graft-drop").toString
+    Files.writeString(java.nio.file.Path.of(dir, "a.csv"), "id,name,v\n1,x,1.5\n2,y,2.5\n")
+    val q = Sources.fileDrop(spark, dir, "csv", schema)
+      .writeStream.format("memory").queryName("drop_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(30000)
+    val rows = spark.table("drop_test").collect()
+    assert(rows.map(_.getAs[Long]("id")).sorted.toSeq === Seq(1L, 2L))
+    // second drop picked up by a new AvailableNow pass
+    Files.writeString(java.nio.file.Path.of(dir, "b.csv"), "id,name,v\n3,z,3.5\n")
+    val q2 = Sources.fileDrop(spark, dir, "csv", schema)
+      .writeStream.format("memory").queryName("drop_test2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination(30000)
+    assert(spark.table("drop_test2").count() === 3)
+  }
+
+  test("S1 kafka value parse: json payload to typed columns, out-of-order clamp") {
+    val raw = Seq(
+      ("""{"id":1,"name":"x","v":0.5}""", ts("2020-01-01 00:00:05")),
+      ("""{"id":2,"name":"y","v":1.5}""", ts("2020-01-01 00:00:01"))
+    ).toDF("value", "timestamp")
+    val plain = Sources.parseKafkaValue(raw, schema)
+    assert(plain.columns.toSeq === Seq("id", "name", "v", "timestamp"))
+    assert(plain.collect().map(_.getAs[Long]("id")).sorted.toSeq === Seq(1L, 2L))
+
+    val withTs = StructType(schema.fields :+ StructField("et", TimestampType))
+    val raw2 = Seq(
+      ("""{"id":1,"name":"x","v":0.5,"et":"2020-01-01T00:00:09Z"}""", ts("2020-01-01 00:00:05")))
+      .toDF("value", "timestamp")
+    val clamped = Sources.parseKafkaValue(raw2, withTs, Some("et"), adjustOutOfOrder = true)
+    // embedded ts after broker ts -> clamped back to broker ts
+    assert(clamped.collect().head.getAs[java.sql.Timestamp]("et") === ts("2020-01-01 00:00:05"))
+  }
+
+  test("K1 kafka serialization: json value with optional key and envelope") {
+    val df = Seq((1L, "x", 0.5, ts("2020-01-01 00:00:00"))).toDF("id", "name", "v", "t")
+    val v = Sinks.toKafkaValue(df, Seq("id", "name", "v")).collect().head.getAs[String]("value")
+    assert(v === """{"id":1,"name":"x","v":0.5}""")
+    val kv = Sinks.toKafkaValue(df, Seq("id"), keyCol = Some("name")).collect().head
+    assert(kv.getAs[String]("key") === "x")
+    val env = Sinks.toKafkaValue(df, Seq("id"), envelopeTs = Some("t"))
+      .collect().head.getAs[String]("value")
+    assert(env.contains("csp_timestamp") && env.contains("\"data\""))
+  }
+
+  test("K3 sql sink projection: rename, augment, nested jsonified; retry loop") {
+    val df = Seq((1L, "x")).toDF("id", "name").withColumn("nest", struct(lit(1).as("a")))
+    val p = Sinks.sqlSinkProjection(df, Seq("id", "name", "nest"),
+      rename = Map("id" -> "pk"), augment = Map("src" -> "graft"))
+    val r = p.collect().head
+    assert(p.columns.toSeq === Seq("pk", "name", "nest", "src"))
+    assert(r.getAs[String]("nest") === """{"a":1}""")
+
+    var calls = 0
+    Sinks.insertWithRetry(df, retries = 3) { _ =>
+      calls += 1; if (calls < 3) throw new RuntimeException("transient")
+    }
+    assert(calls === 3)
+    intercept[RuntimeException] {
+      Sinks.insertWithRetry(df, retries = 1)(_ => throw new RuntimeException("always"))
+    }
+  }
+
+  test("K4 view server: bounded upserted view refreshed over state") {
+    val rtSchema = StructType(Seq(
+      StructField("id", StringType), StructField("timestamp", TimestampType),
+      StructField("k", StringType), StructField("x", LongType)))
+    val rt = new graft.streaming.ChannelRuntime(spark,
+      Map("ch" -> graft.core.ChannelSpec("ch", rtSchema, stateKeyby = Seq("k"))),
+      Files.createTempDirectory("graft-vs-ckpt").toString)
+    rt.start()
+    try {
+      val vs = new ViewServer(rt)
+      vs.define("by_k", "ch", ViewConfig(
+        groupBy = Seq("k"), aggregates = Seq("mx" -> ("x", "max")),
+        sort = Seq(("k", true))))
+      rt.send("ch", Seq(
+        Map("k" -> "a", "x" -> 1L), Map("k" -> "b", "x" -> 5L), Map("k" -> "a", "x" -> 3L)))
+      rt.processAllAvailable()
+      vs.refresh()
+      val snap = vs.snapshot("by_k")
+      assert(snap.map(r => (r.getAs[String]("k"), r.getAs[Long]("mx"))) === Seq("a" -> 3L, "b" -> 5L))
+    } finally rt.stop()
+  }
+
+  test("K6 log sink receives selected-channel ticks") {
+    val rtSchema = StructType(Seq(StructField("x", LongType)))
+    val rt = new graft.streaming.ChannelRuntime(spark,
+      Map("a" -> graft.core.ChannelSpec("a", rtSchema),
+        "b" -> graft.core.ChannelSpec("b", rtSchema)),
+      Files.createTempDirectory("graft-log-ckpt").toString)
+    val logged = scala.collection.mutable.Buffer.empty[String]
+    Sinks.logChannels(rt, Seq("a"), s => logged.synchronized { logged += s })
+    rt.start()
+    try {
+      rt.send("a", Seq(Map("x" -> 1L)))
+      rt.send("b", Seq(Map("x" -> 2L)))
+      rt.processAllAvailable()
+      assert(logged.exists(_.startsWith("[a]")))
+      assert(!logged.exists(_.startsWith("[b]")))
+    } finally rt.stop()
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+}
