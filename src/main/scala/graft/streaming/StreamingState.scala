@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Distributed streaming state operators — the cluster-scale
+  * implementation of T1 (last-per-key accumulation) and streaming
+  * exact dedup, built on `KeyValueGroupedDataset` +
+  * `flatMapGroupsWithState` so the state lives in Spark's
+  * checkpointed state store sharded across executors (NOT driver
+  * memory — that's the [[ChannelRuntime]] serving cache, which is the
+  * single-node analogue of the reference's in-process DuckDB).
+  *
+  * At 100 TB: state is partitioned by key hash across the cluster,
+  * updates are shuffle-once per micro-batch, and the store is
+  * RocksDB-backed + checkpointed — the same upsert semantics as the
+  * reference's `INSERT OR REPLACE` buffer flush (state.py:453-487)
+  * with principled fault tolerance the reference lacks.
+  */
+object StreamingState {
+
+  /** T1, streaming: emit the updated last-row-per-key on every
+    * micro-batch that touches the key (update output mode). `keys`
+    * must exist in the schema; the max-`seqCol` row wins within and
+    * across batches.
+    */
+  def lastByKeyStream(
+      df: DataFrame,
+      keys: Seq[String],
+      seqCol: String): DataFrame = {
+    val schema = df.schema
+    val keyIdx = keys.map(schema.fieldIndex)
+    val seqIdx = schema.fieldIndex(seqCol)
+    implicit val rowEnc = Encoders.row(schema)
+    implicit val keyEnc = Encoders.STRING
+    df.groupByKey((r: Row) => keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          val incoming = rows.reduceOption((a, b) =>
+            if (a.getLong(seqIdx) >= b.getLong(seqIdx)) a else b)
+          incoming match {
+            case Some(newest) =>
+              val winner = state.getOption match {
+                case Some(prev) if prev.getLong(seqIdx) >= newest.getLong(seqIdx) => prev
+                case _ => newest
+              }
+              state.update(winner)
+              Iterator.single(winner)
+            case None => Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming exact dedup: emit each key's row only the first time it
+    * is seen (training-pipeline dedup over an unbounded stream). State
+    * per key is one boolean — bounded by distinct-key cardinality,
+    * sharded across the cluster.
+    */
+  def dedupStream(
+      df: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val schema = df.schema
+    val keyIdx = keys.map(schema.fieldIndex)
+    implicit val rowEnc = Encoders.row(schema)
+    implicit val keyEnc = Encoders.STRING
+    implicit val boolEnc = Encoders.BOOLEAN
+    df.groupByKey((r: Row) => keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))
+      .flatMapGroupsWithState[java.lang.Boolean, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[java.lang.Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1)
+          }
+      }
+  }
+
+  /** A9/watermarked streaming aggregation: tumbling event-time window
+    * with late-data bound — the principled late-row semantics the
+    * reference lacks (SURVEY §4: emit-now + log). Returns
+    * (window.start as bucket, groupCols…, count, sum).
+    */
+  def windowedCounts(
+      df: DataFrame,
+      tsCol: String,
+      width: String,
+      lateness: String,
+      groupBy: Seq[String],
+      sumCol: String): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy((window(col(tsCol), width) +: groupBy.map(col)): _*)
+      .agg(count(lit(1)).as("n"), sum(col(sumCol)).as("sum_value"))
+      .withColumn("bucket", col("window.start"))
+      .drop("window")
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Encoders, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingState
+
+/** Distributed streaming state: flatMapGroupsWithState-backed
+  * last-by-key and dedup over MemoryStream micro-batches.
+  */
+class StreamingStateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType), StructField("v", LongType),
+    StructField("seq", LongType)))
+
+  private def row(k: String, v: Long, seq: Long): Row =
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any](k, v, seq), schema)
+
+  test("lastByKeyStream: state carries across micro-batches, max seq wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(schema), sqlCtx)
+    val out = StreamingState.lastByKeyStream(stream.toDF(), Seq("k"), "seq")
+    val name = s"lbk_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("lbk-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      stream.addData(row("a", 1, 1), row("a", 2, 2), row("b", 10, 3))
+      q.processAllAvailable()
+      // out-of-order late row for a (seq 1.5 < 2): state must keep seq 2
+      stream.addData(row("a", 99, 1), row("b", 20, 4))
+      q.processAllAvailable()
+      val byKey = spark.table(name).collect()
+        .groupBy(_.getString(0)).map { case (k, rs) =>
+          k -> rs.maxBy(_.getLong(2)).getLong(1)
+        }
+      assert(byKey === Map("a" -> 2L, "b" -> 20L))
+    } finally q.stop()
+  }
+
+  test("dedupStream: each key emitted exactly once across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(schema), sqlCtx)
+    val out = StreamingState.dedupStream(stream.toDF(), Seq("k"))
+    val name = s"dedup_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("dedup-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      stream.addData(row("a", 1, 1), row("a", 2, 2), row("b", 3, 3))
+      q.processAllAvailable()
+      stream.addData(row("a", 4, 4), row("c", 5, 5))
+      q.processAllAvailable()
+      val keys = spark.table(name).collect().map(_.getString(0)).sorted.toSeq
+      assert(keys === Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
+  test("windowedCounts: watermarked tumbling window aggregates by event time") {
+    val evSchema = StructType(Seq(
+      StructField("t", TimestampType), StructField("g", StringType),
+      StructField("v", DoubleType)))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(evSchema), sqlCtx)
+    def ev(t: String, g: String, v: Double): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](java.sql.Timestamp.valueOf(t), g, v), evSchema)
+    val out = StreamingState.windowedCounts(stream.toDF(), "t", "1 hour", "10 minutes",
+      Seq("g"), "v")
+    val name = s"win_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("win-ckpt").toString)
+      .start()
+    try {
+      stream.addData(
+        ev("2020-01-01 10:05:00", "x", 1.0), ev("2020-01-01 10:55:00", "x", 2.0),
+        ev("2020-01-01 11:05:00", "y", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("bucket").toString, r.getAs[String]("g"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+      assert(rows.contains(("2020-01-01 10:00:00.0", "x", 2L, 3.0)))
+      assert(rows.contains(("2020-01-01 11:00:00.0", "y", 1L, 5.0)))
+    } finally q.stop()
+  }
+}
