@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that keep these operators fast
+  * at 100 TB must hold in the optimized plan, not just in intent —
+  * filter/column pushdown into the parquet scan, dim-table broadcast,
+  * partial (map-side) aggregation before the exchange.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("T9 time gate: predicate pushed to the parquet reader") {
+    val p = plan(graft.state.StateOps.timeGate(
+      graft.core.Tables.load(spark, dir, "orders"), "o_orderdate",
+      java.sql.Timestamp.valueOf("1997-06-01 00:00:00")))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("projection prunes the scan to referenced columns only") {
+    val li = graft.core.Tables.load(spark, dir, "lineitem")
+    val p = plan(li.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s")))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string>"), p)
+  }
+
+  test("q1-style aggregate does map-side partial aggregation") {
+    val li = graft.core.Tables.load(spark, dir, "lineitem")
+    val p = plan(li.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s")))
+    // partial HashAggregate below the exchange, final above
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange hashpartitioning(l_returnflag"), p)
+  }
+
+  test("j1 join broadcasts the dimension side") {
+    val o = graft.core.Tables.load(spark, dir, "orders")
+    val n = graft.core.Tables.load(spark, dir, "nation")
+    val p = plan(o.join(broadcast(n), col("o_custkey") % 25 === col("n_nationkey")))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("lastByKey does map-side partial aggregation, one exchange, no object-agg") {
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val p = plan(graft.state.StateOps.lastByKey(ev, Seq("user_id"), "event_id"))
+    // max(struct) lowers to SortAggregate (structs aren't hash-agg
+    // buffer types) — measured faster than max_by's ObjectHashAggregate
+    // (tools/LastByKeyBench); the scale-critical properties are the
+    // partial aggregate BELOW the single keyed exchange:
+    assert(p.contains("partial_max"), p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("strictCompat projection degrades types per reference rules") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1, 2), Map("k" -> "v"))).toDF("a", "xs", "m")
+      .withColumn("nest", struct(lit(2).as("b"), array(lit(3)).as("ys")))
+    val out = graft.core.TypeProjection.strictCompat(df)
+    val types = out.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("a") === "bigint")
+    assert(types("xs") === "string") // list stringified
+    assert(types("m") === "string")  // dict stringified
+    assert(types("nest") === "struct<b:int,ys:string>") // recursive
+    assert(out.collect().head.getAs[String]("xs") === "[1,2]")
+  }
+
+  test("enum ordinals serialize as names") {
+    import spark.implicits._
+    val r = Seq(0, 2).toDF("o")
+      .select(graft.core.TypeProjection.enumName(col("o"), Seq("RED", "GREEN", "BLUE")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(r === Seq("RED", "BLUE"))
+  }
+}
