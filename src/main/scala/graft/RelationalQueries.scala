@@ -107,6 +107,23 @@ object RelationalQueries {
       AsofJoin.asofBackward(ev, od, "user_id", "o_custkey", "ts", "o_orderdate")
     }),
 
+    // ---- A8 extra: grouping sets (cube) over the SQL surface
+    "a10_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
+
+    // ---- A8 extra: set ops (intersect / except)
+    "u1_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def custsIn(year: Int) = o
+        .filter(col("o_orderdate") >= lit(s"$year-01-01") &&
+          col("o_orderdate") < lit(s"${year + 1}-01-01"))
+        .select(col("o_custkey"))
+      val big = o.filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+      custsIn(1996).intersect(custsIn(1997)).except(big)
+    }),
+
     // ---- ranking window: top-3 orders by totalprice per priority
     "w1_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderpriority")
@@ -179,6 +196,19 @@ object RelationalQueries {
         |       o.o_custkey, o.o_orderdate, o.o_orderkey, o.o_totalprice
         |FROM ev e ASOF LEFT JOIN od o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "a10_cube" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "u1_set_ops" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 400000""".stripMargin,
 
     "w1_window_rank" ->
       """SELECT * FROM (
