@@ -67,10 +67,10 @@ object PipelineQueries {
     "d1_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")),
 
-    // ---- n-gram Jaccard near-dup via shingle inverted index
+    // ---- n-gram Jaccard near-dup via prefix-filtered inverted index
     "d2_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.8, maxDocFreq = 100)),
+        n = 3, threshold = 0.8)),
 
     // ---- MinHash + LSH banding (shingle→minhash→band→bucket-join)
     "d3_minhash_lsh" -> ((s, dir) =>
@@ -154,13 +154,19 @@ object PipelineQueries {
     "d2_ngram_jaccard" ->
       s"""WITH $shingleCtes,
          |shh AS (SELECT DISTINCT doc_id, ${phSql("s")} AS sh FROM sh),
-         |rare AS (SELECT sh FROM shh GROUP BY sh HAVING count(*) <= 100),
-         |idx AS (SELECT doc_id, shh.sh FROM shh JOIN rare USING (sh)),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id),
-         |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
-         |          FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
-         |j AS (SELECT id1, id2, i*1.0/(s1.n + s2.n - i) AS jaccard
-         |      FROM pairs JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id)
+         |freq AS (SELECT sh, count(*) AS f FROM shh GROUP BY sh),
+         |ranked AS (SELECT s.doc_id, s.sh,
+         |             row_number() OVER (PARTITION BY s.doc_id ORDER BY f.f ASC, s.sh ASC) AS rn,
+         |             count(*) OVER (PARTITION BY s.doc_id) AS n
+         |           FROM shh s JOIN freq f USING (sh)),
+         |prefix AS (SELECT doc_id, sh FROM ranked
+         |           WHERE rn <= n - CAST(ceil(0.8 * n) AS BIGINT) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |hs AS (SELECT doc_id, list(sh) AS hset, count(*) AS n FROM shh GROUP BY doc_id),
+         |v AS (SELECT id1, id2, len(list_intersect(a.hset, b.hset)) AS i, a.n AS n1, b.n AS n2
+         |      FROM cand JOIN hs a ON id1 = a.doc_id JOIN hs b ON id2 = b.doc_id),
+         |j AS (SELECT id1, id2, i*1.0/(n1 + n2 - i) AS jaccard FROM v)
          |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin,
 
     "d3_minhash_lsh" ->
