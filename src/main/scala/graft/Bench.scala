@@ -30,10 +30,47 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // BASELINE "state_insert" mirror (ASV StateInsertKeyBy: 100k rows,
+    // 100 keys): streaming upsert throughput through the
+    // flatMapGroupsWithState state store.
+    val insertSec = try stateInsertBench(spark, sfDir) catch { case _: Throwable => -1.0 }
+    val allResults = results + ("state_insert_100k" -> insertSec)
+    val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (allResults.nonEmpty) allResults.values.filter(_ > 0).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Push 100k keyed rows (100 distinct keys, ASV StateInsertKeyBy
+    * shape) through the distributed streaming state store in 10
+    * micro-batches; seconds to fully accumulate last-per-key.
+    */
+  private def stateInsertBench(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType),
+      StructField("_seq", LongType)))
+    val rows = (0 until 100000).map { i =>
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](i.toLong % 100, i * 0.5, i.toLong), schema): Row
+    }
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row](
+      Encoders.row(schema), sqlCtx)
+    val out = graft.streaming.StreamingState.lastByKeyStream(stream.toDF(), Seq("k"), "_seq")
+    val q = out.writeStream.format("memory").queryName("bench_state_insert")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("bench-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    val t0 = System.nanoTime()
+    try {
+      rows.grouped(10000).foreach { chunk => stream.addData(chunk) }
+      q.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
+    } finally q.stop()
   }
 }
