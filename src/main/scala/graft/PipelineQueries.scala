@@ -103,6 +103,27 @@ object PipelineQueries {
         k = 3, planes = 8, dims = 64)
     }),
 
+    // ---- ANN via IVF cells (coarse quantizer = low-id vectors)
+    "s3_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 108),
+        "vec_id", "embedding", k = 3)
+    }),
+
+    // ---- T1 dict-basket variant: last per basket key
+    "t1b_basket_last" -> ((s, dir) =>
+      graft.state.StateOps.last(t(s, dir, "events"), "event_id",
+        basketKey = Some("event_type"))),
+
+    // ---- session windows over event time (per-user activity sessions)
+    "a11_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "12 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .withColumn("session_start", col("session_window.start"))
+        .drop("session_window")),
+
     // ---- token counting (whitespace + BPE-ish regex lexer)
     "tx1_token_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -228,6 +249,39 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
          |      FROM scored)
          |SELECT qid, cid, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "s3_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS c, embedding AS ce FROM embeddings
+         |               WHERE vec_id >= 100 AND vec_id < 108),
+         |assigned AS (
+         |  SELECT vec_id, embedding, c AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, cents.c,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cents.ce")} DESC, cents.c ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents) WHERE rn = 1),
+         |q AS (SELECT * FROM assigned WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM assigned c JOIN q ON c.cell = q.cell AND q.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+         |      FROM scored)
+         |SELECT qid, cid, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "t1b_basket_last" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+
+    "a11_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+        |m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+        |                       OR t - lag(t) OVER w > INTERVAL 12 HOUR THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, count(*) AS n, sum(value) AS sum_value, min(t) AS session_start
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "tx1_token_stats" ->
       """SELECT doc_id, len(string_split(text,' ')) AS n_tokens,

@@ -88,6 +88,40 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** ANN via IVF (inverted-file) cells: a coarse quantizer of
+    * `centroids` rows partitions the corpus — every vector is assigned
+    * to its nearest centroid (argmax cosine, ties to the lowest
+    * centroid id) and queries probe only their own cell. The classic
+    * billion-scale layout (IVF-Flat): assignment is a
+    * broadcast-nested-loop against the tiny centroid set (no corpus
+    * shuffle), probing is a bucket equi-join on the cell id.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val cents = broadcast(centroids.select(col(idCol).as("_c"), col(vecCol).as("_ce")))
+    def assign(df: DataFrame, outId: String, outVec: String): DataFrame = {
+      val w = Window.partitionBy(col(outId)).orderBy(col("_cos").desc, col("_c").asc)
+      df.select(col(idCol).as(outId), col(vecCol).as(outVec))
+        .crossJoin(cents)
+        .withColumn("_cos", cosine(col(outVec), col("_ce")))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col(outId), col(outVec), col("_c").as("_cell"))
+    }
+    val c = assign(corpus, "cid", "_cv")
+    val q = assign(queries, "qid", "_qv")
+    val scored = c.join(broadcast(q), Seq("_cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("_qv"), col("_cv")).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN via sign-LSH buckets: candidates are same-bucket corpus rows;
     * otherwise identical shape to [[bruteForceTopK]]. Approximate —
     * recall depends on `planes` (fewer planes = bigger buckets =
