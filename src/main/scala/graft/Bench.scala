@@ -20,16 +20,21 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators cache intermediates (idx/sig frames); drop them so
-      // queries are measured independently, not under accumulated
-      // memory pressure from earlier ones
-      spark.catalog.clearCache()
-      name -> dt
-    }.toMap
+    // Two passes, min per query: the first pass doubles as per-query
+    // warmup (codegen/JIT), the min is the steady-state number — the
+    // ASV convention. Cache cleared between queries so none is
+    // measured under another's accumulated memory pressure.
+    def pass(): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        name -> dt
+      }.toMap
+    val p1 = pass()
+    val p2 = pass()
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     // BASELINE "state_insert" mirror (ASV StateInsertKeyBy: 100k rows,
     // 100 keys): streaming upsert throughput through the
     // flatMapGroupsWithState state store.
