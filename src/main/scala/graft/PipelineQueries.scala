@@ -175,13 +175,11 @@ object PipelineQueries {
     "d2_ngram_jaccard" ->
       s"""WITH $shingleCtes,
          |shh AS (SELECT DISTINCT doc_id, ${phSql("s")} AS sh FROM sh),
-         |freq AS (SELECT sh, count(*) AS f FROM shh GROUP BY sh),
-         |ranked AS (SELECT s.doc_id, s.sh,
-         |             row_number() OVER (PARTITION BY s.doc_id ORDER BY f.f ASC, s.sh ASC) AS rn,
-         |             count(*) OVER (PARTITION BY s.doc_id) AS n
-         |           FROM shh s JOIN freq f USING (sh)),
-         |prefix AS (SELECT doc_id, sh FROM ranked
-         |           WHERE rn <= n - CAST(ceil(0.8 * n) AS BIGINT) + 1),
+         |hsets AS (SELECT doc_id, list_sort(list(sh)) AS hset, count(*) AS n
+         |          FROM shh GROUP BY doc_id),
+         |prefix AS (SELECT doc_id,
+         |             unnest(hset[1 : CAST(n - ceil(0.8 * n) + 1 AS BIGINT)]) AS sh
+         |           FROM hsets),
          |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |         FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id),
          |hs AS (SELECT doc_id, list(sh) AS hset, count(*) AS n FROM shh GROUP BY doc_id),

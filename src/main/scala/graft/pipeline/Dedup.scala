@@ -95,20 +95,35 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      orderByRarity: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hs = df.select(col(idCol).as("_id"),
       array_distinct(transform(shingles(col(textCol), n), s => polyHash(s))).as("_hset"))
       .cache()
-    val idx = hs.select(col("_id"), explode(col("_hset")).as("_sh"))
-    val freq = idx.groupBy("_sh").agg(count(lit(1)).as("_f"))
-    val wRank = Window.partitionBy("_id").orderBy(col("_f").asc, col("_sh").asc)
-    val wAll = Window.partitionBy("_id")
-    val prefix = idx.join(freq, "_sh")
-      .withColumn("_rn", row_number().over(wRank))
-      .withColumn("_n", count(lit(1)).over(wAll))
-      .filter(col("_rn") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
-      .select(col("_id"), col("_sh"))
+    // Prefix selection needs only SOME global total order on shingles
+    // for the pigeonhole to hold. Two orders offered:
+    //  - hash order (default): prefix = slice of the sorted hash set —
+    //    fully narrow, no global aggregate, ~2× the candidates;
+    //  - rarity order: doc-frequency asc — fewest candidates, but pays
+    //    a global frequency aggregate + join + per-doc window. Prefer
+    //    it when verification (not candidate generation) dominates.
+    val prefix =
+      if (!orderByRarity) {
+        val preLen = (col("_n") - ceil(lit(threshold) * col("_n")) + 1).cast("int")
+        hs.withColumn("_n", size(col("_hset")))
+          .select(col("_id"), explode(slice(array_sort(col("_hset")), lit(1), preLen)).as("_sh"))
+      } else {
+        val idx = hs.select(col("_id"), explode(col("_hset")).as("_sh"))
+        val freq = idx.groupBy("_sh").agg(count(lit(1)).as("_f"))
+        val wRank = Window.partitionBy("_id").orderBy(col("_f").asc, col("_sh").asc)
+        val wAll = Window.partitionBy("_id")
+        idx.join(freq, "_sh")
+          .withColumn("_rn", row_number().over(wRank))
+          .withColumn("_n", count(lit(1)).over(wAll))
+          .filter(col("_rn") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
+          .select(col("_id"), col("_sh"))
+      }
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a._sh") === col("b._sh") && col("a._id") < col("b._id"))
       .select(col("a._id").as("id1"), col("b._id").as("id2"))
