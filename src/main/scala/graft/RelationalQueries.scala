@@ -149,7 +149,8 @@ object RelationalQueries {
     "x8_index_rename" ->
       """SELECT l_orderkey AS order_id, l_linenumber AS line_no, l_quantity,
         |       'graft' AS src,
-        |       CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS idx
+        |       coalesce(CAST(l_orderkey AS VARCHAR), 'None') || '-' ||
+        |         coalesce(CAST(l_linenumber AS VARCHAR), 'None') AS idx
         |FROM lineitem""".stripMargin,
 
     "a2_pivot" ->

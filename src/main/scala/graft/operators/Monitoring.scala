@@ -21,6 +21,7 @@ object Monitoring {
   def datadogAlertType(level: Column): Column =
     when(level === "CRITICAL" || level === "ERROR", lit("error"))
       .when(level === "WARNING", lit("warning"))
+      .when(level === "DEBUG", lit("success")) // util.py:340: debug -> success
       .otherwise(lit("info"))
 
   def opsgeniePriority(level: Column): Column =

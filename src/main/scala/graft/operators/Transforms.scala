@@ -15,8 +15,10 @@ object Transforms {
     * edge (reference `csp.flatten`, channels.py:472). Missing columns
     * null-filled, matching the reference's optional struct fields.
     */
-  def merge(dfs: Seq[DataFrame]): DataFrame =
+  def merge(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "merge requires at least one provider frame")
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** X2 — unroll: `ts[List[T]] -> ts[T]` element stream
     * (reference channels.py:719; perspective.py:360,442).
@@ -56,39 +58,55 @@ object Transforms {
     df.withColumn("_parsed", from_json(col(jsonCol), schema)).select(col("_parsed.*"))
 
   /** X6 — psp_flatten: nested struct -> dotted top-level columns;
-    * array-of-struct fields unroll to rows (reference
-    * utils/struct/psp.py:33-112). Dict (map) columns are stringified
-    * like the reference (psp.py:204-211).
+    * list fields unroll to rows — recursively, at ANY depth (the
+    * reference recurses through structs/lists/dicts alike,
+    * utils/struct/psp.py:33-112; multiple lists expand to their
+    * cross-product via chained explodes, matching itertools.product).
+    * Dict (map) columns are stringified (psp.py:204-211). Flattened
+    * column names contain literal dots, so internal references go
+    * through `getField`/backticks, never string paths.
     */
   def pspFlatten(df: DataFrame): DataFrame = {
-    // explode array<struct> columns first (row expansion), then flatten
-    val arrayStructCols = df.schema.fields.collect {
-      case f if f.dataType.isInstanceOf[ArrayType] &&
-        f.dataType.asInstanceOf[ArrayType].elementType.isInstanceOf[StructType] => f.name
-    }
-    val exploded = arrayStructCols.foldLeft(df)((d, c) => d.withColumn(c, explode_outer(col(c))))
-    def flat(prefix: String, schema: StructType): Seq[Column] =
+    def flat(prefix: String, parent: Option[Column], schema: StructType): Seq[Column] =
       schema.fields.flatMap { f =>
-        val path = if (prefix.isEmpty) f.name else prefix + "." + f.name
+        val self = parent.map(_.getField(f.name)).getOrElse(col("`" + f.name + "`"))
+        val name = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
         f.dataType match {
-          case s: StructType => flat(path, s)
-          case _: org.apache.spark.sql.types.MapType =>
-            Seq(to_json(col(path)).as(path))
-          case _ => Seq(col(path).as(path))
+          case s: StructType => flat(name, Some(self), s)
+          case _: org.apache.spark.sql.types.MapType => Seq(to_json(self).as(name))
+          case _ => Seq(self.as(name))
         }
       }.toSeq
-    exploded.select(flat("", exploded.schema): _*)
+    var d = df
+    var changed = true
+    while (changed) {
+      changed = false
+      d.schema.fields.filter(_.dataType.isInstanceOf[ArrayType]).foreach { f =>
+        d = d.withColumn(f.name, explode_outer(col("`" + f.name + "`")))
+        changed = true
+      }
+      if (d.schema.fields.exists(f =>
+          f.dataType.isInstanceOf[StructType] ||
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])) {
+        d = d.select(flat("", None, d.schema): _*)
+        changed = true
+      }
+    }
+    d
   }
 
   /** X7 — column exclusion (reference psp.py:115-122). */
   def excludeColumns(df: DataFrame, exclude: Seq[String]): DataFrame =
     df.drop(exclude: _*)
 
-  /** X8 — computed index: multi-field upsert key, "-".joined
-    * (reference perspective.py:468-475, 78-84).
+  /** X8 — computed index: multi-field upsert key, "-".joined; null
+    * fields render as "None" exactly like the reference's
+    * `str(row[f])` (perspective.py:82) — concat_ws alone would DROP
+    * nulls and collide distinct keys like ("a", null) vs ("a").
     */
   def computedIndex(df: DataFrame, fields: Seq[String], as: String = "index"): DataFrame =
-    df.withColumn(as, concat_ws("-", fields.map(f => col(f).cast("string")): _*))
+    df.withColumn(as, concat_ws("-",
+      fields.map(f => coalesce(col(f).cast("string"), lit("None"))): _*))
 
   /** X9 — field rename + constant augmentation (reference
     * modules/sql.py:154-163 ChannelSchemaConfig).

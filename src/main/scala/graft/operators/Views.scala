@@ -43,7 +43,7 @@ object Views {
     case "distinct count" => countDistinct(col(c))
     case "min"            => min(col(c))
     case "max"            => max(col(c))
-    case "median"         => expr(s"percentile_approx($c, 0.5)")
+    case "median"         => expr(s"percentile_approx(`$c`, 0.5)")
     case "stddev"         => stddev_samp(col(c))
     case "var"            => var_samp(col(c))
     case "first"          => min_by(col(c), col("_seq"))
@@ -70,18 +70,22 @@ object Views {
   }
 
   /** Compile a view over a source frame. Stages in reference order:
-    * filter → expressions → index-upsert → group/pivot/aggregate →
-    * sort → limit.  `seqCol` feeds A7 upsert (last wins) and
-    * first/last aggregates.
+    * index-upsert → expressions → filter → group/pivot/aggregate →
+    * sort → limit. The upsert comes FIRST because Perspective upserts
+    * ticks into the indexed table and the view then reads *current*
+    * table state (perspective.py:211-217) — filtering raw ticks before
+    * the upsert would resurrect overwritten rows. Expressions precede
+    * filters so a filter may reference a computed alias. `seqCol`
+    * feeds A7 upsert (last wins) and first/last aggregates.
     */
   def compile(df: DataFrame, v: ViewConfig, seqCol: Option[String] = None): DataFrame = {
     var d = df
     seqCol.foreach(s => d = d.withColumn("_seq", col(s)))
-    if (v.filter.nonEmpty) d = d.filter(v.filter.map(filterCol).reduce(_ && _))
-    v.expressions.foreach { case (alias, e) => d = d.withColumn(alias, expr(e)) }
     v.index.foreach { case (keys, seq) =>
       d = graft.state.StateOps.lastByKey(d, keys, seq) // A7: one row per index, last wins
     }
+    v.expressions.foreach { case (alias, e) => d = d.withColumn(alias, expr(e)) }
+    if (v.filter.nonEmpty) d = d.filter(v.filter.map(filterCol).reduce(_ && _))
     if (v.groupBy.nonEmpty || v.aggregates.nonEmpty) {
       val aggs = v.aggregates.map { case (alias, (c, fn)) => aggFn(fn, c).as(alias) }
       d = v.splitBy match {

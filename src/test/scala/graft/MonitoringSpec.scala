@@ -12,16 +12,17 @@ class MonitoringSpec extends AnyFunSuite {
 
   test("X14: level mapping and tag formatting per vendor") {
     val events = Seq(
-      ("boom", "it broke", "CRITICAL"), ("fyi", "note", "INFO"))
+      ("boom", "it broke", "CRITICAL"), ("fyi", "note", "INFO"), ("dbg", "trace", "DEBUG"))
       .toDF("title", "text", "level")
       .withColumn("tags", map(lit("env"), lit("prod"), lit("app"), lit("graft")))
 
     val dd = Monitoring.toDatadogEvent(events, "title", "text", "level", "tags").collect()
-    assert(dd.map(_.getAs[String]("alert_type")).toSeq === Seq("error", "info"))
+    // debug -> success per reference util.py:340
+    assert(dd.map(_.getAs[String]("alert_type")).toSeq === Seq("error", "info", "success"))
     assert(dd.head.getSeq[String](3) === Seq("app:graft", "env:prod"))
 
     val og = Monitoring.toOpsgenieAlert(events, "title", "text", "level", "tags").collect()
-    assert(og.map(_.getAs[String]("priority")).toSeq === Seq("P1", "P4"))
+    assert(og.map(_.getAs[String]("priority")).toSeq === Seq("P1", "P4", "P5"))
   }
 
   test("X15: stats enrichment adds process fields in place") {

@@ -39,10 +39,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(flat.collect().head.getAs[String]("m") === """{"k":"v"}""")
   }
 
-  test("computed index joins fields with dash (X8)") {
-    val df = Seq((1, "a")).toDF("x", "y")
-    val r = Transforms.computedIndex(df, Seq("x", "y")).collect().head
-    assert(r.getAs[String]("index") === "1-a")
+  test("computed index joins fields with dash; nulls render as None (X8)") {
+    val df = Seq((1, "a"), (2, null)).toDF("x", "y")
+    val r = Transforms.computedIndex(df, Seq("x", "y")).collect()
+    assert(r.map(_.getAs[String]("index")).toSeq === Seq("1-a", "2-None"))
+  }
+
+  test("pspFlatten recurses into arrays nested inside structs") {
+    val df = Seq((1, (Seq(10, 20), "z"))).toDF("id", "nest")
+    val flat = Transforms.pspFlatten(df)
+    assert(flat.schema.fieldNames.toSet === Set("id", "nest._1", "nest._2"))
+    assert(flat.count() === 2) // inner list unrolled to rows
+  }
+
+  test("asof join ignores null right times; tie-break makes equal-time rights deterministic") {
+    val left = Seq((1L, 1L, ts("2020-01-05"))).toDF("eid", "k", "t")
+    val right = Seq(
+      (1L, Option.empty[java.sql.Timestamp], 666.0, 1L),
+      (1L, Some(ts("2020-01-04")), 1.0, 2L),
+      (1L, Some(ts("2020-01-04")), 2.0, 3L) // same time, higher seq wins
+    ).toDF("rk", "rt", "p", "rseq")
+    val j = AsofJoin.asofBackward(left, right, "k", "rk", "t", "rt",
+      rightTieBreak = Some("rseq")).collect()
+    assert(j.head.getAs[Double]("p") === 2.0)
   }
 
   test("view compiler: filter + expression + group + sort + limit") {
