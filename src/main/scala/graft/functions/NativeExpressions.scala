@@ -60,34 +60,44 @@ case class PolyHashExpr(child: Expression)
 object CosineSim {
   /** Cosine over two equal-length numeric arrays, accumulating in
     * double, element order — identical to the zip_with/aggregate
-    * formulation and DuckDB's list_dot_product.
+    * formulation and DuckDB's list_dot_product. Length mismatch
+    * returns null (the declarative spec zips with null padding, which
+    * nulls the whole sum); per-side element types are honored.
     */
-  def cos(a: ArrayData, b: ArrayData, floatInput: Boolean): Double = {
+  def cos(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
+    if (b.numElements() != n) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = if (floatInput) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (floatInput) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 }
 
 /** `graft_cosine(vec, vec)` — cosine similarity, codegen'd. */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
-  private def floatInput: Boolean = left.dataType match {
+  private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // length mismatch -> null
   override def nullSafeEval(a: Any, b: Any): Any =
-    CosineSim.cos(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], floatInput)
+    CosineSim.cos(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CosineSim.cos($a, $b, $floatInput)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r =
+        graft.functions.CosineSim.cos($a, $b, ${isFloat(left)}, ${isFloat(right)});
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimExpr =
     copy(left = newLeft, right = newRight)

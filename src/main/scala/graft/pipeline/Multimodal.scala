@@ -86,7 +86,8 @@ object Multimodal {
     * a caption/embedding stage consumes.
     */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
-    media.filter(col("kind") === "video" && col("n_frames").isNotNull)
+    media.filter(col("kind") === "video" && col("n_frames").isNotNull &&
+        col("n_frames") > 0) // sequence(0, -1, +step) would throw
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 

@@ -38,7 +38,10 @@ final class Gateway(
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  // cached (elastic) pool: /stream holds a thread per subscriber and
+  // /next blocks up to 30s — a fixed pool would let a handful of
+  // long-lived subscribers starve ingest entirely
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -105,8 +108,11 @@ final class Gateway(
           val maps = objs.map(jsonToMap)
           // X13 write validation: rows must carry the caller's identity
           authFilterFields.get(name).foreach { field =>
+            // the auth field must be PRESENT and equal — a row omitting
+            // it must not slip past validation
             identity match {
-              case Some(id) if maps.forall(m => m.get(field).forall(v => String.valueOf(v) == id)) => ()
+              case Some(id) if maps.forall(m =>
+                m.get(field).exists(v => String.valueOf(v) == id)) => ()
               case _ => throw new IllegalArgumentException(s"identity mismatch on '$field'")
             }
           }

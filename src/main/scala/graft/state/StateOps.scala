@@ -48,9 +48,12 @@ object StateOps {
     val rest = df.columns.filterNot(_ == seqCol)
     val packed = struct((col(seqCol) +: rest.map(col)): _*)
     val groups = keys.map(k => keyCol(df, k).as(keyAlias(k)))
+    // keep the group-alias columns that aren't plain row columns
+    // (dotted paths, missing attrs) — scan()/query() order by them
+    val extraKeyCols = keys.map(keyAlias).distinct.filterNot(df.columns.contains)
     df.groupBy(groups: _*)
       .agg(max(packed).as("_last"))
-      .select(df.columns.map(c => col(s"_last.$c")): _*)
+      .select(df.columns.map(c => col(s"_last.$c")) ++ extraKeyCols.map(col): _*)
   }
 
   /** T2 — full state scan ordered by key columns ASC NULLS FIRST

@@ -73,6 +73,12 @@ final class ChannelRuntime(
     @volatile var tickCount: Long = 0L
   }
 
+  // fail fast on misdeclared channels (typo'd basket key columns etc.)
+  specs.values.foreach { s =>
+    s.basketKey.foreach(k => require(s.schema.fieldNames.contains(k),
+      s"Channel '${s.name}': basket key column '$k' not in schema"))
+  }
+
   private val chans: Map[String, Chan] =
     specs.map { case (n, s) => n -> new Chan(s) }
 
@@ -109,7 +115,11 @@ final class ChannelRuntime(
   /** Start one streaming query per channel. */
   def start(): Unit = chans.foreach { case (name, c) =>
     val idIdx = c.schema.fieldNames.indexOf(IdCol)
-    val keyIdxs = c.spec.stateKeyby.map(k => c.schema.fieldNames.indexOf(k))
+    // basket channels without an explicit state keyby still maintain a
+    // per-basket-key frontier (serves lastByBasketKey)
+    val effKeys =
+      if (c.spec.stateKeyby.nonEmpty) c.spec.stateKeyby else c.spec.basketKey.toSeq
+    val keyIdxs = effKeys.map(k => c.schema.fieldNames.indexOf(k))
     val seqIdx = c.schema.fieldNames.indexOf(SeqCol)
     c.query = c.stream.toDF().writeStream
       .queryName(s"graft_$name")
@@ -162,6 +172,14 @@ final class ChannelRuntime(
     */
   def send(name: String, values: Seq[Map[String, Any]]): Seq[Row] = {
     val c = chan(name)
+    // Seq assignment + enqueue must be atomic per channel: concurrent
+    // REST senders would otherwise interleave (A gets seq 1, B gets
+    // seq 2, B's addData lands in the earlier micro-batch) and the
+    // per-batch sort cannot repair cross-batch inversion.
+    c.synchronized { sendLocked(c, name, values) }
+  }
+
+  private def sendLocked(c: Chan, name: String, values: Seq[Map[String, Any]]): Seq[Row] = {
     val rows = values.map { m =>
       val unknown = m.keySet.diff(c.spec.schema.fieldNames.toSet)
       if (unknown.nonEmpty)
@@ -189,8 +207,10 @@ final class ChannelRuntime(
 
   private def sendRows(name: String, rows: Seq[Row]): Unit = {
     val c = chan(name)
-    val reseq = rows.map(r => Row.fromSeq(r.toSeq.dropRight(1) :+ seqGen.incrementAndGet()))
-    c.stream.addData(reseq)
+    c.synchronized {
+      val reseq = rows.map(r => Row.fromSeq(r.toSeq.dropRight(1) :+ seqGen.incrementAndGet()))
+      c.stream.addData(reseq)
+    }
   }
 
   // ---- read path (T2/T3/T5/T6/T7) --------------------------------------
@@ -198,13 +218,17 @@ final class ChannelRuntime(
   /** T5 — most recent tick (None if never ticked). */
   def last(name: String): Option[Row] = chan(name).lastRow
 
-  /** T5 basket variant — last per basket key. */
+  /** T5 basket variant — last per basket key (max seq wins when the
+    * state frontier is keyed more finely than the basket key).
+    */
   def lastByBasketKey(name: String): Map[Any, Row] = {
     val c = chan(name)
     c.spec.basketKey match {
       case Some(k) =>
         val i = c.schema.fieldNames.indexOf(k)
-        c.stateStore.toMap.map { case (_, r) => r.get(i) -> r } // keyed store holds frontier
+        val seqI = c.schema.fieldNames.indexOf(SeqCol)
+        c.stateStore.values.toSeq.groupBy(r => r.get(i))
+          .map { case (key, rs) => key -> rs.maxBy(_.getLong(seqI)) }
       case None => Map.empty
     }
   }
@@ -256,8 +280,11 @@ object ChannelRuntime {
   def coerce(v: Any, dt: org.apache.spark.sql.types.DataType, field: String): Any = (v, dt) match {
     case (null, _) => null
     case (x: Int, LongType) => x.toLong
+    case (x: Long, org.apache.spark.sql.types.IntegerType) => x.toInt
     case (x: Int, org.apache.spark.sql.types.DoubleType) => x.toDouble
     case (x: Long, org.apache.spark.sql.types.DoubleType) => x.toDouble
+    case (x: Double, org.apache.spark.sql.types.FloatType) => x.toFloat
+    case (x: Long, org.apache.spark.sql.types.FloatType) => x.toFloat
     case (x: java.math.BigDecimal, org.apache.spark.sql.types.DoubleType) => x.doubleValue()
     case (x: String, TimestampType) =>
       java.sql.Timestamp.from(java.time.OffsetDateTime.parse(x).toInstant)

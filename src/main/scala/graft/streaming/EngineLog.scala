@@ -37,7 +37,9 @@ object EngineLog {
     // per-cycle buffer: channel -> rows (a cycle may touch many channels)
     private val buf = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Row]]
 
-    runtime.addListener { (channel, rows) => synchronized { buf(channel) = rows } }
+    runtime.addListener { (channel, rows) =>
+      synchronized { buf(channel) = buf.getOrElse(channel, Seq.empty) ++ rows }
+    }
 
     /** Flush buffered ticks as one engine-cycle line. */
     def flushCycle(): Unit = synchronized {

@@ -35,7 +35,8 @@ object StreamingState {
     val seqIdx = schema.fieldIndex(seqCol)
     implicit val rowEnc = Encoders.row(schema)
     implicit val keyEnc = Encoders.STRING
-    df.groupByKey((r: Row) => keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))
+    df.groupByKey((r: Row) => keyIdx.map(i =>
+        if (r.isNullAt(i)) "\u0000N" else String.valueOf(r.get(i))).mkString("\u0001"))
       .flatMapGroupsWithState[Row, Row](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
@@ -67,7 +68,8 @@ object StreamingState {
     implicit val rowEnc = Encoders.row(schema)
     implicit val keyEnc = Encoders.STRING
     implicit val boolEnc = Encoders.BOOLEAN
-    df.groupByKey((r: Row) => keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))
+    df.groupByKey((r: Row) => keyIdx.map(i =>
+        if (r.isNullAt(i)) "\u0000N" else String.valueOf(r.get(i))).mkString("\u0001"))
       .flatMapGroupsWithState[java.lang.Boolean, Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: String, rows: Iterator[Row], state: GroupState[java.lang.Boolean]) =>

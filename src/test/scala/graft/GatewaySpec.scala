@@ -110,6 +110,9 @@ class GatewaySpec extends AnyFunSuite {
       // bob cannot write alice's rows
       assert(post(s"$base/send/example", """{"x":2,"owner":"alice"}""",
         Map("x-identity" -> "bob")).statusCode() === 422)
+      // omitting the auth field entirely must also be rejected
+      assert(post(s"$base/send/example", """{"x":3}""",
+        Map("x-identity" -> "bob")).statusCode() === 422)
       rt.processAllAvailable()
       // alice sees her row; bob sees nothing; anonymous sees nothing
       assert(get(s"$base/state/example", Map("x-identity" -> "alice")).body().contains("alice"))

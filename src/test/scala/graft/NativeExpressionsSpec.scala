@@ -36,6 +36,16 @@ class NativeExpressionsSpec extends AnyFunSuite {
       .collect().foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("cosine: length mismatch yields null (declarative parity), mixed types honored") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(
+      Similarity.cosine($"a", $"b").as("n"),
+      Similarity.cosineDeclarative($"a", $"b").as("d")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    val mixed = Seq((Array(1.0f, 0.0f), Array(1.0, 0.0))).toDF("a", "b")
+    assert(mixed.select(Similarity.cosine($"a", $"b")).collect().head.getDouble(0) === 1.0)
+  }
+
   test("minhash + simhash: native == declarative on real corpus") {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val r = docs.select(

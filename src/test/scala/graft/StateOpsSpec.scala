@@ -30,6 +30,14 @@ class StateOpsSpec extends AnyFunSuite {
     val res = StateOps.lastByKey(ticks, Seq("nope"), "seq").collect()
     assert(res.length === 1)
     assert(res.head.getAs[Int]("v") === 40) // last arrival overall
+    // and the full query path (which orders by the key alias) must not crash
+    assert(StateOps.queryTicks(ticks, Seq("nope"), "seq").collect().length === 1)
+  }
+
+  test("dotted keyby path through the full query path") {
+    val df = ticks.withColumn("nest", org.apache.spark.sql.functions.struct($"k"))
+    val res = StateOps.queryTicks(df, Seq("nest.k"), "seq").collect()
+    assert(res.length === 3)
   }
 
   test("filter query: literal cast to column type, conjunctive") {

@@ -48,6 +48,28 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multi-key grouping does not collide adjacent key fragments") {
+    // ("ab","c") vs ("a","bc") must be distinct groups
+    val s2 = StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType),
+      StructField("seq", LongType)))
+    def r2(a: String, b: String, seq: Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](a, b, seq), s2)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(s2), sqlCtx)
+    val out = StreamingState.dedupStream(stream.toDF(), Seq("a", "b"))
+    val name = s"collide_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("col-ckpt").toString)
+      .start()
+    try {
+      stream.addData(r2("ab", "c", 1), r2("a", "bc", 2), r2(null, "null", 3), r2("null", null, 4))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 4) // all four are distinct keys
+    } finally q.stop()
+  }
+
   test("dedupStream: each key emitted exactly once across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Row](Encoders.row(schema), sqlCtx)
