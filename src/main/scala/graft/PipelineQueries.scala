@@ -274,7 +274,7 @@ object PipelineQueries {
     "a11_session_window" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
         |m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
-        |                       OR t - lag(t) OVER w > INTERVAL 12 HOUR THEN 1 ELSE 0 END AS brk
+        |                       OR t - lag(t) OVER w >= INTERVAL 12 HOUR THEN 1 ELSE 0 END AS brk
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
         |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
         |                               ROWS UNBOUNDED PRECEDING) AS sid FROM m)
@@ -338,7 +338,7 @@ object PipelineQueries {
     "mm1_media_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  len(text) AS n_bytes,
+        |  strlen(text) AS n_bytes,
         |  list_transform(generate_series(0, 7), k ->
         |    len(list_filter(string_split_regex(text,''), c -> (unicode(c) & 7) = k)) * 1.0
         |      / greatest(len(text), 1)) AS feature

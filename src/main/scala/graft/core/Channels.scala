@@ -58,7 +58,7 @@ final case class ChannelSelection(
 ) {
   def select(all: Seq[String]): Seq[String] = {
     val base = include match {
-      case Some(inc) => inc.filter(all.contains)
+      case Some(inc) => inc.distinct.filter(all.contains) // reference dedups (dict keys)
       case None      => all
     }
     base.filterNot(exclude.contains)
@@ -146,10 +146,7 @@ final class ChannelGraph(val specs: Map[String, ChannelSpec]) {
         val all = fromProviders ++ fromTransforms
         if (all.isEmpty) {
           if (spec(name).required) throw new NoProviderException(name)
-          else // null_ts analogue (channels.py:418-421): empty frame
-            org.apache.spark.sql.SparkSession.active
-              .createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-                spec(name).schema)
+          else empty(name) // null_ts analogue (channels.py:418-421)
         } else all.reduce(_.unionByName(_, allowMissingColumns = true))
       }
     )

@@ -51,14 +51,22 @@ object Multimodal {
     * schema, null pass-through) is the production shape.
     */
   def stubDecode(kind: String, payload: Array[Byte]): Array[Double] = {
-    // ??? real codec goes here; deterministic fake below
+    // ??? real codec goes here; deterministic fake below — a codepoint
+    // histogram (not raw bytes) so the cross-engine oracle holds for
+    // multi-byte UTF-8 payloads too
     if (payload == null) null
     else {
+      val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
       val bins = new Array[Double](8)
+      var n = 0
       var i = 0
-      while (i < payload.length) { bins(payload(i) & 7) += 1.0; i += 1 }
-      val n = math.max(payload.length, 1).toDouble
-      bins.map(_ / n)
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        bins(cp & 7) += 1.0
+        n += 1
+        i += Character.charCount(cp)
+      }
+      bins.map(_ / math.max(n, 1).toDouble)
     }
   }
 

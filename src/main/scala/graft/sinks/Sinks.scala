@@ -77,6 +77,7 @@ object Sinks {
     * can supply their own terminal write.
     */
   def insertWithRetry(batch: DataFrame, retries: Int)(write: DataFrame => Unit): Unit = {
+    require(retries >= 0, s"retries must be >= 0, got $retries")
     var attempt = 0
     var done = false
     var lastErr: Throwable = null
@@ -116,14 +117,20 @@ final class ViewServer(runtime: ChannelRuntime) {
   def define(name: String, channel: String, config: ViewConfig): Unit =
     views.put(name, ViewDef(channel, config))
 
-  /** Recompute all views from current channel state. */
+  /** Recompute all views from current channel state. Failures keep the
+    * previous snapshot but are LOGGED — a misconfigured view (typo'd
+    * column, bad aggregate) must not fail silently forever.
+    */
   def refresh(): Unit = views.foreach { case (name, vd) =>
     try {
       val state = runtime.stateFrame(vd.channel)
       snapshots.put(name,
         Views.compile(state, vd.config, seqCol = Some(ChannelRuntime.SeqCol))
           .collect().toSeq)
-    } catch { case NonFatal(_) => () } // view over never-ticked channel: keep last
+    } catch {
+      case NonFatal(e) =>
+        Console.err.println(s"[graft] view '$name' refresh failed: ${e.getMessage}")
+    }
   }
 
   def snapshot(name: String): Seq[Row] = snapshots.getOrElse(name, Nil)

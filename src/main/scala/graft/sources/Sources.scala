@@ -67,12 +67,16 @@ object Sources {
       schema: StructType,
       tsField: Option[String] = None,
       adjustOutOfOrder: Boolean = false): DataFrame = {
+    // broker metadata renamed up front — payloads routinely carry their
+    // own 'timestamp' field and must not collide with it
+    val meta = raw.columns.filterNot(_ == "value")
+      .map(c => col(c).as(s"_kafka_$c"))
     val parsed = raw
       .withColumn("_parsed", from_json(col("value").cast("string"), schema))
-      .select(col("_parsed.*") +: raw.columns.filterNot(_ == "value").map(col): _*)
+      .select(col("_parsed.*") +: meta.toSeq: _*)
     (tsField, adjustOutOfOrder) match {
       case (Some(f), true) if raw.columns.contains("timestamp") =>
-        parsed.withColumn(f, least(col(f), col("timestamp")))
+        parsed.withColumn(f, least(col(f), col("_kafka_timestamp")))
       case _ => parsed
     }
   }
@@ -84,7 +88,9 @@ object Sources {
       topic: String,
       schema: StructType,
       startingOffsets: String = "latest",
-      maxOffsetsPerTrigger: Long = 1000000L): DataFrame = {
+      maxOffsetsPerTrigger: Long = 1000000L,
+      tsField: Option[String] = None,
+      adjustOutOfOrder: Boolean = false): DataFrame = {
     val raw = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
@@ -92,20 +98,23 @@ object Sources {
       .option("startingOffsets", startingOffsets)
       .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger) // backpressure (kafka.py:80)
       .load()
-    parseKafkaValue(raw.select(col("value"), col("timestamp")), schema)
+    parseKafkaValue(raw.select(col("value"), col("timestamp")), schema,
+      tsField, adjustOutOfOrder)
   }
 
-  /** S7 — initializer: tick literal values into a channel at start,
-    * optionally unrolling a list into successive ticks
-    * (reference modules/initializer.py:13-63).
+  /** S7 — initializer: tick literal values into a channel at start.
+    * `unroll=true` spreads the values over SUCCESSIVE engine cycles
+    * (one send per value — the reference schedules one alarm per
+    * element, initializer.py:13-63); `unroll=false` delivers them all
+    * in one cycle.
     */
   def initialize(
       runtime: ChannelRuntime,
       channel: String,
       values: Seq[Map[String, Any]],
       unroll: Boolean = true): Unit =
-    if (unroll) runtime.send(channel, values)
-    else values.foreach(v => runtime.send(channel, Seq(v)))
+    if (unroll) values.foreach(v => runtime.send(channel, Seq(v)))
+    else runtime.send(channel, values)
 
   /** S8 — processing-time timer source (demo/synthetic data driver):
     * one row per interval via the rate source.

@@ -42,7 +42,8 @@ class SourcesSinksSpec extends AnyFunSuite {
       ("""{"id":2,"name":"y","v":1.5}""", ts("2020-01-01 00:00:01"))
     ).toDF("value", "timestamp")
     val plain = Sources.parseKafkaValue(raw, schema)
-    assert(plain.columns.toSeq === Seq("id", "name", "v", "timestamp"))
+    // broker metadata prefixed so a payload 'timestamp' field can't collide
+    assert(plain.columns.toSeq === Seq("id", "name", "v", "_kafka_timestamp"))
     assert(plain.collect().map(_.getAs[Long]("id")).sorted.toSeq === Seq(1L, 2L))
 
     val withTs = StructType(schema.fields :+ StructField("et", TimestampType))
