@@ -53,6 +53,29 @@ object RelationalQueries {
       Transforms.computedIndex(ren, Seq("order_id", "line_no"), "idx")
     }),
 
+    // ---- X4: apply + null-drop channel processor
+    "x4_apply_filter" -> ((s, dir) =>
+      Transforms.applyFilter(
+        t(s, dir, "events").select(col("event_id"), col("value")),
+        "boosted",
+        when(col("value") > 500, col("value") * 2))),
+
+    // ---- X7 + X10: column exclusion + flag updates
+    "x7_exclude_flags" -> ((s, dir) =>
+      Transforms.flagUpdates(
+        Transforms.excludeColumns(t(s, dir, "orders"),
+          Seq("o_orderstatus", "o_orderpriority")),
+        Map("replayed" -> true))),
+
+    // ---- A1 via JSON view layout (perspective server_views config)
+    "a1_json_view" -> ((s, dir) =>
+      Views.compile(t(s, dir, "lineitem"), Views.fromJson(
+        """{"group_by": ["l_returnflag"],
+          |  "aggregates": {"sum_qty": {"col": "l_quantity", "fn": "sum"},
+          |                 "n": {"col": "l_quantity", "fn": "count"}},
+          |  "filter": [["l_linestatus", "==", "F"]],
+          |  "sort": [["l_returnflag", "asc"]]}""".stripMargin))),
+
     // ---- A2: pivot (split_by) through the view compiler
     "a2_pivot" -> ((s, dir) =>
       Views.compile(t(s, dir, "lineitem"), ViewConfig(
@@ -152,6 +175,19 @@ object RelationalQueries {
         |       coalesce(CAST(l_orderkey AS VARCHAR), 'None') || '-' ||
         |         coalesce(CAST(l_linenumber AS VARCHAR), 'None') AS idx
         |FROM lineitem""".stripMargin,
+
+    "x4_apply_filter" ->
+      """SELECT event_id, value, value * 2 AS boosted
+        |FROM events WHERE value > 500""".stripMargin,
+
+    "x7_exclude_flags" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, true AS replayed
+        |FROM orders""".stripMargin,
+
+    "a1_json_view" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(l_quantity) AS n
+        |FROM lineitem WHERE l_linestatus = 'F'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "a2_pivot" ->
       """SELECT l_returnflag,

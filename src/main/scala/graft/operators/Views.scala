@@ -33,6 +33,44 @@ final case class ViewConfig(
 
 object Views {
 
+  /** Parse a Perspective-style JSON view layout into a [[ViewConfig]]
+    * (reference ViewConfig literal, perspective.py:133-142):
+    * `{"group_by":[...], "split_by":{"col":c,"values":[...]},
+    *   "aggregates":{"alias":{"col":c,"fn":f}}, "sort":[[col,"asc"]],
+    *   "filter":[[col,op,operand]], "expressions":{"alias":expr},
+    *   "limit":n, "index":{"keys":[...],"seq":c}}`.
+    */
+  def fromJson(json: String): ViewConfig = {
+    import com.fasterxml.jackson.databind.JsonNode
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    def strs(n: JsonNode): Seq[String] = n.elements().asScala.map(_.asText()).toSeq
+    def opt(name: String): Option[JsonNode] =
+      Option(root.get(name)).filterNot(_.isNull)
+    def value(v: JsonNode): Any =
+      if (v.isIntegralNumber) v.asLong()
+      else if (v.isFloatingPointNumber) v.asDouble()
+      else if (v.isBoolean) v.asBoolean()
+      else v.asText()
+    ViewConfig(
+      groupBy = opt("group_by").map(strs).getOrElse(Nil),
+      splitBy = opt("split_by").map(n => (n.get("col").asText(), strs(n.get("values")))),
+      aggregates = opt("aggregates").map(_.properties().asScala.map { e =>
+        e.getKey -> (e.getValue.get("col").asText(), e.getValue.get("fn").asText())
+      }.toSeq).getOrElse(Nil),
+      sort = opt("sort").map(_.elements().asScala.map { p =>
+        (p.get(0).asText(), p.get(1).asText() == "asc")
+      }.toSeq).getOrElse(Nil),
+      filter = opt("filter").map(_.elements().asScala.map { f =>
+        (f.get(0).asText(), f.get(1).asText(), value(f.get(2)))
+      }.toSeq).getOrElse(Nil),
+      expressions = opt("expressions").map(_.properties().asScala.map { e =>
+        e.getKey -> e.getValue.asText()
+      }.toSeq).getOrElse(Nil),
+      limit = opt("limit").map(_.asInt()),
+      index = opt("index").map(n => (strs(n.get("keys")), n.get("seq").asText())))
+  }
+
   /** Aggregate name -> Column fn, matching Perspective's aggregate set
     * (sum/avg/count/median/min/max/distinct count …).
     */
