@@ -76,6 +76,15 @@ object RelationalQueries {
           |  "filter": [["l_linestatus", "==", "F"]],
           |  "sort": [["l_returnflag", "asc"]]}""".stripMargin))),
 
+    // ---- X5c: semi-structured extraction from a JSON payload column
+    "x5_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+
     // ---- A2: pivot (split_by) through the view compiler
     "a2_pivot" -> ((s, dir) =>
       Views.compile(t(s, dir, "lineitem"), ViewConfig(
@@ -188,6 +197,13 @@ object RelationalQueries {
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(l_quantity) AS n
         |FROM lineitem WHERE l_linestatus = 'F'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "x5_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        |       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |       max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "a2_pivot" ->
       """SELECT l_returnflag,
