@@ -97,6 +97,29 @@ class ChannelRuntimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally rt.stop()
   }
 
+  test("concurrent senders: per-channel seq order holds, no ticks lost") {
+    val rt = newRuntime()
+    rt.start()
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val futures = (0 until 8).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until 50).foreach { i =>
+            rt.send("example", Seq(Map("x" -> (t * 1000L + i), "y" -> s"k$t")))
+          }
+        })
+      }
+      futures.foreach(_.get())
+      pool.shutdown()
+      rt.processAllAvailable()
+      assert(rt.tickCount("example") === 400L)
+      // per-key last must be each thread's final value (seq order intact)
+      val st = rt.state("example")
+        .map(r => (r.getAs[String]("y"), r.getAs[Long]("x"))).toMap
+      (0 until 8).foreach(t => assert(st(s"k$t") === t * 1000L + 49))
+    } finally rt.stop()
+  }
+
   test("feedback edge re-injects with one-batch delay (T8)") {
     val rt = newRuntime()
     rt.addFeedback("example", "out") { r =>
