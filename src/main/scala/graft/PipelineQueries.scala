@@ -86,8 +86,14 @@ object PipelineQueries {
     "d4_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2)),
 
-    // ---- embedding-cosine near-dup pairs (exact; LSH path in s2)
+    // ---- embedding-cosine near-dup pairs on the SCALE path: sign-LSH
+    // bucket equi-join (never all-pairs); exact variant kept below
     "d5_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45,
+        blocked = true)),
+
+    // ---- exact all-pairs variant (small-N verification runs only)
+    "d5b_embed_neardup_exact" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
 
     // ---- ANN brute-force cosine top-k (broadcast queries)
@@ -142,14 +148,25 @@ object PipelineQueries {
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextFunctions.langId(col("text")).as("lang_detected"))),
 
-    // ---- winnowing document fingerprint (rolling hash)
+    // ---- winnowing document fingerprint (rolling hash), exploded to
+    // (doc_id, fp) rows — the gate-friendly shape (the driver's oracle
+    // harness cannot lex-sort list columns); docs too short to window
+    // contribute zero rows on both sides
     "tx4_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.fingerprint(col("text"), k = 8, w = 4).as("fps"))),
+      t(s, dir, "documents")
+        // materialize the array in a projection BELOW the Generate:
+        // inlining the nested-transform expression into explode() makes
+        // the generator evaluate it interpreted (measured 64s vs ~1s)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text"), k = 8, w = 4).as("fps"))
+        .select(col("doc_id"), explode(col("fps")).as("fp"))),
 
-    // ---- multimodal: batch decode/feature-extract over binary payloads
+    // ---- multimodal: batch decode/feature-extract over binary
+    // payloads; 8-dim feature unnested to (media_id, bin, value) rows
+    // (gate-friendly: no list columns in the output)
     "mm1_media_features" -> ((s, dir) =>
-      Multimodal.decodeFeatures(Multimodal.syntheticMedia(t(s, dir, "documents")))),
+      Multimodal.decodeFeatures(Multimodal.syntheticMedia(t(s, dir, "documents")))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          posexplode(col("feature")).as(Seq("bin", "value")))),
 
     // ---- multimodal: video frame sampling
     "mm2_frame_sample" -> ((s, dir) =>
@@ -221,6 +238,14 @@ object PipelineQueries {
          |SELECT id1, id2, hamming FROM hd WHERE hamming <= 2""".stripMargin,
 
     "d5_embed_neardup" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS b FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |         ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |  FROM bk a JOIN bk b ON a.b = b.b AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.45""".stripMargin,
+
+    "d5b_embed_neardup_exact" ->
       s"""SELECT * FROM (
          |  SELECT a.vec_id AS id1, b.vec_id AS id2,
          |         ${cosSql("a.embedding", "b.embedding")} AS cosine
@@ -329,20 +354,18 @@ object PipelineQueries {
          |         [${phSql("substr(text, i, 8)")} for i in generate_series(1, L-7)] AS kh
          |       FROM b WHERE L >= 11),
          |f AS (SELECT doc_id,
-         |        list_sort(list_distinct([list_min(kh[j:j+3]) for j in generate_series(1, len(kh)-3)])) AS fps
+         |        list_distinct([list_min(kh[j:j+3]) for j in generate_series(1, len(kh)-3)]) AS fps
          |      FROM kh)
-         |SELECT doc_id, fps FROM f
-         |UNION ALL
-         |SELECT doc_id, CAST([] AS BIGINT[]) AS fps FROM b WHERE L < 11""".stripMargin,
+         |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin,
 
     "mm1_media_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  strlen(text) AS n_bytes,
-        |  list_transform(generate_series(0, 7), k ->
-        |    len(list_filter(string_split_regex(text,''), c -> (unicode(c) & 7) = k)) * 1.0
-        |      / greatest(len(text), 1)) AS feature
-        |FROM documents""".stripMargin,
+        |  k AS bin,
+        |  len(list_filter(string_split_regex(text,''), c -> (unicode(c) & 7) = k)) * 1.0
+        |    / greatest(len(text), 1) AS value
+        |FROM documents, (SELECT unnest(generate_series(0, 7)) AS k)""".stripMargin,
 
     "mm2_frame_sample" ->
       """SELECT doc_id AS media_id,

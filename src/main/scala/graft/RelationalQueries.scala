@@ -200,7 +200,7 @@ object RelationalQueries {
 
     "x5_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
         |       max(CAST(props->>'$.k' AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,

@@ -190,6 +190,63 @@ case class SimHashExpr(child: Expression, bits: Int)
   override def prettyName: String = "graft_simhash"
 }
 
+object WinnowFp {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03) in one fused
+    * pass: polyHash of every k-codepoint gram, minimum of each sliding
+    * window of w hashes, sorted distinct minima. Identical values to
+    * the declarative substr/transform/slice formulation (and the DuckDB
+    * oracle) — same codepoint indexing, same hash, same window bounds.
+    * O(len·k) vs the declarative form's per-row array-of-arrays
+    * materialization (measured 199s → sub-second at sf0.01).
+    */
+  def fp(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val L = cps.length
+    if (L < k + w - 1) return new GenericArrayData(Array.emptyLongArray)
+    val m = L - k + 1
+    val kh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * 31 + cps(i + j)) % PolyHash.P; j += 1 }
+      kh(i) = h
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var j2 = 0
+    val nw = m - w + 1
+    while (j2 < nw) {
+      var mn = Long.MaxValue
+      var t = 0
+      while (t < w) { if (kh(j2 + t) < mn) mn = kh(j2 + t); t += 1 }
+      seen.add(mn)
+      j2 += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_winnow_fp(text, k, w)` — fused winnowing fingerprint. */
+case class WinnowFpExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    WinnowFp.fp(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowFp.fp($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_winnow_fp"
+}
+
 object NativeExpressions {
   /** Column wrappers for direct DataFrame use. */
   def polyHash(c: Column): Column =
@@ -201,6 +258,8 @@ object NativeExpressions {
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), numHashes))
   def simhash(tokens: Column, bits: Int): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens), bits))
+  def winnowFp(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFpExpr(ColumnBridge.expression(text), k, w))
 }
 
 /** SparkSessionExtensions hook: registers the native functions into

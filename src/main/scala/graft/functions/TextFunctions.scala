@@ -124,7 +124,14 @@ object TextFunctions {
     * local edits; the standard near-dup sketch for plagiarism-style
     * matching. Empty result for texts shorter than `k + w - 1` chars.
     */
-  def fingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
+  def fingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
+    NativeExpressions.winnowFp(text, k, w)
+
+  /** Declarative fingerprint — the SQL-portable specification,
+    * bit-equal to [[fingerprint]] (spec-checked). Materializes the
+    * k-gram hash array per row; use only for small verification runs.
+    */
+  def fingerprintDeclarative(text: Column, k: Int = 8, w: Int = 4): Column = {
     val m = length(text) - lit(k - 1) // number of k-grams
     val kh = transform(sequence(lit(1), m), i => polyHash(text.substr(i, lit(k))))
     val mins = transform(sequence(lit(1), m - lit(w - 1)), j => array_min(slice(kh, j, lit(w))))

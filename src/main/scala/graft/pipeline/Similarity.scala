@@ -92,9 +92,11 @@ object Similarity {
     * `centroids` rows partitions the corpus — every vector is assigned
     * to its nearest centroid (argmax cosine, ties to the lowest
     * centroid id) and queries probe only their own cell. The classic
-    * billion-scale layout (IVF-Flat): assignment is a
-    * broadcast-nested-loop against the tiny centroid set (no corpus
-    * shuffle), probing is a bucket equi-join on the cell id.
+    * billion-scale layout (IVF-Flat): the quantizer is tiny metadata
+    * (FAISS ships it to every worker the same way), so assignment is a
+    * *narrow per-row argmax* — a fold over a centroid array literal
+    * embedded in the plan. Zero Exchange before the cell-probe join:
+    * no N×C shuffle, no window sort, the corpus never moves.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -103,16 +105,30 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val cents = broadcast(centroids.select(col(idCol).as("_c"), col(vecCol).as("_ce")))
-    def assign(df: DataFrame, outId: String, outVec: String): DataFrame = {
-      val w = Window.partitionBy(col(outId)).orderBy(col("_cos").desc, col("_c").asc)
+    // Coarse quantizer → driver: bounded by nlist (≤ ~64k cells), the
+    // standard IVF contract; this is plan metadata, not data movement.
+    val cents = centroids.select(col(idCol).cast("long").as("_c"), col(vecCol).as("_ce"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfTopK needs a non-empty centroid set")
+    val centArr = array(cents.map { case (cid, v) =>
+      struct(lit(cid).as("c"), typedLit(v).as("ce"))
+    }: _*)
+    def assign(df: DataFrame, outId: String, outVec: String): DataFrame =
       df.select(col(idCol).as(outId), col(vecCol).as(outVec))
-        .crossJoin(cents)
-        .withColumn("_cos", cosine(col(outVec), col("_ce")))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col(outId), col(outVec), col("_c").as("_cell"))
-    }
+        .withColumn("_best",
+          // left-to-right fold in ascending centroid-id order; strict >
+          // keeps the lowest id on cosine ties (same total order as the
+          // declarative row_number(cos DESC, c ASC) specification)
+          aggregate(centArr,
+            struct(lit(Double.NegativeInfinity).as("cos"), lit(-1L).as("c")),
+            (acc, ct) => {
+              val cs = cosine(col(outVec), ct.getField("ce"))
+              when(cs > acc.getField("cos"),
+                struct(cs.as("cos"), ct.getField("c").as("c"))).otherwise(acc)
+            }))
+        .select(col(outId), col(outVec), col("_best.c").as("_cell"))
     val c = assign(corpus, "cid", "_cv")
     val q = assign(queries, "qid", "_qv")
     val scored = c.join(broadcast(q), Seq("_cell"))

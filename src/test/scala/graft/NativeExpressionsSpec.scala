@@ -60,6 +60,21 @@ class NativeExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing fingerprint: native == declarative on real corpus + edges") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val r = docs.select(
+      TextFunctions.fingerprint($"text").as("fn"),
+      TextFunctions.fingerprintDeclarative($"text").as("fd")).collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getSeq[Long](0) === row.getSeq[Long](1)))
+    // short-text edge: below k+w-1 chars → empty on both sides
+    val edge = Seq("", "tiny", "exactly 10", "exactly 11.").toDF("text").select(
+      TextFunctions.fingerprint($"text").as("fn"),
+      TextFunctions.fingerprintDeclarative($"text").as("fd")).collect()
+    edge.foreach(row => assert(row.getSeq[Long](0) === row.getSeq[Long](1)))
+    assert(edge(0).getSeq[Long](0).isEmpty && edge(3).getSeq[Long](0).nonEmpty)
+  }
+
   test("expressions registered in SQL via GraftExtensions") {
     // TestSpark session is built by GraftSession -> extensions active
     val r = spark.sql("SELECT graft_polyhash('abc') AS h, graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")

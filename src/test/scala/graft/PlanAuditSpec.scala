@@ -56,6 +56,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ObjectHashAggregate"), p)
   }
 
+  test("d5 embedding near-dup (blocked) plans a bucket equi-join, no nested-loop") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val p = plan(graft.pipeline.Dedup.embeddingNearDupPairs(
+      emb, "vec_id", "embedding", 0.45, blocked = true))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("IVF cell assignment is narrow: no Exchange before the probe join") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    // Mirror ivfTopK's assign stage: corpus → (id, vec, cell). The whole
+    // stage must be a narrow projection over the scan — any Exchange or
+    // Window here would shuffle N×C rows at scale.
+    val out = graft.pipeline.Similarity.ivfTopK(
+      emb, emb.filter(col("vec_id") < 4),
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 104),
+      "vec_id", "embedding", k = 2)
+    val p = plan(out)
+    // exactly ONE window operator (the final per-query top-k) — the old
+    // assignment computed argmax via row_number over N×C scored rows
+    assert("Window \\[".r.findAllIn(p).size === 1, p)
+    // and only the exchanges the probe join + final top-k need: one
+    // BroadcastExchange (query side), one hashpartitioning(qid) for the
+    // top-k window; corpus assignment itself never shuffles
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"assignment leaked a shuffle ($shuffles hash exchanges):\n$p")
+  }
+
   test("strictCompat projection degrades types per reference rules") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2), Map("k" -> "v"))).toDF("a", "xs", "m")
