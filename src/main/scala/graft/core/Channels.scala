@@ -36,8 +36,22 @@ final case class ChannelSpec(
     schema: StructType,
     /** dict-basket key column, if this channel is a keyed basket. */
     basketKey: Option[String] = None,
+    /** declared basket key set (reference: enum/list-typed dict-basket
+      * keys — routes 404 / ws messages void on keys outside it). None =
+      * open key domain (str-typed basket).
+      */
+    basketKeys: Option[Seq[String]] = None,
     /** `s_`-state requested: keyby attribute names (may be dotted). */
     stateKeyby: Seq[String] = Nil,
+    /** T7 lookup opt-out (reference base.py:72-78 `omit_from_lookup`:
+      * the registry's "substantial memory overhead" escape hatch). */
+    omitFromLookup: Boolean = false,
+    /** Upper bound on retained lookup entries per channel, evicting
+      * oldest-inserted first. The reference registry grows without
+      * bound (documented OOM at sustained ingest); a bound is the
+      * 100×-ingest-safe default.
+      */
+    lookupMaxEntries: Int = 1 << 20,
     /** required=false channels resolve to an empty frame when unset. */
     required: Boolean = true
 )

@@ -56,6 +56,66 @@ object Monitoring {
       opsgeniePriority(col(levelCol)).as("priority"),
       tagList(col(tagsCol)).as("tags"))
 
+  /** Python logging level per canonical level (util.py:314-346 —
+    * critical=50, error=40, warning=30, info=20, debug=10).
+    */
+  def loggingLevel(level: Column): Column =
+    when(level === "CRITICAL", lit(50))
+      .when(level === "ERROR", lit(40))
+      .when(level === "WARNING", lit(30))
+      .when(level === "INFO", lit(20))
+      .otherwise(lit(10))
+
+  /** K7 — Symphony chat publisher transform (symphony.py:93-117): one
+    * message per row, `msg` = JSON of the row dict, addressed to the
+    * configured bot user + room. List channels unroll upstream (X2).
+    */
+  def toSymphonyMessages(df: DataFrame, user: String, room: String): DataFrame =
+    df.select(
+      lit(user).as("user"),
+      lit(room).as("room"),
+      to_json(struct(df.columns.map(col): _*)).as("msg"))
+
+  /** Logfire method name for a python log-level threshold
+    * (logfire.py:515-523: <=10 debug, <=20 info, <=30 warn, else
+    * error).
+    */
+  def logfireMethod(logLevel: Int): String =
+    if (logLevel <= 10) "debug"
+    else if (logLevel <= 20) "info"
+    else if (logLevel <= 30) "warn"
+    else "error"
+
+  /** K7 — Logfire channel-tick log records (logfire.py:368-523):
+    * structured attributes `{channel, [csp_timestamp,] data}` with
+    * message `"Channel tick: {channel}"`; dict-basket channels render
+    * as `channel[key]` (logfire.py:444-452). Pure transform — the POST
+    * is a foreachBatch HTTP call downstream.
+    */
+  def toLogfireRecords(
+      df: DataFrame,
+      channelName: String,
+      basketKeyCol: Option[String] = None,
+      logLevel: Int = 20,
+      includeMetadata: Boolean = true,
+      tsCol: Option[String] = None): DataFrame = {
+    val chanCol = basketKeyCol match {
+      case Some(k) => concat(lit(s"$channelName["), col(k).cast("string"), lit("]"))
+      case None    => lit(channelName)
+    }
+    val base = Seq(
+      chanCol.as("channel"),
+      concat(lit("Channel tick: "), chanCol).as("message"),
+      lit(logfireMethod(logLevel)).as("method"),
+      to_json(struct(df.columns.map(col): _*)).as("data"))
+    val meta =
+      if (includeMetadata)
+        Seq(tsCol.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string"))
+          .as("csp_timestamp"))
+      else Nil
+    df.select(base ++ meta: _*)
+  }
+
   /** X15 — stats/controls enrichment: on a `controls` tick with
     * name="stats", enrich the row with process stats in place
     * (modules/controls/controls.py:49-89). Serving-layer row map.

@@ -45,6 +45,13 @@ final class Gateway(
 
   def boundPort: Int = server.getAddress.getPort
 
+  /** S6 — companion WebSocket endpoint (RFC 6455 needs a raw socket;
+    * the JDK http server cannot upgrade connections, so it binds its
+    * own port). Same runtime, same identity filtering.
+    */
+  private val ws = new WebSocketServer(runtime, authFilterFields)
+  def wsPort: Int = ws.boundPort
+
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -80,10 +87,37 @@ final class Gateway(
       val identity = Option(ex.getRequestHeaders.getFirst("x-identity"))
       parts match {
         case "last" :: name :: Nil if known(name) =>
-          respond(ex, 200, rowsJson(name, identityFilter(name, identity, runtime.last(name).toSeq)))
+          // dict-basket channels return the whole basket: one row per
+          // key, key-sorted (reference last.py:84-111 get_last_basket)
+          val rows =
+            if (isBasket(name))
+              runtime.lastByBasketKey(name).toSeq
+                .sortBy(kv => String.valueOf(kv._1)).map(_._2)
+            else runtime.last(name).toSeq
+          respond(ex, 200, rowsJson(name, identityFilter(name, identity, rows)))
+        case "last" :: name :: key :: Nil if isBasket(name) =>
+          // per-key last (reference last.py:36-76): a key outside the
+          // channel's key set → 404; declared-but-unticked → []
+          val observed = runtime.lastByBasketKey(name).collectFirst {
+            case (k, row) if String.valueOf(k) == key => row
+          }
+          val declared = runtime.specs(name).basketKeys.exists(_.contains(key))
+          if (observed.isEmpty && !declared)
+            respond(ex, 404, s"""{"detail":"Channel not found: $name/$key"}""")
+          else
+            respond(ex, 200, rowsJson(name, identityFilter(name, identity, observed.toSeq)))
         case "next" :: name :: Nil if known(name) =>
           val r = runtime.awaitNext(name, 30.seconds)
           respond(ex, 200, rowsJson(name, identityFilter(name, identity, r.toSeq)))
+        case "next" :: name :: key :: Nil if isBasket(name) =>
+          // per-key next (reference futures/adapter.py:99-127); keys
+          // outside a declared key set → 404
+          if (!keyDeclared(name, key))
+            respond(ex, 404, s"""{"detail":"Channel not found: $name/$key"}""")
+          else {
+            val r = runtime.awaitNextByKey(name, key, 30.seconds)
+            respond(ex, 200, rowsJson(name, identityFilter(name, identity, r.toSeq)))
+          }
         case "state" :: name :: Nil if known(name) =>
           val q = queryParam(ex).map(QueryTranslator.parseJson)
             .getOrElse(graft.state.StateQuery())
@@ -100,12 +134,27 @@ final class Gateway(
           }
         case "stream" :: name :: Nil if known(name) =>
           handleStream(ex, name)
-        case "send" :: name :: Nil if known(name) && ex.getRequestMethod == "POST" =>
+        case "send" :: name :: rest if known(name) && rest.size <= 1 &&
+            ex.getRequestMethod == "POST" && (rest.isEmpty || isBasket(name)) =>
+          // /send/{ch} or /send/{ch}/{key} (reference send.py:41-87):
+          // the path key is injected as the basket key column
+          val keyOpt = rest.headOption
+          if (keyOpt.exists(k => !keyDeclared(name, k))) {
+            respond(ex, 404, s"""{"detail":"Channel not found: $name/${keyOpt.get}"}""")
+            return
+          }
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           val node = mapper.readTree(body)
           val objs: Seq[JsonNode] =
             if (node.isArray) node.elements().asScala.toSeq else Seq(node)
-          val maps = objs.map(jsonToMap)
+          val keyCol = runtime.specs(name).basketKey
+          val maps = objs.map { o =>
+            val m = jsonToMap(o)
+            (keyCol, keyOpt) match {
+              case (Some(col), Some(k)) => m + (col -> k)
+              case _                    => m
+            }
+          }
           // X13 write validation: rows must carry the caller's identity
           authFilterFields.get(name).foreach { field =>
             // the auth field must be PRESENT and equal — a row omitting
@@ -177,6 +226,14 @@ final class Gateway(
 
   private def known(name: String): Boolean = runtime.specs.contains(name)
 
+  private def isBasket(name: String): Boolean =
+    runtime.specs.get(name).exists(_.basketKey.isDefined)
+
+  /** Key admissible for a basket channel: inside the declared key set,
+    * or any key when the domain is open (str-typed basket). */
+  private def keyDeclared(name: String, key: String): Boolean =
+    runtime.specs.get(name).forall(_.basketKeys.forall(_.contains(key)))
+
   private def queryParam(ex: HttpExchange): Option[String] =
     Option(ex.getRequestURI.getRawQuery).flatMap(_.split("&").collectFirst {
       case kv if kv.startsWith("query=") =>
@@ -198,8 +255,12 @@ final class Gateway(
   def start(): Gateway = {
     server.createContext("/api/v1", (ex: HttpExchange) => handle(ex))
     server.start()
+    ws.start()
     this
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    ws.stop()
+    server.stop(0)
+  }
 }

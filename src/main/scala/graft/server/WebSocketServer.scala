@@ -1,0 +1,317 @@
+package graft.server
+
+import java.io.{DataInputStream, DataOutputStream, IOException}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.Base64
+import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.streaming.{ChannelRuntime, EngineLog}
+
+/** S6/K8 — true WebSocket endpoint (RFC 6455, hand-rolled on a
+  * `ServerSocket`: the JDK http server cannot hijack connections for
+  * an Upgrade) implementing the reference's single-socket multiplexing
+  * protocol (websocket.py:234-269; frame shape :183-225):
+  *
+  *   client → server: {"action":"subscribe"|"unsubscribe"|"send",
+  *                     "channel":c, ["key":k,] ["data":obj|[obj…]]}
+  *   server → client: {"channel":c, ["key":"k",] "data":{row}}  per tick row
+  *                    {"channel":"heartbeat","data":"PING"}     every pingMillis
+  *
+  * Reference semantics reproduced:
+  *  - one connection multiplexes many channels; a per-connection
+  *    subscription set decides fanout (websocket.py:366-378);
+  *  - malformed/unknown action, channel, or key → message IGNORED
+  *    (logged), connection stays up (websocket.py:255-300);
+  *  - dict-basket channels address entries by "key": subscribe/
+  *    unsubscribe without a key covers the whole basket
+  *    (websocket.py:271-279), send REQUIRES a key (:281-283), and a
+  *    key on a non-basket channel voids the message (:280-282);
+  *  - send validates rows exactly like the REST path (S5) and ingests
+  *    into the channel stream; per-identity row filtering (X13) holds
+  *    on egress frames;
+  *  - JSON heartbeat frames (not ws pings) every interval, matching
+  *    handle_heartbeat_connection (websocket.py:162-181).
+  *
+  * Demand control: the runtime listener is attached per connection and
+  * detached on close — with no sockets connected the streaming side
+  * pays nothing (make_active/make_passive analogue).
+  */
+final class WebSocketServer(
+    runtime: ChannelRuntime,
+    authFilterFields: Map[String, String] = Map.empty,
+    port: Int = 0,
+    pingMillis: Long = 1000L) {
+
+  private val mapper = new ObjectMapper()
+  private val server = new ServerSocket(port)
+  private val conns = ConcurrentHashMap.newKeySet[Conn]()
+  private val pinger = Executors.newSingleThreadScheduledExecutor { r =>
+    val t = new Thread(r, "graft-ws-ping"); t.setDaemon(true); t
+  }
+  @volatile private var running = true
+
+  def boundPort: Int = server.getLocalPort
+
+  /** One socket: reader thread + synchronized writer + subscriptions. */
+  private final class Conn(socket: Socket) {
+    val in = new DataInputStream(socket.getInputStream)
+    val out = new DataOutputStream(socket.getOutputStream)
+    /** (channel, Some(keyString)) or (channel, None) = whole channel /
+      * whole basket. */
+    val subs = ConcurrentHashMap.newKeySet[(String, Option[String])]()
+    @volatile var identity: Option[String] = None
+    private val writeLock = new Object
+
+    val listener: (String, Seq[org.apache.spark.sql.Row]) => Unit = (ch, rows) =>
+      runtime.specs.get(ch).foreach { spec =>
+        val basket = spec.basketKey
+        val wantAll = subs.contains((ch, None))
+        val schema = runtime.runtimeSchema(spec)
+        val keyIdx = basket.map(schema.fieldNames.indexOf(_)).getOrElse(-1)
+        rows.foreach { r =>
+          val rowKey = if (keyIdx >= 0 && !r.isNullAt(keyIdx)) Some(String.valueOf(r.get(keyIdx))) else None
+          val subscribed = wantAll || (basket.isDefined && rowKey.exists(k => subs.contains((ch, Some(k)))))
+          if (subscribed && identityAllows(ch, r, schema)) {
+            val frame = mapper.createObjectNode()
+            frame.put("channel", ch)
+            if (basket.isDefined) rowKey.foreach(frame.put("key", _))
+            frame.set[JsonNode]("data", EngineLog.rowToJson(mapper, r, schema))
+            sendText(mapper.writeValueAsString(frame))
+          }
+        }
+      }
+
+    private def identityAllows(
+        ch: String, r: org.apache.spark.sql.Row,
+        schema: org.apache.spark.sql.types.StructType): Boolean =
+      authFilterFields.get(ch) match {
+        case Some(field) =>
+          identity.exists { id =>
+            val i = schema.fieldNames.indexOf(field)
+            i >= 0 && !r.isNullAt(i) && String.valueOf(r.get(i)) == id
+          }
+        case None => true
+      }
+
+    def sendText(s: String): Unit = writeLock.synchronized {
+      try writeFrame(out, 0x1, s.getBytes(StandardCharsets.UTF_8))
+      catch { case _: IOException => close() }
+    }
+
+    def sendRaw(opcode: Int, payload: Array[Byte]): Unit = writeLock.synchronized {
+      try writeFrame(out, opcode, payload)
+      catch { case _: IOException => close() }
+    }
+
+    def close(): Unit = {
+      conns.remove(this)
+      runtime.removeListener(listener)
+      try socket.close() catch { case _: IOException => () }
+    }
+  }
+
+  // ---- protocol handling --------------------------------------------------
+
+  private def handleMessage(conn: Conn, text: String): Unit = {
+    val node = try mapper.readTree(text) catch { case NonFatal(_) => return }
+    if (node == null || !node.isObject) return
+    val action = Option(node.get("action")).map(_.asText()).orNull
+    if (action == null || !Set("subscribe", "unsubscribe", "send").contains(action)) return
+    val channel = Option(node.get("channel")).map(_.asText()).filter(_.nonEmpty).orNull
+    if (channel == null) return
+    val spec = runtime.specs.getOrElse(channel, return)
+    val rawKey = Option(node.get("key")).filterNot(_.isNull).map(_.asText())
+    // a key outside a declared basket key set voids the message
+    // (reference: key type-adapter validation failure → ignored)
+    if (spec.basketKeys.exists(ks => rawKey.exists(k => !ks.contains(k)))) return
+
+    (spec.basketKey, rawKey) match {
+      case (None, Some(_)) => () // key on a non-basket channel: ignore message
+      case (Some(_), None) =>
+        action match {
+          case "subscribe"   => conn.subs.add((channel, None))
+          case "unsubscribe" =>
+            // whole-basket unsubscribe clears the wildcard AND per-key subs
+            conn.subs.removeIf(s => s._1 == channel)
+          case "send" => () // basket send requires a key: ignore
+        }
+      case (basket, key) =>
+        action match {
+          case "subscribe"   => conn.subs.add((channel, key))
+          case "unsubscribe" => conn.subs.remove((channel, key))
+          case "send" =>
+            val data = node.get("data")
+            if (data == null || data.isNull) return
+            val objs: Seq[JsonNode] =
+              if (data.isArray) data.elements().asScala.toSeq else Seq(data)
+            val withKey = basket.zip(key) // Some((col, k)) on basket channels
+            try {
+              val maps = objs.map { o =>
+                val m = jsonToMap(o)
+                withKey match {
+                  case Some((col, k)) => m + (col -> k)
+                  case None           => m
+                }
+              }
+              // X13 write validation, same rule as the REST send path
+              authFilterFields.get(channel).foreach { field =>
+                conn.identity match {
+                  case Some(id) if maps.forall(_.get(field).exists(v => String.valueOf(v) == id)) => ()
+                  case _ => throw new IllegalArgumentException(s"identity mismatch on '$field'")
+                }
+              }
+              runtime.send(channel, maps)
+            } catch {
+              case NonFatal(_) => () // reference: send errors logged + ignored
+            }
+        }
+    }
+  }
+
+  private def jsonToMap(node: JsonNode): Map[String, Any] =
+    node.properties().asScala.map { e =>
+      val v = e.getValue
+      val value: Any =
+        if (v.isNull) null
+        else if (v.isIntegralNumber) v.asLong()
+        else if (v.isFloatingPointNumber) v.asDouble()
+        else if (v.isBoolean) v.asBoolean()
+        else v.asText()
+      e.getKey -> value
+    }.toMap
+
+  // ---- RFC 6455 wire ------------------------------------------------------
+
+  private def handshake(conn: Conn): Boolean = {
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(conn.in, StandardCharsets.ISO_8859_1))
+    val requestLine = reader.readLine()
+    if (requestLine == null || !requestLine.startsWith("GET")) return false
+    var wsKey: String = null
+    var line = reader.readLine()
+    while (line != null && line.nonEmpty) {
+      val idx = line.indexOf(':')
+      if (idx > 0) {
+        val name = line.substring(0, idx).trim.toLowerCase
+        val value = line.substring(idx + 1).trim
+        if (name == "sec-websocket-key") wsKey = value
+        if (name == "x-identity") conn.identity = Some(value)
+      }
+      line = reader.readLine()
+    }
+    if (wsKey == null) return false
+    val accept = Base64.getEncoder.encodeToString(
+      MessageDigest.getInstance("SHA-1").digest(
+        (wsKey + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes(StandardCharsets.US_ASCII)))
+    conn.out.write(
+      ("HTTP/1.1 101 Switching Protocols\r\n" +
+        "Upgrade: websocket\r\n" +
+        "Connection: Upgrade\r\n" +
+        s"Sec-WebSocket-Accept: $accept\r\n\r\n").getBytes(StandardCharsets.ISO_8859_1))
+    conn.out.flush()
+    true
+  }
+
+  /** Read one complete (possibly fragmented) message. None = EOF/close. */
+  private def readMessage(conn: Conn): Option[(Int, Array[Byte])] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    var firstOpcode = -1
+    var fin = false
+    while (!fin) {
+      val b0 = conn.in.read()
+      if (b0 < 0) return None
+      fin = (b0 & 0x80) != 0
+      val opcode = b0 & 0x0f
+      if (firstOpcode < 0 || opcode != 0) {
+        if (opcode != 0) firstOpcode = opcode
+      }
+      val b1 = conn.in.read()
+      if (b1 < 0) return None
+      val masked = (b1 & 0x80) != 0
+      var len: Long = (b1 & 0x7f).toLong
+      if (len == 126) len = ((conn.in.read() & 0xff) << 8) | (conn.in.read() & 0xff)
+      else if (len == 127) len = conn.in.readLong()
+      if (len > 16 * 1024 * 1024) return None // sanity bound
+      val mask = if (masked) { val m = new Array[Byte](4); conn.in.readFully(m); m } else null
+      val payload = new Array[Byte](len.toInt)
+      conn.in.readFully(payload)
+      if (masked) {
+        var i = 0
+        while (i < payload.length) { payload(i) = (payload(i) ^ mask(i % 4)).toByte; i += 1 }
+      }
+      // control frames (8/9/10) may interleave with fragments: handle inline
+      if (opcode >= 8) return Some((opcode, payload))
+      buf.write(payload)
+    }
+    Some((firstOpcode, buf.toByteArray))
+  }
+
+  private def writeFrame(out: DataOutputStream, opcode: Int, payload: Array[Byte]): Unit = {
+    out.write(0x80 | opcode)
+    val n = payload.length
+    if (n < 126) out.write(n)
+    else if (n < 65536) { out.write(126); out.write((n >> 8) & 0xff); out.write(n & 0xff) }
+    else { out.write(127); out.writeLong(n.toLong) }
+    out.write(payload)
+    out.flush()
+  }
+
+  private def serve(socket: Socket): Unit = {
+    val conn = new Conn(socket)
+    try {
+      if (!handshake(conn)) { socket.close(); return }
+      conns.add(conn)
+      runtime.addListener(conn.listener)
+      var open = true
+      while (open) {
+        readMessage(conn) match {
+          case None => open = false
+          case Some((0x8, payload)) => // close: echo + drop
+            conn.sendRaw(0x8, payload)
+            open = false
+          case Some((0x9, payload)) => conn.sendRaw(0xA, payload) // ping → pong
+          case Some((0xA, _)) => () // pong
+          case Some((0x1, payload)) =>
+            handleMessage(conn, new String(payload, StandardCharsets.UTF_8))
+          case Some(_) => () // binary etc: ignore
+        }
+      }
+    } catch {
+      case _: IOException => ()
+      case NonFatal(_) => ()
+    } finally conn.close()
+  }
+
+  def start(): WebSocketServer = {
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val s = server.accept()
+          val t = new Thread(() => serve(s), "graft-ws-conn")
+          t.setDaemon(true)
+          t.start()
+        } catch { case _: IOException => () /* closed */ }
+      }
+    }, "graft-ws-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    pinger.scheduleAtFixedRate(
+      () => conns.forEach(_.sendText("""{"channel": "heartbeat", "data": "PING"}""")),
+      pingMillis, pingMillis, TimeUnit.MILLISECONDS)
+    this
+  }
+
+  def stop(): Unit = {
+    running = false
+    pinger.shutdownNow()
+    conns.forEach(_.close())
+    try server.close() catch { case _: IOException => () }
+  }
+}

@@ -66,7 +66,14 @@ final class ChannelRuntime(
     val schema: StructType = runtimeSchema(spec)
     val stream: MemoryStream[Row] = MemoryStream[Row](Encoders.row(schema), sqlCtx)
     @volatile var lastRow: Option[Row] = None
-    val lookupMap = new TrieMap[String, Row]
+    /** Bounded id→row registry (T7): oldest-inserted evicts beyond
+      * `lookupMaxEntries`; skipped entirely under `omitFromLookup`. */
+    val lookupMap: java.util.Map[String, Row] =
+      java.util.Collections.synchronizedMap(
+        new java.util.LinkedHashMap[String, Row](16, 0.75f, false) {
+          override def removeEldestEntry(e: java.util.Map.Entry[String, Row]): Boolean =
+            size() > spec.lookupMaxEntries
+        })
     val stateStore = new TrieMap[Seq[Any], Row]
     val nextWaiters = new ConcurrentLinkedQueue[Promise[Option[Row]]]
     @volatile var query: StreamingQuery = _
@@ -131,7 +138,7 @@ final class ChannelRuntime(
         if (rows.nonEmpty) {
           c.lastRow = Some(rows.last)
           c.tickCount += rows.length
-          if (idIdx >= 0)
+          if (idIdx >= 0 && !c.spec.omitFromLookup)
             rows.foreach(r => if (!r.isNullAt(idIdx)) c.lookupMap.put(String.valueOf(r.get(idIdx)), r))
           if (keyIdxs.nonEmpty)
             rows.foreach { r =>
@@ -246,8 +253,27 @@ final class ChannelRuntime(
   def awaitNext(name: String, timeout: Duration): Option[Row] =
     Await.result(next(name), timeout)
 
+  /** T6 basket variant — next tick carrying the given basket key
+    * (reference futures/adapter.py:99-127 per-key futures). The
+    * listener detaches on resolution or timeout.
+    */
+  def awaitNextByKey(name: String, key: String, timeout: Duration): Option[Row] = {
+    val c = chan(name)
+    val keyCol = c.spec.basketKey.getOrElse(
+      throw new IllegalArgumentException(s"Channel '$name' is not a dict basket"))
+    val i = c.schema.fieldNames.indexOf(keyCol)
+    val p = Promise[Option[Row]]()
+    lazy val l: (String, Seq[Row]) => Unit = (ch, rows) =>
+      if (ch == name)
+        rows.find(r => !r.isNullAt(i) && String.valueOf(r.get(i)) == key)
+          .foreach(r => p.trySuccess(Some(r)))
+    addListener(l)
+    try Await.result(p.future, timeout)
+    finally removeListener(l)
+  }
+
   /** T7 — O(1) lookup by id (reference struct registry). */
-  def lookup(name: String, id: String): Option[Row] = chan(name).lookupMap.get(id)
+  def lookup(name: String, id: String): Option[Row] = Option(chan(name).lookupMap.get(id))
 
   /** Current accumulated state (T1 result) as a DataFrame. */
   def stateFrame(name: String): DataFrame = {

@@ -175,4 +175,30 @@ class ChannelRuntimeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rt2.state("example").map(_.getAs[Long]("x")).toSet === Set(1L, 2L))
     } finally rt2.stop()
   }
+
+  test("lookup registry: omitFromLookup opt-out and max-size eviction (base.py:72-78)") {
+    val specs = Map(
+      "omitted" -> ChannelSpec("omitted", exampleSchema, omitFromLookup = true),
+      "bounded" -> ChannelSpec("bounded", exampleSchema, lookupMaxEntries = 2))
+    val rt = new ChannelRuntime(spark, specs,
+      Files.createTempDirectory("graft-lookup-ckpt").toString)
+    rt.start()
+    try {
+      // opt-out: rows flow (last works) but the registry stays empty
+      val r = rt.send("omitted", Seq(Map("x" -> 1L, "y" -> "a"))).head
+      rt.processAllAvailable()
+      assert(rt.last("omitted").isDefined)
+      assert(rt.lookup("omitted", r.getAs[String]("id")).isEmpty)
+
+      // bound: oldest-inserted entries evict beyond lookupMaxEntries
+      val ids = Seq("i1", "i2", "i3").map { i =>
+        rt.send("bounded", Seq(Map("id" -> i, "x" -> 1L, "y" -> "a")))
+        rt.processAllAvailable()
+        i
+      }
+      assert(rt.lookup("bounded", "i1").isEmpty, "eldest entry must be evicted")
+      assert(rt.lookup("bounded", "i2").isDefined && rt.lookup("bounded", "i3").isDefined)
+      assert(ids.size === 3)
+    } finally rt.stop()
+  }
 }

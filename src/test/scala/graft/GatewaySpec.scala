@@ -103,6 +103,56 @@ class GatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("dict-basket routes: send/last/next by key, whole-basket last, 404 rules") {
+    val basketSchema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("timestamp", TimestampType),
+      StructField("sym", StringType),
+      StructField("px", DoubleType)))
+    val rt = new ChannelRuntime(spark,
+      Map("quotes" -> ChannelSpec("quotes", basketSchema, basketKey = Some("sym"),
+        basketKeys = Some(Seq("AAPL", "MSFT", "TSLA")))),
+      Files.createTempDirectory("graft-gw-basket-ckpt").toString)
+    rt.start()
+    val gw = new Gateway(rt, 0).start()
+    val base = s"http://127.0.0.1:${gw.boundPort}/api/v1"
+    try {
+      // send by key: key column injected from the path segment
+      val r1 = post(s"$base/send/quotes/AAPL", """{"px": 101.5}""")
+      assert(r1.statusCode() === 200 && r1.body().contains("AAPL"))
+      assert(post(s"$base/send/quotes/MSFT", """{"px": 55.0}""").statusCode() === 200)
+      // key outside the declared set → 404
+      assert(post(s"$base/send/quotes/NOPE", """{"px": 1.0}""").statusCode() === 404)
+      rt.processAllAvailable()
+
+      // per-key last
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val aapl = mapper.readTree(get(s"$base/last/quotes/AAPL").body())
+      assert(aapl.size() === 1 && aapl.get(0).get("px").asDouble() === 101.5)
+      // declared-but-unticked key → 200 []
+      assert(get(s"$base/last/quotes/TSLA").body() === "[]")
+      // undeclared key → 404
+      assert(get(s"$base/last/quotes/NOPE").statusCode() === 404)
+
+      // whole-basket last: one row per key, key-sorted
+      val all = mapper.readTree(get(s"$base/last/quotes").body())
+      assert(all.size() === 2)
+      assert(all.get(0).get("sym").asText() === "AAPL")
+      assert(all.get(1).get("sym").asText() === "MSFT")
+
+      // per-key next: resolves only on a tick carrying that key
+      val fut = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        get(s"$base/next/quotes/TSLA"))
+      Thread.sleep(300)
+      post(s"$base/send/quotes/MSFT", """{"px": 56.0}""") // other key: no resolve
+      post(s"$base/send/quotes/TSLA", """{"px": 9.9}""")
+      rt.processAllAvailable()
+      val nxt = mapper.readTree(fut.get(15, java.util.concurrent.TimeUnit.SECONDS).body())
+      assert(nxt.size() === 1 && nxt.get(0).get("sym").asText() === "TSLA")
+      assert(get(s"$base/next/quotes/NOPE").statusCode() === 404)
+    } finally { gw.stop(); rt.stop() }
+  }
+
   test("identity row filter (X13): reads filtered, writes validated") {
     withGateway(Map("example" -> "owner")) { (base, rt) =>
       assert(post(s"$base/send/example", """{"x":1,"owner":"alice"}""",
