@@ -39,12 +39,70 @@ object Bench {
     // 100 keys): streaming upsert throughput through the
     // flatMapGroupsWithState state store.
     val insertSec = try stateInsertBench(spark, sfDir) catch { case _: Throwable => -1.0 }
-    val allResults = results + ("state_insert_100k" -> insertSec)
+    // BASELINE `state_query_all` / `state_query_filter` / `replay`
+    // mirrors (ASV StateFirstQueryAll / StateFirstQueryFilter /
+    // ReplayEngineJSON shapes).
+    val gw = try gatewayBench(spark) catch { case _: Throwable =>
+      Map("state_query_all" -> -1.0, "state_query_filter" -> -1.0, "replay" -> -1.0) }
+    val allResults = results + ("state_insert_100k" -> insertSec) ++ gw
     val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (allResults.nonEmpty) allResults.values.filter(_ > 0).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Gateway serving-path benches over a live ChannelRuntime:
+    * accumulate 20k ticks / 200 keys, then time a full ordered state
+    * scan (`state_query_all`), a conjunctive filter scan
+    * (`state_query_filter`), and an engine-log write + replay
+    * round-trip into a fresh runtime (`replay`).
+    */
+  private def gatewayBench(spark: SparkSession): Map[String, Double] = {
+    import org.apache.spark.sql.types._
+    import graft.core.ChannelSpec
+    import graft.state.{FilterBy, StateFilter, StateQuery}
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("timestamp", TimestampType),
+      StructField("k", LongType), StructField("v", DoubleType)))
+    def mkRuntime() = new graft.streaming.ChannelRuntime(spark,
+      Map("bench" -> ChannelSpec("bench", schema, stateKeyby = Seq("k"))),
+      java.nio.file.Files.createTempDirectory("bench-gw-ckpt").toString)
+    val rt = mkRuntime()
+    val log = java.nio.file.Files.createTempDirectory("bench-gw-log").toString + "/engine.jsonl"
+    val writer = new graft.streaming.EngineLog.Writer(log, rt)
+    rt.start()
+    val out = scala.collection.mutable.Map.empty[String, Double]
+    try {
+      (0 until 20000).map(i =>
+        Map[String, Any]("k" -> (i % 200).toLong, "v" -> i * 0.5))
+        .grouped(2000).foreach { chunk =>
+          rt.send("bench", chunk.toSeq)
+          rt.processAllAvailable()
+          writer.flushCycle()
+        }
+      var t0 = System.nanoTime()
+      val all = rt.state("bench")
+      out("state_query_all") = (System.nanoTime() - t0) / 1e9
+      require(all.size == 200, s"state scan saw ${all.size} keys")
+      t0 = System.nanoTime()
+      val filtered = rt.state("bench", StateQuery(Seq(
+        StateFilter("v", FilterBy.Value(5000.0), ">="),
+        StateFilter("k", FilterBy.Value(100L), "<"))))
+      out("state_query_filter") = (System.nanoTime() - t0) / 1e9
+      require(filtered.nonEmpty)
+      writer.close()
+    } finally rt.stop()
+    val rt2 = mkRuntime()
+    rt2.start()
+    try {
+      val t0 = System.nanoTime()
+      graft.streaming.EngineLog.replay(rt2, log, Seq("bench"), forceNewIds = true)
+      rt2.processAllAvailable()
+      out("replay") = (System.nanoTime() - t0) / 1e9
+      require(rt2.tickCount("bench") == 20000L, s"replayed ${rt2.tickCount("bench")}")
+    } finally rt2.stop()
+    out.toMap
   }
 
   /** Push 100k keyed rows (100 distinct keys, ASV StateInsertKeyBy
