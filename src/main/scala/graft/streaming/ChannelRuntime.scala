@@ -51,7 +51,17 @@ import graft.state.{StateOps, StateQuery, QueryTranslator}
 final class ChannelRuntime(
     val spark: SparkSession,
     val specs: Map[String, ChannelSpec],
-    checkpointDir: String = java.nio.file.Files.createTempDirectory("graft-ckpt").toString) {
+    checkpointDir: String = java.nio.file.Files.createTempDirectory("graft-ckpt").toString,
+    /** Cluster serving mode: keyed state accumulates in the Spark
+      * state store (RocksDB, sharded across executors) via
+      * [[StreamingState.lastByKeyStream]] instead of a driver map, and
+      * `state()` reads the store back through the `statestore` batch
+      * source — per-micro-batch driver work stays O(listeners), the
+      * key frontier never lives on the driver. One-batch snapshot
+      * staleness (last committed batch), same bound as the reference's
+      * DuckDB buffer flush lag.
+      */
+    val distributedState: Boolean = false) {
 
   import ChannelRuntime._
 
@@ -77,6 +87,11 @@ final class ChannelRuntime(
     val stateStore = new TrieMap[Seq[Any], Row]
     val nextWaiters = new ConcurrentLinkedQueue[Promise[Option[Row]]]
     @volatile var query: StreamingQuery = _
+    /** distributedState mode: second ingest stream feeding the keyed
+      * state-store query (MemoryStream commits truncate the shared
+      * buffer, so the two consumers cannot share one stream). */
+    val stateStream: MemoryStream[Row] = MemoryStream[Row](Encoders.row(schema), sqlCtx)
+    @volatile var stateQuery: StreamingQuery = _
     @volatile var tickCount: Long = 0L
   }
 
@@ -119,13 +134,15 @@ final class ChannelRuntime(
   private def chan(name: String): Chan =
     chans.getOrElse(name, throw new NoSuchElementException(s"Unknown channel '$name'"))
 
+  /** basket channels without an explicit state keyby still maintain a
+    * per-basket-key frontier (serves lastByBasketKey) */
+  private def effectiveKeys(spec: ChannelSpec): Seq[String] =
+    if (spec.stateKeyby.nonEmpty) spec.stateKeyby else spec.basketKey.toSeq
+
   /** Start one streaming query per channel. */
   def start(): Unit = chans.foreach { case (name, c) =>
     val idIdx = c.schema.fieldNames.indexOf(IdCol)
-    // basket channels without an explicit state keyby still maintain a
-    // per-basket-key frontier (serves lastByBasketKey)
-    val effKeys =
-      if (c.spec.stateKeyby.nonEmpty) c.spec.stateKeyby else c.spec.basketKey.toSeq
+    val effKeys = effectiveKeys(c.spec)
     val keyIdxs = effKeys.map(k => c.schema.fieldNames.indexOf(k))
     val seqIdx = c.schema.fieldNames.indexOf(SeqCol)
     c.query = c.stream.toDF().writeStream
@@ -140,7 +157,7 @@ final class ChannelRuntime(
           c.tickCount += rows.length
           if (idIdx >= 0 && !c.spec.omitFromLookup)
             rows.foreach(r => if (!r.isNullAt(idIdx)) c.lookupMap.put(String.valueOf(r.get(idIdx)), r))
-          if (keyIdxs.nonEmpty)
+          if (keyIdxs.nonEmpty && !distributedState)
             rows.foreach { r =>
               val key = keyIdxs.map(i => if (i >= 0 && !r.isNullAt(i)) r.get(i) else null)
               c.stateStore.put(key, r)
@@ -152,11 +169,29 @@ final class ChannelRuntime(
         ()
       }
       .start()
+
+    // distributedState: keyed channels get a second query that folds
+    // ticks into the sharded state store; the noop write executes the
+    // incremental plan distributed with zero driver-side data
+    if (distributedState && effKeys.nonEmpty)
+      c.stateQuery = StreamingState.lastByKeyStream(c.stateStream.toDF(), effKeys, SeqCol)
+        .writeStream
+        .queryName(s"graft_${name}_state")
+        .outputMode("update")
+        .option("checkpointLocation", stateCheckpoint(name))
+        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .foreachBatch((df: DataFrame, _: Long) => df.write.format("noop").mode("overwrite").save())
+        .start()
   }
+
+  private def stateCheckpoint(name: String) = s"$checkpointDir/$name-state"
 
   /** Block until every in-flight tick has been processed. */
   def processAllAvailable(): Unit =
-    chans.values.foreach(c => if (c.query != null) c.query.processAllAvailable())
+    chans.values.foreach { c =>
+      if (c.query != null) c.query.processAllAvailable()
+      if (c.stateQuery != null) c.stateQuery.processAllAvailable()
+    }
 
   /** Stop all queries; dangling `next` futures resolve with None
     * (reference futures/adapter.py:90-93 shutdown semantics).
@@ -166,6 +201,7 @@ final class ChannelRuntime(
       var p = c.nextWaiters.poll()
       while (p != null) { p.trySuccess(None); p = c.nextWaiters.poll() }
       if (c.query != null) c.query.stop()
+      if (c.stateQuery != null) c.stateQuery.stop()
     }
   }
 
@@ -209,6 +245,7 @@ final class ChannelRuntime(
         (vals.toSeq :+ seqGen.incrementAndGet()).toArray, c.schema): Row
     }
     c.stream.addData(rows)
+    if (distributedState && effectiveKeys(c.spec).nonEmpty) c.stateStream.addData(rows)
     rows
   }
 
@@ -217,6 +254,7 @@ final class ChannelRuntime(
     c.synchronized {
       val reseq = rows.map(r => Row.fromSeq(r.toSeq.dropRight(1) :+ seqGen.incrementAndGet()))
       c.stream.addData(reseq)
+      if (distributedState && effectiveKeys(c.spec).nonEmpty) c.stateStream.addData(reseq)
     }
   }
 
@@ -234,7 +272,12 @@ final class ChannelRuntime(
       case Some(k) =>
         val i = c.schema.fieldNames.indexOf(k)
         val seqI = c.schema.fieldNames.indexOf(SeqCol)
-        c.stateStore.values.toSeq.groupBy(r => r.get(i))
+        val frontier =
+          if (distributedState)
+            StreamingState.stateSnapshot(spark, stateCheckpoint(name))
+              .map(_.collect().toSeq).getOrElse(Nil) // frontier only, never history
+          else c.stateStore.values.toSeq
+        frontier.groupBy(r => r.get(i))
           .map { case (key, rs) => key -> rs.maxBy(_.getLong(seqI)) }
       case None => Map.empty
     }
@@ -275,11 +318,20 @@ final class ChannelRuntime(
   /** T7 — O(1) lookup by id (reference struct registry). */
   def lookup(name: String, id: String): Option[Row] = Option(chan(name).lookupMap.get(id))
 
-  /** Current accumulated state (T1 result) as a DataFrame. */
+  /** Current accumulated state (T1 result) as a DataFrame. In
+    * distributedState mode this is a distributed scan of the sharded
+    * state store's last committed snapshot — the driver never
+    * materializes the key frontier.
+    */
   def stateFrame(name: String): DataFrame = {
     val c = chan(name)
     require(c.spec.stateKeyby.nonEmpty, s"Channel '$name' has no state keyby")
-    spark.createDataFrame(c.stateStore.values.toSeq.asJava, c.schema)
+    if (distributedState)
+      StreamingState.stateSnapshot(spark, stateCheckpoint(name))
+        .getOrElse(spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), c.schema)) // pre-first-commit
+    else
+      spark.createDataFrame(c.stateStore.values.toSeq.asJava, c.schema)
   }
 
   /** T2/T3 — state query: filters + ASC NULLS FIRST key ordering,
@@ -292,6 +344,11 @@ final class ChannelRuntime(
   }
 
   def tickCount(name: String): Long = chan(name).tickCount
+
+  /** Rows held in the DRIVER's state map for a channel — 0 in
+    * distributedState mode (diagnostic; pinned by DistributedStateSpec).
+    */
+  def driverStateSize(name: String): Int = chan(name).stateStore.size
 }
 
 object ChannelRuntime {

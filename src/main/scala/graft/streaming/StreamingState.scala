@@ -81,6 +81,25 @@ object StreamingState {
       }
   }
 
+  /** Read the executor-side state of a [[lastByKeyStream]] query back
+    * as a batch DataFrame via Spark's `statestore` data source — the
+    * cluster serving path for T2/T3: state stays sharded in the
+    * (RocksDB) store, the read is an ordinary distributed scan of the
+    * last committed micro-batch's snapshot, and the driver never holds
+    * the key frontier. Returns None before the first commit.
+    *
+    * flatMapGroupsWithState persists its state either flat or nested
+    * under `groupState` depending on format version — both handled.
+    */
+  def stateSnapshot(spark: org.apache.spark.sql.SparkSession, checkpoint: String): Option[DataFrame] =
+    try {
+      val raw = spark.read.format("statestore").load(checkpoint)
+      val valueType = raw.schema("value").dataType.asInstanceOf[StructType]
+      Some(
+        if (valueType.fieldNames.contains("groupState")) raw.select(col("value.groupState.*"))
+        else raw.select(col("value.*")))
+    } catch { case _: Exception => None }
+
   /** A9/watermarked streaming aggregation: tumbling event-time window
     * with late-data bound — the principled late-row semantics the
     * reference lacks (SURVEY §4: emit-now + log). Returns
