@@ -224,6 +224,72 @@ final class Gateway(
     }
   }
 
+  // ---- OpenAPI/docs surface (reference test_webserver.py:80-110:
+  // GET /openapi.json → {"info":{"title":"Gateway",...},"paths":{...}};
+  // route entries carry the channel row type) ----------------------------
+
+  private def structToJsonSchema(st: org.apache.spark.sql.types.StructType): JsonNode = {
+    import org.apache.spark.sql.types._
+    def typeNode(dt: DataType): com.fasterxml.jackson.databind.node.ObjectNode = {
+      val n = mapper.createObjectNode()
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType => n.put("type", "integer")
+        case FloatType | DoubleType | _: DecimalType => n.put("type", "number")
+        case BooleanType => n.put("type", "boolean")
+        case TimestampType => n.put("type", "string"); n.put("format", "date-time")
+        case ArrayType(et, _) => n.put("type", "array"); n.set[JsonNode]("items", typeNode(et))
+        case s: StructType =>
+          n.put("type", "object")
+          val props = n.putObject("properties")
+          s.fields.foreach(f => props.set[JsonNode](f.name, typeNode(f.dataType)))
+        case _ => n.put("type", "string")
+      }
+      n
+    }
+    typeNode(st)
+  }
+
+  private def openApiJson: String = {
+    val root = mapper.createObjectNode()
+    root.put("openapi", "3.1.0")
+    val info = root.putObject("info")
+    info.put("title", "Gateway")
+    info.put("version", Gateway.Version)
+    val paths = root.putObject("paths")
+    val comps = root.putObject("components").putObject("schemas")
+    runtime.specs.toSeq.sortBy(_._1).foreach { case (name, spec) =>
+      val schemaName = name.capitalize
+      comps.set[JsonNode](schemaName, structToJsonSchema(runtime.runtimeSchema(spec)))
+      def op(verb: String, path: String, summary: String): Unit = {
+        val o = paths.withObjectProperty(path).putObject(verb)
+        o.put("summary", summary)
+        o.put("type_", schemaName) // route row type, reference openapi_extra
+        val resp = o.putObject("responses").putObject("200")
+        resp.put("description", "rows")
+        resp.putObject("content").putObject("application/json").putObject("schema")
+          .put("$ref", s"#/components/schemas/$schemaName")
+      }
+      op("get", s"/api/v1/last/$name", s"Get Last $name")
+      op("get", s"/api/v1/next/$name", s"Get Next $name")
+      op("get", s"/api/v1/state/$name", s"Get State $name")
+      op("get", s"/api/v1/lookup/$name/{id}", s"Lookup $name by id")
+      op("get", s"/api/v1/stream/$name", s"Stream $name (SSE)")
+      op("post", s"/api/v1/send/$name", s"Send $name")
+      if (spec.basketKey.isDefined) {
+        op("get", s"/api/v1/last/$name/{key}", s"Get Last $name by key")
+        op("get", s"/api/v1/next/$name/{key}", s"Get Next $name by key")
+        op("post", s"/api/v1/send/$name/{key}", s"Send $name by key")
+      }
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  private val docsHtml =
+    """<!DOCTYPE html><html><head><title>Gateway API</title></head>
+      |<body><h1>Gateway API</h1>
+      |<p>OpenAPI document: <a href="/openapi.json">/openapi.json</a></p>
+      |</body></html>""".stripMargin
+
   private def known(name: String): Boolean = runtime.specs.contains(name)
 
   private def isBasket(name: String): Boolean =
@@ -254,6 +320,16 @@ final class Gateway(
 
   def start(): Gateway = {
     server.createContext("/api/v1", (ex: HttpExchange) => handle(ex))
+    server.createContext("/openapi.json", (ex: HttpExchange) =>
+      try respond(ex, 200, openApiJson)
+      catch { case NonFatal(e) => respond(ex, 500, s"""{"detail":"${e.getMessage}"}""") })
+    server.createContext("/docs", (ex: HttpExchange) => {
+      val bytes = docsHtml.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
     server.start()
     ws.start()
     this
@@ -263,4 +339,9 @@ final class Gateway(
     ws.stop()
     server.stop(0)
   }
+}
+
+object Gateway {
+  /** Published library version (surfaced in the OpenAPI document). */
+  val Version = "0.3.0"
 }

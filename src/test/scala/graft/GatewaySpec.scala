@@ -153,6 +153,28 @@ class GatewaySpec extends AnyFunSuite {
     } finally { gw.stop(); rt.stop() }
   }
 
+  test("openapi document: info shape, per-channel paths, row types (test_webserver.py:80-110)") {
+    withGateway() { (base, _) =>
+      val root = base.stripSuffix("/api/v1")
+      val r = get(s"$root/openapi.json")
+      assert(r.statusCode() === 200)
+      val doc = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+      assert(doc.get("info").get("title").asText() === "Gateway")
+      assert(doc.get("info").get("version").asText().nonEmpty)
+      val paths = doc.get("paths")
+      for (p <- Seq("/api/v1/last/example", "/api/v1/next/example", "/api/v1/state/example"))
+        assert(paths.has(p), s"missing $p")
+      assert(paths.get("/api/v1/last/example").get("get").get("type_").asText() === "Example")
+      assert(paths.get("/api/v1/send/example").has("post"))
+      // row schema surfaced under components
+      val ex = doc.get("components").get("schemas").get("Example")
+      assert(ex.get("properties").get("x").get("type").asText() === "integer")
+      assert(ex.get("properties").get("timestamp").get("format").asText() === "date-time")
+      // docs page links the spec
+      assert(get(s"$root/docs").body().contains("/openapi.json"))
+    }
+  }
+
   test("identity row filter (X13): reads filtered, writes validated") {
     withGateway(Map("example" -> "owner")) { (base, rt) =>
       assert(post(s"$base/send/example", """{"x":1,"owner":"alice"}""",
