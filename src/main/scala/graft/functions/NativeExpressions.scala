@@ -129,6 +129,42 @@ object MinHashSig {
     }
     new GenericArrayData(mins)
   }
+
+  /** Same signature from precomputed shingle HASHES (the
+    * [[ShingleHashes]] output) — signatures depend only on hash
+    * values, so composing the two fused kernels is value-identical to
+    * [[sig]] over the shingle strings.
+    */
+  def sigFromHashes(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return new GenericArrayData(Array.fill[Any](numHashes)(null))
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = ((2L * j + 1) * h + 97L * j + 13) % PolyHash.P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** `graft_minhash_from_hashes(hashes, numHashes)`. */
+case class MinHashSigFromHashesExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.sigFromHashes(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.sigFromHashes($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigFromHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_from_hashes"
 }
 
 /** `graft_minhash(shingles, numHashes)` — fused MinHash signature. */
@@ -188,6 +224,76 @@ case class SimHashExpr(child: Expression, bits: Int)
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_simhash"
+}
+
+object ShingleHashes {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Distinct word n-gram shingle hashes in ONE fused pass — the
+    * candidate-generation kernel shared by n-gram-Jaccard and MinHash.
+    *
+    * Identical values to
+    * `array_distinct(transform(shingles(text,n), polyHash))` by
+    * construction: `concat_ws(" ", w_i..w_{i+n-1})` reconstructs the
+    * exact original substring for ANY spacing (empty tokens from
+    * consecutive delimiters contribute their separators back), so each
+    * shingle hash is the polynomial hash of a text substring —
+    * computed O(1) from prefix hashes `H` and powers of 31 mod P:
+    * `h[j0,j1) = H(j1) - H(j0)·31^(j1-j0)`. O(len) per document vs the
+    * declarative form's per-shingle string allocation + re-hash.
+    */
+  def hashes(s: UTF8String, n: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val L = cps.length
+    // token start offsets: 0 and after every space (split(text, " ")
+    // limit -1 semantics: leading/trailing/consecutive spaces yield
+    // empty tokens)
+    val starts = new Array[Int](L + 2)
+    var m = 0
+    starts(0) = 0; m = 1
+    var i = 0
+    while (i < L) { if (cps(i) == ' ') { starts(m) = i + 1; m += 1 }; i += 1 }
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val P = PolyHash.P
+    val h = new Array[Long](L + 1) // prefix hashes
+    val pw = new Array[Long](L + 1) // 31^i mod P
+    pw(0) = 1L
+    i = 0
+    while (i < L) {
+      h(i + 1) = (h(i) * 31 + cps(i)) % P
+      pw(i + 1) = (pw(i) * 31) % P
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var t = 0
+    val nShingles = m - n + 1
+    while (t < nShingles) {
+      val j0 = starts(t)
+      // shingle ends where token t+n-1 ends: next start - 1, or L
+      val j1 = if (t + n - 1 < m - 1) starts(t + n) - 1 else L
+      val v = ((h(j1) - (h(j0) * pw(j1 - j0)) % P) % P + P) % P
+      seen.add(v)
+      t += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_shingle_hashes(text, n)` — fused distinct shingle hashes. */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.hashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashes.hashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes"
 }
 
 object WinnowFp {
@@ -260,6 +366,10 @@ object NativeExpressions {
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens), bits))
   def winnowFp(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFpExpr(ColumnBridge.expression(text), k, w))
+  def shingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(text), n))
+  def minhashSigFromHashes(hashes: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSigFromHashesExpr(ColumnBridge.expression(hashes), numHashes))
 }
 
 /** SparkSessionExtensions hook: registers the native functions into

@@ -41,6 +41,14 @@ object Dedup {
     array_distinct(when(size(w) >= lit(n), grams).otherwise(array().cast("array<string>")))
   }
 
+  /** Distinct shingle HASHES — fused one-pass kernel (prefix
+    * polynomial hashes over the raw text, O(len) per doc). Value-equal
+    * to `array_distinct(transform(shingles(text, n), polyHash))`
+    * (parity-tested); the shingle strings are never materialized.
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    graft.functions.NativeExpressions.shingleHashes(text, n)
+
   /** Exact dedup summary: one row per distinct text with the kept
     * (minimum) id and the duplicate count. Single hash-aggregate
     * shuffle on the text; at 100 TB group on `hash` of the text first
@@ -74,8 +82,7 @@ object Dedup {
       n: Int = 3,
       maxDocFreq: Long = 100): DataFrame = {
     val idx = df
-      .select(col(idCol).as("_id"),
-        explode(array_distinct(transform(shingles(col(textCol), n), s => polyHash(s)))).as("_sh"))
+      .select(col(idCol).as("_id"), explode(shingleHashes(col(textCol), n)).as("_sh"))
     val rare = idx.groupBy("_sh").count().filter(col("count") <= maxDocFreq).drop("count")
     idx.join(rare, "_sh") // drops degenerate hot shingles (skew guard)
   }
@@ -98,8 +105,7 @@ object Dedup {
       threshold: Double = 0.8,
       orderByRarity: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hs = df.select(col(idCol).as("_id"),
-      array_distinct(transform(shingles(col(textCol), n), s => polyHash(s))).as("_hset"))
+    val hs = df.select(col(idCol).as("_id"), shingleHashes(col(textCol), n).as("_hset"))
       .cache()
     // Prefix selection needs only SOME global total order on shingles
     // for the pigeonhole to hold. Two orders offered:
@@ -149,12 +155,13 @@ object Dedup {
 
   /** MinHash signature (array of `numHashes` minima) over the distinct
     * word n-gram shingles of a text. One narrow pass, no shuffle —
-    * fused native expression (each shingle hashed exactly once; the
-    * declarative variant below re-expands the shingle pipeline per
-    * hash function, numHashes× the work).
+    * composed fused kernels: shingle hashes straight off the raw text
+    * (no shingle strings materialized), then all `numHashes` minima in
+    * one traversal. The declarative variant below re-expands the
+    * shingle pipeline per hash function, numHashes× the work.
     */
   def minhashSignature(text: Column, n: Int = 3, numHashes: Int = 16): Column =
-    graft.functions.NativeExpressions.minhashSig(shingles(text, n), numHashes)
+    graft.functions.NativeExpressions.minhashSigFromHashes(shingleHashes(text, n), numHashes)
 
   /** Declarative minhash — the SQL-portable specification, bit-equal
     * to [[minhashSignature]] (oracle-checked).

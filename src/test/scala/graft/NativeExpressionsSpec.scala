@@ -60,6 +60,24 @@ class NativeExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle hashes: fused kernel == declarative distinct-hash set on real corpus + edges") {
+    val decl = (t: org.apache.spark.sql.Column) => array_sort(array_distinct(
+      transform(graft.pipeline.Dedup.shingles(t, 3), s => TextFunctions.polyHash(s))))
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val r = docs.select(
+      array_sort(graft.pipeline.Dedup.shingleHashes($"text", 3)).as("fused"),
+      decl($"text").as("decl")).collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getSeq[Long](0) === row.getSeq[Long](1)))
+    // spacing edges: consecutive/leading/trailing spaces produce empty
+    // tokens whose concat_ws reconstruction matches raw substrings
+    val edge = Seq("", "a", "a b", "a b c", "a  b c", " a b c ", "a b c d e")
+      .toDF("text").select(
+        array_sort(graft.pipeline.Dedup.shingleHashes($"text", 3)).as("fused"),
+        decl($"text").as("decl")).collect()
+    edge.foreach(row => assert(row.getSeq[Long](0) === row.getSeq[Long](1)))
+  }
+
   test("winnowing fingerprint: native == declarative on real corpus + edges") {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val r = docs.select(
