@@ -213,6 +213,55 @@ object SimHash {
   }
 }
 
+object SimHashText {
+  /** SimHash straight off the raw text: one codepoint scan, rolling
+    * per-token polynomial hash (token boundary = space; empty tokens
+    * hash to 0, same as `split(text, " ")` with multiplicity), bit
+    * votes accumulated at each boundary. Value-identical to
+    * [[SimHash.simhash]] over the split token array — without
+    * materializing it.
+    */
+  def simhash(s: UTF8String, bits: Int): Long = {
+    val str = s.toString
+    val counts = new Array[Int](bits)
+    def vote(h: Long): Unit = {
+      var b = 0
+      while (b < bits) {
+        if ((((h * (2L * b + 3)) % PolyHash.P) & 1L) == 1L) counts(b) += 1
+        else counts(b) -= 1
+        b += 1
+      }
+    }
+    var h = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      if (cp == ' ') { vote(h); h = 0L }
+      else h = (h * 31 + cp) % PolyHash.P
+      i += Character.charCount(cp)
+    }
+    vote(h) // final token (split keeps trailing empties at limit -1)
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** `graft_simhash_text(text, bits)` — SimHash fused over raw text. */
+case class SimHashTextExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SimHashText.simhash(input.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashText.simhash($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashTextExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash_text"
+}
+
 /** `graft_simhash(tokens, bits)` — fused SimHash sketch. */
 case class SimHashExpr(child: Expression, bits: Int)
     extends UnaryExpression {
@@ -364,6 +413,8 @@ object NativeExpressions {
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), numHashes))
   def simhash(tokens: Column, bits: Int): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens), bits))
+  def simhashText(text: Column, bits: Int): Column =
+    ColumnBridge.column(SimHashTextExpr(ColumnBridge.expression(text), bits))
   def winnowFp(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFpExpr(ColumnBridge.expression(text), k, w))
   def shingleHashes(text: Column, n: Int): Column =

@@ -225,11 +225,12 @@ object Dedup {
 
   /** 32-bit SimHash over whitespace tokens (with multiplicity): bit b
     * is set iff more token hashes have bit b set than clear. One
-    * narrow pass — fused native expression (each token hashed once;
-    * the declarative variant re-scans the hash array per bit).
+    * narrow pass fused over the raw text (rolling per-token hash, no
+    * token array materialized; the declarative variant re-scans the
+    * hash array per bit).
     */
   def simhash(text: Column, bits: Int = 32): Column =
-    graft.functions.NativeExpressions.simhash(tokens(text), bits)
+    graft.functions.NativeExpressions.simhashText(text, bits)
 
   /** Declarative simhash — the SQL-portable specification, bit-equal
     * to [[simhash]] (oracle-checked); literal masks only, no variable
