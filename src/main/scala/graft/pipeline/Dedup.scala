@@ -118,7 +118,8 @@ object Dedup {
       if (!orderByRarity) {
         val preLen = (col("_n") - ceil(lit(threshold) * col("_n")) + 1).cast("int")
         hs.withColumn("_n", size(col("_hset")))
-          .select(col("_id"), explode(slice(array_sort(col("_hset")), lit(1), preLen)).as("_sh"))
+          .select(col("_id"), col("_n"),
+            explode(slice(array_sort(col("_hset")), lit(1), preLen)).as("_sh"))
       } else {
         val idx = hs.select(col("_id"), explode(col("_hset")).as("_sh"))
         val freq = idx.groupBy("_sh").agg(count(lit(1)).as("_f"))
@@ -128,10 +129,15 @@ object Dedup {
           .withColumn("_rn", row_number().over(wRank))
           .withColumn("_n", count(lit(1)).over(wAll))
           .filter(col("_rn") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
-          .select(col("_id"), col("_sh"))
+          .select(col("_id"), col("_n"), col("_sh"))
       }
+    // PPJoin length filter: J(a,b) >= t forces t·|b| <= |a| (and
+    // symmetrically) — prune size-incompatible pairs at the prefix
+    // join, before dedup + exact verification ever see them.
     val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a._sh") === col("b._sh") && col("a._id") < col("b._id"))
+      .join(prefix.as("b"), col("a._sh") === col("b._sh") && col("a._id") < col("b._id") &&
+        col("a._n") >= ceil(lit(threshold) * col("b._n")) &&
+        col("b._n") >= ceil(lit(threshold) * col("a._n")))
       .select(col("a._id").as("id1"), col("b._id").as("id2"))
       .dropDuplicates("id1", "id2")
     cand
