@@ -86,6 +86,14 @@ object PipelineQueries {
     "d4_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2)),
 
+    // ---- dedup group resolution: connected components over the
+    // simhash near-dup graph (keep = doc_id == component)
+    "d6_dedup_groups" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2),
+        "id1", "id2")
+        .select(col("id").as("doc_id"), col("component"))),
+
     // ---- embedding-cosine near-dup pairs on the SCALE path: sign-LSH
     // bucket equi-join (never all-pairs); exact variant kept below
     "d5_embed_neardup" -> ((s, dir) =>
@@ -185,6 +193,21 @@ object PipelineQueries {
   private val sigAgreeSql: String =
     (0 until 16).map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END").mkString("(", " + ", ")")
 
+  /** SimHash near-dup candidate/verify CTEs (shared by
+    * d4_simhash_pairs and d6_dedup_groups).
+    */
+  private val simhashPairCtes: String =
+    s"""th AS (SELECT doc_id, [${phSql("t")} for t in string_split(text,' ')] AS hs
+       |            FROM documents),
+       |sk AS (SELECT doc_id, ${simhashSql("hs", 48)} AS sh FROM th),
+       |blocks AS (${(0 until 3).map(k =>
+           s"SELECT doc_id, sh, $k AS blk, sh & ${65535L << (16 * k)} AS bv FROM sk")
+           .mkString(" UNION ALL ")}),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sh AS h1, b.sh AS h2
+       |         FROM blocks a JOIN blocks b
+       |           ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |hd AS (SELECT id1, id2, bit_count(xor(h1, h2)) AS hamming FROM cand)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
       "SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
@@ -225,17 +248,20 @@ object PipelineQueries {
          |SELECT doc_id, ${simhashSql("hs")} AS simhash FROM th""".stripMargin,
 
     "d4_simhash_pairs" ->
-      s"""WITH th AS (SELECT doc_id, [${phSql("t")} for t in string_split(text,' ')] AS hs
-         |            FROM documents),
-         |sk AS (SELECT doc_id, ${simhashSql("hs", 48)} AS sh FROM th),
-         |blocks AS (${(0 until 3).map(k =>
-             s"SELECT doc_id, sh, $k AS blk, sh & ${65535L << (16 * k)} AS bv FROM sk")
-             .mkString(" UNION ALL ")}),
-         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sh AS h1, b.sh AS h2
-         |         FROM blocks a JOIN blocks b
-         |           ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id),
-         |hd AS (SELECT id1, id2, bit_count(xor(h1, h2)) AS hamming FROM cand)
+      s"""WITH $simhashPairCtes
          |SELECT id1, id2, hamming FROM hd WHERE hamming <= 2""".stripMargin,
+
+    // connected components over the simhash near-dup graph: recursive
+    // label walk — every node's component is its minimum reachable id
+    "d6_dedup_groups" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         |p AS (SELECT id1, id2 FROM hd WHERE hamming <= 2),
+         |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+         |walk(v, l) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.b, w.l FROM walk w JOIN e ON w.v = e.a)
+         |SELECT v AS doc_id, min(l) AS component FROM walk GROUP BY v""".stripMargin,
 
     "d5_embed_neardup" ->
       s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS b FROM embeddings)

@@ -59,6 +59,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(sk(1L) ^ sk(2L)) <= 6)
   }
 
+  test("connected components resolve pair graphs into min-id groups") {
+    // two components {1,2,3,9} (chain) and {5,6}; 7-8 separate
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L), (7L, 8L)).toDF("id1", "id2")
+    val cc = graft.pipeline.Dedup.connectedComponents(pairs, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("cosine and brute-force top-k") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))
