@@ -86,6 +86,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles <= 1, s"assignment leaked a shuffle ($shuffles hash exchanges):\n$p")
   }
 
+  test("dedup candidate joins are bucket equi-joins: no nested-loop anywhere") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val plans = Seq(
+      graft.pipeline.Dedup.jaccardPairs(docs, "doc_id", "text"),
+      graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text"),
+      graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text")).map(plan)
+    plans.foreach { p =>
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+      assert(!p.contains("CartesianProduct"), p.take(4000))
+    }
+  }
+
   test("strictCompat projection degrades types per reference rules") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2), Map("k" -> "v"))).toDF("a", "xs", "m")
