@@ -81,6 +81,79 @@ object StreamingState {
       }
   }
 
+  /** Per-bucket memory of previously seen documents for
+    * [[minhashLshDedupStream]]. */
+  final case class LshBucketState(ids: Array[Long], sigs: Array[Array[Long]])
+
+  /** Streaming MinHash-LSH near-duplicate detection: documents are
+    * routed to their LSH band buckets (`bands` keys per doc), each
+    * bucket remembers the (id, signature) pairs it has seen — sharded
+    * across executors in the keyed state store — and a new arrival
+    * emits `(id1, id2, est_jaccard)` against every stored neighbor
+    * whose signature agreement clears `threshold`. The streaming
+    * analogue of [[graft.pipeline.Dedup.minhashLshPairs]]: same fused
+    * signature kernel, same banding, pairs surface as soon as the
+    * second member arrives (cross-batch, fault-tolerant state).
+    *
+    * A pair agreeing on several bands emits once per band — run
+    * `dropDuplicates("id1","id2")` downstream if exact-once pairs
+    * matter. Bucket state is bounded by bucket occupancy; cap hot
+    * buckets upstream (e.g. drop docs after N per bucket) for
+    * adversarial corpora.
+    */
+  def minhashLshDedupStream(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rpb = numHashes / bands
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withSig = df.select(
+      col(idCol).cast("long").as("id"),
+      graft.pipeline.Dedup.minhashSignature(col(textCol), n, numHashes).as("sig"))
+      .filter(col("sig").getItem(0).isNotNull) // shingle-less docs can't match
+    val exploded = withSig.select(
+      col("id"), col("sig"),
+      explode(array((0 until bands).map(b => concat_ws(":", lit(b),
+        graft.pipeline.Dedup.bandHash(col("sig"), b, rpb))): _*)).as("bucket"))
+      .as[(Long, Seq[Long], String)]
+    exploded.groupByKey(_._3)
+      .flatMapGroupsWithState[LshBucketState, (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(Long, Seq[Long], String)], state: GroupState[LshBucketState]) =>
+          val st = state.getOption.getOrElse(LshBucketState(Array.empty, Array.empty))
+          var ids = st.ids
+          var sigs = st.sigs
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          // deterministic intra-batch order
+          rows.toSeq.sortBy(_._1).foreach { case (id, sigSeq, _) =>
+            if (!ids.contains(id)) {
+              val sig = sigSeq.toArray
+              var i = 0
+              while (i < ids.length) {
+                var agree = 0
+                var j = 0
+                while (j < sig.length) { if (sig(j) == sigs(i)(j)) agree += 1; j += 1 }
+                val est = agree.toDouble / numHashes
+                if (est >= threshold)
+                  out += ((math.min(ids(i), id), math.max(ids(i), id), est))
+                i += 1
+              }
+              ids = ids :+ id
+              sigs = sigs :+ sig
+            }
+          }
+          state.update(LshBucketState(ids, sigs))
+          out.iterator
+      }
+      .toDF("id1", "id2", "est_jaccard")
+  }
+
   /** Read the executor-side state of a [[lastByKeyStream]] query back
     * as a batch DataFrame via Spark's `statestore` data source — the
     * cluster serving path for T2/T3: state stays sharded in the

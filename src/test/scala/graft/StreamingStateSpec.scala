@@ -118,4 +118,38 @@ class StreamingStateSpec extends AnyFunSuite {
       assert(rows.contains(("2020-01-01 11:00:00.0", "y", 1L, 5.0)))
     } finally q.stop()
   }
+
+  test("minhashLshDedupStream: near-dup pair surfaces when the second doc arrives") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def doc(id: Long, text: String): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](id, text), docSchema)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(docSchema), sqlCtx)
+    val out = StreamingState.minhashLshDedupStream(
+      stream.toDF(), "doc_id", "text", threshold = 0.5)
+    val name = s"lsh_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("lsh-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again today"
+      stream.addData(doc(1, base), doc(3, "completely unrelated content with other words entirely here"))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0) // nothing to pair yet
+      // near-dup of doc 1 arrives in a LATER batch: cross-batch state hit
+      stream.addData(doc(2, base + " ok"))
+      q.processAllAvailable()
+      val pairs = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct
+      assert(pairs.toSeq === Seq((1L, 2L)))
+      // exact duplicate id re-sent: ignored (no self-pair)
+      stream.addData(doc(2, base + " ok"))
+      q.processAllAvailable()
+      assert(!spark.table(name).collect().exists(r => r.getLong(0) == r.getLong(1)))
+    } finally q.stop()
+  }
 }
