@@ -74,7 +74,7 @@ object Monitoring {
     df.select(
       lit(user).as("user"),
       lit(room).as("room"),
-      to_json(struct(df.columns.map(col): _*)).as("msg"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("msg"))
 
   /** Logfire method name for a python log-level threshold
     * (logfire.py:515-523: <=10 debug, <=20 info, <=30 warn, else
@@ -107,7 +107,7 @@ object Monitoring {
       chanCol.as("channel"),
       concat(lit("Channel tick: "), chanCol).as("message"),
       lit(logfireMethod(logLevel)).as("method"),
-      to_json(struct(df.columns.map(col): _*)).as("data"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("data"))
     val meta =
       if (includeMetadata)
         Seq(tsCol.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string"))

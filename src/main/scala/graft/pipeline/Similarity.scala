@@ -112,7 +112,7 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
     require(cents.nonEmpty, "ivfTopK needs a non-empty centroid set")
-    val centArr = array(cents.map { case (cid, v) =>
+    val centArr = array(cents.toIndexedSeq.map { case (cid, v) =>
       struct(lit(cid).as("c"), typedLit(v).as("ce"))
     }: _*)
     def assign(df: DataFrame, outId: String, outVec: String): DataFrame =

@@ -46,14 +46,14 @@ object StateOps {
     // high group counts) — measured ~30% faster at 160k+ groups
     // (tools/LastByKeyBench).
     val rest = df.columns.filterNot(_ == seqCol)
-    val packed = struct((col(seqCol) +: rest.map(col)): _*)
+    val packed = struct((col(seqCol) +: rest.toIndexedSeq.map(col)): _*)
     val groups = keys.map(k => keyCol(df, k).as(keyAlias(k)))
     // keep the group-alias columns that aren't plain row columns
     // (dotted paths, missing attrs) — scan()/query() order by them
     val extraKeyCols = keys.map(keyAlias).distinct.filterNot(df.columns.contains)
     df.groupBy(groups: _*)
       .agg(max(packed).as("_last"))
-      .select(df.columns.map(c => col(s"_last.$c")) ++ extraKeyCols.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(c => col(s"_last.$c")) ++ extraKeyCols.map(col): _*)
   }
 
   /** T2 — full state scan ordered by key columns ASC NULLS FIRST
