@@ -53,12 +53,13 @@ object RelationalQueries {
       Transforms.computedIndex(ren, Seq("order_id", "line_no"), "idx")
     }),
 
-    // ---- X4: apply + null-drop channel processor
+    // ---- X4: apply + null-drop channel processor (threshold chosen
+    // inside the data range — a 0-row comparison proves nothing)
     "x4_apply_filter" -> ((s, dir) =>
       Transforms.applyFilter(
         t(s, dir, "events").select(col("event_id"), col("value")),
         "boosted",
-        when(col("value") > 500, col("value") * 2))),
+        when(col("value") > 250, col("value") * 2))),
 
     // ---- X7 + X10: column exclusion + flag updates
     "x7_exclude_flags" -> ((s, dir) =>
@@ -187,7 +188,7 @@ object RelationalQueries {
 
     "x4_apply_filter" ->
       """SELECT event_id, value, value * 2 AS boosted
-        |FROM events WHERE value > 500""".stripMargin,
+        |FROM events WHERE value > 250""".stripMargin,
 
     "x7_exclude_flags" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, true AS replayed

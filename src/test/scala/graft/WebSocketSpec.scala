@@ -173,6 +173,38 @@ class WebSocketSpec extends AnyFunSuite {
     }
   }
 
+  test("fanout: concurrent clients with disjoint subscriptions each get exactly their frames") {
+    withGateway() { (gw, rt) =>
+      val uri = s"ws://127.0.0.1:${gw.wsPort}/api/v1/ws"
+      val exampleSub = new Client(uri)
+      val aaplSub = new Client(uri)
+      val both = new Client(uri)
+      try {
+        exampleSub.send("""{"action":"subscribe","channel":"example"}""")
+        aaplSub.send("""{"action":"subscribe","channel":"basket","key":"AAPL"}""")
+        both.send("""{"action":"subscribe","channel":"example"}""")
+        both.send("""{"action":"subscribe","channel":"basket"}""")
+        Seq(exampleSub, aaplSub, both).foreach(c =>
+          assert(c.heartbeats.poll(5, TimeUnit.SECONDS) === "PING"))
+        rt.send("example", Seq(Map("x" -> 1L, "owner" -> "o")))
+        rt.send("basket", Seq(Map("sym" -> "AAPL", "px" -> 1.0), Map("sym" -> "MSFT", "px" -> 2.0)))
+        rt.processAllAvailable()
+
+        assert(exampleSub.nextData().get("channel").asText() === "example")
+        assert(exampleSub.nextData(2) === null, "example-only client got extra frames")
+
+        val af = aaplSub.nextData()
+        assert(af.get("key").asText() === "AAPL")
+        assert(aaplSub.nextData(2) === null, "AAPL-only client saw MSFT or example")
+
+        val frames = Seq(both.nextData(), both.nextData(), both.nextData()).filter(_ != null)
+        val byChan = frames.groupBy(_.get("channel").asText())
+        assert(byChan.keySet === Set("example", "basket"))
+        assert(byChan("basket").map(_.get("key").asText()).toSet === Set("AAPL", "MSFT"))
+      } finally Seq(exampleSub, aaplSub, both).foreach(_.close())
+    }
+  }
+
   test("identity filter holds on websocket egress") {
     withGateway(auth = Map("example" -> "owner")) { (gw, rt) =>
       val anon = new Client(s"ws://127.0.0.1:${gw.wsPort}/api/v1/ws")
