@@ -61,6 +61,27 @@ object RelationalQueries {
         "boosted",
         when(col("value") > 250, col("value") * 2))),
 
+    // ---- X1: merge setters — two providers unioned by name, missing
+    // columns null-filled (csp.flatten)
+    "x1_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Transforms.merge(Seq(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("value")),
+        ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"))))
+    }),
+
+    // ---- K3: SQL-sink projection — fields/rename/augment + nested
+    // struct columns stringified to JSON (sql.py:141-176)
+    "k3_sql_projection" -> ((s, dir) =>
+      graft.sinks.Sinks.sqlSinkProjection(
+        t(s, dir, "orders").withColumn("meta",
+          struct(col("o_custkey").as("c"), col("o_orderstatus").as("s"))),
+        fields = Seq("o_orderkey", "o_totalprice", "meta"),
+        rename = Map("o_orderkey" -> "order_id"),
+        augment = Map("src" -> "graft"))),
+
     // ---- X7 + X10: column exclusion + flag updates
     "x7_exclude_flags" -> ((s, dir) =>
       Transforms.flagUpdates(
@@ -189,6 +210,17 @@ object RelationalQueries {
     "x4_apply_filter" ->
       """SELECT event_id, value, value * 2 AS boosted
         |FROM events WHERE value > 250""".stripMargin,
+
+    "x1_merge" ->
+      """SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, user_id, NULL AS value FROM events WHERE event_type = 'view'""".stripMargin,
+
+    "k3_sql_projection" ->
+      """SELECT o_orderkey AS order_id, o_totalprice,
+        |       '{"c":' || o_custkey || ',"s":"' || o_orderstatus || '"}' AS meta,
+        |       'graft' AS src
+        |FROM orders""".stripMargin,
 
     "x7_exclude_flags" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, true AS replayed
