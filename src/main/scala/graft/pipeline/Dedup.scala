@@ -317,8 +317,11 @@ object Dedup {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 25): DataFrame = {
+    // no id-type cast: min/least orderings work for any orderable id
+    // type (a cast("long") would null string ids and silently drop
+    // every edge)
     var e = pairs
-      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     // comp: original node -> current component label
     var comp = e.select(col("a").as("v")).union(e.select(col("b").as("v")))

@@ -107,13 +107,23 @@ object Similarity {
       k: Int): DataFrame = {
     // Coarse quantizer → driver: bounded by nlist (≤ ~64k cells), the
     // standard IVF contract; this is plan metadata, not data movement.
+    // Element type honored: float and double embedding columns both
+    // work (cosine handles either side).
+    val isFloat = centroids.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
     val cents = centroids.select(col(idCol).cast("long").as("_c"), col(vecCol).as("_ce"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .map(r => (r.getLong(0), r.getSeq[Any](1)))
       .sortBy(_._1)
-    require(cents.nonEmpty, "ivfTopK needs a non-empty centroid set")
+    require(cents.nonEmpty, "ivfTopK needs a non-empty centroid set (the coarse quantizer)")
     val centArr = array(cents.toIndexedSeq.map { case (cid, v) =>
-      struct(lit(cid).as("c"), typedLit(v).as("ce"))
+      val ce =
+        if (isFloat) typedLit(v.map(x => x.asInstanceOf[Float]))
+        else typedLit(v.map(x => x.asInstanceOf[Double]))
+      struct(lit(cid).as("c"), ce.as("ce"))
     }: _*)
     def assign(df: DataFrame, outId: String, outVec: String): DataFrame =
       df.select(col(idCol).as(outId), col(vecCol).as(outVec))

@@ -97,15 +97,17 @@ final class Gateway(
           respond(ex, 200, rowsJson(name, identityFilter(name, identity, rows)))
         case "last" :: name :: key :: Nil if isBasket(name) =>
           // per-key last (reference last.py:36-76): a key outside the
-          // channel's key set → 404; declared-but-unticked → []
-          val observed = runtime.lastByBasketKey(name).collectFirst {
-            case (k, row) if String.valueOf(k) == key => row
-          }
-          val declared = runtime.specs(name).basketKeys.exists(_.contains(key))
-          if (observed.isEmpty && !declared)
+          // channel's key set → 404 (same admissibility rule as /next
+          // and /send — open key domains admit every key);
+          // admissible-but-unticked → []
+          if (!keyDeclared(name, key))
             respond(ex, 404, s"""{"detail":"Channel not found: $name/$key"}""")
-          else
+          else {
+            val observed = runtime.lastByBasketKey(name).collectFirst {
+              case (k, row) if String.valueOf(k) == key => row
+            }
             respond(ex, 200, rowsJson(name, identityFilter(name, identity, observed.toSeq)))
+          }
         case "next" :: name :: Nil if known(name) =>
           val r = runtime.awaitNext(name, 30.seconds)
           respond(ex, 200, rowsJson(name, identityFilter(name, identity, r.toSeq)))

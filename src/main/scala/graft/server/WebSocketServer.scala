@@ -50,16 +50,28 @@ final class WebSocketServer(
     pingMillis: Long = 1000L) {
 
   private val mapper = new ObjectMapper()
-  private val server = new ServerSocket(port)
+  // bound lazily in start() — constructing a server must not leak a
+  // listening socket that stop() never runs against
+  @volatile private var server: ServerSocket = _
   private val conns = ConcurrentHashMap.newKeySet[Conn]()
   private val pinger = Executors.newSingleThreadScheduledExecutor { r =>
     val t = new Thread(r, "graft-ws-ping"); t.setDaemon(true); t
   }
   @volatile private var running = true
 
-  def boundPort: Int = server.getLocalPort
+  def boundPort: Int = {
+    require(server != null, "WebSocketServer not started")
+    server.getLocalPort
+  }
 
-  /** One socket: reader thread + synchronized writer + subscriptions. */
+  /** One socket: reader thread + queued writer thread + subscriptions.
+    * Writes NEVER happen on the caller's thread: the runtime's
+    * micro-batch listener and the shared pinger only enqueue — a slow
+    * or stalled client can't block the streaming query or starve other
+    * connections (same decoupling as the SSE path). A client whose
+    * outbound queue fills is evicted (slow-consumer policy) rather
+    * than silently dropping frames.
+    */
   private final class Conn(socket: Socket) {
     val in = new DataInputStream(socket.getInputStream)
     val out = new DataOutputStream(socket.getOutputStream)
@@ -67,7 +79,21 @@ final class WebSocketServer(
       * whole basket. */
     val subs = ConcurrentHashMap.newKeySet[(String, Option[String])]()
     @volatile var identity: Option[String] = None
-    private val writeLock = new Object
+    private val outbox =
+      new java.util.concurrent.LinkedBlockingQueue[(Int, Array[Byte])](1024)
+    private val writer = new Thread(() => {
+      try {
+        var open = true
+        while (open) {
+          val item = outbox.take()
+          if (item._1 < 0) open = false // poison pill from close()
+          else writeFrame(out, item._1, item._2)
+        }
+      } catch { case _: Exception => () }
+      finally close()
+    }, "graft-ws-writer")
+    writer.setDaemon(true)
+    writer.start()
 
     val listener: (String, Seq[org.apache.spark.sql.Row]) => Unit = (ch, rows) =>
       runtime.specs.get(ch).foreach { spec =>
@@ -100,19 +126,16 @@ final class WebSocketServer(
         case None => true
       }
 
-    def sendText(s: String): Unit = writeLock.synchronized {
-      try writeFrame(out, 0x1, s.getBytes(StandardCharsets.UTF_8))
-      catch { case _: IOException => close() }
-    }
+    def sendText(s: String): Unit = sendRaw(0x1, s.getBytes(StandardCharsets.UTF_8))
 
-    def sendRaw(opcode: Int, payload: Array[Byte]): Unit = writeLock.synchronized {
-      try writeFrame(out, opcode, payload)
-      catch { case _: IOException => close() }
-    }
+    def sendRaw(opcode: Int, payload: Array[Byte]): Unit =
+      if (!outbox.offer((opcode, payload))) close() // slow consumer: evict
 
     def close(): Unit = {
       conns.remove(this)
       runtime.removeListener(listener)
+      outbox.clear()
+      outbox.offer((-1, Array.emptyByteArray)) // release the writer thread
       try socket.close() catch { case _: IOException => () }
     }
   }
@@ -189,13 +212,25 @@ final class WebSocketServer(
 
   // ---- RFC 6455 wire ------------------------------------------------------
 
+  /** Read one CRLF-terminated header line byte-by-byte — a buffered
+    * reader would read ahead past the header terminator and swallow
+    * frame bytes a client pipelined in the same segment.
+    */
+  private def readHeaderLine(in: DataInputStream): String = {
+    val sb = new java.lang.StringBuilder()
+    var b = in.read()
+    while (b >= 0 && b != '\n') {
+      if (b != '\r') sb.append(b.toChar)
+      b = in.read()
+    }
+    if (b < 0 && sb.length == 0) null else sb.toString
+  }
+
   private def handshake(conn: Conn): Boolean = {
-    val reader = new java.io.BufferedReader(
-      new java.io.InputStreamReader(conn.in, StandardCharsets.ISO_8859_1))
-    val requestLine = reader.readLine()
+    val requestLine = readHeaderLine(conn.in)
     if (requestLine == null || !requestLine.startsWith("GET")) return false
     var wsKey: String = null
-    var line = reader.readLine()
+    var line = readHeaderLine(conn.in)
     while (line != null && line.nonEmpty) {
       val idx = line.indexOf(':')
       if (idx > 0) {
@@ -204,7 +239,7 @@ final class WebSocketServer(
         if (name == "sec-websocket-key") wsKey = value
         if (name == "x-identity") conn.identity = Some(value)
       }
-      line = reader.readLine()
+      line = readHeaderLine(conn.in)
     }
     if (wsKey == null) return false
     val accept = Base64.getEncoder.encodeToString(
@@ -219,19 +254,21 @@ final class WebSocketServer(
     true
   }
 
-  /** Read one complete (possibly fragmented) message. None = EOF/close. */
+  /** Read one complete (possibly fragmented) DATA message, answering
+    * interleaved control frames inline (ping→pong; RFC 6455 allows
+    * controls between fragments, and dropping the fragment buffer for
+    * them would lose the client's message). Returns None on EOF or
+    * close.
+    */
   private def readMessage(conn: Conn): Option[(Int, Array[Byte])] = {
     val buf = new java.io.ByteArrayOutputStream()
     var firstOpcode = -1
-    var fin = false
-    while (!fin) {
+    var done = false
+    while (!done) {
       val b0 = conn.in.read()
       if (b0 < 0) return None
-      fin = (b0 & 0x80) != 0
+      val fin = (b0 & 0x80) != 0
       val opcode = b0 & 0x0f
-      if (firstOpcode < 0 || opcode != 0) {
-        if (opcode != 0) firstOpcode = opcode
-      }
       val b1 = conn.in.read()
       if (b1 < 0) return None
       val masked = (b1 & 0x80) != 0
@@ -246,9 +283,18 @@ final class WebSocketServer(
         var i = 0
         while (i < payload.length) { payload(i) = (payload(i) ^ mask(i % 4)).toByte; i += 1 }
       }
-      // control frames (8/9/10) may interleave with fragments: handle inline
-      if (opcode >= 8) return Some((opcode, payload))
-      buf.write(payload)
+      if (opcode >= 8) {
+        // control frame — may interleave with fragments; never touches buf
+        opcode match {
+          case 0x8 => conn.sendRaw(0x8, payload); return None // close: echo + drop
+          case 0x9 => conn.sendRaw(0xA, payload) // ping -> pong
+          case _   => () // pong / reserved: ignore
+        }
+      } else {
+        if (opcode != 0) firstOpcode = opcode
+        buf.write(payload)
+        done = fin
+      }
     }
     Some((firstOpcode, buf.toByteArray))
   }
@@ -272,12 +318,7 @@ final class WebSocketServer(
       var open = true
       while (open) {
         readMessage(conn) match {
-          case None => open = false
-          case Some((0x8, payload)) => // close: echo + drop
-            conn.sendRaw(0x8, payload)
-            open = false
-          case Some((0x9, payload)) => conn.sendRaw(0xA, payload) // ping → pong
-          case Some((0xA, _)) => () // pong
+          case None => open = false // EOF or close frame
           case Some((0x1, payload)) =>
             handleMessage(conn, new String(payload, StandardCharsets.UTF_8))
           case Some(_) => () // binary etc: ignore
@@ -290,6 +331,7 @@ final class WebSocketServer(
   }
 
   def start(): WebSocketServer = {
+    server = new ServerSocket(port)
     val acceptor = new Thread(() => {
       while (running) {
         try {
@@ -312,6 +354,7 @@ final class WebSocketServer(
     running = false
     pinger.shutdownNow()
     conns.forEach(_.close())
-    try server.close() catch { case _: IOException => () }
+    if (server != null)
+      try server.close() catch { case _: IOException => () }
   }
 }

@@ -164,14 +164,23 @@ object StreamingState {
     * flatMapGroupsWithState persists its state either flat or nested
     * under `groupState` depending on format version — both handled.
     */
-  def stateSnapshot(spark: org.apache.spark.sql.SparkSession, checkpoint: String): Option[DataFrame] =
-    try {
+  def stateSnapshot(spark: org.apache.spark.sql.SparkSession, checkpoint: String): Option[DataFrame] = {
+    // "no state yet" is detected structurally (no committed batch in
+    // the checkpoint) — NOT by swallowing read errors: a corrupt or
+    // version-incompatible store must surface, or distributed serving
+    // would silently answer [] forever.
+    val commits = new java.io.File(checkpoint, "commits")
+    val committed = commits.isDirectory &&
+      commits.listFiles().exists(f => f.getName.forall(_.isDigit))
+    if (!committed) None
+    else {
       val raw = spark.read.format("statestore").load(checkpoint)
       val valueType = raw.schema("value").dataType.asInstanceOf[StructType]
       Some(
         if (valueType.fieldNames.contains("groupState")) raw.select(col("value.groupState.*"))
         else raw.select(col("value.*")))
-    } catch { case _: Exception => None }
+    }
+  }
 
   /** A9/watermarked streaming aggregation: tumbling event-time window
     * with late-data bound — the principled late-row semantics the

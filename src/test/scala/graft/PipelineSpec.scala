@@ -65,6 +65,12 @@ class PipelineSpec extends AnyFunSuite {
     val cc = graft.pipeline.Dedup.connectedComponents(pairs, "id1", "id2")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+
+    // non-numeric ids must work too (a long cast would null them out)
+    val sPairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c")).toDF("id1", "id2")
+    val sc = graft.pipeline.Dedup.connectedComponents(sPairs, "id1", "id2")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sc === Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a"))
   }
 
   test("cosine and brute-force top-k") {
