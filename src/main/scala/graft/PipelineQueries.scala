@@ -94,6 +94,14 @@ object PipelineQueries {
         "id1", "id2")
         .select(col("id").as("doc_id"), col("component"))),
 
+    // ---- end-to-end dedup: canonical doc per simhash near-dup group
+    // plus all pair-less docs survive
+    "d7_dedup_corpus" -> ((s, dir) =>
+      Dedup.nearDupDedup(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id",
+        Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2))),
+
     // ---- embedding-cosine near-dup pairs on the SCALE path: sign-LSH
     // bucket equi-join (never all-pairs); exact variant kept below
     "d5_embed_neardup" -> ((s, dir) =>
@@ -262,6 +270,18 @@ object PipelineQueries {
          |  UNION
          |  SELECT e.b, w.l FROM walk w JOIN e ON w.v = e.a)
          |SELECT v AS doc_id, min(l) AS component FROM walk GROUP BY v""".stripMargin,
+
+    "d7_dedup_corpus" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         |p AS (SELECT id1, id2 FROM hd WHERE hamming <= 2),
+         |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+         |walk(v, l) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.b, w.l FROM walk w JOIN e ON w.v = e.a),
+         |dropped AS (SELECT v FROM (SELECT v, min(l) AS c FROM walk GROUP BY v) WHERE v <> c)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT v FROM dropped)""".stripMargin,
 
     "d5_embed_neardup" ->
       s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS b FROM embeddings)

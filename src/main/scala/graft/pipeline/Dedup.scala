@@ -354,6 +354,20 @@ object Dedup {
     comp.select(col("v").as("id"), col("l").as("component"))
   }
 
+  /** End-to-end near-duplicate dedup: given the corpus and a pair
+    * graph from any candidate generator (jaccard/minhash/simhash/
+    * embedding), keep exactly one canonical document per duplicate
+    * group (the minimum id) and every document with no near-dup at
+    * all. One anti-join against the non-canonical member set — the
+    * shape every training-data pipeline ends with.
+    */
+  def nearDupDedup(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = connectedComponents(pairs, "id1", "id2")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   // ---- Embedding near-dup ----------------------------------------------
 
   /** Embedding-cosine near-dup pairs above `threshold`. `blocked=true`
