@@ -164,6 +164,14 @@ object PipelineQueries {
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextFunctions.langId(col("text")).as("lang_detected"))),
 
+    // ---- normalization round-trip (applied to an upper-cased copy so
+    // the transform is non-vacuous on the already-lowercase corpus) +
+    // repetition-ratio quality signal
+    "tx5_normalize_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.normalize(upper(col("text"))).as("norm"),
+        TextFunctions.repetitionRatio(col("text")).as("repetition"))),
+
     // ---- winnowing document fingerprint (rolling hash), exploded to
     // (doc_id, fp) rows — the gate-friendly shape (the driver's oracle
     // harness cannot lex-sort list columns); docs too short to window
@@ -393,6 +401,18 @@ object PipelineQueries {
          |       ELSE 'es' END AS lang_detected
          |FROM c""".stripMargin
     },
+
+    "tx5_normalize_repetition" ->
+      s"""WITH $shingleCtes,
+         |shh AS (SELECT doc_id, ${phSql("s")} AS sh FROM sh),
+         |d AS (SELECT doc_id, count(DISTINCT sh) AS nd FROM shh GROUP BY doc_id),
+         |b AS (SELECT doc_id, text, len(string_split(text,' ')) - 2 AS total FROM documents)
+         |SELECT b.doc_id,
+         |  trim(regexp_replace(lower(upper(text)), '\\s+', ' ', 'g')) AS norm,
+         |  CASE WHEN total > 0
+         |       THEN 1.0 - CAST(coalesce(nd, 0) AS DOUBLE) / CAST(total AS DOUBLE)
+         |       ELSE 0.0 END AS repetition
+         |FROM b LEFT JOIN d ON b.doc_id = d.doc_id""".stripMargin,
 
     "tx4_fingerprint" ->
       s"""WITH b AS (SELECT doc_id, text, len(text) AS L FROM documents),

@@ -82,6 +82,27 @@ object TextFunctions {
       greatest(size(tk), lit(1)).cast("double")
   }
 
+  /** Text normalization for dedup/analysis canonicalization: lowercase
+    * + collapse whitespace runs to single spaces + trim. Narrow,
+    * engine-portable (ASCII-safe regex; Unicode case mapping agrees
+    * across JVM and DuckDB for the corpus scripts).
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Repetition ratio (Gopher-style quality signal): fraction of word
+    * n-gram occurrences that are repeats of an earlier gram —
+    * `1 - distinct/total`. Templated/spammy text scores high. Built on
+    * the fused shingle-hash kernel; total grams = tokens - n + 1.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val total = tokenCount(text) - lit(n - 1)
+    val distinctGrams = size(NativeExpressions.shingleHashes(text, n))
+    when(total > 0,
+      lit(1.0) - distinctGrams.cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Heuristic document quality score in [0,1]: length saturation,
     * cleanliness (low punctuation), stopword plausibility, word-length
     * plausibility. Weights mirror common pretraining-corpus filters
