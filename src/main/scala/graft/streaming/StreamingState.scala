@@ -154,6 +154,69 @@ object StreamingState {
       .toDF("id1", "id2", "est_jaccard")
   }
 
+  /** Per-bucket memory for [[embeddingNearDupStream]]. */
+  final case class VecBucketState(ids: Array[Long], vecs: Array[Array[Float]])
+
+  /** Streaming embedding near-dup detection: vectors are routed to
+    * their sign-LSH bucket ([[graft.pipeline.Similarity.signLshBucket]]
+    * — deterministic hyperplanes, same bucketing as the batch d5
+    * path), each bucket remembers its members in the keyed state
+    * store, and a new arrival emits `(id1, id2, cosine)` against every
+    * stored same-bucket neighbor clearing `threshold`. Exact cosine on
+    * the candidate set — same verify rule as the batch operator.
+    */
+  def embeddingNearDupStream(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int = 8,
+      dims: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bucketed = df.select(
+      col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+      graft.pipeline.Similarity.signLshBucket(col(vecCol), planes, dims).as("bucket"))
+      .as[(Long, Seq[Float], Long)]
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      if (a.length != b.length) return Double.NaN
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    bucketed.groupByKey(_._3)
+      .flatMapGroupsWithState[VecBucketState, (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Seq[Float], Long)], state: GroupState[VecBucketState]) =>
+          val st = state.getOption.getOrElse(VecBucketState(Array.empty, Array.empty))
+          var ids = st.ids
+          var vecs = st.vecs
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          rows.toSeq.sortBy(_._1).foreach { case (id, vecSeq, _) =>
+            if (!ids.contains(id)) {
+              val vec = vecSeq.toArray
+              var i = 0
+              while (i < ids.length) {
+                val cos = cosine(vec, vecs(i))
+                if (cos >= threshold)
+                  out += ((math.min(ids(i), id), math.max(ids(i), id), cos))
+                i += 1
+              }
+              ids = ids :+ id
+              vecs = vecs :+ vec
+            }
+          }
+          state.update(VecBucketState(ids, vecs))
+          out.iterator
+      }
+      .toDF("id1", "id2", "cosine")
+  }
+
   /** Read the executor-side state of a [[lastByKeyStream]] query back
     * as a batch DataFrame via Spark's `statestore` data source — the
     * cluster serving path for T2/T3: state stays sharded in the

@@ -152,4 +152,37 @@ class StreamingStateSpec extends AnyFunSuite {
       assert(!spark.table(name).collect().exists(r => r.getLong(0) == r.getLong(1)))
     } finally q.stop()
   }
+
+  test("embeddingNearDupStream: same-bucket cosine pair emitted cross-batch") {
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def vec(id: Long, xs: Seq[Float]): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](id, xs), vecSchema)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(vecSchema), sqlCtx)
+    val out = StreamingState.embeddingNearDupStream(
+      stream.toDF(), "vec_id", "embedding", threshold = 0.9, dims = 4)
+    val name = s"vec_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("vec-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      val a = Seq(1.0f, 0.1f, 0.0f, 0.2f)
+      val ortho = Seq(-0.1f, 1.0f, 0.3f, -0.9f)
+      stream.addData(vec(1, a), vec(9, ortho))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0)
+      // near-identical vector arrives later: pair with high cosine
+      stream.addData(vec(2, a.map(_ * 2.0f)))
+      q.processAllAvailable()
+      val pairs = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+      assert(pairs.head._3 > 0.99)
+    } finally q.stop()
+  }
 }
