@@ -174,21 +174,24 @@ object StreamingState {
       dims: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val bucketed = df.select(
-      col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
-      graft.pipeline.Similarity.signLshBucket(col(vecCol), planes, dims).as("bucket"))
+    // null ids/vectors and wrong-dimension vectors are dropped up
+    // front (batch parity: those rows can never produce a pair there
+    // either) — without the size guard every off-dims vector would
+    // silently collapse into bucket 0 and grow its state forever
+    val bucketed = df
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        size(col(vecCol)) === dims)
+      .select(
+        col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        graft.pipeline.Similarity.signLshBucket(col(vecCol), planes, dims).as("bucket"))
       .as[(Long, Seq[Float], Long)]
-    def cosine(a: Array[Float], b: Array[Float]): Double = {
-      if (a.length != b.length) return Double.NaN
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+    // the batch verify kernel, reused byte-for-byte (parity by
+    // construction, not by keeping two loops in sync)
+    def cosine(a: Array[Float], b: Array[Float]): java.lang.Double =
+      graft.functions.CosineSim.cos(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(b),
+        aFloat = true, bFloat = true)
     bucketed.groupByKey(_._3)
       .flatMapGroupsWithState[VecBucketState, (Long, Long, Double)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -203,8 +206,8 @@ object StreamingState {
               var i = 0
               while (i < ids.length) {
                 val cos = cosine(vec, vecs(i))
-                if (cos >= threshold)
-                  out += ((math.min(ids(i), id), math.max(ids(i), id), cos))
+                if (cos != null && cos >= threshold)
+                  out += ((math.min(ids(i), id), math.max(ids(i), id), cos.doubleValue()))
                 i += 1
               }
               ids = ids :+ id
