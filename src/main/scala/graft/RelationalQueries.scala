@@ -151,6 +151,27 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // ---- A8: six-table profit rollup (TPC-H Q9 shape) — exercises
+    // part/supplier/region; all dims broadcast, one agg shuffle
+    "j3_profit_rollup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val p = t(s, dir, "part")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("p_type").startsWith("STANDARD"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // ---- as-of join: latest order at-or-before each event
     "j2_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
@@ -272,6 +293,19 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "j3_profit_rollup" ->
+      """SELECT r_name, EXTRACT(year FROM o_orderdate) AS o_year,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_type LIKE 'STANDARD%'
+        |GROUP BY r_name, o_year""".stripMargin,
 
     "j2_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
