@@ -98,6 +98,13 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("j3 six-table rollup: all dims broadcast, exactly one hash-agg shuffle") {
+    val p = plan(graft.RelationalQueries.all("j3_profit_rollup")(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(3000))
+    assert(!p.contains("SortMergeJoin") || "SortMergeJoin".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("strictCompat projection degrades types per reference rules") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2), Map("k" -> "v"))).toDF("a", "xs", "m")
