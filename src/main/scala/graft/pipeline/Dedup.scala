@@ -351,6 +351,14 @@ object Dedup {
         .filter(col("a") =!= col("b")).distinct().localCheckpoint()
       it += 1
     }
+    // a partially-contracted labeling is under-deduplication: callers
+    // (nearDupDedup, d6/d7) would silently keep documents that belong
+    // to a not-yet-merged component — fail loudly instead
+    if (!e.isEmpty)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter rounds " +
+          "(inter-component edges remain); raise maxIter — rounds are " +
+          "O(log diameter), so this indicates a pathological graph or too-low cap")
     comp.select(col("v").as("id"), col("l").as("component"))
   }
 

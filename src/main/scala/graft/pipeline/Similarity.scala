@@ -97,6 +97,13 @@ object Similarity {
     * *narrow per-row argmax* — a fold over a centroid array literal
     * embedded in the plan. Zero Exchange before the cell-probe join:
     * no N×C shuffle, no window sort, the corpus never moves.
+    *
+    * Contract: centroid ids must be numeric (castable to long) and
+    * non-null — validated eagerly with a clear error. A zero-norm
+    * corpus/query vector has NaN cosine against every centroid, so the
+    * assignment fold keeps the sentinel cell -1: such rows match no
+    * cell and drop out of the result (they are unsearchable under
+    * cosine distance — there is no meaningful nearest neighbor).
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -116,7 +123,15 @@ object Similarity {
     }
     val cents = centroids.select(col(idCol).cast("long").as("_c"), col(vecCol).as("_ce"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Any](1)))
+      .map { r =>
+        require(!r.isNullAt(0),
+          s"ivfTopK: centroid id column '$idCol' must be numeric and non-null " +
+            "(a non-numeric or null id casts to NULL)")
+        val v = r.getSeq[Any](1)
+        require(v != null && !v.contains(null),
+          s"ivfTopK: centroid vector column '$vecCol' must be non-null with no null elements")
+        (r.getLong(0), v)
+      }
       .sortBy(_._1)
     require(cents.nonEmpty, "ivfTopK needs a non-empty centroid set (the coarse quantizer)")
     val centArr = array(cents.toIndexedSeq.map { case (cid, v) =>

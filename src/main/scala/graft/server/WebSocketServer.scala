@@ -86,11 +86,13 @@ final class WebSocketServer(
         var open = true
         while (open) {
           val item = outbox.take()
-          if (item._1 < 0) open = false // poison pill from close()
+          if (item._1 < 0) open = false // poison pill from close()/closeAbrupt()
           else writeFrame(out, item._1, item._2)
         }
-      } catch { case _: Exception => () }
-      finally close()
+        // graceful path: every queued frame (incl. the close echo) has
+        // been written — NOW the socket may close
+        try socket.close() catch { case _: IOException => () }
+      } catch { case _: Exception => closeAbrupt() }
     }, "graft-ws-writer")
     writer.setDaemon(true)
     writer.start()
@@ -129,9 +131,34 @@ final class WebSocketServer(
     def sendText(s: String): Unit = sendRaw(0x1, s.getBytes(StandardCharsets.UTF_8))
 
     def sendRaw(opcode: Int, payload: Array[Byte]): Unit =
-      if (!outbox.offer((opcode, payload))) close() // slow consumer: evict
+      if (!outbox.offer((opcode, payload))) closeAbrupt() // slow consumer: evict
 
+    /** Graceful teardown: the poison pill rides BEHIND already-queued
+      * frames — notably the RFC 6455 close-frame echo enqueued by
+      * `readMessage` — so the writer drains them before it closes the
+      * socket (clearing first would race the writer and drop the close
+      * handshake). A peer that stalls mid-drain is bounded by the
+      * scheduled force-close below, not trusted to read forever.
+      */
     def close(): Unit = {
+      conns.remove(this)
+      runtime.removeListener(listener)
+      if (!outbox.offer((-1, Array.emptyByteArray))) closeAbrupt()
+      else
+        try pinger.schedule(new Runnable {
+          def run(): Unit = try socket.close() catch { case _: IOException => () }
+        }, 5, java.util.concurrent.TimeUnit.SECONDS)
+        catch { // pinger already stopped (server shutdown): writer still
+                // drains and closes; nothing left to bound it with
+          case _: java.util.concurrent.RejectedExecutionException => ()
+        }
+    }
+
+    /** Abrupt teardown (slow-consumer eviction, writer I/O failure):
+      * queued frames are dropped and the socket closes immediately —
+      * no close handshake is owed to a peer that stopped reading.
+      */
+    def closeAbrupt(): Unit = {
       conns.remove(this)
       runtime.removeListener(listener)
       outbox.clear()
@@ -352,8 +379,8 @@ final class WebSocketServer(
 
   def stop(): Unit = {
     running = false
+    conns.forEach(_.close()) // graceful first: pinger still live to bound drains
     pinger.shutdownNow()
-    conns.forEach(_.close())
     if (server != null)
       try server.close() catch { case _: IOException => () }
   }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
@@ -21,27 +21,45 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamingState {
 
+  /** Group-key string projected as a column: keys resolve as Catalyst
+    * expressions, so dotted paths into nested structs work, and an
+    * attribute missing from the schema keys the row under the NULL
+    * marker — the same tolerance as the batch path
+    * ([[graft.state.StateOps]] keyCol, reference channels.py:704-717)
+    * and the driver-map serving path, instead of `fieldIndex` throwing
+    * on anything but a plain top-level column.
+    */
+  private def groupKeyExpr(schema: StructType, keys: Seq[String]): Column =
+    concat_ws("\u0001", keys.map { k =>
+      if (graft.state.QueryTranslator.resolveType(schema, k).isDefined)
+        coalesce(col(k).cast("string"), lit("\u0000N"))
+      else lit("\u0000N")
+    }: _*)
+
   /** T1, streaming: emit the updated last-row-per-key on every
-    * micro-batch that touches the key (update output mode). `keys`
-    * must exist in the schema; the max-`seqCol` row wins within and
-    * across batches.
+    * micro-batch that touches the key (update output mode). Keys may
+    * be dotted paths into nested structs; a key missing from the
+    * schema groups everything under NULL (batch-path parity). The
+    * max-`seqCol` row wins within and across batches.
     */
   def lastByKeyStream(
       df: DataFrame,
       keys: Seq[String],
       seqCol: String): DataFrame = {
+    require(keys.nonEmpty, "lastByKeyStream requires at least one key")
     val schema = df.schema
-    val keyIdx = keys.map(schema.fieldIndex)
     val seqIdx = schema.fieldIndex(seqCol)
+    val n = schema.length
     implicit val rowEnc = Encoders.row(schema)
     implicit val keyEnc = Encoders.STRING
-    df.groupByKey((r: Row) => keyIdx.map(i =>
-        if (r.isNullAt(i)) "\u0000N" else String.valueOf(r.get(i))).mkString("\u0001"))
+    df.withColumn("_graft_gk", groupKeyExpr(schema, keys))
+      .groupByKey((r: Row) => r.getString(n))
       .flatMapGroupsWithState[Row, Row](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
-          val incoming = rows.reduceOption((a, b) =>
-            if (a.getLong(seqIdx) >= b.getLong(seqIdx)) a else b)
+          val incoming = rows.map(r => Row.fromSeq(r.toSeq.take(n)))
+            .reduceOption((a, b) =>
+              if (a.getLong(seqIdx) >= b.getLong(seqIdx)) a else b)
           incoming match {
             case Some(newest) =>
               val winner = state.getOption match {
@@ -58,25 +76,27 @@ object StreamingState {
   /** Streaming exact dedup: emit each key's row only the first time it
     * is seen (training-pipeline dedup over an unbounded stream). State
     * per key is one boolean — bounded by distinct-key cardinality,
-    * sharded across the cluster.
+    * sharded across the cluster. Keys may be dotted struct paths
+    * (same resolution as [[lastByKeyStream]]).
     */
   def dedupStream(
       df: DataFrame,
       keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "dedupStream requires at least one key")
     val schema = df.schema
-    val keyIdx = keys.map(schema.fieldIndex)
+    val n = schema.length
     implicit val rowEnc = Encoders.row(schema)
     implicit val keyEnc = Encoders.STRING
     implicit val boolEnc = Encoders.BOOLEAN
-    df.groupByKey((r: Row) => keyIdx.map(i =>
-        if (r.isNullAt(i)) "\u0000N" else String.valueOf(r.get(i))).mkString("\u0001"))
+    df.withColumn("_graft_gk", groupKeyExpr(schema, keys))
+      .groupByKey((r: Row) => r.getString(n))
       .flatMapGroupsWithState[java.lang.Boolean, Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: String, rows: Iterator[Row], state: GroupState[java.lang.Boolean]) =>
           if (state.exists) Iterator.empty
           else {
             state.update(true)
-            rows.take(1)
+            rows.take(1).map(r => Row.fromSeq(r.toSeq.take(n)))
           }
       }
   }
@@ -234,10 +254,13 @@ object StreamingState {
     // "no state yet" is detected structurally (no committed batch in
     // the checkpoint) — NOT by swallowing read errors: a corrupt or
     // version-incompatible store must surface, or distributed serving
-    // would silently answer [] forever.
-    val commits = new java.io.File(checkpoint, "commits")
-    val committed = commits.isDirectory &&
-      commits.listFiles().exists(f => f.getName.forall(_.isDigit))
+    // would silently answer [] forever. Resolved through Hadoop's
+    // FileSystem so HDFS/S3 checkpoints (the cluster case this method
+    // exists for) are probed correctly, not just file:// paths.
+    val commitsPath = new org.apache.hadoop.fs.Path(checkpoint, "commits")
+    val fs = commitsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = fs.exists(commitsPath) && fs.getFileStatus(commitsPath).isDirectory &&
+      fs.listStatus(commitsPath).exists(s => s.getPath.getName.forall(_.isDigit))
     if (!committed) None
     else {
       val raw = spark.read.format("statestore").load(checkpoint)

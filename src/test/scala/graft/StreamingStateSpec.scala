@@ -70,6 +70,48 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lastByKeyStream: dotted struct-path and missing keys resolve like the batch path") {
+    // ADVICE r3: distributedState channels with dotted or missing
+    // stateKeyby must not throw — dotted paths group by the nested
+    // field, unknown attrs key everything under NULL (StateOps parity)
+    val nested = StructType(Seq(
+      StructField("meta", StructType(Seq(StructField("region", StringType)))),
+      StructField("v", LongType), StructField("seq", LongType)))
+    def nrow(region: String, v: Long, seq: Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](Row(region), v, seq), nested)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(nested), sqlCtx)
+    val out = StreamingState.lastByKeyStream(stream.toDF(), Seq("meta.region"), "seq")
+    val name = s"dotted_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name).outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("dot-ckpt").toString)
+      .start()
+    try {
+      stream.addData(nrow("eu", 1, 1), nrow("eu", 2, 2), nrow("us", 3, 3))
+      q.processAllAvailable()
+      val byRegion = spark.table(name).collect()
+        .groupBy(_.getStruct(0).getString(0))
+        .map { case (k, rs) => k -> rs.maxBy(_.getLong(2)).getLong(1) }
+      assert(byRegion === Map("eu" -> 2L, "us" -> 3L))
+    } finally q.stop()
+
+    // a key absent from the schema folds the whole stream into one
+    // NULL-keyed group instead of throwing (reference channels.py:704-717)
+    val stream2 = MemoryStream[Row](Encoders.row(schema), sqlCtx)
+    val out2 = StreamingState.lastByKeyStream(stream2.toDF(), Seq("no_such_col"), "seq")
+    val name2 = s"misskey_${System.nanoTime()}"
+    val q2 = out2.writeStream.format("memory").queryName(name2).outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("miss-ckpt").toString)
+      .start()
+    try {
+      stream2.addData(row("a", 1, 1), row("b", 2, 2))
+      q2.processAllAvailable()
+      val last = spark.table(name2).collect().maxBy(_.getLong(2))
+      assert(spark.table(name2).count() >= 1 && last.getLong(1) === 2L)
+    } finally q2.stop()
+  }
+
   test("dedupStream: each key emitted exactly once across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Row](Encoders.row(schema), sqlCtx)
