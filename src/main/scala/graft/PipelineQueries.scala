@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.pipeline.{Dedup, Multimodal, Similarity}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity}
 
 /** Training-data pipeline query catalog: dedup, similarity search,
   * text analysis, multimodal plumbing — each with a DuckDB oracle that
@@ -194,7 +194,42 @@ object PipelineQueries {
 
     // ---- multimodal: video frame sampling
     "mm2_frame_sample" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.syntheticMedia(t(s, dir, "documents")), stride = 4))
+      Multimodal.sampleFrames(Multimodal.syntheticMedia(t(s, dir, "documents")), stride = 4)),
+
+    // ---- benchmark decontamination: corpus docs sharing any word
+    // 5-gram with the (broadcast) benchmark suite, with overlap counts
+    // (long grams, GPT-3/Pile style — short ones false-positive)
+    "d8_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.contaminationOverlap(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 5)
+    }),
+
+    // ---- PII detection + redaction (emails/phones synthesized onto
+    // the corpus deterministically — the raw corpus carries none)
+    "tx6_pii_redact" -> ((s, dir) => {
+      val pii = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.com or call +1 555 "),
+        (col("doc_id") % 9000 + 1000).cast("string"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.emailCount(pii).as("n_emails"),
+        TextFunctions.phoneCount(pii).as("n_phones"),
+        TextFunctions.redactPii(pii).as("redacted"))
+    }),
+
+    // ---- deterministic 10% hash sample (stratified by construction)
+    "p1_hash_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(Curation.hashSample("doc_id", 10))
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    // ---- concat-and-chunk sequence packing into 512-token context
+    // windows, per hash shard (the distributed pretraining layout)
+    "p2_token_pack" -> ((s, dir) =>
+      Curation.packChunks(t(s, dir, "documents"), "doc_id", "text",
+        ctxTokens = 512, shards = 8))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -436,6 +471,47 @@ object PipelineQueries {
     "mm2_frame_sample" ->
       """SELECT doc_id AS media_id,
         |       unnest(generate_series(0, (n_chars % 32 + 1) - 1, 4)) AS frame_idx
-        |FROM documents WHERE doc_id % 3 = 2""".stripMargin
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    "d8_decontaminate" -> {
+      val gram5 = "w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]"
+      s"""WITH bt AS (SELECT string_split(text,' ') AS w FROM documents WHERE doc_id % 37 = 0),
+         |bg AS (SELECT unnest(generate_series(1, len(w)-4)) AS i, w FROM bt),
+         |bs AS (SELECT DISTINCT $gram5 AS s FROM bg),
+         |bh AS (SELECT DISTINCT ${phSql("s")} AS sh FROM bs),
+         |ct AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id % 37 <> 0),
+         |cg AS (SELECT doc_id, unnest(generate_series(1, len(w)-4)) AS i, w FROM ct),
+         |cs AS (SELECT DISTINCT doc_id, $gram5 AS s FROM cg),
+         |ch AS (SELECT DISTINCT doc_id, ${phSql("s")} AS sh FROM cs)
+         |SELECT doc_id, count(*) AS n_overlap
+         |FROM ch JOIN bh USING (sh) GROUP BY doc_id""".stripMargin
+    },
+
+    "tx6_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |  '@mail.com or call +1 555 ' || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS pt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(pt, '${TextFunctions.EmailRe}')) AS n_emails,
+         |  len(regexp_extract_all(regexp_replace(pt, '${TextFunctions.EmailRe}', '[EMAIL]', 'g'),
+         |      '${TextFunctions.PhoneRe}')) AS n_phones,
+         |  regexp_replace(regexp_replace(pt, '${TextFunctions.EmailRe}', '[EMAIL]', 'g'),
+         |      '${TextFunctions.PhoneRe}', '[PHONE]', 'g') AS redacted
+         |FROM p""".stripMargin,
+
+    "p1_hash_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${phSql("CAST(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin,
+
+    "p2_token_pack" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  ${phSql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         |  len(string_split(text,' ')) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens, 0) AS BIGINT) AS start_tok
+         |  FROM b)
+         |SELECT doc_id, shard, n_tokens, start_tok, start_tok // 512 AS chunk FROM c""".stripMargin
   )
 }

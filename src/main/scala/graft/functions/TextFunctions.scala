@@ -139,6 +139,39 @@ object TextFunctions {
       .otherwise(lit("es"))
   }
 
+  /** Email address pattern — deliberately simple so both regex engines
+    * (Java on the Spark side, RE2 in the DuckDB oracle) parse it
+    * identically: no backtracking constructs, no lookaround.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** Phone-number pattern: leading digit or +, 6+ inner phone chars
+    * (digits, space, dash, parens), trailing digit.
+    */
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** Count of email-shaped spans (PII detection signal). */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+
+  /** Count of phone-shaped spans, measured AFTER email redaction so an
+    * address's digits can't double-count as a phone number.
+    */
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(
+      regexp_replace(text, EmailRe, "[EMAIL]"), lit(PhoneRe), lit(0)))
+
+  /** PII-redacted text: emails then phones replaced with typed mask
+    * tokens — the order is load-bearing (the email regex consumes its
+    * digits first, so the phone pass can't split an address). Both
+    * passes are leftmost-first global replaces, which Java regex and
+    * RE2 agree on — the redacted text is engine-portable.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "[EMAIL]"),
+      PhoneRe, "[PHONE]")
+
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
     * hash every `k`-char gram, take the minimum of each sliding window
     * of `w` hashes, return the sorted distinct selections. Robust to

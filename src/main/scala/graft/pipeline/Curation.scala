@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators a large-scale training-data pipeline
+  * runs between raw ingest and tokenization: benchmark
+  * decontamination, deterministic sampling, and sequence packing.
+  * All three are declarative DataFrame plans over codegen'd
+  * expressions — no UDFs, no driver-side loops.
+  *
+  * Scale shapes:
+  *  - decontamination: the benchmark suite is tiny (thousands of
+  *    docs) next to the corpus — its n-gram set is broadcast, the
+  *    corpus side is a narrow shingle projection + broadcast
+  *    semi-style join + per-doc partial count. The corpus text never
+  *    shuffles; the only exchange is the final per-doc aggregation of
+  *    (id, hash) pairs that survived the broadcast probe.
+  *  - hash sampling: a pure narrow filter on a deterministic hash —
+  *    zero shuffle, reproducible across runs/engines, and stratified
+  *    for free because the rate applies uniformly within any stratum.
+  *  - packing: documents are concatenated and chunked into
+  *    fixed-size context windows WITHIN a hash shard (the way
+  *    distributed pretraining pipelines actually pack — per worker,
+  *    no global order), so the plan is one hash exchange + per-shard
+  *    sort, never a single-partition global window.
+  */
+object Curation {
+
+  // ---- benchmark decontamination ----------------------------------------
+
+  /** Documents of `corpus` that share at least one word-`n`-gram with
+    * any document of `bench` (the held-out benchmark suite), with the
+    * count of distinct overlapping shingles — the GPT-3/Pile-style
+    * n-gram decontamination check, as a broadcast probe.
+    *
+    * Returns (idCol, n_overlap), contaminated docs only.
+    */
+  def contaminationOverlap(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    // distinct hashed shingle set of the whole benchmark suite —
+    // small by contract, broadcast to every corpus partition
+    val benchShingles = bench
+      .select(Dedup.shingleHashes(col(textCol), n).as("_shs"))
+      .select(explode(col("_shs")).as("sh"))
+      .distinct()
+    // corpus side: materialize the shingle array in a projection
+    // BELOW the Generate (inlining into explode() would evaluate the
+    // kernel interpreted), then explode → broadcast join → count.
+    // shingleHashes emits a set, and the broadcast side is distinct,
+    // so count(*) == count of distinct overlapping shingles.
+    corpus
+      .select(col(idCol), Dedup.shingleHashes(col(textCol), n).as("_shs"))
+      .select(col(idCol), explode(col("_shs")).as("sh"))
+      .join(broadcast(benchShingles), "sh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** The corpus with every contaminated document removed — one
+    * broadcast probe + one anti-join on the contaminated id set.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame =
+    corpus.join(
+      contaminationOverlap(corpus, bench, idCol, textCol, n).select(idCol),
+      Seq(idCol), "left_anti")
+
+  // ---- deterministic sampling -------------------------------------------
+
+  /** Keep rows whose portable hash of `idCol` lands under `pct`
+    * percent — deterministic, engine-portable (the DuckDB oracle
+    * reproduces it bit-for-bit), and stable under reruns/appends,
+    * unlike `df.sample` whose output depends on partitioning. Applied
+    * uniformly it is stratified by construction: every stratum is
+    * sampled at the same rate without a per-stratum pass.
+    */
+  def hashSample(idCol: String, pct: Int): Column =
+    TextFunctions.polyHash(col(idCol).cast("string")) % 100 < pct
+
+  // ---- sequence packing --------------------------------------------------
+
+  /** Concat-and-chunk sequence packing: documents are assigned to
+    * `shards` by id hash, ordered by id within the shard, and the
+    * running token offset places each document in its fixed-size
+    * context `chunk` (= start_tok / ctxTokens). This is the
+    * pretraining packing layout — concatenate in deterministic order,
+    * cut every `ctxTokens` — computed per shard so the window sort is
+    * partition-local (one hash exchange, no global single-partition
+    * window).
+    *
+    * Returns (idCol, shard, n_tokens, start_tok, chunk).
+    */
+  def packChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      ctxTokens: Int = 512,
+      shards: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(idCol)
+    df.select(
+        col(idCol),
+        pmod(TextFunctions.polyHash(col(idCol).cast("string")), lit(shards)).as("shard"),
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .withColumn("chunk", (col("start_tok") / ctxTokens).cast("long"))
+  }
+}

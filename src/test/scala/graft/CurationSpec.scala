@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.pipeline.Curation
+
+/** Corpus curation: benchmark decontamination, PII redaction,
+  * deterministic sampling, sequence packing.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("contaminationOverlap flags only docs sharing an n-gram with the benchmark") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "intro text then the quick brown fox jumps over and more"), // contains a bench 5-gram
+      (11L, "completely unrelated words about spark and scala engines"),
+      (12L, "fox jumps over the lazy dog said someone once")            // contains another
+    ).toDF("doc_id", "text")
+    val hits = Curation.contaminationOverlap(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet === Set(10L, 12L))
+    assert(hits.values.forall(_ >= 1L))
+    val clean = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean === Set(11L))
+  }
+
+  test("PII: emails and phones counted and redacted; email digits don't double-count") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+x@example.org or +1 555 123 4567 thanks"),
+      (2L, "no pii here at all"),
+      (3L, "user123@mail.com")  // digits inside the email must not count as a phone
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextFunctions.emailCount(col("text")).as("e"),
+      TextFunctions.phoneCount(col("text")).as("p"),
+      TextFunctions.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L)._1 === 1 && out(1L)._2 === 1)
+    assert(out(1L)._3 === "reach me at [EMAIL] or [PHONE] thanks")
+    assert(out(2L) === ((0, 0, "no pii here at all")))
+    assert(out(3L) === ((1, 0, "[EMAIL]")))
+  }
+
+  test("hashSample is deterministic and roughly at rate") {
+    val df = (0L until 2000L).toDF("doc_id")
+    val a = df.filter(Curation.hashSample("doc_id", 10)).as[Long].collect().toSet
+    val b = df.filter(Curation.hashSample("doc_id", 10)).as[Long].collect().toSet
+    assert(a === b) // stable under re-evaluation
+    assert(a.size > 100 && a.size < 320, s"rate off: ${a.size}/2000")
+  }
+
+  test("packChunks: per-shard cumulative offsets, chunk = start/ctx, tokens conserved") {
+    val docs = (1L to 40L).map(i => (i, Seq.fill((i % 7).toInt + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.packChunks(docs, "doc_id", "text", ctxTokens = 8, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(out.length === 40)
+    // per shard: ordered by id, start_tok is the running sum of prior docs
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      var expect = 0L
+      rows.sortBy(_._1).foreach { case (_, _, n, start, chunk) =>
+        assert(start === expect)
+        assert(chunk === start / 8)
+        expect += n
+      }
+    }
+    // token totals conserved across the packing
+    assert(out.map(_._3.toLong).sum ===
+      docs.select(sum(TextFunctions.tokenCount(col("text")))).as[Long].head())
+  }
+}

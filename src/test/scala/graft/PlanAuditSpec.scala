@@ -105,6 +105,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("d8 decontamination: benchmark side broadcast, corpus text never shuffles") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(graft.pipeline.Curation.contaminationOverlap(
+      docs.filter(col("doc_id") % 37 =!= 0), docs.filter(col("doc_id") % 37 === 0),
+      "doc_id", "text", n = 5))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
+    // only two keyed exchanges are admissible: the tiny bench-side
+    // distinct and the final per-doc count — the corpus probe itself
+    // must be broadcast, never a corpus shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(3000))
+  }
+
+  test("p2 packing: one shard exchange, one window — no global single-partition sort") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(graft.pipeline.Curation.packChunks(docs, "doc_id", "text", 512, 8))
+    assert("Window \\[".r.findAllIn(p).size === 1, p.take(3000))
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(p).size === 1, p.take(3000))
+    // the scale-killer shape would be Exchange SinglePartition
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+  }
+
+  test("p1 hash sample is a pure narrow filter: zero exchanges") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(docs.filter(graft.pipeline.Curation.hashSample("doc_id", 10))
+      .select(col("doc_id"), col("lang")))
+    assert(!p.contains("Exchange"), p.take(3000))
+  }
+
   test("strictCompat projection degrades types per reference rules") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2), Map("k" -> "v"))).toDF("a", "xs", "m")
