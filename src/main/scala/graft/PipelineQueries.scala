@@ -229,7 +229,15 @@ object PipelineQueries {
     // windows, per hash shard (the distributed pretraining layout)
     "p2_token_pack" -> ((s, dir) =>
       Curation.packChunks(t(s, dir, "documents"), "doc_id", "text",
-        ctxTokens = 512, shards = 8))
+        ctxTokens = 512, shards = 8)),
+
+    // ---- data-mixture construction: per-language sampling rates on
+    // the deterministic hash (en 50%, de 20%, fr 10%, rest 5%)
+    "p3_mixture_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(Curation.mixtureSample("doc_id", "lang",
+          Map("en" -> 50, "de" -> 20, "fr" -> 10), defaultPct = 5))
+        .select(col("doc_id"), col("lang")))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -503,6 +511,11 @@ object PipelineQueries {
     "p1_hash_sample" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE ${phSql("CAST(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin,
+
+    "p3_mixture_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${phSql("CAST(doc_id AS VARCHAR)")} % 100 <
+         |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'fr' THEN 10 ELSE 5 END""".stripMargin,
 
     "p2_token_pack" ->
       s"""WITH b AS (SELECT doc_id,

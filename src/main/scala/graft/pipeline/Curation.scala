@@ -76,6 +76,34 @@ object Curation {
       contaminationOverlap(corpus, bench, idCol, textCol, n).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** Streaming decontamination: documents arriving on a stream are
+    * dropped when any of their `n`-grams hits the benchmark shingle
+    * set. The benchmark set is collected once and embedded as an array
+    * literal — plan metadata, the same bounded-quantizer contract as
+    * [[Similarity.ivfTopK]]'s centroids (a benchmark suite's distinct
+    * n-grams are thousands-to-millions of longs, not corpus-scale) —
+    * so the stream side is a PURE NARROW FILTER: no state, no
+    * watermark, no shuffle, trivially incremental per micro-batch.
+    * For benchmark sets too large to inline, run the batch
+    * [[decontaminate]] probe per micro-batch via `foreachBatch`.
+    */
+  def decontaminateStream(
+      corpusStream: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val benchShingles = bench
+      .select(explode(Dedup.shingleHashes(col(textCol), n)).as("sh"))
+      .distinct().orderBy("sh") // deterministic literal
+      .collect().map(_.getLong(0))
+    if (benchShingles.isEmpty) corpusStream
+    else corpusStream.filter(
+      !arrays_overlap(
+        Dedup.shingleHashes(col(textCol), n),
+        typedLit(benchShingles.toSeq)))
+  }
+
   // ---- deterministic sampling -------------------------------------------
 
   /** Keep rows whose portable hash of `idCol` lands under `pct`
@@ -87,6 +115,24 @@ object Curation {
     */
   def hashSample(idCol: String, pct: Int): Column =
     TextFunctions.polyHash(col(idCol).cast("string")) % 100 < pct
+
+  /** Data-mixture construction: per-stratum sampling rates (percent)
+    * over the same deterministic hash — e.g. keep 50% of English, 20%
+    * of German, `defaultPct` of everything else. Still one narrow
+    * filter (the rate is a when-chain on the stratum column), still
+    * reproducible across engines and reruns — upsampling beyond 100%
+    * belongs to a repeat-explode pass, not here.
+    */
+  def mixtureSample(
+      idCol: String,
+      stratumCol: String,
+      rates: Map[String, Int],
+      defaultPct: Int = 0): Column = {
+    val pct = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    TextFunctions.polyHash(col(idCol).cast("string")) % 100 < pct
+  }
 
   // ---- sequence packing --------------------------------------------------
 

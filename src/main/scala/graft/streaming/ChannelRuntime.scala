@@ -315,8 +315,27 @@ final class ChannelRuntime(
     finally removeListener(l)
   }
 
-  /** T7 — O(1) lookup by id (reference struct registry). */
-  def lookup(name: String, id: String): Option[Row] = Option(chan(name).lookupMap.get(id))
+  /** T7 — lookup by id: O(1) against the bounded driver registry, then
+    * (distributedState mode) a fallback distributed probe of the
+    * sharded state store's frontier — so ids evicted from the registry
+    * or skipped by `omitFromLookup` still resolve without any driver
+    * map at all, as long as they are a current per-key winner. The
+    * probe is an equality filter over the statestore scan (predicate
+    * pushed to the store files); max `_seq` wins if several state keys
+    * share the id.
+    */
+  def lookup(name: String, id: String): Option[Row] = {
+    val c = chan(name)
+    val hit = Option(c.lookupMap.get(id))
+    if (hit.isDefined) hit
+    else if (distributedState && effectiveKeys(c.spec).nonEmpty &&
+      c.schema.fieldNames.contains(IdCol)) {
+      val seqI = c.schema.fieldNames.indexOf(SeqCol)
+      StreamingState.stateSnapshot(spark, stateCheckpoint(name))
+        .flatMap(df => df.filter(col(IdCol) === lit(id)).collect()
+          .sortBy(-_.getLong(seqI)).headOption)
+    } else None
+  }
 
   /** Current accumulated state (T1 result) as a DataFrame. In
     * distributedState mode this is a distributed scan of the sharded

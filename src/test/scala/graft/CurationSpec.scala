@@ -46,6 +46,36 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L) === ((1, 0, "[EMAIL]")))
   }
 
+  test("decontaminateStream filters contaminated docs as a narrow streaming filter") {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row](
+      Encoders.row(schema), sqlCtx)
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val out = Curation.decontaminateStream(stream.toDF(), bench, "doc_id", "text", n = 5)
+    val name = s"decon_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("decon-ckpt").toString)
+      .start()
+    def r(id: Long, t: String): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](id, t), schema)
+    try {
+      stream.addData(
+        r(10L, "prefix the quick brown fox jumps over suffix words here"),
+        r(11L, "clean document with entirely different content words"))
+      q.processAllAvailable()
+      stream.addData(r(12L, "another clean one"), r(13L, "fox jumps over the lazy dog again"))
+      q.processAllAvailable()
+      val kept = spark.table(name).collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept === Seq(11L, 12L))
+    } finally q.stop()
+  }
+
   test("hashSample is deterministic and roughly at rate") {
     val df = (0L until 2000L).toDF("doc_id")
     val a = df.filter(Curation.hashSample("doc_id", 10)).as[Long].collect().toSet

@@ -57,6 +57,32 @@ class DistributedStateSpec extends AnyFunSuite {
     } finally rt.stop()
   }
 
+  test("lookup falls back to the sharded store when the driver registry is off") {
+    // omitFromLookup: the driver id→row map is never populated, so a
+    // hit can only come from the distributed statestore probe
+    val rt = new ChannelRuntime(spark,
+      Map("dist" -> ChannelSpec("dist", schema, stateKeyby = Seq("k"),
+        omitFromLookup = true)),
+      Files.createTempDirectory("graft-dist-lkp").toString,
+      distributedState = true)
+    rt.start()
+    try {
+      val sent = rt.send("dist", Seq(
+        Map("id" -> "row-1", "k" -> "a", "v" -> 1L),
+        Map("id" -> "row-2", "k" -> "b", "v" -> 2L)))
+      rt.processAllAvailable()
+      assert(sent.length === 2)
+      val hit = rt.lookup("dist", "row-2")
+      assert(hit.exists(_.getAs[Long]("v") === 2L))
+      // a frontier-displaced id (same key, newer row) is gone from the
+      // store — honest miss, not a stale answer
+      rt.send("dist", Seq(Map("id" -> "row-3", "k" -> "b", "v" -> 9L)))
+      rt.processAllAvailable()
+      assert(rt.lookup("dist", "row-2").isEmpty)
+      assert(rt.lookup("dist", "row-3").exists(_.getAs[Long]("v") === 9L))
+    } finally rt.stop()
+  }
+
   test("gateway /state answers from the store in distributed mode") {
     val rt = newRuntime()
     rt.start()
