@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.pipeline.{Curation, Dedup, Multimodal, Similarity}
+import graft.pipeline.{Clustering, Curation, Dedup, Multimodal, Similarity}
 
 /** Training-data pipeline query catalog: dedup, similarity search,
   * text analysis, multimodal plumbing — each with a DuckDB oracle that
@@ -237,7 +237,20 @@ object PipelineQueries {
       t(s, dir, "documents")
         .filter(Curation.mixtureSample("doc_id", "lang",
           Map("en" -> 50, "de" -> 20, "fr" -> 10), defaultPct = 5))
-        .select(col("doc_id"), col("lang")))
+        .select(col("doc_id"), col("lang"))),
+
+    // ---- distributed k-means (1 Lloyd iteration, hash-seeded):
+    // narrow argmax assignment over a driver-collected quantizer —
+    // zero Exchange to get a cell, one (cell, dim) shuffle per round
+    "c1_kmeans" -> ((s, dir) =>
+      Clustering.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 1)),
+
+    // ---- SemDeDup semantic dedup: same-cell pair pruning only —
+    // the candidate set is Σ|cell|², never corpus all-pairs
+    "c2_semantic_dedup" -> ((s, dir) =>
+      Clustering.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, threshold = 0.4, iters = 1))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -266,6 +279,47 @@ object PipelineQueries {
        |         FROM blocks a JOIN blocks b
        |           ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id),
        |hd AS (SELECT id1, id2, bit_count(xor(h1, h2)) AS hamming FROM cand)""".stripMargin
+
+  /** K-means CTE chain mirroring Clustering.kmeansCentroids /
+    * kmeansAssign exactly: hash-seeded cells 0..k-1, one Lloyd round
+    * whose refined centroid is the ELEMENTWISE INTEGER SUM of
+    * `floor(1e6·x + 0.5)` (cosine is scale-invariant, integer sums
+    * commute — no accumulation-order sensitivity), argmax assignment
+    * with ties to the lowest cell and NaN (zero-norm) → sentinel -1.
+    * Ends with `a1(vec_id, cell)` — the final assignment.
+    */
+  private def kmeansCtes(k: Int = 8, dims: Int = 64): String =
+    s"""h AS (SELECT vec_id, embedding, ${phSql("CAST(vec_id AS VARCHAR)")} AS hh
+       |      FROM embeddings),
+       |seeds AS (SELECT rn - 1 AS c, ce FROM (
+       |            SELECT row_number() OVER (ORDER BY hh, vec_id) AS rn,
+       |                   CAST(embedding AS DOUBLE[]) AS ce
+       |            FROM h) WHERE rn <= $k),
+       |s0 AS (SELECT vec_id, c, ${cosSql("embedding", "ce")} AS cos
+       |       FROM embeddings CROSS JOIN seeds),
+       |a0 AS (SELECT vec_id, c AS cell FROM (
+       |         SELECT vec_id, c,
+       |                row_number() OVER (PARTITION BY vec_id
+       |                  ORDER BY cos DESC, c ASC) AS rn
+       |         FROM s0 WHERE NOT isnan(cos)) WHERE rn = 1),
+       |sums AS (SELECT cell, d,
+       |           sum(CAST(floor(1000000.0 * CAST(e.embedding[d] AS DOUBLE) + 0.5)
+       |               AS BIGINT)) AS sm
+       |         FROM a0 JOIN embeddings e USING (vec_id),
+       |              (SELECT unnest(generate_series(1, $dims)) AS d)
+       |         GROUP BY cell, d),
+       |cref AS (SELECT cell AS c, list(CAST(sm AS DOUBLE) ORDER BY d) AS ce
+       |         FROM sums GROUP BY cell),
+       |s1 AS (SELECT vec_id, c, ${cosSql("embedding", "ce")} AS cos
+       |       FROM embeddings CROSS JOIN cref),
+       |a1 AS (SELECT e.vec_id, coalesce(x.cell, -1) AS cell
+       |       FROM embeddings e LEFT JOIN (
+       |         SELECT vec_id, c AS cell FROM (
+       |           SELECT vec_id, c,
+       |                  row_number() OVER (PARTITION BY vec_id
+       |                    ORDER BY cos DESC, c ASC) AS rn
+       |           FROM s1 WHERE NOT isnan(cos)) WHERE rn = 1) x
+       |         ON e.vec_id = x.vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
@@ -516,6 +570,22 @@ object PipelineQueries {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${phSql("CAST(doc_id AS VARCHAR)")} % 100 <
          |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'fr' THEN 10 ELSE 5 END""".stripMargin,
+
+    "c1_kmeans" ->
+      s"""WITH ${kmeansCtes()}
+         |SELECT vec_id, cell FROM a1""".stripMargin,
+
+    "c2_semantic_dedup" ->
+      s"""WITH ${kmeansCtes()},
+         |pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |         ${cosSql("ea.embedding", "eb.embedding")} AS cosine
+         |       FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |       JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |       JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |       WHERE a.cell >= 0),
+         |dropped AS (SELECT DISTINCT id2 FROM pr WHERE cosine >= 0.4)
+         |SELECT vec_id, cell FROM a1
+         |WHERE vec_id NOT IN (SELECT id2 FROM dropped)""".stripMargin,
 
     "p2_token_pack" ->
       s"""WITH b AS (SELECT doc_id,

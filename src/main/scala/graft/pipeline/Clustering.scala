@@ -1,0 +1,209 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Embedding-space clustering for corpus curation: distributed
+  * k-means (Lloyd) over an embedding column, and SemDeDup-style
+  * semantic deduplication (Abbas et al. 2023: cluster the corpus,
+  * then drop documents whose embedding is too close to a
+  * lower-ranked document in the same cluster).
+  *
+  * Scale shapes:
+  *  - the quantizer (k centroids) is tiny metadata, exactly like
+  *    [[Similarity.ivfTopK]]'s coarse quantizer: every assignment is
+  *    a NARROW per-row argmax over a centroid array literal embedded
+  *    in the plan — zero Exchange, the corpus never shuffles to get
+  *    its cell;
+  *  - one Lloyd iteration is one partial-aggregated shuffle of
+  *    (cell, dim, sum) triples — k×dims rows out of each executor,
+  *    nothing proportional to the corpus;
+  *  - semantic dedup joins the corpus with itself ON THE CELL KEY
+  *    ONLY — the candidate set is Σ|cell|², the SemDeDup contract
+  *    (choose k so cells stay bounded; k grows with the corpus).
+  *
+  * Engine portability (the correctness gate hashes every row, so the
+  * arithmetic must be bit-identical in DuckDB):
+  *  - seeds are the k vectors with the smallest portable polynomial
+  *    hash of their id — deterministic, reproducible in SQL;
+  *  - refined centroids are ELEMENTWISE INTEGER SUMS of quantized
+  *    coordinates `floor(1e6·x + 0.5)` (floor, not round: engines
+  *    disagree on half-rounding of doubles, floor they agree on).
+  *    Cosine is scale-invariant, so the un-divided sum represents
+  *    the mean direction exactly — no float division, no
+  *    accumulation-order sensitivity (integer sums commute), no
+  *    DECIMAL cross-engine rules;
+  *  - assignment folds left-to-right over ascending cell ids with a
+  *    strict `>`, so ties keep the lowest cell — the same total
+  *    order as SQL's `row_number() ORDER BY cosine DESC, cell ASC`.
+  *
+  * A centroid sum stays exact in double as long as each cell's
+  * Σ|floor(1e6·x+0.5)| < 2^53 — i.e. ~9e9 unit-scale vectors per
+  * cell; the driver-side conversion below would lose low bits beyond
+  * that (raise k long before then).
+  */
+object Clustering {
+
+  /** The k corpus rows with the smallest portable id hash (ties by
+    * id): deterministic, engine-reproducible seed centroids. Returns
+    * (cell 0..k-1, centroid as Seq[Double]) collected to the driver —
+    * quantizer metadata, the IVF contract.
+    */
+  def seedCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): Array[(Long, Seq[Double])] =
+    corpus
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        TextFunctions.polyHash(col(idCol).cast("string")).as("_h"))
+      .orderBy(col("_h"), col("_id"))
+      .limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        val v = r.getSeq[Any](1)
+        require(v != null && !v.contains(null),
+          s"kmeans: seed vector for id ${r.get(0)} is null or has null elements")
+        (i.toLong, v.map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case x => x.toString.toDouble
+        })
+      }
+
+  /** Narrow per-row argmax cell assignment over a collected centroid
+    * set — the shared quantizer fold (see [[Similarity.ivfTopK]]).
+    * Rows whose cosine is NaN against every centroid (zero-norm
+    * vectors) keep the sentinel cell -1.
+    */
+  def assignCell(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    val centArr = array(cents.map { case (cid, v) =>
+      struct(lit(cid).as("c"), typedLit(v).as("ce"))
+    }: _*)
+    aggregate(centArr,
+      struct(lit(Double.NegativeInfinity).as("cos"), lit(-1L).as("c")),
+      (acc, ct) => {
+        val cs = Similarity.cosine(vec, ct.getField("ce"))
+        // cast names the fields; a plain .as inside struct() is trimmed
+        // by the analyzer in some rewrites (generator extraction), which
+        // would break the CASE WHEN branch-type match. NaN guard: Spark
+        // comparisons are NaN-largest, so an unguarded NaN cosine
+        // (zero-norm vector) would capture the first cell instead of
+        // keeping the -1 sentinel
+        when(!isnan(cs) && cs > acc.getField("cos"),
+          struct(cs, ct.getField("c")).cast("struct<cos:double,c:bigint>"))
+          .otherwise(acc)
+      }).getField("c")
+  }
+
+  /** `iters` Lloyd iterations from the hash-seeded centroids; returns
+    * the final centroid set. Each iteration: narrow assignment, then
+    * ONE shuffle of (cell, dim, partial-sum) — the refined centroid is
+    * the elementwise integer sum of `floor(1e6·x + 0.5)` (see the
+    * class doc for why sums, not means). Cells that capture no rows
+    * disappear (their id is simply absent from the next round's
+    * quantizer), mirroring standard Lloyd empty-cell dropout.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 1): Array[(Long, Seq[Double])] = {
+    var cents = seedCentroids(corpus, idCol, vecCol, k)
+    for (_ <- 0 until iters) {
+      // assign in a projection BELOW the Generate: inlined next to
+      // posexplode the fold would be re-evaluated per exploded element
+      // (dims× the work) and interpreted, not codegen'd
+      val sums = corpus
+        .select(col(vecCol).as("_v"),
+          assignCell(col(vecCol), cents.toIndexedSeq).as("_cell"))
+        .filter(col("_cell") >= 0)
+        .select(col("_cell"), posexplode(col("_v")).as(Seq("_d", "_x")))
+        .groupBy("_cell", "_d")
+        .agg(sum(floor(lit(1000000.0) * col("_x").cast("double") + lit(0.5))
+          .cast("long")).as("_s"))
+        .collect()
+      cents = sums
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          (cell, rows.sortBy(_.getInt(1)).map(_.getLong(2).toDouble).toSeq)
+        }
+        .toArray
+        .sortBy(_._1)
+    }
+    cents
+  }
+
+  /** (id, cell) assignment of every corpus row after `iters` Lloyd
+    * iterations — the catalog-facing k-means entry point.
+    */
+  def kmeansAssign(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 1): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, k, iters)
+    corpus.select(col(idCol),
+      assignCell(col(vecCol), cents.toIndexedSeq).as("cell"))
+  }
+
+  /** SemDeDup candidate pairs: same-cell document pairs (id1 < id2)
+    * with cosine >= `threshold`. The join key is the cell — never
+    * all-pairs across the corpus.
+    */
+  def semanticDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      threshold: Double,
+      iters: Int = 1): DataFrame =
+    semanticDupPairsWith(corpus, idCol, vecCol,
+      kmeansCentroids(corpus, idCol, vecCol, k, iters), threshold)
+
+  /** SemDeDup: keep a document iff no LOWER-id document in its cell
+    * is within `threshold` cosine — one distinct-projection of the
+    * pair frame and one anti-join. Returns surviving (id, cell).
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      threshold: Double,
+      iters: Int = 1): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, k, iters)
+    val assigned = corpus.select(col(idCol),
+      assignCell(col(vecCol), cents.toIndexedSeq).as("cell"))
+    val dropped = semanticDupPairsWith(corpus, idCol, vecCol, cents, threshold)
+      .select(col("id2").as(idCol)).distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** [[semanticDupPairs]] against an already-fitted quantizer — lets
+    * [[semanticDedup]] fit once instead of twice.
+    */
+  def semanticDupPairsWith(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Long, Seq[Double])],
+      threshold: Double): DataFrame = {
+    val assigned = corpus
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        assignCell(col(vecCol), cents.toIndexedSeq).as("_cell"))
+      .filter(col("_cell") >= 0)
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a._cell") === col("b._cell") && col("a._id") < col("b._id"))
+      .select(col("a._cell").as("cell"),
+        col("a._id").as("id1"), col("b._id").as("id2"),
+        Similarity.cosine(col("a._v"), col("b._v")).as("cosine"))
+      .filter(col("cosine") >= lit(threshold))
+  }
+}

@@ -299,67 +299,142 @@ object Dedup {
     * `component` — the canonical keep/drop group id a dedup pipeline
     * consumes downstream of pair generation (keep = id == component).
     *
-    * Star contraction: each round every (super)node adopts the minimum
-    * label in its closed neighborhood (a component's global minimum
-    * can never be displaced, so it is the survivor), labels get one
-    * label-of-label flattening hop, and the edge list is CONTRACTED
-    * into label space. The graph shrinks geometrically — rounds are
-    * O(log diameter) even on long chains, and each round's input is
-    * smaller than the last (plain min-label propagation measured 15
-    * rounds / 12s on the sf0.1 simhash chains; this shape converges in
-    * ~5). Terminates when no inter-label edge survives. The driver
-    * runs only emptiness checks; lineage is truncated per round
-    * (localCheckpoint) because iterative plans otherwise nest
-    * exponentially.
+    * Star contraction with pointer doubling: each round every
+    * (super)node adopts the minimum label in its closed neighborhood
+    * (a component's global minimum can never be displaced, so it is
+    * the survivor). Those pointers form a forest (every pointer goes
+    * to a smaller id, so no cycles); the forest is flattened to its
+    * roots by label-of-label composition to fixpoint — depth halves
+    * per hop, so a chain of length D resolves in O(log D) hops, not D
+    * rounds. The edge list is then CONTRACTED into root-label space
+    * and shrinks geometrically. The driver runs only edge/change
+    * count checks; lineage is truncated per hop (localCheckpoint +
+    * [[org.apache.spark.sql.graft.DatasetBridge.freshLeaf]] — the
+    * checkpoint alone preserves origin statistics since SPARK-39834,
+    * and those BigInt size estimates compound across self-join rounds
+    * until stats estimation itself hangs).
+    *
+    * Hybrid tail finish: once the surviving label-space edge set fits
+    * under `localEdgeThreshold` (it shrinks geometrically, so this is
+    * a few rounds in even at 100 TB), the remaining contraction is
+    * finished with a driver-side union-find over that bounded edge
+    * list — one collect + one broadcast remap join instead of ~8 jobs
+    * per tail round. This is metadata-sized label data, not corpus
+    * data; the early heavy rounds stay fully distributed. The local
+    * finish needs an ordering on the id type — Long/Int/String/
+    * Timestamp are handled; anything else falls back to distributed
+    * rounds all the way down (measured: sf0.1 simhash graph d6
+    * 5.1s → ~1.5s).
     */
   def connectedComponents(
       pairs: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      localEdgeThreshold: Long = 500000L): DataFrame = {
+    // materialize AND drop propagated origin stats — see freshLeaf
+    def ck(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.DatasetBridge.freshLeaf(df.localCheckpoint())
     // no id-type cast: min/least orderings work for any orderable id
     // type (a cast("long") would null string ids and silently drop
     // every edge)
-    var e = pairs
+    var e = ck(pairs
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct())
     // comp: original node -> current component label
-    var comp = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
-      .distinct().withColumn("l", col("v")).localCheckpoint()
+    var comp = ck(e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .distinct().withColumn("l", col("v")))
     var it = 0
-    while (!e.isEmpty && it < maxIter) {
-      // min over the closed neighborhood, in label space
+    var nEdges = e.count()
+    def localFinishable: Boolean =
+      nEdges <= localEdgeThreshold && localOrdering(e.schema(0).dataType).isDefined
+    while (nEdges > 0 && !localFinishable && it < maxIter) {
+      // min over the closed neighborhood, in label space: a pointer
+      // forest x -> lx with lx <= x (roots are local minima)
       val minN = e.union(e.select(col("b").as("a"), col("a").as("b")))
         .groupBy("a").agg(min(col("b")).as("m"))
         .select(col("a").as("x"), least(col("a"), col("m")).as("lx"))
-      // one label-of-label hop flattens two-level stars
-      val lx = minN
-        .join(minN.select(col("x").as("lx"), col("lx").as("_ll")), Seq("lx"), "left")
-        .select(col("x"), coalesce(col("_ll"), col("lx")).as("lx"))
-        .localCheckpoint()
+      // pointer doubling: compose the map with itself until fixpoint —
+      // pointer depth halves per hop, so chains flatten in O(log D)
+      var lx = ck(minN)
+      var hops = 0
+      var changed = true
+      while (changed && hops < 64) {
+        val composed = ck(lx
+          .join(lx.select(col("x").as("lx"), col("lx").as("_ll")), Seq("lx"), "left")
+          .select(col("x"), col("lx").as("_prev"),
+            coalesce(col("_ll"), col("lx")).as("_next")))
+        changed = composed.filter(col("_next") =!= col("_prev")).count() > 0
+        lx = composed.select(col("x"), col("_next").as("lx"))
+        hops += 1
+      }
       // comp is only consumed once at the end: compose the remap
       // lazily (plan grows LINEARLY over checkpointed lx frames — no
       // per-round materialization job needed)
       comp = comp
         .join(lx.withColumnRenamed("x", "l"), Seq("l"), "left")
         .select(col("v"), coalesce(col("lx"), col("l")).as("l"))
-      // contract edges into the new label space; drop intra-supernode
+      // contract edges into root-label space; drop intra-supernode
       val la = lx.select(col("x").as("a"), col("lx").as("_la"))
       val lb = lx.select(col("x").as("b"), col("lx").as("_lb"))
-      e = e.join(la, Seq("a")).join(lb, Seq("b"))
+      e = ck(e.join(la, Seq("a")).join(lb, Seq("b"))
         .select(col("_la").as("a"), col("_lb").as("b"))
-        .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+        .filter(col("a") =!= col("b")).distinct())
+      nEdges = e.count()
       it += 1
     }
-    // a partially-contracted labeling is under-deduplication: callers
-    // (nearDupDedup, d6/d7) would silently keep documents that belong
-    // to a not-yet-merged component — fail loudly instead
-    if (!e.isEmpty)
+    if (nEdges > 0 && localFinishable) {
+      // bounded label-space tail: union-find with min-id roots — the
+      // root of a merged set is min(roots), so every label resolves to
+      // the minimum reachable id, exactly what the rounds converge to
+      val ord = localOrdering(e.schema(0).dataType).get
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      e.collect().foreach { row =>
+        val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+        if (ra != rb) {
+          if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val remapRows: java.util.List[org.apache.spark.sql.Row] =
+        parent.keys.map(l => org.apache.spark.sql.Row(l, find(l))).toSeq.asJava
+      val lType = e.schema(0).dataType
+      val remap = pairs.sparkSession.createDataFrame(remapRows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("l", lType),
+          org.apache.spark.sql.types.StructField("_root", lType))))
+      comp = comp.join(broadcast(remap), Seq("l"), "left")
+        .select(col("v"), coalesce(col("_root"), col("l")).as("l"))
+    } else if (nEdges > 0)
+      // a partially-contracted labeling is under-deduplication:
+      // callers (nearDupDedup, d6/d7) would silently keep documents
+      // that belong to a not-yet-merged component — fail loudly
       throw new IllegalStateException(
         s"connectedComponents did not converge within maxIter=$maxIter rounds " +
           "(inter-component edges remain); raise maxIter — rounds are " +
           "O(log diameter), so this indicates a pathological graph or too-low cap")
     comp.select(col("v").as("id"), col("l").as("component"))
+  }
+
+  /** Driver-side ordering for the hybrid CC tail finish; None = id
+    * type unsupported locally, stay distributed. */
+  private def localOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+      case StringType => Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      case TimestampType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[java.sql.Timestamp].getTime))
+      case _ => None
+    }
   }
 
   /** End-to-end near-duplicate dedup: given the corpus and a pair

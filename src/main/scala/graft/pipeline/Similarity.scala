@@ -145,15 +145,21 @@ object Similarity {
         .withColumn("_best",
           // left-to-right fold in ascending centroid-id order; strict >
           // keeps the lowest id on cosine ties (same total order as the
-          // declarative row_number(cos DESC, c ASC) specification)
+          // declarative row_number(cos DESC, c ASC) specification).
+          // NaN guard: Spark comparisons are NaN-largest, so without it
+          // a zero-norm vector (NaN cosine) would capture the FIRST
+          // cell instead of the documented -1 sentinel
           aggregate(centArr,
             struct(lit(Double.NegativeInfinity).as("cos"), lit(-1L).as("c")),
             (acc, ct) => {
               val cs = cosine(col(outVec), ct.getField("ce"))
-              when(cs > acc.getField("cos"),
+              when(!isnan(cs) && cs > acc.getField("cos"),
                 struct(cs.as("cos"), ct.getField("c").as("c"))).otherwise(acc)
             }))
+        // sentinel rows match no cell (without the filter, -1 corpus
+        // rows would equi-join -1 query rows)
         .select(col(outId), col(outVec), col("_best.c").as("_cell"))
+        .filter(col("_cell") >= 0)
     val c = assign(corpus, "cid", "_cv")
     val q = assign(queries, "qid", "_qv")
     val scored = c.join(broadcast(q), Seq("_cell"))

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Clustering
+
+class ClusteringSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two tight clusters on orthogonal axes + one outlier direction
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.02f, 0.0f)),
+    (2L, Array(0.98f, 0.05f, 0.0f)),
+    (3L, Array(0.99f, 0.01f, 0.01f)),
+    (10L, Array(0.0f, 1.0f, 0.03f)),
+    (11L, Array(0.02f, 0.97f, 0.0f)),
+    (20L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("id", "vec")
+
+  test("kmeans assigns co-directional vectors to the same cell") {
+    val cells = Clustering.kmeansAssign(vecs, "id", "vec", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.size === 6)
+    assert(cells(1L) === cells(2L) && cells(2L) === cells(3L))
+    assert(cells(10L) === cells(11L))
+    assert(cells(1L) !== cells(10L))
+    assert((cells(20L) !== cells(1L)) && (cells(20L) !== cells(10L)))
+  }
+
+  test("seed centroids are deterministic and k-bounded") {
+    val a = Clustering.seedCentroids(vecs, "id", "vec", 3)
+    val b = Clustering.seedCentroids(vecs, "id", "vec", 3)
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(_._1).toSeq === Seq(0L, 1L, 2L))
+  }
+
+  test("semantic dedup drops the higher-id member of a same-cell near-dup pair") {
+    val surv = Clustering.semanticDedup(vecs, "id", "vec", k = 3,
+      threshold = 0.99, iters = 1)
+      .collect().map(_.getLong(0)).toSet
+    // 1,2,3 are mutually >0.99 cosine → only the min id survives the
+    // cluster; 10/11 likewise; the outlier 20 always survives
+    assert(surv.contains(1L) && !surv.contains(2L) && !surv.contains(3L))
+    assert(surv.contains(20L))
+  }
+
+  test("zero-norm vectors keep the sentinel cell -1 and survive dedup") {
+    val withZero = vecs.union(Seq((99L, Array(0.0f, 0.0f, 0.0f))).toDF("id", "vec"))
+    val cells = Clustering.kmeansAssign(withZero, "id", "vec", k = 3, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(99L) === -1L)
+    val surv = Clustering.semanticDedup(withZero, "id", "vec", k = 3,
+      threshold = 0.99, iters = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv.contains(99L))
+  }
+}

@@ -73,6 +73,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(sc === Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a"))
   }
 
+  test("connected components: hybrid local finish agrees with pure distributed rounds") {
+    // a long chain (worst case for label propagation) + two extra
+    // components; run once with the local tail finish enabled (default)
+    // and once forced fully distributed — identical labelings required
+    val chain = (0L until 60L).map(i => (i, i + 1)) ++ Seq((100L, 101L), (200L, 202L))
+    val pairs = chain.toDF("id1", "id2")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hybrid = asMap(graft.pipeline.Dedup.connectedComponents(pairs, "id1", "id2"))
+    val distributed = asMap(graft.pipeline.Dedup.connectedComponents(
+      pairs, "id1", "id2", localEdgeThreshold = 0L))
+    assert(hybrid === distributed)
+    assert((0L to 60L).forall(hybrid(_) === 0L))
+    assert(hybrid(101L) === 100L && hybrid(202L) === 200L)
+  }
+
   test("cosine and brute-force top-k") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))
