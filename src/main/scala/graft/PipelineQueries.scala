@@ -239,6 +239,12 @@ object PipelineQueries {
           Map("en" -> 50, "de" -> 20, "fr" -> 10), defaultPct = 5))
         .select(col("doc_id"), col("lang"))),
 
+    // ---- Gopher-style quality filter: word-count / mean-word-length /
+    // distinct-fraction / stopword-count rules, keep flag — all narrow
+    "tx7_gopher_filter" -> ((s, dir) =>
+      Curation.gopherFilter(t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text").drop("text")),
+
     // ---- distributed k-means (1 Lloyd iteration, hash-seeded):
     // narrow argmax assignment over a driver-collected quantizer —
     // zero Exchange to get a cell, one (cell, dim) shuffle per round
@@ -570,6 +576,21 @@ object PipelineQueries {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${phSql("CAST(doc_id AS VARCHAR)")} % 100 <
          |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'fr' THEN 10 ELSE 5 END""".stripMargin,
+
+    "tx7_gopher_filter" -> {
+      val stopEn = TextFunctions.StopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |c AS (SELECT doc_id, len(w) AS n_words,
+         |  list_sum([len(t) for t in w])*1.0 / greatest(len(w), 1) AS mean_word_len,
+         |  len(list_distinct(w))*1.0 / greatest(len(w), 1) AS frac_unique_words,
+         |  len(list_filter(w, t -> list_contains($stopEn, t))) AS n_stop_hits
+         |  FROM b)
+         |SELECT doc_id, n_words, mean_word_len, frac_unique_words, n_stop_hits,
+         |  (n_words >= 50 AND n_words <= 100000
+         |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |   AND n_stop_hits >= 2 AND frac_unique_words >= 0.2) AS keep
+         |FROM c""".stripMargin
+    },
 
     "c1_kmeans" ->
       s"""WITH ${kmeansCtes()}

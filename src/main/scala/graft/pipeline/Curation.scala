@@ -134,6 +134,48 @@ object Curation {
     TextFunctions.polyHash(col(idCol).cast("string")) % 100 < pct
   }
 
+  // ---- document-quality filtering ---------------------------------------
+
+  /** Gopher-style document-quality signals (Rae et al. 2021 §A1.1,
+    * the rules that are meaningful on single-line corpora): word
+    * count, mean word length, fraction of distinct words, and
+    * stopword hit count. All narrow codegen'd column arithmetic —
+    * zero shuffle at any scale.
+    *
+    * Returns the input plus `n_words`, `mean_word_len`,
+    * `frac_unique_words`, `n_stop_hits`.
+    */
+  def gopherSignals(df: DataFrame, textCol: String): DataFrame = {
+    val tk = TextFunctions.tokens(col(textCol))
+    df.withColumn("n_words", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("mean_word_len", TextFunctions.meanTokenLength(col(textCol)))
+      .withColumn("frac_unique_words",
+        size(array_distinct(tk)).cast("double") /
+          greatest(size(tk), lit(1)).cast("double"))
+      .withColumn("n_stop_hits",
+        size(filter(tk, t =>
+          array_contains(array(TextFunctions.StopEn.map(lit): _*), t))))
+  }
+
+  /** Gopher keep/drop decision over [[gopherSignals]]: word count in
+    * [minWords, maxWords], mean word length in [3, 10], at least
+    * `minStopHits` stopword occurrences, and at least `minFracUnique`
+    * distinct-word fraction (word-soup/templated spam guard).
+    */
+  def gopherFilter(
+      df: DataFrame,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minStopHits: Int = 2,
+      minFracUnique: Double = 0.2): DataFrame =
+    gopherSignals(df, textCol)
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("n_stop_hits") >= minStopHits &&
+          col("frac_unique_words") >= minFracUnique)
+
   // ---- sequence packing --------------------------------------------------
 
   /** Concat-and-chunk sequence packing: documents are assigned to

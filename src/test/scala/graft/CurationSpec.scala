@@ -103,4 +103,20 @@ class CurationSpec extends AnyFunSuite {
     assert(out.map(_._3.toLong).sum ===
       docs.select(sum(TextFunctions.tokenCount(col("text")))).as[Long].head())
   }
+
+  test("gopherFilter: each rule independently drops its violator") {
+    // 44 words, 10 distinct (frac 0.227), "the"/"and" stop hits
+    val good = ("the quick brown fox ran over the old stone bridge and " * 4).trim
+    val docs = Seq(
+      (1L, good),                                // passes every rule
+      (2L, "too short the a"),                   // < minWords
+      (3L, ("a b c d e f g h i j the a " * 5).trim), // mean word len < 3
+      (4L, ("quick brown fox jumps stone bridge " * 10).trim), // no stopword hits
+      (5L, ("the the the the the the the the " * 8).trim)      // frac unique too low
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherFilter(docs, "text", minWords = 10)
+      .select(col("doc_id"), col("keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false))
+  }
 }
