@@ -239,6 +239,14 @@ object PipelineQueries {
           Map("en" -> 50, "de" -> 20, "fr" -> 10), defaultPct = 5))
         .select(col("doc_id"), col("lang"))),
 
+    // ---- mixture upsampling: rates above 100% emit whole copies plus
+    // a hash-gated extra — deterministic multi-epoch replication
+    "p4_upsample" -> ((s, dir) =>
+      Curation.upsample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        Map("en" -> 250, "de" -> 150, "fr" -> 100), defaultPct = 50)),
+
     // ---- Gopher-style quality filter: word-count / mean-word-length /
     // distinct-fraction / stopword-count rules, keep flag — all narrow
     "tx7_gopher_filter" -> ((s, dir) =>
@@ -576,6 +584,16 @@ object PipelineQueries {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${phSql("CAST(doc_id AS VARCHAR)")} % 100 <
          |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'fr' THEN 10 ELSE 5 END""".stripMargin,
+
+    "p4_upsample" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+         |  CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 150 WHEN 'fr' THEN 100
+         |       ELSE 50 END AS pct,
+         |  ${phSql("CAST(doc_id AS VARCHAR)")} % 100 AS h FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |  pct // 100 + CASE WHEN h < pct % 100 THEN 1 ELSE 0 END AS n FROM b)
+         |SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy
+         |FROM c WHERE n > 0""".stripMargin,
 
     "tx7_gopher_filter" -> {
       val stopEn = TextFunctions.StopEn.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -134,6 +134,32 @@ object Curation {
     TextFunctions.polyHash(col(idCol).cast("string")) % 100 < pct
   }
 
+  /** Mixture upsampling: per-stratum rates in percent that may exceed
+    * 100 (250 = every doc 2–3 times, expectation 2.5 epochs). Each row
+    * gets `rate/100` whole copies plus one more when its deterministic
+    * hash lands under `rate mod 100` — the repeat-explode complement
+    * to [[mixtureSample]] (which caps at 100%). Narrow generate, no
+    * shuffle; `copy` (1-based) disambiguates the replicas downstream.
+    */
+  def upsample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Map[String, Int],
+      defaultPct: Int = 100): DataFrame = {
+    val pct = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val extra = when(
+      TextFunctions.polyHash(col(idCol).cast("string")) % 100 < pct % 100,
+      lit(1)).otherwise(lit(0))
+    df.withColumn("_n", (pct / lit(100)).cast("int") + extra)
+      // sequence(1, 0) would generate a DESCENDING range — filter first
+      .filter(col("_n") > 0)
+      .withColumn("copy", explode(sequence(lit(1), col("_n"))))
+      .drop("_n")
+  }
+
   // ---- document-quality filtering ---------------------------------------
 
   /** Gopher-style document-quality signals (Rae et al. 2021 §A1.1,

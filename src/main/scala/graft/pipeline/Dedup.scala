@@ -424,15 +424,29 @@ object Dedup {
   }
 
   /** Driver-side ordering for the hybrid CC tail finish; None = id
-    * type unsupported locally, stay distributed. */
+    * type unsupported locally, stay distributed. MUST match Spark's
+    * own `min()` total order: strings compare as UTF-8 BYTES
+    * (UTF8String), not UTF-16 code units — java.lang.String.compareTo
+    * diverges on supplementary characters; timestamps carry
+    * sub-millisecond digits that `getTime` alone drops.
+    */
   private def localOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
     import org.apache.spark.sql.types._
     dt match {
       case LongType => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
       case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
-      case StringType => Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      case StringType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = {
+          val (x, y) = (a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          java.util.Arrays.compareUnsigned(x, y)
+        }
+      })
       case TimestampType =>
-        Some(Ordering.by((x: Any) => x.asInstanceOf[java.sql.Timestamp].getTime))
+        Some(Ordering.by { (x: Any) =>
+          val t = x.asInstanceOf[java.sql.Timestamp]
+          (t.getTime, t.getNanos)
+        })
       case _ => None
     }
   }

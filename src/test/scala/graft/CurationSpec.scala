@@ -104,6 +104,29 @@ class CurationSpec extends AnyFunSuite {
       docs.select(sum(TextFunctions.tokenCount(col("text")))).as[Long].head())
   }
 
+  test("upsample: whole copies plus hash-gated extra; sub-100 strata shrink") {
+    val docs = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val out = Curation.upsample(docs, "doc_id", "lang",
+      Map("en" -> 250, "de" -> 40)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // en docs appear 2 or 3 times with contiguous 1-based copy indexes
+    val enCounts = docs.collect().map(_.getLong(0)).filter(_ % 2 == 0)
+      .map(id => byDoc.getOrElse(id, Nil).size)
+    assert(enCounts.forall(n => n == 2 || n == 3))
+    assert(enCounts.count(_ == 3) > 0 && enCounts.count(_ == 2) > 0)
+    byDoc.values.foreach(cs => assert(cs === (1 to cs.size)))
+    // de at 40%: some docs vanish, survivors appear exactly once
+    val deCounts = (1L until 200L by 2).map(id => byDoc.getOrElse(id, Nil).size)
+    assert(deCounts.forall(n => n == 0 || n == 1) && deCounts.contains(0))
+    // deterministic across runs
+    val again = Curation.upsample(docs, "doc_id", "lang",
+      Map("en" -> 250, "de" -> 40)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.sortBy(r => (r._1, r._3)).toSeq === again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
   test("gopherFilter: each rule independently drops its violator") {
     // 44 words, 10 distinct (frac 0.227), "the"/"and" stop hits
     val good = ("the quick brown fox ran over the old stone bridge and " * 4).trim
