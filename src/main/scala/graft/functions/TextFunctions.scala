@@ -141,9 +141,12 @@ object TextFunctions {
 
   /** Email address pattern — deliberately simple so both regex engines
     * (Java on the Spark side, RE2 in the DuckDB oracle) parse it
-    * identically: no backtracking constructs, no lookaround.
+    * identically: no backtracking constructs, no lookaround. Explicit
+    * a-zA-Z classes (not `(?i)`) keep the case-insensitivity visible
+    * and engine-agnostic — a lowercase-only pattern would let
+    * `Jane.Doe@Example.COM` survive redaction.
     */
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
 
   /** Phone-number pattern: leading digit or +, 6+ inner phone chars
     * (digits, space, dash, parens), trailing digit.

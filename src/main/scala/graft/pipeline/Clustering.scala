@@ -80,23 +80,14 @@ object Clustering {
     * vectors) keep the sentinel cell -1.
     */
   def assignCell(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    require(cents.nonEmpty,
+      "kmeans: no usable centroids — every corpus row is zero-norm, or " +
+        "k rounds down to 0 (an empty array() literal would fail later " +
+        "with an opaque analysis error)")
     val centArr = array(cents.map { case (cid, v) =>
       struct(lit(cid).as("c"), typedLit(v).as("ce"))
     }: _*)
-    aggregate(centArr,
-      struct(lit(Double.NegativeInfinity).as("cos"), lit(-1L).as("c")),
-      (acc, ct) => {
-        val cs = Similarity.cosine(vec, ct.getField("ce"))
-        // cast names the fields; a plain .as inside struct() is trimmed
-        // by the analyzer in some rewrites (generator extraction), which
-        // would break the CASE WHEN branch-type match. NaN guard: Spark
-        // comparisons are NaN-largest, so an unguarded NaN cosine
-        // (zero-norm vector) would capture the first cell instead of
-        // keeping the -1 sentinel
-        when(!isnan(cs) && cs > acc.getField("cos"),
-          struct(cs, ct.getField("c")).cast("struct<cos:double,c:bigint>"))
-          .otherwise(acc)
-      }).getField("c")
+    Similarity.argmaxCell(vec, centArr)
   }
 
   /** `iters` Lloyd iterations from the hash-seeded centroids; returns

@@ -98,10 +98,15 @@ object Curation {
       .distinct().orderBy("sh") // deterministic literal
       .collect().map(_.getLong(0))
     if (benchShingles.isEmpty) corpusStream
+    // coalesce(true): a NULL text has NULL shingles → NULL overlap;
+    // a bare filter would DROP such rows, but the batch decontaminate
+    // keeps them (zero exploded shingles → no overlap → anti-join keep)
     else corpusStream.filter(
-      !arrays_overlap(
-        Dedup.shingleHashes(col(textCol), n),
-        typedLit(benchShingles.toSeq)))
+      coalesce(
+        !arrays_overlap(
+          Dedup.shingleHashes(col(textCol), n),
+          typedLit(benchShingles.toSeq)),
+        lit(true)))
   }
 
   // ---- deterministic sampling -------------------------------------------
@@ -213,20 +218,32 @@ object Curation {
     * partition-local (one hash exchange, no global single-partition
     * window).
     *
-    * Returns (idCol, shard, n_tokens, start_tok, chunk).
+    * Returns (idCol, tieBreak..., shard, n_tokens, start_tok, chunk).
+    *
+    * `tieBreak`: extra order columns making the within-shard order
+    * total when `idCol` alone is not unique (e.g. [[upsample]] output
+    * needs `tieBreak = Seq("copy")`) — without a total order the ROWS
+    * running sum is partition-order-dependent.
     */
   def packChunks(
       df: DataFrame,
       idCol: String,
       textCol: String,
       ctxTokens: Int = 512,
-      shards: Int = 32): DataFrame = {
+      shards: Int = 32,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    // explicit ROWS frame: the default RANGE frame sums over ALL
+    // order-by peers, so duplicate ids (e.g. upsample output) would
+    // each see the whole group's tokens in their start offset — and
+    // diverge from the ROWS-framed oracle
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy(idCol)
+      .partitionBy("shard").orderBy((idCol +: tieBreak).map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     df.select(
-        col(idCol),
-        pmod(TextFunctions.polyHash(col(idCol).cast("string")), lit(shards)).as("shard"),
-        TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+        (col(idCol) +: tieBreak.map(col)) ++ Seq(
+          pmod(TextFunctions.polyHash(col(idCol).cast("string")), lit(shards)).as("shard"),
+          TextFunctions.tokenCount(col(textCol)).as("n_tokens")): _*)
       .withColumn("start_tok",
         coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
       .withColumn("chunk", (col("start_tok") / ctxTokens).cast("long"))

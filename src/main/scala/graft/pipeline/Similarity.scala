@@ -48,6 +48,28 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** NaN-guarded argmax-cosine fold over a centroid array literal
+    * (elements `struct(c: long, ce: array)` in ascending-`c` order):
+    * the winning cell id — lowest `c` on cosine ties (strict `>` keeps
+    * the first maximum, the same total order as `row_number(cos DESC,
+    * c ASC)`), sentinel -1 when every cosine is NaN (zero-norm vector;
+    * Spark comparisons are NaN-largest, so the guard is load-bearing).
+    * The `cast` names the struct fields — a plain `.as` inside
+    * `struct()` is trimmed by the analyzer in some rewrites (generator
+    * extraction), breaking the CASE WHEN branch-type match. Shared by
+    * [[ivfTopK]] and [[Clustering.assignCell]] so the fold's semantics
+    * live in exactly one place.
+    */
+  def argmaxCell(vec: Column, centArr: Column): Column =
+    aggregate(centArr,
+      struct(lit(Double.NegativeInfinity).as("cos"), lit(-1L).as("c")),
+      (acc, ct) => {
+        val cs = cosine(vec, ct.getField("ce"))
+        when(!isnan(cs) && cs > acc.getField("cos"),
+          struct(cs, ct.getField("c")).cast("struct<cos:double,c:bigint>"))
+          .otherwise(acc)
+      }).getField("c")
+
   /** Deterministic hyperplane component: LCG over (plane, dim),
     * centered to zero mean. Portable integer arithmetic.
     */
@@ -142,23 +164,9 @@ object Similarity {
     }: _*)
     def assign(df: DataFrame, outId: String, outVec: String): DataFrame =
       df.select(col(idCol).as(outId), col(vecCol).as(outVec))
-        .withColumn("_best",
-          // left-to-right fold in ascending centroid-id order; strict >
-          // keeps the lowest id on cosine ties (same total order as the
-          // declarative row_number(cos DESC, c ASC) specification).
-          // NaN guard: Spark comparisons are NaN-largest, so without it
-          // a zero-norm vector (NaN cosine) would capture the FIRST
-          // cell instead of the documented -1 sentinel
-          aggregate(centArr,
-            struct(lit(Double.NegativeInfinity).as("cos"), lit(-1L).as("c")),
-            (acc, ct) => {
-              val cs = cosine(col(outVec), ct.getField("ce"))
-              when(!isnan(cs) && cs > acc.getField("cos"),
-                struct(cs.as("cos"), ct.getField("c").as("c"))).otherwise(acc)
-            }))
+        .withColumn("_cell", argmaxCell(col(outVec), centArr))
         // sentinel rows match no cell (without the filter, -1 corpus
         // rows would equi-join -1 query rows)
-        .select(col(outId), col(outVec), col("_best.c").as("_cell"))
         .filter(col("_cell") >= 0)
     val c = assign(corpus, "cid", "_cv")
     val q = assign(queries, "qid", "_qv")

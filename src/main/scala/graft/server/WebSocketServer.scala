@@ -380,7 +380,12 @@ final class WebSocketServer(
   def stop(): Unit = {
     running = false
     conns.forEach(_.close()) // graceful first: pinger still live to bound drains
-    pinger.shutdownNow()
+    // shutdown(), NOT shutdownNow(): close() just scheduled +5s
+    // force-close tasks on this executor to bound stalled-writer
+    // drains; shutdownNow would discard them and leak the blocked
+    // writer thread + socket. Default policy runs existing delayed
+    // tasks after shutdown(); periodic pings stop immediately.
+    pinger.shutdown()
     if (server != null)
       try server.close() catch { case _: IOException => () }
   }

@@ -78,11 +78,17 @@ final class ChannelRuntime(
     @volatile var lastRow: Option[Row] = None
     /** Bounded id→row registry (T7): oldest-inserted evicts beyond
       * `lookupMaxEntries`; skipped entirely under `omitFromLookup`. */
+    /** True once the registry has ever evicted — only then can a miss
+      * mean "evicted but present in state" rather than "absent". */
+    @volatile var lookupEvicted: Boolean = false
     val lookupMap: java.util.Map[String, Row] =
       java.util.Collections.synchronizedMap(
         new java.util.LinkedHashMap[String, Row](16, 0.75f, false) {
-          override def removeEldestEntry(e: java.util.Map.Entry[String, Row]): Boolean =
-            size() > spec.lookupMaxEntries
+          override def removeEldestEntry(e: java.util.Map.Entry[String, Row]): Boolean = {
+            val evict = size() > spec.lookupMaxEntries
+            if (evict) lookupEvicted = true
+            evict
+          }
         })
     val stateStore = new TrieMap[Seq[Any], Row]
     val nextWaiters = new ConcurrentLinkedQueue[Promise[Option[Row]]]
@@ -328,7 +334,12 @@ final class ChannelRuntime(
     val c = chan(name)
     val hit = Option(c.lookupMap.get(id))
     if (hit.isDefined) hit
+    // gate the distributed probe to registries that can actually be
+    // incomplete (opt-out channels or post-eviction) — otherwise every
+    // miss for a nonexistent id would launch a full statestore scan,
+    // making the serving path's miss latency a cluster job
     else if (distributedState && effectiveKeys(c.spec).nonEmpty &&
+      (c.spec.omitFromLookup || c.lookupEvicted) &&
       c.schema.fieldNames.contains(IdCol)) {
       val seqI = c.schema.fieldNames.indexOf(SeqCol)
       StreamingState.stateSnapshot(spark, stateCheckpoint(name))

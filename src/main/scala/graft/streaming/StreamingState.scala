@@ -28,6 +28,13 @@ object StreamingState {
     * ([[graft.state.StateOps]] keyCol, reference channels.py:704-717)
     * and the driver-map serving path, instead of `fieldIndex` throwing
     * on anything but a plain top-level column.
+    *
+    * COMPAT: the key string is part of the persisted state-store
+    * layout. Catalyst `cast(string)` renders some types differently
+    * from the JVM `String.valueOf` encoding used before this change
+    * (timestamps lose the trailing `.0`, structs print `{a, b}` not
+    * `[a,b]`), so checkpoints written by the old encoding re-key on
+    * upgrade — restart such jobs from a fresh checkpoint.
     */
   private def groupKeyExpr(schema: StructType, keys: Seq[String]): Column =
     concat_ws("\u0001", keys.map { k =>
