@@ -122,6 +122,12 @@ object Bench {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row](
       Encoders.row(schema), sqlCtx)
+    // size state partitions to key cardinality (100 keys): the conf is
+    // frozen into the checkpoint at the first batch, and every extra
+    // partition costs a state-store commit per micro-batch — at 32
+    // partitions the 10-batch run pays 320 commits for 100 keys
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val out = graft.streaming.StreamingState.lastByKeyStream(stream.toDF(), Seq("k"), "_seq")
     val q = out.writeStream.format("memory").queryName("bench_state_insert")
       .outputMode("update")
@@ -134,6 +140,9 @@ object Bench {
       rows.grouped(10000).foreach { chunk => stream.addData(chunk) }
       q.processAllAvailable()
       (System.nanoTime() - t0) / 1e9
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 }
