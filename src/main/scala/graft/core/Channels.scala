@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types.StructType
 
 import scala.collection.mutable
@@ -53,7 +53,20 @@ final case class ChannelSpec(
       */
     lookupMaxEntries: Int = 1 << 20,
     /** required=false channels resolve to an empty frame when unset. */
-    required: Boolean = true
+    required: Boolean = true,
+    /** Per-record ingest hook (reference KafkaChannelProcessor.process,
+      * modules/kafka/utils.py:13-58): runs after coercion, may rewrite
+      * the row; None drops the record silently. Applied on map-based
+      * ingest (`send` — REST/WS/Kafka parse paths); engine-log replay
+      * re-emits rows verbatim, like the reference's replay.
+      */
+    processor: Option[Row => Option[Row]] = None,
+    /** Model-level post-validator (reference base.py:99-114
+      * `_validate_gateway_struct_after`): runs after the processor;
+      * Left(reason) rejects the whole send with
+      * IllegalArgumentException (the gateway maps it to 422).
+      */
+    validateAfter: Option[Row => Either[String, Row]] = None
 )
 
 class NoProviderException(channel: String)

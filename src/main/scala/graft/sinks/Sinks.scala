@@ -29,12 +29,13 @@ object Sinks {
       df: DataFrame,
       cols: Seq[String],
       keyCol: Option[String] = None,
-      envelopeTs: Option[String] = None): DataFrame = {
+      envelopeTs: Option[String] = None,
+      serde: graft.core.PayloadSerde = graft.core.JsonSerde): DataFrame = {
     val payload = envelopeTs match {
-      case Some(tsCol) => to_json(struct(
+      case Some(tsCol) => serde.encode(struct(
         struct(cols.map(col): _*).as("data"),
         col(tsCol).as("csp_timestamp")))
-      case None => to_json(struct(cols.map(col): _*))
+      case None => serde.encode(struct(cols.map(col): _*))
     }
     val base = df.select(payload.as("value"))
     keyCol.map(k => df.select(col(k).cast("string").as("key"), payload.as("value")))

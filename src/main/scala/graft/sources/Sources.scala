@@ -66,13 +66,14 @@ object Sources {
       raw: DataFrame,
       schema: StructType,
       tsField: Option[String] = None,
-      adjustOutOfOrder: Boolean = false): DataFrame = {
+      adjustOutOfOrder: Boolean = false,
+      serde: graft.core.PayloadSerde = graft.core.JsonSerde): DataFrame = {
     // broker metadata renamed up front — payloads routinely carry their
     // own 'timestamp' field and must not collide with it
     val meta = raw.columns.filterNot(_ == "value")
       .map(c => col(c).as(s"_kafka_$c"))
     val parsed = raw
-      .withColumn("_parsed", from_json(col("value").cast("string"), schema))
+      .withColumn("_parsed", serde.decode(col("value"), schema))
       .select(col("_parsed.*") +: meta.toSeq: _*)
     (tsField, adjustOutOfOrder) match {
       case (Some(f), true) if raw.columns.contains("timestamp") =>

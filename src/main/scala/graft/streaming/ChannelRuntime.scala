@@ -229,7 +229,7 @@ final class ChannelRuntime(
   }
 
   private def sendLocked(c: Chan, name: String, values: Seq[Map[String, Any]]): Seq[Row] = {
-    val rows = values.map { m =>
+    val rows = values.flatMap { m =>
       val unknown = m.keySet.diff(c.spec.schema.fieldNames.toSet)
       if (unknown.nonEmpty)
         throw new IllegalArgumentException(s"Unknown fields $unknown for channel '$name'")
@@ -247,8 +247,24 @@ final class ChannelRuntime(
             }
         }
       }
-      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-        (vals.toSeq :+ seqGen.incrementAndGet()).toArray, c.schema): Row
+      val built = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        vals.toArray, c.spec.schema): Row
+      // per-record processor (None drops), then model validator —
+      // reference KafkaChannelProcessor.process + _validate_gateway_
+      // struct_after ordering. Seq is stamped AFTER both so dropped
+      // records leave no gap and rewrites can't forge ordering.
+      c.spec.processor.fold(Option(built))(_.apply(built)).map { p0 =>
+        // re-attach the schema: processors may rebuild with Row.fromSeq,
+        // and the validator is entitled to getAs[name]
+        val p = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          p0.toSeq.toArray, c.spec.schema): Row
+        val v = c.spec.validateAfter.fold(p)(_.apply(p).fold(
+          reason => throw new IllegalArgumentException(
+            s"Channel '$name' validation failed: $reason"),
+          identity))
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          (v.toSeq :+ seqGen.incrementAndGet()).toArray, c.schema): Row
+      }
     }
     c.stream.addData(rows)
     if (distributedState && effectiveKeys(c.spec).nonEmpty) c.stateStream.addData(rows)

@@ -69,6 +69,33 @@ class ChannelRuntimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[NoSuchElementException] { rt.send("ghost_channel", Seq(Map.empty)) }
   }
 
+  test("processor hook rewrites/drops records; validateAfter rejects (2.6 UDF surface)") {
+    val specs = Map(
+      "hooked" -> ChannelSpec("hooked", exampleSchema,
+        // drop x<0, double x otherwise (KafkaChannelProcessor.process shape)
+        processor = Some(r =>
+          if (r.getAs[Long]("x") < 0) None
+          else Some(org.apache.spark.sql.Row.fromSeq(
+            r.toSeq.updated(exampleSchema.fieldIndex("x"), r.getAs[Long]("x") * 2)))),
+        // model validator: y must be non-empty
+        validateAfter = Some(r =>
+          if (r.getAs[String]("y") == null || r.getAs[String]("y").isEmpty)
+            Left("y must be non-empty") else Right(r))))
+    val rt = new ChannelRuntime(spark, specs,
+      Files.createTempDirectory("graft-test-ckpt").toString)
+    rt.start()
+    try {
+      val sent = rt.send("hooked", Seq(
+        Map("x" -> 2L, "y" -> "a"), Map("x" -> -1L, "y" -> "b"), Map("x" -> 5L, "y" -> "c")))
+      assert(sent.map(_.getAs[Long]("x")) === Seq(4L, 10L)) // dropped + doubled
+      intercept[IllegalArgumentException] {
+        rt.send("hooked", Seq(Map("x" -> 1L, "y" -> "")))
+      }
+      rt.processAllAvailable()
+      assert(rt.tickCount("hooked") === 2L)
+    } finally rt.stop()
+  }
+
   test("next future resolves on the following tick; None at shutdown") {
     val rt = newRuntime()
     rt.start()

@@ -66,6 +66,30 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(env.contains("csp_timestamp") && env.contains("\"data\""))
   }
 
+  test("custom PayloadSerde injects into both kafka paths (2.6 serde overrides)") {
+    // pipe-delimited wire format: encode/decode as column expressions
+    object PipeSerde extends graft.core.PayloadSerde {
+      override def decode(value: org.apache.spark.sql.Column,
+          s: StructType): org.apache.spark.sql.Column = {
+        val parts = split(value.cast("string"), "\\|")
+        struct(s.fields.zipWithIndex.map { case (f, i) =>
+          parts.getItem(i).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+      }
+      override def encode(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat_ws("|", payload.getField("id"), payload.getField("name"), payload.getField("v"))
+    }
+    val df = Seq((1L, "x", 0.5)).toDF("id", "name", "v")
+    val wire = Sinks.toKafkaValue(df, Seq("id", "name", "v"), serde = PipeSerde)
+      .collect().head.getAs[String]("value")
+    assert(wire === "1|x|0.5")
+    val back = Sources.parseKafkaValue(
+      Seq((wire, ts("2020-01-01 00:00:00"))).toDF("value", "timestamp"),
+      schema, serde = PipeSerde).collect().head
+    assert(back.getAs[Long]("id") === 1L && back.getAs[String]("name") === "x"
+      && back.getAs[Double]("v") === 0.5)
+  }
+
   test("K3 sql sink projection: rename, augment, nested jsonified; retry loop") {
     val df = Seq((1L, "x")).toDF("id", "name").withColumn("nest", struct(lit(1).as("a")))
     val p = Sinks.sqlSinkProjection(df, Seq("id", "name", "nest"),
