@@ -207,6 +207,16 @@ object PipelineQueries {
         "doc_id", "text", n = 5)
     }),
 
+    // ---- end-to-end decontamination: the surviving corpus after the
+    // broadcast probe + anti-join (the d8 overlap feeds the drop set)
+    "d8b_decontaminated" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.decontaminate(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 5).select(col("doc_id"), col("n_chars"))
+    }),
+
     // ---- PII detection + redaction (emails/phones synthesized onto
     // the corpus deterministically — the raw corpus carries none)
     "tx6_pii_redact" -> ((s, dir) => {
@@ -561,6 +571,21 @@ object PipelineQueries {
          |ch AS (SELECT DISTINCT doc_id, ${phSql("s")} AS sh FROM cs)
          |SELECT doc_id, count(*) AS n_overlap
          |FROM ch JOIN bh USING (sh) GROUP BY doc_id""".stripMargin
+    },
+
+    "d8b_decontaminated" -> {
+      val gram5 = "w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]"
+      s"""WITH bt AS (SELECT string_split(text,' ') AS w FROM documents WHERE doc_id % 37 = 0),
+         |bg AS (SELECT unnest(generate_series(1, len(w)-4)) AS i, w FROM bt),
+         |bs AS (SELECT DISTINCT $gram5 AS s FROM bg),
+         |bh AS (SELECT DISTINCT ${phSql("s")} AS sh FROM bs),
+         |ct AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id % 37 <> 0),
+         |cg AS (SELECT doc_id, unnest(generate_series(1, len(w)-4)) AS i, w FROM ct),
+         |cs AS (SELECT DISTINCT doc_id, $gram5 AS s FROM cg),
+         |ch AS (SELECT DISTINCT doc_id, ${phSql("s")} AS sh FROM cs),
+         |bad AS (SELECT DISTINCT doc_id FROM ch JOIN bh USING (sh))
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id % 37 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
     },
 
     "tx6_pii_redact" ->
