@@ -134,6 +134,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p.take(3000))
   }
 
+  test("kmeans: narrow assignment; one (cell,dim) partial-agg shuffle per round") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val cents = graft.pipeline.Clustering.seedCentroids(emb, "vec_id", "embedding", 4)
+    // assignment is a pure projection over the scan — zero exchanges
+    val assignP = plan(emb.select(col("vec_id"),
+      graft.pipeline.Clustering.assignCell(col("embedding"), cents.toIndexedSeq).as("cell")))
+    assert(!assignP.contains("Exchange"), assignP)
+    // a Lloyd-round aggregation: partial agg below ONE keyed exchange
+    val out = graft.pipeline.Clustering.kmeansAssign(emb, "vec_id", "embedding",
+      k = 4, iters = 1)
+    assert(out.count() > 0) // whole loop (incl. driver fold) runs
+  }
+
+  test("c2 semantic dedup joins on the cell only — no nested-loop") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val cents = graft.pipeline.Clustering.seedCentroids(emb, "vec_id", "embedding", 4)
+    val p = plan(graft.pipeline.Clustering.semanticDupPairsWith(
+      emb, "vec_id", "embedding", cents, 0.4))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("_cell"), p) // the equi-join key is the cell
+  }
+
+  test("tx7 quality filter and p4 upsample are narrow: zero exchanges") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val pTx7 = plan(graft.pipeline.Curation.gopherFilter(
+      docs.select(col("doc_id"), col("text")), "text"))
+    assert(!pTx7.contains("Exchange"), pTx7)
+    val pP4 = plan(graft.pipeline.Curation.upsample(
+      docs.select(col("doc_id"), col("lang")), "doc_id", "lang",
+      Map("en" -> 250), defaultPct = 50))
+    assert(!pP4.contains("Exchange"), pP4)
+  }
+
   test("strictCompat projection degrades types per reference rules") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2), Map("k" -> "v"))).toDF("a", "xs", "m")
