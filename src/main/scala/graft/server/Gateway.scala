@@ -174,6 +174,33 @@ final class Gateway(
             case e: IllegalArgumentException =>
               respond(ex, 422, s"""{"detail":${mapper.writeValueAsString(e.getMessage)}}""")
           }
+        // available-channels listing per route family (reference
+        // last.py:160-170 add_*_available_channels: GET /last/ → names)
+        case family :: rest if AvailableFamilies(family) &&
+            (rest.isEmpty || rest == List("")) =>
+          val names = runtime.specs.keys.toSeq.sorted
+          respond(ex, 200, mapper.writeValueAsString(names.toArray))
+        // controls (reference routes/controls.py): heartbeat / stats /
+        // shutdown — the UI kill-switch + liveness surface
+        case "controls" :: "heartbeat" :: Nil =>
+          respond(ex, 200,
+            s"""{"name":"heartbeat","status":"ok","timestamp":"${java.time.Instant.now()}"}""")
+        case "controls" :: "stats" :: Nil =>
+          val rt = Runtime.getRuntime
+          val data = Map(
+            "cpu" -> rt.availableProcessors(),
+            "memory" -> (rt.totalMemory() - rt.freeMemory()),
+            "memory-total" -> rt.maxMemory(),
+            "now" -> java.time.Instant.now().toString,
+            "host" -> java.net.InetAddress.getLocalHost.getHostName,
+            "user" -> System.getProperty("user.name", ""))
+          respond(ex, 200, mapper.writeValueAsString(
+            Map("name" -> "stats", "status" -> "ok", "data" -> data.asJava).asJava))
+        case "controls" :: "shutdown" :: Nil if ex.getRequestMethod == "POST" =>
+          respond(ex, 200, """{"name":"shutdown","status":"ok"}""")
+          // background, like the reference's BackgroundTasks: the
+          // response must flush before the server dies
+          new Thread(() => { Thread.sleep(100); stop() }, "graft-shutdown").start()
         case _ => respond(ex, 404, """{"detail":"Not Found"}""")
       }
     } catch {
@@ -283,6 +310,17 @@ final class Gateway(
         op("post", s"/api/v1/send/$name/{key}", s"Send $name by key")
       }
     }
+    // family listings + controls (reference controls.py, *_available_channels)
+    Seq("last", "next", "state", "send", "lookup", "stream").foreach { f =>
+      paths.withObjectProperty(s"/api/v1/$f/").putObject("get")
+        .put("summary", s"Available channels under /$f")
+    }
+    paths.withObjectProperty("/api/v1/controls/heartbeat").putObject("get")
+      .put("summary", "Liveness ping")
+    paths.withObjectProperty("/api/v1/controls/stats").putObject("get")
+      .put("summary", "Engine and system stats")
+    paths.withObjectProperty("/api/v1/controls/shutdown").putObject("post")
+      .put("summary", "Clean shutdown (kill switch)")
     mapper.writeValueAsString(root)
   }
 
@@ -291,6 +329,10 @@ final class Gateway(
       |<body><h1>Gateway API</h1>
       |<p>OpenAPI document: <a href="/openapi.json">/openapi.json</a></p>
       |</body></html>""".stripMargin
+
+  /** Route families with an available-channels listing at GET /{f}/. */
+  private val AvailableFamilies =
+    Set("last", "next", "state", "send", "lookup", "stream")
 
   private def known(name: String): Boolean = runtime.specs.contains(name)
 

@@ -175,6 +175,30 @@ class GatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("available-channels listings and controls routes (controls.py, *_available_channels)") {
+    withGateway() { (base, _) =>
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      // GET /{family}/ → sorted channel names
+      for (f <- Seq("last", "next", "state", "send", "lookup", "stream")) {
+        val r = get(s"$base/$f/")
+        assert(r.statusCode() === 200, f)
+        val names = m.readTree(r.body())
+        assert(names.isArray && names.size() > 0, f)
+        assert(scala.jdk.CollectionConverters.IteratorHasAsScala(names.elements())
+          .asScala.map(_.asText()).contains("example"), f)
+      }
+      // controls: heartbeat + stats (shutdown covered implicitly — it
+      // would stop the server under test)
+      val hb = m.readTree(get(s"$base/controls/heartbeat").body())
+      assert(hb.get("name").asText() === "heartbeat" && hb.get("status").asText() === "ok")
+      val st = m.readTree(get(s"$base/controls/stats").body())
+      assert(st.get("name").asText() === "stats")
+      val data = st.get("data")
+      assert(data.get("cpu").asInt() > 0 && data.get("memory-total").asLong() > 0)
+      assert(data.get("host").asText().nonEmpty && data.get("now").asText().nonEmpty)
+    }
+  }
+
   test("identity row filter (X13): reads filtered, writes validated") {
     withGateway(Map("example" -> "owner")) { (base, rt) =>
       assert(post(s"$base/send/example", """{"x":1,"owner":"alice"}""",
