@@ -108,9 +108,13 @@ object PipelineQueries {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45,
         blocked = true)),
 
-    // ---- exact all-pairs variant (small-N verification runs only)
+    // ---- exact all-pairs variant, bounded to a fixed id slice: it
+    // exists to verify the bucketed path's arithmetic, and all-pairs
+    // over the full table is exactly the shape the scale path forbids
     "d5b_embed_neardup_exact" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
+      Dedup.embeddingNearDupPairs(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500),
+        "vec_id", "embedding", 0.45)),
 
     // ---- ANN brute-force cosine top-k (broadcast queries)
     "s1_ann_bruteforce" -> ((s, dir) => {
@@ -424,7 +428,8 @@ object PipelineQueries {
       s"""SELECT * FROM (
          |  SELECT a.vec_id AS id1, b.vec_id AS id2,
          |         ${cosSql("a.embedding", "b.embedding")} AS cosine
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE a.vec_id < 500 AND b.vec_id < 500)
          |WHERE cosine >= 0.45""".stripMargin,
 
     "s1_ann_bruteforce" ->
