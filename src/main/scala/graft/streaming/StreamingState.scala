@@ -247,6 +247,72 @@ object StreamingState {
       .toDF("id1", "id2", "cosine")
   }
 
+  /** Streaming SemDeDup: documents are routed to their k-means cell by
+    * a NARROW argmax over the fitted quantizer literal (fit it in
+    * batch via [[graft.pipeline.Clustering.kmeansCentroids]] — the
+    * standard periodically-refit online-clustering contract), and each
+    * cell's state keeps only the KEPT representatives: an arrival
+    * within `threshold` cosine of any kept doc in its cell is dropped,
+    * otherwise it is kept, emitted as (id, cell), and added to the
+    * roster. First-arrival-wins replaces the batch path's
+    * lowest-id-wins — the natural online tie-break; on an id-ordered
+    * replay the two agree. Zero-norm vectors (cell -1) pass through no
+    * cell and are never emitted — filter them upstream if they must
+    * survive (batch parity keeps them).
+    */
+  def semanticDedupStream(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Long, Seq[Double])],
+      threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(cents.nonEmpty, "semanticDedupStream needs a fitted quantizer")
+    val dims = cents.head._2.size
+    val assigned = df
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        size(col(vecCol)) === dims)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        graft.pipeline.Clustering.assignCell(col(vecCol), cents.toIndexedSeq).as("cell"))
+      .filter(col("cell") >= 0)
+      .as[(Long, Seq[Float], Long)]
+    def cosine(a: Array[Float], b: Array[Float]): java.lang.Double =
+      graft.functions.CosineSim.cos(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(b),
+        aFloat = true, bFloat = true)
+    assigned.groupByKey(_._3)
+      .flatMapGroupsWithState[VecBucketState, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (cell: Long, rows: Iterator[(Long, Seq[Float], Long)], state: GroupState[VecBucketState]) =>
+          val st = state.getOption.getOrElse(VecBucketState(Array.empty, Array.empty))
+          var ids = st.ids
+          var vecs = st.vecs
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          rows.toSeq.sortBy(_._1).foreach { case (id, vecSeq, _) =>
+            if (!ids.contains(id)) {
+              val vec = vecSeq.toArray
+              var dup = false
+              var i = 0
+              while (i < ids.length && !dup) {
+                val cos = cosine(vec, vecs(i))
+                if (cos != null && cos.doubleValue() >= threshold) dup = true
+                i += 1
+              }
+              if (!dup) {
+                ids = ids :+ id
+                vecs = vecs :+ vec
+                out += ((id, cell))
+              }
+            }
+          }
+          state.update(VecBucketState(ids, vecs))
+          out.iterator
+      }
+      .toDF("id", "cell")
+  }
+
   /** Read the executor-side state of a [[lastByKeyStream]] query back
     * as a batch DataFrame via Spark's `statestore` data source — the
     * cluster serving path for T2/T3: state stays sharded in the

@@ -227,4 +227,37 @@ class StreamingStateSpec extends AnyFunSuite {
       assert(pairs.head._3 > 0.99)
     } finally q.stop()
   }
+
+  test("semanticDedupStream: first arrival kept, later near-dup dropped cross-batch") {
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def vec(id: Long, xs: Seq[Float]): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](id, xs), vecSchema)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(vecSchema), sqlCtx)
+    // fixed quantizer: two orthogonal cells
+    val cents = Array((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val out = StreamingState.semanticDedupStream(
+      stream.toDF(), "vec_id", "embedding", cents, threshold = 0.95)
+    val name = s"semdedup_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("sem-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      stream.addData(vec(1, Seq(1.0f, 0.05f)), vec(10, Seq(0.05f, 1.0f)))
+      q.processAllAvailable()
+      // both kept (different cells)
+      assert(spark.table(name).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 10L))
+      // batch 2: near-dup of 1 dropped, genuinely new direction kept
+      stream.addData(vec(2, Seq(2.0f, 0.1f)), vec(11, Seq(0.4f, 0.9f)))
+      q.processAllAvailable()
+      val kept = spark.table(name).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(kept.keySet === Set(1L, 10L, 11L))
+      assert(kept(11L) === 1L) // same cell as 10, below threshold => kept
+    } finally q.stop()
+  }
 }
