@@ -350,17 +350,18 @@ final class Gateway(
         java.net.URLDecoder.decode(kv.stripPrefix("query="), "UTF-8")
     })
 
+  private def jsonValue(v: JsonNode): Any =
+    if (v.isNull) null
+    else if (v.isIntegralNumber) v.asLong()
+    else if (v.isFloatingPointNumber) v.asDouble()
+    else if (v.isBoolean) v.asBoolean()
+    else if (v.isArray) v.elements().asScala.map(jsonValue).toSeq
+    else if (v.isObject)
+      v.properties().asScala.map(e => e.getKey -> jsonValue(e.getValue)).toMap
+    else v.asText()
+
   private def jsonToMap(node: JsonNode): Map[String, Any] =
-    node.properties().asScala.map { e =>
-      val v = e.getValue
-      val value: Any =
-        if (v.isNull) null
-        else if (v.isIntegralNumber) v.asLong()
-        else if (v.isFloatingPointNumber) v.asDouble()
-        else if (v.isBoolean) v.asBoolean()
-        else v.asText()
-      e.getKey -> value
-    }.toMap
+    node.properties().asScala.map(e => e.getKey -> jsonValue(e.getValue)).toMap
 
   def start(): Gateway = {
     server.createContext("/api/v1", (ex: HttpExchange) => handle(ex))

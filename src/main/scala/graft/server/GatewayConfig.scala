@@ -1,0 +1,109 @@
+package graft.server
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+import graft.core.ChannelSpec
+import graft.streaming.ChannelRuntime
+
+/** Config-file gateway construction — the reference launches from
+  * declarative configs (`server/config/gateway/demo.yaml`: channel
+  * set, modules, PORT; loaded by `config.load_gateway`, e2e-tested in
+  * `tests/config/test_load.py`). The Spark-first analogue is a JSON
+  * document (Jackson is already on the serving classpath; no new
+  * dependencies):
+  *
+  * {{{
+  * {
+  *   "port": 8080,
+  *   "distributedState": false,
+  *   "channels": [
+  *     {"name": "example",
+  *      "fields": [{"name": "id", "type": "string"},
+  *                 {"name": "timestamp", "type": "timestamp"},
+  *                 {"name": "x", "type": "long"},
+  *                 {"name": "tags", "type": "array<string>"}],
+  *      "stateKeyby": ["x"],
+  *      "basketKey": "y", "basketKeys": ["a", "b"],
+  *      "omitFromLookup": false, "lookupMaxEntries": 100000}
+  *   ],
+  *   "authField": {"example": "user"}
+  * }
+  * }}}
+  */
+object GatewayConfig {
+
+  private val mapper = new ObjectMapper()
+
+  /** `long|int|double|float|boolean|string|timestamp|date|binary` plus
+    * `array<T>` nesting. */
+  def parseType(s: String): DataType = s.trim match {
+    case "long" => LongType
+    case "int" | "integer" => IntegerType
+    case "double" => DoubleType
+    case "float" => FloatType
+    case "boolean" | "bool" => BooleanType
+    case "string" | "str" => StringType
+    case "timestamp" | "datetime" => TimestampType
+    case "date" => DateType
+    case "binary" => BinaryType
+    case a if a.startsWith("array<") && a.endsWith(">") =>
+      ArrayType(parseType(a.stripPrefix("array<").stripSuffix(">")))
+    case other =>
+      throw new IllegalArgumentException(s"Unsupported field type '$other'")
+  }
+
+  def parseSpec(n: JsonNode): ChannelSpec = {
+    require(n.hasNonNull("name") && n.has("fields"),
+      "channel config needs 'name' and 'fields'")
+    val fields = n.get("fields").elements().asScala.map { f =>
+      StructField(f.get("name").asText(), parseType(f.get("type").asText()),
+        nullable = !f.path("required").asBoolean(false))
+    }.toArray
+    def strSeq(key: String): Seq[String] =
+      if (n.has(key)) n.get(key).elements().asScala.map(_.asText()).toSeq else Nil
+    ChannelSpec(
+      name = n.get("name").asText(),
+      schema = StructType(fields),
+      basketKey = Option(n.get("basketKey")).filter(_.isTextual).map(_.asText()),
+      basketKeys = if (n.has("basketKeys")) Some(strSeq("basketKeys")) else None,
+      stateKeyby = strSeq("stateKeyby"),
+      omitFromLookup = n.path("omitFromLookup").asBoolean(false),
+      lookupMaxEntries = n.path("lookupMaxEntries").asInt(1 << 20),
+      required = n.path("required").asBoolean(true))
+  }
+
+  final case class Loaded(runtime: ChannelRuntime, gateway: Gateway, port: Int)
+
+  /** Build (but do not start) the runtime + gateway from a config
+    * document. `checkpointDir` defaults to a temp dir like the
+    * reference's per-run output dir.
+    */
+  def load(spark: SparkSession, json: String,
+      checkpointDir: Option[String] = None): Loaded = {
+    val root = mapper.readTree(json)
+    val specs = root.path("channels").elements().asScala
+      .map(parseSpec).map(s => s.name -> s).toMap
+    require(specs.nonEmpty, "config declares no channels")
+    val port = root.path("port").asInt(0)
+    val runtime = new ChannelRuntime(spark, specs,
+      checkpointDir.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-gw-ckpt").toString),
+      distributedState = root.path("distributedState").asBoolean(false))
+    val auth: Map[String, String] =
+      if (root.has("authField"))
+        root.get("authField").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      else Map.empty
+    Loaded(runtime, new Gateway(runtime, port, auth), port)
+  }
+
+  def loadFile(spark: SparkSession, path: String,
+      checkpointDir: Option[String] = None): Loaded =
+    load(spark, new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8),
+      checkpointDir)
+}

@@ -418,6 +418,10 @@ object ChannelRuntime {
     case (x: String, TimestampType) =>
       java.sql.Timestamp.from(java.time.OffsetDateTime.parse(x).toInstant)
     case (x: java.sql.Timestamp, TimestampType) => x
+    case (xs: Seq[_], org.apache.spark.sql.types.ArrayType(et, _)) =>
+      xs.map(coerce(_, et, field))
+    case (xs: java.util.List[_], org.apache.spark.sql.types.ArrayType(et, _)) =>
+      xs.asScala.toSeq.map(coerce(_, et, field))
     case (x, _) => x
   }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.server.GatewayConfig
+
+class GatewayConfigSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val config =
+    """{
+      |  "port": 0,
+      |  "channels": [
+      |    {"name": "example",
+      |     "fields": [{"name": "id", "type": "string"},
+      |                {"name": "timestamp", "type": "timestamp"},
+      |                {"name": "x", "type": "long"},
+      |                {"name": "tags", "type": "array<string>"}],
+      |     "stateKeyby": ["x"]},
+      |    {"name": "basket",
+      |     "fields": [{"name": "id", "type": "string"},
+      |                {"name": "timestamp", "type": "timestamp"},
+      |                {"name": "k", "type": "string"}],
+      |     "basketKey": "k", "basketKeys": ["a", "b"],
+      |     "omitFromLookup": true, "lookupMaxEntries": 7}
+      |  ]
+      |}""".stripMargin
+
+  test("config parses channel specs: types, keyby, basket, lookup options") {
+    val loaded = GatewayConfig.load(spark, config)
+    val ex = loaded.runtime.specs("example")
+    assert(ex.schema.fieldNames.toSeq === Seq("id", "timestamp", "x", "tags"))
+    assert(ex.schema("tags").dataType === ArrayType(StringType))
+    assert(ex.schema("timestamp").dataType === TimestampType)
+    assert(ex.stateKeyby === Seq("x"))
+    val bk = loaded.runtime.specs("basket")
+    assert(bk.basketKey === Some("k") && bk.basketKeys === Some(Seq("a", "b")))
+    assert(bk.omitFromLookup && bk.lookupMaxEntries === 7)
+    intercept[IllegalArgumentException] {
+      GatewayConfig.parseType("complex128")
+    }
+  }
+
+  test("config-loaded gateway serves end-to-end: send then last over HTTP") {
+    val loaded = GatewayConfig.load(spark, config)
+    loaded.runtime.start()
+    val gw = loaded.gateway.start()
+    try {
+      val base = s"http://localhost:${gw.boundPort}/api/v1"
+      val client = HttpClient.newHttpClient()
+      val post = HttpRequest.newBuilder(URI.create(s"$base/send/example"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString("""{"x": 7, "tags": ["t1"]}"""))
+        .build()
+      val pr = client.send(post, HttpResponse.BodyHandlers.ofString())
+      assert(pr.statusCode() === 200, pr.body())
+      loaded.runtime.processAllAvailable()
+      val lr = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/last/example")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(lr.statusCode() === 200)
+      assert(lr.body().contains("\"x\":7") && lr.body().contains("t1"), lr.body())
+    } finally {
+      gw.stop(); loaded.runtime.stop()
+    }
+  }
+}
