@@ -38,7 +38,7 @@ object Bench {
     // BASELINE "state_insert" mirror (ASV StateInsertKeyBy: 100k rows,
     // 100 keys): streaming upsert throughput through the
     // flatMapGroupsWithState state store.
-    val insertSec = try stateInsertBench(spark, sfDir) catch { case _: Throwable => -1.0 }
+    val insertSec = try stateInsertBench(spark) catch { case _: Throwable => -1.0 }
     // BASELINE `state_query_all` / `state_query_filter` / `replay`
     // mirrors (ASV StateFirstQueryAll / StateFirstQueryFilter /
     // ReplayEngineJSON shapes).
@@ -108,8 +108,15 @@ object Bench {
   /** Push 100k keyed rows (100 distinct keys, ASV StateInsertKeyBy
     * shape) through the distributed streaming state store in 10
     * micro-batches; seconds to fully accumulate last-per-key.
+    *
+    * `statePartitions` defaults to 8 — sized to key cardinality: the
+    * conf is frozen into the checkpoint at the first batch, and every
+    * extra partition costs a state-store commit per micro-batch (at 32
+    * the 10-batch run pays 320 commits for 100 keys; A/B'd by
+    * [[graft.tools.InsertBenchAB]], which calls this same harness).
     */
-  private def stateInsertBench(spark: SparkSession, sfDir: String): Double = {
+  private[graft] def stateInsertBench(
+      spark: SparkSession, statePartitions: Int = 8): Double = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
@@ -122,14 +129,11 @@ object Bench {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row](
       Encoders.row(schema), sqlCtx)
-    // size state partitions to key cardinality (100 keys): the conf is
-    // frozen into the checkpoint at the first batch, and every extra
-    // partition costs a state-store commit per micro-batch — at 32
-    // partitions the 10-batch run pays 320 commits for 100 keys
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val out = graft.streaming.StreamingState.lastByKeyStream(stream.toDF(), Seq("k"), "_seq")
-    val q = out.writeStream.format("memory").queryName("bench_state_insert")
+    val q = out.writeStream.format("memory")
+      .queryName(s"bench_state_insert_${System.nanoTime()}")
       .outputMode("update")
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("bench-ckpt").toString)

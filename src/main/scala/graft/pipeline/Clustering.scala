@@ -106,18 +106,7 @@ object Clustering {
       iters: Int = 1): Array[(Long, Seq[Double])] = {
     var cents = seedCentroids(corpus, idCol, vecCol, k)
     for (_ <- 0 until iters) {
-      // assign in a projection BELOW the Generate: inlined next to
-      // posexplode the fold would be re-evaluated per exploded element
-      // (dims× the work) and interpreted, not codegen'd
-      val sums = corpus
-        .select(col(vecCol).as("_v"),
-          assignCell(col(vecCol), cents.toIndexedSeq).as("_cell"))
-        .filter(col("_cell") >= 0)
-        .select(col("_cell"), posexplode(col("_v")).as(Seq("_d", "_x")))
-        .groupBy("_cell", "_d")
-        .agg(sum(floor(lit(1000000.0) * col("_x").cast("double") + lit(0.5))
-          .cast("long")).as("_s"))
-        .collect()
+      val sums = lloydSums(corpus, vecCol, cents.toIndexedSeq).collect()
       cents = sums
         .groupBy(_.getLong(0))
         .map { case (cell, rows) =>
@@ -128,6 +117,26 @@ object Clustering {
     }
     cents
   }
+
+  /** One Lloyd round's (cell, dim, quantized-sum) frame — the ONLY
+    * shuffle in an iteration (plan-audited: partial agg below one
+    * keyed exchange). Assignment happens in a projection BELOW the
+    * Generate: inlined next to posexplode, the argmax fold would be
+    * re-evaluated per exploded element (dims× the work) and
+    * interpreted, not codegen'd.
+    */
+  private[graft] def lloydSums(
+      corpus: DataFrame,
+      vecCol: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    corpus
+      .select(col(vecCol).as("_v"),
+        assignCell(col(vecCol), cents).as("_cell"))
+      .filter(col("_cell") >= 0)
+      .select(col("_cell"), posexplode(col("_v")).as(Seq("_d", "_x")))
+      .groupBy("_cell", "_d")
+      .agg(sum(floor(lit(1000000.0) * col("_x").cast("double") + lit(0.5))
+        .cast("long")).as("_s"))
 
   /** (id, cell) assignment of every corpus row after `iters` Lloyd
     * iterations — the catalog-facing k-means entry point.

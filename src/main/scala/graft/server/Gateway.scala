@@ -34,7 +34,11 @@ final class Gateway(
     port: Int = 0,
     /** X13: channel -> field that must equal the caller identity
       * (header `x-identity`) on reads and writes. */
-    authFilterFields: Map[String, String] = Map.empty) {
+    authFilterFields: Map[String, String] = Map.empty,
+    /** Invoked (background thread) after POST /controls/shutdown stops
+      * the listeners — the launcher's chance to stop the runtime,
+      * session, and process (reference gateway.stop does all three). */
+    onShutdown: () => Unit = () => ()) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -177,15 +181,15 @@ final class Gateway(
         // available-channels listing per route family (reference
         // last.py:160-170 add_*_available_channels: GET /last/ → names)
         case family :: rest if AvailableFamilies(family) &&
-            (rest.isEmpty || rest == List("")) =>
+            (rest.isEmpty || rest == List("")) && ex.getRequestMethod == "GET" =>
           val names = runtime.specs.keys.toSeq.sorted
           respond(ex, 200, mapper.writeValueAsString(names.toArray))
         // controls (reference routes/controls.py): heartbeat / stats /
         // shutdown — the UI kill-switch + liveness surface
-        case "controls" :: "heartbeat" :: Nil =>
+        case "controls" :: "heartbeat" :: Nil if ex.getRequestMethod == "GET" =>
           respond(ex, 200,
             s"""{"name":"heartbeat","status":"ok","timestamp":"${java.time.Instant.now()}"}""")
-        case "controls" :: "stats" :: Nil =>
+        case "controls" :: "stats" :: Nil if ex.getRequestMethod == "GET" =>
           val rt = Runtime.getRuntime
           val data = Map(
             "cpu" -> rt.availableProcessors(),
@@ -199,8 +203,12 @@ final class Gateway(
         case "controls" :: "shutdown" :: Nil if ex.getRequestMethod == "POST" =>
           respond(ex, 200, """{"name":"shutdown","status":"ok"}""")
           // background, like the reference's BackgroundTasks: the
-          // response must flush before the server dies
-          new Thread(() => { Thread.sleep(100); stop() }, "graft-shutdown").start()
+          // response must flush before the server dies. onShutdown lets
+          // the launcher take down the runtime/session/process too —
+          // stopping only the listeners would leave a zombie JVM
+          new Thread(() => {
+            Thread.sleep(100); stop(); onShutdown()
+          }, "graft-shutdown").start()
         case _ => respond(ex, 404, """{"detail":"Not Found"}""")
       }
     } catch {

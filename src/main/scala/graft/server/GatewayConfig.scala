@@ -83,10 +83,14 @@ object GatewayConfig {
     * reference's per-run output dir.
     */
   def load(spark: SparkSession, json: String,
-      checkpointDir: Option[String] = None): Loaded = {
+      checkpointDir: Option[String] = None,
+      onShutdown: () => Unit = () => ()): Loaded = {
     val root = mapper.readTree(json)
-    val specs = root.path("channels").elements().asScala
-      .map(parseSpec).map(s => s.name -> s).toMap
+    val specList = root.path("channels").elements().asScala.map(parseSpec).toSeq
+    val dupes = specList.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
+    require(dupes.isEmpty,
+      s"config declares duplicate channel name(s): ${dupes.mkString(", ")}")
+    val specs = specList.map(s => s.name -> s).toMap
     require(specs.nonEmpty, "config declares no channels")
     val port = root.path("port").asInt(0)
     val runtime = new ChannelRuntime(spark, specs,
@@ -98,12 +102,13 @@ object GatewayConfig {
         root.get("authField").properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap
       else Map.empty
-    Loaded(runtime, new Gateway(runtime, port, auth), port)
+    Loaded(runtime, new Gateway(runtime, port, auth, onShutdown), port)
   }
 
   def loadFile(spark: SparkSession, path: String,
-      checkpointDir: Option[String] = None): Loaded =
+      checkpointDir: Option[String] = None,
+      onShutdown: () => Unit = () => ()): Loaded =
     load(spark, new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8),
-      checkpointDir)
+      checkpointDir, onShutdown)
 }

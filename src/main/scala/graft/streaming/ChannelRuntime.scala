@@ -219,16 +219,22 @@ final class ChannelRuntime(
     * monotonic `_seq` appended (single-writer order). Returns the
     * validated rows as ingested.
     */
-  def send(name: String, values: Seq[Map[String, Any]]): Seq[Row] = {
+  /** `applyHooks = false` (engine-log replay): the logged rows already
+    * passed the processor/validator at original ingest — re-applying
+    * would double transforms and re-drop (reference replay re-emits
+    * verbatim). */
+  def send(name: String, values: Seq[Map[String, Any]],
+      applyHooks: Boolean = true): Seq[Row] = {
     val c = chan(name)
     // Seq assignment + enqueue must be atomic per channel: concurrent
     // REST senders would otherwise interleave (A gets seq 1, B gets
     // seq 2, B's addData lands in the earlier micro-batch) and the
     // per-batch sort cannot repair cross-batch inversion.
-    c.synchronized { sendLocked(c, name, values) }
+    c.synchronized { sendLocked(c, name, values, applyHooks) }
   }
 
-  private def sendLocked(c: Chan, name: String, values: Seq[Map[String, Any]]): Seq[Row] = {
+  private def sendLocked(c: Chan, name: String, values: Seq[Map[String, Any]],
+      applyHooks: Boolean): Seq[Row] = {
     val rows = values.flatMap { m =>
       val unknown = m.keySet.diff(c.spec.schema.fieldNames.toSet)
       if (unknown.nonEmpty)
@@ -253,15 +259,20 @@ final class ChannelRuntime(
       // reference KafkaChannelProcessor.process + _validate_gateway_
       // struct_after ordering. Seq is stamped AFTER both so dropped
       // records leave no gap and rewrites can't forge ordering.
-      c.spec.processor.fold(Option(built))(_.apply(built)).map { p0 =>
+      val processed =
+        if (applyHooks) c.spec.processor.fold(Option(built))(_.apply(built))
+        else Option(built)
+      processed.map { p0 =>
         // re-attach the schema: processors may rebuild with Row.fromSeq,
         // and the validator is entitled to getAs[name]
         val p = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
           p0.toSeq.toArray, c.spec.schema): Row
-        val v = c.spec.validateAfter.fold(p)(_.apply(p).fold(
-          reason => throw new IllegalArgumentException(
-            s"Channel '$name' validation failed: $reason"),
-          identity))
+        val v =
+          if (!applyHooks) p
+          else c.spec.validateAfter.fold(p)(_.apply(p).fold(
+            reason => throw new IllegalArgumentException(
+              s"Channel '$name' validation failed: $reason"),
+            identity))
         new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
           (v.toSeq :+ seqGen.incrementAndGet()).toArray, c.schema): Row
       }

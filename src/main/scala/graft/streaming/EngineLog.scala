@@ -152,7 +152,9 @@ object EngineLog {
             }.toMap
             if (forceNewIds) m - ChannelRuntime.IdCol else m
           }.toSeq
-          runtime.send(ch, rows)
+          // verbatim re-emission: the logged rows already passed the
+          // ingest hooks once — see ChannelRuntime.send(applyHooks)
+          runtime.send(ch, rows, applyHooks = false)
           n += rows.length
         }
       }

@@ -184,6 +184,14 @@ object StreamingState {
   /** Per-bucket memory for [[embeddingNearDupStream]]. */
   final case class VecBucketState(ids: Array[Long], vecs: Array[Array[Float]])
 
+  /** The batch verify kernel, reused byte-for-byte by every streaming
+    * roster (parity by construction, not by keeping loops in sync). */
+  private def cosFloat(a: Array[Float], b: Array[Float]): java.lang.Double =
+    graft.functions.CosineSim.cos(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(a),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(b),
+      aFloat = true, bFloat = true)
+
   /** Streaming embedding near-dup detection: vectors are routed to
     * their sign-LSH bucket ([[graft.pipeline.Similarity.signLshBucket]]
     * — deterministic hyperplanes, same bucketing as the batch d5
@@ -212,13 +220,6 @@ object StreamingState {
         col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
         graft.pipeline.Similarity.signLshBucket(col(vecCol), planes, dims).as("bucket"))
       .as[(Long, Seq[Float], Long)]
-    // the batch verify kernel, reused byte-for-byte (parity by
-    // construction, not by keeping two loops in sync)
-    def cosine(a: Array[Float], b: Array[Float]): java.lang.Double =
-      graft.functions.CosineSim.cos(
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(a),
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(b),
-        aFloat = true, bFloat = true)
     bucketed.groupByKey(_._3)
       .flatMapGroupsWithState[VecBucketState, (Long, Long, Double)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -232,7 +233,7 @@ object StreamingState {
               val vec = vecSeq.toArray
               var i = 0
               while (i < ids.length) {
-                val cos = cosine(vec, vecs(i))
+                val cos = cosFloat(vec, vecs(i))
                 if (cos != null && cos >= threshold)
                   out += ((math.min(ids(i), id), math.max(ids(i), id), cos.doubleValue()))
                 i += 1
@@ -254,11 +255,16 @@ object StreamingState {
     * cell's state keeps only the KEPT representatives: an arrival
     * within `threshold` cosine of any kept doc in its cell is dropped,
     * otherwise it is kept, emitted as (id, cell), and added to the
-    * roster. First-arrival-wins replaces the batch path's
-    * lowest-id-wins — the natural online tie-break; on an id-ordered
-    * replay the two agree. Zero-norm vectors (cell -1) pass through no
-    * cell and are never emitted — filter them upstream if they must
-    * survive (batch parity keeps them).
+    * roster. Representative-based, like SemDeDup's cluster-head rule:
+    * arrivals compare against KEPT docs only, so on a transitive
+    * near-dup chain (a~b, b~c, a!~c) the stream keeps {a, c} while the
+    * batch [[graft.pipeline.Clustering.semanticDedup]] — which drops
+    * any doc with a lower-id neighbor, kept or not — keeps only {a}.
+    * The two agree when similarity at the threshold is transitive
+    * within cells; the streaming rule is the one that never compares
+    * against data it already discarded. Zero-norm vectors (cell -1)
+    * pass through no cell and are never emitted — filter them upstream
+    * if they must survive (batch parity keeps them).
     */
   def semanticDedupStream(
       df: DataFrame,
@@ -277,11 +283,6 @@ object StreamingState {
         graft.pipeline.Clustering.assignCell(col(vecCol), cents.toIndexedSeq).as("cell"))
       .filter(col("cell") >= 0)
       .as[(Long, Seq[Float], Long)]
-    def cosine(a: Array[Float], b: Array[Float]): java.lang.Double =
-      graft.functions.CosineSim.cos(
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(a),
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(b),
-        aFloat = true, bFloat = true)
     assigned.groupByKey(_._3)
       .flatMapGroupsWithState[VecBucketState, (Long, Long)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -296,7 +297,7 @@ object StreamingState {
               var dup = false
               var i = 0
               while (i < ids.length && !dup) {
-                val cos = cosine(vec, vecs(i))
+                val cos = cosFloat(vec, vecs(i))
                 if (cos != null && cos.doubleValue() >= threshold) dup = true
                 i += 1
               }

@@ -12,7 +12,13 @@ object GatewayStart {
     val spark = graft.core.GraftSession.build(
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]", "graft-gateway",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
-    val loaded = graft.server.GatewayConfig.loadFile(spark, args(0))
+    // the /controls/shutdown kill switch must take down the runtime,
+    // session and PROCESS — stopping only the HTTP listeners would
+    // leave a zombie JVM blocked on the join below
+    lazy val loaded: graft.server.GatewayConfig.Loaded =
+      graft.server.GatewayConfig.loadFile(spark, args(0), onShutdown = () => {
+        loaded.runtime.stop(); spark.stop(); sys.exit(0)
+      })
     loaded.runtime.start()
     val gw = loaded.gateway.start()
     println(s"graft gateway listening on port ${gw.boundPort}")

@@ -91,8 +91,13 @@ class ChannelRuntimeSpec extends AnyFunSuite with BeforeAndAfterAll {
       intercept[IllegalArgumentException] {
         rt.send("hooked", Seq(Map("x" -> 1L, "y" -> "")))
       }
+      // replay path (applyHooks = false): rows pass verbatim — no
+      // double-transform, no re-drop, no re-validation
+      val replayed = rt.send("hooked",
+        Seq(Map("x" -> -3L, "y" -> "")), applyHooks = false)
+      assert(replayed.map(_.getAs[Long]("x")) === Seq(-3L))
       rt.processAllAvailable()
-      assert(rt.tickCount("hooked") === 2L)
+      assert(rt.tickCount("hooked") === 3L)
     } finally rt.stop()
   }
 

@@ -141,10 +141,15 @@ class PlanAuditSpec extends AnyFunSuite {
     val assignP = plan(emb.select(col("vec_id"),
       graft.pipeline.Clustering.assignCell(col("embedding"), cents.toIndexedSeq).as("cell")))
     assert(!assignP.contains("Exchange"), assignP)
-    // a Lloyd-round aggregation: partial agg below ONE keyed exchange
-    val out = graft.pipeline.Clustering.kmeansAssign(emb, "vec_id", "embedding",
-      k = 4, iters = 1)
-    assert(out.count() > 0) // whole loop (incl. driver fold) runs
+    // the Lloyd-round (cell,dim) aggregation: partial agg below
+    // exactly ONE keyed exchange — the round's only shuffle
+    val sumsP = plan(graft.pipeline.Clustering.lloydSums(
+      emb, "embedding", cents.toIndexedSeq))
+    assert("Exchange".r.findAllIn(sumsP).size === 1, sumsP)
+    assert(sumsP.contains("partial_sum"), sumsP)
+    // whole loop (incl. driver fold) runs
+    assert(graft.pipeline.Clustering.kmeansAssign(emb, "vec_id", "embedding",
+      k = 4, iters = 1).count() > 0)
   }
 
   test("c2 semantic dedup joins on the cell only — no nested-loop") {
