@@ -108,9 +108,14 @@ object Sinks {
   * like the reference's Perspective tables (perspective.py:149-151,
   * 210-217).
   */
-final class ViewServer(runtime: ChannelRuntime) {
-
+object ViewServer {
+  /** Top-level (not inner) so pattern matches need no outer-instance
+    * check — the nested form trips the unchecked-outer-ref warning. */
   final case class ViewDef(channel: String, config: ViewConfig)
+}
+
+final class ViewServer(runtime: ChannelRuntime) {
+  import ViewServer.ViewDef
 
   private val views = new TrieMap[String, ViewDef]
   private val snapshots = new TrieMap[String, Seq[Row]]

@@ -146,7 +146,25 @@ final class ChannelRuntime(
     if (spec.stateKeyby.nonEmpty) spec.stateKeyby else spec.basketKey.toSeq
 
   /** Start one streaming query per channel. */
-  def start(): Unit = chans.foreach { case (name, c) =>
+  /** `endAfter`: optional bounded run (reference `Gateway.start
+    * (endtime=...)`, e2e-tested by test_gateway_start_stop
+    * `test_start_with_endtime`) — the runtime stops itself cleanly
+    * after the duration; `next()` waiters resolve None as at any
+    * shutdown.
+    */
+  def start(endAfter: Option[Duration] = None): Unit = {
+    startQueries()
+    endAfter.foreach { d =>
+      val t = new Thread(() => {
+        try Thread.sleep(d.toMillis) catch { case _: InterruptedException => () }
+        stop()
+      }, "graft-endtime")
+      t.setDaemon(true)
+      t.start()
+    }
+  }
+
+  private def startQueries(): Unit = chans.foreach { case (name, c) =>
     val idIdx = c.schema.fieldNames.indexOf(IdCol)
     val effKeys = effectiveKeys(c.spec)
     val keyIdxs = effKeys.map(k => c.schema.fieldNames.indexOf(k))

@@ -25,7 +25,7 @@ object LastByKeyBench {
     }
 
     val keys = Seq("l_partkey", "l_suppkey")
-    val full = struct(li.columns.map(col): _*)
+    val full = struct(li.columns.toIndexedSeq.map(col): _*)
 
     time("max_by_struct") {
       li.groupBy(keys.map(col): _*)
@@ -37,7 +37,7 @@ object LastByKeyBench {
     }
     time("max_struct_seqfirst") {
       li.groupBy(keys.map(col): _*)
-        .agg(max(struct((col("_seq") +: li.columns.filterNot(_ == "_seq").map(col)): _*)).as("_last"))
+        .agg(max(struct((col("_seq") +: li.columns.filterNot(_ == "_seq").toIndexedSeq.map(col)): _*)).as("_last"))
         .select(col("_last.*")).count()
     }
     time("maxseq_rejoin") {

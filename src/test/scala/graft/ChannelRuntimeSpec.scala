@@ -101,6 +101,16 @@ class ChannelRuntimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally rt.stop()
   }
 
+  test("start(endAfter): bounded run stops itself; next resolves None") {
+    val rt = newRuntime()
+    import scala.concurrent.duration._
+    rt.start(endAfter = Some(2.seconds))
+    val f = rt.next("example")
+    // the endtime thread stops the runtime; waiters resolve None
+    assert(scala.concurrent.Await.result(f, 30.seconds).isEmpty)
+    rt.stop() // idempotent
+  }
+
   test("next future resolves on the following tick; None at shutdown") {
     val rt = newRuntime()
     rt.start()
