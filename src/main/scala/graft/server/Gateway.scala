@@ -38,7 +38,13 @@ final class Gateway(
     /** Invoked (background thread) after POST /controls/shutdown stops
       * the listeners — the launcher's chance to stop the runtime,
       * session, and process (reference gateway.stop does all three). */
-    onShutdown: () => Unit = () => ()) {
+    onShutdown: () => Unit = () => (),
+    /** API-key authentication (reference MountAPIKeyMiddleware,
+      * middleware/api_key.py:22-61): when non-empty, every request
+      * must present one of these keys as a `token` query parameter,
+      * `token` header, or `token` cookie — 403 "unauthorized"
+      * otherwise. Empty = auth disabled (middleware not mounted). */
+    apiKeys: Seq[String] = Nil) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -55,6 +61,29 @@ final class Gateway(
     */
   private val ws = new WebSocketServer(runtime, authFilterFields)
   def wsPort: Int = ws.boundPort
+
+  /** API-key check (reference api_key.py:46-59): query param, header,
+    * or cookie named `token`, any configured key accepted. */
+  private def authorized(ex: HttpExchange): Boolean =
+    apiKeys.isEmpty || {
+      val fromQuery = Option(ex.getRequestURI.getRawQuery)
+        .flatMap(_.split("&").collectFirst {
+          case kv if kv.startsWith("token=") =>
+            java.net.URLDecoder.decode(kv.stripPrefix("token="), "UTF-8")
+        })
+      val fromHeader = Option(ex.getRequestHeaders.getFirst("token"))
+      val fromCookie = Option(ex.getRequestHeaders.getFirst("Cookie"))
+        .flatMap(_.split(";").map(_.trim).collectFirst {
+          case kv if kv.startsWith("token=") => kv.stripPrefix("token=")
+        })
+      Seq(fromQuery, fromHeader, fromCookie).flatten.exists(apiKeys.contains)
+    }
+
+  /** Wrap a context handler with the auth gate. */
+  private def gated(h: HttpExchange => Unit): HttpExchange => Unit =
+    ex =>
+      if (!authorized(ex)) respond(ex, 403, """{"detail":"unauthorized"}""")
+      else h(ex)
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -372,10 +401,11 @@ final class Gateway(
     node.properties().asScala.map(e => e.getKey -> jsonValue(e.getValue)).toMap
 
   def start(): Gateway = {
-    server.createContext("/api/v1", (ex: HttpExchange) => handle(ex))
-    server.createContext("/openapi.json", (ex: HttpExchange) =>
+    server.createContext("/api/v1", (ex: HttpExchange) => gated(handle)(ex))
+    server.createContext("/openapi.json", (ex: HttpExchange) => gated { ex =>
       try respond(ex, 200, openApiJson)
-      catch { case NonFatal(e) => respond(ex, 500, s"""{"detail":"${e.getMessage}"}""") })
+      catch { case NonFatal(e) => respond(ex, 500, s"""{"detail":"${e.getMessage}"}""") }
+    }(ex))
     server.createContext("/docs", (ex: HttpExchange) => {
       val bytes = docsHtml.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "text/html")

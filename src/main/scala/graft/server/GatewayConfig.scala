@@ -102,7 +102,11 @@ object GatewayConfig {
         root.get("authField").properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap
       else Map.empty
-    Loaded(runtime, new Gateway(runtime, port, auth, onShutdown), port)
+    val apiKeys: Seq[String] =
+      if (root.has("apiKeys"))
+        root.get("apiKeys").elements().asScala.map(_.asText()).toSeq
+      else Nil
+    Loaded(runtime, new Gateway(runtime, port, auth, onShutdown, apiKeys), port)
   }
 
   def loadFile(spark: SparkSession, path: String,

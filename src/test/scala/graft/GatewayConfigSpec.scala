@@ -45,6 +45,32 @@ class GatewayConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("api-key auth: 403 without a key; query/header/cookie all accepted") {
+    val secured = config.replace("\"port\": 0,", "\"port\": 0, \"apiKeys\": [\"s3cret\"],")
+    val loaded = GatewayConfig.load(spark, secured)
+    loaded.runtime.start()
+    val gw = loaded.gateway.start()
+    try {
+      val base = s"http://localhost:${gw.boundPort}"
+      val client = HttpClient.newHttpClient()
+      def get(url: String, hdrs: (String, String)*): HttpResponse[String] = {
+        val b = HttpRequest.newBuilder(URI.create(url)).GET()
+        hdrs.foreach { case (k, v) => b.header(k, v) }
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      assert(get(s"$base/api/v1/last/example").statusCode() === 403)
+      assert(get(s"$base/api/v1/last/example").body().contains("unauthorized"))
+      assert(get(s"$base/openapi.json").statusCode() === 403)
+      assert(get(s"$base/api/v1/last/example?token=s3cret").statusCode() === 200)
+      assert(get(s"$base/api/v1/last/example", "token" -> "s3cret").statusCode() === 200)
+      assert(get(s"$base/api/v1/last/example",
+        "Cookie" -> "other=1; token=s3cret").statusCode() === 200)
+      assert(get(s"$base/api/v1/last/example?token=wrong").statusCode() === 403)
+    } finally {
+      gw.stop(); loaded.runtime.stop()
+    }
+  }
+
   test("config-loaded gateway serves end-to-end: send then last over HTTP") {
     val loaded = GatewayConfig.load(spark, config)
     loaded.runtime.start()
