@@ -131,16 +131,23 @@ object EngineLog {
     * re-sent to their channels in recorded order. `forceNewIds` mirrors
     * the reference's ingest-context regeneration (X11).
     */
+  /** `startTime`: skip cycles stamped before it (epoch millis) — the
+    * reference JSONPullAdapter's start_time fast-forward
+    * (io/json_pull_adapter.py:22-33): replaying into a live gateway
+    * resumes from a checkpoint instead of re-emitting history.
+    */
   def replay(
       runtime: ChannelRuntime,
       path: String,
       channels: Seq[String],
-      forceNewIds: Boolean = false): Long = {
+      forceNewIds: Boolean = false,
+      startTime: Option[Long] = None): Long = {
     var n = 0L
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     Files.readAllLines(Paths.get(path)).asScala.foreach { line =>
       val root = mapper.readTree(line)
-      channels.foreach { ch =>
+      val cycleTs = root.path("csp_engine_timestamp").asLong(Long.MinValue)
+      if (startTime.forall(cycleTs >= _)) channels.foreach { ch =>
         val arr = root.get(ch)
         if (arr != null && arr.isArray) {
           val spec = runtime.specs(ch)

@@ -216,6 +216,24 @@ class ChannelRuntimeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rt2.tickCount("example") === 2)
       assert(rt2.state("example").map(_.getAs[Long]("x")).toSet === Set(1L, 2L))
     } finally rt2.stop()
+
+    // startTime fast-forward (JSONPullAdapter shape): only cycles at or
+    // after the cutoff re-emit
+    val cycleTs = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      Files.readAllLines(java.nio.file.Paths.get(log)).get(1) match {
+        case line => mapper.readTree(line).get("csp_engine_timestamp").asLong()
+      }
+    }
+    val rt3 = newRuntime()
+    rt3.start()
+    try {
+      val n = EngineLog.replay(rt3, log, Seq("example"), forceNewIds = true,
+        startTime = Some(cycleTs))
+      assert(n === 1)
+      rt3.processAllAvailable()
+      assert(rt3.state("example").map(_.getAs[Long]("x")).toSet === Set(2L))
+    } finally rt3.stop()
   }
 
   test("lookup registry: omitFromLookup opt-out and max-size eviction (base.py:72-78)") {
