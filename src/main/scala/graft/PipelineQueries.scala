@@ -102,6 +102,12 @@ object PipelineQueries {
         "doc_id",
         Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2))),
 
+    // ---- exact-substring duplication stats (Lee et al. 2021): per-doc
+    // fraction of word-10-gram positions whose gram repeats corpus-wide
+    "d9_substring_dup" -> ((s, dir) =>
+      Dedup.substringDupStats(t(s, dir, "documents"), "doc_id", "text",
+        w = 10, minCount = 2)),
+
     // ---- embedding-cosine near-dup pairs on the SCALE path: sign-LSH
     // bucket equi-join (never all-pairs); exact variant kept below
     "d5_embed_neardup" -> ((s, dir) =>
@@ -135,6 +141,24 @@ object PipelineQueries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
         emb.filter(col("vec_id") >= 100 && col("vec_id") < 108),
         "vec_id", "embedding", k = 3)
+    }),
+
+    // ---- PQ encoding: (vec_id, subspace, code) — narrow argmax folds
+    // over hash-seeded codebook literals, zero Exchange to encode
+    "c3_pq_codes" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqEncode(emb, "vec_id", "embedding",
+        Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8))
+    }),
+
+    // ---- ANN via PQ asymmetric distance: exact queries against
+    // codebook reconstructions (m bytes per corpus vector, the
+    // billion-scale compressed layout; compose with IVF cells = IVF-PQ)
+    "s4_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 3,
+        Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8))
     }),
 
     // ---- T1 dict-basket variant: last per basket key
@@ -261,6 +285,12 @@ object PipelineQueries {
         "doc_id", "lang",
         Map("en" -> 250, "de" -> 150, "fr" -> 100), defaultPct = 50)),
 
+    // ---- deterministic epoch shuffle: reproducible training order
+    // (epoch-salted hash), per-shard positions — no global sort
+    "p5_shuffle_order" -> ((s, dir) =>
+      Curation.shuffleOrder(t(s, dir, "documents"), "doc_id",
+        epoch = 2, shards = 8)),
+
     // ---- Gopher-style quality filter: word-count / mean-word-length /
     // distinct-fraction / stopword-count rules, keep flag — all narrow
     "tx7_gopher_filter" -> ((s, dir) =>
@@ -349,6 +379,36 @@ object PipelineQueries {
        |           FROM s1 WHERE NOT isnan(cos)) WHERE rn = 1) x
        |         ON e.vec_id = x.vec_id)""".stripMargin
 
+  /** PQ CTE chain mirroring Similarity.pqCodebooks / pqEncode exactly:
+    * hash-seeded codewords (the k smallest-id-hash rows, ties by id),
+    * per-subspace codebook = seed subvector slices, code = argmax
+    * cosine with ties to the lowest code and NaN (zero-norm subvector)
+    * → sentinel -1. Ends with `codes(vec_id, m, code)` over the full
+    * corpus × subspace domain.
+    */
+  private def pqCtes(m: Int = 4, k: Int = 8, dims: Int = 64): String = {
+    val sub = dims / m
+    s"""h AS (SELECT vec_id, embedding, ${phSql("CAST(vec_id AS VARCHAR)")} AS hh
+       |      FROM embeddings),
+       |seeds AS (SELECT rn - 1 AS c, ce FROM (
+       |            SELECT row_number() OVER (ORDER BY hh, vec_id) AS rn,
+       |                   CAST(embedding AS DOUBLE[]) AS ce
+       |            FROM h) WHERE rn <= $k),
+       |mm AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
+       |cb AS (SELECT c, m, ce[m*$sub+1 : m*$sub+$sub] AS sl FROM seeds CROSS JOIN mm),
+       |sc AS (SELECT e.vec_id, cb.m, cb.c,
+       |         ${cosSql(s"e.embedding[cb.m*$sub+1 : cb.m*$sub+$sub]", "sl")} AS cos
+       |       FROM embeddings e CROSS JOIN cb),
+       |codes AS (SELECT d.vec_id, d.m, coalesce(x.code, -1) AS code
+       |          FROM (SELECT vec_id, m FROM embeddings CROSS JOIN mm) d
+       |          LEFT JOIN (
+       |            SELECT vec_id, m, c AS code FROM (
+       |              SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m
+       |                ORDER BY cos DESC, c ASC) AS rn
+       |              FROM sc WHERE NOT isnan(cos)) WHERE rn = 1) x
+       |            ON d.vec_id = x.vec_id AND d.m = x.m)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
       "SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
@@ -416,6 +476,19 @@ object PipelineQueries {
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT v FROM dropped)""".stripMargin,
 
+    "d9_substring_dup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(generate_series(1, len(w)-9)) AS i, w
+         |      FROM t WHERE len(w) >= 10),
+         |gh AS (SELECT doc_id, ${phSql("array_to_string(w[i:i+9], ' ')")} AS h FROM g),
+         |f AS (SELECT h, count(*) AS cnt FROM gh GROUP BY h)
+         |SELECT doc_id, count(*) AS n_grams,
+         |       CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pos,
+         |       CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |         CAST(count(*) AS DOUBLE) AS dup_frac
+         |FROM gh JOIN f USING (h)
+         |GROUP BY doc_id""".stripMargin,
+
     "d5_embed_neardup" ->
       s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS b FROM embeddings)
          |SELECT * FROM (
@@ -470,6 +543,23 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
          |      FROM scored)
          |SELECT qid, cid, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "c3_pq_codes" ->
+      s"""WITH ${pqCtes()}
+         |SELECT vec_id, m, code FROM codes""".stripMargin,
+
+    "s4_ann_pq" ->
+      s"""WITH ${pqCtes()},
+         |recon AS (SELECT codes.vec_id, flatten(list(sl ORDER BY codes.m)) AS rv
+         |          FROM codes JOIN cb ON codes.m = cb.m AND codes.code = cb.c
+         |          GROUP BY codes.vec_id HAVING count(*) = 4),
+         |scored AS (SELECT q.vec_id AS qid, rc.vec_id AS cid,
+         |             ${cosSql("q.embedding", "rc.rv")} AS score
+         |           FROM recon rc JOIN embeddings q
+         |             ON q.vec_id < 8 AND q.vec_id <> rc.vec_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |         ORDER BY score DESC, cid ASC) AS rank FROM scored)
+         |SELECT qid, cid, score, rank FROM rk WHERE rank <= 3""".stripMargin,
 
     "t1b_basket_last" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
@@ -624,6 +714,13 @@ object PipelineQueries {
          |  pct // 100 + CASE WHEN h < pct % 100 THEN 1 ELSE 0 END AS n FROM b)
          |SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy
          |FROM c WHERE n > 0""".stripMargin,
+
+    "p5_shuffle_order" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  ${phSql("CAST(doc_id AS VARCHAR) || ':2'")} AS h FROM documents)
+         |SELECT doc_id, h % 8 AS shard,
+         |       row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+         |FROM b""".stripMargin,
 
     "tx7_gopher_filter" -> {
       val stopEn = TextFunctions.StopEn.map(w => s"'$w'").mkString("[", ", ", "]")

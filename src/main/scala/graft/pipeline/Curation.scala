@@ -165,6 +165,30 @@ object Curation {
       .drop("_n")
   }
 
+  /** Deterministic epoch shuffle: the reproducible pseudo-random
+    * training order pretraining pipelines need — rerunning the job (or
+    * any engine) yields byte-identical order, and changing `epoch`
+    * reshuffles completely. Each row's order key is the portable hash
+    * of `id:epoch`; rows land in `shards` by that key and get their
+    * within-shard position. One hash exchange + partition-local
+    * row_number (same layout as [[packChunks]] — no global
+    * single-partition sort at any scale). Returns (idCol, shard, pos).
+    */
+  def shuffleOrder(
+      df: DataFrame,
+      idCol: String,
+      epoch: Int,
+      shards: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("_h"), col(idCol))
+    df.select(col(idCol),
+        TextFunctions.polyHash(
+          concat(col(idCol).cast("string"), lit(s":$epoch"))).as("_h"))
+      .withColumn("shard", pmod(col("_h"), lit(shards)))
+      .withColumn("pos", row_number().over(w))
+      .drop("_h")
+  }
+
   // ---- document-quality filtering ---------------------------------------
 
   /** Gopher-style document-quality signals (Rae et al. 2021 §A1.1,

@@ -465,6 +465,79 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  // ---- Exact substring duplication (Lee et al. 2021) --------------------
+
+  /** Positional word-`w`-gram hashes of a text — one hash per gram
+    * START POSITION, duplicates preserved (unlike [[shingleHashes]],
+    * which is a distinct set): the unit of measure for exact-substring
+    * duplication is the gram occurrence, not the gram value. Texts
+    * shorter than `w` tokens produce the empty array (guarded:
+    * `sequence(1, k)` for k<1 generates a descending range).
+    */
+  def positionalGramHashes(text: Column, w: Int): Column = {
+    val tk = tokens(text)
+    when(size(tk) >= lit(w),
+      transform(sequence(lit(1), size(tk) - lit(w - 1)),
+        i => polyHash(concat_ws(" ", slice(tk, i, lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Exact-substring duplication stats per document (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * the ExactSubstr measurement, at word-`w`-gram granularity): for
+    * every document with at least one `w`-gram, the number of gram
+    * positions, the number of positions whose gram occurs at least
+    * `minCount` times CORPUS-WIDE (including repeats inside the same
+    * document — a doc that plagiarizes itself is duplicated text too),
+    * and the duplicated fraction. Suffix-array span-merging is a
+    * single-machine construction; the distributed equivalent is this
+    * positional gram inverted index — same signal, linear shuffles.
+    *
+    * Scale shape: one narrow fused-hash projection (no gram strings
+    * ever shuffle — 8-byte hashes do), one partial-aggregated count
+    * per gram hash, one equi-join back on the hash (AQE splits the
+    * hot-gram skew), one per-doc aggregation. Never all-pairs, and
+    * nothing proportional to text size crosses the wire.
+    */
+  def substringDupStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 10,
+      minCount: Long = 2): DataFrame = {
+    val g = df
+      // materialize the array BELOW the Generate: inlining the kernel
+      // into explode() would evaluate it interpreted, once per element
+      .select(col(idCol).as("_id"), positionalGramHashes(col(textCol), w).as("_gs"))
+      .select(col("_id"), explode(col("_gs")).as("_gh"))
+    val freq = g.groupBy("_gh").agg(count(lit(1)).as("_f"))
+    g.join(freq, "_gh")
+      .groupBy(col("_id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("_f") >= lit(minCount), 1L).otherwise(0L)).as("n_dup_pos"))
+      .withColumn("dup_frac",
+        col("n_dup_pos").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Documents whose duplicated-substring fraction stays under
+    * `maxDupFrac` — the keep-side filter a pipeline applies after
+    * [[substringDupStats]]. Documents with fewer than `w` tokens have
+    * no grams, hence nothing measurably duplicated: kept.
+    */
+  def substringDupFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 10,
+      minCount: Long = 2,
+      maxDupFrac: Double = 0.5): DataFrame = {
+    val drop = substringDupStats(df, idCol, textCol, w, minCount)
+      .filter(col("dup_frac") >= lit(maxDupFrac))
+      .select(col(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   // ---- Embedding near-dup ----------------------------------------------
 
   /** Embedding-cosine near-dup pairs above `threshold`. `blocked=true`

@@ -177,6 +177,102 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ---- Product quantization (ADC) ---------------------------------------
+
+  /** PQ codebooks: the embedding space is split into `m` contiguous
+    * subspaces and each subspace gets `k` codewords — the subvector
+    * slices of the k hash-seeded sample rows ([[Clustering.seedCentroids]]:
+    * smallest portable id-hash, ties by id). Deterministic and
+    * engine-reproducible, like every quantizer here; refine with
+    * subspace Lloyd rounds offline if recall demands it. Returns
+    * codebooks(j) = Array of (code 0..k-1, codeword) for subspace j —
+    * m·k·(dims/m) doubles of driver metadata (FAISS ships the same
+    * codebook to every worker).
+    */
+  def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int): Array[Array[(Long, Seq[Double])]] = {
+    val seeds = Clustering.seedCentroids(corpus, idCol, vecCol, k)
+    require(seeds.nonEmpty, "pqCodebooks: empty corpus")
+    val dims = seeds.head._2.length
+    require(dims % m == 0, s"pqCodebooks: $m subspaces must divide $dims dims")
+    val sub = dims / m
+    Array.tabulate(m)(j =>
+      seeds.map { case (c, v) => (c, v.slice(j * sub, (j + 1) * sub)) })
+  }
+
+  /** PQ code columns `_c0.._c{m-1}` for a vector column: per subspace,
+    * the argmax-cosine codeword id (ties to the lowest code, sentinel
+    * -1 when the subvector is zero-norm — NaN against every codeword).
+    * A pure narrow per-row fold over codebook literals — zero
+    * Exchange; at 100 TB this turns a 256-byte float vector into m
+    * bytes of codes, the compressed representation every billion-scale
+    * ANN index actually stores.
+    */
+  def pqCodeColumns(vec: Column, codebooks: Array[Array[(Long, Seq[Double])]]): Seq[Column] = {
+    val sub = codebooks(0)(0)._2.length
+    codebooks.toIndexedSeq.zipWithIndex.map { case (cb, j) =>
+      val centArr = array(cb.toIndexedSeq.map { case (c, v) =>
+        struct(lit(c).as("c"), typedLit(v).as("ce"))
+      }: _*)
+      argmaxCell(slice(vec, j * sub + 1, sub), centArr).as(s"_c$j")
+    }
+  }
+
+  /** (id, subspace, code) PQ encoding of a corpus — the catalog-facing
+    * entry point. Rows keep their sentinel -1 codes so the output
+    * domain is exactly corpus × subspaces.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[(Long, Seq[Double])]]): DataFrame =
+    corpus
+      // codes materialized BELOW the Generate — inlined into
+      // posexplode the folds would evaluate interpreted, per element
+      .select(col(idCol) +: pqCodeColumns(col(vecCol), codebooks): _*)
+      .select(col(idCol),
+        posexplode(array(codebooks.indices.map(j => col(s"_c$j")): _*))
+          .as(Seq("m", "code")))
+
+  /** ANN via PQ asymmetric distance computation: corpus vectors are
+    * replaced by their codebook reconstruction (concatenated codeword
+    * slices — m codes, not dims floats), queries stay exact, and the
+    * score is the cosine between the exact query and the
+    * reconstruction. The corpus side is a narrow encode+reconstruct
+    * projection (no Exchange before scoring); queries broadcast like
+    * [[bruteForceTopK]]. Corpus rows with any zero-norm subvector
+    * (sentinel code) are unsearchable and drop out, like [[ivfTopK]]'s
+    * sentinel rows. Compose with IVF cells to prune the scan at scale
+    * (IVF-PQ); this is the ADC kernel of that layout.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      codebooks: Array[Array[(Long, Seq[Double])]]): DataFrame = {
+    val m = codebooks.length
+    val recon = concat(codebooks.toIndexedSeq.zipWithIndex.map { case (cb, j) =>
+      val cbArr = array(cb.toIndexedSeq.map { case (_, v) => typedLit(v) }: _*)
+      element_at(cbArr, (col(s"_c$j") + lit(1)).cast("int"))
+    }: _*)
+    val enc = corpus
+      .select(col(idCol).as("cid") +: pqCodeColumns(col(vecCol), codebooks): _*)
+      .filter((0 until m).map(j => col(s"_c$j") >= 0).reduce(_ && _))
+      .select(col("cid"), recon.as("_rv"))
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("_qv")))
+    val scored = enc.join(q, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("_qv"), col("_rv")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN via sign-LSH buckets: candidates are same-bucket corpus rows;
     * otherwise identical shape to [[bruteForceTopK]]. Approximate —
     * recall depends on `planes` (fewer planes = bigger buckets =

@@ -84,6 +84,21 @@ class CurationSpec extends AnyFunSuite {
     assert(a.size > 100 && a.size < 320, s"rate off: ${a.size}/2000")
   }
 
+  test("shuffleOrder: reproducible, epoch changes the order, positions are 1..n per shard") {
+    val df = (0L until 300L).toDF("doc_id")
+    def orderOf(epoch: Int): Seq[(Long, Long, Int)] =
+      Curation.shuffleOrder(df, "doc_id", epoch, shards = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    val e1a = orderOf(1)
+    assert(e1a === orderOf(1))                 // rerun-stable
+    assert(e1a !== orderOf(2))                 // epoch reshuffles
+    assert(e1a.map(_._1).distinct.size === 300)
+    // within every shard, positions are exactly 1..count
+    e1a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted === (1 to rows.size).toList)
+    }
+  }
+
   test("packChunks: per-shard cumulative offsets, chunk = start/ctx, tokens conserved") {
     val docs = (1L to 40L).map(i => (i, Seq.fill((i % 7).toInt + 1)("w").mkString(" ")))
       .toDF("doc_id", "text")

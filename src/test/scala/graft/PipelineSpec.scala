@@ -107,6 +107,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(bks(0) === bks(1))
   }
 
+  test("substring dup stats: repeated 10-gram spans measured, unique docs zero") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 words
+    val corpus = Seq(
+      (1L, s"one unique lead-in then $span and a distinct tail here"),
+      (2L, s"different front matter but $span appears here as well too"),
+      (3L, "totally original words that no other document in the corpus shares at all"),
+      (4L, "short doc") // < 10 tokens: no grams, absent from stats, kept by filter
+    ).toDF("doc_id", "text")
+    val stats = Dedup.substringDupStats(corpus, "doc_id", "text", w = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats.keySet === Set(1L, 2L, 3L))
+    assert(stats(3L)._2 === 0L)            // nothing duplicated
+    assert(stats(1L)._2 >= 1L)             // the shared span is seen
+    assert(stats(2L)._2 >= 1L)
+    assert(stats(1L)._2 < stats(1L)._1)    // only the span, not the whole doc
+    val kept = Dedup.substringDupFilter(corpus, "doc_id", "text",
+      w = 10, maxDupFrac = 0.01).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L, 4L))           // both dup-span docs dropped; short doc kept
+  }
+
+  test("PQ: codes are deterministic in [0,k); ADC top-k finds the co-directional vector") {
+    val base = Array.tabulate(64)(d => math.sin(d * 0.37).toFloat)
+    val near = base.map(x => x * 2.0f)            // same direction, scaled
+    val far = Array.tabulate(64)(d => math.cos(d * 1.13 + 1.0).toFloat)
+    val vecs = Seq((1L, base), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+    val cbs = Similarity.pqCodebooks(vecs, "vec_id", "embedding", m = 4, k = 2)
+    assert(cbs.length === 4 && cbs.forall(_.length === 2))
+    val codes = Similarity.pqEncode(vecs, "vec_id", "embedding", cbs).collect()
+    assert(codes.length === 12) // 3 vectors × 4 subspaces
+    assert(codes.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 2))
+    // identical-direction vectors get identical codes in every subspace
+    val byVec = codes.groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    assert(byVec(1L) === byVec(2L))
+    val top = Similarity.pqTopK(vecs, vecs.filter($"vec_id" === 1), "vec_id", "embedding",
+      k = 1, cbs).collect()
+    assert(top.length === 1 && top.head.getAs[Long]("cid") === 2L)
+  }
+
   test("text functions: counts, quality in [0,1], langid, fingerprint stability") {
     val r = spark.range(1).select(
       TextFunctions.tokenCount(lit("the cat sat")).as("n"),
