@@ -314,6 +314,90 @@ object StreamingState {
       .toDF("id", "cell")
   }
 
+  final case class CellSumState(count: Long, sums: Array[Long])
+
+  /** Streaming k-means refit (mini-batch Lloyd, Sculley 2010 shape):
+    * vectors arriving on a stream are assigned to their cell with a
+    * NARROW argmax over the frozen batch-fitted quantizer
+    * ([[graft.pipeline.Clustering.assignCell]] — same fold, zero
+    * Exchange to assign), and per-cell refit statistics accumulate in
+    * the sharded state store: running count and elementwise integer
+    * sums of `floor(1e6·x + 0.5)` — the exact arithmetic of the batch
+    * Lloyd round, so a streaming refit over the same rows reproduces
+    * [[graft.pipeline.Clustering.kmeansCentroids]] bit-for-bit.
+    *
+    * State is keyed by (cell, shard) — `shards` hash-shards per cell —
+    * so at 1000 executors the per-batch shuffle fans out k×shards
+    * ways instead of bottlenecking k cells on k tasks; integer sums
+    * commute, so shard partials merge exactly ([[kmeansRefitCentroids]]
+    * does the tiny k×shards-row final merge). Assignment stays frozen
+    * while statistics refine — the standard online layout; swap the
+    * refined quantizer in by restarting the stream with the merged
+    * centroids.
+    *
+    * Emits one (cell, shard, n, sums) partial per touched shard per
+    * micro-batch (append mode — the latest row per (cell, shard) is
+    * the current partial).
+    */
+  def kmeansRefitStream(
+      df: DataFrame,
+      vecCol: String,
+      cents: Array[(Long, Seq[Double])],
+      shards: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(cents.nonEmpty, "kmeansRefitStream needs a fitted quantizer")
+    require(shards >= 1, "kmeansRefitStream: shards must be >= 1")
+    val dims = cents.head._2.size
+    val assigned = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(col(vecCol).as("vec"),
+        graft.pipeline.Clustering.assignCell(col(vecCol), cents.toIndexedSeq).as("cell"),
+        pmod(xxhash64(col(vecCol)), lit(shards.toLong)).as("shard"))
+      .filter(col("cell") >= 0)
+      .as[(Seq[Float], Long, Long)]
+    assigned.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[CellSumState, (Long, Long, Long, Seq[Double])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, Long), rows: Iterator[(Seq[Float], Long, Long)],
+         state: GroupState[CellSumState]) =>
+          val st = state.getOption.getOrElse(CellSumState(0L, Array.fill(dims)(0L)))
+          var n = st.count
+          val sums = st.sums.clone()
+          rows.foreach { case (v, _, _) =>
+            var d = 0
+            while (d < dims) {
+              sums(d) += math.floor(1e6 * v(d) + 0.5).toLong
+              d += 1
+            }
+            n += 1
+          }
+          state.update(CellSumState(n, sums))
+          Iterator.single((key._1, key._2, n, sums.map(_.toDouble).toSeq))
+      }
+      .toDF("cell", "shard", "n", "sums")
+  }
+
+  /** Merge [[kmeansRefitStream]] partials (latest row per (cell,
+    * shard)) into refit centroids (cell, n, centroid) — k×shards
+    * input rows, metadata-sized at any corpus scale. Integer-exact:
+    * the partials commute, so the merged centroid equals the batch
+    * Lloyd sum over the same rows.
+    */
+  def kmeansRefitCentroids(partials: DataFrame): DataFrame = {
+    // the cumulative count n strictly grows per (cell, shard), so it
+    // doubles as the recency key — no synthetic sequence needed
+    val latest = graft.state.StateOps.lastByKey(partials, Seq("cell", "shard"), "n")
+    latest
+      .select(col("cell"), col("n"), posexplode(col("sums")).as(Seq("d", "x")))
+      .groupBy("cell", "d")
+      .agg(sum(col("n")).as("_n"), sum(col("x")).as("_s"))
+      .groupBy("cell")
+      .agg(first(col("_n")).as("n"),
+        transform(array_sort(collect_list(struct(col("d"), col("_s")))),
+          e => e.getField("_s")).as("centroid"))
+  }
+
   /** Read the executor-side state of a [[lastByKeyStream]] query back
     * as a batch DataFrame via Spark's `statestore` data source — the
     * cluster serving path for T2/T3: state stays sharded in the

@@ -260,4 +260,35 @@ class StreamingStateSpec extends AnyFunSuite {
       assert(kept(11L) === 1L) // same cell as 10, below threshold => kept
     } finally q.stop()
   }
+
+  test("kmeansRefitStream: sharded integer partials accumulate; merged centroids exact") {
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def vec(id: Long, xs: Seq[Float]): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](id, xs), vecSchema)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(vecSchema), sqlCtx)
+    val cents = Array((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val out = StreamingState.kmeansRefitStream(stream.toDF(), "embedding", cents, shards = 2)
+    val name = s"kmref_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("kmref-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      stream.addData(vec(1, Seq(1.0f, 0.0f)), vec(2, Seq(0.0f, 2.0f)))
+      q.processAllAvailable()
+      stream.addData(vec(3, Seq(3.0f, 0.0f)), vec(4, Seq(0.0f, 0.5f)))
+      q.processAllAvailable()
+      val merged = StreamingState.kmeansRefitCentroids(spark.table(name))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+      // cell 0 saw (1,0) and (3,0): sums = (4e6, 0); cell 1 saw (0,2) and
+      // (0,0.5): sums = (0, 2.5e6) — integer-exact across batches/shards
+      assert(merged(0L) === ((2L, Seq(4000000L, 0L))))
+      assert(merged(1L) === ((2L, Seq(0L, 2500000L))))
+    } finally q.stop()
+  }
 }
