@@ -161,6 +161,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("_cell"), p) // the equi-join key is the cell
   }
 
+  test("d9 substring-dup: hash-keyed equi-joins only, partial-agg'd gram counts") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(graft.pipeline.Dedup.substringDupStats(docs, "doc_id", "text"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    // gram-frequency count and the per-doc rollup both partial-aggregate
+    assert(p.contains("partial_count"), p.take(4000))
+  }
+
+  test("PQ encode is pure narrow: zero exchanges; ADC top-k broadcasts queries only") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val cbs = graft.pipeline.Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8)
+    val pEnc = plan(graft.pipeline.Similarity.pqEncode(emb, "vec_id", "embedding", cbs))
+    assert(!pEnc.contains("Exchange"), pEnc.take(4000))
+    val pTop = plan(graft.pipeline.Similarity.pqTopK(
+      emb, emb.filter(col("vec_id") < 4), "vec_id", "embedding", k = 2, cbs))
+    // corpus side: encode + reconstruct narrow; the only hash exchange
+    // feeds the final per-query top-k window, queries broadcast
+    assert("Exchange hashpartitioning".r.findAllIn(pTop).size <= 1, pTop.take(4000))
+    assert(pTop.contains("BroadcastExchange"), pTop.take(4000))
+  }
+
+  test("p5 shuffle order: one shard exchange, partition-local window") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(graft.pipeline.Curation.shuffleOrder(docs, "doc_id", epoch = 1, shards = 8))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(4000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(4000))
+  }
+
   test("tx7 quality filter and p4 upsample are narrow: zero exchanges") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val pTx7 = plan(graft.pipeline.Curation.gopherFilter(
