@@ -332,6 +332,65 @@ object ShingleHashes {
   }
 }
 
+object PositionalGramHashes {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** ALL word n-gram hashes of a text in start-position order,
+    * duplicates preserved — the exact-substring-duplication kernel
+    * ([[graft.pipeline.Dedup.substringDupStats]]): the unit of measure
+    * there is the gram OCCURRENCE, so unlike [[ShingleHashes.hashes]]
+    * nothing is deduplicated. Same prefix-hash construction — each
+    * gram hash is the polynomial hash of the exact original substring,
+    * O(1) per position after one O(len) scan — vs the declarative
+    * slice/concat_ws/polyHash transform, which allocates a string per
+    * position and (being a lambda under a higher-order function) never
+    * enters codegen.
+    */
+  def hashes(s: UTF8String, n: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val L = cps.length
+    val starts = new Array[Int](L + 2)
+    var m = 0
+    starts(0) = 0; m = 1
+    var i = 0
+    while (i < L) { if (cps(i) == ' ') { starts(m) = i + 1; m += 1 }; i += 1 }
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val P = PolyHash.P
+    val h = new Array[Long](L + 1)
+    val pw = new Array[Long](L + 1)
+    pw(0) = 1L
+    i = 0
+    while (i < L) {
+      h(i + 1) = (h(i) * 31 + cps(i)) % P
+      pw(i + 1) = (pw(i) * 31) % P
+      i += 1
+    }
+    val nGrams = m - n + 1
+    val out = new Array[Long](nGrams)
+    var t = 0
+    while (t < nGrams) {
+      val j0 = starts(t)
+      val j1 = if (t + n - 1 < m - 1) starts(t + n) - 1 else L
+      out(t) = ((h(j1) - (h(j0) * pw(j1 - j0)) % P) % P + P) % P
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_positional_gram_hashes(text, n)` — fused positional gram hashes. */
+case class PositionalGramHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    PositionalGramHashes.hashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PositionalGramHashes.hashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): PositionalGramHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_positional_gram_hashes"
+}
+
 /** `graft_shingle_hashes(text, n)` — fused distinct shingle hashes. */
 case class ShingleHashesExpr(child: Expression, n: Int)
     extends UnaryExpression {
@@ -419,6 +478,8 @@ object NativeExpressions {
     ColumnBridge.column(WinnowFpExpr(ColumnBridge.expression(text), k, w))
   def shingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(text), n))
+  def positionalGramHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(PositionalGramHashesExpr(ColumnBridge.expression(text), n))
   def minhashSigFromHashes(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSigFromHashesExpr(ColumnBridge.expression(hashes), numHashes))
 }

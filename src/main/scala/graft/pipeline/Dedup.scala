@@ -474,7 +474,16 @@ object Dedup {
     * shorter than `w` tokens produce the empty array (guarded:
     * `sequence(1, k)` for k<1 generates a descending range).
     */
-  def positionalGramHashes(text: Column, w: Int): Column = {
+  def positionalGramHashes(text: Column, w: Int): Column =
+    graft.functions.NativeExpressions.positionalGramHashes(text, w)
+
+  /** Declarative specification of [[positionalGramHashes]] — the
+    * per-position slice/concat/hash chain the fused kernel must match
+    * bit-for-bit ([[graft.functions.PositionalGramHashes]]; parity
+    * pinned in NativeExpressionsSpec). Interpreted lambda under a
+    * higher-order function — keep it out of hot paths.
+    */
+  def positionalGramHashesDeclarative(text: Column, w: Int): Column = {
     val tk = tokens(text)
     when(size(tk) >= lit(w),
       transform(sequence(lit(1), size(tk) - lit(w - 1)),

@@ -78,6 +78,24 @@ class NativeExpressionsSpec extends AnyFunSuite {
     edge.foreach(row => assert(row.getSeq[Long](0) === row.getSeq[Long](1)))
   }
 
+  test("positional gram hashes: fused kernel == declarative, order + duplicates preserved") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val r = docs.select(
+      graft.pipeline.Dedup.positionalGramHashes($"text", 10).as("fused"),
+      graft.pipeline.Dedup.positionalGramHashesDeclarative($"text", 10).as("decl")).collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getSeq[Long](0) === row.getSeq[Long](1)))
+    // spacing + length edges: under-w texts are empty; duplicate grams
+    // ("a b a b a b" has repeated 2-grams) keep their multiplicity
+    val edge = Seq("", "a", "a b", "a b a b a b", "a  b c", " a b c ")
+      .toDF("text").select(
+        graft.pipeline.Dedup.positionalGramHashes($"text", 2).as("fused"),
+        graft.pipeline.Dedup.positionalGramHashesDeclarative($"text", 2).as("decl")).collect()
+    edge.foreach(row => assert(row.getSeq[Long](0) === row.getSeq[Long](1)))
+    val rep = edge(3).getSeq[Long](0)
+    assert(rep.length === 5 && rep.distinct.length < rep.length)
+  }
+
   test("winnowing fingerprint: native == declarative on real corpus + edges") {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val r = docs.select(
