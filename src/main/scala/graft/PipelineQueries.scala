@@ -308,7 +308,48 @@ object PipelineQueries {
     // the candidate set is Σ|cell|², never corpus all-pairs
     "c2_semantic_dedup" -> ((s, dir) =>
       Clustering.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, threshold = 0.4, iters = 1))
+        k = 8, threshold = 0.4, iters = 1)),
+
+    // ---- corpus composition report: ROLLUP over (lang, source) with
+    // doc/token/char totals — one partial-agg'd exchange
+    "st1_corpus_stats" -> ((s, dir) =>
+      Curation.corpusStats(t(s, dir, "documents"), Seq("lang", "source"), "text")),
+
+    // ---- top-3 salient terms per doc by tf·(N/df) — the rational-idf
+    // tf-idf family (exact cross-engine arithmetic, no libm ln)
+    "tx8_tfidf" -> ((s, dir) =>
+      Curation.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+
+    // ---- cross-corpus dedup: new shard (doc_id % 3 != 0) deduped
+    // against the reference shard via MinHash band buckets — survivors
+    "d10_cross_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossCorpusDedup(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // ---- DSIR importance weights: target = doc_id % 41 == 0 slice,
+    // hashed word-bigram buckets, integer-quantized log-ratios
+    "p6_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.importanceWeights(
+        docs.filter(col("doc_id") % 41 =!= 0),
+        docs.filter(col("doc_id") % 41 === 0),
+        "doc_id", "text", n = 2, buckets = 1024)
+    }),
+
+    // ---- IVF-PQ ANN: coarse cells prune the scan, PQ codes compress
+    // the residual scan to m bytes/vector (ADC scoring)
+    "s5_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8),
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 108),
+        "vec_id", "embedding", k = 3,
+        Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8))
+    })
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -752,6 +793,93 @@ object PipelineQueries {
          |dropped AS (SELECT DISTINCT id2 FROM pr WHERE cosine >= 0.4)
          |SELECT vec_id, cell FROM a1
          |WHERE vec_id NOT IN (SELECT id2 FROM dropped)""".stripMargin,
+
+    "st1_corpus_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+        |       CAST(sum(len(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+
+    "tx8_tfidf" ->
+      """WITH tf AS (SELECT doc_id, t AS term, count(*) AS tf
+        |            FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)
+        |            GROUP BY doc_id, t),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |        CAST(tf*n AS DOUBLE)/CAST(df AS DOUBLE) AS score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY CAST(tf*n AS DOUBLE)/CAST(df AS DOUBLE) DESC, term ASC) AS rank
+        |      FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, score, rank FROM s WHERE rank <= 3""".stripMargin,
+
+    "d10_cross_dedup" ->
+      s"""WITH $shingleCtes,
+         |shh AS (SELECT DISTINCT doc_id, ${phSql("s")} AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashSigCols FROM shh GROUP BY doc_id),
+         |bands AS (${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, ${bandHashSql(b)} AS bh FROM sig")
+             .mkString(" UNION ALL ")}),
+         |cand AS (SELECT DISTINCT nw.doc_id AS nid, rf.doc_id AS rid
+         |         FROM (SELECT * FROM bands WHERE doc_id % 3 <> 0) nw
+         |         JOIN (SELECT * FROM bands WHERE doc_id % 3 = 0) rf
+         |           ON nw.band = rf.band AND nw.bh = rf.bh),
+         |est AS (SELECT nid, $sigAgreeSql / 16.0 AS est_jaccard
+         |        FROM cand JOIN sig a ON rid = a.doc_id JOIN sig b ON nid = b.doc_id),
+         |bad AS (SELECT DISTINCT nid FROM est WHERE est_jaccard >= 0.5)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT nid FROM bad)""".stripMargin,
+
+    "p6_dsir_weights" -> {
+      val gram2 = "w[i]||' '||w[i+1]"
+      s"""WITH cw AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
+         |            WHERE doc_id % 41 <> 0),
+         |cg AS (SELECT doc_id, unnest(generate_series(1, len(w)-1)) AS i, w
+         |       FROM cw WHERE len(w) >= 2),
+         |chh AS (SELECT doc_id, ${phSql(gram2)} AS gh FROM cg),
+         |tw AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
+         |       WHERE doc_id % 41 = 0),
+         |tg AS (SELECT doc_id, unnest(generate_series(1, len(w)-1)) AS i, w
+         |       FROM tw WHERE len(w) >= 2),
+         |thh AS (SELECT doc_id, ${phSql(gram2)} AS gh FROM tg),
+         |tb AS (SELECT gh % 1024 AS b, count(*) AS c FROM thh GROUP BY 1),
+         |rb AS (SELECT gh % 1024 AS b, count(*) AS c FROM chh GROUP BY 1),
+         |tot AS (SELECT (SELECT count(*) FROM thh) AS tt, (SELECT count(*) FROM chh) AS rt),
+         |dom AS (SELECT unnest(generate_series(0, 1023)) AS b),
+         |lr AS (SELECT b, CAST(floor(1e6 * ln(
+         |         ((coalesce(tb.c, 0) + 0.5) * (rt + 512.0)) /
+         |         ((coalesce(rb.c, 0) + 0.5) * (tt + 512.0))) + 0.5) AS BIGINT) AS lq
+         |       FROM dom LEFT JOIN tb USING (b) LEFT JOIN rb USING (b) CROSS JOIN tot),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |              CAST(sum(lq) AS BIGINT) AS logw_q
+         |       FROM chh JOIN lr ON chh.gh % 1024 = lr.b GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+         |       CAST(coalesce(s.logw_q, 0) AS BIGINT) AS logw_q
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 41 <> 0) d
+         |LEFT JOIN sc s USING (doc_id)""".stripMargin
+    },
+
+    "s5_ann_ivfpq" ->
+      s"""WITH ${pqCtes()},
+         |cents AS (SELECT vec_id AS c, embedding AS ce FROM embeddings
+         |          WHERE vec_id >= 100 AND vec_id < 108),
+         |assigned AS (
+         |  SELECT vec_id, embedding, c AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, cents.c,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cents.ce")} DESC, cents.c ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents) WHERE rn = 1),
+         |recon AS (SELECT codes.vec_id, flatten(list(sl ORDER BY codes.m)) AS rv
+         |          FROM codes JOIN cb ON codes.m = cb.m AND codes.code = cb.c
+         |          GROUP BY codes.vec_id HAVING count(*) = 4),
+         |q AS (SELECT * FROM assigned WHERE vec_id < 8),
+         |scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |             ${cosSql("q.embedding", "rc.rv")} AS score
+         |           FROM assigned c JOIN q ON c.cell = q.cell AND q.vec_id <> c.vec_id
+         |           JOIN recon rc ON rc.vec_id = c.vec_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |         ORDER BY score DESC, cid ASC) AS rank FROM scored)
+         |SELECT qid, cid, score, rank FROM rk WHERE rank <= 3""".stripMargin,
 
     "p2_token_pack" ->
       s"""WITH b AS (SELECT doc_id,

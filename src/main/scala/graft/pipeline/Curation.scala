@@ -231,6 +231,113 @@ object Curation {
           col("n_stop_hits") >= minStopHits &&
           col("frac_unique_words") >= minFracUnique)
 
+  // ---- corpus reporting ---------------------------------------------------
+
+  /** Corpus composition report: document/token/char totals per stratum
+    * combination with ROLLUP subtotals and the grand total — the
+    * "what's in this corpus" table every mixture decision starts from.
+    * One keyed exchange with map-side partial aggregation (grouping
+    * sets expand below the partial agg, so the shuffle carries one
+    * partial row per (grouping set × stratum), never corpus rows).
+    */
+  def corpusStats(df: DataFrame, strata: Seq[String], textCol: String): DataFrame =
+    df.rollup(strata.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"))
+
+  // ---- salient terms (tf-idf) --------------------------------------------
+
+  /** Top-`k` salient terms per document by tf·idf, with the idf taken
+    * as the exact document-frequency ratio `N/df` (rational, so the
+    * score `tf·N/df` is one integer product + one IEEE division —
+    * bit-reproducible across engines, unlike `ln(N/df)` whose last ulp
+    * is libm-dependent; the ranking is the classic "rare terms first"
+    * tf-idf family). Ties break on the term.
+    *
+    * Scale shape: wordcount — (doc, term) partial-agg'd before the
+    * exchange, document frequency partial-agg'd from the tf table
+    * (already distinct per doc), the corpus row count joined as a
+    * broadcast scalar, and the per-doc top-k window partitions by doc.
+    * Term strings shuffle once, counts after that.
+    */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("_n")).cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
+  // ---- importance weighting (DSIR) ---------------------------------------
+
+  /** DSIR-style importance weight per document (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * hashed word-`n`-gram occurrences land in `buckets` buckets; the
+    * target (the small domain sample you want more of) and the raw
+    * corpus each induce a bucket distribution; a document's log-weight
+    * is the sum over its gram occurrences of
+    * `ln(p_target(bucket) / p_raw(bucket))` with add-half smoothing.
+    *
+    * The per-bucket log-ratios are INTEGER-QUANTIZED on the driver
+    * (`floor(1e6·ln + 0.5)`) and embedded as a literal array, so the
+    * per-document score is an exact integer sum — engine-portable, no
+    * float accumulation-order sensitivity. Returns
+    * (idCol, n_grams, logw_q) with `logw_q` in micro-nats.
+    *
+    * Scale shape: two bucket-count aggregations whose outputs are
+    * `buckets`-bounded (partial-agg'd, then collected as plan metadata
+    * — same bounded contract as [[Similarity.ivfTopK]]'s quantizer),
+    * then one narrow scoring pass over the corpus: zero shuffle, the
+    * text never moves. Works unchanged at any corpus size; `buckets`
+    * (default 1024, DSIR's own default order) bounds the metadata.
+    */
+  def importanceWeights(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      buckets: Int = 1024): DataFrame = {
+    def bucketCounts(df: DataFrame): Array[Long] = {
+      val out = new Array[Long](buckets)
+      df.select(explode(Dedup.positionalGramHashes(col(textCol), n)).as("_gh"))
+        .groupBy(pmod(col("_gh"), lit(buckets.toLong)).as("_b"))
+        .agg(count(lit(1)).as("_c"))
+        .collect()
+        .foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+      out
+    }
+    val tb = bucketCounts(target)
+    val rb = bucketCounts(corpus)
+    val tTot = tb.sum.toDouble + buckets / 2.0
+    val rTot = rb.sum.toDouble + buckets / 2.0
+    val lr: Array[Long] = Array.tabulate(buckets) { b =>
+      math.floor(1e6 * math.log(((tb(b) + 0.5) * rTot) / ((rb(b) + 0.5) * tTot)) + 0.5).toLong
+    }
+    val lrArr = typedLit(lr.toSeq)
+    corpus
+      .select(col(idCol), Dedup.positionalGramHashes(col(textCol), n).as("_gs"))
+      .select(col(idCol), size(col("_gs")).as("n_grams"),
+        aggregate(col("_gs"), lit(0L),
+          (s, g) => s + element_at(lrArr, pmod(g, lit(buckets.toLong)).cast("int") + lit(1)))
+          .as("logw_q"))
+  }
+
   // ---- sequence packing --------------------------------------------------
 
   /** Concat-and-chunk sequence packing: documents are assigned to

@@ -227,6 +227,46 @@ object Dedup {
       .select(col("id1"), col("id2"), col("est_jaccard"))
   }
 
+  /** Cross-corpus dedup: rows of `dfNew` that near-duplicate any row
+    * of `dfRef` (MinHash est-Jaccard >= `threshold`) are dropped; the
+    * survivors of `dfNew` return unchanged. The incremental-ingest
+    * complement to [[minhashLshPairs]]' self-join: ref shards already
+    * deduped, a new crawl deduped AGAINST them without re-pairing ref
+    * with itself.
+    *
+    * Scale shape: both sides project to (id, signature) and meet in a
+    * band-bucket equi-join — ref text never re-shuffles, candidates
+    * are bucket-colocated pairs only, then one anti-join on the
+    * dropped-id set.
+    */
+  def crossCorpusDedup(
+      dfNew: DataFrame,
+      dfRef: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rpb = numHashes / bands
+    def buckets(df: DataFrame) = df
+      .select(col(idCol).as("_id"), minhashSignature(col(textCol), n, numHashes).as("_sig"))
+      .select(col("_id"), col("_sig"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), bandHash(col("_sig"), b, rpb).as("bh"))): _*)).as("_b"))
+    val dropped = buckets(dfRef).as("a")
+      .join(buckets(dfNew).as("b"),
+        col("a._b.band") === col("b._b.band") && col("a._b.bh") === col("b._b.bh"))
+      .select(col("b._id").as("_id"), col("a._sig").as("_s1"), col("b._sig").as("_s2"))
+      .withColumn("_est",
+        size(filter(zip_with(col("_s1"), col("_s2"), (x, y) => x === y), b => b))
+          .cast("double") / lit(numHashes.toDouble))
+      .filter(col("_est") >= lit(threshold))
+      .select(col("_id").as(idCol)).distinct()
+    dfNew.join(dropped, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 32-bit SimHash over whitespace tokens (with multiplicity): bit b

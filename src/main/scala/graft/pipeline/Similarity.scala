@@ -273,6 +273,65 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-PQ: the two quantizers composed — corpus and queries are
+    * assigned to coarse IVF cells (narrow argmax over the centroid
+    * literal, zero Exchange), the corpus is PQ-encoded and scored
+    * against the exact query via its codebook reconstruction (ADC),
+    * and candidates are same-cell only. This is the billion-scale
+    * layout FAISS calls IVFPQ: the index stores m bytes per vector,
+    * a query touches ~N/nlist of them, and both quantizers are plan
+    * metadata shipped to every worker. Sentinel rows (zero-norm
+    * vector or subvector) are unsearchable and drop out, as in
+    * [[ivfTopK]] / [[pqTopK]].
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      codebooks: Array[Array[(Long, Seq[Double])]]): DataFrame = {
+    val m = codebooks.length
+    val cents = centroids.select(col(idCol).cast("long").as("_c"), col(vecCol).as("_ce"))
+      .collect()
+      .map { r =>
+        require(!r.isNullAt(0), s"ivfPqTopK: centroid id column '$idCol' must be numeric, non-null")
+        (r.getLong(0), r.getSeq[Any](1))
+      }.sortBy(_._1)
+    require(cents.nonEmpty, "ivfPqTopK needs a non-empty centroid set")
+    val isFloat = centroids.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    val centArr = array(cents.toIndexedSeq.map { case (cid, v) =>
+      val ce =
+        if (isFloat) typedLit(v.map(x => x.asInstanceOf[Float]))
+        else typedLit(v.map(x => x.asInstanceOf[Double]))
+      struct(lit(cid).as("c"), ce.as("ce"))
+    }: _*)
+    val recon = concat(codebooks.toIndexedSeq.zipWithIndex.map { case (cb, j) =>
+      val cbArr = array(cb.toIndexedSeq.map { case (_, v) => typedLit(v) }: _*)
+      element_at(cbArr, (col(s"_c$j") + lit(1)).cast("int"))
+    }: _*)
+    val enc = corpus
+      .select(col(idCol).as("cid") +:
+        argmaxCell(col(vecCol), centArr).as("_cell") +:
+        pqCodeColumns(col(vecCol), codebooks): _*)
+      .filter(col("_cell") >= 0 && (0 until m).map(j => col(s"_c$j") >= 0).reduce(_ && _))
+      .select(col("cid"), col("_cell"), recon.as("_rv"))
+    val q = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("_qv"),
+        argmaxCell(col(vecCol), centArr).as("_cell"))
+      .filter(col("_cell") >= 0)
+    val scored = enc.join(broadcast(q), Seq("_cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("_qv"), col("_rv")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN via sign-LSH buckets: candidates are same-bucket corpus rows;
     * otherwise identical shape to [[bruteForceTopK]]. Approximate —
     * recall depends on `planes` (fewer planes = bigger buckets =

@@ -201,6 +201,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!pP4.contains("Exchange"), pP4)
   }
 
+  test("st1 corpus stats: grouping sets expand below one partial-agg'd exchange") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(graft.pipeline.Curation.corpusStats(docs, Seq("lang", "source"), "text"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(4000))
+    assert(p.contains("partial_count") || p.contains("Expand"), p.take(4000))
+  }
+
+  test("p6 DSIR scoring pass is pure narrow: zero exchanges after the bucket metadata") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(graft.pipeline.Curation.importanceWeights(
+      docs.filter(col("doc_id") % 41 =!= 0), docs.filter(col("doc_id") % 41 === 0),
+      "doc_id", "text", n = 2, buckets = 64))
+    assert(!p.contains("Exchange"), p.take(4000))
+  }
+
+  test("d10 cross-corpus dedup: band-bucket equi-join, never nested-loop") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(graft.pipeline.Dedup.crossCorpusDedup(
+      docs.filter(col("doc_id") % 3 =!= 0), docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("s5 IVF-PQ: narrow assignment+encode, queries broadcast, cell equi-join") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val cbs = graft.pipeline.Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8)
+    val p = plan(graft.pipeline.Similarity.ivfPqTopK(
+      emb, emb.filter(col("vec_id") < 4),
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 104),
+      "vec_id", "embedding", k = 2, cbs))
+    // the only hash exchange feeds the final per-query top-k window
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(4000))
+    assert(p.contains("BroadcastExchange"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
   test("strictCompat projection degrades types per reference rules") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2), Map("k" -> "v"))).toDF("a", "xs", "m")
