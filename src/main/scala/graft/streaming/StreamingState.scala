@@ -181,6 +181,56 @@ object StreamingState {
       .toDF("id1", "id2", "est_jaccard")
   }
 
+  /** Streaming cross-corpus duplicate alerts: documents arriving on a
+    * stream are checked against a STATIC reference corpus (already
+    * deduped shards, a licensed set, yesterday's crawl) and every
+    * arrival that MinHash-band-matches a reference doc with signature
+    * agreement >= `threshold` emits `(id, ref_id, est_jaccard)` — the
+    * streaming complement of [[graft.pipeline.Dedup.crossCorpusDedup]]
+    * (which returns batch survivors; a stream can't anti-join itself
+    * per-doc without stateful aggregation, so the incremental surface
+    * is the dup-evidence stream — drop flagged ids downstream).
+    *
+    * Pure stream-static equi-join on (band, bucket): no state store,
+    * no watermark, trivially incremental. The reference bands are a
+    * plain DataFrame — `.cache()` it (done here) so the static side
+    * isn't recomputed every micro-batch; at cluster scale it is an
+    * ordinary shuffled (or broadcast, if small) join per batch.
+    */
+  def crossCorpusDupStream(
+      stream: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rpb = numHashes / bands
+    def toBands(df: DataFrame, idOut: String, sigOut: String) = df
+      .select(col(idCol).as(idOut),
+        graft.pipeline.Dedup.minhashSignature(col(textCol), n, numHashes).as(sigOut))
+      .filter(col(sigOut).getItem(0).isNotNull) // shingle-less docs can't match
+      .select(col(idOut), col(sigOut),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            graft.pipeline.Dedup.bandHash(col(sigOut), b, rpb).as("bh"))): _*)).as("_b"))
+      .select(col(idOut), col(sigOut), col("_b.band").as("band"), col("_b.bh").as("bh"))
+    val refBands = toBands(ref, "ref_id", "_rsig").cache()
+    toBands(stream, "id", "_sig")
+      .join(refBands, Seq("band", "bh"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("_sig"), col("_rsig"), (x, y) => x === y), b => b))
+          .cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= lit(threshold))
+      .select(col("id"), col("ref_id"), col("est_jaccard"))
+    // a pair agreeing on several bands emits once per band (same est —
+    // it comes from the full signatures); `dropDuplicates` downstream
+    // if exactly-once pairs matter. Done here it would be a STATEFUL
+    // stream dedup (unbounded state) — the caller should scope it.
+  }
+
   /** Per-bucket memory for [[embeddingNearDupStream]]. */
   final case class VecBucketState(ids: Array[Long], vecs: Array[Array[Float]])
 

@@ -36,6 +36,25 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(spark.table("drop_test2").count() === 3)
   }
 
+  test("S8 timer: rate source ticks rows with timestamps at the configured rate") {
+    val name = s"timer_test_${System.nanoTime()}"
+    val q = Sources.timer(spark, rowsPerSecond = 50)
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table(name).count() < 5 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val rows = spark.table(name).collect()
+      assert(rows.length >= 5)
+      // rate source contract: monotonically increasing value + timestamp
+      val vals = rows.map(_.getAs[Long]("value")).sorted.toSeq
+      assert(vals === (vals.min to vals.max))
+      assert(rows.head.schema.fieldNames.toSet === Set("timestamp", "value"))
+    } finally q.stop()
+  }
+
   test("S1 kafka value parse: json payload to typed columns, out-of-order clamp") {
     val raw = Seq(
       ("""{"id":1,"name":"x","v":0.5}""", ts("2020-01-01 00:00:05")),

@@ -195,6 +195,41 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("crossCorpusDupStream: arrivals matching the static reference are flagged") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def doc(id: Long, text: String): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](id, text), docSchema)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val ref = Seq((100L, base), (101L, "some reference only content nothing like the stream docs at all"))
+      .toDF("doc_id", "text")
+    val stream = MemoryStream[Row](Encoders.row(docSchema), sqlCtx)
+    val out = StreamingState.crossCorpusDupStream(
+      stream.toDF(), ref, "doc_id", "text", threshold = 0.5)
+    val name = s"xcorp_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("xcorp-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      stream.addData(doc(1, base + " ok"), doc(2, "fresh unrelated words that match no reference document here"))
+      q.processAllAvailable()
+      val hits = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
+      assert(hits === Seq((1L, 100L))) // doc 1 dups ref 100; doc 2 clean
+      // second batch: still incremental, no state required
+      stream.addData(doc(3, base))
+      q.processAllAvailable()
+      val hits2 = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct.toSet
+      assert(hits2 === Set((1L, 100L), (3L, 100L)))
+    } finally q.stop()
+  }
+
   test("embeddingNearDupStream: same-bucket cosine pair emitted cross-batch") {
     val vecSchema = StructType(Seq(
       StructField("vec_id", LongType),
