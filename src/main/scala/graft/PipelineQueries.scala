@@ -341,6 +341,22 @@ object PipelineQueries {
         "doc_id", "text", n = 2, buckets = 1024)
     }),
 
+    // ---- dedup with retention policy: per simhash near-dup group keep
+    // the LONGEST doc (ties → lowest id), not the minimum id
+    "d11_dedup_keep_best" -> ((s, dir) =>
+      Dedup.nearDupDedupBy(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id",
+        Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2),
+        "n_chars")),
+
+    // ---- deterministic train/val/test split: 90/5/5 over the portable
+    // id hash — documents never migrate splits when the corpus grows
+    "p7_split" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        Curation.splitAssign("doc_id",
+          Seq("train" -> 90, "val" -> 5, "test" -> 5)).as("split"))),
+
     // ---- IVF-PQ ANN: coarse cells prune the scan, PQ codes compress
     // the residual scan to m bytes/vector (ADC scoring)
     "s5_ann_ivfpq" -> ((s, dir) => {
@@ -858,6 +874,31 @@ object PipelineQueries {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 41 <> 0) d
          |LEFT JOIN sc s USING (doc_id)""".stripMargin
     },
+
+    "d11_dedup_keep_best" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         |p AS (SELECT id1, id2 FROM hd WHERE hamming <= 2),
+         |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+         |walk(v, l) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.b, w.l FROM walk w JOIN e ON w.v = e.a),
+         |comp AS (SELECT v, min(l) AS c FROM walk GROUP BY v),
+         |m AS (SELECT comp.v, comp.c, d.n_chars
+         |      FROM comp JOIN documents d ON d.doc_id = comp.v),
+         |w AS (SELECT c, v AS keep FROM (
+         |        SELECT c, v, row_number() OVER (PARTITION BY c
+         |          ORDER BY n_chars DESC, v ASC) AS rn FROM m) WHERE rn = 1),
+         |dropped AS (SELECT v FROM m JOIN w USING (c) WHERE v <> keep)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT v FROM dropped)""".stripMargin,
+
+    "p7_split" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN ${phSql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+         |       WHEN ${phSql("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
 
     "s5_ann_ivfpq" ->
       s"""WITH ${pqCtes()},

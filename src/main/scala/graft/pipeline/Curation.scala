@@ -165,6 +165,25 @@ object Curation {
       .drop("_n")
   }
 
+  /** Deterministic train/validation/test split label: the portable id
+    * hash lands in [0, 100) and cumulative `splits` percentages carve
+    * it up (e.g. `Seq("train" -> 90, "val" -> 5, "test" -> 5)`).
+    * Same hash discipline as [[hashSample]]: stable under reruns,
+    * appends, and engines — a document NEVER migrates between splits
+    * when the corpus grows, which is the property that keeps eval sets
+    * uncontaminated across dataset versions. Zero shuffle.
+    */
+  def splitAssign(idCol: String, splits: Seq[(String, Int)]): Column = {
+    require(splits.map(_._2).sum == 100, "split percentages must sum to 100")
+    val h = TextFunctions.polyHash(col(idCol).cast("string")) % 100
+    // when-chain over cumulative upper bounds; last split = otherwise
+    val cums = splits.scanLeft(0) { case (c, (_, p)) => c + p }.tail
+    splits.init.zip(cums.init).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (acc, ((name, _), ub)) =>
+        when(h < ub, lit(name)).otherwise(acc)
+      }
+  }
+
   /** Deterministic epoch shuffle: the reproducible pseudo-random
     * training order pretraining pipelines need — rerunning the job (or
     * any engine) yields byte-identical order, and changing `epoch`

@@ -505,6 +505,36 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** [[nearDupDedup]] with a retention POLICY: per duplicate group the
+    * survivor is the row maximizing `prefCol` (ties → lowest id), not
+    * the minimum id — "keep the longest / highest-quality copy", the
+    * rule real pipelines actually want (pair a quality score from
+    * [[graft.pipeline.Curation.gopherSignals]] or
+    * [[graft.functions.TextFunctions.qualityScore]] with any pair
+    * generator). Same shape as [[nearDupDedup]]: components, one
+    * per-component argmax aggregate, one anti-join. `prefCol` must be
+    * numeric and non-null.
+    */
+  def nearDupDedupBy(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      prefCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, "id1", "id2")
+    val members = comp.join(
+      df.select(col(idCol).as("id"), col(prefCol).as("_pref")), "id")
+    // argmax pref, ties to the lowest id: min over (-pref, id) structs
+    // stays a codegen'd declarative aggregate (same trick as lastByKey)
+    val winners = members
+      .groupBy("component")
+      .agg(min(struct((col("_pref") * lit(-1)).as("np"), col("id").as("id"))).as("_w"))
+      .select(col("component"), col("_w.id").as("_keep"))
+    val drop = members.join(winners, "component")
+      .filter(col("id") =!= col("_keep"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   // ---- Exact substring duplication (Lee et al. 2021) --------------------
 
   /** Positional word-`w`-gram hashes of a text — one hash per gram

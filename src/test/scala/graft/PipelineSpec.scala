@@ -73,6 +73,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(sc === Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a"))
   }
 
+  test("nearDupDedupBy keeps the max-pref member per group, ties to lowest id") {
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (5L, 7L), (9L, 1L))
+      .toDF("doc_id", "quality")
+    // group {1,2,3}: 2 and 3 tie on quality 30 -> keep 2; group {5}: alone
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val kept = graft.pipeline.Dedup.nearDupDedupBy(docs, "doc_id", pairs, "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 5L, 9L))
+  }
+
+  test("splitAssign: deterministic 90/5/5 partition of the corpus, no migration") {
+    val df = (0L until 2000L).toDF("doc_id")
+    val splits = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val s1 = df.select($"doc_id", graft.pipeline.Curation.splitAssign("doc_id", splits).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(s1.values.toSet === Set("train", "val", "test"))
+    assert(s1.values.count(_ == "train") > 1600)
+    // appending rows never migrates existing ids between splits
+    val s2 = (0L until 4000L).toDF("doc_id")
+      .select($"doc_id", graft.pipeline.Curation.splitAssign("doc_id", splits).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(s1.forall { case (id, sp) => s2(id) == sp })
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Curation.splitAssign("doc_id", Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
   test("connected components: hybrid local finish agrees with pure distributed rounds") {
     // a long chain (worst case for label propagation) + two extra
     // components; run once with the local tail finish enabled (default)
