@@ -357,6 +357,14 @@ object PipelineQueries {
         Curation.splitAssign("doc_id",
           Seq("train" -> 90, "val" -> 5, "test" -> 5)).as("split"))),
 
+    // ---- top-20% quality selection per language (exact windowed cut;
+    // ties -> lowest id) over the tx2 quality score
+    "p8_quality_select" -> ((s, dir) =>
+      Curation.selectTopByStratum(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("quality")),
+        "lang", "quality", "doc_id", keepPct = 20)),
+
     // ---- IVF-PQ ANN: coarse cells prune the scan, PQ codes compress
     // the residual scan to m bytes/vector (ADC scoring)
     "s5_ann_ivfpq" -> ((s, dir) => {
@@ -899,6 +907,25 @@ object PipelineQueries {
          |       WHEN ${phSql("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+
+    "p8_quality_select" -> {
+      val stopEn = TextFunctions.StopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT doc_id, lang, text, string_split(text,' ') AS w, len(text) AS L
+         |           FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |  (L - len(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))*1.0 / greatest(L, 1) AS punct_ratio,
+         |  len(list_filter(w, t -> list_contains($stopEn, t)))*1.0 / greatest(len(w), 1) AS stop_ratio,
+         |  len(w) AS n_tok,
+         |  list_sum([len(t) for t in w])*1.0 / greatest(len(w), 1) AS mean_len
+         |  FROM b),
+         |q AS (SELECT doc_id, lang,
+         |        0.4*least(n_tok/100.0, 1.0) + 0.3*(1.0 - punct_ratio) +
+         |        0.2*stop_ratio + 0.1*least(mean_len/8.0, 1.0) AS quality FROM c),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |        ORDER BY quality DESC, doc_id ASC) AS rn,
+         |        count(*) OVER (PARTITION BY lang) AS n FROM q)
+         |SELECT doc_id, lang, quality FROM r WHERE rn * 100 <= n * 20""".stripMargin
+    },
 
     "s5_ann_ivfpq" ->
       s"""WITH ${pqCtes()},

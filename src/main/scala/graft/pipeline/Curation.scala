@@ -357,6 +357,57 @@ object Curation {
           .as("logw_q"))
   }
 
+  // ---- quality-ranked selection ------------------------------------------
+
+  /** Keep the top `keepPct` percent of each stratum by `scoreCol`
+    * (ties → lowest id): the DataComp/FineWeb-style "keep the best X%
+    * by classifier score" selection, exact. One exchange on the
+    * stratum + per-stratum window.
+    *
+    * Caveat at 100 TB: the window hash-partitions BY STRATUM, so a
+    * handful of huge strata (5 languages over the whole corpus) each
+    * land on one task. For that regime use [[selectAboveQuantile]] —
+    * an approximate score threshold per stratum (tiny aggregate) and
+    * a pure narrow filter — and accept the approximate cut; exact
+    * per-stratum rank at that scale inherently costs a per-stratum
+    * global order.
+    */
+  def selectTopByStratum(
+      df: DataFrame,
+      stratumCol: String,
+      scoreCol: String,
+      idCol: String,
+      keepPct: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(stratumCol)
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wc))
+      .filter(col("_rn") * 100 <= col("_n") * keepPct)
+      .drop("_rn", "_n")
+  }
+
+  /** Scale path for quality selection: per-stratum approximate score
+    * quantile (`percentile_approx`, one tiny aggregate collected and
+    * broadcast back) followed by a narrow threshold filter. The cut is
+    * approximate where the exact one needs a per-stratum global order;
+    * no oracle entry for exactly that reason — sketch merge order is
+    * engine-specific. The shape is the point: a `strata`-bounded agg +
+    * zero-shuffle filter at any corpus size.
+    */
+  def selectAboveQuantile(
+      df: DataFrame,
+      stratumCol: String,
+      scoreCol: String,
+      keepPct: Int): DataFrame = {
+    val thresholds = df.groupBy(stratumCol)
+      .agg(percentile_approx(col(scoreCol), lit(1.0 - keepPct / 100.0), lit(10000))
+        .as("_thr"))
+    df.join(broadcast(thresholds), stratumCol)
+      .filter(col(scoreCol) >= col("_thr"))
+      .drop("_thr")
+  }
+
   // ---- sequence packing --------------------------------------------------
 
   /** Concat-and-chunk sequence packing: documents are assigned to

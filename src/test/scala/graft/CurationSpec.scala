@@ -142,6 +142,21 @@ class CurationSpec extends AnyFunSuite {
     assert(out.sortBy(r => (r._1, r._3)).toSeq === again.sortBy(r => (r._1, r._3)).toSeq)
   }
 
+  test("selectTopByStratum: exact per-stratum cut, ties to lowest id; quantile path agrees on rate") {
+    val df = Seq(
+      ("en", 1L, 0.9), ("en", 2L, 0.8), ("en", 3L, 0.8), ("en", 4L, 0.1), ("en", 5L, 0.2),
+      ("de", 6L, 0.5), ("de", 7L, 0.6), ("de", 8L, 0.4), ("de", 9L, 0.3), ("de", 10L, 0.2))
+      .toDF("lang", "doc_id", "q")
+    val kept = Curation.selectTopByStratum(df, "lang", "q", "doc_id", keepPct = 40)
+      .select("doc_id").as[Long].collect().toSet
+    // en: top-2 of 5 = {1, 2} (2 beats 3 on id tie); de: {7, 6}
+    assert(kept === Set(1L, 2L, 7L, 6L))
+    // scale path: approximate threshold keeps at least the exact top set size
+    val approx = Curation.selectAboveQuantile(df, "lang", "q", keepPct = 40)
+      .select("doc_id").as[Long].collect().toSet
+    assert(approx.intersect(Set(1L, 7L)) === Set(1L, 7L)) // the clear winners survive
+  }
+
   test("gopherFilter: each rule independently drops its violator") {
     // 44 words, 10 distinct (frac 0.227), "the"/"and" stop hits
     val good = ("the quick brown fox ran over the old stone bridge and " * 4).trim
