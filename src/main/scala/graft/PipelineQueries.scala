@@ -108,6 +108,12 @@ object PipelineQueries {
       Dedup.substringDupStats(t(s, dir, "documents"), "doc_id", "text",
         w = 10, minCount = 2)),
 
+    // ---- ExactSubstr removal: tokens covered by corpus-duplicated
+    // word-10-grams cut out, survivors rejoined (Lee et al. 2021)
+    "d12_substring_remove" -> ((s, dir) =>
+      Dedup.substringDupRemove(t(s, dir, "documents"), "doc_id", "text",
+        w = 10, minCount = 2)),
+
     // ---- embedding-cosine near-dup pairs on the SCALE path: sign-LSH
     // bucket equi-join (never all-pairs); exact variant kept below
     "d5_embed_neardup" -> ((s, dir) =>
@@ -553,6 +559,23 @@ object PipelineQueries {
          |         CAST(count(*) AS DOUBLE) AS dup_frac
          |FROM gh JOIN f USING (h)
          |GROUP BY doc_id""".stripMargin,
+
+    "d12_substring_remove" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(generate_series(1, len(w)-9)) AS i, w
+         |      FROM t WHERE len(w) >= 10),
+         |gh AS (SELECT doc_id, i, ${phSql("array_to_string(w[i:i+9], ' ')")} AS h FROM g),
+         |f AS (SELECT h, count(*) AS cnt FROM gh GROUP BY h),
+         |dup AS (SELECT doc_id, i FROM gh JOIN f USING (h) WHERE cnt >= 2),
+         |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(i, i+9)) AS p FROM dup),
+         |tok AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS p, w FROM t),
+         |kept AS (SELECT tok.doc_id, tok.p, tok.w[tok.p] AS tk FROM tok
+         |         LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+         |         WHERE cov.p IS NULL),
+         |rb AS (SELECT doc_id, array_to_string(list(tk ORDER BY p), ' ') AS clean_text
+         |       FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(rb.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN rb USING (doc_id)""".stripMargin,
 
     "d5_embed_neardup" ->
       s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS b FROM embeddings)

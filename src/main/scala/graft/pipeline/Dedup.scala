@@ -599,6 +599,49 @@ object Dedup {
         col("n_dup_pos").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** ExactSubstr REMOVAL (Lee et al. 2021's actual transform — cut the
+    * duplicated spans out, keep the rest of the document): every token
+    * covered by any word-`w`-gram occurring at least `minCount` times
+    * corpus-wide is dropped, and the surviving tokens are rejoined in
+    * order. Documents with fewer than `w` tokens (no grams) pass
+    * through unchanged. Returns (idCol, clean_text).
+    *
+    * Scale shape: gram hashes (8 bytes) carry the frequency join —
+    * gram STRINGS never shuffle; the token-level reassembly shuffles
+    * (id, pos, token) rows once, keyed by doc — linear in corpus
+    * size, the same order of work as reading it. The per-doc
+    * `sort_array(collect_list(struct(pos, tok)))` is bounded by
+    * document length, not corpus size.
+    */
+  def substringDupRemove(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 10,
+      minCount: Long = 2): DataFrame = {
+    val g = df
+      .select(col(idCol).as("_id"), positionalGramHashes(col(textCol), w).as("_gs"))
+      .select(col("_id"), posexplode(col("_gs")).as(Seq("_pos", "_gh")))
+    val freq = g.groupBy("_gh").agg(count(lit(1)).as("_f"))
+    val covered = g.join(freq.filter(col("_f") >= lit(minCount)), "_gh")
+      .select(col("_id"), explode(sequence(col("_pos"), col("_pos") + lit(w - 1))).as("_cp"))
+      .distinct()
+    val toks = df
+      .select(col(idCol).as("_id"), posexplode(tokens(col(textCol))).as(Seq("_p", "_tk")))
+    val rebuilt = toks
+      .join(covered,
+        toks("_id") === covered("_id") && col("_p") === col("_cp"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("_p"), col("_tk")))),
+          x => x.getField("_tk"))).as("clean_text"))
+      .select(col("_id").as(idCol), col("clean_text"))
+    // fully-covered docs vanish from `rebuilt` — they keep an empty text
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Documents whose duplicated-substring fraction stays under
     * `maxDupFrac` — the keep-side filter a pipeline applies after
     * [[substringDupStats]]. Documents with fewer than `w` tokens have

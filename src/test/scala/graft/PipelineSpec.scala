@@ -116,6 +116,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(hybrid(101L) === 100L && hybrid(202L) === 200L)
   }
 
+  test("substringDupRemove: duplicated spans cut, unique tails and short docs intact") {
+    val span = (1 to 10).map(i => s"w$i").mkString(" ") // the shared 10-gram
+    val docs = Seq(
+      (1L, s"$span alpha beta gamma"),
+      (2L, s"$span delta epsilon"),
+      (3L, "entirely unique content that repeats nowhere in this corpus at all"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.substringDupRemove(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "alpha beta gamma") // span removed, tail kept
+    assert(out(2L) === "delta epsilon")
+    assert(out(3L) === "entirely unique content that repeats nowhere in this corpus at all")
+    assert(out(4L) === "short doc") // < w tokens: untouched
+  }
+
   test("cosine and brute-force top-k") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))
