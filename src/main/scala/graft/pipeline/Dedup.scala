@@ -523,14 +523,15 @@ object Dedup {
     val comp = connectedComponents(pairs, "id1", "id2")
     val members = comp.join(
       df.select(col(idCol).as("id"), col(prefCol).as("_pref")), "id")
-    // argmax pref, ties to the lowest id: min over (-pref, id) structs
-    // stays a codegen'd declarative aggregate (same trick as lastByKey)
-    val winners = members
-      .groupBy("component")
-      .agg(min(struct((col("_pref") * lit(-1)).as("np"), col("id").as("id"))).as("_w"))
-      .select(col("component"), col("_w.id").as("_keep"))
-    val drop = members.join(winners, "component")
-      .filter(col("id") =!= col("_keep"))
+    // rank within the component (pref desc, id asc): everything past
+    // rank 1 is dropped — ONE exchange on the component and a single
+    // pass over `members` (an agg+join-back would evaluate the members
+    // subtree twice); dup groups are small, so the window sort is too
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col("_pref").desc, col("id").asc)
+    val drop = members
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > 1)
       .select(col("id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
   }
