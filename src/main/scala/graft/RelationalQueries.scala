@@ -206,6 +206,21 @@ object RelationalQueries {
       t(s, dir, "orders")
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
+    }),
+
+    // ---- event-time RANGE frame: trailing-1h activity per user. The
+    // frame is bounded by VALUE (microseconds), not rows, so peers on
+    // the same timestamp enter together — deterministic regardless of
+    // tie order; count/max (not sum-of-double) keep it exact.
+    "w2_moving_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("_us"))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, dir, "events")
+        .withColumn("_us", unix_micros(col("ts")))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("max_1h", max(col("value")).over(w))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("n_1h"), col("max_1h"))
     })
   )
 
@@ -336,6 +351,13 @@ object RelationalQueries {
         |         o_orderpriority,
         |         row_number() OVER (PARTITION BY o_orderpriority
         |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
-        |  FROM orders) WHERE rank <= 3""".stripMargin
+        |  FROM orders) WHERE rank <= 3""".stripMargin,
+
+    "w2_moving_window" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |       count(*) OVER w AS n_1h, max(value) OVER w AS max_1h
+        |FROM (SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
   )
 }

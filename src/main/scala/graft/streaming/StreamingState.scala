@@ -181,6 +181,37 @@ object StreamingState {
       .toDF("id1", "id2", "est_jaccard")
   }
 
+  /** Watermarked stream-stream interval join: rows of two live streams
+    * sharing `key` pair up when the right event lands within
+    * `[left.ts, left.ts + within]` — the enrichment join the reference
+    * scopes out entirely (csp has no join operator; SURVEY §2.5). Both
+    * sides carry a `watermark`-bounded event-time state store, so
+    * state is evicted once the interval can no longer match — the
+    * canonical Structured Streaming shape for correlating two event
+    * feeds (orders↔fills, request↔response) at cluster scale: one
+    * keyed exchange per side, state sharded by key.
+    *
+    * Column collisions: right-side columns are suffixed `_r`.
+    */
+  def intervalJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      within: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    val r0 = right.columns.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, s"${c}_r")
+    }
+    val r = r0.withWatermark(s"${tsCol}_r", watermark)
+    l.join(r,
+      col(key) === col(s"${key}_r") &&
+        col(s"${tsCol}_r") >= col(tsCol) &&
+        col(s"${tsCol}_r") <= col(tsCol) + expr(s"INTERVAL $within"))
+      .drop(s"${key}_r")
+  }
+
   /** Streaming cross-corpus duplicate alerts: documents arriving on a
     * stream are checked against a STATIC reference corpus (already
     * deduped shards, a licensed set, yesterday's crawl) and every

@@ -195,6 +195,37 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoinStream: two live streams pair within the interval, key-matched") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("ts", TimestampType),
+      StructField("v", StringType)))
+    def row(k: Long, ts: String, v: String): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](k, java.sql.Timestamp.valueOf(ts), v), schema)
+    implicit val sqlCtx = spark.sqlContext
+    val ls = MemoryStream[Row](Encoders.row(schema), sqlCtx)
+    val rs = MemoryStream[Row](Encoders.row(schema), sqlCtx)
+    val out = StreamingState.intervalJoinStream(
+      ls.toDF(), rs.toDF(), "k", "ts", within = "1 hour")
+    val name = s"ivj_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ivj-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      ls.addData(row(1L, "2020-01-01 10:00:00", "req1"), row(2L, "2020-01-01 10:00:00", "req2"))
+      rs.addData(
+        row(1L, "2020-01-01 10:30:00", "resp-in-window"),
+        row(1L, "2020-01-01 12:00:00", "resp-too-late"),
+        row(3L, "2020-01-01 10:30:00", "resp-wrong-key"))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"), r.getAs[String]("v_r")))
+      assert(rows.toSeq === Seq((1L, "req1", "resp-in-window")))
+    } finally q.stop()
+  }
+
   test("crossCorpusDupStream: arrivals matching the static reference are flagged") {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
