@@ -363,6 +363,13 @@ object PipelineQueries {
         Curation.splitAssign("doc_id",
           Seq("train" -> 90, "val" -> 5, "test" -> 5)).as("split"))),
 
+    // ---- single-pass numeric profile of lineitem (ANALYZE-style):
+    // one scan, one agg row, narrow stack reshape
+    "st2_numeric_profile" -> ((s, dir) =>
+      Curation.numericProfile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
     // ---- top-20% quality selection per language (exact windowed cut;
     // ties -> lowest id) over the tx2 quality score
     "p8_quality_select" -> ((s, dir) =>
@@ -930,6 +937,16 @@ object PipelineQueries {
          |       WHEN ${phSql("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+
+    "st2_numeric_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+    },
 
     "p8_quality_select" -> {
       val stopEn = TextFunctions.StopEn.map(w => s"'$w'").mkString("[", ", ", "]")

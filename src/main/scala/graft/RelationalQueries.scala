@@ -208,6 +208,15 @@ object RelationalQueries {
         .filter(col("rank") <= 3)
     }),
 
+    // ---- null-preserving outer join: customers with zero orders keep
+    // their row (count 0, null max) — left join + agg
+    "j4_outer_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          max(col("o_totalprice")).as("max_price"))),
+
     // ---- event-time RANGE frame: trailing-1h activity per user. The
     // frame is bounded by VALUE (microseconds), not rows, so peers on
     // the same timestamp enter together — deterministic regardless of
@@ -352,6 +361,11 @@ object RelationalQueries {
         |         row_number() OVER (PARTITION BY o_orderpriority
         |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
         |  FROM orders) WHERE rank <= 3""".stripMargin,
+
+    "j4_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders, max(o_totalprice) AS max_price
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
 
     "w2_moving_window" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,

@@ -266,6 +266,27 @@ object Curation {
         sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
         sum(length(col(textCol)).cast("long")).as("n_chars"))
 
+  /** Single-pass numeric table profile: per column the null count,
+    * distinct count, and min/max (as double — exact for the numeric
+    * types profiled). ONE scan + one aggregate row (partial-agg'd;
+    * count-distincts expand map-side), then a narrow `stack` reshape
+    * to (column, n_nulls, n_distinct, min_v, max_v) rows — the
+    * ANALYZE-style corpus report that sizes every downstream decision.
+    */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "numericProfile needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct"),
+      min(col(c).cast("double")).as(s"${c}__min"),
+      max(col(c).cast("double")).as(s"${c}__max")))
+    val parts = cols.map(c =>
+      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, ${parts.mkString(", ")}) " +
+        "as (column, n_nulls, n_distinct, min_v, max_v)"))
+  }
+
   // ---- salient terms (tf-idf) --------------------------------------------
 
   /** Top-`k` salient terms per document by tf·idf, with the idf taken
