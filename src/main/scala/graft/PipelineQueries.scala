@@ -172,6 +172,15 @@ object PipelineQueries {
       graft.state.StateOps.last(t(s, dir, "events"), "event_id",
         basketKey = Some("event_type"))),
 
+    // ---- hopping (sliding) event-time windows: 1h width, 30min slide
+    // — each event lands in two overlapping buckets (count/max exact)
+    "a12_hopping_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("value")).as("max_value"))
+        .withColumn("bucket", col("window.start"))
+        .drop("window")),
+
     // ---- session windows over event time (per-user activity sessions)
     "a11_session_window" -> ((s, dir) =>
       t(s, dir, "events")
@@ -660,6 +669,15 @@ object PipelineQueries {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1""".stripMargin,
+
+    "a12_hopping_window" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events),
+        |x AS (SELECT time_bucket(INTERVAL 30 MINUTE, t) AS b0, event_type, value FROM e),
+        |u AS (SELECT b0 AS bucket, event_type, value FROM x
+        |      UNION ALL
+        |      SELECT b0 - INTERVAL 30 MINUTE, event_type, value FROM x)
+        |SELECT bucket, event_type, count(*) AS n, max(value) AS max_value
+        |FROM u GROUP BY bucket, event_type""".stripMargin,
 
     "a11_session_window" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),

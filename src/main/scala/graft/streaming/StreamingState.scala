@@ -521,10 +521,18 @@ object StreamingState {
       width: String,
       lateness: String,
       groupBy: Seq[String],
-      sumCol: String): DataFrame =
+      sumCol: String,
+      slide: Option[String] = None): DataFrame = {
+    // slide < width = hopping windows: each row lands in width/slide
+    // overlapping buckets (trending-window analytics); None = tumbling
+    val win = slide match {
+      case Some(s) => window(col(tsCol), width, s)
+      case None    => window(col(tsCol), width)
+    }
     df.withWatermark(tsCol, lateness)
-      .groupBy((window(col(tsCol), width) +: groupBy.map(col)): _*)
+      .groupBy((win +: groupBy.map(col)): _*)
       .agg(count(lit(1)).as("n"), sum(col(sumCol)).as("sum_value"))
       .withColumn("bucket", col("window.start"))
       .drop("window")
+  }
 }

@@ -159,6 +159,24 @@ class StreamingStateSpec extends AnyFunSuite {
       assert(rows.contains(("2020-01-01 10:00:00.0", "x", 2L, 3.0)))
       assert(rows.contains(("2020-01-01 11:00:00.0", "y", 1L, 5.0)))
     } finally q.stop()
+
+    // hopping variant: 1h window sliding 30min — the 10:55 event lands
+    // in both the 10:00 and 10:30 buckets
+    val stream2 = MemoryStream[Row](Encoders.row(evSchema), sqlCtx)
+    val out2 = StreamingState.windowedCounts(stream2.toDF(), "t", "1 hour", "10 minutes",
+      Seq("g"), "v", slide = Some("30 minutes"))
+    val name2 = s"win_stream2_${System.nanoTime()}"
+    val q2 = out2.writeStream.format("memory").queryName(name2)
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("win2-ckpt").toString)
+      .start()
+    try {
+      stream2.addData(ev("2020-01-01 10:55:00", "x", 2.0))
+      q2.processAllAvailable()
+      val buckets = spark.table(name2).collect()
+        .map(_.getAs[java.sql.Timestamp]("bucket").toString).toSet
+      assert(buckets === Set("2020-01-01 10:00:00.0", "2020-01-01 10:30:00.0"))
+    } finally q2.stop()
   }
 
   test("minhashLshDedupStream: near-dup pair surfaces when the second doc arrives") {
