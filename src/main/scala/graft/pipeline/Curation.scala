@@ -266,25 +266,39 @@ object Curation {
         sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
         sum(length(col(textCol)).cast("long")).as("n_chars"))
 
-  /** Single-pass numeric table profile: per column the null count,
-    * distinct count, and min/max (as double — exact for the numeric
-    * types profiled). ONE scan + one aggregate row (partial-agg'd;
-    * count-distincts expand map-side), then a narrow `stack` reshape
-    * to (column, n_nulls, n_distinct, min_v, max_v) rows — the
-    * ANALYZE-style corpus report that sizes every downstream decision.
+  /** Numeric table profile: per column the null count, distinct
+    * count, and min/max (as double — exact for the numeric types
+    * profiled), reshaped to (column, n_nulls, n_distinct, min_v,
+    * max_v) rows — the ANALYZE-style corpus report that sizes every
+    * downstream decision.
+    *
+    * Shape: nulls/min/max come from ONE scan and one aggregate row
+    * (narrow stack reshape); each exact distinct count runs as its own
+    * column-pruned scan + two-stage distinct aggregate, unioned and
+    * joined back (8 rows). Measured faster than the single-agg
+    * multi-`countDistinct` form, whose Expand multiplies every row by
+    * the column count before the distinct aggregate — and the pruned
+    * per-column scans read the same total bytes the fused scan would.
     */
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "numericProfile needs at least one column")
     val aggs = cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-      countDistinct(col(c)).as(s"${c}__distinct"),
       min(col(c).cast("double")).as(s"${c}__min"),
       max(col(c).cast("double")).as(s"${c}__max")))
     val parts = cols.map(c =>
-      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
-    df.agg(aggs.head, aggs.tail: _*)
+      s"'$c', `${c}__nulls`, `${c}__min`, `${c}__max`")
+    val base = df.agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${cols.size}, ${parts.mkString(", ")}) " +
-        "as (column, n_nulls, n_distinct, min_v, max_v)"))
+        "as (column, n_nulls, min_v, max_v)"))
+    val distincts = cols.map(c =>
+        df.select(col(c)).distinct()
+          .agg(count(lit(1)).as("n_distinct"))
+          .select(lit(c).as("column"), col("n_distinct")))
+      .reduce(_.unionAll(_))
+    base.join(distincts, "column")
+      .select(col("column"), col("n_nulls"), col("n_distinct"),
+        col("min_v"), col("max_v"))
   }
 
   // ---- salient terms (tf-idf) --------------------------------------------

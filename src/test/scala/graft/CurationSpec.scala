@@ -142,6 +142,44 @@ class CurationSpec extends AnyFunSuite {
     assert(out.sortBy(r => (r._1, r._3)).toSeq === again.sortBy(r => (r._1, r._3)).toSeq)
   }
 
+  test("curation ops compose on a live stream: redact -> quality filter -> hash sample") {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(schema), sqlCtx)
+    // every op is a narrow column transform/filter — streaming-safe
+    // with no state, no watermark
+    // 60 distinct words + a few stopwords: passes every gopher rule
+    val good = (1 to 60).map(i => s"word$i").mkString(" ") + " the a and of to"
+    val out = stream.toDF()
+      .withColumn("text", graft.functions.TextFunctions.redactPii(col("text")))
+      .transform(df => Curation.gopherFilter(df, "text"))
+      .filter(col("keep"))
+      .filter(Curation.hashSample("doc_id", 100)) // pct=100 keeps all
+      .select("doc_id", "text")
+    val name = s"curation_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cur-ckpt").toString)
+      .start()
+    try {
+      def row(id: Long, t: String): Row =
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array[Any](id, t), schema)
+      stream.addData(
+        row(1L, s"$good mail me at a@b.com"),
+        row(2L, "too short"))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.map(_._1).toSeq === Seq(1L)) // doc 2 fails word-count rule
+      assert(rows.head._2.contains("[EMAIL]") && !rows.head._2.contains("a@b.com"))
+    } finally q.stop()
+  }
+
   test("selectTopByStratum: exact per-stratum cut, ties to lowest id; quantile path agrees on rate") {
     val df = Seq(
       ("en", 1L, 0.9), ("en", 2L, 0.8), ("en", 3L, 0.8), ("en", 4L, 0.1), ("en", 5L, 0.2),
