@@ -149,6 +149,15 @@ object PipelineQueries {
         "vec_id", "embedding", k = 3)
     }),
 
+    // ---- IVF with the nprobe recall knob: each query probes its 2
+    // nearest cells (corpus layout unchanged, query fan-out only)
+    "s6_ann_ivf_nprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 108),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+    }),
+
     // ---- PQ encoding: (vec_id, subspace, code) — narrow argmax folds
     // over hash-seeded codebook literals, zero Exchange to encode
     "c3_pq_codes" -> ((s, dir) => {
@@ -378,6 +387,14 @@ object PipelineQueries {
       Curation.numericProfile(t(s, dir, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
           "l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // ---- fastText-style hashed linear classifier: per-doc logit over
+    // LCG demo weights + keep decision — narrow, zero shuffle
+    "p9_classifier_filter" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Curation.linearClassifierScore(col("text"),
+          Curation.lcgWeights(1024), 1024).as("logit"))
+        .withColumn("keep", col("logit") > lit(0.0))),
 
     // ---- top-20% quality selection per language (exact windowed cut;
     // ties -> lowest id) over the tx2 quality score
@@ -644,6 +661,29 @@ object PipelineQueries {
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,
          |         ${cosSql("q.embedding", "c.embedding")} AS cosine
          |  FROM assigned c JOIN q ON c.cell = q.cell AND q.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+         |      FROM scored)
+         |SELECT qid, cid, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "s6_ann_ivf_nprobe" ->
+      s"""WITH cents AS (SELECT vec_id AS c, embedding AS ce FROM embeddings
+         |               WHERE vec_id >= 100 AND vec_id < 108),
+         |assigned AS (
+         |  SELECT vec_id, embedding, c AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, cents.c,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cents.ce")} DESC, cents.c ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents) WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT vec_id, embedding, c AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, cents.c,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cents.ce")} DESC, cents.c ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents WHERE e.vec_id < 8) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM assigned c JOIN qprobe q ON c.cell = q.cell AND q.vec_id <> c.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
          |      FROM scored)
          |SELECT qid, cid, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
@@ -964,6 +1004,16 @@ object PipelineQueries {
            |  count(DISTINCT $c) AS n_distinct,
            |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
            |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+    },
+
+    "p9_classifier_filter" -> {
+      val wSql = s"CAST((1103515245*(${phSql("t")} % 1024) + 12345) % 2000003 - 1000001 AS DOUBLE)/1000001.0"
+      s"""WITH b AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |        list_reduce(list_prepend(0.0, [$wSql for t in w]),
+         |                    (a, x) -> a + x) AS logit
+         |      FROM b)
+         |SELECT doc_id, logit, logit > 0.0 AS keep FROM s""".stripMargin
     },
 
     "p8_quality_select" -> {

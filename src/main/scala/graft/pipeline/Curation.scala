@@ -392,6 +392,41 @@ object Curation {
           .as("logw_q"))
   }
 
+  // ---- model-based quality filtering (fastText-style) --------------------
+
+  /** Linear text-classifier score: hashed bag-of-words inference, the
+    * fastText/DCLM/FineWeb-Edu quality-filter shape. Each token hashes
+    * into `buckets` and picks up that bucket's weight; the document's
+    * logit is the left-to-right sum (deterministic across engines —
+    * adding 0.0 first is exact, and both engines fold token order).
+    * `weights` is the trained model shipped as plan metadata (the same
+    * bounded contract as the IVF quantizer; fastText models are a few
+    * MB of exactly this). Decision = `logit > threshold` — monotone in
+    * the sigmoid, so the probability itself is never needed and no
+    * libm `exp` enters the gate path. A narrow per-row fold: zero
+    * shuffle at any corpus size.
+    */
+  def linearClassifierScore(
+      textCol: Column,
+      weights: Seq[Double],
+      buckets: Int): Column = {
+    require(weights.length == buckets, "one weight per bucket")
+    val wArr = typedLit(weights)
+    aggregate(
+      transform(TextFunctions.tokens(textCol), t =>
+        element_at(wArr,
+          pmod(TextFunctions.polyHash(t), lit(buckets.toLong)).cast("int") + lit(1))),
+      lit(0.0), (s, w) => s + w)
+  }
+
+  /** Deterministic stand-in weights (LCG over the bucket index, zero
+    * mean, |w| <= ~1) — the catalog/demo model. Swap in trained
+    * weights for production; the inference plumbing is identical.
+    */
+  def lcgWeights(buckets: Int): Seq[Double] =
+    (0 until buckets).map(b =>
+      ((1103515245L * b + 12345L) % 2000003L - 1000001L) / 1000001.0)
+
   // ---- quality-ranked selection ------------------------------------------
 
   /** Keep the top `keepPct` percent of each stratum by `scoreCol`

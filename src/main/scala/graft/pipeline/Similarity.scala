@@ -127,13 +127,45 @@ object Similarity {
     * cell and drop out of the result (they are unsearchable under
     * cosine distance — there is no meaningful nearest neighbor).
     */
+  /** Top-`nprobe` cells of a vector by cosine against the centroid
+    * literal (ties → lower cell id), as an array — the FAISS `nprobe`
+    * recall knob: probing several nearby cells recovers neighbors that
+    * straddle a cell boundary. Sorting the k-element centroid array is
+    * per-row work bounded by nlist, and only the (small) query side
+    * pays it. NaN cosines (zero-norm) sort to the tail and are cut.
+    */
+  def topCells(vec: Column, centArr: Column, nprobe: Int): Column =
+    slice(
+      transform(
+        array_sort(filter(
+          transform(centArr, ct =>
+            struct((-cosine(vec, ct.getField("ce"))).as("nc"),
+              ct.getField("c").as("c"))),
+          s => !isnan(s.getField("nc")))),
+        s => s.getField("c")),
+      1, nprobe)
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
       centroids: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame = ivfTopK(corpus, queries, centroids, idCol, vecCol, k, nprobe = 1)
+
+  /** [[ivfTopK]] with the `nprobe` recall knob: each query probes its
+    * `nprobe` nearest cells (corpus rows still live in exactly one
+    * cell — the index layout is unchanged, only the query fan-out
+    * grows, still an equi-join on the cell).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
     // Coarse quantizer → driver: bounded by nlist (≤ ~64k cells), the
     // standard IVF contract; this is plan metadata, not data movement.
     // Element type honored: float and double embedding columns both
@@ -169,7 +201,13 @@ object Similarity {
         // rows would equi-join -1 query rows)
         .filter(col("_cell") >= 0)
     val c = assign(corpus, "cid", "_cv")
-    val q = assign(queries, "qid", "_qv")
+    val q =
+      if (nprobe <= 1) assign(queries, "qid", "_qv")
+      else queries
+        .select(col(idCol).as("qid"), col(vecCol).as("_qv"))
+        // cell array materialized BELOW the Generate (see tx4 note)
+        .withColumn("_cells", topCells(col("_qv"), centArr, nprobe))
+        .select(col("qid"), col("_qv"), explode(col("_cells")).as("_cell"))
     val scored = c.join(broadcast(q), Seq("_cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), cosine(col("_qv"), col("_cv")).as("cosine"))
