@@ -42,6 +42,23 @@ object PipelineQueries {
       s"(sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) * " +
       s"sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))"
 
+  /** IVF cell-assignment CTE body (mirror of Similarity.argmaxCell /
+    * topCells over a `cents(c, ce)` CTE): rank cells by cosine desc,
+    * cell asc, with the NaN guard the Scala folds apply — zero-norm
+    * vectors (all-NaN cosines) are unsearchable and drop out rather
+    * than ranking NaN-greatest. Shared by the s3/s5/s6 oracles.
+    */
+  private def ivfAssignSql(name: String, rnPred: String, whereExtra: String = ""): String =
+    s"""$name AS (
+       |  SELECT vec_id, embedding, c AS cell FROM (
+       |    SELECT vec_id, embedding, c,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY cos DESC, c ASC) AS rn
+       |    FROM (SELECT e.vec_id, e.embedding, cents.c,
+       |                 ${cosSql("e.embedding", "cents.ce")} AS cos
+       |          FROM embeddings e CROSS JOIN cents $whereExtra)
+       |    WHERE NOT isnan(cos)) WHERE $rnPred)""".stripMargin
+
   /** Sign-LSH bucket SQL (mirror of Similarity.signLshBucket). */
   private def bucketSql(vec: String, planes: Int = 8, dims: Int = 64): String = {
     val bits = (0 until planes).map { j =>
@@ -431,7 +448,7 @@ object PipelineQueries {
     * d4_simhash_pairs and d6_dedup_groups).
     */
   private val simhashPairCtes: String =
-    s"""th AS (SELECT doc_id, [${phSql("t")} for t in string_split(text,' ')] AS hs
+    s"""th AS (SELECT doc_id, [CASE WHEN t = '' THEN 0 ELSE ${phSql("t")} END for t in string_split(text,' ')] AS hs
        |            FROM documents),
        |sk AS (SELECT doc_id, ${simhashSql("hs", 48)} AS sh FROM th),
        |blocks AS (${(0 until 3).map(k =>
@@ -548,7 +565,7 @@ object PipelineQueries {
          |SELECT id1, id2, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin,
 
     "d4_simhash" ->
-      s"""WITH th AS (SELECT doc_id, [${phSql("t")} for t in string_split(text,' ')] AS hs
+      s"""WITH th AS (SELECT doc_id, [CASE WHEN t = '' THEN 0 ELSE ${phSql("t")} END for t in string_split(text,' ')] AS hs
          |            FROM documents)
          |SELECT doc_id, ${simhashSql("hs")} AS simhash FROM th""".stripMargin,
 
@@ -650,12 +667,7 @@ object PipelineQueries {
     "s3_ann_ivf" ->
       s"""WITH cents AS (SELECT vec_id AS c, embedding AS ce FROM embeddings
          |               WHERE vec_id >= 100 AND vec_id < 108),
-         |assigned AS (
-         |  SELECT vec_id, embedding, c AS cell FROM (
-         |    SELECT e.vec_id, e.embedding, cents.c,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosSql("e.embedding", "cents.ce")} DESC, cents.c ASC) AS rn
-         |    FROM embeddings e CROSS JOIN cents) WHERE rn = 1),
+         |${ivfAssignSql("assigned", "rn = 1")},
          |q AS (SELECT * FROM assigned WHERE vec_id < 8),
          |scored AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,
@@ -668,18 +680,8 @@ object PipelineQueries {
     "s6_ann_ivf_nprobe" ->
       s"""WITH cents AS (SELECT vec_id AS c, embedding AS ce FROM embeddings
          |               WHERE vec_id >= 100 AND vec_id < 108),
-         |assigned AS (
-         |  SELECT vec_id, embedding, c AS cell FROM (
-         |    SELECT e.vec_id, e.embedding, cents.c,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosSql("e.embedding", "cents.ce")} DESC, cents.c ASC) AS rn
-         |    FROM embeddings e CROSS JOIN cents) WHERE rn = 1),
-         |qprobe AS (
-         |  SELECT vec_id, embedding, c AS cell FROM (
-         |    SELECT e.vec_id, e.embedding, cents.c,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosSql("e.embedding", "cents.ce")} DESC, cents.c ASC) AS rn
-         |    FROM embeddings e CROSS JOIN cents WHERE e.vec_id < 8) WHERE rn <= 2),
+         |${ivfAssignSql("assigned", "rn = 1")},
+         |${ivfAssignSql("qprobe", "rn <= 2", "WHERE e.vec_id < 8")},
          |scored AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,
          |         ${cosSql("q.embedding", "c.embedding")} AS cosine
@@ -1007,7 +1009,11 @@ object PipelineQueries {
     },
 
     "p9_classifier_filter" -> {
-      val wSql = s"CAST((1103515245*(${phSql("t")} % 1024) + 12345) % 2000003 - 1000001 AS DOUBLE)/1000001.0"
+      // empty-token guard: Spark polyHash('') folds zero codepoints to
+      // 0, but DuckDB's list_reduce seeds with the first element and
+      // unicode('') = -1 — so '' must hash to 0 explicitly here
+      val tHash = s"CASE WHEN t = '' THEN 0 ELSE ${phSql("t")} END"
+      val wSql = s"CAST((1103515245*($tHash % 1024) + 12345) % 2000003 - 1000001 AS DOUBLE)/1000001.0"
       s"""WITH b AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
          |s AS (SELECT doc_id,
          |        list_reduce(list_prepend(0.0, [$wSql for t in w]),
@@ -1039,12 +1045,7 @@ object PipelineQueries {
       s"""WITH ${pqCtes()},
          |cents AS (SELECT vec_id AS c, embedding AS ce FROM embeddings
          |          WHERE vec_id >= 100 AND vec_id < 108),
-         |assigned AS (
-         |  SELECT vec_id, embedding, c AS cell FROM (
-         |    SELECT e.vec_id, e.embedding, cents.c,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosSql("e.embedding", "cents.ce")} DESC, cents.c ASC) AS rn
-         |    FROM embeddings e CROSS JOIN cents) WHERE rn = 1),
+         |${ivfAssignSql("assigned", "rn = 1")},
          |recon AS (SELECT codes.vec_id, flatten(list(sl ORDER BY codes.m)) AS rv
          |          FROM codes JOIN cb ON codes.m = cb.m AND codes.code = cb.c
          |          GROUP BY codes.vec_id HAVING count(*) = 4),

@@ -291,8 +291,10 @@ object Curation {
     val base = df.agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${cols.size}, ${parts.mkString(", ")}) " +
         "as (column, n_nulls, min_v, max_v)"))
+    // NULLs are excluded (SQL count(DISTINCT) semantics — a bare
+    // distinct().count would count the NULL row n_nulls already reports)
     val distincts = cols.map(c =>
-        df.select(col(c)).distinct()
+        df.select(col(c)).filter(col(c).isNotNull).distinct()
           .agg(count(lit(1)).as("n_distinct"))
           .select(lit(c).as("column"), col("n_distinct")))
       .reduce(_.unionAll(_))
@@ -380,6 +382,13 @@ object Curation {
     val rb = bucketCounts(corpus)
     val tTot = tb.sum.toDouble + buckets / 2.0
     val rTot = rb.sum.toDouble + buckets / 2.0
+    // cross-engine note: the oracle recomputes this with DuckDB's ln;
+    // JVM Math.log and glibc log can differ by ≤1 ulp, which flips a
+    // quantized value only when 1e6·ln lands within ~1e-10 of a
+    // half-integer — P(any of the `buckets` values doing so) ≈ 2e-7
+    // per run. The exact-arithmetic alternative (no ln at all) exists
+    // for scores that rank (see tfidfTopTerms); DSIR's additive
+    // log-weights genuinely need the log.
     val lr: Array[Long] = Array.tabulate(buckets) { b =>
       math.floor(1e6 * math.log(((tb(b) + 0.5) * rTot) / ((rb(b) + 0.5) * tTot)) + 0.5).toLong
     }

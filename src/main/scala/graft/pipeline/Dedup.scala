@@ -187,6 +187,35 @@ object Dedup {
       (acc * lit(131L) + element_at(sig, band * rowsPerBand + r + 1)) % lit(P)
     }
 
+  /** (id, sig, band, bh) band-bucket rows from a projected
+    * (id, signature) frame — the ONE candidate-generation layout
+    * shared by the batch self-join ([[minhashLshPairs]]), batch
+    * cross-corpus dedup ([[crossCorpusDedup]]), and the streaming
+    * dup-alert path ([[graft.streaming.StreamingState.crossCorpusDupStream]]),
+    * so band hashing can never drift between them. Shingle-less docs
+    * (null signature) are dropped — they can't match anything.
+    */
+  def bandBucketsFromSigs(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rpb = numHashes / bands
+    sigs
+      .filter(col(sigCol).getItem(0).isNotNull)
+      .select(col(idCol), col(sigCol),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), bandHash(col(sigCol), b, rpb).as("bh"))): _*)).as("_b"))
+      .select(col(idCol), col(sigCol), col("_b.band").as("band"), col("_b.bh").as("bh"))
+  }
+
+  /** Estimated Jaccard = fraction of agreeing signature slots. */
+  def sigAgreement(s1: Column, s2: Column, numHashes: Int): Column =
+    size(filter(zip_with(s1, s2, (x, y) => x === y), b => b))
+      .cast("double") / lit(numHashes.toDouble)
+
   /** MinHash+LSH near-dup pairs: shingle→minhash→band→bucket-join.
     * Candidates are pairs agreeing on at least one band bucket; each
     * candidate is then verified with its exact signature agreement
@@ -203,26 +232,19 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rpb = numHashes / bands
     val sigs = df
       .select(col(idCol).as("_id"), minhashSignature(col(textCol), n, numHashes).as("_sig"))
       .cache()
-    val buckets = sigs.select(
-      col("_id"), col("_sig"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), bandHash(col("_sig"), b, rpb).as("bh"))): _*)).as("_b"))
+    val buckets = bandBucketsFromSigs(sigs, "_id", "_sig", numHashes, bands)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
-        col("a._b.band") === col("b._b.band") && col("a._b.bh") === col("b._b.bh") &&
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a._id") < col("b._id"))
       .select(col("a._id").as("id1"), col("b._id").as("id2"),
         col("a._sig").as("_s1"), col("b._sig").as("_s2"))
       .dropDuplicates("id1", "id2")
     cand
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("_s1"), col("_s2"), (x, y) => x === y), b => b))
-          .cast("double") / lit(numHashes.toDouble))
+      .withColumn("est_jaccard", sigAgreement(col("_s1"), col("_s2"), numHashes))
       .filter(col("est_jaccard") >= lit(threshold))
       .select(col("id1"), col("id2"), col("est_jaccard"))
   }
@@ -248,20 +270,14 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rpb = numHashes / bands
-    def buckets(df: DataFrame) = df
-      .select(col(idCol).as("_id"), minhashSignature(col(textCol), n, numHashes).as("_sig"))
-      .select(col("_id"), col("_sig"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), bandHash(col("_sig"), b, rpb).as("bh"))): _*)).as("_b"))
+    def buckets(df: DataFrame) = bandBucketsFromSigs(
+      df.select(col(idCol).as("_id"), minhashSignature(col(textCol), n, numHashes).as("_sig")),
+      "_id", "_sig", numHashes, bands)
     val dropped = buckets(dfRef).as("a")
       .join(buckets(dfNew).as("b"),
-        col("a._b.band") === col("b._b.band") && col("a._b.bh") === col("b._b.bh"))
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("b._id").as("_id"), col("a._sig").as("_s1"), col("b._sig").as("_s2"))
-      .withColumn("_est",
-        size(filter(zip_with(col("_s1"), col("_s2"), (x, y) => x === y), b => b))
-          .cast("double") / lit(numHashes.toDouble))
+      .withColumn("_est", sigAgreement(col("_s1"), col("_s2"), numHashes))
       .filter(col("_est") >= lit(threshold))
       .select(col("_id").as(idCol)).distinct()
     dfNew.join(dropped, Seq(idCol), "left_anti")

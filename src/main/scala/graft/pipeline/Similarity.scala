@@ -158,18 +158,16 @@ object Similarity {
     * cell — the index layout is unchanged, only the query fan-out
     * grows, still an equi-join on the cell).
     */
-  def ivfTopK(
-      corpus: DataFrame,
-      queries: DataFrame,
+  /** Coarse quantizer → validated array literal of struct(c, ce),
+    * ascending cell id — driver metadata bounded by nlist (≤ ~64k
+    * cells, the standard IVF contract), shared by [[ivfTopK]] and
+    * [[ivfPqTopK]] so the validation can't drift. Element type
+    * honored: float and double embedding columns both work.
+    */
+  private[pipeline] def centroidLiteral(
       centroids: DataFrame,
       idCol: String,
-      vecCol: String,
-      k: Int,
-      nprobe: Int): DataFrame = {
-    // Coarse quantizer → driver: bounded by nlist (≤ ~64k cells), the
-    // standard IVF contract; this is plan metadata, not data movement.
-    // Element type honored: float and double embedding columns both
-    // work (cosine handles either side).
+      vecCol: String): Column = {
     val isFloat = centroids.schema(vecCol).dataType match {
       case org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType, _) => true
@@ -179,21 +177,32 @@ object Similarity {
       .collect()
       .map { r =>
         require(!r.isNullAt(0),
-          s"ivfTopK: centroid id column '$idCol' must be numeric and non-null " +
+          s"IVF centroid id column '$idCol' must be numeric and non-null " +
             "(a non-numeric or null id casts to NULL)")
         val v = r.getSeq[Any](1)
         require(v != null && !v.contains(null),
-          s"ivfTopK: centroid vector column '$vecCol' must be non-null with no null elements")
+          s"IVF centroid vector column '$vecCol' must be non-null with no null elements")
         (r.getLong(0), v)
       }
       .sortBy(_._1)
-    require(cents.nonEmpty, "ivfTopK needs a non-empty centroid set (the coarse quantizer)")
-    val centArr = array(cents.toIndexedSeq.map { case (cid, v) =>
+    require(cents.nonEmpty, "IVF needs a non-empty centroid set (the coarse quantizer)")
+    array(cents.toIndexedSeq.map { case (cid, v) =>
       val ce =
         if (isFloat) typedLit(v.map(x => x.asInstanceOf[Float]))
         else typedLit(v.map(x => x.asInstanceOf[Double]))
       struct(lit(cid).as("c"), ce.as("ce"))
     }: _*)
+  }
+
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val centArr = centroidLiteral(centroids, idCol, vecCol)
     def assign(df: DataFrame, outId: String, outVec: String): DataFrame =
       df.select(col(idCol).as(outId), col(vecCol).as(outVec))
         .withColumn("_cell", argmaxCell(col(outVec), centArr))
@@ -331,24 +340,7 @@ object Similarity {
       k: Int,
       codebooks: Array[Array[(Long, Seq[Double])]]): DataFrame = {
     val m = codebooks.length
-    val cents = centroids.select(col(idCol).cast("long").as("_c"), col(vecCol).as("_ce"))
-      .collect()
-      .map { r =>
-        require(!r.isNullAt(0), s"ivfPqTopK: centroid id column '$idCol' must be numeric, non-null")
-        (r.getLong(0), r.getSeq[Any](1))
-      }.sortBy(_._1)
-    require(cents.nonEmpty, "ivfPqTopK needs a non-empty centroid set")
-    val isFloat = centroids.schema(vecCol).dataType match {
-      case org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.FloatType, _) => true
-      case _ => false
-    }
-    val centArr = array(cents.toIndexedSeq.map { case (cid, v) =>
-      val ce =
-        if (isFloat) typedLit(v.map(x => x.asInstanceOf[Float]))
-        else typedLit(v.map(x => x.asInstanceOf[Double]))
-      struct(lit(cid).as("c"), ce.as("ce"))
-    }: _*)
+    val centArr = centroidLiteral(centroids, idCol, vecCol)
     val recon = concat(codebooks.toIndexedSeq.zipWithIndex.map { case (cb, j) =>
       val cbArr = array(cb.toIndexedSeq.map { case (_, v) => typedLit(v) }: _*)
       element_at(cbArr, (col(s"_c$j") + lit(1)).cast("int"))

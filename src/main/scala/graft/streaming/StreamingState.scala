@@ -224,9 +224,12 @@ object StreamingState {
     *
     * Pure stream-static equi-join on (band, bucket): no state store,
     * no watermark, trivially incremental. The reference bands are a
-    * plain DataFrame — `.cache()` it (done here) so the static side
-    * isn't recomputed every micro-batch; at cluster scale it is an
-    * ordinary shuffled (or broadcast, if small) join per batch.
+    * plain DataFrame — `.cache()`d here so the static side isn't
+    * recomputed every micro-batch; the cache lives until the session
+    * clears it (`spark.catalog.clearCache()`), so a caller cycling
+    * many reference corpora in one session owns that cleanup. At
+    * cluster scale it is an ordinary shuffled (or broadcast, if
+    * small) join per batch.
     */
   def crossCorpusDupStream(
       stream: DataFrame,
@@ -237,23 +240,15 @@ object StreamingState {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rpb = numHashes / bands
-    def toBands(df: DataFrame, idOut: String, sigOut: String) = df
-      .select(col(idCol).as(idOut),
-        graft.pipeline.Dedup.minhashSignature(col(textCol), n, numHashes).as(sigOut))
-      .filter(col(sigOut).getItem(0).isNotNull) // shingle-less docs can't match
-      .select(col(idOut), col(sigOut),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            graft.pipeline.Dedup.bandHash(col(sigOut), b, rpb).as("bh"))): _*)).as("_b"))
-      .select(col(idOut), col(sigOut), col("_b.band").as("band"), col("_b.bh").as("bh"))
+    import graft.pipeline.Dedup
+    def toBands(df: DataFrame, idOut: String, sigOut: String) = Dedup.bandBucketsFromSigs(
+      df.select(col(idCol).as(idOut),
+        Dedup.minhashSignature(col(textCol), n, numHashes).as(sigOut)),
+      idOut, sigOut, numHashes, bands)
     val refBands = toBands(ref, "ref_id", "_rsig").cache()
     toBands(stream, "id", "_sig")
       .join(refBands, Seq("band", "bh"))
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("_sig"), col("_rsig"), (x, y) => x === y), b => b))
-          .cast("double") / lit(numHashes.toDouble))
+      .withColumn("est_jaccard", Dedup.sigAgreement(col("_sig"), col("_rsig"), numHashes))
       .filter(col("est_jaccard") >= lit(threshold))
       .select(col("id"), col("ref_id"), col("est_jaccard"))
     // a pair agreeing on several bands emits once per band (same est —
