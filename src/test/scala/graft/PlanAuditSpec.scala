@@ -238,6 +238,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
   }
 
+  test("p9 classifier and p7 splits are narrow: zero exchanges") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val pP9 = plan(docs.select(col("doc_id"),
+      graft.pipeline.Curation.linearClassifierScore(col("text"),
+        graft.pipeline.Curation.lcgWeights(64), 64).as("logit")))
+    assert(!pP9.contains("Exchange"), pP9.take(4000))
+    val pP7 = plan(docs.select(col("doc_id"),
+      graft.pipeline.Curation.splitAssign("doc_id",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5)).as("split")))
+    assert(!pP7.contains("Exchange"), pP7.take(4000))
+  }
+
+  test("s6 nprobe: still a cell equi-join with broadcast queries, no nested-loop") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val p = plan(graft.pipeline.Similarity.ivfTopK(
+      emb, emb.filter(col("vec_id") < 4),
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 104),
+      "vec_id", "embedding", k = 2, nprobe = 2))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(4000))
+    assert(p.contains("BroadcastExchange"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
   test("strictCompat projection degrades types per reference rules") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2), Map("k" -> "v"))).toDF("a", "xs", "m")
