@@ -265,6 +265,16 @@ object PipelineQueries {
     "mm2_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.syntheticMedia(t(s, dir, "documents")), stride = 4)),
 
+    // ---- cross-modal retrieval composition: decoded media features
+    // flow straight into ANN — feature-extract (partition-local stub
+    // codec) then brute-force cosine top-3 per query medium
+    "mm3_media_similarity" -> ((s, dir) => {
+      val feats = Multimodal.decodeFeatures(Multimodal.syntheticMedia(t(s, dir, "documents")))
+        .select(col("media_id"), col("feature"))
+      Similarity.bruteForceTopK(feats, feats.filter(col("media_id") < 6),
+        "media_id", "feature", 3)
+    }),
+
     // ---- benchmark decontamination: corpus docs sharing any word
     // 5-gram with the (broadcast) benchmark suite, with overlap counts
     // (long grams, GPT-3/Pile style — short ones false-positive)
@@ -808,6 +818,19 @@ object PipelineQueries {
       """SELECT doc_id AS media_id,
         |       unnest(generate_series(0, (n_chars % 32 + 1) - 1, 4)) AS frame_idx
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    "mm3_media_similarity" ->
+      s"""WITH f AS (SELECT doc_id AS media_id,
+         |  list_transform(generate_series(0, 7), k ->
+         |    len(list_filter(string_split_regex(text,''), c -> (unicode(c) & 7) = k)) * 1.0
+         |      / greatest(len(text), 1)) AS feature
+         |  FROM documents),
+         |scored AS (SELECT q.media_id AS qid, c.media_id AS cid,
+         |             ${cosSql("q.feature", "c.feature")} AS cosine
+         |           FROM f c JOIN f q ON q.media_id < 6 AND q.media_id <> c.media_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY cosine DESC, cid ASC) AS rank FROM scored)
+         |SELECT qid, cid, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
 
     "d8_decontaminate" -> {
       val gram5 = "w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]"
