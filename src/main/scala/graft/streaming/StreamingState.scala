@@ -181,6 +181,48 @@ object StreamingState {
       .toDF("id1", "id2", "est_jaccard")
   }
 
+  /** Streaming sequence packing: the incremental analogue of
+    * [[graft.pipeline.Curation.packChunks]] — documents arriving on a
+    * stream are routed to their hash shard, each shard's running token
+    * offset lives in the keyed state store, and every arrival is
+    * placed at the shard's current offset (`chunk` = offset /
+    * ctxTokens). Within a micro-batch rows pack in ascending-id order
+    * (deterministic); across batches the offset continues where the
+    * last batch stopped — so a pretraining packer can run on the live
+    * ingest path instead of re-packing the corpus per snapshot.
+    * Returns (id, shard, n_tokens, start_tok, chunk); state per shard
+    * is ONE long.
+    */
+  def packChunksStream(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      ctxTokens: Int = 512,
+      shards: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val projected = df.select(
+      col(idCol).cast("long").as("id"),
+      pmod(graft.functions.TextFunctions.polyHash(col(idCol).cast("string")),
+        lit(shards.toLong)).as("shard"),
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .as[(Long, Long, Long)]
+    projected.groupByKey(_._2)
+      .flatMapGroupsWithState[java.lang.Long, (Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[java.lang.Long]) =>
+          var off: Long = state.getOption.map(_.longValue).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _, nTok) =>
+            val start = off
+            off += nTok
+            (id, shard, nTok, start, start / ctxTokens)
+          }
+          state.update(java.lang.Long.valueOf(off))
+          out.iterator
+      }
+      .toDF("id", "shard", "n_tokens", "start_tok", "chunk")
+  }
+
   /** Watermarked stream-stream interval join: rows of two live streams
     * sharing `key` pair up when the right event lands within
     * `[left.ts, left.ts + within]` — the enrichment join the reference

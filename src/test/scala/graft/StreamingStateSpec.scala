@@ -213,6 +213,36 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("packChunksStream: per-shard offsets continue across batches") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def doc(id: Long, nTokens: Int): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](id, (1 to nTokens).map(i => s"t$i").mkString(" ")), schema)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(schema), sqlCtx)
+    val out = StreamingState.packChunksStream(stream.toDF(), "doc_id", "text",
+      ctxTokens = 10, shards = 1)
+    val name = s"pack_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("pack-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      stream.addData(doc(1L, 6), doc(2L, 7))
+      q.processAllAvailable()
+      stream.addData(doc(3L, 4)) // continues at offset 13, chunk 1
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("start_tok"), r.getAs[Long]("chunk"))).toMap
+      assert(rows(1L) === ((0L, 0L)))
+      assert(rows(2L) === ((6L, 0L)))
+      assert(rows(3L) === ((13L, 1L))) // cross-batch offset survived
+    } finally q.stop()
+  }
+
   test("intervalJoinStream: two live streams pair within the interval, key-matched") {
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("ts", TimestampType),
