@@ -199,6 +199,27 @@ object RelationalQueries {
       custsIn(1996).intersect(custsIn(1997)).except(big)
     }),
 
+    // ---- multiset set ops: INTERSECT ALL keeps per-customer order
+    // multiplicity, EXCEPT ALL subtracts occurrence counts
+    "u2_set_ops_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def custsIn(year: Int) = o
+        .filter(col("o_orderdate") >= lit(s"$year-01-01") &&
+          col("o_orderdate") < lit(s"${year + 1}-01-01"))
+        .select(col("o_custkey"))
+      val big = o.filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+      custsIn(1996).intersectAll(custsIn(1997)).exceptAll(big)
+    }),
+
+    // ---- exact interpolated median per group: l_quantity is
+    // integer-valued, so the midpoint interpolation is bitwise-exact
+    // on both engines regardless of formula association
+    "a13_median" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          count(lit(1)).as("n"))),
+
     // ---- ranking window: top-3 orders by totalprice per priority
     "w1_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderpriority")
@@ -353,6 +374,20 @@ object RelationalQueries {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_totalprice > 400000""".stripMargin,
+
+    "u2_set_ops_all" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 400000""".stripMargin,
+
+    "a13_median" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "w1_window_rank" ->
       """SELECT * FROM (
