@@ -119,6 +119,16 @@ object PipelineQueries {
         "doc_id",
         Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2))),
 
+    // ---- the canonical MinHash dedup pipeline end-to-end: LSH pairs
+    // -> connected components -> min-id survivor per group (d7's shape
+    // over the MinHash candidate generator instead of SimHash)
+    "d13_minhash_dedup" -> ((s, dir) =>
+      Dedup.nearDupDedup(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id",
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, numHashes = 16, bands = 4, threshold = 0.5))),
+
     // ---- exact-substring duplication stats (Lee et al. 2021): per-doc
     // fraction of word-10-gram positions whose gram repeats corpus-wide
     "d9_substring_dup" -> ((s, dir) =>
@@ -598,6 +608,28 @@ object PipelineQueries {
     "d7_dedup_corpus" ->
       s"""WITH RECURSIVE $simhashPairCtes,
          |p AS (SELECT id1, id2 FROM hd WHERE hamming <= 2),
+         |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+         |walk(v, l) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.b, w.l FROM walk w JOIN e ON w.v = e.a),
+         |dropped AS (SELECT v FROM (SELECT v, min(l) AS c FROM walk GROUP BY v) WHERE v <> c)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT v FROM dropped)""".stripMargin,
+
+    "d13_minhash_dedup" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |hs AS (SELECT doc_id, ${phSql("s")} AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashSigCols FROM hs GROUP BY doc_id),
+         |bands AS (${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, ${bandHashSql(b)} AS bh FROM sig")
+             .mkString(" UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |est AS (SELECT id1, id2, $sigAgreeSql / 16.0 AS est_jaccard
+         |        FROM cand JOIN sig a ON id1 = a.doc_id JOIN sig b ON id2 = b.doc_id),
+         |p AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.5),
          |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
          |walk(v, l) AS (
          |  SELECT a, a FROM e
