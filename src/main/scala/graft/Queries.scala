@@ -20,10 +20,11 @@ object Queries {
   private def liSeq = col("l_orderkey") * 100 + col("l_linenumber")
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =
-    base ++ PipelineQueries.all ++ RelationalQueries.all
+    base ++ PipelineQueries.all ++ RelationalQueries.all ++ StreamingQueries.all
 
   lazy val oracles: Map[String, String] =
-    baseOracles ++ PipelineQueries.oracles ++ RelationalQueries.oracles
+    baseOracles ++ PipelineQueries.oracles ++ RelationalQueries.oracles ++
+      StreamingQueries.oracles
 
   private val base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- T1: last-tick-per-key state accumulation (channels.py:696-739)

@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingState
+
+/** Streaming-parity query catalog: the [[StreamingState]] operators —
+  * the re-expression of the reference's state-accumulation core
+  * (csp_gateway/server/gateway/csp/state.py:649-660) on Spark's
+  * sharded, checkpointed state store — fed through `MemoryStream`
+  * micro-batches and gate-checked against the SAME DuckDB oracles as
+  * their batch counterparts.
+  *
+  * Each entry splits a driver-provided table into several ascending
+  * ticks (deterministic arrival order), runs the streaming operator
+  * across those micro-batches — so cross-batch state carry is what is
+  * actually under test — and returns the finished result as a batch
+  * frame for the hash gate. The driver-side `collect()` feeding the
+  * stream is the TEST HARNESS (MemoryStream's contract, same as
+  * `StreamingStateSpec`), not the operator: the operators themselves
+  * run distributed (`flatMapGroupsWithState` on the keyed state store,
+  * watermarked stream-stream join), exactly as they would against a
+  * Kafka source on a cluster.
+  */
+object StreamingQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.core.Tables.load(s, dir, name)
+
+  private val runSeq = new AtomicLong(0L)
+
+  /** Feed each `(frame, orderCol)` source through its own MemoryStream
+    * in `ticks` ascending micro-batches (all streams tick in
+    * lock-step), run `op` over the streaming frames, and return the
+    * memory-sink result plus the checkpoint dir (for state-snapshot
+    * reads). The query is stopped before returning — the sink table
+    * and checkpoint are the finished result.
+    */
+  private def runStream(
+      spark: SparkSession,
+      sources: Seq[(DataFrame, String)],
+      mode: String,
+      ticks: Int)(op: Seq[DataFrame] => DataFrame): (DataFrame, String) = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feeds = sources.map { case (df, orderCol) =>
+      val rows: Array[Row] = df.orderBy(col(orderCol)).collect()
+      val stream = MemoryStream[Row](Encoders.row(df.schema), sqlCtx)
+      (stream, rows)
+    }
+    val out = op(feeds.map(_._1.toDF()))
+    val name = s"graft_sq_${runSeq.incrementAndGet()}_${System.nanoTime()}"
+    val ckpt = Files.createTempDirectory("graft-sq-ckpt").toString
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).option("checkpointLocation", ckpt).start()
+    try {
+      val batched = feeds.map { case (s, rows) =>
+        val per = math.max(1, math.ceil(rows.length.toDouble / ticks).toInt)
+        (s, rows.grouped(per).toIndexedSeq)
+      }
+      (0 until ticks).foreach { i =>
+        batched.foreach { case (s, bs) => if (i < bs.length) s.addData(bs(i).toSeq) }
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    (spark.table(name), ckpt)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- T1, streaming: last-row-per-key accumulated across four
+    // micro-batches in the flatMapGroupsWithState state store, result
+    // read back via the distributed `statestore` source (the cluster
+    // serving path) — NOT re-aggregated from the update log
+    "t1s_state_stream" -> ((s, dir) => {
+      val (_, ckpt) = runStream(s, Seq((t(s, dir, "events"), "event_id")), "update", ticks = 4) {
+        case Seq(ev) => StreamingState.lastByKeyStream(ev, Seq("user_id"), "event_id")
+      }
+      StreamingState.stateSnapshot(s, ckpt)
+        .getOrElse(sys.error("t1s: no committed state"))
+    }),
+
+    // ---- streaming exact dedup: first arrival per text survives; fed
+    // ascending doc_id with the min-seq in-batch tie-break, the
+    // survivor set equals the batch min(doc_id)-per-text dedup
+    "d1s_dedup_stream" -> ((s, dir) => {
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "append", ticks = 4) {
+        case Seq(docs) => StreamingState.dedupStream(docs, Seq("text"), seqCol = Some("doc_id"))
+      }
+      out.select(col("doc_id"), col("n_chars"))
+    }),
+
+    // ---- streaming MinHash-LSH near-dup pairs: per-bucket rosters in
+    // the state store, pairs surface when the second member arrives
+    // (possibly batches later); distinct pairs equal the batch
+    // band-bucket self-join, so d3's oracle applies verbatim
+    "d3s_lsh_dedup_stream" -> ((s, dir) => {
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "append", ticks = 4) {
+        case Seq(docs) => StreamingState.minhashLshDedupStream(
+          docs, "doc_id", "text", n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      }
+      // a pair agreeing on several bands emits once per band (same est)
+      out.dropDuplicates("id1", "id2")
+    }),
+
+    // ---- streaming sequence packing: per-shard token offsets carry
+    // across micro-batches; ascending-id ticks reproduce the batch
+    // packer's per-shard ordering, so p2's oracle applies verbatim
+    "p2s_pack_stream" -> ((s, dir) => {
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "append", ticks = 4) {
+        case Seq(docs) => StreamingState.packChunksStream(
+          docs, "doc_id", "text", ctxTokens = 512, shards = 8)
+      }
+      out.withColumnRenamed("id", "doc_id")
+    }),
+
+    // ---- streaming embedding near-dup: sign-LSH bucket rosters in
+    // the state store, exact-cosine verify on arrival — the streaming
+    // face of the batch d5 bucketed path, so d5's oracle applies
+    "d5s_embed_neardup_stream" -> ((s, dir) => {
+      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "append", ticks = 4) {
+        case Seq(vecs) => StreamingState.embeddingNearDupStream(
+          vecs, "vec_id", "embedding", threshold = 0.45)
+      }
+      out
+    }),
+
+    // ---- watermarked stream-stream interval join: even-id events
+    // (requests) join odd-id events (responses) per user within 1h,
+    // both sides ticking through event time in lock-step; the 365-day
+    // watermark keeps the 30-day window fully joinable, so the result
+    // equals the batch range join
+    "w3s_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val left = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      val right = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      val (out, _) = runStream(s, Seq((left, "ts"), (right, "ts")), "append", ticks = 4) {
+        case Seq(l, r) => StreamingState.intervalJoinStream(
+          l, r, "user_id", "ts", within = "1 hour", watermark = "365 days")
+      }
+      out
+    }))
+
+  val oracles: Map[String, String] = Map(
+    // identical to the batch t1 oracle: the stream's final state IS
+    // the last-row-per-key accumulation
+    "t1s_state_stream" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+
+    "d1s_dedup_stream" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
+
+    // batch-equality by construction: reuse the batch oracles verbatim
+    "d3s_lsh_dedup_stream" -> PipelineQueries.oracles("d3_minhash_lsh"),
+    "p2s_pack_stream" -> PipelineQueries.oracles("p2_token_pack"),
+    "d5s_embed_neardup_stream" -> PipelineQueries.oracles("d5_embed_neardup"),
+
+    "w3s_interval_join" ->
+      """SELECT l.event_id, CAST(l.ts AS TIMESTAMP) AS ts, l.user_id, l.event_type,
+        |       l.value, l.props,
+        |       r.event_id AS event_id_r, CAST(r.ts AS TIMESTAMP) AS ts_r,
+        |       r.event_type AS event_type_r, r.value AS value_r, r.props AS props_r
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+        |WHERE l.event_id % 2 = 0 AND r.event_id % 2 = 1""".stripMargin)
+}

@@ -85,13 +85,23 @@ object StreamingState {
     * per key is one boolean — bounded by distinct-key cardinality,
     * sharded across the cluster. Keys may be dotted struct paths
     * (same resolution as [[lastByKeyStream]]).
+    *
+    * Within a micro-batch the surviving row per key is arbitrary
+    * (iterator order after the shuffle) unless `seqCol` names an
+    * integral column — then the minimum-seq row wins, making the
+    * result deterministic (and, with batches fed in ascending seq
+    * order, equal to the batch `min(id) per key` dedup — the
+    * streaming-parity contract the d1s gate entry verifies). A null
+    * seq throws: silent arbitrary winners are worse than failing.
     */
   def dedupStream(
       df: DataFrame,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String],
+      seqCol: Option[String] = None): DataFrame = {
     require(keys.nonEmpty, "dedupStream requires at least one key")
     val schema = df.schema
     val n = schema.length
+    val seqIdx = seqCol.map(schema.fieldIndex)
     implicit val rowEnc = Encoders.row(schema)
     implicit val keyEnc = Encoders.STRING
     implicit val boolEnc = Encoders.BOOLEAN
@@ -103,7 +113,16 @@ object StreamingState {
           if (state.exists) Iterator.empty
           else {
             state.update(true)
-            rows.take(1).map(r => Row.fromSeq(r.toSeq.take(n)))
+            val first = seqIdx match {
+              case Some(i) =>
+                Iterator.single(rows.reduceLeft { (a, b) =>
+                  require(!a.isNullAt(i) && !b.isNullAt(i),
+                    s"dedupStream: null seq in '${seqCol.get}'")
+                  if (a.getLong(i) <= b.getLong(i)) a else b
+                })
+              case None => rows.take(1)
+            }
+            first.map(r => Row.fromSeq(r.toSeq.take(n)))
           }
       }
   }
@@ -192,6 +211,14 @@ object StreamingState {
     * ingest path instead of re-packing the corpus per snapshot.
     * Returns (id, shard, n_tokens, start_tok, chunk); state per shard
     * is ONE long.
+    *
+    * Memory bound: each shard task materializes its micro-batch slice
+    * (`rows.toSeq.sortBy`) to order it — per-shard state stays one
+    * long, but a micro-batch must fit `batchRows/shards` projected
+    * rows (3 longs each) per task. Size `shards` (and the trigger
+    * interval) so that holds; it is the same bound as one shard's
+    * sort-partition in the batch packer. Non-numeric or null ids fail
+    * fast rather than silently collapsing into one null key.
     */
   def packChunksStream(
       df: DataFrame,
@@ -201,8 +228,13 @@ object StreamingState {
       shards: Int = 32): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // a null/non-numeric id would cast to NULL and corrupt packing
+    // order (ADVICE r4) — raise in the projection instead
+    val idOrFail = when(col(idCol).cast("long").isNull,
+      raise_error(lit(s"packChunksStream: null or non-numeric id in '$idCol'")))
+      .otherwise(col(idCol).cast("long"))
     val projected = df.select(
-      col(idCol).cast("long").as("id"),
+      idOrFail.as("id"),
       pmod(graft.functions.TextFunctions.polyHash(col(idCol).cast("string")),
         lit(shards.toLong)).as("shard"),
       graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
@@ -242,6 +274,13 @@ object StreamingState {
       tsCol: String,
       within: String = "1 hour",
       watermark: String = "2 hours"): DataFrame = {
+    // the blanket `_r` suffix can collide with a left column literally
+    // named `<col>_r` (ADVICE r4) — ambiguous output names downstream;
+    // fail fast with the offending names instead
+    val collisions = right.columns.map(_ + "_r").toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"intervalJoinStream: left columns ${collisions.mkString(", ")} collide with " +
+        "right '_r'-suffixed output columns — rename them before joining")
     val l = left.withWatermark(tsCol, watermark)
     val r0 = right.columns.foldLeft(right) { (df, c) =>
       df.withColumnRenamed(c, s"${c}_r")

@@ -132,6 +132,39 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream: seqCol makes the in-batch winner the min-seq row") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(schema), sqlCtx)
+    // key by v (two rows share v=7 in one batch); winner must be min seq
+    val out = StreamingState.dedupStream(stream.toDF(), Seq("v"), seqCol = Some("seq"))
+    val name = s"dedup_seq_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("dseq-ckpt").toString)
+      .start()
+    try {
+      stream.addData(row("b", 7, 5), row("a", 7, 2), row("c", 9, 3))
+      q.processAllAvailable()
+      val winners = spark.table(name).collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(winners === Map(7L -> 2L, 9L -> 3L))
+    } finally q.stop()
+  }
+
+  test("intervalJoinStream: left column colliding with an '_r' output name fails fast") {
+    implicit val sqlCtx = spark.sqlContext
+    val collSchema = StructType(Seq(
+      StructField("k", LongType), StructField("ts", TimestampType),
+      StructField("v", StringType), StructField("v_r", StringType)))
+    val rightSchema = StructType(Seq(
+      StructField("k", LongType), StructField("ts", TimestampType),
+      StructField("v", StringType)))
+    val ls = MemoryStream[Row](Encoders.row(collSchema), sqlCtx)
+    val rs = MemoryStream[Row](Encoders.row(rightSchema), sqlCtx)
+    val e = intercept[IllegalArgumentException] {
+      StreamingState.intervalJoinStream(ls.toDF(), rs.toDF(), "k", "ts")
+    }
+    assert(e.getMessage.contains("v_r"))
+  }
+
   test("windowedCounts: watermarked tumbling window aggregates by event time") {
     val evSchema = StructType(Seq(
       StructField("t", TimestampType), StructField("g", StringType),
