@@ -37,6 +37,23 @@ object PipelineQueries {
       |g AS (SELECT doc_id, unnest(generate_series(1, len(w)-2)) AS i, w FROM toks),
       |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM g)""".stripMargin
 
+  /** (doc_id, lang, quality) CTE chain mirroring
+    * TextFunctions.qualityScore — shared by the p8/p8b oracles. */
+  private lazy val qualityCtes: String = {
+    val stopEn = TextFunctions.StopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""b AS (SELECT doc_id, lang, text, string_split(text,' ') AS w, len(text) AS L
+       |           FROM documents),
+       |c AS (SELECT doc_id, lang,
+       |  (L - len(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))*1.0 / greatest(L, 1) AS punct_ratio,
+       |  len(list_filter(w, t -> list_contains($stopEn, t)))*1.0 / greatest(len(w), 1) AS stop_ratio,
+       |  len(w) AS n_tok,
+       |  list_sum([len(t) for t in w])*1.0 / greatest(len(w), 1) AS mean_len
+       |  FROM b),
+       |q AS (SELECT doc_id, lang,
+       |        0.4*least(n_tok/100.0, 1.0) + 0.3*(1.0 - punct_ratio) +
+       |        0.2*stop_ratio + 0.1*least(mean_len/8.0, 1.0) AS quality FROM c)""".stripMargin
+  }
+
   private def cosSql(a: String, b: String): String =
     s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
       s"(sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) * " +
@@ -440,6 +457,16 @@ object PipelineQueries {
         t(s, dir, "documents").select(col("doc_id"), col("lang"),
           TextFunctions.qualityScore(col("text")).as("quality")),
         "lang", "quality", "doc_id", keepPct = 20)),
+
+    // ---- quality selection, corpus-scale shape: bucketed histogram
+    // discrete-quantile threshold + narrow filter (no stratum window
+    // over the full table — the path that survives an "en" stratum
+    // holding half the corpus)
+    "p8b_quality_select_quantile" -> ((s, dir) =>
+      Curation.selectAboveQuantile(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("quality")),
+        "lang", "quality", keepPct = 20)),
 
     // ---- IVF-PQ ANN: coarse cells prune the scan, PQ codes compress
     // the residual scan to m bytes/vector (ADC scoring)
@@ -1077,24 +1104,25 @@ object PipelineQueries {
          |SELECT doc_id, logit, logit > 0.0 AS keep FROM s""".stripMargin
     },
 
-    "p8_quality_select" -> {
-      val stopEn = TextFunctions.StopEn.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""WITH b AS (SELECT doc_id, lang, text, string_split(text,' ') AS w, len(text) AS L
-         |           FROM documents),
-         |c AS (SELECT doc_id, lang,
-         |  (L - len(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))*1.0 / greatest(L, 1) AS punct_ratio,
-         |  len(list_filter(w, t -> list_contains($stopEn, t)))*1.0 / greatest(len(w), 1) AS stop_ratio,
-         |  len(w) AS n_tok,
-         |  list_sum([len(t) for t in w])*1.0 / greatest(len(w), 1) AS mean_len
-         |  FROM b),
-         |q AS (SELECT doc_id, lang,
-         |        0.4*least(n_tok/100.0, 1.0) + 0.3*(1.0 - punct_ratio) +
-         |        0.2*stop_ratio + 0.1*least(mean_len/8.0, 1.0) AS quality FROM c),
+    "p8_quality_select" ->
+      s"""WITH $qualityCtes,
          |r AS (SELECT *, row_number() OVER (PARTITION BY lang
          |        ORDER BY quality DESC, doc_id ASC) AS rn,
          |        count(*) OVER (PARTITION BY lang) AS n FROM q)
-         |SELECT doc_id, lang, quality FROM r WHERE rn * 100 <= n * 20""".stripMargin
-    },
+         |SELECT doc_id, lang, quality FROM r WHERE rn * 100 <= n * 20""".stripMargin,
+
+    // the bucketed scale path: threshold = bucket of the k-th best
+    // score per stratum (k = floor(n*20/100)), ties at the threshold
+    // bucket inclusive — mirrors Curation.selectAboveQuantile exactly
+    "p8b_quality_select_quantile" ->
+      s"""WITH $qualityCtes,
+         |bk AS (SELECT doc_id, lang, quality,
+         |         CAST(floor(quality*1000000) AS BIGINT) AS qb FROM q),
+         |r AS (SELECT lang, qb, row_number() OVER (PARTITION BY lang ORDER BY qb DESC) AS rn,
+         |        count(*) OVER (PARTITION BY lang) AS n FROM bk),
+         |thr AS (SELECT lang, qb AS t FROM r WHERE rn = CAST(floor(n*20/100) AS BIGINT))
+         |SELECT bk.doc_id, bk.lang, bk.quality
+         |FROM bk JOIN thr USING (lang) WHERE bk.qb >= thr.t""".stripMargin,
 
     "s5_ann_ivfpq" ->
       s"""WITH ${pqCtes()},

@@ -466,24 +466,47 @@ object Curation {
       .drop("_rn", "_n")
   }
 
-  /** Scale path for quality selection: per-stratum approximate score
-    * quantile (`percentile_approx`, one tiny aggregate collected and
-    * broadcast back) followed by a narrow threshold filter. The cut is
-    * approximate where the exact one needs a per-stratum global order;
-    * no oracle entry for exactly that reason — sketch merge order is
-    * engine-specific. The shape is the point: a `strata`-bounded agg +
-    * zero-shuffle filter at any corpus size.
+  /** Scale path for quality selection: per-stratum discrete-quantile
+    * score threshold at `buckets` granularity, then a narrow filter.
+    * No corpus-scale stratum ever lands on one task: scores are
+    * quantized to integer buckets, the (stratum, bucket) histogram is
+    * ONE hash-partitioned aggregate (map-side combine; partition key
+    * includes the bucket, so a half-the-corpus stratum spreads over
+    * the cluster), the threshold comes from a window over the
+    * HISTOGRAM (≤ `buckets` rows per stratum — bounded metadata, never
+    * corpus-sized), and the kept rows are a broadcast-join + narrow
+    * filter. Contrast [[selectTopByStratum]], whose per-stratum
+    * row_number puts the whole stratum on one task.
+    *
+    * The cut is exact at bucket granularity: the threshold bucket is
+    * the one holding the stratum's `floor(n·keepPct/100)`-th best
+    * score ([[selectTopByStratum]]'s k), and ALL rows at or above it
+    * survive — ties at the threshold bucket keep slightly more than
+    * keepPct rather than ranking within the bucket. Deterministic and
+    * engine-portable (integer bucket counts, no sketches) — the p8b
+    * gate entry hash-checks it against a DuckDB rank oracle.
     */
   def selectAboveQuantile(
       df: DataFrame,
       stratumCol: String,
       scoreCol: String,
-      keepPct: Int): DataFrame = {
-    val thresholds = df.groupBy(stratumCol)
-      .agg(percentile_approx(col(scoreCol), lit(1.0 - keepPct / 100.0), lit(10000))
-        .as("_thr"))
+      keepPct: Int,
+      buckets: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qb = floor(col(scoreCol) * buckets).cast("long")
+    val hist = df.groupBy(col(stratumCol), qb.as("_qb")).agg(count(lit(1)).as("_c"))
+    val cum = hist
+      .withColumn("_cum", sum(col("_c"))
+        .over(Window.partitionBy(stratumCol).orderBy(col("_qb").desc)))
+      .withColumn("_k", floor(sum(col("_c"))
+        .over(Window.partitionBy(stratumCol)) * keepPct / 100))
+    // threshold = highest bucket whose desc-cumulative count reaches k
+    // (the bucket holding the k-th best score); k = 0 → stratum keeps
+    // nothing (selectTopByStratum parity) and emits no threshold row
+    val thresholds = cum.filter(col("_k") >= 1 && col("_cum") >= col("_k"))
+      .groupBy(stratumCol).agg(max(col("_qb")).as("_thr"))
     df.join(broadcast(thresholds), stratumCol)
-      .filter(col(scoreCol) >= col("_thr"))
+      .filter(qb >= col("_thr"))
       .drop("_thr")
   }
 

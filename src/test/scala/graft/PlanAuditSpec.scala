@@ -261,6 +261,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
   }
 
+  test("p8b quantile selection: no window over raw corpus rows, histogram exchange keyed by bucket") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val df = graft.pipeline.Curation.selectAboveQuantile(
+      docs.select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality")),
+      "lang", "quality", keepPct = 20)
+    // every Window must consume AGGREGATED (histogram) input — a
+    // Window directly over the corpus scan is the p8 skew shape this
+    // path exists to avoid (a corpus-scale stratum on one task)
+    val lp = df.queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, lp.toString.take(3000))
+    wins.foreach { w =>
+      val aggBelow = w.child.collectFirst { case a: Aggregate => a }.isDefined
+      assert(aggBelow, s"Window over un-aggregated input:\n${w.toString.take(2000)}")
+    }
+    val p = plan(df)
+    // the only stratum-keyed exchange moves PARTIAL-AGGREGATED
+    // histogram rows (≤ maps×buckets per stratum, never corpus rows):
+    // map-side combine below it, and no other shuffle anywhere — the
+    // corpus side reaches the broadcast join scan→filter→probe, narrow
+    assert(p.contains("partial_count"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(3000))
+    // threshold application is a broadcast join + narrow filter
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("d1 exact-dedup groups: one partial-agg'd hash exchange, no added shuffles") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val df = graft.pipeline.Dedup.exactGroups(docs, "text", "doc_id")
+    val p = plan(df)
+    // partial min/count below the single text-keyed exchange (the
+    // r4 bench delta on d1 was noise — pin the shape so a regression
+    // can't hide)
+    assert(p.contains("partial_min") || p.contains("partial_count"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
+    assert(!p.contains("ObjectHashAggregate"), p.take(3000))
+  }
+
   test("strictCompat projection degrades types per reference rules") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2), Map("k" -> "v"))).toDF("a", "xs", "m")
