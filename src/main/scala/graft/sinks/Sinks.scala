@@ -112,9 +112,20 @@ object ViewServer {
   /** Top-level (not inner) so pattern matches need no outer-instance
     * check — the nested form trips the unchecked-outer-ref warning. */
   final case class ViewDef(channel: String, config: ViewConfig)
+
+  /** Default snapshot cap for views with no explicit `limit`, no
+    * `index`, and no aggregation — the reference's `default_limit`
+    * ("i.e. 1000", perspective.py:210, applied at table mount,
+    * perspective.py:307). Without it an identity view over a busy
+    * channel collects the whole channel into driver memory every
+    * refresh — unbounded at exactly the place the reference ring-
+    * buffers. */
+  val DefaultLimit = 10000
 }
 
-final class ViewServer(runtime: ChannelRuntime) {
+final class ViewServer(
+    runtime: ChannelRuntime,
+    defaultLimit: Int = ViewServer.DefaultLimit) {
   import ViewServer.ViewDef
 
   private val views = new TrieMap[String, ViewDef]
@@ -123,13 +134,24 @@ final class ViewServer(runtime: ChannelRuntime) {
   def define(name: String, channel: String, config: ViewConfig): Unit =
     views.put(name, ViewDef(channel, config))
 
+  /** Views bounded by their own config: explicit limit, upsert index
+    * (one row per key), or aggregation (one row per group). Anything
+    * else gets the ring-buffer cap — most recent `defaultLimit` rows
+    * by arrival seq, the reference's Perspective table `limit`
+    * semantics (perspective.py:149-151). */
+  private def selfBounded(v: ViewConfig): Boolean =
+    v.limit.nonEmpty || v.index.nonEmpty || v.groupBy.nonEmpty || v.aggregates.nonEmpty
+
   /** Recompute all views from current channel state. Failures keep the
     * previous snapshot but are LOGGED — a misconfigured view (typo'd
     * column, bad aggregate) must not fail silently forever.
     */
   def refresh(): Unit = views.foreach { case (name, vd) =>
     try {
-      val state = runtime.stateFrame(vd.channel)
+      val raw = runtime.stateFrame(vd.channel)
+      val state =
+        if (selfBounded(vd.config)) raw
+        else raw.orderBy(col(ChannelRuntime.SeqCol).desc).limit(defaultLimit)
       snapshots.put(name,
         Views.compile(state, vd.config, seqCol = Some(ChannelRuntime.SeqCol))
           .collect().toSeq)

@@ -149,6 +149,32 @@ class SourcesSinksSpec extends AnyFunSuite {
     } finally rt.stop()
   }
 
+  test("K4 view server: un-limited identity view is ring-buffer capped to most recent rows") {
+    val rtSchema = StructType(Seq(
+      StructField("id", StringType), StructField("timestamp", TimestampType),
+      StructField("x", LongType)))
+    // keyby the unique tick id: state holds EVERY tick — the unbounded
+    // channel an identity view would otherwise collect whole
+    val rt = new graft.streaming.ChannelRuntime(spark,
+      Map("ch" -> graft.core.ChannelSpec("ch", rtSchema, stateKeyby = Seq("id"))),
+      Files.createTempDirectory("graft-vscap-ckpt").toString)
+    rt.start()
+    try {
+      val vs = new ViewServer(rt, defaultLimit = 5)
+      vs.define("identity", "ch", ViewConfig()) // no limit/index/aggregation
+      vs.define("agg", "ch", ViewConfig(aggregates = Seq("n" -> ("x", "count"))))
+      rt.send("ch", (1L to 12L).map(i => Map[String, Any]("x" -> i)))
+      rt.processAllAvailable()
+      vs.refresh()
+      val snap = vs.snapshot("identity")
+      assert(snap.size === 5) // capped, not the whole channel
+      // ring buffer keeps the most RECENT arrivals (x = 8..12)
+      assert(snap.map(_.getAs[Long]("x")).sorted === Seq(8L, 9L, 10L, 11L, 12L))
+      // self-bounded views still see ALL state
+      assert(vs.snapshot("agg").head.getAs[Long]("n") === 12L)
+    } finally rt.stop()
+  }
+
   test("K6 log sink receives selected-channel ticks") {
     val rtSchema = StructType(Seq(StructField("x", LongType)))
     val rt = new graft.streaming.ChannelRuntime(spark,
