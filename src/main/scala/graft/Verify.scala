@@ -28,6 +28,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // cache lifecycle boundary: operators persist reused
+      // intermediates (dedup shingle sets / signatures); release them
+      // once the query's output is on disk so an 89-query run stays
+      // memory-flat (Bench does the same between timings)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

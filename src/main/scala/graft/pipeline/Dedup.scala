@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions.{polyHash, tokens, P}
 
@@ -105,8 +106,16 @@ object Dedup {
       threshold: Double = 0.8,
       orderByRarity: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // reused 4x (prefix index both join sides + exact verify both
+    // sides). Explicit MEMORY_AND_DISK: spill-not-recompute for
+    // corpus-scale shingle-hash arrays — the SQL cache stores
+    // compressed columnar byte batches already, so MEMORY_AND_DISK_SER
+    // would only add a second serialization layer (measured +0.15 s on
+    // d3's smaller sigs cache, nothing saved). The session-level cache
+    // boundary (Verify/Bench clearCache between queries, or the
+    // caller's unpersist) releases it
     val hs = df.select(col(idCol).as("_id"), shingleHashes(col(textCol), n).as("_hset"))
-      .cache()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Prefix selection needs only SOME global total order on shingles
     // for the pigeonhole to hold. Two orders offered:
     //  - hash order (default): prefix = slice of the sorted hash set —
@@ -232,9 +241,12 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // reused by both self-join sides; explicit spillable level (16-long
+    // signature arrays, corpus-cardinality rows; see jaccardPairs on
+    // why not _SER)
     val sigs = df
       .select(col(idCol).as("_id"), minhashSignature(col(textCol), n, numHashes).as("_sig"))
-      .cache()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val buckets = bandBucketsFromSigs(sigs, "_id", "_sig", numHashes, bands)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
@@ -329,7 +341,8 @@ object Dedup {
     val nBlocks = bits / blockBits
     require(maxHamming < nBlocks, "pigeonhole needs maxHamming < number of blocks")
     val blockMask = (1L << blockBits) - 1
-    val sk = df.select(col(idCol).as("_id"), simhash(col(textCol), bits).as("_sh")).cache()
+    val sk = df.select(col(idCol).as("_id"), simhash(col(textCol), bits).as("_sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // both join sides; spillable, see jaccardPairs
     val blocks = sk.select(
       col("_id"), col("_sh"),
       explode(array((0 until nBlocks).map(k =>
