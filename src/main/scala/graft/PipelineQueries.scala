@@ -37,6 +37,20 @@ object PipelineQueries {
       |g AS (SELECT doc_id, unnest(generate_series(1, len(w)-2)) AS i, w FROM toks),
       |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM g)""".stripMargin
 
+  /** Deterministic literal weight table for the p6 scoring-fold gate:
+    * a fixed LCG over the bucket index, generated HERE and rendered
+    * into the oracle SQL by [[dsirStubWeightsSql]] — both engines use
+    * the byte-identical table, so the gate checks the gram hashing,
+    * bucketing, and exact-integer fold with no libm anywhere.
+    */
+  private[graft] val dsirStubWeights: Seq[Long] =
+    (0 until 1024).map(b => (b.toLong * 1103515245L + 12345L) % 2000001L - 1000000L)
+
+  /** The same LCG as [[dsirStubWeights]], as a DuckDB expression over
+    * a bucket column `b`. */
+  private def dsirStubWeightsSql(b: String): String =
+    s"($b*1103515245 + 12345) % 2000001 - 1000000"
+
   /** (doc_id, lang, quality) CTE chain mirroring
     * TextFunctions.qualityScore — shared by the p8/p8b oracles. */
   private lazy val qualityCtes: String = {
@@ -411,12 +425,24 @@ object PipelineQueries {
 
     // ---- DSIR importance weights: target = doc_id % 41 == 0 slice,
     // hashed word-bigram buckets, integer-quantized log-ratios
-    "p6_dsir_weights" -> ((s, dir) => {
+    // the scoring fold with an embedded literal weight table — the
+    // data-fitted table differs only by dsirLogRatios' driver-side ln
+    // (excluded from the gate: libm last-ulp, ADVICE r4)
+    "p6_dsir_weights" -> ((s, dir) =>
+      Curation.dsirScore(
+        t(s, dir, "documents").filter(col("doc_id") % 41 =!= 0),
+        "doc_id", "text", n = 2, dsirStubWeights)),
+
+    // the integer-exact half of the DSIR fit: per-bucket gram counts
+    // for target and corpus sides
+    "p6b_dsir_counts" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      Curation.importanceWeights(
-        docs.filter(col("doc_id") % 41 =!= 0),
-        docs.filter(col("doc_id") % 41 === 0),
-        "doc_id", "text", n = 2, buckets = 1024)
+      Curation.dsirBucketCounts(
+          docs.filter(col("doc_id") % 41 === 0), "text", n = 2, buckets = 1024)
+        .withColumn("side", lit("target"))
+        .unionByName(Curation.dsirBucketCounts(
+            docs.filter(col("doc_id") % 41 =!= 0), "text", n = 2, buckets = 1024)
+          .withColumn("side", lit("corpus")))
     }),
 
     // ---- dedup with retention policy: per simhash near-dup group keep
@@ -864,13 +890,19 @@ object PipelineQueries {
          |      FROM kh)
          |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin,
 
+    // the len(text) > 0 guard matches the Scala stub codec for empty
+    // payloads: DuckDB string_split_regex('','') is [''] with
+    // unicode('') = -1, which would credit bin 7 where the kernel
+    // emits all-zero (ADVICE r4; latent — the corpus has no empties)
     "mm1_media_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  strlen(text) AS n_bytes,
         |  k AS bin,
-        |  len(list_filter(string_split_regex(text,''), c -> (unicode(c) & 7) = k)) * 1.0
-        |    / greatest(len(text), 1) AS value
+        |  CASE WHEN len(text) > 0 THEN
+        |    len(list_filter(string_split_regex(text,''), c -> (unicode(c) & 7) = k)) * 1.0
+        |      / len(text)
+        |  ELSE 0.0 END AS value
         |FROM documents, (SELECT unnest(generate_series(0, 7)) AS k)""".stripMargin,
 
     "mm2_frame_sample" ->
@@ -878,11 +910,15 @@ object PipelineQueries {
         |       unnest(generate_series(0, (n_chars % 32 + 1) - 1, 4)) AS frame_idx
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
 
+    // same empty-payload guard as mm1 (ADVICE r4): an empty doc's
+    // feature must be the kernel's all-zero vector, not [0,…,0,1.0]
     "mm3_media_similarity" ->
       s"""WITH f AS (SELECT doc_id AS media_id,
-         |  list_transform(generate_series(0, 7), k ->
-         |    len(list_filter(string_split_regex(text,''), c -> (unicode(c) & 7) = k)) * 1.0
-         |      / greatest(len(text), 1)) AS feature
+         |  CASE WHEN len(text) > 0 THEN
+         |    list_transform(generate_series(0, 7), k ->
+         |      len(list_filter(string_split_regex(text,''), c -> (unicode(c) & 7) = k)) * 1.0
+         |        / len(text))
+         |  ELSE [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] END AS feature
          |  FROM documents),
          |scored AS (SELECT q.media_id AS qid, c.media_id AS cid,
          |             ${cosSql("q.feature", "c.feature")} AS cosine
@@ -1033,19 +1069,8 @@ object PipelineQueries {
          |cg AS (SELECT doc_id, unnest(generate_series(1, len(w)-1)) AS i, w
          |       FROM cw WHERE len(w) >= 2),
          |chh AS (SELECT doc_id, ${phSql(gram2)} AS gh FROM cg),
-         |tw AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
-         |       WHERE doc_id % 41 = 0),
-         |tg AS (SELECT doc_id, unnest(generate_series(1, len(w)-1)) AS i, w
-         |       FROM tw WHERE len(w) >= 2),
-         |thh AS (SELECT doc_id, ${phSql(gram2)} AS gh FROM tg),
-         |tb AS (SELECT gh % 1024 AS b, count(*) AS c FROM thh GROUP BY 1),
-         |rb AS (SELECT gh % 1024 AS b, count(*) AS c FROM chh GROUP BY 1),
-         |tot AS (SELECT (SELECT count(*) FROM thh) AS tt, (SELECT count(*) FROM chh) AS rt),
          |dom AS (SELECT unnest(generate_series(0, 1023)) AS b),
-         |lr AS (SELECT b, CAST(floor(1e6 * ln(
-         |         ((coalesce(tb.c, 0) + 0.5) * (rt + 512.0)) /
-         |         ((coalesce(rb.c, 0) + 0.5) * (tt + 512.0))) + 0.5) AS BIGINT) AS lq
-         |       FROM dom LEFT JOIN tb USING (b) LEFT JOIN rb USING (b) CROSS JOIN tot),
+         |lr AS (SELECT b, ${dsirStubWeightsSql("b")} AS lq FROM dom),
          |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
          |              CAST(sum(lq) AS BIGINT) AS logw_q
          |       FROM chh JOIN lr ON chh.gh % 1024 = lr.b GROUP BY doc_id)
@@ -1053,6 +1078,25 @@ object PipelineQueries {
          |       CAST(coalesce(s.logw_q, 0) AS BIGINT) AS logw_q
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 41 <> 0) d
          |LEFT JOIN sc s USING (doc_id)""".stripMargin
+    },
+
+    "p6b_dsir_counts" -> {
+      val gram2 = "w[i]||' '||w[i+1]"
+      s"""WITH cw AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
+         |            WHERE doc_id % 41 <> 0),
+         |cg AS (SELECT doc_id, unnest(generate_series(1, len(w)-1)) AS i, w
+         |       FROM cw WHERE len(w) >= 2),
+         |chh AS (SELECT doc_id, ${phSql(gram2)} AS gh FROM cg),
+         |tw AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
+         |       WHERE doc_id % 41 = 0),
+         |tg AS (SELECT doc_id, unnest(generate_series(1, len(w)-1)) AS i, w
+         |       FROM tw WHERE len(w) >= 2),
+         |thh AS (SELECT doc_id, ${phSql(gram2)} AS gh FROM tg)
+         |SELECT gh % 1024 AS bucket, count(*) AS n, 'target' AS side
+         |FROM thh GROUP BY 1
+         |UNION ALL
+         |SELECT gh % 1024 AS bucket, count(*) AS n, 'corpus' AS side
+         |FROM chh GROUP BY 1""".stripMargin
     },
 
     "d11_dedup_keep_best" ->

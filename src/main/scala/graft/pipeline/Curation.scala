@@ -369,30 +369,61 @@ object Curation {
       textCol: String,
       n: Int = 2,
       buckets: Int = 1024): DataFrame = {
-    def bucketCounts(df: DataFrame): Array[Long] = {
+    def counts(df: DataFrame): Array[Long] = {
       val out = new Array[Long](buckets)
-      df.select(explode(Dedup.positionalGramHashes(col(textCol), n)).as("_gh"))
-        .groupBy(pmod(col("_gh"), lit(buckets.toLong)).as("_b"))
-        .agg(count(lit(1)).as("_c"))
-        .collect()
-        .foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+      dsirBucketCounts(df, textCol, n, buckets)
+        .collect().foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
       out
     }
-    val tb = bucketCounts(target)
-    val rb = bucketCounts(corpus)
+    dsirScore(corpus, idCol, textCol, n,
+      dsirLogRatios(counts(target), counts(corpus)).toIndexedSeq)
+  }
+
+  /** Per-bucket hashed-gram occurrence counts — the DSIR feature fit.
+    * One `buckets`-bounded partial-agg'd aggregation; integer-exact,
+    * so it hash-gates directly (p6b). Returns (bucket, n).
+    */
+  def dsirBucketCounts(
+      df: DataFrame, textCol: String, n: Int, buckets: Int): DataFrame =
+    df.select(explode(Dedup.positionalGramHashes(col(textCol), n)).as("_gh"))
+      .groupBy(pmod(col("_gh"), lit(buckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Quantized per-bucket log-ratios `floor(1e6·ln(ratio) + 0.5)` with
+    * add-half smoothing — the one place libm `ln` enters DSIR, and
+    * deliberately a DRIVER-SIDE scalar map over two tiny count arrays
+    * (the fitted "model", same plan-metadata contract as the IVF
+    * quantizer). Excluded from the hash gate by design: JVM Math.log
+    * and another engine's ln can differ in the last ulp, flipping a
+    * quantized value when 1e6·ln lands within ~1e-10 of a half-integer
+    * (ADVICE r4, P≈2e-7/run) — so the gate covers the integer-exact
+    * fit ([[dsirBucketCounts]], p6b) and the exact-integer scoring
+    * fold ([[dsirScore]], p6 with embedded literal weights), leaving
+    * this 1024-entry map as unverified-but-trivial glue.
+    */
+  def dsirLogRatios(tb: Array[Long], rb: Array[Long]): Array[Long] = {
+    require(tb.length == rb.length, "bucket arrays must align")
+    val buckets = tb.length
     val tTot = tb.sum.toDouble + buckets / 2.0
     val rTot = rb.sum.toDouble + buckets / 2.0
-    // cross-engine note: the oracle recomputes this with DuckDB's ln;
-    // JVM Math.log and glibc log can differ by ≤1 ulp, which flips a
-    // quantized value only when 1e6·ln lands within ~1e-10 of a
-    // half-integer — P(any of the `buckets` values doing so) ≈ 2e-7
-    // per run. The exact-arithmetic alternative (no ln at all) exists
-    // for scores that rank (see tfidfTopTerms); DSIR's additive
-    // log-weights genuinely need the log.
-    val lr: Array[Long] = Array.tabulate(buckets) { b =>
+    Array.tabulate(buckets) { b =>
       math.floor(1e6 * math.log(((tb(b) + 0.5) * rTot) / ((rb(b) + 0.5) * tTot)) + 0.5).toLong
     }
-    val lrArr = typedLit(lr.toSeq)
+  }
+
+  /** The narrow DSIR scoring pass: each document's `logw_q` is the
+    * exact integer sum of its gram-bucket weights (micro-nats). The
+    * weight table ships as a literal — zero shuffle, the text never
+    * moves, works unchanged at any corpus size.
+    */
+  def dsirScore(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      logRatios: Seq[Long]): DataFrame = {
+    val buckets = logRatios.length
+    val lrArr = typedLit(logRatios)
     corpus
       .select(col(idCol), Dedup.positionalGramHashes(col(textCol), n).as("_gs"))
       .select(col(idCol), size(col("_gs")).as("n_grams"),
