@@ -82,7 +82,61 @@ object Sources {
     }
   }
 
-  /** S1 — Kafka subscribe wiring (needs a broker at runtime). */
+  /** S1 — the COMPLETE subscribe transform over any kafka-shaped
+    * frame (key, value, timestamp) — a broker stream or a [[TopicBus]]
+    * mock, same code path either way:
+    *
+    *  1. pre-start gate (kafka.py:341
+    *     `include_msg_before_start_time`): records broker-stamped
+    *     before `startTime` are DROPPED when `includeBeforeStart` is
+    *     false, otherwise their broker timestamp is CLAMPED forward to
+    *     the start (csp can't tick before engine start);
+    *  2. payload decode — plain (`serde.decode` against `schema`) or
+    *     the engine-timestamp envelope `{data, csp_timestamp}`
+    *     (kafka.py:283-295 `serialize_with_engine_timestamp`,
+    *     subscribe field map kafka.py:293);
+    *  3. out-of-order clamp of the embedded event time to the broker
+    *     timestamp (kafka.py:336 `adjust_out_of_order_time`).
+    */
+  def kafkaSubscribe(
+      raw: DataFrame,
+      schema: StructType,
+      tsField: Option[String] = None,
+      adjustOutOfOrder: Boolean = false,
+      envelope: Boolean = false,
+      startTime: Option[java.sql.Timestamp] = None,
+      includeBeforeStart: Boolean = true,
+      serde: graft.core.PayloadSerde = graft.core.JsonSerde): DataFrame = {
+    val gated = startTime match {
+      case Some(t0) if !includeBeforeStart =>
+        raw.filter(col("timestamp") >= lit(t0))
+      case Some(t0) =>
+        raw.withColumn("timestamp", greatest(col("timestamp"), lit(t0)))
+      case None => raw
+    }
+    if (!envelope) parseKafkaValue(gated, schema, tsField, adjustOutOfOrder, serde)
+    else {
+      val envSchema = StructType(Seq(
+        org.apache.spark.sql.types.StructField("data", schema),
+        org.apache.spark.sql.types.StructField("csp_timestamp",
+          org.apache.spark.sql.types.TimestampType)))
+      val meta = gated.columns.filterNot(_ == "value")
+        .map(c => col(c).as(s"_kafka_$c"))
+      val parsed = gated
+        .withColumn("_env", serde.decode(col("value"), envSchema))
+        .select(Seq(col("_env.data.*"),
+          col("_env.csp_timestamp").as("csp_timestamp")) ++ meta: _*)
+      (tsField, adjustOutOfOrder) match {
+        case (Some(f), true) if gated.columns.contains("timestamp") =>
+          parsed.withColumn(f, least(col(f), col("_kafka_timestamp")))
+        case _ => parsed
+      }
+    }
+  }
+
+  /** S1 — Kafka subscribe wiring (needs a broker at runtime); the
+    * transform half is [[kafkaSubscribe]], shared with the
+    * [[TopicBus]] e2e path. */
   def kafka(
       spark: SparkSession,
       bootstrapServers: String,
@@ -91,7 +145,10 @@ object Sources {
       startingOffsets: String = "latest",
       maxOffsetsPerTrigger: Long = 1000000L,
       tsField: Option[String] = None,
-      adjustOutOfOrder: Boolean = false): DataFrame = {
+      adjustOutOfOrder: Boolean = false,
+      envelope: Boolean = false,
+      startTime: Option[java.sql.Timestamp] = None,
+      includeBeforeStart: Boolean = true): DataFrame = {
     val raw = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
@@ -99,8 +156,8 @@ object Sources {
       .option("startingOffsets", startingOffsets)
       .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger) // backpressure (kafka.py:80)
       .load()
-    parseKafkaValue(raw.select(col("value"), col("timestamp")), schema,
-      tsField, adjustOutOfOrder)
+    kafkaSubscribe(raw.select(col("key"), col("value"), col("timestamp")), schema,
+      tsField, adjustOutOfOrder, envelope, startTime, includeBeforeStart)
   }
 
   /** S7 — initializer: tick literal values into a channel at start.

@@ -85,6 +85,80 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(env.contains("csp_timestamp") && env.contains("\"data\""))
   }
 
+  test("kafka e2e over the in-memory topic bus: envelope round-trip, routing, clamps") {
+    import graft.sources.TopicBus
+    val bus = new TopicBus
+    val t0 = ts("2020-01-01 00:00:00") // engine start
+    // two channels' worth of rows, keyed, engine-ts envelope, with an
+    // embedded event time (et) that is sometimes AHEAD of the broker ts
+    val df = Seq(
+      (1L, "alpha", 0.5, ts("2019-12-31 23:59:00")),  // pre-start event ts
+      (2L, "alpha", 1.5, ts("2020-01-01 00:00:30")),
+      (3L, "beta", 2.5, ts("2020-01-01 00:09:59"))    // ahead of broker ts
+    ).toDF("id", "name", "v", "et")
+    val wire = Sinks.toKafkaValue(df, Seq("id", "name", "v", "et"),
+      keyCol = Some("name"), envelopeTs = Some("et"))
+    // route to the topic with broker receive times: rows 1-2 arrive at
+    // 00:05, row 3 at 00:08 (before its own embedded event time)
+    bus.publishFrame(wire.filter(col("value").contains("\"id\":1") ||
+      col("value").contains("\"id\":2")), "orders", ts("2020-01-01 00:05:00"))
+    bus.publishFrame(wire.filter(col("value").contains("\"id\":3")), "orders",
+      ts("2020-01-01 00:08:00"))
+
+    // byte-identical envelopes on the wire (reference
+    // serialize_with_engine_timestamp: {data, csp_timestamp})
+    val values = bus.records("orders").map(_.value).sorted
+    assert(values.head ===
+      """{"data":{"id":1,"name":"alpha","v":0.5,"et":"2019-12-31T23:59:00.000Z"},"csp_timestamp":"2019-12-31T23:59:00.000Z"}""")
+
+    // subscribe the full topic with envelope decode + out-of-order clamp
+    val sub = Sources.kafkaSubscribe(
+      bus.toDataFrame(spark, "orders"), schema4, tsField = Some("et"),
+      adjustOutOfOrder = true, envelope = true)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("name"), r.getAs[Double]("v"),
+          r.getAs[java.sql.Timestamp]("et").toString))).toMap
+    assert(sub.keySet === Set(1L, 2L, 3L))
+    assert(sub(2L) === (("alpha", 1.5, "2020-01-01 00:00:30.0"))) // untouched
+    assert(sub(3L)._3 === "2020-01-01 00:08:00.0") // clamped to broker ts
+    // envelope csp_timestamp survives as a column
+    val cspTs = Sources.kafkaSubscribe(bus.toDataFrame(spark, "orders"),
+      schema4, envelope = true).select("csp_timestamp").collect()
+    assert(cspTs.length === 3 && cspTs.forall(_.get(0) != null))
+
+    // key routing: subscribe only beta's records
+    val betaOnly = Sources.kafkaSubscribe(
+      bus.toDataFrame(spark, "orders", key = Some("beta")), schema4, envelope = true)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(betaOnly === Seq(3L))
+
+    // pre-start gate: a record broker-stamped before engine start is
+    // dropped when includeBeforeStart=false, clamped forward otherwise
+    bus.publishFrame(Sinks.toKafkaValue(
+      Seq((9L, "alpha", 9.9, ts("2019-12-31 23:00:00"))).toDF("id", "name", "v", "et"),
+      Seq("id", "name", "v", "et"), keyCol = Some("name"), envelopeTs = Some("et")),
+      "orders", ts("2019-12-31 23:30:00")) // broker ts BEFORE engine start
+    val dropped = Sources.kafkaSubscribe(bus.toDataFrame(spark, "orders"),
+      schema4, envelope = true, startTime = Some(t0), includeBeforeStart = false)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(dropped === Set(1L, 2L, 3L)) // id 9 gone
+    val clamped = Sources.kafkaSubscribe(bus.toDataFrame(spark, "orders"),
+      schema4, tsField = Some("et"), adjustOutOfOrder = true, envelope = true,
+      startTime = Some(t0), includeBeforeStart = true)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[java.sql.Timestamp]("_kafka_timestamp").toString,
+          r.getAs[java.sql.Timestamp]("et").toString))).toMap
+    // tick (broker) time clamped forward to engine start; the embedded
+    // PAST event time is untouched (out-of-order clamp only pulls
+    // future-dated events back, never forward)
+    assert(clamped(9L)._1 === "2020-01-01 00:00:00.0")
+    assert(clamped(9L)._2 === "2019-12-31 23:00:00.0")
+  }
+
+  private val schema4 = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("v", DoubleType), StructField("et", TimestampType)))
+
   test("custom PayloadSerde injects into both kafka paths (2.6 serde overrides)") {
     // pipe-delimited wire format: encode/decode as column expressions
     object PipeSerde extends graft.core.PayloadSerde {
