@@ -48,7 +48,8 @@ object Multimodal {
     * codec (`???` boundary): derives an 8-dim "feature" from byte
     * statistics of the payload. Real implementation would decode the
     * image/audio and pool activations; everything around it (batching,
-    * schema, null pass-through) is the production shape.
+    * schema, null pass-through) is the production shape. WAV payloads
+    * do NOT reach this stub — [[decodeWav]] is a real decoder.
     */
   def stubDecode(kind: String, payload: Array[Byte]): Array[Double] = {
     // ??? real codec goes here; deterministic fake below — a codepoint
@@ -70,10 +71,101 @@ object Multimodal {
     }
   }
 
+  // ---- real WAV codec (pure JVM, no media libraries) ---------------------
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** True iff the payload carries a RIFF/WAVE header whose declared
+    * chunk size matches the actual byte count — strict on purpose, so
+    * arbitrary text that happens to start with "RIFF" can never be
+    * misrouted into the decoder (the mm oracles depend on the
+    * dispatch being deterministic).
+    */
+  def isWav(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 44 &&
+      tag(payload, 0) == "RIFF" && tag(payload, 8) == "WAVE" &&
+      leInt(payload, 4) == payload.length - 8
+
+  /** REAL decode path for WAV payloads: walks the RIFF chunk list
+    * (arbitrary chunk order, skips unknown chunks — LIST/fact/etc.),
+    * validates PCM 16-bit from the `fmt ` chunk, then histograms the
+    * decoded samples into 8 amplitude-class bins (`sample & 7`,
+    * normalized by sample count). Returns null on any structural
+    * violation (truncated chunk, non-PCM, missing fmt/data) — the
+    * caller decides the fallback, nothing is silently guessed.
+    */
+  def decodeWav(payload: Array[Byte]): Array[Double] = {
+    if (!isWav(payload)) return null
+    var off = 12
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= payload.length) {
+      val id = tag(payload, off)
+      val sz = leInt(payload, off + 4)
+      if (sz < 0 || off + 8 + sz > payload.length) return null // truncated chunk
+      id match {
+        case "fmt " =>
+          if (sz < 16) return null
+          val audioFormat = leShort(payload, off + 8)
+          val channels = leShort(payload, off + 10)
+          val bits = leShort(payload, off + 22)
+          if (audioFormat != 1 || channels != 1 || bits != 16) return null // PCM mono i16 only
+          fmtOk = true
+        case "data" =>
+          dataOff = off + 8
+          dataLen = sz
+        case _ => () // unknown chunk (LIST, fact, …): skip
+      }
+      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0 || dataLen % 2 != 0) return null
+    val n = dataLen / 2
+    val bins = new Array[Double](8)
+    var i = 0
+    while (i < n) {
+      val sample = (leShort(payload, dataOff + 2 * i) << 16) >> 16 // sign-extend
+      bins(sample & 7) += 1.0
+      i += 1
+    }
+    bins.map(_ / math.max(n, 1).toDouble)
+  }
+
+  /** Build a minimal valid WAV file (PCM mono 16-bit) around the given
+    * samples — the synthetic payload generator for audio-kind media.
+    */
+  def wavEncode(samples: Array[Short], sampleRate: Int = 16000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    buf.put("data".getBytes).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
   /** Partition-local decode/feature-extract stage. Batch-shaped: the
     * iterator is consumed lazily per partition (constant memory), rows
     * with null payloads produce null features (not dropped — the
-    * metadata row survives for audit).
+    * metadata row survives for audit). Dispatch is by CONTENT, not the
+    * `kind` tag: a structurally valid WAV payload takes the real
+    * [[decodeWav]] path (header walk → PCM samples → feature);
+    * everything else falls to the documented [[stubDecode]] boundary.
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -82,8 +174,10 @@ object Multimodal {
       it.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val nBytes = if (payload == null) 0 else payload.length
-        Row(r.getLong(0), r.getString(1), nBytes,
-          stubDecode(r.getString(1), payload))
+        val feature =
+          if (isWav(payload)) decodeWav(payload)
+          else stubDecode(r.getString(1), payload)
+        Row(r.getLong(0), r.getString(1), nBytes, feature)
       }
     }(enc)
   }
@@ -106,16 +200,40 @@ object Multimodal {
   def resizePlan(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("target_width", lit(w)).withColumn("target_height", lit(h))
 
+  /** text → real WAV payload whose PCM samples are the text's
+    * codepoint classes (`cp & 7`): synthetic CONTENT but a structurally
+    * genuine file, so [[decodeFeatures]] exercises the real header
+    * walk + sample decode and the extracted histogram stays
+    * SQL-expressible for the oracle. A Scala UDF is acceptable here —
+    * this is the synthetic-input builder, not a pipeline operator.
+    */
+  private val wavFromText = udf((text: String) => {
+    if (text == null) null
+    else {
+      val samples = Array.newBuilder[Short]
+      var i = 0
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        samples += (cp & 7).toShort
+        i += Character.charCount(cp)
+      }
+      wavEncode(samples.result())
+    }
+  })
+
   /** Build a synthetic media frame from the documents table — gives the
-    * plumbing a deterministic, driver-data-derived input (payload =
-    * UTF-8 of the text standing in for encoded bytes).
+    * plumbing a deterministic, driver-data-derived input. Audio-kind
+    * rows carry a REAL (if synthetic-content) WAV file; image/video
+    * payloads are UTF-8 text standing in for encoded bytes (their
+    * codecs are the documented stub boundary).
     */
   def syntheticMedia(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id").as("media_id"),
       when(col("doc_id") % 3 === 0, lit("image"))
         .when(col("doc_id") % 3 === 1, lit("audio")).otherwise(lit("video")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload"),
+      when(col("doc_id") % 3 === 1, wavFromText(col("text")))
+        .otherwise(encode(col("text"), "UTF-8")).as("payload"),
       when(col("doc_id") % 3 === 0, lit(64)).otherwise(lit(null)).cast("int").as("width"),
       when(col("doc_id") % 3 === 0, lit(64)).otherwise(lit(null)).cast("int").as("height"),
       when(col("doc_id") % 3 === 1, lit(16000)).otherwise(lit(null)).cast("int").as("sample_rate"),

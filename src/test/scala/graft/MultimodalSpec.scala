@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Multimodal
+
+/** The real WAV codec path: structurally genuine files decode through
+  * the RIFF chunk walk; anything malformed falls back (or nulls)
+  * rather than being guessed at.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("wavEncode → decodeWav: header walk + PCM samples → histogram") {
+    val samples = Array[Short](0, 1, 1, 7, 7, 7, 2, 2)
+    val wav = Multimodal.wavEncode(samples)
+    assert(Multimodal.isWav(wav))
+    val f = Multimodal.decodeWav(wav)
+    assert(f(0) === 1.0 / 8 && f(1) === 2.0 / 8 && f(7) === 3.0 / 8 && f(2) === 2.0 / 8)
+    assert(f(3) === 0.0 && f.sum === 1.0)
+  }
+
+  test("chunk walk skips unknown chunks (LIST) and still finds fmt/data") {
+    val base = Multimodal.wavEncode(Array[Short](5, 5))
+    // splice a LIST chunk between fmt and data (offset 36 = end of fmt)
+    val list = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+    val spliced = base.take(36) ++ list ++ base.drop(36)
+    // fix the RIFF size field (bytes 4-7, little-endian)
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val f = Multimodal.decodeWav(spliced)
+    assert(f != null && f(5) === 1.0)
+  }
+
+  test("malformed payloads never reach the WAV path") {
+    // plain text, even starting with RIFF, fails the strict size check
+    assert(!Multimodal.isWav("RIFF is a container format WAVE".getBytes))
+    // truncated file: header claims more data than present -> null
+    val wav = Multimodal.wavEncode(Array[Short](1, 2, 3))
+    val truncated = wav.take(wav.length - 2)
+    assert(!Multimodal.isWav(truncated)) // RIFF size no longer matches
+    // stereo/non-PCM rejected: flip audioFormat to 2 (offset 20)
+    val nonPcm = wav.clone
+    nonPcm(20) = 2
+    assert(Multimodal.decodeWav(nonPcm) == null)
+  }
+
+  test("decodeFeatures dispatches by content: WAV rows decoded, text rows stubbed") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc"), (4L, "abc"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val media = Multimodal.syntheticMedia(docs) // id 1 -> audio/WAV, id 4 -> audio too
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Int]("n_bytes"), r.getAs[Seq[Double]]("feature")))).toMap
+    // 'a'=97 (&7=1), 'b'=98 (2), 'c'=99 (3): histogram 1/3 each
+    val expected = Seq(0.0, 1.0 / 3, 1.0 / 3, 1.0 / 3, 0.0, 0.0, 0.0, 0.0)
+    assert(feats(1L)._1 === 44 + 6) // real file size, not text length
+    assert(feats(1L)._2 === expected)
+    // the same text as a non-WAV payload stubs to the same histogram
+    // (stub contract), but with text-length n_bytes
+    val textMedia = Seq((9L, "image", "abc".getBytes)).toDF("media_id", "kind", "payload")
+    val stubbed = Multimodal.decodeFeatures(textMedia).collect().head
+    assert(stubbed.getAs[Int]("n_bytes") === 3)
+    assert(stubbed.getAs[Seq[Double]]("feature") === expected)
+  }
+}
