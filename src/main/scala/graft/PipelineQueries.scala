@@ -135,10 +135,11 @@ object PipelineQueries {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2)),
 
     // ---- dedup group resolution: connected components over the
-    // simhash near-dup graph (keep = doc_id == component)
+    // simhash near-dup graph (keep = doc_id == component). Consumes
+    // the component-equivalent linear EDGE set, never pair cliques
     "d6_dedup_groups" -> ((s, dir) =>
       Dedup.connectedComponents(
-        Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2),
+        Dedup.simhashEdges(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2),
         "id1", "id2")
         .select(col("id").as("doc_id"), col("component"))),
 
@@ -148,7 +149,7 @@ object PipelineQueries {
       Dedup.nearDupDedup(
         t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
         "doc_id",
-        Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2))),
+        Dedup.simhashEdges(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2))),
 
     // ---- the canonical MinHash dedup pipeline end-to-end: LSH pairs
     // -> connected components -> min-id survivor per group (d7's shape
@@ -157,7 +158,7 @@ object PipelineQueries {
       Dedup.nearDupDedup(
         t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
         "doc_id",
-        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        Dedup.minhashEdges(t(s, dir, "documents"), "doc_id", "text",
           n = 3, numHashes = 16, bands = 4, threshold = 0.5))),
 
     // ---- exact-substring duplication stats (Lee et al. 2021): per-doc
@@ -451,7 +452,7 @@ object PipelineQueries {
       Dedup.nearDupDedupBy(
         t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
         "doc_id",
-        Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2),
+        Dedup.simhashEdges(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2),
         "n_chars")),
 
     // ---- deterministic train/val/test split: 90/5/5 over the portable

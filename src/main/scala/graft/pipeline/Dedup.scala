@@ -233,6 +233,42 @@ object Dedup {
     * At scale: the bucket join is an equi-join on (band, bucket) — the
     * only shuffle moves (id, 16-long signature) tuples, never text.
     */
+  /** Distinct-signature factoring for the MinHash family — same
+    * argument as [[simhashFactored]]: band bucketing, candidate
+    * generation, and signature verification depend only on signature
+    * VALUES, so they run over the distinct-signature set (template-
+    * heavy corpora put thousands of docs on one signature; the
+    * doc-level self-join was quadratic in that occupancy). Returns
+    * (members = (_id, _sig) persisted, valPairs = verified distinct
+    * signature pairs (_s1, _s2, est_jaccard), sig1 < sig2
+    * lexicographically).
+    */
+  private def minhashFactored(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
+    val members = df
+      .select(col(idCol).as("_id"), minhashSignature(col(textCol), n, numHashes).as("_sig"))
+      .filter(col("_sig").getItem(0).isNotNull) // shingle-less docs can't match
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused by expansion joins
+    val vals = members.select(col("_sig")).distinct()
+    val buckets = bandBucketsFromSigs(vals.withColumn("_v", col("_sig")), "_v", "_sig",
+      numHashes, bands).select(col("_sig"), col("band"), col("bh"))
+    val valPairs = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a._sig") < col("b._sig"))
+      .select(col("a._sig").as("_s1"), col("b._sig").as("_s2"))
+      .dropDuplicates("_s1", "_s2")
+      .withColumn("est_jaccard", sigAgreement(col("_s1"), col("_s2"), numHashes))
+      .filter(col("est_jaccard") >= lit(threshold))
+    (members, valPairs)
+  }
+
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,
@@ -241,24 +277,44 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    // reused by both self-join sides; explicit spillable level (16-long
-    // signature arrays, corpus-cardinality rows; see jaccardPairs on
-    // why not _SER)
-    val sigs = df
-      .select(col(idCol).as("_id"), minhashSignature(col(textCol), n, numHashes).as("_sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val buckets = bandBucketsFromSigs(sigs, "_id", "_sig", numHashes, bands)
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a._id") < col("b._id"))
-      .select(col("a._id").as("id1"), col("b._id").as("id2"),
-        col("a._sig").as("_s1"), col("b._sig").as("_s2"))
-      .dropDuplicates("id1", "id2")
-    cand
-      .withColumn("est_jaccard", sigAgreement(col("_s1"), col("_s2"), numHashes))
-      .filter(col("est_jaccard") >= lit(threshold))
-      .select(col("id1"), col("id2"), col("est_jaccard"))
+    val (members, valPairs) = minhashFactored(df, idCol, textCol, n, numHashes, bands, threshold)
+    val cross = valPairs.as("p")
+      .join(members.as("a"), col("a._sig") === col("p._s1"))
+      .join(members.as("b"), col("b._sig") === col("p._s2"))
+      .select(least(col("a._id"), col("b._id")).as("id1"),
+        greatest(col("a._id"), col("b._id")).as("id2"), col("p.est_jaccard"))
+    // identical signatures agree on every slot: est is exactly 1.0,
+    // which clears any threshold <= 1
+    val within = saltedWithinPairs(members, "_sig")
+      .withColumn("est_jaccard", lit(1.0))
+    cross.unionAll(within)
+  }
+
+  /** Component-equivalent linear edge set for the MinHash near-dup
+    * graph — [[simhashEdges]]' twin: identical-signature star + one
+    * representative edge per verified signature pair. Feed to
+    * [[connectedComponents]] / [[nearDupDedup]] in place of
+    * [[minhashLshPairs]] when only dedup GROUPS are needed.
+    */
+  def minhashEdges(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val (members, valPairs) = minhashFactored(df, idCol, textCol, n, numHashes, bands, threshold)
+    val reps = members.groupBy("_sig").agg(min(col("_id")).as("_rep"))
+    val star = members.join(reps, "_sig")
+      .filter(col("_id") =!= col("_rep"))
+      .select(col("_rep").as("id1"), col("_id").as("id2"))
+    val crossReps = valPairs.as("p")
+      .join(reps.select(col("_sig").as("_s1"), col("_rep").as("_r1")), "_s1")
+      .join(reps.select(col("_sig").as("_s2"), col("_rep").as("_r2")), "_s2")
+      .select(least(col("_r1"), col("_r2")).as("id1"),
+        greatest(col("_r1"), col("_r2")).as("id2"))
+    star.unionAll(crossReps)
   }
 
   /** Cross-corpus dedup: rows of `dfNew` that near-duplicate any row
@@ -323,13 +379,81 @@ object Dedup {
       .reduce(_ + _)
   }
 
+  /** The simhash near-dup machinery FACTORED THROUGH DISTINCT SKETCH
+    * VALUES: the "hamming(sh_a, sh_b) <= k" relation depends only on
+    * the sketch values, so docs sharing a sketch are interchangeable —
+    * candidate generation, verification, and blocking all run over the
+    * (far smaller) distinct-value set, and documents only reappear at
+    * the very end. Load-bearing at scale: template-heavy corpora put
+    * tens of thousands of docs on ONE sketch (sf1 smoke: two 13k-doc
+    * identical-sketch groups), and the unfactored doc-level block join
+    * was quadratic in that occupancy (measured 92× at 10× data).
+    *
+    * Returns (members = (_id, _sh) persisted, valPairs = verified
+    * DISTINCT-value pairs (_sh1, _sh2, hamming>=1)).
+    */
+  private def simhashFactored(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int,
+      bits: Int,
+      blockBits: Int): (DataFrame, DataFrame) = {
+    val nBlocks = bits / blockBits
+    require(maxHamming < nBlocks, "pigeonhole needs maxHamming < number of blocks")
+    val blockMask = (1L << blockBits) - 1
+    val members = df.select(col(idCol).as("_id"), simhash(col(textCol), bits).as("_sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused by expansion joins
+    val vals = members.select(col("_sh")).distinct()
+    val blocks = vals.select(
+      col("_sh"),
+      explode(array((0 until nBlocks).map(k =>
+        struct(lit(k).as("blk"),
+          col("_sh").bitwiseAND(lit(blockMask << (blockBits * k))).as("bv"))): _*))
+        .as("_b"))
+    val valPairs = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a._b.blk") === col("b._b.blk") && col("a._b.bv") === col("b._b.bv") &&
+          col("a._sh") < col("b._sh"))
+      .select(col("a._sh").as("_sh1"), col("b._sh").as("_sh2"))
+      .dropDuplicates("_sh1", "_sh2")
+      .withColumn("hamming", bit_count(col("_sh1").bitwiseXOR(col("_sh2"))))
+      .filter(col("hamming") <= lit(maxHamming))
+    (members, valPairs)
+  }
+
+  /** All intra-group pairs (id1 < id2) of `members` grouped by
+    * `keyCol`, enumerated with SALTED parallelism: a group of size g
+    * yields C(g,2) rows regardless (that's the output), but the rows
+    * are produced across `salts`² reducer keys instead of one task
+    * per group — the expansion of a 13k-doc identical-sketch group is
+    * 92M rows, and without salting one executor thread emits all of
+    * them. The a-side replicates `salts`× (members are (id, sketch)
+    * tuples — metadata, not text), each copy owning the b-salt it
+    * pairs with, so every pair appears exactly once.
+    */
+  private def saltedWithinPairs(
+      members: DataFrame, keyCol: String, salts: Int = 16): DataFrame = {
+    val a = members
+      .withColumn("_sj", explode(array((0 until salts).map(j => lit(j.toLong)): _*)))
+    val b = members.withColumn("_sb", pmod(xxhash64(col("_id")), lit(salts.toLong)))
+    a.as("a").join(b.as("b"),
+      col(s"a.$keyCol") === col(s"b.$keyCol") && col("a._sj") === col("b._sb") &&
+        col("a._id") < col("b._id"))
+      .select(col("a._id").as("id1"), col("b._id").as("id2"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= `maxHamming`,
     * candidates blocked on agreeing 16-bit sub-blocks of a 48-bit
     * sketch (pigeonhole: a pair within Hamming `blocks-1` must agree
-    * on at least one block, as in HmSearch). 16-bit blocks keep
-    * buckets selective even on vocabulary-limited corpora where 8-bit
-    * blocks collide pathologically. The block join is a bucket
-    * equi-join; only (id, sketch) pairs shuffle.
+    * on at least one block, as in HmSearch) — with candidate
+    * generation and verification factored through distinct sketch
+    * values ([[simhashFactored]]): compute is ~linear in documents,
+    * and docs re-enter only in the final expansion joins. The OUTPUT
+    * is still inherently quadratic when huge identical-sketch groups
+    * exist (every pair is a true pair) — pipelines that only need
+    * dedup GROUPS should consume [[simhashEdges]] instead, which is
+    * linear end-to-end.
     */
   def simhashPairs(
       df: DataFrame,
@@ -338,27 +462,45 @@ object Dedup {
       maxHamming: Int = 2,
       bits: Int = 48,
       blockBits: Int = 16): DataFrame = {
-    val nBlocks = bits / blockBits
-    require(maxHamming < nBlocks, "pigeonhole needs maxHamming < number of blocks")
-    val blockMask = (1L << blockBits) - 1
-    val sk = df.select(col(idCol).as("_id"), simhash(col(textCol), bits).as("_sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // both join sides; spillable, see jaccardPairs
-    val blocks = sk.select(
-      col("_id"), col("_sh"),
-      explode(array((0 until nBlocks).map(k =>
-        struct(lit(k).as("blk"),
-          col("_sh").bitwiseAND(lit(blockMask << (blockBits * k))).as("bv"))): _*))
-        .as("_b"))
-    blocks.as("a")
-      .join(blocks.as("b"),
-        col("a._b.blk") === col("b._b.blk") && col("a._b.bv") === col("b._b.bv") &&
-          col("a._id") < col("b._id"))
-      .select(col("a._id").as("id1"), col("b._id").as("id2"),
-        col("a._sh").as("_h1"), col("b._sh").as("_h2"))
-      .dropDuplicates("id1", "id2")
-      .withColumn("hamming", bit_count(col("_h1").bitwiseXOR(col("_h2"))))
-      .filter(col("hamming") <= lit(maxHamming))
-      .select(col("id1"), col("id2"), col("hamming"))
+    val (members, valPairs) = simhashFactored(df, idCol, textCol, maxHamming, bits, blockBits)
+    val cross = valPairs.as("p")
+      .join(members.as("a"), col("a._sh") === col("p._sh1"))
+      .join(members.as("b"), col("b._sh") === col("p._sh2"))
+      .select(least(col("a._id"), col("b._id")).as("id1"),
+        greatest(col("a._id"), col("b._id")).as("id2"), col("p.hamming"))
+    val within = saltedWithinPairs(members, "_sh")
+      .withColumn("hamming", lit(0).cast("int"))
+    cross.unionAll(within)
+  }
+
+  /** Component-equivalent EDGE set for the simhash near-dup graph,
+    * LINEAR in documents: a star over each identical-sketch group
+    * (min-id representative — a bucket clique and its star have the
+    * same connected components) plus ONE representative edge per
+    * verified distinct-sketch pair. Feed to [[connectedComponents]] /
+    * [[nearDupDedup]] in place of [[simhashPairs]]: identical
+    * components, never a quadratic clique materialized. This is the
+    * 100 TB shape — the sf1 smoke put two 13k-doc groups in the
+    * corpus, where pair enumeration is 2×10^8 rows and this is 27k.
+    */
+  def simhashEdges(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 2,
+      bits: Int = 48,
+      blockBits: Int = 16): DataFrame = {
+    val (members, valPairs) = simhashFactored(df, idCol, textCol, maxHamming, bits, blockBits)
+    val reps = members.groupBy("_sh").agg(min(col("_id")).as("_rep"))
+    val star = members.join(reps, "_sh")
+      .filter(col("_id") =!= col("_rep"))
+      .select(col("_rep").as("id1"), col("_id").as("id2"))
+    val crossReps = valPairs.as("p")
+      .join(reps.select(col("_sh").as("_sh1"), col("_rep").as("_r1")), "_sh1")
+      .join(reps.select(col("_sh").as("_sh2"), col("_rep").as("_r2")), "_sh2")
+      .select(least(col("_r1"), col("_r2")).as("id1"),
+        greatest(col("_r1"), col("_r2")).as("id2"))
+    star.unionAll(crossReps)
   }
 
   // ---- Dedup group resolution -------------------------------------------

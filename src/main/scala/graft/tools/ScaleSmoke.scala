@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale smoke: materialize a 10× replication of sf0.1 under
+  * /tmp/graft_sf1 (one-time), run the heaviest catalog queries against
+  * it, and print per-query wall-times next to their sf0.1 times — the
+  * check that nothing goes super-linear one decade up.
+  *
+  * Replication preserves the workload's SHAPE instead of inflating it:
+  *  - fact tables (lineitem, orders, events, documents, embeddings)
+  *    get 10 copies with remapped keys; dimension tables stay single
+  *    (exactly how a real star schema scales);
+  *  - document copies replace every 3rd word with a copy+doc-specific
+  *    token, so intra-copy near-dup structure mirrors the original
+  *    while cross-copy Jaccard (~1/3) stays below every dedup
+  *    threshold — pair counts scale ~10×, not quadratically;
+  *  - embedding copies are cyclically rotated, so cross-copy cosines
+  *    are uncorrelated and ANN/SemDeDup candidate sets scale linearly.
+  */
+object ScaleSmoke {
+  private val Sf01 = "/root/testdata/sf0.1"
+  private val Sf1 = "/tmp/graft_sf1"
+
+  private val heavy = Seq(
+    "q1_agg", "j3_profit_rollup", "tx8_tfidf", "c2_semantic_dedup",
+    "d2_ngram_jaccard", "d4_simhash_pairs", "d6_dedup_groups",
+    "d7_dedup_corpus", "d9_substring_dup", "d11_dedup_keep_best",
+    "d13_minhash_dedup")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$Sf1/_DONE").exists()) generate(spark)
+
+    def time(dir: String, name: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = graft.SparkEntry.queries(name)(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (dt, rows)
+    }
+    val results = heavy.map { name =>
+      time("/root/testdata/sf0.001", name) // codegen/JIT warmup per query
+      val (t01, r01) = time(Sf01, name)
+      val (t1, r1) = time(Sf1, name)
+      println(f"$name%-22s sf0.1 $t01%7.2f s/$r01%d rows   sf1 $t1%7.2f s/$r1%d rows" +
+        f"   ratio ${t1 / t01}%5.1f×")
+      (name, t01, t1, r01, r1)
+    }
+    // super-linear TIME with sub-linear OUTPUT growth is a compute
+    // defect; time tracking output cardinality (pair enumerators on
+    // dup-dense corpora) is the operator doing its job
+    val bad = results.filter { case (_, a, b, ra, rb) =>
+      b / a > 20.0 && rb.toDouble / math.max(ra, 1) < b / a }
+    println(if (bad.isEmpty) "SCALE_SMOKE_OK: no compute-super-linear query at 10x data"
+      else s"SCALE_SMOKE_SUSPECT: ${bad.map(_._1).mkString(", ")}")
+    spark.stop()
+  }
+
+  private def generate(spark: SparkSession): Unit = {
+    val copies = 10
+
+    def fanout(name: String, perturb: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$Sf01/$name.parquet")
+      (0 until copies).map(i => perturb(base, i))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$Sf1/$name.parquet")
+    }
+    // dimension tables: single copy (star-schema scaling)
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$Sf01/$t.parquet")
+        .write.mode("overwrite").parquet(s"$Sf1/$t.parquet")
+    }
+    fanout("lineitem", (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
+    fanout("orders", (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L)))
+    fanout("events", (df, i) => df
+      .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+      .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L)))
+    fanout("documents", (df, i) => df
+      .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+      .withColumn("text", concat_ws(" ",
+        transform(split(col("text"), " "), (w, j) =>
+          when(j % 3 === 2,
+            concat(lit(s"c${i}x"), pmod(col("doc_id"), lit(97)))).otherwise(w))))
+      .withColumn("n_chars", length(col("text")).cast("long")))
+    fanout("embeddings", (df, i) => df
+      .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+      .withColumn("embedding",
+        if (i == 0) col("embedding")
+        else concat(slice(col("embedding"), i * 6 + 1, 64 - i * 6),
+          slice(col("embedding"), 1, i * 6))))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$Sf1/_DONE"))
+  }
+}
