@@ -1,6 +1,7 @@
 package graft.server
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
 
@@ -37,6 +38,11 @@ import graft.streaming.ChannelRuntime
 object GatewayConfig {
 
   private val mapper = new ObjectMapper()
+  // the reference launches from hydra YAML (csp-gateway-start,
+  // server/config/gateway/demo.yaml); jackson-dataformat-yaml ships on
+  // the Spark classpath, so the same config tree loads from either
+  // syntax — one parser swap, identical semantics downstream
+  private val yamlMapper = new ObjectMapper(new YAMLFactory())
 
   /** `long|int|double|float|boolean|string|timestamp|date|binary` plus
     * `array<T>` nesting. */
@@ -82,10 +88,11 @@ object GatewayConfig {
     * document. `checkpointDir` defaults to a temp dir like the
     * reference's per-run output dir.
     */
-  def load(spark: SparkSession, json: String,
+  def load(spark: SparkSession, doc: String,
       checkpointDir: Option[String] = None,
-      onShutdown: () => Unit = () => ()): Loaded = {
-    val root = mapper.readTree(json)
+      onShutdown: () => Unit = () => (),
+      yaml: Boolean = false): Loaded = {
+    val root = (if (yaml) yamlMapper else mapper).readTree(doc)
     val specList = root.path("channels").elements().asScala.map(parseSpec).toSeq
     val dupes = specList.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
     require(dupes.isEmpty,
@@ -109,10 +116,13 @@ object GatewayConfig {
     Loaded(runtime, new Gateway(runtime, port, auth, onShutdown, apiKeys), port)
   }
 
+  /** Load a config file; `.yaml`/`.yml` extensions parse as YAML
+    * (reference launch format), anything else as JSON. */
   def loadFile(spark: SparkSession, path: String,
       checkpointDir: Option[String] = None,
       onShutdown: () => Unit = () => ()): Loaded =
     load(spark, new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8),
-      checkpointDir, onShutdown)
+      checkpointDir, onShutdown,
+      yaml = path.endsWith(".yaml") || path.endsWith(".yml"))
 }

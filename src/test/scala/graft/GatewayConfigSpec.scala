@@ -30,6 +30,29 @@ class GatewayConfigSpec extends AnyFunSuite {
       |  ]
       |}""".stripMargin
 
+  test("YAML config loads identically to JSON (reference launch format)") {
+    val yaml =
+      """port: 0
+        |channels:
+        |  - name: example
+        |    stateKeyby: [x]
+        |    fields:
+        |      - {name: id, type: string}
+        |      - {name: timestamp, type: timestamp}
+        |      - {name: x, type: long}
+        |      - {name: tags, type: "array<string>"}
+        |authField:
+        |  example: user
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft-gw", ".yaml")
+    java.nio.file.Files.writeString(f, yaml)
+    val loaded = GatewayConfig.loadFile(spark, f.toString)
+    val ex = loaded.runtime.specs("example")
+    assert(ex.schema.fieldNames.toSeq === Seq("id", "timestamp", "x", "tags"))
+    assert(ex.schema("tags").dataType === ArrayType(StringType))
+    assert(ex.stateKeyby === Seq("x"))
+  }
+
   test("config parses channel specs: types, keyby, basket, lookup options") {
     val loaded = GatewayConfig.load(spark, config)
     val ex = loaded.runtime.specs("example")
