@@ -55,18 +55,28 @@ object StreamingQueries {
     val out = op(feeds.map(_._1.toDF()))
     val name = s"graft_sq_${runSeq.incrementAndGet()}_${System.nanoTime()}"
     val ckpt = Files.createTempDirectory("graft-sq-ckpt").toString
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode(mode).option("checkpointLocation", ckpt).start()
+    // state-partition count is frozen into the checkpoint at the first
+    // batch; every (partition × tick × store) combination pays a state
+    // store commit (a stream-stream join keeps FOUR stores per
+    // partition), so at 32 shuffle partitions the fixed overhead
+    // dominates the gate-sized data — 8 is the stateInsertBench-tuned
+    // value. Results are partitioning-independent.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val batched = feeds.map { case (s, rows) =>
-        val per = math.max(1, math.ceil(rows.length.toDouble / ticks).toInt)
-        (s, rows.grouped(per).toIndexedSeq)
-      }
-      (0 until ticks).foreach { i =>
-        batched.foreach { case (s, bs) => if (i < bs.length) s.addData(bs(i).toSeq) }
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(mode).option("checkpointLocation", ckpt).start()
+      try {
+        val batched = feeds.map { case (s, rows) =>
+          val per = math.max(1, math.ceil(rows.length.toDouble / ticks).toInt)
+          (s, rows.grouped(per).toIndexedSeq)
+        }
+        (0 until ticks).foreach { i =>
+          batched.foreach { case (s, bs) => if (i < bs.length) s.addData(bs(i).toSeq) }
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     (spark.table(name), ckpt)
   }
 
@@ -134,7 +144,10 @@ object StreamingQueries {
     // watermark keeps the 30-day window fully joinable, so the result
     // equals the batch range join
     "w3s_interval_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      // quarter of the key space: the stream-stream join pays per-batch
+      // state maintenance on BOTH sides, and the full table at bench
+      // scale costs ~16 s for the same semantic coverage
+      val ev = t(s, dir, "events").filter(pmod(col("user_id"), lit(4)) === 0)
       val left = ev.filter(pmod(col("event_id"), lit(2)) === 0)
       val right = ev.filter(pmod(col("event_id"), lit(2)) === 1)
       val (out, _) = runStream(s, Seq((left, "ts"), (right, "ts")), "append", ticks = 4) {
@@ -168,5 +181,6 @@ object StreamingQueries {
         |       r.event_type AS event_type_r, r.value AS value_r, r.props AS props_r
         |FROM events l JOIN events r ON l.user_id = r.user_id
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
-        |WHERE l.event_id % 2 = 0 AND r.event_id % 2 = 1""".stripMargin)
+        |WHERE l.event_id % 2 = 0 AND r.event_id % 2 = 1
+        |  AND l.user_id % 4 = 0 AND r.user_id % 4 = 0""".stripMargin)
 }
