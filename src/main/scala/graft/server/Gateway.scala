@@ -93,6 +93,21 @@ final class Gateway(
     ex.close()
   }
 
+  private def respondBytes(ex: HttpExchange, code: Int, bytes: Array[Byte],
+      contentType: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  /** K4 web surface — mount a [[graft.sinks.ViewServer]] so its named
+    * views serve at `/api/v1/table/...` (reference perspective.py table
+    * mounts; the `/arrow` variant ships the Arrow IPC stream a
+    * Perspective browser table loads directly). */
+  @volatile private var viewServer: Option[graft.sinks.ViewServer] = None
+  def attachViews(vs: graft.sinks.ViewServer): Unit = viewServer = Some(vs)
+
   private def rowsJson(name: String, rows: Seq[org.apache.spark.sql.Row]): String = {
     val schema = runtime.runtimeSchema(runtime.specs(name))
     val arr = mapper.createArrayNode()
@@ -169,6 +184,22 @@ final class Gateway(
           }
         case "stream" :: name :: Nil if known(name) =>
           handleStream(ex, name)
+        case "table" :: Nil =>
+          val names = viewServer.map(_.names).getOrElse(Nil)
+          respond(ex, 200, names.map(n => s""""$n"""").mkString("[", ",", "]"))
+        case "table" :: vname :: rest if rest.isEmpty || rest == List("arrow") =>
+          viewServer.flatMap(vs => vs.snapshotWithSchema(vname)) match {
+            case None =>
+              respond(ex, 404, s"""{"detail":"Table not found: $vname"}""")
+            case Some((rows, schema)) if rest.isEmpty =>
+              val arr = mapper.createArrayNode()
+              rows.foreach(r => arr.add(EngineLog.rowToJson(mapper, r, schema)))
+              respond(ex, 200, mapper.writeValueAsString(arr))
+            case Some((rows, schema)) =>
+              respondBytes(ex, 200,
+                org.apache.spark.sql.graft.ArrowBridge.toArrowStream(rows, schema),
+                "application/vnd.apache.arrow.stream")
+          }
         case "send" :: name :: rest if known(name) && rest.size <= 1 &&
             ex.getRequestMethod == "POST" && (rest.isEmpty || isBasket(name)) =>
           // /send/{ch} or /send/{ch}/{key} (reference send.py:41-87):

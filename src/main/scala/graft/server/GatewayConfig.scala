@@ -113,7 +113,26 @@ object GatewayConfig {
       if (root.has("apiKeys"))
         root.get("apiKeys").elements().asScala.map(_.asText()).toSeq
       else Nil
-    Loaded(runtime, new Gateway(runtime, port, auth, onShutdown, apiKeys), port)
+    val gateway = new Gateway(runtime, port, auth, onShutdown, apiKeys)
+    // declarative table mounts (reference PerspectiveModule tables):
+    //   "tables": [{"name": "t", "channel": "ch", "view": {…}}]
+    // view layouts use the Perspective-style JSON Views.fromJson
+    // parses; mounted tables serve at /api/v1/table/{name}[/arrow]
+    if (root.has("tables")) {
+      val vs = new graft.sinks.ViewServer(runtime)
+      root.get("tables").elements().asScala.foreach { tn =>
+        require(tn.hasNonNull("name") && tn.hasNonNull("channel"),
+          "table config needs 'name' and 'channel'")
+        val cfg =
+          if (tn.has("view")) graft.operators.Views.fromJson(tn.get("view").toString)
+          else graft.operators.ViewConfig()
+        vs.define(tn.get("name").asText(), tn.get("channel").asText(), cfg)
+      }
+      gateway.attachViews(vs)
+      // reference update_interval: 2 s default refresh loop
+      vs.startPeriodicRefresh(root.path("viewRefreshMillis").asLong(2000L))
+    }
+    Loaded(runtime, gateway, port)
   }
 
   /** Load a config file; `.yaml`/`.yml` extensions parse as YAML

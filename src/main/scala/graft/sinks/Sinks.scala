@@ -129,10 +129,12 @@ final class ViewServer(
   import ViewServer.ViewDef
 
   private val views = new TrieMap[String, ViewDef]
-  private val snapshots = new TrieMap[String, Seq[Row]]
+  private val snapshots = new TrieMap[String, (Seq[Row], org.apache.spark.sql.types.StructType)]
 
   def define(name: String, channel: String, config: ViewConfig): Unit =
     views.put(name, ViewDef(channel, config))
+
+  def names: Seq[String] = views.keys.toSeq.sorted
 
   /** Views bounded by their own config: explicit limit, upsert index
     * (one row per key), or aggregation (one row per group). Anything
@@ -152,16 +154,30 @@ final class ViewServer(
       val state =
         if (selfBounded(vd.config)) raw
         else raw.orderBy(col(ChannelRuntime.SeqCol).desc).limit(defaultLimit)
-      snapshots.put(name,
-        Views.compile(state, vd.config, seqCol = Some(ChannelRuntime.SeqCol))
-          .collect().toSeq)
+      val compiled = Views.compile(state, vd.config, seqCol = Some(ChannelRuntime.SeqCol))
+      snapshots.put(name, (compiled.collect().toSeq, compiled.schema))
     } catch {
       case NonFatal(e) =>
         Console.err.println(s"[graft] view '$name' refresh failed: ${e.getMessage}")
     }
   }
 
-  def snapshot(name: String): Seq[Row] = snapshots.getOrElse(name, Nil)
+  def snapshot(name: String): Seq[Row] = snapshots.get(name).map(_._1).getOrElse(Nil)
+
+  /** Snapshot rows with the compiled view's schema (None before the
+    * first successful refresh). */
+  def snapshotWithSchema(name: String): Option[(Seq[Row], org.apache.spark.sql.types.StructType)] =
+    snapshots.get(name)
+
+  /** The snapshot as an Arrow IPC stream — the payload a Perspective
+    * browser table loads directly (reference perspective.py:71-100
+    * ships pyarrow record batches the same way). None until the first
+    * successful refresh (schema comes from the compiled view).
+    */
+  def snapshotArrow(name: String): Option[Array[Byte]] =
+    snapshots.get(name).map { case (rows, schema) =>
+      org.apache.spark.sql.graft.ArrowBridge.toArrowStream(rows, schema)
+    }
 
   /** Periodic refresh thread (reference update_interval, default 2s). */
   def startPeriodicRefresh(intervalMillis: Long = 2000L): Thread = {

@@ -53,6 +53,43 @@ class GatewayConfigSpec extends AnyFunSuite {
     assert(ex.stateKeyby === Seq("x"))
   }
 
+  test("config-mounted tables serve at /table with periodic refresh") {
+    val cfg =
+      """{
+        |  "port": 0,
+        |  "channels": [
+        |    {"name": "ch",
+        |     "fields": [{"name": "id", "type": "string"},
+        |                {"name": "timestamp", "type": "timestamp"},
+        |                {"name": "k", "type": "string"},
+        |                {"name": "x", "type": "long"}],
+        |     "stateKeyby": ["k"]}],
+        |  "tables": [{"name": "by_k", "channel": "ch",
+        |              "view": {"group_by": ["k"],
+        |                       "aggregates": {"mx": {"col": "x", "fn": "max"}}}}],
+        |  "viewRefreshMillis": 100
+        |}""".stripMargin
+    val loaded = GatewayConfig.load(spark, cfg)
+    loaded.runtime.start()
+    val gw = loaded.gateway.start()
+    try {
+      loaded.runtime.send("ch", Seq(Map[String, Any]("k" -> "a", "x" -> 7L)))
+      loaded.runtime.processAllAvailable()
+      val http = HttpClient.newHttpClient()
+      def body(path: String) = http.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${gw.boundPort}/api/v1$path")).build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(body("/table") === """["by_k"]""")
+      val deadline = System.currentTimeMillis() + 15000
+      var b = body("/table/by_k")
+      while (!b.contains("\"mx\":7") && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); b = body("/table/by_k")
+      }
+      assert(b.contains("\"k\":\"a\"") && b.contains("\"mx\":7"))
+    } finally { loaded.gateway.stop(); loaded.runtime.stop() }
+  }
+
   test("config parses channel specs: types, keyby, basket, lookup options") {
     val loaded = GatewayConfig.load(spark, config)
     val ex = loaded.runtime.specs("example")

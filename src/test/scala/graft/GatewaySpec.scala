@@ -25,6 +25,8 @@ class GatewaySpec extends AnyFunSuite {
     StructField("x", LongType),
     StructField("owner", StringType)))
 
+  private var gatewayUnderTest: Option[Gateway] = None
+
   private def withGateway(auth: Map[String, String] = Map.empty)(
       f: (String, ChannelRuntime) => Unit): Unit = {
     val rt = new ChannelRuntime(spark,
@@ -32,8 +34,9 @@ class GatewaySpec extends AnyFunSuite {
       Files.createTempDirectory("graft-gw-ckpt").toString)
     rt.start()
     val gw = new Gateway(rt, 0, auth).start()
+    gatewayUnderTest = Some(gw)
     try f(s"http://127.0.0.1:${gw.boundPort}/api/v1", rt)
-    finally { gw.stop(); rt.stop() }
+    finally { gatewayUnderTest = None; gw.stop(); rt.stop() }
   }
 
   private def get(url: String, headers: Map[String, String] = Map.empty): HttpResponse[String] = {
@@ -196,6 +199,52 @@ class GatewaySpec extends AnyFunSuite {
       val data = st.get("data")
       assert(data.get("cpu").asInt() > 0 && data.get("memory-total").asLong() > 0)
       assert(data.get("host").asText().nonEmpty && data.get("now").asText().nonEmpty)
+    }
+  }
+
+  test("K4 web surface: mounted views serve JSON and Arrow IPC (Perspective wire format)") {
+    withGateway() { (base, rt) =>
+      val vs = new graft.sinks.ViewServer(rt)
+      vs.define("by_owner", "example", graft.operators.ViewConfig(
+        groupBy = Seq("owner"),
+        aggregates = Seq("mx" -> ("x", "max")),
+        sort = Seq(("owner", true))))
+      // gateway reference captured through the runtime's bound port —
+      // attach via the withGateway-provided base URL's server
+      post(s"$base/send/example",
+        """[{"x": 1, "owner": "alice"}, {"x": 5, "owner": "bob"}, {"x": 3, "owner": "alice"}]""")
+      rt.processAllAvailable()
+      vs.refresh()
+      gatewayUnderTest.foreach(_.attachViews(vs))
+
+      assert(get(s"$base/table").body() === """["by_owner"]""")
+      val json = get(s"$base/table/by_owner")
+      assert(json.statusCode() === 200)
+      assert(json.body().contains("alice") && json.body().contains("\"mx\":5"))
+      assert(get(s"$base/table/nope").statusCode() === 404)
+
+      // Arrow IPC stream: read it back with the arrow-vector reader
+      val req = HttpRequest.newBuilder(URI.create(s"$base/table/by_owner/arrow")).build()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() === 200)
+      assert(resp.headers().firstValue("Content-Type").orElse("")
+        === "application/vnd.apache.arrow.stream")
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(resp.body()), alloc)
+      try {
+        assert(reader.loadNextBatch())
+        val root = reader.getVectorSchemaRoot
+        assert(root.getSchema.getFields.size() === 2)
+        assert(root.getSchema.getFields.get(0).getName === "owner")
+        assert(root.getRowCount === 2)
+        val owners = (0 until 2).map(i =>
+          root.getVector("owner").getObject(i).toString).sorted
+        assert(owners === Seq("alice", "bob"))
+        val mx = (0 until 2).map(i =>
+          root.getVector("mx").getObject(i).asInstanceOf[Long]).sorted
+        assert(mx === Seq(3L, 5L))
+      } finally { reader.close(); alloc.close() }
     }
   }
 
