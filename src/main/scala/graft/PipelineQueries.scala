@@ -28,11 +28,11 @@ object PipelineQueries {
     * TextFunctions.polyHash: list_reduce seeds with the first element,
     * which equals Spark's 0-seeded fold since 0*31+c0 = c0).
     */
-  private def phSql(s: String): String =
+  private[graft] def phSql(s: String): String =
     s"list_reduce([CAST(unicode(c) AS BIGINT) for c in string_split_regex($s,'')], (h,c) -> (h*31+c) % $P)"
 
   /** doc_id + distinct word-3-gram shingles CTEs over `documents`. */
-  private val shingleCtes =
+  private[graft] val shingleCtes =
     """toks AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents),
       |g AS (SELECT doc_id, unnest(generate_series(1, len(w)-2)) AS i, w FROM toks),
       |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM g)""".stripMargin
@@ -508,14 +508,14 @@ object PipelineQueries {
 
   // ---- oracles ----------------------------------------------------------
 
-  private val minhashSigCols: String = (0 until 16).map { j =>
+  private[graft] val minhashSigCols: String = (0 until 16).map { j =>
     s"min((${Dedup.mhA(j)}*h + ${Dedup.mhB(j)}) % $P) AS s$j"
   }.mkString(", ")
 
-  private def bandHashSql(b: Int, rpb: Int = 4): String =
+  private[graft] def bandHashSql(b: Int, rpb: Int = 4): String =
     (0 until rpb).foldLeft("0") { (acc, r) => s"(($acc*131 + s${b * rpb + r}) % $P)" }
 
-  private val sigAgreeSql: String =
+  private[graft] val sigAgreeSql: String =
     (0 until 16).map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END").mkString("(", " + ", ")")
 
   /** SimHash near-dup candidate/verify CTEs (shared by

@@ -34,6 +34,22 @@ object StreamingQueries {
 
   private val runSeq = new AtomicLong(0L)
 
+  /** Fixed deterministic quantizer for the refit-stream gate: 4
+    * centroids over 64 dims from an integer formula, generated here
+    * and rendered into the oracle SQL by [[stubCentroidsSql]] — the
+    * byte-identical table on both engines (the dsirStubWeights
+    * pattern), so the gate covers assignment + sharded integer
+    * accumulation with no data-fitted model in the loop.
+    */
+  private[graft] val stubCentroids: Array[(Long, Seq[Double])] =
+    Array.tabulate(4)(c =>
+      (c.toLong, (0 until 64).map(d => (((c * 31 + d * 7) % 11) - 5).toDouble)))
+
+  /** The same formula as a DuckDB `cents(c, ce)` CTE body. */
+  private def stubCentroidsSql: String =
+    """cents AS (SELECT c, [CAST((c*31 + d*7) % 11 - 5 AS DOUBLE) for d in generate_series(0, 63)] AS ce
+      |          FROM (SELECT unnest(generate_series(0, 3)) AS c))""".stripMargin
+
   /** Feed each `(frame, orderCol)` source through its own MemoryStream
     * in `ticks` ascending micro-batches (all streams tick in
     * lock-step), run `op` over the streaming frames, and return the
@@ -138,6 +154,50 @@ object StreamingQueries {
       out
     }),
 
+    // ---- A9 streaming: watermarked tumbling event-time window fed in
+    // ascending event time; update mode re-emits a (bucket, group) row
+    // each time it grows, and n strictly increases per key, so the
+    // max-n row per key IS the final aggregate — compared against the
+    // plain batch GROUP BY. sum over event_id keeps the sum integer
+    // (a double sum's accumulation order can't hash-match)
+    "a9s_windowed_stream" -> ((s, dir) => {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 4) {
+        case Seq(ev) => StreamingState.windowedCounts(
+          ev, "ts", "1 hour", "10 minutes", Seq("event_type"), "event_id")
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket", "event_type").orderBy(col("n").desc)
+      out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    }),
+
+    // ---- streaming k-means refit: narrow assignment against a FIXED
+    // literal quantizer (generated here, mirrored into the oracle SQL
+    // — the dsirStubWeights pattern), sharded integer partials in the
+    // state store, merged to (cell, n, centroid sums); integer sums
+    // commute, so the stream equals the batch accumulation exactly
+    "c4s_kmeans_refit_stream" -> ((s, dir) => {
+      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "append", ticks = 4) {
+        case Seq(vecs) => StreamingState.kmeansRefitStream(
+          vecs.select(col("embedding")), "embedding", stubCentroids, shards = 2)
+      }
+      StreamingState.kmeansRefitCentroids(out)
+    }),
+
+    // ---- streaming cross-corpus duplicate alerts: arrivals banded
+    // against the static reference shard; distinct (id, ref_id) pairs
+    // equal the batch band-bucket cross join, so the d10-style pair
+    // oracle applies
+    "d10s_cross_dup_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (out, _) = runStream(s,
+        Seq((docs.filter(col("doc_id") % 3 =!= 0), "doc_id")), "append", ticks = 4) {
+        case Seq(st) => StreamingState.crossCorpusDupStream(
+          st, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+          n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      }
+      out.dropDuplicates("id", "ref_id")
+    }),
+
     // ---- watermarked stream-stream interval join: even-id events
     // (requests) join odd-id events (responses) per user within 1h,
     // both sides ticking through event time in lock-step; the 365-day
@@ -173,6 +233,51 @@ object StreamingQueries {
     "d3s_lsh_dedup_stream" -> PipelineQueries.oracles("d3_minhash_lsh"),
     "p2s_pack_stream" -> PipelineQueries.oracles("p2_token_pack"),
     "d5s_embed_neardup_stream" -> PipelineQueries.oracles("d5_embed_neardup"),
+
+    // the stream's final window state equals the plain batch GROUP BY
+    // (integer count + integer sum — order-independent)
+    "a9s_windowed_stream" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
+        |       event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // literal quantizer assignment (cos desc, cell asc, NaN-guarded —
+    // the IVF rule) + per-cell count and integer micro-sums
+    "c4s_kmeans_refit_stream" ->
+      s"""WITH $stubCentroidsSql,
+         |scored AS (SELECT e.vec_id, e.embedding, cents.c,
+         |    list_dot_product(CAST(e.embedding AS DOUBLE[]), ce) /
+         |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(ce, ce))) AS cos
+         |  FROM embeddings e CROSS JOIN cents),
+         |assigned AS (SELECT vec_id, embedding, c AS cell FROM (
+         |    SELECT vec_id, embedding, c,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c ASC) AS rn
+         |    FROM scored WHERE NOT isnan(cos)) WHERE rn = 1),
+         |x AS (SELECT cell, unnest(generate_series(1, 64)) AS d, embedding FROM assigned),
+         |sums AS (SELECT cell, d,
+         |           CAST(sum(CAST(floor(1e6*CAST(embedding[d] AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS sd
+         |         FROM x GROUP BY cell, d),
+         |arr AS (SELECT cell, list(CAST(sd AS DOUBLE) ORDER BY d) AS centroid FROM sums GROUP BY cell),
+         |cnt AS (SELECT cell, count(*) AS n FROM assigned GROUP BY cell)
+         |SELECT cnt.cell, cnt.n, arr.centroid FROM cnt JOIN arr USING (cell)""".stripMargin,
+
+    // the d10 candidate/verify CTEs, emitting the dup-evidence pairs
+    // the stream surfaces instead of the surviving corpus
+    "d10s_cross_dup_stream" ->
+      s"""WITH ${PipelineQueries.shingleCtes},
+         |shh AS (SELECT DISTINCT doc_id, ${PipelineQueries.phSql("s")} AS h FROM sh),
+         |sig AS (SELECT doc_id, ${PipelineQueries.minhashSigCols} FROM shh GROUP BY doc_id),
+         |bands AS (${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, ${PipelineQueries.bandHashSql(b)} AS bh FROM sig")
+             .mkString(" UNION ALL ")}),
+         |cand AS (SELECT DISTINCT nw.doc_id AS id, rf.doc_id AS ref_id
+         |         FROM (SELECT * FROM bands WHERE doc_id % 3 <> 0) nw
+         |         JOIN (SELECT * FROM bands WHERE doc_id % 3 = 0) rf
+         |           ON nw.band = rf.band AND nw.bh = rf.bh),
+         |est AS (SELECT id, ref_id, ${PipelineQueries.sigAgreeSql} / 16.0 AS est_jaccard
+         |        FROM cand JOIN sig a ON ref_id = a.doc_id JOIN sig b ON id = b.doc_id)
+         |SELECT id, ref_id, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin,
 
     "w3s_interval_join" ->
       """SELECT l.event_id, CAST(l.ts AS TIMESTAMP) AS ts, l.user_id, l.event_type,
