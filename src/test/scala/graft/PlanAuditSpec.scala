@@ -301,6 +301,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ObjectHashAggregate"), p.take(3000))
   }
 
+  test("sketch pair generators self-join DISTINCT values, never raw docs") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    // the r5 scale fix: the candidate self-join must sit above the
+    // distinct-value aggregate on BOTH sides — a doc-level self-join is
+    // quadratic in hot-sketch occupancy (92× at 10× data when a 13k-doc
+    // identical-sketch group exists)
+    for (pairs <- Seq(
+        graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 2),
+        graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text"))) {
+      val lp = pairs.queryExecution.optimizedPlan
+      val selfJoins = lp.collect {
+        // simhash blocks ride a struct column `_b`; minhash band
+        // buckets project a top-level `bh`
+        case j: Join if j.condition.exists(_.references.exists(a =>
+          a.name == "_b" || a.name == "bh")) => j
+      }
+      assert(selfJoins.nonEmpty, lp.toString.take(2000))
+      selfJoins.foreach { j =>
+        Seq(j.left, j.right).foreach { side =>
+          assert(side.collectFirst { case a: Aggregate => a }.isDefined,
+            s"candidate join side without distinct aggregate:\n${side.toString.take(1500)}")
+        }
+      }
+    }
+  }
+
   test("strictCompat projection degrades types per reference rules") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2), Map("k" -> "v"))).toDF("a", "xs", "m")
