@@ -485,6 +485,14 @@ object PipelineQueries {
           TextFunctions.qualityScore(col("text")).as("quality")),
         "lang", "quality", "doc_id", keepPct = 20)),
 
+    // ---- domain balancing: at most ~10 docs per source, selected by
+    // deterministic hash — the per-domain cap rule, scale path (no
+    // per-group window over corpus rows)
+    "p10_source_cap" -> ((s, dir) =>
+      Curation.capPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", cap = 10)),
+
     // ---- quality selection, corpus-scale shape: bucketed histogram
     // discrete-quantile threshold + narrow filter (no stratum window
     // over the full table — the path that survives an "en" stratum
@@ -1159,6 +1167,17 @@ object PipelineQueries {
          |        ORDER BY quality DESC, doc_id ASC) AS rn,
          |        count(*) OVER (PARTITION BY lang) AS n FROM q)
          |SELECT doc_id, lang, quality FROM r WHERE rn * 100 <= n * 20""".stripMargin,
+
+    "p10_source_cap" ->
+      s"""WITH b AS (SELECT doc_id, source,
+         |            ${phSql("CAST(doc_id AS VARCHAR)")} % 1000000 AS qb FROM documents),
+         |h AS (SELECT source, qb, count(*) AS c FROM b GROUP BY 1, 2),
+         |cum AS (SELECT source, qb,
+         |          sum(c) OVER (PARTITION BY source ORDER BY qb ASC) AS cm FROM h),
+         |thr AS (SELECT source,
+         |          coalesce(min(CASE WHEN cm >= 10 THEN qb END), max(qb)) AS t
+         |        FROM cum GROUP BY source)
+         |SELECT b.doc_id, b.source FROM b JOIN thr USING (source) WHERE b.qb <= thr.t""".stripMargin,
 
     // the bucketed scale path: threshold = bucket of the k-th best
     // score per stratum (k = floor(n*20/100)), ties at the threshold

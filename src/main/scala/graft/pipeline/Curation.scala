@@ -541,6 +541,43 @@ object Curation {
       .drop("_thr")
   }
 
+  /** Domain/source balancing: keep AT MOST ~`cap` documents per group
+    * (the CommonCrawl-pipeline "cap docs per domain" rule — one SEO
+    * farm must not dominate the mixture), selected by deterministic
+    * hash so the survivors are a uniform, reproducible sample of the
+    * group. Same scale shape as [[selectAboveQuantile]]: groups are
+    * FEW and HUGE (domains), so no per-group window ever sees corpus
+    * rows — the per-(group, hash-bucket) histogram is one partial-
+    * agg'd exchange, the rank-`cap` threshold bucket comes from a
+    * window over histogram rows, and the cut is a broadcast join +
+    * narrow filter. The cap is exact at hash-bucket granularity
+    * (ties at the threshold bucket survive — overshoot is bounded by
+    * bucket occupancy ≈ n/`buckets`); groups under the cap keep
+    * everything.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      cap: Long,
+      buckets: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap >= 1, "capPerGroup: cap must be >= 1")
+    val qb = pmod(TextFunctions.polyHash(col(idCol).cast("string")), lit(buckets))
+    val hist = df.groupBy(col(groupCol), qb.as("_qb")).agg(count(lit(1)).as("_c"))
+    val cum = hist.withColumn("_cum", sum(col("_c"))
+      .over(Window.partitionBy(groupCol).orderBy(col("_qb").asc)))
+    // threshold = lowest bucket whose asc-cumulative count reaches the
+    // cap; a group that never reaches it keeps all rows (thr = max qb)
+    val thresholds = cum.groupBy(groupCol).agg(
+      min(when(col("_cum") >= cap, col("_qb"))).as("_thr"),
+      max(col("_qb")).as("_max"))
+      .select(col(groupCol), coalesce(col("_thr"), col("_max")).as("_thr"))
+    df.join(broadcast(thresholds), groupCol)
+      .filter(qb <= col("_thr"))
+      .drop("_thr")
+  }
+
   // ---- sequence packing --------------------------------------------------
 
   /** Concat-and-chunk sequence packing: documents are assigned to

@@ -195,6 +195,23 @@ class CurationSpec extends AnyFunSuite {
     assert(approx.intersect(Set(1L, 7L)) === Set(1L, 7L)) // the clear winners survive
   }
 
+  test("capPerGroup: huge groups capped near the target, small groups untouched, deterministic") {
+    val df = ((1L to 200L).map(i => (i, "big")) ++ (1001L to 1005L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val kept = Curation.capPerGroup(df, "source", "doc_id", cap = 20)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val byGroup = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // under-cap group survives whole
+    assert(byGroup("small") === (1001L to 1005L).toSet)
+    // big group lands at the cap (exact here — 1M buckets, 200 ids, no
+    // bucket collisions), and the survivor set is hash-determined, so
+    // a re-run picks the identical sample
+    assert(byGroup("big").size === 20)
+    val again = Curation.capPerGroup(df, "source", "doc_id", cap = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === kept.map(_._1).toSet)
+  }
+
   test("gopherFilter: each rule independently drops its violator") {
     // 44 words, 10 distinct (frac 0.227), "the"/"and" stop hits
     val good = ("the quick brown fox ran over the old stone bridge and " * 4).trim
