@@ -198,6 +198,49 @@ object StreamingQueries {
       out.dropDuplicates("id", "ref_id")
     }),
 
+    // ---- streaming SemDeDup: greedy representative-based dedup per
+    // k-means cell (keep a doc unless it is within threshold cosine of
+    // an already-KEPT doc of its cell). Fed ascending ids, the stream's
+    // cross-batch roster equals the global ascending greedy — which the
+    // oracle replays exactly with a recursive CTE over the same literal
+    // quantizer
+    "c2s_semantic_dedup_stream" -> ((s, dir) => {
+      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "append", ticks = 4) {
+        case Seq(vecs) => StreamingState.semanticDedupStream(
+          vecs.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          stubCentroids, threshold = 0.12)
+      }
+      out
+    }),
+
+    // ---- K2/T10/T11: engine-log round-trip — every event encoded
+    // into engine-cycle JSON lines (the reference's snapshot format:
+    // {csp_engine_timestamp, channel: [rows…]}, 100-row cycles) and
+    // demuxed back through the typed log reader; the result must be
+    // the byte-identical events table, proving encode/decode lose
+    // nothing (timestamps ISO-µs, doubles shortest-round-trip)
+    "k2s_engine_log_roundtrip" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val schema = events.schema
+      val rows = events.orderBy(col("event_id")).collect()
+      val path = Files.createTempFile("graft-k2-log", ".jsonl")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val w = java.nio.file.Files.newBufferedWriter(path)
+      try {
+        rows.grouped(100).foreach { cycle =>
+          val root = mapper.createObjectNode()
+          root.put("csp_engine_timestamp",
+            cycle.head.getAs[java.sql.Timestamp]("ts").getTime)
+          val arr = root.putArray("events")
+          cycle.foreach(r => arr.add(
+            graft.streaming.EngineLog.rowToJson(mapper, r, schema)))
+          w.write(mapper.writeValueAsString(root)); w.newLine()
+        }
+      } finally w.close()
+      graft.streaming.EngineLog.demux(s, path.toString, "events", schema)
+        .drop("csp_engine_timestamp")
+    }),
+
     // ---- watermarked stream-stream interval join: even-id events
     // (requests) join odd-id events (responses) per user within 1h,
     // both sides ticking through event time in lock-step; the 365-day
@@ -234,6 +277,11 @@ object StreamingQueries {
     "p2s_pack_stream" -> PipelineQueries.oracles("p2_token_pack"),
     "d5s_embed_neardup_stream" -> PipelineQueries.oracles("d5_embed_neardup"),
 
+    // a lossless round-trip returns the events table itself
+    "k2s_engine_log_roundtrip" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM events""".stripMargin,
+
     // the stream's final window state equals the plain batch GROUP BY
     // (integer count + integer sum — order-independent)
     "a9s_windowed_stream" ->
@@ -261,6 +309,40 @@ object StreamingQueries {
          |arr AS (SELECT cell, list(CAST(sd AS DOUBLE) ORDER BY d) AS centroid FROM sums GROUP BY cell),
          |cnt AS (SELECT cell, count(*) AS n FROM assigned GROUP BY cell)
          |SELECT cnt.cell, cnt.n, arr.centroid FROM cnt JOIN arr USING (cell)""".stripMargin,
+
+    // the ascending-id greedy replayed sequentially: a recursive CTE
+    // walks each cell in id order carrying the kept roster (ids +
+    // vectors), dropping any arrival within 0.8 cosine of a kept one
+    "c2s_semantic_dedup_stream" -> {
+      val cos = "list_dot_product(v, o.emb) / " +
+        "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(o.emb, o.emb)))"
+      s"""WITH RECURSIVE $stubCentroidsSql,
+         |scored AS (SELECT e.vec_id, e.embedding, cents.c,
+         |    list_dot_product(CAST(e.embedding AS DOUBLE[]), ce) /
+         |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(ce, ce))) AS cos
+         |  FROM embeddings e CROSS JOIN cents),
+         |assigned AS (SELECT vec_id, embedding, c AS cell FROM (
+         |    SELECT vec_id, embedding, c,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c ASC) AS rn
+         |    FROM scored WHERE NOT isnan(cos)) WHERE rn = 1),
+         |ord AS (SELECT cell, vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |          row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+         |        FROM assigned),
+         |walk(cell, rn, kept_ids, kept_vecs) AS (
+         |  SELECT cell, CAST(1 AS BIGINT), [vec_id], [emb] FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.cell, o.rn,
+         |    CASE WHEN len(list_filter(w.kept_vecs, v -> $cos >= 0.12)) > 0
+         |         THEN w.kept_ids ELSE list_append(w.kept_ids, o.vec_id) END,
+         |    CASE WHEN len(list_filter(w.kept_vecs, v -> $cos >= 0.12)) > 0
+         |         THEN w.kept_vecs ELSE list_append(w.kept_vecs, o.emb) END
+         |  FROM walk w JOIN ord o ON o.cell = w.cell AND o.rn = w.rn + 1),
+         |last AS (SELECT cell, kept_ids FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cell ORDER BY rn DESC) AS rr
+         |    FROM walk) WHERE rr = 1)
+         |SELECT unnest(kept_ids) AS id, cell FROM last""".stripMargin
+    },
 
     // the d10 candidate/verify CTEs, emitting the dup-evidence pairs
     // the stream surfaces instead of the surviving corpus
