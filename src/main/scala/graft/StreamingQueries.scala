@@ -253,7 +253,10 @@ object StreamingQueries {
       val ev = t(s, dir, "events").filter(pmod(col("user_id"), lit(4)) === 0)
       val left = ev.filter(pmod(col("event_id"), lit(2)) === 0)
       val right = ev.filter(pmod(col("event_id"), lit(2)) === 1)
-      val (out, _) = runStream(s, Seq((left, "ts"), (right, "ts")), "append", ticks = 4) {
+      // 2 ticks: cross-batch matching is already exercised (tick-1
+      // left state pairs tick-2 right arrivals) at half the per-batch
+      // join-state commit overhead of 4
+      val (out, _) = runStream(s, Seq((left, "ts"), (right, "ts")), "append", ticks = 2) {
         case Seq(l, r) => StreamingState.intervalJoinStream(
           l, r, "user_id", "ts", within = "1 hour", watermark = "365 days")
       }

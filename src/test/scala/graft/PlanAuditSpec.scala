@@ -301,6 +301,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ObjectHashAggregate"), p.take(3000))
   }
 
+  test("p10 per-source cap: windows touch histogram rows only, threshold broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val df = graft.pipeline.Curation.capPerGroup(
+      docs.select(col("doc_id"), col("source")), "source", "doc_id", cap = 10)
+    val lp = df.queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, lp.toString.take(2000))
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"Window over un-aggregated input:\n${w.toString.take(1500)}")
+    }
+    assert(plan(df).contains("BroadcastHashJoin"), plan(df).take(2000))
+  }
+
   test("sketch pair generators self-join DISTINCT values, never raw docs") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     val docs = graft.core.Tables.load(spark, dir, "documents")
