@@ -313,6 +313,7 @@ object PipelineQueries {
     "mm3_media_similarity" -> ((s, dir) => {
       val feats = Multimodal.decodeFeatures(Multimodal.syntheticMedia(t(s, dir, "documents")))
         .select(col("media_id"), col("feature"))
+        .filter(col("feature").isNotNull) // NULL-text docs: oracle excludes them too
       Similarity.bruteForceTopK(feats, feats.filter(col("media_id") < 6),
         "media_id", "feature", 3)
     }),
@@ -916,7 +917,8 @@ object PipelineQueries {
         |    len(list_filter(string_split_regex(text,''), c -> (unicode(c) & 7) = k)) * 1.0
         |      / len(text)
         |  ELSE 0.0 END AS value
-        |FROM documents, (SELECT unnest(generate_series(0, 7)) AS k)""".stripMargin,
+        |FROM documents, (SELECT unnest(generate_series(0, 7)) AS k)
+        |WHERE text IS NOT NULL""".stripMargin,
 
     "mm2_frame_sample" ->
       """SELECT doc_id AS media_id,
@@ -932,7 +934,7 @@ object PipelineQueries {
          |      len(list_filter(string_split_regex(text,''), c -> (unicode(c) & 7) = k)) * 1.0
          |        / len(text))
          |  ELSE [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] END AS feature
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |scored AS (SELECT q.media_id AS qid, c.media_id AS cid,
          |             ${cosSql("q.feature", "c.feature")} AS cosine
          |           FROM f c JOIN f q ON q.media_id < 6 AND q.media_id <> c.media_id),

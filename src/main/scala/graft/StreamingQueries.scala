@@ -199,8 +199,8 @@ object StreamingQueries {
     }),
 
     // ---- streaming SemDeDup: greedy representative-based dedup per
-    // k-means cell (keep a doc unless it is within threshold cosine of
-    // an already-KEPT doc of its cell). Fed ascending ids, the stream's
+    // k-means cell (keep a doc unless it clears the cosine threshold
+    // against an already-KEPT doc of its cell). Fed ascending ids, the stream's
     // cross-batch roster equals the global ascending greedy — which the
     // oracle replays exactly with a recursive CTE over the same literal
     // quantizer

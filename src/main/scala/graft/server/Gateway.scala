@@ -104,9 +104,18 @@ final class Gateway(
   /** K4 web surface — mount a [[graft.sinks.ViewServer]] so its named
     * views serve at `/api/v1/table/...` (reference perspective.py table
     * mounts; the `/arrow` variant ships the Arrow IPC stream a
-    * Perspective browser table loads directly). */
+    * Perspective browser table loads directly). When `refreshMillis`
+    * is set, the periodic refresh loop is OWNED by this gateway: it
+    * starts with [[start]] (never before the runtime is live) and is
+    * interrupted by [[stop]] — a load-time thread would tick against a
+    * not-yet-started runtime and outlive a stopped one. */
   @volatile private var viewServer: Option[graft.sinks.ViewServer] = None
-  def attachViews(vs: graft.sinks.ViewServer): Unit = viewServer = Some(vs)
+  @volatile private var viewRefreshMillis: Option[Long] = None
+  @volatile private var viewRefreshThread: Option[Thread] = None
+  def attachViews(vs: graft.sinks.ViewServer, refreshMillis: Option[Long] = None): Unit = {
+    viewServer = Some(vs)
+    viewRefreshMillis = refreshMillis
+  }
 
   private def rowsJson(name: String, rows: Seq[org.apache.spark.sql.Row]): String = {
     val schema = runtime.runtimeSchema(runtime.specs(name))
@@ -126,6 +135,22 @@ final class Gateway(
         if (i < 0) rows else rows.filter(r => !r.isNullAt(i) && String.valueOf(r.get(i)) == id)
       case (Some(_), None) => Nil // auth-filtered channel, anonymous caller
       case _ => rows
+    }
+
+  /** X13 over an arbitrary row set (mounted views carry their own
+    * compiled schema, not a channel schema): caller's rows only;
+    * anonymous callers of a filtered surface see nothing. */
+  private def identityFilterRows(
+      rows: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType,
+      field: String,
+      identity: Option[String]): Seq[org.apache.spark.sql.Row] =
+    identity match {
+      case Some(id) =>
+        val i = schema.fieldNames.indexOf(field)
+        if (i < 0) Nil
+        else rows.filter(r => !r.isNullAt(i) && String.valueOf(r.get(i)) == id)
+      case None => Nil
     }
 
   private def handle(ex: HttpExchange): Unit =
@@ -185,20 +210,36 @@ final class Gateway(
         case "stream" :: name :: Nil if known(name) =>
           handleStream(ex, name)
         case "table" :: Nil =>
-          val names = viewServer.map(_.names).getOrElse(Nil)
-          respond(ex, 200, names.map(n => s""""$n"""").mkString("[", ",", "]"))
+          val arr = mapper.createArrayNode()
+          viewServer.map(_.names).getOrElse(Nil).foreach(arr.add)
+          respond(ex, 200, mapper.writeValueAsString(arr))
         case "table" :: vname :: rest if rest.isEmpty || rest == List("arrow") =>
-          viewServer.flatMap(vs => vs.snapshotWithSchema(vname)) match {
+          viewServer.flatMap(vs => vs.snapshotWithSchema(vname)
+            .map(s => (vs.channelOf(vname), s))) match {
             case None =>
-              respond(ex, 404, s"""{"detail":"Table not found: $vname"}""")
-            case Some((rows, schema)) if rest.isEmpty =>
-              val arr = mapper.createArrayNode()
-              rows.foreach(r => arr.add(EngineLog.rowToJson(mapper, r, schema)))
-              respond(ex, 200, mapper.writeValueAsString(arr))
-            case Some((rows, schema)) =>
-              respondBytes(ex, 200,
-                org.apache.spark.sql.graft.ArrowBridge.toArrowStream(rows, schema),
-                "application/vnd.apache.arrow.stream")
+              val err = mapper.createObjectNode()
+              err.put("detail", s"Table not found: $vname")
+              respond(ex, 404, mapper.writeValueAsString(err))
+            case Some((channel, (rawRows, schema))) =>
+              // X13 parity: a table over an identity-filtered channel
+              // serves only the caller's rows — and if the view's
+              // projection dropped the auth field (aggregates), it
+              // serves nothing rather than leaking everyone's rows
+              val authField = channel.flatMap(authFilterFields.get)
+              val rows = authField match {
+                case None => rawRows
+                case Some(f) if schema.fieldNames.contains(f) =>
+                  identityFilterRows(rawRows, schema, f, identity)
+                case Some(_) => Nil
+              }
+              if (rest.isEmpty) {
+                val arr = mapper.createArrayNode()
+                rows.foreach(r => arr.add(EngineLog.rowToJson(mapper, r, schema)))
+                respond(ex, 200, mapper.writeValueAsString(arr))
+              } else
+                respondBytes(ex, 200,
+                  org.apache.spark.sql.graft.ArrowBridge.toArrowStream(rows, schema),
+                  "application/vnd.apache.arrow.stream")
           }
         case "send" :: name :: rest if known(name) && rest.size <= 1 &&
             ex.getRequestMethod == "POST" && (rest.isEmpty || isBasket(name)) =>
@@ -446,10 +487,14 @@ final class Gateway(
     })
     server.start()
     ws.start()
+    for (vs <- viewServer; ms <- viewRefreshMillis)
+      viewRefreshThread = Some(vs.startPeriodicRefresh(ms))
     this
   }
 
   def stop(): Unit = {
+    viewRefreshThread.foreach(_.interrupt())
+    viewRefreshThread = None
     ws.stop()
     server.stop(0)
   }

@@ -113,24 +113,30 @@ object GatewayConfig {
       if (root.has("apiKeys"))
         root.get("apiKeys").elements().asScala.map(_.asText()).toSeq
       else Nil
-    val gateway = new Gateway(runtime, port, auth, onShutdown, apiKeys)
     // declarative table mounts (reference PerspectiveModule tables):
     //   "tables": [{"name": "t", "channel": "ch", "view": {…}}]
-    // view layouts use the Perspective-style JSON Views.fromJson
-    // parses; mounted tables serve at /api/v1/table/{name}[/arrow]
-    if (root.has("tables")) {
-      val vs = new graft.sinks.ViewServer(runtime)
-      root.get("tables").elements().asScala.foreach { tn =>
+    // parsed and VALIDATED before the Gateway binds its socket — a bad
+    // table entry must not leak a bound HttpServer the caller never
+    // receives (a fixed port would then BindException until JVM exit)
+    val tableMounts: Seq[(String, String, graft.operators.ViewConfig)] =
+      if (!root.has("tables")) Nil
+      else root.get("tables").elements().asScala.map { tn =>
         require(tn.hasNonNull("name") && tn.hasNonNull("channel"),
           "table config needs 'name' and 'channel'")
         val cfg =
           if (tn.has("view")) graft.operators.Views.fromJson(tn.get("view").toString)
           else graft.operators.ViewConfig()
-        vs.define(tn.get("name").asText(), tn.get("channel").asText(), cfg)
-      }
-      gateway.attachViews(vs)
-      // reference update_interval: 2 s default refresh loop
-      vs.startPeriodicRefresh(root.path("viewRefreshMillis").asLong(2000L))
+        (tn.get("name").asText(), tn.get("channel").asText(), cfg)
+      }.toSeq
+    val gateway = new Gateway(runtime, port, auth, onShutdown, apiKeys)
+    if (tableMounts.nonEmpty) {
+      val vs = new graft.sinks.ViewServer(runtime)
+      tableMounts.foreach { case (name, channel, cfg) => vs.define(name, channel, cfg) }
+      // reference update_interval (2 s default); the refresh loop is
+      // owned by the gateway: started by gateway.start() (after the
+      // runtime is live), interrupted by gateway.stop()
+      gateway.attachViews(vs,
+        refreshMillis = Some(root.path("viewRefreshMillis").asLong(2000L)))
     }
     Loaded(runtime, gateway, port)
   }

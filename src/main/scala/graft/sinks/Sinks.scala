@@ -136,6 +136,10 @@ final class ViewServer(
 
   def names: Seq[String] = views.keys.toSeq.sorted
 
+  /** The channel a view reads — the serving layer needs it to apply
+    * the channel's identity filter to table snapshots. */
+  def channelOf(name: String): Option[String] = views.get(name).map(_.channel)
+
   /** Views bounded by their own config: explicit limit, upsert index
     * (one row per key), or aggregation (one row per group). Anything
     * else gets the ring-buffer cap — most recent `defaultLimit` rows
@@ -172,7 +176,10 @@ final class ViewServer(
   /** The snapshot as an Arrow IPC stream — the payload a Perspective
     * browser table loads directly (reference perspective.py:71-100
     * ships pyarrow record batches the same way). None until the first
-    * successful refresh (schema comes from the compiled view).
+    * successful refresh (schema comes from the compiled view). The
+    * gateway's `/table/{name}/arrow` route applies identity filtering
+    * first and so encodes via [[snapshotWithSchema]]; this is the
+    * unfiltered programmatic surface.
     */
   def snapshotArrow(name: String): Option[Array[Byte]] =
     snapshots.get(name).map { case (rows, schema) =>

@@ -115,14 +115,26 @@ object StreamingState {
             state.update(true)
             val first = seqIdx match {
               case Some(i) =>
-                Iterator.single(rows.reduceLeft { (a, b) =>
-                  require(!a.isNullAt(i) && !b.isNullAt(i),
-                    s"dedupStream: null seq in '${seqCol.get}'")
-                  if (a.getLong(i) <= b.getLong(i)) a else b
-                })
+                // per-row null check (a reduceLeft-internal require
+                // would skip singleton groups) + Number widening so
+                // int and long seq columns both qualify as "integral"
+                def seqOf(r: Row): Long = {
+                  require(!r.isNullAt(i), s"dedupStream: null seq in '${seqCol.get}'")
+                  r.get(i) match {
+                    case x: Number => x.longValue()
+                    case x => throw new IllegalArgumentException(
+                      s"dedupStream: non-integral seq '${seqCol.get}' ($x)")
+                  }
+                }
+                Iterator.single(rows.reduceLeft((a, b) =>
+                  if (seqOf(a) <= seqOf(b)) a else b))
               case None => rows.take(1)
             }
-            first.map(r => Row.fromSeq(r.toSeq.take(n)))
+            first.map { r =>
+              seqIdx.foreach(i => require(!r.isNullAt(i),
+                s"dedupStream: null seq in '${seqCol.get}'"))
+              Row.fromSeq(r.toSeq.take(n))
+            }
           }
       }
   }

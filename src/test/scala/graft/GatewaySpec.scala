@@ -248,6 +248,28 @@ class GatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("K4 tables over identity-filtered channels serve caller rows only") {
+    withGateway(Map("example" -> "owner")) { (base, rt) =>
+      val vs = new graft.sinks.ViewServer(rt)
+      vs.define("raw", "example", graft.operators.ViewConfig()) // exposes 'owner'
+      vs.define("agg", "example", graft.operators.ViewConfig(   // drops 'owner'
+        aggregates = Seq("n" -> ("x", "count"))))
+      post(s"$base/send/example", """{"x":1,"owner":"alice"}""",
+        Map("x-identity" -> "alice"))
+      post(s"$base/send/example", """{"x":2,"owner":"bob"}""",
+        Map("x-identity" -> "bob"))
+      rt.processAllAvailable()
+      vs.refresh()
+      gatewayUnderTest.foreach(_.attachViews(vs))
+      // caller sees only their rows; anonymous sees nothing
+      val alice = get(s"$base/table/raw", Map("x-identity" -> "alice")).body()
+      assert(alice.contains("alice") && !alice.contains("bob"))
+      assert(get(s"$base/table/raw").body() === "[]")
+      // a view that dropped the auth field serves nothing, not everyone
+      assert(get(s"$base/table/agg", Map("x-identity" -> "alice")).body() === "[]")
+    }
+  }
+
   test("identity row filter (X13): reads filtered, writes validated") {
     withGateway(Map("example" -> "owner")) { (base, rt) =>
       assert(post(s"$base/send/example", """{"x":1,"owner":"alice"}""",
