@@ -338,17 +338,30 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    def buckets(df: DataFrame) = bandBucketsFromSigs(
-      df.select(col(idCol).as("_id"), minhashSignature(col(textCol), n, numHashes).as("_sig")),
-      "_id", "_sig", numHashes, bands)
-    val dropped = buckets(dfRef).as("a")
-      .join(buckets(dfNew).as("b"),
+    // factored through DISTINCT signatures on BOTH sides (the
+    // simhashFactored argument): whether a new doc is dropped depends
+    // only on its signature VALUE, so the band join runs over distinct
+    // values — a hot identical-signature group on each side would
+    // otherwise multiply (|ref group| × |new group| candidate rows) —
+    // and the dropped SET needs no pair expansion at all: one
+    // semi-join of new docs against the matched-signature values
+    def sigs(df: DataFrame) = df.select(
+      col(idCol).as("_id"), minhashSignature(col(textCol), n, numHashes).as("_sig"))
+    def valBuckets(members: DataFrame) = bandBucketsFromSigs(
+      members.select(col("_sig")).distinct().withColumn("_v", col("_sig")),
+      "_v", "_sig", numHashes, bands).select(col("_sig"), col("band"), col("bh"))
+    val newSigs = sigs(dfNew)
+    val droppedVals = valBuckets(sigs(dfRef)).as("a")
+      .join(valBuckets(newSigs).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
-      .select(col("b._id").as("_id"), col("a._sig").as("_s1"), col("b._sig").as("_s2"))
+      .select(col("a._sig").as("_s1"), col("b._sig").as("_s2"))
+      .dropDuplicates("_s1", "_s2")
       .withColumn("_est", sigAgreement(col("_s1"), col("_s2"), numHashes))
       .filter(col("_est") >= lit(threshold))
-      .select(col("_id").as(idCol)).distinct()
-    dfNew.join(dropped, Seq(idCol), "left_anti")
+      .select(col("_s2").as("_sig")).distinct()
+    val droppedIds = newSigs.join(droppedVals, Seq("_sig"), "left_semi")
+      .select(col("_id").as(idCol))
+    dfNew.join(droppedIds, Seq(idCol), "left_anti")
   }
 
   // ---- SimHash ----------------------------------------------------------
