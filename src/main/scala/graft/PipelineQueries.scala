@@ -283,6 +283,18 @@ object PipelineQueries {
         TextFunctions.normalize(upper(col("text"))).as("norm"),
         TextFunctions.repetitionRatio(col("text")).as("repetition"))),
 
+    // ---- the one-scan annotation bundle: every per-document signal a
+    // curation pipeline wants (token count, quality, language,
+    // repetition) computed in a SINGLE pass — all fused codegen'd
+    // expressions, zero shuffle; at 100 TB each separate annotation
+    // pass is a full corpus scan, so fusion is the point
+    "tx9_annotate_bundle" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.langId(col("text")).as("lang_detected"),
+        TextFunctions.repetitionRatio(col("text")).as("repetition"))),
+
     // ---- winnowing document fingerprint (rolling hash), exploded to
     // (doc_id, fp) rows — the gate-friendly shape (the driver's oracle
     // harness cannot lex-sort list columns); docs too short to window
@@ -855,6 +867,48 @@ object PipelineQueries {
          |       0.4*least(n_tok/100.0, 1.0) + 0.3*(1.0 - punct_ratio) +
          |       0.2*stop_ratio + 0.1*least(mean_len/8.0, 1.0) AS quality
          |FROM c""".stripMargin
+    },
+
+    "tx9_annotate_bundle" -> {
+      def ratio(words: Seq[String]) = {
+        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(w, t -> list_contains($arr, t)))*1.0 / greatest(len(w), 1)"
+      }
+      s"""WITH $shingleCtes,
+         |shh AS (SELECT doc_id, ${phSql("s")} AS sh FROM sh),
+         |rep0 AS (SELECT doc_id, count(DISTINCT sh) AS nd FROM shh GROUP BY doc_id),
+         |base AS (SELECT doc_id, text, string_split(text,' ') AS w, len(text) AS L
+         |         FROM documents),
+         |qc AS (SELECT doc_id,
+         |  (L - len(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))*1.0 / greatest(L, 1) AS punct_ratio,
+         |  ${ratio(TextFunctions.StopEn)} AS stop_ratio,
+         |  len(w) AS n_tok,
+         |  list_sum([len(t) for t in w])*1.0 / greatest(len(w), 1) AS mean_len
+         |  FROM base),
+         |qual AS (SELECT doc_id,
+         |        0.4*least(n_tok/100.0, 1.0) + 0.3*(1.0 - punct_ratio) +
+         |        0.2*stop_ratio + 0.1*least(mean_len/8.0, 1.0) AS quality FROM qc),
+         |lidc AS (SELECT doc_id,
+         |  len(regexp_extract_all(text, '[一-鿿]'))*1.0 / greatest(len(text), 1) AS cjk,
+         |  ${ratio(TextFunctions.StopEn)} AS s_en, ${ratio(TextFunctions.StopDe)} AS s_de,
+         |  ${ratio(TextFunctions.StopFr)} AS s_fr, ${ratio(TextFunctions.StopEs)} AS s_es
+         |  FROM base),
+         |lid AS (SELECT doc_id,
+         |  CASE WHEN cjk > 0.3 THEN 'zh'
+         |       WHEN s_en = 0.0 AND s_de = 0.0 AND s_fr = 0.0 AND s_es = 0.0 THEN 'und'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS lang_detected FROM lidc),
+         |rep AS (SELECT base.doc_id,
+         |  CASE WHEN len(w) - 2 > 0
+         |       THEN 1.0 - CAST(coalesce(nd, 0) AS DOUBLE) / CAST(len(w) - 2 AS DOUBLE)
+         |       ELSE 0.0 END AS repetition
+         |  FROM base LEFT JOIN rep0 ON base.doc_id = rep0.doc_id)
+         |SELECT base.doc_id, len(w) AS n_tokens, qual.quality, lid.lang_detected,
+         |       rep.repetition
+         |FROM base JOIN qual USING (doc_id) JOIN lid USING (doc_id)
+         |JOIN rep USING (doc_id)""".stripMargin
     },
 
     "tx3_lang_id" -> {

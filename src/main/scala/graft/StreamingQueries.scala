@@ -82,6 +82,19 @@ object StreamingQueries {
     try {
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode(mode).option("checkpointLocation", ckpt).start()
+      // watchdog: processAllAvailable blocks forever if a stream ever
+      // wedges, and a hung entry would stall the driver's ENTIRE gate
+      // run — bound the blast radius to this one query (stop() makes
+      // processAllAvailable throw, Verify records a per-query failure)
+      val watchdog = new Thread(() => {
+        try {
+          Thread.sleep(180000L)
+          Console.err.println(s"[graft] stream gate '$name' watchdog fired — stopping query")
+          q.stop()
+        } catch { case _: InterruptedException => () }
+      }, s"graft-sq-watchdog-$name")
+      watchdog.setDaemon(true)
+      watchdog.start()
       try {
         val batched = feeds.map { case (s, rows) =>
           val per = math.max(1, math.ceil(rows.length.toDouble / ticks).toInt)
@@ -91,7 +104,7 @@ object StreamingQueries {
           batched.foreach { case (s, bs) => if (i < bs.length) s.addData(bs(i).toSeq) }
           q.processAllAvailable()
         }
-      } finally q.stop()
+      } finally { watchdog.interrupt(); q.stop() }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     (spark.table(name), ckpt)
   }

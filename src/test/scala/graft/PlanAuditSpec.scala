@@ -301,6 +301,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ObjectHashAggregate"), p.take(3000))
   }
 
+  test("tx9 annotation bundle: one scan, zero exchanges, fully fused") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val df = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("quality"),
+      graft.functions.TextFunctions.langId(col("text")).as("lang_detected"),
+      graft.functions.TextFunctions.repetitionRatio(col("text")).as("repetition"))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert("FileScan".r.findAllIn(p).size === 1, p.take(3000))
+  }
+
   test("p10 per-source cap: windows touch histogram rows only, threshold broadcast") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val docs = graft.core.Tables.load(spark, dir, "documents")
