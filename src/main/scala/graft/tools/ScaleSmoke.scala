@@ -26,8 +26,9 @@ object ScaleSmoke {
   private val heavy = Seq(
     "q1_agg", "j3_profit_rollup", "tx8_tfidf", "c2_semantic_dedup",
     "d2_ngram_jaccard", "d4_simhash_pairs", "d6_dedup_groups",
-    "d7_dedup_corpus", "d9_substring_dup", "d11_dedup_keep_best",
-    "d13_minhash_dedup")
+    "d7_dedup_corpus", "d9_substring_dup", "d10_cross_dedup",
+    "d11_dedup_keep_best", "d13_minhash_dedup", "tx9_annotate_bundle",
+    "p10_source_cap")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
