@@ -193,7 +193,14 @@ object StreamingQueries {
         case Seq(vecs) => StreamingState.kmeansRefitStream(
           vecs.select(col("embedding")), "embedding", stubCentroids, shards = 2)
       }
+      // scalar rows for the gate: the driver's comparator sorts column
+      // values and cannot sort a list-typed column (the d8_winnow
+      // lesson) — posexplode the merged centroid to (cell, n, d, sum)
       StreamingState.kmeansRefitCentroids(out)
+        .select(col("cell"), col("n"),
+          posexplode(col("centroid")).as(Seq("pos", "centroid_sum")))
+        .select(col("cell"), col("n"),
+          (col("pos") + 1).cast("long").as("d"), col("centroid_sum"))
     }),
 
     // ---- streaming cross-corpus duplicate alerts: arrivals banded
@@ -322,9 +329,9 @@ object StreamingQueries {
          |sums AS (SELECT cell, d,
          |           CAST(sum(CAST(floor(1e6*CAST(embedding[d] AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS sd
          |         FROM x GROUP BY cell, d),
-         |arr AS (SELECT cell, list(CAST(sd AS DOUBLE) ORDER BY d) AS centroid FROM sums GROUP BY cell),
          |cnt AS (SELECT cell, count(*) AS n FROM assigned GROUP BY cell)
-         |SELECT cnt.cell, cnt.n, arr.centroid FROM cnt JOIN arr USING (cell)""".stripMargin,
+         |SELECT sums.cell, cnt.n, sums.d, CAST(sums.sd AS DOUBLE) AS centroid_sum
+         |FROM sums JOIN cnt USING (cell)""".stripMargin,
 
     // the ascending-id greedy replayed sequentially: a recursive CTE
     // walks each cell in id order carrying the kept roster (ids +

@@ -30,6 +30,41 @@ import graft.functions.TextFunctions.{polyHash, tokens, P}
   */
 object Dedup {
 
+  /** Several operators here persist a reused corpus-scale intermediate
+    * (shingle-hash / signature frames) so the multi-join plans don't
+    * recompute the text scan per consumer. Spark's CacheManager holds
+    * those plans strongly, so a LONG-LIVED session embedding this
+    * library (a gateway, a notebook) must release them once the
+    * returned frames are materialized: call [[releaseCaches]] — it is
+    * precise, unpersisting only frames this object persisted — or the
+    * blunt `spark.catalog.clearCache()` (what Verify/Bench do between
+    * queries). Unreleased frames are NOT a correctness hazard, only
+    * held cache storage.
+    */
+  private val trackedCaches =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+
+  /** Persist an intermediate at the measured-best level and register
+    * it for [[releaseCaches]]. MEMORY_AND_DISK, not `_SER`: the SQL
+    * cache stores compressed columnar batches already, so `_SER` only
+    * adds a second serialization layer (measured +0.15 s, nothing
+    * saved).
+    */
+  private def trackPersist(df: DataFrame): DataFrame = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    trackedCaches.add(df)
+    df
+  }
+
+  /** Unpersist every intermediate [[Dedup]] has cached since the last
+    * release (non-blocking). Safe at any time: materialized results
+    * stay valid; unmaterialized plans simply recompute.
+    */
+  def releaseCaches(): Unit = {
+    trackedCaches.forEach(df => df.unpersist(false))
+    trackedCaches.clear()
+  }
+
   /** Word n-gram shingle set (distinct) of a text column. Texts with
     * fewer than `n` tokens shingle to the empty set (guarded: Spark's
     * `sequence(1, k)` for k<1 would generate a *descending* range).
@@ -107,15 +142,10 @@ object Dedup {
       orderByRarity: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // reused 4x (prefix index both join sides + exact verify both
-    // sides). Explicit MEMORY_AND_DISK: spill-not-recompute for
-    // corpus-scale shingle-hash arrays — the SQL cache stores
-    // compressed columnar byte batches already, so MEMORY_AND_DISK_SER
-    // would only add a second serialization layer (measured +0.15 s on
-    // d3's smaller sigs cache, nothing saved). The session-level cache
-    // boundary (Verify/Bench clearCache between queries, or the
-    // caller's unpersist) releases it
-    val hs = df.select(col(idCol).as("_id"), shingleHashes(col(textCol), n).as("_hset"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // sides); spill-not-recompute for corpus-scale shingle-hash
+    // arrays. Lifecycle: releaseCaches()
+    val hs = trackPersist(
+      df.select(col(idCol).as("_id"), shingleHashes(col(textCol), n).as("_hset")))
     // Prefix selection needs only SOME global total order on shingles
     // for the pigeonhole to hold. Two orders offered:
     //  - hash order (default): prefix = slice of the sorted hash set —
@@ -251,10 +281,9 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       threshold: Double): (DataFrame, DataFrame) = {
-    val members = df
+    val members = trackPersist(df
       .select(col(idCol).as("_id"), minhashSignature(col(textCol), n, numHashes).as("_sig"))
-      .filter(col("_sig").getItem(0).isNotNull) // shingle-less docs can't match
-      .persist(StorageLevel.MEMORY_AND_DISK) // reused by expansion joins
+      .filter(col("_sig").getItem(0).isNotNull)) // shingle-less docs can't match; reused by expansion joins
     val vals = members.select(col("_sig")).distinct()
     val buckets = bandBucketsFromSigs(vals.withColumn("_v", col("_sig")), "_v", "_sig",
       numHashes, bands).select(col("_sig"), col("band"), col("bh"))
@@ -415,8 +444,8 @@ object Dedup {
     val nBlocks = bits / blockBits
     require(maxHamming < nBlocks, "pigeonhole needs maxHamming < number of blocks")
     val blockMask = (1L << blockBits) - 1
-    val members = df.select(col(idCol).as("_id"), simhash(col(textCol), bits).as("_sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // reused by expansion joins
+    val members = trackPersist(
+      df.select(col(idCol).as("_id"), simhash(col(textCol), bits).as("_sh"))) // reused by expansion joins
     val vals = members.select(col("_sh")).distinct()
     val blocks = vals.select(
       col("_sh"),

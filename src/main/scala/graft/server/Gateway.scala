@@ -216,6 +216,16 @@ final class Gateway(
         case "table" :: vname :: rest if rest.isEmpty || rest == List("arrow") =>
           viewServer.flatMap(vs => vs.snapshotWithSchema(vname)
             .map(s => (vs.channelOf(vname), s))) match {
+            case None if viewServer.exists(_.names.contains(vname)) =>
+              // defined but the first refresh hasn't landed yet: the
+              // name IS in GET /table, so 404 would contradict the
+              // listing. JSON serves the empty row set; arrow can't
+              // (the compiled schema only exists post-refresh) → 503
+              if (rest.isEmpty) respond(ex, 200, "[]")
+              else {
+                ex.getResponseHeaders.set("Retry-After", "2")
+                respond(ex, 503, s"""{"detail":"Table not ready: $vname"}""")
+              }
             case None =>
               val err = mapper.createObjectNode()
               err.put("detail", s"Table not found: $vname")

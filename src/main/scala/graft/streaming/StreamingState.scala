@@ -293,6 +293,13 @@ object StreamingState {
     require(collisions.isEmpty,
       s"intervalJoinStream: left columns ${collisions.mkString(", ")} collide with " +
         "right '_r'-suffixed output columns — rename them before joining")
+    // a right frame holding both `x` and `x_r` corrupts itself during
+    // the sequential rename fold (x→x_r lands on the existing x_r
+    // before x_r→x_r_r runs) — fail fast on that too (ADVICE r5)
+    val selfCollisions = right.columns.map(_ + "_r").toSet.intersect(right.columns.toSet)
+    require(selfCollisions.isEmpty,
+      s"intervalJoinStream: right columns ${selfCollisions.mkString(", ")} collide with " +
+        "their own '_r'-suffixed renames — rename them before joining")
     val l = left.withWatermark(tsCol, watermark)
     val r0 = right.columns.foldLeft(right) { (df, c) =>
       df.withColumnRenamed(c, s"${c}_r")

@@ -52,6 +52,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("releaseCaches unpersists every intermediate Dedup cached") {
+    spark.catalog.clearCache()
+    Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.9).collect()
+    Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5).collect()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    Dedup.releaseCaches()
+    // non-blocking unpersist: the CacheManager entry is dropped
+    // synchronously, so re-listing shows no graft-held cache
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // results stay valid after release (plans recompute)
+    assert(Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect().nonEmpty)
+    Dedup.releaseCaches()
+  }
+
   test("simhash: identical => equal, near-dup => small hamming") {
     val sk = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -165,6 +165,22 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(e.getMessage.contains("v_r"))
   }
 
+  test("intervalJoinStream: right frame holding both x and x_r fails fast") {
+    implicit val sqlCtx = spark.sqlContext
+    val leftSchema = StructType(Seq(
+      StructField("k", LongType), StructField("ts", TimestampType)))
+    // x→x_r would land on the existing x_r mid-fold and corrupt it
+    val rightSchema = StructType(Seq(
+      StructField("k", LongType), StructField("ts", TimestampType),
+      StructField("x", StringType), StructField("x_r", StringType)))
+    val ls = MemoryStream[Row](Encoders.row(leftSchema), sqlCtx)
+    val rs = MemoryStream[Row](Encoders.row(rightSchema), sqlCtx)
+    val e = intercept[IllegalArgumentException] {
+      StreamingState.intervalJoinStream(ls.toDF(), rs.toDF(), "k", "ts")
+    }
+    assert(e.getMessage.contains("x_r"))
+  }
+
   test("windowedCounts: watermarked tumbling window aggregates by event time") {
     val evSchema = StructType(Seq(
       StructField("t", TimestampType), StructField("g", StringType),
