@@ -22,6 +22,10 @@ object PipelineQueries {
 
   private val P = TextFunctions.P
 
+  /** Bloom bitset size for the d8c gate — shared by the Spark query
+    * and the oracle SQL so the two can never drift. */
+  private val BloomM = 1 << 20
+
   // ---- shared DuckDB SQL fragments --------------------------------------
 
   /** Portable polynomial hash of a string expression (mirror of
@@ -351,6 +355,27 @@ object PipelineQueries {
         "doc_id", "text", n = 5).select(col("doc_id"), col("n_chars"))
     }),
 
+    // ---- Bloom-filter decontamination: the scale path — the bench
+    // suite folded into a fixed-size bitset (2^20 bits = 128 KiB, 4
+    // probes: <1e-4 FP at sf0.1's ~17k bench grams), the corpus side
+    // a narrow codegen'd constant-time filter
+    "d8c_bloom_decontaminated" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.bloomDecontaminate(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 5, mBits = BloomM, k = 4)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // ---- inter-source near-dup overlap matrix: verified MinHash
+    // pairs rolled up by unordered source pair — the duplication-
+    // between-ingest-sources report that informs mixture weights
+    "st3_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlapMatrix(t(s, dir, "documents"),
+        "doc_id", "text", "source", n = 3, numHashes = 16, bands = 4,
+        threshold = 0.5)),
+
     // ---- PII detection + redaction (emails/phones synthesized onto
     // the corpus deterministically — the raw corpus carries none)
     "tx6_pii_redact" -> ((s, dir) => {
@@ -382,6 +407,19 @@ object PipelineQueries {
         .filter(Curation.mixtureSample("doc_id", "lang",
           Map("en" -> 50, "de" -> 20, "fr" -> 10), defaultPct = 5))
         .select(col("doc_id"), col("lang"))),
+
+    // ---- token-budget mixture: per-source keep rates derived from
+    // the corpus's own token totals (budget in TOKENS, the unit
+    // pretraining mixtures are specified in), per-mille hash gate
+    "p11_token_budget" -> ((s, dir) =>
+      Curation.tokenBudgetSample(t(s, dir, "documents"),
+        "doc_id", "source", "text",
+        // mixed regimes on the synthetic corpus: src2 far under budget
+        // (keeps all), src0/src1 sampled at distinct rates, the rest
+        // on the default — scale-factor-dependent rates by design
+        Map("src0" -> 800L, "src1" -> 400L, "src2" -> 1000000L),
+        defaultBudget = 600L)
+        .select(col("doc_id"), col("source"))),
 
     // ---- mixture upsampling: rates above 100% emit whole copies plus
     // a hash-gated extra — deterministic multi-epoch replication
@@ -1025,6 +1063,54 @@ object PipelineQueries {
          |WHERE doc_id % 37 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
     },
 
+    "d8c_bloom_decontaminated" -> {
+      val gram5 = "w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]"
+      val m = BloomM
+      val h = BloomM / 2
+      // Bloom membership == probe-position-set membership (a bit is
+      // set iff SOME bench gram probed it), so the oracle tests the
+      // position set directly instead of packing 64-bit words — the
+      // identical Kirsch–Mitzenmacher arithmetic, m=2^20, k=4
+      s"""WITH bt AS (SELECT string_split(text,' ') AS w FROM documents WHERE doc_id % 37 = 0),
+         |bg AS (SELECT unnest(generate_series(1, len(w)-4)) AS i, w FROM bt),
+         |bs AS (SELECT DISTINCT $gram5 AS s FROM bg),
+         |bh AS (SELECT DISTINCT ${phSql("s")} AS sh FROM bs),
+         |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+         |bpos AS (SELECT DISTINCT ((sh % $m) + j * (2*((sh * 2654435761 % 1000000007) % $h) + 1)) % $m AS pos
+         |         FROM bh CROSS JOIN js),
+         |ct AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id % 37 <> 0),
+         |cg AS (SELECT doc_id, unnest(generate_series(1, len(w)-4)) AS i, w FROM ct),
+         |cs AS (SELECT DISTINCT doc_id, $gram5 AS s FROM cg),
+         |ch AS (SELECT DISTINCT doc_id, ${phSql("s")} AS sh FROM cs),
+         |cp AS (SELECT doc_id, sh, ((sh % $m) + j * (2*((sh * 2654435761 % 1000000007) % $h) + 1)) % $m AS pos
+         |       FROM ch CROSS JOIN js),
+         |hit AS (SELECT doc_id, sh FROM cp JOIN bpos USING (pos)
+         |        GROUP BY doc_id, sh HAVING count(*) = 4),
+         |bad AS (SELECT DISTINCT doc_id FROM hit)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id % 37 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+    },
+
+    "st3_source_overlap" ->
+      s"""WITH $shingleCtes,
+         |hs AS (SELECT doc_id, ${phSql("s")} AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashSigCols FROM hs GROUP BY doc_id),
+         |bands AS (${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, ${bandHashSql(b)} AS bh FROM sig")
+             .mkString(" UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |est AS (SELECT id1, id2, $sigAgreeSql / 16.0 AS est_jaccard
+         |        FROM cand JOIN sig a ON id1 = a.doc_id JOIN sig b ON id2 = b.doc_id),
+         |p AS (SELECT id1, id2, est_jaccard FROM est WHERE est_jaccard >= 0.5)
+         |SELECT least(sa.source, sb.source) AS source_a,
+         |       greatest(sa.source, sb.source) AS source_b,
+         |       count(*) AS n_pairs, sum(est_jaccard) AS sum_est
+         |FROM p JOIN documents sa ON id1 = sa.doc_id
+         |       JOIN documents sb ON id2 = sb.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
     "tx6_pii_redact" ->
       s"""WITH p AS (SELECT doc_id,
          |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
@@ -1046,6 +1132,17 @@ object PipelineQueries {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${phSql("CAST(doc_id AS VARCHAR)")} % 100 <
          |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'fr' THEN 10 ELSE 5 END""".stripMargin,
+
+    "p11_token_budget" ->
+      s"""WITH tot AS (SELECT source, sum(len(string_split(text,' '))) AS total
+         |             FROM documents GROUP BY source),
+         |pm AS (SELECT source, least(1000,
+         |         (CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 400
+         |               WHEN 'src2' THEN 1000000 ELSE 600 END) * 1000
+         |           // greatest(total, 1)) AS pm
+         |       FROM tot)
+         |SELECT doc_id, source FROM documents JOIN pm USING (source)
+         |WHERE ${phSql("CAST(doc_id AS VARCHAR)")} % 1000 < pm""".stripMargin,
 
     "p4_upsample" ->
       s"""WITH b AS (SELECT doc_id, lang,

@@ -461,6 +461,84 @@ case class WinnowFpExpr(child: Expression, k: Int, w: Int)
   override def prettyName: String = "graft_winnow_fp"
 }
 
+object GraftBloom {
+  /** Knuth's 32-bit multiplicative constant: remixes the stride hash
+    * so a full-probe collision needs sh ≡ sh' BOTH mod m and (after
+    * the multiply) mod m/2 — with h2 drawn straight from sh, every
+    * pair of grams agreeing mod m collided on ALL k probes (measured
+    * ~3% doc over-drop at a 0.6% load factor). sh < 2^30 by the
+    * polyHash contract, so sh·K < 2^62 never overflows — in the JVM
+    * or in DuckDB's checked BIGINT arithmetic.
+    */
+  final val Mix = 2654435761L
+
+  /** Kirsch–Mitzenmacher probe positions over an m-bit bitset
+    * (m = 64·words, power of two by construction): h1 = sh mod m,
+    * h2 = 2·((sh·Mix mod P) mod m/2) + 1 (odd, so probes cycle the
+    * whole table), pos_j = (h1 + j·h2) mod m. `sh` is a portable
+    * polyHash value — non-negative by contract, so plain `%` matches
+    * SQL `%` exactly and the DuckDB oracle replays the probes
+    * bit-for-bit.
+    */
+  def insert(bits: Array[Long], sh: Long, k: Int): Unit = {
+    val m = bits.length.toLong * 64
+    val h1 = sh % m
+    val h2 = 2L * ((sh * Mix % PolyHash.P) % (m / 2)) + 1L
+    var j = 0
+    while (j < k) {
+      val pos = ((h1 + j * h2) % m).toInt
+      bits(pos >> 6) |= (1L << (pos & 63))
+      j += 1
+    }
+  }
+
+  /** True iff ANY hash in `hashes` has all `k` probe bits set —
+    * the decontamination contaminated-test. `>> & 1` (not `>>>`)
+    * to literally match the SQL mirror; with `& 1` both extract
+    * bit pos regardless of the word's sign.
+    */
+  def anyContains(hashes: ArrayData, bits: Array[Long], k: Int): Boolean = {
+    val m = bits.length.toLong * 64
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val sh = hashes.getLong(i)
+      val h1 = sh % m
+      val h2 = 2L * ((sh * Mix % PolyHash.P) % (m / 2)) + 1L
+      var j = 0
+      var all = true
+      while (all && j < k) {
+        val pos = ((h1 + j * h2) % m).toInt
+        all = ((bits(pos >> 6) >> (pos & 63)) & 1L) == 1L
+        j += 1
+      }
+      if (all) return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** `graft_bloom_any(hashes)` — true iff any element of a long-array
+  * column tests positive in the (plan-literal) Bloom bitset. The
+  * bitset rides along as a codegen reference object: constant-time
+  * membership per element regardless of how large the benchmark set
+  * was, inside whole-stage codegen.
+  */
+case class BloomAnyContainsExpr(child: Expression, bits: Array[Long], k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    GraftBloom.anyContains(input.asInstanceOf[ArrayData], bits, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftBloom.anyContains($c, $ref, $k)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomAnyContainsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bloom_any"
+}
+
 object NativeExpressions {
   /** Column wrappers for direct DataFrame use. */
   def polyHash(c: Column): Column =
@@ -482,6 +560,8 @@ object NativeExpressions {
     ColumnBridge.column(PositionalGramHashesExpr(ColumnBridge.expression(text), n))
   def minhashSigFromHashes(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSigFromHashesExpr(ColumnBridge.expression(hashes), numHashes))
+  def bloomAny(hashes: Column, bits: Array[Long], k: Int): Column =
+    ColumnBridge.column(BloomAnyContainsExpr(ColumnBridge.expression(hashes), bits, k))
 }
 
 /** SparkSessionExtensions hook: registers the native functions into

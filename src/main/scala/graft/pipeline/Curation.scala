@@ -109,6 +109,66 @@ object Curation {
         lit(true)))
   }
 
+  /** Build the `mBits`-bit Bloom bitset (as `mBits/64` longs) of the
+    * benchmark suite's distinct word-`n`-gram hashes, `k` probes per
+    * gram (Kirsch–Mitzenmacher, [[graft.functions.GraftBloom]]).
+    * Driver-side by the same bounded-bench contract as
+    * [[decontaminateStream]]'s literal — but the ARTIFACT here is
+    * fixed-size (`mBits/8` bytes) no matter how many grams went in,
+    * which is the point at scale.
+    */
+  def bloomBitset(
+      bench: DataFrame,
+      textCol: String,
+      n: Int,
+      mBits: Int,
+      k: Int): Array[Long] = {
+    require(mBits >= 128 && (mBits & (mBits - 1)) == 0,
+      "mBits must be a power of two >= 128")
+    require(k >= 1, "k must be >= 1")
+    val bits = new Array[Long](mBits / 64)
+    bench
+      .select(explode(Dedup.shingleHashes(col(textCol), n)).as("sh"))
+      .distinct().collect()
+      .foreach(r => graft.functions.GraftBloom.insert(bits, r.getLong(0), k))
+    bits
+  }
+
+  /** Bloom-filter decontamination — the SCALE path when the benchmark
+    * n-gram set outgrows [[decontaminateStream]]'s sorted-literal
+    * `arrays_overlap` (whose probe cost is O(|bench|) per shingle and
+    * whose plan literal grows with the suite): the suite is folded
+    * into a FIXED-SIZE bitset (`mBits` bits, `k` probes — e.g. 2^27
+    * bits = 16 MiB holds tens of millions of grams at <1% false
+    * positives), shipped once per executor as plan metadata, and the
+    * corpus side stays a PURE NARROW FILTER with constant-time
+    * membership per shingle inside whole-stage codegen. Zero shuffle,
+    * zero state, no driver-side text.
+    *
+    * False positives over-drop at the classical (1-e^{-kn/m})^k rate;
+    * false negatives are impossible — the safe direction for
+    * decontamination. Exactly reproducible cross-engine: probes are
+    * integer arithmetic on the portable hash, so the DuckDB oracle
+    * replays the identical bitset (rendered from [[bloomBitset]]) and
+    * drops the identical docs.
+    */
+  def bloomDecontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      mBits: Int = 1 << 16,
+      k: Int = 4): DataFrame = {
+    val bits = bloomBitset(bench, textCol, n, mBits, k)
+    // coalesce: NULL text → NULL shingles → keep (matches decontaminate's
+    // anti-join, which can't drop a doc that exploded zero shingles)
+    corpus.filter(coalesce(
+      !graft.functions.NativeExpressions.bloomAny(
+        Dedup.shingleHashes(col(textCol), n), bits, k),
+      lit(true)))
+  }
+
   // ---- deterministic sampling -------------------------------------------
 
   /** Keep rows whose portable hash of `idCol` lands under `pct`
@@ -163,6 +223,41 @@ object Curation {
       .filter(col("_n") > 0)
       .withColumn("copy", explode(sequence(lit(1), col("_n"))))
       .drop("_n")
+  }
+
+  /** Token-budget mixture: downsample each `stratumCol` stratum to a
+    * TOKEN budget — pretraining mixtures are specified in tokens, not
+    * document counts, so the keep-rate must come from the corpus
+    * itself. One metadata-sized aggregate (a row per stratum: total
+    * tokens) is joined back BROADCAST; each row then passes when its
+    * deterministic portable hash lands under
+    * `min(1000, budget·1000 div total)` per-mille — integer
+    * arithmetic end-to-end, so the sample is bit-reproducible across
+    * engines, runs, and appends, and strata already under budget keep
+    * everything. Corpus text never shuffles: the aggregate moves
+    * (stratum, count) partials, the filter is narrow.
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      textCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long = 0L): DataFrame = {
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val rates = df.groupBy(col(stratumCol))
+      .agg(sum(TextFunctions.tokenCount(col(textCol))).as("_total"))
+      .withColumn("_budget", budget)
+      // greatest(·,1): an all-empty-text stratum has 0 tokens — treat
+      // as under budget (keep) rather than divide by zero
+      .withColumn("_pm",
+        least(lit(1000L), expr("_budget * 1000 div greatest(_total, 1)")))
+      .select(col(stratumCol), col("_pm"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(TextFunctions.polyHash(col(idCol).cast("string")) % 1000 < col("_pm"))
+      .drop("_pm")
   }
 
   /** Deterministic train/validation/test split label: the portable id

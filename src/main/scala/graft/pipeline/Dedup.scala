@@ -346,6 +346,38 @@ object Dedup {
     star.unionAll(crossReps)
   }
 
+  /** Inter-source near-duplicate overlap matrix: for every unordered
+    * pair of `sourceCol` values, the number of verified MinHash
+    * near-dup doc pairs crossing them plus their estimated-Jaccard
+    * mass — the curation report that quantifies duplication BETWEEN
+    * ingest sources (crawl snapshot vs curated set, vendor A vs B)
+    * before choosing mixture weights. Consumes [[minhashLshPairs]];
+    * the extra cost is two (id → source) metadata joins and one tiny
+    * source-pair aggregation — the doc-pair set never widens, and
+    * map-side partials reduce it to at most |sources|² rows.
+    * `sum_est` stays exact cross-engine: every estimate is a multiple
+    * of 1/numHashes (a dyadic rational for the default 16), so double
+    * summation is order-independent.
+    */
+  def sourceOverlapMatrix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, numHashes, bands, threshold)
+    val src = df.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.toDF("id1", "_src1"), "id1")
+      .join(src.toDF("id2", "_src2"), "id2")
+      .groupBy(least(col("_src1"), col("_src2")).as("source_a"),
+        greatest(col("_src1"), col("_src2")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("est_jaccard")).as("sum_est"))
+  }
+
   /** Cross-corpus dedup: rows of `dfNew` that near-duplicate any row
     * of `dfRef` (MinHash est-Jaccard >= `threshold`) are dropped; the
     * survivors of `dfNew` return unchanged. The incremental-ingest

@@ -29,6 +29,61 @@ class CurationSpec extends AnyFunSuite {
     assert(clean === Set(11L))
   }
 
+  test("bloomDecontaminate: no false negatives; survivors subset of exact decontaminate") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "intro text then the quick brown fox jumps over and more"),
+      (11L, "completely unrelated words about spark and scala engines"),
+      (12L, "fox jumps over the lazy dog said someone once"),
+      (13L, null.asInstanceOf[String]) // null text must be kept, like the exact path
+    ).toDF("doc_id", "text")
+    val bloom = Curation.bloomDecontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    val exact = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    // no false negatives: everything the exact probe drops, bloom drops
+    assert(bloom.subsetOf(exact))
+    assert(!bloom.contains(10L) && !bloom.contains(12L))
+    assert(bloom.contains(13L))
+    // at this load factor (dozens of grams in 2^16 bits) no false positives either
+    assert(bloom === exact)
+  }
+
+  test("bloom bitset: every inserted hash tests positive; k probes all required") {
+    import graft.functions.GraftBloom
+    val bits = new Array[Long](1 << 10) // 2^16 bits
+    val hashes = (0 until 1000).map(i => (i.toLong * 2654435761L) % 1000000007L)
+    hashes.foreach(GraftBloom.insert(bits, _, 4))
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(hashes.toArray)
+    assert(GraftBloom.anyContains(arr, bits, 4)) // membership
+    hashes.foreach { h =>
+      val one = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(h))
+      assert(GraftBloom.anyContains(one, bits, 4), s"false negative for $h")
+    }
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    assert(!GraftBloom.anyContains(empty, bits, 4))
+  }
+
+  test("tokenBudgetSample: under-budget strata keep everything, rates are deterministic") {
+    val docs = (1L to 200L).map { i =>
+      val src = if (i % 2 == 0) "big" else "small"
+      (i, src, Seq.fill(10)("w").mkString(" ")) // 10 tokens each
+    }.toDF("doc_id", "source", "text")
+    // big: 100 docs * 10 tok = 1000 tokens, budget 250 → ~25% per-mille gate;
+    // small: budget 100000 → far under budget, keeps all 100
+    val out = Curation.tokenBudgetSample(docs, "doc_id", "source", "text",
+      Map("big" -> 250L, "small" -> 100000L))
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("small") === 100L)
+    assert(bySrc("big") > 0L && bySrc("big") < 100L)
+    // deterministic: rerun is byte-identical
+    val again = Curation.tokenBudgetSample(docs, "doc_id", "source", "text",
+      Map("big" -> 250L, "small" -> 100000L))
+    assert(out.select("doc_id").as[Long].collect().sorted
+      === again.select("doc_id").as[Long].collect().sorted)
+  }
+
   test("PII: emails and phones counted and redacted; email digits don't double-count") {
     val df = Seq(
       (1L, "reach me at jane.doe+x@example.org or +1 555 123 4567 thanks"),

@@ -52,6 +52,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("sourceOverlapMatrix rolls near-dup pairs up by unordered source pair") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "crawl"),
+      (2L, "alpha beta gamma delta epsilon zeta", "curated"), // dup of 1, crosses sources
+      (3L, "alpha beta gamma delta epsilon zeta", "crawl"),   // dup of 1, same source
+      (4L, "totally different words nothing shared here", "curated")
+    ).toDF("doc_id", "text", "source")
+    val m = graft.pipeline.Dedup.sourceOverlapMatrix(df, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("crawl", "curated")) === 2L) // (1,2) and (2,3)
+    assert(m(("crawl", "crawl")) === 1L)   // (1,3)
+    assert(!m.contains(("curated", "curated")))
+    graft.pipeline.Dedup.releaseCaches()
+  }
+
   test("releaseCaches unpersists every intermediate Dedup cached") {
     spark.catalog.clearCache()
     Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.9).collect()

@@ -118,6 +118,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(3000))
   }
 
+  test("d8c bloom decontamination: corpus side is a pure narrow filter, zero exchanges") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(graft.pipeline.Curation.bloomDecontaminate(
+      docs.filter(col("doc_id") % 37 =!= 0), docs.filter(col("doc_id") % 37 === 0),
+      "doc_id", "text", n = 5, mBits = 1 << 16, k = 4)
+      .select(col("doc_id"), col("n_chars")))
+    // the bitset is plan metadata — no join, no exchange, no state;
+    // this is the property that distinguishes the bloom path from d8
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(3000))
+    assert(p.contains("graft_bloom_any"), p.take(3000))
+  }
+
+  test("p11 token budget: one metadata agg, rate side broadcast, corpus filter narrow") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(graft.pipeline.Curation.tokenBudgetSample(
+      docs, "doc_id", "source", "text", Map("src0" -> 800L), defaultBudget = 600L)
+      .select(col("doc_id"), col("source")))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
+    // the only keyed exchange is the per-source token total (partial-agg'd)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(p.contains("partial_sum") || p.contains("partial sum"), p.take(3000))
+  }
+
   test("p2 packing: one shard exchange, one window — no global single-partition sort") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val p = plan(graft.pipeline.Curation.packChunks(docs, "doc_id", "text", 512, 8))
