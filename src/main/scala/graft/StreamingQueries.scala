@@ -233,6 +233,20 @@ object StreamingQueries {
       out
     }),
 
+    // ---- streaming ANN serving: a live query stream probes the
+    // static IVF-indexed corpus (literal stub quantizer, the c4s
+    // pattern) and each query emits its exact top-3 neighbors from
+    // its 2 probed cells — batch ivfTopK semantics, online
+    "s7s_ann_query_stream" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (out, _) = runStream(s,
+        Seq((emb.filter(col("vec_id") < 8), "vec_id")), "append", ticks = 4) {
+        case Seq(q) => StreamingState.annQueryStream(
+          q, emb, "vec_id", "embedding", stubCentroids, k = 3, nprobe = 2)
+      }
+      out
+    }),
+
     // ---- K2/T10/T11: engine-log round-trip — every event encoded
     // into engine-cycle JSON lines (the reference's snapshot format:
     // {csp_engine_timestamp, channel: [rows…]}, 100-row cycles) and
@@ -332,6 +346,36 @@ object StreamingQueries {
          |cnt AS (SELECT cell, count(*) AS n FROM assigned GROUP BY cell)
          |SELECT sums.cell, cnt.n, sums.d, CAST(sums.sd AS DOUBLE) AS centroid_sum
          |FROM sums JOIN cnt USING (cell)""".stripMargin,
+
+    // batch ivfTopK over the same literal quantizer: corpus rows in
+    // their argmax cell, queries probe their 2 nearest cells, exact
+    // cosine rank within the probed candidates (NaN-guarded)
+    "s7s_ann_query_stream" -> {
+      def cosE(a: String, b: String) =
+        s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
+          s"(sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) * " +
+          s"sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))"
+      s"""WITH $stubCentroidsSql,
+         |scored AS (SELECT e.vec_id, e.embedding, cents.c,
+         |    list_dot_product(CAST(e.embedding AS DOUBLE[]), ce) /
+         |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(ce, ce))) AS cos
+         |  FROM embeddings e CROSS JOIN cents),
+         |assigned AS (SELECT vec_id AS cid, embedding AS cv, c AS cell FROM (
+         |    SELECT vec_id, embedding, c,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c ASC) AS rn
+         |    FROM scored WHERE NOT isnan(cos)) WHERE rn = 1),
+         |qprobe AS (SELECT vec_id AS qid, embedding AS qv, c AS cell FROM (
+         |    SELECT vec_id, embedding, c,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c ASC) AS rn
+         |    FROM scored WHERE NOT isnan(cos) AND vec_id < 8) WHERE rn <= 2),
+         |cand AS (SELECT qid, cid, ${cosE("qv", "cv")} AS cosine
+         |         FROM qprobe JOIN assigned USING (cell) WHERE qid <> cid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY cosine DESC, cid ASC) AS rank
+         |      FROM cand WHERE NOT isnan(cosine))
+         |SELECT qid, cid, cosine, rank FROM r WHERE rank <= 3""".stripMargin
+    },
 
     // the ascending-id greedy replayed sequentially: a recursive CTE
     // walks each cell in id order carrying the kept roster (ids +

@@ -357,6 +357,73 @@ object StreamingState {
     // stream dedup (unbounded state) — the caller should scope it.
   }
 
+  /** Streaming ANN serving: a LIVE stream of query vectors probes a
+    * STATIC IVF-indexed corpus and each query emits its exact top-`k`
+    * same/nearby-cell neighbors `(qid, cid, cosine, rank)` — the
+    * online complement of [[graft.pipeline.Similarity.ivfTopK]]
+    * (retrieval-service lookups, dedup-against-index admission
+    * checks), sharing its exact semantics: the quantizer is a plan
+    * literal (narrow `nprobe`-cell fan-out on the query side, zero
+    * Exchange before the cell join), corpus rows live in exactly one
+    * cell, candidates meet in a stream-static equi-join on the cell,
+    * self-matches and NaN cosines (zero-norm, unsearchable) drop.
+    *
+    * The corpus assignment is computed once and cached (the
+    * [[crossCorpusDupStream]] static-side contract — the session
+    * clears it). Per-query top-k runs in `flatMapGroupsWithState`
+    * keyed by query id: a stream-static join emits ALL of a query's
+    * candidates in the micro-batch the query arrived in, so the
+    * group invocation ranks and emits immediately and KEEPS NO STATE
+    * — re-sending a query id re-answers it, it does not dedup. At
+    * cluster scale the per-batch work is one keyed exchange of
+    * (qid, cid, cosine) candidate tuples, never corpus vectors.
+    */
+  def annQueryStream(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Long, Seq[Double])],
+      k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(cents.nonEmpty, "annQueryStream needs a fitted coarse quantizer")
+    require(k >= 1 && nprobe >= 1, "annQueryStream: k and nprobe must be >= 1")
+    val centArr = array(cents.toIndexedSeq.map { case (cid, v) =>
+      struct(lit(cid).as("c"), typedLit(v).as("ce"))
+    }: _*)
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("_cv"))
+      .withColumn("_cell", graft.pipeline.Clustering.assignCell(col("_cv"), cents.toIndexedSeq))
+      .filter(col("_cell") >= 0)
+      .cache()
+    val probed = queries
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).as("_qv"))
+      // cell array materialized BELOW the Generate (the tx4 rule)
+      .withColumn("_cells",
+        graft.pipeline.Similarity.topCells(col("_qv"), centArr, nprobe))
+      .select(col("qid"), col("_qv"), explode(col("_cells")).as("_cell"))
+    val scored = probed.join(assigned, Seq("_cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        graft.functions.NativeExpressions.cosine(col("_qv"), col("_cv")).as("cosine"))
+      .filter(!isnan(col("cosine")))
+      .as[(Long, Long, Double)]
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (Long, Long, Double, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Double)], _: GroupState[Int]) =>
+          // batch-parity ranking: cosine desc, cid asc
+          rows.toArray
+            .sortBy { case (_, cid, cos) => (-cos, cid) }
+            .take(k).zipWithIndex
+            .map { case ((qid, cid, cos), i) => (qid, cid, cos, i + 1) }
+            .iterator
+      }
+      .toDF("qid", "cid", "cosine", "rank")
+  }
+
   /** Per-bucket memory for [[embeddingNearDupStream]]. */
   final case class VecBucketState(ids: Array[Long], vecs: Array[Array[Float]])
 

@@ -292,6 +292,52 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("annQueryStream: streamed queries match batch ivfTopK across batches") {
+    val dims = 8
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def vec(id: Long): Row = {
+      // deterministic spread: unit-ish vectors pointing along varied axes
+      val v = Array.tabulate(dims)(d => (((id * 7 + d * 3) % 11) - 5).toFloat)
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](id, v.toSeq), schema)
+    }
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize((1L to 40L).map(vec)), schema)
+    val cents = Array.tabulate(3)(c =>
+      (c.toLong, (0 until dims).map(d => (((c * 5 + d) % 7) - 3).toDouble): Seq[Double]))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(schema), sqlCtx)
+    val out = StreamingState.annQueryStream(
+      stream.toDF(), corpus, "vec_id", "embedding", cents, k = 3, nprobe = 2)
+    val name = s"annq_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("annq-ckpt").toString)
+      .start()
+    try {
+      stream.addData(vec(1L), vec(2L))
+      q.processAllAvailable()
+      stream.addData(vec(3L)) // a later batch must be served identically
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      // batch reference over the same literal quantizer
+      val centDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(cents.toSeq.map { case (c, ce) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array[Any](c, ce.map(_.toFloat)), schema): Row
+        }), schema)
+      val want = graft.pipeline.Similarity.ivfTopK(
+        corpus, corpus.filter(org.apache.spark.sql.functions.col("vec_id") <= 3),
+        centDf, "vec_id", "embedding", k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("intervalJoinStream: two live streams pair within the interval, key-matched") {
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("ts", TimestampType),
