@@ -28,7 +28,7 @@ object ScaleSmoke {
     "d2_ngram_jaccard", "d4_simhash_pairs", "d6_dedup_groups",
     "d7_dedup_corpus", "d9_substring_dup", "d10_cross_dedup",
     "d11_dedup_keep_best", "d13_minhash_dedup", "tx9_annotate_bundle",
-    "p10_source_cap")
+    "p10_source_cap", "st3_source_overlap", "d8c_bloom_decontaminated")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
