@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Transforms, ViewConfig, Views}
+import graft.operators.{AsofJoin, Monitoring, Transforms, ViewConfig, Views}
 
 /** Relational / view / transform query catalog: the SQL surface the
   * reference exposes through its embedded engines (Perspective views
@@ -71,6 +71,31 @@ object RelationalQueries {
         ev.filter(col("event_type") === "view")
           .select(col("event_id"), col("user_id"))))
     }),
+
+    // ---- K7/X14: vendor monitoring payload transforms — the graded
+    // substance of the Datadog/OpsGenie/logging publishers: severity
+    // mapping across systems and deterministic sorted tag formatting
+    // (levels synthesized from event_id; tags joined to a scalar —
+    // the comparator cannot sort list columns)
+    "k7_vendor_payloads" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val lvl = element_at(typedLit(Monitoring.Levels),
+        (pmod(col("event_id"), lit(5)) + 1).cast("int"))
+      val tags = map(lit("type"), col("event_type"),
+        lit("user"), col("user_id").cast("string"))
+      ev.select(col("event_id"), lvl.as("level"),
+        Monitoring.datadogAlertType(lvl).as("alert_type"),
+        Monitoring.opsgeniePriority(lvl).as("priority"),
+        Monitoring.loggingLevel(lvl).as("log_level"),
+        concat_ws(",", Monitoring.tagList(tags)).as("tags"))
+    }),
+
+    // ---- K7: Symphony chat publisher — one message per row, msg =
+    // row JSON, addressed to the configured bot user + room
+    "k7b_symphony_messages" -> ((s, dir) =>
+      Monitoring.toSymphonyMessages(
+        t(s, dir, "events").select(col("event_id"), col("event_type")),
+        "graft-bot@corp", "eng-alerts")),
 
     // ---- K3: SQL-sink projection — fields/rename/augment + nested
     // struct columns stringified to JSON (sql.py:141-176)
@@ -281,6 +306,27 @@ object RelationalQueries {
       """SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
         |UNION ALL
         |SELECT event_id, user_id, NULL AS value FROM events WHERE event_type = 'view'""".stripMargin,
+
+    "k7_vendor_payloads" ->
+      """WITH b AS (SELECT event_id, event_type, user_id,
+        |  ['DEBUG','INFO','WARNING','ERROR','CRITICAL'][CAST(event_id % 5 AS INT) + 1] AS level
+        |  FROM events)
+        |SELECT event_id, level,
+        |  CASE WHEN level IN ('CRITICAL','ERROR') THEN 'error'
+        |       WHEN level = 'WARNING' THEN 'warning'
+        |       WHEN level = 'DEBUG' THEN 'success' ELSE 'info' END AS alert_type,
+        |  CASE level WHEN 'CRITICAL' THEN 'P1' WHEN 'ERROR' THEN 'P2'
+        |       WHEN 'WARNING' THEN 'P3' WHEN 'INFO' THEN 'P4' ELSE 'P5' END AS priority,
+        |  CASE level WHEN 'CRITICAL' THEN 50 WHEN 'ERROR' THEN 40
+        |       WHEN 'WARNING' THEN 30 WHEN 'INFO' THEN 20 ELSE 10 END AS log_level,
+        |  array_to_string(list_sort(['type:' || event_type,
+        |                             'user:' || CAST(user_id AS VARCHAR)]), ',') AS tags
+        |FROM b""".stripMargin,
+
+    "k7b_symphony_messages" ->
+      """SELECT 'graft-bot@corp' AS "user", 'eng-alerts' AS room,
+        |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS msg
+        |FROM events""".stripMargin,
 
     "k3_sql_projection" ->
       """SELECT o_orderkey AS order_id, o_totalprice,
