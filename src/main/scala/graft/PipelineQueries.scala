@@ -26,6 +26,16 @@ object PipelineQueries {
     * and the oracle SQL so the two can never drift. */
   private val BloomM = 1 << 20
 
+  /** Deterministic literal LM weight table for the tx10 perplexity
+    * gate: non-negative quantized NLL per bigram bucket (an LCG over
+    * the bucket index — the dsirStubWeights pattern), generated here
+    * and rendered into the oracle SQL so the gate checks the gram
+    * hashing, bucket lookup, exact-integer fold, and discrete-quantile
+    * tertile split with no data-fitted model (and no libm) anywhere.
+    */
+  private[graft] val perplexityStubWeights: Seq[Long] =
+    (0 until 1024).map(b => (b.toLong * 1103515245L + 12345L) % 12000L)
+
   // ---- shared DuckDB SQL fragments --------------------------------------
 
   /** Portable polynomial hash of a string expression (mirror of
@@ -354,6 +364,13 @@ object PipelineQueries {
         docs.filter(col("doc_id") % 37 === 0),
         "doc_id", "text", n = 5).select(col("doc_id"), col("n_chars"))
     }),
+
+    // ---- CCNet-style perplexity bucketing: bucketed-bigram LM score
+    // (literal stub weight table) + per-language head/middle/tail
+    // discrete-quantile split
+    "tx10_perplexity_buckets" -> ((s, dir) =>
+      Curation.perplexityBuckets(t(s, dir, "documents"),
+        "doc_id", "text", "lang", perplexityStubWeights)),
 
     // ---- Bloom-filter decontamination: the scale path — the bench
     // suite folded into a fixed-size bitset (2^20 bits = 128 KiB, 4
@@ -1062,6 +1079,30 @@ object PipelineQueries {
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id % 37 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
     },
+
+    "tx10_perplexity_buckets" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
+        |g AS (SELECT doc_id, lang, unnest(generate_series(1, len(w)-1)) AS i, w
+        |      FROM t WHERE len(w) >= 2),
+        |gh AS (SELECT doc_id, lang,
+        |         list_reduce([CAST(unicode(c) AS BIGINT) for c in string_split_regex(w[i]||' '||w[i+1],'')],
+        |                     (h,c) -> (h*31+c) % 1000000007) AS h FROM g),
+        |sc AS (SELECT doc_id, lang,
+        |         sum(((h % 1024) * 1103515245 + 12345) % 12000) AS s, count(*) AS n
+        |       FROM gh GROUP BY doc_id, lang),
+        |scored AS (SELECT doc_id, lang, CAST(s // n AS BIGINT) AS nll_milli FROM sc),
+        |hist AS (SELECT lang, nll_milli, count(*) AS c FROM scored GROUP BY 1, 2),
+        |cum AS (SELECT lang, nll_milli,
+        |          sum(c) OVER (PARTITION BY lang ORDER BY nll_milli ASC) AS cumc,
+        |          sum(c) OVER (PARTITION BY lang) AS ntot FROM hist),
+        |thr AS (SELECT lang,
+        |          min(CASE WHEN cumc >= greatest(ntot*33//100, 1) THEN nll_milli END) AS t1,
+        |          min(CASE WHEN cumc >= greatest(ntot*67//100, 1) THEN nll_milli END) AS t2
+        |        FROM cum GROUP BY lang)
+        |SELECT doc_id, scored.lang, nll_milli,
+        |  CASE WHEN nll_milli <= t1 THEN 'head'
+        |       WHEN nll_milli <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM scored JOIN thr USING (lang)""".stripMargin,
 
     "d8c_bloom_decontaminated" -> {
       val gram5 = "w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]"

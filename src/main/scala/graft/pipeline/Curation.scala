@@ -636,6 +636,73 @@ object Curation {
       .drop("_thr")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3):
+    * every document is scored by a bucketed n-gram LM — each bigram
+    * OCCURRENCE hashes to one of `weights.length` buckets holding a
+    * quantized negative-log-prob in integer milli-nats (the
+    * production fit is a KenLM table; either way bounded metadata
+    * shipped as a plan literal) — and each language is split
+    * head/middle/tail at its own discrete-quantile thresholds of the
+    * per-doc mean NLL. The scoring pass is pure narrow integer
+    * arithmetic over the weight literal (zero shuffle — the dsirScore
+    * shape, all-occurrence grams via the fused positional kernel);
+    * thresholds come from ONE (lang, score) histogram aggregate with
+    * windows over HISTOGRAM rows only (the p8b shape — no
+    * per-language window ever sees corpus rows); labeling is a
+    * broadcast join + narrow bucket assignment.
+    *
+    * Cut rule (deterministic, engine-portable): thr(pct) = the
+    * smallest integer score whose ascending cumulative count reaches
+    * max(floor(n·pct/100), 1); docs at or below thr(headPct) are
+    * "head", at or below thr(middlePct) "middle", the rest "tail" —
+    * lower mean NLL = more fluent; CCNet keeps the head. Ties at a
+    * threshold land in the better bucket. Docs with no bigram (one
+    * word, empty, null) carry no LM evidence and are dropped.
+    * `weights` must be non-negative so integer division truncation
+    * equals floor on both engines.
+    */
+  def perplexityBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      weights: Seq[Long],
+      headPct: Int = 33,
+      middlePct: Int = 67): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(weights.nonEmpty, "perplexityBuckets needs a weight table")
+    require(weights.forall(_ >= 0L), "perplexityBuckets: weights must be non-negative")
+    require(0 < headPct && headPct < middlePct && middlePct <= 100,
+      s"perplexityBuckets: need 0 < headPct < middlePct <= 100, got $headPct/$middlePct")
+    val b = weights.length.toLong
+    val wLit = typedLit(weights)
+    val scored = df
+      .withColumn("_bg",
+        graft.functions.NativeExpressions.positionalGramHashes(col(textCol), 2))
+      .filter(size(col("_bg")) >= 1)
+      .withColumn("_sum", aggregate(col("_bg"), lit(0L),
+        (acc, h) => acc + element_at(wLit, (pmod(h, lit(b)) + 1L).cast("int"))))
+      .withColumn("_n", size(col("_bg")).cast("long"))
+      .select(col(idCol), col(langCol), expr("_sum div _n").as("nll_milli"))
+    val hist = scored.groupBy(col(langCol), col("nll_milli"))
+      .agg(count(lit(1)).as("_c"))
+    val cum = hist
+      .withColumn("_cum", sum(col("_c"))
+        .over(Window.partitionBy(langCol).orderBy(col("nll_milli").asc)))
+      .withColumn("_ntot", sum(col("_c")).over(Window.partitionBy(langCol)))
+    def thr(pct: Int) = min(when(
+      col("_cum") >= greatest(floor(col("_ntot") * pct / 100).cast("long"), lit(1L)),
+      col("nll_milli")))
+    val thresholds = cum.groupBy(langCol)
+      .agg(thr(headPct).as("_t1"), thr(middlePct).as("_t2"))
+    scored.join(broadcast(thresholds), langCol)
+      .withColumn("bucket",
+        when(col("nll_milli") <= col("_t1"), lit("head"))
+          .when(col("nll_milli") <= col("_t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("_t1", "_t2")
+  }
+
   /** Domain/source balancing: keep AT MOST ~`cap` documents per group
     * (the CommonCrawl-pipeline "cap docs per domain" rule — one SEO
     * farm must not dominate the mixture), selected by deterministic

@@ -64,6 +64,29 @@ class CurationSpec extends AnyFunSuite {
     assert(!GraftBloom.anyContains(empty, bits, 4))
   }
 
+  test("perplexityBuckets: tertile split per language, fluent docs in the head") {
+    val weights = (0 until 1024).map(b => (b.toLong * 97L + 13L) % 500L)
+    // 9 docs, one language: 19 distinct bigrams each → the mean-NLL
+    // scores spread without ties, so all three buckets populate
+    val docs = (1L to 9L).map(i =>
+      (i, (1 to 20).map(j => s"t${i}w$j").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.perplexityBuckets(docs, "doc_id", "text", "lang", weights)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("nll_milli"), r.getAs[String]("bucket")))).toMap
+    assert(out.size === 9)
+    // all three buckets populated, and the split is monotone in score:
+    // every head score <= every middle score <= every tail score
+    val byBucket = out.values.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    // no-bigram docs are dropped, not mis-bucketed
+    val withEmpty = docs.unionAll(Seq((99L, "solo", "en")).toDF("doc_id", "text", "lang"))
+    val out2 = Curation.perplexityBuckets(withEmpty, "doc_id", "text", "lang", weights)
+    assert(!out2.collect().exists(_.getAs[Long]("doc_id") == 99L))
+  }
+
   test("tokenBudgetSample: under-budget strata keep everything, rates are deterministic") {
     val docs = (1L to 200L).map { i =>
       val src = if (i % 2 == 0) "big" else "small"

@@ -142,6 +142,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("partial sum"), p.take(3000))
   }
 
+  test("tx10 perplexity: threshold windows see histogram rows only, labels broadcast") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(graft.pipeline.Curation.perplexityBuckets(
+      docs, "doc_id", "text", "lang", (0 until 64).map(b => (b * 7L) % 500L)))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
+    // every Window's child chain must include the histogram aggregate —
+    // no window directly over un-aggregated corpus rows (the p8b rule):
+    // exchanges = (lang, score) histogram partial-agg + the histogram
+    // window repartition; the scoring pass itself adds none
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p.take(3000))
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      p.contains("HashAggregate"), p.take(3000))
+  }
+
   test("p2 packing: one shard exchange, one window — no global single-partition sort") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val p = plan(graft.pipeline.Curation.packChunks(docs, "doc_id", "text", 512, 8))
