@@ -1014,13 +1014,17 @@ object PipelineQueries {
     // unicode('') = -1, which would credit bin 7 where the kernel
     // emits all-zero (ADVICE r4; latent — the corpus has no empties)
     // audio rows carry a REAL WAV payload (44-byte header + one i16
-    // sample per codepoint, sample = cp & 7), so n_bytes is the file
-    // size and the feature is the decoded-sample histogram — which
-    // equals the codepoint-class histogram by construction
+    // sample per codepoint, sample = cp & 7) and image rows a REAL
+    // 24-bit BMP (54-byte header + one padded n×1 pixel row, gray =
+    // cp & 7), so n_bytes is the file size and the feature is the
+    // decoded-sample/pixel histogram — which equals the
+    // codepoint-class histogram by construction
     "mm1_media_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CASE WHEN doc_id % 3 = 1 THEN 44 + 2*len(text) ELSE strlen(text) END AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 1 THEN 44 + 2*len(text)
+        |       WHEN doc_id % 3 = 0 THEN 54 + ((3*len(text)+3)//4)*4
+        |       ELSE strlen(text) END AS n_bytes,
         |  k AS bin,
         |  CASE WHEN len(text) > 0 THEN
         |    len(list_filter(string_split_regex(text,''), c -> (unicode(c) & 7) = k)) * 1.0

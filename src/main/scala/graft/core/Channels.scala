@@ -96,6 +96,13 @@ trait Module {
   def connect(g: ChannelGraph): Unit
 }
 
+/** Per-channel module wiring, as recorded during [[ChannelGraph.attach]]
+  * — reference `_modules_connections_graph` (channels.py:228,288-309):
+  * which modules push to (`setters`) and pull from (`getters`) each
+  * channel. Serialized by the gateway's `/channels_graph` route.
+  */
+final case class ChannelConnections(getters: Seq[String], setters: Seq[String])
+
 /** Build-phase wiring of channels. Two phases like the reference
   * (`ChannelsFactory.build`, channels.py:241-278): modules declare edges
   * (`set`, `transform`), then [[finalizeGraph]] resolves delayed gets,
@@ -111,12 +118,52 @@ final class ChannelGraph(val specs: Map[String, ChannelSpec]) {
   private val feedbacks = mutable.Set.empty[String]
   private val resolved = mutable.LinkedHashMap.empty[String, DataFrame]
 
+  // module-attribution of edges (reference channels.py:279-309: the
+  // channels object knows which module is currently connecting and
+  // records every get/set under its name)
+  private var currentModule: Option[String] = None
+  private val connections =
+    mutable.LinkedHashMap.empty[String, (mutable.Buffer[String], mutable.Buffer[String])]
+  private var finalized = false
+
+  private def record(name: String, setting: Boolean): Unit =
+    currentModule.foreach { m =>
+      val (getters, setters) = connections.getOrElseUpdate(
+        name, (mutable.Buffer.empty[String], mutable.Buffer.empty[String]))
+      val bucket = if (setting) setters else getters
+      if (!bucket.contains(m)) bucket += m
+    }
+
+  /** Connect a module under its name, so every `set`/`transform` edge it
+    * declares is attributed to it in [[connectionsGraph]] (reference
+    * `_module_being_attached`, channels.py:280-286).
+    */
+  def attach(module: Module): Unit = {
+    // normalize Scala synthetic class-name decorations: `Foo$` for
+    // top-level objects, `Foo$1$` for method-local ones
+    currentModule = Some(
+      module.getClass.getSimpleName.stripSuffix("$").replaceAll("\\$\\d+$", ""))
+    try module.connect(this)
+    finally currentModule = None
+  }
+
+  /** Channel → modules wiring (reference channels.py:976-979 `graph()`:
+    * only valid once finalized — wiring may still grow before that).
+    */
+  def connectionsGraph: Map[String, ChannelConnections] = {
+    require(finalized, "Must finalize graph first")
+    connections.map { case (ch, (g, s)) =>
+      ch -> ChannelConnections(g.toSeq, s.toSeq)
+    }.toMap
+  }
+
   def spec(name: String): ChannelSpec =
     specs.getOrElse(name, throw new NoSuchElementException(s"Unknown channel '$name'"))
 
   /** Provide rows for a channel (a source module). */
   def set(name: String)(df: => DataFrame): Unit = {
     spec(name)
+    record(name, setting = true)
     providers.getOrElseUpdate(name, mutable.Buffer.empty) += (() => df)
   }
 
@@ -124,6 +171,8 @@ final class ChannelGraph(val specs: Map[String, ChannelSpec]) {
   def transform(inputs: Seq[String], output: String)(
       fn: Seq[DataFrame] => DataFrame): Unit = {
     (inputs :+ output).foreach(spec)
+    inputs.foreach(record(_, setting = false))
+    record(output, setting = true)
     transforms += ((inputs, output, fn))
   }
 
@@ -177,9 +226,11 @@ final class ChannelGraph(val specs: Map[String, ChannelSpec]) {
         } else all.reduce(_.unionByName(_, allowMissingColumns = true))
       }
     )
-    specs.keys.flatMap { n =>
+    val out = specs.keys.flatMap { n =>
       val hasAny = providers.contains(n) || transforms.exists(_._2 == n)
       if (hasAny || specs(n).required) Some(n -> resolve(n)) else None
     }.toMap
+    finalized = true
+    out
   }
 }

@@ -139,6 +139,86 @@ object Multimodal {
     bins.map(_ / math.max(n, 1).toDouble)
   }
 
+  // ---- real BMP codec (pure JVM, no media libraries) ---------------------
+
+  /** True iff the payload carries a BMP header whose declared file size
+    * matches the actual byte count — strict like [[isWav]], so text
+    * payloads starting with "BM" can never be misrouted into the
+    * decoder.
+    */
+  def isBmp(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 54 &&
+      payload(0) == 'B'.toByte && payload(1) == 'M'.toByte &&
+      leInt(payload, 2) == payload.length &&
+      leInt(payload, 14) == 40 // BITMAPINFOHEADER
+
+  /** REAL decode path for BMP payloads: parses the BITMAPINFOHEADER
+    * (24-bit uncompressed only), walks the padded pixel rows, and
+    * histograms the pixels into 8 luminance-class bins (`blue & 7`,
+    * normalized by pixel count — for the synthetic grayscale payloads
+    * all three channels agree). Returns null on any structural
+    * violation (wrong bpp, compression, out-of-bounds pixel array) —
+    * caller decides the fallback, nothing is silently guessed.
+    */
+  def decodeBmp(payload: Array[Byte]): Array[Double] = {
+    if (!isBmp(payload)) return null
+    val dataOff = leInt(payload, 10)
+    val width = leInt(payload, 18)
+    val height = leInt(payload, 22) // negative = top-down; sign only flips row order
+    val planes = leShort(payload, 26)
+    val bpp = leShort(payload, 28)
+    val compression = leInt(payload, 30)
+    if (planes != 1 || bpp != 24 || compression != 0) return null
+    if (width < 0 || dataOff < 54) return null
+    val rows = math.abs(height)
+    val rowSize = ((3 * width + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    if (dataOff.toLong + rowSize.toLong * rows > payload.length) return null
+    val bins = new Array[Double](8)
+    var r = 0
+    while (r < rows) {
+      var x = 0
+      while (x < width) {
+        bins(payload(dataOff + r * rowSize + 3 * x) & 7) += 1.0
+        x += 1
+      }
+      r += 1
+    }
+    val n = width.toLong * rows
+    bins.map(_ / math.max(n, 1L).toDouble)
+  }
+
+  /** Build a minimal valid 24-bit BMP (one padded pixel row per image
+    * row, grayscale: all three channels = the given value) — the
+    * synthetic payload generator for image-kind media.
+    */
+  def bmpEncode(pixels: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width * height == pixels.length, "bmpEncode: dims must cover pixels")
+    val rowSize = ((3 * width + 3) / 4) * 4
+    val dataLen = rowSize * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putShort(0).putShort(0).putInt(54) // reserved + pixel-array offset
+    buf.putInt(40).putInt(width).putInt(height)
+      .putShort(1) // planes
+      .putShort(24) // bpp
+      .putInt(0) // BI_RGB
+      .putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var r = 0
+    while (r < height) {
+      val rowStart = 54 + r * rowSize
+      var x = 0
+      while (x < width) {
+        val v = pixels(r * width + x)
+        buf.put(rowStart + 3 * x, v).put(rowStart + 3 * x + 1, v)
+          .put(rowStart + 3 * x + 2, v)
+        x += 1
+      }
+      r += 1
+    }
+    buf.array()
+  }
+
   /** Build a minimal valid WAV file (PCM mono 16-bit) around the given
     * samples — the synthetic payload generator for audio-kind media.
     */
@@ -176,6 +256,7 @@ object Multimodal {
         val nBytes = if (payload == null) 0 else payload.length
         val feature =
           if (isWav(payload)) decodeWav(payload)
+          else if (isBmp(payload)) decodeBmp(payload)
           else stubDecode(r.getString(1), payload)
         Row(r.getLong(0), r.getString(1), nBytes, feature)
       }
@@ -221,11 +302,34 @@ object Multimodal {
     }
   })
 
+  /** text → real BMP payload: one grayscale pixel per codepoint (value
+    * = `cp & 7`, a single n×1 pixel row) — same contract as
+    * [[wavFromText]]: synthetic CONTENT, structurally genuine file, so
+    * [[decodeFeatures]] exercises the real header parse + pixel walk
+    * and the histogram stays SQL-expressible for the oracle.
+    */
+  private val bmpFromText = udf((text: String) => {
+    if (text == null) null
+    else {
+      val pixels = Array.newBuilder[Byte]
+      var i = 0
+      var n = 0
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        pixels += (cp & 7).toByte
+        n += 1
+        i += Character.charCount(cp)
+      }
+      bmpEncode(pixels.result(), n, if (n == 0) 0 else 1)
+    }
+  })
+
   /** Build a synthetic media frame from the documents table — gives the
     * plumbing a deterministic, driver-data-derived input. Audio-kind
-    * rows carry a REAL (if synthetic-content) WAV file; image/video
-    * payloads are UTF-8 text standing in for encoded bytes (their
-    * codecs are the documented stub boundary).
+    * rows carry a REAL (if synthetic-content) WAV file and image-kind
+    * rows a REAL 24-bit BMP; video payloads are UTF-8 text standing in
+    * for encoded bytes (the video codec is the documented stub
+    * boundary).
     */
   def syntheticMedia(documents: DataFrame): DataFrame =
     documents.select(
@@ -233,9 +337,11 @@ object Multimodal {
       when(col("doc_id") % 3 === 0, lit("image"))
         .when(col("doc_id") % 3 === 1, lit("audio")).otherwise(lit("video")).as("kind"),
       when(col("doc_id") % 3 === 1, wavFromText(col("text")))
+        .when(col("doc_id") % 3 === 0, bmpFromText(col("text")))
         .otherwise(encode(col("text"), "UTF-8")).as("payload"),
-      when(col("doc_id") % 3 === 0, lit(64)).otherwise(lit(null)).cast("int").as("width"),
-      when(col("doc_id") % 3 === 0, lit(64)).otherwise(lit(null)).cast("int").as("height"),
+      when(col("doc_id") % 3 === 0, length(col("text"))).otherwise(lit(null))
+        .cast("int").as("width"),
+      when(col("doc_id") % 3 === 0, lit(1)).otherwise(lit(null)).cast("int").as("height"),
       when(col("doc_id") % 3 === 1, lit(16000)).otherwise(lit(null)).cast("int").as("sample_rate"),
       when(col("doc_id") % 3 === 2, (col("n_chars") % 32 + 1)).otherwise(lit(null))
         .cast("int").as("n_frames"))

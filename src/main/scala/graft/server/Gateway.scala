@@ -117,6 +117,32 @@ final class Gateway(
     viewRefreshMillis = refreshMillis
   }
 
+  /** Channel-graph visualization data (reference MountChannelsGraph,
+    * modules/web/channels_graph.py:14-59): mounting a finalized
+    * [[graft.core.ChannelGraph]]'s wiring serves
+    * `GET /api/v1/channels_graph` →
+    * `{channel: {"getters": [modules], "setters": [modules]}}` plus a
+    * minimal browse page at `/channels_graph`. Unmounted → 404 (the
+    * reference's route exists only when the module is configured).
+    * By-name thunk: the graph may finalize after the mount.
+    */
+  @volatile private var channelsGraphData:
+      Option[() => Map[String, graft.core.ChannelConnections]] = None
+  def attachChannelsGraph(g: => Map[String, graft.core.ChannelConnections]): Unit =
+    channelsGraphData = Some(() => g)
+
+  private def channelsGraphJson: Option[String] = channelsGraphData.map { thunk =>
+    val root = mapper.createObjectNode()
+    thunk().toSeq.sortBy(_._1).foreach { case (ch, conns) =>
+      val node = root.putObject(ch)
+      val getters = node.putArray("getters")
+      conns.getters.foreach(getters.add)
+      val setters = node.putArray("setters")
+      conns.setters.foreach(setters.add)
+    }
+    mapper.writeValueAsString(root)
+  }
+
   private def rowsJson(name: String, rows: Seq[org.apache.spark.sql.Row]): String = {
     val schema = runtime.runtimeSchema(runtime.specs(name))
     val arr = mapper.createArrayNode()
@@ -297,6 +323,11 @@ final class Gateway(
           respond(ex, 200, mapper.writeValueAsString(names.toArray))
         // controls (reference routes/controls.py): heartbeat / stats /
         // shutdown — the UI kill-switch + liveness surface
+        case "channels_graph" :: Nil if ex.getRequestMethod == "GET" =>
+          channelsGraphJson match {
+            case Some(json) => respond(ex, 200, json)
+            case None       => respond(ex, 404, """{"detail":"Not Found"}""")
+          }
         case "controls" :: "heartbeat" :: Nil if ex.getRequestMethod == "GET" =>
           respond(ex, 200,
             s"""{"name":"heartbeat","status":"ok","timestamp":"${java.time.Instant.now()}"}""")
@@ -434,6 +465,9 @@ final class Gateway(
       paths.withObjectProperty(s"/api/v1/$f/").putObject("get")
         .put("summary", s"Available channels under /$f")
     }
+    if (channelsGraphData.isDefined)
+      paths.withObjectProperty("/api/v1/channels_graph").putObject("get")
+        .put("summary", "Channel/module wiring graph data")
     paths.withObjectProperty("/api/v1/controls/heartbeat").putObject("get")
       .put("summary", "Liveness ping")
     paths.withObjectProperty("/api/v1/controls/stats").putObject("get")
@@ -495,6 +529,25 @@ final class Gateway(
       ex.getResponseBody.write(bytes)
       ex.close()
     })
+    // browse page (reference app_router /channels_graph: a small page
+    // rendering the wiring; the interactive JS viz is out of scope —
+    // this embeds the same JSON the API route serves)
+    server.createContext("/channels_graph", (ex: HttpExchange) =>
+      channelsGraphJson match {
+        case Some(json) =>
+          val html =
+            s"""<!DOCTYPE html><html><head><title>Channels Graph</title></head>
+               |<body><h1>Channels Graph</h1>
+               |<pre id="graph">${json.replace("<", "&lt;")}</pre>
+               |<p>Data endpoint: <a href="/api/v1/channels_graph">/api/v1/channels_graph</a></p>
+               |</body></html>""".stripMargin
+          val bytes = html.getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "text/html")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        case None => respond(ex, 404, """{"detail":"Not Found"}""")
+      })
     server.start()
     ws.start()
     for (vs <- viewServer; ms <- viewRefreshMillis)

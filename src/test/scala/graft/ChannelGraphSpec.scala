@@ -49,6 +49,26 @@ class ChannelGraphSpec extends AnyFunSuite {
     assert(fb.finalizeGraph()("b").collect().length === 1)
   }
 
+  test("attach records per-module getters/setters; graph serves post-finalize") {
+    // two modules: a source setting `a`, a deriver reading `a` → `b`
+    // (reference channels.py:288-309 _add_field_to_graph + 976 graph())
+    object SourceModule extends Module {
+      def connect(g: ChannelGraph): Unit = g.set("a")(Seq(1, 2).toDF("v"))
+    }
+    object DeriveModule extends Module {
+      def connect(g: ChannelGraph): Unit =
+        g.transform(Seq("a"), "b")(ins => ins.head.select(($"v" * 10).as("v")))
+    }
+    val g = new ChannelGraph(specs("a", "b"))
+    g.attach(SourceModule)
+    g.attach(DeriveModule)
+    intercept[IllegalArgumentException] { g.connectionsGraph } // pre-finalize
+    g.finalizeGraph()
+    val cg = g.connectionsGraph
+    assert(cg("a") === ChannelConnections(Seq("DeriveModule"), Seq("SourceModule")))
+    assert(cg("b") === ChannelConnections(Nil, Seq("DeriveModule")))
+  }
+
   test("channel selection include/exclude ordering (X12)") {
     val sel = ChannelSelection(include = Some(Seq("c", "a")), exclude = Seq("b"))
     assert(sel.select(Seq("a", "b", "c")) === Seq("c", "a"))

@@ -270,6 +270,52 @@ class GatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("channels_graph route serves module wiring; 404 when unmounted (channels_graph.py:14-59)") {
+    withGateway() { (base, _) =>
+      // unmounted: the route does not exist (reference mounts it as an
+      // optional module)
+      assert(get(s"$base/channels_graph").statusCode() === 404)
+    }
+    // two-module wiring over a build-phase ChannelGraph
+    import graft.core.{ChannelGraph, ChannelSpec => CSpec, Module}
+    import spark.implicits._
+    val vSchema = StructType(Seq(StructField("v", IntegerType)))
+    object Ingest extends Module {
+      def connect(g: ChannelGraph): Unit = g.set("raw")(Seq(1, 2).toDF("v"))
+    }
+    object Enrich extends Module {
+      def connect(g: ChannelGraph): Unit =
+        g.transform(Seq("raw"), "enriched")(ins => ins.head)
+    }
+    val cg = new ChannelGraph(Map(
+      "raw" -> CSpec("raw", vSchema), "enriched" -> CSpec("enriched", vSchema)))
+    cg.attach(Ingest)
+    cg.attach(Enrich)
+    cg.finalizeGraph()
+    val rt = new ChannelRuntime(spark,
+      Map("example" -> ChannelSpec("example", schema)),
+      Files.createTempDirectory("graft-gw-ckpt").toString)
+    rt.start()
+    val gw = new Gateway(rt, 0)
+    gw.attachChannelsGraph(cg.connectionsGraph)
+    gw.start()
+    try {
+      val base = s"http://127.0.0.1:${gw.boundPort}"
+      val r = get(s"$base/api/v1/channels_graph")
+      assert(r.statusCode() === 200)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+      assert(node.get("raw").get("setters").get(0).asText() === "Ingest")
+      assert(node.get("raw").get("getters").get(0).asText() === "Enrich")
+      assert(node.get("enriched").get("setters").get(0).asText() === "Enrich")
+      assert(node.get("enriched").get("getters").size() === 0)
+      // browse page embeds the same data
+      val page = get(s"$base/channels_graph")
+      assert(page.statusCode() === 200 && page.body().contains("Ingest"))
+      // openapi records the mounted route
+      assert(get(s"$base/openapi.json").body().contains("/api/v1/channels_graph"))
+    } finally { gw.stop(); rt.stop() }
+  }
+
   test("identity row filter (X13): reads filtered, writes validated") {
     withGateway(Map("example" -> "owner")) { (base, rt) =>
       assert(post(s"$base/send/example", """{"x":1,"owner":"alice"}""",

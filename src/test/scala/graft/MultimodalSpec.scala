@@ -46,6 +46,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(nonPcm) == null)
   }
 
+  test("bmpEncode → decodeBmp: header parse + padded pixel walk → histogram") {
+    // 5 pixels, 1 row: rowSize pads 15 → 16 bytes
+    val bmp = Multimodal.bmpEncode(Array[Byte](0, 1, 1, 7, 7), width = 5, height = 1)
+    assert(bmp.length === 54 + 16)
+    assert(Multimodal.isBmp(bmp))
+    val f = Multimodal.decodeBmp(bmp)
+    assert(f(0) === 1.0 / 5 && f(1) === 2.0 / 5 && f(7) === 2.0 / 5 && f.sum === 1.0)
+    // multi-row: same histogram through the per-row padding walk
+    val grid = Multimodal.bmpEncode(Array[Byte](3, 3, 4, 4, 5, 5), width = 2, height = 3)
+    val g = Multimodal.decodeBmp(grid)
+    assert(g(3) === 2.0 / 6 && g(4) === 2.0 / 6 && g(5) === 2.0 / 6)
+  }
+
+  test("malformed payloads never reach the BMP path") {
+    // plain text starting with BM fails the strict size check
+    assert(!Multimodal.isBmp("BMath is not an image format at all honestly".getBytes))
+    val bmp = Multimodal.bmpEncode(Array[Byte](1, 2), width = 2, height = 1)
+    assert(!Multimodal.isBmp(bmp.take(bmp.length - 2))) // declared size mismatch
+    // 8-bit / compressed variants rejected, not guessed
+    val bpp8 = bmp.clone; bpp8(28) = 8
+    assert(Multimodal.decodeBmp(bpp8) == null)
+    val rle = bmp.clone; rle(30) = 1 // BI_RLE8
+    assert(Multimodal.decodeBmp(rle) == null)
+    // pixel array overrunning the file rejected
+    val overrun = bmp.clone
+    java.nio.ByteBuffer.wrap(overrun).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, 99) // height claims 99 rows
+    assert(Multimodal.decodeBmp(overrun) == null)
+  }
+
   test("decodeFeatures dispatches by content: WAV rows decoded, text rows stubbed") {
     import spark.implicits._
     val docs = Seq((1L, "abc"), (4L, "abc"))

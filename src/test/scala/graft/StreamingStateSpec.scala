@@ -470,6 +470,127 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: lastByKeyStream killed mid-run resumes with its state intact") {
+    // the durability claim the reference's engine-replay restart makes
+    // (shared/engine_replay.py:107-118): kill after tick 2 of 4,
+    // restart from the SAME checkpoint, feed the remaining ticks — the
+    // resumed query must behave exactly as the uninterrupted run
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // recoverable sink, collecting into a driver-side buffer
+    implicit val sqlCtx = spark.sqlContext
+    def winners(buf: java.util.Queue[(String, Long, Long)]): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq.groupBy(_._1).map { case (k, rs) =>
+        k -> { val r = rs.maxBy(_._3); (r._2, r._3) }
+      }
+    }
+    def sinkTo(buf: java.util.Queue[(String, Long, Long)])(
+        df: org.apache.spark.sql.Dataset[Row], @annotation.unused id: Long): Unit =
+      df.collect().foreach(r => buf.add((r.getString(0), r.getLong(1), r.getLong(2))))
+    val ckpt = Files.createTempDirectory("recov-lbk-ckpt").toString
+    val stream = MemoryStream[Row](Encoders.row(schema), sqlCtx)
+    val out = StreamingState.lastByKeyStream(stream.toDF(), Seq("k"), "seq")
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]
+    val q1 = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo(buf) _).start()
+    stream.addData(row("a", 1, 1), row("b", 10, 2)) // tick 1
+    q1.processAllAvailable()
+    stream.addData(row("a", 2, 3)) // tick 2: a's state advances to seq 3
+    q1.processAllAvailable()
+    q1.stop() // kill mid-run
+
+    // ticks 3 and 4 arrive while the query is down
+    stream.addData(row("b", 20, 4))              // tick 3
+    stream.addData(row("a", 99, 2))              // tick 4: LATE row for a
+    val resumedBuf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]
+    val q2 = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo(resumedBuf) _)
+      .start() // resume, same checkpoint
+    try {
+      q2.processAllAvailable()
+      val resumed = winners(resumedBuf)
+      // the late (a, 99, seq 2) row must LOSE to the recovered seq-3
+      // state — if the store had not been restored, 99 would win
+      assert(resumed("a") === ((2L, 3L)))
+      assert(resumed("b") === ((20L, 4L)))
+
+      // and the final per-key winners equal an uninterrupted run's
+      val stream2 = MemoryStream[Row](Encoders.row(schema), sqlCtx)
+      val out2 = StreamingState.lastByKeyStream(stream2.toDF(), Seq("k"), "seq")
+      val allBuf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]
+      val q3 = out2.writeStream.outputMode("update")
+        .option("checkpointLocation", Files.createTempDirectory("recov-lbk3").toString)
+        .foreachBatch(sinkTo(allBuf) _).start()
+      try {
+        stream2.addData(row("a", 1, 1), row("b", 10, 2))
+        stream2.addData(row("a", 2, 3))
+        stream2.addData(row("b", 20, 4))
+        stream2.addData(row("a", 99, 2))
+        q3.processAllAvailable()
+        assert(resumed === winners(allBuf))
+      } finally q3.stop()
+    } finally q2.stop()
+  }
+
+  test("checkpoint recovery: minhashLshDedupStream pairs docs across a restart") {
+    // a pair whose first member arrived BEFORE the kill and second
+    // member AFTER the restart can only surface if the bucket rosters
+    // were recovered from the checkpointed store
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def doc(id: Long, text: String): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](id, text), docSchema)
+    implicit val sqlCtx = spark.sqlContext
+    def sinkTo(buf: java.util.Queue[(Long, Long)])(
+        df: org.apache.spark.sql.Dataset[Row], @annotation.unused id: Long): Unit =
+      df.collect().foreach(r => buf.add((r.getLong(0), r.getLong(1))))
+    import scala.jdk.CollectionConverters._
+    val ckpt = Files.createTempDirectory("recov-lsh-ckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val stream = MemoryStream[Row](Encoders.row(docSchema), sqlCtx)
+    val out = StreamingState.minhashLshDedupStream(
+      stream.toDF(), "doc_id", "text", threshold = 0.5)
+    val preBuf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+    val q1 = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo(preBuf) _).start()
+    stream.addData(doc(1, base)) // tick 1: future pair member
+    q1.processAllAvailable()
+    stream.addData(doc(3, "completely unrelated content with other words entirely here")) // tick 2
+    q1.processAllAvailable()
+    assert(preBuf.isEmpty)
+    q1.stop() // kill mid-run
+
+    stream.addData(doc(2, base + " ok"))                       // tick 3
+    stream.addData(doc(4, base + " ok indeed"))                // tick 4
+    val resumedBuf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+    val q2 = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo(resumedBuf) _).start()
+    try {
+      q2.processAllAvailable()
+      val resumedPairs = resumedBuf.asScala.toSet
+      // (1,2): cross-restart pair — proves doc 1's signature survived
+      assert(resumedPairs.contains((1L, 2L)))
+
+      // union of pre-kill + post-restart pairs == uninterrupted run
+      val stream2 = MemoryStream[Row](Encoders.row(docSchema), sqlCtx)
+      val out2 = StreamingState.minhashLshDedupStream(
+        stream2.toDF(), "doc_id", "text", threshold = 0.5)
+      val allBuf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+      val q3 = out2.writeStream.outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("recov-lsh3").toString)
+        .foreachBatch(sinkTo(allBuf) _).start()
+      try {
+        stream2.addData(doc(1, base))
+        stream2.addData(doc(3, "completely unrelated content with other words entirely here"))
+        stream2.addData(doc(2, base + " ok"))
+        stream2.addData(doc(4, base + " ok indeed"))
+        q3.processAllAvailable()
+        assert((preBuf.asScala.toSet ++ resumedPairs) === allBuf.asScala.toSet)
+      } finally q3.stop()
+    } finally q2.stop()
+  }
+
   test("kmeansRefitStream: sharded integer partials accumulate; merged centroids exact") {
     val vecSchema = StructType(Seq(
       StructField("vec_id", LongType),
