@@ -339,7 +339,12 @@ object PipelineQueries {
     "mm3_media_similarity" -> ((s, dir) => {
       val feats = Multimodal.decodeFeatures(Multimodal.syntheticMedia(t(s, dir, "documents")))
         .select(col("media_id"), col("feature"))
-        .filter(col("feature").isNotNull) // NULL-text docs: oracle excludes them too
+        // NULL-text docs are excluded on both sides; so are zero-norm
+        // (empty-payload) features — their cosine is NaN against
+        // everything, which row_number(desc) would rank FIRST (the IVF
+        // operators' cell -1 rule, applied here at the query level)
+        .filter(col("feature").isNotNull &&
+          exists(col("feature"), v => v =!= lit(0.0)))
       Similarity.bruteForceTopK(feats, feats.filter(col("media_id") < 6),
         "media_id", "feature", 3)
     }),
@@ -1038,16 +1043,16 @@ object PipelineQueries {
         |       unnest(generate_series(0, (n_chars % 32 + 1) - 1, 4)) AS frame_idx
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
 
-    // same empty-payload guard as mm1 (ADVICE r4): an empty doc's
-    // feature must be the kernel's all-zero vector, not [0,…,0,1.0]
+    // empty docs decode to the kernel's all-zero feature — zero-norm,
+    // NaN cosine against everything — and are excluded on both sides
+    // (the engine filters exists(feature, v != 0); here len(text) > 0
+    // is the same set, since any non-empty histogram sums to 1)
     "mm3_media_similarity" ->
       s"""WITH f AS (SELECT doc_id AS media_id,
-         |  CASE WHEN len(text) > 0 THEN
-         |    list_transform(generate_series(0, 7), k ->
-         |      len(list_filter(string_split_regex(text,''), c -> (unicode(c) & 7) = k)) * 1.0
-         |        / len(text))
-         |  ELSE [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] END AS feature
-         |  FROM documents WHERE text IS NOT NULL),
+         |  list_transform(generate_series(0, 7), k ->
+         |    len(list_filter(string_split_regex(text,''), c -> (unicode(c) & 7) = k)) * 1.0
+         |      / len(text)) AS feature
+         |  FROM documents WHERE text IS NOT NULL AND len(text) > 0),
          |scored AS (SELECT q.media_id AS qid, c.media_id AS cid,
          |             ${cosSql("q.feature", "c.feature")} AS cosine
          |           FROM f c JOIN f q ON q.media_id < 6 AND q.media_id <> c.media_id),

@@ -76,6 +76,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmp(overrun) == null)
   }
 
+  test("zero-norm (empty-text) features never reach similarity ranking") {
+    // an empty doc decodes to the all-zero feature; its cosine is NaN
+    // against everything and row_number(cosine DESC) would rank NaN
+    // first — the mm3 composition filters zero-norm rows on both sides
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val docs = Seq((0L, "abc"), (3L, ""), (6L, "abd"), (9L, "xyz"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val feats = Multimodal.decodeFeatures(Multimodal.syntheticMedia(docs))
+      .select(col("media_id"), col("feature"))
+      .filter(col("feature").isNotNull &&
+        exists(col("feature"), v => v =!= lit(0.0)))
+    val top = Similarity.bruteForceTopK(feats, feats.filter(col("media_id") < 6),
+      "media_id", "feature", 3).collect()
+    assert(top.nonEmpty)
+    // doc 3 (empty) appears neither as query nor candidate; no NaNs
+    assert(!top.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+    assert(!top.exists(r => r.getDouble(2).isNaN))
+  }
+
   test("decodeFeatures dispatches by content: WAV rows decoded, text rows stubbed") {
     import spark.implicits._
     val docs = Seq((1L, "abc"), (4L, "abc"))
