@@ -370,6 +370,21 @@ object PipelineQueries {
         "doc_id", "text", n = 5).select(col("doc_id"), col("n_chars"))
     }),
 
+    // ---- line-level boilerplate removal (RefinedWeb line-wise
+    // filtering): corpus text carries no newlines, so line structure
+    // is synthesized deterministically (8-word lines — the tx6 PII
+    // pattern); lines in >= 2 distinct docs are boilerplate and are
+    // struck from every doc, survivors reassemble in order
+    "d14_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val words = split(col("text"), " ")
+      val nl = floor((size(words) + lit(7)) / lit(8)).cast("int")
+      val lined = docs.select(col("doc_id"),
+        concat_ws("\n", transform(sequence(lit(0), nl - 1),
+          i => concat_ws(" ", slice(words, i * 8 + 1, lit(8))))).as("text"))
+      Curation.lineDedup(lined, "doc_id", "text", minDf = 2)
+    }),
+
     // ---- CCNet-style perplexity bucketing: bucketed-bigram LM score
     // (literal stub weight table) + per-language head/middle/tail
     // discrete-quantile split
@@ -1088,6 +1103,25 @@ object PipelineQueries {
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id % 37 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
     },
+
+    // boilerplate decision rides the same polyHash as the engine; the
+    // hash is internal (df counting + membership), never output
+    "d14_line_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
+         |           WHERE text IS NOT NULL),
+         |l AS (SELECT doc_id, i, array_to_string(w[(i-1)*8+1:(i-1)*8+8], ' ') AS line
+         |      FROM w, LATERAL unnest(generate_series(1, (len(w)+7)//8)) AS t(i)),
+         |lh AS (SELECT doc_id, i, line, ${phSql("line")} AS lh FROM l),
+         |boiler AS (SELECT lh FROM lh GROUP BY lh HAVING count(DISTINCT doc_id) >= 2),
+         |kept AS (SELECT * FROM lh WHERE lh NOT IN (SELECT lh FROM boiler)),
+         |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean_text,
+         |               count(*) AS n_kept
+         |        FROM kept GROUP BY doc_id),
+         |base AS (SELECT doc_id, (len(string_split(text,' '))+7)//8 AS n_lines
+         |         FROM documents WHERE text IS NOT NULL)
+         |SELECT b.doc_id, coalesce(r.clean_text,'') AS clean_text, b.n_lines,
+         |       b.n_lines - coalesce(r.n_kept,0) AS n_removed
+         |FROM base b LEFT JOIN reb r ON b.doc_id = r.doc_id""".stripMargin,
 
     "tx10_perplexity_buckets" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),

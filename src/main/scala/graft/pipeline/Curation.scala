@@ -740,6 +740,55 @@ object Curation {
       .drop("_thr")
   }
 
+  /** Line-level boilerplate removal (RefinedWeb line-wise filtering /
+    * CCNet paragraph-dedup shape): a line occurring in at least
+    * `minDf` DISTINCT documents is boilerplate (headers, navigation,
+    * cookie banners — content that repeats across pages) and is struck
+    * from EVERY document; the surviving lines reassemble in original
+    * order. Returns (idCol, clean_text, n_lines, n_removed) — one row
+    * per input document, clean_text = "" when everything was
+    * boilerplate.
+    *
+    * Scale shape (the d9 gram-hash pattern): lines explode narrow; the
+    * doc-frequency aggregate and the boilerplate membership anti-join
+    * carry ONLY the 8-byte polyHash of each line, never line text
+    * (64-bit collisions are the dedup-family tolerance, same as d9);
+    * reassembly is one partial-agg'd groupBy whose per-doc state is
+    * the document's own lines — bounded by document size, not corpus
+    * size. The boilerplate set is df-filtered metadata (distinct
+    * repeated lines only), so AQE turns the anti-join into a broadcast
+    * when it is small.
+    */
+  def lineDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Int,
+      sep: String = "\n"): DataFrame = {
+    require(minDf >= 2, "lineDedup: minDf must be >= 2 (1 would drop everything)")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), sepRe)).as(Seq("_i", "_line")))
+      .withColumn("_lh", TextFunctions.polyHash(col("_line")))
+    val boiler = lines.groupBy("_lh")
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= lit(minDf))
+      .select("_lh")
+    val rebuilt = lines.join(boiler, Seq("_lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(sep,
+          transform(array_sort(collect_list(struct(col("_i"), col("_line")))),
+            e => e.getField("_line"))).as("clean_text"),
+        count(lit(1)).as("_n_kept"))
+    df.select(col(idCol), size(split(col(textCol), sepRe)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
+  }
+
   // ---- sequence packing --------------------------------------------------
 
   /** Concat-and-chunk sequence packing: documents are assigned to

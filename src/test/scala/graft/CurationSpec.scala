@@ -290,6 +290,28 @@ class CurationSpec extends AnyFunSuite {
     assert(again === kept.map(_._1).toSet)
   }
 
+  test("lineDedup: corpus-frequent lines struck everywhere, order kept, empty survivors") {
+    val docs = Seq(
+      (1L, "cookie banner\nunique one\nfooter nav"),
+      (2L, "cookie banner\nunique two\nfooter nav"),
+      (3L, "cookie banner\nfooter nav"), // all boilerplate -> ""
+      (4L, "only original content here")
+    ).toDF("doc_id", "text")
+    val out = Curation.lineDedup(docs, "doc_id", "text", minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("unique one", 3L, 2L)))
+    assert(out(2L) === (("unique two", 3L, 2L)))
+    assert(out(3L) === (("", 2L, 2L)))           // fully boilerplate, row survives
+    assert(out(4L) === (("only original content here", 1L, 0L)))
+    // order preserved when several lines survive
+    val multi = Seq(
+      (1L, "z last\na first\nshared"), (2L, "shared")).toDF("doc_id", "text")
+    val kept = Curation.lineDedup(multi, "doc_id", "text", minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept(1L) === "z last\na first") // original order, not sorted text
+  }
+
   test("gopherFilter: each rule independently drops its violator") {
     // 44 words, 10 distinct (frac 0.227), "the"/"and" stop hits
     val good = ("the quick brown fox ran over the old stone bridge and " * 4).trim

@@ -394,6 +394,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("d14 line dedup: df-agg and anti-join keyed on the 8-byte line hash, never line text") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"line a$i\nshared line\nline b$i"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.pipeline.Curation.lineDedup(docs, "doc_id", "text", minDf = 2))
+    // the doc-frequency aggregate partial-aggregates below its exchange
+    // and both it and the boilerplate membership join move only the
+    // hash (the line string never shuffles on the frequency path)
+    assert(p.contains("partial_count(distinct"), p)
+    assert("Exchange hashpartitioning\\(_lh".r.findAllIn(p).nonEmpty, p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("NestedLoop"), p)
+  }
+
   test("strictCompat projection degrades types per reference rules") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2), Map("k" -> "v"))).toDF("a", "xs", "m")
