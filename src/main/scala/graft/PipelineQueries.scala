@@ -1042,9 +1042,18 @@ object PipelineQueries {
     "mm1_media_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  -- video = RIFF/AVI container size: 100 header/list bytes +
+        |  -- per-frame (8 + len + word-align pad) over k = n_chars%32+1
+        |  -- frames holding len(text) codepoint-class bytes chunked
+        |  -- (first n%k frames one byte longer)
         |  CASE WHEN doc_id % 3 = 1 THEN 44 + 2*len(text)
         |       WHEN doc_id % 3 = 0 THEN 54 + ((3*len(text)+3)//4)*4
-        |       ELSE strlen(text) END AS n_bytes,
+        |       ELSE 100 + 8*(n_chars % 32 + 1) + len(text)
+        |            + (len(text) % (n_chars % 32 + 1))
+        |              * ((len(text) // (n_chars % 32 + 1) + 1) % 2)
+        |            + ((n_chars % 32 + 1) - (len(text) % (n_chars % 32 + 1)))
+        |              * ((len(text) // (n_chars % 32 + 1)) % 2)
+        |       END AS n_bytes,
         |  k AS bin,
         |  CASE WHEN len(text) > 0 THEN
         |    len(list_filter(string_split_regex(text,''), c -> (unicode(c) & 7) = k)) * 1.0

@@ -11,11 +11,14 @@ import org.apache.spark.sql.types._
   * iterators — the Scala analogue of `mapInPandas`: one arrow-batch
   * shaped function per partition, never per row).
   *
-  * The actual media codecs are NOT available in this build environment,
-  * so the decode kernel is STUBBED with a deterministic fake
-  * ([[stubDecode]]) — the Spark-side contract (schema, batch shape,
-  * partitioning, null handling) is real and tested; swapping in a real
-  * decoder is a one-function change.
+  * Container codecs are REAL pure-JVM parsers for all three
+  * modalities: [[decodeWav]] (PCM WAV), [[decodeBmp]] (24-bit BMP) and
+  * [[decodeAvi]] (RIFF/AVI demux). Media *bitstream* codecs (JPEG/H.264
+  * etc.) are not available in this build environment, so payloads that
+  * match none of the container signatures fall to a deterministic stub
+  * kernel ([[stubDecode]]) — the Spark-side contract (schema, batch
+  * shape, partitioning, null handling) is real and tested; swapping in
+  * a real bitstream decoder is a one-function change.
   *
   * Scale design: payload bytes never shuffle — all media stages are
   * narrow partition-local maps; only extracted (small, typed) features
@@ -48,8 +51,8 @@ object Multimodal {
     * codec (`???` boundary): derives an 8-dim "feature" from byte
     * statistics of the payload. Real implementation would decode the
     * image/audio and pool activations; everything around it (batching,
-    * schema, null pass-through) is the production shape. WAV payloads
-    * do NOT reach this stub — [[decodeWav]] is a real decoder.
+    * schema, null pass-through) is the production shape. WAV/BMP/AVI
+    * payloads do NOT reach this stub — those decoders are real.
     */
   def stubDecode(kind: String, payload: Array[Byte]): Array[Double] = {
     // ??? real codec goes here; deterministic fake below — a codepoint
@@ -187,6 +190,114 @@ object Multimodal {
     bins.map(_ / math.max(n, 1L).toDouble)
   }
 
+  // ---- real AVI container codec (pure JVM, no media libraries) -----------
+
+  /** True iff the payload is a RIFF/AVI container whose declared size
+    * matches the byte count — strict like [[isWav]]/[[isBmp]], so text
+    * payloads can never misroute into the demuxer.
+    */
+  def isAvi(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 12 &&
+      tag(payload, 0) == "RIFF" && tag(payload, 8) == "AVI " &&
+      leInt(payload, 4) == payload.length - 8
+
+  /** Decoded AVI surface: container-declared frame count, demuxed
+    * frame count, and the 8-bin byte-class histogram over all frame
+    * payload bytes.
+    */
+  final case class AviInfo(declaredFrames: Int, frames: Int, bins: Array[Double])
+
+  /** REAL demux path for AVI payloads: walks the top-level RIFF chunk
+    * list, reads `dwTotalFrames` from the `avih` main header inside
+    * LIST/hdrl, then iterates the `00db`/`00dc` frame chunks inside
+    * LIST/movi (word-aligned, arbitrary interleaved chunks skipped)
+    * and histograms the frame bytes into 8 classes. The codec DECODES
+    * THE CONTAINER, not a video bitstream — frame payloads are treated
+    * as raw bytes (the synthetic frames are uncompressed by
+    * construction; a real decoder slots in per frame chunk). Returns
+    * null on structural violation (truncated chunk, missing
+    * hdrl/avih/movi, declared-vs-demuxed frame count mismatch).
+    */
+  def decodeAvi(payload: Array[Byte]): AviInfo = {
+    if (!isAvi(payload)) return null
+    var declared = -1
+    var frames = 0
+    val bins = new Array[Double](8)
+    var nBytes = 0L
+    var off = 12
+    while (off + 8 <= payload.length) {
+      val id = tag(payload, off)
+      val sz = leInt(payload, off + 4)
+      if (sz < 0 || off + 8 + sz > payload.length) return null // truncated chunk
+      if (id == "LIST" && sz >= 4) {
+        val listType = tag(payload, off + 8)
+        if (listType == "hdrl") {
+          // sub-chunks of hdrl: find avih (56-byte MainAVIHeader)
+          var p = off + 12
+          val end = off + 8 + sz
+          while (p + 8 <= end) {
+            val cid = tag(payload, p)
+            val csz = leInt(payload, p + 4)
+            if (csz < 0 || p + 8 + csz > end) return null
+            if (cid == "avih") {
+              if (csz < 20) return null
+              declared = leInt(payload, p + 8 + 16) // dwTotalFrames
+            }
+            p += 8 + csz + (csz & 1)
+          }
+        } else if (listType == "movi") {
+          var p = off + 12
+          val end = off + 8 + sz
+          while (p + 8 <= end) {
+            val cid = tag(payload, p)
+            val csz = leInt(payload, p + 4)
+            if (csz < 0 || p + 8 + csz > end) return null
+            if (cid.endsWith("db") || cid.endsWith("dc")) {
+              frames += 1
+              var i = 0
+              while (i < csz) {
+                bins(payload(p + 8 + i) & 7) += 1.0
+                nBytes += 1
+                i += 1
+              }
+            }
+            p += 8 + csz + (csz & 1)
+          }
+        }
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    if (declared < 0 || frames != declared) return null
+    AviInfo(declared, frames, bins.map(_ / math.max(nBytes, 1L).toDouble))
+  }
+
+  /** Build a minimal valid AVI container around raw frame payloads:
+    * RIFF("AVI ") { LIST(hdrl){ avih }, LIST(movi){ 00db… } } — the
+    * synthetic payload generator for video-kind media.
+    */
+  def aviEncode(frames: Array[Array[Byte]]): Array[Byte] = {
+    val moviData = frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val hdrlSize = 4 + 8 + 56       // "hdrl" + avih chunk
+    val moviSize = 4 + moviData     // "movi" + frame chunks
+    val total = 12 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(total - 8).put("AVI ".getBytes)
+    buf.put("LIST".getBytes).putInt(hdrlSize).put("hdrl".getBytes)
+    buf.put("avih".getBytes).putInt(56)
+    buf.putInt(33333).putInt(0).putInt(0).putInt(0) // usec/frame, maxbps, pad, flags
+    buf.putInt(frames.length)                       // dwTotalFrames
+    buf.putInt(0).putInt(1).putInt(0)               // initial, streams, bufsize
+    buf.putInt(64).putInt(64)                       // width, height
+    buf.putInt(0).putInt(0).putInt(0).putInt(0)     // reserved
+    buf.put("LIST".getBytes).putInt(moviSize).put("movi".getBytes)
+    frames.foreach { f =>
+      buf.put("00db".getBytes).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) buf.put(0.toByte) // word align
+    }
+    buf.array()
+  }
+
   /** Build a minimal valid 24-bit BMP (one padded pixel row per image
     * row, grayscale: all three channels = the given value) — the
     * synthetic payload generator for image-kind media.
@@ -243,9 +354,10 @@ object Multimodal {
     * iterator is consumed lazily per partition (constant memory), rows
     * with null payloads produce null features (not dropped — the
     * metadata row survives for audit). Dispatch is by CONTENT, not the
-    * `kind` tag: a structurally valid WAV payload takes the real
-    * [[decodeWav]] path (header walk → PCM samples → feature);
-    * everything else falls to the documented [[stubDecode]] boundary.
+    * `kind` tag: a structurally valid WAV/BMP/AVI payload takes the
+    * matching real decoder path (header walk → samples/pixels/frames →
+    * feature); everything else falls to the documented [[stubDecode]]
+    * boundary.
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -257,7 +369,10 @@ object Multimodal {
         val feature =
           if (isWav(payload)) decodeWav(payload)
           else if (isBmp(payload)) decodeBmp(payload)
-          else stubDecode(r.getString(1), payload)
+          else if (isAvi(payload)) {
+            val info = decodeAvi(payload)
+            if (info == null) null else info.bins
+          } else stubDecode(r.getString(1), payload)
         Row(r.getLong(0), r.getString(1), nBytes, feature)
       }
     }(enc)
@@ -302,6 +417,38 @@ object Multimodal {
     }
   })
 
+  /** (text, nFrames) → real AVI payload: the text's codepoint classes
+    * (`cp & 7`, one byte each) chunked into exactly `nFrames` `00db`
+    * frame chunks (first `n % k` frames one byte longer — deterministic
+    * split, SQL-expressible container size). Same contract as
+    * [[wavFromText]]: synthetic CONTENT, structurally genuine
+    * container, so [[decodeFeatures]] exercises the real RIFF demux.
+    */
+  private val aviFromText = udf((text: String, nFrames: Int) => {
+    if (text == null) null
+    else {
+      val bytes = Array.newBuilder[Byte]
+      var i = 0
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        bytes += (cp & 7).toByte
+        i += Character.charCount(cp)
+      }
+      val b = bytes.result()
+      val k = math.max(nFrames, 1)
+      val base = b.length / k
+      val rem = b.length % k
+      var off = 0
+      val frames = Array.tabulate(k) { f =>
+        val len = base + (if (f < rem) 1 else 0)
+        val fr = java.util.Arrays.copyOfRange(b, off, off + len)
+        off += len
+        fr
+      }
+      aviEncode(frames)
+    }
+  })
+
   /** text → real BMP payload: one grayscale pixel per codepoint (value
     * = `cp & 7`, a single n×1 pixel row) — same contract as
     * [[wavFromText]]: synthetic CONTENT, structurally genuine file, so
@@ -325,11 +472,11 @@ object Multimodal {
   })
 
   /** Build a synthetic media frame from the documents table — gives the
-    * plumbing a deterministic, driver-data-derived input. Audio-kind
-    * rows carry a REAL (if synthetic-content) WAV file and image-kind
-    * rows a REAL 24-bit BMP; video payloads are UTF-8 text standing in
-    * for encoded bytes (the video codec is the documented stub
-    * boundary).
+    * plumbing a deterministic, driver-data-derived input. All three
+    * modalities carry REAL (if synthetic-content) container files:
+    * audio-kind rows a PCM WAV, image-kind rows a 24-bit BMP,
+    * video-kind rows a RIFF/AVI container whose frame count matches the
+    * `n_frames` metadata column.
     */
   def syntheticMedia(documents: DataFrame): DataFrame =
     documents.select(
@@ -338,7 +485,8 @@ object Multimodal {
         .when(col("doc_id") % 3 === 1, lit("audio")).otherwise(lit("video")).as("kind"),
       when(col("doc_id") % 3 === 1, wavFromText(col("text")))
         .when(col("doc_id") % 3 === 0, bmpFromText(col("text")))
-        .otherwise(encode(col("text"), "UTF-8")).as("payload"),
+        .otherwise(aviFromText(col("text"),
+          (col("n_chars") % 32 + 1).cast("int"))).as("payload"),
       when(col("doc_id") % 3 === 0, length(col("text"))).otherwise(lit(null))
         .cast("int").as("width"),
       when(col("doc_id") % 3 === 0, lit(1)).otherwise(lit(null)).cast("int").as("height"),

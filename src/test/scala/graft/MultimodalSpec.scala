@@ -115,4 +115,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stubbed.getAs[Int]("n_bytes") === 3)
     assert(stubbed.getAs[Seq[Double]]("feature") === expected)
   }
+
+  test("aviEncode → decodeAvi: RIFF demux — hdrl/avih frame count + movi frame walk") {
+    // three frames, one odd-length (word-align pad exercised)
+    val avi = Multimodal.aviEncode(Array(
+      Array[Byte](0, 1), Array[Byte](1, 7, 7), Array[Byte](2)))
+    assert(Multimodal.isAvi(avi))
+    val info = Multimodal.decodeAvi(avi)
+    assert(info.declaredFrames === 3 && info.frames === 3)
+    // bytes: 0,1,1,7,7,2 → bins over 6
+    assert(info.bins(0) === 1.0 / 6 && info.bins(1) === 2.0 / 6 &&
+      info.bins(2) === 1.0 / 6 && info.bins(7) === 2.0 / 6)
+    // zero-length frames still count as frames (empty-text containers)
+    val empty = Multimodal.aviEncode(Array(Array.empty[Byte]))
+    val e = Multimodal.decodeAvi(empty)
+    assert(e.frames === 1 && e.bins.forall(_ === 0.0))
+  }
+
+  test("malformed payloads never reach the AVI path") {
+    // plain text starting with RIFF fails the strict size check
+    assert(!Multimodal.isAvi("RIFF but actually just prose, sorry".getBytes))
+    val avi = Multimodal.aviEncode(Array(Array[Byte](1, 2)))
+    assert(!Multimodal.isAvi(avi.take(avi.length - 2))) // declared size mismatch
+    // declared-vs-demuxed frame count mismatch rejected, not guessed:
+    // patch dwTotalFrames (hdrl at 12, avih data at 12+12+8, +16)
+    val lied = avi.clone
+    java.nio.ByteBuffer.wrap(lied).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(12 + 12 + 8 + 16, 5)
+    assert(Multimodal.decodeAvi(lied) == null)
+    // truncated inner chunk (frame claims more bytes than movi holds)
+    val torn = avi.clone
+    java.nio.ByteBuffer.wrap(torn).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(avi.length - 2 - 4, 1 << 20) // 00db size field
+    assert(Multimodal.decodeAvi(torn) == null)
+  }
+
+  test("decodeFeatures routes video rows through the real AVI demux") {
+    import spark.implicits._
+    // doc_id % 3 == 2 → video; n_chars=3 → 4 frames around 3 bytes
+    val docs = Seq((2L, "abc")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val row = Multimodal.decodeFeatures(Multimodal.syntheticMedia(docs)).collect().head
+    // container size: 100 + 8*4 + 3 + odd(3 frames of 1 byte) = 138
+    assert(row.getAs[String]("kind") === "video")
+    assert(row.getAs[Int]("n_bytes") === 100 + 32 + 3 + 3)
+    // histogram equals the codepoint-class histogram: a,b,c → bins 1,2,3
+    val f = row.getSeq[Double](row.fieldIndex("feature"))
+    assert(f(1) === 1.0 / 3 && f(2) === 1.0 / 3 && f(3) === 1.0 / 3)
+  }
 }
