@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.pipeline.{Clustering, Curation, Dedup, Multimodal, Similarity}
+import graft.pipeline.{Clustering, Curation, Dedup, Layout, Multimodal, Similarity}
 
 /** Training-data pipeline query catalog: dedup, similarity search,
   * text analysis, multimodal plumbing — each with a DuckDB oracle that
@@ -412,6 +412,19 @@ object PipelineQueries {
       Dedup.sourceOverlapMatrix(t(s, dir, "documents"),
         "doc_id", "text", "source", n = 3, numHashes = 16, bands = 4,
         threshold = 0.5)),
+
+    // ---- z-order layout key: shift-quantized bit interleave of two
+    // scan-predicate columns (the min/max-pruning layout for 100 TB
+    // parquet); the key arithmetic is the gated surface — the physical
+    // rewrite (range partition + sort) is covered by LayoutSpec
+    "z1_zorder_key" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ranges = Layout.measureRanges(li, Seq("l_partkey", "l_suppkey"))
+      val zc = ranges.map { case (c, lo, hi) => Layout.ZCol(col(c), lo, hi) }
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        Layout.quantize(zc(0), 8).as("qp"), Layout.quantize(zc(1), 8).as("qs"),
+        Layout.zValue(zc, 8).as("z"))
+    }),
 
     // ---- PII detection + redaction (emails/phones synthesized onto
     // the corpus deterministically — the raw corpus carries none)
@@ -1203,6 +1216,28 @@ object PipelineQueries {
          |FROM p JOIN documents sa ON id1 = sa.doc_id
          |       JOIN documents sb ON id2 = sb.doc_id
          |GROUP BY 1, 2""".stripMargin,
+
+    // z-key parity: same shift-quantize (no division anywhere — shifts
+    // are exact in every engine) and the same interleave positions,
+    // generated by the mirror of Layout.zValue's loop
+    "z1_zorder_key" -> {
+      val zTerms = (0 until 8).flatMap(i => Seq(
+        s"(((qp >> $i) & 1) << ${2 * i + 1})",
+        s"(((qs >> $i) & 1) << ${2 * i})")).mkString(" + ")
+      s"""WITH mm AS (SELECT CAST(min(l_partkey) AS BIGINT) AS pmin,
+         |  CAST(max(l_partkey) AS BIGINT) AS pmax,
+         |  CAST(min(l_suppkey) AS BIGINT) AS smin,
+         |  CAST(max(l_suppkey) AS BIGINT) AS smax FROM lineitem),
+         |shft AS (SELECT *,
+         |  CASE WHEN pmax = pmin THEN 0 ELSE length(bin(pmax - pmin)) END AS psh,
+         |  CASE WHEN smax = smin THEN 0 ELSE length(bin(smax - smin)) END AS ssh
+         |  FROM mm),
+         |q AS (SELECT l_orderkey, l_linenumber,
+         |  ((CAST(l_partkey AS BIGINT) - pmin) << 8) >> psh AS qp,
+         |  ((CAST(l_suppkey AS BIGINT) - smin) << 8) >> ssh AS qs
+         |  FROM lineitem, shft)
+         |SELECT l_orderkey, l_linenumber, qp, qs, $zTerms AS z FROM q""".stripMargin
+    },
 
     "tx6_pii_redact" ->
       s"""WITH p AS (SELECT doc_id,

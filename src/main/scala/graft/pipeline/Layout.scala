@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for scan efficiency at the 100 TB scale.
+  *
+  * Z-ordering (bit-interleaved multi-column sort) clusters rows so that
+  * EVERY interleaved column's values are locally bounded within each
+  * output file / parquet row group — min/max statistics then prune
+  * scans on ANY of the columns, where a linear sort only prunes its
+  * leading column. Spark's parquet reader performs row-group skipping
+  * from exactly these statistics once a predicate is pushed down, and
+  * lakehouse file-skipping layers consume the same per-file min/max, so
+  * the layout pays off at both granularities without custom readers.
+  *
+  * Everything here is integer arithmetic end to end (quantize → shift →
+  * add), so the z-key is bit-for-bit reproducible across engines — the
+  * DuckDB oracle gates it (`z1_zorder_key`).
+  *
+  * Reference scope: the reference engine persists its tables through a
+  * store keyed by insertion order only (csp_gateway/server/gateway/csp/
+  * state.py:29-45 buffers and flushes in arrival order); a multi-column
+  * locality layout is the missing piece a 100 TB Spark deployment needs
+  * and is added here as a first-class operator.
+  */
+object Layout {
+
+  /** Per-column quantization spec: column plus its closed value range
+    * (from data or domain knowledge). Integer columns only — the whole
+    * point is exact cross-engine arithmetic.
+    */
+  final case class ZCol(col: Column, min: Long, max: Long)
+
+  /** Quantize a column to `bits` bits with shifts only:
+    * `((v - min) << bits) >> ceilLog2(span + 1)` — monotone, lands in
+    * `[0, 2^bits)`, and being pure shift arithmetic it is exact for the
+    * full long range in every engine (a float-division formulation
+    * would drift past 2^53; an integer-division one needs `div`
+    * operators that differ across dialects).
+    */
+  def quantize(c: ZCol, bits: Int): Column = {
+    require(c.max >= c.min, s"empty range [${c.min}, ${c.max}]")
+    val span = c.max - c.min
+    val shift = 64 - java.lang.Long.numberOfLeadingZeros(span) // 0 when span = 0
+    require(shift + bits <= 62, s"quantize overflow: span $span with $bits bits")
+    shiftright(shiftleft(c.col.cast("long") - lit(c.min), bits), shift)
+  }
+
+  /** Z-value (Morton key) of the given columns: interleaves the `bits`
+    * quantized bits of each column, first column taking the most
+    * significant position within each group. Built as a SUM of
+    * disjoint-bit terms (`((q >> i) & 1) << (i*m + j)`), which stays
+    * inside whole-stage codegen — no UDF, no array materialization.
+    * Total key width `bits * cols.size` must fit a long (≤ 63).
+    */
+  def zValue(cols: Seq[ZCol], bits: Int): Column = {
+    require(cols.nonEmpty && bits * cols.size <= 63,
+      s"z-key width ${bits * cols.size} exceeds long range")
+    val m = cols.size
+    val qs = cols.map(quantize(_, bits))
+    val terms = for {
+      (q, j) <- qs.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(q, i).bitwiseAND(lit(1L)), i * m + (m - 1 - j))
+    terms.reduce(_ + _)
+  }
+
+  /** Measure the closed [min, max] of each named column in one
+    * aggregate pass (the two-row scan a writer amortizes into its
+    * statistics collection).
+    */
+  def measureRanges(df: DataFrame, cols: Seq[String]): Seq[(String, Long, Long)] = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long").as(s"__min_$c"), max(col(c)).cast("long").as(s"__max_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.zipWithIndex.map { case (c, i) => (c, row.getLong(2 * i), row.getLong(2 * i + 1)) }
+  }
+
+  /** Rewrite `df` into a z-ordered layout over `colNames`: computes the
+    * interleaved key, range-partitions on it (contiguous z-ranges per
+    * output partition → tight per-file min/max on every interleaved
+    * column) and sorts within partitions (tight per-ROW-GROUP min/max).
+    * The helper key column is dropped — layout is a physical property,
+    * not a schema change.
+    *
+    * Scale shape: one stats pass + one range shuffle, same cost class
+    * as a plain global sort; `numPartitions` sizes output files
+    * independently of the input partitioning.
+    */
+  def zorderBy(df: DataFrame, colNames: Seq[String], numPartitions: Int,
+      bits: Int = 16): DataFrame = {
+    val ranges = measureRanges(df, colNames)
+    val z = zValue(ranges.map { case (c, lo, hi) => ZCol(col(c), lo, hi) }, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+}

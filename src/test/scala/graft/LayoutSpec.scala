@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Layout
+import graft.pipeline.Layout.ZCol
+
+/** Z-order layout: key arithmetic (also oracle-gated as
+  * `z1_zorder_key`) and the property the layout exists for — per-file
+  * min/max statistics prune a predicate on EVERY interleaved column,
+  * where a linear sort only prunes its leading column.
+  */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("quantize: shift-only, monotone, lands in [0, 2^bits)") {
+    import spark.implicits._
+    val df = Seq(0L, 1L, 499L, 500L, 999L, 1000L).toDF("v")
+    val q = df.select(Layout.quantize(ZCol(col("v"), 0L, 1000L), 8).as("q"))
+      .as[Long].collect()
+    assert(q.head === 0L && q.forall(x => x >= 0 && x < 256))
+    assert(q.sameElements(q.sorted)) // monotone over the sorted inputs
+    // span 1000 → shift 10: q = (v << 8) >> 10 = v / 4
+    assert(q === Array(0L, 0L, 124L, 125L, 249L, 250L))
+    // degenerate single-value range maps to 0, no shift blowup
+    val z = df.select(Layout.quantize(ZCol(lit(7L), 7L, 7L), 8)).as[Long].collect()
+    assert(z.forall(_ === 0L))
+  }
+
+  test("zValue interleaves bits, first column most significant") {
+    import spark.implicits._
+    // 2-bit keys over [0,3]: span 3 → shift 2 → q = v (identity)
+    val df = Seq((0L, 0L), (3L, 0L), (0L, 3L), (3L, 3L), (2L, 1L)).toDF("a", "b")
+    val z = df.select(Layout.zValue(
+      Seq(ZCol(col("a"), 0L, 3L), ZCol(col("b"), 0L, 3L)), 2).as("z"))
+      .as[Long].collect()
+    // a=11,b=00 → 1010 = 10; a=00,b=11 → 0101 = 5; a=10,b=01 → 1001 = 9
+    assert(z === Array(0L, 10L, 5L, 15L, 9L))
+  }
+
+  test("zorderBy: per-file min/max bound BOTH columns; linear sort only one") {
+    import spark.implicits._
+    // two independent uniform columns — the worst case for linear sort
+    // (odd multipliers mod 2^15: exact bijections, so both quantize to
+    // the full [0, 256) range)
+    val n = 32768
+    val df = (0 until n).map { i =>
+      (i.toLong, (i * 2654435761L % n), (i * 40503L % n))
+    }.toDF("id", "a", "b")
+
+    val files = 32
+    val zdir = Files.createTempDirectory("graft_zorder").toString
+    val ldir = Files.createTempDirectory("graft_linear").toString
+    Layout.zorderBy(df, Seq("a", "b"), numPartitions = files, bits = 8)
+      .write.mode("overwrite").parquet(zdir)
+    df.repartitionByRange(files, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(ldir)
+
+    // the per-file stats a row-group/file pruner consumes
+    def fileRanges(dir: String): Seq[(Long, Long)] =
+      new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(min("b").cast("long"), max("b").cast("long")).collect()(0)
+          (r.getLong(0), r.getLong(1))
+        }
+
+    // predicate on the SECOND column: b in a 1/16-of-domain window
+    val (lo, hi) = (n / 2L, n / 2L + n / 16L)
+    def overlapping(ranges: Seq[(Long, Long)]): Int =
+      ranges.count { case (mn, mx) => mx >= lo && mn <= hi }
+
+    val zHit = overlapping(fileRanges(zdir))
+    val lHit = overlapping(fileRanges(ldir))
+    // linear layout: every file spans ~the full b-domain → no pruning;
+    // z-order: only the z-ranges intersecting the b-window qualify
+    assert(lHit >= files - 1, s"linear layout unexpectedly pruned: $lHit/$files")
+    assert(zHit * 2 <= files, s"z-order pruned too little: $zHit/$files")
+    // the layout rewrite must not change the data itself
+    assert(spark.read.parquet(zdir).count() === n.toLong)
+    assert(spark.read.parquet(zdir).agg(sum("a"), sum("b")).collect()(0) ===
+      df.agg(sum("a"), sum("b")).collect()(0))
+  }
+}
