@@ -413,6 +413,17 @@ object PipelineQueries {
         "doc_id", "text", "source", n = 3, numHashes = 16, bands = 4,
         threshold = 0.5)),
 
+    // ---- mergeable quantile sketch (KLL-style deterministic
+    // compactors, TypedImperativeAggregate): gate scale sits inside
+    // the sketch's exact tier (n <= k, no compaction), so the oracle
+    // can demand the exact lower quantile; above capacity the sketch
+    // degrades to a bounded-rank-error estimate (unit-tested)
+    "st4_quantile_sketch" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy(col("lang")).agg(
+        graft.functions.QuantileSketch.quantileSketch(col("n_chars"), 0.5).as("p50"),
+        graft.functions.QuantileSketch.quantileSketch(col("n_chars"), 0.9).as("p90"),
+        count(lit(1)).as("n_docs"))),
+
     // ---- z-order layout key: shift-quantized bit interleave of two
     // scan-predicate columns (the min/max-pruning layout for 100 TB
     // parquet); the key arithmetic is the gated surface — the physical
@@ -1216,6 +1227,18 @@ object PipelineQueries {
          |FROM p JOIN documents sa ON id1 = sa.doc_id
          |       JOIN documents sb ON id2 = sb.doc_id
          |GROUP BY 1, 2""".stripMargin,
+
+    // exact lower quantile by rank pick — the sketch's under-capacity
+    // tier; floor(q*(n-1)) is the same double expression both sides
+    "st4_quantile_sketch" ->
+      """WITH o AS (SELECT lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM documents)
+        |SELECT lang,
+        |  max(CASE WHEN rn = CAST(floor(0.5*(n-1)) AS BIGINT) THEN n_chars END) AS p50,
+        |  max(CASE WHEN rn = CAST(floor(0.9*(n-1)) AS BIGINT) THEN n_chars END) AS p90,
+        |  count(*) AS n_docs
+        |FROM o GROUP BY lang""".stripMargin,
 
     // z-key parity: same shift-quantize (no division anywhere — shifts
     // are exact in every engine) and the same interleave positions,

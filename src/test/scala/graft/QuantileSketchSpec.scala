@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{QSketch, QuantileSketch}
+
+/** The mergeable quantile sketch: exact under capacity (any partial
+  * order, any partitioning), bounded rank error above it, serialization
+  * round-trips — the TypedImperativeAggregate contract end to end.
+  */
+class QuantileSketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("exact tier: under capacity the lower quantile is exact for any partitioning") {
+    import spark.implicits._
+    val vals = scala.util.Random.shuffle((0 until 1000).toList).map(_.toLong)
+    val df = vals.toDF("v").repartition(7)
+    for (q <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val got = df.agg(QuantileSketch.quantileSketch(col("v"), q, k = 2048))
+        .collect()(0).getLong(0)
+      val expect = vals.sorted.apply(math.floor(q * 999).toInt)
+      assert(got === expect, s"q=$q")
+    }
+  }
+
+  test("null inputs are skipped; empty groups evaluate to null") {
+    import spark.implicits._
+    val df = Seq(Some(5L), None, Some(1L), None, Some(9L)).toDF("v")
+    val r = df.agg(QuantileSketch.quantileSketch(col("v"), 0.5)).collect()(0)
+    assert(r.getLong(0) === 5L) // nulls invisible to the rank
+    val empty = df.filter(col("v") > 100)
+      .agg(QuantileSketch.quantileSketch(col("v"), 0.5)).collect()(0)
+    assert(empty.isNullAt(0))
+  }
+
+  test("merge of under-capacity partials is order-independent and exact") {
+    val vals = (0 until 500).map(i => (i * 2654435761L % 500))
+    def sk(chunk: Seq[Long]): QSketch = {
+      val s = new QSketch(1024); chunk.foreach(s.add); s
+    }
+    val chunks = vals.grouped(97).map(_.toSeq).toSeq
+    val fwd = sk(Nil)
+    chunks.foreach(c => fwd.mergeWith(sk(c)))
+    val rev = sk(Nil)
+    chunks.reverse.foreach(c => rev.mergeWith(sk(c)))
+    val expect = vals.sorted.apply(math.floor(0.5 * 499).toInt)
+    assert(fwd.quantile(0.5).get === expect)
+    assert(rev.quantile(0.5).get === expect)
+  }
+
+  test("approximate tier: bounded rank error after compaction, bounded size") {
+    val n = 100000
+    val s = new QSketch(1024)
+    // deterministic shuffle of 0..n-1 (odd multiplier mod 2^17 > n? use explicit perm)
+    (0 until n).map(i => (i.toLong * 99991L) % n).foreach(s.add)
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = s.quantile(q).get
+      // values are a permutation of 0..n-1, so value == rank
+      val err = math.abs(est - q * (n - 1)) / n
+      assert(err < 0.05, s"q=$q rank error $err")
+    }
+    // size stays O(k log(n/k)), not O(n)
+    val held = s.heldItems
+    assert(held < 8 * 1024, s"sketch holds $held items")
+  }
+
+  test("serialize/deserialize round-trips the full structure") {
+    val s = new QSketch(64)
+    (0 until 1000).foreach(i => s.add((i * 7919L) % 1000))
+    val back = QSketch.deserialize(s.serialize)
+    assert(back.count === s.count)
+    for (q <- Seq(0.25, 0.75)) assert(back.quantile(q) === s.quantile(q))
+    // and the restored sketch keeps accepting values / merging
+    back.add(12L)
+    assert(back.count === s.count + 1)
+  }
+}
