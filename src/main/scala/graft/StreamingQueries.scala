@@ -183,6 +183,22 @@ object StreamingQueries {
       out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
     }),
 
+    // ---- streaming running quantiles: one QSketch per key in the
+    // state store (bounded O(k·log n/k) bytes/key); gate scale stays
+    // inside the sketch's exact tier, so the final per-key emission
+    // equals the batch st4 rank pick and its oracle applies verbatim
+    "st4s_quantile_stream" -> ((s, dir) => {
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "update", ticks = 4) {
+        case Seq(docs) => StreamingState.quantileSketchStream(
+          docs, Seq("lang"), "n_chars", Seq("p50" -> 0.5, "p90" -> 0.9))
+      }
+      // the count strictly grows per key → max-n row is the final one
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n").desc)
+      out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+        .withColumnRenamed("n", "n_docs")
+    }),
+
     // ---- streaming k-means refit: narrow assignment against a FIXED
     // literal quantizer (generated here, mirrored into the oracle SQL
     // — the dsirStubWeights pattern), sharded integer partials in the
@@ -310,6 +326,7 @@ object StreamingQueries {
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
 
     // batch-equality by construction: reuse the batch oracles verbatim
+    "st4s_quantile_stream" -> PipelineQueries.oracles("st4_quantile_sketch"),
     "d3s_lsh_dedup_stream" -> PipelineQueries.oracles("d3_minhash_lsh"),
     "p2s_pack_stream" -> PipelineQueries.oracles("p2_token_pack"),
     "d5s_embed_neardup_stream" -> PipelineQueries.oracles("d5_embed_neardup"),

@@ -641,6 +641,75 @@ object StreamingState {
           e => e.getField("_s")).as("centroid"))
   }
 
+  /** Streaming running quantiles: one [[graft.functions.QSketch]] per
+    * key in the state store, updated per micro-batch; every batch that
+    * touches a key emits the key's refreshed quantile row (update
+    * mode — last emission per key is the current estimate; the count
+    * column strictly grows, so it doubles as the recency key).
+    *
+    * State per key is the sketch's own serialized form — bounded
+    * O(k·log(n/k)) bytes regardless of stream length, sharded across
+    * the cluster. The sketch's two-tier contract carries over: while a
+    * key has seen ≤ k values the emitted quantiles are EXACT (the
+    * st4s gate tier — the batch oracle applies verbatim), beyond that
+    * a bounded-rank-error estimate.
+    *
+    * `quantiles` maps output column name → q, e.g.
+    * `Seq("p50" -> 0.5, "p90" -> 0.9)`.
+    */
+  def quantileSketchStream(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      quantiles: Seq[(String, Double)],
+      k: Int = 8192): DataFrame = {
+    require(keys.nonEmpty, "quantileSketchStream requires at least one key")
+    require(quantiles.nonEmpty, "quantileSketchStream requires at least one quantile")
+    val schema = df.schema
+    val n = schema.length
+    val keyIdxs = keys.map(schema.fieldIndex)
+    val valIdx = schema.fieldIndex(valueCol)
+    val outSchema = StructType(
+      keys.map(schema(_)) ++
+        (org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false) +:
+          quantiles.map { case (name, _) =>
+            org.apache.spark.sql.types.StructField(name,
+              org.apache.spark.sql.types.LongType, nullable = true)
+          }))
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.BINARY
+    implicit val outEnc = Encoders.row(outSchema)
+    df.withColumn("_graft_gk", groupKeyExpr(schema, keys))
+      .groupByKey((r: Row) => r.getString(n))
+      .flatMapGroupsWithState[Array[Byte], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Array[Byte]]) =>
+          val sketch = state.getOption
+            .map(graft.functions.QSketch.deserialize)
+            .getOrElse(new graft.functions.QSketch(k))
+          var last: Row = null
+          var added = false
+          rows.foreach { r =>
+            last = r
+            val v = r.get(valIdx)
+            if (v != null) {
+              sketch.add(v.asInstanceOf[Number].longValue)
+              added = true
+            }
+          }
+          if (!added && sketch.count == 0) Iterator.empty
+          else {
+            state.update(sketch.serialize)
+            val keyVals = keyIdxs.map(last.get)
+            val qVals = quantiles.map { case (_, q) =>
+              sketch.quantile(q).map(Long.box).orNull
+            }
+            Iterator.single(Row.fromSeq(keyVals ++ (Long.box(sketch.count) +: qVals)))
+          }
+      }
+  }
+
   /** Read the executor-side state of a [[lastByKeyStream]] query back
     * as a batch DataFrame via Spark's `statestore` data source — the
     * cluster serving path for T2/T3: state stays sharded in the
