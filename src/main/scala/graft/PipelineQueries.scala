@@ -249,6 +249,16 @@ object PipelineQueries {
         Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8))
     }),
 
+    // ---- two-stage ANN: PQ recall (compressed codes only) + exact
+    // re-rank of the per-query candidate pool — compression error is
+    // confined to candidate choice, reported scores are exact
+    "s8_ann_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 3, kCoarse = 12,
+        Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8))
+    }),
+
     // ---- T1 dict-basket variant: last per basket key
     "t1b_basket_last" -> ((s, dir) =>
       graft.state.StateOps.last(t(s, dir, "events"), "event_id",
@@ -922,6 +932,27 @@ object PipelineQueries {
          |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
          |         ORDER BY score DESC, cid ASC) AS rank FROM scored)
          |SELECT qid, cid, score, rank FROM rk WHERE rank <= 3""".stripMargin,
+
+    // stage 1 = the s4 PQ scorer kept to the kCoarse=12 pool; stage 2
+    // re-scores the pool with exact vectors
+    "s8_ann_rerank" ->
+      s"""WITH ${pqCtes()},
+         |recon AS (SELECT codes.vec_id, flatten(list(sl ORDER BY codes.m)) AS rv
+         |          FROM codes JOIN cb ON codes.m = cb.m AND codes.code = cb.c
+         |          GROUP BY codes.vec_id HAVING count(*) = 4),
+         |approx AS (SELECT q.vec_id AS qid, rc.vec_id AS cid,
+         |             ${cosSql("q.embedding", "rc.rv")} AS score
+         |           FROM recon rc JOIN embeddings q
+         |             ON q.vec_id < 8 AND q.vec_id <> rc.vec_id),
+         |cand AS (SELECT qid, cid FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |           ORDER BY score DESC, cid ASC) AS rk FROM approx) WHERE rk <= 12),
+         |exact AS (SELECT cand.qid, cand.cid,
+         |            ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |          FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+         |                    JOIN embeddings c ON c.vec_id = cand.cid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY cosine DESC, cid ASC) AS rank FROM exact)
+         |SELECT qid, cid, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
 
     "t1b_basket_last" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props

@@ -362,6 +362,36 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Two-stage ANN: PQ asymmetric-distance recall then exact re-rank —
+    * the production billion-scale shape (FAISS `IVFPQ + refine`). Stage
+    * 1 scans compressed codes only (m bytes/vector) and keeps
+    * `kCoarse ≥ k` candidates per query; stage 2 fetches ONLY the
+    * candidates' exact vectors (|Q|·kCoarse rows — broadcast-sized by
+    * construction, so the fetch is a broadcast semi-join against the
+    * corpus, never a shuffle of it) and re-ranks by exact cosine. The
+    * compression error PQ introduces is confined to candidate CHOICE;
+    * reported scores are exact.
+    */
+  def pqRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      kCoarse: Int,
+      codebooks: Array[Array[(Long, Seq[Double])]]): DataFrame = {
+    require(kCoarse >= k, s"re-rank pool $kCoarse must cover k=$k")
+    val cand = pqTopK(corpus, queries, idCol, vecCol, kCoarse, codebooks)
+      .select(col("qid"), col("cid"))
+    val exact = corpus.select(col(idCol).as("cid"), col(vecCol).as("_cv"))
+      .join(broadcast(cand), Seq("cid"))
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("_qv")))
+    val scored = exact.join(q, Seq("qid"))
+      .select(col("qid"), col("cid"), cosine(col("_qv"), col("_cv")).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN via sign-LSH buckets: candidates are same-bucket corpus rows;
     * otherwise identical shape to [[bruteForceTopK]]. Approximate —
     * recall depends on `planes` (fewer planes = bigger buckets =

@@ -222,6 +222,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pTop.contains("BroadcastExchange"), pTop.take(4000))
   }
 
+  test("s8 re-rank: candidate fetch broadcasts the pool, corpus never nested-loops") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val cbs = graft.pipeline.Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8)
+    val p = plan(graft.pipeline.Similarity.pqRerankTopK(
+      emb, emb.filter(col("vec_id") < 4), "vec_id", "embedding", k = 2, kCoarse = 6, cbs))
+    // stage-2 exact fetch must be BROADCAST hash joins (candidate pool
+    // + queries both broadcast-sized); the only nested loop allowed is
+    // stage-1's ADC scoring against the broadcast query set — never an
+    // un-broadcast cartesian
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    // per-query windows (stage-1 pool + stage-2 re-rank) are the only
+    // hash exchanges — the corpus itself is never hash-shuffled
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(4000))
+  }
+
   test("p5 shuffle order: one shard exchange, partition-local window") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val p = plan(graft.pipeline.Curation.shuffleOrder(docs, "doc_id", epoch = 1, shards = 8))
