@@ -535,6 +535,13 @@ object PipelineQueries {
     "tx8_tfidf" -> ((s, dir) =>
       Curation.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)),
 
+    // ---- BM25 ranked retrieval for a literal query-term set: narrow
+    // per-row tf folds, one single-row stats broadcast, global top-k
+    // via TakeOrderedAndProject (rational idf — no libm ln)
+    "tx11_bm25_search" -> ((s, dir) =>
+      Curation.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "merge"), k = 10)),
+
     // ---- cross-corpus dedup: new shard (doc_id % 3 != 0) deduped
     // against the reference shard via MinHash band buckets — survivors
     "d10_cross_dedup" -> ((s, dir) => {
@@ -1392,6 +1399,28 @@ object PipelineQueries {
         |          ORDER BY CAST(tf*n AS DOUBLE)/CAST(df AS DOUBLE) DESC, term ASC) AS rank
         |      FROM tf JOIN dfq USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tf, df, score, rank FROM s WHERE rank <= 3""".stripMargin,
+
+    // the engine folds (k1+1), (1-b) driver-side; the SAME doubles are
+    // rendered here so both engines replay one float expression tree
+    "tx11_bm25_search" -> {
+      val (c1, omb, k1s, bs) = Curation.bm25Constants()
+      val terms = Seq("spark", "window", "merge")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(string_split(text,' '), x -> x = '$t')) AS tf$i" }
+      val dfCols = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+      val scoreTerms = terms.indices.map(i =>
+        s"""(CASE WHEN tf$i > 0 THEN ((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) * (CAST(tf$i AS DOUBLE) * $c1) / (CAST(tf$i AS DOUBLE) + $k1s * ($omb + $bs * (CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))) ELSE 0.0 END)""")
+      s"""WITH m AS (SELECT doc_id, ${tfCols.mkString(", ")},
+         |             len(string_split(text,' ')) AS dl FROM documents),
+         |st AS (SELECT count(*) AS n, sum(dl) AS tot, ${dfCols.mkString(", ")} FROM m),
+         |sc AS (SELECT doc_id, ${scoreTerms.mkString(" + ")} AS score
+         |       FROM m CROSS JOIN st),
+         |top AS (SELECT doc_id, score FROM sc WHERE score > 0.0
+         |        ORDER BY score DESC, doc_id ASC LIMIT 10)
+         |SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |FROM top""".stripMargin
+    },
 
     "d10_cross_dedup" ->
       s"""WITH $shingleCtes,

@@ -434,6 +434,87 @@ object Curation {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** BM25 ranked retrieval (Robertson et al., Okapi) for a LITERAL
+    * query-term set — the keyword-search complement to
+    * [[tfidfTopTerms]]: given a handful of query terms, return the
+    * top-`k` corpus documents by BM25. The idf factor is kept
+    * RATIONAL — `(N - df + 0.5) / (df + 0.5)` without the standard
+    * `ln` — for the same engine-portability reason as tf-idf above
+    * (libm `ln` last-ulp drift breaks the cross-engine hash gate);
+    * the `ln` variant is a one-line swap and ranks identically for
+    * single-term queries. Per-term saturation is the real BM25 core:
+    * `tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`.
+    *
+    * Scale shape: the query terms are a literal handful, so per-doc
+    * term frequencies are NARROW per-row folds over the token array
+    * (no explode, no (doc,term) shuffle — compare [[tfidfTopTerms]],
+    * which must shuffle because its term set is the whole vocabulary);
+    * corpus stats (N, total tokens, per-term df) are ONE single-row
+    * partial-agg'd aggregate broadcast back; scoring is narrow; and
+    * the global top-k is `orderBy.limit(k)` = TakeOrderedAndProject —
+    * per-partition heaps, never a single-task global window. The only
+    * post-scan work proportional to the corpus is the one stats scan.
+    * Every float op is a fixed expression tree (constants precomputed
+    * driver-side and rendered identically into the oracle), so scores
+    * are bit-reproducible across engines.
+    *
+    * Returns (idCol, score, rank), rank 1..k, ties on score broken by
+    * ascending id.
+    */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextFunctions.tokens(col(textCol))
+    val tfd = df.select(
+      Seq(col(idCol), TextFunctions.tokenCount(col(textCol)).cast("long").as("_dl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(s"_tf$i")
+        }: _*)
+    val stats = tfd.agg(
+      count(lit(1)).as("_n"),
+      sum(col("_dl")).as("_tot") +:
+        terms.indices.map(i =>
+          sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i")): _*)
+    // constants are folded ONCE on the driver and the SAME doubles are
+    // rendered into the oracle SQL — no engine-side constant folding in
+    // the float path
+    val c1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    val avgdl = col("_tot").cast("double") / col("_n").cast("double")
+    val ratio = col("_dl").cast("double") / col("_avgdl")
+    def termScore(i: Int): Column = {
+      val tf = col(s"_tf$i").cast("double")
+      val dfq = col(s"_df$i").cast("double")
+      val idf = (col("_n").cast("double") - dfq + lit(0.5)) / (dfq + lit(0.5))
+      when(col(s"_tf$i") > 0,
+        idf * (tf * lit(c1)) / (tf + lit(k1) * (lit(oneMinusB) + lit(b) * col("_ratio"))))
+        .otherwise(lit(0.0))
+    }
+    val scored = tfd.crossJoin(broadcast(stats.withColumn("_avgdl", avgdl)))
+      .withColumn("_ratio", ratio)
+      .withColumn("score", terms.indices.map(termScore).reduceLeft(_ + _))
+      .filter(col("score") > 0.0)
+    val top = scored.select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+    // rank over the ALREADY-LIMITED k rows — the unpartitioned window
+    // sees at most k rows, never the corpus
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)))
+  }
+
+  /** The constants [[bm25TopK]] folds driver-side, rendered for an
+    * oracle that must replay the identical float expression tree. */
+  def bm25Constants(k1: Double = 1.2, b: Double = 0.75): (String, String, String, String) =
+    ((k1 + 1.0).toString, (1.0 - b).toString, k1.toString, b.toString)
+
   // ---- importance weighting (DSIR) ---------------------------------------
 
   /** DSIR-style importance weight per document (Xie et al. 2023,

@@ -238,6 +238,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(4000))
   }
 
+  test("bm25: narrow tf folds, one stats broadcast, top-k never a corpus window") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(graft.pipeline.Curation.bm25TopK(
+      docs, "doc_id", "text", Seq("spark", "window"), k = 5))
+    // global top-k must be per-partition heaps (TakeOrderedAndProject),
+    // with the unpartitioned rank window running AFTER the limit —
+    // never a single-task window over corpus rows
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    // stats ride a broadcast; the corpus itself is never hash-shuffled
+    assert(p.contains("BroadcastExchange"), p.take(4000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(4000))
+  }
+
   test("p5 shuffle order: one shard exchange, partition-local window") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val p = plan(graft.pipeline.Curation.shuffleOrder(docs, "doc_id", epoch = 1, shards = 8))
