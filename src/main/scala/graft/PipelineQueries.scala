@@ -535,6 +535,18 @@ object PipelineQueries {
     "tx8_tfidf" -> ((s, dir) =>
       Curation.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)),
 
+    // ---- corpus snapshot diff: v_old drops doc_id%10==7, v_new drops
+    // %10==3 and rewrites %5==0 docs — added/removed/changed delta;
+    // only (id, md5) rows ever shuffle
+    "v1_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 7)
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, upper(col("text"))).otherwise(col("text")))
+      Curation.snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text", "lang", "source"))
+    }),
+
     // ---- BM25 ranked retrieval for a literal query-term set: narrow
     // per-row tf folds, one single-row stats broadcast, global top-k
     // via TakeOrderedAndProject (rational idf — no libm ln)
@@ -1399,6 +1411,22 @@ object PipelineQueries {
         |          ORDER BY CAST(tf*n AS DOUBLE)/CAST(df AS DOUBLE) DESC, term ASC) AS rank
         |      FROM tf JOIN dfq USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tf, df, score, rank FROM s WHERE rank <= 3""".stripMargin,
+
+    // md5 equality inside each engine is content equality — the hashes
+    // themselves never cross engines, only the status strings do
+    "v1_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang, source)) AS h
+        |           FROM documents WHERE doc_id % 10 <> 7),
+        |n AS (SELECT doc_id, md5(concat_ws(chr(1),
+        |               CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END,
+        |               lang, source)) AS h
+        |      FROM documents WHERE doc_id % 10 <> 3)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h""".stripMargin,
 
     // the engine folds (k1+1), (1-b) driver-side; the SAME doubles are
     // rendered here so both engines replay one float expression tree

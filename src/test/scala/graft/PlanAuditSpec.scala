@@ -251,6 +251,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p.take(4000))
   }
 
+  test("v1 snapshot diff: only (id, md5) rows shuffle, never document text") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(graft.pipeline.Curation.snapshotDiff(
+      docs.filter(col("doc_id") % 2 === 0), docs, "doc_id", Seq("text", "lang")))
+    // full-outer equi-join: one hash exchange per side, fed by the
+    // md5 projection — the exchange carries fixed-width digests
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(4000))
+    assert("md5".r.findAllIn(p).size >= 2, p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(4000))
+    // text is consumed by the md5 projection at the scan and never
+    // appears in the join output
+    val joinOut = p.linesIterator.find(_.contains("SortMergeJoin")).getOrElse("")
+    assert(!joinOut.contains("text"), joinOut)
+  }
+
   test("p5 shuffle order: one shard exchange, partition-local window") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val p = plan(graft.pipeline.Curation.shuffleOrder(docs, "doc_id", epoch = 1, shards = 8))
