@@ -535,6 +535,22 @@ object PipelineQueries {
     "tx8_tfidf" -> ((s, dir) =>
       Curation.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)),
 
+    // ---- markup extraction: each doc is deterministically wrapped in
+    // an HTML page (script/style/comment blocks, entities, per-word
+    // <p> tags) and stripMarkup must recover the text — the tx5
+    // round-trip pattern for the WARC→WET extraction step
+    "tx12_markup_extract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><title>t</title><script type=\"text/javascript\">var x = 1 && 2;</script>" +
+          "<style>p { color: red; }</style></head><!-- nav --><body><h1>"),
+        col("source"), lit("</h1><p>"),
+        regexp_replace(col("text"), " ", "</p> <p>"),
+        lit("</p><div class=\"ft\">&amp;copy; 2026 &lt;corp&gt;&nbsp;&#39;end&#39;</div></body></html>"))
+      docs.select(col("doc_id"),
+        graft.functions.TextFunctions.stripMarkup(html).as("extracted"))
+    }),
+
     // ---- corpus snapshot diff: v_old drops doc_id%10==7, v_new drops
     // %10==3 and rewrites %5==0 docs — added/removed/changed delta;
     // only (id, md5) rows ever shuffle
@@ -1411,6 +1427,25 @@ object PipelineQueries {
         |          ORDER BY CAST(tf*n AS DOUBLE)/CAST(df AS DOUBLE) DESC, term ASC) AS rank
         |      FROM tf JOIN dfq USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tf, df, score, rank FROM s WHERE rank <= 3""".stripMargin,
+
+    // identical page construction and identical extraction chain —
+    // RE2 and java.util.regex agree on this restricted pattern syntax
+    "tx12_markup_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>t</title><script type="text/javascript">var x = 1 && 2;</script><style>p { color: red; }</style></head><!-- nav --><body><h1>'
+        |  || source || '</h1><p>' || replace(text, ' ', '</p> <p>') ||
+        |  '</p><div class="ft">&amp;copy; 2026 &lt;corp&gt;&nbsp;&#39;end&#39;</div></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS extracted
+        |FROM h""".stripMargin,
 
     // md5 equality inside each engine is content equality — the hashes
     // themselves never cross engines, only the status strings do

@@ -90,6 +90,31 @@ object TextFunctions {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Markup extraction (the WARC→WET step of a web-crawl pipeline):
+    * strip HTML/XML down to its text content — drop `<script>`,
+    * `<style>` and comment blocks wholesale, strip remaining tags,
+    * unescape the common entities, collapse whitespace. A regex
+    * extractor, not a conforming HTML5 parser (no entity table beyond
+    * the core six, no CDATA) — the trafilatura/jusText preprocessing
+    * shape, chosen because every step is an engine-portable codegen'd
+    * expression: zero shuffle, linear in bytes, and the DuckDB oracle
+    * replays the identical pattern chain (RE2 and java.util.regex
+    * agree on this restricted syntax).
+    *
+    * `&amp;` is unescaped LAST so double-escaped entities surface as
+    * their single-escaped literal (standard single-pass unescape).
+    */
+  def stripMarkup(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (f, r)) => replace(c, lit(f), lit(r)) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** Repetition ratio (Gopher-style quality signal): fraction of word
     * n-gram occurrences that are repeats of an earlier gram —
     * `1 - distinct/total`. Templated/spammy text scores high. Built on

@@ -232,4 +232,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getSeq[Long](3) === r.getSeq[Long](4))
     assert(r.getSeq[Long](3).nonEmpty)
   }
+
+  test("stripMarkup: blocks dropped whole, tags stripped, entities single-unescaped") {
+    def strip(s: String): String =
+      spark.range(1).select(TextFunctions.stripMarkup(lit(s)).as("t"))
+        .collect().head.getString(0)
+    assert(strip("<p>hello <b>world</b></p>") === "hello world")
+    // script/style/comment bodies vanish entirely, even with tag-like content
+    assert(strip("a<script>if (x<y && y>z) {}</script>b") === "a b")
+    assert(strip("a<style>p > em { color: red }</style>b") === "a b")
+    assert(strip("a<!-- <p>not text</p> -->b") === "a b")
+    // entity unescape is single-pass: &amp;lt; -> &lt; (literal), not <
+    assert(strip("&amp;lt; &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;x") ===
+      "&lt; <tag> \"q\" 's' x")
+    // whitespace collapse + trim
+    assert(strip("  <div>\n a \t b </div>  ") === "a b")
+  }
 }
