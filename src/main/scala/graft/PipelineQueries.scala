@@ -447,6 +447,25 @@ object PipelineQueries {
         Layout.zValue(zc, 8).as("z"))
     }),
 
+    // ---- bucketed co-located join: both fact tables written bucketed
+    // on the join key, so the sort-merge join itself runs with ZERO
+    // exchange (plan-audited); the only shuffle left is the final
+    // small-key aggregation — the write-once-join-nightly layout
+    "b1_bucketed_join" -> ((s, dir) => {
+      val root = "/tmp/graft_b1"
+      val li = Layout.bucketedTable(s,
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        "graft_b1_lineitem", "l_orderkey", 16, s"$root/lineitem")
+      val ord = Layout.bucketedTable(s,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_b1_orders", "o_orderkey", 16, s"$root/orders")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // ---- PII detection + redaction (emails/phones synthesized onto
     // the corpus deterministically — the raw corpus carries none)
     "tx6_pii_redact" -> ((s, dir) => {
@@ -1327,6 +1346,15 @@ object PipelineQueries {
          |  FROM lineitem, shft)
          |SELECT l_orderkey, l_linenumber, qp, qs, $zTerms AS z FROM q""".stripMargin
     },
+
+    // the bucketed layout changes the PLAN (no join exchange), never
+    // the answer — the oracle is the plain join
+    "b1_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "tx6_pii_redact" ->
       s"""WITH p AS (SELECT doc_id,

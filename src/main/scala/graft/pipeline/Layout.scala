@@ -97,4 +97,39 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  // ---- bucketed co-located layout ----------------------------------------
+
+  /** Write `df` as a bucketed, per-file-sorted catalog table at `path`:
+    * rows are hash-distributed into `buckets` files by `keyCol` at
+    * WRITE time, and the catalog remembers it — every later equi-join
+    * or aggregation on that key reads pre-distributed (and pre-sorted)
+    * data and SKIPS its exchange entirely. Two fact tables bucketed on
+    * their join key with the same bucket count sort-merge-join with
+    * ZERO shuffle ([[graft.PlanAuditSpec]] pins it).
+    *
+    * This is the complement to [[zorderBy]]: z-order buys scan pruning,
+    * bucketing buys shuffle elimination — at 100 TB the recurring join
+    * of two fact tables (lineitem ⋈ orders every night) is THE shuffle
+    * worth paying once at write time instead of every query. Returns
+    * the catalog-backed frame (reading it by name is what carries the
+    * bucket metadata into planning — a plain `spark.read.parquet` of
+    * the same files would not).
+    */
+  def bucketedTable(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      table: String,
+      keyCol: String,
+      buckets: Int,
+      path: String): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
+    spark.table(table)
+  }
 }

@@ -251,6 +251,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p.take(4000))
   }
 
+  test("b1 bucketed join: co-located fact tables join with ZERO exchange") {
+    val li = graft.pipeline.Layout.bucketedTable(spark,
+      graft.core.Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice")),
+      "audit_b1_li", "l_orderkey", 8, "/tmp/graft_audit_b1/li")
+    val ord = graft.pipeline.Layout.bucketedTable(spark,
+      graft.core.Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "audit_b1_ord", "o_orderkey", 8, "/tmp/graft_audit_b1/ord")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(li.join(ord, col("l_orderkey") === col("o_orderkey")))
+      // both sides read pre-distributed bucket files: the sort-merge
+      // join plans with NO Exchange of any kind — the write-time
+      // shuffle is the only one this join ever pays
+      assert(p.contains("SortMergeJoin"), p.take(4000))
+      assert(!p.contains("Exchange"), p.take(4000))
+      assert(p.contains("SelectedBucketsCount"), p.take(4000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("v1 snapshot diff: only (id, md5) rows shuffle, never document text") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val p = plan(graft.pipeline.Curation.snapshotDiff(
