@@ -263,6 +263,37 @@ object RelationalQueries {
         .agg(count(col("o_orderkey")).as("n_orders"),
           max(col("o_totalprice")).as("max_price"))),
 
+    // ---- bucketed range join: every event inside a 2-hour window
+    // opened by the same user's sampled anchor events — the bucket
+    // expansion turns the BETWEEN predicate into an equi-join (a naive
+    // plan is a nested loop); bucket width = 1h ≈ interval/2
+    "j5_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val pts = ev.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("p"))
+      val wins = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("win_id"), col("user_id").as("w_user"),
+          unix_micros(col("ts")).as("lo"),
+          (unix_micros(col("ts")) + lit(7200000000L)).as("hi"))
+      graft.operators.RangeJoin.pointInRange(pts, wins, "p", "lo", "hi",
+        bucketWidth = 3600000000L, equiKeys = Seq("user_id" -> "w_user"))
+        .select(col("event_id"), col("win_id"))
+    }),
+
+    // ---- salted skew join: lineitem joined to orders on (key, salt)
+    // with the orders side replicated per salt — the manual hot-key
+    // spread; same answer as the plain join, by construction
+    "j6_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.SkewJoin.saltedJoin(li, ord, "l_orderkey", "o_orderkey",
+        saltSource = col("l_orderkey") * lit(31) + col("l_linenumber"), salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // ---- event-time RANGE frame: trailing-1h activity per user. The
     // frame is bounded by VALUE (microseconds), not rows, so peers on
     // the same timestamp enter together — deterministic regardless of
@@ -447,6 +478,24 @@ object RelationalQueries {
       """SELECT c_custkey, count(o_orderkey) AS n_orders, max(o_totalprice) AS max_price
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey""".stripMargin,
+
+    // the bucket expansion changes the PLAN, not the pair set — the
+    // oracle is the plain BETWEEN join
+    "j5_range_join" ->
+      """WITH pts AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p
+        |             FROM events),
+        |wins AS (SELECT event_id AS win_id, user_id AS w_user,
+        |                epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
+        |                epoch_us(CAST(ts AS TIMESTAMP)) + 7200000000 AS hi
+        |         FROM events WHERE event_id % 97 = 0)
+        |SELECT event_id, win_id FROM pts JOIN wins
+        |ON user_id = w_user AND p >= lo AND p <= hi""".stripMargin,
+
+    // salting is plan-only too: the oracle is the unsalted join
+    "j6_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "w2_moving_window" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,

@@ -251,6 +251,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p.take(4000))
   }
 
+  test("j5 range join: bucket expansion plans an equi-join, never a nested loop") {
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val pts = ev.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p"))
+    val wins = ev.filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("win_id"), col("user_id").as("w_user"),
+        unix_micros(col("ts")).as("lo"), (unix_micros(col("ts")) + lit(7200000000L)).as("hi"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(graft.operators.RangeJoin.pointInRange(
+        pts, wins, "p", "lo", "hi", 3600000000L, Seq("user_id" -> "w_user")))
+      // the whole point: the BETWEEN predicate rides an equi-join on
+      // (bucket, user) — with broadcast off, a naive range join would
+      // be a CartesianProduct/BroadcastNestedLoopJoin
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        p.take(4000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(4000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("j6 salted join: the salt is part of the join distribution") {
+    val li = graft.core.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val ord = graft.core.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(graft.operators.SkewJoin.saltedJoin(
+        li, ord, "l_orderkey", "o_orderkey",
+        col("l_orderkey") * lit(31) + col("l_linenumber"), salts = 8))
+      // hot-key rows must be spread over salts tasks: the exchanges
+      // hash on (key, salt), not key alone
+      assert(p.contains("_lsalt") && p.contains("_rsalt"), p.take(4000))
+      assert("Exchange hashpartitioning\\(l_orderkey[^)]*_lsalt".r.findFirstIn(p).nonEmpty,
+        p.take(4000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("b1 bucketed join: co-located fact tables join with ZERO exchange") {
     val li = graft.pipeline.Layout.bucketedTable(spark,
       graft.core.Tables.load(spark, dir, "lineitem")
