@@ -273,6 +273,49 @@ object Dedup {
     * signature pairs (_s1, _s2, est_jaccard), sig1 < sig2
     * lexicographically).
     */
+  /** Largest identical-sketch group size — the runtime signal behind
+    * the ADAPTIVE candidate-join choice in [[minhashLshPairs]] /
+    * [[simhashPairs]]. Factoring through DISTINCT sketch values is
+    * load-bearing exactly when identical-sketch groups are hot (a
+    * group of g docs forces g² candidate rows through ONE bucket task
+    * — the measured 92×-at-10×-data quadratic), but on a corpus whose
+    * sketches are ~all unique (a web crawl AFTER exact dedup — the
+    * common pipeline order) the distinct set IS the member set, and
+    * the factoring's extra aggregate plus two corpus-scale expansion
+    * shuffles are pure overhead (~2× at sf0.1, measured). Max
+    * occupancy, not a uniqueness RATIO, is the decision variable: one
+    * 100k-doc template group hiding in a billion otherwise-unique
+    * docs keeps any ratio ≈ 1 while making the direct join
+    * catastrophic. Cost: one partial-agg'd metadata exchange (the
+    * sketch column only, map-side combined to ~distinct cardinality)
+    * over the already-persisted members frame — it doubles as the
+    * cache materializer the downstream joins reuse, and it is always
+    * cheaper than the two expansion shuffles it can save.
+    */
+  private def sketchMaxOccupancy(members: DataFrame, sigCol: String): Long = {
+    val r = members.groupBy(col(sigCol)).count()
+      .agg(max(col("count")).as("m")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Occupancy cap under which the doc-level candidate join is chosen
+    * over distinct-value factoring: 256²/2 ≈ 33k candidate rows for
+    * the hottest group — trivially task-local — while template-heavy
+    * corpora (thousands of docs per sketch) stay on the factored
+    * plan.
+    */
+  private val directPathMaxOccupancy = 256L
+
+  private def minhashMembers(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int): DataFrame =
+    trackPersist(df
+      .select(col(idCol).as("_id"), minhashSignature(col(textCol), n, numHashes).as("_sig"))
+      .filter(col("_sig").getItem(0).isNotNull)) // shingle-less docs can't match; reused by expansion joins
+
   private def minhashFactored(
       df: DataFrame,
       idCol: String,
@@ -281,13 +324,19 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       threshold: Double): (DataFrame, DataFrame) = {
-    val members = trackPersist(df
-      .select(col(idCol).as("_id"), minhashSignature(col(textCol), n, numHashes).as("_sig"))
-      .filter(col("_sig").getItem(0).isNotNull)) // shingle-less docs can't match; reused by expansion joins
+    val members = minhashMembers(df, idCol, textCol, n, numHashes)
+    (members, minhashValPairs(members, numHashes, bands, threshold))
+  }
+
+  private def minhashValPairs(
+      members: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
     val vals = members.select(col("_sig")).distinct()
     val buckets = bandBucketsFromSigs(vals.withColumn("_v", col("_sig")), "_v", "_sig",
       numHashes, bands).select(col("_sig"), col("band"), col("bh"))
-    val valPairs = buckets.as("a")
+    buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a._sig") < col("b._sig"))
@@ -295,9 +344,17 @@ object Dedup {
       .dropDuplicates("_s1", "_s2")
       .withColumn("est_jaccard", sigAgreement(col("_s1"), col("_s2"), numHashes))
       .filter(col("est_jaccard") >= lit(threshold))
-    (members, valPairs)
   }
 
+  /** `adaptive = true` (default) picks the candidate-join layout at
+    * runtime from [[sketchMaxOccupancy]]: bounded identical-sketch
+    * groups → ONE doc-level band self-join (no distinct aggregate, no
+    * expansion joins, no pair-level exchange — see the
+    * earliest-agreeing-band dedup below); hot identical-sketch groups
+    * → the distinct-value factoring (quadratic-occupancy safe). Both
+    * branches emit the identical (id1, id2, est_jaccard) set — the
+    * oracle can't tell them apart; only the plan differs.
+    */
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,
@@ -305,18 +362,45 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    val (members, valPairs) = minhashFactored(df, idCol, textCol, n, numHashes, bands, threshold)
-    val cross = valPairs.as("p")
-      .join(members.as("a"), col("a._sig") === col("p._s1"))
-      .join(members.as("b"), col("b._sig") === col("p._s2"))
-      .select(least(col("a._id"), col("b._id")).as("id1"),
-        greatest(col("a._id"), col("b._id")).as("id2"), col("p.est_jaccard"))
-    // identical signatures agree on every slot: est is exactly 1.0,
-    // which clears any threshold <= 1
-    val within = saltedWithinPairs(members, "_sig")
-      .withColumn("est_jaccard", lit(1.0))
-    cross.unionAll(within)
+      threshold: Double = 0.5,
+      adaptive: Boolean = true): DataFrame = {
+    val members = minhashMembers(df, idCol, textCol, n, numHashes)
+    if (adaptive && sketchMaxOccupancy(members, "_sig") <= directPathMaxOccupancy) {
+      // direct path: band-bucket self-join on doc rows. Identical-sig
+      // pairs need no separate handling — they agree on every band
+      // (est exactly 1.0) and surface from the same join. A pair
+      // agreeing on SEVERAL bands is emitted only from its EARLIEST
+      // one (a codegen'd filter re-deriving the earlier band hashes
+      // from the signatures already on the row) — exactness without a
+      // pair-level dropDuplicates exchange.
+      val rpb = numHashes / bands
+      val buckets = bandBucketsFromSigs(members, "_id", "_sig", numHashes, bands)
+      val earliest = (0 until bands).map { b =>
+        (col("a.band") === lit(b)) && (0 until b)
+          .map(p => bandHash(col("a._sig"), p, rpb) =!= bandHash(col("b._sig"), p, rpb))
+          .foldLeft(lit(true))(_ && _)
+      }.reduce(_ || _)
+      buckets.as("a")
+        .join(buckets.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a._id") < col("b._id"))
+        .filter(earliest)
+        .select(col("a._id").as("id1"), col("b._id").as("id2"),
+          sigAgreement(col("a._sig"), col("b._sig"), numHashes).as("est_jaccard"))
+        .filter(col("est_jaccard") >= lit(threshold))
+    } else {
+      val valPairs = minhashValPairs(members, numHashes, bands, threshold)
+      val cross = valPairs.as("p")
+        .join(members.as("a"), col("a._sig") === col("p._s1"))
+        .join(members.as("b"), col("b._sig") === col("p._s2"))
+        .select(least(col("a._id"), col("b._id")).as("id1"),
+          greatest(col("a._id"), col("b._id")).as("id2"), col("p.est_jaccard"))
+      // identical signatures agree on every slot: est is exactly 1.0,
+      // which clears any threshold <= 1
+      val within = saltedWithinPairs(members, "_sig")
+        .withColumn("est_jaccard", lit(1.0))
+      cross.unionAll(within)
+    }
   }
 
   /** Component-equivalent linear edge set for the MinHash near-dup
@@ -473,19 +557,34 @@ object Dedup {
       maxHamming: Int,
       bits: Int,
       blockBits: Int): (DataFrame, DataFrame) = {
-    val nBlocks = bits / blockBits
-    require(maxHamming < nBlocks, "pigeonhole needs maxHamming < number of blocks")
-    val blockMask = (1L << blockBits) - 1
     val members = trackPersist(
       df.select(col(idCol).as("_id"), simhash(col(textCol), bits).as("_sh"))) // reused by expansion joins
-    val vals = members.select(col("_sh")).distinct()
-    val blocks = vals.select(
-      col("_sh"),
+    (members, simhashValPairs(members, maxHamming, bits, blockBits))
+  }
+
+  /** Pigeonhole block exploder shared by the factored (distinct-value)
+    * and direct (doc-level) candidate joins — `keep` columns ride
+    * along with the (blk, bv) struct.
+    */
+  private def simhashBlocks(
+      rows: DataFrame, keep: Seq[String], bits: Int, blockBits: Int): DataFrame = {
+    val nBlocks = bits / blockBits
+    val blockMask = (1L << blockBits) - 1
+    rows.select(keep.map(col) :+
       explode(array((0 until nBlocks).map(k =>
         struct(lit(k).as("blk"),
           col("_sh").bitwiseAND(lit(blockMask << (blockBits * k))).as("bv"))): _*))
-        .as("_b"))
-    val valPairs = blocks.as("a")
+        .as("_b"): _*)
+  }
+
+  private def simhashValPairs(
+      members: DataFrame,
+      maxHamming: Int,
+      bits: Int,
+      blockBits: Int): DataFrame = {
+    require(maxHamming < bits / blockBits, "pigeonhole needs maxHamming < number of blocks")
+    val blocks = simhashBlocks(members.select(col("_sh")).distinct(), Seq("_sh"), bits, blockBits)
+    blocks.as("a")
       .join(blocks.as("b"),
         col("a._b.blk") === col("b._b.blk") && col("a._b.bv") === col("b._b.bv") &&
           col("a._sh") < col("b._sh"))
@@ -493,7 +592,6 @@ object Dedup {
       .dropDuplicates("_sh1", "_sh2")
       .withColumn("hamming", bit_count(col("_sh1").bitwiseXOR(col("_sh2"))))
       .filter(col("hamming") <= lit(maxHamming))
-    (members, valPairs)
   }
 
   /** All intra-group pairs (id1 < id2) of `members` grouped by
@@ -535,16 +633,46 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 2,
       bits: Int = 48,
-      blockBits: Int = 16): DataFrame = {
+      blockBits: Int = 16,
+      adaptive: Boolean = true): DataFrame = {
     val (members, valPairs) = simhashFactored(df, idCol, textCol, maxHamming, bits, blockBits)
-    val cross = valPairs.as("p")
-      .join(members.as("a"), col("a._sh") === col("p._sh1"))
-      .join(members.as("b"), col("b._sh") === col("p._sh2"))
-      .select(least(col("a._id"), col("b._id")).as("id1"),
-        greatest(col("a._id"), col("b._id")).as("id2"), col("p.hamming"))
-    val within = saltedWithinPairs(members, "_sh")
-      .withColumn("hamming", lit(0).cast("int"))
-    cross.unionAll(within)
+    if (adaptive && sketchMaxOccupancy(members, "_sh") <= directPathMaxOccupancy) {
+      // direct path (see minhashLshPairs): doc-level block self-join;
+      // identical-sketch pairs agree on every block and fall out of
+      // the same join with hamming 0. Multi-block agreements emit
+      // only from the EARLIEST agreeing block (earlier block values
+      // re-derived from the sketches on the row — a codegen'd filter,
+      // not a pair-level dropDuplicates exchange).
+      require(maxHamming < bits / blockBits, "pigeonhole needs maxHamming < number of blocks")
+      val nBlocks = bits / blockBits
+      val blockMask = (1L << blockBits) - 1
+      val blocks = simhashBlocks(members, Seq("_id", "_sh"), bits, blockBits)
+      val earliest = (0 until nBlocks).map { k =>
+        (col("a._b.blk") === lit(k)) && (0 until k)
+          .map { p =>
+            val m = lit(blockMask << (blockBits * p))
+            col("a._sh").bitwiseAND(m) =!= col("b._sh").bitwiseAND(m)
+          }
+          .foldLeft(lit(true))(_ && _)
+      }.reduce(_ || _)
+      blocks.as("a")
+        .join(blocks.as("b"),
+          col("a._b.blk") === col("b._b.blk") && col("a._b.bv") === col("b._b.bv") &&
+            col("a._id") < col("b._id"))
+        .filter(earliest)
+        .select(col("a._id").as("id1"), col("b._id").as("id2"),
+          bit_count(col("a._sh").bitwiseXOR(col("b._sh"))).as("hamming"))
+        .filter(col("hamming") <= lit(maxHamming))
+    } else {
+      val cross = valPairs.as("p")
+        .join(members.as("a"), col("a._sh") === col("p._sh1"))
+        .join(members.as("b"), col("b._sh") === col("p._sh2"))
+        .select(least(col("a._id"), col("b._id")).as("id1"),
+          greatest(col("a._id"), col("b._id")).as("id2"), col("p.hamming"))
+      val within = saltedWithinPairs(members, "_sh")
+        .withColumn("hamming", lit(0).cast("int"))
+      cross.unionAll(within)
+    }
   }
 
   /** Component-equivalent EDGE set for the simhash near-dup graph,

@@ -480,9 +480,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // distinct-value aggregate on BOTH sides — a doc-level self-join is
     // quadratic in hot-sketch occupancy (92× at 10× data when a 13k-doc
     // identical-sketch group exists)
+    // adaptive=false forces the factored branch regardless of the test
+    // corpus's uniqueness — this audit pins the HOT-GROUP shape
     for (pairs <- Seq(
-        graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 2),
-        graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text"))) {
+        graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 2,
+          adaptive = false),
+        graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text",
+          adaptive = false))) {
       val lp = pairs.queryExecution.optimizedPlan
       val selfJoins = lp.collect {
         // simhash blocks ride a struct column `_b`; minhash band
@@ -497,6 +501,32 @@ class PlanAuditSpec extends AnyFunSuite {
             s"candidate join side without distinct aggregate:\n${side.toString.take(1500)}")
         }
       }
+    }
+  }
+
+  test("adaptive sketch pairs: near-unique corpus takes the direct doc-level join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    // the test corpus is ~all-unique text, so the runtime uniqueness
+    // probe must pick the direct branch: ONE candidate self-join with
+    // NO distinct aggregate below it and NO expansion joins above it
+    for (pairs <- Seq(
+        graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 2),
+        graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text"))) {
+      val lp = pairs.queryExecution.optimizedPlan
+      val candJoins = lp.collect {
+        case j: Join if j.condition.exists(_.references.exists(a =>
+          a.name == "_b" || a.name == "bh")) => j
+      }
+      assert(candJoins.size == 1, lp.toString.take(2000))
+      candJoins.foreach { j =>
+        Seq(j.left, j.right).foreach { side =>
+          assert(side.collectFirst { case a: Aggregate => a }.isEmpty,
+            s"direct branch should have no distinct aggregate:\n${side.toString.take(1500)}")
+        }
+      }
+      // no expansion joins: the candidate join is the ONLY join
+      assert(lp.collect { case j: Join => j }.size == 1, lp.toString.take(2000))
     }
   }
 
