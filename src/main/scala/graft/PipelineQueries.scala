@@ -1155,8 +1155,13 @@ object PipelineQueries {
         |  -- per-frame (8 + len + word-align pad) over k = n_chars%32+1
         |  -- frames holding len(text) codepoint-class bytes chunked
         |  -- (first n%k frames one byte longer)
+        |  -- image rows: even ids a 24-bit BMP (54-byte header + one
+        |  -- padded 3·n pixel row); odd ids an 8-bit gray PNG with
+        |  -- STORED deflate blocks (sig 8 + IHDR 25 + IDAT 12 + IEND 12
+        |  -- + zlib 2+5·blocks+(n+1)+4 = 64 + n + 5·ceil((n+1)/65535))
         |  CASE WHEN doc_id % 3 = 1 THEN 44 + 2*len(text)
-        |       WHEN doc_id % 3 = 0 THEN 54 + ((3*len(text)+3)//4)*4
+        |       WHEN doc_id % 6 = 0 THEN 54 + ((3*len(text)+3)//4)*4
+        |       WHEN doc_id % 6 = 3 THEN 64 + len(text) + 5*((len(text)+65535)//65535)
         |       ELSE 100 + 8*(n_chars % 32 + 1) + len(text)
         |            + (len(text) % (n_chars % 32 + 1))
         |              * ((len(text) // (n_chars % 32 + 1) + 1) % 2)

@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * shaped function per partition, never per row).
   *
   * Container codecs are REAL pure-JVM parsers for all three
-  * modalities: [[decodeWav]] (PCM WAV), [[decodeBmp]] (24-bit BMP) and
-  * [[decodeAvi]] (RIFF/AVI demux). Media *bitstream* codecs (JPEG/H.264
-  * etc.) are not available in this build environment, so payloads that
-  * match none of the container signatures fall to a deterministic stub
+  * modalities: [[decodeWav]] (PCM WAV), [[decodeBmp]] (24-bit BMP),
+  * [[decodePng]] (8-bit gray/RGB PNG — chunk walk, CRC-32 verify,
+  * zlib INFLATE, all five scanline filters) and [[decodeAvi]]
+  * (RIFF/AVI demux). Media *bitstream* codecs (JPEG/H.264 etc.) are
+  * not available in this build environment, so payloads that match
+  * none of the container signatures fall to a deterministic stub
   * kernel ([[stubDecode]]) — the Spark-side contract (schema, batch
   * shape, partitioning, null handling) is real and tested; swapping in
   * a real bitstream decoder is a one-function change.
@@ -188,6 +190,199 @@ object Multimodal {
     }
     val n = width.toLong * rows
     bins.map(_ / math.max(n, 1L).toDouble)
+  }
+
+  // ---- real PNG codec (pure JVM: java.util.zip Inflater/CRC32) -----------
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private val pngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** True iff the payload starts with the 8-byte PNG signature and is
+    * long enough to hold the mandatory IHDR/IDAT/IEND chunks. The
+    * signature's non-ASCII first byte makes text misrouting impossible
+    * (the strictness [[isWav]]/[[isBmp]] get from size checks).
+    */
+  def isPng(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 8 + 25 + 12 + 12 &&
+      (0 until 8).forall(i => payload(i) == pngSig(i))
+
+  /** REAL decode path for PNG payloads: walks the chunk stream
+    * (verifying each CRC-32), parses IHDR (8-bit depth, grayscale or
+    * truecolor, no interlace), concatenates IDAT, INFLATEs the zlib
+    * stream (`java.util.zip.Inflater` — stored and compressed deflate
+    * blocks alike), reverses the per-row scanline filter (all five
+    * types: None/Sub/Up/Average/Paeth), and histograms the first
+    * channel into the shared 8 luminance-class bins. Returns null on
+    * any structural violation (bad CRC, truncated chunk or stream,
+    * unsupported depth/color/interlace, unknown filter type) — caller
+    * decides the fallback, nothing is silently guessed.
+    */
+  def decodePng(payload: Array[Byte]): Array[Double] = {
+    if (!isPng(payload)) return null
+    var off = 8
+    var width = -1; var height = -1; var bitDepth = -1; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && off + 12 <= payload.length) {
+      val len = beInt(payload, off)
+      if (len < 0 || off + 12 + len > payload.length) return null
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload, off + 4, 4 + len)
+      if (crc.getValue != (beInt(payload, off + 8 + len).toLong & 0xffffffffL)) return null
+      new String(payload, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII) match {
+        case "IHDR" =>
+          if (len != 13) return null
+          width = beInt(payload, off + 8); height = beInt(payload, off + 12)
+          bitDepth = payload(off + 16) & 0xff; colorType = payload(off + 17) & 0xff
+          // compression method, filter method, interlace must be 0
+          if (payload(off + 18) != 0 || payload(off + 19) != 0 || payload(off + 20) != 0)
+            return null
+        case "IDAT" => idat.write(payload, off + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks (tEXt, pHYs, …) skipped
+      }
+      off += 12 + len
+    }
+    if (!sawEnd || width < 0 || height < 0 || bitDepth != 8) return null
+    val channels = colorType match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // truecolor
+      case _ => return null
+    }
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val k = inf.inflate(raw, got, raw.length - got)
+        if (k == 0 && inf.needsInput()) return null // truncated stream
+        got += k
+      }
+      if (got != raw.length) return null
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+    // reverse the scanline filters in place (out holds unfiltered bytes)
+    val out = new Array[Int](stride * height)
+    var r = 0
+    while (r < height) {
+      val ft = raw(r * (stride + 1)) & 0xff
+      if (ft > 4) return null
+      var i = 0
+      while (i < stride) {
+        val x = raw(r * (stride + 1) + 1 + i) & 0xff
+        val a = if (i >= channels) out(r * stride + i - channels) else 0
+        val b = if (r > 0) out((r - 1) * stride + i) else 0
+        val c = if (r > 0 && i >= channels) out((r - 1) * stride + i - channels) else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        out(r * stride + i) = v & 0xff
+        i += 1
+      }
+      r += 1
+    }
+    val bins = new Array[Double](8)
+    r = 0
+    while (r < height) {
+      var xw = 0
+      while (xw < width) {
+        bins(out(r * stride + xw * channels) & 7) += 1.0
+        xw += 1
+      }
+      r += 1
+    }
+    val n = width.toLong * height
+    bins.map(_ / math.max(n, 1L).toDouble)
+  }
+
+  /** Build a minimal valid 8-bit grayscale PNG around the given pixels
+    * — the synthetic payload generator for (half the) image-kind
+    * media. `filterType` applies that scanline filter to every row
+    * (the decoder reverses it; tests drive all five). The zlib stream
+    * uses STORED deflate blocks so the file size is a closed-form
+    * function of the pixel count (the oracle predicts `n_bytes` in
+    * SQL: 64 + pixels + 5·ceil((pixels/row + 1)·rows / 65535) for the
+    * n×1 shape) — Inflater treats stored and compressed blocks
+    * identically, so the decoder stays fully general.
+    */
+  def pngEncode(pixels: Array[Byte], width: Int, height: Int, filterType: Int = 0): Array[Byte] = {
+    require(width * height == pixels.length, "pngEncode: dims must cover pixels")
+    require(filterType >= 0 && filterType <= 4, "pngEncode: filter type 0..4")
+    val stride = width
+    val raw = new Array[Byte]((stride + 1) * height)
+    var r = 0
+    while (r < height) {
+      raw(r * (stride + 1)) = filterType.toByte
+      var i = 0
+      while (i < stride) {
+        val x = pixels(r * stride + i) & 0xff
+        val a = if (i >= 1) pixels(r * stride + i - 1) & 0xff else 0
+        val b = if (r > 0) pixels((r - 1) * stride + i) & 0xff else 0
+        val c = if (r > 0 && i >= 1) pixels((r - 1) * stride + i - 1) & 0xff else 0
+        val f = filterType match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(r * (stride + 1) + 1 + i) = f.toByte
+        i += 1
+      }
+      r += 1
+    }
+    // zlib with stored blocks: 0x78 0x01 header, 5-byte block headers,
+    // Adler-32 trailer
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    val nBlocks = math.max(1, (raw.length + 65534) / 65535)
+    val z = java.nio.ByteBuffer.allocate(2 + 5 * nBlocks + raw.length + 4)
+    z.put(0x78.toByte).put(0x01.toByte)
+    var poff = 0
+    var bi = 0
+    while (bi < nBlocks) {
+      val blen = math.min(65535, raw.length - poff)
+      z.put(if (bi == nBlocks - 1) 1.toByte else 0.toByte)
+      z.put((blen & 0xff).toByte).put(((blen >> 8) & 0xff).toByte)
+      z.put((~blen & 0xff).toByte).put(((~blen >> 8) & 0xff).toByte)
+      z.put(raw, poff, blen)
+      poff += blen
+      bi += 1
+    }
+    z.putInt(adler.getValue.toInt)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      b.putInt(data.length).put(tb).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      b.putInt(crc.getValue.toInt)
+      b.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(0.toByte)  // grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+      .array()
+    pngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z.array()) ++ chunk("IEND", Array.emptyByteArray)
   }
 
   // ---- real AVI container codec (pure JVM, no media libraries) -----------
@@ -369,6 +564,7 @@ object Multimodal {
         val feature =
           if (isWav(payload)) decodeWav(payload)
           else if (isBmp(payload)) decodeBmp(payload)
+          else if (isPng(payload)) decodePng(payload)
           else if (isAvi(payload)) {
             val info = decodeAvi(payload)
             if (info == null) null else info.bins
@@ -471,12 +667,34 @@ object Multimodal {
     }
   })
 
+  /** text → real PNG payload, [[bmpFromText]]'s twin for the other
+    * half of the image-kind rows (gray = cp & 7, n×1, filter 0, stored
+    * deflate blocks so `n_bytes` stays SQL-expressible).
+    */
+  private val pngFromText = udf((text: String) => {
+    if (text == null) null
+    else {
+      val pixels = Array.newBuilder[Byte]
+      var i = 0
+      var n = 0
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        pixels += (cp & 7).toByte
+        n += 1
+        i += Character.charCount(cp)
+      }
+      pngEncode(pixels.result(), n, 1)
+    }
+  })
+
   /** Build a synthetic media frame from the documents table — gives the
     * plumbing a deterministic, driver-data-derived input. All three
     * modalities carry REAL (if synthetic-content) container files:
-    * audio-kind rows a PCM WAV, image-kind rows a 24-bit BMP,
-    * video-kind rows a RIFF/AVI container whose frame count matches the
-    * `n_frames` metadata column.
+    * audio-kind rows a PCM WAV, image-kind rows a 24-bit BMP (even
+    * ids) or an 8-bit grayscale PNG (odd ids — both real image
+    * formats, two different real decoders), video-kind rows a RIFF/AVI
+    * container whose frame count matches the `n_frames` metadata
+    * column.
     */
   def syntheticMedia(documents: DataFrame): DataFrame =
     documents.select(
@@ -484,7 +702,8 @@ object Multimodal {
       when(col("doc_id") % 3 === 0, lit("image"))
         .when(col("doc_id") % 3 === 1, lit("audio")).otherwise(lit("video")).as("kind"),
       when(col("doc_id") % 3 === 1, wavFromText(col("text")))
-        .when(col("doc_id") % 3 === 0, bmpFromText(col("text")))
+        .when(col("doc_id") % 6 === 0, bmpFromText(col("text")))
+        .when(col("doc_id") % 6 === 3, pngFromText(col("text")))
         .otherwise(aviFromText(col("text"),
           (col("n_chars") % 32 + 1).cast("int"))).as("payload"),
       when(col("doc_id") % 3 === 0, length(col("text"))).otherwise(lit(null))

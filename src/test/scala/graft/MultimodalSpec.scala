@@ -163,4 +163,91 @@ class MultimodalSpec extends AnyFunSuite {
     val f = row.getSeq[Double](row.fieldIndex("feature"))
     assert(f(1) === 1.0 / 3 && f(2) === 1.0 / 3 && f(3) === 1.0 / 3)
   }
+
+  test("pngEncode → decodePng: chunk walk, inflate, unfilter → histogram") {
+    val png = Multimodal.pngEncode(Array[Byte](0, 1, 1, 7, 7), width = 5, height = 1)
+    // stored-block closed form for n×1: 64 + n + 5·ceil((n+1)/65535)
+    assert(png.length === 64 + 5 + 5)
+    assert(Multimodal.isPng(png))
+    val f = Multimodal.decodePng(png)
+    assert(f(0) === 1.0 / 5 && f(1) === 2.0 / 5 && f(7) === 2.0 / 5 && f.sum === 1.0)
+  }
+
+  test("all five scanline filters reverse losslessly") {
+    // multi-row image so Up/Average/Paeth reference a real prior row
+    val pixels = Array.tabulate[Byte](24)(i => ((i * 37 + 5) % 256).toByte)
+    val expected = Multimodal.decodePng(
+      Multimodal.pngEncode(pixels, width = 6, height = 4, filterType = 0))
+    for (ft <- 1 to 4) {
+      val g = Multimodal.decodePng(
+        Multimodal.pngEncode(pixels, width = 6, height = 4, filterType = ft))
+      assert(g.toSeq === expected.toSeq, s"filter $ft")
+    }
+  }
+
+  test("decodePng handles genuinely COMPRESSED deflate and truecolor RGB") {
+    // hand-build an RGB PNG with a Deflater-compressed zlib stream —
+    // proves the decoder is not specialized to our stored-block encoder
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      val tb = typ.getBytes("US-ASCII")
+      b.putInt(data.length).put(tb).put(data)
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      b.putInt(crc.getValue.toInt).array()
+    }
+    val w = 3; val h = 2
+    // RGB pixels; first channel (R) drives the histogram: 0,1,2 / 3,4,5
+    val rgb = Array[Byte](0, 9, 9, 1, 9, 9, 2, 9, 9, 3, 9, 9, 4, 9, 9, 5, 9, 9)
+    val raw = new Array[Byte]((3 * w + 1) * h)
+    for (r <- 0 until h) {
+      raw(r * (3 * w + 1)) = 0
+      System.arraycopy(rgb, r * 3 * w, raw, r * (3 * w + 1) + 1, 3 * w)
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    val zlen = defl.deflate(zbuf); defl.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte) // truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.take(zlen)) ++
+      chunk("IEND", Array.emptyByteArray)
+    val f = Multimodal.decodePng(png)
+    assert((0 to 5).forall(k => f(k) === 1.0 / 6) && f(6) === 0.0 && f(7) === 0.0)
+  }
+
+  test("malformed payloads never reach the PNG path") {
+    val png = Multimodal.pngEncode(Array[Byte](1, 2, 3), width = 3, height = 1)
+    // corrupted pixel data (inside IDAT) → CRC mismatch → rejected
+    val bad = png.clone; bad(49) = (bad(49) ^ 0x55).toByte
+    assert(Multimodal.decodePng(bad) == null)
+    // truncated stream rejected
+    assert(Multimodal.decodePng(png.take(png.length - 1)) == null)
+    // interlaced / 16-bit / palette images rejected, not guessed
+    def flipIhdr(off: Int, v: Byte): Array[Byte] = {
+      val c = png.clone; c(off) = v
+      // re-sign IHDR so the failure is the FIELD, not the CRC
+      val crc = new java.util.zip.CRC32(); crc.update(c, 12, 17)
+      java.nio.ByteBuffer.wrap(c).putInt(29, crc.getValue.toInt); c
+    }
+    assert(Multimodal.decodePng(flipIhdr(24, 16.toByte)) == null) // bit depth 16
+    assert(Multimodal.decodePng(flipIhdr(25, 3.toByte)) == null) // palette
+    assert(Multimodal.decodePng(flipIhdr(28, 1.toByte)) == null) // Adam7
+  }
+
+  test("decodeFeatures routes image rows through BMP and PNG by id parity") {
+    import spark.implicits._
+    // doc_id%6==0 → BMP, doc_id%6==3 → PNG; same text → same histogram
+    val docs = Seq((0L, "abc"), (3L, "abc")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val rows = Multimodal.decodeFeatures(Multimodal.syntheticMedia(docs))
+      .collect().sortBy(_.getLong(0))
+    assert(rows(0).getAs[Int]("n_bytes") === 54 + 12) // 3·3=9 pads to 12
+    assert(rows(1).getAs[Int]("n_bytes") === 64 + 3 + 5)
+    val fb = rows(0).getSeq[Double](rows(0).fieldIndex("feature"))
+    val fp = rows(1).getSeq[Double](rows(1).fieldIndex("feature"))
+    assert(fb.toSeq === fp.toSeq)
+    assert(fp(1) === 1.0 / 3 && fp(2) === 1.0 / 3 && fp(3) === 1.0 / 3)
+  }
 }
