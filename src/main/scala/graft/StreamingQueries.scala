@@ -61,7 +61,8 @@ object StreamingQueries {
       spark: SparkSession,
       sources: Seq[(DataFrame, String)],
       mode: String,
-      ticks: Int)(op: Seq[DataFrame] => DataFrame): (DataFrame, String) = {
+      ticks: Int,
+      flush: Seq[Row] = Nil)(op: Seq[DataFrame] => DataFrame): (DataFrame, String) = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val feeds = sources.map { case (df, orderCol) =>
       val rows: Array[Row] = df.orderBy(col(orderCol)).collect()
@@ -102,6 +103,15 @@ object StreamingQueries {
         }
         (0 until ticks).foreach { i =>
           batched.foreach { case (s, bs) => if (i < bs.length) s.addData(bs(i).toSeq) }
+          q.processAllAvailable()
+        }
+        // watermark-flush sentinels (append-mode aggregations emit a
+        // group only when the watermark passes it): each flush row is
+        // its OWN micro-batch on the first source — the first advances
+        // the watermark, the next applies it to the open state. Callers
+        // filter the sentinels' groups out of the result.
+        flush.foreach { r =>
+          feeds.head._1.addData(Seq(r))
           q.processAllAvailable()
         }
       } finally { watchdog.interrupt(); q.stop() }
@@ -181,6 +191,33 @@ object StreamingQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("bucket", "event_type").orderBy(col("n").desc)
       out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    }),
+
+    // ---- A11 streaming: watermarked SESSION windows (append mode —
+    // Spark rejects update for session aggregations). A closed session
+    // emits exactly once when the watermark passes it; two far-future
+    // sentinel ticks on a reserved user close every real session at
+    // stream end (first advances the watermark, second applies it),
+    // and the sentinels' own session is filtered out. sum over
+    // event_id keeps the aggregate integer (the a9s rule).
+    "a11s_session_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val schema = ev.schema
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      def sentinel(plusMs: Long): Row = Row.fromSeq(schema.fields.map { f =>
+        f.name match {
+          case "ts" => new java.sql.Timestamp(maxTs.getTime + plusMs)
+          case "user_id" | "event_id" => -1L
+          case _ => null
+        }
+      }.toSeq)
+      val day = 24L * 3600 * 1000
+      val (out, _) = runStream(s, Seq((ev, "ts")), "append", ticks = 4,
+        flush = Seq(sentinel(100 * day), sentinel(200 * day))) {
+        case Seq(e) => StreamingState.sessionCounts(
+          e, "ts", "12 hours", "10 minutes", Seq("user_id"), "event_id")
+      }
+      out.filter(col("user_id") =!= -1L)
     }),
 
     // ---- streaming running quantiles: one QSketch per key in the
@@ -342,6 +379,19 @@ object StreamingQueries {
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
         |       event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the stream's closed sessions equal the batch gaps-and-islands
+    // sessionization (12h gap; integer count + integer sum)
+    "a11s_session_stream" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+        |                       OR t - lag(t) OVER w >= INTERVAL 12 HOUR THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_value,
+        |       min(t) AS session_start
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     // literal quantizer assignment (cos desc, cell asc, NaN-guarded —
     // the IVF rule) + per-cell count and integer micro-sums

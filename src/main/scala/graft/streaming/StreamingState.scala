@@ -766,4 +766,26 @@ object StreamingState {
       .withColumn("bucket", col("window.start"))
       .drop("window")
   }
+
+  /** A11's streaming twin: watermarked SESSION windows (gap-based,
+    * variable length — Spark's native `session_window` state merges
+    * adjacent activity). Returns (groupCols…, session_start, n,
+    * sum_value). Append-only: Spark rejects update mode for session
+    * aggregations, so a session emits exactly once, when the watermark
+    * passes its close — at stream end, push the watermark with
+    * sentinel events (see the a11s gate entry) or the still-open tail
+    * sessions stay in state.
+    */
+  def sessionCounts(
+      df: DataFrame,
+      tsCol: String,
+      gap: String,
+      lateness: String,
+      groupBy: Seq[String],
+      sumCol: String): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy((session_window(col(tsCol), gap) +: groupBy.map(col)): _*)
+      .agg(count(lit(1)).as("n"), sum(col(sumCol)).as("sum_value"))
+      .withColumn("session_start", col("session_window.start"))
+      .drop("session_window")
 }
