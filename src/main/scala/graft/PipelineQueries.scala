@@ -538,6 +538,13 @@ object PipelineQueries {
       Clustering.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, iters = 1)),
 
+    // ---- multi-round Lloyd: the ITERATIVE path (refit → reassign →
+    // refit → final assign) gated end-to-end — each round is one
+    // (cell, dim) integer-partial shuffle, assignment stays narrow
+    "c1b_kmeans_iter2" -> ((s, dir) =>
+      Clustering.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2)),
+
     // ---- SemDeDup semantic dedup: same-cell pair pruning only —
     // the candidate set is Σ|cell|², never corpus all-pairs
     "c2_semantic_dedup" -> ((s, dir) =>
@@ -718,45 +725,63 @@ object PipelineQueries {
        |hd AS (SELECT id1, id2, bit_count(xor(h1, h2)) AS hamming FROM cand)""".stripMargin
 
   /** K-means CTE chain mirroring Clustering.kmeansCentroids /
-    * kmeansAssign exactly: hash-seeded cells 0..k-1, one Lloyd round
-    * whose refined centroid is the ELEMENTWISE INTEGER SUM of
-    * `floor(1e6·x + 0.5)` (cosine is scale-invariant, integer sums
-    * commute — no accumulation-order sensitivity), argmax assignment
-    * with ties to the lowest cell and NaN (zero-norm) → sentinel -1.
-    * Ends with `a1(vec_id, cell)` — the final assignment.
+    * kmeansAssign exactly for ANY iteration count: hash-seeded cells
+    * 0..k-1, then per Lloyd round a refined centroid = the ELEMENTWISE
+    * INTEGER SUM of `floor(1e6·x + 0.5)` over the previous assignment
+    * (cosine is scale-invariant, integer sums commute — no
+    * accumulation-order sensitivity), argmax assignment with ties to
+    * the lowest cell. Intermediate assignments drop NaN (zero-norm)
+    * rows — exactly `lloydSums`' `_cell >= 0` filter — and cells that
+    * capture no rows vanish from the next round's quantizer (Lloyd
+    * empty-cell dropout). Ends with `a$iters(vec_id, cell)` — the
+    * final assignment, NaN → sentinel -1.
     */
-  private def kmeansCtes(k: Int = 8, dims: Int = 64): String =
-    s"""h AS (SELECT vec_id, embedding, ${phSql("CAST(vec_id AS VARCHAR)")} AS hh
-       |      FROM embeddings),
-       |seeds AS (SELECT rn - 1 AS c, ce FROM (
-       |            SELECT row_number() OVER (ORDER BY hh, vec_id) AS rn,
-       |                   CAST(embedding AS DOUBLE[]) AS ce
-       |            FROM h) WHERE rn <= $k),
-       |s0 AS (SELECT vec_id, c, ${cosSql("embedding", "ce")} AS cos
-       |       FROM embeddings CROSS JOIN seeds),
-       |a0 AS (SELECT vec_id, c AS cell FROM (
-       |         SELECT vec_id, c,
-       |                row_number() OVER (PARTITION BY vec_id
-       |                  ORDER BY cos DESC, c ASC) AS rn
-       |         FROM s0 WHERE NOT isnan(cos)) WHERE rn = 1),
-       |sums AS (SELECT cell, d,
-       |           sum(CAST(floor(1000000.0 * CAST(e.embedding[d] AS DOUBLE) + 0.5)
-       |               AS BIGINT)) AS sm
-       |         FROM a0 JOIN embeddings e USING (vec_id),
-       |              (SELECT unnest(generate_series(1, $dims)) AS d)
-       |         GROUP BY cell, d),
-       |cref AS (SELECT cell AS c, list(CAST(sm AS DOUBLE) ORDER BY d) AS ce
-       |         FROM sums GROUP BY cell),
-       |s1 AS (SELECT vec_id, c, ${cosSql("embedding", "ce")} AS cos
-       |       FROM embeddings CROSS JOIN cref),
-       |a1 AS (SELECT e.vec_id, coalesce(x.cell, -1) AS cell
-       |       FROM embeddings e LEFT JOIN (
-       |         SELECT vec_id, c AS cell FROM (
-       |           SELECT vec_id, c,
-       |                  row_number() OVER (PARTITION BY vec_id
-       |                    ORDER BY cos DESC, c ASC) AS rn
-       |           FROM s1 WHERE NOT isnan(cos)) WHERE rn = 1) x
-       |         ON e.vec_id = x.vec_id)""".stripMargin
+  private def kmeansCtes(k: Int = 8, dims: Int = 64, iters: Int = 1): String = {
+    val head =
+      s"""h AS (SELECT vec_id, embedding, ${phSql("CAST(vec_id AS VARCHAR)")} AS hh
+         |      FROM embeddings),
+         |seeds AS (SELECT rn - 1 AS c, ce FROM (
+         |            SELECT row_number() OVER (ORDER BY hh, vec_id) AS rn,
+         |                   CAST(embedding AS DOUBLE[]) AS ce
+         |            FROM h) WHERE rn <= $k),
+         |s0 AS (SELECT vec_id, c, ${cosSql("embedding", "ce")} AS cos
+         |       FROM embeddings CROSS JOIN seeds),
+         |a0 AS (SELECT vec_id, c AS cell FROM (
+         |         SELECT vec_id, c,
+         |                row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY cos DESC, c ASC) AS rn
+         |         FROM s0 WHERE NOT isnan(cos)) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val fin =
+        if (i < iters)
+          s"""a$i AS (SELECT vec_id, c AS cell FROM (
+             |         SELECT vec_id, c,
+             |                row_number() OVER (PARTITION BY vec_id
+             |                  ORDER BY cos DESC, c ASC) AS rn
+             |         FROM s$i WHERE NOT isnan(cos)) WHERE rn = 1)""".stripMargin
+        else
+          s"""a$i AS (SELECT e.vec_id, coalesce(x.cell, -1) AS cell
+             |       FROM embeddings e LEFT JOIN (
+             |         SELECT vec_id, c AS cell FROM (
+             |           SELECT vec_id, c,
+             |                  row_number() OVER (PARTITION BY vec_id
+             |                    ORDER BY cos DESC, c ASC) AS rn
+             |           FROM s$i WHERE NOT isnan(cos)) WHERE rn = 1) x
+             |         ON e.vec_id = x.vec_id)""".stripMargin
+      s"""sums$i AS (SELECT cell, d,
+         |           sum(CAST(floor(1000000.0 * CAST(e.embedding[d] AS DOUBLE) + 0.5)
+         |               AS BIGINT)) AS sm
+         |         FROM a${i - 1} JOIN embeddings e USING (vec_id),
+         |              (SELECT unnest(generate_series(1, $dims)) AS d)
+         |         GROUP BY cell, d),
+         |cref$i AS (SELECT cell AS c, list(CAST(sm AS DOUBLE) ORDER BY d) AS ce
+         |         FROM sums$i GROUP BY cell),
+         |s$i AS (SELECT vec_id, c, ${cosSql("embedding", "ce")} AS cos
+         |       FROM embeddings CROSS JOIN cref$i),
+         |$fin""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
 
   /** PQ CTE chain mirroring Similarity.pqCodebooks / pqEncode exactly:
     * hash-seeded codewords (the k smallest-id-hash rows, ties by id),
@@ -1429,6 +1454,10 @@ object PipelineQueries {
     "c1_kmeans" ->
       s"""WITH ${kmeansCtes()}
          |SELECT vec_id, cell FROM a1""".stripMargin,
+
+    "c1b_kmeans_iter2" ->
+      s"""WITH ${kmeansCtes(iters = 2)}
+         |SELECT vec_id, cell FROM a2""".stripMargin,
 
     "c2_semantic_dedup" ->
       s"""WITH ${kmeansCtes()},
