@@ -548,6 +548,52 @@ final class Gateway(
           ex.close()
         case None => respond(ex, 404, """{"detail":"Not Found"}""")
       })
+    // table workspace pages (reference modules/web/perspective.py
+    // mounts a Perspective viewer workspace; the Perspective JS bundle
+    // is out of scope offline — these pages render the SAME data plane
+    // (/api/v1/table JSON, auto-refreshed) with dependency-free inline
+    // JS, so a browser pointed at the gateway still browses every view)
+    server.createContext("/tables", (ex: HttpExchange) => {
+      def page(title: String, body: String): Unit = {
+        val html =
+          s"""<!DOCTYPE html><html><head><title>$title</title><style>
+             |body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}
+             |td,th{border:1px solid #999;padding:4px 8px;font-size:13px}
+             |th{background:#eee}</style></head><body>$body</body></html>""".stripMargin
+        val bytes = html.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/html")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+      val rest = ex.getRequestURI.getPath.stripPrefix("/tables").stripPrefix("/")
+      (viewServer, rest) match {
+        case (None, _) => respond(ex, 404, """{"detail":"Not Found"}""")
+        case (Some(vs), "") =>
+          val items = vs.names.sorted
+            .map(n => s"""<li><a href="/tables/$n">$n</a></li>""").mkString
+          page("Tables", s"<h1>Tables</h1><ul>$items</ul>" +
+            """<p>Data endpoints: <code>/api/v1/table/{name}</code> (JSON), """ +
+            """<code>/api/v1/table/{name}/arrow</code> (Arrow IPC)</p>""")
+        case (Some(vs), name) if vs.names.contains(name) =>
+          // fetch-and-render loop against the JSON data plane; no
+          // external assets, so it works in the zero-egress sandbox
+          page(s"Table $name",
+            s"""<h1>$name</h1><div id="t">loading…</div><script>
+               |async function tick(){
+               |  const r = await fetch('/api/v1/table/$name');
+               |  const rows = await r.json();
+               |  const cols = rows.length ? Object.keys(rows[0]) : [];
+               |  let h = '<table><tr>'+cols.map(c=>'<th>'+c+'</th>').join('')+'</tr>';
+               |  for (const row of rows)
+               |    h += '<tr>'+cols.map(c=>'<td>'+String(row[c])+'</td>').join('')+'</tr>';
+               |  document.getElementById('t').innerHTML = h+'</table>';
+               |}
+               |tick(); setInterval(tick, 2000);
+               |</script>""".stripMargin)
+        case _ => respond(ex, 404, """{"detail":"Table not found"}""")
+      }
+    })
     server.start()
     ws.start()
     for (vs <- viewServer; ms <- viewRefreshMillis)

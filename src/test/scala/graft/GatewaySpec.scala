@@ -245,6 +245,19 @@ class GatewaySpec extends AnyFunSuite {
           root.getVector("mx").getObject(i).asInstanceOf[Long]).sorted
         assert(mx === Seq(3L, 5L))
       } finally { reader.close(); alloc.close() }
+
+      // browse workspace (the Perspective-free stand-in pages): the
+      // listing links every view, the per-table page drives the same
+      // JSON data plane the API serves
+      val hostBase = base.stripSuffix("/api/v1")
+      val listing = get(s"$hostBase/tables")
+      assert(listing.statusCode() === 200)
+      assert(listing.headers().firstValue("Content-Type").orElse("") === "text/html")
+      assert(listing.body().contains("""<a href="/tables/by_owner">by_owner</a>"""))
+      val tablePage = get(s"$hostBase/tables/by_owner")
+      assert(tablePage.statusCode() === 200)
+      assert(tablePage.body().contains("/api/v1/table/by_owner"))
+      assert(get(s"$hostBase/tables/nope").statusCode() === 404)
     }
   }
 
