@@ -249,6 +249,24 @@ object PipelineQueries {
         Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8))
     }),
 
+    // ---- ANN quality report: recall@k of the IVF index against the
+    // brute-force ground truth, per query — the measurement that sizes
+    // the nprobe knob before a production rollout
+    "s9_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+        .select(col("qid"), col("cid"))
+      val approx = Similarity.ivfTopK(emb, q,
+          emb.filter(col("vec_id") >= 100 && col("vec_id") < 108),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .select(col("qid"), col("cid"), lit(1).as("_hit"))
+      exact.join(approx, Seq("qid", "cid"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("_hit"), lit(0))).as("n_hit"))
+        .withColumn("recall_at_3", col("n_hit") / lit(3.0))
+    }),
+
     // ---- two-stage ANN: PQ recall (compressed codes only) + exact
     // re-rank of the per-query candidate pool — compression error is
     // confined to candidate choice, reported scores are exact
@@ -645,6 +663,14 @@ object PipelineQueries {
         Curation.splitAssign("doc_id",
           Seq("train" -> 90, "val" -> 5, "test" -> 5)).as("split"))),
 
+    // ---- leakage-safe split: hash-stable labels PLUS eval-
+    // contamination guard — train docs near-duplicating a test doc
+    // (MinHash cross-corpus) are dropped; val/test pass through
+    "p12_leakage_split" -> ((s, dir) =>
+      Curation.leakageSafeSplit(t(s, dir, "documents"), "doc_id", "text",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .select(col("doc_id"), col("split"))),
+
     // ---- single-pass numeric profile of lineitem (ANALYZE-style):
     // one scan, one agg row, narrow stack reshape
     "st2_numeric_profile" -> ((s, dir) =>
@@ -994,6 +1020,33 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
          |      FROM scored)
          |SELECT qid, cid, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    // approx = the s6 IVF/nprobe pipeline, exact = the s1 brute-force
+    // pipeline; recall@3 = hits per query over the ground-truth top-3
+    "s9_ivf_recall" ->
+      s"""WITH cents AS (SELECT vec_id AS c, embedding AS ce FROM embeddings
+         |               WHERE vec_id >= 100 AND vec_id < 108),
+         |${ivfAssignSql("assigned", "rn = 1")},
+         |${ivfAssignSql("qprobe", "rn <= 2", "WHERE e.vec_id < 8")},
+         |ascored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM assigned c JOIN qprobe q ON c.cell = q.cell AND q.vec_id <> c.vec_id),
+         |ar AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+         |       FROM ascored),
+         |approx AS (SELECT qid, cid FROM ar WHERE rank <= 3),
+         |escored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM embeddings c JOIN embeddings q ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 8),
+         |er AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+         |       FROM escored),
+         |exact AS (SELECT qid, cid FROM er WHERE rank <= 3)
+         |SELECT e.qid, CAST(count(a.cid) AS BIGINT) AS n_hit,
+         |       count(a.cid) / 3.0 AS recall_at_3
+         |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+         |GROUP BY e.qid""".stripMargin,
 
     "c3_pq_codes" ->
       s"""WITH ${pqCtes()}
@@ -1625,6 +1678,31 @@ object PipelineQueries {
          |       WHEN ${phSql("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+
+    // the d10 cross-corpus minhash chain with split-label sides: train
+    // docs banding with a test doc at est >= 0.5 are dropped
+    "p12_leakage_split" ->
+      s"""WITH $shingleCtes,
+         |shh AS (SELECT DISTINCT doc_id, ${phSql("s")} AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashSigCols FROM shh GROUP BY doc_id),
+         |bands AS (${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, ${bandHashSql(b)} AS bh FROM sig")
+             .mkString(" UNION ALL ")}),
+         |spl AS (SELECT doc_id,
+         |          CASE WHEN ${phSql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+         |               WHEN ${phSql("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+         |               ELSE 'test' END AS split FROM documents),
+         |cand AS (SELECT DISTINCT nw.doc_id AS nid, rf.doc_id AS rid
+         |         FROM (SELECT b.* FROM bands b JOIN spl USING (doc_id)
+         |               WHERE spl.split = 'train') nw
+         |         JOIN (SELECT b.* FROM bands b JOIN spl USING (doc_id)
+         |               WHERE spl.split = 'test') rf
+         |           ON nw.band = rf.band AND nw.bh = rf.bh),
+         |est AS (SELECT nid, $sigAgreeSql / 16.0 AS est_jaccard
+         |        FROM cand JOIN sig a ON rid = a.doc_id JOIN sig b ON nid = b.doc_id),
+         |bad AS (SELECT DISTINCT nid FROM est WHERE est_jaccard >= 0.5)
+         |SELECT d.doc_id, spl.split FROM documents d JOIN spl USING (doc_id)
+         |WHERE NOT (spl.split = 'train' AND d.doc_id IN (SELECT nid FROM bad))""".stripMargin,
 
     "st2_numeric_profile" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

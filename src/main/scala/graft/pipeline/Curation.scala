@@ -279,6 +279,40 @@ object Curation {
       }
   }
 
+  /** Leakage-safe split: assign [[splitAssign]] labels, then DROP from
+    * the train split any document that near-duplicates a held-out
+    * document (MinHash cross-corpus dedup — the d10 machinery). This
+    * is the eval-contamination guard a benchmark-clean training run
+    * needs ON TOP of hash-stable splits: the hash keeps a document in
+    * one split forever, but a near-copy of a test document can still
+    * land in train — this removes it. Non-train splits pass through
+    * unchanged.
+    *
+    * Scale shape: exactly [[graft.pipeline.Dedup.crossCorpusDedup]]'s
+    * — both sides project to (id, signature), candidates meet in a
+    * distinct-value band join, train re-enters via one semi-join; the
+    * held-out side is typically tiny (5%) and never re-pairs with
+    * itself.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      splits: Seq[(String, Int)],
+      trainSplit: String = "train",
+      heldOut: String = "test",
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val assigned = df.withColumn("split", splitAssign(idCol, splits))
+    val cleanTrain = Dedup.crossCorpusDedup(
+      assigned.filter(col("split") === trainSplit),
+      assigned.filter(col("split") === heldOut),
+      idCol, textCol, n, numHashes, bands, threshold)
+    cleanTrain.unionByName(assigned.filter(col("split") =!= trainSplit))
+  }
+
   /** Deterministic epoch shuffle: the reproducible pseudo-random
     * training order pretraining pipelines need — rerunning the job (or
     * any engine) yields byte-identical order, and changing `epoch`
