@@ -129,6 +129,12 @@ object PipelineQueries {
     "d1_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")),
 
+    // ---- exact dedup, hash-first: the corpus-wide exchange moves
+    // (hash, id) only; text re-shuffles solely for multiplicity>1
+    // hashes (exact collision-safe verify)
+    "d1b_dedup_exact_hash" -> ((s, dir) =>
+      Dedup.exactGroupsByHash(t(s, dir, "documents"), "text", "doc_id")),
+
     // ---- n-gram Jaccard near-dup via prefix-filtered inverted index
     "d2_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -842,6 +848,11 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
       "SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
+
+    // same grouping, summary only — the hash-first plan must land on
+    // the identical (keep_id, n_dups) multiset
+    "d1b_dedup_exact_hash" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
 
     "d2_ngram_jaccard" ->
       s"""WITH $shingleCtes,

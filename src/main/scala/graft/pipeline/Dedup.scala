@@ -103,6 +103,35 @@ object Dedup {
     df.join(keep, idCol) // broadcast-able when the dup summary is small
   }
 
+  /** Exact-dedup summary via the HASH-FIRST two-phase plan — the
+    * 100 TB shape [[exactGroups]]' scaladoc points at: phase 1
+    * aggregates (min id, count) per 64-bit portable text hash, so the
+    * corpus-wide exchange moves 8-byte keys and ids, never document
+    * text; phase 2 re-examines ONLY docs whose hash has multiplicity
+    * > 1 (true duplicates plus astronomically rare collisions) with an
+    * exact text compare — a broadcast semi-join steers the colliding
+    * slice into one small text shuffle. Result-identical to
+    * [[exactGroups]] minus the text column (exact verification means
+    * collisions never merge distinct texts). Regime note: the
+    * broadcast multi-hash set is bounded by the DISTINCT duplicated
+    * hash count — on a duplicate-DOMINATED corpus where that set is
+    * itself huge, use [[exactGroups]] (text shuffles once either way
+    * there, and map-side partials already collapse repeats).
+    */
+  def exactGroupsByHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withH = df.select(col(idCol).as("_id"), col(textCol).as("_t"),
+      graft.functions.TextFunctions.polyHash(col(textCol)).as("_h"))
+    val perHash = withH.groupBy("_h")
+      .agg(min(col("_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+    val single = perHash.filter(col("n_dups") === 1).select("keep_id", "n_dups")
+    val multiHashes = perHash.filter(col("n_dups") > 1).select("_h")
+    val collide = withH.join(broadcast(multiHashes), Seq("_h"), "left_semi")
+      .groupBy("_h", "_t")
+      .agg(min(col("_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
+    single.unionAll(collide)
+  }
+
   /** Inverted index (id, shingle-hash) with document-frequency cap —
     * the candidate generator for [[jaccardPairs]]. Shingles are
     * hashed to longs BEFORE the index is materialized: the self-join

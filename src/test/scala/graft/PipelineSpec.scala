@@ -25,6 +25,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.exactDedup(docs, "text", "doc_id").collect().length === 3)
   }
 
+  test("hash-first exact dedup equals the text-grouped summary, dup branch included") {
+    // docs has a real duplicate pair → the multiplicity>1 collide
+    // branch runs its exact text verify (the gate corpus is dup-free,
+    // so this is the path's behavioral pin)
+    val byHash = Dedup.exactGroupsByHash(docs, "text", "doc_id")
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_dups"))).sorted
+    val byText = Dedup.exactGroups(docs, "text", "doc_id")
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_dups"))).sorted
+    assert(byHash.toSeq === byText.toSeq)
+    assert(byHash.toSeq === Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
   test("shingles produce distinct word n-grams; short texts empty") {
     val sh = spark.range(1).select(Dedup.shingles(lit("a b c d"), 3).as("s"))
       .collect().head.getSeq[String](0)

@@ -544,6 +544,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop"), p)
   }
 
+  test("d1b hash-first exact dedup: corpus exchange moves (hash, id), never text") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(graft.pipeline.Dedup.exactGroupsByHash(docs, "text", "doc_id"))
+    // phase 1: partial-agg'd exchange keyed on the 8-byte hash
+    assert("Exchange hashpartitioning\\(_h".r.findFirstIn(p).nonEmpty, p.take(4000))
+    assert(p.contains("partial_min") || p.contains("partial_count"), p.take(4000))
+    // phase 2: the colliding slice is steered by a BROADCAST semi-join
+    // (a shuffled semi-join would re-shuffle every text)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(4000))
+    // the phase-1 exchange's payload is the partial-agg output keyed on
+    // _h — (hash, min id, count), no text column
+    assert("HashAggregate\\(keys=\\[_h".r.findFirstIn(p).nonEmpty, p.take(4000))
+  }
+
   test("strictCompat projection degrades types per reference rules") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2), Map("k" -> "v"))).toDF("a", "xs", "m")
