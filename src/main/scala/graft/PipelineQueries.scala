@@ -601,6 +601,35 @@ object PipelineQueries {
         graft.functions.TextFunctions.stripMarkup(html).as("extracted"))
     }),
 
+    // ---- encoding-damage report + mojibake repair: docs are
+    // deterministically corrupted in-query (the tx12 wrap pattern) —
+    // %7==0 mojibake'd (e → Ã©), %7==1 replacement chars appended,
+    // %7==2 control chars added — then the detector counts each class
+    // and graft_fix_mojibake must exactly restore the %7==0 docs to
+    // the accented form of the original
+    "tx13_encoding_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val moji = "Ã©" // 'é' seen through a Latin-1 decode
+      val corrupted = when(col("doc_id") % 7 === 0,
+          regexp_replace(col("text"), "e", moji))
+        .when(col("doc_id") % 7 === 1, concat(col("text"), lit("��")))
+        .when(col("doc_id") % 7 === 2,
+          concat(lit("\u0001"), col("text"), lit("\u0007")))
+        .otherwise(col("text"))
+      val expected = when(col("doc_id") % 7 === 0,
+          regexp_replace(col("text"), "e", "é"))
+        .otherwise(corrupted)
+      docs.select(col("doc_id"), corrupted.as("_c"), expected.as("_x"))
+        .select(col("doc_id"),
+          regexp_count(col("_c"), lit("�")).as("n_repl"),
+          regexp_count(col("_c"), lit(Curation.ControlCharClass)).as("n_ctrl"),
+          regexp_count(col("_c"), lit(Curation.MojibakeClass)).as("n_moji"),
+          (graft.functions.NativeExpressions.fixMojibake(col("_c")) === col("_x"))
+            .as("repaired_ok"))
+        .withColumn("keep",
+          col("n_repl") === 0 && col("n_ctrl") === 0 && col("n_moji") === 0)
+    }),
+
     // ---- corpus snapshot diff: v_old drops doc_id%10==7, v_new drops
     // %10==3 and rewrites %5==0 docs — added/removed/changed delta;
     // only (id, md5) rows ever shuffle
@@ -1556,6 +1585,28 @@ object PipelineQueries {
 
     // identical page construction and identical extraction chain —
     // RE2 and java.util.regex agree on this restricted pattern syntax
+    // same deterministic corruption, same regex classes (embedded
+    // verbatim from Curation), repair simulated with the only digraph
+    // present in the data
+    "tx13_encoding_quality" ->
+      s"""WITH c AS (SELECT doc_id, text,
+         |  CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', 'Ã©')
+         |       WHEN doc_id % 7 = 1 THEN text || '��'
+         |       WHEN doc_id % 7 = 2 THEN chr(1) || text || chr(7)
+         |       ELSE text END AS t FROM documents),
+         |x AS (SELECT doc_id, t,
+         |  CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', 'é') ELSE t END AS xp
+         |  FROM c),
+         |r AS (SELECT doc_id,
+         |  len(regexp_extract_all(t, '�')) AS n_repl,
+         |  len(regexp_extract_all(t, '${Curation.ControlCharClass}')) AS n_ctrl,
+         |  len(regexp_extract_all(t, '${Curation.MojibakeClass}')) AS n_moji,
+         |  (replace(t, 'Ã©', 'é') = xp) AS repaired_ok
+         |  FROM x)
+         |SELECT doc_id, n_repl, n_ctrl, n_moji, repaired_ok,
+         |       (n_repl = 0 AND n_ctrl = 0 AND n_moji = 0) AS keep
+         |FROM r""".stripMargin,
+
     "tx12_markup_extract" ->
       """WITH h AS (SELECT doc_id,
         |  '<html><head><title>t</title><script type="text/javascript">var x = 1 && 2;</script><style>p { color: red; }</style></head><!-- nav --><body><h1>'

@@ -539,8 +539,50 @@ case class BloomAnyContainsExpr(child: Expression, bits: Array[Long], k: Int)
   override def prettyName: String = "graft_bloom_any"
 }
 
+object FixMojibake {
+  /** One-level Latin-1-mojibake repair for the 2-byte UTF-8 range: a
+    * Â/Ã character (U+00C2/U+00C3 — the lead bytes of 2-byte UTF-8
+    * sequences shown through a Latin-1 decode) followed by a
+    * continuation-range codepoint (U+0080–U+00BF) re-combines to the
+    * codepoint the original bytes encoded:
+    * `(lead & 0x1F) << 6 | (cont & 0x3F)`. Everything else passes
+    * through unchanged; a trailing lone lead char stays as-is.
+    */
+  def fix(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if ((c == 0xC2 || c == 0xC3) && i + 1 < str.length &&
+          str.charAt(i + 1) >= 0x80 && str.charAt(i + 1) <= 0xBF) {
+        sb.append((((c & 0x1F) << 6) | (str.charAt(i + 1) & 0x3F)).toChar)
+        i += 2
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `graft_fix_mojibake(str)` — Latin-1 mojibake repair, codegen'd. */
+case class FixMojibakeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    FixMojibake.fix(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FixMojibake.fix($c)")
+  override protected def withNewChildInternal(newChild: Expression): FixMojibakeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_fix_mojibake"
+}
+
 object NativeExpressions {
   /** Column wrappers for direct DataFrame use. */
+  def fixMojibake(c: Column): Column =
+    ColumnBridge.column(FixMojibakeExpr(ColumnBridge.expression(c)))
   def polyHash(c: Column): Column =
     ColumnBridge.column(PolyHashExpr(ColumnBridge.expression(c)))
   def cosine(a: Column, b: Column): Column =
@@ -575,6 +617,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHashExpr].getName, "graft_polyhash"),
       (exprs: Seq[Expression]) => PolyHashExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fix_mojibake"),
+      new ExpressionInfo(classOf[FixMojibakeExpr].getName, "graft_fix_mojibake"),
+      (exprs: Seq[Expression]) => FixMojibakeExpr(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cosine"),

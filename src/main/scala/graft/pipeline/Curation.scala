@@ -379,6 +379,35 @@ object Curation {
           col("n_stop_hits") >= minStopHits &&
           col("frac_unique_words") >= minFracUnique)
 
+  /** Regex class of stray control characters (C0 minus tab/LF/CR,
+    * plus DEL) as ESCAPE-based hex — `\\xNN` parses identically in
+    * Java regex (Spark) and RE2 (DuckDB), and no literal control byte
+    * ever sits in source, plan, or oracle SQL (a literal NUL would
+    * terminate the SQL string).
+    */
+  val ControlCharClass: String = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Regex of Latin-1-mojibake digraphs: a 2-byte UTF-8 lead shown
+    * through Latin-1 (U+00C2/U+00C3) followed by a continuation-range
+    * codepoint — the signature of UTF-8 bytes decoded as Latin-1.
+    */
+  val MojibakeClass: String = "[\\xC2\\xC3][\\x80-\\xBF]"
+
+  /** Encoding-damage report (the ftfy-class curation check): per doc,
+    * counts of U+FFFD replacement characters (a decoder already gave
+    * up), stray control characters, and Latin-1-mojibake digraphs,
+    * plus the all-clean keep flag. Pure codegen'd column arithmetic —
+    * zero shuffle; route keep=false docs to drop or to
+    * [[graft.functions.NativeExpressions.fixMojibake]] repair.
+    */
+  def encodingReport(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      regexp_count(col(textCol), lit("\uFFFD")).as("n_repl"),
+      regexp_count(col(textCol), lit(ControlCharClass)).as("n_ctrl"),
+      regexp_count(col(textCol), lit(MojibakeClass)).as("n_moji"))
+      .withColumn("keep",
+        col("n_repl") === 0 && col("n_ctrl") === 0 && col("n_moji") === 0)
+
   // ---- corpus reporting ---------------------------------------------------
 
   /** Corpus composition report: document/token/char totals per stratum

@@ -119,6 +119,24 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) === 1.0)
   }
 
+  test("fixMojibake recombines any C2/C3 digraph, passes everything else through") {
+    val cases = Seq(
+      "cafÃ©" -> "café",          // Ã© → é
+      "Â°C outside" -> "°C outside", // Â° → °
+      "mixed Ã© and Â£" -> "mixed é and £", // é and £
+      "plain ascii" -> "plain ascii",
+      "trailing lone Ã" -> "trailing lone Ã", // no continuation → untouched
+      "Ä© other lead" -> "Ä© other lead" // Ä not a mojibake lead
+    )
+    val out = cases.map(_._1).toDF("s")
+      .select(NativeExpressions.fixMojibake($"s").as("f"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq === cases.map(_._2))
+    // null passes through
+    assert(Seq[String](null).toDF("s")
+      .select(NativeExpressions.fixMojibake($"s")).collect().head.isNullAt(0))
+  }
+
   test("whole-stage codegen keeps the expression inline (no UDF fallback)") {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val df = docs.select(TextFunctions.polyHash($"text").as("h"))
