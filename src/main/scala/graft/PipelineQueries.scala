@@ -698,6 +698,24 @@ object PipelineQueries {
         Curation.splitAssign("doc_id",
           Seq("train" -> 90, "val" -> 5, "test" -> 5)).as("split"))),
 
+    // ---- END-TO-END curation pipeline: gopher quality filter → exact
+    // dedup → benchmark decontamination → split assignment, one
+    // composed plan — operators are built to CHAIN, and this row pins
+    // the composition (each stage is also gated alone: tx7/d1/d8b/p7)
+    "p13_corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+      val corpus = docs.filter(col("doc_id") % 37 =!= 0)
+      val kept = Curation.gopherFilter(corpus.select(col("doc_id"), col("text")), "text")
+        .filter(col("keep")).select("doc_id")
+      val surviving = corpus.join(kept, "doc_id")
+      val deduped = Dedup.exactDedup(surviving, "text", "doc_id")
+      val clean = Curation.decontaminate(deduped, bench, "doc_id", "text", n = 5)
+      clean.select(col("doc_id"),
+        Curation.splitAssign("doc_id",
+          Seq("train" -> 90, "val" -> 5, "test" -> 5)).as("split"))
+    }),
+
     // ---- leakage-safe split: hash-stable labels PLUS eval-
     // contamination guard — train docs near-duplicating a test doc
     // (MinHash cross-corpus) are dropped; val/test pass through
@@ -1740,6 +1758,41 @@ object PipelineQueries {
          |       WHEN ${phSql("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+
+    // the tx7 → d1 → d8b → p7 chains composed: each stage's CTE
+    // consumes the previous stage's survivor set
+    "p13_corpus_pipeline" -> {
+      val stopEn = TextFunctions.StopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+      val gram5 = "w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]"
+      s"""WITH b AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
+         |           WHERE doc_id % 37 <> 0),
+         |c AS (SELECT doc_id, len(w) AS n_words,
+         |  list_sum([len(t) for t in w])*1.0 / greatest(len(w), 1) AS mean_word_len,
+         |  len(list_distinct(w))*1.0 / greatest(len(w), 1) AS frac_unique_words,
+         |  len(list_filter(w, t -> list_contains($stopEn, t))) AS n_stop_hits
+         |  FROM b),
+         |g AS (SELECT doc_id FROM c
+         |      WHERE n_words >= 50 AND n_words <= 100000
+         |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |        AND n_stop_hits >= 2 AND frac_unique_words >= 0.2),
+         |gd AS (SELECT d.doc_id, d.text FROM documents d JOIN g USING (doc_id)),
+         |dd AS (SELECT min(doc_id) AS doc_id FROM gd GROUP BY text),
+         |ddd AS (SELECT gd.doc_id, gd.text FROM gd JOIN dd USING (doc_id)),
+         |bt AS (SELECT string_split(text,' ') AS w FROM documents WHERE doc_id % 37 = 0),
+         |bg AS (SELECT unnest(generate_series(1, len(w)-4)) AS i, w FROM bt),
+         |bs AS (SELECT DISTINCT $gram5 AS s FROM bg),
+         |bh AS (SELECT DISTINCT ${phSql("s")} AS sh FROM bs),
+         |ct AS (SELECT doc_id, string_split(text,' ') AS w FROM ddd),
+         |cg AS (SELECT doc_id, unnest(generate_series(1, len(w)-4)) AS i, w FROM ct),
+         |cs AS (SELECT DISTINCT doc_id, $gram5 AS s FROM cg),
+         |ch AS (SELECT DISTINCT doc_id, ${phSql("s")} AS sh FROM cs),
+         |bad AS (SELECT DISTINCT doc_id FROM ch JOIN bh USING (sh))
+         |SELECT doc_id,
+         |  CASE WHEN ${phSql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+         |       WHEN ${phSql("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM ddd WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+    },
 
     // the d10 cross-corpus minhash chain with split-label sides: train
     // docs banding with a test doc at est >= 0.5 are dropped

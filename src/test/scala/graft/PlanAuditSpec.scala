@@ -558,6 +558,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate\\(keys=\\[_h".r.findFirstIn(p).nonEmpty, p.take(4000))
   }
 
+  test("p13 composed pipeline: no nested loop anywhere in the 4-stage chain") {
+    val p = plan(graft.SparkEntry.queries("p13_corpus_pipeline")(spark, dir))
+    // composition must not degrade any stage's join strategy
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(4000))
+    // the benchmark shingle probe stays broadcast inside the chain
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
   test("strictCompat projection degrades types per reference rules") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2), Map("k" -> "v"))).toDF("a", "xs", "m")
