@@ -532,6 +532,51 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("checkpoint recovery: an OPEN session window survives a restart") {
+    // a session that is still open when the query dies must resume
+    // with its start time and counts intact — the emitted (closed)
+    // session proves it: n=3 spanning the restart, start pinned by the
+    // pre-restart first event. If the session store were lost, the
+    // resumed run would emit a 1-event session starting post-restart.
+    implicit val sqlCtx = spark.sqlContext
+    val sch = StructType(Seq(StructField("u", StringType),
+      StructField("ts", TimestampType), StructField("v", LongType)))
+    def ev(u: String, ms: Long, v: Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](u, new java.sql.Timestamp(ms), v), sch)
+    val t0 = 1000000000000L
+    val hour = 3600L * 1000
+    val day = 24 * hour
+    val stream = MemoryStream[Row](Encoders.row(sch), sqlCtx)
+    val out = StreamingState.sessionCounts(
+      stream.toDF(), "ts", "12 hours", "10 minutes", Seq("u"), "v")
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long)]
+    def sink(df: org.apache.spark.sql.Dataset[Row], @annotation.unused id: Long): Unit =
+      df.collect().foreach(r => buf.add((r.getString(0),
+        r.getAs[java.sql.Timestamp]("session_start").getTime,
+        r.getLong(r.fieldIndex("n")), r.getLong(r.fieldIndex("sum_value")))))
+    val ckpt = Files.createTempDirectory("recov-sess-ckpt").toString
+    val q1 = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt).foreachBatch(sink _).start()
+    stream.addData(ev("u1", t0, 1), ev("u1", t0 + hour, 2)) // open session
+    q1.processAllAvailable()
+    q1.stop() // kill with the session still open
+
+    val q2 = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt).foreachBatch(sink _).start()
+    try {
+      stream.addData(ev("u1", t0 + 2 * hour, 4)) // extends the RECOVERED session
+      q2.processAllAvailable()
+      stream.addData(ev("zz", t0 + 100 * day, 0)) // watermark push
+      q2.processAllAvailable()
+      stream.addData(ev("zz", t0 + 200 * day, 0)) // apply it to open state
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val sessions = buf.asScala.toSeq.filter(_._1 == "u1")
+      assert(sessions === Seq(("u1", t0, 3L, 7L)))
+    } finally q2.stop()
+  }
+
   test("checkpoint recovery: minhashLshDedupStream pairs docs across a restart") {
     // a pair whose first member arrived BEFORE the kill and second
     // member AFTER the restart can only surface if the bucket rosters
