@@ -724,6 +724,21 @@ object PipelineQueries {
         Seq("train" -> 90, "val" -> 5, "test" -> 5))
         .select(col("doc_id"), col("split"))),
 
+    // ---- per-language vocabulary heavy hitters: mergeable
+    // SpaceSaving aggregate, fixed-size state per (group, partition);
+    // gate scale sits inside the sketch's EXACT tier (distinct ≤
+    // capacity → no eviction), so the oracle is the exact wordcount
+    // top-10 — the st4 QSketch contract, applied to frequency
+    "st5_heavy_hitters" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("lang")
+        .agg(graft.functions.HeavyHitters.topK(col("token"), 10).as("hh"))
+        .select(col("lang"), posexplode(col("hh")).as(Seq("r0", "e")))
+        .select(col("lang"), (col("r0") + 1).cast("long").as("rank"),
+          col("e.item").as("token"), col("e.count").as("n"))),
+
     // ---- single-pass numeric profile of lineitem (ANALYZE-style):
     // one scan, one agg row, narrow stack reshape
     "st2_numeric_profile" -> ((s, dir) =>
@@ -1818,6 +1833,18 @@ object PipelineQueries {
          |bad AS (SELECT DISTINCT nid FROM est WHERE est_jaccard >= 0.5)
          |SELECT d.doc_id, spl.split FROM documents d JOIN spl USING (doc_id)
          |WHERE NOT (spl.split = 'train' AND d.doc_id IN (SELECT nid FROM bad))""".stripMargin,
+
+    // exact tier: the sketch never evicts at gate scale, so exact
+    // wordcount + deterministic (n desc, token asc) rank replays it
+    "st5_heavy_hitters" ->
+      """WITH tk AS (SELECT lang, t AS token FROM
+        |  (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |ct AS (SELECT lang, token, count(*) AS n FROM tk GROUP BY lang, token),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY n DESC, token ASC) AS rank FROM ct)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, token, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rank <= 10""".stripMargin,
 
     "st2_numeric_profile" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

@@ -75,4 +75,43 @@ class QuantileSketchSpec extends AnyFunSuite {
     back.add(12L)
     assert(back.count === s.count + 1)
   }
+
+  test("heavy hitters exact tier: under capacity, counts and merge are exact") {
+    import graft.functions.{HHSketch, HeavyHitters => HH}
+    val a = new HHSketch(64); val b = new HHSketch(64)
+    Seq("x", "x", "y").foreach(a.add(_))
+    Seq("x", "z", "z", "z").foreach(b.add(_))
+    a.mergeWith(b)
+    assert(a.count === 7)
+    assert(a.top(10) === Seq(("x", 3L, 0L), ("z", 3L, 0L), ("y", 1L, 0L)))
+  }
+
+  test("heavy hitters eviction tier: bounded size, true heavy item present, err bound") {
+    import graft.functions.HHSketch
+    val k = 16
+    val s = new HHSketch(k)
+    // one genuinely heavy item among a long tail of distincts
+    (0 until 2000).foreach { i =>
+      s.add(if (i % 4 == 0) "heavy" else s"tail-$i")
+    }
+    assert(s.size <= k)
+    val top = s.top(k)
+    val heavy = top.find(_._1 == "heavy")
+    assert(heavy.isDefined, top.toString)
+    val (_, c, e) = heavy.get
+    // SpaceSaving: trueCount <= reported <= trueCount + err, err <= n/k
+    assert(c >= 500 && c - e <= 500, s"count=$c err=$e")
+    assert(e <= s.count / k, s"err=$e n=${s.count}")
+  }
+
+  test("heavy hitters serialize/deserialize round-trips entries and error terms") {
+    import graft.functions.HHSketch
+    val s = new HHSketch(8)
+    (0 until 100).foreach(i => s.add(s"t-${i % 12}"))
+    val back = HHSketch.deserialize(s.serialize)
+    assert(back.count === s.count)
+    assert(back.top(8) === s.top(8))
+    back.add("t-0")
+    assert(back.count === s.count + 1)
+  }
 }
