@@ -236,6 +236,23 @@ object StreamingQueries {
         .withColumnRenamed("n", "n_docs")
     }),
 
+    // ---- streaming per-language vocabulary heavy hitters: one
+    // SpaceSaving sketch per lang in the state store; the max-n (last)
+    // emission per lang is the final top-10, which at gate scale sits
+    // in the sketch's exact tier — the batch st5 oracle applies
+    "st5s_heavy_hitters_stream" -> ((s, dir) => {
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "update", ticks = 4) {
+        case Seq(docs) => StreamingState.heavyHittersStream(
+          docs.select(col("lang"), explode(split(col("text"), " ")).as("token"))
+            .filter(col("token") =!= ""),
+          Seq("lang"), "token", topN = 10)
+      }
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      out.withColumn("_mx", max(col("n")).over(w)).filter(col("n") === col("_mx"))
+        .select(col("lang"), col("rank"), col("item").as("token"),
+          col("count").as("n"))
+    }),
+
     // ---- streaming k-means refit: narrow assignment against a FIXED
     // literal quantizer (generated here, mirrored into the oracle SQL
     // — the dsirStubWeights pattern), sharded integer partials in the
@@ -392,6 +409,18 @@ object StreamingQueries {
         |SELECT user_id, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_value,
         |       min(t) AS session_start
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // the stream's final sketch state equals the batch wordcount
+    // top-10 (exact tier, deterministic tie-break)
+    "st5s_heavy_hitters_stream" ->
+      """WITH tk AS (SELECT lang, t AS token FROM
+        |  (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |ct AS (SELECT lang, token, count(*) AS n FROM tk GROUP BY lang, token),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY n DESC, token ASC) AS rank FROM ct)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, token, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rank <= 10""".stripMargin,
 
     // literal quantizer assignment (cos desc, cell asc, NaN-guarded —
     // the IVF rule) + per-cell count and integer micro-sums

@@ -710,6 +710,69 @@ object StreamingState {
       }
   }
 
+  /** st5's streaming twin: one SpaceSaving sketch per key in the state
+    * store (≤ `k` entries per key regardless of stream length),
+    * emitting the running top-`topN` (one row per entry) whenever the
+    * key sees data. The sketch's two-tier contract carries over: while
+    * a key's distinct items ≤ `k` the counts are EXACT and the final
+    * emission equals the batch wordcount top-N — the st5s gate tier
+    * (max-n emission per key, the st4s reduction).
+    */
+  def heavyHittersStream(
+      df: DataFrame,
+      keys: Seq[String],
+      itemCol: String,
+      topN: Int,
+      k: Int = 1 << 16): DataFrame = {
+    require(keys.nonEmpty, "heavyHittersStream requires at least one key")
+    require(topN >= 1, "heavyHittersStream: topN must be >= 1")
+    val schema = df.schema
+    val n = schema.length
+    val keyIdxs = keys.map(schema.fieldIndex)
+    val itemIdx = schema.fieldIndex(itemCol)
+    val outSchema = StructType(
+      keys.map(schema(_)) ++ Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("item",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("count",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.BINARY
+    implicit val outEnc = Encoders.row(outSchema)
+    df.withColumn("_graft_gk", groupKeyExpr(schema, keys))
+      .groupByKey((r: Row) => r.getString(n))
+      .flatMapGroupsWithState[Array[Byte], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Array[Byte]]) =>
+          val sketch = state.getOption
+            .map(graft.functions.HHSketch.deserialize)
+            .getOrElse(new graft.functions.HHSketch(k))
+          var last: Row = null
+          var added = false
+          rows.foreach { r =>
+            last = r
+            val v = r.get(itemIdx)
+            if (v != null) {
+              sketch.add(v.toString)
+              added = true
+            }
+          }
+          if (!added) Iterator.empty
+          else {
+            state.update(sketch.serialize)
+            val keyVals = keyIdxs.map(last.get)
+            sketch.top(topN).zipWithIndex.iterator.map { case ((item, c, _), i) =>
+              Row.fromSeq(keyVals ++ Seq(Long.box(sketch.count),
+                Long.box(i + 1L), item, Long.box(c)))
+            }
+          }
+      }
+  }
+
   /** Read the executor-side state of a [[lastByKeyStream]] query back
     * as a batch DataFrame via Spark's `statestore` data source — the
     * cluster serving path for T2/T3: state stays sharded in the
