@@ -698,6 +698,12 @@ object PipelineQueries {
         Curation.splitAssign("doc_id",
           Seq("train" -> 90, "val" -> 5, "test" -> 5)).as("split"))),
 
+    // ---- RAG chunking: fixed-size overlapping character windows,
+    // integer chunk-count arithmetic, narrow generate + substring
+    "p14_chunking" -> ((s, dir) =>
+      Curation.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        size = 200, overlap = 50)),
+
     // ---- END-TO-END curation pipeline: gopher quality filter → exact
     // dedup → benchmark decontamination → split assignment, one
     // composed plan — operators are built to CHAIN, and this row pins
@@ -1773,6 +1779,15 @@ object PipelineQueries {
          |       WHEN ${phSql("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+
+    // same integer chunk-count arithmetic; stride = 150
+    "p14_chunking" ->
+      """SELECT doc_id, i - 1 AS chunk_id,
+        |       substr(text, (i - 1) * 150 + 1, 200) AS chunk
+        |FROM documents,
+        |     LATERAL unnest(generate_series(1,
+        |       greatest(1, (len(text) - 50 + 149) // 150))) AS t(i)
+        |WHERE text IS NOT NULL""".stripMargin,
 
     // the tx7 → d1 → d8b → p7 chains composed: each stage's CTE
     // consumes the previous stage's survivor set

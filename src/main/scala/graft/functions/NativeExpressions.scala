@@ -625,5 +625,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))))
+    // aggregate sketches: literal (q/topN, capacity) arguments are
+    // folded at registration — the analyzer wraps the returned
+    // AggregateFunction the same way builtin percentile_approx works
+    def litD(e: Expression): Double = e.eval() match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: java.lang.Number => n.doubleValue
+      case other => sys.error(s"expected numeric literal, got $other")
+    }
+    def litI(e: Expression): Int = litD(e).toInt
+    ext.injectFunction((
+      FunctionIdentifier("graft_quantile_sketch"),
+      new ExpressionInfo(classOf[QuantileSketchAgg].getName, "graft_quantile_sketch"),
+      (exprs: Seq[Expression]) => QuantileSketchAgg(exprs(0), litD(exprs(1)),
+        if (exprs.size > 2) litI(exprs(2)) else 8192)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHittersAgg].getName, "graft_heavy_hitters"),
+      (exprs: Seq[Expression]) => HeavyHittersAgg(exprs(0), litI(exprs(1)),
+        if (exprs.size > 2) litI(exprs(2)) else 1 << 16)))
   }
 }

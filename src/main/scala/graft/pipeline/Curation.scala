@@ -313,6 +313,36 @@ object Curation {
     cleanTrain.unionByName(assigned.filter(col("split") =!= trainSplit))
   }
 
+  /** Fixed-size overlapping character chunks (the RAG / long-context
+    * preparation step): chunk `i` covers
+    * `[i·(size-overlap), i·(size-overlap) + size)`; the final chunk
+    * may be shorter, and a doc shorter than `size` yields exactly one
+    * chunk. Chunk count is integer arithmetic
+    * (`max(1, (len - overlap + stride - 1) div stride)`) so the oracle
+    * replays it without float-ceil drift. Null texts drop; empty
+    * texts yield one empty chunk (the doc survives, auditable).
+    * Zero shuffle — a narrow generate + substring projection.
+    */
+  def chunkDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int,
+      overlap: Int): DataFrame = {
+    require(size > 0, "chunk size must be positive")
+    require(overlap >= 0 && overlap < size, "overlap must be in [0, size)")
+    val stride = size - overlap
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol),
+        expr(s"greatest(1, (length(`$textCol`) - $overlap + ${stride - 1}) div $stride)")
+          .as("_n"))
+      .select(col(idCol),
+        explode(sequence(lit(0L), col("_n") - 1)).as("chunk_id"),
+        col(textCol))
+      .select(col(idCol), col("chunk_id"),
+        expr(s"substring(`$textCol`, chunk_id * $stride + 1, $size)").as("chunk"))
+  }
+
   /** Deterministic epoch shuffle: the reproducible pseudo-random
     * training order pretraining pipelines need — rerunning the job (or
     * any engine) yields byte-identical order, and changing `epoch`

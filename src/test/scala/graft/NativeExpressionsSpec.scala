@@ -137,6 +137,19 @@ class NativeExpressionsSpec extends AnyFunSuite {
       .select(NativeExpressions.fixMojibake($"s")).collect().head.isNullAt(0))
   }
 
+  test("sketch aggregates callable from SQL via GraftExtensions") {
+    Seq(5L, 1L, 9L, 3L, 7L).toDF("v").createOrReplaceTempView("sk_vals")
+    val med = spark.sql(
+      "SELECT graft_quantile_sketch(v, 0.5, 64) AS m FROM sk_vals").collect().head
+    assert(med.getLong(0) === 5L)
+    Seq("a", "b", "a", "c", "a", "b").toDF("t").createOrReplaceTempView("sk_toks")
+    val hh = spark.sql(
+      "SELECT graft_heavy_hitters(t, 2, 64) AS h FROM sk_toks").collect().head
+    val entries = hh.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(entries === Seq(("a", 3L), ("b", 2L)))
+  }
+
   test("whole-stage codegen keeps the expression inline (no UDF fallback)") {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val df = docs.select(TextFunctions.polyHash($"text").as("h"))
