@@ -28,7 +28,12 @@ object ScaleSmoke {
     "d2_ngram_jaccard", "d4_simhash_pairs", "d6_dedup_groups",
     "d7_dedup_corpus", "d9_substring_dup", "d10_cross_dedup",
     "d11_dedup_keep_best", "d13_minhash_dedup", "tx9_annotate_bundle",
-    "p10_source_cap", "st3_source_overlap", "d8c_bloom_decontaminated")
+    "p10_source_cap", "st3_source_overlap", "d8c_bloom_decontaminated",
+    // round 6: hash-first dedup, composed pipeline, heavy hitters,
+    // encoding report, chunking, range/salted joins
+    "d1b_dedup_exact_hash", "p13_corpus_pipeline", "st5_heavy_hitters",
+    "tx13_encoding_quality", "p14_chunking", "j5_range_join",
+    "j6_salted_join")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
