@@ -22,6 +22,18 @@ object PipelineQueries {
 
   private val P = TextFunctions.P
 
+  /** Scratch path (and catalog-name suffix) scoped to the data dir, so
+    * gate runs at different scale factors never read each other's
+    * side-effect tables (two concurrent runs, or a stale leftover from
+    * a failed run at the other SF, would otherwise silently serve
+    * wrong-scale data via the fixed location).
+    */
+  private def scopedTmp(prefix: String, dir: String): String =
+    s"/tmp/${prefix}_${java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+
+  private def scopedName(prefix: String, dir: String): String =
+    s"${prefix}_${java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+
   /** Bloom bitset size for the d8c gate — shared by the Spark query
     * and the oracle SQL so the two can never drift. */
   private val BloomM = 1 << 20
@@ -476,13 +488,13 @@ object PipelineQueries {
     // exchange (plan-audited); the only shuffle left is the final
     // small-key aggregation — the write-once-join-nightly layout
     "b1_bucketed_join" -> ((s, dir) => {
-      val root = "/tmp/graft_b1"
+      val root = scopedTmp("graft_b1", dir)
       val li = Layout.bucketedTable(s,
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-        "graft_b1_lineitem", "l_orderkey", 16, s"$root/lineitem")
+        scopedName("graft_b1_lineitem", dir), "l_orderkey", 16, s"$root/lineitem")
       val ord = Layout.bucketedTable(s,
         t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
-        "graft_b1_orders", "o_orderkey", 16, s"$root/orders")
+        scopedName("graft_b1_orders", dir), "o_orderkey", 16, s"$root/orders")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(
@@ -794,6 +806,34 @@ object PipelineQueries {
         emb.filter(col("vec_id") >= 100 && col("vec_id") < 108),
         "vec_id", "embedding", k = 3,
         Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8))
+    }),
+
+    // ---- persisted IVF-Flat index: build+save once (cell-partitioned
+    // parquet + quantizer metadata), load in a fresh reader, serve —
+    // the build-once-serve-many lifecycle; answers must be bit-equal
+    // to the in-session s3 path, so the oracle is s3's verbatim
+    "s10_saved_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = scopedTmp("graft_annidx", dir)
+      Similarity.saveIndex(emb,
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 108),
+        "vec_id", "embedding", path)
+      Similarity.queryIndex(Similarity.loadIndex(s, path),
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3)
+    }),
+
+    // ---- persisted IVF-PQ index: stored m-byte codes are the scan
+    // side after reload (ADC against codebook reconstructions);
+    // oracle is s5's verbatim
+    "s10b_saved_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = scopedTmp("graft_annidx_pq", dir)
+      Similarity.saveIndex(emb,
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 108),
+        "vec_id", "embedding", path,
+        Some(Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8)))
+      Similarity.queryIndex(Similarity.loadIndex(s, path),
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3)
     })
   )
 
@@ -913,7 +953,7 @@ object PipelineQueries {
        |            ON d.vec_id = x.vec_id AND d.m = x.m)""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     "d1_dedup_exact" ->
       "SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
 
@@ -1943,4 +1983,11 @@ object PipelineQueries {
          |  FROM b)
          |SELECT doc_id, shard, n_tokens, start_tok, start_tok // 512 AS chunk FROM c""".stripMargin
   )
+
+  /** Serving from a persisted index must be bit-equal to the
+    * in-session build — the s10 oracles are the s3/s5 SQL verbatim.
+    */
+  val oracles: Map[String, String] = oracles0 ++ Map(
+    "s10_saved_index" -> oracles0("s3_ann_ivf"),
+    "s10b_saved_ivfpq" -> oracles0("s5_ann_ivfpq"))
 }

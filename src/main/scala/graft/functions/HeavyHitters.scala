@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -120,7 +120,14 @@ case class HeavyHittersAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[HHSketch] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[HHSketch] with UnaryLike[Expression]
+  with ImplicitCastInputTypes {
+
+  // SQL calls coerce the item column to string at analysis — without
+  // this a non-string column analyzes fine and ClassCastExceptions at
+  // execution.
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractDataType] =
+    Seq(StringType)
 
   override def createAggregationBuffer(): HHSketch = new HHSketch(k)
 

@@ -4,10 +4,10 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.graft.{ColumnBridge, TypeBridge}
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Mergeable rank/quantile sketch (KLL-style level compactors) with a
@@ -154,7 +154,13 @@ case class QuantileSketchAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[QSketch] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[QSketch] with UnaryLike[Expression]
+  with ImplicitCastInputTypes {
+
+  // SQL calls analyze through the implicit cast (an int/short column
+  // coerces to long); without this, `graft_quantile_sketch(int_col,…)`
+  // would pass analysis and ClassCastException at execution.
+  override def inputTypes: Seq[TypeBridge.AbstractDataType] = Seq(LongType)
 
   override def createAggregationBuffer(): QSketch = new QSketch(k)
 

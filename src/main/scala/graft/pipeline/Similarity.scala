@@ -392,6 +392,143 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ---- Index persistence (build once, serve many) ------------------------
+
+  /** Handle to a persisted IVF(-PQ) index: `cells` is the
+    * cell-partitioned corpus (one parquet partition directory per IVF
+    * cell — a query probing `nprobe` cells reads only those
+    * directories; at 100 TB that is the difference between touching
+    * N/nlist vectors and re-scanning the corpus), `quantizer` is the
+    * coarse-centroid table, `codebooks` the PQ codebooks (empty for
+    * IVF-Flat). Quantizer and codebooks are driver metadata, exactly
+    * what [[ivfTopK]]/[[ivfPqTopK]] ship as plan literals.
+    */
+  final case class AnnIndex(
+      cells: DataFrame,
+      quantizer: DataFrame,
+      codebooks: Option[Array[Array[(Long, Seq[Double])]]])
+
+  /** Build and persist an IVF(-Flat or -PQ) index under `path`:
+    *  - `path/cells`: the corpus assigned to its coarse cell
+    *    (`cid`, `vec`, PQ codes `_c0.._c{m-1}` when codebooks are
+    *    given), written `partitionBy("cell")` — the inverted-file
+    *    layout on disk. Unsearchable rows (zero-norm vector or, for
+    *    PQ, any zero-norm subvector) are excluded at build time, the
+    *    same rows [[ivfTopK]]/[[ivfPqTopK]] drop.
+    *  - `path/quantizer`: the centroid table (`c`, `ce`).
+    *  - `path/codebooks` (PQ only): rows (`m`, `code`, `pos`, `w`) —
+    *    the codeword components in subspace-position order.
+    * The expensive part (one corpus scan + one shuffle-by-cell write)
+    * runs once; every later session serves from the files.
+    */
+  def saveIndex(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      codebooks: Option[Array[Array[(Long, Seq[Double])]]] = None): Unit = {
+    val spark = corpus.sparkSession
+    val centArr = centroidLiteral(centroids, idCol, vecCol)
+    val codeCols = codebooks.map(cb => pqCodeColumns(col(vecCol), cb)).getOrElse(Seq.empty)
+    val searchable = codebooks match {
+      case Some(cb) => cb.indices.map(j => col(s"_c$j") >= 0).reduce(_ && _)
+      case None     => lit(true)
+    }
+    corpus
+      .select(Seq(col(idCol).as("cid"), col(vecCol).as("vec"),
+        argmaxCell(col(vecCol), centArr).as("cell")) ++ codeCols: _*)
+      .filter(col("cell") >= 0 && searchable)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    centroids
+      .select(col(idCol).cast("long").as("c"), col(vecCol).as("ce"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/quantizer")
+    codebooks.foreach { cbs =>
+      import spark.implicits._
+      val rows = for {
+        (cb, j) <- cbs.toIndexedSeq.zipWithIndex
+        (code, v) <- cb
+        (w, pos) <- v.zipWithIndex
+      } yield (j, code, pos, w)
+      rows.toDF("m", "code", "pos", "w")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    }
+  }
+
+  /** Load a persisted index. Cells stay lazy (a DataFrame over the
+    * partitioned layout — nothing is scanned until a query probes);
+    * quantizer and codebooks are re-materialized as driver metadata.
+    * The partition-column `cell` is cast back to long (partition
+    * discovery infers int).
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex = {
+    val cells = spark.read.parquet(s"$path/cells")
+      .withColumn("cell", col("cell").cast("long"))
+    val quantizer = spark.read.parquet(s"$path/quantizer")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val cbPath = new org.apache.hadoop.fs.Path(s"$path/codebooks")
+    val codebooks =
+      if (!fs.exists(cbPath)) None
+      else Some {
+        val rows = spark.read.parquet(s"$path/codebooks")
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        val m = rows.map(_._1).max + 1
+        Array.tabulate(m) { j =>
+          rows.filter(_._1 == j)
+            .groupBy(_._2)
+            .map { case (code, comps) =>
+              (code, comps.sortBy(_._3).map(_._4).toSeq)
+            }
+            .toArray.sortBy(_._1)
+        }
+      }
+    AnnIndex(cells, quantizer, codebooks)
+  }
+
+  /** Serve a top-k query from a loaded [[AnnIndex]] — IVF-Flat (exact
+    * cosine on stored vectors) when the index has no codebooks, ADC
+    * over the stored PQ codes when it does. Same candidate set, same
+    * tie order, bit-identical scores as the in-session
+    * [[ivfTopK]]/[[ivfPqTopK]] over the same corpus: the gate pins
+    * this. Queries are assigned via the loaded quantizer (narrow
+    * argmax) and broadcast; the cell equi-join prunes the scan to the
+    * probed partition directories.
+    */
+  def queryIndex(
+      index: AnnIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val centArr = centroidLiteral(index.quantizer, "c", "ce")
+    val q0 = queries.select(col(idCol).as("qid"), col(vecCol).as("_qv"))
+    val q =
+      if (nprobe <= 1)
+        q0.withColumn("_cell", argmaxCell(col("_qv"), centArr)).filter(col("_cell") >= 0)
+      else q0
+        .withColumn("_cells", topCells(col("_qv"), centArr, nprobe))
+        .select(col("qid"), col("_qv"), explode(col("_cells")).as("_cell"))
+    val scoreName = if (index.codebooks.isDefined) "score" else "cosine"
+    val c = index.codebooks match {
+      case None =>
+        index.cells.select(col("cid"), col("vec").as("_sv"), col("cell").as("_cell"))
+      case Some(cbs) =>
+        val recon = concat(cbs.toIndexedSeq.zipWithIndex.map { case (cb, j) =>
+          val cbArr = array(cb.toIndexedSeq.map { case (_, v) => typedLit(v) }: _*)
+          element_at(cbArr, (col(s"_c$j") + lit(1)).cast("int"))
+        }: _*)
+        index.cells.select(col("cid"), recon.as("_sv"), col("cell").as("_cell"))
+    }
+    val scored = c.join(broadcast(q), Seq("_cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("_qv"), col("_sv")).as(scoreName))
+    val w = Window.partitionBy("qid").orderBy(col(scoreName).desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN via sign-LSH buckets: candidates are same-bucket corpus rows;
     * otherwise identical shape to [[bruteForceTopK]]. Approximate —
     * recall depends on `planes` (fewer planes = bigger buckets =

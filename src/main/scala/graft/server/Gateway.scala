@@ -578,15 +578,20 @@ final class Gateway(
         case (Some(vs), name) if vs.names.contains(name) =>
           // fetch-and-render loop against the JSON data plane; no
           // external assets, so it works in the zero-egress sandbox
+          // cell values are client-supplied via /send — escape them
+          // (and column names), or a value like <img onerror=…> is
+          // stored XSS against anyone viewing the page
           page(s"Table $name",
             s"""<h1>$name</h1><div id="t">loading…</div><script>
+               |const esc = s => String(s).replace(/&/g,'&amp;').replace(/</g,'&lt;')
+               |  .replace(/>/g,'&gt;').replace(/"/g,'&quot;');
                |async function tick(){
                |  const r = await fetch('/api/v1/table/$name');
                |  const rows = await r.json();
                |  const cols = rows.length ? Object.keys(rows[0]) : [];
-               |  let h = '<table><tr>'+cols.map(c=>'<th>'+c+'</th>').join('')+'</tr>';
+               |  let h = '<table><tr>'+cols.map(c=>'<th>'+esc(c)+'</th>').join('')+'</tr>';
                |  for (const row of rows)
-               |    h += '<tr>'+cols.map(c=>'<td>'+String(row[c])+'</td>').join('')+'</tr>';
+               |    h += '<tr>'+cols.map(c=>'<td>'+esc(row[c])+'</td>').join('')+'</tr>';
                |  document.getElementById('t').innerHTML = h+'</table>';
                |}
                |tick(); setInterval(tick, 2000);

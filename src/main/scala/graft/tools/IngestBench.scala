@@ -60,8 +60,9 @@ object IngestBench {
         }).start()
       }
       done.await(runMillis * 3, TimeUnit.MILLISECONDS)
+      rt.processAllAvailable() // drain INSIDE the timed window: the
+      // rate includes the per-batch handoff debt, not just enqueue
       val secs = (System.nanoTime() - t0) / 1e9
-      rt.processAllAvailable() // drain before stop: include handoff debt
       rt.stop()
       sent.get() / secs
     }

@@ -14,6 +14,14 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Alias bridge for `private[sql]` type-system names needed by
+  * expressions that declare `inputTypes` (analysis-time implicit
+  * casts — the percentile_approx pattern).
+  */
+object TypeBridge {
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+}
+
 /** Dataset-level `private[sql]` bridge.
   *
   * [[DatasetBridge.freshLeaf]] re-wraps a materialized Dataset (e.g. a
