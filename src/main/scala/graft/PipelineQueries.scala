@@ -764,6 +764,19 @@ object PipelineQueries {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
           "l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // ---- the same profile in ONE fused scan: distinct counts ride
+    // the nulls/min/max aggregate as mergeable sketches (exact tier at
+    // gate scale — count(DISTINCT) oracle applies; ~0.8% HLL above);
+    // PlanAuditSpec pins the single-FileScan shape
+    // sketchK covers sf0.1's ~150k order keys so the exact tier holds
+    // at every oracle-checked SF; sf1+ rides the HLL tier (unchecked
+    // here, bounded-error by construction)
+    "st2b_profile_sketch" -> ((s, dir) =>
+      Curation.numericProfileSketch(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        sketchK = 1 << 18)),
+
     // ---- fastText-style hashed linear classifier: per-doc logit over
     // LCG demo weights + keep decision — narrow, zero shuffle
     "p9_classifier_filter" -> ((s, dir) =>
@@ -1989,5 +2002,7 @@ object PipelineQueries {
     */
   val oracles: Map[String, String] = oracles0 ++ Map(
     "s10_saved_index" -> oracles0("s3_ann_ivf"),
-    "s10b_saved_ivfpq" -> oracles0("s5_ann_ivfpq"))
+    "s10b_saved_ivfpq" -> oracles0("s5_ann_ivfpq"),
+    // the sketch profile's exact tier must equal count(DISTINCT)
+    "st2b_profile_sketch" -> oracles0("st2_numeric_profile"))
 }

@@ -644,5 +644,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "graft_heavy_hitters"),
       (exprs: Seq[Expression]) => HeavyHittersAgg(exprs(0), litI(exprs(1)),
         if (exprs.size > 2) litI(exprs(2)) else 1 << 16)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_distinct_sketch"),
+      new ExpressionInfo(classOf[DistinctSketchAgg].getName, "graft_distinct_sketch"),
+      (exprs: Seq[Expression]) => DistinctSketchAgg(exprs(0),
+        if (exprs.size > 1) litI(exprs(1)) else 1 << 16,
+        if (exprs.size > 2) litI(exprs(2)) else 14)))
   }
 }

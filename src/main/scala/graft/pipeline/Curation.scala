@@ -491,6 +491,31 @@ object Curation {
         col("min_v"), col("max_v"))
   }
 
+  /** [[numericProfile]] in ONE fused scan: distinct counts ride the
+    * same aggregate as nulls/min/max through the mergeable
+    * [[graft.functions.DistinctSketch]] (exact below `sketchK`
+    * distincts — the gate tier, hash-equal to `count(DISTINCT)` —
+    * ~0.8%-error HLL above). At 100 TB × many columns this replaces N
+    * column-pruned full scans with a single pass whose per-partition
+    * state is N fixed-size sketches; [[numericProfile]] remains the
+    * exact-at-any-cardinality option.
+    */
+  def numericProfileSketch(df: DataFrame, cols: Seq[String],
+      sketchK: Int = 1 << 16): DataFrame = {
+    require(cols.nonEmpty, "numericProfileSketch needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      graft.functions.DistinctSketch.distinctCount(col(c), sketchK)
+        .as(s"${c}__nd"),
+      min(col(c).cast("double")).as(s"${c}__min"),
+      max(col(c).cast("double")).as(s"${c}__max")))
+    val parts = cols.map(c =>
+      s"'$c', `${c}__nulls`, `${c}__nd`, `${c}__min`, `${c}__max`")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, ${parts.mkString(", ")}) " +
+        "as (column, n_nulls, n_distinct, min_v, max_v)"))
+  }
+
   // ---- corpus snapshot diff ----------------------------------------------
 
   /** Delta between two corpus snapshots: which documents were added,

@@ -458,6 +458,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("FileScan".r.findAllIn(p).size === 1, p.take(3000))
   }
 
+  test("st2b sketch profile: ONE FileScan carries all per-column distinct counts") {
+    val li = graft.core.Tables.load(spark, dir, "lineitem")
+    val df = graft.pipeline.Curation.numericProfileSketch(li,
+      Seq("l_orderkey", "l_partkey", "l_quantity"))
+    val p = plan(df)
+    // the exact-path numericProfile runs one pruned scan PER column;
+    // the sketch path must fuse every distinct count into the single
+    // nulls/min/max scan — that is its entire reason to exist
+    assert("FileScan".r.findAllIn(p).size === 1, p.take(3000))
+    assert("Exchange".r.findAllIn(p).size === 1, p.take(3000)) // the one final-agg gather
+  }
+
   test("p10 per-source cap: windows touch histogram rows only, threshold broadcast") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val docs = graft.core.Tables.load(spark, dir, "documents")

@@ -114,4 +114,69 @@ class QuantileSketchSpec extends AnyFunSuite {
     back.add("t-0")
     assert(back.count === s.count + 1)
   }
+
+  // ---- distinct sketch ----------------------------------------------------
+
+  test("distinct sketch exact tier: equals count(DISTINCT) for any partitioning, nulls skipped") {
+    import spark.implicits._
+    import graft.functions.DistinctSketch
+    val df = (0 until 5000).map(i => if (i % 11 == 0) None else Some((i % 700).toLong))
+      .toDF("v").repartition(13)
+    val got = df.agg(DistinctSketch.distinctCount(col("v"))).collect()(0).getLong(0)
+    val expect = df.filter(col("v").isNotNull).select(col("v")).distinct().count()
+    assert(got === expect)
+  }
+
+  test("distinct sketch merge is order-independent across tiers (exact, degraded, mixed)") {
+    import graft.functions.DSketch
+    val vals = (0 until 3000).map(i => (i.toLong * 2654435761L) % 2200)
+    def sk(chunk: Seq[Long], k: Int): DSketch = {
+      val s = new DSketch(k, 12); chunk.foreach(s.add); s
+    }
+    val chunks = vals.grouped(500).map(_.toSeq).toSeq
+    // capacity below the distinct count → every merge order must land
+    // on the same degraded register state (registers are a pointwise
+    // max over value hashes — a function of the SET only)
+    val fwd = sk(Nil, 1000); chunks.foreach(c => fwd.mergeWith(sk(c, 1000)))
+    val rev = sk(Nil, 1000); chunks.reverse.foreach(c => rev.mergeWith(sk(c, 1000)))
+    assert(!fwd.isExact && fwd.estimate === rev.estimate)
+    // capacity above it → exact regardless of order
+    val ex = sk(Nil, 4000); chunks.foreach(c => ex.mergeWith(sk(c, 4000)))
+    assert(ex.isExact && ex.estimate === vals.distinct.size.toLong)
+  }
+
+  test("distinct sketch HLL tier: ~1% relative error at 100k distincts, fixed size") {
+    import graft.functions.DSketch
+    val s = new DSketch(1024, 14)
+    val n = 100000
+    (0 until n).foreach(i => s.add(i.toLong * 0x9e3779b97f4a7c15L))
+    assert(!s.isExact)
+    val err = math.abs(s.estimate - n).toDouble / n
+    assert(err < 0.03, s"estimate=${s.estimate} err=$err")
+    assert(s.serialize.length <= 1 + 4 + 4 + (1 << 14)) // registers, not values
+  }
+
+  test("distinct sketch serialize/deserialize round-trips both tiers") {
+    import graft.functions.DSketch
+    val ex = new DSketch(100, 12); (0 until 50).foreach(i => ex.add(i * 31L))
+    val exBack = DSketch.deserialize(ex.serialize)
+    assert(exBack.isExact && exBack.estimate === 50L)
+    val hll = new DSketch(100, 12); (0 until 5000).foreach(i => hll.add(i * 31L))
+    val hllBack = DSketch.deserialize(hll.serialize)
+    assert(!hllBack.isExact && hllBack.estimate === hll.estimate)
+    hllBack.mergeWith(exBack) // restored sketches keep merging
+    assert(hllBack.estimate >= hll.estimate)
+  }
+
+  test("SQL surface: graft_distinct_sketch coerces an int column at analysis") {
+    import spark.implicits._
+    (1 to 100).map(i => i % 40).toDF("v").createOrReplaceTempView("dsk_t")
+    val r = spark.sql("SELECT graft_distinct_sketch(v) FROM dsk_t").collect()(0)
+    assert(r.getLong(0) === 40L)
+    // the quantile/heavy-hitter aggregates coerce the same way now
+    val q = spark.sql("SELECT graft_quantile_sketch(v, 0.5) FROM dsk_t").collect()(0)
+    // (1..100) % 40 sorted: 0×2, then 1..20 ×3, 21..39 ×2 — the lower
+    // median (rank 49, 0-indexed) falls in value 16's run (ranks 47-49)
+    assert(q.getLong(0) === 16L)
+  }
 }
