@@ -371,19 +371,19 @@ object PipelineQueries {
     // payloads; 8-dim feature unnested to (media_id, bin, value) rows
     // (gate-friendly: no list columns in the output)
     "mm1_media_features" -> ((s, dir) =>
-      Multimodal.decodeFeatures(Multimodal.syntheticMedia(t(s, dir, "documents")))
+      Multimodal.decodeFeatures(graft.testing.MediaFixtures.syntheticMedia(t(s, dir, "documents")))
         .select(col("media_id"), col("kind"), col("n_bytes"),
           posexplode(col("feature")).as(Seq("bin", "value")))),
 
     // ---- multimodal: video frame sampling
     "mm2_frame_sample" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.syntheticMedia(t(s, dir, "documents")), stride = 4)),
+      Multimodal.sampleFrames(graft.testing.MediaFixtures.syntheticMedia(t(s, dir, "documents")), stride = 4)),
 
     // ---- cross-modal retrieval composition: decoded media features
     // flow straight into ANN — feature-extract (partition-local stub
     // codec) then brute-force cosine top-3 per query medium
     "mm3_media_similarity" -> ((s, dir) => {
-      val feats = Multimodal.decodeFeatures(Multimodal.syntheticMedia(t(s, dir, "documents")))
+      val feats = Multimodal.decodeFeatures(graft.testing.MediaFixtures.syntheticMedia(t(s, dir, "documents")))
         .select(col("media_id"), col("feature"))
         // NULL-text docs are excluded on both sides; so are zero-norm
         // (empty-payload) features — their cosine is NaN against

@@ -591,125 +591,4 @@ object Multimodal {
     */
   def resizePlan(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("target_width", lit(w)).withColumn("target_height", lit(h))
-
-  /** text → real WAV payload whose PCM samples are the text's
-    * codepoint classes (`cp & 7`): synthetic CONTENT but a structurally
-    * genuine file, so [[decodeFeatures]] exercises the real header
-    * walk + sample decode and the extracted histogram stays
-    * SQL-expressible for the oracle. A Scala UDF is acceptable here —
-    * this is the synthetic-input builder, not a pipeline operator.
-    */
-  private val wavFromText = udf((text: String) => {
-    if (text == null) null
-    else {
-      val samples = Array.newBuilder[Short]
-      var i = 0
-      while (i < text.length) {
-        val cp = text.codePointAt(i)
-        samples += (cp & 7).toShort
-        i += Character.charCount(cp)
-      }
-      wavEncode(samples.result())
-    }
-  })
-
-  /** (text, nFrames) → real AVI payload: the text's codepoint classes
-    * (`cp & 7`, one byte each) chunked into exactly `nFrames` `00db`
-    * frame chunks (first `n % k` frames one byte longer — deterministic
-    * split, SQL-expressible container size). Same contract as
-    * [[wavFromText]]: synthetic CONTENT, structurally genuine
-    * container, so [[decodeFeatures]] exercises the real RIFF demux.
-    */
-  private val aviFromText = udf((text: String, nFrames: Int) => {
-    if (text == null) null
-    else {
-      val bytes = Array.newBuilder[Byte]
-      var i = 0
-      while (i < text.length) {
-        val cp = text.codePointAt(i)
-        bytes += (cp & 7).toByte
-        i += Character.charCount(cp)
-      }
-      val b = bytes.result()
-      val k = math.max(nFrames, 1)
-      val base = b.length / k
-      val rem = b.length % k
-      var off = 0
-      val frames = Array.tabulate(k) { f =>
-        val len = base + (if (f < rem) 1 else 0)
-        val fr = java.util.Arrays.copyOfRange(b, off, off + len)
-        off += len
-        fr
-      }
-      aviEncode(frames)
-    }
-  })
-
-  /** text → real BMP payload: one grayscale pixel per codepoint (value
-    * = `cp & 7`, a single n×1 pixel row) — same contract as
-    * [[wavFromText]]: synthetic CONTENT, structurally genuine file, so
-    * [[decodeFeatures]] exercises the real header parse + pixel walk
-    * and the histogram stays SQL-expressible for the oracle.
-    */
-  private val bmpFromText = udf((text: String) => {
-    if (text == null) null
-    else {
-      val pixels = Array.newBuilder[Byte]
-      var i = 0
-      var n = 0
-      while (i < text.length) {
-        val cp = text.codePointAt(i)
-        pixels += (cp & 7).toByte
-        n += 1
-        i += Character.charCount(cp)
-      }
-      bmpEncode(pixels.result(), n, if (n == 0) 0 else 1)
-    }
-  })
-
-  /** text → real PNG payload, [[bmpFromText]]'s twin for the other
-    * half of the image-kind rows (gray = cp & 7, n×1, filter 0, stored
-    * deflate blocks so `n_bytes` stays SQL-expressible).
-    */
-  private val pngFromText = udf((text: String) => {
-    if (text == null) null
-    else {
-      val pixels = Array.newBuilder[Byte]
-      var i = 0
-      var n = 0
-      while (i < text.length) {
-        val cp = text.codePointAt(i)
-        pixels += (cp & 7).toByte
-        n += 1
-        i += Character.charCount(cp)
-      }
-      pngEncode(pixels.result(), n, 1)
-    }
-  })
-
-  /** Build a synthetic media frame from the documents table — gives the
-    * plumbing a deterministic, driver-data-derived input. All three
-    * modalities carry REAL (if synthetic-content) container files:
-    * audio-kind rows a PCM WAV, image-kind rows a 24-bit BMP (even
-    * ids) or an 8-bit grayscale PNG (odd ids — both real image
-    * formats, two different real decoders), video-kind rows a RIFF/AVI
-    * container whose frame count matches the `n_frames` metadata
-    * column.
-    */
-  def syntheticMedia(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id").as("media_id"),
-      when(col("doc_id") % 3 === 0, lit("image"))
-        .when(col("doc_id") % 3 === 1, lit("audio")).otherwise(lit("video")).as("kind"),
-      when(col("doc_id") % 3 === 1, wavFromText(col("text")))
-        .when(col("doc_id") % 6 === 0, bmpFromText(col("text")))
-        .when(col("doc_id") % 6 === 3, pngFromText(col("text")))
-        .otherwise(aviFromText(col("text"),
-          (col("n_chars") % 32 + 1).cast("int"))).as("payload"),
-      when(col("doc_id") % 3 === 0, length(col("text"))).otherwise(lit(null))
-        .cast("int").as("width"),
-      when(col("doc_id") % 3 === 0, lit(1)).otherwise(lit(null)).cast("int").as("height"),
-      when(col("doc_id") % 3 === 1, lit(16000)).otherwise(lit(null)).cast("int").as("sample_rate"),
-      when(col("doc_id") % 3 === 2, (col("n_chars") % 32 + 1)).otherwise(lit(null))
-        .cast("int").as("n_frames"))
 }

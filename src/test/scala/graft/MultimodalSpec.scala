@@ -84,7 +84,7 @@ class MultimodalSpec extends AnyFunSuite {
     import graft.pipeline.Similarity
     val docs = Seq((0L, "abc"), (3L, ""), (6L, "abd"), (9L, "xyz"))
       .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
-    val feats = Multimodal.decodeFeatures(Multimodal.syntheticMedia(docs))
+    val feats = Multimodal.decodeFeatures(graft.testing.MediaFixtures.syntheticMedia(docs))
       .select(col("media_id"), col("feature"))
       .filter(col("feature").isNotNull &&
         exists(col("feature"), v => v =!= lit(0.0)))
@@ -100,7 +100,7 @@ class MultimodalSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = Seq((1L, "abc"), (4L, "abc"))
       .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
-    val media = Multimodal.syntheticMedia(docs) // id 1 -> audio/WAV, id 4 -> audio too
+    val media = graft.testing.MediaFixtures.syntheticMedia(docs) // id 1 -> audio/WAV, id 4 -> audio too
     val feats = Multimodal.decodeFeatures(media).collect()
       .map(r => r.getAs[Long]("media_id") ->
         ((r.getAs[Int]("n_bytes"), r.getAs[Seq[Double]]("feature")))).toMap
@@ -155,7 +155,7 @@ class MultimodalSpec extends AnyFunSuite {
     // doc_id % 3 == 2 → video; n_chars=3 → 4 frames around 3 bytes
     val docs = Seq((2L, "abc")).toDF("doc_id", "text")
       .withColumn("n_chars", length(col("text")))
-    val row = Multimodal.decodeFeatures(Multimodal.syntheticMedia(docs)).collect().head
+    val row = Multimodal.decodeFeatures(graft.testing.MediaFixtures.syntheticMedia(docs)).collect().head
     // container size: 100 + 8*4 + 3 + odd(3 frames of 1 byte) = 138
     assert(row.getAs[String]("kind") === "video")
     assert(row.getAs[Int]("n_bytes") === 100 + 32 + 3 + 3)
@@ -241,7 +241,7 @@ class MultimodalSpec extends AnyFunSuite {
     // doc_id%6==0 → BMP, doc_id%6==3 → PNG; same text → same histogram
     val docs = Seq((0L, "abc"), (3L, "abc")).toDF("doc_id", "text")
       .withColumn("n_chars", length(col("text")))
-    val rows = Multimodal.decodeFeatures(Multimodal.syntheticMedia(docs))
+    val rows = Multimodal.decodeFeatures(graft.testing.MediaFixtures.syntheticMedia(docs))
       .collect().sortBy(_.getLong(0))
     assert(rows(0).getAs[Int]("n_bytes") === 54 + 12) // 3·3=9 pads to 12
     assert(rows(1).getAs[Int]("n_bytes") === 64 + 3 + 5)
