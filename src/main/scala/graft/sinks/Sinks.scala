@@ -89,6 +89,27 @@ object Sinks {
     if (!done) throw lastErr
   }
 
+  /** K3 — exactly-once batch insert. [[insertWithRetry]] alone is
+    * at-least-once: a write that dies MID-batch leaves a partial
+    * prefix in the target, and the retry re-inserts it — duplicates.
+    * This wrapper makes the replay idempotent the standard
+    * `foreachBatch` way: every attempt first clears whatever this
+    * batch's epoch already wrote, then re-inserts the whole batch
+    * under that epoch. The reference gets the same guarantee from the
+    * DB transaction around its executemany (sql.py retry loop); the
+    * epoch scope supplies it for targets without transactions (a
+    * transactional target can make `clearEpoch` a no-op). Epoch ids
+    * come from `foreachBatch`'s batchId, which Structured Streaming
+    * replays stably across restarts — so the guarantee holds across
+    * both in-JVM retries and restart replays.
+    */
+  def insertExactlyOnce(batch: DataFrame, epochId: Long, retries: Int)(
+      clearEpoch: Long => Unit)(write: (DataFrame, Long) => Unit): Unit =
+    insertWithRetry(batch, retries) { b =>
+      clearEpoch(epochId)
+      write(b, epochId)
+    }
+
   /** K6 — logging sink: log every tick of selected channels
     * (reference modules/logging/stdlib.py:366-394).
     */

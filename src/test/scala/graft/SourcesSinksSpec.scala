@@ -201,6 +201,44 @@ class SourcesSinksSpec extends AnyFunSuite {
     }
   }
 
+  test("K3 exactly-once: mid-batch failure + retry leaves no duplicates") {
+    val batch = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "f"))
+      .toDF("id", "name")
+    // in-memory target: (epoch, id) rows; insert dies after 3 rows on attempt 1
+    def failingWrite(table: scala.collection.mutable.ArrayBuffer[(Long, Long)],
+        failures: java.util.concurrent.atomic.AtomicInteger)(
+        b: org.apache.spark.sql.DataFrame, epoch: Long): Unit = {
+      val rows = b.select("id").collect().map(_.getLong(0))
+      rows.zipWithIndex.foreach { case (id, i) =>
+        if (i == 3 && failures.getAndDecrement() > 0)
+          throw new RuntimeException("connection reset mid-batch")
+        table += ((epoch, id))
+      }
+    }
+
+    // naive at-least-once retry: the partial prefix from attempt 1 stays → duplicates.
+    // This pins that the injected failure really leaves partial state behind.
+    val naive = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val nf = new java.util.concurrent.atomic.AtomicInteger(1)
+    Sinks.insertWithRetry(batch, retries = 3)(b => failingWrite(naive, nf)(b, 7L))
+    assert(naive.size === 9, "naive retry must duplicate the partial prefix")
+    assert(naive.map(_._2).groupBy(identity).count(_._2.size > 1) === 3)
+
+    // exactly-once: epoch-scoped clear before each attempt → all 6 rows, no dupes
+    val table = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val ef = new java.util.concurrent.atomic.AtomicInteger(1)
+    Sinks.insertExactlyOnce(batch, epochId = 7L, retries = 3)(
+      ep => table.filterInPlace(_._1 != ep))(failingWrite(table, ef))
+    assert(table.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(table.map(_._2).distinct.size === table.size, "no duplicates after retry")
+
+    // restart replay of the same epoch (foreachBatch re-delivers batchId) is also idempotent
+    val rf = new java.util.concurrent.atomic.AtomicInteger(0)
+    Sinks.insertExactlyOnce(batch, epochId = 7L, retries = 0)(
+      ep => table.filterInPlace(_._1 != ep))(failingWrite(table, rf))
+    assert(table.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
   test("K4 view server: bounded upserted view refreshed over state") {
     val rtSchema = StructType(Seq(
       StructField("id", StringType), StructField("timestamp", TimestampType),

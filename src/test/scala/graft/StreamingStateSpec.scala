@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.StreamingState
+import graft.streaming.{HotAnnIndex, StreamingState}
 
 /** Distributed streaming state: flatMapGroupsWithState-backed
   * last-by-key and dedup over MemoryStream micro-batches.
@@ -665,5 +665,87 @@ class StreamingStateSpec extends AnyFunSuite {
       assert(merged(0L) === ((2L, Seq(4000000L, 0L))))
       assert(merged(1L) === ((2L, Seq(0L, 2500000L))))
     } finally q.stop()
+  }
+
+  test("hot ANN index: refit stream swaps the quantizer under the serving stream") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def vec(id: Long, xs: Seq[Float]): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](id, xs), vecSchema)
+    implicit val sqlCtx = spark.sqlContext
+
+    // corpus: id 3 sits at 60° — cell 1 under the axis-aligned initial
+    // quantizer, cell 0 once the refit rotates c0 toward (0.8, 0.6)
+    val corpusRows = Seq(
+      vec(1, Seq(1.0f, 0.0f)), vec(2, Seq(0.95f, 0.3f)), vec(3, Seq(0.5f, 0.866f)),
+      vec(4, Seq(0.0f, 1.0f)), vec(5, Seq(0.1f, 0.995f)), vec(6, Seq(0.3f, 0.95f)))
+    val corpus = spark.createDataFrame(
+      new java.util.ArrayList[Row](corpusRows.asJava), vecSchema)
+    val initCents = Array((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val idx = new HotAnnIndex(corpus, "vec_id", "embedding", initCents)
+
+    def asTuples(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Double)] =
+      df.select(col("qid"), col("cid"), col("rank"), col("cosine")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    def batchRebuild(centDf: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Double)] =
+      asTuples(graft.pipeline.Similarity.ivfTopK(
+        corpus, corpus.filter(col("vec_id").isin(1L, 4L)), centDf,
+        "vec_id", "embedding", k = 3))
+
+    // serve a query stream through foreachBatch; collect per-batch answers
+    val answers = scala.collection.mutable.Map[Long, Set[(Long, Long, Int, Double)]]()
+    val qs = MemoryStream[Row](Encoders.row(vecSchema), sqlCtx)
+    val q = idx.serve(qs.toDF(), k = 3)((out, bid) => answers(bid) = asTuples(out))
+      .option("checkpointLocation", Files.createTempDirectory("hot-ann-ckpt").toString)
+      .start()
+    try {
+      qs.addData(vec(1, Seq(1.0f, 0.0f)), vec(4, Seq(0.0f, 1.0f)))
+      q.processAllAvailable()
+      val preSwap = answers(0L)
+      // pre-swap answers == a batch IVF over the initial quantizer
+      val initDf = spark.createDataFrame(
+        new java.util.ArrayList[Row](initCents.toSeq.map { case (c, v) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array[Any](c, v.map(_.toFloat)), vecSchema): Row
+        }.asJava), vecSchema)
+      assert(preSwap === batchRebuild(initDf))
+      assert(preSwap.collect { case (1L, cid, _, _) => cid } === Set(2L),
+        "pre-swap: query 1's cell holds only id 2")
+
+      // refit stream: two micro-batches of partials under the INITIAL
+      // quantizer — cell 0 pulled toward (0.8, 0.6), cell 1 held at (0, 1)
+      val rs = MemoryStream[Row](Encoders.row(vecSchema), sqlCtx)
+      val rout = StreamingState.kmeansRefitStream(rs.toDF(), "embedding", initCents, shards = 2)
+      val rname = s"hot_ann_refit_${System.nanoTime()}"
+      val rq = rout.writeStream.format("memory").queryName(rname)
+        .outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("hot-ann-refit-ckpt").toString)
+        .start()
+      try {
+        rs.addData(vec(101, Seq(0.8f, 0.6f)), vec(102, Seq(0.0f, 1.0f)))
+        rq.processAllAvailable()
+        rs.addData(vec(103, Seq(0.8f, 0.6f)), vec(104, Seq(0.0f, 1.0f)))
+        rq.processAllAvailable()
+      } finally rq.stop()
+      val partials = spark.table(rname)
+      val snap = idx.swapFrom(partials)
+      assert(snap.version === 1L)
+
+      // post-swap: same queries, next micro-batch — answered under v1
+      qs.addData(vec(1, Seq(1.0f, 0.0f)), vec(4, Seq(0.0f, 1.0f)))
+      q.processAllAvailable()
+      val postSwap = answers(1L)
+      assert(postSwap !== preSwap, "the swap must change the answer set")
+      assert(postSwap.collect { case (1L, cid, _, _) => cid } === Set(2L, 3L),
+        "post-swap: id 3's cell flipped into query 1's probe cell")
+      // post-swap answers == a from-scratch batch rebuild on the merged quantizer
+      val mergedDf = StreamingState.kmeansRefitCentroids(partials)
+        .select(col("cell").as("vec_id"), col("centroid").as("embedding"))
+      assert(postSwap === batchRebuild(mergedDf))
+    } finally { q.stop(); idx.release() }
   }
 }
