@@ -67,7 +67,7 @@ object Bench {
       StructField("k", LongType), StructField("v", DoubleType)))
     def mkRuntime() = new graft.streaming.ChannelRuntime(spark,
       Map("bench" -> ChannelSpec("bench", schema, stateKeyby = Seq("k"))),
-      java.nio.file.Files.createTempDirectory("bench-gw-ckpt").toString)
+      graft.StreamingQueries.gateCheckpointDir("bench-gw-ckpt"))
     val rt = mkRuntime()
     val log = java.nio.file.Files.createTempDirectory("bench-gw-log").toString + "/engine.jsonl"
     val writer = new graft.streaming.EngineLog.Writer(log, rt)
@@ -136,7 +136,7 @@ object Bench {
       .queryName(s"bench_state_insert_${System.nanoTime()}")
       .outputMode("update")
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("bench-ckpt").toString)
+        graft.StreamingQueries.gateCheckpointDir("bench-ckpt"))
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
       .start()
     val t0 = System.nanoTime()

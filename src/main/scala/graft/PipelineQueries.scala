@@ -375,6 +375,19 @@ object PipelineQueries {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           posexplode(col("feature")).as(Seq("bin", "value")))),
 
+    // ---- multimodal: MJPEG intra-frame decode — video features from
+    // DECODED PIXELS (real per-frame JPEG bitstream decode inside the
+    // AVI demux), not frame bytes; constant 8×8 blocks make the decode
+    // bit-exact, so the pixel-class histogram equals the codepoint-
+    // class shares and the raw-AVI value oracle applies verbatim
+    // (the repartition spreads the per-doc encode+decode across cores —
+    // a one-file gate input otherwise runs the codec nearly serial; at
+    // corpus scale the input's own partitioning provides this)
+    "mm4_mjpeg_pixels" -> ((s, dir) =>
+      Multimodal.decodeFeatures(graft.testing.MediaFixtures.mjpegMedia(
+          t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)))
+        .select(col("media_id"), posexplode(col("feature")).as(Seq("bin", "value")))),
+
     // ---- multimodal: video frame sampling
     "mm2_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(graft.testing.MediaFixtures.syntheticMedia(t(s, dir, "documents")), stride = 4)),
@@ -1379,6 +1392,19 @@ object PipelineQueries {
         |              * ((len(text) // (n_chars % 32 + 1)) % 2)
         |       END AS n_bytes,
         |  k AS bin,
+        |  CASE WHEN len(text) > 0 THEN
+        |    len(list_filter(string_split_regex(text,''), c -> (unicode(c) & 7) = k)) * 1.0
+        |      / len(text)
+        |  ELSE 0.0 END AS value
+        |FROM documents, (SELECT unnest(generate_series(0, 7)) AS k)
+        |WHERE text IS NOT NULL""".stripMargin,
+
+    // MJPEG path: decoded pixels of constant DC-only blocks recover
+    // the codepoint classes exactly — one 64-pixel block per
+    // codepoint, so the pixel-class shares equal the codepoint-class
+    // shares (the raw-AVI histogram expression, 64s cancelling)
+    "mm4_mjpeg_pixels" ->
+      """SELECT doc_id AS media_id, k AS bin,
         |  CASE WHEN len(text) > 0 THEN
         |    len(list_filter(string_split_regex(text,''), c -> (unicode(c) & 7) = k)) * 1.0
         |      / len(text)

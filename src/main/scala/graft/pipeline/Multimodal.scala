@@ -14,13 +14,14 @@ import org.apache.spark.sql.types._
   * Container codecs are REAL pure-JVM parsers for all three
   * modalities: [[decodeWav]] (PCM WAV), [[decodeBmp]] (24-bit BMP),
   * [[decodePng]] (8-bit gray/RGB PNG — chunk walk, CRC-32 verify,
-  * zlib INFLATE, all five scanline filters) and [[decodeAvi]]
-  * (RIFF/AVI demux). Media *bitstream* codecs (JPEG/H.264 etc.) are
-  * not available in this build environment, so payloads that match
-  * none of the container signatures fall to a deterministic stub
+  * zlib INFLATE, all five scanline filters), [[decodeAvi]]
+  * (RIFF/AVI demux) and [[decodeJpeg]] (baseline-sequential JPEG —
+  * marker walk, canonical-Huffman entropy decode, dequantize, 2-D
+  * IDCT), which also runs per `00dc` frame chunk inside the AVI demux:
+  * the MJPEG intra-frame path, so video features derive from decoded
+  * PIXELS. Payloads matching no signature fall to a deterministic stub
   * kernel ([[stubDecode]]) — the Spark-side contract (schema, batch
-  * shape, partitioning, null handling) is real and tested; swapping in
-  * a real bitstream decoder is a one-function change.
+  * shape, partitioning, null handling) is identical on both paths.
   *
   * Scale design: payload bytes never shuffle — all media stages are
   * narrow partition-local maps; only extracted (small, typed) features
@@ -385,6 +386,413 @@ object Multimodal {
     pngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z.array()) ++ chunk("IEND", Array.emptyByteArray)
   }
 
+  // ---- real baseline JPEG codec (pure JVM, no media libraries) -----------
+
+  /** True iff the payload starts with the JPEG SOI marker. */
+  def isJpeg(p: Array[Byte]): Boolean =
+    p != null && p.length >= 4 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8
+
+  /** Decoded JPEG surface: dims + row-major 0..255 gray pixels. */
+  final case class JpegImage(width: Int, height: Int, pixels: Array[Int])
+
+  /** Natural-order index for each zigzag position (ITU T.81 fig. A.6). */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cos((2x+1)·u·π/16) · c(u), the 1-D DCT-III basis with its
+    * normalization folded in — shared by the decoder IDCT and the
+    * fixture encoder's forward DCT.
+    */
+  private val DctBasis: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0) *
+      math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Canonical Huffman codes from a DHT-shaped (counts-per-length,
+    * symbols) pair: `codes(i)` = (code, length) for `symbols(i)`
+    * (ITU T.81 annex C code assignment — shared by encode and decode
+    * so the two sides cannot drift).
+    */
+  private def huffCanonical(counts: Array[Int], nSyms: Int): Array[(Int, Int)] = {
+    val out = new Array[(Int, Int)](nSyms)
+    var code = 0
+    var i = 0
+    var l = 1
+    while (l <= 16) {
+      var c = 0
+      while (c < counts(l - 1)) { out(i) = (code, l); code += 1; i += 1; c += 1 }
+      code <<= 1
+      l += 1
+    }
+    out
+  }
+
+  /** The two's-complement "extend" of T.81 F.2.2.1: an `s`-bit raw
+    * value to its signed coefficient.
+    */
+  private def jpegExtend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** REAL baseline-sequential JPEG decoder (the MJPEG intra-frame
+    * shape): marker walk (DQT/DHT/SOF0/SOS, APPn/COM skipped), general
+    * canonical-Huffman entropy decode with byte-stuffing, dequantize,
+    * full 2-D float IDCT per block, level shift + clamp. Scope is the
+    * single-component (grayscale) 8-bit baseline stream — one 8×8
+    * block per MCU; progressive/multi-component/restart streams and
+    * any structural violation (truncated segment, undefined table,
+    * missing EOI) return null, like every codec here. Decoding is
+    * bit-exact for DC-only blocks (integer DC path, power-of-two
+    * scaling), which is what makes the MJPEG gate oracle exact.
+    */
+  def decodeJpeg(p: Array[Byte]): JpegImage = {
+    if (!isJpeg(p)) return null
+    val quant = Array.ofDim[Int](4, 64) // zigzag order
+    val quantSeen = new Array[Boolean](4)
+    // huffman tables [class 0=DC,1=AC][id]: decode arrays per T.81 F.2.2.3
+    val hMin = Array.ofDim[Array[Int]](2, 4)
+    val hMax = Array.ofDim[Array[Int]](2, 4)
+    val hPtr = Array.ofDim[Array[Int]](2, 4)
+    val hSym = Array.ofDim[Array[Int]](2, 4)
+    var width = 0
+    var height = 0
+    var compQuant = -1
+    var dcId = -1
+    var acId = -1
+    var off = 2
+    var sawSof = false
+    var scanStart = -1
+    while (scanStart < 0) {
+      if (off + 4 > p.length || (p(off) & 0xFF) != 0xFF) return null
+      val m = p(off + 1) & 0xFF
+      val segLen = ((p(off + 2) & 0xFF) << 8) | (p(off + 3) & 0xFF)
+      if (segLen < 2 || off + 2 + segLen > p.length) return null
+      val segEnd = off + 2 + segLen
+      m match {
+        case 0xDB => // DQT: one or more tables
+          var q = off + 4
+          while (q < segEnd) {
+            val pq = (p(q) & 0xF0) >> 4
+            val tq = p(q) & 0x0F
+            if (pq != 0 || q + 65 > segEnd) return null // 8-bit tables only
+            var i = 0
+            while (i < 64) { quant(tq)(i) = p(q + 1 + i) & 0xFF; i += 1 }
+            quantSeen(tq) = true
+            q += 65
+          }
+        case 0xC4 => // DHT: one or more tables
+          var q = off + 4
+          while (q < segEnd) {
+            val tc = (p(q) & 0xF0) >> 4
+            val th = p(q) & 0x0F
+            if (tc > 1 || q + 17 > segEnd) return null
+            val counts = Array.tabulate(16)(i => p(q + 1 + i) & 0xFF)
+            val n = counts.sum
+            if (n == 0 || q + 17 + n > segEnd) return null
+            val syms = Array.tabulate(n)(i => p(q + 17 + i) & 0xFF)
+            // per-length min/max code + symbol pointer (T.81 F.2.2.3)
+            val mn = Array.fill(17)(0)
+            val mx = Array.fill(17)(-1)
+            val vp = Array.fill(17)(0)
+            var code = 0
+            var idx = 0
+            var l = 1
+            while (l <= 16) {
+              if (counts(l - 1) > 0) {
+                vp(l) = idx
+                mn(l) = code
+                mx(l) = code + counts(l - 1) - 1
+                code += counts(l - 1)
+                idx += counts(l - 1)
+              } else mx(l) = -1
+              code <<= 1
+              l += 1
+            }
+            hMin(tc)(th) = mn; hMax(tc)(th) = mx; hPtr(tc)(th) = vp; hSym(tc)(th) = syms
+            q += 17 + n
+          }
+        case 0xC0 => // SOF0: baseline sequential
+          if (segLen < 8 || (p(off + 4) & 0xFF) != 8) return null
+          height = ((p(off + 5) & 0xFF) << 8) | (p(off + 6) & 0xFF)
+          width = ((p(off + 7) & 0xFF) << 8) | (p(off + 8) & 0xFF)
+          val nComp = p(off + 9) & 0xFF
+          if (nComp != 1 || height == 0 || width == 0) return null // grayscale scope
+          if ((p(off + 11) & 0xFF) != 0x11) return null // 1x1 sampling
+          compQuant = p(off + 12) & 0xFF
+          sawSof = true
+        case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+            0xCD | 0xCE | 0xCF =>
+          return null // non-baseline frame types out of scope
+        case 0xDA => // SOS
+          if (!sawSof || (p(off + 4) & 0xFF) != 1) return null
+          dcId = (p(off + 6) & 0xF0) >> 4
+          acId = p(off + 6) & 0x0F
+          if ((p(off + 7) & 0xFF) != 0 || (p(off + 8) & 0xFF) != 63) return null
+          scanStart = segEnd
+        case _ => () // APPn / COM / others: skip
+      }
+      off = segEnd
+    }
+    if (compQuant < 0 || compQuant > 3 || !quantSeen(compQuant)) return null
+    if (hSym(0)(dcId) == null || hSym(1)(acId) == null) return null
+    val q = quant(compQuant)
+
+    // entropy-coded scan: MSB-first bit reader with 0xFF00 stuffing
+    var pos = scanStart
+    var bitBuf = 0
+    var bitCnt = 0
+    var truncated = false
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= p.length) { truncated = true; return 0 }
+        var b = p(pos) & 0xFF
+        pos += 1
+        if (b == 0xFF) {
+          if (pos >= p.length) { truncated = true; return 0 }
+          val b2 = p(pos) & 0xFF
+          if (b2 == 0x00) pos += 1 // stuffed data byte
+          else { truncated = true; b = 0 } // a marker inside the scan
+        }
+        bitBuf = b; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    def decodeSym(tc: Int, th: Int): Int = {
+      var code = nextBit()
+      var l = 1
+      val mn = hMin(tc)(th); val mx = hMax(tc)(th); val vp = hPtr(tc)(th)
+      while (l <= 16) {
+        if (mx(l) >= 0 && code <= mx(l))
+          return hSym(tc)(th)(vp(l) + code - mn(l))
+        code = (code << 1) | nextBit()
+        l += 1
+      }
+      truncated = true
+      0
+    }
+
+    val bx = (width + 7) / 8
+    val by = (height + 7) / 8
+    val pixels = new Array[Int](width * height)
+    val coef = new Array[Int](64)
+    val idctTmp = new Array[Double](64)
+    var pred = 0
+    var blk = 0
+    while (blk < bx * by) {
+      java.util.Arrays.fill(coef, 0)
+      val t = decodeSym(0, dcId)
+      if (t > 11) return null
+      pred += jpegExtend(receive(t), t)
+      coef(0) = pred * q(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = decodeSym(1, acId)
+        if (rs == 0x00) eob = true
+        else if (rs == 0xF0) k += 16
+        else {
+          k += (rs >> 4)
+          val s = rs & 0x0F
+          if (k > 63) return null
+          coef(Zigzag(k)) = jpegExtend(receive(s), s) * q(k)
+          k += 1
+        }
+      }
+      if (truncated) return null
+      // 2-D IDCT (T.81 A.3.3), separable row-column passes: 2·8·64
+      // multiplies per block, with zero-row skip (DC-only blocks — the
+      // MJPEG fixture shape — touch only the first row)
+      val bxi = blk % bx
+      val byi = blk / bx
+      var v = 0
+      while (v < 8) { // rows of the coefficient block → tmp(v)(x)
+        var allZero = true
+        var u = 0
+        while (u < 8 && allZero) { if (coef(v * 8 + u) != 0) allZero = false; u += 1 }
+        var x = 0
+        while (x < 8) {
+          var acc = 0.0
+          if (!allZero) {
+            u = 0
+            while (u < 8) {
+              val f = coef(v * 8 + u)
+              if (f != 0) acc += DctBasis(u)(x) * f
+              u += 1
+            }
+          }
+          idctTmp(v * 8 + x) = acc
+          x += 1
+        }
+        v += 1
+      }
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var acc = 0.0
+          v = 0
+          while (v < 8) { acc += DctBasis(v)(y) * idctTmp(v * 8 + x); v += 1 }
+          val px = bxi * 8 + x
+          val py = byi * 8 + y
+          if (px < width && py < height) {
+            val pv = math.round(acc / 4.0).toInt + 128
+            pixels(py * width + px) = math.max(0, math.min(255, pv))
+          }
+          x += 1
+        }
+        y += 1
+      }
+      blk += 1
+    }
+    // strict tail: residual bits flushed, then EOI (optional FF fill)
+    while (pos < p.length && (p(pos) & 0xFF) == 0xFF &&
+      pos + 1 < p.length && (p(pos + 1) & 0xFF) == 0xFF) pos += 1
+    if (pos + 2 > p.length || (p(pos) & 0xFF) != 0xFF || (p(pos + 1) & 0xFF) != 0xD9)
+      return null
+    JpegImage(width, height, pixels)
+  }
+
+  // fixture-encoder tables: 12 DC categories at 4 bits, all 162
+  // standard AC symbols at 8 bits — valid canonical tables (the
+  // decoder reads whatever DHT declares, so simple beats Annex K)
+  private val EncDcCounts: Array[Int] =
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val EncDcSyms: Array[Int] = (0 to 11).toArray
+  private val EncAcCounts: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val EncAcSyms: Array[Int] =
+    (0x00 +: 0xF0 +: (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)).toArray
+  private val EncQ = 8 // uniform quant: DC path exact (8·(v-128)/8 integer)
+
+  /** Baseline grayscale JPEG encoder — the MJPEG fixture generator
+    * (real forward DCT, quantization, run-length + canonical-Huffman
+    * entropy coding), kept next to the other payload encoders. Dims
+    * must be multiples of 8. Constant-valued 8×8 blocks survive the
+    * round trip bit-exact (DC-only, uniform q=8), which the MJPEG gate
+    * fixture exploits; arbitrary content round-trips within the usual
+    * quantization error.
+    */
+  def jpegEncodeGray(pixels: Array[Int], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0,
+      "jpegEncodeGray: dims must be positive multiples of 8")
+    require(width <= 0xFFFF && height <= 0xFFFF,
+      "jpegEncodeGray: SOF0 dims are 16-bit — split larger content across frames")
+    require(pixels.length == width * height, "jpegEncodeGray: dims must cover pixels")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m); out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xFF)
+      body.foreach(out.write)
+    }
+    marker(0xD8) // SOI
+    seg(0xDB, 0x00 +: Array.fill(64)(EncQ)) // DQT table 0, zigzag
+    seg(0xC0, Array(8, height >> 8, height & 0xFF, width >> 8, width & 0xFF,
+      1, 1, 0x11, 0)) // SOF0: gray, 1x1 sampling, quant 0
+    seg(0xC4, ((0x00 +: EncDcCounts.toSeq) ++ EncDcSyms.toSeq).toArray)
+    seg(0xC4, ((0x10 +: EncAcCounts.toSeq) ++ EncAcSyms.toSeq).toArray)
+    seg(0xDA, Array(1, 1, 0x00, 0, 63, 0)) // SOS
+    val dcCodes = huffCanonical(EncDcCounts, EncDcSyms.length)
+    val acCodes = huffCanonical(EncAcCounts, EncAcSyms.length)
+    val acIdx = EncAcSyms.zipWithIndex.toMap
+    var bitBuf = 0L
+    var bitCnt = 0
+    def putBits(code: Int, len: Int): Unit = {
+      bitBuf = (bitBuf << len) | (code & ((1L << len) - 1))
+      bitCnt += len
+      while (bitCnt >= 8) {
+        val b = ((bitBuf >> (bitCnt - 8)) & 0xFF).toInt
+        out.write(b)
+        if (b == 0xFF) out.write(0x00) // byte stuffing
+        bitCnt -= 8
+      }
+    }
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    val f = new Array[Double](64)
+    val fTmp = new Array[Double](64)
+    val zz = new Array[Int](64)
+    var pred = 0
+    val bx = width / 8
+    val by = height / 8
+    var blk = 0
+    while (blk < bx * by) {
+      val x0 = (blk % bx) * 8
+      val y0 = (blk / bx) * 8
+      // forward DCT (T.81 A.3.3) over the level-shifted block,
+      // separable row-column passes (2·8·64 multiplies per block)
+      var y = 0
+      while (y < 8) { // rows → t(y,u)
+        var u = 0
+        while (u < 8) {
+          var acc = 0.0
+          var x = 0
+          while (x < 8) {
+            acc += (pixels((y0 + y) * width + x0 + x) - 128) * DctBasis(u)(x)
+            x += 1
+          }
+          fTmp(y * 8 + u) = acc
+          u += 1
+        }
+        y += 1
+      }
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var acc = 0.0
+          y = 0
+          while (y < 8) { acc += fTmp(y * 8 + u) * DctBasis(v)(y); y += 1 }
+          f(v * 8 + u) = acc / 4.0
+          u += 1
+        }
+        v += 1
+      }
+      var k = 0
+      while (k < 64) { zz(k) = math.round(f(Zigzag(k)) / EncQ).toInt; k += 1 }
+      val diff = zz(0) - pred
+      pred = zz(0)
+      val t = category(diff)
+      val (dcCode, dcLen) = dcCodes(t)
+      putBits(dcCode, dcLen)
+      if (t > 0) putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      var lastNz = 63
+      while (lastNz > 0 && zz(lastNz) == 0) lastNz -= 1
+      k = 1
+      var run = 0
+      while (k <= lastNz) {
+        if (zz(k) == 0) run += 1
+        else {
+          while (run > 15) {
+            val (c, l) = acCodes(acIdx(0xF0)); putBits(c, l); run -= 16
+          }
+          val s = category(zz(k))
+          val (c, l) = acCodes(acIdx((run << 4) | s))
+          putBits(c, l)
+          putBits(if (zz(k) < 0) zz(k) + (1 << s) - 1 else zz(k), s)
+          run = 0
+        }
+        k += 1
+      }
+      if (lastNz < 63) { val (c, l) = acCodes(acIdx(0x00)); putBits(c, l) } // EOB
+      blk += 1
+    }
+    if (bitCnt > 0) putBits(0xFF, 8 - bitCnt) // pad with 1s
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
   // ---- real AVI container codec (pure JVM, no media libraries) -----------
 
   /** True iff the payload is a RIFF/AVI container whose declared size
@@ -406,12 +814,13 @@ object Multimodal {
     * list, reads `dwTotalFrames` from the `avih` main header inside
     * LIST/hdrl, then iterates the `00db`/`00dc` frame chunks inside
     * LIST/movi (word-aligned, arbitrary interleaved chunks skipped)
-    * and histograms the frame bytes into 8 classes. The codec DECODES
-    * THE CONTAINER, not a video bitstream — frame payloads are treated
-    * as raw bytes (the synthetic frames are uncompressed by
-    * construction; a real decoder slots in per frame chunk). Returns
-    * null on structural violation (truncated chunk, missing
-    * hdrl/avih/movi, declared-vs-demuxed frame count mismatch).
+    * and histograms frame content into 8 classes. Frame chunks carrying
+    * a JPEG stream (SOI signature) take the REAL MJPEG intra-frame
+    * path — [[decodeJpeg]] per chunk, histogram over decoded pixels
+    * (`(p >> 4) & 7`); raw frame chunks histogram their bytes (`b & 7`)
+    * as before. Returns null on structural violation (truncated chunk,
+    * missing hdrl/avih/movi, declared-vs-demuxed frame count mismatch,
+    * malformed JPEG frame).
     */
   def decodeAvi(payload: Array[Byte]): AviInfo = {
     if (!isAvi(payload)) return null
@@ -449,11 +858,27 @@ object Multimodal {
             if (csz < 0 || p + 8 + csz > end) return null
             if (cid.endsWith("db") || cid.endsWith("dc")) {
               frames += 1
-              var i = 0
-              while (i < csz) {
-                bins(payload(p + 8 + i) & 7) += 1.0
-                nBytes += 1
-                i += 1
+              if (csz >= 4 && (payload(p + 8) & 0xFF) == 0xFF &&
+                (payload(p + 9) & 0xFF) == 0xD8) {
+                // MJPEG frame chunk: REAL intra-frame bitstream decode —
+                // the histogram is over decoded PIXELS (class = bits 4-6,
+                // the fixture's value layout), not frame bytes
+                val img = decodeJpeg(
+                  java.util.Arrays.copyOfRange(payload, p + 8, p + 8 + csz))
+                if (img == null) return null // structural violation
+                var i = 0
+                while (i < img.pixels.length) {
+                  bins((img.pixels(i) >> 4) & 7) += 1.0
+                  nBytes += 1
+                  i += 1
+                }
+              } else {
+                var i = 0
+                while (i < csz) {
+                  bins(payload(p + 8 + i) & 7) += 1.0
+                  nBytes += 1
+                  i += 1
+                }
               }
             }
             p += 8 + csz + (csz & 1)
@@ -470,7 +895,14 @@ object Multimodal {
     * RIFF("AVI ") { LIST(hdrl){ avih }, LIST(movi){ 00db… } } — the
     * synthetic payload generator for video-kind media.
     */
-  def aviEncode(frames: Array[Array[Byte]]): Array[Byte] = {
+  def aviEncode(frames: Array[Array[Byte]]): Array[Byte] =
+    aviEncode(frames, "00db")
+
+  /** [[aviEncode]] with an explicit frame chunk id — `00dc`
+    * (compressed) for MJPEG frame payloads, `00db` for raw.
+    */
+  def aviEncode(frames: Array[Array[Byte]], chunkId: String): Array[Byte] = {
+    require(chunkId.length == 4, "aviEncode: chunk id must be 4 bytes")
     val moviData = frames.map(f => 8 + f.length + (f.length & 1)).sum
     val hdrlSize = 4 + 8 + 56       // "hdrl" + avih chunk
     val moviSize = 4 + moviData     // "movi" + frame chunks
@@ -487,7 +919,7 @@ object Multimodal {
     buf.putInt(0).putInt(0).putInt(0).putInt(0)     // reserved
     buf.put("LIST".getBytes).putInt(moviSize).put("movi".getBytes)
     frames.foreach { f =>
-      buf.put("00db".getBytes).putInt(f.length).put(f)
+      buf.put(chunkId.getBytes).putInt(f.length).put(f)
       if ((f.length & 1) == 1) buf.put(0.toByte) // word align
     }
     buf.array()
@@ -565,7 +997,15 @@ object Multimodal {
           if (isWav(payload)) decodeWav(payload)
           else if (isBmp(payload)) decodeBmp(payload)
           else if (isPng(payload)) decodePng(payload)
-          else if (isAvi(payload)) {
+          else if (isJpeg(payload)) {
+            val img = decodeJpeg(payload)
+            if (img == null) null
+            else {
+              val bins = new Array[Double](8)
+              img.pixels.foreach(px => bins((px >> 4) & 7) += 1.0)
+              bins.map(_ / math.max(img.pixels.length, 1).toDouble)
+            }
+          } else if (isAvi(payload)) {
             val info = decodeAvi(payload)
             if (info == null) null else info.bins
           } else stubDecode(r.getString(1), payload)

@@ -112,6 +112,69 @@ object MediaFixtures {
     }
   })
 
+  /** (text, nFrames) → real MJPEG-in-AVI payload: the text's
+    * codepoints chunked into `nFrames` frame chunks like
+    * [[aviFromText]], but each frame is a REAL baseline JPEG — one
+    * constant-valued 8×8 block per codepoint (gray value
+    * `((cp & 7) << 4) | 8`, image 8×(8·L)), emitted as `00dc` chunks so
+    * `Multimodal.decodeAvi` takes the [[Multimodal.decodeJpeg]]
+    * intra-frame path. Constant blocks are DC-only under the uniform
+    * q=8 table, so the decode is BIT-EXACT and the pixel-class
+    * histogram `(p >> 4) & 7` recovers exactly the codepoint classes —
+    * the SQL-expressible oracle (same value expression as the raw-AVI
+    * row).
+    */
+  val mjpegAviFromText = udf((text: String, nFrames: Int) => {
+    if (text == null) null
+    else {
+      val classes = Array.newBuilder[Int]
+      var i = 0
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        classes += (cp & 7)
+        i += Character.charCount(cp)
+      }
+      val cs = classes.result()
+      val k = math.max(nFrames, 1)
+      val base = cs.length / k
+      val rem = cs.length % k
+      var off = 0
+      val frames = Array.tabulate(k) { f =>
+        val len = base + (if (f < rem) 1 else 0)
+        val fr =
+          if (len == 0) Array.emptyByteArray // empty frame chunk: no pixels
+          else {
+            val px = new Array[Int](64 * len)
+            var b = 0
+            while (b < len) {
+              val v = (cs(off + b) << 4) | 8
+              java.util.Arrays.fill(px, b * 64, (b + 1) * 64, v)
+              b += 1
+            }
+            Multimodal.jpegEncodeGray(px, 8, 8 * len)
+          }
+        off += len
+        fr
+      }
+      Multimodal.aviEncode(frames, "00dc")
+    }
+  })
+
+  /** Video-kind media frame whose payloads are MJPEG-in-AVI — the
+    * decoded-pixels gate input ([[syntheticMedia]]'s video rows carry
+    * raw-byte frames; these carry real JPEG bitstreams).
+    */
+  def mjpegMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      lit("video").as("kind"),
+      mjpegAviFromText(col("text"),
+        (col("n_chars") % 32 + 1).cast("int")).as("payload"),
+      lit(null).cast("int").as("width"),
+      lit(null).cast("int").as("height"),
+      lit(null).cast("int").as("sample_rate"),
+      (col("n_chars") % 32 + 1).cast("int").as("n_frames"))
+
   /** Build a synthetic media frame from the documents table — gives the
     * plumbing a deterministic, driver-data-derived input. All three
     * modalities carry REAL (if synthetic-content) container files:

@@ -250,4 +250,84 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fb.toSeq === fp.toSeq)
     assert(fp(1) === 1.0 / 3 && fp(2) === 1.0 / 3 && fp(3) === 1.0 / 3)
   }
+
+  test("jpegEncodeGray → decodeJpeg: constant blocks round-trip BIT-EXACT") {
+    // one constant 8×8 block per value — DC-only under uniform q=8
+    val vals = Array(8, 24, 56, 120, 72)
+    val px = new Array[Int](64 * vals.length)
+    vals.zipWithIndex.foreach { case (v, b) =>
+      java.util.Arrays.fill(px, b * 64, (b + 1) * 64, v)
+    }
+    val jpg = Multimodal.jpegEncodeGray(px, 8, 8 * vals.length)
+    assert(Multimodal.isJpeg(jpg))
+    val img = Multimodal.decodeJpeg(jpg)
+    assert(img != null && img.width === 8 && img.height === 8 * vals.length)
+    assert(img.pixels.toSeq === px.toSeq, "DC-only decode must be exact")
+  }
+
+  test("decodeJpeg survives real AC coefficients (gradient within quant error)") {
+    // a gradient block exercises the AC run-length + huffman + IDCT path
+    val px = Array.tabulate(64)(i => (i % 8) * 30 + (i / 8) * 2)
+    val img = Multimodal.decodeJpeg(Multimodal.jpegEncodeGray(px, 8, 8))
+    assert(img != null)
+    val maxErr = img.pixels.zip(px).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 16, s"AC round-trip error $maxErr exceeds quantization bound")
+  }
+
+  test("malformed payloads never reach the JPEG decode path") {
+    val good = Multimodal.jpegEncodeGray(Array.fill(64)(40), 8, 8)
+    assert(Multimodal.decodeJpeg(good) != null)
+    assert(Multimodal.decodeJpeg(null) == null)
+    assert(Multimodal.decodeJpeg("plain text".getBytes) == null)
+    // truncated mid-scan
+    assert(Multimodal.decodeJpeg(java.util.Arrays.copyOf(good, good.length - 4)) == null)
+    // missing EOI
+    val noEoi = good.clone(); noEoi(noEoi.length - 1) = 0x00
+    assert(Multimodal.decodeJpeg(noEoi) == null)
+    // progressive SOF2 frames are out of baseline scope
+    val sof2 = good.clone()
+    val sofAt = (0 until sof2.length - 1).find(i =>
+      (sof2(i) & 0xFF) == 0xFF && (sof2(i + 1) & 0xFF) == 0xC0).get
+    sof2(sofAt + 1) = 0xC2.toByte
+    assert(Multimodal.decodeJpeg(sof2) == null)
+  }
+
+  test("decodeAvi takes the MJPEG intra-frame path for 00dc JPEG chunks") {
+    // two frames: classes (1,2) and (3,) — pixel histogram = class shares
+    def frame(classes: Array[Int]): Array[Byte] = {
+      val px = new Array[Int](64 * classes.length)
+      classes.zipWithIndex.foreach { case (c, b) =>
+        java.util.Arrays.fill(px, b * 64, (b + 1) * 64, (c << 4) | 8)
+      }
+      Multimodal.jpegEncodeGray(px, 8, 8 * classes.length)
+    }
+    val avi = Multimodal.aviEncode(Array(frame(Array(1, 2)), frame(Array(3))), "00dc")
+    val info = Multimodal.decodeAvi(avi)
+    assert(info != null && info.declaredFrames === 2 && info.frames === 2)
+    assert(info.bins(1) === 1.0 / 3 && info.bins(2) === 1.0 / 3 && info.bins(3) === 1.0 / 3)
+    assert(info.bins(0) === 0.0)
+    // a corrupt JPEG frame is a structural violation of the whole container
+    val bad = avi.clone()
+    // flip a byte inside the first frame's entropy data (after headers)
+    bad(140) = (bad(140) ^ 0x55).toByte
+    // either decode fails (null) or decodes to different pixels — never crashes
+    val r = Multimodal.decodeAvi(bad)
+    assert(r == null || r.bins.sum > 0.0)
+  }
+
+  test("mjpegMedia gate fixture: decoded pixel shares equal codepoint-class shares") {
+    import spark.implicits._
+    val docs = Seq((2L, "abcdefgh"), (5L, ""), (8L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", coalesce(length(col("text")), lit(0)))
+    val rows = Multimodal.decodeFeatures(graft.testing.MediaFixtures.mjpegMedia(docs))
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length === 3)
+    val f2 = rows(0).getSeq[Double](rows(0).fieldIndex("feature"))
+    // "abcdefgh": codepoints 97..104 → classes 1,2,3,4,5,6,7,0 — each 1/8
+    assert((0 to 7).forall(k => f2(k) === 1.0 / 8))
+    val f5 = rows(1).getSeq[Double](rows(1).fieldIndex("feature"))
+    assert(f5.toSeq === Seq.fill(8)(0.0), "empty text → empty frames → zero bins")
+    assert(rows(2).isNullAt(rows(2).fieldIndex("feature")), "null text → null feature")
+  }
 }
