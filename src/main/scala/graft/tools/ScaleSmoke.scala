@@ -33,7 +33,10 @@ object ScaleSmoke {
     // encoding report, chunking, range/salted joins
     "d1b_dedup_exact_hash", "p13_corpus_pipeline", "st5_heavy_hitters",
     "tx13_encoding_quality", "p14_chunking", "j5_range_join",
-    "j6_salted_join")
+    "j6_salted_join",
+    // round 7: per-frame MJPEG bitstream decode (codec-bound — linear
+    // in total frame pixels), sketch-tier numeric profile
+    "mm4_mjpeg_pixels", "st2b_profile_sketch")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

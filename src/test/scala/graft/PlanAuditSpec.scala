@@ -579,6 +579,47 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
   }
 
+  test("mm4 MJPEG decode: payloads never shuffle past the decode boundary") {
+    val p = plan(graft.SparkEntry.queries("mm4_mjpeg_pixels")(spark, dir))
+    // exactly ONE exchange: the explicit input spread BEFORE the
+    // payload even exists — after the udf builds the payload and the
+    // codec folds it to an 8-dim feature, nothing exchanges again
+    // (posexplode is a narrow generate)
+    assert("Exchange".r.findAllIn(p).size === 1, p.take(4000))
+    assert(p.contains("RoundRobinPartitioning") || p.contains("Exchange hashpartitioning"),
+      p.take(4000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(4000))
+  }
+
+  test("hot ANN index: corpus side never re-shuffles; queries broadcast") {
+    import scala.jdk.CollectionConverters._
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def vec(id: Long, xs: Seq[Float]) =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](id, xs), vecSchema): org.apache.spark.sql.Row
+    val corpus = spark.createDataFrame(new java.util.ArrayList(
+      Seq(vec(1, Seq(1f, 0f)), vec(2, Seq(0f, 1f))).asJava), vecSchema)
+    val idx = new graft.streaming.HotAnnIndex(corpus, "vec_id", "embedding",
+      Array((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))))
+    try {
+      val p = plan(idx.answer(corpus, k = 1))
+      // serving reads the cached assignment; the only broadcast is the
+      // (small) probed query side; the window's hash exchange carries
+      // candidate rows only — no corpus-side hashpartitioning before
+      // the join, no nested loop
+      assert(p.contains("BroadcastHashJoin"), p.take(4000))
+      assert(p.contains("InMemoryTableScan"), p.take(4000))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        p.take(4000))
+      val joinAt = p.indexOf("BroadcastHashJoin")
+      val corpusSide = p.substring(joinAt)
+      assert(!corpusSide.contains("Exchange hashpartitioning(cid"), p.take(4000))
+    } finally idx.release()
+  }
+
   test("strictCompat projection degrades types per reference rules") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2), Map("k" -> "v"))).toDF("a", "xs", "m")
