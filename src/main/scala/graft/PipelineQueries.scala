@@ -225,6 +225,14 @@ object PipelineQueries {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
     }),
 
+    // ---- kNN label probe: embedding-quality eval — majority label of
+    // the 5 exact nearest neighbors vs the query's own label
+    "s11_knn_label_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnLabelProbe(emb, emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", "label", k = 5)
+    }),
+
     // ---- ANN via deterministic sign-LSH buckets
     "s2_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -593,6 +601,15 @@ object PipelineQueries {
     "c1b_kmeans_iter2" -> ((s, dir) =>
       Clustering.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, iters = 2)),
+
+    // ---- cluster label purity: per-cell majority-label share over the
+    // k-means assignment — the cluster-quality companion to s11
+    "c5_cluster_purity" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Clustering.clusterLabelPurity(
+        Clustering.kmeansAssign(emb, "vec_id", "embedding", k = 8, iters = 1),
+        emb.select(col("vec_id"), col("label")), "vec_id", "label")
+    }),
 
     // ---- SemDeDup semantic dedup: same-cell pair pruning only —
     // the candidate set is Σ|cell|², never corpus all-pairs
@@ -1128,6 +1145,22 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
          |      FROM scored)
          |SELECT qid, cid, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "s11_knn_label_probe" ->
+      s"""WITH l AS (SELECT vec_id, embedding, label FROM embeddings WHERE label IS NOT NULL),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS cid, c.label AS cl,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM l c JOIN l q ON q.vec_id < 16 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+         |      FROM scored),
+         |votes AS (SELECT qid, ql, cl, count(*) AS votes FROM r WHERE rank <= 5
+         |          GROUP BY qid, ql, cl),
+         |p AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, cl ASC) AS vr
+         |      FROM votes)
+         |SELECT qid, CAST(ql AS BIGINT) AS true_label, CAST(cl AS BIGINT) AS pred_label,
+         |       votes, CAST(ql = cl AS BIGINT) AS correct
+         |FROM p WHERE vr = 1""".stripMargin,
 
     "s2_ann_lsh" ->
       s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS b FROM embeddings),
@@ -1669,6 +1702,20 @@ object PipelineQueries {
     "c1b_kmeans_iter2" ->
       s"""WITH ${kmeansCtes(iters = 2)}
          |SELECT vec_id, cell FROM a2""".stripMargin,
+
+    "c5_cluster_purity" ->
+      s"""WITH ${kmeansCtes()},
+         |lab AS (SELECT a1.vec_id, a1.cell, e.label FROM a1
+         |        JOIN embeddings e ON a1.vec_id = e.vec_id
+         |        WHERE e.label IS NOT NULL),
+         |counts AS (SELECT cell, label, count(*) AS c FROM lab GROUP BY cell, label),
+         |tot AS (SELECT cell, sum(c) AS n FROM counts GROUP BY cell),
+         |top AS (SELECT *, row_number() OVER (PARTITION BY cell
+         |                                     ORDER BY c DESC, label ASC) AS rn
+         |        FROM counts)
+         |SELECT t.cell, CAST(tot.n AS BIGINT) AS n, CAST(t.label AS BIGINT) AS top_label,
+         |       t.c AS top_n, t.c * 1.0 / tot.n AS purity
+         |FROM top t JOIN tot ON t.cell = tot.cell WHERE t.rn = 1""".stripMargin,
 
     "c2_semantic_dedup" ->
       s"""WITH ${kmeansCtes()},

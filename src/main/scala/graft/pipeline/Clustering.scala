@@ -152,6 +152,36 @@ object Clustering {
       assignCell(col(vecCol), cents.toIndexedSeq).as("cell"))
   }
 
+  /** Cluster label purity — the companion eval to
+    * [[Similarity.knnLabelProbe]]: per cell, the share of member rows
+    * carrying the cell's majority label (ties → smaller label, the
+    * shared determinism discipline). Null labels are excluded — they
+    * can neither vote nor count. `assigned` is a [[kmeansAssign]]-style
+    * (id, cell) frame; `labels` carries (id, label).
+    *
+    * Scale shape: one partial-aggregated (cell, label) count shuffle;
+    * the majority window and the per-cell totals run over ≤ k·|labels|
+    * metadata rows, never corpus rows. Output (cell, n, top_label,
+    * top_n, purity).
+    */
+  def clusterLabelPurity(
+      assigned: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lab = assigned.join(
+      labels.filter(col(labelCol).isNotNull)
+        .select(col(idCol), col(labelCol).cast("long").as("_lbl")), Seq(idCol))
+    val counts = lab.groupBy("cell", "_lbl").agg(count(lit(1)).as("_c"))
+    val tot = counts.groupBy("cell").agg(sum(col("_c")).as("n"))
+    val w = Window.partitionBy("cell").orderBy(col("_c").desc, col("_lbl").asc)
+    counts.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .join(tot, Seq("cell"))
+      .select(col("cell"), col("n"), col("_lbl").as("top_label"),
+        col("_c").as("top_n"), (col("_c") / col("n")).as("purity"))
+  }
+
   /** SemDeDup candidate pairs: same-cell document pairs (id1 < id2)
     * with cosine >= `threshold`. The join key is the cell — never
     * all-pairs across the corpus.

@@ -110,6 +110,49 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** kNN label probe — the standard embedding-quality evaluation: each
+    * labeled query is classified by the majority label of its `k`
+    * nearest corpus neighbors (exact cosine, self excluded; vote ties
+    * break to the smaller label, the same determinism discipline as
+    * the rank tie-break), and each output row carries prediction vs
+    * the query's own label. Null-labeled rows are excluded on both
+    * sides — they can neither vote nor be scored.
+    *
+    * Scale shape: the probe set is small by construction (an eval
+    * sample), so it broadcasts; the corpus is scanned once, narrow,
+    * and only candidate rows reach the vote — the vote itself runs
+    * over ≤ k·|queries| rows. Output (qid, true_label, pred_label,
+    * votes, correct).
+    */
+  def knnLabelProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "knnLabelProbe: k must be >= 1")
+    val c = corpus.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("cid"), col(vecCol).as("_cv"),
+        col(labelCol).cast("long").as("_cl"))
+    val q = broadcast(queries.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("qid"), col(vecCol).as("_qv"),
+        col(labelCol).cast("long").as("_ql")))
+    val scored = c.join(q, col("qid") =!= col("cid"))
+      .select(col("qid"), col("_ql"), col("cid"), col("_cl"),
+        cosine(col("_qv"), col("_cv")).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
+    val neighbors = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val votes = neighbors.groupBy("qid", "_ql", "_cl")
+      .agg(count(lit(1)).as("votes"))
+    val vw = Window.partitionBy("qid").orderBy(col("votes").desc, col("_cl").asc)
+    votes.withColumn("_vr", row_number().over(vw)).filter(col("_vr") === 1)
+      .select(col("qid"), col("_ql").as("true_label"), col("_cl").as("pred_label"),
+        col("votes"),
+        (col("_ql") === col("_cl")).cast("long").as("correct"))
+  }
+
   /** ANN via IVF (inverted-file) cells: a coarse quantizer of
     * `centroids` rows partitions the corpus — every vector is assigned
     * to its nearest centroid (argmax cosine, ties to the lowest

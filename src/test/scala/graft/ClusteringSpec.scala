@@ -56,4 +56,34 @@ class ClusteringSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(surv.contains(99L))
   }
+
+  test("cluster purity: majority share per cell, vote ties to the smaller label") {
+    val assigned = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (10L, 1L), (11L, 1L))
+      .toDF("id", "cell")
+    // cell 0: labels 7,7,5,5 — tie → top_label 5; cell 1: 9 + a null (excluded)
+    val labels = Seq((1L, Some(7)), (2L, Some(7)), (3L, Some(5)), (4L, Some(5)),
+      (10L, Some(9)), (11L, None)).toDF("id", "label")
+    val out = Clustering.clusterLabelPurity(assigned, labels, "id", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(0L) === ((4L, 5L, 2L, 0.5)))
+    assert(out(1L) === ((1L, 9L, 1L, 1.0)))
+  }
+
+  test("kNN label probe: majority vote, tie to the smaller label, self excluded") {
+    import graft.pipeline.Similarity
+    // query 1 at the x-axis: neighbors 2 (label 8), 3 (label 4), 20 (far) —
+    // k=2 gives one vote each → tie → pred 4; correct iff own label is 4
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), Some(4)),
+      (2L, Array(0.99f, 0.1f, 0.0f), Some(8)),
+      (3L, Array(0.98f, 0.05f, 0.0f), Some(4)),
+      (20L, Array(0.0f, 0.0f, 1.0f), Some(8)),
+      (21L, Array(0.0f, 0.1f, 1.0f), None) // null label: neither votes nor scored
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelProbe(emb, emb.filter($"vec_id" === 1 || $"vec_id" === 21),
+      "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 4L, 4L, 1L, 1L)))
+  }
 }
