@@ -44,7 +44,25 @@ final class Gateway(
       * must present one of these keys as a `token` query parameter,
       * `token` header, or `token` cookie — 403 "unauthorized"
       * otherwise. Empty = auth disabled (middleware not mounted). */
-    apiKeys: Seq[String] = Nil) {
+    apiKeys: Seq[String] = Nil,
+    /** Simple username/password authentication (reference
+      * MountSimpleAuthMiddleware, middleware/simple.py:135-459):
+      * when non-empty, HTTP Basic credentials or a prior session
+      * cookie authorize a request, `/login` (Basic or form POST)
+      * issues an HttpOnly session cookie (UUID → identity, the
+      * reference's `identity_store`), `/logout` revokes it. The
+      * credential map is the offline analog of the reference's
+      * external-validator hook (its PAM/Windows host validation is
+      * host-specific); the authenticated username IS the X13
+      * identity, so `authFilterFields` row filtering composes with
+      * it exactly like the reference's IdentityAwareMiddlewareMixin.
+      * Both middlewares may be mounted at once — any one passing
+      * authorizes (reference multi-auth ordering). */
+    simpleAuthUsers: Map[String, String] = Map.empty,
+    /** Session lifetime for [[simpleAuthUsers]] cookies. */
+    sessionTimeoutMillis: Long = 12L * 3600 * 1000,
+    /** Session cookie name (reference default "session"). */
+    sessionCookieName: String = "session") {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -64,26 +82,84 @@ final class Gateway(
 
   /** API-key check (reference api_key.py:46-59): query param, header,
     * or cookie named `token`, any configured key accepted. */
-  private def authorized(ex: HttpExchange): Boolean =
-    apiKeys.isEmpty || {
+  private def apiKeyAuthorized(ex: HttpExchange): Boolean =
+    apiKeys.nonEmpty && {
       val fromQuery = Option(ex.getRequestURI.getRawQuery)
         .flatMap(_.split("&").collectFirst {
           case kv if kv.startsWith("token=") =>
             java.net.URLDecoder.decode(kv.stripPrefix("token="), "UTF-8")
         })
       val fromHeader = Option(ex.getRequestHeaders.getFirst("token"))
-      val fromCookie = Option(ex.getRequestHeaders.getFirst("Cookie"))
-        .flatMap(_.split(";").map(_.trim).collectFirst {
-          case kv if kv.startsWith("token=") => kv.stripPrefix("token=")
-        })
+      val fromCookie = cookie(ex, "token")
       Seq(fromQuery, fromHeader, fromCookie).flatten.exists(apiKeys.contains)
     }
 
-  /** Wrap a context handler with the auth gate. */
+  // ---- Simple Auth (reference middleware/simple.py) ----------------------
+
+  /** `identity_store`: session UUID → (username, expiry). Expired
+    * entries are purged lazily on every lookup. */
+  private val sessions =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private def cookie(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Cookie"))
+      .flatMap(_.split(";").map(_.trim).collectFirst {
+        case kv if kv.startsWith(name + "=") => kv.stripPrefix(name + "=")
+      })
+
+  /** Username for a live (unexpired) session cookie, if any. */
+  private def sessionUser(ex: HttpExchange): Option[String] =
+    cookie(ex, sessionCookieName).flatMap { uuid =>
+      Option(sessions.get(uuid)).flatMap { case (user, expires) =>
+        if (System.currentTimeMillis() <= expires) Some(user)
+        else { sessions.remove(uuid); None }
+      }
+    }
+
+  /** Username for valid HTTP Basic credentials, if presented. */
+  private def basicUser(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Basic "))
+      .flatMap { h =>
+        try {
+          val decoded = new String(
+            java.util.Base64.getDecoder.decode(h.stripPrefix("Basic ").trim),
+            StandardCharsets.UTF_8)
+          decoded.split(":", 2) match {
+            case Array(u, p) if simpleAuthUsers.get(u).contains(p) => Some(u)
+            case _ => None
+          }
+        } catch { case NonFatal(_) => None }
+      }
+
+  /** Simple-auth identity (session cookie first, then Basic —
+    * reference get_identity_from_credentials ordering). */
+  private def simpleAuthUser(ex: HttpExchange): Option[String] =
+    if (simpleAuthUsers.isEmpty) None
+    else sessionUser(ex).orElse(basicUser(ex))
+
+  private def createSession(user: String): String = {
+    val uuid = java.util.UUID.randomUUID().toString
+    sessions.put(uuid, (user, System.currentTimeMillis() + sessionTimeoutMillis))
+    uuid
+  }
+
+  private def authorized(ex: HttpExchange): Boolean =
+    (apiKeys.isEmpty && simpleAuthUsers.isEmpty) ||
+      apiKeyAuthorized(ex) || simpleAuthUser(ex).nonEmpty
+
+  /** Wrap a context handler with the auth gate. 403 is the API-key
+    * middleware's rejection (api_key.py); a simple-auth-only mount
+    * rejects with 401 + the Basic challenge (simple.py's
+    * auth_error_handler), like the reference.
+    */
   private def gated(h: HttpExchange => Unit): HttpExchange => Unit =
     ex =>
-      if (!authorized(ex)) respond(ex, 403, """{"detail":"unauthorized"}""")
-      else h(ex)
+      if (authorized(ex)) h(ex)
+      else if (apiKeys.isEmpty && simpleAuthUsers.nonEmpty) {
+        ex.getResponseHeaders.set("WWW-Authenticate", "Basic")
+        respond(ex, 401, """{"detail":"unauthorized"}""")
+      } else respond(ex, 403, """{"detail":"unauthorized"}""")
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -183,8 +259,20 @@ final class Gateway(
     try {
       val path = ex.getRequestURI.getPath.stripPrefix("/api/v1/")
       val parts = path.split("/").toList
+      // X13 identity: explicit header, else the simple-auth principal
+      // (reference IdentityAwareMiddlewareMixin: the auth middleware's
+      // identity feeds the filter)
       val identity = Option(ex.getRequestHeaders.getFirst("x-identity"))
+        .orElse(simpleAuthUser(ex))
       parts match {
+        case "whoami" :: Nil =>
+          // reference simple.py /whoami: the authenticated identity
+          simpleAuthUser(ex) match {
+            case Some(u) => respond(ex, 200, s"""{"user":"$u"}""")
+            case None if simpleAuthUsers.nonEmpty =>
+              respond(ex, 401, """{"detail":"Session not found"}""")
+            case None => respond(ex, 404, """{"detail":"Not Found"}""")
+          }
         case "last" :: name :: Nil if known(name) =>
           // dict-basket channels return the whole basket: one row per
           // key, key-sorted (reference last.py:84-111 get_last_basket)
@@ -516,7 +604,79 @@ final class Gateway(
   private def jsonToMap(node: JsonNode): Map[String, Any] =
     node.properties().asScala.map(e => e.getKey -> jsonValue(e.getValue)).toMap
 
+  /** Session cookie attributes (reference set_cookie: HttpOnly,
+    * max-age = session timeout). */
+  private def sessionSetCookie(uuid: String): String =
+    s"$sessionCookieName=$uuid; HttpOnly; Path=/; Max-Age=${sessionTimeoutMillis / 1000}"
+
+  private def redirect(ex: HttpExchange, location: String,
+      setCookie: Option[String]): Unit = {
+    ex.getResponseHeaders.set("Location", location)
+    setCookie.foreach(ex.getResponseHeaders.set("Set-Cookie", _))
+    ex.sendResponseHeaders(303, -1)
+    ex.close()
+  }
+
+  /** `/login` (reference simple.py:356-418): form POST or HTTP Basic;
+    * success mints a session and redirects to `/` with the cookie set
+    * (the reference's RedirectResponse), invalid Basic gets the 401
+    * challenge, a bare GET renders the login form.
+    */
+  private def handleLogin(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod == "POST") {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val form = body.split("&").flatMap(_.split("=", 2) match {
+          case Array(k, v) => Some(java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }).toMap
+        (form.get("username"), form.get("password")) match {
+          case (Some(u), Some(p)) if u.nonEmpty && p.nonEmpty =>
+            if (simpleAuthUsers.get(u).contains(p))
+              redirect(ex, "/", Some(sessionSetCookie(createSession(u))))
+            else redirect(ex, "/login?error=invalid_credentials", None)
+          case _ => redirect(ex, "/login?error=missing_credentials", None)
+        }
+      } else if (Option(ex.getRequestHeaders.getFirst("Authorization")).exists(_.startsWith("Basic "))) {
+        basicUser(ex) match {
+          case Some(u) => redirect(ex, "/", Some(sessionSetCookie(createSession(u))))
+          case None =>
+            ex.getResponseHeaders.set("WWW-Authenticate", "Basic")
+            respond(ex, 401, """{"detail":"unauthorized"}""")
+        }
+      } else {
+        val err = Option(ex.getRequestURI.getRawQuery)
+          .filter(_.contains("error=")).map(_ => "<p>Invalid credentials.</p>").getOrElse("")
+        val html =
+          s"""<!DOCTYPE html><html><head><title>Login</title></head><body>
+             |<h1>Login</h1>$err
+             |<form method="post" action="/login">
+             |<label>Username <input name="username"/></label>
+             |<label>Password <input name="password" type="password"/></label>
+             |<button type="submit">Log in</button></form>
+             |</body></html>""".stripMargin
+        respondBytes(ex, 200, html.getBytes(StandardCharsets.UTF_8), "text/html")
+      }
+    } catch {
+      case NonFatal(e) => respond(ex, 500, s"""{"detail":"${e.getMessage}"}""")
+    }
+
+  /** `/logout` (reference simple.py:420-428): drop the session, expire
+    * the cookie, redirect to the login page.
+    */
+  private def handleLogout(ex: HttpExchange): Unit = {
+    cookie(ex, sessionCookieName).foreach(sessions.remove)
+    ex.getResponseHeaders.set("Set-Cookie",
+      s"$sessionCookieName=; HttpOnly; Path=/; Max-Age=0")
+    redirect(ex, "/login", None)
+  }
+
   def start(): Gateway = {
+    if (simpleAuthUsers.nonEmpty) {
+      server.createContext("/login", (ex: HttpExchange) => handleLogin(ex))
+      server.createContext("/logout", (ex: HttpExchange) => handleLogout(ex))
+    }
     server.createContext("/api/v1", (ex: HttpExchange) => gated(handle)(ex))
     server.createContext("/openapi.json", (ex: HttpExchange) => gated { ex =>
       try respond(ex, 200, openApiJson)

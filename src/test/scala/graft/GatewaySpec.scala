@@ -329,6 +329,64 @@ class GatewaySpec extends AnyFunSuite {
     } finally { gw.stop(); rt.stop() }
   }
 
+  test("simple auth: login/session/whoami/logout lifecycle (simple.py parity)") {
+    def basic(u: String, p: String): String =
+      "Basic " + java.util.Base64.getEncoder.encodeToString(
+        s"$u:$p".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val rt = new ChannelRuntime(spark,
+      Map("example" -> ChannelSpec("example", schema, stateKeyby = Seq("owner"))),
+      Files.createTempDirectory("graft-gw-ckpt").toString)
+    rt.start()
+    val gw = new Gateway(rt, 0, Map("example" -> "owner"),
+      simpleAuthUsers = Map("alice" -> "secret")).start()
+    try {
+      val base = s"http://127.0.0.1:${gw.boundPort}"
+      // anonymous API call is rejected with the simple-auth 401 challenge
+      val anon = get(s"$base/api/v1/state/example")
+      assert(anon.statusCode() === 401)
+      assert(anon.headers().firstValue("WWW-Authenticate").orElse("") === "Basic")
+      // invalid Basic on /login → 401 with the challenge
+      val bad = get(s"$base/login", Map("Authorization" -> basic("alice", "wrong")))
+      assert(bad.statusCode() === 401)
+      assert(bad.headers().firstValue("WWW-Authenticate").orElse("") === "Basic")
+      // bare GET renders the form-login page
+      val page = get(s"$base/login")
+      assert(page.statusCode() === 200 && page.body().contains("<form"))
+      // valid Basic mints a session: redirect home + HttpOnly cookie
+      val ok = get(s"$base/login", Map("Authorization" -> basic("alice", "secret")))
+      assert(ok.statusCode() === 303)
+      assert(ok.headers().firstValue("Location").orElse("") === "/")
+      val setCookie = ok.headers().firstValue("Set-Cookie").orElse("")
+      assert(setCookie.startsWith("session=") && setCookie.contains("HttpOnly"))
+      val cookie = setCookie.split(";")(0)
+      // the session authorizes API calls AND is the X13 identity:
+      // alice's own rows pass, impersonating bob is rejected
+      assert(post(s"$base/api/v1/send/example", """{"x":1,"owner":"alice"}""",
+        Map("Cookie" -> cookie)).statusCode() === 200)
+      assert(post(s"$base/api/v1/send/example", """{"x":2,"owner":"bob"}""",
+        Map("Cookie" -> cookie)).statusCode() === 422)
+      // whoami reports the session identity
+      val who = get(s"$base/api/v1/whoami", Map("Cookie" -> cookie))
+      assert(who.statusCode() === 200 && who.body().contains("alice"))
+      // Basic credentials directly on an API call authorize too
+      assert(get(s"$base/api/v1/state/example",
+        Map("Authorization" -> basic("alice", "secret"))).statusCode() === 200)
+      // form login: wrong credentials bounce back, right ones set the cookie
+      val fbad = post(s"$base/login", "username=alice&password=nope",
+        Map("Content-Type" -> "application/x-www-form-urlencoded"))
+      assert(fbad.statusCode() === 303)
+      assert(fbad.headers().firstValue("Location").orElse("").contains("error=invalid_credentials"))
+      val fok = post(s"$base/login", "username=alice&password=secret",
+        Map("Content-Type" -> "application/x-www-form-urlencoded"))
+      assert(fok.statusCode() === 303)
+      assert(fok.headers().firstValue("Set-Cookie").orElse("").startsWith("session="))
+      // logout revokes the session: whoami 401, API gate closed again
+      assert(get(s"$base/logout", Map("Cookie" -> cookie)).statusCode() === 303)
+      assert(get(s"$base/api/v1/whoami", Map("Cookie" -> cookie)).statusCode() === 401)
+      assert(get(s"$base/api/v1/state/example", Map("Cookie" -> cookie)).statusCode() === 401)
+    } finally { gw.stop(); rt.stop() }
+  }
+
   test("identity row filter (X13): reads filtered, writes validated") {
     withGateway(Map("example" -> "owner")) { (base, rt) =>
       assert(post(s"$base/send/example", """{"x":1,"owner":"alice"}""",
