@@ -113,6 +113,17 @@ object GatewayConfig {
       if (root.has("apiKeys"))
         root.get("apiKeys").elements().asScala.map(_.asText()).toSeq
       else Nil
+    // simple auth (reference MountSimpleAuthMiddleware):
+    //   "simpleAuthUsers": {"alice": "secret"}, optional
+    //   "sessionTimeoutMillis" / "sessionCookieName"
+    val simpleAuthUsers: Map[String, String] =
+      if (root.has("simpleAuthUsers"))
+        root.get("simpleAuthUsers").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      else Map.empty
+    val sessionTimeoutMillis = root.path("sessionTimeoutMillis")
+      .asLong(12L * 3600 * 1000)
+    val sessionCookieName = root.path("sessionCookieName").asText("session")
     // declarative table mounts (reference PerspectiveModule tables):
     //   "tables": [{"name": "t", "channel": "ch", "view": {…}}]
     // parsed and VALIDATED before the Gateway binds its socket — a bad
@@ -128,7 +139,8 @@ object GatewayConfig {
           else graft.operators.ViewConfig()
         (tn.get("name").asText(), tn.get("channel").asText(), cfg)
       }.toSeq
-    val gateway = new Gateway(runtime, port, auth, onShutdown, apiKeys)
+    val gateway = new Gateway(runtime, port, auth, onShutdown, apiKeys,
+      simpleAuthUsers, sessionTimeoutMillis, sessionCookieName)
     if (tableMounts.nonEmpty) {
       val vs = new graft.sinks.ViewServer(runtime)
       tableMounts.foreach { case (name, channel, cfg) => vs.define(name, channel, cfg) }

@@ -131,6 +131,33 @@ class GatewayConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("simple auth from the config document: Basic login mints a working session") {
+    val secured = config.replace("\"port\": 0,",
+      "\"port\": 0, \"simpleAuthUsers\": {\"alice\": \"pw\"}, \"sessionTimeoutMillis\": 60000,")
+    val loaded = GatewayConfig.load(spark, secured)
+    loaded.runtime.start()
+    val gw = loaded.gateway.start()
+    try {
+      val base = s"http://localhost:${gw.boundPort}"
+      val client = HttpClient.newHttpClient()
+      def get(url: String, hdrs: (String, String)*): HttpResponse[String] = {
+        val b = HttpRequest.newBuilder(URI.create(url)).GET()
+        hdrs.foreach { case (k, v) => b.header(k, v) }
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      assert(get(s"$base/api/v1/last/example").statusCode() === 401)
+      val basic = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("alice:pw".getBytes("UTF-8"))
+      val login = get(s"$base/login", "Authorization" -> basic)
+      assert(login.statusCode() === 303)
+      val cookie = login.headers().firstValue("Set-Cookie").orElse("").split(";")(0)
+      assert(cookie.startsWith("session="))
+      assert(get(s"$base/api/v1/last/example", "Cookie" -> cookie).statusCode() === 200)
+    } finally {
+      gw.stop(); loaded.runtime.stop()
+    }
+  }
+
   test("config-loaded gateway serves end-to-end: send then last over HTTP") {
     val loaded = GatewayConfig.load(spark, config)
     loaded.runtime.start()
