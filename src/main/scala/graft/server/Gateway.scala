@@ -77,8 +77,23 @@ final class Gateway(
     * the JDK http server cannot upgrade connections, so it binds its
     * own port). Same runtime, same identity filtering.
     */
-  private val ws = new WebSocketServer(runtime, authFilterFields)
+  private val ws = new WebSocketServer(runtime, authFilterFields,
+    identityFromHeaders = wsIdentity)
   def wsPort: Int = ws.boundPort
+
+  /** Simple-auth identity for a WebSocket handshake: session cookie
+    * first, then Basic (same ordering as the REST side). */
+  private def wsIdentity(headers: Map[String, String]): Option[String] =
+    if (simpleAuthUsers.isEmpty) None
+    else {
+      val fromCookie = headers.get("cookie")
+        .flatMap(_.split(";").map(_.trim).collectFirst {
+          case kv if kv.startsWith(sessionCookieName + "=") =>
+            kv.stripPrefix(sessionCookieName + "=")
+        })
+        .flatMap(sessionUserByUuid)
+      fromCookie.orElse(headers.get("authorization").flatMap(basicUserOf))
+    }
 
   /** API-key check (reference api_key.py:46-59): query param, header,
     * or cookie named `token`, any configured key accepted. */
@@ -107,30 +122,34 @@ final class Gateway(
         case kv if kv.startsWith(name + "=") => kv.stripPrefix(name + "=")
       })
 
-  /** Username for a live (unexpired) session cookie, if any. */
+  /** Live (unexpired) session's user for a session UUID, if any. */
+  private def sessionUserByUuid(uuid: String): Option[String] =
+    Option(sessions.get(uuid)).flatMap { case (user, expires) =>
+      if (System.currentTimeMillis() <= expires) Some(user)
+      else { sessions.remove(uuid); None }
+    }
+
+  /** Username for a live session cookie, if any. */
   private def sessionUser(ex: HttpExchange): Option[String] =
-    cookie(ex, sessionCookieName).flatMap { uuid =>
-      Option(sessions.get(uuid)).flatMap { case (user, expires) =>
-        if (System.currentTimeMillis() <= expires) Some(user)
-        else { sessions.remove(uuid); None }
-      }
+    cookie(ex, sessionCookieName).flatMap(sessionUserByUuid)
+
+  /** Username for a valid `Authorization: Basic …` header value. */
+  private def basicUserOf(header: String): Option[String] =
+    Option(header).filter(_.startsWith("Basic ")).flatMap { h =>
+      try {
+        val decoded = new String(
+          java.util.Base64.getDecoder.decode(h.stripPrefix("Basic ").trim),
+          StandardCharsets.UTF_8)
+        decoded.split(":", 2) match {
+          case Array(u, p) if simpleAuthUsers.get(u).contains(p) => Some(u)
+          case _ => None
+        }
+      } catch { case NonFatal(_) => None }
     }
 
   /** Username for valid HTTP Basic credentials, if presented. */
   private def basicUser(ex: HttpExchange): Option[String] =
-    Option(ex.getRequestHeaders.getFirst("Authorization"))
-      .filter(_.startsWith("Basic "))
-      .flatMap { h =>
-        try {
-          val decoded = new String(
-            java.util.Base64.getDecoder.decode(h.stripPrefix("Basic ").trim),
-            StandardCharsets.UTF_8)
-          decoded.split(":", 2) match {
-            case Array(u, p) if simpleAuthUsers.get(u).contains(p) => Some(u)
-            case _ => None
-          }
-        } catch { case NonFatal(_) => None }
-      }
+    Option(ex.getRequestHeaders.getFirst("Authorization")).flatMap(basicUserOf)
 
   /** Simple-auth identity (session cookie first, then Basic —
     * reference get_identity_from_credentials ordering). */

@@ -47,7 +47,14 @@ final class WebSocketServer(
     runtime: ChannelRuntime,
     authFilterFields: Map[String, String] = Map.empty,
     port: Int = 0,
-    pingMillis: Long = 1000L) {
+    pingMillis: Long = 1000L,
+    /** Auth-middleware identity from the handshake's (lowercased)
+      * headers — the reference needed a dedicated websocket fix for
+      * exactly this (middleware/hacks/api_key_middleware_websocket_fix:
+      * browser WebSocket clients can send cookies but not custom
+      * headers). The gateway supplies its session/Basic resolver; the
+      * explicit `x-identity` header still wins (test/tooling path). */
+    identityFromHeaders: Map[String, String] => Option[String] = _ => None) {
 
   private val mapper = new ObjectMapper()
   // bound lazily in start() — constructing a server must not leak a
@@ -257,18 +264,21 @@ final class WebSocketServer(
     val requestLine = readHeaderLine(conn.in)
     if (requestLine == null || !requestLine.startsWith("GET")) return false
     var wsKey: String = null
+    val headers = scala.collection.mutable.Map.empty[String, String]
     var line = readHeaderLine(conn.in)
     while (line != null && line.nonEmpty) {
       val idx = line.indexOf(':')
       if (idx > 0) {
         val name = line.substring(0, idx).trim.toLowerCase
         val value = line.substring(idx + 1).trim
+        headers(name) = value
         if (name == "sec-websocket-key") wsKey = value
         if (name == "x-identity") conn.identity = Some(value)
       }
       line = readHeaderLine(conn.in)
     }
     if (wsKey == null) return false
+    if (conn.identity.isEmpty) conn.identity = identityFromHeaders(headers.toMap)
     val accept = Base64.getEncoder.encodeToString(
       MessageDigest.getInstance("SHA-1").digest(
         (wsKey + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes(StandardCharsets.US_ASCII)))

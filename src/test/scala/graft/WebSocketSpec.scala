@@ -35,13 +35,17 @@ class WebSocketSpec extends AnyFunSuite {
     StructField("px", DoubleType)))
 
   /** Collects complete text messages; heartbeats separated out. */
-  private final class Client(uri: String) extends WebSocket.Listener {
+  private final class Client(uri: String, headers: Map[String, String] = Map.empty)
+      extends WebSocket.Listener {
     val data = new LinkedBlockingQueue[com.fasterxml.jackson.databind.JsonNode]
     val heartbeats = new LinkedBlockingQueue[String]
     private val sb = new StringBuilder
     private val opened = new CountDownLatch(1)
-    val ws: WebSocket = HttpClient.newHttpClient().newWebSocketBuilder()
-      .buildAsync(URI.create(uri), this).get(10, TimeUnit.SECONDS)
+    val ws: WebSocket = {
+      val b = HttpClient.newHttpClient().newWebSocketBuilder()
+      headers.foreach { case (k, v) => b.header(k, v) }
+      b.buildAsync(URI.create(uri), this).get(10, TimeUnit.SECONDS)
+    }
     opened.countDown()
 
     override def onText(w: WebSocket, t: CharSequence, last: Boolean): CompletionStage[_] = {
@@ -216,5 +220,41 @@ class WebSocketSpec extends AnyFunSuite {
         assert(anon.nextData(2) === null, "anonymous caller must not receive filtered rows")
       } finally anon.close()
     }
+  }
+
+  test("session cookie authenticates the websocket handshake (ws cookie fix parity)") {
+    val rt = new ChannelRuntime(spark,
+      Map("example" -> ChannelSpec("example", schema, stateKeyby = Seq("owner"))),
+      Files.createTempDirectory("graft-ws-ckpt").toString)
+    rt.start()
+    val gw = new Gateway(rt, 0, Map("example" -> "owner"),
+      simpleAuthUsers = Map("alice" -> "pw")).start()
+    try {
+      // mint a session over HTTP, hand the cookie to the WS handshake
+      val http = HttpClient.newHttpClient()
+      val basic = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("alice:pw".getBytes("UTF-8"))
+      val login = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${gw.boundPort}/login"))
+          .header("Authorization", basic).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val cookie = login.headers().firstValue("Set-Cookie").orElse("").split(";")(0)
+      assert(cookie.startsWith("session="))
+
+      val c = new Client(s"ws://127.0.0.1:${gw.wsPort}/api/v1/ws",
+        Map("Cookie" -> cookie))
+      try {
+        c.send("""{"action":"subscribe","channel":"example"}""")
+        assert(c.heartbeats.poll(5, TimeUnit.SECONDS) === "PING")
+        rt.send("example", Seq(
+          Map("x" -> 1L, "owner" -> "alice"), Map("x" -> 2L, "owner" -> "bob")))
+        rt.processAllAvailable()
+        // the session identity filters egress: alice's row only
+        val frame = c.nextData()
+        assert(frame != null && frame.get("data").get("x").asLong() === 1L)
+        assert(c.nextData(2) === null, "bob's row must not reach alice's session")
+      } finally c.close()
+    } finally { gw.stop(); rt.stop() }
   }
 }
