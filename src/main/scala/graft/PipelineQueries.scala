@@ -558,6 +558,14 @@ object PipelineQueries {
     // ---- token-budget mixture: per-source keep rates derived from
     // the corpus's own token totals (budget in TOKENS, the unit
     // pretraining mixtures are specified in), per-mille hash gate
+    // ---- temperature mixture (α = 1/2): keep rates ∝ 1/√n_s
+    // normalized to the token budget — integer-isqrt-quantized so the
+    // per-mille gate is portable exactly
+    "p15_temperature_mix" -> ((s, dir) =>
+      Curation.temperatureMixSample(t(s, dir, "documents"),
+        "doc_id", "source", "text", budget = 3000L)
+        .select(col("doc_id"), col("source"))),
+
     "p11_token_budget" -> ((s, dir) =>
       Curation.tokenBudgetSample(t(s, dir, "documents"),
         "doc_id", "source", "text",
@@ -1651,6 +1659,19 @@ object PipelineQueries {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${phSql("CAST(doc_id AS VARCHAR)")} % 100 <
          |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'fr' THEN 10 ELSE 5 END""".stripMargin,
+
+    "p15_temperature_mix" ->
+      s"""WITH tot AS (SELECT source, sum(len(string_split(text,' '))) AS total
+         |             FROM documents GROUP BY source),
+         |w AS (SELECT source, CAST(floor(sqrt(CAST(coalesce(total, 0) AS DOUBLE))) AS BIGINT) AS isq
+         |      FROM tot),
+         |s AS (SELECT sum(isq) AS sumisq FROM w),
+         |pm AS (SELECT source,
+         |         CASE WHEN isq * sumisq = 0 THEN 1000
+         |              ELSE least(1000, 3000 * 1000 // (isq * sumisq)) END AS pm
+         |       FROM w, s)
+         |SELECT doc_id, source FROM documents JOIN pm USING (source)
+         |WHERE ${phSql("CAST(doc_id AS VARCHAR)")} % 1000 < pm""".stripMargin,
 
     "p11_token_budget" ->
       s"""WITH tot AS (SELECT source, sum(len(string_split(text,' '))) AS total

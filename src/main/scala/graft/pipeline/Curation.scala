@@ -260,6 +260,47 @@ object Curation {
       .drop("_pm")
   }
 
+  /** Temperature-weighted mixture sampling (the T5/mT5 α-temperature
+    * knob): per-stratum keep rates ∝ n_s^(α-1) normalized to an
+    * overall token `budget`, so small strata are upweighted relative
+    * to proportional sampling — with α = 1/2, rate_s =
+    * budget / (√n_s · Σ_t √n_t). This implementation pins α = 1/2 and
+    * quantizes through INTEGER isqrt(total-tokens), making the
+    * per-mille gate engine-portable exactly (the 1e6-centroid
+    * discipline: IEEE sqrt of a modest integer floors identically in
+    * any engine, and everything after is integer arithmetic). A
+    * zero-token stratum is under any budget — kept whole.
+    *
+    * Scale shape: one partial-aggregated metadata exchange for the
+    * per-stratum totals (the driver holds #strata rows, nothing
+    * corpus-sized), then the same zero-shuffle hash-gate filter as
+    * [[hashSample]]/[[tokenBudgetSample]].
+    */
+  def temperatureMixSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      textCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "temperatureMixSample: budget must be >= 0")
+    val totals = df.groupBy(col(stratumCol))
+      .agg(sum(TextFunctions.tokenCount(col(textCol))).as("_total"))
+      .collect()
+      .map(r => Option(r.get(0)).map(String.valueOf).orNull ->
+        (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    val isq = totals.map { case (s, n) => s -> math.floor(math.sqrt(n.toDouble)).toLong }
+    val sumIsq = isq.map(_._2).sum
+    val pm: Map[String, Long] = isq.map { case (s, q) =>
+      s -> (if (q * sumIsq == 0L) 1000L
+            else math.min(1000L, budget * 1000L / (q * sumIsq)))
+    }.toMap
+    val pmCol = pm.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (s, p)) =>
+      when(col(stratumCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(TextFunctions.polyHash(col(idCol).cast("string")) % 1000 < pmCol)
+  }
+
   /** Deterministic train/validation/test split label: the portable id
     * hash lands in [0, 100) and cumulative `splits` percentages carve
     * it up (e.g. `Seq("train" -> 90, "val" -> 5, "test" -> 5)`).

@@ -480,7 +480,8 @@ object Multimodal {
           while (q < segEnd) {
             val pq = (p(q) & 0xF0) >> 4
             val tq = p(q) & 0x0F
-            if (pq != 0 || q + 65 > segEnd) return null // 8-bit tables only
+            // 8-bit tables only; table ids are 0-3 per T.81 B.2.4.1
+            if (pq != 0 || tq > 3 || q + 65 > segEnd) return null
             var i = 0
             while (i < 64) { quant(tq)(i) = p(q + 1 + i) & 0xFF; i += 1 }
             quantSeen(tq) = true
@@ -491,7 +492,8 @@ object Multimodal {
           while (q < segEnd) {
             val tc = (p(q) & 0xF0) >> 4
             val th = p(q) & 0x0F
-            if (tc > 1 || q + 17 > segEnd) return null
+            // class 0/1, destination 0-3 (T.81 B.2.4.2)
+            if (tc > 1 || th > 3 || q + 17 > segEnd) return null
             val counts = Array.tabulate(16)(i => p(q + 1 + i) & 0xFF)
             val n = counts.sum
             if (n == 0 || q + 17 + n > segEnd) return null
@@ -517,8 +519,8 @@ object Multimodal {
             hMin(tc)(th) = mn; hMax(tc)(th) = mx; hPtr(tc)(th) = vp; hSym(tc)(th) = syms
             q += 17 + n
           }
-        case 0xC0 => // SOF0: baseline sequential
-          if (segLen < 8 || (p(off + 4) & 0xFF) != 8) return null
+        case 0xC0 => // SOF0: baseline sequential (len 8 + 3 per component)
+          if (segLen < 11 || (p(off + 4) & 0xFF) != 8) return null
           height = ((p(off + 5) & 0xFF) << 8) | (p(off + 6) & 0xFF)
           width = ((p(off + 7) & 0xFF) << 8) | (p(off + 8) & 0xFF)
           val nComp = p(off + 9) & 0xFF
@@ -530,9 +532,10 @@ object Multimodal {
             0xCD | 0xCE | 0xCF =>
           return null // non-baseline frame types out of scope
         case 0xDA => // SOS
-          if (!sawSof || (p(off + 4) & 0xFF) != 1) return null
+          if (!sawSof || segLen < 8 || (p(off + 4) & 0xFF) != 1) return null
           dcId = (p(off + 6) & 0xF0) >> 4
           acId = p(off + 6) & 0x0F
+          if (dcId > 3 || acId > 3) return null
           if ((p(off + 7) & 0xFF) != 0 || (p(off + 8) & 0xFF) != 63) return null
           scanStart = segEnd
         case _ => () // APPn / COM / others: skip

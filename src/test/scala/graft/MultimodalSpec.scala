@@ -292,6 +292,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeJpeg(sof2) == null)
   }
 
+  test("decodeJpeg never throws on adversarial bytes (seeded fuzz)") {
+    val good = Multimodal.jpegEncodeGray(Array.tabulate(64)(i => i * 3), 8, 8)
+    val rnd = new scala.util.Random(20260813L)
+    // random byte blobs behind a forged SOI, and random single-byte
+    // corruptions of a valid stream — must return null or an image,
+    // never throw (the codec runs inside executor tasks)
+    (0 until 300).foreach { _ =>
+      val blob = new Array[Byte](rnd.nextInt(200) + 4)
+      rnd.nextBytes(blob)
+      blob(0) = 0xFF.toByte; blob(1) = 0xD8.toByte
+      Multimodal.decodeJpeg(blob) // result unconstrained; absence of throw is the assertion
+    }
+    (0 until 300).foreach { _ =>
+      val mut = good.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodeJpeg(mut)
+    }
+    // truncations at every length
+    (0 until good.length).foreach { n =>
+      Multimodal.decodeJpeg(java.util.Arrays.copyOf(good, n))
+    }
+    assert(Multimodal.decodeJpeg(good) != null, "the uncorrupted stream still decodes")
+  }
+
   test("decodeAvi takes the MJPEG intra-frame path for 00dc JPEG chunks") {
     // two frames: classes (1,2) and (3,) — pixel histogram = class shares
     def frame(classes: Array[Int]): Array[Byte] = {
