@@ -292,6 +292,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeJpeg(sof2) == null)
   }
 
+  test("all container decoders survive adversarial bytes (seeded fuzz)") {
+    val rnd = new scala.util.Random(424242L)
+    val wav = Multimodal.wavEncode(Array.tabulate(100)(i => (i * 7).toShort))
+    val bmp = Multimodal.bmpEncode(Array.tabulate(12)(_.toByte), 12, 1)
+    val png = Multimodal.pngEncode(Array.tabulate(12)(_.toByte), 12, 1)
+    val avi = Multimodal.aviEncode(Array(Array.tabulate(9)(_.toByte)))
+    def fuzzOne(good: Array[Byte], decode: Array[Byte] => Any): Unit = {
+      (0 until 200).foreach { _ =>
+        val mut = good.clone()
+        mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+        decode(mut) // must not throw
+      }
+      (0 until good.length).foreach(n => decode(java.util.Arrays.copyOf(good, n)))
+    }
+    fuzzOne(wav, Multimodal.decodeWav)
+    fuzzOne(bmp, Multimodal.decodeBmp)
+    fuzzOne(png, Multimodal.decodePng)
+    fuzzOne(avi, Multimodal.decodeAvi)
+    // sanity: originals still decode
+    assert(Multimodal.decodeWav(wav) != null && Multimodal.decodeBmp(bmp) != null)
+    assert(Multimodal.decodePng(png) != null && Multimodal.decodeAvi(avi) != null)
+  }
+
   test("decodeJpeg never throws on adversarial bytes (seeded fuzz)") {
     val good = Multimodal.jpegEncodeGray(Array.tabulate(64)(i => i * 3), 8, 8)
     val rnd = new scala.util.Random(20260813L)
