@@ -748,4 +748,54 @@ class StreamingStateSpec extends AnyFunSuite {
       assert(postSwap === batchRebuild(mergedDf))
     } finally { q.stop(); idx.release() }
   }
+
+  test("hot ANN index: concurrent swaps never produce a torn answer") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def vec(id: Long, xs: Seq[Float]): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](id, xs), vecSchema)
+    val corpus = spark.createDataFrame(new java.util.ArrayList[Row](Seq(
+      vec(1, Seq(1.0f, 0.0f)), vec(2, Seq(0.95f, 0.3f)), vec(3, Seq(0.5f, 0.866f)),
+      vec(4, Seq(0.0f, 1.0f)), vec(5, Seq(0.1f, 0.995f))).asJava), vecSchema)
+    val centsA = Array((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val centsB = Array((0L, Seq(0.8, 0.6)), (1L, Seq(0.0, 1.0)))
+    val queries = corpus.filter(col("vec_id") === 1L)
+    def tuples(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select(col("qid"), col("cid"), col("rank")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val idx = new HotAnnIndex(corpus, "vec_id", "embedding", centsA)
+    try {
+      // the only two legal answer sets: fully under A, or fully under B
+      val underA = tuples(idx.answer(queries, k = 3))
+      idx.swapTo(centsB)
+      val underB = tuples(idx.answer(queries, k = 3))
+      assert(underA !== underB, "the two quantizers must disagree for the test to bite")
+      idx.swapTo(centsA)
+
+      // swap A<->B continuously while answering: every observed answer
+      // must be EXACTLY one of the two committed states — a mixed
+      // (torn) assignment/quantizer readout would produce a third set
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val swapper = new Thread(() => {
+        var useB = true
+        while (!stop.get()) {
+          idx.swapTo(if (useB) centsB else centsA)
+          useB = !useB
+        }
+      }, "hot-ann-swapper")
+      swapper.start()
+      try {
+        (0 until 12).foreach { _ =>
+          val seen = tuples(idx.answer(queries, k = 3))
+          assert(seen === underA || seen === underB,
+            s"torn answer: $seen is neither the A nor the B state")
+        }
+      } finally { stop.set(true); swapper.join(10000) }
+    } finally idx.release()
+  }
 }
