@@ -233,6 +233,15 @@ object PipelineQueries {
         "vec_id", "embedding", "label", k = 5)
     }),
 
+    // ---- the same eval riding the IVF index (the 100 TB tier):
+    // narrow cell assignment, nprobe=2 query fan-out, cell equi-join
+    "s12_knn_probe_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnLabelProbeIvf(emb, emb.filter(col("vec_id") < 16),
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 108),
+        "vec_id", "embedding", "label", k = 5, nprobe = 2)
+    }),
+
     // ---- ANN via deterministic sign-LSH buckets
     "s2_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1160,6 +1169,27 @@ object PipelineQueries {
          |  SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS cid, c.label AS cl,
          |         ${cosSql("q.embedding", "c.embedding")} AS cosine
          |  FROM l c JOIN l q ON q.vec_id < 16 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+         |      FROM scored),
+         |votes AS (SELECT qid, ql, cl, count(*) AS votes FROM r WHERE rank <= 5
+         |          GROUP BY qid, ql, cl),
+         |p AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, cl ASC) AS vr
+         |      FROM votes)
+         |SELECT qid, CAST(ql AS BIGINT) AS true_label, CAST(cl AS BIGINT) AS pred_label,
+         |       votes, CAST(ql = cl AS BIGINT) AS correct
+         |FROM p WHERE vr = 1""".stripMargin,
+
+    "s12_knn_probe_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS c, embedding AS ce FROM embeddings
+         |               WHERE vec_id >= 100 AND vec_id < 108),
+         |${ivfAssignSql("assigned", "rn = 1")},
+         |${ivfAssignSql("qprobe", "rn <= 2", "WHERE e.vec_id < 16")},
+         |scored AS (
+         |  SELECT q.vec_id AS qid, ql.label AS ql, c.vec_id AS cid, cl.label AS cl,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM assigned c JOIN qprobe q ON c.cell = q.cell AND q.vec_id <> c.vec_id
+         |  JOIN embeddings ql ON ql.vec_id = q.vec_id
+         |  JOIN embeddings cl ON cl.vec_id = c.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
          |      FROM scored),
          |votes AS (SELECT qid, ql, cl, count(*) AS votes FROM r WHERE rank <= 5

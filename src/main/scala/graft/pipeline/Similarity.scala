@@ -141,6 +141,52 @@ object Similarity {
     val scored = c.join(q, col("qid") =!= col("cid"))
       .select(col("qid"), col("_ql"), col("cid"), col("_cl"),
         cosine(col("_qv"), col("_cv")).as("cosine"))
+    majorityVote(scored, k)
+  }
+
+  /** [[knnLabelProbe]] riding the IVF index — the 100 TB tier: corpus
+    * cell assignment is the narrow argmax fold, queries probe their
+    * `nprobe` nearest cells, candidates come from the cell equi-join
+    * (never a corpus cross join), and the vote runs over
+    * ≤ k·|queries| rows. Same contract otherwise (null labels out,
+    * vote ties → smaller label); recall follows the index
+    * ([[ivfTopK]]'s s9 recall report sizes the nprobe knob for it).
+    */
+  def knnLabelProbeIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(k >= 1 && nprobe >= 1, "knnLabelProbeIvf: k and nprobe must be >= 1")
+    val centArr = centroidLiteral(centroids, idCol, vecCol)
+    val c = corpus.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("cid"), col(vecCol).as("_cv"),
+        col(labelCol).cast("long").as("_cl"))
+      .withColumn("_cell", argmaxCell(col("_cv"), centArr))
+      .filter(col("_cell") >= 0)
+    val q = queries.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("qid"), col(vecCol).as("_qv"),
+        col(labelCol).cast("long").as("_ql"))
+      // cell array materialized BELOW the Generate (the tx4 rule)
+      .withColumn("_cells", topCells(col("_qv"), centArr, nprobe))
+      .select(col("qid"), col("_qv"), col("_ql"), explode(col("_cells")).as("_cell"))
+    val scored = c.join(broadcast(q), Seq("_cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("_ql"), col("cid"), col("_cl"),
+        cosine(col("_qv"), col("_cv")).as("cosine"))
+    majorityVote(scored, k)
+  }
+
+  /** Shared vote kernel: rank candidates (cosine desc, cid asc), keep
+    * k, majority label per query (ties → smaller label). Input rows
+    * (qid, _ql, cid, _cl, cosine); output (qid, true_label,
+    * pred_label, votes, correct).
+    */
+  private def majorityVote(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
     val neighbors = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

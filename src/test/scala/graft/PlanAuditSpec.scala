@@ -579,6 +579,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
   }
 
+  test("s12 IVF kNN probe: cell equi-join with broadcast queries, no corpus cross join") {
+    val p = plan(graft.SparkEntry.queries("s12_knn_probe_ivf")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(4000))
+  }
+
   test("mm4 MJPEG decode: payloads never shuffle past the decode boundary") {
     val p = plan(graft.SparkEntry.queries("mm4_mjpeg_pixels")(spark, dir))
     // exactly ONE exchange: the explicit input spread BEFORE the
