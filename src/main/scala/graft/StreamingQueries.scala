@@ -184,6 +184,20 @@ object StreamingQueries {
       out.select(col("doc_id"), col("n_chars"))
     }),
 
+    // ---- streaming multimodal decode: payload build + partition-local
+    // codec (WAV/BMP/PNG/AVI incl. per-frame MJPEG) run INSIDE the
+    // micro-batch — stateless narrow stages, so the stream's union of
+    // batch outputs equals the batch run and the mm1 oracle applies
+    // verbatim
+    "mm1s_media_stream" -> ((s, dir) => {
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "append", ticks = 4) {
+        case Seq(docs) => graft.pipeline.Multimodal.decodeFeatures(
+          graft.testing.MediaFixtures.syntheticMedia(docs))
+      }
+      out.select(col("media_id"), col("kind"), col("n_bytes"),
+        posexplode(col("feature")).as(Seq("bin", "value")))
+    }),
+
     // ---- streaming MinHash-LSH near-dup pairs: per-bucket rosters in
     // the state store, pairs surface when the second member arrives
     // (possibly batches later); distinct pairs equal the batch
@@ -422,6 +436,7 @@ object StreamingQueries {
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
 
     // batch-equality by construction: reuse the batch oracles verbatim
+    "mm1s_media_stream" -> PipelineQueries.oracles("mm1_media_features"),
     "st4s_quantile_stream" -> PipelineQueries.oracles("st4_quantile_sketch"),
     "d3s_lsh_dedup_stream" -> PipelineQueries.oracles("d3_minhash_lsh"),
     "p2s_pack_stream" -> PipelineQueries.oracles("p2_token_pack"),
