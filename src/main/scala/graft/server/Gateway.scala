@@ -141,7 +141,12 @@ final class Gateway(
           java.util.Base64.getDecoder.decode(h.stripPrefix("Basic ").trim),
           StandardCharsets.UTF_8)
         decoded.split(":", 2) match {
-          case Array(u, p) if simpleAuthUsers.get(u).contains(p) => Some(u)
+          // constant-time compare: a naive String.equals leaks the
+          // matching prefix length through response timing
+          case Array(u, p) if simpleAuthUsers.get(u).exists(expect =>
+            java.security.MessageDigest.isEqual(
+              expect.getBytes(StandardCharsets.UTF_8),
+              p.getBytes(StandardCharsets.UTF_8))) => Some(u)
           case _ => None
         }
       } catch { case NonFatal(_) => None }
@@ -158,8 +163,13 @@ final class Gateway(
     else sessionUser(ex).orElse(basicUser(ex))
 
   private def createSession(user: String): String = {
+    // sweep expired entries here: lazy lookup-purge alone never frees
+    // sessions whose uuid is simply abandoned, a slow leak on a
+    // long-lived gateway; one O(live sessions) pass per login is cheap
+    val now = System.currentTimeMillis()
+    sessions.entrySet().removeIf(e => e.getValue._2 < now)
     val uuid = java.util.UUID.randomUUID().toString
-    sessions.put(uuid, (user, System.currentTimeMillis() + sessionTimeoutMillis))
+    sessions.put(uuid, (user, now + sessionTimeoutMillis))
     uuid
   }
 
