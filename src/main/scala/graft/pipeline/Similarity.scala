@@ -554,9 +554,11 @@ object Similarity {
     val cells = spark.read.parquet(s"$path/cells")
       .withColumn("cell", col("cell").cast("long"))
     val quantizer = spark.read.parquet(s"$path/quantizer")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the FS from the path itself (the stateSnapshot lesson):
+    // FileSystem.get(conf) is the DEFAULT filesystem, which mis-probes
+    // an index saved to s3a://... when defaultFS is file:// or hdfs://
     val cbPath = new org.apache.hadoop.fs.Path(s"$path/codebooks")
+    val fs = cbPath.getFileSystem(spark.sessionState.newHadoopConf())
     val codebooks =
       if (!fs.exists(cbPath)) None
       else Some {
