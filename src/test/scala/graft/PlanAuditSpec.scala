@@ -579,6 +579,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
   }
 
+  test("s10 saved index: probing scans only the queried cell partitions") {
+    // save a small IVF index, then check the cells scan carries a
+    // partition filter (static or dynamic) on `cell` — the layout's
+    // entire point is that serving reads probed directories only
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("audit-annidx").toString
+    graft.pipeline.Similarity.saveIndex(emb,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 108),
+      "vec_id", "embedding", path)
+    val idx = graft.pipeline.Similarity.loadIndex(spark, path)
+    val p = plan(graft.pipeline.Similarity.queryIndex(
+      idx, emb.filter(col("vec_id") < 4), "vec_id", "embedding", k = 3))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    val pruned = p.contains("dynamicpruning") ||
+      "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined
+    assert(pruned, "cells scan must be partition-pruned by the probe join:\n" + p.take(4000))
+  }
+
   test("s12 IVF kNN probe: cell equi-join with broadcast queries, no corpus cross join") {
     val p = plan(graft.SparkEntry.queries("s12_knn_probe_ivf")(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
