@@ -719,6 +719,21 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    // ---- cross-corpus dedup from a PERSISTED reference index: the
+    // reference third is shingled/banded once and saved (band-
+    // partitioned distinct-signature buckets); the new side dedups
+    // against the loaded index — must hash-equal the in-session d10
+    "d15_saved_dedup_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = scopedTmp("graft_dedupidx", dir)
+      Dedup.saveDedupIndex(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", path, n = 3, numHashes = 16, bands = 4)
+      Dedup.crossCorpusDedupWithIndex(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        Dedup.loadDedupIndex(s, path), "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // ---- DSIR importance weights: target = doc_id % 41 == 0 slice,
     // hashed word-bigram buckets, integer-quantized log-ratios
     // the scoring fold with an embedded literal weight table — the
@@ -2128,5 +2143,7 @@ object PipelineQueries {
     "s10_saved_index" -> oracles0("s3_ann_ivf"),
     "s10b_saved_ivfpq" -> oracles0("s5_ann_ivfpq"),
     // the sketch profile's exact tier must equal count(DISTINCT)
-    "st2b_profile_sketch" -> oracles0("st2_numeric_profile"))
+    "st2b_profile_sketch" -> oracles0("st2_numeric_profile"),
+    // dedup from a saved reference index == the in-session d10 run
+    "d15_saved_dedup_index" -> oracles0("d10_cross_dedup"))
 }

@@ -519,14 +519,37 @@ object Dedup {
     // otherwise multiply (|ref group| × |new group| candidate rows) —
     // and the dropped SET needs no pair expansion at all: one
     // semi-join of new docs against the matched-signature values
-    def sigs(df: DataFrame) = df.select(
-      col(idCol).as("_id"), minhashSignature(col(textCol), n, numHashes).as("_sig"))
-    def valBuckets(members: DataFrame) = bandBucketsFromSigs(
-      members.select(col("_sig")).distinct().withColumn("_v", col("_sig")),
+    val newSigs = docSigs(dfNew, idCol, textCol, n, numHashes)
+    dropAgainstRefBuckets(dfNew, newSigs,
+      distinctSigBuckets(docSigs(dfRef, idCol, textCol, n, numHashes), numHashes, bands),
+      idCol, numHashes, bands, threshold)
+  }
+
+  private def docSigs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("_id"), minhashSignature(col(textCol), n, numHashes).as("_sig"))
+
+  /** Banded buckets over DISTINCT signature values: (_sig, band, bh). */
+  private def distinctSigBuckets(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    bandBucketsFromSigs(
+      sigs.select(col("_sig")).distinct().withColumn("_v", col("_sig")),
       "_v", "_sig", numHashes, bands).select(col("_sig"), col("band"), col("bh"))
-    val newSigs = sigs(dfNew)
-    val droppedVals = valBuckets(sigs(dfRef)).as("a")
-      .join(valBuckets(newSigs).as("b"),
+
+  /** Shared [[crossCorpusDedup]] tail: new-side distinct-signature
+    * buckets banded against the (in-session or loaded) reference
+    * buckets, matches verified on exact signature agreement, dropped
+    * ids recovered by one semi-join.
+    */
+  private def dropAgainstRefBuckets(
+      dfNew: DataFrame,
+      newSigs: DataFrame,
+      refBuckets: DataFrame,
+      idCol: String,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
+    val droppedVals = refBuckets.as("a")
+      .join(distinctSigBuckets(newSigs, numHashes, bands).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("a._sig").as("_s1"), col("b._sig").as("_s2"))
       .dropDuplicates("_s1", "_s2")
@@ -536,6 +559,60 @@ object Dedup {
     val droppedIds = newSigs.join(droppedVals, Seq("_sig"), "left_semi")
       .select(col("_id").as(idCol))
     dfNew.join(droppedIds, Seq(idCol), "left_anti")
+  }
+
+  /** Persisted dedup reference index: the banded DISTINCT-signature
+    * buckets of a reference corpus, written once, partitioned by band
+    * — the [[graft.pipeline.Similarity.saveIndex]] lifecycle applied
+    * to dedup. At 100 TB the historical corpus is shingled ONCE;
+    * daily increments then dedup against the saved buckets without
+    * touching historical text (the index build's exchange carries
+    * only distinct signatures, and serving reads bucket rows only).
+    * Fit parameters ride along as metadata so a query cannot silently
+    * bind mismatched shingle/hash/band settings.
+    */
+  def saveDedupIndex(
+      dfRef: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): Unit = {
+    val spark = dfRef.sparkSession
+    import spark.implicits._
+    distinctSigBuckets(docSigs(dfRef, idCol, textCol, n, numHashes), numHashes, bands)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Loaded [[saveDedupIndex]] surface: lazy bucket frame + fit
+    * parameters. */
+  final case class DedupIndex(buckets: DataFrame, n: Int, numHashes: Int, bands: Int)
+
+  def loadDedupIndex(spark: org.apache.spark.sql.SparkSession, path: String): DedupIndex = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    DedupIndex(
+      // partition discovery infers int for the partition column
+      spark.read.parquet(s"$path/bands").withColumn("band", col("band").cast("int")),
+      meta.getAs[Int]("n"), meta.getAs[Int]("num_hashes"), meta.getAs[Int]("bands"))
+  }
+
+  /** [[crossCorpusDedup]] served from a persisted reference index:
+    * identical semantics and tie rules — the d15 gate pins it equal
+    * to the in-session run over the same reference corpus.
+    */
+  def crossCorpusDedupWithIndex(
+      dfNew: DataFrame,
+      index: DedupIndex,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val newSigs = docSigs(dfNew, idCol, textCol, index.n, index.numHashes)
+    dropAgainstRefBuckets(dfNew, newSigs,
+      index.buckets.select(col("_sig"), col("band"), col("bh")),
+      idCol, index.numHashes, index.bands, threshold)
   }
 
   // ---- SimHash ----------------------------------------------------------
