@@ -587,6 +587,27 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Doc-level variant of [[saveDedupIndex]] for PAIR consumers (the
+    * d10s alert stream needs the matching reference doc's id, not
+    * just its signature): writes `(ref_id, _rsig, band, bh)`
+    * partitioned by band. Load with `spark.read.parquet(path)` (cast
+    * `band` back to int) and serve via
+    * [[graft.streaming.StreamingState.crossCorpusDupStreamAgainst]].
+    */
+  def saveDedupPairIndex(
+      dfRef: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): Unit =
+    bandBucketsFromSigs(
+      dfRef.select(col(idCol).as("ref_id"),
+        minhashSignature(col(textCol), n, numHashes).as("_rsig")),
+      "ref_id", "_rsig", numHashes, bands)
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+
   /** Loaded [[saveDedupIndex]] surface: lazy bucket frame + fit
     * parameters. */
   final case class DedupIndex(buckets: DataFrame, n: Int, numHashes: Int, bands: Int)

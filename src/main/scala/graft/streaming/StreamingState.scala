@@ -352,15 +352,40 @@ object StreamingState {
       idOut, sigOut, numHashes, bands)
     val refBands = toBands(ref, "ref_id", "_rsig").cache()
     refBands.count() // materialize before the stream starts
-    toBands(stream, "id", "_sig")
-      .join(refBands, Seq("band", "bh"))
-      .withColumn("est_jaccard", Dedup.sigAgreement(col("_sig"), col("_rsig"), numHashes))
-      .filter(col("est_jaccard") >= lit(threshold))
-      .select(col("id"), col("ref_id"), col("est_jaccard"))
+    crossCorpusDupStreamAgainst(stream, refBands, idCol, textCol,
+      n, numHashes, bands, threshold)
     // a pair agreeing on several bands emits once per band (same est —
     // it comes from the full signatures); `dropDuplicates` downstream
     // if exactly-once pairs matter. Done here it would be a STATEFUL
     // stream dedup (unbounded state) — the caller should scope it.
+  }
+
+  /** [[crossCorpusDupStream]] against an already-built reference band
+    * frame `(ref_id, _rsig, band, bh)` — e.g. doc-level bands loaded
+    * from [[graft.pipeline.Dedup.saveDedupPairIndex]], completing the
+    * build-once lifecycle for the STREAMING admission check: history
+    * is shingled once, the alert stream serves against the loaded
+    * frame (cache it and count() before the stream starts — the
+    * static-side contract above).
+    */
+  def crossCorpusDupStreamAgainst(
+      stream: DataFrame,
+      refBands: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.pipeline.Dedup
+    Dedup.bandBucketsFromSigs(
+      stream.select(col(idCol).as("id"),
+        Dedup.minhashSignature(col(textCol), n, numHashes).as("_sig")),
+      "id", "_sig", numHashes, bands)
+      .join(refBands, Seq("band", "bh"))
+      .withColumn("est_jaccard", Dedup.sigAgreement(col("_sig"), col("_rsig"), numHashes))
+      .filter(col("est_jaccard") >= lit(threshold))
+      .select(col("id"), col("ref_id"), col("est_jaccard"))
   }
 
   /** Streaming ANN serving: a LIVE stream of query vectors probes a

@@ -749,6 +749,54 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally { q.stop(); idx.release() }
   }
 
+  test("cross-dup alert stream served from a persisted pair index equals inline ref") {
+    import org.apache.spark.sql.functions.col
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def doc(id: Long, text: String): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](id, text), docSchema)
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val refDocs = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.List.of(
+        doc(100L, base), doc(101L, "completely different content here entirely"))),
+      docSchema)
+    val arrivals = Seq(
+      doc(1L, base + " ok"), doc(2L, "nothing like anything else at all"),
+      doc(3L, base + " indeed"))
+
+    def runVariant(op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val stream = MemoryStream[Row](Encoders.row(docSchema), sqlCtx)
+      val name = s"xdup_idx_${System.nanoTime()}"
+      val q = op(stream.toDF()).writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("xdup-ckpt").toString)
+        .start()
+      try {
+        stream.addData(arrivals.take(2)); q.processAllAvailable()
+        stream.addData(arrivals.drop(2)); q.processAllAvailable()
+        spark.table(name).select(col("id"), col("ref_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+
+    val inline = runVariant(s =>
+      StreamingState.crossCorpusDupStream(s, refDocs, "doc_id", "text"))
+    val path = Files.createTempDirectory("dedup-pair-idx").toString + "/bands"
+    graft.pipeline.Dedup.saveDedupPairIndex(refDocs, "doc_id", "text", path)
+    val loaded = spark.read.parquet(path).withColumn("band", col("band").cast("int"))
+      .cache()
+    loaded.count() // the static-side contract: materialize before the stream
+    try {
+      val fromIndex = runVariant(s =>
+        StreamingState.crossCorpusDupStreamAgainst(s, loaded, "doc_id", "text"))
+      assert(inline === fromIndex, "loaded index must serve the same alerts")
+      assert(inline.nonEmpty && inline.forall(_._2 === 100L),
+        "near-dup arrivals must alert against the base reference doc")
+    } finally loaded.unpersist()
+  }
+
   test("hot ANN index: concurrent swaps never produce a torn answer") {
     import org.apache.spark.sql.functions.col
     import scala.jdk.CollectionConverters._
