@@ -579,6 +579,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
   }
 
+  test("p15 temperature mix: corpus filter is narrow — no join, no window") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(graft.pipeline.Curation.temperatureMixSample(
+      docs, "doc_id", "source", "text", budget = 3000L))
+    // rates are driver metadata baked in as a when-chain literal: the
+    // corpus pass is a pure filter — no join against a rate frame, no
+    // window, no aggregate in the serving plan
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(3000))
+    assert(!p.contains("HashAggregate"), p.take(3000))
+  }
+
+  test("c5 cluster purity stage: window and totals run over grouped rows only") {
+    // audit the purity stage in isolation (the upstream k-means FIT has
+    // its own seed/refit windows, audited by the c1 cases)
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val assigned = emb.select(col("vec_id"), (col("vec_id") % 8).as("cell"))
+    val p = plan(graft.pipeline.Clustering.clusterLabelPurity(
+      assigned, emb.select(col("vec_id"), col("label")), "vec_id", "label"))
+    // the (cell,label) count aggregate is partial-agg'd; the majority
+    // window sees grouped rows, never corpus rows — exactly one Window
+    // operator (WindowGroupLimit partials are the top-1 pushdown, a
+    // bonus), and no exchange keyed by the raw row id
+    assert("Window \\[".r.findAllIn(p).size === 1, p.take(4000))
+    assert(p.contains("WindowGroupLimit"), p.take(4000))
+    assert(p.contains("partial_count"), p.take(4000))
+    assert(!p.contains("Exchange hashpartitioning(vec_id"), p.take(4000))
+  }
+
   test("s10 saved index: probing scans only the queried cell partitions") {
     // save a small IVF index, then check the cells scan carries a
     // partition filter (static or dynamic) on `cell` — the layout's
