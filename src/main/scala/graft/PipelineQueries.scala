@@ -513,6 +513,27 @@ object PipelineQueries {
         Layout.zValue(zc, 8).as("z"))
     }),
 
+    // ---- partition-scoped upsert: corrections + late additions land
+    // in a source-partitioned corpus; only the touched partition is
+    // read/merged/rewritten (dynamic partition overwrite — the
+    // untouched-partitions-byte-identical property is pinned by
+    // LayoutSpec); result read back from disk vs the merge oracle
+    "z2_partition_upsert" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = scopedTmp("graft_upsert", dir)
+      docs.write.mode("overwrite").partitionBy("source").parquet(root)
+      val updates = docs
+        .filter(col("source") === "src1" && col("doc_id") % 2 === 0)
+        .withColumn("text", concat(col("text"), lit(" [v2]")))
+        .unionByName(docs
+          .filter(col("source") === "src1" && col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+          .withColumn("text", concat(col("text"), lit(" [new]"))))
+      Layout.upsertPartitioned(s, root, updates, "doc_id", "source")
+      s.read.parquet(root).select(col("doc_id"), col("source"), col("n_chars"),
+        length(col("text")).as("text_len"))
+    }),
+
     // ---- bucketed co-located join: both fact tables written bucketed
     // on the join key, so the sort-merge join itself runs with ZERO
     // exchange (plan-audited); the only shuffle left is the final
@@ -1651,6 +1672,21 @@ object PipelineQueries {
         |  max(CASE WHEN rn = CAST(floor(0.9*(n-1)) AS BIGINT) THEN n_chars END) AS p90,
         |  count(*) AS n_docs
         |FROM o GROUP BY lang""".stripMargin,
+
+    // the upsert merge oracle: base rows with src1-even texts
+    // corrected in place, plus the late-addition rows — last-writer-
+    // wins per doc_id reproduced declaratively
+    "z2_partition_upsert" ->
+      """WITH final AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CASE WHEN source = 'src1' AND doc_id % 2 = 0
+        |              THEN text || ' [v2]' ELSE text END AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, source, n_chars, text || ' [new]'
+        |  FROM documents WHERE source = 'src1' AND doc_id % 5 = 0
+        |)
+        |SELECT doc_id, source, n_chars, len(text) AS text_len FROM final""".stripMargin,
 
     // z-key parity: same shift-quantize (no division anywhere — shifts
     // are exact in every engine) and the same interleave positions,

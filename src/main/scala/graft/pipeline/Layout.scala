@@ -132,4 +132,48 @@ object Layout {
       .saveAsTable(table)
     spark.table(table)
   }
+
+  /** Partition-scoped upsert into a partitioned parquet corpus — the
+    * maintenance operation a 100 TB table actually gets: corrections
+    * and late additions land, and ONLY the partitions they touch are
+    * read, merged, and rewritten (dynamic partition overwrite).
+    * Untouched partition directories keep their files byte-identical —
+    * no full-table rewrite, no read of unaffected data (the merge scan
+    * is partition-pruned by an IN filter over the touched partition
+    * values, driver metadata by construction).
+    *
+    * Merge rule: last-writer-wins per `idCol` — an update row replaces
+    * the stored row with its id; a new id inserts. Updates may move a
+    * row ACROSS partitions only if the old partition is also touched
+    * in the same batch (standard hive-style dynamic-overwrite
+    * contract; a cross-partition move whose source partition is not in
+    * the batch would leave the stale copy — callers doing moves
+    * include the source partition's rows).
+    */
+  def upsertPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      updates: DataFrame,
+      idCol: String,
+      partCol: String): Unit = {
+    val touched = updates.select(col(partCol)).distinct().collect()
+      .map(_.get(0)).filter(_ != null)
+    if (touched.isEmpty) return
+    val existing = spark.read.parquet(path)
+      .filter(col(partCol).isin(touched.toIndexedSeq: _*))
+    // updates win: tag, keep max-tag per id (partial-agg'd, one
+    // exchange over the touched partitions only)
+    val merged = graft.state.StateOps.lastByKey(
+      existing.withColumn("_w", lit(0L))
+        .unionByName(updates.withColumn("_w", lit(1L))),
+      Seq(idCol), "_w")
+      .drop("_w")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

@@ -84,4 +84,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(zdir).agg(sum("a"), sum("b")).collect()(0) ===
       df.agg(sum("a"), sum("b")).collect()(0))
   }
+
+  test("partition upsert: only touched partitions rewrite; others stay byte-identical") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert-spec").toString
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L))
+      .toDF("id", "part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(root)
+
+    def snapshot(part: String): Map[String, (Long, Long)] = {
+      val dir = new java.io.File(s"$root/part=$part")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    }
+    val aBefore = snapshot("a")
+    val bBefore = snapshot("b")
+    Thread.sleep(1100) // mtime granularity can be 1s on some filesystems
+
+    // update id 3, insert id 9 — both land in partition b only
+    val updates = Seq((3L, "b", 333L), (9L, "b", 90L)).toDF("id", "part", "v")
+    graft.pipeline.Layout.upsertPartitioned(spark, root, updates, "id", "part")
+
+    assert(snapshot("a") === aBefore, "untouched partition a must keep its exact files")
+    assert(snapshot("b") !== bBefore, "touched partition b must have been rewritten")
+    val rows = spark.read.parquet(root).select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(1L -> 10L, 2L -> 20L, 3L -> 333L, 4L -> 40L, 9L -> 90L))
+  }
 }
