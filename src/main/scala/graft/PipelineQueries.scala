@@ -534,6 +534,18 @@ object PipelineQueries {
         length(col("text")).as("text_len"))
     }),
 
+    // ---- small-file compaction: a fragmented source-partitioned
+    // corpus (6 files per partition) compacts to one file per touched
+    // partition; content must round-trip exactly (file-count and
+    // untouched-partition properties pinned by LayoutSpec)
+    "z3_compacted_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = scopedTmp("graft_compact", dir)
+      docs.repartition(6).write.mode("overwrite").partitionBy("source").parquet(root)
+      Layout.compactPartitions(s, root, "source", maxFiles = 1)
+      s.read.parquet(root).select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // ---- bucketed co-located join: both fact tables written bucketed
     // on the join key, so the sort-merge join itself runs with ZERO
     // exchange (plan-audited); the only shuffle left is the final
@@ -1672,6 +1684,10 @@ object PipelineQueries {
         |  max(CASE WHEN rn = CAST(floor(0.9*(n-1)) AS BIGINT) THEN n_chars END) AS p90,
         |  count(*) AS n_docs
         |FROM o GROUP BY lang""".stripMargin,
+
+    // compaction must be content-neutral: the read-back equals the table
+    "z3_compacted_corpus" ->
+      "SELECT doc_id, source, n_chars FROM documents",
 
     // the upsert merge oracle: base rows with src1-even texts
     // corrected in place, plus the late-addition rows — last-writer-

@@ -150,6 +150,47 @@ object Layout {
     * the batch would leave the stale copy — callers doing moves
     * include the source partition's rows).
     */
+  /** Small-file compaction for a partitioned corpus — the other
+    * standard maintenance op ([[upsertPartitioned]]'s sibling):
+    * streaming/incremental ingest leaves partitions with many small
+    * files, and at 100 TB the fix must NOT be a table rewrite. Lists
+    * partition directories (driver FS metadata), picks those with more
+    * than `maxFiles` data files, and rewrites ONLY those partitions to
+    * one file each (`repartition` on the partition column: every
+    * value's rows land in a single task) via dynamic partition
+    * overwrite — content byte-equal, untouched partitions untouched.
+    * Returns the compacted partition values. String partition columns
+    * (the hive `col=value` layout read back as written).
+    */
+  def compactPartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      partCol: String,
+      maxFiles: Int): Seq[String] = {
+    require(maxFiles >= 1, "maxFiles must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val crowded = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
+      .map(d => java.net.URLDecoder.decode(
+        d.getPath.getName.stripPrefix(partCol + "="), "UTF-8"))
+      .toIndexedSeq
+    if (crowded.isEmpty) return Nil
+    val merged = spark.read.parquet(path)
+      .filter(col(partCol).isin(crowded: _*))
+      .repartition(col(partCol))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    crowded
+  }
+
   def upsertPartitioned(
       spark: org.apache.spark.sql.SparkSession,
       path: String,

@@ -111,4 +111,33 @@ class LayoutSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows === Map(1L -> 10L, 2L -> 20L, 3L -> 333L, 4L -> 40L, 9L -> 90L))
   }
+
+  test("compaction: crowded partitions collapse to one file, quiet ones untouched") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-spec").toString
+    // partition a: fragmented (4 files); partition b: already compact (1 file)
+    (1 to 40).map(i => (i.toLong, "a", i.toLong)).toDF("id", "part", "v")
+      .repartition(4).write.mode("overwrite").partitionBy("part").parquet(root)
+    (101 to 110).map(i => (i.toLong, "b", i.toLong)).toDF("id", "part", "v")
+      .coalesce(1).write.mode("append").partitionBy("part").parquet(root)
+
+    def files(part: String): Map[String, (Long, Long)] = {
+      val dir = new java.io.File(s"$root/part=$part")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    }
+    assert(files("a").size === 4 && files("b").size === 1)
+    val bBefore = files("b")
+    Thread.sleep(1100)
+
+    val before = spark.read.parquet(root).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val compacted = graft.pipeline.Layout.compactPartitions(spark, root, "part", maxFiles = 1)
+    assert(compacted === Seq("a"), "only the fragmented partition compacts")
+    assert(files("a").size === 1, "partition a must collapse to one file")
+    assert(files("b") === bBefore, "partition b must keep its exact files")
+    val after = spark.read.parquet(root).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before, "compaction must be content-neutral")
+  }
 }
