@@ -35,8 +35,10 @@ object ScaleSmoke {
     "tx13_encoding_quality", "p14_chunking", "j5_range_join",
     "j6_salted_join",
     // round 7: per-frame MJPEG bitstream decode (codec-bound — linear
-    // in total frame pixels), sketch-tier numeric profile
-    "mm4_mjpeg_pixels", "st2b_profile_sketch")
+    // in total frame pixels), sketch-tier numeric profile, saved dedup
+    // index (build + serve), partition-scoped upsert (write-heavy)
+    "mm4_mjpeg_pixels", "st2b_profile_sketch", "d15_saved_dedup_index",
+    "z2_partition_upsert")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
