@@ -309,6 +309,19 @@ object StreamingQueries {
           col("count").as("n"))
     }),
 
+    // ---- streaming running distinct counts: per-key DSketch in the
+    // state store; fed ≤ k distinct values the final emission per key
+    // is EXACT (the batch count-distinct oracle applies verbatim)
+    "st6s_distinct_stream" -> ((s, dir) => {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "event_id")), "update", ticks = 4) {
+        case Seq(ev) => StreamingState.distinctCountStream(
+          ev.select(col("event_type"), col("user_id")), Seq("event_type"), "user_id")
+      }
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      out.withColumn("_mx", max(col("n")).over(w)).filter(col("n") === col("_mx"))
+        .select(col("event_type"), col("n"), col("n_distinct"))
+    }),
+
     // ---- streaming k-means refit: narrow assignment against a FIXED
     // literal quantizer (generated here, mirrored into the oracle SQL
     // — the dsirStubWeights pattern), sharded integer partials in the
@@ -478,6 +491,12 @@ object StreamingQueries {
         |        ORDER BY n DESC, token ASC) AS rank FROM ct)
         |SELECT lang, CAST(rank AS BIGINT) AS rank, token, CAST(n AS BIGINT) AS n
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    // the exact tier: final per-key state == batch count(DISTINCT)
+    "st6s_distinct_stream" ->
+      """SELECT event_type, CAST(count(user_id) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // literal quantizer assignment (cos desc, cell asc, NaN-guarded —
     // the IVF rule) + per-cell count and integer micro-sums

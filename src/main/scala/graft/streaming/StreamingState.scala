@@ -805,6 +805,77 @@ object StreamingState {
       }
   }
 
+  /** Streaming running distinct counts: one [[graft.functions.DSketch]]
+    * per key in the state store, updated per micro-batch; every batch
+    * that touches a key emits the key's refreshed count row (update
+    * mode — the processed-value count `n` strictly grows and is the
+    * recency key, the st5s contract). Two-tier like the batch
+    * aggregate: EXACT while a key has seen ≤ `k` distinct values (the
+    * st6s gate tier — DuckDB `count(DISTINCT …)` applies verbatim),
+    * bounded-error HLL beyond, with constant-size state either way.
+    * Values enter via the batch aggregate's exact representation
+    * (`doubleToLongBits` of the double cast), so batch and stream
+    * agree bit-for-bit on what "distinct" means.
+    */
+  def distinctCountStream(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      k: Int = 1 << 16,
+      p: Int = 14): DataFrame = {
+    require(keys.nonEmpty, "distinctCountStream requires at least one key")
+    val withVal = df.withColumn("_graft_dv", col(valueCol).cast("double"))
+    val schema = withVal.schema
+    val n = schema.length
+    val keyIdxs = keys.map(schema.fieldIndex)
+    val valIdx = schema.fieldIndex("_graft_dv")
+    val outSchema = StructType(
+      keys.map(schema(_)) ++ Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_distinct",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.BINARY
+    implicit val outEnc = Encoders.row(outSchema)
+    // state carries (processed-count, sketch) — the count rides in the
+    // first 8 bytes ahead of the sketch's own serialized form
+    withVal.withColumn("_graft_gk", groupKeyExpr(schema, keys))
+      .groupByKey((r: Row) => r.getString(n))
+      .flatMapGroupsWithState[Array[Byte], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Array[Byte]]) =>
+          val (seen0, sketch) = state.getOption match {
+            case Some(bytes) =>
+              val bb = java.nio.ByteBuffer.wrap(bytes)
+              val c = bb.getLong
+              (c, graft.functions.DSketch.deserialize(
+                java.util.Arrays.copyOfRange(bytes, 8, bytes.length)))
+            case None => (0L, new graft.functions.DSketch(k, p))
+          }
+          var seen = seen0
+          var last: Row = null
+          rows.foreach { r =>
+            last = r
+            if (!r.isNullAt(valIdx)) {
+              val d0 = r.getDouble(valIdx)
+              val d = if (d0 == 0.0) 0.0 else if (d0 != d0) Double.NaN else d0
+              sketch.add(java.lang.Double.doubleToLongBits(d))
+              seen += 1
+            }
+          }
+          if (seen == seen0) Iterator.empty
+          else {
+            val sk = sketch.serialize
+            val out = java.nio.ByteBuffer.allocate(8 + sk.length)
+            out.putLong(seen).put(sk)
+            state.update(out.array())
+            Iterator.single(Row.fromSeq(
+              keyIdxs.map(last.get) ++ Seq(Long.box(seen), Long.box(sketch.estimate))))
+          }
+      }
+  }
+
   /** Read the executor-side state of a [[lastByKeyStream]] query back
     * as a batch DataFrame via Spark's `statestore` data source — the
     * cluster serving path for T2/T3: state stays sharded in the
