@@ -532,6 +532,46 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("checkpoint recovery: the distinct-count sketch state survives a restart") {
+    // the custom (count ++ sketch-bytes) state layout is what restart
+    // must round-trip: values seen BEFORE the kill must not recount as
+    // new distincts after it
+    implicit val sqlCtx = spark.sqlContext
+    val s2 = StructType(Seq(
+      StructField("g", StringType), StructField("v", LongType)))
+    def r2(g: String, v: Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](g, v), s2)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]
+    def sinkTo(b: java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)])(
+        df: org.apache.spark.sql.Dataset[Row], @annotation.unused id: Long): Unit =
+      df.collect().foreach(r => b.add((r.getString(0), r.getLong(1), r.getLong(2))))
+    val ckpt = Files.createTempDirectory("recov-dsk-ckpt").toString
+    val stream = MemoryStream[Row](Encoders.row(s2), sqlCtx)
+    val out = StreamingState.distinctCountStream(stream.toDF(), Seq("g"), "v")
+    val q1 = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo(buf) _).start()
+    stream.addData(r2("a", 1), r2("a", 2), r2("b", 10))
+    q1.processAllAvailable()
+    q1.stop() // kill mid-run
+
+    // post-restart: repeats of pre-kill values + genuinely new ones
+    stream.addData(r2("a", 1), r2("a", 3), r2("b", 10))
+    val resumed = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]
+    val q2 = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo(resumed) _).start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val fin = resumed.asScala.toSeq.groupBy(_._1)
+        .map { case (g, rs) => g -> rs.maxBy(_._2) }
+      // a: seen 4 values, distinct {1,2,3} = 3 (repeat of 1 NOT recounted)
+      assert(fin("a") === (("a", 4L, 3L)))
+      // b: repeat only — n grows, distinct stays 1
+      assert(fin("b") === (("b", 2L, 1L)))
+    } finally q2.stop()
+  }
+
   test("checkpoint recovery: an OPEN session window survives a restart") {
     // a session that is still open when the query dies must resume
     // with its start time and counts intact — the emitted (closed)
