@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputT
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graft.{ColumnBridge, TypeBridge}
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
 
 /** Mergeable distinct-count sketch: exact value set up to capacity
   * `k`, HyperLogLog registers above it (Flajolet et al. 2007, the
@@ -160,7 +160,8 @@ case class DistinctSketchAgg(
     k: Int,
     p: Int,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    emitState: Boolean = false)
   extends TypedImperativeAggregate[DSketch] with UnaryLike[Expression]
   with ImplicitCastInputTypes {
 
@@ -180,12 +181,15 @@ case class DistinctSketchAgg(
 
   override def merge(b: DSketch, o: DSketch): DSketch = { b.mergeWith(o); b }
 
-  override def eval(b: DSketch): Any = b.estimate
+  // emitState: the sketch's canonical bytes (exact tier sorts its
+  // value set, so a given value SET has ONE byte image) — the
+  // persistable partial for incremental profile maintenance
+  override def eval(b: DSketch): Any = if (emitState) b.serialize else b.estimate
 
   override def serialize(b: DSketch): Array[Byte] = b.serialize
   override def deserialize(bytes: Array[Byte]): DSketch = DSketch.deserialize(bytes)
 
-  override def dataType: DataType = LongType
+  override def dataType: DataType = if (emitState) BinaryType else LongType
   override def nullable: Boolean = false
 
   override def withNewMutableAggBufferOffset(o: Int): DistinctSketchAgg =
@@ -197,6 +201,60 @@ case class DistinctSketchAgg(
   override def prettyName: String = "graft_distinct_sketch"
 }
 
+/** `graft_sketch_merge(stateCol)` — folds serialized [[DSketch]] states
+  * (the `emitState` output, round-tripped through parquet BINARY) back
+  * into one sketch and evaluates the distinct-count estimate. This is
+  * the finalize side of incremental profile maintenance: profile 100 TB
+  * once, persist the per-column states, then each daily delta is ONE
+  * scan of the delta plus a metadata-sized state merge — never a
+  * re-scan of the base corpus.
+  */
+case class SketchMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DSketch] with UnaryLike[Expression]
+  with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[TypeBridge.AbstractDataType] = Seq(BinaryType)
+
+  // shape (k, p) is read from the first state seen; a null buffer
+  // marks "nothing merged yet" so empty groups stay well-defined
+  override def createAggregationBuffer(): DSketch = null
+
+  private def fold(b: DSketch, bytes: Array[Byte]): DSketch = {
+    val o = DSketch.deserialize(bytes)
+    if (b == null) o else { b.mergeWith(o); b }
+  }
+
+  override def update(b: DSketch, input: InternalRow): DSketch = {
+    val v = child.eval(input)
+    if (v == null) b else fold(b, v.asInstanceOf[Array[Byte]])
+  }
+
+  override def merge(b: DSketch, o: DSketch): DSketch =
+    if (o == null) b else if (b == null) o else { b.mergeWith(o); b }
+
+  override def eval(b: DSketch): Any = if (b == null) 0L else b.estimate
+
+  // a null buffer serializes as empty bytes; deserialize mirrors it
+  override def serialize(b: DSketch): Array[Byte] =
+    if (b == null) Array.emptyByteArray else b.serialize
+  override def deserialize(bytes: Array[Byte]): DSketch =
+    if (bytes.isEmpty) null else DSketch.deserialize(bytes)
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(o: Int): SketchMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SketchMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): SketchMergeAgg =
+    copy(child = newChild)
+  override def prettyName: String = "graft_sketch_merge"
+}
+
 object DistinctSketch {
   /** Column wrapper: `distinctCount($"l_orderkey")`. Exact below `k`
     * distincts, ~0.8%-error HLL above. */
@@ -204,4 +262,18 @@ object DistinctSketch {
     ColumnBridge.column(
       DistinctSketchAgg(ColumnBridge.expression(c.cast("double")), k, p)
         .toAggregateExpression())
+
+  /** The same aggregate, evaluating to the sketch's serialized state
+    * (BINARY) instead of the estimate — persist it, then finalize any
+    * union of states with [[mergeSketches]]. */
+  def sketchState(c: Column, k: Int = 1 << 16, p: Int = 14): Column =
+    ColumnBridge.column(
+      DistinctSketchAgg(ColumnBridge.expression(c.cast("double")), k, p,
+        emitState = true)
+        .toAggregateExpression())
+
+  /** Merge serialized sketch states and evaluate the distinct count. */
+  def mergeSketches(c: Column): Column =
+    ColumnBridge.column(
+      SketchMergeAgg(ColumnBridge.expression(c)).toAggregateExpression())
 }

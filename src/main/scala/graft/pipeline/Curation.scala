@@ -557,6 +557,51 @@ object Curation {
         "as (column, n_nulls, n_distinct, min_v, max_v)"))
   }
 
+  /** The persistable HALF of [[numericProfileSketch]]: one fused scan
+    * emitting, per column, the mergeable partial state — row/null
+    * counts, min/max, and the distinct sketch's serialized bytes —
+    * instead of finalized numbers. Write it to parquet next to the
+    * data it profiles; [[finalizeProfileStates]] folds any union of
+    * states (base + deltas) back into the finished profile.
+    *
+    * This is incremental statistics maintenance at 100 TB: the base
+    * corpus is scanned ONCE ever; each new partition/day costs one
+    * delta-sized scan plus a merge over metadata-sized state rows
+    * (states are O(columns × sketch size), independent of row count).
+    */
+  def numericProfileState(df: DataFrame, cols: Seq[String],
+      sketchK: Int = 1 << 16): DataFrame = {
+    require(cols.nonEmpty, "numericProfileState needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      graft.functions.DistinctSketch.sketchState(col(c), sketchK)
+        .as(s"${c}__sk"),
+      min(col(c).cast("double")).as(s"${c}__min"),
+      max(col(c).cast("double")).as(s"${c}__max")))
+    val parts = cols.map(c =>
+      s"'$c', `${c}__nulls`, `${c}__sk`, `${c}__min`, `${c}__max`")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, ${parts.mkString(", ")}) " +
+        "as (column, n_nulls, sketch, min_v, max_v)"))
+  }
+
+  /** Fold persisted [[numericProfileState]] rows (any number of
+    * snapshots unioned together) into the finished profile — the same
+    * output shape as [[numericProfileSketch]]. The group-by key space
+    * is the COLUMN LIST, so this aggregates metadata, not data: cost
+    * is independent of the corpus size the states summarize.
+    */
+  def finalizeProfileStates(states: DataFrame): DataFrame =
+    states.groupBy("column")
+      .agg(
+        sum(col("n_nulls")).as("n_nulls"),
+        graft.functions.DistinctSketch.mergeSketches(col("sketch"))
+          .as("n_distinct"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+      .select(col("column"), col("n_nulls"), col("n_distinct"),
+        col("min_v"), col("max_v"))
+
   // ---- corpus snapshot diff ----------------------------------------------
 
   /** Delta between two corpus snapshots: which documents were added,
@@ -713,6 +758,89 @@ object Curation {
     * oracle that must replay the identical float expression tree. */
   def bm25Constants(k1: Double = 1.2, b: Double = 0.75): (String, String, String, String) =
     ((k1 + 1.0).toString, (1.0 - b).toString, k1.toString, b.toString)
+
+  // ---- phrase search over a positional inverted index ---------------------
+
+  /** Positional postings: one row per token occurrence — (term, id,
+    * pos), pos 1-based. The materialized form is partitioned by a
+    * stable hash bucket of the term (`_tb`), so a phrase query reads
+    * only its terms' buckets (partition-pruned) instead of the corpus.
+    */
+  def positionalPostings(df: DataFrame, idCol: String, textCol: String,
+      termBuckets: Int = 256): DataFrame =
+    df.select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("_p0", "term")))
+      .select(col("term"), col(idCol), (col("_p0") + 1).cast("long").as("pos"),
+        pmod(abs(hash(col("term"))), lit(termBuckets)).as("_tb"))
+
+  /** Build the index on disk: postings parquet partitioned by term
+    * bucket. 100 TB shape: one explode scan + one partitioned write;
+    * queries after that never touch the corpus.
+    */
+  def buildPhraseIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, termBuckets: Int = 256): Unit =
+    positionalPostings(df, idCol, textCol, termBuckets)
+      .write.mode("overwrite").partitionBy("_tb").parquet(path)
+
+  /** Exact phrase query against a built index: documents containing
+    * the consecutive token sequence `phrase`, with occurrence count
+    * and first match position.
+    *
+    * Scale shape: the scan is pruned twice BEFORE any join — partition
+    * pruning on the term buckets (`_tb IN (...)` reaches the
+    * FileSourceScan) then a pushed `term IN (...)` filter — so the
+    * join chain sees only the phrase's own postings (inverted-index
+    * selectivity), shuffled by (id, aligned position). Each chain step
+    * is an equi-join on (id, start), i.e. posting-list intersection
+    * with positional alignment, the standard phrase plan (cf. Lucene's
+    * ExactPhraseMatcher over term postings).
+    */
+  def phraseSearch(index: DataFrame, idCol: String, phrase: Seq[String],
+      termBuckets: Int = 256): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one term")
+    val pruned = index
+      .filter(col("_tb").isin(phraseTermBuckets(index, phrase, termBuckets): _*))
+      .filter(col("term").isin(phrase: _*))
+    val start = pruned.filter(col("term") === phrase.head)
+      .select(col(idCol), col("pos").as("_start"))
+    val aligned = phrase.zipWithIndex.drop(1).foldLeft(start) {
+      case (acc, (t, i)) =>
+        acc.join(
+          pruned.filter(col("term") === t)
+            .select(col(idCol), (col("pos") - i).as("_start")),
+          Seq(idCol, "_start"))
+    }
+    aligned.groupBy(idCol)
+      .agg(count(lit(1)).as("hits"), min(col("_start")).as("first_pos"))
+  }
+
+  /** The term→bucket map used by both build and query sides, computed
+    * through Spark's own `hash()` so the two can never drift — a
+    * one-row literal projection (LocalTableScan, no corpus touch). */
+  private def phraseTermBuckets(index: DataFrame, phrase: Seq[String],
+      termBuckets: Int): Seq[Int] = {
+    val cols = phrase.map(t => pmod(abs(hash(lit(t))), lit(termBuckets)))
+    val row = index.sparkSession.range(1).select(cols: _*).head()
+    phrase.indices.map(row.getInt).distinct
+  }
+
+  /** Document-local phrase count — the scan path to [[phraseSearch]]'s
+    * index path: a single narrow array expression (zero shuffle, full
+    * codegen), right when the query set is small and the corpus scan
+    * is already paid. Counts start positions of the consecutive run.
+    */
+  def phraseHits(text: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "phraseHits needs at least one term")
+    val toks = TextFunctions.tokens(text)
+    // sequence(1, n) is DESCENDING for n < 1 — gate the short-doc case
+    // out before building the start list
+    val counted = size(filter(
+      sequence(lit(1), size(toks) - lit(phrase.size - 1)), i =>
+        phrase.zipWithIndex.map { case (t, j) =>
+          element_at(toks, (i + lit(j)).cast("int")) === lit(t)
+        }.reduceLeft(_ && _)))
+    when(size(toks) >= lit(phrase.size), counted).otherwise(lit(0))
+  }
 
   // ---- importance weighting (DSIR) ---------------------------------------
 

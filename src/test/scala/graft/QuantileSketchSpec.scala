@@ -168,6 +168,32 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(hllBack.estimate >= hll.estimate)
   }
 
+  test("sketch state persists and merges: incremental == one-shot, both tiers") {
+    import spark.implicits._
+    import graft.functions.DistinctSketch
+    // exact tier: state-merge must equal the one-shot EXACT count
+    val a = (0 until 400).map(i => (i * 7L) % 500).toDF("v")
+    val b = (0 until 400).map(i => (i * 11L + 3) % 500).toDF("v")
+    val stA = a.agg(DistinctSketch.sketchState(col("v"), k = 2048).as("sketch"))
+    val stB = b.agg(DistinctSketch.sketchState(col("v"), k = 2048).as("sketch"))
+    val merged = stA.unionAll(stB)
+      .agg(DistinctSketch.mergeSketches(col("sketch"))).collect()(0).getLong(0)
+    val exact = a.unionAll(b).distinct().count()
+    assert(merged === exact)
+    // HLL tier: state-merge must equal the one-shot sketch ESTIMATE
+    // (register-max is merge-order independent)
+    val big1 = (0 until 30000).map(i => i * 13L).toDF("v")
+    val big2 = (15000 until 45000).map(i => i * 13L).toDF("v")
+    val inc = big1.agg(DistinctSketch.sketchState(col("v"), k = 1024).as("sketch"))
+      .unionAll(big2.agg(DistinctSketch.sketchState(col("v"), k = 1024).as("sketch")))
+      .agg(DistinctSketch.mergeSketches(col("sketch"))).collect()(0).getLong(0)
+    val oneShot = big1.unionAll(big2)
+      .agg(DistinctSketch.distinctCount(col("v"), k = 1024)).collect()(0).getLong(0)
+    assert(inc === oneShot)
+    // and the estimate is sane for the true 45000-distinct union
+    assert(math.abs(inc - 45000.0) / 45000.0 < 0.03)
+  }
+
   test("SQL surface: graft_distinct_sketch coerces an int column at analysis") {
     import spark.implicits._
     (1 to 100).map(i => i % 40).toDF("v").createOrReplaceTempView("dsk_t")
