@@ -741,6 +741,19 @@ object PipelineQueries {
       Curation.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "window", "merge"), k = 10)),
 
+    // ---- exact phrase search over a PERSISTED positional inverted
+    // index: postings built once (partitioned by term hash bucket),
+    // then the query prunes to its terms' partitions and intersects
+    // posting lists by (doc, aligned position) — a corpus query that
+    // never re-reads the corpus. PlanAuditSpec pins the partition
+    // pruning; CurationSpec pins index path == document-local scan path
+    "tx14_phrase_search" -> ((s, dir) => {
+      val idx = scopedTmp("graft_tx14", dir) + "/idx"
+      Curation.buildPhraseIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      Curation.phraseSearch(s.read.parquet(idx), "doc_id",
+        Seq("big", "order", "scan"))
+    }),
+
     // ---- cross-corpus dedup: new shard (doc_id % 3 != 0) deduped
     // against the reference shard via MinHash band buckets — survivors
     "d10_cross_dedup" -> ((s, dir) => {
@@ -871,6 +884,27 @@ object PipelineQueries {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
           "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
         sketchK = 1 << 18)),
+
+    // ---- incremental profile maintenance: profile the "base" half of
+    // lineitem ONCE, persist the mergeable per-column state to parquet,
+    // then fold a "delta" half's fresh state on top WITHOUT re-scanning
+    // the base — the finalized result must equal the full-scan profile
+    // (st2's exact oracle; the sketch exact tier makes merge order
+    // immaterial). The 100 TB story: daily stats cost one delta scan
+    // plus a metadata-sized merge, never a base re-scan.
+    "st7_incremental_profile" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = t(s, dir, "lineitem")
+      val stateDir = scopedTmp("graft_st7", dir) + "/state"
+      Curation.numericProfileState(li.filter(col("l_orderkey") % 2 === 0),
+          cols, sketchK = 1 << 18)
+        .write.mode("overwrite").parquet(stateDir)
+      val baseState = s.read.parquet(stateDir) // round-trip through disk
+      val deltaState = Curation.numericProfileState(
+        li.filter(col("l_orderkey") % 2 =!= 0), cols, sketchK = 1 << 18)
+      Curation.finalizeProfileStates(baseState.unionByName(deltaState))
+    }),
 
     // ---- fastText-style hashed linear classifier: per-doc logit over
     // LCG demo weights + keep decision — narrow, zero shuffle
@@ -1923,6 +1957,16 @@ object PipelineQueries {
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h""".stripMargin,
 
+    "tx14_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |p AS (SELECT doc_id, unnest(generate_series(1, len(w)-2)) AS i, w
+         |      FROM t WHERE len(w) >= 3),
+         |m AS (SELECT doc_id, i FROM p
+         |      WHERE w[i]='big' AND w[i+1]='order' AND w[i+2]='scan')
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS hits,
+         |       CAST(min(i) AS BIGINT) AS first_pos
+         |FROM m GROUP BY doc_id""".stripMargin,
+
     // the engine folds (k1+1), (1-b) driver-side; the SAME doubles are
     // rendered here so both engines replay one float expression tree
     "tx11_bm25_search" -> {
@@ -2196,6 +2240,7 @@ object PipelineQueries {
     "s10b_saved_ivfpq" -> oracles0("s5_ann_ivfpq"),
     // the sketch profile's exact tier must equal count(DISTINCT)
     "st2b_profile_sketch" -> oracles0("st2_numeric_profile"),
+    "st7_incremental_profile" -> oracles0("st2_numeric_profile"),
     // dedup from a saved reference index == the in-session d10 run
     "d15_saved_dedup_index" -> oracles0("d10_cross_dedup"))
 }

@@ -327,4 +327,32 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(out === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false))
   }
+
+  test("phrase search: index path equals the document-local scan path") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big order scan runs a big order scan today"), // 2 hits
+      (2L, "big order but no scan here"),                 // near miss
+      (3L, "order scan big"),                             // wrong order
+      (4L, "big order scan"),                             // exact doc
+      (5L, ""),                                           // empty
+      (6L, "scan")                                        // shorter than phrase
+    ).toDF("doc_id", "text")
+    val phrase = Seq("big", "order", "scan")
+    val viaScan = docs
+      .select(col("doc_id"), Curation.phraseHits(col("text"), phrase).as("hits"))
+      .filter(col("hits") > 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaScan === Map(1L -> 2, 4L -> 1))
+    val idxPath = java.nio.file.Files.createTempDirectory("phrase-idx").toString
+    Curation.buildPhraseIndex(docs, "doc_id", "text", idxPath)
+    val viaIndex = Curation.phraseSearch(
+        spark.read.parquet(idxPath), "doc_id", phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaIndex.toSet === Set((1L, 2L, 1L), (4L, 1L, 1L)))
+    // single-term phrase degenerates to a postings lookup
+    val single = Curation.phraseSearch(spark.read.parquet(idxPath), "doc_id",
+        Seq("scan")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 6L -> 1L))
+  }
 }

@@ -633,6 +633,20 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(4000))
   }
 
+  test("tx14 phrase index: query prunes to the phrase terms' bucket partitions") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val path = java.nio.file.Files.createTempDirectory("audit-phraseidx").toString
+    graft.pipeline.Curation.buildPhraseIndex(docs, "doc_id", "text", path)
+    val p = plan(graft.pipeline.Curation.phraseSearch(
+      spark.read.parquet(path), "doc_id", Seq("big", "order", "scan")))
+    // the index scan must carry a static partition filter on _tb (the
+    // term-bucket layout is the whole point: a phrase query reads its
+    // terms' directories, not the corpus-wide postings)
+    assert("PartitionFilters: \\[[^\\]]*_tb".r.findFirstIn(p).isDefined, p.take(4000))
+    // and the term IN (...) residual is pushed to the parquet reader
+    assert("PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(p).isDefined, p.take(4000))
+  }
+
   test("mm4 MJPEG decode: payloads never shuffle past the decode boundary") {
     val p = plan(graft.SparkEntry.queries("mm4_mjpeg_pixels")(spark, dir))
     // exactly ONE exchange: the explicit input spread BEFORE the
