@@ -914,6 +914,16 @@ object PipelineQueries {
           Curation.lcgWeights(1024), 1024).as("logit"))
         .withColumn("keep", col("logit") > lit(0.0))),
 
+    // ---- TRAIN the quality classifier (p9 is inference): full-batch
+    // logistic regression on hashed token-bucket features, label =
+    // "is English". The fixed-point gradient (round(contrib*1e6),
+    // exact integer sum) makes the weights bit-reproducible across
+    // partition orders AND engines — the oracle replays the identical
+    // three GD iterations in SQL and must land on the same doubles
+    "p16_classifier_train" -> ((s, dir) =>
+      Curation.trainHashedLogreg(t(s, dir, "documents"), "text",
+        col("lang") === "en", dims = 8, iters = 3, lr = 0.5)),
+
     // ---- top-20% quality selection per language (exact windowed cut;
     // ties -> lowest id) over the tx2 quality score
     "p8_quality_select" -> ((s, dir) =>
@@ -1956,6 +1966,40 @@ object PipelineQueries {
         |            ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h""".stripMargin,
+
+    // the oracle unrolls the SAME three fixed-point GD iterations: per
+    // doc the float tree (normalize → dot → sigmoid → contrib) is
+    // evaluated in the engine's exact operation order, quantized to
+    // BIGINT at 1e6, summed exactly, and folded into the next weights
+    // with the identical ((g/scale)/n)*lr association
+    "p16_classifier_train" -> {
+      val dims = 8; val iters = 3
+      val tHash = s"CASE WHEN t = '' THEN 0 ELSE ${phSql("t")} END"
+      val uCols = (0 until dims).map(j =>
+        s"CAST(len(list_filter(w, t -> ($tHash) % $dims = $j)) AS DOUBLE)" +
+          s"/CAST(len(w) AS DOUBLE) AS u$j").mkString(", ")
+      val fCte =
+        s"f AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, $uCols" +
+          " FROM (SELECT lang, string_split(text,' ') AS w FROM documents))"
+      def wRef(it: Int, j: Int): String = if (it == 0) "0.0" else s"w$j"
+      val iterCtes = (1 to iters).map { it =>
+        val z = (0 until dims).map(j => s"${wRef(it - 1, j)}*u$j").mkString(" + ")
+        val gs = (0 until dims).map(j =>
+          s"sum(CAST(round((1.0/(1.0 + exp(-($z))) - y) * u$j * 1000000.0) " +
+            s"AS BIGINT)) AS g$j").mkString(", ")
+        val src = if (it == 1) "f" else s"f CROSS JOIN w${it - 1}"
+        val ws = (0 until dims).map(j =>
+          s"${wRef(it - 1, j)} - 0.5*(CAST(g$j AS DOUBLE)/1000000.0" +
+            s"/CAST(n AS DOUBLE)) AS w$j").mkString(", ")
+        val wSrc = if (it == 1) s"g$it" else s"g$it CROSS JOIN w${it - 1}"
+        s"g$it AS (SELECT $gs, count(*) AS n FROM $src),\n" +
+          s"w$it AS (SELECT $ws FROM $wSrc)"
+      }.mkString(",\n")
+      val unpivot = (0 until dims).map(j =>
+        s"SELECT CAST($j AS BIGINT) AS dim, w$j AS weight FROM w$iters")
+        .mkString("\nUNION ALL ")
+      s"WITH $fCte,\n$iterCtes\n$unpivot"
+    },
 
     "tx14_phrase_search" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),

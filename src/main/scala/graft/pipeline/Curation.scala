@@ -970,6 +970,68 @@ object Curation {
     (0 until buckets).map(b =>
       ((1103515245L * b + 12345L) % 2000003L - 1000001L) / 1000001.0)
 
+  /** TRAIN the hashed-bag-of-words logistic-regression quality
+    * classifier (the fastText-style linear model whose inference path
+    * is [[linearClassifierScore]]) by full-batch gradient descent —
+    * distributed, deterministic, and cross-engine reproducible.
+    *
+    * Determinism is the hard part at scale: a double gradient summed
+    * over shuffled partitions is not associative, so the same data can
+    * yield different weights run to run. Here each document's gradient
+    * contribution is quantized to a FIXED-POINT long
+    * (`round(contrib × scale)`) and the cross-row sum is exact integer
+    * arithmetic — any partition order, any engine, same weights. The
+    * float work (sigmoid, normalization) stays per-document where
+    * evaluation order is fixed by the expression tree.
+    *
+    * Shape per iteration: one scan of the cached normalized features,
+    * map-side partial sums, a single `dims+1`-long aggregate row to
+    * the driver; the model (`dims` doubles) is driver-held bounded
+    * metadata, re-broadcast as literals each pass — exactly how a
+    * linear probe over 100 TB should run. Features are L1-normalized
+    * token-bucket counts, so documents of any length keep the sigmoid
+    * in its responsive range.
+    *
+    * Returns one row per model coefficient: (dim, weight).
+    */
+  def trainHashedLogreg(
+      df: DataFrame,
+      textCol: String,
+      label: Column,
+      dims: Int = 8,
+      iters: Int = 3,
+      lr: Double = 0.5,
+      scale: Double = 1e6): DataFrame = {
+    require(dims >= 1 && iters >= 1, "need at least one dim and one iteration")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = TextFunctions.tokens(col(textCol))
+    // split('',' ') = [''] and polyHash('') = 0, so n_tokens >= 1
+    // always — no zero-division branch, matching the oracle's SQL
+    val featCols = (0 until dims).map { j =>
+      (size(filter(toks, t => TextFunctions.polyHash(t) % lit(dims.toLong) === lit(j.toLong)))
+        .cast("double") / size(toks).cast("double")).as(s"_u$j")
+    }
+    val feats = df.select(label.cast("double").as("_y") +: featCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var w = Array.fill(dims)(0.0)
+    try {
+      for (_ <- 1 to iters) {
+        val z = (0 until dims).map(j => lit(w(j)) * col(s"_u$j")).reduce(_ + _)
+        val err = lit(1.0) / (lit(1.0) + exp(-z)) - col("_y")
+        val aggs = (0 until dims).map(j =>
+          sum(round(err * col(s"_u$j") * lit(scale)).cast("long")).as(s"_g$j")) :+
+          count(lit(1)).as("_n")
+        val row = feats.agg(aggs.head, aggs.tail: _*).head()
+        val n = row.getLong(dims).toDouble
+        w = Array.tabulate(dims)(j =>
+          w(j) - lr * (row.getLong(j).toDouble / scale / n))
+      }
+    } finally feats.unpersist()
+    w.toSeq.zipWithIndex.map { case (wj, j) => (j.toLong, wj) }
+      .toDF("dim", "weight")
+  }
+
   // ---- quality-ranked selection ------------------------------------------
 
   /** Keep the top `keepPct` percent of each stratum by `scoreCol`

@@ -328,6 +328,37 @@ class CurationSpec extends AnyFunSuite {
     assert(out === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false))
   }
 
+  test("trainHashedLogreg: weights are partition-order invariant and learn the label") {
+    import spark.implicits._
+    // two "languages" with disjoint vocabulary so 3 GD steps separate them
+    val pos = (0 until 40).map(i => (i.toLong, "alpha beta gamma alpha beta", "en"))
+    val neg = (40 until 80).map(i => (i.toLong, "delta epsilon zeta delta zeta", "fr"))
+    val docs = (pos ++ neg).toDF("doc_id", "text", "lang")
+    def train(df: org.apache.spark.sql.DataFrame) =
+      Curation.trainHashedLogreg(df, "text", col("lang") === "en",
+        dims = 8, iters = 3, lr = 0.5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w1 = train(docs.repartition(1))
+    val w13 = train(docs.repartition(13, col("doc_id")))
+    // fixed-point gradient accumulation: BIT-equal weights regardless
+    // of how rows are partitioned (double sums would differ here)
+    assert(w1 === w13)
+    // and the model separates the classes: every en doc scores higher
+    // than every fr doc under the learned weights
+    val wArr = (0 until 8).map(j => w1(j.toLong)).toArray
+    def score(text: String): Double = {
+      val toks = text.split(" ")
+      val counts = new Array[Double](8)
+      toks.foreach { t =>
+        val h = graft.functions.PolyHash.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        counts((h % 8).toInt) += 1.0
+      }
+      (0 until 8).map(j => wArr(j) * counts(j) / toks.length).sum[Double]
+    }
+    assert(score("alpha beta gamma alpha beta") > score("delta epsilon zeta delta zeta"))
+  }
+
   test("phrase search: index path equals the document-local scan path") {
     import spark.implicits._
     val docs = Seq(
