@@ -974,6 +974,23 @@ object PipelineQueries {
         emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3)
     }),
 
+    // ---- incremental index maintenance: build the IVF index from the
+    // even half only, APPEND the odd half against the frozen quantizer
+    // (no rebuild, no touch of existing cells), then query — must
+    // bit-equal s3's full-corpus IVF oracle. The daily-ingest path of
+    // the ANN lifecycle: build → persist → serve → append → hot-swap
+    "s13_incremental_add" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = scopedTmp("graft_annidx_inc", dir)
+      Similarity.saveIndex(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 108),
+        "vec_id", "embedding", path)
+      Similarity.addToIndex(emb.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", path)
+      Similarity.queryIndex(Similarity.loadIndex(s, path),
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3)
+    }),
+
     // ---- persisted IVF-PQ index: stored m-byte codes are the scan
     // side after reload (ADC against codebook reconstructions);
     // oracle is s5's verbatim
@@ -2281,6 +2298,7 @@ object PipelineQueries {
     */
   val oracles: Map[String, String] = oracles0 ++ Map(
     "s10_saved_index" -> oracles0("s3_ann_ivf"),
+    "s13_incremental_add" -> oracles0("s3_ann_ivf"),
     "s10b_saved_ivfpq" -> oracles0("s5_ann_ivfpq"),
     // the sketch profile's exact tier must equal count(DISTINCT)
     "st2b_profile_sketch" -> oracles0("st2_numeric_profile"),

@@ -544,6 +544,43 @@ object Similarity {
     }
   }
 
+  /** Append new vectors to a PERSISTED index without rebuilding it:
+    * the saved quantizer (and codebooks, for PQ) are loaded as driver
+    * metadata, the new batch is assigned/encoded with exactly the
+    * machinery [[saveIndex]] used, and the rows are appended into the
+    * same `partitionBy("cell")` layout — new parquet files land inside
+    * the existing cell directories.
+    *
+    * Because assignment is per-row against the SAME frozen quantizer,
+    * append-then-query is bit-equal to a from-scratch [[saveIndex]]
+    * over the union (the s13 gate pins this). This is the "documents
+    * arrive daily" path: each increment costs one scan of the delta +
+    * one shuffle-by-cell write, never a touch of the existing cells.
+    * Centroid drift is the hot-swap path's job ([[graft.streaming.HotAnnIndex]]) —
+    * maintenance (append) and re-optimization (re-quantize) stay
+    * separate operations, as in any IVF deployment.
+    */
+  def addToIndex(
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val idx = loadIndex(spark, path)
+    val centArr = centroidLiteral(idx.quantizer, "c", "ce")
+    val codeCols = idx.codebooks
+      .map(cb => pqCodeColumns(col(vecCol), cb)).getOrElse(Seq.empty)
+    val searchable = idx.codebooks match {
+      case Some(cb) => cb.indices.map(j => col(s"_c$j") >= 0).reduce(_ && _)
+      case None     => lit(true)
+    }
+    newVectors
+      .select(Seq(col(idCol).as("cid"), col(vecCol).as("vec"),
+        argmaxCell(col(vecCol), centArr).as("cell")) ++ codeCols: _*)
+      .filter(col("cell") >= 0 && searchable)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Load a persisted index. Cells stay lazy (a DataFrame over the
     * partitioned layout — nothing is scanned until a query probes);
     * quantizer and codebooks are re-materialized as driver metadata.

@@ -260,4 +260,25 @@ class PipelineSpec extends AnyFunSuite {
     // whitespace collapse + trim
     assert(strip("  <div>\n a \t b </div>  ") === "a b")
   }
+
+  test("addToIndex: PQ append equals a from-scratch rebuild over the union") {
+    import graft.pipeline.Similarity
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+    val cbs = Some(Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8))
+    val q = emb.filter(col("vec_id") < 6)
+    def results(path: String): Seq[(Long, Long, Int)] =
+      Similarity.queryIndex(Similarity.loadIndex(spark, path),
+          q, "vec_id", "embedding", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq.sorted
+    val incPath = java.nio.file.Files.createTempDirectory("pq-inc").toString
+    Similarity.saveIndex(emb.filter(col("vec_id") % 2 === 0), cents,
+      "vec_id", "embedding", incPath, cbs)
+    Similarity.addToIndex(emb.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", incPath)
+    val fullPath = java.nio.file.Files.createTempDirectory("pq-full").toString
+    Similarity.saveIndex(emb, cents, "vec_id", "embedding", fullPath, cbs)
+    val inc = results(incPath)
+    assert(inc === results(fullPath) && inc.nonEmpty)
+  }
 }
