@@ -914,6 +914,14 @@ object PipelineQueries {
           Curation.lcgWeights(1024), 1024).as("logit"))
         .withColumn("keep", col("logit") > lit(0.0))),
 
+    // ---- learn the first 3 BPE merges from the corpus: one corpus
+    // scan to the word-frequency table, then each round is a pair
+    // count over the Zipf-bounded vocab + one argmax row to the
+    // driver + a codegen'd greedy array-fold merge. The oracle
+    // replays the identical rounds with recursive-CTE greedy walks
+    "tx15_bpe_merges" -> ((s, dir) =>
+      Curation.bpeTrainMerges(t(s, dir, "documents"), "text", rounds = 3)),
+
     // ---- TRAIN the quality classifier (p9 is inference): full-batch
     // logistic regression on hashed token-bucket features, label =
     // "is English". The fixed-point gradient (round(contrib*1e6),
@@ -1983,6 +1991,39 @@ object PipelineQueries {
         |            ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h""".stripMargin,
+
+    // greedy leftmost merge replayed as a per-word recursive-CTE walk
+    // (index jump i+2 on match); validated against a reference BPE —
+    // the engine's left-fold formulation is equivalent (spec-pinned)
+    "tx15_bpe_merges" -> {
+      def roundCtes(r: Int): String = {
+        val prev = s"w${r - 1}"
+        s"""p$r AS (SELECT syms[i] AS pa, syms[i+1] AS pb, sum(freq) AS cnt
+           |  FROM (SELECT freq, syms, unnest(generate_series(1, len(syms)-1)) AS i FROM $prev)
+           |  GROUP BY 1,2),
+           |b$r AS (SELECT pa, pb, CAST(cnt AS BIGINT) AS cnt FROM p$r
+           |  ORDER BY cnt DESC, pa ASC, pb ASC LIMIT 1),
+           |walk$r AS (
+           |  SELECT word, freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM $prev
+           |  UNION ALL
+           |  SELECT word, freq, syms,
+           |    CASE WHEN i < len(syms) AND syms[i]=b$r.pa AND syms[i+1]=b$r.pb
+           |         THEN i+2 ELSE i+1 END,
+           |    CASE WHEN i < len(syms) AND syms[i]=b$r.pa AND syms[i+1]=b$r.pb
+           |         THEN list_append(acc, b$r.pa||b$r.pb) ELSE list_append(acc, syms[i]) END
+           |  FROM walk$r, b$r WHERE i <= len(syms)),
+           |w$r AS (SELECT word, freq, acc AS syms FROM walk$r WHERE i = len(syms)+1)""".stripMargin
+      }
+      s"""WITH RECURSIVE
+         |wc AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text,' ')) AS t FROM documents)
+         |  WHERE t <> '' GROUP BY 1),
+         |w0 AS (SELECT word, freq, string_split_regex(word,'') AS syms FROM wc),
+         |${(1 to 3).map(roundCtes).mkString(",\n")}
+         |SELECT CAST(1 AS BIGINT) AS round, pa AS "left", pb AS "right", cnt FROM b1
+         |UNION ALL SELECT 2, pa, pb, cnt FROM b2
+         |UNION ALL SELECT 3, pa, pb, cnt FROM b3""".stripMargin
+    },
 
     // the oracle unrolls the SAME three fixed-point GD iterations: per
     // doc the float tree (normalize → dot → sigmoid → contrib) is

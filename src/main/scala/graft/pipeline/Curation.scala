@@ -759,6 +759,61 @@ object Curation {
   def bm25Constants(k1: Double = 1.2, b: Double = 0.75): (String, String, String, String) =
     ((k1 + 1.0).toString, (1.0 - b).toString, k1.toString, b.toString)
 
+  // ---- BPE merge training -------------------------------------------------
+
+  /** Learn the first `rounds` BPE merges from the corpus (Sennrich et
+    * al. 2016: count adjacent symbol pairs over the word-frequency
+    * table, merge the most frequent pair everywhere, repeat).
+    * Deterministic tie-break: count desc, then left/right symbol asc.
+    *
+    * Scale shape: the corpus is scanned ONCE (word→freq, one hash
+    * agg); every round after that works on the distinct-word VOCAB
+    * (Zipf-bounded, ~10^6-10^7 rows at 100 TB regardless of corpus
+    * size) — a narrow pair-explode + hash-agg and a single argmax row
+    * to the driver, then the merge applied as a codegen'd array fold.
+    * The greedy leftmost-non-overlapping merge is a left fold:
+    * "merge if last(acc)==A && cur==B" — equivalent to index-jump
+    * scanning (CurationSpec pins the overlap chains aaa/abab).
+    *
+    * Returns one row per learned merge: (round, left, right, cnt).
+    */
+  def bpeTrainMerges(df: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "need at least one merge round")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab0 = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(col("word"), ""))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pairCounts(v: DataFrame): DataFrame = v
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1), i =>
+          struct(element_at(col("syms"), i).as("pa"),
+            element_at(col("syms"), i + lit(1)).as("pb")))).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(sum(col("freq")).as("cnt"))
+    def applyMerge(a: String, b: String): Column =
+      aggregate(col("syms"), array().cast("array<string>"), (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+    var vocab = vocab0
+    val merges = try {
+      (1 to rounds).map { r =>
+        val best = pairCounts(vocab)
+          .orderBy(col("cnt").desc, col("pa").asc, col("pb").asc)
+          .limit(1).head()
+        val (a, b) = (best.getString(0), best.getString(1))
+        vocab = vocab.withColumn("syms", applyMerge(a, b))
+        (r.toLong, a, b, best.getLong(2))
+      }
+    } finally vocab0.unpersist()
+    merges.toDF("round", "left", "right", "cnt")
+  }
+
   // ---- phrase search over a positional inverted index ---------------------
 
   /** Positional postings: one row per token occurrence — (term, id,

@@ -328,6 +328,27 @@ class CurationSpec extends AnyFunSuite {
     assert(out === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false))
   }
 
+  test("bpeTrainMerges: greedy fold handles overlap chains and learns by frequency") {
+    import spark.implicits._
+    // 'aaaa' stresses the same-symbol chain: greedy leftmost gives
+    // [aa][aa], never [a][aa][a]; 'abab' stresses the alternating one
+    val docs = Seq(
+      (1L, "aaaa abab abab"),
+      (2L, "aaaa abab xy"),
+      (3L, "aaaa xy xy")
+    ).toDF("doc_id", "text")
+    val m = Curation.bpeTrainMerges(docs, "text", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // pair stats count every adjacent position, overlaps included
+    // (Sennrich's get_stats zips symbols with symbols[1:]): aaaa×3 →
+    // (a,a)=9; abab×3 → (a,b)=6. Round 1 picks (a,a); the greedy fold
+    // makes aaaa=[aa,aa] (leftmost pairing, NOT [a,aa,a]). Round 2:
+    // (a,b)=6. Round 3: abab=[ab,ab] → (aa,aa)=3 ties (x,y)=3 →
+    // symbol-order tie-break picks (aa,aa) — pinning both the overlap
+    // pairing and the deterministic tie rule
+    assert(m.toSeq === Seq((1L, "a", "a", 9L), (2L, "a", "b", 6L), (3L, "aa", "aa", 3L)))
+  }
+
   test("trainHashedLogreg: weights are partition-order invariant and learn the label") {
     import spark.implicits._
     // two "languages" with disjoint vocabulary so 3 GD steps separate them
