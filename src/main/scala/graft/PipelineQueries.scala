@@ -57,6 +57,36 @@ object PipelineQueries {
   private[graft] def phSql(s: String): String =
     s"list_reduce([CAST(unicode(c) AS BIGINT) for c in string_split_regex($s,'')], (h,c) -> (h*31+c) % $P)"
 
+  /** BPE oracle CTE chain: word/freq table, char symbols, then per
+    * round a pair count, deterministic argmax (`b{r}`), and a greedy
+    * leftmost merge replayed as a per-word recursive walk (`w{r}`).
+    * Callers prepend `WITH RECURSIVE`. */
+  private def bpeCtes(rounds: Int): String = {
+    def roundCtes(r: Int): String = {
+      val prev = s"w${r - 1}"
+      s"""p$r AS (SELECT syms[i] AS pa, syms[i+1] AS pb, sum(freq) AS cnt
+         |  FROM (SELECT freq, syms, unnest(generate_series(1, len(syms)-1)) AS i FROM $prev)
+         |  GROUP BY 1,2),
+         |b$r AS (SELECT pa, pb, CAST(cnt AS BIGINT) AS cnt FROM p$r
+         |  ORDER BY cnt DESC, pa ASC, pb ASC LIMIT 1),
+         |walk$r AS (
+         |  SELECT word, freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM $prev
+         |  UNION ALL
+         |  SELECT word, freq, syms,
+         |    CASE WHEN i < len(syms) AND syms[i]=b$r.pa AND syms[i+1]=b$r.pb
+         |         THEN i+2 ELSE i+1 END,
+         |    CASE WHEN i < len(syms) AND syms[i]=b$r.pa AND syms[i+1]=b$r.pb
+         |         THEN list_append(acc, b$r.pa||b$r.pb) ELSE list_append(acc, syms[i]) END
+         |  FROM walk$r, b$r WHERE i <= len(syms)),
+         |w$r AS (SELECT word, freq, acc AS syms FROM walk$r WHERE i = len(syms)+1)""".stripMargin
+    }
+    s"""wc AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text,' ')) AS t FROM documents)
+       |  WHERE t <> '' GROUP BY 1),
+       |w0 AS (SELECT word, freq, string_split_regex(word,'') AS syms FROM wc),
+       |${(1 to rounds).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
+
   /** doc_id + distinct word-3-gram shingles CTEs over `documents`. */
   private[graft] val shingleCtes =
     """toks AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents),
@@ -921,6 +951,16 @@ object PipelineQueries {
     // replays the identical rounds with recursive-CTE greedy walks
     "tx15_bpe_merges" -> ((s, dir) =>
       Curation.bpeTrainMerges(t(s, dir, "documents"), "text", rounds = 3)),
+
+    // ---- the ENCODE path: learn 3 merges, then tokenize every doc
+    // with them — per-doc BPE token counts from a pure narrow fold
+    // (merge table as literals, zero joins). Train → apply, composed
+    "tx15b_bpe_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Curation.bpeLearn(docs, "text", rounds = 3)
+      docs.select(col("doc_id"),
+        Curation.bpeTokenCount(col("text"), merges).as("n_bpe"))
+    }),
 
     // ---- TRAIN the quality classifier (p9 is inference): full-batch
     // logistic regression on hashed token-bucket features, label =
@@ -1995,35 +2035,24 @@ object PipelineQueries {
     // greedy leftmost merge replayed as a per-word recursive-CTE walk
     // (index jump i+2 on match); validated against a reference BPE —
     // the engine's left-fold formulation is equivalent (spec-pinned)
-    "tx15_bpe_merges" -> {
-      def roundCtes(r: Int): String = {
-        val prev = s"w${r - 1}"
-        s"""p$r AS (SELECT syms[i] AS pa, syms[i+1] AS pb, sum(freq) AS cnt
-           |  FROM (SELECT freq, syms, unnest(generate_series(1, len(syms)-1)) AS i FROM $prev)
-           |  GROUP BY 1,2),
-           |b$r AS (SELECT pa, pb, CAST(cnt AS BIGINT) AS cnt FROM p$r
-           |  ORDER BY cnt DESC, pa ASC, pb ASC LIMIT 1),
-           |walk$r AS (
-           |  SELECT word, freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM $prev
-           |  UNION ALL
-           |  SELECT word, freq, syms,
-           |    CASE WHEN i < len(syms) AND syms[i]=b$r.pa AND syms[i+1]=b$r.pb
-           |         THEN i+2 ELSE i+1 END,
-           |    CASE WHEN i < len(syms) AND syms[i]=b$r.pa AND syms[i+1]=b$r.pb
-           |         THEN list_append(acc, b$r.pa||b$r.pb) ELSE list_append(acc, syms[i]) END
-           |  FROM walk$r, b$r WHERE i <= len(syms)),
-           |w$r AS (SELECT word, freq, acc AS syms FROM walk$r WHERE i = len(syms)+1)""".stripMargin
-      }
+    "tx15_bpe_merges" ->
       s"""WITH RECURSIVE
-         |wc AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(string_split(text,' ')) AS t FROM documents)
-         |  WHERE t <> '' GROUP BY 1),
-         |w0 AS (SELECT word, freq, string_split_regex(word,'') AS syms FROM wc),
-         |${(1 to 3).map(roundCtes).mkString(",\n")}
+         |${bpeCtes(3)}
          |SELECT CAST(1 AS BIGINT) AS round, pa AS "left", pb AS "right", cnt FROM b1
          |UNION ALL SELECT 2, pa, pb, cnt FROM b2
-         |UNION ALL SELECT 3, pa, pb, cnt FROM b3""".stripMargin
-    },
+         |UNION ALL SELECT 3, pa, pb, cnt FROM b3""".stripMargin,
+
+    // encode path: every doc's words segmented by the w3 vocab (the
+    // walks already applied all three merges per word); left join
+    // keeps empty docs at 0
+    "tx15b_bpe_tokens" ->
+      s"""WITH RECURSIVE
+         |${bpeCtes(3)},
+         |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+         |cnts AS (SELECT doc_id, sum(len(syms)) AS n
+         |  FROM tok JOIN w3 USING (word) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_bpe
+         |FROM documents d LEFT JOIN cnts c USING (doc_id)""".stripMargin,
 
     // the oracle unrolls the SAME three fixed-point GD iterations: per
     // doc the float tree (normalize → dot → sigmoid → contrib) is

@@ -795,11 +795,7 @@ object Curation {
             element_at(col("syms"), i + lit(1)).as("pb")))).as("p"))
       .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .agg(sum(col("freq")).as("cnt"))
-    def applyMerge(a: String, b: String): Column =
-      aggregate(col("syms"), array().cast("array<string>"), (acc, s) =>
-        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-          .otherwise(concat(acc, array(s))))
+    def applyMerge(a: String, b: String): Column = mergeFold(col("syms"), a, b)
     var vocab = vocab0
     val merges = try {
       (1 to rounds).map { r =>
@@ -812,6 +808,36 @@ object Curation {
       }
     } finally vocab0.unpersist()
     merges.toDF("round", "left", "right", "cnt")
+  }
+
+  /** One greedy BPE merge pass over a symbol array: leftmost
+    * non-overlapping pairing as a left fold (merge when the
+    * accumulator's last symbol is `a` and the current is `b`). */
+  private def mergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Learn the merge table as driver metadata — [[bpeTrainMerges]]
+    * without the result framing, for feeding [[bpeTokenCount]]. */
+  def bpeLearn(df: DataFrame, textCol: String, rounds: Int = 3): Seq[(String, String)] =
+    bpeTrainMerges(df, textCol, rounds)
+      .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** ENCODE with a learned merge table: per-document BPE token count
+    * under `merges` applied in training order — the tokenizer-apply
+    * path (works on unseen text; the merge list is a literal in the
+    * expression tree). Pure narrow codegen per document: chars →
+    * fold-per-merge → segment count summed across the document's
+    * words. Zero shuffle, zero joins — at 100 TB this rides whatever
+    * scan is already reading the text.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    val words = filter(TextFunctions.tokens(text), t => t =!= "")
+    val perWord = transform(words, t =>
+      size(merges.foldLeft(split(t, ""))((s, m) => mergeFold(s, m._1, m._2))))
+    aggregate(perWord, lit(0L), (acc, n) => acc + n.cast("long"))
   }
 
   // ---- phrase search over a positional inverted index ---------------------
