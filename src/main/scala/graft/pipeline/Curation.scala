@@ -861,6 +861,13 @@ object Curation {
   def buildPhraseIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, termBuckets: Int = 256): Unit =
     positionalPostings(df, idCol, textCol, termBuckets)
+      // co-locate each bucket before the partitioned write: without
+      // this every write task emits a file into every bucket dir
+      // (tasks × buckets small files); with it a bucket's postings
+      // arrive in one task → one file per directory. At 100 TB raise
+      // termBuckets (and let several tasks share a bucket) rather
+      // than letting the cross product explode
+      .repartition(col("_tb"))
       .write.mode("overwrite").partitionBy("_tb").parquet(path)
 
   /** Exact phrase query against a built index: documents containing
