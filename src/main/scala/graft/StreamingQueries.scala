@@ -322,6 +322,24 @@ object StreamingQueries {
         .select(col("event_type"), col("n"), col("n_distinct"))
     }),
 
+    // ---- streaming running PROFILE: the st7 maintenance loop as a
+    // complete-mode streaming aggregation — every per-column partial
+    // (null count, min/max, distinct sketch) lives in the state store
+    // and folds each micro-batch's delta in; the final emitted rows
+    // must equal the batch full-scan profile (st2's exact oracle).
+    // The fused multi-sketch agg is ONE state row per group — the
+    // st6s shape generalized to the whole profile
+    "st7s_profile_stream" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val (out, _) = runStream(s, Seq((t(s, dir, "lineitem"), "l_orderkey")),
+        "complete", ticks = 4) {
+        case Seq(li) => graft.pipeline.Curation.numericProfileSketch(
+          li.select(cols.map(col): _*), cols, sketchK = 1 << 18)
+      }
+      out
+    }),
+
     // ---- streaming k-means refit: narrow assignment against a FIXED
     // literal quantizer (generated here, mirrored into the oracle SQL
     // — the dsirStubWeights pattern), sharded integer partials in the
@@ -497,6 +515,16 @@ object StreamingQueries {
       """SELECT event_type, CAST(count(user_id) AS BIGINT) AS n,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "st7s_profile_stream" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+    },
 
     // literal quantizer assignment (cos desc, cell asc, NaN-guarded —
     // the IVF rule) + per-cell count and integer micro-sums
