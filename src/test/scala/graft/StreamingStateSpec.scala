@@ -572,6 +572,47 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("checkpoint recovery: the fused profile's sketch buffers survive a restart") {
+    // st7s stores SEVERAL TypedImperativeAggregate buffers in one
+    // state row (null counts + min/max + a distinct sketch per
+    // column); a restart must round-trip all of them — a pre-kill
+    // value recounted as a new distinct, or a lost min, would show
+    implicit val sqlCtx = spark.sqlContext
+    val s2 = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType)))
+    def r2(a: java.lang.Long, b: java.lang.Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](a, b), s2)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Double, Double)]
+    def sink(df: org.apache.spark.sql.Dataset[Row], @annotation.unused id: Long): Unit =
+      df.collect().foreach(r => buf.add(
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+    val ckpt = Files.createTempDirectory("recov-prof-ckpt").toString
+    val stream = MemoryStream[Row](Encoders.row(s2), sqlCtx)
+    val out = graft.pipeline.Curation.numericProfileSketch(
+      stream.toDF(), Seq("a", "b"), sketchK = 1024)
+    val q1 = out.writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt).foreachBatch(sink _).start()
+    stream.addData(r2(1L, 100L), r2(2L, null), r2(3L, 300L))
+    q1.processAllAvailable()
+    q1.stop()
+
+    buf.clear()
+    // repeats of pre-kill values must NOT recount; new extremes must fold
+    stream.addData(r2(1L, 100L), r2(5L, -7L), r2(null, 300L))
+    val q2 = out.writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt).foreachBatch(sink _).start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val fin = buf.asScala.toSeq.groupBy(_._1).map { case (c, rs) => c -> rs.last }
+      // a: values 1,2,3,1,5,null → 1 null, distinct {1,2,3,5}=4, min 1, max 5
+      assert(fin("a") === (("a", 1L, 4L, 1.0, 5.0)))
+      // b: values 100,null,300,100,-7,300 → 1 null, distinct {100,300,-7}=3
+      assert(fin("b") === (("b", 1L, 3L, -7.0, 300.0)))
+    } finally q2.stop()
+  }
+
   test("checkpoint recovery: an OPEN session window survives a restart") {
     // a session that is still open when the query dies must resume
     // with its start time and counts intact — the emitted (closed)
