@@ -638,6 +638,17 @@ object PipelineQueries {
         "doc_id", "source", "text", budget = 3000L)
         .select(col("doc_id"), col("source"))),
 
+    // ---- fixed-SIZE per-source sample (vs the rate-based gates): the
+    // k smallest (polyHash(id), id) per source via a bounded mergeable
+    // heap aggregate — O(k) state per partial, no per-group full sort;
+    // rank is the deterministic (hash, id) order
+    "p17_bottomk_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(graft.functions.BottomKSample.bottomKSample(col("doc_id"), 20).as("_ids"))
+        .select(col("source"), posexplode(col("_ids")))
+        .select(col("source"), (col("pos") + 1).as("rank"), col("col").as("doc_id"))),
+
     "p11_token_budget" -> ((s, dir) =>
       Curation.tokenBudgetSample(t(s, dir, "documents"),
         "doc_id", "source", "text",
@@ -1878,6 +1889,13 @@ object PipelineQueries {
          |       FROM w, s)
          |SELECT doc_id, source FROM documents JOIN pm USING (source)
          |WHERE ${phSql("CAST(doc_id AS VARCHAR)")} % 1000 < pm""".stripMargin,
+
+    "p17_bottomk_sample" ->
+      s"""SELECT source, CAST(rn AS INT) AS rank, doc_id FROM (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY ${phSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+         |  FROM documents) WHERE rn <= 20""".stripMargin,
 
     "p11_token_budget" ->
       s"""WITH tot AS (SELECT source, sum(len(string_split(text,' '))) AS total

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Monitoring, Transforms, ViewConfig, Views}
+import graft.operators.{AsofJoin, EventAnalytics, Monitoring, Transforms, ViewConfig, Views}
 
 /** Relational / view / transform query catalog: the SQL surface the
   * reference exposes through its embedded engines (Perspective views
@@ -294,6 +294,25 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ---- ordered conversion funnel: signup → view → click → purchase,
+    // each stage strictly after the previous stage's reach time. Every
+    // join/agg in the chain keys on user_id (co-partitioned); stage
+    // filters push to the scan.
+    "a14_funnel" -> ((s, dir) =>
+      EventAnalytics.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"))),
+
+    // ---- weekly cohort retention: cohort = week of first event,
+    // retained at offset p if active in cohort week + p
+    "a15_retention" -> ((s, dir) =>
+      EventAnalytics.retentionCohorts(t(s, dir, "events"), "user_id", "ts", "week")),
+
+    // ---- time-weighted average value per user (TWAP): each tick
+    // weighted by how long it stayed current; event_id breaks ts ties
+    "w4_twap" -> ((s, dir) =>
+      EventAnalytics.timeWeightedAvg(t(s, dir, "events"), "user_id", "ts", "value",
+        orderCols = Seq("event_id"))),
+
     // ---- event-time RANGE frame: trailing-1h activity per user. The
     // frame is bounded by VALUE (microseconds), not rows, so peers on
     // the same timestamp enter together — deterministic regardless of
@@ -496,6 +515,45 @@ object RelationalQueries {
       """SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "a14_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id)
+        |SELECT 1 AS stage_idx, 'signup' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |UNION ALL SELECT 4, 'purchase', count(*) FROM s4""".stripMargin,
+
+    "a15_retention" ->
+      """WITH c AS (SELECT user_id,
+        |             CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS cohort
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id,
+        |             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS active
+        |      FROM events)
+        |SELECT cohort,
+        |       CAST((epoch_us(active) - epoch_us(cohort)) / 604800000000 AS BIGINT)
+        |         AS period_offset,
+        |       count(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY cohort, period_offset""".stripMargin,
+
+    "w4_twap" ->
+      """WITH d AS (
+        |  SELECT user_id, value,
+        |         epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER
+        |             (PARTITION BY user_id ORDER BY ts, event_id))
+        |           - epoch_us(CAST(ts AS TIMESTAMP)) AS dt
+        |  FROM events)
+        |SELECT user_id, sum(value * dt) / sum(dt) AS twap,
+        |       count(*) AS n_intervals, CAST(sum(dt) AS BIGINT) AS span_us
+        |FROM d WHERE dt IS NOT NULL GROUP BY user_id""".stripMargin,
 
     "w2_moving_window" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,

@@ -650,5 +650,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DistinctSketchAgg(exprs(0),
         if (exprs.size > 1) litI(exprs(1)) else 1 << 16,
         if (exprs.size > 2) litI(exprs(2)) else 14)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bottomk_sample"),
+      new ExpressionInfo(classOf[BottomKSampleAgg].getName, "graft_bottomk_sample"),
+      (exprs: Seq[Expression]) => BottomKSampleAgg(exprs(0), litI(exprs(1)))))
   }
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over a ticking channel: ordered funnels,
+  * cohort retention and time-weighted averages — the event-log OLAP a
+  * gateway user runs over the engine log's `events` channel through
+  * the ad-hoc SQL surface (reference A8,
+  * csp_gateway/server/demo/demo.py:61-112 exposes exactly this kind of
+  * per-user event stream to its query layer).
+  *
+  * Scale notes (100 TB):
+  *  - [[funnel]] is a chain of per-stage frames, each `event_type =
+  *    stage` filter pushed into the scan, every join and aggregate
+  *    keyed on the SAME user column — co-partitioned all the way down,
+  *    and each stage's frontier only shrinks. No per-user event lists
+  *    are ever materialized (a collect_list fold would carry the whole
+  *    per-user history through the shuffle).
+  *  - [[retentionCohorts]] shuffles the corpus ONCE: per-user active
+  *    periods are a map-side-partial collect_set (state bounded by
+  *    periods per user, e.g. ≤52 weeks/year, never events), the cohort
+  *    falls out as the set minimum, and the final rollup runs over
+  *    metadata-sized (cohort, offset) rows.
+  *  - [[timeWeightedAvg]] is one window sort + one aggregate, both on
+  *    the key column — a single exchange end-to-end.
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel. A user reaches stage k when an event of
+    * type `stages(k)` occurs STRICTLY after the time the user reached
+    * stage k-1 (stage 0 = the user's earliest `stages(0)` event).
+    * Returns one row per stage: (stage_idx, stage, n_users).
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val u = col(userCol)
+    // frontier_k: (user, _t = time the user reached stage k)
+    val frontiers = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, _)) =>
+        val typed = events.filter(col(typeCol) === stage)
+          .select(u, col(tsCol).as("_ts"))
+        val reached = prev match {
+          case None => typed
+          case Some(fr) =>
+            typed.join(fr, Seq(userCol)).filter(col("_ts") > col("_t"))
+        }
+        Some(reached.groupBy(u).agg(min(col("_ts")).as("_t")))
+    }.flatten
+    frontiers.zip(stages).zipWithIndex.map { case ((fr, stage), k) =>
+      fr.groupBy().agg(count(lit(1)).as("n_users"))
+        .select(lit(k + 1).as("stage_idx"), lit(stage).as("stage"),
+          col("n_users"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Cohort retention: users are cohorted by the period (e.g. 'week')
+    * of their first event; a cohort is "retained" in offset p if the
+    * user has ANY event in cohort_period + p. Returns
+    * (cohort, period_offset, n_users) with one row per non-empty cell.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      period: String = "week"): DataFrame = {
+    val periodUs: Long = period match {
+      case "day"  => 86400000000L
+      case "week" => 7L * 86400000000L
+      case other  => throw new IllegalArgumentException(
+        s"unsupported retention period '$other' (day|week)")
+    }
+    val u = col(userCol)
+    // One corpus-scale exchange total: the per-user active-period SET is
+    // built with map-side partial collect_set (shuffle volume = distinct
+    // (user, period) pairs per map partition, not events), the cohort is
+    // its min (date_trunc is monotone, so min-of-periods = period-of-min),
+    // and the final (cohort, offset) rollup aggregates metadata-sized
+    // rows. The distinct+join alternative shuffles the corpus twice.
+    events
+      .select(u, unix_micros(date_trunc(period, col(tsCol))).as("_w"))
+      .groupBy(u).agg(collect_set(col("_w")).as("_ws"))
+      .select(array_min(col("_ws")).as("_cohort"), explode(col("_ws")).as("_active"))
+      .select(timestamp_micros(col("_cohort")).as("cohort"),
+        ((col("_active") - col("_cohort")) / periodUs).cast("long").as("period_offset"))
+      .groupBy(col("cohort"), col("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Time-weighted average of `valCol` per key: each observation is
+    * weighted by the time it remained current (until the key's next
+    * event). The key's last event has no successor and carries no
+    * weight. `orderCols` break timestamp ties deterministically.
+    * Returns (key, twap, n_intervals, span_us).
+    */
+  def timeWeightedAvg(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      orderCols: Seq[String] = Nil): DataFrame = {
+    val ord: Seq[Column] = col(tsCol) +: orderCols.map(col)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    events
+      .withColumn("_dt", unix_micros(lead(col(tsCol), 1).over(w)) -
+        unix_micros(col(tsCol)))
+      .filter(col("_dt").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        (sum(col(valCol) * col("_dt")) / sum(col("_dt"))).as("twap"),
+        count(lit(1)).as("n_intervals"),
+        sum(col("_dt")).as("span_us"))
+  }
+}

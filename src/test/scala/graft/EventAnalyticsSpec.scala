@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel requires stages in strict time order") {
+    // u1 completes signup→view→click in order; u2 has the click BEFORE
+    // the view (out of order — must not reach stage 3); u3 never views.
+    val ev = Seq(
+      (1L, "signup", ts("2024-01-01 10:00:00")),
+      (1L, "view", ts("2024-01-01 11:00:00")),
+      (1L, "click", ts("2024-01-01 12:00:00")),
+      (2L, "signup", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 10:30:00")),
+      (2L, "view", ts("2024-01-01 11:00:00")),
+      (3L, "signup", ts("2024-01-01 09:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val rows = EventAnalytics.funnel(ev, "user_id", "event_type", "ts",
+      Seq("signup", "view", "click"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set((1, "signup", 3L), (2, "view", 2L), (3, "click", 1L)))
+  }
+
+  test("funnel stage at the exact same timestamp does not count (strictly after)") {
+    val ev = Seq(
+      (1L, "signup", ts("2024-01-01 10:00:00")),
+      (1L, "view", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val rows = EventAnalytics.funnel(ev, "user_id", "event_type", "ts",
+      Seq("signup", "view"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set(("signup", 1L), ("view", 0L)))
+  }
+
+  test("retention cohorts count a user once per active period") {
+    // u1 first event in week of 2024-01-01 (Mon), active again twice in
+    // the week of 2024-01-08 → one retained row, not two
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-08 10:00:00")),
+      (1L, ts("2024-01-09 10:00:00")),
+      (2L, ts("2024-01-09 12:00:00"))
+    ).toDF("user_id", "ts")
+    val rows = EventAnalytics.retentionCohorts(ev, "user_id", "ts", "week")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set(
+      ("2024-01-01 00:00:00.0", 0L, 1L),
+      ("2024-01-01 00:00:00.0", 1L, 1L),
+      ("2024-01-08 00:00:00.0", 0L, 1L)))
+  }
+
+  test("timeWeightedAvg weights each value by its holding time") {
+    // value 10 held 1s, value 20 held 3s, last value carries no weight:
+    // twap = (10*1 + 20*3) / 4 = 17.5
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0, 1L),
+      (1L, ts("2024-01-01 00:00:01"), 20.0, 2L),
+      (1L, ts("2024-01-01 00:00:04"), 99.0, 3L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val r = EventAnalytics.timeWeightedAvg(ev, "user_id", "ts", "value",
+      orderCols = Seq("event_id")).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Double]("twap") === 17.5)
+    assert(r.head.getAs[Long]("n_intervals") === 2L)
+    assert(r.head.getAs[Long]("span_us") === 4000000L)
+  }
+
+  test("timeWeightedAvg breaks timestamp ties by the order columns") {
+    // two ticks at the same ts: event_id order decides which value the
+    // interval belongs to — deterministic on both engines
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0, 1L),
+      (1L, ts("2024-01-01 00:00:00"), 20.0, 2L),
+      (1L, ts("2024-01-01 00:00:02"), 0.0, 3L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val r = EventAnalytics.timeWeightedAvg(ev, "user_id", "ts", "value",
+      orderCols = Seq("event_id")).collect().head
+    // value 10 holds 0s (tie), value 20 holds 2s → twap = 20
+    assert(r.getAs[Double]("twap") === 20.0)
+    assert(r.getAs[Long]("span_us") === 2000000L)
+  }
+}

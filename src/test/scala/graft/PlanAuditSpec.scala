@@ -688,6 +688,46 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally idx.release()
   }
 
+  test("a14 funnel: stage filters push to the scan; every exchange keys on the user") {
+    val p = plan(graft.SparkEntry.queries("a14_funnel")(spark, dir))
+    // each stage frame reaches parquet with its event_type predicate
+    assert(p.contains("EqualTo(event_type,signup)"), p.take(4000))
+    assert(p.contains("EqualTo(event_type,purchase)"), p.take(4000))
+    // the chain is user-keyed end to end: no broadcast-nested-loop, no
+    // exchange on anything except user_id (the scalar counts exchange
+    // SinglePartition, which is metadata)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    val hashEx = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(hashEx.forall(_.startsWith("user_id")), s"$hashEx\n${p.take(4000)}")
+  }
+
+  test("a15 retention: ONE corpus exchange (user-keyed partial collect_set)") {
+    val p = plan(graft.SparkEntry.queries("a15_retention")(spark, dir))
+    // partial set-building below the single user exchange; the final
+    // (cohort, offset) rollup aggregates metadata-sized rows
+    assert(p.contains("partial_collect_set"), p.take(4000))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 1, p.take(4000))
+    assert(!p.contains("Join"), p.take(4000))
+  }
+
+  test("w4 twap: window sort and final aggregate share one user exchange") {
+    val p = plan(graft.SparkEntry.queries("w4_twap")(spark, dir))
+    // the groupBy(user) after the user-partitioned window reuses its
+    // partitioning — exactly one exchange in the whole plan
+    assert("Exchange".r.findAllIn(p).size === 1, p.take(4000))
+    assert(p.contains("Exchange hashpartitioning(user_id"), p.take(4000))
+  }
+
+  test("p17 bottom-k sample: bounded partial heaps below the group exchange") {
+    val p = plan(graft.SparkEntry.queries("p17_bottomk_sample")(spark, dir))
+    // map-side partial bottom-k (O(k) state) before the source exchange;
+    // no Window/Sort of the full per-group row set anywhere
+    assert(p.contains("partial_graft_bottomk_sample"), p.take(4000))
+    assert(p.contains("Exchange hashpartitioning(source"), p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+  }
+
   test("strictCompat projection degrades types per reference rules") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2), Map("k" -> "v"))).toDF("a", "xs", "m")
