@@ -276,6 +276,30 @@ object StreamingQueries {
       out.filter(col("user_id") =!= -1L)
     }),
 
+    // ---- A14 streaming: live funnel progress — per-user state is TWO
+    // scalars (stage reached, reach time) in the state store; the
+    // ts-ordered greedy fold equals the batch funnel's min-time chain,
+    // so the batch a14 oracle applies verbatim. stage_reached only
+    // grows per user → final stage = max over the update log; the
+    // rollup left-joins the stage list so an unreached stage still
+    // reports 0 (oracle shape).
+    "a14s_funnel_stream" -> ((s, dir) => {
+      import s.implicits._
+      val stages = Seq("signup", "view", "click", "purchase")
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 4) {
+        case Seq(ev) => StreamingState.funnelStream(
+          ev, "user_id", "event_type", "ts", stages, "event_id")
+      }
+      val stageDf = stages.zipWithIndex.map { case (st, i) => (i + 1, st) }
+        .toDF("stage_idx", "stage")
+      val reached = out.groupBy(col("user_id")).agg(max(col("stage_reached")).as("_m"))
+        .select(explode(sequence(lit(1), col("_m"))).as("stage_idx"))
+        .groupBy(col("stage_idx")).agg(count(lit(1)).as("n_users"))
+      stageDf.join(reached, Seq("stage_idx"), "left")
+        .select(col("stage_idx"), col("stage"),
+          coalesce(col("n_users"), lit(0L)).as("n_users"))
+    }),
+
     // ---- streaming running quantiles: one QSketch per key in the
     // state store (bounded O(k·log n/k) bytes/key); gate scale stays
     // inside the sketch's exact tier, so the final per-key emission
@@ -497,6 +521,10 @@ object StreamingQueries {
         |SELECT user_id, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_value,
         |       min(t) AS session_start
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // the stream's per-user (stage, time) fold equals the batch
+    // funnel's min-time chain — batch oracle verbatim
+    "a14s_funnel_stream" -> RelationalQueries.oracles("a14_funnel"),
 
     // the stream's final sketch state equals the batch wordcount
     // top-10 (exact tier, deterministic tie-break)

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Distributed streaming state operators — the cluster-scale
   * implementation of T1 (last-per-key accumulation) and streaming
@@ -954,4 +954,70 @@ object StreamingState {
       .agg(count(lit(1)).as("n"), sum(col(sumCol)).as("sum_value"))
       .withColumn("session_start", col("session_window.start"))
       .drop("session_window")
+
+  /** A14's streaming twin: ordered funnel progress maintained live.
+    * State per user is TWO scalars — (stage reached, time it was
+    * reached) — updated by a ts-ordered fold: an event of type
+    * `stages(s)` strictly after the stage-s-1 reach time advances the
+    * user (the greedy earliest-advance fold computes exactly the batch
+    * funnel's min-time chain: the first qualifying stage-k event IS
+    * min(ts > t_{k-1})). Emits (user, stage_reached, reached_at_us)
+    * whenever a batch advances the user (update mode).
+    *
+    * Cross-batch contract: within a batch the fold sorts the group's
+    * rows by (ts, orderCol); across batches events must arrive
+    * non-decreasing in ts per user (the engine-log/Kafka replay order
+    * the other streaming gates assume) — a stage event older than the
+    * recorded reach time cannot retroactively advance a PAST stage.
+    *
+    * 100 TB shape: state is O(users) × 2 longs on the sharded state
+    * store, never an event list; each batch shuffles only that batch's
+    * rows, keyed on the user.
+    */
+  def funnelStream(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String],
+      orderCol: String): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size, "funnel stages must be distinct")
+    val schema = df.schema
+    val userIdx = schema.fieldIndex(userCol)
+    val typeIdx = schema.fieldIndex(typeCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val ordIdx = schema.fieldIndex(orderCol)
+    val stageOf = stages.zipWithIndex.toMap // type -> 0-based stage index
+    implicit val rowEnc = Encoders.row(StructType(Seq(
+      StructField(userCol, schema(userIdx).dataType),
+      StructField("stage_reached", IntegerType, nullable = false),
+      StructField("reached_at_us", LongType, nullable = false))))
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    def micros(r: Row): Long = {
+      val i = r.getTimestamp(tsIdx).toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    df.groupByKey((r: Row) => r.getLong(userIdx))
+      .flatMapGroupsWithState[(Int, Long), Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row], state: GroupState[(Int, Long)]) =>
+          var (stage, at) = state.getOption.getOrElse((0, Long.MinValue))
+          val before = stage
+          rows.map(r => (micros(r), r.getLong(ordIdx), r.getString(typeIdx)))
+            .toArray.sorted
+            .foreach { case (tUs, _, typ) =>
+              if (stage < stages.size &&
+                  stageOf.get(typ).contains(stage) &&
+                  (stage == 0 || tUs > at)) {
+                stage += 1; at = tUs
+              }
+            }
+          if (stage > before) {
+            state.update((stage, at))
+            Iterator.single(Row(user, stage, at))
+          } else Iterator.empty
+      }
+  }
 }

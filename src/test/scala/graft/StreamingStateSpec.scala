@@ -112,6 +112,45 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("funnelStream: stage state carries across batches; out-of-order stage never advances") {
+    val fs = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("ts", TimestampType), StructField("event_id", LongType)))
+    def fr(u: Long, t: String, s: String, id: Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](u, t, java.sql.Timestamp.valueOf(s), id), fs)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(fs), sqlCtx)
+    val out = StreamingState.funnelStream(stream.toDF(), "user_id", "event_type",
+      "ts", Seq("signup", "view", "click"), "event_id")
+    val name = s"funnel_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("funnel-ckpt").toString)
+      .start()
+    try {
+      // batch 1: u1 signs up + views; u2 has a click BEFORE its view
+      // lands (same batch, ts-sorted fold must reject the click)
+      stream.addData(
+        fr(1L, "signup", "2024-01-01 10:00:00", 1),
+        fr(1L, "view", "2024-01-01 11:00:00", 2),
+        fr(2L, "signup", "2024-01-01 10:00:00", 3),
+        fr(2L, "click", "2024-01-01 10:30:00", 4))
+      q.processAllAvailable()
+      // batch 2: u1 clicks (advances to 3 — cross-batch state carry);
+      // u2 views (stage 2) — its earlier click must NOT retro-advance
+      stream.addData(
+        fr(1L, "click", "2024-01-01 12:00:00", 5),
+        fr(2L, "view", "2024-01-01 11:00:00", 6))
+      q.processAllAvailable()
+      val last = spark.table(name).collect()
+        .groupBy(_.getLong(0)).map { case (u, rs) =>
+          u -> rs.map(_.getInt(1)).max
+        }
+      assert(last === Map(1L -> 3, 2L -> 2))
+    } finally q.stop()
+  }
+
   test("dedupStream: each key emitted exactly once across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Row](Encoders.row(schema), sqlCtx)
