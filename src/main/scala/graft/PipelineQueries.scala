@@ -926,6 +926,18 @@ object PipelineQueries {
           "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
         sketchK = 1 << 18)),
 
+    // ---- grouped top-k WITHOUT a window sort: the k best (score, id)
+    // per group via a mergeable bounded heap — O(k) partial state,
+    // map-side pruning, exact and deterministic (id breaks score
+    // ties); the row_number formulation sorts every group's full rows
+    "st8_topk_docs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(graft.functions.TopKBy.topKBy(col("n_chars"), col("doc_id"), 5).as("_top"))
+        .select(col("source"), posexplode(col("_top")))
+        .select(col("source"), (col("pos") + 1).as("rank"),
+          col("col.score").as("n_chars"), col("col.id").as("doc_id"))),
+
     // ---- incremental profile maintenance: profile the "base" half of
     // lineitem ONCE, persist the mergeable per-column state to parquet,
     // then fold a "delta" half's fresh state on top WITHOUT re-scanning
@@ -2390,6 +2402,13 @@ object PipelineQueries {
     "s10b_saved_ivfpq" -> oracles0("s5_ann_ivfpq"),
     // the sketch profile's exact tier must equal count(DISTINCT)
     "st2b_profile_sketch" -> oracles0("st2_numeric_profile"),
+    // the bounded-heap top-k must equal the full window-sort ranking
+    "st8_topk_docs" ->
+      """SELECT source, CAST(rn AS INT) AS rank, n_chars, doc_id FROM (
+        |  SELECT source, n_chars, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5""".stripMargin,
     "st7_incremental_profile" -> oracles0("st2_numeric_profile"),
     // dedup from a saved reference index == the in-session d10 run
     "d15_saved_dedup_index" -> oracles0("d10_cross_dedup"))

@@ -294,6 +294,20 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ---- last-touch attribution: each purchase credited to the
+    // user's latest click at-or-before it — the as-of join reused as a
+    // marketing-attribution operator; clicks pre-deduped per (user, ts)
+    // so the match is deterministic
+    "j7_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val touches = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("t_user"), col("ts").as("t_ts"))
+        .agg(max(col("event_id")).as("touch_id"))
+      AsofJoin.asofBackward(purchases, touches, "user_id", "t_user", "ts", "t_ts")
+    }),
+
     // ---- ordered conversion funnel: signup → view → click → purchase,
     // each stage strictly after the previous stage's reach time. Every
     // join/agg in the chain keys on user_id (co-partitioned); stage
@@ -515,6 +529,16 @@ object RelationalQueries {
       """SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "j7_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS t_user, CAST(ts AS TIMESTAMP) AS t_ts,
+        |             max(event_id) AS touch_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts, p.value, c.t_user, c.t_ts, c.touch_id
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.t_user AND p.ts >= c.t_ts""".stripMargin,
 
     "a14_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events

@@ -654,5 +654,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bottomk_sample"),
       new ExpressionInfo(classOf[BottomKSampleAgg].getName, "graft_bottomk_sample"),
       (exprs: Seq[Expression]) => BottomKSampleAgg(exprs(0), litI(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk_by"),
+      new ExpressionInfo(classOf[TopKByAgg].getName, "graft_topk_by"),
+      (exprs: Seq[Expression]) => TopKByAgg(exprs(0), exprs(1), litI(exprs(2)))))
   }
 }

@@ -728,6 +728,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(4000))
   }
 
+  test("st8 grouped top-k: bounded partial heaps, no per-group window sort") {
+    val p = plan(graft.SparkEntry.queries("st8_topk_docs")(spark, dir))
+    assert(p.contains("partial_graft_topk_by"), p.take(4000))
+    assert(p.contains("Exchange hashpartitioning(source"), p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+  }
+
   test("strictCompat projection degrades types per reference rules") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2), Map("k" -> "v"))).toDF("a", "xs", "m")
