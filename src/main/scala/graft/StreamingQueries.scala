@@ -300,6 +300,36 @@ object StreamingQueries {
           coalesce(col("n_users"), lit(0L)).as("n_users"))
     }),
 
+    // ---- W4 streaming: running TWAP per user — 4 scalars of state;
+    // n_intervals grows monotonically, so the max-n emission per user
+    // is the final one and equals the batch w4 row (oracle verbatim)
+    "w4s_twap_stream" -> ((s, dir) => {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 4) {
+        case Seq(ev) => StreamingState.twapStream(ev, "user_id", "ts", "value", "event_id")
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_intervals").desc)
+      out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    }),
+
+    // ---- A15 streaming: the delta stream of first-activity-per-period
+    // pairs IS the batch distinct (user, period) frame; the same
+    // single-exchange cohort rollup runs on the sink table
+    "a15s_retention_stream" -> ((s, dir) => {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 4) {
+        case Seq(ev) => StreamingState.retentionStream(ev, "user_id", "ts", "week")
+      }
+      val perUser = out.groupBy(col("user_id"))
+        .agg(min(col("period_us")).as("_cohort"), collect_set(col("period_us")).as("_ps"))
+      perUser
+        .select(col("_cohort"), explode(col("_ps")).as("_active"))
+        .select(timestamp_micros(col("_cohort")).as("cohort"),
+          ((col("_active") - col("_cohort")) / (7L * 86400000000L)).cast("long")
+            .as("period_offset"))
+        .groupBy(col("cohort"), col("period_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // ---- streaming running quantiles: one QSketch per key in the
     // state store (bounded O(k·log n/k) bytes/key); gate scale stays
     // inside the sketch's exact tier, so the final per-key emission
@@ -525,6 +555,14 @@ object StreamingQueries {
     // the stream's per-user (stage, time) fold equals the batch
     // funnel's min-time chain — batch oracle verbatim
     "a14s_funnel_stream" -> RelationalQueries.oracles("a14_funnel"),
+
+    // the stream's final interval accumulation equals the batch lead()
+    // sum — batch oracle verbatim
+    "w4s_twap_stream" -> RelationalQueries.oracles("w4_twap"),
+
+    // the delta stream is the batch distinct (user, period) frame —
+    // batch oracle verbatim
+    "a15s_retention_stream" -> RelationalQueries.oracles("a15_retention"),
 
     // the stream's final sketch state equals the batch wordcount
     // top-10 (exact tier, deterministic tie-break)

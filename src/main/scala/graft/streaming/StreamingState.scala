@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Distributed streaming state operators — the cluster-scale
   * implementation of T1 (last-per-key accumulation) and streaming
@@ -954,6 +954,114 @@ object StreamingState {
       .agg(count(lit(1)).as("n"), sum(col(sumCol)).as("sum_value"))
       .withColumn("session_start", col("session_window.start"))
       .drop("session_window")
+
+  /** W4's streaming twin: a running time-weighted average per key.
+    * State per key is FOUR scalars — (last ts, last value, weighted
+    * sum, weighted span) — folded in ts order; each new tick closes
+    * the previous tick's holding interval, exactly the batch lead()
+    * formulation's sum. Emits the running (key, twap, n_intervals,
+    * span_us) whenever a batch closes at least one interval, so the
+    * final emission equals the batch w4 row (the last tick holds no
+    * weight in either).
+    *
+    * Cross-batch contract and 100 TB shape as [[funnelStream]]: per-
+    * key arrival must be ts-non-decreasing; state is O(keys) scalars.
+    */
+  def twapStream(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      orderCol: String): DataFrame = {
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val valIdx = schema.fieldIndex(valCol)
+    val ordIdx = schema.fieldIndex(orderCol)
+    implicit val rowEnc = Encoders.row(StructType(Seq(
+      StructField(keyCol, schema(keyIdx).dataType),
+      StructField("twap", DoubleType, nullable = false),
+      StructField("n_intervals", LongType, nullable = false),
+      StructField("span_us", LongType, nullable = false))))
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.BINARY
+    def micros(r: Row): Long = {
+      val i = r.getTimestamp(tsIdx).toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    df.groupByKey((r: Row) => r.getLong(keyIdx))
+      .flatMapGroupsWithState[Array[Byte], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Row], state: GroupState[Array[Byte]]) =>
+          // state: hasLast(1B) lastTs(8) lastVal(8) wsum(8) span(8) n(8)
+          var (hasLast, lastTs, lastVal, wsum, span, n) =
+            state.getOption match {
+              case Some(b) =>
+                val buf = java.nio.ByteBuffer.wrap(b)
+                (buf.get() == 1, buf.getLong, buf.getDouble, buf.getDouble,
+                  buf.getLong, buf.getLong)
+              case None => (false, 0L, 0.0, 0.0, 0L, 0L)
+            }
+          val nBefore = n
+          rows.map(r => (micros(r), r.getLong(ordIdx), r.getDouble(valIdx)))
+            .toArray.sorted
+            .foreach { case (tUs, _, v) =>
+              if (hasLast) {
+                val dt = tUs - lastTs
+                wsum += lastVal * dt; span += dt; n += 1
+              }
+              hasLast = true; lastTs = tUs; lastVal = v
+            }
+          val buf = java.nio.ByteBuffer.allocate(1 + 8 * 5)
+          buf.put(if (hasLast) 1.toByte else 0.toByte)
+            .putLong(lastTs).putDouble(lastVal).putDouble(wsum)
+            .putLong(span).putLong(n)
+          state.update(buf.array())
+          if (n > nBefore) Iterator.single(Row(key, wsum / span, n, span))
+          else Iterator.empty
+      }
+  }
+
+  /** A15's streaming twin: the per-user active-period set maintained
+    * in the state store (bounded by periods per user, e.g. ≤52
+    * weeks/year — the same bound the batch collect_set relies on),
+    * emitting each (user, period_start_us) pair ONCE, the first time
+    * the user is active in that period. The emitted delta stream IS
+    * the batch operator's distinct (user, period) frame, so the
+    * cohort/offset rollup (and the a15 oracle) apply to it verbatim.
+    */
+  def retentionStream(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      period: String = "week"): DataFrame = {
+    val withP = df.select(col(userCol),
+      unix_micros(date_trunc(period, col(tsCol))).as("_p"))
+    val schema = withP.schema
+    implicit val rowEnc = Encoders.row(StructType(Seq(
+      StructField(userCol, schema.head.dataType),
+      StructField("period_us", LongType, nullable = false))))
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.BINARY
+    withP.groupByKey((r: Row) => r.getLong(0))
+      .flatMapGroupsWithState[Array[Byte], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row], state: GroupState[Array[Byte]]) =>
+          val seen = scala.collection.mutable.SortedSet.empty[Long]
+          state.getOption.foreach { b =>
+            val buf = java.nio.ByteBuffer.wrap(b)
+            while (buf.hasRemaining) seen += buf.getLong
+          }
+          val fresh = rows.map(_.getLong(1)).filter(seen.add).toArray.sorted
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val buf = java.nio.ByteBuffer.allocate(8 * seen.size)
+            seen.foreach(buf.putLong)
+            state.update(buf.array())
+            fresh.iterator.map(p => Row(user, p))
+          }
+      }
+  }
 
   /** A14's streaming twin: ordered funnel progress maintained live.
     * State per user is TWO scalars — (stage reached, time it was

@@ -151,6 +151,63 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("twapStream: intervals close across batch boundaries") {
+    val ws = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType), StructField("event_id", LongType)))
+    def wr(u: Long, s: String, v: Double, id: Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](u, java.sql.Timestamp.valueOf(s), v, id), ws)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(ws), sqlCtx)
+    val out = StreamingState.twapStream(stream.toDF(), "user_id", "ts", "value", "event_id")
+    val name = s"twap_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("twap-ckpt").toString)
+      .start()
+    try {
+      stream.addData(wr(1L, "2024-01-01 00:00:00", 10.0, 1))
+      q.processAllAvailable()
+      // batch boundary: the 10.0 tick's interval closes when the NEXT
+      // batch's tick arrives — 10 held 1s, then 20 held 3s
+      stream.addData(
+        wr(1L, "2024-01-01 00:00:01", 20.0, 2),
+        wr(1L, "2024-01-01 00:00:04", 99.0, 3))
+      q.processAllAvailable()
+      val last = spark.table(name).collect().maxBy(_.getLong(2))
+      assert(last.getDouble(1) === (10.0 * 1 + 20.0 * 3) / 4)
+      assert(last.getLong(2) === 2L)       // n_intervals
+      assert(last.getLong(3) === 4000000L) // span_us
+    } finally q.stop()
+  }
+
+  test("retentionStream: a period is emitted once, even across batches") {
+    val rs = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    def rr(u: Long, s: String): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](u, java.sql.Timestamp.valueOf(s)), rs)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(rs), sqlCtx)
+    val out = StreamingState.retentionStream(stream.toDF(), "user_id", "ts", "week")
+    val name = s"ret_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("ret-ckpt").toString)
+      .start()
+    try {
+      stream.addData(rr(1L, "2024-01-02 10:00:00"), rr(1L, "2024-01-03 10:00:00"))
+      q.processAllAvailable()
+      stream.addData(rr(1L, "2024-01-04 10:00:00"), rr(1L, "2024-01-08 10:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1)))
+      // week of Jan 1 emitted exactly once despite three events in it
+      assert(rows.toSeq.sorted === rows.toSet.toSeq.sorted)
+      assert(rows.toSet.size === 2)
+    } finally q.stop()
+  }
+
   test("dedupStream: each key emitted exactly once across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Row](Encoders.row(schema), sqlCtx)
