@@ -377,6 +377,25 @@ object RelationalQueries {
       EventAnalytics.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
         Seq("signup", "view", "click", "purchase"))),
 
+    // ---- windowed funnel: every hop must convert within 24 h of the
+    // previous stage's reach time (conversion-deadline semantics)
+    "a14b_funnel_window" -> ((s, dir) =>
+      EventAnalytics.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"),
+        withinUs = Some(24L * 3600 * 1000000))),
+
+    // ---- event-type transition matrix: consecutive-event (from, to)
+    // counts + exact rational probabilities; |types|² output rows
+    "a17_transitions" -> ((s, dir) =>
+      EventAnalytics.transitionMatrix(t(s, dir, "events"), "user_id",
+        "event_type", "ts", orderCols = Seq("event_id"))),
+
+    // ---- top user journeys: each user's first 5 event types as a
+    // path string, counted across users
+    "a18_user_paths" -> ((s, dir) =>
+      EventAnalytics.topPaths(t(s, dir, "events"), "user_id", "event_type",
+        "ts", firstN = 5, orderCols = Seq("event_id"))),
+
     // ---- weekly cohort retention: cohort = week of first event,
     // retained at offset p if active in cohort week + p
     "a15_retention" -> ((s, dir) =>
@@ -653,6 +672,41 @@ object RelationalQueries {
         |UNION ALL SELECT 2, 'view', count(*) FROM s2
         |UNION ALL SELECT 3, 'click', count(*) FROM s3
         |UNION ALL SELECT 4, 'purchase', count(*) FROM s4""".stripMargin,
+
+    "a14b_funnel_window" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t
+        |         AND e.ts <= s1.t + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s2.t
+        |         AND e.ts <= s2.t + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t
+        |         AND e.ts <= s3.t + INTERVAL 24 HOUR GROUP BY e.user_id)
+        |SELECT 1 AS stage_idx, 'signup' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |UNION ALL SELECT 4, 'purchase', count(*) FROM s4""".stripMargin,
+
+    "a17_transitions" ->
+      """WITH p AS (SELECT event_type AS to_type,
+        |                  lag(event_type) OVER (PARTITION BY user_id
+        |                    ORDER BY ts, event_id) AS from_type
+        |           FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |      WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       CAST(n AS DOUBLE) /
+        |         CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+        |FROM c""".stripMargin,
+
+    "a18_user_paths" ->
+      """WITH l AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS evs
+        |           FROM events GROUP BY user_id)
+        |SELECT array_to_string(evs[1:5], '->') AS path, count(*) AS n_users
+        |FROM l GROUP BY path""".stripMargin,
 
     "a15_retention" ->
       """WITH c AS (SELECT user_id,

@@ -38,10 +38,13 @@ object EventAnalytics {
       userCol: String,
       typeCol: String,
       tsCol: String,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String],
+      withinUs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val u = col(userCol)
-    // frontier_k: (user, _t = time the user reached stage k)
+    // frontier_k: (user, _t = time the user reached stage k). With
+    // `withinUs`, stage k must land in (t_{k-1}, t_{k-1} + within] —
+    // the windowed-funnel variant (conversion deadlines per hop).
     val frontiers = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (stage, _)) =>
         val typed = events.filter(col(typeCol) === stage)
@@ -49,7 +52,12 @@ object EventAnalytics {
         val reached = prev match {
           case None => typed
           case Some(fr) =>
-            typed.join(fr, Seq(userCol)).filter(col("_ts") > col("_t"))
+            val after = typed.join(fr, Seq(userCol)).filter(col("_ts") > col("_t"))
+            withinUs match {
+              case Some(w) => after.filter(
+                unix_micros(col("_ts")) - unix_micros(col("_t")) <= w)
+              case None => after
+            }
         }
         Some(reached.groupBy(u).agg(min(col("_ts")).as("_t")))
     }.flatten
@@ -90,6 +98,60 @@ object EventAnalytics {
       .select(timestamp_micros(col("_cohort")).as("cohort"),
         ((col("_active") - col("_cohort")) / periodUs).cast("long").as("period_offset"))
       .groupBy(col("cohort"), col("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Event-type transition matrix: for consecutive events per key (ts
+    * order, `orderCols` breaking ties), count each (from, to) pair and
+    * its probability among the from-state's outgoing transitions. The
+    * probability is the exact rational count ratio — engine-portable.
+    * One key-partitioned window (the lag) + one metadata-sized
+    * aggregate: |types|² rows.
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      tsCol: String,
+      orderCols: Seq[String] = Nil): DataFrame = {
+    val ord: Seq[Column] = col(tsCol) +: orderCols.map(col)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val pairs = events
+      .withColumn("_from", lag(col(typeCol), 1).over(w))
+      .filter(col("_from").isNotNull)
+      .groupBy(col("_from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(col("from_type"))
+    pairs.withColumn("prob",
+      col("n").cast("double") / sum(col("n")).over(totals).cast("double"))
+  }
+
+  /** Top user journeys: each key's first `firstN` event types (ts
+    * order, `orderCols` breaking ties) joined into a path string,
+    * counted across keys. The per-key list is assembled by ONE keyed
+    * aggregate (collect_list + array_sort — deterministic regardless
+    * of arrival order); state per key is its events, truncated to the
+    * path AFTER the sort, so keys with long histories dominate state,
+    * not the result. Returns (path, n_users).
+    */
+  def topPaths(
+      events: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      tsCol: String,
+      firstN: Int,
+      orderCols: Seq[String] = Nil): DataFrame = {
+    require(firstN >= 1, "topPaths needs firstN >= 1")
+    val ordCols = (unix_micros(col(tsCol)).as("_o0") +:
+      orderCols.zipWithIndex.map { case (c, i) => col(c).as(s"_o${i + 1}") }) :+
+      col(typeCol).as("_t")
+    events
+      .groupBy(col(keyCol))
+      .agg(collect_list(struct(ordCols: _*)).as("_evs"))
+      .select(array_join(
+        slice(transform(array_sort(col("_evs")), x => x.getField("_t")), 1, firstN),
+        "->").as("path"))
+      .groupBy(col("path"))
       .agg(count(lit(1)).as("n_users"))
   }
 

@@ -41,6 +41,66 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(rows === Set(("signup", 1L), ("view", 0L)))
   }
 
+  test("windowed funnel rejects a stage that converts after the deadline") {
+    val ev = Seq(
+      (1L, "signup", ts("2024-01-01 10:00:00")),
+      (1L, "view", ts("2024-01-01 12:00:00")),   // within 3h — ok
+      (2L, "signup", ts("2024-01-01 10:00:00")),
+      (2L, "view", ts("2024-01-01 14:00:01"))    // 4h 1s — too late
+    ).toDF("user_id", "event_type", "ts")
+    val rows = EventAnalytics.funnel(ev, "user_id", "event_type", "ts",
+      Seq("signup", "view"), withinUs = Some(4L * 3600 * 1000000))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set(("signup", 2L), ("view", 1L)))
+  }
+
+  test("windowed funnel: a later in-window event still converts (min after filter)") {
+    // the user's FIRST view is out of window, but a second view within
+    // the window must still advance — the window filters candidates,
+    // then min picks the earliest surviving one
+    val ev = Seq(
+      (1L, "signup", ts("2024-01-01 10:00:00")),
+      (1L, "view", ts("2024-01-05 10:00:00")),   // way out of window
+      (1L, "view", ts("2024-01-01 11:00:00"))    // in window
+    ).toDF("user_id", "event_type", "ts")
+    val rows = EventAnalytics.funnel(ev, "user_id", "event_type", "ts",
+      Seq("signup", "view"), withinUs = Some(2L * 3600 * 1000000))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set(("signup", 1L), ("view", 1L)))
+  }
+
+  test("transition matrix: rational probabilities per from-state") {
+    val ev = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "b", ts("2024-01-01 11:00:00"), 2L),
+      (1L, "a", ts("2024-01-01 12:00:00"), 3L),
+      (1L, "c", ts("2024-01-01 13:00:00"), 4L),
+      (2L, "a", ts("2024-01-01 10:00:00"), 5L),
+      (2L, "b", ts("2024-01-01 11:00:00"), 6L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val m = EventAnalytics.transitionMatrix(ev, "user_id", "event_type", "ts",
+      Seq("event_id")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // from 'a': a->b twice, a->c once → 2/3 and 1/3
+    assert(m(("a", "b")) === ((2L, 2.0 / 3.0)))
+    assert(m(("a", "c")) === ((1L, 1.0 / 3.0)))
+    assert(m(("b", "a")) === ((1L, 1.0)))
+  }
+
+  test("topPaths truncates to the first N events in (ts, order) order") {
+    val ev = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "b", ts("2024-01-01 11:00:00"), 2L),
+      (1L, "c", ts("2024-01-01 12:00:00"), 3L),
+      (2L, "a", ts("2024-01-01 10:00:00"), 4L),
+      (2L, "b", ts("2024-01-01 11:00:00"), 5L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val paths = EventAnalytics.topPaths(ev, "user_id", "event_type", "ts",
+      firstN = 2, orderCols = Seq("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(paths === Map("a->b" -> 2L))
+  }
+
   test("retention cohorts count a user once per active period") {
     // u1 first event in week of 2024-01-01 (Mon), active again twice in
     // the week of 2024-01-08 → one retained row, not two

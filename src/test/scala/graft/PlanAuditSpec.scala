@@ -756,6 +756,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p.take(4000))
   }
 
+  test("a17 transitions: one corpus exchange (user window); totals over grouped rows") {
+    val p = plan(graft.SparkEntry.queries("a17_transitions")(spark, dir))
+    // the lag window exchanges on user; the (from,to) aggregate and the
+    // per-from totals window run over |types|² grouped rows
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 1, p.take(4000))
+    assert(p.contains("partial_count"), p.take(4000))
+  }
+
+  test("a18 user paths: one keyed aggregate, no global sort") {
+    val p = plan(graft.SparkEntry.queries("a18_user_paths")(spark, dir))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 1, p.take(4000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(4000))
+  }
+
   test("strictCompat projection degrades types per reference rules") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2), Map("k" -> "v"))).toDF("a", "xs", "m")
