@@ -827,6 +827,26 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    // ---- incremental index maintenance: the reference third arrives
+    // in TWO shards — the second is appended WITHOUT re-reading the
+    // first (band-partition appends; union drop semantics make
+    // cross-shard duplicate signatures harmless) — and serving against
+    // the grown index must equal the one-shot d10 run
+    "d16_index_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = scopedTmp("graft_dedupidx_app", dir)
+      Dedup.saveDedupIndex(
+        docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0),
+        "doc_id", "text", path, n = 3, numHashes = 16, bands = 4)
+      Dedup.appendToDedupIndex(
+        docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0),
+        "doc_id", "text", path)
+      Dedup.crossCorpusDedupWithIndex(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        Dedup.loadDedupIndex(s, path), "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // ---- DSIR importance weights: target = doc_id % 41 == 0 slice,
     // hashed word-bigram buckets, integer-quantized log-ratios
     // the scoring fold with an embedded literal weight table — the
@@ -2431,5 +2451,7 @@ object PipelineQueries {
         |  FROM documents) WHERE rn <= 5""".stripMargin,
     "st7_incremental_profile" -> oracles0("st2_numeric_profile"),
     // dedup from a saved reference index == the in-session d10 run
-    "d15_saved_dedup_index" -> oracles0("d10_cross_dedup"))
+    "d15_saved_dedup_index" -> oracles0("d10_cross_dedup"),
+    // save + append shards == the one-shot index over their union
+    "d16_index_append" -> oracles0("d10_cross_dedup"))
 }

@@ -377,6 +377,18 @@ object RelationalQueries {
       EventAnalytics.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
         Seq("signup", "view", "click", "purchase"))),
 
+    // ---- as-of FORWARD: the user's next order at-or-after each event
+    // (the fill-forward complement of j2; the oracle replays it as a
+    // correlated LATERAL top-1, so both directions are gate-covered)
+    "j8_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val od = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max_by(struct(col("o_orderkey"), col("o_totalprice")), col("o_orderkey")).as("_o"))
+        .select(col("o_custkey"), col("o_orderdate"), col("_o.o_orderkey"), col("_o.o_totalprice"))
+      AsofJoin.asofForward(ev, od, "user_id", "o_custkey", "ts", "o_orderdate")
+    }),
+
     // ---- windowed funnel: every hop must convert within 24 h of the
     // previous stage's reach time (conversion-deadline semantics)
     "a14b_funnel_window" -> ((s, dir) =>
@@ -672,6 +684,18 @@ object RelationalQueries {
         |UNION ALL SELECT 2, 'view', count(*) FROM s2
         |UNION ALL SELECT 3, 'click', count(*) FROM s3
         |UNION ALL SELECT 4, 'purchase', count(*) FROM s4""".stripMargin,
+
+    "j8_asof_forward" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+        |              max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |       FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |       n.o_custkey, n.o_orderdate, n.o_orderkey, n.o_totalprice
+        |FROM ev e LEFT JOIN LATERAL (
+        |  SELECT * FROM od o
+        |  WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+        |  ORDER BY o.o_orderdate ASC LIMIT 1) n ON true""".stripMargin,
 
     "a14b_funnel_window" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events

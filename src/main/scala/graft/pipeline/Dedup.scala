@@ -608,6 +608,28 @@ object Dedup {
       "ref_id", "_rsig", numHashes, bands)
       .write.mode("overwrite").partitionBy("band").parquet(path)
 
+  /** Incremental maintenance for [[saveDedupIndex]]: shingle/band ONLY
+    * the delta shard and append its bucket rows into the existing band
+    * partitions — the daily-ingest path (s13's pattern for the dedup
+    * index). The index's drop semantics ("new doc matches ANY
+    * reference signature") are union semantics, so a signature both
+    * shards contain appearing twice changes nothing — appends never
+    * need to read, dedupe against, or rewrite the existing corpus's
+    * bands. Fit parameters come FROM the stored metadata, so a delta
+    * cannot silently bind mismatched shingle/hash/band settings.
+    */
+  def appendToDedupIndex(
+      dfDelta: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): Unit = {
+    val idx = loadDedupIndex(dfDelta.sparkSession, path)
+    distinctSigBuckets(
+      docSigs(dfDelta, idCol, textCol, idx.n, idx.numHashes),
+      idx.numHashes, idx.bands)
+      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+  }
+
   /** Loaded [[saveDedupIndex]] surface: lazy bucket frame + fit
     * parameters. */
   final case class DedupIndex(buckets: DataFrame, n: Int, numHashes: Int, bands: Int)

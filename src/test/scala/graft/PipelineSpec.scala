@@ -281,4 +281,29 @@ class PipelineSpec extends AnyFunSuite {
     val inc = results(incPath)
     assert(inc === results(fullPath) && inc.nonEmpty)
   }
+
+  test("appendToDedupIndex: existing band files byte-identical; drops equal one-shot") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val path = java.nio.file.Files.createTempDirectory("dedup-idx-app").toString
+    Dedup.saveDedupIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", path, n = 3, numHashes = 16, bands = 4)
+    def bandFiles(): Map[String, Array[Byte]] = {
+      val root = java.nio.file.Paths.get(s"$path/bands")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString -> java.nio.file.Files.readAllBytes(p))
+        .toMap
+    }
+    val before = bandFiles()
+    Dedup.appendToDedupIndex(docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", path)
+    val after = bandFiles()
+    // the delta lands as NEW files; every pre-append file is untouched
+    assert(before.keySet.subsetOf(after.keySet))
+    before.foreach { case (f, bytes) =>
+      assert(java.util.Arrays.equals(bytes, after(f)), s"rewritten: $f")
+    }
+    assert(after.size > before.size)
+  }
 }
