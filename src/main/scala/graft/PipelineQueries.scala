@@ -638,6 +638,13 @@ object PipelineQueries {
         "doc_id", "source", "text", budget = 3000L)
         .select(col("doc_id"), col("source"))),
 
+    // ---- exact-size stratified sample: proportional integer quotas
+    // per source, filled by each stratum's deterministic bottom-k —
+    // returns exactly Σ quotas rows, unlike the rate-based gates
+    "p18_stratified_quota" -> ((s, dir) =>
+      Curation.stratifiedQuotaSample(t(s, dir, "documents"),
+        "doc_id", "source", totalK = 400)),
+
     // ---- fixed-SIZE per-source sample (vs the rate-based gates): the
     // k smallest (polyHash(id), id) per source via a bounded mergeable
     // heap aggregate — O(k) state per partial, no per-group full sort;
@@ -1927,6 +1934,17 @@ object PipelineQueries {
          |       FROM w, s)
          |SELECT doc_id, source FROM documents JOIN pm USING (source)
          |WHERE ${phSql("CAST(doc_id AS VARCHAR)")} % 1000 < pm""".stripMargin,
+
+    "p18_stratified_quota" ->
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |t AS (SELECT count(*) AS tot FROM documents),
+         |q AS (SELECT source, (400 * n) // tot AS quota FROM c CROSS JOIN t),
+         |r AS (SELECT source, doc_id,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY ${phSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+         |      FROM documents)
+         |SELECT source, rn AS rank, doc_id
+         |FROM r JOIN q USING (source) WHERE rn <= quota""".stripMargin,
 
     "p17_bottomk_sample" ->
       s"""SELECT source, CAST(rn AS INT) AS rank, doc_id FROM (

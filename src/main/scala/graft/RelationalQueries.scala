@@ -377,6 +377,43 @@ object RelationalQueries {
       EventAnalytics.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
         Seq("signup", "view", "click", "purchase"))),
 
+    // ---- A8: RECURSIVE CTE (Spark 4 native) — a generated week spine
+    // from the corpus's own min/max joined to the retention cells, so
+    // empty cohort×offset cells report 0 (the complete cohort matrix)
+    "u6_recursive_spine" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("g7_ev6")
+      EventAnalytics.retentionCohorts(t(s, dir, "events"), "user_id", "ts", "week")
+        .createOrReplaceTempView("g7_ret6")
+      s.sql("""WITH RECURSIVE bounds AS (
+              |  SELECT date_trunc('week', min(ts)) AS lo, date_trunc('week', max(ts)) AS hi
+              |  FROM g7_ev6),
+              |weeks(w) AS (
+              |  SELECT lo FROM bounds
+              |  UNION ALL
+              |  SELECT w + INTERVAL '7' DAY FROM weeks, bounds WHERE w < hi)
+              |SELECT c.w AS cohort,
+              |       CAST((unix_micros(a.w) - unix_micros(c.w)) / 604800000000 AS BIGINT)
+              |         AS period_offset,
+              |       coalesce(r.n_users, 0) AS n_users
+              |FROM weeks c JOIN weeks a ON a.w >= c.w
+              |LEFT JOIN g7_ret6 r
+              |  ON r.cohort = c.w
+              | AND r.period_offset = (unix_micros(a.w) - unix_micros(c.w)) / 604800000000
+              |""".stripMargin)
+    }),
+
+    // ---- SCD2-style state history: each tick's validity interval per
+    // user — valid_from = its ts, valid_to = the next tick's ts (null
+    // while current); the reference's state-table history semantics
+    "a19_state_history" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"),
+          lead(col("ts"), 1).over(w).isNull.as("is_current"))
+    }),
+
     // ---- as-of FORWARD: the user's next order at-or-after each event
     // (the fill-forward complement of j2; the oracle replays it as a
     // correlated LATERAL top-1, so both directions are gate-covered)
@@ -684,6 +721,43 @@ object RelationalQueries {
         |UNION ALL SELECT 2, 'view', count(*) FROM s2
         |UNION ALL SELECT 3, 'click', count(*) FROM s3
         |UNION ALL SELECT 4, 'purchase', count(*) FROM s4""".stripMargin,
+
+    "u6_recursive_spine" ->
+      """WITH RECURSIVE bounds AS (
+        |  SELECT CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS lo,
+        |         CAST(date_trunc('week', max(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS hi
+        |  FROM events),
+        |weeks(w) AS (
+        |  SELECT lo FROM bounds
+        |  UNION ALL
+        |  SELECT w + INTERVAL 7 DAY FROM weeks, bounds WHERE w < hi),
+        |ret AS (
+        |  SELECT cohort, period_offset, count(*) AS n_users FROM (
+        |    SELECT a.user_id, c.cohort,
+        |           CAST((epoch_us(a.active) - epoch_us(c.cohort)) / 604800000000 AS BIGINT)
+        |             AS period_offset
+        |    FROM (SELECT DISTINCT user_id,
+        |                 CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS active
+        |          FROM events) a
+        |    JOIN (SELECT user_id,
+        |                 CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS cohort
+        |          FROM events GROUP BY user_id) c USING (user_id))
+        |  GROUP BY cohort, period_offset)
+        |SELECT c.w AS cohort,
+        |       CAST((epoch_us(a.w) - epoch_us(c.w)) / 604800000000 AS BIGINT) AS period_offset,
+        |       coalesce(r.n_users, 0) AS n_users
+        |FROM weeks c JOIN weeks a ON a.w >= c.w
+        |LEFT JOIN ret r
+        |  ON r.cohort = c.w
+        | AND r.period_offset = (epoch_us(a.w) - epoch_us(c.w)) / 604800000000""".stripMargin,
+
+    "a19_state_history" ->
+      """SELECT user_id, event_id, value,
+        |       CAST(ts AS TIMESTAMP) AS valid_from,
+        |       lead(CAST(ts AS TIMESTAMP), 1) OVER w AS valid_to,
+        |       lead(ts, 1) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
 
     "j8_asof_forward" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

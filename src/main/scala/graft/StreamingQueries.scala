@@ -300,6 +300,22 @@ object StreamingQueries {
           coalesce(col("n_users"), lit(0L)).as("n_users"))
     }),
 
+    // ---- A17 streaming: consecutive-event pairs live — one tick of
+    // state per user pairs each batch's first event with the previous
+    // batch's last; the batch count/probability rollup runs over the
+    // emitted pair stream, so the a17 oracle applies verbatim
+    "a17s_transitions_stream" -> ((s, dir) => {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 4) {
+        case Seq(ev) => StreamingState.transitionsStream(
+          ev, "user_id", "event_type", "ts", "event_id")
+      }
+      val pairs = out.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+      pairs.withColumn("prob",
+        col("n").cast("double") / sum(col("n")).over(totals).cast("double"))
+    }),
+
     // ---- W4 streaming: running TWAP per user — 4 scalars of state;
     // n_intervals grows monotonically, so the max-n emission per user
     // is the final one and equals the batch w4 row (oracle verbatim)
@@ -559,6 +575,10 @@ object StreamingQueries {
     // the stream's final interval accumulation equals the batch lead()
     // sum — batch oracle verbatim
     "w4s_twap_stream" -> RelationalQueries.oracles("w4_twap"),
+
+    // the emitted pair stream is the batch lag() pair set — oracle
+    // verbatim
+    "a17s_transitions_stream" -> RelationalQueries.oracles("a17_transitions"),
 
     // the delta stream is the batch distinct (user, period) frame —
     // batch oracle verbatim

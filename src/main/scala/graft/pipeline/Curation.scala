@@ -181,6 +181,40 @@ object Curation {
   def hashSample(idCol: String, pct: Int): Column =
     TextFunctions.polyHash(col(idCol).cast("string")) % 100 < pct
 
+  /** Exact-SIZE stratified sample: per-stratum quotas proportional to
+    * stratum size (`floor(totalK · n_s / N)` — integer arithmetic,
+    * engine-portable), filled by each stratum's deterministic bottom-k
+    * (smallest (polyHash, id), the [[hashSample]] discipline). Unlike
+    * the rate-based gates (whose output SIZE varies with the hash
+    * distribution), this returns exactly Σ quotas rows — the "give me
+    * a 100k-doc eval slice, proportionally stratified" request.
+    *
+    * 100 TB shape: stratum counts are one metadata aggregate; the
+    * per-stratum bottom-k is the [[graft.functions.BKSample]] bounded
+    * heap (O(totalK) partial state, map-side pruning, no window sort);
+    * quotas join back as a broadcast.
+    */
+  def stratifiedQuotaSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      totalK: Int): DataFrame = {
+    require(totalK >= 1, "stratifiedQuotaSample needs totalK >= 1")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    val tot = df.agg(count(lit(1)).as("_tot"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .select(col(stratumCol),
+        expr(s"(${totalK}L * _n) div _tot").as("_quota"))
+    df.groupBy(col(stratumCol))
+      .agg(graft.functions.BottomKSample.bottomKSample(col(idCol), totalK).as("_ids"))
+      .select(col(stratumCol), posexplode(col("_ids")))
+      .select(col(stratumCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col").as(idCol))
+      .join(broadcast(quotas), stratumCol :: Nil)
+      .filter(col("rank") <= col("_quota"))
+      .select(col(stratumCol), col("rank"), col(idCol))
+  }
+
   /** Data-mixture construction: per-stratum sampling rates (percent)
     * over the same deterministic hash — e.g. keep 50% of English, 20%
     * of German, `defaultPct` of everything else. Still one narrow

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Distributed streaming state operators — the cluster-scale
   * implementation of T1 (last-per-key accumulation) and streaming
@@ -1060,6 +1060,60 @@ object StreamingState {
             state.update(buf.array())
             fresh.iterator.map(p => Row(user, p))
           }
+      }
+  }
+
+  /** A17's streaming twin: consecutive-event (from, to) pairs emitted
+    * live. State per key is ONE tick — (ts, order, type) of the key's
+    * latest event — so a batch's first event pairs with the previous
+    * batch's last (the boundary transition the batch lag() sees).
+    * Emits un-aggregated pair rows; the (from, to) count/probability
+    * rollup is a batch aggregate over the emitted stream (the a17
+    * tail), so the batch oracle applies verbatim.
+    */
+  def transitionsStream(
+      df: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      tsCol: String,
+      orderCol: String): DataFrame = {
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val typeIdx = schema.fieldIndex(typeCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val ordIdx = schema.fieldIndex(orderCol)
+    implicit val rowEnc = Encoders.row(StructType(Seq(
+      StructField("from_type", StringType),
+      StructField("to_type", StringType))))
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.BINARY
+    def micros(r: Row): Long = {
+      val i = r.getTimestamp(tsIdx).toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    df.groupByKey((r: Row) => r.getLong(keyIdx))
+      .flatMapGroupsWithState[Array[Byte], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[Row], state: GroupState[Array[Byte]]) =>
+          var lastType: String = state.getOption.map { b =>
+            val buf = java.nio.ByteBuffer.wrap(b)
+            buf.getLong; buf.getLong // ts/ord kept for the contract, unused here
+            val bytes = new Array[Byte](buf.remaining()); buf.get(bytes)
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          }.orNull
+          var lastTs = 0L; var lastOrd = 0L
+          val out = Vector.newBuilder[Row]
+          rows.map(r => (micros(r), r.getLong(ordIdx), r.getString(typeIdx)))
+            .toArray.sorted
+            .foreach { case (tUs, ord, typ) =>
+              if (lastType != null) out += Row(lastType, typ)
+              lastType = typ; lastTs = tUs; lastOrd = ord
+            }
+          val tb = lastType.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val buf = java.nio.ByteBuffer.allocate(16 + tb.length)
+          buf.putLong(lastTs).putLong(lastOrd).put(tb)
+          state.update(buf.array())
+          out.result().iterator
       }
   }
 
