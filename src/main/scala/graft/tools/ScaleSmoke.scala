@@ -43,7 +43,12 @@ object ScaleSmoke {
     // exchange retention/twap), bounded-heap ranking aggregates,
     // as-of attribution
     "a14_funnel", "a15_retention", "w4_twap", "p17_bottomk_sample",
-    "st8_topk_docs", "j7_attribution")
+    "st8_topk_docs", "j7_attribution",
+    // round 7c: collocations (bigram wordcount), transition matrix +
+    // user paths (user-keyed window/agg), stratified quotas, index
+    // append (build+append+serve), decorrelated scalar subquery
+    "tx16_collocations", "a17_transitions", "a18_user_paths",
+    "p18_stratified_quota", "d16_index_append", "u4_scalar_subquery")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
