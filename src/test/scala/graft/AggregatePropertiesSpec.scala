@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{BKSample, PolyHash, TKState}
+
+/** Property tests for the mergeable bounded-heap aggregates: the
+  * distributed-correctness contract is that ANY partitioning of the
+  * input into partial buffers, merged in ANY order, yields the same
+  * members as a single-pass build — that is what makes the map-side
+  * partial + shuffle-merge plan exact, not approximate.
+  */
+class AggregatePropertiesSpec extends AnyFunSuite {
+
+  private def ph(id: Long): Long = PolyHash.hash(UTF8String.fromString(id.toString))
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("BKSample: any split + merge order equals the single-pass build") {
+    val gen = for {
+      ids <- Gen.listOf(Gen.chooseNum(0L, 500L))
+      k <- Gen.chooseNum(1, 12)
+      cut <- Gen.chooseNum(0, math.max(ids.size, 1))
+      bFirst <- Gen.oneOf(true, false)
+    } yield (ids, k, cut, bFirst)
+    check("bk-merge", Prop.forAll(gen) { case (ids, k, cut, bFirst) =>
+      val (l, r) = ids.splitAt(math.min(cut, ids.size))
+      val a = new BKSample(k); val b = new BKSample(k); val whole = new BKSample(k)
+      l.foreach(id => a.add(ph(id), id)); r.foreach(id => b.add(ph(id), id))
+      ids.foreach(id => whole.add(ph(id), id))
+      val merged = if (bFirst) { b.mergeWith(a); b } else { a.mergeWith(b); a }
+      merged.members.toSeq == whole.members.toSeq
+    })
+  }
+
+  test("BKSample: members are exactly the k smallest (hash, id) pairs") {
+    val gen = for {
+      ids <- Gen.listOf(Gen.chooseNum(0L, 300L))
+      k <- Gen.chooseNum(1, 10)
+    } yield (ids, k)
+    check("bk-exact", Prop.forAll(gen) { case (ids, k) =>
+      val s = new BKSample(k)
+      ids.foreach(id => s.add(ph(id), id))
+      val expected = ids.map(id => (ph(id), id)).sorted.take(k).map(_._2)
+      s.members.toSeq == expected
+    })
+  }
+
+  test("TKState: any split + merge order equals the single-pass build") {
+    val gen = for {
+      rows <- Gen.listOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 300L)))
+      k <- Gen.chooseNum(1, 12)
+      cut <- Gen.chooseNum(0, math.max(rows.size, 1))
+      bFirst <- Gen.oneOf(true, false)
+    } yield (rows, k, cut, bFirst)
+    check("tk-merge", Prop.forAll(gen) { case (rows, k, cut, bFirst) =>
+      val (l, r) = rows.splitAt(math.min(cut, rows.size))
+      val a = new TKState(k); val b = new TKState(k); val whole = new TKState(k)
+      l.foreach { case (s, id) => a.add(s, id) }
+      r.foreach { case (s, id) => b.add(s, id) }
+      rows.foreach { case (s, id) => whole.add(s, id) }
+      val merged = if (bFirst) { b.mergeWith(a); b } else { a.mergeWith(b); a }
+      merged.members.toSeq == whole.members.toSeq
+    })
+  }
+
+  test("TKState: members are the k best by (score desc, id asc), duplicates kept") {
+    val gen = for {
+      rows <- Gen.listOf(Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 50L)))
+      k <- Gen.chooseNum(1, 10)
+    } yield (rows, k)
+    check("tk-exact", Prop.forAll(gen) { case (rows, k) =>
+      val s = new TKState(k)
+      rows.foreach { case (sc, id) => s.add(sc, id) }
+      val expected = rows.sortBy { case (sc, id) => (-sc, id) }.take(k)
+      s.members.toSeq == expected
+    })
+  }
+
+  test("funnel: greedy ts-ordered fold equals the min-time chain (random events)") {
+    // the equivalence both funnel gates rely on: the batch operator
+    // computes t_k = min(ts of stage-k events with ts > t_{k-1}), the
+    // stream folds greedily in ts order — same answer on any input
+    val stages = Vector("a", "b", "c")
+    def chain(evs: List[(Long, String)]): Int = {
+      var prev = Option.empty[Long]
+      var reached = 0
+      var continue = true
+      stages.foreach { st =>
+        if (continue) {
+          val cand = evs.filter { case (t, s) =>
+            s == st && prev.forall(t > _)
+          }.map(_._1)
+          if (cand.isEmpty) continue = false
+          else { prev = Some(cand.min); reached += 1 }
+        }
+      }
+      reached
+    }
+    def greedy(evs: List[(Long, String)]): Int = {
+      var reached = 0; var at = Long.MinValue
+      evs.sortBy(_._1).foreach { case (t, s) =>
+        if (reached < stages.size && s == stages(reached) &&
+            (reached == 0 || t > at)) { reached += 1; at = t }
+      }
+      reached
+    }
+    val gen = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 30L), Gen.oneOf("a", "b", "c", "x")))
+    check("funnel-equiv", Prop.forAll(gen) { evs =>
+      chain(evs) == greedy(evs)
+    })
+  }
+
+  test("serialization round-trip preserves members (both heaps)") {
+    val gen = Gen.listOf(Gen.chooseNum(0L, 400L))
+    check("serde", Prop.forAll(gen) { ids =>
+      val bk = new BKSample(7); val tk = new TKState(7)
+      ids.foreach { id => bk.add(ph(id), id); tk.add(id % 9, id) }
+      BKSample.deserialize(bk.serialize).members.toSeq == bk.members.toSeq &&
+        TKState.deserialize(tk.serialize).members.toSeq == tk.members.toSeq
+    })
+  }
+}
