@@ -628,6 +628,54 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("checkpoint recovery: funnel stage state survives a restart") {
+    // kill after the user reached stage 2 at 12:00, restart from the
+    // SAME checkpoint, then feed a stage-3 event OLDER than the
+    // recovered reach time plus a valid later one: the recovered
+    // state's reach TIME must reject the stale click, so stage 3's
+    // reach time is the 13:00 event — a lost store would either leave
+    // the user at stage 0 (no advance at all) or, with only the stage
+    // recovered, accept the 11:00 click
+    val fs = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("ts", TimestampType), StructField("event_id", LongType)))
+    def fr(u: Long, t: String, s: String, id: Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](u, t, java.sql.Timestamp.valueOf(s), id), fs)
+    implicit val sqlCtx = spark.sqlContext
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Long)]
+    def sinkTo(df: org.apache.spark.sql.Dataset[Row], @annotation.unused id: Long): Unit =
+      df.collect().foreach(r => buf.add((r.getLong(0), r.getInt(1), r.getLong(2))))
+    val ckpt = Files.createTempDirectory("recov-funnel-ckpt").toString
+    val stream = MemoryStream[Row](Encoders.row(fs), sqlCtx)
+    val out = StreamingState.funnelStream(stream.toDF(), "user_id", "event_type",
+      "ts", Seq("signup", "view", "click"), "event_id")
+    val q1 = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo _).start()
+    stream.addData(
+      fr(1L, "signup", "2024-01-01 10:00:00", 1),
+      fr(1L, "view", "2024-01-01 12:00:00", 2))
+    q1.processAllAvailable()
+    q1.stop() // kill with (stage 2, reached 12:00) in the store
+
+    stream.addData(
+      fr(1L, "click", "2024-01-01 11:00:00", 3),  // stale: before 12:00
+      fr(1L, "click", "2024-01-01 13:00:00", 4))  // valid stage 3
+    val q2 = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo _).start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val stage3 = buf.asScala.filter(r => r._1 == 1L && r._2 == 3)
+      assert(stage3.nonEmpty, buf.asScala.toSeq.toString)
+      // 13:00 in micros (same wall-clock conversion as the operator) —
+      // the stale 11:00 click must not have won
+      val expected =
+        java.sql.Timestamp.valueOf("2024-01-01 13:00:00").toInstant.toEpochMilli * 1000L
+      assert(stage3.map(_._3).toSet === Set(expected), buf.asScala.toSeq.toString)
+    } finally q2.stop()
+  }
+
   test("checkpoint recovery: the distinct-count sketch state survives a restart") {
     // the custom (count ++ sketch-bytes) state layout is what restart
     // must round-trip: values seen BEFORE the kill must not recount as
