@@ -568,6 +568,23 @@ object PipelineQueries {
     // corpus (6 files per partition) compacts to one file per touched
     // partition; content must round-trip exactly (file-count and
     // untouched-partition properties pinned by LayoutSpec)
+    // ---- footer-stats audit: write bucket-partitioned files, read
+    // row counts + column min/max from parquet FOOTERS only (no data
+    // pages), roll up per bucket — must equal the content aggregate,
+    // proving the metadata the engine's skipping relies on is truthful
+    "z4_file_stats" -> ((s, dir) => {
+      val root = scopedTmp("graft_fstats", dir)
+      t(s, dir, "lineitem")
+        .withColumn("bucket", pmod(col("l_orderkey"), lit(4)))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(root)
+      graft.pipeline.Layout.fileStats(s, root, "l_orderkey")
+        .withColumn("bucket", regexp_extract(col("file"), "bucket=(\\d+)", 1).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("n_rows")).as("n_rows"),
+          min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+    }),
+
     "z3_compacted_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val root = scopedTmp("graft_compact", dir)
@@ -1851,6 +1868,11 @@ object PipelineQueries {
         |FROM o GROUP BY lang""".stripMargin,
 
     // compaction must be content-neutral: the read-back equals the table
+    "z4_file_stats" ->
+      """SELECT l_orderkey % 4 AS bucket, count(*) AS n_rows,
+        |       min(l_orderkey) AS min_v, max(l_orderkey) AS max_v
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     "z3_compacted_corpus" ->
       "SELECT doc_id, source, n_chars FROM documents",
 

@@ -445,6 +445,12 @@ object RelationalQueries {
       EventAnalytics.topPaths(t(s, dir, "events"), "user_id", "event_type",
         "ts", firstN = 5, orderCols = Seq("event_id"))),
 
+    // ---- per-hop conversion latency: converting users' time from
+    // stage k to k+1 — count, mean, exact interpolated median (µs)
+    "a20_funnel_hop_times" -> ((s, dir) =>
+      EventAnalytics.funnelHopTimes(t(s, dir, "events"), "user_id", "event_type",
+        "ts", Seq("signup", "view", "click", "purchase"))),
+
     // ---- weekly cohort retention: cohort = week of first event,
     // retained at offset p if active in cohort week + p
     "a15_retention" -> ((s, dir) =>
@@ -805,6 +811,26 @@ object RelationalQueries {
         |           FROM events GROUP BY user_id)
         |SELECT array_to_string(evs[1:5], '->') AS path, count(*) AS n_users
         |FROM l GROUP BY path""".stripMargin,
+
+    "a20_funnel_hop_times" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id),
+        |h1 AS (SELECT epoch_us(CAST(s2.t AS TIMESTAMP)) - epoch_us(CAST(s1.t AS TIMESTAMP)) AS dt
+        |       FROM s1 JOIN s2 USING (user_id)),
+        |h2 AS (SELECT epoch_us(CAST(s3.t AS TIMESTAMP)) - epoch_us(CAST(s2.t AS TIMESTAMP)) AS dt
+        |       FROM s2 JOIN s3 USING (user_id)),
+        |h3 AS (SELECT epoch_us(CAST(s4.t AS TIMESTAMP)) - epoch_us(CAST(s3.t AS TIMESTAMP)) AS dt
+        |       FROM s3 JOIN s4 USING (user_id))
+        |SELECT 1 AS hop_idx, 'signup->view' AS hop, count(*) AS n_converted,
+        |       avg(dt) AS mean_us, quantile_cont(dt, 0.5) AS median_us FROM h1
+        |UNION ALL SELECT 2, 'view->click', count(*), avg(dt), quantile_cont(dt, 0.5) FROM h2
+        |UNION ALL SELECT 3, 'click->purchase', count(*), avg(dt), quantile_cont(dt, 0.5) FROM h3""".stripMargin,
 
     "a15_retention" ->
       """WITH c AS (SELECT user_id,

@@ -316,6 +316,20 @@ object StreamingQueries {
         col("n").cast("double") / sum(col("n")).over(totals).cast("double"))
     }),
 
+    // ---- A18 streaming: first-N journeys live — state per user caps
+    // at N triples and freezes once full; n_events is monotone, so the
+    // max-n emission per user is the final path (a18 oracle verbatim)
+    "a18s_paths_stream" -> ((s, dir) => {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 4) {
+        case Seq(ev) => StreamingState.pathsStream(
+          ev, "user_id", "event_type", "ts", "event_id", firstN = 5)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+    }),
+
     // ---- W4 streaming: running TWAP per user — 4 scalars of state;
     // n_intervals grows monotonically, so the max-n emission per user
     // is the final one and equals the batch w4 row (oracle verbatim)
@@ -579,6 +593,10 @@ object StreamingQueries {
     // the emitted pair stream is the batch lag() pair set — oracle
     // verbatim
     "a17s_transitions_stream" -> RelationalQueries.oracles("a17_transitions"),
+
+    // the frozen first-N prefix equals the batch truncation — oracle
+    // verbatim
+    "a18s_paths_stream" -> RelationalQueries.oracles("a18_user_paths"),
 
     // the delta stream is the batch distinct (user, period) frame —
     // batch oracle verbatim

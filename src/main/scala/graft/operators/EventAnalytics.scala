@@ -39,14 +39,30 @@ object EventAnalytics {
       typeCol: String,
       tsCol: String,
       stages: Seq[String],
-      withinUs: Option[Long] = None): DataFrame = {
+      withinUs: Option[Long] = None): DataFrame =
+    funnelFrontiers(events, userCol, typeCol, tsCol, stages, withinUs)
+      .zip(stages).zipWithIndex.map { case ((fr, stage), k) =>
+        fr.groupBy().agg(count(lit(1)).as("n_users"))
+          .select(lit(k + 1).as("stage_idx"), lit(stage).as("stage"),
+            col("n_users"))
+      }.reduce(_.unionAll(_))
+
+  /** The funnel's frontier chain: frontiers(k) = (user, _t = time the
+    * user reached stage k). With `withinUs`, stage k must land in
+    * (t_{k-1}, t_{k-1} + within] — the windowed-funnel variant
+    * (conversion deadlines per hop).
+    */
+  private def funnelFrontiers(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String],
+      withinUs: Option[Long]): Seq[DataFrame] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val u = col(userCol)
-    // frontier_k: (user, _t = time the user reached stage k). With
-    // `withinUs`, stage k must land in (t_{k-1}, t_{k-1} + within] —
-    // the windowed-funnel variant (conversion deadlines per hop).
-    val frontiers = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
-      case (prev, (stage, _)) =>
+    stages.scanLeft(Option.empty[DataFrame]) {
+      case (prev, stage) =>
         val typed = events.filter(col(typeCol) === stage)
           .select(u, col(tsCol).as("_ts"))
         val reached = prev match {
@@ -61,10 +77,35 @@ object EventAnalytics {
         }
         Some(reached.groupBy(u).agg(min(col("_ts")).as("_t")))
     }.flatten
-    frontiers.zip(stages).zipWithIndex.map { case ((fr, stage), k) =>
-      fr.groupBy().agg(count(lit(1)).as("n_users"))
-        .select(lit(k + 1).as("stage_idx"), lit(stage).as("stage"),
-          col("n_users"))
+  }
+
+  /** Per-hop conversion latency: for each consecutive stage pair, the
+    * converting users' time-to-convert (µs) — count, mean and exact
+    * interpolated median (integer µs inputs, so the midpoint
+    * interpolation is engine-exact, the a13 rule). One user-keyed join
+    * per hop over the (already metadata-thin) frontier frames.
+    */
+  def funnelHopTimes(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String],
+      withinUs: Option[Long] = None): DataFrame = {
+    require(stages.size >= 2, "funnelHopTimes needs at least two stages")
+    val frontiers =
+      funnelFrontiers(events, userCol, typeCol, tsCol, stages, withinUs)
+    frontiers.zip(frontiers.tail).zipWithIndex.map { case ((a, b), k) =>
+      a.select(col(userCol), col("_t").as("_t0"))
+        .join(b.select(col(userCol), col("_t").as("_t1")), Seq(userCol))
+        .select((unix_micros(col("_t1")) - unix_micros(col("_t0"))).as("_dt"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_converted"),
+          avg(col("_dt")).as("mean_us"),
+          expr("percentile(_dt, 0.5)").as("median_us"))
+        .select(lit(k + 1).as("hop_idx"),
+          lit(s"${stages(k)}->${stages(k + 1)}").as("hop"),
+          col("n_converted"), col("mean_us"), col("median_us"))
     }.reduce(_.unionAll(_))
   }
 

@@ -217,4 +217,76 @@ object Layout {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
+
+  /** Footer-stats audit: per data file, the row count and the min/max
+    * of an INT64 column read from the parquet FOOTER (no data pages
+    * touched) — the observability tool behind the layout operators:
+    * these are exactly the stats [[zorderBy]]'s pruning and the
+    * engine's PushedFilters skip on, so auditing them against content
+    * (the z4 gate) proves the skipping metadata is truthful.
+    *
+    * Distributed: the file list is an FS metadata op; footer reads
+    * fan out over the cluster (one footer ≈ KBs regardless of file
+    * size). Executors build their Hadoop conf from the classpath
+    * defaults — correct for file:// and any cluster with the conf dir
+    * on the classpath.
+    */
+  def fileStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      column: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = {
+      val it = fs.listFiles(root, true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) b += f.getPath.toString
+      }
+      b.result()
+    }
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(f), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          var n = 0L
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          blocks.foreach { b =>
+            n += b.getRowCount
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .foreach { cc =>
+                cc.getStatistics match {
+                  case s: org.apache.parquet.column.statistics.LongStatistics
+                      if s.hasNonNullValue =>
+                    mn = math.min(mn, s.getMin); mx = math.max(mx, s.getMax)
+                  case _ => ()
+                }
+              }
+          }
+          (f, n, if (mn == Long.MaxValue) null else Long.box(mn),
+            if (mx == Long.MinValue) null else Long.box(mx))
+        } finally reader.close()
+      }
+    spark.createDataFrame(rows.map { case (f, n, mn, mx) =>
+      org.apache.spark.sql.Row(f, n, mn, mx)
+    }, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("min_v",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("max_v",
+        org.apache.spark.sql.types.LongType, nullable = true))))
+  }
 }

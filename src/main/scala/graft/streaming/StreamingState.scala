@@ -1117,6 +1117,74 @@ object StreamingState {
       }
   }
 
+  /** A18's streaming twin: each key's first-`firstN` event-type path
+    * maintained live. State per key is AT MOST firstN (ts, order,
+    * type) triples — once full it freezes (later events cannot enter a
+    * "first N" prefix under the ts-ascending arrival contract), so
+    * long-history keys stop paying state writes entirely. Emits
+    * (key, path, n_events) whenever the prefix grows; n_events is
+    * monotone, so the max-n emission per key is the final path and
+    * the batch a18 rollup/oracle apply to it verbatim.
+    */
+  def pathsStream(
+      df: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      tsCol: String,
+      orderCol: String,
+      firstN: Int): DataFrame = {
+    require(firstN >= 1, "pathsStream needs firstN >= 1")
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val typeIdx = schema.fieldIndex(typeCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val ordIdx = schema.fieldIndex(orderCol)
+    implicit val rowEnc = Encoders.row(StructType(Seq(
+      StructField(keyCol, schema(keyIdx).dataType),
+      StructField("path", StringType, nullable = false),
+      StructField("n_events", IntegerType, nullable = false))))
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.BINARY
+    def micros(r: Row): Long = {
+      val i = r.getTimestamp(tsIdx).toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    df.groupByKey((r: Row) => r.getLong(keyIdx))
+      .flatMapGroupsWithState[Array[Byte], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Row], state: GroupState[Array[Byte]]) =>
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          var held: Vector[(Long, Long, String)] = state.getOption.map { b =>
+            val buf = java.nio.ByteBuffer.wrap(b)
+            val n = buf.getInt
+            Vector.fill(n) {
+              val ts = buf.getLong; val ord = buf.getLong
+              val len = buf.getInt
+              val bytes = new Array[Byte](len); buf.get(bytes)
+              (ts, ord, new String(bytes, utf8))
+            }
+          }.getOrElse(Vector.empty)
+          val before = held.size
+          if (before < firstN) {
+            val fresh = rows
+              .map(r => (micros(r), r.getLong(ordIdx), r.getString(typeIdx)))
+              .toArray.sortBy(t => (t._1, t._2))
+            held = (held ++ fresh).take(firstN)
+          }
+          if (held.size > before) {
+            val bufSz = 4 + held.map(t => 20 + t._3.getBytes(utf8).length).sum
+            val buf = java.nio.ByteBuffer.allocate(bufSz)
+            buf.putInt(held.size)
+            held.foreach { case (ts, ord, t) =>
+              val tb = t.getBytes(utf8)
+              buf.putLong(ts).putLong(ord).putInt(tb.length).put(tb)
+            }
+            state.update(buf.array())
+            Iterator.single(Row(key, held.map(_._3).mkString("->"), held.size))
+          } else Iterator.empty
+      }
+  }
+
   /** A14's streaming twin: ordered funnel progress maintained live.
     * State per user is TWO scalars — (stage reached, time it was
     * reached) — updated by a ts-ordered fold: an event of type
