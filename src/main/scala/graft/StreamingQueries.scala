@@ -63,6 +63,12 @@ object StreamingQueries {
       mode: String,
       ticks: Int,
       flush: Seq[Row] = Nil)(op: Seq[DataFrame] => DataFrame): (DataFrame, String) = {
+    // tick-count override for overhead A/Bs (results are tick-count
+    // independent by the streaming-parity contract — every entry's
+    // final state equals its batch twin regardless of how the feed is
+    // sliced; cross-batch carry needs >= 2 ticks)
+    val nTicks = math.max(2,
+      sys.env.get("GRAFT_GATE_TICKS").map(_.toInt).getOrElse(ticks))
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val feeds = sources.map { case (df, orderCol) =>
       val rows: Array[Row] = df.orderBy(col(orderCol)).collect()
@@ -126,10 +132,10 @@ object StreamingQueries {
       watchdog.start()
       try {
         val batched = feeds.map { case (s, rows) =>
-          val per = math.max(1, math.ceil(rows.length.toDouble / ticks).toInt)
+          val per = math.max(1, math.ceil(rows.length.toDouble / nTicks).toInt)
           (s, rows.grouped(per).toIndexedSeq)
         }
-        (0 until ticks).foreach { i =>
+        (0 until nTicks).foreach { i =>
           batched.foreach { case (s, bs) => if (i < bs.length) s.addData(bs(i).toSeq) }
           q.processAllAvailable()
         }
