@@ -719,6 +719,14 @@ object PipelineQueries {
 
     // ---- cluster label purity: per-cell majority-label share over the
     // k-means assignment — the cluster-quality companion to s11
+    // ---- centroid-distance outliers: vectors whose cosine to their
+    // OWN assigned centroid is under threshold (likely noise /
+    // mislabeled) — narrow end to end, quantizer rides as literals
+    "c6_centroid_outliers" -> ((s, dir) =>
+      graft.pipeline.Clustering.centroidOutliers(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        StubQuantizer.cents.toSeq, threshold = 0.08)),
+
     "c5_cluster_purity" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Clustering.clusterLabelPurity(
@@ -2025,6 +2033,19 @@ object PipelineQueries {
     "c1b_kmeans_iter2" ->
       s"""WITH ${kmeansCtes(iters = 2)}
          |SELECT vec_id, cell FROM a2""".stripMargin,
+
+    "c6_centroid_outliers" ->
+      s"""WITH ${StubQuantizer.sql},
+         |scored AS (SELECT e.vec_id, cents.c,
+         |    list_dot_product(CAST(e.embedding AS DOUBLE[]), ce) /
+         |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(ce, ce))) AS cos
+         |  FROM embeddings e CROSS JOIN cents),
+         |best AS (SELECT vec_id, c AS cell, cos,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c ASC) AS rn
+         |         FROM scored WHERE NOT isnan(cos))
+         |SELECT vec_id, cell, cos AS cos_to_centroid
+         |FROM best WHERE rn = 1 AND cos < 0.08""".stripMargin,
 
     "c5_cluster_purity" ->
       s"""WITH ${kmeansCtes()},

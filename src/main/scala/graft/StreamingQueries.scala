@@ -27,6 +27,25 @@ import graft.streaming.StreamingState
   * watermarked stream-stream join), exactly as they would against a
   * Kafka source on a cluster.
   */
+/** Fixed deterministic quantizer for gate entries: 4 centroids over
+  * 64 dims from an integer formula, rendered identically into the
+  * oracle SQL (the dsirStubWeights pattern) — so cluster-family gates
+  * cover assignment + accumulation with no data-fitted model in the
+  * loop. Lives OUTSIDE both query catalogs: each references it during
+  * its own object init, and a catalog-to-catalog reference at init
+  * time is a class-initialization cycle (NPE).
+  */
+object StubQuantizer {
+  val cents: Array[(Long, Seq[Double])] =
+    Array.tabulate(4)(c =>
+      (c.toLong, (0 until 64).map(d => (((c * 31 + d * 7) % 11) - 5).toDouble)))
+
+  /** The same formula as a DuckDB `cents(c, ce)` CTE body. */
+  def sql: String =
+    """cents AS (SELECT c, [CAST((c*31 + d*7) % 11 - 5 AS DOUBLE) for d in generate_series(0, 63)] AS ce
+      |          FROM (SELECT unnest(generate_series(0, 3)) AS c))""".stripMargin
+}
+
 object StreamingQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -34,21 +53,8 @@ object StreamingQueries {
 
   private val runSeq = new AtomicLong(0L)
 
-  /** Fixed deterministic quantizer for the refit-stream gate: 4
-    * centroids over 64 dims from an integer formula, generated here
-    * and rendered into the oracle SQL by [[stubCentroidsSql]] — the
-    * byte-identical table on both engines (the dsirStubWeights
-    * pattern), so the gate covers assignment + sharded integer
-    * accumulation with no data-fitted model in the loop.
-    */
-  private[graft] val stubCentroids: Array[(Long, Seq[Double])] =
-    Array.tabulate(4)(c =>
-      (c.toLong, (0 until 64).map(d => (((c * 31 + d * 7) % 11) - 5).toDouble)))
-
-  /** The same formula as a DuckDB `cents(c, ce)` CTE body. */
-  private def stubCentroidsSql: String =
-    """cents AS (SELECT c, [CAST((c*31 + d*7) % 11 - 5 AS DOUBLE) for d in generate_series(0, 63)] AS ce
-      |          FROM (SELECT unnest(generate_series(0, 3)) AS c))""".stripMargin
+  private[graft] def stubCentroids: Array[(Long, Seq[Double])] = StubQuantizer.cents
+  private[graft] def stubCentroidsSql: String = StubQuantizer.sql
 
   /** Feed each `(frame, orderCol)` source through its own MemoryStream
     * in `ticks` ascending micro-batches (all streams tick in
@@ -320,6 +326,28 @@ object StreamingQueries {
       val totals = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
       pairs.withColumn("prob",
         col("n").cast("double") / sum(col("n")).over(totals).cast("double"))
+    }),
+
+    // ---- A20 streaming: hop latencies live — each (user, hop) dt
+    // emitted exactly once (stages only advance), so the emitted
+    // stream is the batch hop row set and the a20 rollup applies
+    "a20s_hop_times_stream" -> ((s, dir) => {
+      val stages = Seq("signup", "view", "click", "purchase")
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 4) {
+        case Seq(ev) => StreamingState.funnelHopsStream(
+          ev, "user_id", "event_type", "ts", stages, "event_id")
+      }
+      val labels = typedLit(stages.zip(stages.tail).map { case (a, b) => s"$a->$b" })
+      Seq(1, 2, 3).map { k =>
+        out.filter(col("hop_idx") === k)
+          .groupBy()
+          .agg(count(lit(1)).as("n_converted"),
+            avg(col("dt_us")).as("mean_us"),
+            expr("percentile(dt_us, 0.5)").as("median_us"))
+          .select(lit(k).as("hop_idx"),
+            element_at(labels, k).as("hop"),
+            col("n_converted"), col("mean_us"), col("median_us"))
+      }.reduce(_.unionAll(_))
     }),
 
     // ---- A18 streaming: first-N journeys live — state per user caps
@@ -603,6 +631,10 @@ object StreamingQueries {
     // the frozen first-N prefix equals the batch truncation — oracle
     // verbatim
     "a18s_paths_stream" -> RelationalQueries.oracles("a18_user_paths"),
+
+    // the emitted hop latencies are the batch frontier-join dts —
+    // oracle verbatim
+    "a20s_hop_times_stream" -> RelationalQueries.oracles("a20_funnel_hop_times"),
 
     // the delta stream is the batch distinct (user, period) frame —
     // batch oracle verbatim

@@ -90,6 +90,38 @@ object Clustering {
     Similarity.argmaxCell(vec, centArr)
   }
 
+  /** Centroid-distance outlier report: each vector's cosine to its OWN
+    * assigned centroid, flagging rows under `threshold` — the standard
+    * "likely mislabeled / noise" probe over an embedding column (far
+    * from every cluster center ⇒ nothing represents it). Zero-norm
+    * vectors (sentinel cell -1) are always outliers. Narrow end to
+    * end: the quantizer rides the expression tree as literals, so the
+    * report attaches to any scan already reading vectors — no join, no
+    * shuffle.
+    */
+  def centroidOutliers(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Long, Seq[Double])],
+      threshold: Double): DataFrame = {
+    require(cents.nonEmpty, "centroidOutliers: empty quantizer")
+    val centArr = array(cents.map { case (cid, v) =>
+      struct(lit(cid).as("c"), typedLit(v).as("ce"))
+    }: _*)
+    df.withColumn("cell", Similarity.argmaxCell(col(vecCol), centArr))
+      .withColumn("cos_to_centroid",
+        when(col("cell") === -1L, lit(null).cast("double"))
+          .otherwise(Similarity.cosine(col(vecCol),
+            // look the assigned centroid up BY ID (ids need not be
+            // positional for a Lloyd-refined quantizer with dropout)
+            element_at(
+              filter(centArr, x => x.getField("c") === col("cell")), 1)
+              .getField("ce"))))
+      .filter(col("cell") === -1L || col("cos_to_centroid") < threshold)
+      .select(col(idCol), col("cell"), col("cos_to_centroid"))
+  }
+
   /** `iters` Lloyd iterations from the hash-seeded centroids; returns
     * the final centroid set. Each iteration: narrow assignment, then
     * ONE shuffle of (cell, dim, partial-sum) — the refined centroid is

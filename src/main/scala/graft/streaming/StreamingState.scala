@@ -989,6 +989,7 @@ object StreamingState {
       val i = r.getTimestamp(tsIdx).toInstant
       i.getEpochSecond * 1000000L + i.getNano / 1000L
     }
+    requireLongKey(schema, keyCol)
     df.groupByKey((r: Row) => r.getLong(keyIdx))
       .flatMapGroupsWithState[Array[Byte], Row](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -1043,6 +1044,7 @@ object StreamingState {
       StructField("period_us", LongType, nullable = false))))
     implicit val keyEnc = Encoders.scalaLong
     implicit val stateEnc = Encoders.BINARY
+    requireLongKey(df.schema, userCol)
     withP.groupByKey((r: Row) => r.getLong(0))
       .flatMapGroupsWithState[Array[Byte], Row](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -1061,6 +1063,15 @@ object StreamingState {
             fresh.iterator.map(p => Row(user, p))
           }
       }
+  }
+
+
+  /** The event-analytics streams key by a LONG id column (the events
+    * channel contract); fail at plan time, not mid-stream. */
+  private def requireLongKey(schema: StructType, keyCol: String): Unit = {
+    val dt = schema(schema.fieldIndex(keyCol)).dataType
+    require(dt == LongType,
+      s"streaming event-analytics key '$keyCol' must be BIGINT, got ${dt.simpleString}")
   }
 
   /** A17's streaming twin: consecutive-event (from, to) pairs emitted
@@ -1091,6 +1102,7 @@ object StreamingState {
       val i = r.getTimestamp(tsIdx).toInstant
       i.getEpochSecond * 1000000L + i.getNano / 1000L
     }
+    requireLongKey(schema, keyCol)
     df.groupByKey((r: Row) => r.getLong(keyIdx))
       .flatMapGroupsWithState[Array[Byte], Row](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -1149,6 +1161,7 @@ object StreamingState {
       val i = r.getTimestamp(tsIdx).toInstant
       i.getEpochSecond * 1000000L + i.getNano / 1000L
     }
+    requireLongKey(schema, keyCol)
     df.groupByKey((r: Row) => r.getLong(keyIdx))
       .flatMapGroupsWithState[Array[Byte], Row](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -1182,6 +1195,60 @@ object StreamingState {
             state.update(buf.array())
             Iterator.single(Row(key, held.map(_._3).mkString("->"), held.size))
           } else Iterator.empty
+      }
+  }
+
+  /** A20's streaming twin: per-hop conversion latencies emitted live.
+    * Same two-scalar (stage, reach time) state and greedy fold as
+    * [[funnelStream]]; each advance past stage 1 emits the hop's
+    * latency (µs) exactly once per (user, hop) — stages only move
+    * forward — so the emitted stream IS the batch hop-latency row set
+    * and the a20 rollup/oracle apply to it verbatim.
+    */
+  def funnelHopsStream(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String],
+      orderCol: String): DataFrame = {
+    require(stages.size >= 2, "funnelHopsStream needs at least two stages")
+    require(stages.distinct.size == stages.size, "funnel stages must be distinct")
+    val schema = df.schema
+    val userIdx = schema.fieldIndex(userCol)
+    val typeIdx = schema.fieldIndex(typeCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val ordIdx = schema.fieldIndex(orderCol)
+    val stageOf = stages.zipWithIndex.toMap
+    implicit val rowEnc = Encoders.row(StructType(Seq(
+      StructField(userCol, schema(userIdx).dataType),
+      StructField("hop_idx", IntegerType, nullable = false),
+      StructField("dt_us", LongType, nullable = false))))
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    def micros(r: Row): Long = {
+      val i = r.getTimestamp(tsIdx).toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    requireLongKey(schema, userCol)
+    df.groupByKey((r: Row) => r.getLong(userIdx))
+      .flatMapGroupsWithState[(Int, Long), Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row], state: GroupState[(Int, Long)]) =>
+          var (stage, at) = state.getOption.getOrElse((0, Long.MinValue))
+          val out = Vector.newBuilder[Row]
+          rows.map(r => (micros(r), r.getLong(ordIdx), r.getString(typeIdx)))
+            .toArray.sorted
+            .foreach { case (tUs, _, typ) =>
+              if (stage < stages.size &&
+                  stageOf.get(typ).contains(stage) &&
+                  (stage == 0 || tUs > at)) {
+                if (stage > 0) out += Row(user, stage, tUs - at)
+                stage += 1; at = tUs
+              }
+            }
+          state.update((stage, at))
+          out.result().iterator
       }
   }
 
@@ -1229,6 +1296,7 @@ object StreamingState {
       val i = r.getTimestamp(tsIdx).toInstant
       i.getEpochSecond * 1000000L + i.getNano / 1000L
     }
+    requireLongKey(schema, userCol)
     df.groupByKey((r: Row) => r.getLong(userIdx))
       .flatMapGroupsWithState[(Int, Long), Row](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {

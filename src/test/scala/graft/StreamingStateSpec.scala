@@ -151,6 +151,19 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-analytics streams fail fast on a non-BIGINT key column") {
+    val bad = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("user_id", StringType), StructField("event_type", StringType),
+        StructField("ts", TimestampType), StructField("event_id", LongType))))
+    val e = intercept[IllegalArgumentException] {
+      StreamingState.funnelStream(bad, "user_id", "event_type", "ts",
+        Seq("a", "b"), "event_id")
+    }
+    assert(e.getMessage.contains("must be BIGINT"))
+  }
+
   test("twapStream: intervals close across batch boundaries") {
     val ws = StructType(Seq(
       StructField("user_id", LongType), StructField("ts", TimestampType),
