@@ -984,6 +984,22 @@ object PipelineQueries {
           "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
         sketchK = 1 << 18)),
 
+    // ---- count-min point frequencies: the "how often did THIS token
+    // occur" sketch under a fixed memory budget — elementwise-additive
+    // merges (no tie rules), estimates are exact here because a
+    // target over-counts only if some token collides in ALL 4 rows
+    // (p ≈ vocab/width⁴); the oracle is the exact count
+    "st9_countmin" -> ((s, dir) => {
+      val targets = Seq("scan", "column", "window", "sort", "value")
+      t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .agg(graft.functions.CountMin.countMinEstimates(col("tok"), targets).as("_est"))
+        .select(posexplode(col("_est")))
+        .select(element_at(typedLit(targets), (col("pos") + 1).cast("int")).as("token"),
+          col("col").as("est_count"))
+    }),
+
     // ---- grouped top-k WITHOUT a window sort: the k best (score, id)
     // per group via a mergeable bounded heap — O(k) partial state,
     // map-side pruning, exact and deterministic (id breaks score
@@ -1964,6 +1980,12 @@ object PipelineQueries {
          |       FROM w, s)
          |SELECT doc_id, source FROM documents JOIN pm USING (source)
          |WHERE ${phSql("CAST(doc_id AS VARCHAR)")} % 1000 < pm""".stripMargin,
+
+    "st9_countmin" ->
+      """SELECT t AS token, count(*) AS est_count
+        |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |WHERE t IN ('scan', 'column', 'window', 'sort', 'value')
+        |GROUP BY t""".stripMargin,
 
     "p18_stratified_quota" ->
       s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),

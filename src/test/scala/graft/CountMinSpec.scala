@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{CMSketch, CountMin, PolyHash}
+
+class CountMinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ph(s: String): Long = PolyHash.hash(UTF8String.fromString(s))
+
+  test("estimate is never below the true count (upper-bound contract)") {
+    val prop = Prop.forAll(Gen.listOf(Gen.chooseNum(0, 50))) { xs =>
+      val s = new CMSketch(64, 4) // small width to force collisions
+      xs.foreach(x => s.add(ph(x.toString)))
+      val truth = xs.groupBy(identity).view.mapValues(_.size.toLong)
+      truth.forall { case (x, c) => s.estimate(ph(x.toString)) >= c }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.toString)
+  }
+
+  test("merge is elementwise addition: any split equals single-pass") {
+    val gen = for {
+      xs <- Gen.listOf(Gen.chooseNum(0, 200))
+      cut <- Gen.chooseNum(0, math.max(xs.size, 1))
+    } yield (xs, cut)
+    val prop = Prop.forAll(gen) { case (xs, cut) =>
+      val (l, r) = xs.splitAt(math.min(cut, xs.size))
+      val a = new CMSketch(256, 3); val b = new CMSketch(256, 3)
+      val whole = new CMSketch(256, 3)
+      l.foreach(x => a.add(ph(x.toString)))
+      r.foreach(x => b.add(ph(x.toString)))
+      xs.foreach(x => whole.add(ph(x.toString)))
+      b.mergeWith(a) // reversed merge order on purpose
+      (0 to 200).forall(x => b.estimate(ph(x.toString)) == whole.estimate(ph(x.toString))) &&
+        b.count == whole.count
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.toString)
+  }
+
+  test("serialization round-trips") {
+    val s = new CMSketch(128, 4)
+    (1 to 500).foreach(x => s.add(ph((x % 37).toString)))
+    val back = CMSketch.deserialize(s.serialize)
+    assert(back.count === s.count)
+    (0 to 40).foreach(x =>
+      assert(back.estimate(ph(x.toString)) === s.estimate(ph(x.toString))))
+  }
+
+  test("DataFrame aggregate: exact estimates at ample width") {
+    val rows = Seq.fill(30)("a") ++ Seq.fill(7)("b") ++ Seq.fill(1)("c") ++
+      (1 to 100).map(i => s"noise$i")
+    val got = rows.toDF("tok")
+      .agg(CountMin.countMinEstimates($"tok", Seq("a", "b", "c", "zzz")).as("e"))
+      .collect().head.getSeq[Long](0)
+    assert(got === Seq(30L, 7L, 1L, 0L))
+  }
+
+  test("width must be a power of two") {
+    intercept[IllegalArgumentException] { new CMSketch(100, 4) }
+  }
+}

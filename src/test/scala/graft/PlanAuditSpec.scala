@@ -770,6 +770,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), p.take(4000))
   }
 
+  test("st9 count-min: partial sketches below the single exchange") {
+    val p = plan(graft.SparkEntry.queries("st9_countmin")(spark, dir))
+    assert(p.contains("partial_graft_countmin"), p.take(4000))
+    assert("Exchange".r.findAllIn(p).size === 1, p.take(4000))
+  }
+
   test("strictCompat projection degrades types per reference rules") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2), Map("k" -> "v"))).toDF("a", "xs", "m")
