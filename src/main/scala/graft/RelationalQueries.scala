@@ -445,6 +445,12 @@ object RelationalQueries {
       EventAnalytics.topPaths(t(s, dir, "events"), "user_id", "event_type",
         "ts", firstN = 5, orderCols = Seq("event_id"))),
 
+    // ---- recency-decayed engagement: events weighted 2^-(age_days)
+    // from the corpus max ts — exact power-of-two weights, one
+    // metadata max + one keyed aggregate
+    "a21_decayed_engagement" -> ((s, dir) =>
+      EventAnalytics.decayedEngagement(t(s, dir, "events"), "user_id", "ts", "value")),
+
     // ---- per-hop conversion latency: converting users' time from
     // stage k to k+1 — count, mean, exact interpolated median (µs)
     "a20_funnel_hop_times" -> ((s, dir) =>
@@ -811,6 +817,15 @@ object RelationalQueries {
         |           FROM events GROUP BY user_id)
         |SELECT array_to_string(evs[1:5], '->') AS path, count(*) AS n_users
         |FROM l GROUP BY path""".stripMargin,
+
+    "a21_decayed_engagement" ->
+      """WITH m AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx FROM events),
+        |w AS (SELECT user_id, value,
+        |        power(0.5, CAST((mx - epoch_us(CAST(ts AS TIMESTAMP))) // 86400000000 AS BIGINT)) AS w
+        |      FROM events CROSS JOIN m)
+        |SELECT user_id, sum(w) AS decayed_n, sum(w * value) AS decayed_value,
+        |       count(*) AS n_events
+        |FROM w GROUP BY user_id""".stripMargin,
 
     "a20_funnel_hop_times" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events

@@ -394,6 +394,26 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // ---- st9 streaming: one count-min grid per lang in the state
+    // store (fixed width×depth bytes regardless of stream length);
+    // additive merges make the final emission equal the batch sketch,
+    // so the exact-count oracle applies at the collision-free tier
+    "st9s_countmin_stream" -> ((s, dir) => {
+      val targets = Seq("scan", "column", "window", "sort", "value")
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "update", ticks = 4) {
+        case Seq(docs) => StreamingState.countMinStream(
+          docs.select(col("lang"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+            .filter(col("tok") =!= ""),
+          Seq("lang"), "tok", targets)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "token").orderBy(col("n").desc)
+      out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .drop("_rn", "n")
+        .filter(col("est_count") > 0)
+    }),
+
     // ---- streaming running quantiles: one QSketch per key in the
     // state store (bounded O(k·log n/k) bytes/key); gate scale stays
     // inside the sketch's exact tier, so the final per-key emission
@@ -635,6 +655,14 @@ object StreamingQueries {
     // the emitted hop latencies are the batch frontier-join dts —
     // oracle verbatim
     "a20s_hop_times_stream" -> RelationalQueries.oracles("a20_funnel_hop_times"),
+
+    // the final per-lang grid equals the batch sketch; exact counts at
+    // the collision-free tier
+    "st9s_countmin_stream" ->
+      """SELECT lang, t AS token, count(*) AS est_count
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+        |WHERE t IN ('scan', 'column', 'window', 'sort', 'value')
+        |GROUP BY lang, t""".stripMargin,
 
     // the delta stream is the batch distinct (user, period) frame —
     // batch oracle verbatim

@@ -196,6 +196,31 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Recency-decayed engagement: per key, events weighted by
+    * `2^-(age_days)` relative to the corpus's max timestamp — a
+    * half-life of one day (scale `ageUnit` for other half-lives). The
+    * weight is an exact power of two, so the per-event product is
+    * bit-exact on every IEEE engine and the only cross-engine wobble
+    * is summation order (inside comparator tolerance). One metadata
+    * max + one keyed aggregate.
+    */
+  def decayedEngagement(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      ageUnitUs: Long = 86400000000L): DataFrame = {
+    val maxTs = events.agg(max(unix_micros(col(tsCol))).as("_mx"))
+    events
+      .crossJoin(broadcast(maxTs))
+      .withColumn("_w", pow(lit(0.5),
+        ((col("_mx") - unix_micros(col(tsCol))) / ageUnitUs).cast("long")))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_w")).as("decayed_n"),
+        sum(col("_w") * col(valCol)).as("decayed_value"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Time-weighted average of `valCol` per key: each observation is
     * weighted by the time it remained current (until the key's next
     * event). The key's last event has no successor and carries no

@@ -805,6 +805,68 @@ object StreamingState {
       }
   }
 
+  /** st9's streaming twin: one count-min sketch per key in the state
+    * store, updated per micro-batch, emitting the running point
+    * estimates for the literal `targets` whenever the key sees data.
+    * State per key is the fixed `width×depth` counter grid regardless
+    * of stream length; elementwise-additive merges mean the final
+    * emission equals the batch sketch over the same rows, so the
+    * exact-count oracle applies at the gate's collision-free tier.
+    */
+  def countMinStream(
+      df: DataFrame,
+      keys: Seq[String],
+      itemCol: String,
+      targets: Seq[String],
+      width: Int = 1 << 12,
+      depth: Int = 4): DataFrame = {
+    require(keys.nonEmpty, "countMinStream requires at least one key")
+    require(targets.nonEmpty, "countMinStream needs at least one target")
+    val schema = df.schema
+    val n = schema.length
+    val keyIdxs = keys.map(schema.fieldIndex)
+    val itemIdx = schema.fieldIndex(itemCol)
+    val outSchema = StructType(
+      keys.map(schema(_)) ++ Seq(
+        StructField("n", LongType, nullable = false),
+        StructField("token", StringType, nullable = false),
+        StructField("est_count", LongType, nullable = false)))
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.BINARY
+    implicit val outEnc = Encoders.row(outSchema)
+    val targetList = targets.toIndexedSeq
+    df.withColumn("_graft_gk", groupKeyExpr(schema, keys))
+      .groupByKey((r: Row) => r.getString(n))
+      .flatMapGroupsWithState[Array[Byte], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Array[Byte]]) =>
+          val sketch = state.getOption
+            .map(graft.functions.CMSketch.deserialize)
+            .getOrElse(new graft.functions.CMSketch(width, depth))
+          var last: Row = null
+          var added = false
+          rows.foreach { r =>
+            last = r
+            val v = r.get(itemIdx)
+            if (v != null) {
+              sketch.add(graft.functions.PolyHash.hash(
+                org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)))
+              added = true
+            }
+          }
+          if (!added) Iterator.empty
+          else {
+            state.update(sketch.serialize)
+            val keyVals = keyIdxs.map(last.get)
+            targetList.iterator.map { t =>
+              Row.fromSeq(keyVals ++ Seq(Long.box(sketch.count), t,
+                Long.box(sketch.estimate(graft.functions.PolyHash.hash(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(t))))))
+            }
+          }
+      }
+  }
+
   /** Streaming running distinct counts: one [[graft.functions.DSketch]]
     * per key in the state store, updated per micro-batch; every batch
     * that touches a key emits the key's refreshed count row (update
