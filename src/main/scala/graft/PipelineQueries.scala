@@ -287,6 +287,20 @@ object PipelineQueries {
         "vec_id", "embedding", k = 3)
     }),
 
+    // ---- FILTERED vector search: top-k among corpus rows passing a
+    // metadata predicate (the "search within label/tenant/language
+    // slice" request) — the filter composes BEFORE the IVF candidate
+    // join, so pruned rows never reach a cosine; assignment per vector
+    // is independent, so cells are unchanged
+    "s14_filtered_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb.filter(pmod(col("label"), lit(2)) === 0),
+        emb.filter(col("vec_id") < 8),
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 108),
+        "vec_id", "embedding", k = 3)
+    }),
+
     // ---- IVF with the nprobe recall knob: each query probes its 2
     // nearest cells (corpus layout unchanged, query fan-out only)
     "s6_ann_ivf_nprobe" -> ((s, dir) => {
@@ -1474,6 +1488,19 @@ object PipelineQueries {
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,
          |         ${cosSql("q.embedding", "c.embedding")} AS cosine
          |  FROM assigned c JOIN q ON c.cell = q.cell AND q.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+         |      FROM scored)
+         |SELECT qid, cid, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "s14_filtered_ann" ->
+      s"""WITH cents AS (SELECT vec_id AS c, embedding AS ce FROM embeddings
+         |               WHERE vec_id >= 100 AND vec_id < 108),
+         |${ivfAssignSql("assigned", "rn = 1", "WHERE e.label % 2 = 0")},
+         |${ivfAssignSql("qassign", "rn = 1", "WHERE e.vec_id < 8")},
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM assigned c JOIN qassign q ON c.cell = q.cell AND q.vec_id <> c.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
          |      FROM scored)
          |SELECT qid, cid, cosine, rank FROM r WHERE rank <= 3""".stripMargin,

@@ -355,6 +355,37 @@ object RelationalQueries {
           Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
           "component", "amount")),
 
+    // ---- multi-touch (linear) attribution: each purchase's value
+    // split equally across the user's clicks in the 24 h before it —
+    // the BETWEEN predicate rides the bucketed range join (equi-join
+    // on (time bucket, user), no nested loop); credit = value/n is an
+    // exact rational per purchase
+    "j9_linear_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("touch_id"), col("user_id"),
+          unix_micros(col("ts")).as("p"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("value"),
+          (unix_micros(col("ts")) - lit(24L * 3600 * 1000000)).as("lo"),
+          unix_micros(col("ts")).as("hi"))
+      val pairs = graft.operators.RangeJoin.pointInRange(
+        clicks, purchases, "p", "lo", "hi",
+        bucketWidth = 12L * 3600 * 1000000,
+        equiKeys = Seq("user_id" -> "p_user"))
+        .select(col("touch_id"), col("purchase_id"), col("value"))
+      val n = pairs.groupBy(col("purchase_id")).agg(count(lit(1)).as("_n"))
+      // credit quantized to integer micro-units BEFORE the integer
+      // split — one double product + floor is bit-identical on both
+      // engines and integer sums commute, so the gate stays on the
+      // catalog's bit-exact discipline (no float-tolerance reliance)
+      pairs.join(n, "purchase_id")
+        .groupBy(col("touch_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(expr("floor(value * 1e6) div _n")).as("credited_micro"))
+    }),
+
     // ---- last-touch attribution: each purchase credited to the
     // user's latest click at-or-before it — the as-of join reused as a
     // marketing-attribution operator; clicks pre-deduped per (user, ts)
@@ -709,6 +740,22 @@ object RelationalQueries {
         |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
         |         WHERE o.o_custkey = c.c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) b""".stripMargin,
+
+    "j9_linear_attribution" ->
+      """WITH c AS (SELECT event_id AS touch_id, user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS p
+        |           FROM events WHERE event_type = 'click'),
+        |pu AS (SELECT event_id AS purchase_id, user_id, value,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) - 86400000000 AS lo,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS hi
+        |       FROM events WHERE event_type = 'purchase'),
+        |pairs AS (SELECT c.touch_id, pu.purchase_id, pu.value
+        |          FROM c JOIN pu ON c.user_id = pu.user_id
+        |                        AND c.p >= pu.lo AND c.p <= pu.hi),
+        |n AS (SELECT purchase_id, count(*) AS n FROM pairs GROUP BY purchase_id)
+        |SELECT touch_id, count(*) AS n_purchases,
+        |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT) // n) AS BIGINT) AS credited_micro
+        |FROM pairs JOIN n USING (purchase_id) GROUP BY touch_id""".stripMargin,
 
     "j7_attribution" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
