@@ -476,6 +476,19 @@ object RelationalQueries {
       EventAnalytics.topPaths(t(s, dir, "events"), "user_id", "event_type",
         "ts", firstN = 5, orderCols = Seq("event_id"))),
 
+    // ---- OHLC bars: per (user, day) open/high/low/close over the
+    // value tick stream — one partial-agg'd exchange; open/close are
+    // min_by/max_by on the (unique) event time
+    "w6_ohlc_bars" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(
+          min_by(col("value"), unix_micros(col("ts"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), unix_micros(col("ts"))).as("close"),
+          count(lit(1)).as("n_ticks"))),
+
     // ---- recency-decayed engagement: events weighted 2^-(age_days)
     // from the corpus max ts — exact power-of-two weights, one
     // metadata max + one keyed aggregate
@@ -864,6 +877,12 @@ object RelationalQueries {
         |           FROM events GROUP BY user_id)
         |SELECT array_to_string(evs[1:5], '->') AS path, count(*) AS n_users
         |FROM l GROUP BY path""".stripMargin,
+
+    "w6_ohlc_bars" ->
+      """SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |       arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+        |       arg_max(value, ts) AS close, count(*) AS n_ticks
+        |FROM events GROUP BY user_id, day""".stripMargin,
 
     "a21_decayed_engagement" ->
       """WITH m AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx FROM events),

@@ -48,7 +48,15 @@ object ScaleSmoke {
     // user paths (user-keyed window/agg), stratified quotas, index
     // append (build+append+serve), decorrelated scalar subquery
     "tx16_collocations", "a17_transitions", "a18_user_paths",
-    "p18_stratified_quota", "d16_index_append", "u4_scalar_subquery")
+    "p18_stratified_quota", "d16_index_append", "u4_scalar_subquery",
+    // round 7d: hop latency (frontier joins), decayed engagement,
+    // centroid outliers (narrow), footer audit (write + footer
+    // fan-out), count-min, linear attribution (range join), filtered
+    // ANN, OHLC bars, SCD2 history (user window over the corpus)
+    "a20_funnel_hop_times", "a21_decayed_engagement",
+    "c6_centroid_outliers", "z4_file_stats", "st9_countmin",
+    "j9_linear_attribution", "s14_filtered_ann", "w6_ohlc_bars",
+    "a19_state_history")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
