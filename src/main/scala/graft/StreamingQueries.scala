@@ -394,6 +394,20 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // ---- W6 streaming: live OHLC bars — five scalars per (user, day)
+    // in the state store; n_ticks is monotone, so the max-n emission
+    // per bar is the final one (batch w6 oracle verbatim)
+    "w6s_ohlc_stream" -> ((s, dir) => {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 4) {
+        case Seq(ev) => StreamingState.ohlcStream(ev, "user_id", "ts", "value", "event_id")
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "day_us").orderBy(col("n_ticks").desc)
+      out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+        .select(col("user_id"), timestamp_micros(col("day_us")).as("day"),
+          col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
+    }),
+
     // ---- st9 streaming: one count-min grid per lang in the state
     // store (fixed width×depth bytes regardless of stream length);
     // additive merges make the final emission equal the batch sketch,
@@ -655,6 +669,10 @@ object StreamingQueries {
     // the emitted hop latencies are the batch frontier-join dts —
     // oracle verbatim
     "a20s_hop_times_stream" -> RelationalQueries.oracles("a20_funnel_hop_times"),
+
+    // the final per-bar state equals the batch OHLC aggregate — oracle
+    // verbatim
+    "w6s_ohlc_stream" -> RelationalQueries.oracles("w6_ohlc_bars"),
 
     // the final per-lang grid equals the batch sketch; exact counts at
     // the collision-free tier

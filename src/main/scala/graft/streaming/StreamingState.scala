@@ -1136,6 +1136,76 @@ object StreamingState {
       s"streaming event-analytics key '$keyCol' must be BIGINT, got ${dt.simpleString}")
   }
 
+  /** W6's streaming twin: live OHLC bars. State per (key, day) is five
+    * scalars — open (frozen at first arrival under the ts-ascending
+    * contract), high, low, close (last arrival), tick count — emitted
+    * refreshed on every batch that touches the bar (update mode);
+    * n_ticks grows monotonically, so the max-n emission per bar is the
+    * final one and the batch w6 oracle applies verbatim.
+    */
+  def ohlcStream(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      orderCol: String): DataFrame = {
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val valIdx = schema.fieldIndex(valCol)
+    val ordIdx = schema.fieldIndex(orderCol)
+    requireLongKey(schema, keyCol)
+    implicit val rowEnc = Encoders.row(StructType(Seq(
+      StructField(keyCol, schema(keyIdx).dataType),
+      StructField("day_us", LongType, nullable = false),
+      StructField("open", DoubleType, nullable = false),
+      StructField("high", DoubleType, nullable = false),
+      StructField("low", DoubleType, nullable = false),
+      StructField("close", DoubleType, nullable = false),
+      StructField("n_ticks", LongType, nullable = false))))
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.BINARY
+    def micros(r: Row): Long = {
+      val i = r.getTimestamp(tsIdx).toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val dayUs = 86400000000L
+    // key the state store by (key, day): each bar is its own state row
+    df.withColumn("_graft_gk",
+      concat_ws("\u0001", col(keyCol).cast("string"),
+        (unix_micros(date_trunc("day", col(tsCol)))).cast("string")))
+      .groupByKey((r: Row) => r.getString(schema.length))
+      .flatMapGroupsWithState[Array[Byte], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Array[Byte]]) =>
+          var (key, day, open, high, low, close, n) = state.getOption match {
+            case Some(b) =>
+              val buf = java.nio.ByteBuffer.wrap(b)
+              (buf.getLong, buf.getLong, buf.getDouble, buf.getDouble,
+                buf.getDouble, buf.getDouble, buf.getLong)
+            case None => (0L, 0L, 0.0, 0.0, 0.0, 0.0, 0L)
+          }
+          rows.map(r => (micros(r), r.getLong(ordIdx), r.getDouble(valIdx),
+              r.getLong(keyIdx)))
+            .toArray.sorted
+            .foreach { case (tUs, _, v, k) =>
+              if (n == 0L) {
+                key = k; day = tUs - Math.floorMod(tUs, dayUs)
+                open = v; high = v; low = v
+              } else {
+                if (v > high) high = v
+                if (v < low) low = v
+              }
+              close = v; n += 1
+            }
+          val buf = java.nio.ByteBuffer.allocate(8 * 7)
+          buf.putLong(key).putLong(day).putDouble(open).putDouble(high)
+            .putDouble(low).putDouble(close).putLong(n)
+          state.update(buf.array())
+          Iterator.single(Row(key, day, open, high, low, close, n))
+      }
+  }
+
   /** A17's streaming twin: consecutive-event (from, to) pairs emitted
     * live. State per key is ONE tick — (ts, order, type) of the key's
     * latest event — so a batch's first event pairs with the previous
