@@ -195,6 +195,46 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: twapStream's running sums survive a restart") {
+    // kill after one closed interval (10.0 held 1s), restart from the
+    // same checkpoint, close a second interval (20.0 held 3s): the
+    // resumed TWAP must blend BOTH — a lost store would restart the
+    // weighted sums and report plain 20.0
+    val ws = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType), StructField("event_id", LongType)))
+    def wr(u: Long, s: String, v: Double, id: Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](u, java.sql.Timestamp.valueOf(s), v, id), ws)
+    implicit val sqlCtx = spark.sqlContext
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long, Long)]
+    def sinkTo(df: org.apache.spark.sql.Dataset[Row], @annotation.unused id: Long): Unit =
+      df.collect().foreach(r =>
+        buf.add((r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))))
+    val ckpt = Files.createTempDirectory("recov-twap-ckpt").toString
+    val stream = MemoryStream[Row](Encoders.row(ws), sqlCtx)
+    val out = StreamingState.twapStream(stream.toDF(), "user_id", "ts", "value", "event_id")
+    val q1 = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo _).start()
+    stream.addData(
+      wr(1L, "2024-01-01 00:00:00", 10.0, 1),
+      wr(1L, "2024-01-01 00:00:01", 20.0, 2))
+    q1.processAllAvailable()
+    q1.stop() // killed holding (last=20.0@1s, wsum=10, span=1s)
+
+    stream.addData(wr(1L, "2024-01-01 00:00:04", 99.0, 3))
+    val q2 = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo _).start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val last = buf.asScala.maxBy(_._3)
+      assert(last._2 === (10.0 * 1 + 20.0 * 3) / 4) // blended, not 20.0
+      assert(last._3 === 2L)
+      assert(last._4 === 4000000L)
+    } finally q2.stop()
+  }
+
   test("retentionStream: a period is emitted once, even across batches") {
     val rs = StructType(Seq(
       StructField("user_id", LongType), StructField("ts", TimestampType)))
