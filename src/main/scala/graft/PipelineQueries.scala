@@ -1133,6 +1133,25 @@ object PipelineQueries {
         emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3)
     }),
 
+    // ---- filtered serving from the SAVED index: the s14 slice
+    // request against the persisted lifecycle — the allow-list
+    // semi-joins the cell frame BEFORE scoring (post-filtering a
+    // top-k would be wrong), so the saved-index answer equals the
+    // in-session filtered IVF bit-for-bit
+    "s15_saved_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = scopedTmp("graft_annidx_f", dir)
+      Similarity.saveIndex(emb,
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 108),
+        "vec_id", "embedding", path)
+      Similarity.queryIndex(
+        Similarity.filterIndex(
+          Similarity.loadIndex(s, path),
+          emb.filter(pmod(col("label"), lit(2)) === 0).select(col("vec_id")),
+          "vec_id"),
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3)
+    }),
+
     // ---- incremental index maintenance: build the IVF index from the
     // even half only, APPEND the odd half against the frozen quantizer
     // (no rebuild, no touch of existing cells), then query — must
@@ -2549,6 +2568,8 @@ object PipelineQueries {
   val oracles: Map[String, String] = oracles0 ++ Map(
     "s10_saved_index" -> oracles0("s3_ann_ivf"),
     "s13_incremental_add" -> oracles0("s3_ann_ivf"),
+    // filtered serving from the saved index == in-session filtered IVF
+    "s15_saved_filtered" -> oracles0("s14_filtered_ann"),
     "s10b_saved_ivfpq" -> oracles0("s5_ann_ivfpq"),
     // the sketch profile's exact tier must equal count(DISTINCT)
     "st2b_profile_sketch" -> oracles0("st2_numeric_profile"),

@@ -624,6 +624,21 @@ object Similarity {
     * argmax) and broadcast; the cell equi-join prunes the scan to the
     * probed partition directories.
     */
+  /** Metadata-filtered serving over a saved index, compositionally:
+    * restrict the cell frame to the allowed ids (left-semi on the
+    * broadcastable allow-frame) BEFORE any scoring — exact filtered
+    * top-k (post-filtering a top-k is NOT: a query's k best allowed
+    * rows may all sit below its unfiltered top-k). Partition pruning
+    * to probed cells still applies — the semi-join composes above the
+    * pruned scan, and Catalyst/AQE broadcasts the allow-frame when it
+    * is small (no forced hint: a tenant-sized allow-list broadcasts, a
+    * half-corpus one shuffle-joins instead of OOMing the driver).
+    */
+  def filterIndex(index: AnnIndex, allowedIds: DataFrame, idCol: String): AnnIndex =
+    index.copy(cells = index.cells.join(
+      allowedIds.select(col(idCol).cast("long").as("cid")).distinct(),
+      Seq("cid"), "left_semi"))
+
   def queryIndex(
       index: AnnIndex,
       queries: DataFrame,

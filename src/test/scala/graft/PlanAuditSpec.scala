@@ -735,6 +735,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(4000))
   }
 
+  test("s15 filtered saved index: allow-list semi-join keeps partition pruning") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("audit-annidx-f").toString
+    graft.pipeline.Similarity.saveIndex(emb,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 108),
+      "vec_id", "embedding", path)
+    val filtered = graft.pipeline.Similarity.filterIndex(
+      graft.pipeline.Similarity.loadIndex(spark, path),
+      emb.filter(pmod(col("label"), lit(2)) === 0).select(col("vec_id")), "vec_id")
+    val p = plan(graft.pipeline.Similarity.queryIndex(
+      filtered, emb.filter(col("vec_id") < 4), "vec_id", "embedding", k = 3))
+    assert(p.contains("LeftSemi"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    val pruned = p.contains("dynamicpruning") ||
+      "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined
+    assert(pruned, "filtered cells scan must stay partition-pruned:\n" + p.take(4000))
+  }
+
   test("u3 correlated EXISTS decorrelates to semi/anti joins, no nested loop") {
     val p = plan(graft.SparkEntry.queries("u3_exists")(spark, dir))
     assert(p.contains("LeftSemi"), p.take(4000))
