@@ -741,6 +741,18 @@ object PipelineQueries {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         StubQuantizer.cents.toSeq, threshold = 0.08)),
 
+    // ---- PageRank over the page-transition graph: consecutive events
+    // per user edge prev→next on the page id (props.k), weighted by
+    // count; 3 power-method steps, dangling mass redistributed — one
+    // co-partitioned hash join + one partial-agg'd shuffle per step,
+    // scalars (|V|, dangling mass) ride as 1-row frames, no collect
+    "g1_pagerank" -> ((s, dir) => {
+      val edges = graft.pipeline.GraphOps.transitionEdges(
+        t(s, dir, "events"), "user_id",
+        get_json_object(col("props"), "$.k"), "ts", tieCols = Seq("event_id"))
+      graft.pipeline.GraphOps.pageRank(edges, iters = 3)
+    }),
+
     "c5_cluster_purity" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Clustering.clusterLabelPurity(
@@ -1300,7 +1312,40 @@ object PipelineQueries {
        |            ON d.vec_id = x.vec_id AND d.m = x.m)""".stripMargin
   }
 
+  /** One power-method step as a DuckDB CTE pair (dangling mass +
+    * contributions + new rank), unrolled [[pageRankSql]] times — the
+    * oracle mirrors [[graft.pipeline.GraphOps.pageRank]] structurally.
+    */
+  private def prStepSql(i: Int): String = {
+    val prev = s"pr${i - 1}"
+    s"""d$i AS (SELECT coalesce(sum(pr), 0) AS dm FROM $prev
+       |        WHERE id NOT IN (SELECT src FROM ow)),
+       |c$i AS (SELECT en.dst AS id, sum(en.p * $prev.pr) AS c
+       |        FROM en JOIN $prev ON en.src = $prev.id GROUP BY 1),
+       |pr$i AS (SELECT nodes.id,
+       |           0.15 / nn.n + 0.85 * (coalesce(c$i.c, 0) + d$i.dm / nn.n) AS pr
+       |         FROM nodes CROSS JOIN nn CROSS JOIN d$i
+       |         LEFT JOIN c$i ON nodes.id = c$i.id)""".stripMargin
+  }
+
+  private def pageRankSql(iters: Int): String =
+    s"""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+       |              CAST(props->>'$$.k' AS BIGINT) AS k FROM events),
+       |p AS (SELECT k AS dst, lag(k) OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id) AS src FROM ev),
+       |e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM p
+       |      WHERE src IS NOT NULL GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+       |en AS (SELECT e.src, e.dst, e.w / ow.ow AS p FROM e JOIN ow USING (src)),
+       |pr0 AS (SELECT id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+       |${(1 to iters).map(prStepSql).mkString(",\n")}
+       |SELECT id, pr FROM pr$iters""".stripMargin
+
   private val oracles0: Map[String, String] = Map(
+    "g1_pagerank" -> pageRankSql(3),
+
     "d1_dedup_exact" ->
       "SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
 

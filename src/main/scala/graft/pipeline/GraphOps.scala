@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over an edge list — the web-graph quality signal a
+  * large corpus pipeline derives per domain/page before sampling (the
+  * CommonCrawl-style "rank the hosts, keep the reputable tail" step).
+  *
+  * Spark shape: the graph is an edge DataFrame `(src, dst, w)`; PageRank
+  * is the fixed-iteration power method expressed as one shuffle-join per
+  * iteration. Everything scalar (node count, dangling mass) stays IN the
+  * plan as 1-row frames crossed in — no driver collect, so the same code
+  * runs at web-graph scale:
+  *
+  *  - the transition matrix (`w / out-weight`) is computed once and
+  *    persisted — iterations reuse the cached, already-partitioned edges;
+  *  - each iteration is `edges ⋈ pr on src` (co-partitioned hash join)
+  *    followed by one `groupBy(dst)` partial-agg'd shuffle — the only
+  *    corpus-scale exchange per iteration;
+  *  - dangling mass (rank parked on sink nodes) is a one-scalar aggregate
+  *    redistributed uniformly, keeping total rank at exactly 1 so the
+  *    power method is a proper stochastic iteration;
+  *  - ranks are O(|V|) ≪ O(|E|) rows; the rank side of the join is the
+  *    small one and AQE broadcast-picks it when it fits.
+  *
+  * Long chains: each iteration extends lineage by one join. For the
+  * fixed small iteration counts of the curation use (3–10) the single
+  * plan is fine; beyond that callers pass `checkpointEvery` to truncate
+  * lineage with `localCheckpoint` (no cluster checkpoint dir needed).
+  *
+  * Reference analogue: none (the reference has no graph operators) —
+  * this is part of the training-data-pipeline surface, like the dedup
+  * and ANN families.
+  */
+object GraphOps {
+
+  /** Weighted PageRank, `iters` power-method steps from the uniform
+    * start. Input: edges `(srcCol, dstCol, wCol)`; parallel edges are
+    * summed. Output: `(id, pr)`, one row per node (any endpoint of any
+    * edge), with `sum(pr) = 1`.
+    */
+  def pageRank(
+      edges: DataFrame,
+      iters: Int,
+      damping: Double = 0.85,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      wCol: String = "w",
+      checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges
+      .groupBy(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .agg(sum(col(wCol).cast("double")).as("w"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    val outw = e.groupBy("src").agg(sum("w").as("ow"))
+    // row-stochastic transition edges, built once and reused every step
+    val trans = e.join(outw, "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("p")).persist()
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("n"))
+    val dangling = nodes.join(outw.select(col("src").as("id")), Seq("id"), "left_anti").persist()
+    val teleport: Column = (lit(1.0) - lit(damping)) / col("n")
+
+    var pr = nodes.crossJoin(nRow).select(col("id"), (lit(1.0) / col("n")).as("pr"))
+    for (i <- 1 to iters) {
+      val contrib = trans.join(pr, col("src") === col("id"))
+        .groupBy("dst").agg(sum(col("p") * col("pr")).as("contrib"))
+      val dangMass = dangling.join(pr, "id")
+        .agg(coalesce(sum("pr"), lit(0.0)).as("dm"))
+      pr = nodes.join(contrib, col("id") === col("dst"), "left")
+        .crossJoin(nRow).crossJoin(dangMass)
+        .select(col("id"),
+          (teleport + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dm") / col("n"))).as("pr"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        pr = pr.localCheckpoint(true)
+    }
+    pr
+  }
+
+  /** Transition edge list from an event stream: consecutive events per
+    * `keyCol` (ordered by `tsCol`, then `tieCols`) become one directed
+    * edge `prev node → node`, weighted by occurrence count. The node is
+    * any long-valued column expression (page id, domain hash, …).
+    */
+  def transitionEdges(
+      events: DataFrame,
+      keyCol: String,
+      node: Column,
+      tsCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy((col(tsCol) +: tieCols.map(col)): _*)
+    events.select(Seq(col(keyCol), col(tsCol), node.cast("long").as("node")) ++
+        tieCols.map(col): _*)
+      .withColumn("prev", lag(col("node"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("src"), col("node").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.GraphOps
+
+/** PageRank semantics: stochastic invariant, exact fixed points, dangling
+  * redistribution, weight sensitivity, lineage truncation. */
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def edges(rows: (Long, Long, Double)*) =
+    rows.toSeq.toDF("src", "dst", "w")
+
+  private def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("two-node cycle is the uniform fixed point") {
+    val pr = ranks(GraphOps.pageRank(edges((1L, 2L, 1.0), (2L, 1L, 1.0)), iters = 5))
+    assert(pr.keySet == Set(1L, 2L))
+    assert(math.abs(pr(1L) - 0.5) < 1e-12 && math.abs(pr(2L) - 0.5) < 1e-12)
+  }
+
+  test("total rank is exactly 1 even with dangling nodes") {
+    // 3 -> sink 4; 1<->2 cycle; 4 dangles
+    val pr = ranks(GraphOps.pageRank(
+      edges((1L, 2L, 1.0), (2L, 1L, 1.0), (3L, 4L, 1.0)), iters = 4))
+    assert(pr.size == 4)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, pr.toString)
+    // the sink receives 3's full rank each step: strictly above its source
+    assert(pr(4L) > pr(3L))
+  }
+
+  test("edge weights steer rank: heavier in-edge wins") {
+    // hub 1 links 2 (w=9) and 3 (w=1): 2 must outrank 3
+    val pr = ranks(GraphOps.pageRank(
+      edges((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0)), iters = 6))
+    assert(pr(2L) > pr(3L))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+  }
+
+  test("parallel edges sum their weights") {
+    val a = ranks(GraphOps.pageRank(
+      edges((1L, 2L, 1.0), (1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0)),
+      iters = 4))
+    val b = ranks(GraphOps.pageRank(
+      edges((1L, 2L, 2.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0)), iters = 4))
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, s"node $k") }
+  }
+
+  test("checkpointEvery truncates lineage without changing the answer") {
+    val e = edges((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0), (1L, 3L, 2.0))
+    val plain = ranks(GraphOps.pageRank(e, iters = 6))
+    val ckpt = ranks(GraphOps.pageRank(e, iters = 6, checkpointEvery = 2))
+    plain.foreach { case (k, v) => assert(math.abs(v - ckpt(k)) < 1e-12, s"node $k") }
+  }
+
+  test("transitionEdges: per-key consecutive pairs, tie-broken, counted") {
+    val ev = Seq(
+      (10L, 1L, "2024-01-01 00:00:00", 1L),
+      (10L, 2L, "2024-01-01 00:00:01", 2L),
+      (10L, 1L, "2024-01-01 00:00:02", 3L),
+      (10L, 2L, "2024-01-01 00:00:03", 4L),
+      (20L, 5L, "2024-01-01 00:00:00", 5L)
+    ).toDF("user_id", "page", "ts_s", "event_id")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val e = GraphOps.transitionEdges(ev, "user_id", col("page"), "ts",
+      tieCols = Seq("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // user 10: 1→2, 2→1, 1→2 ; user 20 contributes nothing (single event)
+    assert(e == Map((1L, 2L) -> 2.0, (2L, 1L) -> 1.0))
+  }
+}

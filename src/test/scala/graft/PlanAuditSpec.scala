@@ -753,6 +753,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pruned, "filtered cells scan must stay partition-pruned:\n" + p.take(4000))
   }
 
+  test("g1 pagerank: cached transition edges reused, hash joins per step") {
+    val df = graft.SparkEntry.queries("g1_pagerank")(spark, dir)
+    val p = plan(df)
+    // the row-stochastic edge table is persisted once and every power
+    // step reads the cache, not the parquet lineage
+    assert(p.contains("InMemoryTableScan"), p.take(4000))
+    // rank-update joins are hash joins (broadcast or shuffled), never a
+    // nested loop over corpus-scale frames; the only nested loops are
+    // the 1-row scalar cross joins (|V| count, dangling mass)
+    assert(p.contains("Join") && (p.contains("HashJoin") || p.contains("SortMergeJoin")),
+      p.take(4000))
+    // contribution aggregate is partial (map-side) before its exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(4000))
+    spark.catalog.clearCache()
+  }
+
   test("u3 correlated EXISTS decorrelates to semi/anti joins, no nested loop") {
     val p = plan(graft.SparkEntry.queries("u3_exists")(spark, dir))
     assert(p.contains("LeftSemi"), p.take(4000))
