@@ -533,6 +533,13 @@ object PipelineQueries {
         "doc_id", "text", "source", n = 3, numHashes = 16, bands = 4,
         threshold = 0.5)),
 
+    // ---- vocabulary overlap by sketch SET ALGEBRA: per-source bigram
+    // distinct sketches from one fused scan; |A∪B| by state merge,
+    // |A∩B| by inclusion-exclusion — gate sits in the exact tier so
+    // every count is integer-equal to DuckDB's DISTINCT arithmetic
+    "st10_vocab_overlap" -> ((s, dir) =>
+      Curation.vocabOverlap(t(s, dir, "documents"), "source", "text", n = 2)),
+
     // ---- mergeable quantile sketch (KLL-style deterministic
     // compactors, TypedImperativeAggregate): gate scale sits inside
     // the sketch's exact tier (n <= k, no compaction), so the oracle
@@ -1969,6 +1976,28 @@ object PipelineQueries {
          |FROM p JOIN documents sa ON id1 = sa.doc_id
          |       JOIN documents sb ON id2 = sb.doc_id
          |GROUP BY 1, 2""".stripMargin,
+
+    // exact tier: sketch set algebra == DISTINCT set arithmetic
+    "st10_vocab_overlap" ->
+      """WITH t AS (SELECT source, string_split(text,' ') AS w FROM documents),
+        |g AS (SELECT source, unnest(generate_series(1, len(w)-1)) AS i, w
+        |      FROM t WHERE len(w) >= 2),
+        |bi AS (SELECT source,
+        |         list_reduce([CAST(unicode(c) AS BIGINT) for c in string_split_regex(w[i]||' '||w[i+1],'')],
+        |                     (h,c) -> (h*31+c) % 1000000007) AS gh FROM g),
+        |dv AS (SELECT DISTINCT source, gh FROM bi),
+        |v AS (SELECT source, count(*) AS v FROM dv GROUP BY 1),
+        |inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS vi
+        |          FROM dv a JOIN dv b ON a.gh = b.gh AND a.source < b.source
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT va.source AS src_a, vb.source AS src_b,
+        |            va.v AS v_a, vb.v AS v_b
+        |          FROM v va JOIN v vb ON va.source < vb.source)
+        |SELECT p.src_a, p.src_b, p.v_a, p.v_b,
+        |       p.v_a + p.v_b - coalesce(i.vi, 0) AS v_union,
+        |       coalesce(i.vi, 0) AS v_intersect
+        |FROM pairs p LEFT JOIN inter i
+        |  ON p.src_a = i.src_a AND p.src_b = i.src_b""".stripMargin,
 
     // exact lower quantile by rank pick — the sketch's under-capacity
     // tier; floor(q*(n-1)) is the same double expression both sides

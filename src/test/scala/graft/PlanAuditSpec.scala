@@ -470,6 +470,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size === 1, p.take(3000)) // the one final-agg gather
   }
 
+  test("st10 vocab overlap: one corpus scan into cached states; pairs expand metadata only") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val df = graft.pipeline.Curation.vocabOverlap(docs, "source", "text", n = 2)
+    // the corpus is read once, into the persisted per-group state frame;
+    // every downstream step (estimates, pair expansion, union merges)
+    // re-reads that metadata cache, never the parquet: every leaf of the
+    // optimized plan is the in-memory relation, no direct file relation
+    val lp = df.queryExecution.optimizedPlan
+    val leaves = lp.collectLeaves()
+    assert(leaves.nonEmpty)
+    assert(leaves.forall(_.getClass.getSimpleName.contains("InMemoryRelation")),
+      leaves.map(_.getClass.getSimpleName).mkString(","))
+    spark.catalog.clearCache()
+  }
+
   test("p10 per-source cap: windows touch histogram rows only, threshold broadcast") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val docs = graft.core.Tables.load(spark, dir, "documents")
