@@ -846,6 +846,23 @@ object PipelineQueries {
       Curation.snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text", "lang", "source"))
     }),
 
+    // ---- snapshot distribution drift: per-(lang, source) counts +
+    // mean length across two snapshots, drift flag by integer share
+    // cross-multiplication — one keyed exchange, totals broadcast back
+    "v2_profile_drift" -> ((s, dir) => {
+      // snapshots = id-range halves (id parity correlates with source in
+      // this data); the new snapshot loses 2/3 of src7 — that stratum
+      // must flag, the rest must not
+      val docs = t(s, dir, "documents")
+      val tagged = docs.crossJoin(docs.agg(max("doc_id").as("_mx")))
+      Curation.snapshotDrift(
+        tagged.filter(col("doc_id") * 2 <= col("_mx")).drop("_mx"),
+        tagged.filter(col("doc_id") * 2 > col("_mx"))
+          .filter(col("source") =!= "src7" || col("doc_id") % 3 === 0)
+          .drop("_mx"),
+        Seq("source"), "n_chars", driftPct = 20)
+    }),
+
     // ---- BM25 ranked retrieval for a literal query-term set: narrow
     // per-row tf folds, one single-row stats broadcast, global top-k
     // via TakeOrderedAndProject (rational idf — no libm ln)
@@ -2290,6 +2307,28 @@ object PipelineQueries {
         |FROM h""".stripMargin,
 
     // md5 equality inside each engine is content equality — the hashes
+    // integer cross-multiplied share drift — boolean exact cross-engine
+    "v2_profile_drift" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |u AS (
+        |  SELECT source, n_chars, 0 AS snap FROM documents CROSS JOIN mx
+        |  WHERE doc_id * 2 <= m
+        |  UNION ALL
+        |  SELECT source, n_chars, 1 AS snap FROM documents CROSS JOIN mx
+        |  WHERE doc_id * 2 > m AND (source <> 'src7' OR doc_id % 3 = 0)),
+        |g AS (SELECT source,
+        |        CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |        CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |        avg(CASE WHEN snap = 0 THEN n_chars END) AS mean_len_old,
+        |        avg(CASE WHEN snap = 1 THEN n_chars END) AS mean_len_new
+        |      FROM u GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_old) AS BIGINT) AS tot_old,
+        |             CAST(sum(n_new) AS BIGINT) AS tot_new FROM g)
+        |SELECT source, n_old, n_new, mean_len_old, mean_len_new,
+        |       (n_new * tot_old * 100 > n_old * tot_new * 120) OR
+        |       (n_new * tot_old * 100 < n_old * tot_new * 80) AS drifted
+        |FROM g CROSS JOIN t""".stripMargin,
+
     // themselves never cross engines, only the status strings do
     "v1_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang, source)) AS h

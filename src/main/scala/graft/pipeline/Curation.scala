@@ -725,6 +725,49 @@ object Curation {
       .select(col(idCol), col("status"))
   }
 
+  /** Distribution drift between two corpus snapshots, per stratum: doc
+    * counts, mean `lenCol`, and a drift flag raised when the stratum's
+    * SHARE of the corpus moved by more than `driftPct` percent
+    * relative — the mixture-monitoring report a training pipeline
+    * checks before each refresh ("did the web/wiki/code balance shift
+    * under us?"). The flag compares shares by INTEGER cross-
+    * multiplication (`100·n_new·tot_old` vs `(100±pct)·n_old·tot_new`)
+    * so the verdict is exact on every engine — no float thresholding;
+    * a stratum present only in the new snapshot always flags.
+    *
+    * Scale shape: the two snapshots union (no shuffle) into ONE keyed
+    * partial-agg'd exchange on the strata; snapshot totals reduce the
+    * per-stratum rows (metadata) and ride back as a 1-row broadcast.
+    * Assumes `tot·n < 2^63 / 120` — beyond that, scale counts down
+    * before flagging.
+    */
+  def snapshotDrift(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      strata: Seq[String],
+      lenCol: String,
+      driftPct: Int = 20): DataFrame = {
+    require(strata.nonEmpty, "snapshotDrift needs at least one stratum column")
+    def side(df: DataFrame, snap: Int) = df.select(
+      strata.map(col) ++ Seq(col(lenCol).cast("long").as("_len"),
+        lit(snap).as("_snap")): _*)
+    val g = side(oldDf, 0).unionByName(side(newDf, 1))
+      .groupBy(strata.map(col): _*)
+      .agg(
+        sum(when(col("_snap") === 0, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("_snap") === 1, 1L).otherwise(0L)).as("n_new"),
+        avg(when(col("_snap") === 0, col("_len"))).as("mean_len_old"),
+        avg(when(col("_snap") === 1, col("_len"))).as("mean_len_new"))
+    val tot = g.agg(sum("n_old").as("_tot_old"), sum("n_new").as("_tot_new"))
+    g.crossJoin(tot)
+      .withColumn("drifted",
+        (col("n_new") * col("_tot_old") * 100L >
+          col("n_old") * col("_tot_new") * (100L + driftPct)) ||
+        (col("n_new") * col("_tot_old") * 100L <
+          col("n_old") * col("_tot_new") * (100L - driftPct)))
+      .drop("_tot_old", "_tot_new")
+  }
+
   // ---- salient terms (tf-idf) --------------------------------------------
 
   /** Top-`k` salient terms per document by tf·idf, with the idf taken

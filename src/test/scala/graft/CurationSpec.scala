@@ -407,4 +407,24 @@ class CurationSpec extends AnyFunSuite {
         Seq("scan")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(single === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 6L -> 1L))
   }
+
+  test("snapshotDrift: integer share flags, new/old-only strata always drift") {
+    def snap(rows: (String, Long)*) = rows.toSeq.toDF("src", "len")
+    // old: a=50, b=50; new: a=50, b=20 (b's share collapses), c appears
+    val old = snap((1L to 50L).map(i => ("a", i)) ++ (1L to 50L).map(i => ("b", i)): _*)
+    val nw = snap((1L to 50L).map(i => ("a", i)) ++ (1L to 20L).map(i => ("b", i))
+      ++ Seq(("c", 7L)): _*)
+    val out = Curation.snapshotDrift(old, nw, Seq("src"), "len", driftPct = 20)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(5))).toMap
+    assert(out("a") == ((50L, 50L, true)))  // a's share rose 50/100 -> 50/71
+    assert(out("b") == ((50L, 20L, true)))
+    assert(out("c")._1 == 0L && out("c")._3)  // new-only stratum flags
+    // balanced split does not flag
+    val even = Curation.snapshotDrift(
+      snap(("a", 1L), ("a", 2L), ("b", 3L)), snap(("a", 9L), ("a", 8L), ("b", 4L)),
+      Seq("src"), "len", driftPct = 20)
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(even == Map("a" -> false, "b" -> false))
+  }
 }
