@@ -760,6 +760,17 @@ object PipelineQueries {
       graft.pipeline.GraphOps.pageRank(edges, iters = 3)
     }),
 
+    // ---- personalized (topic-sensitive) PageRank: teleport and
+    // dangling mass return to the seed pages 0-9 only — proximity-to-
+    // trusted-set scoring; same per-step plan shape as g1
+    "g2_personalized_pagerank" -> ((s, dir) => {
+      val edges = graft.pipeline.GraphOps.transitionEdges(
+        t(s, dir, "events"), "user_id",
+        get_json_object(col("props"), "$.k"), "ts", tieCols = Seq("event_id"))
+      graft.pipeline.GraphOps.personalizedPageRank(
+        edges, s.range(0, 10).toDF("id"), iters = 3)
+    }),
+
     "c5_cluster_purity" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Clustering.clusterLabelPurity(
@@ -1367,8 +1378,40 @@ object PipelineQueries {
        |${(1 to iters).map(prStepSql).mkString(",\n")}
        |SELECT id, pr FROM pr$iters""".stripMargin
 
+  /** [[prStepSql]]'s personalized twin: teleport rides the seed vector
+    * `tv.t` instead of the uniform 1/n. */
+  private def pprStepSql(i: Int): String = {
+    val prev = s"pr${i - 1}"
+    s"""d$i AS (SELECT coalesce(sum(pr), 0) AS dm FROM $prev
+       |        WHERE id NOT IN (SELECT src FROM ow)),
+       |c$i AS (SELECT en.dst AS id, sum(en.p * $prev.pr) AS c
+       |        FROM en JOIN $prev ON en.src = $prev.id GROUP BY 1),
+       |pr$i AS (SELECT tv.id,
+       |           0.15 * tv.t + 0.85 * (coalesce(c$i.c, 0) + d$i.dm * tv.t) AS pr
+       |         FROM tv CROSS JOIN d$i
+       |         LEFT JOIN c$i ON tv.id = c$i.id)""".stripMargin
+  }
+
+  private def personalizedPageRankSql(iters: Int): String =
+    s"""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+       |              CAST(props->>'$$.k' AS BIGINT) AS k FROM events),
+       |p AS (SELECT k AS dst, lag(k) OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id) AS src FROM ev),
+       |e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM p
+       |      WHERE src IS NOT NULL GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+       |sf AS (SELECT id, CASE WHEN id BETWEEN 0 AND 9 THEN 1 ELSE 0 END AS s FROM nodes),
+       |ns AS (SELECT CAST(sum(s) AS DOUBLE) AS ns FROM sf),
+       |tv AS (SELECT id, s / ns.ns AS t FROM sf CROSS JOIN ns),
+       |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+       |en AS (SELECT e.src, e.dst, e.w / ow.ow AS p FROM e JOIN ow USING (src)),
+       |pr0 AS (SELECT id, t AS pr FROM tv),
+       |${(1 to iters).map(pprStepSql).mkString(",\n")}
+       |SELECT id, pr FROM pr$iters""".stripMargin
+
   private val oracles0: Map[String, String] = Map(
     "g1_pagerank" -> pageRankSql(3),
+    "g2_personalized_pagerank" -> personalizedPageRankSql(3),
 
     "d1_dedup_exact" ->
       "SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",

@@ -79,6 +79,62 @@ object GraphOps {
     pr
   }
 
+  /** Personalized (topic-sensitive) PageRank: teleport and dangling
+    * mass return to the SEED set (uniformly) instead of all nodes —
+    * rank concentrates around the seeds, the "score everything by
+    * proximity to this trusted set" primitive (TrustRank-style seed
+    * propagation for corpus quality). Same per-step cost and plan
+    * shape as [[pageRank]]; the seed indicator is one extra metadata
+    * column on the node frame. Nodes unreachable from the seeds get
+    * rank 0 (exactly — no baseline teleport). `sum(pr) = 1`.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      damping: Double = 0.85,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      wCol: String = "w",
+      seedCol: String = "id",
+      checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges
+      .groupBy(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .agg(sum(col(wCol).cast("double")).as("w"))
+    val ids = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    // node frame carries the teleport vector: 1/|seeds ∩ nodes| on
+    // seeds, 0 elsewhere — built once, cached, reused every step
+    val seedIds = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+    val flagged = ids.join(seedIds.withColumn("_s", lit(1L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_s"), lit(0L)).as("_s"))
+    val nSeeds = flagged.agg(sum("_s").cast("double").as("ns"))
+    val nodes = flagged.crossJoin(nSeeds)
+      .select(col("id"), (col("_s").cast("double") / col("ns")).as("t")).persist()
+    val outw = e.groupBy("src").agg(sum("w").as("ow"))
+    val trans = e.join(outw, "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("p")).persist()
+    val dangling = nodes.join(outw.select(col("src").as("id")), Seq("id"), "left_anti")
+      .select(col("id")).persist()
+
+    var pr = nodes.select(col("id"), col("t").as("pr"))
+    for (i <- 1 to iters) {
+      val contrib = trans.join(pr, col("src") === col("id"))
+        .groupBy("dst").agg(sum(col("p") * col("pr")).as("contrib"))
+      val dangMass = dangling.join(pr, "id")
+        .agg(coalesce(sum("pr"), lit(0.0)).as("dm"))
+      pr = nodes.join(contrib, col("id") === col("dst"), "left")
+        .crossJoin(dangMass)
+        .select(col("id"),
+          ((lit(1.0) - lit(damping)) * col("t") + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dm") * col("t"))).as("pr"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        pr = pr.localCheckpoint(true)
+    }
+    pr
+  }
+
   /** Transition edge list from an event stream: consecutive events per
     * `keyCol` (ordered by `tsCol`, then `tieCols`) become one directed
     * edge `prev node → node`, weighted by occurrence count. The node is

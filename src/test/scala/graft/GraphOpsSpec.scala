@@ -58,6 +58,27 @@ class GraphOpsSpec extends AnyFunSuite {
     plain.foreach { case (k, v) => assert(math.abs(v - ckpt(k)) < 1e-12, s"node $k") }
   }
 
+  test("personalized pagerank: mass stays near seeds, unreachable nodes get 0") {
+    // two disconnected cycles: {1,2} and {3,4}; seed = 1
+    val e = edges((1L, 2L, 1.0), (2L, 1L, 1.0), (3L, 4L, 1.0), (4L, 3L, 1.0))
+    val seeds = Seq(1L).toDF("id")
+    // 2-cycle mass oscillates with decay 0.85^k — run to near-convergence
+    // (limit: seed 0.5405 vs 0.4595)
+    val pr = ranks(GraphOps.personalizedPageRank(e, seeds, iters = 20,
+      checkpointEvery = 5))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    assert(pr(3L) == 0.0 && pr(4L) == 0.0) // exactly: no baseline teleport
+    assert(pr(1L) > pr(2L)) // teleport favors the seed itself
+  }
+
+  test("personalized == uniform when every node is a seed") {
+    val e = edges((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 2.0), (1L, 3L, 1.0))
+    val all = Seq(1L, 2L, 3L).toDF("id")
+    val ppr = ranks(GraphOps.personalizedPageRank(e, all, iters = 4))
+    val upr = ranks(GraphOps.pageRank(e, iters = 4))
+    upr.foreach { case (k, v) => assert(math.abs(v - ppr(k)) < 1e-12, s"node $k") }
+  }
+
   test("transitionEdges: per-key consecutive pairs, tie-broken, counted") {
     val ev = Seq(
       (10L, 1L, "2024-01-01 00:00:00", 1L),
