@@ -428,6 +428,44 @@ object StreamingQueries {
         .filter(col("est_count") > 0)
     }),
 
+    // ---- live snapshot-drift monitor: the new snapshot streams in,
+    // per-source (count, integer len-sum) state updating live; the
+    // final state joins the static baseline profile and reproduces the
+    // batch v2 verdicts exactly (integer sums are slicing-independent)
+    "v2s_drift_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tagged = docs.crossJoin(docs.agg(max("doc_id").as("_mx")))
+      val oldSnap = tagged.filter(col("doc_id") * 2 <= col("_mx")).drop("_mx")
+      val newSnap = tagged.filter(col("doc_id") * 2 > col("_mx"))
+        .filter(col("source") =!= "src7" || col("doc_id") % 3 === 0).drop("_mx")
+      val (out, _) = runStream(s, Seq((newSnap, "doc_id")), "update", ticks = 4) {
+        case Seq(nw) => StreamingState.runningStatsStream(
+          nw.select(col("source"), col("n_chars")), Seq("source"), "n_chars")
+      }
+      // n strictly grows per key → the max-n emission is the final state
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n").desc)
+      val fin = out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("source"), col("n").as("n_new"),
+          (col("sum_v").cast("double") / col("n_vals")).as("mean_len_new"))
+      val gOld = oldSnap.groupBy("source").agg(
+        count(lit(1)).as("n_old"),
+        avg(col("n_chars").cast("long")).as("mean_len_old"))
+      val joined = gOld.join(fin, Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          col("mean_len_old"), col("mean_len_new"))
+      val tot = joined.agg(sum("n_old").as("_tot_old"), sum("n_new").as("_tot_new"))
+      joined.crossJoin(tot)
+        .withColumn("drifted",
+          (col("n_new") * col("_tot_old") * 100L >
+            col("n_old") * col("_tot_new") * 120L) ||
+          (col("n_new") * col("_tot_old") * 100L <
+            col("n_old") * col("_tot_new") * 80L))
+        .drop("_tot_old", "_tot_new")
+    }),
+
     // ---- streaming running quantiles: one QSketch per key in the
     // state store (bounded O(k·log n/k) bytes/key); gate scale stays
     // inside the sketch's exact tier, so the final per-key emission
@@ -621,6 +659,7 @@ object StreamingQueries {
     // batch-equality by construction: reuse the batch oracles verbatim
     "mm1s_media_stream" -> PipelineQueries.oracles("mm1_media_features"),
     "st4s_quantile_stream" -> PipelineQueries.oracles("st4_quantile_sketch"),
+    "v2s_drift_stream" -> PipelineQueries.oracles("v2_profile_drift"),
     "d3s_lsh_dedup_stream" -> PipelineQueries.oracles("d3_minhash_lsh"),
     "p2s_pack_stream" -> PipelineQueries.oracles("p2_token_pack"),
     "d5s_embed_neardup_stream" -> PipelineQueries.oracles("d5_embed_neardup"),

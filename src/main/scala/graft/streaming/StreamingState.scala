@@ -742,6 +742,55 @@ object StreamingState {
       }
   }
 
+  /** Running per-key count/sum state — the live side of snapshot-drift
+    * monitoring ([[graft.pipeline.Curation.snapshotDrift]]): three
+    * longs per key in the state store (row count, non-null count,
+    * exact integer value sum), emitted on every micro-batch that
+    * touches the key. Integer accumulation makes the final emission
+    * bit-equal to the batch count/avg regardless of batch slicing —
+    * the v2s gate joins it against the static baseline profile and
+    * reuses the batch oracle verbatim. Bounded state: 24 bytes/key.
+    */
+  def runningStatsStream(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "runningStatsStream requires at least one key")
+    val schema = df.schema
+    val n = schema.length
+    val keyIdxs = keys.map(schema.fieldIndex)
+    val valIdx = schema.fieldIndex(valueCol)
+    val outSchema = StructType(
+      keys.map(schema(_)) ++ Seq(
+        StructField("n", LongType, nullable = false),
+        StructField("n_vals", LongType, nullable = false),
+        StructField("sum_v", LongType, nullable = false)))
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.kryo[Array[Long]]
+    implicit val outEnc = Encoders.row(outSchema)
+    df.withColumn("_graft_gk", groupKeyExpr(schema, keys))
+      .groupByKey((r: Row) => r.getString(n))
+      .flatMapGroupsWithState[Array[Long], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Array[Long]]) =>
+          val st = state.getOption.getOrElse(Array(0L, 0L, 0L))
+          var last: Row = null
+          rows.foreach { r =>
+            last = r
+            st(0) += 1
+            val v = r.get(valIdx)
+            if (v != null) { st(1) += 1; st(2) += v.asInstanceOf[Number].longValue }
+          }
+          if (last == null) Iterator.empty
+          else {
+            state.update(st)
+            Iterator.single(Row.fromSeq(
+              keyIdxs.map(last.get) ++ Seq(Long.box(st(0)), Long.box(st(1)),
+                Long.box(st(2)))))
+          }
+      }
+  }
+
   /** st5's streaming twin: one SpaceSaving sketch per key in the state
     * store (≤ `k` entries per key regardless of stream length),
     * emitting the running top-`topN` (one row per entry) whenever the

@@ -235,6 +235,39 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("checkpoint recovery: runningStatsStream counts survive a restart") {
+    // kill after 2 rows (n=2, sum=30), restart, add 1 row: the resumed
+    // state must report n=3 / sum=70, not a fresh n=1 / sum=40
+    val ss = StructType(Seq(
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    def sr(s: String, v: Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](s, v), ss)
+    implicit val sqlCtx = spark.sqlContext
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long)]
+    def sinkTo(df: org.apache.spark.sql.Dataset[Row], @annotation.unused id: Long): Unit =
+      df.collect().foreach(r =>
+        buf.add((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+    val ckpt = Files.createTempDirectory("recov-stats-ckpt").toString
+    val stream = MemoryStream[Row](Encoders.row(ss), sqlCtx)
+    val out = StreamingState.runningStatsStream(stream.toDF(), Seq("source"), "n_chars")
+    val q1 = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo _).start()
+    stream.addData(sr("a", 10L), sr("a", 20L))
+    q1.processAllAvailable()
+    q1.stop()
+
+    stream.addData(sr("a", 40L))
+    val q2 = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo _).start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val last = buf.asScala.maxBy(_._2)
+      assert(last === (("a", 3L, 3L, 70L)))
+    } finally q2.stop()
+  }
+
   test("retentionStream: a period is emitted once, even across batches") {
     val rs = StructType(Seq(
       StructField("user_id", LongType), StructField("ts", TimestampType)))
