@@ -56,7 +56,11 @@ object ScaleSmoke {
     "a20_funnel_hop_times", "a21_decayed_engagement",
     "c6_centroid_outliers", "z4_file_stats", "st9_countmin",
     "j9_linear_attribution", "s14_filtered_ann", "w6_ohlc_bars",
-    "a19_state_history")
+    "a19_state_history",
+    // round 7e: iterative graph centrality (per-step edge join +
+    // agg), sketch set algebra (one corpus exchange), drift report
+    "g1_pagerank", "g2_personalized_pagerank", "st10_vocab_overlap",
+    "v2_profile_drift")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
