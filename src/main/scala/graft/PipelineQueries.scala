@@ -771,6 +771,16 @@ object PipelineQueries {
         edges, s.range(0, 10).toDF("id"), iters = 3)
     }),
 
+    // ---- HITS hubs & authorities over the same transition graph:
+    // the directional complement to g1 (hub/content split); two
+    // mutual-reinforcement steps, L1-normalized in-plan
+    "g3_hits" -> ((s, dir) => {
+      val edges = graft.pipeline.GraphOps.transitionEdges(
+        t(s, dir, "events"), "user_id",
+        get_json_object(col("props"), "$.k"), "ts", tieCols = Seq("event_id"))
+      graft.pipeline.GraphOps.hits(edges, iters = 2)
+    }),
+
     "c5_cluster_purity" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Clustering.clusterLabelPurity(
@@ -1409,9 +1419,39 @@ object PipelineQueries {
        |${(1 to iters).map(pprStepSql).mkString(",\n")}
        |SELECT id, pr FROM pr$iters""".stripMargin
 
+  /** One HITS iteration (authority then hub half-step, each L1-
+    * normalized) as DuckDB CTEs — mirrors [[graft.pipeline.GraphOps.hits]]. */
+  private def hitsStepSql(i: Int): String = {
+    val prevH = s"h${i - 1}"
+    s"""ar$i AS (SELECT e.dst AS id, sum(e.w * $prevH.h) AS ar
+       |         FROM e JOIN $prevH ON e.src = $prevH.id GROUP BY 1),
+       |at$i AS (SELECT sum(ar) AS at FROM ar$i),
+       |a$i AS (SELECT nodes.id, coalesce(ar$i.ar, 0) / at$i.at AS a
+       |        FROM nodes CROSS JOIN at$i LEFT JOIN ar$i ON nodes.id = ar$i.id),
+       |hr$i AS (SELECT e.src AS id, sum(e.w * a$i.a) AS hr
+       |         FROM e JOIN a$i ON e.dst = a$i.id GROUP BY 1),
+       |ht$i AS (SELECT sum(hr) AS ht FROM hr$i),
+       |h$i AS (SELECT nodes.id, coalesce(hr$i.hr, 0) / ht$i.ht AS h
+       |        FROM nodes CROSS JOIN ht$i LEFT JOIN hr$i ON nodes.id = hr$i.id)""".stripMargin
+  }
+
+  private def hitsSql(iters: Int): String =
+    s"""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+       |              CAST(props->>'$$.k' AS BIGINT) AS k FROM events),
+       |p AS (SELECT k AS dst, lag(k) OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id) AS src FROM ev),
+       |e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM p
+       |      WHERE src IS NOT NULL GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+       |h0 AS (SELECT id, 1.0 AS h FROM nodes),
+       |${(1 to iters).map(hitsStepSql).mkString(",\n")}
+       |SELECT h$iters.id, h$iters.h AS s_hub, a$iters.a AS s_auth
+       |FROM h$iters JOIN a$iters ON h$iters.id = a$iters.id""".stripMargin
+
   private val oracles0: Map[String, String] = Map(
     "g1_pagerank" -> pageRankSql(3),
     "g2_personalized_pagerank" -> personalizedPageRankSql(3),
+    "g3_hits" -> hitsSql(2),
 
     "d1_dedup_exact" ->
       "SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",

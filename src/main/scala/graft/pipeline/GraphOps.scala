@@ -135,6 +135,50 @@ object GraphOps {
     pr
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999), `iters` mutual-
+    * reinforcement steps with L1 normalization: an authority is pointed
+    * to by good hubs, a hub points to good authorities — the
+    * directional complement to PageRank (a page that only LINKS well
+    * ranks as hub, not authority; curation uses the split to separate
+    * directory/spam-hub pages from content pages). Per half-step cost
+    * is one edge hash join + one partial-agg'd shuffle, normalizers
+    * ride as 1-row frames — the exact [[pageRank]] plan shape, twice
+    * per iteration. Returns (id, s_hub, s_auth), each score column summing
+    * to 1.
+    */
+  def hits(
+      edges: DataFrame,
+      iters: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      wCol: String = "w",
+      checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges
+      .groupBy(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .agg(sum(col(wCol).cast("double")).as("w")).persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    var h = nodes.select(col("id"), lit(1.0).as("h"))
+    var a = nodes.select(col("id"), lit(0.0).as("a"))
+    for (i <- 1 to iters) {
+      val aRaw = e.join(h, col("src") === col("id"))
+        .groupBy("dst").agg(sum(col("w") * col("h")).as("ar"))
+      val aTot = aRaw.agg(sum("ar").as("at"))
+      a = nodes.join(aRaw, col("id") === col("dst"), "left").crossJoin(aTot)
+        .select(col("id"), (coalesce(col("ar"), lit(0.0)) / col("at")).as("a"))
+      val hRaw = e.join(a, col("dst") === col("id"))
+        .groupBy("src").agg(sum(col("w") * col("a")).as("hr"))
+      val hTot = hRaw.agg(sum("hr").as("ht"))
+      h = nodes.join(hRaw, col("id") === col("src"), "left").crossJoin(hTot)
+        .select(col("id"), (coalesce(col("hr"), lit(0.0)) / col("ht")).as("h"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+        h = h.localCheckpoint(true); a = a.localCheckpoint(true)
+      }
+    }
+    h.join(a, "id").select(col("id"), col("h").as("s_hub"), col("a").as("s_auth"))
+  }
+
   /** Transition edge list from an event stream: consecutive events per
     * `keyCol` (ordered by `tsCol`, then `tieCols`) become one directed
     * edge `prev node → node`, weighted by occurrence count. The node is

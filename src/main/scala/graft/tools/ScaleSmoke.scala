@@ -59,7 +59,7 @@ object ScaleSmoke {
     "a19_state_history",
     // round 7e: iterative graph centrality (per-step edge join +
     // agg), sketch set algebra (one corpus exchange), drift report
-    "g1_pagerank", "g2_personalized_pagerank", "st10_vocab_overlap",
+    "g1_pagerank", "g2_personalized_pagerank", "g3_hits", "st10_vocab_overlap",
     "v2_profile_drift")
 
   def main(args: Array[String]): Unit = {

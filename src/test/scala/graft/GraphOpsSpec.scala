@@ -79,6 +79,17 @@ class GraphOpsSpec extends AnyFunSuite {
     upr.foreach { case (k, v) => assert(math.abs(v - ppr(k)) < 1e-12, s"node $k") }
   }
 
+  test("hits: pure hub and pure authority separate; scores L1-normalized") {
+    // 1 and 2 both point at 3: 3 is the only authority; 1,2 are hubs
+    val out = GraphOps.hits(edges((1L, 3L, 1.0), (2L, 3L, 1.0)), iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-9) // hubs sum 1
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9) // auths sum 1
+    assert(out(3L)._2 == 1.0 && out(3L)._1 == 0.0) // pure authority
+    assert(out(1L)._1 == 0.5 && out(1L)._2 == 0.0) // symmetric pure hubs
+    assert(out(2L)._1 == 0.5)
+  }
+
   test("transitionEdges: per-key consecutive pairs, tie-broken, counted") {
     val ev = Seq(
       (10L, 1L, "2024-01-01 00:00:00", 1L),
