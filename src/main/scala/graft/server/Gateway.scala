@@ -62,7 +62,26 @@ final class Gateway(
     /** Session lifetime for [[simpleAuthUsers]] cookies. */
     sessionTimeoutMillis: Long = 12L * 3600 * 1000,
     /** Session cookie name (reference default "session"). */
-    sessionCookieName: String = "session") {
+    sessionCookieName: String = "session",
+    /** OAuth2/OIDC middleware (reference MountOAuth2Middleware,
+      * middleware/oauth.py:23-358): authorization-code login at
+      * /login → issuer, callback at /auth/callback mints the session
+      * cookie, bearer tokens validate per-request; the userinfo
+      * identity feeds X13 row filtering. Co-mountable with the other
+      * middlewares — any one passing authorizes. */
+    oauth: Option[OAuthConfig] = None,
+    /** External API-key validator hook (reference
+      * MountExternalAPIKeyMiddleware, api_key_external.py:23-180): a
+      * presented `token` credential is handed to this function;
+      * Some(identity) authorizes the request AND becomes its X13
+      * identity. None (default) = plain [[apiKeys]] membership, the
+      * offline credential-map analog. */
+    apiKeyValidator: Option[String => Option[String]] = None,
+    /** Static-field REST routes (reference MountFieldRestRoutes,
+      * modules/web/mount_fields.py:10-82): non-ts values served at
+      * GET /api/v1/field/{name} (listing at /field), JSON-serialized.
+      * Unknown name → 404, like the reference's route. */
+    staticFields: Map[String, Any] = Map.empty) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -81,33 +100,53 @@ final class Gateway(
     identityFromHeaders = wsIdentity)
   def wsPort: Int = ws.boundPort
 
-  /** Simple-auth identity for a WebSocket handshake: session cookie
-    * first, then Basic (same ordering as the REST side). */
-  private def wsIdentity(headers: Map[String, String]): Option[String] =
-    if (simpleAuthUsers.isEmpty) None
-    else {
-      val fromCookie = headers.get("cookie")
-        .flatMap(_.split(";").map(_.trim).collectFirst {
-          case kv if kv.startsWith(sessionCookieName + "=") =>
-            kv.stripPrefix(sessionCookieName + "=")
-        })
-        .flatMap(sessionUserByUuid)
-      fromCookie.orElse(headers.get("authorization").flatMap(basicUserOf))
+  private val oauthSupport: Option[OAuthSupport] = oauth.map(new OAuthSupport(_))
+
+  /** Auth identity for a WebSocket handshake, from its (lowercased)
+    * headers: simple-auth session cookie, then Basic, then the OAuth
+    * session cookie / bearer (same ordering as the REST side). */
+  private def wsIdentity(headers: Map[String, String]): Option[String] = {
+    def cookieVal(name: String): Option[String] = headers.get("cookie")
+      .flatMap(_.split(";").map(_.trim).collectFirst {
+        case kv if kv.startsWith(name + "=") => kv.stripPrefix(name + "=")
+      })
+    val simple =
+      if (simpleAuthUsers.isEmpty) None
+      else cookieVal(sessionCookieName).flatMap(sessionUserByUuid)
+        .orElse(headers.get("authorization").flatMap(basicUserOf))
+    simple.orElse(oauthSupport.flatMap(o =>
+      o.identityFrom(cookieVal(o.cookieName), headers.get("authorization"))))
+  }
+
+  /** All `token` credentials on a request: query param, header, or
+    * cookie (reference api_key.py:46-59 extraction order). */
+  private def presentedTokens(ex: HttpExchange): Seq[String] = {
+    val fromQuery = Option(ex.getRequestURI.getRawQuery)
+      .flatMap(_.split("&").collectFirst {
+        case kv if kv.startsWith("token=") =>
+          java.net.URLDecoder.decode(kv.stripPrefix("token="), "UTF-8")
+      })
+    val fromHeader = Option(ex.getRequestHeaders.getFirst("token"))
+    val fromCookie = cookie(ex, "token")
+    Seq(fromQuery, fromHeader, fromCookie).flatten
+  }
+
+  /** API-key check (reference api_key.py): any configured key. */
+  private def apiKeyAuthorized(ex: HttpExchange): Boolean =
+    apiKeys.nonEmpty && presentedTokens(ex).exists(apiKeys.contains)
+
+  /** External-validator identity: first presented token the hook
+    * accepts (api_key_external.py get_identity_from_credentials). */
+  private def apiKeyIdentity(ex: HttpExchange): Option[String] =
+    apiKeyValidator.flatMap { v =>
+      presentedTokens(ex).iterator.map(v).collectFirst { case Some(id) => id }
     }
 
-  /** API-key check (reference api_key.py:46-59): query param, header,
-    * or cookie named `token`, any configured key accepted. */
-  private def apiKeyAuthorized(ex: HttpExchange): Boolean =
-    apiKeys.nonEmpty && {
-      val fromQuery = Option(ex.getRequestURI.getRawQuery)
-        .flatMap(_.split("&").collectFirst {
-          case kv if kv.startsWith("token=") =>
-            java.net.URLDecoder.decode(kv.stripPrefix("token="), "UTF-8")
-        })
-      val fromHeader = Option(ex.getRequestHeaders.getFirst("token"))
-      val fromCookie = cookie(ex, "token")
-      Seq(fromQuery, fromHeader, fromCookie).flatten.exists(apiKeys.contains)
-    }
+  /** OAuth identity: session cookie, else validated bearer. */
+  private def oauthIdentity(ex: HttpExchange): Option[String] =
+    oauthSupport.flatMap(o => o.identityFrom(
+      cookie(ex, o.cookieName),
+      Option(ex.getRequestHeaders.getFirst("Authorization"))))
 
   // ---- Simple Auth (reference middleware/simple.py) ----------------------
 
@@ -173,20 +212,27 @@ final class Gateway(
     uuid
   }
 
+  private def authDisabled: Boolean =
+    apiKeys.isEmpty && simpleAuthUsers.isEmpty &&
+      oauthSupport.isEmpty && apiKeyValidator.isEmpty
+
   private def authorized(ex: HttpExchange): Boolean =
-    (apiKeys.isEmpty && simpleAuthUsers.isEmpty) ||
-      apiKeyAuthorized(ex) || simpleAuthUser(ex).nonEmpty
+    authDisabled || apiKeyAuthorized(ex) || simpleAuthUser(ex).nonEmpty ||
+      apiKeyIdentity(ex).nonEmpty || oauthIdentity(ex).nonEmpty
 
   /** Wrap a context handler with the auth gate. 403 is the API-key
-    * middleware's rejection (api_key.py); a simple-auth-only mount
-    * rejects with 401 + the Basic challenge (simple.py's
-    * auth_error_handler), like the reference.
+    * middleware's rejection (api_key.py); session-based mounts
+    * (simple auth, OAuth) reject with 401 + the matching challenge
+    * (simple.py's / oauth.py's auth_error_handler), like the
+    * reference. Co-mounted middlewares: any one passing authorizes.
     */
   private def gated(h: HttpExchange => Unit): HttpExchange => Unit =
     ex =>
       if (authorized(ex)) h(ex)
-      else if (apiKeys.isEmpty && simpleAuthUsers.nonEmpty) {
-        ex.getResponseHeaders.set("WWW-Authenticate", "Basic")
+      else if (apiKeys.isEmpty && apiKeyValidator.isEmpty &&
+          (simpleAuthUsers.nonEmpty || oauthSupport.nonEmpty)) {
+        ex.getResponseHeaders.set("WWW-Authenticate",
+          if (simpleAuthUsers.nonEmpty) "Basic" else "Bearer")
         respond(ex, 401, """{"detail":"unauthorized"}""")
       } else respond(ex, 403, """{"detail":"unauthorized"}""")
 
@@ -293,6 +339,8 @@ final class Gateway(
       // identity feeds the filter)
       val identity = Option(ex.getRequestHeaders.getFirst("x-identity"))
         .orElse(simpleAuthUser(ex))
+        .orElse(oauthIdentity(ex))
+        .orElse(apiKeyIdentity(ex))
       parts match {
         case "whoami" :: Nil =>
           // reference simple.py /whoami: the authenticated identity
@@ -431,6 +479,20 @@ final class Gateway(
           } catch {
             case e: IllegalArgumentException =>
               respond(ex, 422, s"""{"detail":${mapper.writeValueAsString(e.getMessage)}}""")
+          }
+        // static-field routes (reference MountFieldRestRoutes,
+        // mount_fields.py:10-82): GET /field → names, GET
+        // /field/{name} → the JSON-serialized value, 404 unknown
+        case "field" :: Nil if ex.getRequestMethod == "GET" =>
+          val arr = mapper.createArrayNode()
+          staticFields.keys.toSeq.sorted.foreach(arr.add)
+          respond(ex, 200, mapper.writeValueAsString(arr))
+        case "field" :: fname :: Nil if ex.getRequestMethod == "GET" =>
+          staticFields.get(fname) match {
+            case Some(v) => respond(ex, 200, mapper.writeValueAsString(anyToJsonNode(v)))
+            case None =>
+              respond(ex, 404,
+                s"""{"detail":${mapper.writeValueAsString(s"Channel field not found: $fname")}}""")
           }
         // available-channels listing per route family (reference
         // last.py:160-170 add_*_available_channels: GET /last/ → names)
@@ -585,6 +647,14 @@ final class Gateway(
     if (channelsGraphData.isDefined)
       paths.withObjectProperty("/api/v1/channels_graph").putObject("get")
         .put("summary", "Channel/module wiring graph data")
+    if (staticFields.nonEmpty) {
+      paths.withObjectProperty("/api/v1/field").putObject("get")
+        .put("summary", "Available static fields")
+      staticFields.keys.toSeq.sorted.foreach { f =>
+        paths.withObjectProperty(s"/api/v1/field/$f").putObject("get")
+          .put("summary", s"Get Channel field $f")
+      }
+    }
     paths.withObjectProperty("/api/v1/controls/heartbeat").putObject("get")
       .put("summary", "Liveness ping")
     paths.withObjectProperty("/api/v1/controls/stats").putObject("get")
@@ -632,6 +702,28 @@ final class Gateway(
 
   private def jsonToMap(node: JsonNode): Map[String, Any] =
     node.properties().asScala.map(e => e.getKey -> jsonValue(e.getValue)).toMap
+
+  /** JSON-serialize a static-field value (Scala maps/seqs aren't
+    * Jackson-native; the reference requires "JSON serializable"
+    * fields — same contract here). */
+  private def anyToJsonNode(v: Any): JsonNode = v match {
+    case null         => mapper.nullNode()
+    case x: String    => mapper.getNodeFactory.textNode(x)
+    case x: Long      => mapper.getNodeFactory.numberNode(x)
+    case x: Int       => mapper.getNodeFactory.numberNode(x.toLong)
+    case x: Double    => mapper.getNodeFactory.numberNode(x)
+    case x: Float     => mapper.getNodeFactory.numberNode(x.toDouble)
+    case x: Boolean   => mapper.getNodeFactory.booleanNode(x)
+    case x: Map[_, _] =>
+      val o = mapper.createObjectNode()
+      x.foreach { case (k, value) => o.set[JsonNode](String.valueOf(k), anyToJsonNode(value)) }
+      o
+    case x: Iterable[_] =>
+      val a = mapper.createArrayNode()
+      x.foreach(e => a.add(anyToJsonNode(e)))
+      a
+    case x => mapper.getNodeFactory.textNode(String.valueOf(x))
+  }
 
   /** Session cookie attributes (reference set_cookie: HttpOnly,
     * max-age = session timeout). */
@@ -701,10 +793,88 @@ final class Gateway(
     redirect(ex, "/login", None)
   }
 
+  /** OAuth2 route handlers (reference oauth.py:259-345 `rest`):
+    * /login redirects to the issuer's authorize endpoint,
+    * /auth/callback exchanges the code, fetches userinfo, mints the
+    * session cookie and redirects home; /auth/logout drops the
+    * session; /auth/userinfo returns the authenticated session's
+    * claims document.
+    */
+  private def handleOAuth(ex: HttpExchange, o: OAuthSupport): Unit =
+    try {
+      val path = ex.getRequestURI.getPath
+      def queryOf(name: String): Option[String] =
+        Option(ex.getRequestURI.getRawQuery).flatMap(_.split("&").collectFirst {
+          case kv if kv.startsWith(name + "=") =>
+            java.net.URLDecoder.decode(kv.stripPrefix(name + "="), "UTF-8")
+        })
+      def callbackUri: String = {
+        val host = Option(ex.getRequestHeaders.getFirst("Host"))
+          .getOrElse(s"127.0.0.1:$boundPort")
+        s"http://$host/auth/callback"
+      }
+      path match {
+        case "/auth/callback" =>
+          (queryOf("error"), queryOf("code")) match {
+            case (Some(err), _) =>
+              respond(ex, 400, s"""{"error":${mapper.writeValueAsString(err)}}""")
+            case (None, None) =>
+              respond(ex, 400, """{"error":"No authorization code provided"}""")
+            case (None, Some(code)) =>
+              try {
+                val tokens = o.exchangeCode(code, callbackUri)
+                Option(tokens.get("access_token")).map(_.asText()) match {
+                  case None =>
+                    respond(ex, 400, """{"error":"No access token in response"}""")
+                  case Some(access) =>
+                    o.fetchUserinfo(access) match {
+                      case None => respond(ex, 400, """{"error":"userinfo fetch failed"}""")
+                      case Some(info) =>
+                        val uuid = o.createSession(info)
+                        redirect(ex, "/", Some(
+                          s"${o.cookieName}=$uuid; HttpOnly; Path=/; " +
+                            s"Max-Age=${o.sessionTimeoutMillis / 1000}"))
+                    }
+                }
+              } catch {
+                case NonFatal(e) =>
+                  respond(ex, 500,
+                    s"""{"error":${mapper.writeValueAsString(String.valueOf(e.getMessage))}}""")
+              }
+          }
+        case "/auth/logout" =>
+          cookie(ex, o.cookieName).foreach(o.dropSession)
+          ex.getResponseHeaders.set("Set-Cookie",
+            s"${o.cookieName}=; HttpOnly; Path=/; Max-Age=0")
+          redirect(ex, "/login", None)
+        case "/auth/userinfo" =>
+          cookie(ex, o.cookieName).flatMap(o.sessionUserinfo)
+            .orElse(o.userinfoFrom(
+              Option(ex.getRequestHeaders.getFirst("Authorization")))) match {
+            case Some(info) => respond(ex, 200, mapper.writeValueAsString(info))
+            case None       => respond(ex, 401, """{"detail":"Session not found"}""")
+          }
+        case _ if path == "/login" || path == "/auth/login" =>
+          redirect(ex, o.loginRedirectUrl(callbackUri), None)
+        case _ => respond(ex, 404, """{"detail":"Not Found"}""")
+      }
+    } catch {
+      case NonFatal(e) =>
+        respond(ex, 500,
+          s"""{"detail":${mapper.writeValueAsString(String.valueOf(e.getMessage))}}""")
+    }
+
   def start(): Gateway = {
     if (simpleAuthUsers.nonEmpty) {
       server.createContext("/login", (ex: HttpExchange) => handleLogin(ex))
       server.createContext("/logout", (ex: HttpExchange) => handleLogout(ex))
+    }
+    oauthSupport.foreach { o =>
+      server.createContext("/auth", (ex: HttpExchange) => handleOAuth(ex, o))
+      // simple auth keeps /login when both are mounted (its form can
+      // name either path; OAuth login stays reachable at /auth/login)
+      if (simpleAuthUsers.isEmpty)
+        server.createContext("/login", (ex: HttpExchange) => handleOAuth(ex, o))
     }
     server.createContext("/api/v1", (ex: HttpExchange) => gated(handle)(ex))
     server.createContext("/openapi.json", (ex: HttpExchange) => gated { ex =>
