@@ -1,7 +1,5 @@
 package graft.functions
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
@@ -31,11 +29,83 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
   * columns rides ONE fused scan instead of N column-pruned distinct
   * aggregates ([[graft.pipeline.Curation.numericProfileSketch]]).
   */
+/** Primitive open-addressing long set (linear probing, power-of-2
+  * table, 0 tracked out-of-band as the empty sentinel). The exact
+  * tier round-trips through the streaming state store EVERY micro
+  * batch at up to 2^18 values per column — a boxed
+  * `mutable.HashSet[Long]` there pays an allocation + unboxing per
+  * value per batch; this is the round-8 st7s serde cut (A/B in
+  * SCALE.md).
+  */
+private[functions] final class LongSet(initialCapacity: Int = 16) extends Serializable {
+  private var table = new Array[Long]({
+    // smallest power of two that keeps `initialCapacity` entries
+    // under the 0.6 load factor (no growth during a presized load)
+    val target = math.max(initialCapacity, 16).toLong * 5 / 3 + 1
+    var cap = 16
+    while (cap < target) cap <<= 1
+    cap
+  })
+  private var used = 0 // non-zero slots
+  private var hasZero = false
+
+  def size: Int = used + (if (hasZero) 1 else 0)
+
+  def add(v: Long): Unit =
+    if (v == 0L) hasZero = true
+    else {
+      if ((used + 1) * 5 > table.length * 3) grow() // load factor 0.6
+      val mask = table.length - 1
+      var i = (java.lang.Long.hashCode(v * 0x9e3779b97f4a7c15L)) & mask
+      while (table(i) != 0L && table(i) != v) i = (i + 1) & mask
+      if (table(i) == 0L) { table(i) = v; used += 1 }
+    }
+
+  def foreach(f: Long => Unit): Unit = {
+    if (hasZero) f(0L)
+    var i = 0
+    while (i < table.length) {
+      if (table(i) != 0L) f(table(i))
+      i += 1
+    }
+  }
+
+  /** Canonical (sorted) primitive image — the serialized form. */
+  def toSortedArray: Array[Long] = {
+    val out = new Array[Long](size)
+    var n = 0
+    if (hasZero) { out(0) = 0L; n = 1 }
+    var i = 0
+    while (i < table.length) {
+      if (table(i) != 0L) { out(n) = table(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  private def grow(): Unit = {
+    val old = table
+    table = new Array[Long](old.length << 1)
+    val mask = table.length - 1
+    var i = 0
+    while (i < old.length) {
+      val v = old(i)
+      if (v != 0L) {
+        var j = (java.lang.Long.hashCode(v * 0x9e3779b97f4a7c15L)) & mask
+        while (table(j) != 0L) j = (j + 1) & mask
+        table(j) = v
+      }
+      i += 1
+    }
+  }
+}
+
 final class DSketch(val k: Int, val p: Int) extends Serializable {
   require(k >= 1, "exact-tier capacity must be >= 1")
   require(p >= 4 && p <= 18, s"HLL precision $p out of [4, 18]")
 
-  private[functions] var exact: mutable.HashSet[Long] = mutable.HashSet.empty
+  private[functions] var exact: LongSet = new LongSet()
   private[functions] var registers: Array[Byte] = null // null = exact tier
 
   def isExact: Boolean = registers == null
@@ -78,7 +148,7 @@ final class DSketch(val k: Int, val p: Int) extends Serializable {
       s"cannot merge sketches of shape ($k,$p) and (${o.k},${o.p})")
     (registers == null, o.registers == null) match {
       case (true, true) =>
-        exact ++= o.exact
+        o.exact.foreach(exact.add)
         if (exact.size > k) degrade()
       case (true, false) =>
         val ex = exact
@@ -119,7 +189,7 @@ final class DSketch(val k: Int, val p: Int) extends Serializable {
 
   def serialize: Array[Byte] =
     if (registers == null) {
-      val vals = exact.toArray.sorted // canonical bytes for a given set
+      val vals = exact.toSortedArray // canonical bytes for a given set
       val buf = java.nio.ByteBuffer.allocate(1 + 4 + 4 + 4 + vals.length * 8)
       buf.put(0: Byte).putInt(k).putInt(p).putInt(vals.length)
       vals.foreach(buf.putLong)
@@ -138,7 +208,9 @@ object DSketch {
     val s = new DSketch(buf.getInt, buf.getInt)
     if (tier == 0) {
       val n = buf.getInt
-      (0 until n).foreach(_ => s.exact += buf.getLong)
+      s.exact = new LongSet(n + 1) // presized: no growth during load
+      var i = 0
+      while (i < n) { s.exact.add(buf.getLong); i += 1 }
     } else {
       s.registers = new Array[Byte](1 << s.p)
       buf.get(s.registers)
