@@ -522,10 +522,15 @@ object StreamingQueries {
     "st7s_profile_stream" -> ((s, dir) => {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val (out, _) = runStream(s, Seq((t(s, dir, "lineitem"), "l_orderkey")),
+      // project BEFORE the memory stream: the gate feed collects and
+      // row-encodes every input row driver-side, and lineitem's other
+      // 8 columns (incl. the wide comment string) were half that cost
+      // for zero semantic effect (QueryBench A/B: 6.7 s → see SCALE.md)
+      val (out, _) = runStream(s,
+        Seq((t(s, dir, "lineitem").select(cols.map(col): _*), "l_orderkey")),
         "complete", ticks = 4) {
         case Seq(li) => graft.pipeline.Curation.numericProfileSketch(
-          li.select(cols.map(col): _*), cols, sketchK = 1 << 18)
+          li, cols, sketchK = 1 << 18)
       }
       out
     }),
