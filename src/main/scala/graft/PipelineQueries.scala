@@ -187,6 +187,17 @@ object PipelineQueries {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, numHashes = 16, bands = 4, threshold = 0.5)),
 
+    // ---- pair REPORTS: per-relation-value pair/doc counts computed
+    // analytically from signature-group occupancies — the audit
+    // surface for corpora where enumerating pairs is output-quadratic
+    // (the sf1 smoke's d4 93× case stays metadata-sized here)
+    "d3b_minhash_stats" -> ((s, dir) =>
+      Dedup.minhashPairStats(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.5)),
+    "d4b_simhash_stats" -> ((s, dir) =>
+      Dedup.simhashPairStats(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 2)),
+
     // ---- SimHash sketch per document
     "d4_simhash" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -1499,6 +1510,42 @@ object PipelineQueries {
     "d4_simhash_pairs" ->
       s"""WITH $simhashPairCtes
          |SELECT id1, id2, hamming FROM hd WHERE hamming <= 2""".stripMargin,
+
+    // pair-report oracles: enumerate the SAME relation, then aggregate
+    // (the engine computes these counts analytically from group sizes)
+    "d4b_simhash_stats" ->
+      s"""WITH $simhashPairCtes,
+         |p AS (SELECT id1, id2, hamming FROM hd WHERE hamming <= 2),
+         |pa AS (SELECT hamming, count(*) AS n_pairs FROM p GROUP BY hamming),
+         |da AS (SELECT hamming, count(DISTINCT d) AS n_docs FROM
+         |       (SELECT hamming, id1 AS d FROM p
+         |        UNION ALL SELECT hamming, id2 FROM p) GROUP BY hamming)
+         |SELECT CAST(pa.hamming AS BIGINT) AS hamming,
+         |       CAST(n_pairs AS BIGINT) AS n_pairs,
+         |       CAST(n_docs AS BIGINT) AS n_docs
+         |FROM pa JOIN da USING (hamming)""".stripMargin,
+
+    "d3b_minhash_stats" ->
+      s"""WITH $shingleCtes,
+         |hs AS (SELECT doc_id, ${phSql("s")} AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashSigCols FROM hs GROUP BY doc_id),
+         |bands AS (${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, ${bandHashSql(b)} AS bh FROM sig")
+             .mkString(" UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |est AS (SELECT id1, id2, $sigAgreeSql / 16.0 AS est_jaccard
+         |        FROM cand JOIN sig a ON id1 = a.doc_id JOIN sig b ON id2 = b.doc_id),
+         |p AS (SELECT id1, id2, est_jaccard FROM est WHERE est_jaccard >= 0.5),
+         |pa AS (SELECT est_jaccard, count(*) AS n_pairs FROM p GROUP BY est_jaccard),
+         |da AS (SELECT est_jaccard, count(DISTINCT d) AS n_docs FROM
+         |       (SELECT est_jaccard, id1 AS d FROM p
+         |        UNION ALL SELECT est_jaccard, id2 FROM p) GROUP BY est_jaccard)
+         |SELECT pa.est_jaccard,
+         |       CAST(n_pairs AS BIGINT) AS n_pairs,
+         |       CAST(n_docs AS BIGINT) AS n_docs
+         |FROM pa JOIN da USING (est_jaccard)""".stripMargin,
 
     // connected components over the simhash near-dup graph: recursive
     // label walk — every node's component is its minimum reachable id

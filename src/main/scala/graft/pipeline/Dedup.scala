@@ -854,6 +854,81 @@ object Dedup {
     star.unionAll(crossReps)
   }
 
+  /** Near-dup PAIR REPORT for the simhash relation, metadata-sized:
+    * per Hamming distance, the number of true pairs and the number of
+    * documents involved — computed ANALYTICALLY from signature-group
+    * occupancies (identical-sketch groups contribute C(g,2) pairs at
+    * hamming 0; a verified distinct-sketch pair (s1,s2) contributes
+    * g1·g2), never by enumerating pairs. This is what a 100 TB dedup
+    * audit actually wants from [[simhashPairs]]: the sf1 smoke's 93×
+    * entry was OUTPUT-bound (370M materialized pairs); this report
+    * carries ≤ maxHamming+1 rows no matter how duplicated the corpus
+    * is. Oracle: enumerate-then-aggregate over the same relation.
+    */
+  def simhashPairStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 2,
+      bits: Int = 48,
+      blockBits: Int = 16): DataFrame = {
+    val (members, valPairs) = simhashFactored(df, idCol, textCol, maxHamming, bits, blockBits)
+    pairStatsFromGroups(members, "_sh",
+      valPairs.select(col("_sh1").as("_k1"), col("_sh2").as("_k2"),
+        col("hamming").cast("long").as("_rel")))
+  }
+
+  /** [[simhashPairStats]] for the MinHash-LSH relation: report rows
+    * keyed by estimated Jaccard (identical signatures = 1.0). */
+  def minhashPairStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val (members, valPairs) = minhashFactored(df, idCol, textCol, n, numHashes, bands, threshold)
+    pairStatsFromGroups(members, "_sig",
+      valPairs.select(col("_s1").as("_k1"), col("_s2").as("_k2"),
+        col("est_jaccard").as("_rel")))
+      .withColumnRenamed("hamming", "est_jaccard")
+  }
+
+  /** Shared analytic pair-count aggregation: `members` = (_id, key),
+    * `relPairs` = verified DISTINCT-key pairs (_k1, _k2, _rel). The
+    * within-group relation value is 0 for hamming-keyed relations and
+    * must be rebadged by the caller for similarity-keyed ones (minhash
+    * identical sigs estimate 1.0 — handled via [[withinRel]]).
+    */
+  private def pairStatsFromGroups(
+      members: DataFrame, keyCol: String, relPairs: DataFrame): DataFrame = {
+    val withinRel: Column =
+      if (keyCol == "_sig") lit(1.0) else lit(0L) // identical keys: est 1.0 / hamming 0
+    val sizes = members.groupBy(col(keyCol).as("_k")).agg(count(lit(1)).as("_g"))
+    val within = sizes.filter(col("_g") >= 2)
+      .agg(sum(col("_g") * (col("_g") - 1) / 2).as("n_pairs"),
+        sum(col("_g")).as("n_docs"))
+      .select(withinRel.as("hamming"),
+        col("n_pairs").cast("long"), col("n_docs").cast("long"))
+      .filter(col("n_pairs") > 0)
+    val joined = relPairs
+      .join(sizes.select(col("_k").as("_k1"), col("_g").as("_g1")), "_k1")
+      .join(sizes.select(col("_k").as("_k2"), col("_g").as("_g2")), "_k2")
+    val nPairs = joined.groupBy(col("_rel").as("hamming"))
+      .agg(sum(col("_g1") * col("_g2")).cast("long").as("n_pairs"))
+    // docs involved at a relation value: every doc of every key that
+    // participates in a pair there (each doc carries ONE key)
+    val nDocs = joined
+      .select(col("_rel").as("hamming"),
+        explode(array(col("_k1"), col("_k2"))).as("_k"))
+      .distinct()
+      .join(sizes, "_k")
+      .groupBy("hamming").agg(sum(col("_g")).cast("long").as("n_docs"))
+    within.unionAll(nPairs.join(nDocs, "hamming")
+      .select(col("hamming"), col("n_pairs"), col("n_docs")))
+  }
+
   // ---- Dedup group resolution -------------------------------------------
 
   /** Connected components over a near-dup pair graph: every document
