@@ -627,6 +627,63 @@ object StreamingQueries {
         .drop("csp_engine_timestamp")
     }),
 
+    // ---- T11 late-data replay parity: an engine log whose cycles
+    // are written OUT OF engine-time order (deterministic md5 shuffle
+    // of 100-row cycles) replays through a real ChannelRuntime; the
+    // late-cycle contract (json_converter.py:126-133) says late
+    // cycles emit IMMEDIATELY in file order + a log line — so the
+    // emission sequence must equal the shuffled file order exactly,
+    // with no row dropped or reordered. emit_pos is the runtime's
+    // arrival seq; the oracle recomputes the same shuffle in SQL.
+    "k2b_late_replay" -> ((s, dir) => {
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+      val events = t(s, dir, "events").filter(col("event_id") <= 2000)
+        .select(cols.map(col): _*)
+      val schema = events.schema
+      val rows = events.orderBy(col("event_id")).collect()
+      def md5hex(x: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val shuffled = rows.grouped(100).toSeq.zipWithIndex
+        .sortBy { case (_, i) => md5hex(i.toString) }
+      val path = Files.createTempFile("graft-k2b-log", ".jsonl")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val w = java.nio.file.Files.newBufferedWriter(path)
+      try {
+        shuffled.foreach { case (cycle, _) =>
+          val root = mapper.createObjectNode()
+          root.put("csp_engine_timestamp",
+            cycle.head.getAs[java.sql.Timestamp]("ts").getTime)
+          val arr = root.putArray("events")
+          cycle.foreach(r => arr.add(
+            graft.streaming.EngineLog.rowToJson(mapper, r, schema)))
+          w.write(mapper.writeValueAsString(root)); w.newLine()
+        }
+      } finally w.close()
+      val rt = new graft.streaming.ChannelRuntime(s,
+        Map("events" -> graft.core.ChannelSpec("events", schema,
+          stateKeyby = Seq("event_id"), omitFromLookup = true)),
+        Files.createTempDirectory("graft-k2b-ckpt").toString)
+      rt.start()
+      try {
+        graft.streaming.EngineLog.replay(rt, path.toString, Seq("events"))
+        rt.processAllAvailable()
+        // every replayed row, stamped with its emission position
+        val out = rt.stateFrame("events").collect()
+        val seqIdx = rt.runtimeSchema(rt.specs("events")).fieldNames
+          .indexOf(graft.streaming.ChannelRuntime.SeqCol)
+        val emitted = out.sortBy(_.getLong(seqIdx)).zipWithIndex.map {
+          case (r, i) => Row.fromSeq(
+            cols.indices.map(r.get) :+ (i + 1).toLong)
+        }
+        s.createDataFrame(
+          java.util.Arrays.asList(emitted: _*),
+          org.apache.spark.sql.types.StructType(schema.fields :+
+            org.apache.spark.sql.types.StructField("emit_pos",
+              org.apache.spark.sql.types.LongType)))
+      } finally rt.stop()
+    }),
+
     // ---- watermarked stream-stream interval join: even-id events
     // (requests) join odd-id events (responses) per user within 1h,
     // both sides ticking through event time in lock-step; the 365-day
@@ -673,6 +730,18 @@ object StreamingQueries {
     "k2s_engine_log_roundtrip" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
         |FROM events""".stripMargin,
+
+    // late-replay parity: emission order must equal the engineered
+    // (md5-shuffled) cycle order — late cycles emit now, nothing
+    // reordered or dropped; the oracle recomputes the same shuffle
+    "k2b_late_replay" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+        |                  (row_number() OVER (ORDER BY event_id) - 1) // 100 AS cyc
+        |           FROM events WHERE event_id <= 2000),
+        |o AS (SELECT e.*, row_number() OVER (ORDER BY md5(CAST(cyc AS VARCHAR)), event_id) AS emit_pos
+        |      FROM e)
+        |SELECT event_id, ts, user_id, event_type, value,
+        |       CAST(emit_pos AS BIGINT) AS emit_pos FROM o""".stripMargin,
 
     // the stream's final window state equals the plain batch GROUP BY
     // (integer count + integer sum — order-independent)

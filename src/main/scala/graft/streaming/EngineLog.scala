@@ -141,12 +141,26 @@ object EngineLog {
       path: String,
       channels: Seq[String],
       forceNewIds: Boolean = false,
-      startTime: Option[Long] = None): Long = {
+      startTime: Option[Long] = None,
+      /** Late-cycle contract (reference json_converter.py:126-133
+        * `log_lagging_engine_cycles`): a cycle stamped BEHIND the
+        * replay's engine time (the max cycle timestamp seen so far)
+        * still emits immediately, in file order, but is logged. The
+        * hook is injectable so tests can pin the line. */
+      logLaggingEngineCycles: Boolean = true,
+      onLaggingCycle: String => Unit =
+        s => Console.err.println(s"[graft] $s")): Long = {
     var n = 0L
+    var engineTime = Long.MinValue
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     Files.readAllLines(Paths.get(path)).asScala.foreach { line =>
       val root = mapper.readTree(line)
       val cycleTs = root.path("csp_engine_timestamp").asLong(Long.MinValue)
+      if (logLaggingEngineCycles && cycleTs < engineTime)
+        onLaggingCycle(
+          s"Timestamp for a replayed engine cycle is: $cycleTs " +
+            s"which is behind engine time: $engineTime")
+      if (cycleTs > engineTime) engineTime = cycleTs
       if (startTime.forall(cycleTs >= _)) channels.foreach { ch =>
         val arr = root.get(ch)
         if (arr != null && arr.isArray) {

@@ -236,6 +236,46 @@ class ChannelRuntimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally rt3.stop()
   }
 
+  test("replay logs lagging engine cycles but still emits them in file order") {
+    // cycles stamped 10, 30, 20: the third is BEHIND engine time 30 —
+    // the late-data contract (json_converter.py:126-133) emits it
+    // immediately and logs; nothing is dropped or reordered
+    val log = Files.createTempFile("graft-lag", ".jsonl")
+    Files.write(log, java.util.Arrays.asList(
+      """{"csp_engine_timestamp":10,"example":[{"x":1,"y":"a"}]}""",
+      """{"csp_engine_timestamp":30,"example":[{"x":2,"y":"b"}]}""",
+      """{"csp_engine_timestamp":20,"example":[{"x":3,"y":"c"}]}"""))
+    val rt = newRuntime()
+    rt.start()
+    try {
+      val logged = scala.collection.mutable.Buffer.empty[String]
+      val n = EngineLog.replay(rt, log.toString, Seq("example"),
+        forceNewIds = true, onLaggingCycle = logged += _)
+      assert(n === 3)
+      rt.processAllAvailable()
+      // exactly one lagging cycle, with the reference's line shape
+      assert(logged.size === 1)
+      assert(logged.head ===
+        "Timestamp for a replayed engine cycle is: 20 which is behind engine time: 30")
+      // emission followed file order: arrival seq 1,2,3 for x=1,2,3
+      val rows = rt.state("example")
+      assert(rows.sortBy(_.getAs[Long]("_seq")).map(_.getAs[Long]("x")).toSeq
+        === Seq(1L, 2L, 3L))
+    } finally rt.stop()
+
+    // opt-out silences the log without changing emission (fresh
+    // runtime AFTER the first stopped: channel query names are
+    // session-scoped)
+    val rt2 = newRuntime()
+    rt2.start()
+    try {
+      val logged2 = scala.collection.mutable.Buffer.empty[String]
+      EngineLog.replay(rt2, log.toString, Seq("example"), forceNewIds = true,
+        logLaggingEngineCycles = false, onLaggingCycle = logged2 += _)
+      assert(logged2.isEmpty)
+    } finally rt2.stop()
+  }
+
   test("lookup registry: omitFromLookup opt-out and max-size eviction (base.py:72-78)") {
     val specs = Map(
       "omitted" -> ChannelSpec("omitted", exampleSchema, omitFromLookup = true),
