@@ -23,8 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * addition — no tie rules, no compaction history), which makes the
   * partial-aggregate plan trivially exact w.r.t. the sketch contract.
   *
-  * Determinism: the row hashes derive from the portable polyHash via a
-  * fixed integer mix, so the filled sketch is a pure function of the
+  * Determinism: the row hashes derive from two fixed 64-bit byte
+  * hashes of the item, so the filled sketch is a pure function of the
   * input MULTISET — partition layout and merge order cannot change any
   * counter (addition commutes).
   */
@@ -39,24 +39,31 @@ final class CMSketch(val width: Int, val depth: Int) extends Serializable {
 
   def count: Long = n
 
-  /** Row-`i` bucket of an item hash: a fixed odd-multiplier mix so the
-    * depth rows are pairwise-independent-ish over the same base hash. */
-  private def bucket(h: Long, i: Int): Int = {
-    val mixed = (h + 0x9e3779b97f4a7c15L * (i + 1)) * 0xbf58476d1ce4e5b9L
+  /** Row-`i` bucket via Kirsch–Mitzenmacher double hashing over TWO
+    * independent 64-bit hashes of the raw item bytes: g_i = h1 + (i+1)·h2,
+    * finalized with a full-avalanche mix. With per-row buckets derived
+    * from 128 bits of item identity, two distinct items collide in
+    * every row with probability ≈ width^-depth as the analysis
+    * assumes — the previous single ~30-bit base hash (polyHash mod
+    * 1e9+7) floored accuracy at ~distinct²/1e9 full-collision pairs
+    * regardless of depth once vocab reached the birthday regime. */
+  private def bucket(h1: Long, h2: Long, i: Int): Int = {
+    var mixed = h1 + (i + 1).toLong * h2
+    mixed = (mixed ^ (mixed >>> 30)) * 0xbf58476d1ce4e5b9L
     ((mixed >>> 17) & (width - 1)).toInt
   }
 
-  def add(h: Long): Unit = {
+  def add(h1: Long, h2: Long): Unit = {
     var i = 0
-    while (i < depth) { rows(i)(bucket(h, i)) += 1; i += 1 }
+    while (i < depth) { rows(i)(bucket(h1, h2, i)) += 1; i += 1 }
     n += 1
   }
 
-  def estimate(h: Long): Long = {
+  def estimate(h1: Long, h2: Long): Long = {
     var best = Long.MaxValue
     var i = 0
     while (i < depth) {
-      val c = rows(i)(bucket(h, i))
+      val c = rows(i)(bucket(h1, h2, i))
       if (c < best) best = c
       i += 1
     }
@@ -84,6 +91,27 @@ final class CMSketch(val width: Int, val depth: Int) extends Serializable {
 }
 
 object CMSketch {
+  /** Two independent 64-bit FNV-1a-then-avalanche hashes of the item's
+    * UTF-8 bytes — the full-entropy inputs [[CMSketch.add]] needs. */
+  def hashPair(s: UTF8String): (Long, Long) = {
+    val bytes = s.getBytes
+    var h1 = 0xcbf29ce484222325L
+    var h2 = 0x6c62272e07bb0142L
+    var i = 0
+    while (i < bytes.length) {
+      h1 = (h1 ^ (bytes(i) & 0xff)) * 0x100000001b3L
+      h2 = (h2 ^ (bytes(i) & 0xff)) * 0x3f25e217a3d8af17L
+      i += 1
+    }
+    def fin(x0: Long): Long = {
+      var x = x0
+      x = (x ^ (x >>> 33)) * 0xff51afd7ed558ccdL
+      x = (x ^ (x >>> 33)) * 0xc4ceb9fe1a85ec53L
+      x ^ (x >>> 33)
+    }
+    (fin(h1), fin(h2 + bytes.length))
+  }
+
   def deserialize(bytes: Array[Byte]): CMSketch = {
     val buf = java.nio.ByteBuffer.wrap(bytes)
     val s = new CMSketch(buf.getInt, buf.getInt)
@@ -101,7 +129,7 @@ object CMSketch {
 /** `graft_countmin(item, targets, width, depth)` — fills a count-min
   * sketch over a string column and returns the point estimates for the
   * literal `targets`, in target order, as array<long>. Null items are
-  * skipped. Item and target hashes are portable polyHash.
+  * skipped. Item and target hashes are the 128-bit byte-hash pair.
   */
 case class CountMinAgg(
     child: Expression,
@@ -117,21 +145,24 @@ case class CountMinAgg(
 
   override def inputTypes: Seq[TypeBridge.AbstractDataType] = Seq(StringType)
 
-  private lazy val targetHashes: Array[Long] =
-    targets.map(t => PolyHash.hash(UTF8String.fromString(t))).toArray
+  private lazy val targetHashes: Array[(Long, Long)] =
+    targets.map(t => CMSketch.hashPair(UTF8String.fromString(t))).toArray
 
   override def createAggregationBuffer(): CMSketch = new CMSketch(width, depth)
 
   override def update(b: CMSketch, input: InternalRow): CMSketch = {
     val v = child.eval(input)
-    if (v != null) b.add(PolyHash.hash(v.asInstanceOf[UTF8String]))
+    if (v != null) {
+      val (h1, h2) = CMSketch.hashPair(v.asInstanceOf[UTF8String])
+      b.add(h1, h2)
+    }
     b
   }
 
   override def merge(b: CMSketch, o: CMSketch): CMSketch = { b.mergeWith(o); b }
 
   override def eval(b: CMSketch): Any =
-    new GenericArrayData(targetHashes.map(b.estimate))
+    new GenericArrayData(targetHashes.map { case (h1, h2) => b.estimate(h1, h2) })
 
   override def serialize(b: CMSketch): Array[Byte] = b.serialize
   override def deserialize(bytes: Array[Byte]): CMSketch = CMSketch.deserialize(bytes)

@@ -113,6 +113,16 @@ object EventAnalytics {
     * of their first event; a cohort is "retained" in offset p if the
     * user has ANY event in cohort_period + p. Returns
     * (cohort, period_offset, n_users) with one row per non-empty cell.
+    *
+    * REQUIRES `spark.sql.session.timeZone = UTC` (every graft entry
+    * point pins it): offsets are fixed-length divisions of
+    * `date_trunc` deltas, which is exact only when period boundaries
+    * are a whole multiple of the period apart — under a DST timezone
+    * a week boundary shifts by ±1h and the truncating cast collapses
+    * offset 1 into 0. The same assumption backs `ohlcStream`'s
+    * day-floor. (A timezone-robust variant would dense_rank the
+    * truncated period ordinals instead; not worth the extra exchange
+    * while the engine pins UTC.)
     */
   def retentionCohorts(
       events: DataFrame,
@@ -125,6 +135,10 @@ object EventAnalytics {
       case other  => throw new IllegalArgumentException(
         s"unsupported retention period '$other' (day|week)")
     }
+    val tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+      s"retentionCohorts requires a UTC session timezone (got '$tz'): " +
+        "fixed-length period offsets are wrong under DST — see scaladoc")
     val u = col(userCol)
     // One corpus-scale exchange total: the per-user active-period SET is
     // built with map-side partial collect_set (shuffle volume = distinct

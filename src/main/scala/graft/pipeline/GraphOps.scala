@@ -109,6 +109,12 @@ object GraphOps {
     val seedIds = seeds.select(col(seedCol).cast("long").as("id")).distinct()
     val flagged = ids.join(seedIds.withColumn("_s", lit(1L)), Seq("id"), "left")
       .select(col("id"), coalesce(col("_s"), lit(0L)).as("_s"))
+    // fail fast on an empty seed∩nodes intersection: ns=0 would turn
+    // the teleport division into SQL NULLs and the whole rank vector
+    // would silently come back all-NULL instead of erroring
+    val nSeedsVal = flagged.agg(sum("_s")).head.getLong(0)
+    require(nSeedsVal > 0,
+      "personalizedPageRank: no seed id appears in the edge set's nodes")
     val nSeeds = flagged.agg(sum("_s").cast("double").as("ns"))
     val nodes = flagged.crossJoin(nSeeds)
       .select(col("id"), (col("_s").cast("double") / col("ns")).as("t")).persist()

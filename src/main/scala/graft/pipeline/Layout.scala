@@ -227,9 +227,10 @@ object Layout {
     *
     * Distributed: the file list is an FS metadata op; footer reads
     * fan out over the cluster (one footer ≈ KBs regardless of file
-    * size). Executors build their Hadoop conf from the classpath
-    * defaults — correct for file:// and any cluster with the conf dir
-    * on the classpath.
+    * size). Executors receive the DRIVER's Hadoop configuration via a
+    * broadcast `SerializableConfiguration`, so programmatic
+    * `spark.hadoop.*` settings (object-store credentials, endpoints)
+    * apply to the footer reads exactly as they do to ordinary scans.
     */
   def fileStats(
       spark: org.apache.spark.sql.SparkSession,
@@ -248,12 +249,18 @@ object Layout {
       }
       b.result()
     }
+    // ship the DRIVER's Hadoop conf to executors: a classpath-default
+    // Configuration drops programmatic spark.hadoop.* settings (e.g.
+    // object-store credentials), so footer reads on such clusters
+    // would fail or silently authenticate differently
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val rows = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
       .map { f =>
-        val conf = new org.apache.hadoop.conf.Configuration()
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(f), conf)
+          .fromPath(new Path(f), confBc.value.value)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           val blocks = reader.getFooter.getBlocks.asScala

@@ -277,6 +277,43 @@ final class Gateway(
     * reference's route exists only when the module is configured).
     * By-name thunk: the graph may finalize after the mount.
     */
+  /** Outputs-folder browser root (reference MountOutputsFolder,
+    * modules/web/outputs.py:21-70): when set, `/outputs/{path}` lists
+    * directories as link pages and streams files (text types render
+    * in-browser). Canonical-path containment guards traversal. */
+  @volatile private var outputsDir: Option[java.nio.file.Path] = None
+  def attachOutputsFolder(dir: String): Unit =
+    outputsDir = Some(java.nio.file.Paths.get(dir).toAbsolutePath.normalize())
+
+  private def handleOutputs(ex: HttpExchange, root: java.nio.file.Path): Unit = {
+    val rel = ex.getRequestURI.getPath.stripPrefix("/outputs").stripPrefix("/")
+    val target = root.resolve(
+      java.net.URLDecoder.decode(rel, "UTF-8")).toAbsolutePath.normalize()
+    if (!target.startsWith(root) || !java.nio.file.Files.exists(target))
+      respond(ex, 404, s"""{"detail":"Not found: /outputs/$rel"}""")
+    else if (java.nio.file.Files.isDirectory(target)) {
+      val base = ("/outputs/" + rel).stripSuffix("/")
+      val items = java.nio.file.Files.list(target).iterator().asScala.toSeq
+        .map(_.getFileName.toString).sorted
+        .map { f =>
+          val esc = f.replace("&", "&amp;").replace("<", "&lt;")
+          s"""<li><a href="$base/${java.net.URLEncoder.encode(f, "UTF-8")}">$esc</a></li>"""
+        }.mkString
+      val html =
+        s"""<!DOCTYPE html><html><head><title>Outputs</title></head>
+           |<body><h1>$base</h1><ul>$items</ul></body></html>""".stripMargin
+      respondBytes(ex, 200, html.getBytes(StandardCharsets.UTF_8), "text/html")
+    } else {
+      val name = target.getFileName.toString
+      val contentType =
+        if (name.endsWith(".log") || name.endsWith(".txt"))
+          "text/plain; charset=utf-8" // browser-viewable, like the reference
+        else Option(java.nio.file.Files.probeContentType(target))
+          .getOrElse("application/octet-stream")
+      respondBytes(ex, 200, java.nio.file.Files.readAllBytes(target), contentType)
+    }
+  }
+
   @volatile private var channelsGraphData:
       Option[() => Map[String, graft.core.ChannelConnections]] = None
   def attachChannelsGraph(g: => Map[String, graft.core.ChannelConnections]): Unit =
@@ -877,6 +914,15 @@ final class Gateway(
         server.createContext("/login", (ex: HttpExchange) => handleOAuth(ex, o))
     }
     server.createContext("/api/v1", (ex: HttpExchange) => gated(handle)(ex))
+    server.createContext("/outputs", (ex: HttpExchange) => gated { e =>
+      outputsDir match {
+        case Some(root) =>
+          try handleOutputs(e, root)
+          catch { case NonFatal(err) =>
+            respond(e, 500, s"""{"detail":${mapper.writeValueAsString(String.valueOf(err.getMessage))}}""") }
+        case None => respond(e, 404, """{"detail":"Not Found"}""")
+      }
+    }(ex))
     server.createContext("/openapi.json", (ex: HttpExchange) => gated { ex =>
       try respond(ex, 200, openApiJson)
       catch { case NonFatal(e) => respond(ex, 500, s"""{"detail":"${e.getMessage}"}""") }

@@ -898,8 +898,9 @@ object StreamingState {
             last = r
             val v = r.get(itemIdx)
             if (v != null) {
-              sketch.add(graft.functions.PolyHash.hash(
-                org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)))
+              val (h1, h2) = graft.functions.CMSketch.hashPair(
+                org.apache.spark.unsafe.types.UTF8String.fromString(v.toString))
+              sketch.add(h1, h2)
               added = true
             }
           }
@@ -908,9 +909,10 @@ object StreamingState {
             state.update(sketch.serialize)
             val keyVals = keyIdxs.map(last.get)
             targetList.iterator.map { t =>
+              val (h1, h2) = graft.functions.CMSketch.hashPair(
+                org.apache.spark.unsafe.types.UTF8String.fromString(t))
               Row.fromSeq(keyVals ++ Seq(Long.box(sketch.count), t,
-                Long.box(sketch.estimate(graft.functions.PolyHash.hash(
-                  org.apache.spark.unsafe.types.UTF8String.fromString(t))))))
+                Long.box(sketch.estimate(h1, h2))))
             }
           }
       }
@@ -1296,16 +1298,23 @@ object StreamingState {
           }.orNull
           var lastTs = 0L; var lastOrd = 0L
           val out = Vector.newBuilder[Row]
-          rows.map(r => (micros(r), r.getLong(ordIdx), r.getString(typeIdx)))
+          // null types are skipped BEFORE the sort — the batch twin
+          // (transitionMatrix) drops them via lag/filter, and a null
+          // String would break both the tuple ordering and the state
+          // encoding below
+          rows.filter(r => !r.isNullAt(typeIdx))
+            .map(r => (micros(r), r.getLong(ordIdx), r.getString(typeIdx)))
             .toArray.sorted
             .foreach { case (tUs, ord, typ) =>
               if (lastType != null) out += Row(lastType, typ)
               lastType = typ; lastTs = tUs; lastOrd = ord
             }
-          val tb = lastType.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val buf = java.nio.ByteBuffer.allocate(16 + tb.length)
-          buf.putLong(lastTs).putLong(lastOrd).put(tb)
-          state.update(buf.array())
+          if (lastType != null) { // all-null batch: state unchanged
+            val tb = lastType.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val buf = java.nio.ByteBuffer.allocate(16 + tb.length)
+            buf.putLong(lastTs).putLong(lastOrd).put(tb)
+            state.update(buf.array())
+          }
           out.result().iterator
       }
   }

@@ -4,20 +4,20 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{CMSketch, CountMin, PolyHash}
+import graft.functions.{CMSketch, CountMin}
 
 class CountMinSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def ph(s: String): Long = PolyHash.hash(UTF8String.fromString(s))
+  private def ph(s: String): (Long, Long) = CMSketch.hashPair(UTF8String.fromString(s))
 
   test("estimate is never below the true count (upper-bound contract)") {
     val prop = Prop.forAll(Gen.listOf(Gen.chooseNum(0, 50))) { xs =>
       val s = new CMSketch(64, 4) // small width to force collisions
-      xs.foreach(x => s.add(ph(x.toString)))
+      xs.foreach(x => s.add(ph(x.toString)._1, ph(x.toString)._2))
       val truth = xs.groupBy(identity).view.mapValues(_.size.toLong)
-      truth.forall { case (x, c) => s.estimate(ph(x.toString)) >= c }
+      truth.forall { case (x, c) => s.estimate(ph(x.toString)._1, ph(x.toString)._2) >= c }
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
     assert(res.passed, res.toString)
@@ -32,11 +32,11 @@ class CountMinSpec extends AnyFunSuite {
       val (l, r) = xs.splitAt(math.min(cut, xs.size))
       val a = new CMSketch(256, 3); val b = new CMSketch(256, 3)
       val whole = new CMSketch(256, 3)
-      l.foreach(x => a.add(ph(x.toString)))
-      r.foreach(x => b.add(ph(x.toString)))
-      xs.foreach(x => whole.add(ph(x.toString)))
+      l.foreach(x => a.add(ph(x.toString)._1, ph(x.toString)._2))
+      r.foreach(x => b.add(ph(x.toString)._1, ph(x.toString)._2))
+      xs.foreach(x => whole.add(ph(x.toString)._1, ph(x.toString)._2))
       b.mergeWith(a) // reversed merge order on purpose
-      (0 to 200).forall(x => b.estimate(ph(x.toString)) == whole.estimate(ph(x.toString))) &&
+      (0 to 200).forall(x => b.estimate(ph(x.toString)._1, ph(x.toString)._2) == whole.estimate(ph(x.toString)._1, ph(x.toString)._2)) &&
         b.count == whole.count
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
@@ -45,11 +45,11 @@ class CountMinSpec extends AnyFunSuite {
 
   test("serialization round-trips") {
     val s = new CMSketch(128, 4)
-    (1 to 500).foreach(x => s.add(ph((x % 37).toString)))
+    (1 to 500).foreach { x => val h = ph((x % 37).toString); s.add(h._1, h._2) }
     val back = CMSketch.deserialize(s.serialize)
     assert(back.count === s.count)
     (0 to 40).foreach(x =>
-      assert(back.estimate(ph(x.toString)) === s.estimate(ph(x.toString))))
+      assert(back.estimate(ph(x.toString)._1, ph(x.toString)._2) === s.estimate(ph(x.toString)._1, ph(x.toString)._2)))
   }
 
   test("DataFrame aggregate: exact estimates at ample width") {

@@ -233,6 +233,32 @@ class ServerMiddlewareSpec extends AnyFunSuite {
     }
   }
 
+  test("outputs-folder browser: listing, file stream, traversal guard") {
+    withRuntime { rt =>
+      val root = Files.createTempDirectory("graft-outputs")
+      Files.createDirectory(root.resolve("run1"))
+      Files.write(root.resolve("run1/app.log"), "hello log".getBytes)
+      Files.write(root.resolve("config.txt"), "k=v".getBytes)
+      val gw = new Gateway(rt, 0)
+      gw.attachOutputsFolder(root.toString)
+      gw.start()
+      val base = s"http://127.0.0.1:${gw.boundPort}"
+      try {
+        // directory listing with links
+        val listing = get(s"$base/outputs")
+        assert(listing.statusCode() === 200)
+        assert(listing.body().contains("config.txt") && listing.body().contains("run1"))
+        // nested file streams with a browser-viewable text type
+        val log = get(s"$base/outputs/run1/app.log")
+        assert(log.statusCode() === 200 && log.body() === "hello log")
+        assert(log.headers().firstValue("Content-Type").orElse("").startsWith("text/plain"))
+        // traversal is contained; unknown path 404s
+        assert(get(s"$base/outputs/../../etc/passwd").statusCode() === 404)
+        assert(get(s"$base/outputs/ghost.txt").statusCode() === 404)
+      } finally gw.stop()
+    }
+  }
+
   test("external api-key validator hook: custom accept/reject + identity") {
     withRuntime { rt =>
       rt.send("example", Seq(
