@@ -84,6 +84,12 @@ final class Gateway(
     staticFields: Map[String, Any] = Map.empty) {
 
   private val mapper = new ObjectMapper()
+  // TCP_NODELAY on the JDK server: without it, small keep-alive
+  // responses interleave with the peer's 40 ms delayed ACK and every
+  // interactive read floors at ~44 ms (ClientSoak-measured); the
+  // property is read at ServerConfig class load, so set it before the
+  // first HttpServer instantiates
+  Gateway.enableNoDelay()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // cached (elastic) pool: /stream holds a thread per subscriber and
   // /next blocks up to 30s — a fixed pool would let a handful of
@@ -1022,4 +1028,10 @@ final class Gateway(
 object Gateway {
   /** Published library version (surfaced in the OpenAPI document). */
   val Version = "0.3.0"
+
+  /** Idempotent; must run before the first HttpServer is created in
+    * the JVM (the JDK server reads it once at config class load). */
+  private[server] def enableNoDelay(): Unit =
+    if (System.getProperty("sun.net.httpserver.nodelay") == null)
+      System.setProperty("sun.net.httpserver.nodelay", "true")
 }

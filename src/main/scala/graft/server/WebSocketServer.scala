@@ -347,6 +347,8 @@ final class WebSocketServer(
   }
 
   private def serve(socket: Socket): Unit = {
+    // small per-tick frames + delayed ACK = 40 ms floors without this
+    try socket.setTcpNoDelay(true) catch { case _: IOException => () }
     val conn = new Conn(socket)
     try {
       if (!handshake(conn)) { socket.close(); return }

@@ -410,12 +410,25 @@ final class ChannelRuntime(
   }
 
   /** T2/T3 — state query: filters + ASC NULLS FIRST key ordering,
-    * exactly the batch StateOps semantics (shared translator).
+    * exactly the batch StateOps semantics (shared translator). In
+    * single-node serving mode the frontier is driver-resident, so the
+    * query evaluates in-memory ([[graft.state.StateFastPath]] —
+    * sub-ms vs the ~140 ms Spark-job round trip, ClientSoak-measured)
+    * whenever its semantics are exactly reproducible; anything else
+    * (distributed state, ANSI-sensitive casts, coercing comparisons)
+    * takes the Spark path below.
     */
   def state(name: String, q: StateQuery = StateQuery()): Seq[Row] = {
     val c = chan(name)
-    StateOps.query(stateFrame(name), c.spec.stateKeyby, q, tieBreak = Seq(SeqCol))
-      .collect().toSeq
+    val fast =
+      if (distributedState) None
+      else graft.state.StateFastPath.tryEval(
+        c.stateStore.values.toSeq, c.schema, c.spec.stateKeyby, q,
+        tieBreak = Seq(SeqCol))
+    fast.getOrElse {
+      StateOps.query(stateFrame(name), c.spec.stateKeyby, q, tieBreak = Seq(SeqCol))
+        .collect().toSeq
+    }
   }
 
   def tickCount(name: String): Long = chan(name).tickCount

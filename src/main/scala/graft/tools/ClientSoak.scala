@@ -84,14 +84,27 @@ object ClientSoak {
         (System.nanoTime() - t0) / 1e6
       }.sorted
       println(f"CLIENT_SOAK state_query p50=${lat(24)}%.1f ms p95=${lat(47)}%.1f ms")
+      // the same query in-process, isolating engine cost from the
+      // HTTP round trip (loopback delayed-ACK floors small responses)
+      val latIn = (1 to 200).map { _ =>
+        val t0 = System.nanoTime()
+        require(rt.state("ticks").size == 50)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      println(f"CLIENT_SOAK state_query_inproc p50=${latIn(99)}%.3f ms p95=${latIn(189)}%.3f ms")
 
-      // ws egress: subscriber counts frames while an ingest thread runs
+      // ws egress: subscriber counts frames while a PACED ingest runs
+      // (an unthrottled firehose just trips the designed slow-consumer
+      // eviction — one subscriber's sustainable rate is the metric)
       val stream = c.connect(Seq("ticks" -> None))
       Thread.sleep(300)
       val stop = new AtomicLong(System.nanoTime() + runMillis * 1000000L)
       val sender = new Thread(() => {
         val cs = client()
-        while (System.nanoTime() < stop.get()) cs.sendMany("ticks", batch)
+        while (System.nanoTime() < stop.get()) {
+          cs.sendMany("ticks", batch.take(20))
+          Thread.sleep(2)
+        }
       })
       sender.start()
       var frames = 0L
