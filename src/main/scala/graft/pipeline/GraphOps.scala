@@ -108,16 +108,18 @@ object GraphOps {
     // seeds, 0 elsewhere — built once, cached, reused every step
     val seedIds = seeds.select(col(seedCol).cast("long").as("id")).distinct()
     val flagged = ids.join(seedIds.withColumn("_s", lit(1L)), Seq("id"), "left")
-      .select(col("id"), coalesce(col("_s"), lit(0L)).as("_s"))
-    // fail fast on an empty seed∩nodes intersection: ns=0 would turn
-    // the teleport division into SQL NULLs and the whole rank vector
-    // would silently come back all-NULL instead of erroring
-    val nSeedsVal = flagged.agg(sum("_s")).head.getLong(0)
+      .select(col("id"), coalesce(col("_s"), lit(0L)).as("_s")).persist()
+    // ONE aggregate job both validates and supplies the teleport
+    // denominator: an empty seed∩nodes intersection must FAIL FAST
+    // (ns=0 would turn the division into SQL NULLs and the whole rank
+    // vector would silently come back all-NULL), and a driver scalar
+    // here is cheaper than the 1-row-frame crossJoin it replaces
+    val nSeedsVal = flagged.agg(coalesce(sum("_s"), lit(0L))).head.getLong(0)
     require(nSeedsVal > 0,
       "personalizedPageRank: no seed id appears in the edge set's nodes")
-    val nSeeds = flagged.agg(sum("_s").cast("double").as("ns"))
-    val nodes = flagged.crossJoin(nSeeds)
-      .select(col("id"), (col("_s").cast("double") / col("ns")).as("t")).persist()
+    val nodes = flagged
+      .select(col("id"), (col("_s").cast("double") / lit(nSeedsVal.toDouble)).as("t"))
+      .persist()
     val outw = e.groupBy("src").agg(sum("w").as("ow"))
     val trans = e.join(outw, "src")
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("p")).persist()
