@@ -198,6 +198,13 @@ object PipelineQueries {
       Dedup.simhashPairStats(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 2)),
 
+    // ---- LSH calibration: estimated-vs-exact Jaccard over a
+    // deterministic pair sample (integer intersection/union mass —
+    // the pre-run threshold audit)
+    "d3c_lsh_calibration" -> ((s, dir) =>
+      Dedup.lshCalibrationReport(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.5, sampleMod = 7)),
+
     // ---- SimHash sketch per document
     "d4_simhash" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -1524,6 +1531,30 @@ object PipelineQueries {
          |       CAST(n_pairs AS BIGINT) AS n_pairs,
          |       CAST(n_docs AS BIGINT) AS n_docs
          |FROM pa JOIN da USING (hamming)""".stripMargin,
+
+    "d3c_lsh_calibration" ->
+      s"""WITH $shingleCtes,
+         |hs AS (SELECT doc_id, ${phSql("s")} AS h FROM sh),
+         |hsets AS (SELECT doc_id, list(DISTINCT h) AS hset FROM hs GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $minhashSigCols FROM hs GROUP BY doc_id),
+         |bands AS (${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, ${bandHashSql(b)} AS bh FROM sig")
+             .mkString(" UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |est AS (SELECT id1, id2, $sigAgreeSql / 16.0 AS est_jaccard
+         |        FROM cand JOIN sig a ON id1 = a.doc_id JOIN sig b ON id2 = b.doc_id),
+         |samp AS (SELECT id1, id2, est_jaccard FROM est
+         |         WHERE est_jaccard >= 0.5 AND (id1 * 1000003 + id2) % 7 = 0),
+         |j AS (SELECT est_jaccard,
+         |             len(list_intersect(a.hset, b.hset)) AS i,
+         |             len(a.hset) + len(b.hset) - len(list_intersect(a.hset, b.hset)) AS u
+         |      FROM samp JOIN hsets a ON id1 = a.doc_id JOIN hsets b ON id2 = b.doc_id)
+         |SELECT est_jaccard, count(*) AS n_pairs,
+         |       CAST(sum(i) AS BIGINT) AS sum_inter,
+         |       CAST(sum(u) AS BIGINT) AS sum_union
+         |FROM j GROUP BY est_jaccard""".stripMargin,
 
     "d3b_minhash_stats" ->
       s"""WITH $shingleCtes,

@@ -895,6 +895,43 @@ object Dedup {
       .withColumnRenamed("hamming", "est_jaccard")
   }
 
+  /** LSH calibration report: how well does the MinHash signature
+    * agreement ESTIMATE track the exact Jaccard it approximates, on
+    * this corpus? A deterministic 1-in-`sampleMod` sample of the
+    * verified pair set joins back to the documents' distinct
+    * shingle-hash sets and reports, per estimate value, integer
+    * intersection/union mass (exact — no float accumulation). This
+    * is the audit that decides whether `threshold` is calibrated
+    * before a 100 TB dedup run commits to it; cost is bounded by the
+    * SAMPLE (only sampled pairs rejoin text-derived sets — the corpus
+    * itself contributes one shingle-hash scan).
+    */
+  def lshCalibrationReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      sampleMod: Int = 7): DataFrame = {
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    val pairs = minhashLshPairs(df, idCol, textCol, n, numHashes, bands, threshold)
+      .filter((col("id1") * lit(1000003L) + col("id2")) % lit(sampleMod.toLong) === 0)
+    val sets = df.select(col(idCol).as("_sid"), shingleHashes(col(textCol), n).as("_hs"))
+    pairs
+      .join(sets.select(col("_sid").as("id1"), col("_hs").as("_h1")), "id1")
+      .join(sets.select(col("_sid").as("id2"), col("_hs").as("_h2")), "id2")
+      .select(col("est_jaccard"),
+        size(array_intersect(col("_h1"), col("_h2"))).cast("long").as("_i"),
+        (size(col("_h1")) + size(col("_h2"))
+          - size(array_intersect(col("_h1"), col("_h2")))).cast("long").as("_u"))
+      .groupBy("est_jaccard")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_i")).as("sum_inter"),
+        sum(col("_u")).as("sum_union"))
+  }
+
   /** Shared analytic pair-count aggregation: `members` = (_id, key),
     * `relPairs` = verified DISTINCT-key pairs (_k1, _k2, _rel). The
     * within-group relation value is 0 for hamming-keyed relations and

@@ -698,6 +698,16 @@ final class Gateway(
           .put("summary", s"Get Channel field $f")
       }
     }
+    if (oauthSupport.isDefined) {
+      paths.withObjectProperty("/login").putObject("get")
+        .put("summary", "Redirect to the OAuth2 authorization endpoint")
+      paths.withObjectProperty("/auth/callback").putObject("get")
+        .put("summary", "OAuth2 authorization-code callback")
+      paths.withObjectProperty("/auth/logout").putObject("get")
+        .put("summary", "Drop the OAuth session")
+      paths.withObjectProperty("/auth/userinfo").putObject("get")
+        .put("summary", "Authenticated session's userinfo claims")
+    }
     paths.withObjectProperty("/api/v1/controls/heartbeat").putObject("get")
       .put("summary", "Liveness ping")
     paths.withObjectProperty("/api/v1/controls/stats").putObject("get")
