@@ -81,7 +81,10 @@ final class WebSocketServer(
     */
   private final class Conn(socket: Socket) {
     val in = new DataInputStream(socket.getInputStream)
-    val out = new DataOutputStream(socket.getOutputStream)
+    // buffered: the writer coalesces a drained batch of frames into
+    // one flush (one syscall), instead of a syscall per write call
+    val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(socket.getOutputStream, 64 * 1024))
     /** (channel, Some(keyString)) or (channel, None) = whole channel /
       * whole basket. */
     val subs = ConcurrentHashMap.newKeySet[(String, Option[String])]()
@@ -92,9 +95,20 @@ final class WebSocketServer(
       try {
         var open = true
         while (open) {
-          val item = outbox.take()
-          if (item._1 < 0) open = false // poison pill from close()/closeAbrupt()
-          else writeFrame(out, item._1, item._2)
+          // drain-and-flush-once: under a busy stream the queue holds
+          // many per-row frames; flushing each one paid a syscall per
+          // frame and capped a subscriber at ~1.1k frames/s
+          // (ClientSoak) — one flush per drained batch lifts that
+          // without changing frame order or the poison-pill contract
+          var item = outbox.take()
+          var wrote = false
+          while (item != null && item._1 >= 0) {
+            writeFrame(out, item._1, item._2)
+            wrote = true
+            item = outbox.poll()
+          }
+          if (wrote) out.flush()
+          if (item != null && item._1 < 0) open = false // poison pill
         }
         // graceful path: every queued frame (incl. the close echo) has
         // been written — NOW the socket may close
@@ -336,6 +350,8 @@ final class WebSocketServer(
     Some((firstOpcode, buf.toByteArray))
   }
 
+  /** Writes one frame WITHOUT flushing — the writer thread flushes
+    * once per drained batch (handshake responses flush explicitly). */
   private def writeFrame(out: DataOutputStream, opcode: Int, payload: Array[Byte]): Unit = {
     out.write(0x80 | opcode)
     val n = payload.length
@@ -343,7 +359,6 @@ final class WebSocketServer(
     else if (n < 65536) { out.write(126); out.write((n >> 8) & 0xff); out.write(n & 0xff) }
     else { out.write(127); out.writeLong(n.toLong) }
     out.write(payload)
-    out.flush()
   }
 
   private def serve(socket: Socket): Unit = {

@@ -102,8 +102,8 @@ object ClientSoak {
       val sender = new Thread(() => {
         val cs = client()
         while (System.nanoTime() < stop.get()) {
-          cs.sendMany("ticks", batch.take(20))
-          Thread.sleep(2)
+          cs.sendMany("ticks", batch.take(50))
+          Thread.sleep(1)
         }
       })
       sender.start()
