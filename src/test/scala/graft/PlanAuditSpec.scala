@@ -98,6 +98,31 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("pair REPORTS never materialize doc-level pairs: no doc-id join keys") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val plans = Seq(
+      graft.pipeline.Dedup.simhashPairStats(docs, "doc_id", "text"),
+      graft.pipeline.Dedup.minhashPairStats(docs, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.5)).map(plan)
+    plans.foreach { p =>
+      // enumeration artifacts would surface as id1/id2 pair columns;
+      // the analytic report must compute from signature-level frames
+      assert(!p.contains("id1#") && !p.contains("id2#"), p.take(4000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+      assert(!p.contains("CartesianProduct"), p.take(4000))
+    }
+  }
+
+  test("lsh calibration: doc sets join only the SAMPLED pair frame") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(graft.pipeline.Dedup.lshCalibrationReport(
+      docs, "doc_id", "text"))
+    // the 1-in-k sample gate must sit below the set joins, so the
+    // shingle-set side joins a sampled frame, not the full pair set
+    assert(p.contains("% 7) = 0") || p.contains("% 7)) = 0"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
   test("j3 six-table rollup: all dims broadcast, exactly one hash-agg shuffle") {
     val p = plan(graft.RelationalQueries.all("j3_profit_rollup")(spark, dir))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(3000))
