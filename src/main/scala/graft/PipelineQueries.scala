@@ -198,6 +198,14 @@ object PipelineQueries {
       Dedup.simhashPairStats(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 2)),
 
+    // ---- soft dedup: duplication-weighted survival (1/group-size
+    // hash gate) — the middle ground between keeping everything and
+    // d7's hard one-per-group drop
+    "d17_soft_dedup" -> ((s, dir) =>
+      Dedup.softDedupSample(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 2)
+        .select(col("doc_id"), col("n_chars"), col("dup_count"))),
+
     // ---- LSH calibration: estimated-vs-exact Jaccard over a
     // deterministic pair sample (integer intersection/union mass —
     // the pre-run threshold audit)
@@ -671,6 +679,16 @@ object PipelineQueries {
 
     // ---- concat-and-chunk sequence packing into 512-token context
     // windows, per hash shard (the distributed pretraining layout)
+    // ---- length-bucketed inference batching + padding-waste audit:
+    // the INFERENCE layout complement to p2's training packing
+    "p19_length_batches" -> ((s, dir) =>
+      Curation.lengthBucketedBatches(t(s, dir, "documents"), "doc_id", "text",
+        maxTokensPerBatch = 4096, shards = 8, minBucketLen = 16)),
+    "p19b_padding_waste" -> ((s, dir) =>
+      Curation.paddingWasteReport(
+        Curation.lengthBucketedBatches(t(s, dir, "documents"), "doc_id", "text",
+          maxTokensPerBatch = 4096, shards = 8, minBucketLen = 16))),
+
     "p2_token_pack" -> ((s, dir) =>
       Curation.packChunks(t(s, dir, "documents"), "doc_id", "text",
         ctxTokens = 512, shards = 8)),
@@ -1623,6 +1641,22 @@ object PipelineQueries {
          |dropped AS (SELECT v FROM (SELECT v, min(l) AS c FROM walk GROUP BY v) WHERE v <> c)
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT v FROM dropped)""".stripMargin,
+
+    "d17_soft_dedup" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         |p AS (SELECT id1, id2 FROM hd WHERE hamming <= 2),
+         |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+         |walk(v, l) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.b, w.l FROM walk w JOIN e ON w.v = e.a),
+         |comp AS (SELECT v, min(l) AS c FROM walk GROUP BY v),
+         |sizes AS (SELECT c, count(*) AS n FROM comp GROUP BY c),
+         |m AS (SELECT comp.v AS doc_id, sizes.n FROM comp JOIN sizes ON comp.c = sizes.c),
+         |withn AS (SELECT d.doc_id, d.n_chars, coalesce(m.n, 1) AS dup_count
+         |          FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id)
+         |SELECT doc_id, n_chars, CAST(dup_count AS BIGINT) AS dup_count FROM withn
+         |WHERE ${phSql("CAST(doc_id AS VARCHAR)")} % dup_count = 0""".stripMargin,
 
     "d9_substring_dup" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
@@ -2833,7 +2867,30 @@ object PipelineQueries {
          |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens, 0) AS BIGINT) AS start_tok
          |  FROM b)
-         |SELECT doc_id, shard, n_tokens, start_tok, start_tok // 512 AS chunk FROM c""".stripMargin
+         |SELECT doc_id, shard, n_tokens, start_tok, start_tok // 512 AS chunk FROM c""".stripMargin,
+
+    "p19_length_batches" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  ${phSql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         |  len(string_split(text,' ')) AS n_tokens FROM documents),
+         |k AS (SELECT *, CAST(pow(2, ceil(log2(CAST(greatest(n_tokens, 16) AS DOUBLE)))) AS BIGINT) AS bucket FROM b),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY shard, bucket ORDER BY n_tokens, doc_id) AS rn FROM k)
+         |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens, bucket,
+         |       CAST(floor((rn - 1) / greatest(1, 4096 // bucket)) AS BIGINT) AS batch_id
+         |FROM r""".stripMargin,
+
+    "p19b_padding_waste" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  ${phSql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         |  len(string_split(text,' ')) AS n_tokens FROM documents),
+         |k AS (SELECT *, CAST(pow(2, ceil(log2(CAST(greatest(n_tokens, 16) AS DOUBLE)))) AS BIGINT) AS bucket FROM b),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY shard, bucket ORDER BY n_tokens, doc_id) AS rn FROM k),
+         |a AS (SELECT shard, bucket, n_tokens,
+         |             CAST(floor((rn - 1) / greatest(1, 4096 // bucket)) AS BIGINT) AS batch_id FROM r)
+         |SELECT bucket, CAST(count(DISTINCT (shard, batch_id)) AS BIGINT) AS n_batches,
+         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |       CAST(count(*) * bucket - sum(n_tokens) AS BIGINT) AS padded_tokens
+         |FROM a GROUP BY bucket""".stripMargin
   )
 
   /** Serving from a persisted index must be bit-equal to the

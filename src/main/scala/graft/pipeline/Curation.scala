@@ -1554,4 +1554,62 @@ object Curation {
         coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
       .withColumn("chunk", (col("start_tok") / ctxTokens).cast("long"))
   }
+
+  /** Length-bucketed inference batching: assign each document to a
+    * power-of-two length bucket (≥ `minBucketLen`) and, within its
+    * (shard, bucket), to a fixed-size batch of
+    * `maxTokensPerBatch / bucket` rows ordered by (n_tokens, id) —
+    * the standard padding-waste minimizer for batched inference /
+    * scoring over variable-length text (padding is to the bucket
+    * bound, so waste per doc is < 2× its own length instead of up to
+    * the corpus max). [[packChunks]] is the TRAINING layout
+    * (concatenate + cut); this is the INFERENCE layout (pad +
+    * batch).
+    *
+    * 100 TB shape: the p2 pattern — batches are built per
+    * (hash shard, bucket), so the window sort is partition-local
+    * after ONE hash exchange; no global sort, no driver state.
+    * Returns (idCol, shard, n_tokens, bucket, batch_id).
+    */
+  def lengthBucketedBatches(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokensPerBatch: Int = 4096,
+      shards: Int = 8,
+      minBucketLen: Int = 16): DataFrame = {
+    require(maxTokensPerBatch >= minBucketLen, "budget below the smallest bucket")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "bucket").orderBy(col("n_tokens"), col(idCol))
+    df.select(col(idCol),
+        pmod(TextFunctions.polyHash(col(idCol).cast("string")), lit(shards)).as("shard"),
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("bucket",
+        pow(lit(2.0), ceil(log(2.0,
+          greatest(col("n_tokens"), lit(minBucketLen.toLong)).cast("double"))))
+          .cast("long"))
+      .withColumn("_rpb",
+        greatest(lit(1L),
+          (lit(maxTokensPerBatch.toLong) / col("bucket")).cast("long")))
+      .withColumn("batch_id",
+        ((row_number().over(w) - lit(1)).cast("long") / col("_rpb")).cast("long"))
+      .drop("_rpb")
+  }
+
+  /** Padding-waste audit over [[lengthBucketedBatches]]: per bucket,
+    * how many batches/docs/tokens, and how many PAD tokens the layout
+    * costs (docs padded to the bucket bound). Metadata-sized output
+    * (≤ #buckets rows); the alternative single-batch-of-everything
+    * waste is what this layout is bought to avoid.
+    */
+  def paddingWasteReport(assignments: DataFrame): DataFrame =
+    assignments
+      .groupBy(col("bucket"))
+      .agg(
+        countDistinct(col("shard"), col("batch_id")).as("n_batches"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        (count(lit(1)) * first(col("bucket")) - sum(col("n_tokens"))).as("padded_tokens"))
+      .select(col("bucket"), col("n_batches"), col("n_docs"),
+        col("sum_tokens"), col("padded_tokens"))
 }

@@ -1139,6 +1139,36 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** SOFT dedup (duplication-weighted sampling): instead of keeping
+    * exactly one doc per near-dup group ([[nearDupDedup]]'s hard
+    * drop), every doc survives with probability 1/|its dup group| —
+    * the deterministic hash gate keeps each duplicated doc iff
+    * `polyHash(id) % group_size == 0`, so a group of n contributes n
+    * Bernoulli(1/n) survivors (≈1 in expectation) and singletons
+    * always survive. This is the curation middle ground when hard
+    * dedup is too aggressive (mild duplication correlates with
+    * quality): expected copy count is flattened to ~1 without
+    * discarding whole clusters deterministically. Returns the
+    * surviving rows + their `dup_count`, so downstream mixture
+    * weights can correct further. Cost = the d6 component machinery
+    * plus one broadcast-size join of (id, group size).
+    */
+  def softDedupSample(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 2): DataFrame = {
+    val comp = connectedComponents(
+      simhashEdges(df, idCol, textCol, maxHamming), "id1", "id2")
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("_n"))
+    val withN = comp.join(sizes, "component")
+      .select(col("id").as(idCol), col("_n"))
+    df.join(withN, Seq(idCol), "left")
+      .withColumn("dup_count", coalesce(col("_n"), lit(1L)))
+      .filter(pmod(polyHash(col(idCol).cast("string")), col("dup_count")) === 0)
+      .drop("_n")
+  }
+
   /** [[nearDupDedup]] with a retention POLICY: per duplicate group the
     * survivor is the row maximizing `prefCol` (ties → lowest id), not
     * the minimum id — "keep the longest / highest-quality copy", the
