@@ -306,4 +306,65 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(after.size > before.size)
   }
+
+  test("pair reports equal the enumerated relations they summarize (sf0.001)") {
+    val corpus = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+    // simhash: analytic per-hamming counts == aggregated enumeration
+    val enumerated = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 2)
+      .groupBy("hamming").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val reported = Dedup.simhashPairStats(corpus, "doc_id", "text", maxHamming = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reported === enumerated)
+
+    // minhash: same per-estimate
+    val enumeratedM = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .groupBy("est_jaccard").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val reportedM = Dedup.minhashPairStats(corpus, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(reportedM === enumeratedM)
+  }
+
+  test("length-bucketed batches respect the bucket bound and the row budget") {
+    val corpus = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = graft.pipeline.Curation.lengthBucketedBatches(
+      corpus, "doc_id", "text", maxTokensPerBatch = 4096, shards = 4).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val n = r.getAs[Number]("n_tokens").longValue
+      val bucket = r.getAs[Number]("bucket").longValue
+      assert(n <= bucket, s"doc longer than its bucket: $r")
+      assert(bucket < 2 * math.max(n, 16), s"bucket not tight: $r")
+    }
+    // no batch exceeds its row budget
+    a.groupBy(r => (r.getAs[Number]("shard").longValue,
+        r.getAs[Number]("bucket").longValue, r.getAs[Number]("batch_id").longValue))
+      .foreach { case ((_, bucket, _), rows) =>
+        assert(rows.length <= math.max(1, 4096 / bucket).toInt)
+      }
+  }
+
+  test("soft dedup keeps all singletons, gates dup groups by 1/n") {
+    val corpus = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val comp = Dedup.connectedComponents(
+      Dedup.simhashEdges(corpus, "doc_id", "text", maxHamming = 2), "id1", "id2")
+    val inGroups = comp.select("id").collect().map(_.getLong(0)).toSet
+    val kept = Dedup.softDedupSample(corpus, "doc_id", "text", maxHamming = 2)
+      .select("doc_id", "dup_count").collect()
+    val keptIds = kept.map(_.getLong(0)).toSet
+    val all = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    // singletons (not in any dup group) always survive with dup_count 1
+    assert((all -- inGroups).subsetOf(keptIds))
+    kept.foreach { r =>
+      if (!inGroups.contains(r.getLong(0))) assert(r.getLong(1) === 1L)
+      else assert(r.getLong(1) >= 2L)
+    }
+    // duplicated mass is thinned: fewer survivors than members
+    val dupSurvivors = keptIds.intersect(inGroups).size
+    assert(dupSurvivors < inGroups.size)
+  }
 }
