@@ -172,6 +172,16 @@ class GatewayClientSpec extends AnyFunSuite {
       assert(client.last("quotes", "AAPL").rows.head("px") === 101.5)
       assert(client.last("quotes").rows.map(_("sym")) === Seq("AAPL", "MSFT"))
 
+      // per-key next resolves only on a tick carrying that key
+      val nfut = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        client.nextKey("quotes", "MSFT"))
+      Thread.sleep(300)
+      client.send("quotes", "AAPL", Map("px" -> 101.9)) // other key: no resolve
+      client.send("quotes", "MSFT", Map("px" -> 55.5))
+      rt.processAllAvailable()
+      val nres = nfut.get(15, java.util.concurrent.TimeUnit.SECONDS)
+      assert(nres.rows.head("sym") === "MSFT" && nres.rows.head("px") === 55.5)
+
       // per-key subscription sees only its key
       val stream = client.connect(Seq("quotes" -> Some("MSFT")))
       try {
@@ -222,6 +232,26 @@ class GatewayClientSpec extends AnyFunSuite {
         assert(stream.takeData(1000).isEmpty) // bob's tick invisible to alice
       } finally stream.close()
     }
+  }
+
+  test("controls shutdown through the client stops the gateway") {
+    val rt = new ChannelRuntime(spark,
+      Map("example" -> ChannelSpec("example", schema)),
+      Files.createTempDirectory("graft-client-shut-ckpt").toString)
+    rt.start()
+    val stopped = new java.util.concurrent.CountDownLatch(1)
+    val gw = new Gateway(rt, 0, onShutdown = () => stopped.countDown()).start()
+    try {
+      val client = new GatewayClient(GatewayClientConfig(
+        host = "127.0.0.1", port = gw.boundPort))
+      val r = client.controls("shutdown")
+      assert(r.rows.head("status") === "ok")
+      // the launcher hook fires after the response flushes
+      assert(stopped.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      // listeners are down: a later call fails at the connection level
+      Thread.sleep(200)
+      intercept[Exception](client.last("example"))
+    } finally rt.stop()
   }
 
   test("api-key auth: token query param authorizes, missing key rejected") {
