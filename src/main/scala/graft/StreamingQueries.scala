@@ -627,6 +627,19 @@ object StreamingQueries {
         .drop("csp_engine_timestamp")
     }),
 
+    // ---- live inference-batch dispatcher: p19's streaming twin —
+    // per-(shard,bucket) counters assign arrivals to batch slots;
+    // the id-ordered feed makes the batch oracle apply verbatim
+    "p19s_length_batches_stream" -> ((s, dir) => {
+      val (out, _) = runStream(s,
+        Seq((t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")),
+        "append", ticks = 4) {
+        case Seq(docs) => StreamingState.lengthBatchesStream(
+          docs, "doc_id", "text", maxTokensPerBatch = 4096, shards = 8)
+      }
+      out
+    }),
+
     // ---- T11 late-data replay parity: an engine log whose cycles
     // are written OUT OF engine-time order (deterministic md5 shuffle
     // of 100-row cycles) replays through a real ChannelRuntime; the
@@ -730,6 +743,18 @@ object StreamingQueries {
     "k2s_engine_log_roundtrip" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
         |FROM events""".stripMargin,
+
+    // p19's batch oracle with the window ordered by ARRIVAL (= id):
+    // the live dispatcher assigns slots in feed order
+    "p19s_length_batches_stream" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  ${PipelineQueries.phSql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         |  len(string_split(text,' ')) AS n_tokens FROM documents),
+         |k AS (SELECT *, CAST(pow(2, ceil(log2(CAST(greatest(n_tokens, 16) AS DOUBLE)))) AS BIGINT) AS bucket FROM b),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY shard, bucket ORDER BY doc_id) AS rn FROM k)
+         |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens, bucket,
+         |       CAST(floor((rn - 1) / greatest(1, 4096 // bucket)) AS BIGINT) AS batch_id
+         |FROM r""".stripMargin,
 
     // late-replay parity: emission order must equal the engineered
     // (md5-shuffled) cycle order — late cycles emit now, nothing

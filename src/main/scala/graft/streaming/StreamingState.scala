@@ -267,6 +267,56 @@ object StreamingState {
       .toDF("id", "shard", "n_tokens", "start_tok", "chunk")
   }
 
+  /** p19's streaming twin: LIVE inference-batch assignment. Arrivals
+    * are bucketed by power-of-two length and appended to their
+    * (shard, bucket)'s current batch; state per group is ONE counter
+    * (rows seen), so a full batch slot is dispatchable the moment its
+    * last row lands — the serving-side dispatcher to
+    * [[graft.pipeline.Curation.lengthBucketedBatches]]'s offline
+    * layout. Assignment is by arrival order (ts-ascending feed ⇒
+    * id order per group), so the batch-path oracle with an id-ordered
+    * window applies verbatim.
+    */
+  def lengthBatchesStream(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokensPerBatch: Int = 4096,
+      shards: Int = 8,
+      minBucketLen: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idOrFail = when(col(idCol).cast("long").isNull,
+      raise_error(lit(s"lengthBatchesStream: null or non-numeric id in '$idCol'")))
+      .otherwise(col(idCol).cast("long"))
+    val projected = df.select(
+        idOrFail.as("id"),
+        pmod(graft.functions.TextFunctions.polyHash(col(idCol).cast("string")),
+          lit(shards.toLong)).as("shard"),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        pow(lit(2.0), ceil(log(2.0,
+          greatest(col("n_tokens"), lit(minBucketLen.toLong)).cast("double"))))
+          .cast("long"))
+      .as[(Long, Long, Long, Long)]
+    projected.groupByKey(t => (t._2, t._4))
+      .flatMapGroupsWithState[java.lang.Long, (Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, Long), rows: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[java.lang.Long]) =>
+          var cnt = state.getOption.map(_.longValue).getOrElse(0L)
+          val rpb = math.max(1L, maxTokensPerBatch.toLong / key._2)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, shard, nTok, bucket) =>
+            val slot = cnt / rpb
+            cnt += 1
+            (id, shard, nTok, bucket, slot)
+          }
+          state.update(java.lang.Long.valueOf(cnt))
+          out.iterator
+      }
+      .toDF("doc_id", "shard", "n_tokens", "bucket", "batch_id")
+  }
+
   /** Watermarked stream-stream interval join: rows of two live streams
     * sharing `key` pair up when the right event lands within
     * `[left.ts, left.ts + within]` — the enrichment join the reference
