@@ -139,8 +139,45 @@ object GatewayConfig {
           else graft.operators.ViewConfig()
         (tn.get("name").asText(), tn.get("channel").asText(), cfg)
       }.toSeq
+    // OAuth2/OIDC middleware (reference MountOAuth2Middleware):
+    //   "oauth": {"issuer": "...", "clientId": "...", "clientSecret":
+    //             "...", "scopes": [...], "introspectionUrl": "...",
+    //             "identityClaim": "preferred_username"}
+    val oauth: Option[OAuthConfig] =
+      if (!root.has("oauth")) None
+      else {
+        val o = root.get("oauth")
+        require(o.hasNonNull("issuer") && o.hasNonNull("clientId"),
+          "oauth config needs 'issuer' and 'clientId'")
+        def opt(k: String): Option[String] =
+          Option(o.get(k)).filter(_.isTextual).map(_.asText())
+        Some(OAuthConfig(
+          issuer = o.get("issuer").asText(),
+          clientId = o.get("clientId").asText(),
+          clientSecret = opt("clientSecret"),
+          scopes =
+            if (o.has("scopes")) o.get("scopes").elements().asScala.map(_.asText()).toSeq
+            else Seq("openid", "profile", "email"),
+          tokenUrl = opt("tokenUrl"),
+          authorizeUrl = opt("authorizeUrl"),
+          userinfoUrl = opt("userinfoUrl"),
+          introspectionUrl = opt("introspectionUrl"),
+          identityClaim = o.path("identityClaim").asText("preferred_username"),
+          cookieName = o.path("cookieName").asText("oauth_session"),
+          sessionTimeoutMillis = o.path("sessionTimeoutMillis").asLong(12L * 3600 * 1000)))
+      }
+    // static-field routes (reference MountFieldRestRoutes):
+    //   "staticFields": {"universe": ["AAPL"], "config_version": 7}
+    val staticFields: Map[String, Any] =
+      if (!root.has("staticFields")) Map.empty
+      else root.get("staticFields").properties().asScala
+        .map(e => e.getKey -> jsonToValue(e.getValue)).toMap
     val gateway = new Gateway(runtime, port, auth, onShutdown, apiKeys,
-      simpleAuthUsers, sessionTimeoutMillis, sessionCookieName)
+      simpleAuthUsers, sessionTimeoutMillis, sessionCookieName,
+      oauth = oauth, staticFields = staticFields)
+    // outputs-folder browser (reference MountOutputsFolder): "outputsDir"
+    Option(root.get("outputsDir")).filter(_.isTextual)
+      .foreach(d => gateway.attachOutputsFolder(d.asText()))
     if (tableMounts.nonEmpty) {
       val vs = new graft.sinks.ViewServer(runtime)
       tableMounts.foreach { case (name, channel, cfg) => vs.define(name, channel, cfg) }
@@ -152,6 +189,18 @@ object GatewayConfig {
     }
     Loaded(runtime, gateway, port)
   }
+
+  /** Static-field config value → JVM value (the JSON-serializable
+    * contract of the /field routes). */
+  private def jsonToValue(v: JsonNode): Any =
+    if (v.isNull) null
+    else if (v.isIntegralNumber) v.asLong()
+    else if (v.isFloatingPointNumber) v.asDouble()
+    else if (v.isBoolean) v.asBoolean()
+    else if (v.isArray) v.elements().asScala.map(jsonToValue).toSeq
+    else if (v.isObject)
+      v.properties().asScala.map(e => e.getKey -> jsonToValue(e.getValue)).toMap
+    else v.asText()
 
   /** Load a config file; `.yaml`/`.yml` extensions parse as YAML
     * (reference launch format), anything else as JSON. */
