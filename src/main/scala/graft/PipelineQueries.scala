@@ -920,6 +920,13 @@ object PipelineQueries {
         Seq("source"), "n_chars", driftPct = 20)
     }),
 
+    // ---- time-sliced mixture drift: per (day, event_type) share vs
+    // the overall share, integer cross-multiplication verdict — the
+    // "did the source mix wobble over ingestion time" monitor
+    "v3_time_share_drift" -> ((s, dir) =>
+      Curation.timeSlicedShareDrift(t(s, dir, "events"), "ts",
+        Seq("event_type"), bucket = "day", driftPct = 20)),
+
     // ---- BM25 ranked retrieval for a literal query-term set: narrow
     // per-row tf folds, one single-row stats broadcast, global top-k
     // via TakeOrderedAndProject (rational idf — no libm ln)
@@ -2503,6 +2510,17 @@ object PipelineQueries {
 
     // md5 equality inside each engine is content equality — the hashes
     // integer cross-multiplied share drift — boolean exact cross-engine
+    "v3_time_share_drift" ->
+      """WITH e AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
+        |                  event_type FROM events),
+        |g AS (SELECT bucket, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+        |bt AS (SELECT bucket, sum(n) AS bn FROM g GROUP BY bucket),
+        |st AS (SELECT event_type, sum(n) AS sn FROM g GROUP BY event_type),
+        |tt AS (SELECT sum(n) AS tot FROM g)
+        |SELECT g.bucket, g.event_type, CAST(g.n AS BIGINT) AS n,
+        |       (g.n * tot * 100 > sn * bn * 120) OR (g.n * tot * 100 < sn * bn * 80) AS drifted
+        |FROM g JOIN bt USING (bucket) JOIN st USING (event_type) CROSS JOIN tt""".stripMargin,
+
     "v2_profile_drift" ->
       """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
         |u AS (

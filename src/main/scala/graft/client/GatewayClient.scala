@@ -316,11 +316,29 @@ final class GatewayClient(val config: GatewayClientConfig) {
   /** Open the multiplexed WebSocket. `channels` seed subscriptions
     * ((name, None) = whole channel / whole basket, (name, Some(key)) =
     * one basket entry — the reference's `(channel, key)` tuples).
+    * `connectTimeoutMillis` retries the handshake with exponential
+    * backoff until the server is reachable (the reference's
+    * `connection_timeout`: 0 = fail immediately, positive = wait up
+    * to that long; its -1 "wait forever" maps to `Long.MaxValue`).
     */
-  def connect(channels: Seq[(String, Option[String])] = Nil): GatewayStream = {
+  def connect(channels: Seq[(String, Option[String])] = Nil,
+      connectTimeoutMillis: Long = 10000): GatewayStream = {
     val wsPort = config.wsPort.getOrElse(
       throw new ServerUnknownException("wsPort not configured for streaming"))
-    val stream = new GatewayStream(config, wsPort, mapper)
+    val deadline = System.nanoTime() + connectTimeoutMillis * 1000000L
+    var backoff = 100L
+    var stream: GatewayStream = null
+    while (stream == null) {
+      try stream = new GatewayStream(config, wsPort, mapper)
+      catch {
+        case NonFatal(e) =>
+          if (System.nanoTime() + backoff * 1000000L > deadline)
+            throw new ServerUnknownException(
+              s"websocket connect failed after ${connectTimeoutMillis}ms: ${e.getMessage}")
+          Thread.sleep(backoff)
+          backoff = math.min(backoff * 2, 2000L)
+      }
+    }
     channels.foreach { case (ch, key) => stream.subscribe(ch, key) }
     stream
   }

@@ -768,6 +768,45 @@ object Curation {
       .drop("_tot_old", "_tot_new")
   }
 
+  /** Time-sliced mixture drift WITHIN one corpus/stream: per
+    * (time bucket, stratum), flag buckets where the stratum's share
+    * deviates from its overall corpus share by more than `driftPct`
+    * percent relative — [[snapshotDrift]]'s two-snapshot verdict
+    * generalized to every time slice at once ("did the source mix
+    * wobble over ingestion time?"). The verdict is the same integer
+    * cross-multiplication (`n·tot·100` vs `sn·bn·(100±pct)`): exact
+    * on every engine, no float thresholding.
+    *
+    * Scale shape: ONE partial-agg'd exchange builds the
+    * (bucket, stratum) counts; bucket totals and stratum totals
+    * aggregate those metadata-sized rows, and the grand total rides
+    * back as a 1-row broadcast. The corpus is scanned once.
+    * Assumes `n·tot < 2^63 / 120`, like snapshotDrift.
+    */
+  def timeSlicedShareDrift(
+      df: DataFrame,
+      tsCol: String,
+      strata: Seq[String],
+      bucket: String = "hour",
+      driftPct: Int = 20): DataFrame = {
+    require(strata.nonEmpty, "timeSlicedShareDrift needs at least one stratum column")
+    val g = df
+      .groupBy(date_trunc(bucket, col(tsCol)).as("bucket") +: strata.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val bucketTot = g.groupBy("bucket").agg(sum("n").as("_bn"))
+    val stratTot = g.groupBy(strata.map(col): _*).agg(sum("n").as("_sn"))
+    val grand = g.agg(sum("n").as("_tot"))
+    g.join(bucketTot, "bucket")
+      .join(stratTot, strata)
+      .crossJoin(grand)
+      .withColumn("drifted",
+        (col("n") * col("_tot") * 100L >
+          col("_sn") * col("_bn") * (100L + driftPct)) ||
+        (col("n") * col("_tot") * 100L <
+          col("_sn") * col("_bn") * (100L - driftPct)))
+      .drop("_bn", "_sn", "_tot")
+  }
+
   // ---- salient terms (tf-idf) --------------------------------------------
 
   /** Top-`k` salient terms per document by tf·idf, with the idf taken

@@ -234,6 +234,34 @@ class GatewayClientSpec extends AnyFunSuite {
     }
   }
 
+  test("connect retries with backoff until the ws server is up") {
+    withGateway() { (mk, rt) =>
+      // no server on this port: a short timeout fails with the typed error
+      val dead = new GatewayClient(GatewayClientConfig(
+        host = "127.0.0.1", port = 1, wsPort = Some(findFreePort())))
+      val err = intercept[ServerUnknownException](
+        dead.connect(Nil, connectTimeoutMillis = 400))
+      assert(err.getMessage.contains("websocket connect failed"))
+
+      // a server that comes up DURING the retry window is reached
+      val client = mk(GatewayClientConfig())
+      val stream = client.connect(Seq("example" -> None), connectTimeoutMillis = 5000)
+      try {
+        Thread.sleep(300)
+        client.send("example", Map("x" -> 21L, "owner" -> "rb"))
+        rt.processAllAvailable()
+        assert(stream.takeData(10000).exists(_.get("data").get("x").asLong() == 21L))
+      } finally stream.close()
+    }
+  }
+
+  private def findFreePort(): Int = {
+    val s = new java.net.ServerSocket(0)
+    val p = s.getLocalPort
+    s.close()
+    p
+  }
+
   test("controls shutdown through the client stops the gateway") {
     val rt = new ChannelRuntime(spark,
       Map("example" -> ChannelSpec("example", schema)),
