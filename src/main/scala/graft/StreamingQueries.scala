@@ -627,6 +627,45 @@ object StreamingQueries {
         .drop("csp_engine_timestamp")
     }),
 
+    // ---- live mixture-drift monitor: v3's streaming twin — running
+    // per-(day, event_type) counts in the state store; the final
+    // per-key emission is the batch count, so the share verdict
+    // (computed over the final counts) matches the batch oracle
+    "v3s_share_drift_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        date_trunc("day", col("ts")).as("bucket"),
+        col("event_type"), col("event_id"))
+      val (out, _) = runStream(s, Seq((ev, "event_id")), "update", ticks = 4) {
+        case Seq(e) => StreamingState.runningStatsStream(
+          e, Seq("bucket", "event_type"), "event_id")
+      }
+      // n strictly grows per key → max-n emission = final count.
+      // Materialize the metadata-sized final frame: the verdict below
+      // self-joins it three ways, and the memory-sink view's shared
+      // expression ids otherwise conflict at resolution
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket", "event_type").orderBy(col("n").desc)
+      val finRows = out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("bucket"), col("event_type"), col("n")).collect()
+      val fin = s.createDataFrame(
+        java.util.Arrays.asList(finRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+      val bt = fin.groupBy("bucket").agg(sum("n").as("_bn"))
+      val st = fin.groupBy("event_type").agg(sum("n").as("_sn"))
+      val tot = fin.agg(sum("n").as("_tot"))
+      fin.join(bt, "bucket").join(st, "event_type").crossJoin(tot)
+        .select(col("bucket"), col("event_type"), col("n"),
+          ((col("n") * col("_tot") * 100L > col("_sn") * col("_bn") * 120L) ||
+            (col("n") * col("_tot") * 100L < col("_sn") * col("_bn") * 80L))
+            .as("drifted"))
+    }),
+
     // ---- live inference-batch dispatcher: p19's streaming twin —
     // per-(shard,bucket) counters assign arrivals to batch slots;
     // the id-ordered feed makes the batch oracle apply verbatim
@@ -735,6 +774,7 @@ object StreamingQueries {
     "mm1s_media_stream" -> PipelineQueries.oracles("mm1_media_features"),
     "st4s_quantile_stream" -> PipelineQueries.oracles("st4_quantile_sketch"),
     "v2s_drift_stream" -> PipelineQueries.oracles("v2_profile_drift"),
+    "v3s_share_drift_stream" -> PipelineQueries.oracles("v3_time_share_drift"),
     "d3s_lsh_dedup_stream" -> PipelineQueries.oracles("d3_minhash_lsh"),
     "p2s_pack_stream" -> PipelineQueries.oracles("p2_token_pack"),
     "d5s_embed_neardup_stream" -> PipelineQueries.oracles("d5_embed_neardup"),
