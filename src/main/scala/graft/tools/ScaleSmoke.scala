@@ -60,7 +60,13 @@ object ScaleSmoke {
     // round 7e: iterative graph centrality (per-step edge join +
     // agg), sketch set algebra (one corpus exchange), drift report
     "g1_pagerank", "g2_personalized_pagerank", "g3_hits", "st10_vocab_overlap",
-    "v2_profile_drift")
+    "v2_profile_drift",
+    // round 8: analytic pair reports (signature-group occupancies),
+    // LSH calibration (sampled exact-Jaccard audit), soft dedup
+    // (1/group-size gate over components), inference batching
+    // (per-(shard,bucket) windows), time-sliced mixture drift
+    "d4b_simhash_stats", "d3b_minhash_stats", "d3c_lsh_calibration",
+    "d17_soft_dedup", "p19_length_batches", "v3_time_share_drift")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
