@@ -627,14 +627,15 @@ object Curation {
   def numericProfileSketch(df: DataFrame, cols: Seq[String],
       sketchK: Int = 1 << 16): DataFrame = {
     require(cols.nonEmpty, "numericProfileSketch needs at least one column")
-    val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-      graft.functions.DistinctSketch.distinctCount(col(c), sketchK)
-        .as(s"${c}__nd"),
-      min(col(c).cast("double")).as(s"${c}__min"),
-      max(col(c).cast("double")).as(s"${c}__max")))
+    // ONE fused buffer per column (nulls + sketch + min/max —
+    // graft.functions.ProfileSketch) instead of four aggregate
+    // expressions: the sketch already forces the object-agg path, so
+    // fusing loses no codegen and quarters the plan's aggregate count
+    // and the streaming buffer round-trips (st7s)
+    val aggs = cols.map(c =>
+      graft.functions.ProfileSketch.profile(col(c), sketchK).as(s"${c}__p"))
     val parts = cols.map(c =>
-      s"'$c', `${c}__nulls`, `${c}__nd`, `${c}__min`, `${c}__max`")
+      s"'$c', `${c}__p`.n_nulls, `${c}__p`.n_distinct, `${c}__p`.min_v, `${c}__p`.max_v")
     df.agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${cols.size}, ${parts.mkString(", ")}) " +
         "as (column, n_nulls, n_distinct, min_v, max_v)"))

@@ -113,6 +113,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("inference batching: per-(shard,bucket) window, never a global sort") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(graft.pipeline.Curation.lengthBucketedBatches(
+      docs, "doc_id", "text"))
+    assert(p.contains("Window"), p.take(3000))
+    // the window must be partitioned (one hash exchange), not global
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+    assert(p.contains("hashpartitioning(shard"), p.take(3000))
+  }
+
+  test("time-share drift: counts partial-agg'd, verdict joins metadata frames") {
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val p = plan(graft.pipeline.Curation.timeSlicedShareDrift(
+      ev, "ts", Seq("event_type"), bucket = "day"))
+    assert(p.contains("partial_count") || p.contains("partial_"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("lsh calibration: doc sets join only the SAMPLED pair frame") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val p = plan(graft.pipeline.Dedup.lshCalibrationReport(
