@@ -632,6 +632,27 @@ object PipelineQueries {
           min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
     }),
 
+    // ---- partition-skew audit from FOOTERS ONLY: per-partition row
+    // counts via KB-sized metadata reads (never a data scan), hot
+    // partitions flagged at >1.5x the mean by integer
+    // cross-multiplication — the "which partition will straggle"
+    // check run before launching a job over a layout
+    "z5_partition_skew" -> ((s, dir) => {
+      val root = scopedTmp("graft_skew", dir)
+      t(s, dir, "lineitem")
+        .withColumn("bucket", least(pmod(col("l_orderkey"), lit(8)), lit(3)))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(root)
+      val perPart = graft.pipeline.Layout.fileStats(s, root, "l_orderkey")
+        .withColumn("bucket",
+          regexp_extract(col("file"), "bucket=(\\d+)", 1).cast("long"))
+        .groupBy(col("bucket")).agg(sum(col("n_rows")).as("n_rows"))
+      val tot = perPart.agg(sum("n_rows").as("_tot"), count(lit(1)).as("_np"))
+      perPart.crossJoin(tot)
+        .select(col("bucket"), col("n_rows"),
+          (col("n_rows") * col("_np") * 10L > col("_tot") * 15L).as("skewed"))
+    }),
+
     "z3_compacted_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val root = scopedTmp("graft_compact", dir)
@@ -845,6 +866,14 @@ object PipelineQueries {
     // the integer count threshold BEFORE the vocabulary joins
     "tx16_collocations" -> ((s, dir) =>
       Curation.collocations(t(s, dir, "documents"), "text", minCount = 5)),
+
+    // ---- vocabulary coverage / OOV audit: per-source token totals
+    // and in-vocab counts against a literal vocabulary — a narrow
+    // per-row membership fold, one stratum exchange, text never moves
+    "tx17_vocab_coverage" -> ((s, dir) =>
+      Curation.vocabCoverage(t(s, dir, "documents"), Seq("source"), "text",
+        Seq("the", "a", "of", "to", "and", "scan", "column", "window",
+          "sort", "value", "query", "merge"))),
 
     // ---- markup extraction: each doc is deterministically wrapped in
     // an HTML page (script/style/comment blocks, entities, per-word
@@ -2231,6 +2260,14 @@ object PipelineQueries {
         |FROM o GROUP BY lang""".stripMargin,
 
     // compaction must be content-neutral: the read-back equals the table
+    "z5_partition_skew" ->
+      """WITH g AS (SELECT least(l_orderkey % 8, 3) AS bucket,
+        |                  count(*) AS n_rows FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(n_rows) AS tot, count(*) AS np FROM g)
+        |SELECT bucket, CAST(n_rows AS BIGINT) AS n_rows,
+        |       (n_rows * np * 10 > tot * 15) AS skewed
+        |FROM g CROSS JOIN t""".stripMargin,
+
     "z4_file_stats" ->
       """SELECT l_orderkey % 4 AS bucket, count(*) AS n_rows,
         |       min(l_orderkey) AS min_v, max(l_orderkey) AS max_v
@@ -2439,6 +2476,14 @@ object PipelineQueries {
         |       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
         |       CAST(sum(len(text)) AS BIGINT) AS n_chars
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+
+    "tx17_vocab_coverage" ->
+      """SELECT source,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |       CAST(sum(len(list_filter(string_split(text, ' '), t -> t IN
+        |         ('the','a','of','to','and','scan','column','window',
+        |          'sort','value','query','merge')))) AS BIGINT) AS n_in_vocab
+        |FROM documents GROUP BY source""".stripMargin,
 
     "tx16_collocations" ->
       """WITH ts AS (SELECT string_split(text, ' ') AS ts FROM documents),

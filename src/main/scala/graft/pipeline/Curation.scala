@@ -808,6 +808,34 @@ object Curation {
       .drop("_bn", "_sn", "_tot")
   }
 
+  /** Vocabulary coverage per stratum: token totals and in-vocabulary
+    * token counts (with multiplicity) against a literal vocabulary —
+    * the OOV-rate audit run before committing a tokenizer/vocab to a
+    * corpus mix ("how much of each source does this vocab actually
+    * cover?"). Integer counts only; consumers derive the rate.
+    *
+    * 100 TB shape: the membership count is a narrow per-row fold
+    * (tokenize → filter-by-literal-set → size, all inside one
+    * projection — the vocab is plan metadata, like the decon probes),
+    * followed by ONE partial-agg'd stratum exchange. Text never
+    * shuffles.
+    */
+  def vocabCoverage(
+      df: DataFrame,
+      strata: Seq[String],
+      textCol: String,
+      vocab: Seq[String]): DataFrame = {
+    require(strata.nonEmpty, "vocabCoverage needs at least one stratum column")
+    require(vocab.nonEmpty, "vocabCoverage needs a non-empty vocabulary")
+    val vocabArr = array(vocab.map(lit): _*)
+    val toks = TextFunctions.tokens(col(textCol))
+    df.select(strata.map(col) :+
+        size(toks).cast("long").as("_nt") :+
+        size(filter(toks, t => array_contains(vocabArr, t))).cast("long").as("_iv"): _*)
+      .groupBy(strata.map(col): _*)
+      .agg(sum(col("_nt")).as("n_tokens"), sum(col("_iv")).as("n_in_vocab"))
+  }
+
   // ---- salient terms (tf-idf) --------------------------------------------
 
   /** Top-`k` salient terms per document by tf·idf, with the idf taken
