@@ -125,4 +125,31 @@ class AggregatePropertiesSpec extends AnyFunSuite {
         TKState.deserialize(tk.serialize).members.toSeq == tk.members.toSeq
     })
   }
+
+  test("DSketch exact tier (primitive LongSet): arbitrary adds match a reference Set") {
+    // exercises the round-8 open-addressing long set through its only
+    // consumer: zero values, duplicates, negatives, growth past the
+    // initial table, split+merge, and the canonical serialized image
+    val gen = for {
+      vals <- Gen.listOf(Gen.oneOf(Gen.chooseNum(-50L, 50L), Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+      cut <- Gen.chooseNum(0, math.max(vals.size, 1))
+    } yield (vals, cut)
+    check("dsketch-longset", org.scalacheck.Prop.forAll(gen) { case (vals, cut) =>
+      val ref = vals.toSet
+      val k = math.max(1, ref.size + 8) // stay in the exact tier
+      val whole = new graft.functions.DSketch(k, 12)
+      vals.foreach(whole.add)
+      val (l, r) = vals.splitAt(math.min(cut, vals.size))
+      val a = new graft.functions.DSketch(k, 12)
+      val b = new graft.functions.DSketch(k, 12)
+      l.foreach(a.add); r.foreach(b.add)
+      a.mergeWith(b)
+      val rt = graft.functions.DSketch.deserialize(whole.serialize)
+      whole.estimate == ref.size.toLong &&
+        a.estimate == ref.size.toLong &&
+        rt.estimate == ref.size.toLong &&
+        java.util.Arrays.equals(whole.serialize, a.serialize) &&
+        java.util.Arrays.equals(whole.serialize, rt.serialize)
+    })
+  }
 }
