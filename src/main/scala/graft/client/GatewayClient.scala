@@ -415,6 +415,12 @@ final class GatewayStream private[client] (
 
   private val inbox = new LinkedBlockingQueue[JsonNode](4096)
   private val closed = new CountDownLatch(1)
+  private val dropped = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Frames discarded because the consumer lagged >30 s behind a full
+    * inbox. 0 in a healthy stream; a subscriber that sees this grow
+    * is losing data and should drain faster or subscribe narrower. */
+  def droppedFrames: Long = dropped.get()
 
   private val listener = new WebSocket.Listener {
     private val buf = new java.lang.StringBuilder()
@@ -422,8 +428,15 @@ final class GatewayStream private[client] (
         last: Boolean): CompletionStage[_] = {
       buf.append(data)
       if (last) {
-        try inbox.offer(mapper.readTree(buf.toString))
-        catch { case NonFatal(_) => () }
+        // Block (bounded) when the inbox is full: ws.request(1) is only
+        // issued after the enqueue, so a slow consumer backpressures the
+        // socket instead of silently losing frames (ADVICE r8). The
+        // 30 s bound keeps an abandoned-consumer stream from wedging the
+        // listener thread forever; frames dropped past it are COUNTED.
+        try {
+          val frame = mapper.readTree(buf.toString)
+          if (!inbox.offer(frame, 30, TimeUnit.SECONDS)) dropped.incrementAndGet()
+        } catch { case NonFatal(_) => () }
         buf.setLength(0)
       }
       ws.request(1)

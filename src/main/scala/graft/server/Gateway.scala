@@ -222,9 +222,33 @@ final class Gateway(
     apiKeys.isEmpty && simpleAuthUsers.isEmpty &&
       oauthSupport.isEmpty && apiKeyValidator.isEmpty
 
+  /** Resolve the request's authenticated identity ONCE per exchange
+    * and cache it on the exchange: the OAuth bearer path and the
+    * external key validator are network round trips, and both the
+    * auth gate and the X13 row filter need the answer — without the
+    * cache every authenticated request paid the external validation
+    * twice (ADVICE r8). Resolution order matches the X13 filter's
+    * (simple auth, then OAuth, then external validator). */
+  // NOT HttpExchange.setAttribute — that map belongs to the
+  // HttpContext and is shared across ALL exchanges, which would leak
+  // one request's identity into the next. The gate and the handler
+  // run on the same dispatch thread for one exchange, so a
+  // ThreadLocal keyed by the exchange reference is a safe cache.
+  private val identityCache =
+    new ThreadLocal[(HttpExchange, Option[String])]
+
+  private def resolvedIdentity(ex: HttpExchange): Option[String] =
+    identityCache.get() match {
+      case (cachedEx, id) if cachedEx eq ex => id
+      case _ =>
+        val id = simpleAuthUser(ex).orElse(oauthIdentity(ex))
+          .orElse(apiKeyIdentity(ex))
+        identityCache.set((ex, id))
+        id
+    }
+
   private def authorized(ex: HttpExchange): Boolean =
-    authDisabled || apiKeyAuthorized(ex) || simpleAuthUser(ex).nonEmpty ||
-      apiKeyIdentity(ex).nonEmpty || oauthIdentity(ex).nonEmpty
+    authDisabled || apiKeyAuthorized(ex) || resolvedIdentity(ex).nonEmpty
 
   /** Wrap a context handler with the auth gate. 403 is the API-key
     * middleware's rejection (api_key.py); session-based mounts
@@ -381,9 +405,8 @@ final class Gateway(
       // (reference IdentityAwareMiddlewareMixin: the auth middleware's
       // identity feeds the filter)
       val identity = Option(ex.getRequestHeaders.getFirst("x-identity"))
-        .orElse(simpleAuthUser(ex))
-        .orElse(oauthIdentity(ex))
-        .orElse(apiKeyIdentity(ex))
+        .orElse(resolvedIdentity(ex)) // cached by the auth gate — no
+                                      // second introspection round trip
       parts match {
         case "whoami" :: Nil =>
           // reference simple.py /whoami: the authenticated identity
@@ -861,7 +884,9 @@ final class Gateway(
           case kv if kv.startsWith(name + "=") =>
             java.net.URLDecoder.decode(kv.stripPrefix(name + "="), "UTF-8")
         })
-      def callbackUri: String = {
+      // configured URI wins — deriving it from the Host header lets a
+      // spoofed Host steer the issuer's redirect (ADVICE r8)
+      def callbackUri: String = o.configuredRedirectUri.getOrElse {
         val host = Option(ex.getRequestHeaders.getFirst("Host"))
           .getOrElse(s"127.0.0.1:$boundPort")
         s"http://$host/auth/callback"
@@ -873,6 +898,11 @@ final class Gateway(
               respond(ex, 400, s"""{"error":${mapper.writeValueAsString(err)}}""")
             case (None, None) =>
               respond(ex, 400, """{"error":"No authorization code provided"}""")
+            case (None, Some(_)) if !queryOf("state").exists(o.consumeState) =>
+              // CSRF gate: the state must be one this gateway minted at
+              // /login (one-shot, TTL-bounded) — else an attacker can
+              // inject their own code into a victim's session
+              respond(ex, 400, """{"error":"Invalid or missing state parameter"}""")
             case (None, Some(code)) =>
               try {
                 val tokens = o.exchangeCode(code, callbackUri)

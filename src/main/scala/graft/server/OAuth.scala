@@ -36,7 +36,11 @@ final case class OAuthConfig(
       * auth filter; this gateway's identity is a single value. */
     identityClaim: String = "preferred_username",
     cookieName: String = "oauth_session",
-    sessionTimeoutMillis: Long = 12L * 3600 * 1000)
+    sessionTimeoutMillis: Long = 12L * 3600 * 1000,
+    /** Configured callback URI. When set, /login and the code
+      * exchange use it verbatim; the Host-header fallback is only for
+      * unset configs (a spoofed Host must not steer the redirect). */
+    redirectUri: Option[String] = None)
 
 /** Runtime half of the OAuth2 middleware: discovery-document cache,
   * code-for-token exchange, bearer validation, and the session
@@ -82,18 +86,41 @@ final class OAuthSupport(config: OAuthConfig) {
   def userinfoEndpoint: String =
     endpoint(config.userinfoUrl, "userinfo_endpoint", "/userinfo")
 
+  /** Outstanding CSRF `state` values minted at /login → expiry
+    * millis. The reference mints but never validates its state
+    * (oauth.py:277 "Should be stored and validated"); this gateway
+    * closes that gap — a callback whose state is absent from this set
+    * is rejected, blocking login-CSRF / code-injection. */
+  private val pendingStates =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val StateTtlMillis = 10L * 60 * 1000
+
   /** The /login redirect target (oauth.py:266-280): authorize URL
-    * with code-flow parameters. */
+    * with code-flow parameters; the minted state is registered for
+    * one-shot validation at the callback. */
   def loginRedirectUrl(redirectUri: String): String = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val now = System.currentTimeMillis()
+    pendingStates.entrySet().removeIf(e => e.getValue < now)
+    val state = java.util.UUID.randomUUID().toString
+    pendingStates.put(state, now + StateTtlMillis)
     val params = Seq(
       "client_id" -> config.clientId,
       "redirect_uri" -> redirectUri,
       "response_type" -> "code",
       "scope" -> config.scopes.mkString(" "),
-      "state" -> java.util.UUID.randomUUID().toString)
+      "state" -> state)
     s"$authorizeEndpoint?${params.map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")}"
   }
+
+  /** One-shot check-and-consume of a callback's state parameter. */
+  def consumeState(state: String): Boolean = {
+    val exp = pendingStates.remove(state)
+    (exp ne null) && exp.longValue() >= System.currentTimeMillis()
+  }
+
+  /** The configured (spoof-proof) callback URI, when one was set. */
+  def configuredRedirectUri: Option[String] = config.redirectUri
 
   // ---- token plumbing (oauth.py:112-161) ----------------------------------
 

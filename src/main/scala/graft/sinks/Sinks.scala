@@ -217,7 +217,24 @@ final class ViewServer(
   private def deltaEligible(v: ViewConfig): Boolean =
     deltaMaintenance && !runtime.distributedState &&
       v.groupBy.isEmpty && v.aggregates.isEmpty && v.splitBy.isEmpty &&
-      v.expressions.forall { case (_, e) => !e.toLowerCase.contains(" over") }
+      v.expressions.forall { case (_, e) => rowLocalExpression(e) }
+
+  /** True iff the expression is evaluable row-by-row: parsed and the
+    * Catalyst tree contains no window expression (a substring test on
+    * " over" missed `rank()over(...)` and false-positived on column
+    * names containing the word). Unparseable expressions are NOT
+    * eligible — the full-recompute path surfaces the analysis error
+    * instead of a silently stale delta view. */
+  private def rowLocalExpression(e: String): Boolean =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{UnresolvedWindowExpression, WindowExpression}
+      val parsed = runtime.spark.sessionState.sqlParser.parseExpression(e)
+      !parsed.exists {
+        case _: WindowExpression           => true
+        case _: UnresolvedWindowExpression => true
+        case _                             => false
+      }
+    } catch { case NonFatal(_) => false }
 
   def define(name: String, channel: String, config: ViewConfig): Unit = {
     views.put(name, ViewDef(channel, config))
@@ -480,7 +497,11 @@ private[sinks] object ViewEval {
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: java.lang.Number, y: java.lang.Number) =>
       new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString))
-    case (x: String, y: String)                         => x.compareTo(y)
+    // UTF8String binary order, not String.compareTo's UTF-16 code-unit
+    // order — they diverge for surrogate pairs vs U+E000..U+FFFF.
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
     case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
     case (x: java.time.Instant, y: java.time.Instant)   => x.compareTo(y)
     case (x: java.sql.Date, y: java.sql.Date)           => x.compareTo(y)

@@ -111,7 +111,13 @@ object StateFastPath {
     case (x: java.lang.Byte, y: java.lang.Byte)       => java.lang.Byte.compare(x, y)
     case (x: java.lang.Double, y: java.lang.Double)   => java.lang.Double.compare(x, y)
     case (x: java.lang.Float, y: java.lang.Float)     => java.lang.Float.compare(x, y)
-    case (x: String, y: String)                       => x.compareTo(y)
+    // String.compareTo orders by UTF-16 code unit, which diverges from
+    // Spark's UTF8String binary-byte order once supplementary characters
+    // (surrogate pairs) meet chars in U+E000..U+FFFF. Delegate to
+    // UTF8String itself so the fast path is bit-for-bit the Spark order.
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
     case (x: java.lang.Boolean, y: java.lang.Boolean) => java.lang.Boolean.compare(x, y)
     case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
     case (x: java.time.Instant, y: java.time.Instant) => x.compareTo(y)

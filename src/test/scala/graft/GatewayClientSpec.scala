@@ -140,6 +140,10 @@ class GatewayClientSpec extends AnyFunSuite {
         client.send("example", Map("x" -> 9L, "owner" -> "ws"))
         rt.processAllAvailable()
         assert(stream.takeData(1500).isEmpty)
+
+        // lossless contract: nothing was silently discarded (the inbox
+        // enqueue backpressures the socket instead of dropping)
+        assert(stream.droppedFrames === 0L)
       } finally stream.close()
     }
   }

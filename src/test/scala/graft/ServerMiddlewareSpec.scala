@@ -116,6 +116,21 @@ class ServerMiddlewareSpec extends AnyFunSuite {
           assert(loc.contains("response_type=code"))
           assert(loc.contains("redirect_uri="))
           assert(loc.contains("scope=openid"))
+          assert(loc.contains("state="))
+
+          // a configured redirect_uri is used verbatim — the Host
+          // header must not steer the issuer's redirect (ADVICE r8)
+          val gw2 = new Gateway(rt, 0,
+            oauth = Some(OAuthConfig(issuer, clientId = "graft-app",
+              redirectUri = Some("http://gw.example:8080/auth/callback")))).start()
+          try {
+            val r2 = get(s"http://127.0.0.1:${gw2.boundPort}/login")
+            val loc2 = r2.headers().firstValue("Location").orElse("")
+            // the issuer host appears (authorize endpoint), but the
+            // redirect_uri itself is the configured one, not Host-derived
+            assert(loc2.contains(java.net.URLEncoder.encode(
+              "http://gw.example:8080/auth/callback", "UTF-8")))
+          } finally gw2.stop()
         } finally gw.stop()
       }
     }
@@ -138,10 +153,30 @@ class ServerMiddlewareSpec extends AnyFunSuite {
           // callback error shapes (oauth.py:285-291)
           assert(get(s"$base/auth/callback?error=denied").statusCode() === 400)
           assert(get(s"$base/auth/callback").statusCode() === 400)
-          assert(get(s"$base/auth/callback?code=bad-code").statusCode() === 500)
+
+          // CSRF gate: a callback without a gateway-minted state is
+          // rejected before any code exchange (closes oauth.py:277's
+          // documented "Should be stored and validated" gap)
+          assert(get(s"$base/auth/callback?code=good-code").statusCode() === 400)
+          assert(get(s"$base/auth/callback?code=good-code&state=forged")
+            .statusCode() === 400)
+
+          // a real login mints the state the callback must echo
+          def mintState(): String = {
+            val login = get(s"$base/login")
+            assert(login.statusCode() === 303)
+            val loc = login.headers().firstValue("Location").orElse("")
+            loc.split("state=").last.split("&").head
+          }
+          val badState = mintState()
+          assert(get(s"$base/auth/callback?code=bad-code&state=$badState")
+            .statusCode() === 500)
+          // states are one-shot: replaying a consumed state is rejected
+          assert(get(s"$base/auth/callback?code=good-code&state=$badState")
+            .statusCode() === 400)
 
           // the happy-path callback: code → tokens → userinfo → cookie
-          val cb = get(s"$base/auth/callback?code=good-code")
+          val cb = get(s"$base/auth/callback?code=good-code&state=${mintState()}")
           assert(cb.statusCode() === 303)
           val setCookie = cb.headers().firstValue("Set-Cookie").orElse("")
           assert(setCookie.startsWith("oauth_session="))
@@ -281,6 +316,27 @@ class ServerMiddlewareSpec extends AnyFunSuite {
         // rejected key → 403 (api-key middleware rejection semantics)
         assert(get(s"$base/state/example?token=nope").statusCode() === 403)
         assert(get(s"$base/state/example").statusCode() === 403)
+      } finally gw.stop()
+    }
+  }
+
+  test("identity resolved once per exchange: validator not called twice") {
+    withRuntime { rt =>
+      rt.send("example", Seq(Map("x" -> 1L, "owner" -> "svc-a")))
+      rt.processAllAvailable()
+      // external validation can be a remote round trip — the gate and
+      // the X13 filter must share one resolution per request (ADVICE r8)
+      val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+      val gw = new Gateway(rt, 0,
+        authFilterFields = Map("example" -> "owner"),
+        apiKeyValidator = Some { k =>
+          calls.incrementAndGet()
+          if (k.startsWith("key-")) Some(k.stripPrefix("key-")) else None
+        }).start()
+      try {
+        val r = get(s"http://127.0.0.1:${gw.boundPort}/api/v1/state/example?token=key-svc-a")
+        assert(r.statusCode() === 200)
+        assert(calls.get() === 1)
       } finally gw.stop()
     }
   }

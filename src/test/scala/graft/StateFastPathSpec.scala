@@ -108,6 +108,33 @@ class StateFastPathSpec extends AnyFunSuite {
       Seq("_seq")).isEmpty)
   }
 
+  test("string order is UTF8String binary, not UTF-16 code units") {
+    // U+1F600 (emoji) encodes F0 9F 98 80 in UTF-8; U+F000
+    // (private-use) encodes EF 80 80. UTF-16 code-unit order puts the
+    // surrogate pair FIRST (D83D < F000); UTF8String binary order puts
+    // it LAST (F0 > EF). The fast path must match the Spark path on
+    // both the sort and every range operator (ADVICE r8, medium).
+    val emoji = new String(Character.toChars(0x1F600))
+    val pua = "\uF000"
+    assert(emoji.compareTo(pua) < 0) // the divergence is real in UTF-16
+    val sSchema = StructType(Seq(
+      StructField("k", StringType), StructField("_seq", LongType)))
+    val sRows = Seq(Row(emoji, 1L), Row(pua, 2L), Row("plain", 3L), Row(null, 4L))
+    def sparkSide(q: StateQuery): Seq[Seq[Any]] = {
+      import scala.jdk.CollectionConverters._
+      val df = spark.createDataFrame(sRows.asJava, sSchema)
+      StateOps.query(df, Seq("k"), q, tieBreak = Seq("_seq")).collect().toSeq.map(_.toSeq)
+    }
+    def fastSide(q: StateQuery): Seq[Seq[Any]] =
+      StateFastPath.tryEval(sRows, sSchema, Seq("k"), q, Seq("_seq"))
+        .getOrElse(fail(s"fast path refused $q")).map(_.toSeq)
+    assert(fastSide(StateQuery()) === sparkSide(StateQuery()))
+    for (op <- Seq("<", "<=", ">", ">=", "==", "!="))
+      assert(
+        fastSide(StateQuery(Seq(StateFilter("k", FilterBy.Value(pua), op)))) ===
+        sparkSide(StateQuery(Seq(StateFilter("k", FilterBy.Value(pua), op)))), s"op $op")
+  }
+
   test("runtime serves the fast path end-to-end (t3 shape)") {
     val rtSchema = StructType(Seq(
       StructField("id", StringType),

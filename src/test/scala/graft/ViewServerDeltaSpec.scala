@@ -149,6 +149,31 @@ class ViewServerDeltaSpec extends AnyFunSuite {
       vs.define("win", "ch", ViewConfig(
         expressions = Seq("rk" -> "row_number() over (order by x)")))
       assert(!vs.deltaActive("win"))
+
+      // space-free OVER parses fine in Spark SQL — the old " over"
+      // substring guard missed it and let the window slip onto the
+      // delta path (ADVICE r8); the parsed-tree check must not
+      val cfg = ViewConfig(
+        expressions = Seq("rk" -> "rank()over(order by x)"),
+        sort = Seq(("k", true)))
+      vs.define("win2", "ch", cfg)
+      assert(!vs.deltaActive("win2"))
+
+      // and since it full-recomputes, the snapshot equals the oracle
+      rt.send("ch", Seq(
+        Map("k" -> "a", "cat" -> "u", "x" -> 3L),
+        Map("k" -> "b", "cat" -> "v", "x" -> 1L)))
+      rt.processAllAvailable()
+      vs.refresh()
+      assert(vs.snapshot("win2").map(_.toSeq) ===
+        fullSnapshot(rt, cfg, 1000).map(_.toSeq))
+
+      // conversely an expression merely MENTIONING " over" (here a
+      // backquoted identifier) must stay eligible — the substring
+      // guard needlessly disabled the optimization for it
+      vs.define("named", "ch", ViewConfig(
+        expressions = Seq("y" -> "x + `game over`")))
+      assert(vs.deltaActive("named"))
     }
   }
 
