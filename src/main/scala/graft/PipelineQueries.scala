@@ -213,6 +213,14 @@ object PipelineQueries {
       Dedup.lshCalibrationReport(t(s, dir, "documents"), "doc_id", "text",
         n = 3, numHashes = 16, bands = 4, threshold = 0.5, sampleMod = 7)),
 
+    // ---- calibration -> band-config tuning table: integer-only pick
+    // of the (bands, rows) pair for a target exact-Jaccard precision
+    "d3d_lsh_threshold_pick" -> ((s, dir) =>
+      Dedup.lshThresholdPick(
+        Dedup.lshCalibrationReport(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, numHashes = 16, bands = 4, threshold = 0.5, sampleMod = 7),
+        numHashes = 16, targetNum = 4, targetDen = 5)),
+
     // ---- SimHash sketch per document
     "d4_simhash" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -1609,6 +1617,51 @@ object PipelineQueries {
          |       CAST(sum(i) AS BIGINT) AS sum_inter,
          |       CAST(sum(u) AS BIGINT) AS sum_union
          |FROM j GROUP BY est_jaccard""".stripMargin,
+
+    "d3d_lsh_threshold_pick" ->
+      s"""WITH $shingleCtes,
+         |hs AS (SELECT doc_id, ${phSql("s")} AS h FROM sh),
+         |hsets AS (SELECT doc_id, list(DISTINCT h) AS hset FROM hs GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $minhashSigCols FROM hs GROUP BY doc_id),
+         |bnd AS (${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, ${bandHashSql(b)} AS bh FROM sig")
+             .mkString(" UNION ALL ")}),
+         |cnd AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |        FROM bnd a JOIN bnd b
+         |          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |est AS (SELECT id1, id2, $sigAgreeSql / 16.0 AS est_jaccard
+         |        FROM cnd JOIN sig a ON id1 = a.doc_id JOIN sig b ON id2 = b.doc_id),
+         |samp AS (SELECT id1, id2, est_jaccard FROM est
+         |         WHERE est_jaccard >= 0.5 AND (id1 * 1000003 + id2) % 7 = 0),
+         |j AS (SELECT est_jaccard,
+         |             len(list_intersect(a.hset, b.hset)) AS i,
+         |             len(a.hset) + len(b.hset) - len(list_intersect(a.hset, b.hset)) AS u
+         |      FROM samp JOIN hsets a ON id1 = a.doc_id JOIN hsets b ON id2 = b.doc_id),
+         |lv AS (SELECT CAST(est_jaccard * 16 AS BIGINT) AS k,
+         |              CAST(sum(i) AS BIGINT) AS sum_inter,
+         |              CAST(sum(u) AS BIGINT) AS sum_union
+         |       FROM j GROUP BY est_jaccard),
+         |agg AS (SELECT a.k AS k, CAST(SUM(b.sum_inter) AS BIGINT) AS i_mass,
+         |               CAST(SUM(b.sum_union) AS BIGINT) AS u_mass
+         |        FROM lv a JOIN lv b ON b.k >= a.k GROUP BY a.k),
+         |cut AS (SELECT COALESCE(MIN(k), 17) AS cutoff_k FROM agg
+         |        WHERE i_mass * 5 >= u_mass * 4),
+         |cand(bands, rows_per_band) AS (SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2))),
+         |ranked AS (SELECT x.bands, x.rows_per_band,
+         |             CAST(SUM(CASE WHEN CAST(power(x.bands, y.rows_per_band) AS BIGINT)
+         |                            > CAST(power(y.bands, x.rows_per_band) AS BIGINT)
+         |                      THEN 1 ELSE 0 END) AS BIGINT) AS rnk
+         |           FROM cand x, cand y GROUP BY x.bands, x.rows_per_band),
+         |o AS (SELECT bands, rows_per_band, rnk, cutoff_k,
+         |        CAST(power(16, rows_per_band) AS BIGINT)
+         |          <= CAST(power(cutoff_k, rows_per_band) AS BIGINT) * bands AS mid_le_cutoff
+         |      FROM ranked, cut),
+         |anye AS (SELECT MAX(CASE WHEN mid_le_cutoff THEN 1 ELSE 0 END) AS any_e FROM o),
+         |mine AS (SELECT MIN(CASE WHEN mid_le_cutoff THEN rnk END) AS min_r FROM o)
+         |SELECT bands, rows_per_band, rnk, cutoff_k, mid_le_cutoff,
+         |       CASE WHEN any_e = 1 THEN (mid_le_cutoff AND rnk = min_r)
+         |            ELSE rnk = 2 END AS chosen
+         |FROM o, anye, mine""".stripMargin,
 
     "d3b_minhash_stats" ->
       s"""WITH $shingleCtes,

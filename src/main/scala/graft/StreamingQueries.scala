@@ -53,6 +53,32 @@ object StreamingQueries {
 
   private val runSeq = new AtomicLong(0L)
 
+  /** Ordered-feed cache for the gate harness: many entries stream the
+    * SAME frame (events by ts, documents by doc_id, …), and the
+    * per-entry `orderBy(col).collect()` was ~0.5–1 s of pure harness
+    * repeat inside a Verify/Bench JVM. Keyed by the canonicalized
+    * logical plan + order column (verified with `sameResult`, not just
+    * the hash), values held softly so a tight driver heap can reclaim
+    * them. Harness-only: the production path (ChannelRuntime) never
+    * collects feeds.
+    */
+  private val feedCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      java.lang.ref.SoftReference[Array[Row]])]()
+
+  private def collectFeed(df: DataFrame, orderCol: String): Array[Row] = {
+    val plan = df.queryExecution.analyzed.canonicalized
+    val key = (plan.semanticHash(), orderCol)
+    val hit = feedCache.get(key)
+    if (hit != null && hit._1.sameResult(plan)) {
+      val rows = hit._2.get()
+      if (rows != null) return rows
+    }
+    val rows = df.orderBy(col(orderCol)).collect()
+    feedCache.put(key, (plan, new java.lang.ref.SoftReference(rows)))
+    rows
+  }
+
   private[graft] def stubCentroids: Array[(Long, Seq[Double])] = StubQuantizer.cents
   private[graft] def stubCentroidsSql: String = StubQuantizer.sql
 
@@ -76,8 +102,18 @@ object StreamingQueries {
     val nTicks = math.max(2,
       sys.env.get("GRAFT_GATE_TICKS").map(_.toInt).getOrElse(ticks))
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val profile = sys.env.contains("GRAFT_GATE_PROFILE")
+    def probe[T](label: String)(f: => T): T =
+      if (!profile) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        Console.err.println(
+          f"[gate-profile] $label%-12s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
     val feeds = sources.map { case (df, orderCol) =>
-      val rows: Array[Row] = df.orderBy(col(orderCol)).collect()
+      val rows: Array[Row] = probe("feed")(collectFeed(df, orderCol))
       val stream = MemoryStream[Row](Encoders.row(df.schema), sqlCtx)
       (stream, rows)
     }
@@ -121,8 +157,8 @@ object StreamingQueries {
     val prevNoData = spark.conf.get(noDataKey)
     spark.conf.set(noDataKey, "false")
     try {
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode(mode).option("checkpointLocation", ckpt).start()
+      val q = probe("start")(out.writeStream.format("memory").queryName(name)
+        .outputMode(mode).option("checkpointLocation", ckpt).start())
       // watchdog: processAllAvailable blocks forever if a stream ever
       // wedges, and a hung entry would stall the driver's ENTIRE gate
       // run — bound the blast radius to this one query (stop() makes
@@ -142,8 +178,10 @@ object StreamingQueries {
           (s, rows.grouped(per).toIndexedSeq)
         }
         (0 until nTicks).foreach { i =>
-          batched.foreach { case (s, bs) => if (i < bs.length) s.addData(bs(i).toSeq) }
-          q.processAllAvailable()
+          probe(s"tick$i") {
+            batched.foreach { case (s, bs) => if (i < bs.length) s.addData(bs(i).toSeq) }
+            q.processAllAvailable()
+          }
         }
         // watermark-flush sentinels (append-mode aggregations emit a
         // group only when the watermark passes it): each flush row is

@@ -539,6 +539,53 @@ case class BloomAnyContainsExpr(child: Expression, bits: Array[Long], k: Int)
   override def prettyName: String = "graft_bloom_any"
 }
 
+object VocabMembership {
+  /** In-vocabulary token count (with multiplicity): hash-set
+    * membership per element, O(1) per token regardless of vocabulary
+    * size — the exact-set sibling of [[GraftBloom.anyContains]]. A
+    * 50k-entry BPE vocab costs the same per token as a 50-entry
+    * stopword list (the `array_contains`-over-literal form it
+    * replaces was O(|vocab|) per token: ~10^4x more comparisons at
+    * tokenizer-vocab sizes).
+    */
+  def count(tokens: ArrayData, vocab: java.util.HashSet[UTF8String]): Long = {
+    val n = tokens.numElements()
+    var i = 0
+    var c = 0L
+    while (i < n) {
+      if (!tokens.isNullAt(i) && vocab.contains(tokens.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  def build(vocab: Seq[String]): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](Math.max(16, vocab.size * 2))
+    vocab.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+}
+
+/** `graft_in_vocab_count(tokens)` — number of elements of a string
+  * array present in the (plan-literal) vocabulary, counted with
+  * multiplicity. The set rides along as a codegen reference object,
+  * like [[BloomAnyContainsExpr]]'s bitset, keeping the whole audit
+  * inside whole-stage codegen with O(1) membership per token.
+  */
+case class InVocabCountExpr(child: Expression, vocab: java.util.HashSet[UTF8String])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    VocabMembership.count(input.asInstanceOf[ArrayData], vocab)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocabSet", vocab, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VocabMembership.count($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): InVocabCountExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_in_vocab_count"
+}
+
 object FixMojibake {
   /** One-level Latin-1-mojibake repair for the 2-byte UTF-8 range: a
     * Â/Ã character (U+00C2/U+00C3 — the lead bytes of 2-byte UTF-8
@@ -604,6 +651,9 @@ object NativeExpressions {
     ColumnBridge.column(MinHashSigFromHashesExpr(ColumnBridge.expression(hashes), numHashes))
   def bloomAny(hashes: Column, bits: Array[Long], k: Int): Column =
     ColumnBridge.column(BloomAnyContainsExpr(ColumnBridge.expression(hashes), bits, k))
+  def inVocabCount(tokens: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(InVocabCountExpr(
+      ColumnBridge.expression(tokens), VocabMembership.build(vocab)))
 }
 
 /** SparkSessionExtensions hook: registers the native functions into

@@ -815,10 +815,14 @@ object Curation {
     * cover?"). Integer counts only; consumers derive the rate.
     *
     * 100 TB shape: the membership count is a narrow per-row fold
-    * (tokenize → filter-by-literal-set → size, all inside one
-    * projection — the vocab is plan metadata, like the decon probes),
-    * followed by ONE partial-agg'd stratum exchange. Text never
-    * shuffles.
+    * (tokenize → hash-set membership count, all inside one codegen'd
+    * projection — the vocab rides as a plan reference object, like
+    * the decon bloom bitset), followed by ONE partial-agg'd stratum
+    * exchange. Text never shuffles. Membership is O(1) per token via
+    * [[graft.functions.InVocabCountExpr]], so a 50k-entry tokenizer
+    * vocab costs the same per token as a stopword list (the previous
+    * `array_contains`-over-literal form scanned the whole vocab per
+    * token — right answer, ~10^4x the comparisons at BPE sizes).
     */
   def vocabCoverage(
       df: DataFrame,
@@ -827,11 +831,10 @@ object Curation {
       vocab: Seq[String]): DataFrame = {
     require(strata.nonEmpty, "vocabCoverage needs at least one stratum column")
     require(vocab.nonEmpty, "vocabCoverage needs a non-empty vocabulary")
-    val vocabArr = array(vocab.map(lit): _*)
     val toks = TextFunctions.tokens(col(textCol))
     df.select(strata.map(col) :+
         size(toks).cast("long").as("_nt") :+
-        size(filter(toks, t => array_contains(vocabArr, t))).cast("long").as("_iv"): _*)
+        graft.functions.NativeExpressions.inVocabCount(toks, vocab).as("_iv"): _*)
       .groupBy(strata.map(col): _*)
       .agg(sum(col("_nt")).as("n_tokens"), sum(col("_iv")).as("n_in_vocab"))
   }

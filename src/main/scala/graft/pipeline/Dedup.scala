@@ -932,6 +932,83 @@ object Dedup {
         sum(col("_u")).as("sum_union"))
   }
 
+  /** Band/row tuning table from a calibration frame (round-9 task 9):
+    * the one-step consumer of [[lshCalibrationReport]] that picks the
+    * MinHash-LSH band configuration for a target precision — the
+    * Datasketches-style "tuning" table, computed ENTIRELY in integer
+    * arithmetic so the decision is bit-reproducible across engines.
+    *
+    * Semantics: a level is an estimated-Jaccard value `k/numHashes`
+    * from the calibration frame. The CUTOFF is the smallest level
+    * whose suffix mass (all sampled pairs estimated at or above it)
+    * clears the target exact-Jaccard ratio `targetNum/targetDen` by
+    * integer cross-multiplication (`sum_inter·D >= sum_union·N` —
+    * mass-weighted, no float accumulation). Each candidate (bands,
+    * rows) divisor pair of `numHashes` has S-curve midpoint
+    * `t = (1/bands)^(1/rows)`; the chosen config is the one with the
+    * LARGEST midpoint not above the cutoff (collides everything at or
+    * above the calibrated level with high probability while admitting
+    * the least sub-threshold mass), falling back to the smallest
+    * midpoint when every candidate sits above the cutoff. Midpoint
+    * comparisons avoid libm: `t1 < t2  ⇔  b1^r2 > b2^r1` and
+    * `t <= k/H  ⇔  H^r <= k^r·b` — small integer powers, exact in
+    * IEEE doubles (< 2^53), no `ln`/`pow` rounding in any gated
+    * value (the p9 no-libm pattern).
+    *
+    * 100 TB shape: the calibration frame is metadata-sized (at most
+    * numHashes+1 rows), so every join here is a few-row cross/range
+    * join on the driver-adjacent tail of the audit — cost lives in
+    * [[lshCalibrationReport]]'s sampled rejoin, not here.
+    */
+  def lshThresholdPick(
+      calib: DataFrame,
+      numHashes: Int = 16,
+      targetNum: Long = 4,
+      targetDen: Long = 5): DataFrame = {
+    require(numHashes >= 4, "need numHashes >= 4 for a non-trivial band grid")
+    require(targetNum >= 0 && targetDen > 0, "target must be a valid ratio")
+    val spark = calib.sparkSession
+    val H = numHashes.toLong
+    val lv = calib.select(
+      (col("est_jaccard") * H).cast("long").as("k"),
+      col("n_pairs"), col("sum_inter"), col("sum_union"))
+    // suffix mass per level (range self-join on a <= H+1-row frame)
+    val agg = lv.as("a").join(lv.as("b"), col("b.k") >= col("a.k"))
+      .groupBy(col("a.k").as("k"))
+      .agg(sum(col("b.sum_inter")).as("i_mass"), sum(col("b.sum_union")).as("u_mass"))
+    val cut = agg
+      .filter(col("i_mass") * targetDen >= col("u_mass") * targetNum)
+      .agg(coalesce(min(col("k")), lit(H + 1)).as("cutoff_k"))
+    // candidate divisor pairs of numHashes, bands and rows both >= 2
+    val cands = (2 to numHashes / 2)
+      .filter(numHashes % _ == 0).map(b => (b, numHashes / b))
+      .filter(_._2 >= 2)
+    val cd = spark.createDataFrame(cands).toDF("bands", "rows_per_band")
+    // rank by midpoint descending: x beaten by y  ⇔  t_x < t_y  ⇔  bx^ry > by^rx
+    val ranked = cd.as("x").crossJoin(cd.as("y"))
+      .groupBy(col("x.bands").as("bands"), col("x.rows_per_band").as("rows_per_band"))
+      .agg(sum(when(
+        pow(col("x.bands"), col("y.rows_per_band")).cast("long") >
+          pow(col("y.bands"), col("x.rows_per_band")).cast("long"), 1L)
+        .otherwise(0L)).as("rnk"))
+    val n = cands.size.toLong
+    // eligibility: midpoint <= cutoff  ⇔  H^r <= k^r · b
+    val out = ranked.crossJoin(cut)
+      .withColumn("mid_le_cutoff",
+        pow(lit(H), col("rows_per_band")).cast("long") <=
+          pow(col("cutoff_k"), col("rows_per_band")).cast("long") * col("bands"))
+    val anyEligible = out.agg(
+      coalesce(max(when(col("mid_le_cutoff"), 1L).otherwise(0L)), lit(0L)).as("_any"))
+    out.crossJoin(anyEligible)
+      .withColumn("chosen",
+        when(col("_any") === 1L,
+          col("mid_le_cutoff") &&
+            col("rnk") === min(when(col("mid_le_cutoff"), col("rnk")))
+              .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        .otherwise(col("rnk") === (n - 1)))
+      .drop("_any")
+  }
+
   /** Shared analytic pair-count aggregation: `members` = (_id, key),
     * `relPairs` = verified DISTINCT-key pairs (_k1, _k2, _rel). The
     * within-group relation value is 0 for hamming-keyed relations and

@@ -408,6 +408,31 @@ class CurationSpec extends AnyFunSuite {
     assert(single === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 6L -> 1L))
   }
 
+  test("vocabCoverage: counts with multiplicity, O(1) at 50k-vocab size") {
+    val docs = Seq(
+      ("web", "the cat sat on the mat"),     // 6 tokens
+      ("web", "unknownzz words здесь"),      // 3 tokens, 1 in vocab
+      ("code", "def cat(): return mat")      // tokens per TextFunctions
+    ).toDF("src", "text")
+    // a realistic tokenizer-scale vocabulary (50k entries) — the audit
+    // must stay hash-set O(1) per token, not scan the vocab per token
+    val vocab = Seq("the", "cat", "sat", "on", "mat", "words", "def", "return") ++
+      (1 to 50000).map(i => s"vocabfiller$i")
+    val t0 = System.nanoTime()
+    val out = Curation.vocabCoverage(docs, Seq("src"), "text", vocab)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    val webText = Seq("the", "cat", "sat", "on", "the", "mat",
+      "unknownzz", "words", "здесь")
+    val vocabSet = vocab.toSet
+    assert(out("web")._1 === 9L)
+    assert(out("web")._2 === webText.count(vocabSet))
+    assert(out("code")._1 > 0L && out("code")._2 >= 2L)
+    // generous bound: the array_contains form took O(|vocab|) per
+    // token (~10^4 comparisons each); the hash set is flat
+    assert(elapsedMs < 30000, s"vocab membership should be O(1), took $elapsedMs ms")
+  }
+
   test("snapshotDrift: integer share flags, new/old-only strata always drift") {
     def snap(rows: (String, Long)*) = rows.toSeq.toDF("src", "len")
     // old: a=50, b=50; new: a=50, b=20 (b's share collapses), c appears

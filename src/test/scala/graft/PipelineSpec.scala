@@ -371,4 +371,47 @@ class PipelineSpec extends AnyFunSuite {
     val dupSurvivors = keptIds.intersect(inGroups).size
     assert(dupSurvivors < inGroups.size)
   }
+
+  test("lshThresholdPick: integer cutoff, midpoint eligibility, chosen config") {
+    import spark.implicits._
+    // synthetic calibration frame, est levels k/16: the 12/16 level is
+    // precise (J ~= 0.9), the 8/16 level dilutes the suffix mass below
+    // the 4/5 target, so the cutoff must land at k=12
+    def calib(rows: (Double, Long, Long, Long)*) =
+      rows.toSeq.toDF("est_jaccard", "n_pairs", "sum_inter", "sum_union")
+    val c1 = calib(
+      (1.0, 2L, 180L, 200L),    // k=16: J=0.90
+      (0.75, 4L, 330L, 400L),   // k=12: suffix (>=12): 510/600 = 0.85 >= 0.8
+      (0.5, 10L, 300L, 1000L))  // k=8:  suffix 810/1600 = 0.51 < 0.8
+    val out1 = Dedup.lshThresholdPick(c1, numHashes = 16, targetNum = 4, targetDen = 5)
+      .collect().map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"),
+        r.getAs[Long]("cutoff_k"), r.getAs[Boolean]("mid_le_cutoff"),
+        r.getAs[Boolean]("chosen"))).sortBy(x => (x._1, x._2))
+    assert(out1.forall(_._3 === 12L))
+    // midpoints: (2,8) t=.917>(12/16=.75); (4,4) t=.707<=.75; (8,2) t=.354
+    assert(out1.map(x => (x._1, x._2) -> x._4).toMap ===
+      Map((2, 8) -> false, (4, 4) -> true, (8, 2) -> true))
+    // chosen = largest midpoint not above the cutoff: (4,4)
+    assert(out1.filter(_._5).map(x => (x._1, x._2)).toSeq === Seq((4, 4)))
+
+    // nothing clears the target -> cutoff 17 (accept nothing); every
+    // midpoint <= 17/16 so the largest-midpoint config (2,8) wins
+    val out2 = Dedup.lshThresholdPick(
+      calib((1.0, 2L, 10L, 200L)), numHashes = 16, targetNum = 4, targetDen = 5)
+      .collect().map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"),
+        r.getAs[Long]("cutoff_k"), r.getAs[Boolean]("chosen")))
+    assert(out2.forall(_._3 === 17L))
+    assert(out2.filter(_._4).map(x => (x._1, x._2)).toSeq === Seq((2, 8)))
+
+    // a cutoff so low every midpoint sits above it -> fallback to the
+    // smallest midpoint (8,2)
+    val out3 = Dedup.lshThresholdPick(
+      calib((0.0625, 4L, 400L, 400L)), numHashes = 16, targetNum = 4, targetDen = 5)
+      .collect().map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"),
+        r.getAs[Long]("cutoff_k"), r.getAs[Boolean]("mid_le_cutoff"),
+        r.getAs[Boolean]("chosen")))
+    assert(out3.forall(_._3 === 1L))
+    assert(out3.forall(!_._4))
+    assert(out3.filter(_._5).map(x => (x._1, x._2)).toSeq === Seq((8, 2)))
+  }
 }
