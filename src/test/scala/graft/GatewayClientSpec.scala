@@ -42,6 +42,68 @@ class GatewayClientSpec extends AnyFunSuite {
     finally { gw.stop(); rt.stop() }
   }
 
+  test("client stream source: gateway B re-serves gateway A's channel (S9)") {
+    withGateway() { (mk, rtA) =>
+      // an independent second runtime; channel remapped (one shared
+      // test SparkSession — per-channel query names must not collide)
+      val rtB = new ChannelRuntime(spark,
+        Map("example_b" -> ChannelSpec("example_b", schema, stateKeyby = Seq("owner"))),
+        Files.createTempDirectory("graft-client-b-ckpt").toString)
+      rtB.start()
+      try {
+        val client = mk(GatewayClientConfig())
+        val stream = client.connect(Seq("example" -> None))
+        val pump = ClientStreamSource.into(stream, rtB, ch => ch + "_b")
+        try {
+          Thread.sleep(300) // ws subscription registers on A
+          client.send("example", Map("x" -> 1L, "owner" -> "alice"))
+          client.send("example", Map("x" -> 2L, "owner" -> "bob"))
+          client.send("example", Map("x" -> 5L, "owner" -> "alice"))
+          rtA.processAllAvailable()
+          // the pump forwards asynchronously; wait for 3 frames
+          val deadline = System.currentTimeMillis() + 15000
+          while (pump.frameCount < 3 && System.currentTimeMillis() < deadline)
+            Thread.sleep(50)
+          assert(pump.frameCount === 3)
+          assert(pump.failureCount === 0)
+          rtB.processAllAvailable()
+          def snap(rt: ChannelRuntime, ch: String) =
+            rt.state(ch, StateQuery())
+              .map(r => (r.getAs[String]("owner"), r.getAs[Long]("x")))
+          // B's state (last per owner) matches A's exactly
+          assert(snap(rtB, "example_b") === snap(rtA, "example"))
+          assert(snap(rtB, "example_b") === Seq(("alice", 5L), ("bob", 2L)))
+        } finally { pump.stop(); stream.close() }
+      } finally rtB.stop()
+    }
+  }
+
+  test("client stream frames: live Dataset of envelope rows") {
+    withGateway() { (mk, rtA) =>
+      val client = mk(GatewayClientConfig())
+      val stream = client.connect(Seq("example" -> None))
+      val (df, pump) = ClientStreamSource.frames(spark, stream)
+      val q = df.writeStream.format("memory").queryName("client_frames")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-cs-ckpt").toString)
+        .start()
+      try {
+        Thread.sleep(300)
+        client.send("example", Map("x" -> 7L, "owner" -> "ws"))
+        rtA.processAllAvailable()
+        val deadline = System.currentTimeMillis() + 15000
+        while (pump.frameCount < 1 && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        q.processAllAvailable()
+        val rows = spark.table("client_frames").collect()
+        assert(rows.length === 1)
+        assert(rows(0).getAs[String]("channel") === "example")
+        assert(rows(0).getAs[String]("data").contains("\"x\":7"))
+      } finally { q.stop(); pump.stop(); stream.close() }
+    }
+  }
+
   test("send/last/state/lookup round trip with response shaping") {
     withGateway() { (mk, rt) =>
       val client = mk(GatewayClientConfig())
