@@ -483,6 +483,14 @@ object PipelineQueries {
           t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)))
         .select(col("media_id"), posexplode(col("feature")).as(Seq("bin", "value")))),
 
+    // ---- multimodal: COLOR baseline JPEG (YCbCr 4:2:0) decode —
+    // per-image RGB mass from decoded pixels; the fixture's DC-only
+    // MCUs and >=128 chroma make decode + fixed-point color transform
+    // integer-exact, so the sums are a pure function of the text
+    "mm5_color_pixels" -> ((s, dir) =>
+      Multimodal.colorStats(graft.testing.MediaFixtures.colorJpegMedia(
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)))),
+
     // ---- multimodal: video frame sampling
     "mm2_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(graft.testing.MediaFixtures.syntheticMedia(t(s, dir, "documents")), stride = 4)),
@@ -2135,6 +2143,31 @@ object PipelineQueries {
         |  ELSE 0.0 END AS value
         |FROM documents, (SELECT unnest(generate_series(0, 7)) AS k)
         |WHERE text IS NOT NULL""".stripMargin,
+
+    // color fixture: one 16x16 MCU per codepoint (first 256), uniform
+    // (y,cb,cr) from codepoint bits; decoded RGB = the same fixed-point
+    // JFIF transform in SQL (non-negative products, // = floor = >>16)
+    "mm5_color_pixels" ->
+      """WITH cps AS (
+        |  SELECT doc_id, unicode(c) AS u
+        |  FROM (SELECT doc_id, unnest((string_split_regex(text, ''))[1:256]) AS c
+        |        FROM documents WHERE text IS NOT NULL AND len(text) > 0)),
+        |c AS (SELECT doc_id,
+        |        (u & 7) * 16 + 64 AS y,
+        |        128 + ((u >> 3) & 3) * 16 AS cb,
+        |        128 + ((u >> 5) & 3) * 16 AS cr
+        |      FROM cps),
+        |rgb AS (SELECT doc_id,
+        |          LEAST(255, y + (91881 * (cr - 128)) // 65536) AS r,
+        |          GREATEST(0, y - (22554 * (cb - 128) + 46802 * (cr - 128)) // 65536) AS g,
+        |          LEAST(255, y + (116130 * (cb - 128)) // 65536) AS b
+        |        FROM c)
+        |SELECT doc_id AS media_id,
+        |       CAST(256 * sum(r) AS BIGINT) AS sum_r,
+        |       CAST(256 * sum(g) AS BIGINT) AS sum_g,
+        |       CAST(256 * sum(b) AS BIGINT) AS sum_b,
+        |       CAST(256 * count(*) AS BIGINT) AS n_px
+        |FROM rgb GROUP BY doc_id""".stripMargin,
 
     "mm2_frame_sample" ->
       """SELECT doc_id AS media_id,

@@ -796,6 +796,414 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ---- color (multi-component) baseline JPEG ----------------------------
+
+  /** Decoded color surface: dims + row-major 0..255 R/G/B planes. */
+  final case class JpegColorImage(
+      width: Int, height: Int, r: Array[Int], g: Array[Int], b: Array[Int])
+
+  /** JFIF YCbCr→RGB in 16.16 fixed point — libjpeg's constants
+    * (1.402, 0.344136, 0.714136, 1.772 scaled by 2^16). Integer-only
+    * so the mm5 oracle can mirror the transform verbatim in SQL
+    * (`>> 16` on non-negative products; the gate fixtures keep
+    * Cb,Cr >= 128 so no sign-dependent shift semantics are in play —
+    * the decoder itself handles either sign via floorDiv).
+    */
+  private val CrR = 91881   // round(1.402    * 65536)
+  private val CbG = 22554   // round(0.344136 * 65536)
+  private val CrG = 46802   // round(0.714136 * 65536)
+  private val CbB = 116130  // round(1.772    * 65536)
+
+  private def clamp255(v: Int): Int = math.max(0, math.min(255, v))
+
+  /** YCbCr → (r, g, b), fixed-point with floor semantics. */
+  def ycbcrToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = (
+    clamp255(y + Math.floorDiv(CrR * (cr - 128), 65536)),
+    clamp255(y - Math.floorDiv(CbG * (cb - 128) + CrG * (cr - 128), 65536)),
+    clamp255(y + Math.floorDiv(CbB * (cb - 128), 65536)))
+
+  /** General baseline-sequential JPEG decoder, 1 or 3 components with
+    * sampling factors 1 or 2 per axis (4:4:4, 4:2:2, 4:2:0 and
+    * grayscale), per-component quant/Huffman table bindings,
+    * interleaved MCUs, DRI/RSTn restart intervals, nearest-neighbor
+    * chroma upsample and the fixed-point JFIF color transform above.
+    * The round-9 extension of [[decodeJpeg]] (which stays the
+    * MJPEG-gate-pinned single-component path, untouched): real image
+    * corpora are 3-component YCbCr, usually 4:2:0. Contract is
+    * unchanged — any structural violation (non-baseline frame,
+    * sampling beyond 2, undefined table, truncated scan, missing
+    * restart marker, missing EOI) returns null, never a guess.
+    * Uniform DC-only MCUs decode bit-exactly (the same integer DC
+    * path as the gray decoder), which is what the mm5 color gate
+    * pins.
+    */
+  def decodeJpegColor(p: Array[Byte]): JpegColorImage = {
+    if (!isJpeg(p)) return null
+    val quant = Array.ofDim[Int](4, 64)
+    val quantSeen = new Array[Boolean](4)
+    val hMin = Array.ofDim[Array[Int]](2, 4)
+    val hMax = Array.ofDim[Array[Int]](2, 4)
+    val hPtr = Array.ofDim[Array[Int]](2, 4)
+    val hSym = Array.ofDim[Array[Int]](2, 4)
+    var width = 0
+    var height = 0
+    var nComp = 0
+    val compH = new Array[Int](3)
+    val compV = new Array[Int](3)
+    val compQ = new Array[Int](3)
+    val compId = new Array[Int](3)
+    val compDc = new Array[Int](3)
+    val compAc = new Array[Int](3)
+    var restartInterval = 0
+    var off = 2
+    var sawSof = false
+    var scanStart = -1
+    while (scanStart < 0) {
+      if (off + 4 > p.length || (p(off) & 0xFF) != 0xFF) return null
+      val m = p(off + 1) & 0xFF
+      val segLen = ((p(off + 2) & 0xFF) << 8) | (p(off + 3) & 0xFF)
+      if (segLen < 2 || off + 2 + segLen > p.length) return null
+      val segEnd = off + 2 + segLen
+      m match {
+        case 0xDB =>
+          var q = off + 4
+          while (q < segEnd) {
+            val pq = (p(q) & 0xF0) >> 4
+            val tq = p(q) & 0x0F
+            if (pq != 0 || tq > 3 || q + 65 > segEnd) return null
+            var i = 0
+            while (i < 64) { quant(tq)(i) = p(q + 1 + i) & 0xFF; i += 1 }
+            quantSeen(tq) = true
+            q += 65
+          }
+        case 0xC4 =>
+          var q = off + 4
+          while (q < segEnd) {
+            val tc = (p(q) & 0xF0) >> 4
+            val th = p(q) & 0x0F
+            if (tc > 1 || th > 3 || q + 17 > segEnd) return null
+            val counts = Array.tabulate(16)(i => p(q + 1 + i) & 0xFF)
+            val n = counts.sum
+            if (n == 0 || q + 17 + n > segEnd) return null
+            val syms = Array.tabulate(n)(i => p(q + 17 + i) & 0xFF)
+            val mn = Array.fill(17)(0)
+            val mx = Array.fill(17)(-1)
+            val vp = Array.fill(17)(0)
+            var code = 0
+            var idx = 0
+            var l = 1
+            while (l <= 16) {
+              if (counts(l - 1) > 0) {
+                vp(l) = idx; mn(l) = code; mx(l) = code + counts(l - 1) - 1
+                code += counts(l - 1); idx += counts(l - 1)
+              } else mx(l) = -1
+              code <<= 1
+              l += 1
+            }
+            hMin(tc)(th) = mn; hMax(tc)(th) = mx; hPtr(tc)(th) = vp; hSym(tc)(th) = syms
+            q += 17 + n
+          }
+        case 0xDD => // DRI
+          if (segLen != 4) return null
+          restartInterval = ((p(off + 4) & 0xFF) << 8) | (p(off + 5) & 0xFF)
+        case 0xC0 =>
+          if (segLen < 8 || (p(off + 4) & 0xFF) != 8) return null
+          height = ((p(off + 5) & 0xFF) << 8) | (p(off + 6) & 0xFF)
+          width = ((p(off + 7) & 0xFF) << 8) | (p(off + 8) & 0xFF)
+          nComp = p(off + 9) & 0xFF
+          if ((nComp != 1 && nComp != 3) || height == 0 || width == 0) return null
+          if (segLen < 8 + 3 * nComp) return null
+          var ci = 0
+          while (ci < nComp) {
+            compId(ci) = p(off + 10 + 3 * ci) & 0xFF
+            val hv = p(off + 11 + 3 * ci) & 0xFF
+            compH(ci) = (hv & 0xF0) >> 4
+            compV(ci) = hv & 0x0F
+            compQ(ci) = p(off + 12 + 3 * ci) & 0xFF
+            if (compH(ci) < 1 || compH(ci) > 2 || compV(ci) < 1 || compV(ci) > 2 ||
+              compQ(ci) > 3) return null
+            ci += 1
+          }
+          sawSof = true
+        case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+            0xCD | 0xCE | 0xCF =>
+          return null
+        case 0xDA =>
+          if (!sawSof || segLen < 6 + 2 * nComp || (p(off + 4) & 0xFF) != nComp)
+            return null
+          var si = 0
+          while (si < nComp) {
+            val scanId = p(off + 5 + 2 * si) & 0xFF
+            val ci = compId.indexOf(scanId)
+            if (ci < 0 || ci >= nComp) return null
+            compDc(ci) = (p(off + 6 + 2 * si) & 0xF0) >> 4
+            compAc(ci) = p(off + 6 + 2 * si) & 0x0F
+            if (compDc(ci) > 3 || compAc(ci) > 3) return null
+            si += 1
+          }
+          val ssOff = off + 5 + 2 * nComp
+          if ((p(ssOff) & 0xFF) != 0 || (p(ssOff + 1) & 0xFF) != 63) return null
+          scanStart = segEnd
+        case _ => ()
+      }
+      off = segEnd
+    }
+    var ci = 0
+    while (ci < nComp) {
+      if (!quantSeen(compQ(ci))) return null
+      if (hSym(0)(compDc(ci)) == null || hSym(1)(compAc(ci)) == null) return null
+      ci += 1
+    }
+    val hmx = (0 until nComp).map(compH(_)).max
+    val vmx = (0 until nComp).map(compV(_)).max
+    val mcusX = (width + 8 * hmx - 1) / (8 * hmx)
+    val mcusY = (height + 8 * vmx - 1) / (8 * vmx)
+    // per-component padded planes (block-aligned)
+    val planeW = Array.tabulate(nComp)(i => mcusX * compH(i) * 8)
+    val planeH = Array.tabulate(nComp)(i => mcusY * compV(i) * 8)
+    val planes = Array.tabulate(nComp)(i => new Array[Int](planeW(i) * planeH(i)))
+
+    var pos = scanStart
+    var bitBuf = 0
+    var bitCnt = 0
+    var truncated = false
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= p.length) { truncated = true; return 0 }
+        var b = p(pos) & 0xFF
+        pos += 1
+        if (b == 0xFF) {
+          if (pos >= p.length) { truncated = true; return 0 }
+          val b2 = p(pos) & 0xFF
+          if (b2 == 0x00) pos += 1
+          else { truncated = true; b = 0 }
+        }
+        bitBuf = b; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    def decodeSym(tc: Int, th: Int): Int = {
+      var code = nextBit()
+      var l = 1
+      val mn = hMin(tc)(th); val mx = hMax(tc)(th); val vp = hPtr(tc)(th)
+      while (l <= 16) {
+        if (mx(l) >= 0 && code <= mx(l))
+          return hSym(tc)(th)(vp(l) + code - mn(l))
+        code = (code << 1) | nextBit()
+        l += 1
+      }
+      truncated = true
+      0
+    }
+
+    val preds = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    val idctTmp = new Array[Double](64)
+    var restN = 0 // expected RSTn modulus
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      // restart boundary: byte-align, consume RSTn, reset predictors
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bitCnt = 0
+        if (pos + 2 > p.length || (p(pos) & 0xFF) != 0xFF ||
+          (p(pos + 1) & 0xFF) != (0xD0 + restN)) return null
+        pos += 2
+        restN = (restN + 1) & 7
+        java.util.Arrays.fill(preds, 0)
+      }
+      val mx0 = mcu % mcusX
+      val my0 = mcu / mcusX
+      ci = 0
+      while (ci < nComp) {
+        val q = quant(compQ(ci))
+        var bv = 0
+        while (bv < compV(ci)) {
+          var bh = 0
+          while (bh < compH(ci)) {
+            java.util.Arrays.fill(coef, 0)
+            val t = decodeSym(0, compDc(ci))
+            if (t > 11) return null
+            preds(ci) += jpegExtend(receive(t), t)
+            coef(0) = preds(ci) * q(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = decodeSym(1, compAc(ci))
+              if (rs == 0x00) eob = true
+              else if (rs == 0xF0) k += 16
+              else {
+                k += (rs >> 4)
+                val s = rs & 0x0F
+                if (k > 63) return null
+                coef(Zigzag(k)) = jpegExtend(receive(s), s) * q(k)
+                k += 1
+              }
+            }
+            if (truncated) return null
+            // 2-D IDCT into the component plane (same math as the
+            // gray path — DC-only blocks are integer-exact)
+            var v = 0
+            while (v < 8) {
+              var allZero = true
+              var u = 0
+              while (u < 8 && allZero) { if (coef(v * 8 + u) != 0) allZero = false; u += 1 }
+              var x = 0
+              while (x < 8) {
+                var acc = 0.0
+                if (!allZero) {
+                  u = 0
+                  while (u < 8) {
+                    val fc = coef(v * 8 + u)
+                    if (fc != 0) acc += DctBasis(u)(x) * fc
+                    u += 1
+                  }
+                }
+                idctTmp(v * 8 + x) = acc
+                x += 1
+              }
+              v += 1
+            }
+            val px0 = (mx0 * compH(ci) + bh) * 8
+            val py0 = (my0 * compV(ci) + bv) * 8
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                var acc = 0.0
+                v = 0
+                while (v < 8) { acc += DctBasis(v)(y) * idctTmp(v * 8 + x); v += 1 }
+                val pv = math.round(acc / 4.0).toInt + 128
+                planes(ci)((py0 + y) * planeW(ci) + px0 + x) = clamp255(pv)
+                x += 1
+              }
+              y += 1
+            }
+            bh += 1
+          }
+          bv += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    // strict tail: EOI after optional FF fill
+    while (pos < p.length && (p(pos) & 0xFF) == 0xFF &&
+      pos + 1 < p.length && (p(pos + 1) & 0xFF) == 0xFF) pos += 1
+    if (pos + 2 > p.length || (p(pos) & 0xFF) != 0xFF || (p(pos + 1) & 0xFF) != 0xD9)
+      return null
+
+    // upsample (nearest) + color transform into RGB planes
+    val r = new Array[Int](width * height)
+    val g = new Array[Int](width * height)
+    val b = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val i = y * width + x
+        if (nComp == 1) {
+          val yv = planes(0)(y * planeW(0) + x)
+          r(i) = yv; g(i) = yv; b(i) = yv
+        } else {
+          def sample(c: Int): Int = {
+            val sx = x * compH(c) / hmx
+            val sy = y * compV(c) / vmx
+            planes(c)(sy * planeW(c) + sx)
+          }
+          val (rv, gv, bv) = ycbcrToRgb(sample(0), sample(1), sample(2))
+          r(i) = rv; g(i) = gv; b(i) = bv
+        }
+        x += 1
+      }
+      y += 1
+    }
+    JpegColorImage(width, height, r, g, b)
+  }
+
+  /** DC-only 4:2:0 color JPEG fixture encoder: one uniform
+    * (y, cb, cr) per 16×16 MCU, uniform q=8 — each component's DC
+    * path is integer-exact through [[decodeJpegColor]], so fixture
+    * color recovery is bit-exact (the jpegEncodeGray exactness
+    * argument, per component). Real scan structure: interleaved
+    * 4×Y + Cb + Cr blocks per MCU, differential DC per component,
+    * canonical Huffman, byte stuffing.
+    */
+  def jpegEncodeColor420(
+      colors: Array[(Int, Int, Int)], mcusX: Int, mcusY: Int): Array[Byte] = {
+    require(mcusX > 0 && mcusY > 0 && colors.length == mcusX * mcusY,
+      "jpegEncodeColor420: one (y,cb,cr) triple per MCU")
+    require(mcusX * 16 <= 0xFFFF && mcusY * 16 <= 0xFFFF,
+      "jpegEncodeColor420: SOF0 dims are 16-bit")
+    require(colors.forall { case (a, c, d) =>
+      a >= 0 && a <= 255 && c >= 0 && c <= 255 && d >= 0 && d <= 255 },
+      "jpegEncodeColor420: components must be 0..255")
+    val width = mcusX * 16
+    val height = mcusY * 16
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m); out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xFF)
+      body.foreach(out.write)
+    }
+    marker(0xD8)
+    seg(0xDB, 0x00 +: Array.fill(64)(EncQ))
+    seg(0xC0, Array(8, height >> 8, height & 0xFF, width >> 8, width & 0xFF,
+      3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0)) // Y 2x2, Cb 1x1, Cr 1x1
+    seg(0xC4, ((0x00 +: EncDcCounts.toSeq) ++ EncDcSyms.toSeq).toArray)
+    seg(0xC4, ((0x10 +: EncAcCounts.toSeq) ++ EncAcSyms.toSeq).toArray)
+    seg(0xDA, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val dcCodes = huffCanonical(EncDcCounts, EncDcSyms.length)
+    val acCodes = huffCanonical(EncAcCounts, EncAcSyms.length)
+    val acIdx = EncAcSyms.zipWithIndex.toMap
+    var bitBuf = 0L
+    var bitCnt = 0
+    def putBits(code: Int, len: Int): Unit = {
+      bitBuf = (bitBuf << len) | (code & ((1L << len) - 1))
+      bitCnt += len
+      while (bitCnt >= 8) {
+        val bb = ((bitBuf >> (bitCnt - 8)) & 0xFF).toInt
+        out.write(bb)
+        if (bb == 0xFF) out.write(0x00)
+        bitCnt -= 8
+      }
+    }
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putDcOnlyBlock(dcValue: Int, pred: Int): Int = {
+      val diff = dcValue - pred
+      val t = category(diff)
+      val (dcCode, dcLen) = dcCodes(t)
+      putBits(dcCode, dcLen)
+      if (t > 0) putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      val (c, l) = acCodes(acIdx(0x00)) // EOB: DC-only
+      putBits(c, l)
+      dcValue
+    }
+    var predY = 0
+    var predCb = 0
+    var predCr = 0
+    var i = 0
+    while (i < colors.length) {
+      val (yv, cbv, crv) = colors(i)
+      // uniform block DC after quant (q=8): value - 128, per component
+      var blk = 0
+      while (blk < 4) { predY = putDcOnlyBlock(yv - 128, predY); blk += 1 }
+      predCb = putDcOnlyBlock(cbv - 128, predCb)
+      predCr = putDcOnlyBlock(crv - 128, predCr)
+      i += 1
+    }
+    if (bitCnt > 0) putBits(0xFF, 8 - bitCnt)
+    marker(0xD9)
+    out.toByteArray
+  }
+
   // ---- real AVI container codec (pure JVM, no media libraries) -----------
 
   /** True iff the payload is a RIFF/AVI container whose declared size
@@ -1013,6 +1421,40 @@ object Multimodal {
             if (info == null) null else info.bins
           } else stubDecode(r.getString(1), payload)
         Row(r.getLong(0), r.getString(1), nBytes, feature)
+      }
+    }(enc)
+  }
+
+  private val colorStatsSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sum_r", LongType), StructField("sum_g", LongType),
+    StructField("sum_b", LongType), StructField("n_px", LongType)))
+
+  /** Per-image integer color mass from DECODED color-JPEG pixels
+    * (round-9 mm5): sum of each RGB plane plus the pixel count —
+    * integer-exact, so the oracle can recompute it from the fixture
+    * text. Rows whose payload is null or fails the strict decode are
+    * dropped (the codec contract: a violation is a null, never a
+    * guess). Partition-local decode, one narrow row out per image —
+    * the 100 TB shape is the same as decodeFeatures: codec work rides
+    * the input's own partitioning, nothing shuffles but the result.
+    */
+  def colorStats(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(colorStatsSchema)
+    media.select("media_id", "payload").mapPartitions { it: Iterator[Row] =>
+      it.flatMap { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val img = if (isJpeg(payload)) decodeJpegColor(payload) else null
+        if (img == null) None
+        else {
+          var sr = 0L
+          var sg = 0L
+          var sb = 0L
+          var i = 0
+          val n = img.width * img.height
+          while (i < n) { sr += img.r(i); sg += img.g(i); sb += img.b(i); i += 1 }
+          Some(Row(r.getLong(0), sr, sg, sb, n.toLong))
+        }
       }
     }(enc)
   }

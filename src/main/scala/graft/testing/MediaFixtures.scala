@@ -175,6 +175,42 @@ object MediaFixtures {
       lit(null).cast("int").as("sample_rate"),
       (col("n_chars") % 32 + 1).cast("int").as("n_frames"))
 
+  /** Deterministic COLOR JPEG per document (round-9 mm5): one 16×16
+    * 4:2:0 MCU per codepoint (first 256), uniform
+    * (y, cb, cr) = ((cp&7)·16+64, 128+((cp>>3)&3)·16, 128+((cp>>5)&3)·16)
+    * — all three components DC-only and integer-exact through
+    * [[Multimodal.decodeJpegColor]], so decoded RGB is a pure integer
+    * function of the text the oracle mirrors. Chroma >= 128 keeps the
+    * fixed-point color transform shift non-negative on both engines.
+    */
+  val colorJpegFromText = udf((text: String) => {
+    if (text == null) null
+    else {
+      val cps = Array.newBuilder[Int]
+      var i = 0
+      var n = 0
+      while (i < text.length && n < 256) {
+        val cp = text.codePointAt(i)
+        cps += cp
+        i += Character.charCount(cp)
+        n += 1
+      }
+      val cs = cps.result()
+      if (cs.isEmpty) null
+      else {
+        val colors = cs.map(cp =>
+          ((cp & 7) * 16 + 64, 128 + ((cp >> 3) & 3) * 16, 128 + ((cp >> 5) & 3) * 16))
+        Multimodal.jpegEncodeColor420(colors, cs.length, 1)
+      }
+    }
+  })
+
+  def colorJpegMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      lit("image").as("kind"),
+      colorJpegFromText(col("text")).as("payload"))
+
   /** Build a synthetic media frame from the documents table — gives the
     * plumbing a deterministic, driver-data-derived input. All three
     * modalities carry REAL (if synthetic-content) container files:

@@ -339,6 +339,89 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeJpeg(good) != null, "the uncorrupted stream still decodes")
   }
 
+  test("jpegEncodeColor420 → decodeJpegColor: DC-only MCUs round-trip BIT-EXACT") {
+    val rnd = new scala.util.Random(99L)
+    val colors = Array.tabulate(6)(_ =>
+      (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    val payload = Multimodal.jpegEncodeColor420(colors, 3, 2)
+    val img = Multimodal.decodeJpegColor(payload)
+    assert(img != null && img.width === 48 && img.height === 32)
+    // every pixel of each 16x16 MCU must equal the fixed-point
+    // transform of that MCU's (y,cb,cr) — chroma upsample included
+    for (py <- 0 until 32; px <- 0 until 48) {
+      val mcu = (py / 16) * 3 + (px / 16)
+      val (y, cb, cr) = colors(mcu)
+      val (er, eg, eb) = Multimodal.ycbcrToRgb(y, cb, cr)
+      val i = py * 48 + px
+      assert((img.r(i), img.g(i), img.b(i)) === ((er, eg, eb)),
+        s"pixel ($px,$py) mcu $mcu color ($y,$cb,$cr)")
+    }
+  }
+
+  test("decodeJpegColor decodes grayscale streams identically to decodeJpeg") {
+    val px = Array.tabulate(128)(i => (i * 5) % 256)
+    val payload = Multimodal.jpegEncodeGray(px, 8, 16)
+    val gray = Multimodal.decodeJpeg(payload)
+    val color = Multimodal.decodeJpegColor(payload)
+    assert(gray != null && color != null)
+    assert(color.r.toSeq === gray.pixels.toSeq)
+    assert(color.g.toSeq === gray.pixels.toSeq && color.b.toSeq === gray.pixels.toSeq)
+  }
+
+  test("decodeJpegColor: DRI segment parses; missing restart marker → null") {
+    val payload = Multimodal.jpegEncodeColor420(Array((120, 130, 140)), 1, 1)
+    // splice a DRI(0) segment right after SOI: interval 0 = no restarts
+    val dri = Array(0xFF, 0xDD, 0x00, 0x04, 0x00, 0x00).map(_.toByte)
+    val spliced = payload.take(2) ++ dri ++ payload.drop(2)
+    assert(Multimodal.decodeJpegColor(spliced) != null)
+    // a nonzero interval without RSTn markers in the scan must refuse
+    val dri1 = Array(0xFF, 0xDD, 0x00, 0x04, 0x00, 0x01).map(_.toByte)
+    val spliced1 = Multimodal.jpegEncodeColor420(
+      Array((120, 130, 140), (60, 180, 150)), 2, 1).take(2) ++ dri1 ++
+      Multimodal.jpegEncodeColor420(Array((120, 130, 140), (60, 180, 150)), 2, 1).drop(2)
+    assert(Multimodal.decodeJpegColor(spliced1) == null)
+  }
+
+  test("decodeJpegColor never throws on adversarial bytes (seeded fuzz)") {
+    val good = Multimodal.jpegEncodeColor420(
+      Array((100, 140, 150), (200, 130, 160), (50, 160, 130), (255, 128, 128)), 2, 2)
+    val rnd = new scala.util.Random(20260814L)
+    (0 until 300).foreach { _ =>
+      val blob = new Array[Byte](rnd.nextInt(200) + 4)
+      rnd.nextBytes(blob)
+      blob(0) = 0xFF.toByte; blob(1) = 0xD8.toByte
+      Multimodal.decodeJpegColor(blob)
+    }
+    (0 until 300).foreach { _ =>
+      val mut = good.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodeJpegColor(mut)
+    }
+    (0 until good.length).foreach { n =>
+      Multimodal.decodeJpegColor(java.util.Arrays.copyOf(good, n))
+    }
+    assert(Multimodal.decodeJpegColor(good) != null)
+  }
+
+  test("colorStats over the color fixture equals the per-codepoint formula") {
+    import spark.implicits._
+    val docs = Seq((1L, "Ab"), (2L, ""), (3L, null: String))
+      .toDF("doc_id", "text")
+    val media = graft.testing.MediaFixtures.colorJpegMedia(docs)
+    val out = Multimodal.colorStats(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // empty/null text rows produce no payload → dropped
+    assert(out.keySet === Set(1L))
+    def rgbOf(cp: Int) = Multimodal.ycbcrToRgb(
+      (cp & 7) * 16 + 64, 128 + ((cp >> 3) & 3) * 16, 128 + ((cp >> 5) & 3) * 16)
+    val expect = Seq('A'.toInt, 'b'.toInt).map(rgbOf)
+    assert(out(1L)._1 === 256L * expect.map(_._1).sum)
+    assert(out(1L)._2 === 256L * expect.map(_._2).sum)
+    assert(out(1L)._3 === 256L * expect.map(_._3).sum)
+    assert(out(1L)._4 === 512L)
+  }
+
   test("decodeAvi takes the MJPEG intra-frame path for 00dc JPEG chunks") {
     // two frames: classes (1,2) and (3,) — pixel histogram = class shares
     def frame(classes: Array[Int]): Array[Byte] = {
