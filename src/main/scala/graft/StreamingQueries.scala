@@ -66,6 +66,11 @@ object StreamingQueries {
     (Int, String), (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       java.lang.ref.SoftReference[Array[Row]])]()
 
+  /** Test hook: force the gate's state-partition count (the
+    * 32-partition canary proving results are partition-count
+    * independent — `StreamingStateSpec`). */
+  @volatile private[graft] var gatePartitionsOverride: Option[Int] = None
+
   private def collectFeed(df: DataFrame, orderCol: String): Array[Row] = {
     val plan = df.queryExecution.analyzed.canonicalized
     val key = (plan.semanticHash(), orderCol)
@@ -135,7 +140,8 @@ object StreamingQueries {
     // Results are partitioning-independent.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("GRAFT_GATE_PARTITIONS", "4"))
+      gatePartitionsOverride.map(_.toString)
+        .getOrElse(sys.env.getOrElse("GRAFT_GATE_PARTITIONS", "4")))
     // gate state is a few KB: the per-partition RocksDB instance
     // spin-up + per-commit snapshot upload that makes RocksDB right at
     // 100 TB key cardinality is pure fixed cost here, so gate runs use

@@ -1157,4 +1157,19 @@ class StreamingStateSpec extends AnyFunSuite {
       } finally { stop.set(true); swapper.join(10000) }
     } finally idx.release()
   }
+
+  test("gate results are partition-count independent (32-partition canary)") {
+    // the gate harness pins state partitions to 4 purely for fixed
+    // cost; the CONTRACT is that results are identical at any count.
+    // One catalog entry re-run at 32 partitions pins that contract.
+    val dir = "/root/testdata/sf0.001"
+    val fn = graft.SparkEntry.queries("a14s_funnel_stream")
+    def run(): Seq[Seq[Any]] =
+      fn(spark, dir).collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val at4 = run()
+    StreamingQueries.gatePartitionsOverride = Some(32)
+    val at32 = try run() finally { StreamingQueries.gatePartitionsOverride = None }
+    assert(at32 === at4)
+    assert(at4.nonEmpty)
+  }
 }
