@@ -380,6 +380,25 @@ object PipelineQueries {
         .withColumn("recall_at_3", col("n_hit") / lit(3.0))
     }),
 
+    // ---- the (nprobe, kCoarse) grid's pinned point: kCoarse=16,
+    // nprobe=4 — a second cell of the AnnRecallStudy curve under the
+    // oracle gate, so the recall table in SCALE.md has a hash-checked
+    // anchor at a different probe fraction than s9's (8, 2)
+    "s9b_ivf_recall_grid" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+        .select(col("qid"), col("cid"))
+      val approx = Similarity.ivfTopK(emb, q,
+          emb.filter(col("vec_id") >= 100 && col("vec_id") < 116),
+          "vec_id", "embedding", k = 3, nprobe = 4)
+        .select(col("qid"), col("cid"), lit(1).as("_hit"))
+      exact.join(approx, Seq("qid", "cid"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("_hit"), lit(0))).as("n_hit"))
+        .withColumn("recall_at_3", col("n_hit") / lit(3.0))
+    }),
+
     // ---- two-stage ANN: PQ recall (compressed codes only) + exact
     // re-rank of the per-query candidate pool — compression error is
     // confined to candidate choice, reported scores are exact
@@ -1905,6 +1924,31 @@ object PipelineQueries {
          |               WHERE vec_id >= 100 AND vec_id < 108),
          |${ivfAssignSql("assigned", "rn = 1")},
          |${ivfAssignSql("qprobe", "rn <= 2", "WHERE e.vec_id < 8")},
+         |ascored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM assigned c JOIN qprobe q ON c.cell = q.cell AND q.vec_id <> c.vec_id),
+         |ar AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+         |       FROM ascored),
+         |approx AS (SELECT qid, cid FROM ar WHERE rank <= 3),
+         |escored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM embeddings c JOIN embeddings q ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 8),
+         |er AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+         |       FROM escored),
+         |exact AS (SELECT qid, cid FROM er WHERE rank <= 3)
+         |SELECT e.qid, CAST(count(a.cid) AS BIGINT) AS n_hit,
+         |       count(a.cid) / 3.0 AS recall_at_3
+         |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+         |GROUP BY e.qid""".stripMargin,
+
+    "s9b_ivf_recall_grid" ->
+      s"""WITH cents AS (SELECT vec_id AS c, embedding AS ce FROM embeddings
+         |               WHERE vec_id >= 100 AND vec_id < 116),
+         |${ivfAssignSql("assigned", "rn = 1")},
+         |${ivfAssignSql("qprobe", "rn <= 4", "WHERE e.vec_id < 8")},
          |ascored AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,
          |         ${cosSql("q.embedding", "c.embedding")} AS cosine

@@ -5,7 +5,7 @@ over the same testdata tables; sort columns by name, sort rows, compare.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 import pyarrow.parquet as pq
 import pyarrow as pa
@@ -43,7 +43,12 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # driver testdata is a single file; Spark-materialized dirs
+        # (e.g. /tmp/graft_sf1 from ScaleSmoke) are part directories
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
