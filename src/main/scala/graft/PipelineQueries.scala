@@ -38,6 +38,11 @@ object PipelineQueries {
     * and the oracle SQL so the two can never drift. */
   private val BloomM = 1 << 20
 
+  /** Deterministic integer axis for the s16b projection gate — shared
+    * by the Spark query and the generated oracle SQL. */
+  private val PcaAxis: Array[Long] =
+    Array.tabulate(64)(k => (((k + 1) * 37) % 19 - 9).toLong)
+
   /** Deterministic literal LM weight table for the tx10 perplexity
     * gate: non-negative quantized NLL per bigram bucket (an LCG over
     * the bucket index — the dsirStubWeights pattern), generated here
@@ -408,6 +413,21 @@ object PipelineQueries {
         "vec_id", "embedding", k = 3, kCoarse = 12,
         Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8))
     }),
+
+    // ---- one-pass exact Gram matrix over quantized embeddings: the
+    // distributed half of PCA/whitening — n, per-dim sums, upper-tri
+    // products reduced to ONE ~17 KB map-side-combined buffer per
+    // partition; the d×d eigh then runs on the driver (Pca.fit)
+    "s16_gram_matrix" -> ((s, dir) =>
+      graft.pipeline.Pca.gramTriples(t(s, dir, "embeddings"), "embedding", 64)),
+
+    // ---- exact integer projection of the quantized vectors onto a
+    // literal axis — the oracle-gated fold beneath Pca.project (the
+    // eigen-derived axes are spec-tested; this pins the kernel)
+    "s16b_axis_project" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id"),
+        graft.pipeline.Pca.axisProjectQuantized(col("embedding"), PcaAxis)
+          .as("proj"))),
 
     // ---- T1 dict-basket variant: last per basket key
     "t1b_basket_last" -> ((s, dir) =>
@@ -909,6 +929,23 @@ object PipelineQueries {
       Curation.vocabCoverage(t(s, dir, "documents"), Seq("source"), "text",
         Seq("the", "a", "of", "to", "and", "scan", "column", "window",
           "sort", "value", "query", "merge"))),
+
+    // ---- Gopher repetition signal: most frequent word bigram per doc
+    // + the character fraction its occurrences cover — catches
+    // templated spam that the distinct-word fraction (tx5) misses
+    "tx18_top_ngram" -> ((s, dir) =>
+      Curation.topNgramFraction(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- Unicode NFC normalization audit over a deterministically
+    // decomposed copy (combining acute injected after every 'e' — the
+    // corpus is ASCII, so the raw audit would be vacuous): changed
+    // flag + normalized length + MD5 of the composed text, pinning
+    // graft_nfc against DuckDB's nfc_normalize
+    "tx19_nfc_audit" -> ((s, dir) =>
+      Curation.nfcAudit(
+        t(s, dir, "documents").withColumn("text",
+          regexp_replace(col("text"), "e", "e\u0301")),
+        "doc_id", "text")),
 
     // ---- markup extraction: each doc is deterministically wrapped in
     // an HTML page (script/style/comment blocks, entities, per-word
@@ -2606,6 +2643,54 @@ object PipelineQueries {
         |       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
         |       CAST(sum(len(text)) AS BIGINT) AS n_chars
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+
+    "s16_gram_matrix" -> {
+      val quant = "CAST(trunc(CAST(x AS DOUBLE)*1048576.0) AS BIGINT)"
+      s"""WITH q AS (SELECT [$quant for x in embedding] AS qv FROM embeddings),
+         |tri AS (SELECT a.i AS i, b.j AS j
+         |        FROM generate_series(1,64) a(i), generate_series(1,64) b(j)
+         |        WHERE b.j >= a.i),
+         |prods AS (SELECT CAST(tri.i AS INT) AS i, CAST(tri.j AS INT) AS j,
+         |                 CAST(SUM(qv[tri.i]*qv[tri.j]) AS BIGINT) AS v
+         |          FROM q, tri GROUP BY 1, 2),
+         |sums AS (SELECT 0 AS i, CAST(g.j AS INT) AS j,
+         |                CAST(SUM(qv[g.j]) AS BIGINT) AS v
+         |         FROM q, generate_series(1,64) g(j) GROUP BY 1, 2),
+         |cnt AS (SELECT 0 AS i, 0 AS j, COUNT(*) AS v FROM q)
+         |SELECT i, j, v FROM prods
+         |UNION ALL SELECT i, j, v FROM sums
+         |UNION ALL SELECT i, j, v FROM cnt""".stripMargin
+    },
+
+    "s16b_axis_project" -> {
+      val terms = PcaAxis.zipWithIndex.map { case (w, k) =>
+        s"CAST(trunc(CAST(embedding[${k + 1}] AS DOUBLE)*1048576.0) AS BIGINT)*($w)"
+      }
+      s"""SELECT vec_id, ${terms.mkString(" + ")} AS proj
+         |FROM embeddings""".stripMargin
+    },
+
+    "tx18_top_ngram" ->
+      """WITH ts AS (SELECT doc_id, len(text) AS chars,
+        |                   string_split(text, ' ') AS ts FROM documents),
+        |g AS (SELECT doc_id, chars, ts[i] || ' ' || ts[i+1] AS gram
+        |      FROM (SELECT doc_id, chars, ts,
+        |                   unnest(generate_series(1, len(ts)-1)) AS i FROM ts)),
+        |c AS (SELECT doc_id, chars, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn FROM c)
+        |SELECT doc_id, gram AS top_gram, CAST(cnt AS BIGINT) AS top_cnt,
+        |       least(1.0, CAST(cnt * len(gram) AS DOUBLE) / CAST(chars AS DOUBLE))
+        |         AS top_frac
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "tx19_nfc_audit" ->
+      """WITH inj AS (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS t
+        |             FROM documents),
+        |n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM inj)
+        |SELECT doc_id, nt != t AS changed, length(nt) AS norm_chars,
+        |       md5(nt) AS norm_md5
+        |FROM n""".stripMargin,
 
     "tx17_vocab_coverage" ->
       """SELECT source,

@@ -626,10 +626,42 @@ case class FixMojibakeExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_fix_mojibake"
 }
 
+/** Unicode canonical composition (NFC) — the first normalization pass
+  * of every web-scale text pipeline (combining sequences from OCR,
+  * decomposed filenames, and mixed-source corpora collapse to their
+  * precomposed forms, so downstream hashing/dedup sees one spelling).
+  * Fast path: `Normalizer.isNormalized` is a cheap scan that is true
+  * for (near-)all ASCII/already-composed text, so the common case
+  * allocates nothing and returns the input buffer unchanged.
+  * Parity: java.text.Normalizer implements the same Unicode NFC the
+  * DuckDB oracle's `nfc_normalize` does — the gate row pins it.
+  */
+object NfcNormalize {
+  def nfc(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+}
+
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nfc"
+}
+
 object NativeExpressions {
   /** Column wrappers for direct DataFrame use. */
   def fixMojibake(c: Column): Column =
     ColumnBridge.column(FixMojibakeExpr(ColumnBridge.expression(c)))
+  def nfcNormalize(c: Column): Column =
+    ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(c)))
   def polyHash(c: Column): Column =
     ColumnBridge.column(PolyHashExpr(ColumnBridge.expression(c)))
   def cosine(a: Column, b: Column): Column =
@@ -671,6 +703,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fix_mojibake"),
       new ExpressionInfo(classOf[FixMojibakeExpr].getName, "graft_fix_mojibake"),
       (exprs: Seq[Expression]) => FixMojibakeExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cosine"),

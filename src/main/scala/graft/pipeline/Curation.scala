@@ -1683,4 +1683,63 @@ object Curation {
         (count(lit(1)) * first(col("bucket")) - sum(col("n_tokens"))).as("padded_tokens"))
       .select(col("bucket"), col("n_batches"), col("n_docs"),
         col("sum_tokens"), col("padded_tokens"))
+
+  /** Gopher-style intra-document repetition signal: the most frequent
+    * word n-gram of each doc and the fraction of characters its
+    * occurrences cover (`count · gramChars / docChars`, capped at 1 —
+    * the standard open-reproduction approximation, occurrences counted
+    * with overlap). Complements [[gopherSignals]]'s distinct-word
+    * fraction (which sees word-soup) — this catches TEMPLATED spam
+    * where one phrase dominates an otherwise diverse vocabulary.
+    *
+    * Ties break on the binary-larger gram so the winner is a pure
+    * function of the document (engine-portable for the corpus's ASCII
+    * tokens). Docs with fewer than `n` words emit no row.
+    *
+    * 100 TB shape: explode to (doc, gram) → two keyed aggregations,
+    * both with map-side partial combine; grams of one doc co-locate
+    * after the first exchange so the arg-max never sees corpus rows
+    * twice. Text itself never shuffles — only (id, gram, count).
+    */
+  def topNgramFraction(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 8, "topNgramFraction n must be in [1, 8]")
+    val tk = TextFunctions.tokens(col(textCol))
+    val grams = when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), length(col(textCol)).as("chars"),
+        explode(grams).as("gram"))
+      .groupBy(col(idCol), col("chars"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol), col("chars"))
+      .agg(max(struct(col("cnt"), col("gram"))).as("top"))
+      .select(col(idCol),
+        col("top.gram").as("top_gram"),
+        col("top.cnt").as("top_cnt"),
+        least(lit(1.0),
+          (col("top.cnt") * length(col("top.gram"))).cast("double") /
+            col("chars").cast("double")).as("top_frac"))
+  }
+
+  /** Unicode-normalization audit (the ftfy-adjacent NFC pass): per
+    * doc, whether NFC changes the text, the normalized codepoint
+    * length, and the MD5 of the normalized UTF-8 bytes — the
+    * before-commit check that a mixed-source corpus hashes/dedups one
+    * spelling per string. Pure codegen'd per-row arithmetic, zero
+    * shuffle; the `graft_nfc` fast path returns already-normalized
+    * text without allocation, so on a clean corpus the audit costs one
+    * scan of cheap `isNormalized` checks.
+    */
+  def nfcAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = graft.functions.NativeExpressions.nfcNormalize(col(textCol))
+    df.select(col(idCol),
+      (norm =!= col(textCol)).as("changed"),
+      length(norm).as("norm_chars"),
+      md5(norm.cast("binary")).as("norm_md5"))
+  }
 }

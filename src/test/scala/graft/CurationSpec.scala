@@ -452,4 +452,48 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
     assert(even == Map("a" -> false, "b" -> false))
   }
+
+  test("topNgramFraction: hand-computed winner, tie-break, short-doc drop") {
+    val docs = Seq(
+      // "a b" x2 (overlapping at "b a b"), "b a" x1, "b c" x1 — top is "a b"
+      (1L, "a b a b c"),
+      // all bigrams distinct, counts tie at 1 → binary-largest gram wins
+      (2L, "x y z"),
+      (3L, "solo")) // 1 token, no bigram → no row
+      .toDF("doc_id", "text")
+    val out = Curation.topNgramFraction(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L)._1 === "a b" && out(1L)._2 === 2L)
+    // 2 occurrences × 3 chars / 9 chars
+    assert(math.abs(out(1L)._3 - 6.0 / 9.0) < 1e-12)
+    assert(out(2L)._1 === "y z") // tie on count=1, "y z" > "x y"
+    // dominant phrase spam caps at 1.0
+    val spam = Seq((9L, "buy now buy now buy now")).toDF("doc_id", "text")
+    val s = Curation.topNgramFraction(spam, "doc_id", "text").head()
+    assert(s.getString(1) === "now buy" || s.getString(1) === "buy now")
+    assert(s.getDouble(3) <= 1.0)
+  }
+
+  test("nfcAudit: decomposed text composes, clean text passes unchanged") {
+    val docs = Seq(
+      (1L, "cafe\u0301"), // decomposed e+combining-acute: composes to 4 codepoints
+      (2L, "cafe"), // ASCII, already NFC
+      (3L, "caf\u00e9")) // precomposed, already NFC
+      .toDF("doc_id", "text")
+    val out = Curation.nfcAudit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L)._1 === true)
+    assert(out(2L)._1 === false && out(3L)._1 === false)
+    assert(out(1L)._2 === 4 && out(3L)._2 === 4)
+    // decomposed input normalizes to exactly the precomposed doc's bytes
+    assert(out(1L)._3 === out(3L)._3)
+    assert(out(2L)._3 !== out(3L)._3)
+    // idempotence: normalizing an already-audited-clean doc is identity
+    val once = graft.functions.NativeExpressions.nfcNormalize(col("text"))
+    val twice = graft.functions.NativeExpressions.nfcNormalize(once)
+    assert(docs.select((once === twice).as("eq")).collect().forall(_.getBoolean(0)))
+  }
 }

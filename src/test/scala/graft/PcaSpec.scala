@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Pca
+
+class PcaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def approx(a: Double, b: Double, tol: Double = 1e-9): Boolean =
+    math.abs(a - b) <= tol * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+  test("jacobiEigSym matches the 2x2 closed form") {
+    val (values, vectors) = Pca.jacobiEigSym(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(approx(values(0), 3.0) && approx(values(1), 1.0))
+    // top eigenvector is ±[1,1]/sqrt2
+    val v0 = vectors(0)
+    assert(approx(math.abs(v0(0)), 1.0 / math.sqrt(2), 1e-9))
+    assert(approx(v0(0), v0(1), 1e-9))
+  }
+
+  test("jacobiEigSym properties on a seeded symmetric 8x8") {
+    val rnd = new scala.util.Random(42)
+    val d = 8
+    val m = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val x = rnd.nextDouble() * 2 - 1
+      m(i)(j) = x; m(j)(i) = x
+    }
+    val (values, vectors) = Pca.jacobiEigSym(m)
+    // descending order
+    assert(values.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    // A·v = λ·v and orthonormality
+    for (k <- 0 until d) {
+      val v = vectors(k)
+      val av = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+      for (i <- 0 until d) assert(approx(av(i), values(k) * v(i), 1e-8))
+      for (l <- 0 until d) {
+        val dot = (0 until d).map(i => v(i) * vectors(l)(i)).sum
+        assert(approx(dot, if (l == k) 1.0 else 0.0, 1e-8))
+      }
+    }
+    // trace preserved
+    assert(approx(values.sum, (0 until d).map(i => m(i)(i)).sum, 1e-9))
+  }
+
+  test("gram triples are partition-count independent (merge correctness)") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(6)(rnd.nextFloat() * 2 - 1)))
+    def triples(parts: Int) =
+      Pca.gramTriples(
+        rows.toDF("vec_id", "embedding").repartition(parts), "embedding", 6)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val one = triples(1)
+    assert(one === triples(7))
+    assert(one === triples(32))
+    assert(one.size === 1 + 6 + 21)
+    assert(one.contains((0, 0, 200L)))
+  }
+
+  test("fit recovers the dominant axis of correlated data; projection variance matches eigenvalue") {
+    // points along direction (3,4)/5 with small isotropic noise
+    val rnd = new scala.util.Random(1)
+    val rows = Seq.tabulate(2000) { i =>
+      val s = rnd.nextGaussian()
+      val nx = rnd.nextGaussian() * 0.01
+      val ny = rnd.nextGaussian() * 0.01
+      (i.toLong, Array((0.6 * s + nx).toFloat, (0.8 * s + ny).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Pca.fit(df, "embedding", dim = 2, k = 2)
+    val c0 = model.components(0)
+    // dominant component aligns with (0.6, 0.8) up to sign
+    val align = math.abs(c0(0) * 0.6 + c0(1) * 0.8)
+    assert(align > 0.99, s"alignment $align")
+    assert(model.eigenvalues(0) > 50 * model.eigenvalues(1))
+    // projected variance per component ≈ eigenvalue (quantization-tolerant)
+    val proj = Pca.project(df, "embedding", model)
+    val stats = proj.agg(
+      variance(col("pc1")).as("v1"), variance(col("pc2")).as("v2"),
+      avg(col("pc1")).as("m1")).head()
+    // population-vs-sample correction is ~1/n — inside the 1% tolerance
+    assert(math.abs(stats.getDouble(0) - model.eigenvalues(0))
+      <= 0.01 * model.eigenvalues(0))
+    assert(math.abs(stats.getDouble(2)) < 1e-6) // centered
+  }
+
+  test("axisProjectQuantized equals a driver-side recompute") {
+    val rnd = new scala.util.Random(3)
+    val w = Array.tabulate(5)(k => (k * 3 - 6).toLong)
+    val rows = Seq.tabulate(50)(i => (i.toLong, Array.fill(5)(rnd.nextFloat() - 0.5f)))
+    val got = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Pca.axisProjectQuantized(col("embedding"), w).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, vec) =>
+      val want = vec.zip(w).map { case (x, wk) =>
+        (x.toDouble * 1048576.0).toLong * wk
+      }.sum
+      assert(got(id) === want)
+    }
+  }
+
+  test("gram fails fast on wrong-length vectors") {
+    val bad = Seq((1L, Array(0.1f, 0.2f)), (2L, Array(0.3f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Pca.gramTriples(bad, "embedding", 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}

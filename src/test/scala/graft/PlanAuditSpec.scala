@@ -888,4 +888,49 @@ class PlanAuditSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(r === Seq("RED", "BLUE"))
   }
+
+  test("s16 gram matrix: map-side partial aggregation, single-buffer exchange") {
+    val p = plan(graft.pipeline.Pca.gramTriples(
+      graft.core.Tables.load(spark, dir, "embeddings"), "embedding", 64))
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial phase below the exchange: the shuffle carries ONE
+    // serialized (n, sums, tri-products) buffer per partition, never
+    // embedding rows
+    assert("ObjectHashAggregate".r.findAllIn(p).size === 2, p.take(3000))
+    assert(p.contains("partial_graft_gram"), p.take(3000))
+    assert(p.contains("Exchange SinglePartition"), p.take(3000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    // scan pruned to the vector column
+    assert(p.contains("ReadSchema: struct<embedding:array<float>>"), p.take(3000))
+  }
+
+  test("s16b axis projection and tx19 NFC audit are narrow: zero exchanges") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val p1 = plan(emb.select(col("vec_id"),
+      graft.pipeline.Pca.axisProjectQuantized(col("embedding"),
+        Array.tabulate(64)(_.toLong)).as("proj")))
+    assert(!p1.contains("Exchange"), p1.take(3000))
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p2 = plan(graft.pipeline.Curation.nfcAudit(docs, "doc_id", "text"))
+    assert(!p2.contains("Exchange"), p2.take(3000))
+    assert(p2.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p2.take(3000))
+  }
+
+  test("tx18 top-ngram: both exchanges key on the document, text never shuffles") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(graft.pipeline.Curation.topNgramFraction(docs, "doc_id", "text"))
+    val hashEx = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    // first exchange co-locates (doc, gram) partials, second the
+    // per-doc arg-max — every key starts with doc_id
+    assert(hashEx.nonEmpty && hashEx.forall(_.startsWith("doc_id")),
+      s"$hashEx\n${p.take(3000)}")
+    // map-side combine before the first exchange
+    assert(p.contains("partial_count"), p.take(3000))
+    // the full text column is projected away before any exchange: the
+    // shuffled attributes are (doc_id, chars, gram, counts) only
+    val firstEx = p.indexOf("Exchange hashpartitioning")
+    assert(firstEx > 0 && !p.substring(0, firstEx).contains("text#"),
+      p.take(3000))
+  }
 }
