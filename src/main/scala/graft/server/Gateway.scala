@@ -1027,23 +1027,133 @@ final class Gateway(
             """<p>Data endpoints: <code>/api/v1/table/{name}</code> (JSON), """ +
             """<code>/api/v1/table/{name}/arrow</code> (Arrow IPC)</p>""")
         case (Some(vs), name) if vs.names.contains(name) =>
-          // fetch-and-render loop against the JSON data plane; no
-          // external assets, so it works in the zero-egress sandbox
-          // cell values are client-supplied via /send — escape them
+          // pivot workspace against the JSON data plane (the
+          // Perspective-viewer use-case from perspective.py:179-641,
+          // re-expressed as dependency-free inline JS so it works in
+          // the zero-egress sandbox): group-by over any column set,
+          // sum/avg/min/max/count aggregation, per-column filter,
+          // click-to-sort headers, row limit — all computed
+          // client-side over the fetched frame, live-refreshed.
+          // Cell values are client-supplied via /send — escape them
           // (and column names), or a value like <img onerror=…> is
           // stored XSS against anyone viewing the page
           page(s"Table $name",
-            s"""<h1>$name</h1><div id="t">loading…</div><script>
+            s"""<h1>$name</h1>
+               |<div id="ctl" class="ctl"></div>
+               |<div id="t">loading…</div><script>
+               |'use strict';
                |const esc = s => String(s).replace(/&/g,'&amp;').replace(/</g,'&lt;')
                |  .replace(/>/g,'&gt;').replace(/"/g,'&quot;');
+               |const state = {groupBy: [], agg: 'count', aggCol: '',
+               |               sortCol: '', sortDir: 1,
+               |               filterCol: '', filterOp: '==', filterVal: '',
+               |               limit: 500, cols: []};
+               |let raw = [];
+               |function cmp(a, b){
+               |  if (a === b) return 0;
+               |  if (a === null || a === undefined) return -1;
+               |  if (b === null || b === undefined) return 1;
+               |  if (typeof a === 'number' && typeof b === 'number') return a - b;
+               |  return String(a) < String(b) ? -1 : 1;
+               |}
+               |function applyFilter(rows){
+               |  if (!state.filterCol || state.filterVal === '') return rows;
+               |  const c = state.filterCol, v = state.filterVal;
+               |  const n = Number(v), useNum = v !== '' && !isNaN(n);
+               |  return rows.filter(r => {
+               |    const x = r[c];
+               |    const [xa, va] = (useNum && typeof x === 'number') ? [x, n] : [String(x), v];
+               |    switch (state.filterOp) {
+               |      case '==': return xa === va; case '!=': return xa !== va;
+               |      case '<':  return xa <  va;  case '<=': return xa <= va;
+               |      case '>':  return xa >  va;  case '>=': return xa >= va;
+               |      case 'contains': return String(x).indexOf(v) >= 0;
+               |      default: return true;
+               |    }
+               |  });
+               |}
+               |function pivot(rows){
+               |  if (!state.groupBy.length) return rows;
+               |  const m = new Map();
+               |  for (const r of rows) {
+               |    const key = state.groupBy.map(c => JSON.stringify(r[c])).join('\\u0001');
+               |    let g = m.get(key);
+               |    if (!g) { g = {n: 0, sum: 0, min: null, max: null, row: r}; m.set(key, g); }
+               |    g.n += 1;
+               |    const x = state.aggCol ? r[state.aggCol] : null;
+               |    if (typeof x === 'number') {
+               |      g.sum += x;
+               |      g.min = g.min === null ? x : Math.min(g.min, x);
+               |      g.max = g.max === null ? x : Math.max(g.max, x);
+               |    }
+               |  }
+               |  const label = state.agg === 'count' ? 'count'
+               |    : state.agg + '(' + state.aggCol + ')';
+               |  return Array.from(m.values()).map(g => {
+               |    const out = {};
+               |    for (const c of state.groupBy) out[c] = g.row[c];
+               |    out[label] = state.agg === 'count' ? g.n
+               |      : state.agg === 'sum' ? g.sum
+               |      : state.agg === 'avg' ? (g.n ? g.sum / g.n : null)
+               |      : state.agg === 'min' ? g.min : g.max;
+               |    return out;
+               |  });
+               |}
+               |function render(){
+               |  let rows = pivot(applyFilter(raw));
+               |  if (state.sortCol)
+               |    rows = rows.slice().sort((a, b) =>
+               |      state.sortDir * cmp(a[state.sortCol], b[state.sortCol]));
+               |  rows = rows.slice(0, state.limit);
+               |  const cols = rows.length ? Object.keys(rows[0]) : state.cols;
+               |  let h = '<table><tr>' + cols.map(c =>
+               |    '<th class="hdr" data-c="' + esc(c) + '">' + esc(c) +
+               |    (state.sortCol === c ? (state.sortDir > 0 ? ' ▲' : ' ▼') : '') +
+               |    '</th>').join('') + '</tr>';
+               |  for (const row of rows)
+               |    h += '<tr>' + cols.map(c => '<td>' + esc(row[c]) + '</td>').join('') + '</tr>';
+               |  document.getElementById('t').innerHTML = h + '</table>';
+               |  for (const th of document.querySelectorAll('th.hdr'))
+               |    th.onclick = () => {
+               |      const c = th.getAttribute('data-c');
+               |      if (state.sortCol === c) state.sortDir = -state.sortDir;
+               |      else { state.sortCol = c; state.sortDir = 1; }
+               |      render();
+               |    };
+               |}
+               |function controls(){
+               |  const sel = (id, opts, multi) => '<select id="' + id + '"' +
+               |    (multi ? ' multiple size="3"' : '') + '>' + opts.map(o =>
+               |    '<option value="' + esc(o) + '">' + esc(o || '(none)') +
+               |    '</option>').join('') + '</select>';
+               |  document.getElementById('ctl').innerHTML =
+               |    'group by ' + sel('gb', state.cols, true) +
+               |    ' agg ' + sel('agg', ['count','sum','avg','min','max']) +
+               |    ' of ' + sel('aggc', [''].concat(state.cols)) +
+               |    ' filter ' + sel('fc', [''].concat(state.cols)) +
+               |    sel('fop', ['==','!=','<','<=','>','>=','contains']) +
+               |    ' <input id="fv" size="8"> limit <input id="lim" size="5" value="500">' +
+               |    ' <button id="apply">apply</button> <span id="n"></span>';
+               |  document.getElementById('apply').onclick = () => {
+               |    state.groupBy = Array.from(
+               |      document.getElementById('gb').selectedOptions).map(o => o.value);
+               |    state.agg = document.getElementById('agg').value;
+               |    state.aggCol = document.getElementById('aggc').value;
+               |    if (state.agg !== 'count' && !state.aggCol) state.agg = 'count';
+               |    state.filterCol = document.getElementById('fc').value;
+               |    state.filterOp = document.getElementById('fop').value;
+               |    state.filterVal = document.getElementById('fv').value;
+               |    state.limit = parseInt(document.getElementById('lim').value) || 500;
+               |    render();
+               |  };
+               |}
                |async function tick(){
                |  const r = await fetch('/api/v1/table/$name');
-               |  const rows = await r.json();
-               |  const cols = rows.length ? Object.keys(rows[0]) : [];
-               |  let h = '<table><tr>'+cols.map(c=>'<th>'+esc(c)+'</th>').join('')+'</tr>';
-               |  for (const row of rows)
-               |    h += '<tr>'+cols.map(c=>'<td>'+esc(row[c])+'</td>').join('')+'</tr>';
-               |  document.getElementById('t').innerHTML = h+'</table>';
+               |  raw = await r.json();
+               |  const cols = raw.length ? Object.keys(raw[0]) : [];
+               |  if (cols.join() !== state.cols.join()) { state.cols = cols; controls(); }
+               |  document.getElementById('n').textContent = raw.length + ' rows';
+               |  render();
                |}
                |tick(); setInterval(tick, 2000);
                |</script>""".stripMargin)

@@ -42,6 +42,13 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # big-SF runs: let the caller pin DuckDB's memory ceiling and spill
+    # location (heavy dedup oracles at sf1 spill tens of GB; an
+    # explicit temp_directory keeps that off the repo tree)
+    if os.environ.get("GRAFT_DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+    if os.environ.get("GRAFT_DUCKDB_TMP"):
+        con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TMP']}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # driver testdata is a single file; Spark-materialized dirs
