@@ -472,6 +472,20 @@ object StreamingQueries {
         .filter(col("est_count") > 0)
     }),
 
+    // ---- live per-dimension embedding drift monitor: one Gram buffer
+    // per label in the state store; the final emission's per-dim
+    // count/sum/sum-of-squares equal the batch quantized Gram exactly
+    // (integer accumulation — slicing-independent)
+    "s16s_gram_stream" -> ((s, dir) => {
+      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "update", ticks = 4) {
+        case Seq(emb) => StreamingState.gramStream(emb, Seq("label"), "embedding", 64)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("label", "j").orderBy(col("n").desc)
+      out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .drop("_rn")
+    }),
+
     // ---- live snapshot-drift monitor: the new snapshot streams in,
     // per-source (count, integer len-sum) state updating live; the
     // final state joins the static baseline profile and reproduces the
@@ -903,6 +917,17 @@ object StreamingQueries {
         |FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
         |WHERE t IN ('scan', 'column', 'window', 'sort', 'value')
         |GROUP BY lang, t""".stripMargin,
+
+    // the stream's final per-label Gram diagonal equals the batch
+    // quantized aggregate (same trunc(x·2^20) integers)
+    "s16s_gram_stream" ->
+      """WITH q AS (SELECT label,
+        |  [CAST(trunc(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] AS qv
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(g.j AS INT) AS j,
+        |       CAST(SUM(qv[g.j]) AS BIGINT) AS s,
+        |       CAST(SUM(qv[g.j]*qv[g.j]) AS BIGINT) AS p
+        |FROM q, generate_series(1,64) g(j) GROUP BY label, g.j""".stripMargin,
 
     // the delta stream is the batch distinct (user, period) frame —
     // batch oracle verbatim

@@ -1558,4 +1558,77 @@ object StreamingState {
           } else Iterator.empty
       }
   }
+
+  /** Streaming per-dimension second-moment monitor — the live twin of
+    * [[graft.functions.GramMatrixAgg]]'s diagonal: one
+    * [[graft.functions.GramBuf]] per key in the state store, updated
+    * per micro-batch with the batch aggregate's exact quantization
+    * (`trunc(toDouble(x)·2^scaleBits)`), so the final state's
+    * per-dimension count/sum/sum-of-squares equal the batch Gram
+    * bit-for-bit regardless of how the feed is sliced. Every batch
+    * that touches a key re-emits its `dim` refreshed rows
+    * `(keys…, n, j, s, p)` (update mode; `n` strictly grows and is
+    * the recency key — the st5s contract). This is the
+    * embedding-drift monitor: running mean/variance per dimension of
+    * a live ingest, constant `O(dim²)` state per key, no corpus
+    * retention. The full off-diagonal state rides along, so a PCA
+    * refit ([[graft.pipeline.Pca.covariance]]) can consume the same
+    * buffers without a second pass.
+    */
+  def gramStream(
+      df: DataFrame,
+      keys: Seq[String],
+      vecCol: String,
+      dim: Int,
+      scaleBits: Int = graft.functions.GramMatrix.DefaultScaleBits): DataFrame = {
+    require(keys.nonEmpty, "gramStream requires at least one key")
+    val schema = df.schema
+    val n = schema.length
+    val keyIdxs = keys.map(schema.fieldIndex)
+    val vecIdx = schema.fieldIndex(vecCol)
+    val scale = java.lang.Math.scalb(1.0, scaleBits)
+    val outSchema = StructType(keys.map(schema(_)) ++ Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("j", IntegerType, nullable = false),
+      StructField("s", LongType, nullable = false),
+      StructField("p", LongType, nullable = false)))
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.BINARY
+    implicit val outEnc = Encoders.row(outSchema)
+    df.withColumn("_graft_gk", groupKeyExpr(schema, keys))
+      .groupByKey((r: Row) => r.getString(n))
+      .flatMapGroupsWithState[Array[Byte], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Array[Byte]]) =>
+          val buf = state.getOption
+            .map(graft.functions.GramBuf.deserialize)
+            .getOrElse(new graft.functions.GramBuf(dim))
+          val before = buf.n
+          var last: Row = null
+          rows.foreach { r =>
+            last = r
+            if (!r.isNullAt(vecIdx)) {
+              val vec = r.getSeq[Float](vecIdx)
+              require(vec.length == dim,
+                s"gramStream: vector length ${vec.length} != dim $dim")
+              val q = new Array[Long](dim)
+              var k = 0
+              while (k < dim) { q(k) = (vec(k).toDouble * scale).toLong; k += 1 }
+              buf.add(q)
+            }
+          }
+          if (buf.n == before) Iterator.empty
+          else {
+            state.update(buf.serialize)
+            val keyVals = keyIdxs.map(last.get)
+            // diagonal index of (j,j) in the upper-tri layout:
+            // offset(j) = j*dim - j*(j-1)/2
+            (0 until dim).iterator.map { j =>
+              Row.fromSeq(keyVals ++ Seq(Long.box(buf.n), Int.box(j + 1),
+                Long.box(buf.sums(j)),
+                Long.box(buf.prods(j * dim - j * (j - 1) / 2))))
+            }
+          }
+      }
+  }
 }
