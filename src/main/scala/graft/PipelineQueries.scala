@@ -429,6 +429,13 @@ object PipelineQueries {
         graft.pipeline.Pca.axisProjectQuantized(col("embedding"), PcaAxis)
           .as("proj"))),
 
+    // ---- per-label Gram: one buffer per key through the same
+    // map-side-combined aggregate — per-domain covariance in one pass
+    // (drift comparison / per-group whitening input)
+    "s16c_gram_by_label" -> ((s, dir) =>
+      graft.pipeline.Pca.gramTriplesBy(
+        t(s, dir, "embeddings"), Seq("label"), "embedding", 64)),
+
     // ---- T1 dict-basket variant: last per basket key
     "t1b_basket_last" -> ((s, dir) =>
       graft.state.StateOps.last(t(s, dir, "events"), "event_id",
@@ -2668,6 +2675,24 @@ object PipelineQueries {
       }
       s"""SELECT vec_id, ${terms.mkString(" + ")} AS proj
          |FROM embeddings""".stripMargin
+    },
+
+    "s16c_gram_by_label" -> {
+      val quant = "CAST(trunc(CAST(x AS DOUBLE)*1048576.0) AS BIGINT)"
+      s"""WITH q AS (SELECT label, [$quant for x in embedding] AS qv FROM embeddings),
+         |tri AS (SELECT a.i AS i, b.j AS j
+         |        FROM generate_series(1,64) a(i), generate_series(1,64) b(j)
+         |        WHERE b.j >= a.i),
+         |prods AS (SELECT label, CAST(tri.i AS INT) AS i, CAST(tri.j AS INT) AS j,
+         |                 CAST(SUM(qv[tri.i]*qv[tri.j]) AS BIGINT) AS v
+         |          FROM q, tri GROUP BY 1, 2, 3),
+         |sums AS (SELECT label, 0 AS i, CAST(g.j AS INT) AS j,
+         |                CAST(SUM(qv[g.j]) AS BIGINT) AS v
+         |         FROM q, generate_series(1,64) g(j) GROUP BY 1, 2, 3),
+         |cnt AS (SELECT label, 0 AS i, 0 AS j, COUNT(*) AS v FROM q GROUP BY 1)
+         |SELECT label, i, j, v FROM prods
+         |UNION ALL SELECT label, i, j, v FROM sums
+         |UNION ALL SELECT label, i, j, v FROM cnt""".stripMargin
     },
 
     "tx18_top_ngram" ->

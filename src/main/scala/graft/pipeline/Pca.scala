@@ -30,6 +30,20 @@ object Pca {
     df.agg(GramMatrix.gramTriples(col(vecCol), dim, scaleBits).as("g"))
       .select(inline(col("g")))
 
+  /** Per-group Gram triples `(keys…, i, j, v)`: one buffer per key
+    * through the same map-side-combined aggregate — per-domain /
+    * per-label covariance in one pass (the input to per-group drift
+    * comparison or per-group whitening). The shuffle carries one
+    * ~17 KB buffer per (partition, key), never vectors.
+    */
+  def gramTriplesBy(df: DataFrame, keys: Seq[String], vecCol: String,
+      dim: Int, scaleBits: Int = GramMatrix.DefaultScaleBits): DataFrame = {
+    require(keys.nonEmpty, "gramTriplesBy needs at least one key")
+    df.groupBy(keys.map(col): _*)
+      .agg(GramMatrix.gramTriples(col(vecCol), dim, scaleBits).as("g"))
+      .select(keys.map(col) :+ inline(col("g")): _*)
+  }
+
   /** Sample mean and covariance recovered from collected gram triples.
     * Unscaling divides by 2^scaleBits (mean) / 2^(2·scaleBits)
     * (second moments); covariance uses the 1/n (population) convention
@@ -165,6 +179,25 @@ object Pca {
       val meanDot = comp.zip(model.mean).map { case (c, mu) => c * mu }.sum
       d.withColumn(s"pc${m + 1}", litDot(col(vecCol), comp) - lit(meanDot))
     }
+
+  /** Whitening: project onto the top-k components and scale each to
+    * unit variance (`pc_m / sqrt(λ_m)`), so downstream cosine /
+    * Euclidean comparisons weigh every retained direction equally —
+    * the standard preprocessing before embedding dedup or index build
+    * when raw dimensions have wildly uneven variance. Components with
+    * eigenvalue <= `minVariance` are dropped rather than amplified
+    * (dividing by a near-zero sqrt would blow up noise directions).
+    */
+  def whiten(df: DataFrame, vecCol: String, model: PcaModel,
+      minVariance: Double = 1e-12): DataFrame = {
+    val kept = model.components.zip(model.eigenvalues).zipWithIndex
+      .filter { case ((_, ev), _) => ev > minVariance }
+    kept.foldLeft(df) { case (d, ((comp, ev), m)) =>
+      val meanDot = comp.zip(model.mean).map { case (c, mu) => c * mu }.sum
+      d.withColumn(s"wc${m + 1}",
+        (litDot(col(vecCol), comp) - lit(meanDot)) / lit(math.sqrt(ev)))
+    }
+  }
 
   /** Exact integer projection of the QUANTIZED vector onto a literal
     * integer axis — the oracle-gated kernel beneath [[project]]:

@@ -104,6 +104,48 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("whiten: covariance of whitened coordinates is the identity") {
+    val rnd = new scala.util.Random(5)
+    // anisotropic 3-d cloud: stddevs 4 / 1 / 0.25 along rotated axes
+    val rows = Seq.tabulate(3000) { i =>
+      val a = rnd.nextGaussian() * 4; val b = rnd.nextGaussian()
+      val c = rnd.nextGaussian() * 0.25
+      (i.toLong, Array(
+        (0.5 * a + 0.6 * b + 0.1 * c).toFloat,
+        (0.4 * a - 0.5 * b + 0.3 * c).toFloat,
+        (0.2 * a + 0.2 * b - 0.9 * c).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Pca.fit(df, "embedding", dim = 3, k = 3)
+    val w = Pca.whiten(df, "embedding", model)
+      .select("wc1", "wc2", "wc3").collect()
+      .map(r => Array(r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val n = w.length
+    for (i <- 0 until 3; j <- i until 3) {
+      val mi = w.map(_(i)).sum / n
+      val mj = w.map(_(j)).sum / n
+      val cov = w.map(v => (v(i) - mi) * (v(j) - mj)).sum / n
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(cov - want) < 0.05, s"cov($i,$j)=$cov")
+    }
+  }
+
+  test("gramTriplesBy partitions the accumulation per key") {
+    val rnd = new scala.util.Random(9)
+    val rows = Seq.tabulate(120)(i =>
+      (i.toLong, i % 3, Array.fill(4)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val byKey = Pca.gramTriplesBy(df, Seq("label"), "embedding", 4)
+      .collect().map(r => (r.getInt(0), (r.getInt(1), r.getInt(2))) -> r.getLong(3)).toMap
+    (0 until 3).foreach { lab =>
+      val only = Pca.gramTriples(
+        df.filter(col("label") === lab), "embedding", 4)
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      only.foreach { case (ij, v) => assert(byKey((lab, ij)) === v, s"label $lab $ij") }
+      assert(byKey((lab, (0, 0))) === 40L)
+    }
+  }
+
   test("gram fails fast on wrong-length vectors") {
     val bad = Seq((1L, Array(0.1f, 0.2f)), (2L, Array(0.3f))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {
