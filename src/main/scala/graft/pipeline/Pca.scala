@@ -199,6 +199,28 @@ object Pca {
     }
   }
 
+  /** Mahalanobis outlier score in the PCA basis: with whitened
+    * coordinates `wc_m = (x-μ)·c_m / sqrt(λ_m)`, the squared
+    * Mahalanobis distance is simply `Σ wc_m²` — no explicit Σ⁻¹
+    * materialization, numerically stable (near-zero directions are
+    * dropped by [[whiten]]'s `minVariance` guard instead of blowing
+    * up), and a narrow per-row fold like everything else in this
+    * family. For Gaussian-ish data the score is ~χ²(k): mean ≈ k, so
+    * `score > k + c·sqrt(2k)` is the usual cut. This is the
+    * embedding-corruption filter run before dedup/index build:
+    * truncated/garbage vectors land far outside the corpus ellipsoid
+    * even when their norm looks ordinary.
+    */
+  def outlierScores(df: DataFrame, vecCol: String, model: PcaModel,
+      minVariance: Double = 1e-12): DataFrame = {
+    val kept = model.components.zip(model.eigenvalues)
+      .count { case (_, ev) => ev > minVariance }
+    val w = whiten(df, vecCol, model, minVariance)
+    w.withColumn("maha_sq",
+      (1 to kept).map(m => col(s"wc$m") * col(s"wc$m"))
+        .reduce(_ + _))
+  }
+
   /** Exact integer projection of the QUANTIZED vector onto a literal
     * integer axis — the oracle-gated kernel beneath [[project]]:
     * `p = Σ trunc(toDouble(x_k)·2^scaleBits) · w_k`, bit-identical in

@@ -146,6 +146,26 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("outlierScores: chi-square mean on clean data; corrupt vector flagged") {
+    val rnd = new scala.util.Random(17)
+    val clean = Seq.tabulate(2000) { i =>
+      val a = rnd.nextGaussian() * 3; val b = rnd.nextGaussian()
+      (i.toLong, Array((0.8 * a + 0.1 * b).toFloat, (0.1 * a - 0.9 * b).toFloat))
+    }
+    val df = clean.toDF("vec_id", "embedding")
+    val model = Pca.fit(df, "embedding", dim = 2, k = 2)
+    val scores = Pca.outlierScores(df, "embedding", model)
+      .select("maha_sq").collect().map(_.getDouble(0))
+    // ~χ²(2): mean ≈ 2
+    val mean = scores.sum / scores.length
+    assert(math.abs(mean - 2.0) < 0.2, s"mean $mean")
+    // a corrupt vector ON the dominant axis but 10× beyond the cloud
+    // (unremarkable per-coordinate scale in raw space) scores far out
+    val corrupt = Seq((99999L, Array(24f, 3f))).toDF("vec_id", "embedding")
+    val s = Pca.outlierScores(corrupt, "embedding", model).head().getAs[Double]("maha_sq")
+    assert(s > 20.0, s"corrupt score $s")
+  }
+
   test("gram fails fast on wrong-length vectors") {
     val bad = Seq((1L, Array(0.1f, 0.2f)), (2L, Array(0.3f))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {
