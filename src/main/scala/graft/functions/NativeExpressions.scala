@@ -645,6 +645,84 @@ object NfcNormalize {
   }
 }
 
+/** Per-document top word-n-gram in one fused loop — the kernel under
+  * `Curation.topNgramFraction`. A document's most frequent n-gram is a
+  * pure per-row signal; computing it by exploding grams and shuffling
+  * (doc, gram, count) tuples moves a multiple of the corpus token
+  * count through two exchanges for no cross-row information at all.
+  * This expression builds the gram multiset in a doc-local hash map
+  * (O(words), one allocation arena per row) and returns
+  * `struct(gram, cnt)` — zero shuffle, whole-stage-codegen friendly.
+  *
+  * Parity contract with the declarative plan the oracle mirrors:
+  * tokens = `split(text, " ")` (Java split semantics, trailing empties
+  * kept), grams joined by a single space, ties broken by the
+  * UTF8String-binary-LARGER gram (== Spark's `max(struct(cnt, gram))`
+  * and DuckDB's `ORDER BY cnt DESC, gram DESC` for valid UTF-8, since
+  * UTF-8 byte order is code-point order). Fewer than n tokens → null.
+  */
+object TopNgram {
+  def eval(u: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = u.toString.split(" ", -1)
+    if (toks.length < n) return null
+    val counts = new java.util.HashMap[String, Long]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      counts.merge(sb.toString, 1L, (a, b) => a + b)
+      i += 1
+    }
+    var bestGram: String = null
+    var bestCnt = 0L
+    var bestU: UTF8String = null
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (bestGram == null || e.getValue > bestCnt) {
+        bestGram = e.getKey; bestCnt = e.getValue; bestU = null
+      } else if (e.getValue == bestCnt) {
+        // tie: UTF8 binary-larger gram wins (lazy conversion — ties
+        // are rare next to the per-gram hash updates)
+        if (bestU == null) bestU = UTF8String.fromString(bestGram)
+        val cand = UTF8String.fromString(e.getKey)
+        if (cand.binaryCompare(bestU) > 0) {
+          bestGram = e.getKey; bestU = cand
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](if (bestU != null) bestU else UTF8String.fromString(bestGram),
+        bestCnt))
+  }
+}
+
+case class TopNgramExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1 && n <= 8, "TopNgramExpr n must be in [1, 8]")
+  override def dataType: DataType = StructType(Seq(
+    StructField("gram", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    TopNgram.eval(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // short documents yield null even for non-null input, so the
+    // generated code must re-derive isNull from the result
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TopNgram.eval($c, $n);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): TopNgramExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_top_ngram"
+}
+
 case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
@@ -662,6 +740,8 @@ object NativeExpressions {
     ColumnBridge.column(FixMojibakeExpr(ColumnBridge.expression(c)))
   def nfcNormalize(c: Column): Column =
     ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(c)))
+  def topNgram(text: Column, n: Int): Column =
+    ColumnBridge.column(TopNgramExpr(ColumnBridge.expression(text), n))
   def polyHash(c: Column): Column =
     ColumnBridge.column(PolyHashExpr(ColumnBridge.expression(c)))
   def cosine(a: Column, b: Column): Column =

@@ -1707,6 +1707,32 @@ object Curation {
       textCol: String,
       n: Int = 2): DataFrame = {
     require(n >= 1 && n <= 8, "topNgramFraction n must be in [1, 8]")
+    // fused per-doc kernel (graft_top_ngram): the top gram is a pure
+    // per-row signal, so the plan is ONE narrow projection — no
+    // explode, no exchange. `topNgramFractionDeclarative` below is the
+    // SQL-portable reference semantics (bit-identical; spec-pinned).
+    val top = graft.functions.NativeExpressions.topNgram(col(textCol), n)
+    df.select(col(idCol), length(col(textCol)).as("chars"), top.as("top"))
+      .filter(col("top").isNotNull)
+      .select(col(idCol),
+        col("top.gram").as("top_gram"),
+        col("top.cnt").as("top_cnt"),
+        least(lit(1.0),
+          (col("top.cnt") * length(col("top.gram"))).cast("double") /
+            col("chars").cast("double")).as("top_frac"))
+  }
+
+  /** Declarative reference semantics for [[topNgramFraction]] —
+    * explode → two doc-keyed aggregations with a `max(struct)`
+    * tie-break. Structurally the shape the DuckDB oracle mirrors;
+    * kept as the parity pin for the fused kernel (CurationSpec
+    * asserts bit-equality on corpus and edge cases).
+    */
+  private[graft] def topNgramFractionDeclarative(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2): DataFrame = {
     val tk = TextFunctions.tokens(col(textCol))
     val grams = when(size(tk) >= n,
       transform(sequence(lit(1), size(tk) - (n - 1)),

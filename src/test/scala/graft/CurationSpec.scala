@@ -476,6 +476,32 @@ class CurationSpec extends AnyFunSuite {
     assert(s.getDouble(3) <= 1.0)
   }
 
+  test("topNgramFraction: fused kernel equals the declarative reference") {
+    val docs = Seq(
+      (1L, "a b a b c"),
+      (2L, "x y z"),
+      (3L, "solo"),
+      (4L, ""),                          // split("","-1") edge: one empty token
+      (5L, "t  t  t"),                   // double spaces -> empty tokens between
+      (6L, "z z z z"),                   // heavy overlap
+      (7L, "aa bb aa bb cc aa bb")       // count tie-break inside real text
+    ).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))
+    val fused = Curation.topNgramFraction(docs, "doc_id", "text")
+      .collect().map(key).sortBy(_._1).toSeq
+    val ref = Curation.topNgramFractionDeclarative(docs, "doc_id", "text")
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(fused === ref)
+    // and over the real corpus
+    val corpus = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val f2 = Curation.topNgramFraction(corpus, "doc_id", "text")
+      .collect().map(key).sortBy(_._1).toSeq
+    val r2 = Curation.topNgramFractionDeclarative(corpus, "doc_id", "text")
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(f2 === r2)
+  }
+
   test("nfcAudit: decomposed text composes, clean text passes unchanged") {
     val docs = Seq(
       (1L, "cafe\u0301"), // decomposed e+combining-acute: composes to 4 codepoints

@@ -916,21 +916,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p2.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p2.take(3000))
   }
 
-  test("tx18 top-ngram: both exchanges key on the document, text never shuffles") {
+  test("tx18 top-ngram: fused per-doc kernel — zero exchanges, no explode") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val p = plan(graft.pipeline.Curation.topNgramFraction(docs, "doc_id", "text"))
+    // the top gram is a pure per-row signal; the fused graft_top_ngram
+    // kernel keeps the whole computation in one narrow projection
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(!p.contains("Generate"), p.take(3000)) // no explode
+    assert(p.contains("graft_top_ngram"), p.take(3000))
+    // the declarative reference shape (the one the oracle mirrors)
+    // still keys every exchange on the document and never shuffles text
+    val pd = plan(graft.pipeline.Curation.topNgramFractionDeclarative(
+      docs, "doc_id", "text"))
     val hashEx = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
-      .findAllMatchIn(p).map(_.group(1)).toSet
-    // first exchange co-locates (doc, gram) partials, second the
-    // per-doc arg-max — every key starts with doc_id
+      .findAllMatchIn(pd).map(_.group(1)).toSet
     assert(hashEx.nonEmpty && hashEx.forall(_.startsWith("doc_id")),
-      s"$hashEx\n${p.take(3000)}")
-    // map-side combine before the first exchange
-    assert(p.contains("partial_count"), p.take(3000))
-    // the full text column is projected away before any exchange: the
-    // shuffled attributes are (doc_id, chars, gram, counts) only
-    val firstEx = p.indexOf("Exchange hashpartitioning")
-    assert(firstEx > 0 && !p.substring(0, firstEx).contains("text#"),
-      p.take(3000))
+      s"$hashEx\n${pd.take(3000)}")
+    val firstEx = pd.indexOf("Exchange hashpartitioning")
+    assert(firstEx > 0 && !pd.substring(0, firstEx).contains("text#"),
+      pd.take(3000))
   }
 }
