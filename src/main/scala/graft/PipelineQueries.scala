@@ -954,6 +954,17 @@ object PipelineQueries {
           regexp_replace(col("text"), "e", "e\u0301")),
         "doc_id", "text")),
 
+    // ---- Unicode script profile over a deterministically
+    // transliterated copy (Cyrillic/Greek/CJK injected for common
+    // letters — the ASCII corpus would make the audit vacuous):
+    // per-block codepoint counts + priority-CASE dominant label
+    "tx20_script_profile" -> ((s, dir) =>
+      Curation.scriptProfile(
+        t(s, dir, "documents").withColumn("text",
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            "o", "\u043e"), "i", "\u03b9"), "u", "\u4e2d")),
+        "doc_id", "text")),
+
     // ---- markup extraction: each doc is deterministically wrapped in
     // an HTML page (script/style/comment blocks, entities, per-word
     // <p> tags) and stripMarkup must recover the text — the tx5
@@ -2716,6 +2727,29 @@ object PipelineQueries {
         |SELECT doc_id, nt != t AS changed, length(nt) AS norm_chars,
         |       md5(nt) AS norm_md5
         |FROM n""".stripMargin,
+
+    "tx20_script_profile" ->
+      """WITH inj AS (SELECT doc_id,
+        |  replace(replace(replace(text, 'o', chr(1086)), 'i', chr(953)),
+        |          'u', chr(20013)) AS t FROM documents),
+        |c AS (SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z]')) AS n_latin,
+        |  len(regexp_extract_all(t, '[0-9]')) AS n_digit,
+        |  len(regexp_extract_all(t, '[' || chr(1024) || '-' || chr(1279) || ']')) AS n_cyrillic,
+        |  len(regexp_extract_all(t, '[' || chr(880) || '-' || chr(1023) || ']')) AS n_greek,
+        |  len(regexp_extract_all(t, '[' || chr(19968) || '-' || chr(40959) || ']')) AS n_cjk,
+        |  len(regexp_extract_all(t, '[' || chr(1536) || '-' || chr(1791) || ']')) AS n_arabic
+        |  FROM inj),
+        |m AS (SELECT *, greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_digit) AS mx FROM c)
+        |SELECT doc_id, n_latin, n_digit, n_cyrillic, n_greek, n_cjk, n_arabic,
+        |  CASE WHEN mx > 0 AND n_latin = mx THEN 'latin'
+        |       WHEN mx > 0 AND n_cyrillic = mx THEN 'cyrillic'
+        |       WHEN mx > 0 AND n_greek = mx THEN 'greek'
+        |       WHEN mx > 0 AND n_cjk = mx THEN 'cjk'
+        |       WHEN mx > 0 AND n_arabic = mx THEN 'arabic'
+        |       WHEN mx > 0 AND n_digit = mx THEN 'digit'
+        |       ELSE 'none' END AS dominant
+        |FROM m""".stripMargin,
 
     "tx17_vocab_coverage" ->
       """SELECT source,

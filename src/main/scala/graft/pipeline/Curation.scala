@@ -1752,6 +1752,37 @@ object Curation {
             col("chars").cast("double")).as("top_frac"))
   }
 
+  /** Unicode-script profile: per doc, codepoint counts for the major
+    * script blocks (Latin letters, digits, Cyrillic, Greek, CJK
+    * unified ideographs, Arabic) and the dominant-script label — the
+    * signal that catches wrong-language and transliteration-spam docs
+    * that an n-gram language ID scores as plausible, and the router
+    * for script-specific tokenizers. Pure codegen'd `regexp_count`
+    * arithmetic over explicit codepoint ranges (identical character
+    * classes compile in Java regex and RE2, unlike the `\\p{...}`
+    * script names, which differ between the engines) — zero shuffle.
+    * Dominance ties break by the fixed priority order of the CASE
+    * chain (latin > cyrillic > greek > cjk > arabic > digit > none).
+    */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val counted = df.select(col(idCol),
+      regexp_count(t, lit("[A-Za-z]")).as("n_latin"),
+      regexp_count(t, lit("[0-9]")).as("n_digit"),
+      regexp_count(t, lit("[\u0400-\u04ff]")).as("n_cyrillic"),
+      regexp_count(t, lit("[\u0370-\u03ff]")).as("n_greek"),
+      regexp_count(t, lit("[\u4e00-\u9fff]")).as("n_cjk"),
+      regexp_count(t, lit("[\u0600-\u06ff]")).as("n_arabic"))
+    val scripts = Seq("latin" -> col("n_latin"), "cyrillic" -> col("n_cyrillic"),
+      "greek" -> col("n_greek"), "cjk" -> col("n_cjk"),
+      "arabic" -> col("n_arabic"), "digit" -> col("n_digit"))
+    val mx = greatest(scripts.map(_._2): _*)
+    val dominant = scripts.foldRight(lit("none")) { case ((name, c), els) =>
+      when(mx > 0 && c === mx, lit(name)).otherwise(els)
+    }
+    counted.withColumn("dominant", dominant)
+  }
+
   /** Unicode-normalization audit (the ftfy-adjacent NFC pass): per
     * doc, whether NFC changes the text, the normalized codepoint
     * length, and the MD5 of the normalized UTF-8 bytes — the

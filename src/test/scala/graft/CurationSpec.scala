@@ -502,6 +502,26 @@ class CurationSpec extends AnyFunSuite {
     assert(f2 === r2)
   }
 
+  test("scriptProfile: per-block counts, dominance, priority tie-break") {
+    val docs = Seq(
+      (1L, "hello world 42"),                  // latin dominant
+      (2L, "\u043f\u0440\u0438\u0432\u0435\u0442 ok"), // 6 cyrillic > 2 latin
+      (3L, "\u4e2d\u6587\u6587\u6863"),     // pure CJK
+      (4L, "ab\u0431\u0432"),                // 2 latin == 2 cyrillic: latin wins by priority
+      (5L, "12345"),                           // digits only
+      (6L, "   ")) // nothing scored
+      .toDF("doc_id", "text")
+    val out = Curation.scriptProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(3), r.getInt(5), r.getString(7)))).toMap
+    assert(out(1L) === ((10, 0, 0, "latin")))
+    assert(out(2L) === ((2, 6, 0, "cyrillic")))
+    assert(out(3L) === ((0, 0, 4, "cjk")))
+    assert(out(4L) === ((2, 2, 0, "latin")))
+    assert(out(5L)._4 === "digit")
+    assert(out(6L)._4 === "none")
+  }
+
   test("nfcAudit: decomposed text composes, clean text passes unchanged") {
     val docs = Seq(
       (1L, "cafe\u0301"), // decomposed e+combining-acute: composes to 4 codepoints
