@@ -1044,7 +1044,7 @@ final class Gateway(
                |'use strict';
                |const esc = s => String(s).replace(/&/g,'&amp;').replace(/</g,'&lt;')
                |  .replace(/>/g,'&gt;').replace(/"/g,'&quot;');
-               |const state = {groupBy: [], agg: 'count', aggCol: '',
+               |const state = {groupBy: [], splitBy: '', agg: 'count', aggCol: '',
                |               sortCol: '', sortDir: 1,
                |               filterCol: '', filterOp: '==', filterVal: '',
                |               limit: 500, cols: []};
@@ -1072,30 +1072,51 @@ final class Gateway(
                |    }
                |  });
                |}
+               |function aggCell(g){
+               |  return state.agg === 'count' ? g.n
+               |    : state.agg === 'sum' ? g.sum
+               |    : state.agg === 'avg' ? (g.n ? g.sum / g.n : null)
+               |    : state.agg === 'min' ? g.min : g.max;
+               |}
+               |function accumulate(g, r){
+               |  g.n += 1;
+               |  const x = state.aggCol ? r[state.aggCol] : null;
+               |  if (typeof x === 'number') {
+               |    g.sum += x;
+               |    g.min = g.min === null ? x : Math.min(g.min, x);
+               |    g.max = g.max === null ? x : Math.max(g.max, x);
+               |  }
+               |}
                |function pivot(rows){
                |  if (!state.groupBy.length) return rows;
+               |  const label = state.agg === 'count' ? 'count'
+               |    : state.agg + '(' + state.aggCol + ')';
                |  const m = new Map();
+               |  const splits = new Set();
                |  for (const r of rows) {
                |    const key = state.groupBy.map(c => JSON.stringify(r[c])).join('\\u0001');
                |    let g = m.get(key);
-               |    if (!g) { g = {n: 0, sum: 0, min: null, max: null, row: r}; m.set(key, g); }
-               |    g.n += 1;
-               |    const x = state.aggCol ? r[state.aggCol] : null;
-               |    if (typeof x === 'number') {
-               |      g.sum += x;
-               |      g.min = g.min === null ? x : Math.min(g.min, x);
-               |      g.max = g.max === null ? x : Math.max(g.max, x);
-               |    }
+               |    if (!g) { g = {row: r, subs: new Map(), all: {n:0,sum:0,min:null,max:null}}; m.set(key, g); }
+               |    if (state.splitBy) {
+               |      // split-by: one aggregate column per split value (the
+               |      // Perspective split_by crosstab)
+               |      const sv = String(r[state.splitBy]);
+               |      splits.add(sv);
+               |      let s = g.subs.get(sv);
+               |      if (!s) { s = {n:0,sum:0,min:null,max:null}; g.subs.set(sv, s); }
+               |      accumulate(s, r);
+               |    } else accumulate(g.all, r);
                |  }
-               |  const label = state.agg === 'count' ? 'count'
-               |    : state.agg + '(' + state.aggCol + ')';
+               |  const svs = Array.from(splits).sort();
                |  return Array.from(m.values()).map(g => {
                |    const out = {};
                |    for (const c of state.groupBy) out[c] = g.row[c];
-               |    out[label] = state.agg === 'count' ? g.n
-               |      : state.agg === 'sum' ? g.sum
-               |      : state.agg === 'avg' ? (g.n ? g.sum / g.n : null)
-               |      : state.agg === 'min' ? g.min : g.max;
+               |    if (state.splitBy)
+               |      for (const sv of svs) {
+               |        const s = g.subs.get(sv);
+               |        out[label + ' | ' + sv] = s ? aggCell(s) : null;
+               |      }
+               |    else out[label] = aggCell(g.all);
                |    return out;
                |  });
                |}
@@ -1128,6 +1149,7 @@ final class Gateway(
                |    '</option>').join('') + '</select>';
                |  document.getElementById('ctl').innerHTML =
                |    'group by ' + sel('gb', state.cols, true) +
+               |    ' split by ' + sel('sb', [''].concat(state.cols)) +
                |    ' agg ' + sel('agg', ['count','sum','avg','min','max']) +
                |    ' of ' + sel('aggc', [''].concat(state.cols)) +
                |    ' filter ' + sel('fc', [''].concat(state.cols)) +
@@ -1137,6 +1159,7 @@ final class Gateway(
                |  document.getElementById('apply').onclick = () => {
                |    state.groupBy = Array.from(
                |      document.getElementById('gb').selectedOptions).map(o => o.value);
+               |    state.splitBy = document.getElementById('sb').value;
                |    state.agg = document.getElementById('agg').value;
                |    state.aggCol = document.getElementById('aggc').value;
                |    if (state.agg !== 'count' && !state.aggCol) state.agg = 'count';

@@ -259,9 +259,9 @@ class GatewaySpec extends AnyFunSuite {
       assert(tablePage.body().contains("/api/v1/table/by_owner"))
       // the pivot workspace ships its controls + engine inline
       // (group-by/agg/filter/sort/limit — the Perspective use-case)
-      Seq("group by", "function pivot(", "function applyFilter(",
+      Seq("group by", "split by", "function pivot(", "function applyFilter(",
         """sel('agg', ['count','sum','avg','min','max'])""",
-        "state.sortDir * cmp(").foreach(frag =>
+        "state.sortDir * cmp(", "g.subs.get(sv)").foreach(frag =>
         assert(tablePage.body().contains(frag), s"missing: $frag"))
       assert(get(s"$hostBase/tables/nope").statusCode() === 404)
     }
