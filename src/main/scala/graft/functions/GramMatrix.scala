@@ -23,11 +23,17 @@ import org.apache.spark.sql.types._
   * accumulated value is an integer that is a pure function of the
   * input multiset — partition layout, merge order, and partial
   * aggregation cannot change any cell (long addition commutes), and
-  * the DuckDB oracle can reproduce the matrix bit-for-bit. At the
-  * default `scaleBits = 20` a unit-norm float component quantizes to
-  * ~2^20, a product to ~2^40, leaving 2^23 rows of headroom per cell
-  * before a long could overflow — ~8M rows per PARTIAL buffer are safe
-  * and the final merge adds at most log2(#partitions) more bits.
+  * the DuckDB oracle can reproduce the matrix bit-for-bit. Headroom:
+  * a cell accumulates Σ q_i·q_j over ALL rows (partials merge by
+  * addition, so the TOTAL row count is what bounds it). At the
+  * default `scaleBits = 20` and unit-norm 64-dim vectors (components
+  * ~2^-3 → q ~ 2^17, products ~2^34) the 2^63 long ceiling allows
+  * ~10^8–10^9 rows; at corpus scales beyond that, pass a smaller
+  * `scaleBits` — each bit removed from the scale buys two bits of
+  * row-count headroom per cell, and covariance consumers need far
+  * less than 20 fractional bits. Every accumulation is CHECKED
+  * (`addExact`/`multiplyExact`): the contract is exact-or-fail,
+  * never a silent wrap.
   *
   * 100 TB shape: the shuffle carries ONE buffer of
   * `dim*(dim+5)/2 + 1` longs per partition (≈ 17 KB at dim=64), never
@@ -39,14 +45,30 @@ final class GramBuf(val dim: Int) extends Serializable {
   val sums: Array[Long] = new Array[Long](dim)
   val prods: Array[Long] = new Array[Long](tri)
 
+  // checked arithmetic throughout: the contract is EXACT-OR-FAIL.
+  // A silent wrap would corrupt every covariance cell downstream with
+  // no symptom; the fix at scale is a smaller scaleBits (each bit off
+  // the scale doubles the row-count headroom per cell), so the error
+  // message names the knob.
+  private def chk(a: Long, b: Long): Long =
+    try java.lang.Math.addExact(a, b)
+    catch {
+      case _: ArithmeticException => throw new ArithmeticException(
+        s"graft_gram accumulator overflow (dim=$dim): lower scaleBits " +
+          "(each bit halves per-cell magnitude twice over) or reduce rows")
+    }
+
   def add(q: Array[Long]): Unit = {
     n += 1
     var i = 0
     var p = 0
     while (i < dim) {
-      sums(i) += q(i)
+      sums(i) = chk(sums(i), q(i))
       var j = i
-      while (j < dim) { prods(p) += q(i) * q(j); p += 1; j += 1 }
+      while (j < dim) {
+        prods(p) = chk(prods(p), java.lang.Math.multiplyExact(q(i), q(j)))
+        p += 1; j += 1
+      }
       i += 1
     }
   }
@@ -54,9 +76,9 @@ final class GramBuf(val dim: Int) extends Serializable {
   def mergeWith(o: GramBuf): Unit = {
     n += o.n
     var i = 0
-    while (i < dim) { sums(i) += o.sums(i); i += 1 }
+    while (i < dim) { sums(i) = chk(sums(i), o.sums(i)); i += 1 }
     var p = 0
-    while (p < tri) { prods(p) += o.prods(p); p += 1 }
+    while (p < tri) { prods(p) = chk(prods(p), o.prods(p)); p += 1 }
   }
 
   def serialize: Array[Byte] = {

@@ -500,6 +500,18 @@ class CurationSpec extends AnyFunSuite {
     val r2 = Curation.topNgramFractionDeclarative(corpus, "doc_id", "text")
       .collect().map(key).sortBy(_._1).toSeq
     assert(f2 === r2)
+    // seeded fuzz: tiny alphabet maximizes count ties and repeated
+    // grams; random double spaces exercise empty-token splits
+    val rnd = new scala.util.Random(23)
+    val fuzz = (100L to 299L).map { i =>
+      val words = Seq.fill(rnd.nextInt(12))(Seq("a", "b", "aa", "ab")(rnd.nextInt(4)))
+      (i, words.mkString(if (rnd.nextBoolean()) " " else "  "))
+    }.toDF("doc_id", "text")
+    val f3 = Curation.topNgramFraction(fuzz, "doc_id", "text")
+      .collect().map(key).sortBy(_._1).toSeq
+    val r3 = Curation.topNgramFractionDeclarative(fuzz, "doc_id", "text")
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(f3 === r3)
   }
 
   test("scriptProfile: per-block counts, dominance, priority tie-break") {

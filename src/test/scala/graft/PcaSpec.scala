@@ -173,4 +173,21 @@ class PcaSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("gram accumulator overflows loudly, never wraps") {
+    // two rows of huge components at the default scale: the product of
+    // two quantized ~2^31 values is ~2^62; the second row's add must
+    // throw (a silent wrap would corrupt covariance invisibly)
+    val buf = new graft.functions.GramBuf(2)
+    val q = Array(1L << 31, 1L << 31)
+    buf.add(q)
+    val e = intercept[ArithmeticException] { buf.add(q) }
+    assert(e.getMessage.contains("scaleBits"))
+    // merge path is checked too
+    val a = new graft.functions.GramBuf(1)
+    a.add(Array(1L << 31))
+    val b = new graft.functions.GramBuf(1)
+    b.add(Array(1L << 31))
+    intercept[ArithmeticException] { a.mergeWith(b) }
+  }
 }
