@@ -2664,7 +2664,8 @@ object PipelineQueries {
 
     "s16_gram_matrix" -> {
       val quant = "CAST(trunc(CAST(x AS DOUBLE)*1048576.0) AS BIGINT)"
-      s"""WITH q AS (SELECT [$quant for x in embedding] AS qv FROM embeddings),
+      s"""WITH q AS (SELECT [$quant for x in embedding] AS qv FROM embeddings
+         |           WHERE embedding IS NOT NULL),
          |tri AS (SELECT a.i AS i, b.j AS j
          |        FROM generate_series(1,64) a(i), generate_series(1,64) b(j)
          |        WHERE b.j >= a.i),
@@ -2690,7 +2691,8 @@ object PipelineQueries {
 
     "s16c_gram_by_label" -> {
       val quant = "CAST(trunc(CAST(x AS DOUBLE)*1048576.0) AS BIGINT)"
-      s"""WITH q AS (SELECT label, [$quant for x in embedding] AS qv FROM embeddings),
+      s"""WITH q AS (SELECT label, [$quant for x in embedding] AS qv FROM embeddings
+         |           WHERE embedding IS NOT NULL),
          |tri AS (SELECT a.i AS i, b.j AS j
          |        FROM generate_series(1,64) a(i), generate_series(1,64) b(j)
          |        WHERE b.j >= a.i),

@@ -923,7 +923,7 @@ object StreamingQueries {
     "s16s_gram_stream" ->
       """WITH q AS (SELECT label,
         |  [CAST(trunc(CAST(x AS DOUBLE)*1048576.0) AS BIGINT) for x in embedding] AS qv
-        |  FROM embeddings)
+        |  FROM embeddings WHERE embedding IS NOT NULL)
         |SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(g.j AS INT) AS j,
         |       CAST(SUM(qv[g.j]) AS BIGINT) AS s,
         |       CAST(SUM(qv[g.j]*qv[g.j]) AS BIGINT) AS p

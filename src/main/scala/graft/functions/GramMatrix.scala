@@ -158,6 +158,13 @@ case class GramMatrixAgg(
   override def merge(b: GramBuf, o: GramBuf): GramBuf = { b.mergeWith(o); b }
 
   override def eval(b: GramBuf): Any = {
+    // empty input: emit ONLY the count row — matches the SQL oracle
+    // (whose sum/product CTEs group away to nothing on zero rows) and
+    // gives consumers an unambiguous n=0 signal instead of 2 144
+    // zero cells that look like a degenerate-but-real matrix
+    if (b.n == 0L)
+      return new GenericArrayData(
+        Array[Any](new GenericInternalRow(Array[Any](0, 0, 0L))))
     val out = new Array[Any](1 + dim + b.tri)
     out(0) = new GenericInternalRow(Array[Any](0, 0, b.n))
     var k = 0

@@ -215,6 +215,9 @@ object Pca {
       minVariance: Double = 1e-12): DataFrame = {
     val kept = model.components.zip(model.eigenvalues)
       .count { case (_, ev) => ev > minVariance }
+    require(kept > 0,
+      s"outlierScores: every eigenvalue <= $minVariance (constant or " +
+        "degenerate corpus) — no direction carries variance to score against")
     val w = whiten(df, vecCol, model, minVariance)
     w.withColumn("maha_sq",
       (1 to kept).map(m => col(s"wc$m") * col(s"wc$m"))
@@ -225,6 +228,14 @@ object Pca {
     * integer axis — the oracle-gated kernel beneath [[project]]:
     * `p = Σ trunc(toDouble(x_k)·2^scaleBits) · w_k`, bit-identical in
     * Spark and DuckDB (see GramMatrixAgg's quantization contract).
+    *
+    * Range contract: the declarative fold uses plain long arithmetic
+    * (a codegen'd `zip_with`/`aggregate` cannot carry `addExact`), so
+    * the caller owns the bound `dim · max|x|·2^scaleBits · max|w| <
+    * 2^63` — trivially satisfied for unit-scale embeddings and
+    * small-integer axes (~2^43 at the defaults, 2^20 of headroom);
+    * use [[GramMatrixAgg]] (checked) where inputs are not under the
+    * caller's control.
     */
   def axisProjectQuantized(vec: Column, w: Array[Long],
       scaleBits: Int = GramMatrix.DefaultScaleBits): Column = {

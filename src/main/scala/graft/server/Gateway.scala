@@ -1073,15 +1073,19 @@ final class Gateway(
                |  });
                |}
                |function aggCell(g){
+               |  // numeric aggregates divide/report over the NUMERIC value
+               |  // count (g.cnt), SQL-style: nulls neither dilute an avg nor
+               |  // turn an all-null group's sum into 0
                |  return state.agg === 'count' ? g.n
-               |    : state.agg === 'sum' ? g.sum
-               |    : state.agg === 'avg' ? (g.n ? g.sum / g.n : null)
+               |    : state.agg === 'sum' ? (g.cnt ? g.sum : null)
+               |    : state.agg === 'avg' ? (g.cnt ? g.sum / g.cnt : null)
                |    : state.agg === 'min' ? g.min : g.max;
                |}
                |function accumulate(g, r){
                |  g.n += 1;
                |  const x = state.aggCol ? r[state.aggCol] : null;
                |  if (typeof x === 'number') {
+               |    g.cnt += 1;
                |    g.sum += x;
                |    g.min = g.min === null ? x : Math.min(g.min, x);
                |    g.max = g.max === null ? x : Math.max(g.max, x);
@@ -1096,14 +1100,14 @@ final class Gateway(
                |  for (const r of rows) {
                |    const key = state.groupBy.map(c => JSON.stringify(r[c])).join('\\u0001');
                |    let g = m.get(key);
-               |    if (!g) { g = {row: r, subs: new Map(), all: {n:0,sum:0,min:null,max:null}}; m.set(key, g); }
+               |    if (!g) { g = {row: r, subs: new Map(), all: {n:0,cnt:0,sum:0,min:null,max:null}}; m.set(key, g); }
                |    if (state.splitBy) {
                |      // split-by: one aggregate column per split value (the
                |      // Perspective split_by crosstab)
                |      const sv = String(r[state.splitBy]);
                |      splits.add(sv);
                |      let s = g.subs.get(sv);
-               |      if (!s) { s = {n:0,sum:0,min:null,max:null}; g.subs.set(sv, s); }
+               |      if (!s) { s = {n:0,cnt:0,sum:0,min:null,max:null}; g.subs.set(sv, s); }
                |      accumulate(s, r);
                |    } else accumulate(g.all, r);
                |  }
@@ -1166,7 +1170,8 @@ final class Gateway(
                |    state.filterCol = document.getElementById('fc').value;
                |    state.filterOp = document.getElementById('fop').value;
                |    state.filterVal = document.getElementById('fv').value;
-               |    state.limit = parseInt(document.getElementById('lim').value) || 500;
+               |    const lim = parseInt(document.getElementById('lim').value);
+               |    state.limit = isNaN(lim) || lim < 0 ? 500 : lim;
                |    render();
                |  };
                |}

@@ -1586,6 +1586,18 @@ object StreamingState {
     val n = schema.length
     val keyIdxs = keys.map(schema.fieldIndex)
     val vecIdx = schema.fieldIndex(vecCol)
+    // element accessor resolved from the schema, like the batch twin —
+    // array<float> and array<double> both work, and a null element
+    // fails with the same named error instead of an unboxing NPE
+    val elemToDouble: Any => Double = schema(vecIdx).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) =>
+        v => v.asInstanceOf[Float].toDouble
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) =>
+        v => v.asInstanceOf[Double]
+      case other => sys.error(s"gramStream needs array<float|double>, got $other")
+    }
     val scale = java.lang.Math.scalb(1.0, scaleBits)
     val outSchema = StructType(keys.map(schema(_)) ++ Seq(
       StructField("n", LongType, nullable = false),
@@ -1608,12 +1620,17 @@ object StreamingState {
           rows.foreach { r =>
             last = r
             if (!r.isNullAt(vecIdx)) {
-              val vec = r.getSeq[Float](vecIdx)
+              val vec = r.getSeq[Any](vecIdx)
               require(vec.length == dim,
                 s"gramStream: vector length ${vec.length} != dim $dim")
               val q = new Array[Long](dim)
               var k = 0
-              while (k < dim) { q(k) = (vec(k).toDouble * scale).toLong; k += 1 }
+              while (k < dim) {
+                val e = vec(k)
+                require(e != null, s"gramStream: null component at index $k")
+                q(k) = (elemToDouble(e) * scale).toLong
+                k += 1
+              }
               buf.add(q)
             }
           }
