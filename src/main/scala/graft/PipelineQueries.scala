@@ -1328,6 +1328,24 @@ object PipelineQueries {
           TextFunctions.qualityScore(col("text")).as("quality")),
         "lang", "quality", keepPct = 20)),
 
+    // ---- multi-signal consensus filter: exact per-signal global rank
+    // recovered from domain-bounded value histograms (no corpus-scale
+    // sort anywhere), Borda sum, keep = mean rank percentile <= 20.
+    // Signals: composite quality (higher better), punctuation ratio
+    // (lower better), token count (higher better) — quantized to the
+    // engine-portable trunc(x*2^20) integer grid
+    "p20_rank_ensemble" -> ((s, dir) =>
+      Curation.rankEnsemble(
+        t(s, dir, "documents").select(col("doc_id"),
+          (TextFunctions.qualityScore(col("text")) * 1048576.0)
+            .cast("long").as("q"),
+          (TextFunctions.punctRatio(col("text")) * 1048576.0)
+            .cast("long").as("p"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("ntok")),
+        "doc_id",
+        Seq(("q", false), ("p", true), ("ntok", false)),
+        keepPct = 20)),
+
     // ---- IVF-PQ ANN: coarse cells prune the scan, PQ codes compress
     // the residual scan to m bytes/vector (ADC scoring)
     "s5_ann_ivfpq" -> ((s, dir) => {
@@ -3180,6 +3198,25 @@ object PipelineQueries {
          |thr AS (SELECT lang, qb AS t FROM r WHERE rn = CAST(floor(n*20/100) AS BIGINT))
          |SELECT bk.doc_id, bk.lang, bk.quality
          |FROM bk JOIN thr USING (lang) WHERE bk.qb >= thr.t""".stripMargin,
+
+    // reference semantics as plain global rank() windows; the engine
+    // side recovers the same ranks from value histograms without a
+    // global sort. keep rule: borda*100 <= n*(3 signals * 20 pct)
+    "p20_rank_ensemble" ->
+      s"""WITH $qualityCtes,
+         |sig AS (SELECT c.doc_id,
+         |  CAST(trunc(q.quality*1048576.0) AS BIGINT) AS sq,
+         |  CAST(trunc(c.punct_ratio*1048576.0) AS BIGINT) AS sp,
+         |  CAST(c.n_tok AS BIGINT) AS st
+         |  FROM c JOIN q ON c.doc_id = q.doc_id),
+         |r AS (SELECT doc_id,
+         |  CAST(rank() OVER (ORDER BY sq DESC) AS BIGINT) AS r_q,
+         |  CAST(rank() OVER (ORDER BY sp ASC) AS BIGINT) AS r_p,
+         |  CAST(rank() OVER (ORDER BY st DESC) AS BIGINT) AS r_ntok,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sig) AS n FROM sig)
+         |SELECT doc_id, r_q, r_p, r_ntok, r_q + r_p + r_ntok AS borda,
+         |       (r_q + r_p + r_ntok) * 100 <= n * 60 AS kept
+         |FROM r""".stripMargin,
 
     "s5_ann_ivfpq" ->
       s"""WITH ${pqCtes()},

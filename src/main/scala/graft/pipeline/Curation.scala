@@ -1431,6 +1431,87 @@ object Curation {
       .drop("_thr")
   }
 
+  /** Multi-signal consensus filtering (the FineWeb/DataComp "ensemble
+    * of filters" step): every document gets an EXACT global
+    * competition rank per quality signal, the ranks are Borda-summed,
+    * and a document survives when its mean rank percentile beats
+    * `keepPct` — a document must look good to SEVERAL independent
+    * signals at once, so one mis-calibrated scorer cannot flood the
+    * kept set the way a single-threshold filter lets it.
+    *
+    * `signals` are (column, smallerIsBetter) over ALREADY-INTEGER
+    * scores — quantize doubles first (`(score·2^k).cast("long")`,
+    * trunc-toward-zero on both engines) so the value domain is
+    * bounded and engine-portable. Rank semantics are SQL
+    * `rank()` (competition rank: 1 + count of strictly-better
+    * values; ties share a rank).
+    *
+    * Scale shape — exact global rank WITHOUT a global sort: a global
+    * `rank() OVER (ORDER BY score)` puts the whole corpus through one
+    * task; instead each signal's rank function is recovered from its
+    * value HISTOGRAM. One narrow explode to (signal, value) pairs,
+    * ONE partial-agg'd exchange keyed by (signal, value) — the only
+    * corpus-sized data movement, and map-side combine collapses it to
+    * per-partition distinct values — then a cumulative window over
+    * HISTOGRAM rows only (≤ the quantization domain per signal,
+    * ~2^20 rows of metadata regardless of corpus size) yields
+    * rank(v) = 1 + Σ count(better v'), and docs pick up their ranks
+    * by broadcast hash join on the quantized value. The keep rule is
+    * integer cross-multiplication (`borda·100 ≤ n·k·keepPct` — mean
+    * rank percentile ≤ keepPct), no division, no doubles.
+    *
+    * Returns (idCol, r_<signal>… (long), borda, kept). Long.MinValue
+    * scores are rejected (descending signals rank by negation).
+    */
+  def rankEnsemble(
+      df: DataFrame,
+      idCol: String,
+      signals: Seq[(String, Boolean)],
+      keepPct: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(signals.nonEmpty, "rankEnsemble: need at least one signal")
+    require(signals.map(_._1).distinct.size == signals.size,
+      "rankEnsemble: duplicate signal column")
+    require(0 < keepPct && keepPct <= 100,
+      s"rankEnsemble: need 0 < keepPct <= 100, got $keepPct")
+    signals.foreach { case (c, _) =>
+      val dt = df.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.LongType
+          || dt == org.apache.spark.sql.types.IntegerType,
+        s"rankEnsemble: signal '$c' must be integral (quantize doubles " +
+          s"to a bounded domain first), got $dt")
+    }
+    // canonicalize better = smaller: descending signals rank by their
+    // negation (exact for any long except Long.MinValue, which the
+    // bounded-quantization contract excludes; ANSI negate would throw)
+    val canon = df.select(col(idCol) +: signals.map { case (c, asc) =>
+      (if (asc) col(c).cast("long") else -col(c).cast("long")).as("_s_" + c)
+    }: _*)
+    val pairs = canon.select(explode(array(signals.map { case (c, _) =>
+      struct(lit(c).as("sig"), col("_s_" + c).as("v"))
+    }: _*)).as("p")).select(col("p.sig").as("sig"), col("p.v").as("v"))
+    val hist = pairs.groupBy("sig", "v").agg(count(lit(1)).as("_c"))
+    // strictly-better mass per histogram row: window over histogram
+    // rows only (domain-bounded metadata, never corpus rows)
+    val wStrict = Window.partitionBy("sig").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = hist.select(col("sig"), col("v"),
+      (coalesce(sum(col("_c")).over(wStrict), lit(0L)) + 1L).as("_r"))
+    val joined = signals.foldLeft(canon) { case (acc, (c, _)) =>
+      acc.join(broadcast(
+          ranks.filter(col("sig") === c)
+            .select(col("v").as("_s_" + c), col("_r").as("r_" + c))),
+        Seq("_s_" + c))
+    }
+    val nRow = df.agg(count(lit(1)).as("_n"))
+    val k = signals.size
+    joined.crossJoin(broadcast(nRow))
+      .withColumn("borda", signals.map(s => col("r_" + s._1)).reduce(_ + _))
+      .withColumn("kept", col("borda") * 100L <= col("_n") * (k * keepPct))
+      .select(col(idCol) +: signals.map(s => col("r_" + s._1))
+        :+ col("borda") :+ col("kept"): _*)
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3):
     * every document is scored by a bucketed n-gram LM — each bigram
     * OCCURRENCE hashes to one of `weights.length` buckets holding a

@@ -273,6 +273,44 @@ class CurationSpec extends AnyFunSuite {
     assert(approx.intersect(Set(1L, 7L)) === Set(1L, 7L)) // the clear winners survive
   }
 
+  test("rankEnsemble: histogram ranks == rank() windows incl. ties, keep rule exact") {
+    import org.apache.spark.sql.expressions.Window
+    // ties in every signal, opposite directions, a doc good at one
+    // signal and terrible at another
+    val df = Seq(
+      (1L, 10L, 3L, 100L), (2L, 10L, 1L, 200L), (3L, 7L, 1L, 200L),
+      (4L, 2L, 9L, 50L), (5L, 7L, 2L, 400L), (6L, 12L, 9L, 10L))
+      .toDF("doc_id", "q", "p", "ntok")
+    val got = Curation.rankEnsemble(df, "doc_id",
+        Seq(("q", false), ("p", true), ("ntok", false)), keepPct = 50)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    // reference: plain global rank() windows (the shape the histogram
+    // path exists to avoid at scale, bit-equal on any data)
+    val ref = df
+      .withColumn("r_q", rank().over(Window.orderBy(col("q").desc)).cast("long"))
+      .withColumn("r_p", rank().over(Window.orderBy(col("p").asc)).cast("long"))
+      .withColumn("r_ntok", rank().over(Window.orderBy(col("ntok").desc)).cast("long"))
+      .collect().map { r =>
+        val b = r.getLong(4) + r.getLong(5) + r.getLong(6)
+        r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6), b, b * 100 <= 6 * 150))
+      }.toMap
+    assert(got === ref)
+    // spot-pin the tie semantics: docs 2 and 3 share p=1 -> both r_p=1;
+    // docs 1 and 2 share q=10 -> both r_q=2 (doc 6 is 1st), next rank 4
+    assert(got(2L)._2 === 1L && got(3L)._2 === 1L)
+    assert(got(1L)._1 === 2L && got(2L)._1 === 2L && got(3L)._1 === 4L)
+    // input validation: doubles must be quantized by the caller
+    val bad = Seq((1L, 0.5)).toDF("doc_id", "x")
+    intercept[IllegalArgumentException] {
+      Curation.rankEnsemble(bad, "doc_id", Seq(("x", true)), keepPct = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.rankEnsemble(df, "doc_id", Seq(("q", true), ("q", false)), keepPct = 10)
+    }
+  }
+
   test("capPerGroup: huge groups capped near the target, small groups untouched, deterministic") {
     val df = ((1L to 200L).map(i => (i, "big")) ++ (1001L to 1005L).map(i => (i, "small")))
       .toDF("doc_id", "source")

@@ -477,6 +477,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("p20 rank ensemble: exact global ranks with no range exchange, windows over histograms only") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val df = graft.pipeline.Curation.rankEnsemble(
+      docs.select(col("doc_id"),
+        (graft.functions.TextFunctions.qualityScore(col("text")) * 1048576.0)
+          .cast("long").as("q"),
+        (graft.functions.TextFunctions.punctRatio(col("text")) * 1048576.0)
+          .cast("long").as("p"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("ntok")),
+      "doc_id", Seq(("q", false), ("p", true), ("ntok", false)), keepPct = 20)
+    // a global rank() would be an Exchange rangepartitioning (global
+    // sort) over corpus rows — the exact shape this operator avoids
+    val p = plan(df)
+    assert(!p.contains("Exchange rangepartitioning"), p.take(4000))
+    // every window consumes aggregated (histogram) input, never the scan
+    val lp = df.queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, lp.toString.take(3000))
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"Window over un-aggregated input:\n${w.toString.take(2000)}")
+    }
+    // histogram exchange is partial-agg'd; rank pickup is broadcast
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the only nested-loop is the Cross against the 1-row count frame
+    // (the repo-wide accepted shape for scalar broadcast)
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toList
+    assert(bnlj.size == 1 && bnlj.head.contains("Cross"), p.take(3000))
+  }
+
   test("d1 exact-dedup groups: one partial-agg'd hash exchange, no added shuffles") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val df = graft.pipeline.Dedup.exactGroups(docs, "text", "doc_id")
