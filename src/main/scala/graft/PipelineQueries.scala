@@ -1292,6 +1292,18 @@ object PipelineQueries {
         Curation.bpeTokenCount(col("text"), merges).as("n_bpe"))
     }),
 
+    // ---- reliability diagram for the p9 classifier against the
+    // "is English" label: 20 equal-width logit cells over [-30, 10),
+    // per-cell row count / positive count / exact quantized-score sum
+    // — the calibration audit run before trusting a quality threshold
+    "p21_classifier_calibration" -> ((s, dir) =>
+      Curation.calibrationReport(
+        t(s, dir, "documents").select(col("doc_id"),
+          Curation.linearClassifierScore(col("text"),
+            Curation.lcgWeights(1024), 1024).as("logit"),
+          (col("lang") === "en").as("label")),
+        "logit", "label", lo = -30.0, hi = 10.0, buckets = 20)),
+
     // ---- TRAIN the quality classifier (p9 is inference): full-batch
     // logistic regression on hashed token-bucket features, label =
     // "is English". The fixed-point gradient (round(contrib*1e6),
@@ -3166,6 +3178,24 @@ object PipelineQueries {
          |                    (a, x) -> a + x) AS logit
          |      FROM b)
          |SELECT doc_id, logit, logit > 0.0 AS keep FROM s""".stripMargin
+    },
+
+    // p9's logit fold, then the clamped equal-width cell and integer
+    // per-cell aggregates — all gated values are counts or exact sums
+    // of trunc(logit*2^20)
+    "p21_classifier_calibration" -> {
+      val tHash = s"CASE WHEN t = '' THEN 0 ELSE ${phSql("t")} END"
+      val wSql = s"CAST((1103515245*($tHash % 1024) + 12345) % 2000003 - 1000001 AS DOUBLE)/1000001.0"
+      s"""WITH b AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
+         |s AS (SELECT doc_id, lang = 'en' AS label,
+         |        list_reduce(list_prepend(0.0, [$wSql for t in w]),
+         |                    (a, x) -> a + x) AS logit
+         |      FROM b)
+         |SELECT CAST(least(greatest(floor((logit - (-30.0))/40.0*20.0), 0.0), 19.0) AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         |       CAST(sum(CAST(trunc(logit*1048576.0) AS BIGINT)) AS BIGINT) AS score_qsum
+         |FROM s GROUP BY 1""".stripMargin
     },
 
     "p8_quality_select" ->

@@ -1357,6 +1357,47 @@ object Curation {
       .toDF("dim", "weight")
   }
 
+  /** Reliability-diagram report for a scored classifier — the check a
+    * pipeline runs BEFORE trusting a quality model's threshold on
+    * 100 TB: does predicted confidence track the empirical positive
+    * rate? Scores are binned into `buckets` equal-width cells over
+    * [lo, hi) (out-of-range scores clamp into the end cells, so every
+    * row is counted) and each cell reports its row count, its positive
+    * count, and the exact integer sum of quantized scores — the
+    * consumer reads empirical rate = pos/n against mean score =
+    * score_qsum/(n·2^scaleBits) per cell, and a gap is miscalibration
+    * (the ECE summand). All gated values are integers: counts, and a
+    * per-row `trunc(score·2^scaleBits)` long summed exactly — no float
+    * accumulation, engine-portable.
+    *
+    * Scale shape: one narrow scan, ONE partial-agg'd exchange keyed by
+    * the bucket (≤ `buckets` result rows — bounded metadata at any
+    * corpus size). Nothing else moves.
+    */
+  def calibrationReport(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      lo: Double,
+      hi: Double,
+      buckets: Int = 20,
+      scaleBits: Int = 20): DataFrame = {
+    require(buckets >= 1, "calibrationReport: need at least one bucket")
+    require(hi > lo, s"calibrationReport: need hi > lo, got [$lo, $hi)")
+    require(scaleBits >= 0 && scaleBits <= 40, "calibrationReport: scaleBits in [0, 40]")
+    // equal-width cell, clamped: floor((s-lo)/(hi-lo)·buckets) — each
+    // IEEE op is exactly rounded, so the cell is engine-portable
+    val cell = least(greatest(
+        floor((col(scoreCol) - lit(lo)) / lit(hi - lo) * lit(buckets.toDouble)),
+        lit(0.0)), lit((buckets - 1).toDouble))
+      .cast("long")
+    val scale = java.lang.Math.scalb(1.0, scaleBits) // power of two: exact
+    df.groupBy(cell.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("pos"),
+        sum((col(scoreCol) * lit(scale)).cast("long")).as("score_qsum"))
+  }
+
   // ---- quality-ranked selection ------------------------------------------
 
   /** Keep the top `keepPct` percent of each stratum by `scoreCol`

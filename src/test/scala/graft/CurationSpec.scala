@@ -273,6 +273,32 @@ class CurationSpec extends AnyFunSuite {
     assert(approx.intersect(Set(1L, 7L)) === Set(1L, 7L)) // the clear winners survive
   }
 
+  test("calibrationReport: exact cells, clamping, integer quantized sums") {
+    // [0,1) split into 4 cells of width 0.25; scores outside clamp in
+    val df = Seq(
+      (0.10, true), (0.10, false),          // cell 0: n=2 pos=1
+      (0.30, true),                         // cell 1
+      (0.60, true), (0.70, false),          // cell 2
+      (-5.0, false),                        // clamps to cell 0
+      (9.0, true), (1.0, true))             // clamp to cell 3 (1.0 = hi)
+      .toDF("score", "label")
+    val got = Curation.calibrationReport(df, "score", "label",
+        lo = 0.0, hi = 1.0, buckets = 4, scaleBits = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def q(x: Double) = (x * 1048576.0).toLong
+    assert(got(0L) === ((3L, 1L, q(0.10) * 2 + q(-5.0))))
+    assert(got(1L) === ((1L, 1L, q(0.30))))
+    assert(got(2L) === ((2L, 1L, q(0.60) + q(0.70))))
+    assert(got(3L) === ((2L, 2L, q(9.0) + q(1.0))))
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    // totals conserve rows: every clamped score is still counted
+    assert(got.values.map(_._1).sum === 8L)
+    intercept[IllegalArgumentException] {
+      Curation.calibrationReport(df, "score", "label", lo = 1.0, hi = 1.0)
+    }
+  }
+
   test("rankEnsemble: histogram ranks == rank() windows incl. ties, keep rule exact") {
     import org.apache.spark.sql.expressions.Window
     // ties in every signal, opposite directions, a doc good at one
