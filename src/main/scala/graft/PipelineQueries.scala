@@ -340,6 +340,17 @@ object PipelineQueries {
         "vec_id", "embedding", k = 3)
     }),
 
+    // ---- contrastive hard-negative mining: top-5 most-similar
+    // vectors with a DIFFERENT label per anchor, candidates from the
+    // nprobe=2 IVF probe — the per-pair label predicate no static
+    // corpus filter (s14) can express
+    "s17_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8),
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 108),
+        "vec_id", "embedding", "label", k = 5, nprobe = 2)
+    }),
+
     // ---- IVF with the nprobe recall knob: each query probes its 2
     // nearest cells (corpus layout unchanged, query fan-out only)
     "s6_ann_ivf_nprobe" -> ((s, dir) => {
@@ -2001,6 +2012,25 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
          |      FROM scored)
          |SELECT qid, cid, cosine, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    // the s6 pipeline with the label ride-along and the per-pair
+    // anchor-label <> candidate-label predicate before the top-k
+    "s17_hard_negatives" ->
+      s"""WITH cents AS (SELECT vec_id AS c, embedding AS ce FROM embeddings
+         |               WHERE vec_id >= 100 AND vec_id < 108),
+         |${ivfAssignSql("assigned", "rn = 1")},
+         |${ivfAssignSql("qprobe", "rn <= 2", "WHERE e.vec_id < 8")},
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM assigned c JOIN qprobe q ON c.cell = q.cell AND q.vec_id <> c.vec_id
+         |  JOIN lab ql ON ql.vec_id = q.vec_id
+         |  JOIN lab cl ON cl.vec_id = c.vec_id
+         |  WHERE ql.label <> cl.label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+         |      FROM scored)
+         |SELECT qid, cid, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
 
     // approx = the s6 IVF/nprobe pipeline, exact = the s1 brute-force
     // pipeline; recall@3 = hits per query over the ground-truth top-3

@@ -313,6 +313,57 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: each anchor's
+    * top-`k` most-similar corpus vectors with a DIFFERENT label — the
+    * near-misses that carry the contrastive gradient (a random
+    * negative is trivially far and teaches nothing; the hard ones sit
+    * right at the decision boundary). The label predicate is
+    * PER-PAIR (anchor label ≠ candidate label), which no static
+    * corpus pre-filter can express — contrast s14's filtered ANN,
+    * where the filter is a property of the candidate alone.
+    *
+    * Same scale shape as [[ivfTopK]]: candidates come from the IVF
+    * cell equi-join (anchors broadcast with `nprobe` fan-out, corpus
+    * rows touched only within probed cells — never a cross join), the
+    * label ride-along adds one small column to each side, and the
+    * mismatch filter runs before the per-anchor top-k window.
+    * Null-labeled rows never pair (no label evidence, SQL null
+    * semantics on both engines).
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(k >= 1, "hardNegatives: k must be >= 1")
+    require(nprobe >= 1, "hardNegatives: nprobe must be >= 1")
+    val centArr = centroidLiteral(centroids, idCol, vecCol)
+    def assign(df: DataFrame, outId: String, outVec: String, outLab: String) =
+      df.select(col(idCol).as(outId), col(vecCol).as(outVec),
+          col(labelCol).as(outLab))
+        .withColumn("_cell", argmaxCell(col(outVec), centArr))
+        .filter(col("_cell") >= 0)
+    val c = assign(corpus, "cid", "_cv", "_cl")
+    val q =
+      if (nprobe <= 1) assign(queries, "qid", "_qv", "_ql")
+      else queries
+        .select(col(idCol).as("qid"), col(vecCol).as("_qv"),
+          col(labelCol).as("_ql"))
+        .withColumn("_cells", topCells(col("_qv"), centArr, nprobe))
+        .select(col("qid"), col("_qv"), col("_ql"),
+          explode(col("_cells")).as("_cell"))
+    val scored = c.join(broadcast(q), Seq("_cell"))
+      .filter(col("qid") =!= col("cid") && col("_ql") =!= col("_cl"))
+      .select(col("qid"), col("cid"),
+        cosine(col("_qv"), col("_cv")).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   // ---- Product quantization (ADC) ---------------------------------------
 
   /** PQ codebooks: the embedding space is split into `m` contiguous

@@ -187,6 +187,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.head.getAs[Long]("cid") === 2L)
   }
 
+  test("hardNegatives: closest cross-label vectors only, null labels never pair") {
+    // 2-D toy space: anchor (1,0) label A; a nearly-identical same-label
+    // vector (must NOT appear), a close different-label vector (the
+    // hard negative, must rank 1), a far different-label vector, and a
+    // null-label vector that pairs with nothing
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), "A"),    // anchor
+      (2L, Array(0.99f, 0.1f), "A"),   // same label: excluded
+      (3L, Array(0.95f, 0.3f), "B"),   // hard negative
+      (4L, Array(-1.0f, 0.1f), "B"),   // easy negative
+      (5L, Array(0.98f, 0.2f), null))  // no label evidence
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val cents = df.filter($"vec_id" === 1) // one cell: everything co-lives
+    val got = Similarity.hardNegatives(df, df.filter($"vec_id" === 1), cents,
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy($"rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq === Seq((3L, 1), (4L, 2)))
+    // parity with ivfTopK + per-pair label filter applied afterwards
+    // (legal here because k covers all candidates)
+    val ref = Similarity.ivfTopK(df, df.filter($"vec_id" === 1), cents,
+        "vec_id", "embedding", k = 4)
+      .join(df.select($"vec_id".as("cid"), $"label".as("cl")), "cid")
+      .filter($"cl".isNotNull && $"cl" =!= "A")
+      .select($"cid").as[Long].collect().toSet
+    assert(got.map(_._1).toSet === ref)
+  }
+
   test("sign-LSH bucket is deterministic and groups identical vectors") {
     val vecs = Seq((1L, Array.fill(64)(0.5f)), (2L, Array.fill(64)(0.5f)))
       .toDF("vec_id", "embedding")

@@ -447,6 +447,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(4000))
     assert(p.contains("BroadcastExchange"), p.take(4000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    // hard-negative mining rides the identical cell equi-join; the
+    // per-pair label predicate must not degrade it to a nested loop
+    val ph = plan(graft.pipeline.Similarity.hardNegatives(
+      emb, emb.filter(col("vec_id") < 4),
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 104),
+      "vec_id", "embedding", "label", k = 2, nprobe = 2))
+    assert("Exchange hashpartitioning".r.findAllIn(ph).size <= 1, ph.take(4000))
+    assert(ph.contains("BroadcastExchange"), ph.take(4000))
+    assert(!ph.contains("BroadcastNestedLoopJoin"), ph.take(4000))
   }
 
   test("p8b quantile selection: no window over raw corpus rows, histogram exchange keyed by bucket") {
