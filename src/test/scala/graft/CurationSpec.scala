@@ -337,6 +337,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("rankEnsemble: randomized parity with rank() windows (heavy ties, negatives)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    // small value domains force many ties; negatives exercise the
+    // descending-by-negation path
+    val rows = (1L to 500L).map(i =>
+      (i, rnd.nextInt(17).toLong - 8L, rnd.nextInt(5).toLong, rnd.nextInt(400).toLong))
+    val df = rows.toDF("doc_id", "a", "b", "c").repartition(7)
+    val got = Curation.rankEnsemble(df, "doc_id",
+        Seq(("a", false), ("b", true), ("c", false)), keepPct = 35)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val n = rows.size.toLong
+    val ref = df
+      .withColumn("r_a", rank().over(Window.orderBy(col("a").desc)).cast("long"))
+      .withColumn("r_b", rank().over(Window.orderBy(col("b").asc)).cast("long"))
+      .withColumn("r_c", rank().over(Window.orderBy(col("c").desc)).cast("long"))
+      .collect().map { r =>
+        val borda = r.getLong(4) + r.getLong(5) + r.getLong(6)
+        r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6), borda,
+          borda * 100L <= n * 105L))  // 3 signals * 35 pct
+      }.toMap
+    assert(got === ref)
+    assert(got.values.count(_._5) > 0 && got.values.count(_._5) < rows.size)
+  }
+
   test("capPerGroup: huge groups capped near the target, small groups untouched, deterministic") {
     val df = ((1L to 200L).map(i => (i, "big")) ++ (1001L to 1005L).map(i => (i, "small")))
       .toDF("doc_id", "source")
