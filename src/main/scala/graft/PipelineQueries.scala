@@ -911,6 +911,16 @@ object PipelineQueries {
       graft.pipeline.GraphOps.hits(edges, iters = 2)
     }),
 
+    // ---- community detection: 3 synchronous label-propagation rounds
+    // over the (undirected) transition graph — deterministic variant
+    // (min-label ties), exact integer neighbor mass
+    "g4_label_propagation" -> ((s, dir) => {
+      val edges = graft.pipeline.GraphOps.transitionEdges(
+        t(s, dir, "events"), "user_id",
+        get_json_object(col("props"), "$.k"), "ts", tieCols = Seq("event_id"))
+      graft.pipeline.GraphOps.labelPropagation(edges, iters = 3)
+    }),
+
     "c5_cluster_purity" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Clustering.clusterLabelPurity(
@@ -1591,6 +1601,30 @@ object PipelineQueries {
        |${(1 to iters).map(prStepSql).mkString(",\n")}
        |SELECT id, pr FROM pr$iters""".stripMargin
 
+  /** One synchronous label-propagation round: neighbor label mass by
+    * integer sum, winner = heaviest label with min-label ties. */
+  private def lpStepSql(i: Int): String =
+    s"""m$i AS (SELECT eu.dst AS id, p.lbl AS lbl, CAST(sum(eu.w) AS BIGINT) AS m
+       |        FROM eu JOIN lp${i - 1} p ON eu.src = p.id GROUP BY 1, 2),
+       |lp$i AS (SELECT id, lbl FROM (
+       |           SELECT id, lbl, row_number() OVER (PARTITION BY id
+       |             ORDER BY m DESC, lbl ASC) AS rn FROM m$i) WHERE rn = 1)""".stripMargin
+
+  private def labelPropagationSql(iters: Int): String =
+    s"""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+       |              CAST(props->>'$$.k' AS BIGINT) AS k FROM events),
+       |p AS (SELECT k AS dst, lag(k) OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id) AS src FROM ev),
+       |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM p
+       |      WHERE src IS NOT NULL GROUP BY 1, 2),
+       |eu AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+       |         SELECT src, dst, w FROM e
+       |         UNION ALL SELECT dst AS src, src AS dst, w FROM e)
+       |       GROUP BY 1, 2),
+       |lp0 AS (SELECT DISTINCT src AS id, src AS lbl FROM eu),
+       |${(1 to iters).map(lpStepSql).mkString(",\n")}
+       |SELECT id, lbl FROM lp$iters""".stripMargin
+
   /** [[prStepSql]]'s personalized twin: teleport rides the seed vector
     * `tv.t` instead of the uniform 1/n. */
   private def pprStepSql(i: Int): String = {
@@ -1655,6 +1689,7 @@ object PipelineQueries {
     "g1_pagerank" -> pageRankSql(3),
     "g2_personalized_pagerank" -> personalizedPageRankSql(3),
     "g3_hits" -> hitsSql(2),
+    "g4_label_propagation" -> labelPropagationSql(3),
 
     "d1_dedup_exact" ->
       "SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",

@@ -79,6 +79,57 @@ object GraphOps {
     pr
   }
 
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own community and each round adopts the label with
+    * the largest total edge weight among its neighbors (ties → the
+    * smallest label, so the fixed-iteration result is deterministic on
+    * any engine and any partitioning — classic async LPA is famously
+    * run-order dependent; this is the synchronous variant). The
+    * curation uses: grouping near-dup clusters into page families,
+    * collapsing browse graphs into session communities, and
+    * domain-level spam-neighborhood detection.
+    *
+    * Edges are treated as UNDIRECTED (each directed edge votes both
+    * ways); parallel edges sum; weights are integral so neighbor mass
+    * is exact integer arithmetic, never an order-dependent float sum.
+    * A self-loop votes for the node's own current label.
+    *
+    * Scale shape per round (the [[pageRank]] family): one hash join of
+    * the label frame (O(|V|) rows, AQE broadcast when it fits) onto the
+    * persisted undirected edges, one partial-agg'd exchange keyed by
+    * (node, label), and a per-node top-1 window over label-MASS rows
+    * (bounded by the node's distinct neighbor labels — never a
+    * corpus-scale partition). Output: (id, lbl).
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      iters: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      wCol: String = "w",
+      checkpointEvery: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 1, "iters must be >= 1")
+    val dir = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+    val und = dir
+      .unionByName(dir.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w")).persist()
+    var lbl = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    for (i <- 1 to iters) {
+      val mass = und.join(lbl.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(sum("w").as("m"))
+      val top = Window.partitionBy("id").orderBy(col("m").desc, col("lbl").asc)
+      lbl = mass.withColumn("_rn", row_number().over(top))
+        .filter(col("_rn") === 1).select("id", "lbl")
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        lbl = lbl.localCheckpoint(true)
+    }
+    lbl
+  }
+
   /** Personalized (topic-sensitive) PageRank: teleport and dangling
     * mass return to the SEED set (uniformly) instead of all nodes —
     * rank concentrates around the seeds, the "score everything by

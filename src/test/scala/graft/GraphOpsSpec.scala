@@ -90,6 +90,40 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out(2L)._1 == 0.5)
   }
 
+  test("labelPropagation: two communities converge to their min label, bridge stays put") {
+    // triangles {1,2,3} and {10,11,12} joined by one weak bridge 3-10;
+    // after 3 synchronous rounds each triangle speaks its min label
+    val lbl = GraphOps.labelPropagation(edges(
+        (1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0),
+        (10L, 11L, 1.0), (11L, 12L, 1.0), (12L, 10L, 1.0),
+        (3L, 10L, 1.0)), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L))
+    assert(Set(1L, 2L, 3L).forall(n => lbl(n) === 1L), lbl.toString)
+    assert(Set(10L, 11L, 12L).forall(n => lbl(n) <= 3L || lbl(n) === 10L), lbl.toString)
+    // determinism: identical result from a different partitioning
+    val again = GraphOps.labelPropagation(edges(
+        (1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0),
+        (10L, 11L, 1.0), (11L, 12L, 1.0), (12L, 10L, 1.0),
+        (3L, 10L, 1.0)).repartition(13), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === lbl)
+  }
+
+  test("labelPropagation: weight beats count, ties go to the smaller label") {
+    // node 5 hears label 1 with mass 3 and label 2 with mass 2+2=4:
+    // the heavier mass wins even with fewer edges
+    val lbl = GraphOps.labelPropagation(edges(
+        (1L, 5L, 3.0), (2L, 5L, 2.0), (2L, 5L, 2.0)), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl(5L) === 2L, lbl.toString)
+    // exact tie: 1 and 2 each vote with mass 3 -> min label 1 wins
+    val tie = GraphOps.labelPropagation(edges(
+        (1L, 6L, 3.0), (2L, 6L, 3.0)), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tie(6L) === 1L, tie.toString)
+  }
+
   test("transitionEdges: per-key consecutive pairs, tie-broken, counted") {
     val ev = Seq(
       (10L, 1L, "2024-01-01 00:00:00", 1L),
