@@ -689,6 +689,26 @@ object StreamingQueries {
     // per-(day, event_type) counts in the state store; the final
     // per-key emission is the batch count, so the share verdict
     // (computed over the final counts) matches the batch oracle
+    // ---- live classifier-calibration monitor: p21's streaming twin —
+    // per-cell (n, pos, quantized-score sum) running integers in the
+    // state store; the max-n emission per cell equals the batch report
+    "p21s_calibration_stream" -> ((s, dir) => {
+      import graft.pipeline.Curation
+      val logit = Curation.linearClassifierScore(col("text"),
+        Curation.lcgWeights(1024), 1024)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        Curation.calibrationCell(logit, -30.0, 10.0, 20).as("cell"),
+        (col("lang") === "en").as("label"),
+        Curation.quantizedScore(logit, 20).as("qscore"))
+      val (out, _) = runStream(s, Seq((docs, "doc_id")), "update", ticks = 4) {
+        case Seq(d) => StreamingState.calibrationStream(d, "cell", "label", "qscore")
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy(col("n").desc)
+      out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select("bucket", "n", "pos", "score_qsum")
+    }),
+
     "v3s_share_drift_stream" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(
         date_trunc("day", col("ts")).as("bucket"),
@@ -833,6 +853,7 @@ object StreamingQueries {
     "st4s_quantile_stream" -> PipelineQueries.oracles("st4_quantile_sketch"),
     "v2s_drift_stream" -> PipelineQueries.oracles("v2_profile_drift"),
     "v3s_share_drift_stream" -> PipelineQueries.oracles("v3_time_share_drift"),
+    "p21s_calibration_stream" -> PipelineQueries.oracles("p21_classifier_calibration"),
     "d3s_lsh_dedup_stream" -> PipelineQueries.oracles("d3_minhash_lsh"),
     "p2s_pack_stream" -> PipelineQueries.oracles("p2_token_pack"),
     "d5s_embed_neardup_stream" -> PipelineQueries.oracles("d5_embed_neardup"),

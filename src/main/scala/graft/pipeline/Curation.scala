@@ -1374,6 +1374,27 @@ object Curation {
     * the bucket (≤ `buckets` result rows — bounded metadata at any
     * corpus size). Nothing else moves.
     */
+  /** The clamped equal-width calibration cell — floor((s−lo)/(hi−lo)·
+    * buckets) — shared by [[calibrationReport]] and its streaming twin
+    * so batch and live monitor can never disagree on the binning. Each
+    * IEEE op is exactly rounded, so the cell is engine-portable. */
+  def calibrationCell(score: Column, lo: Double, hi: Double, buckets: Int): Column = {
+    require(buckets >= 1, "calibrationCell: need at least one bucket")
+    require(hi > lo, s"calibrationCell: need hi > lo, got [$lo, $hi)")
+    least(greatest(
+        floor((score - lit(lo)) / lit(hi - lo) * lit(buckets.toDouble)),
+        lit(0.0)), lit((buckets - 1).toDouble))
+      .cast("long")
+  }
+
+  /** `trunc(score·2^scaleBits)` as a long — the exact, order-free unit
+    * both engines agree on (power-of-two scale, cast truncates toward
+    * zero in Spark and DuckDB's trunc mirrors it). */
+  def quantizedScore(score: Column, scaleBits: Int): Column = {
+    require(scaleBits >= 0 && scaleBits <= 40, "quantizedScore: scaleBits in [0, 40]")
+    (score * lit(java.lang.Math.scalb(1.0, scaleBits))).cast("long")
+  }
+
   def calibrationReport(
       df: DataFrame,
       scoreCol: String,
@@ -1381,22 +1402,11 @@ object Curation {
       lo: Double,
       hi: Double,
       buckets: Int = 20,
-      scaleBits: Int = 20): DataFrame = {
-    require(buckets >= 1, "calibrationReport: need at least one bucket")
-    require(hi > lo, s"calibrationReport: need hi > lo, got [$lo, $hi)")
-    require(scaleBits >= 0 && scaleBits <= 40, "calibrationReport: scaleBits in [0, 40]")
-    // equal-width cell, clamped: floor((s-lo)/(hi-lo)·buckets) — each
-    // IEEE op is exactly rounded, so the cell is engine-portable
-    val cell = least(greatest(
-        floor((col(scoreCol) - lit(lo)) / lit(hi - lo) * lit(buckets.toDouble)),
-        lit(0.0)), lit((buckets - 1).toDouble))
-      .cast("long")
-    val scale = java.lang.Math.scalb(1.0, scaleBits) // power of two: exact
-    df.groupBy(cell.as("bucket"))
+      scaleBits: Int = 20): DataFrame =
+    df.groupBy(calibrationCell(col(scoreCol), lo, hi, buckets).as("bucket"))
       .agg(count(lit(1)).as("n"),
         sum(col(labelCol).cast("long")).as("pos"),
-        sum((col(scoreCol) * lit(scale)).cast("long")).as("score_qsum"))
-  }
+        sum(quantizedScore(col(scoreCol), scaleBits)).as("score_qsum"))
 
   // ---- quality-ranked selection ------------------------------------------
 

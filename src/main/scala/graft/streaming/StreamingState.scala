@@ -841,6 +841,61 @@ object StreamingState {
       }
   }
 
+  /** p21's streaming twin: a LIVE reliability monitor — per
+    * calibration cell, three longs in the state store (row count,
+    * positive count, exact quantized-score sum), emitted whenever the
+    * cell sees data. The caller supplies the already-binned cell and
+    * the already-quantized score (via
+    * [[graft.pipeline.Curation.calibrationCell]] /
+    * [[Curation.quantizedScore]] — the SAME expressions as the batch
+    * report, so the two can never disagree on binning), and because
+    * every accumulator is an exact integer the final emission is
+    * bit-equal to the batch report regardless of micro-batch slicing.
+    * State: 24 bytes per cell, bounded by the bucket count — the
+    * cheapest live view of "is the classifier drifting off its
+    * calibration" over an ingest stream.
+    */
+  def calibrationStream(
+      df: DataFrame,
+      cellCol: String,
+      labelCol: String,
+      qscoreCol: String): DataFrame = {
+    val schema = df.schema
+    val n = schema.length
+    val cellIdx = schema.fieldIndex(cellCol)
+    val labIdx = schema.fieldIndex(labelCol)
+    val qIdx = schema.fieldIndex(qscoreCol)
+    val outSchema = StructType(Seq(
+      StructField("bucket", LongType, nullable = true),
+      StructField("n", LongType, nullable = false),
+      StructField("pos", LongType, nullable = false),
+      StructField("score_qsum", LongType, nullable = false)))
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.kryo[Array[Long]]
+    implicit val outEnc = Encoders.row(outSchema)
+    df.withColumn("_graft_gk", groupKeyExpr(schema, Seq(cellCol)))
+      .groupByKey((r: Row) => r.getString(n))
+      .flatMapGroupsWithState[Array[Long], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Array[Long]]) =>
+          val st = state.getOption.getOrElse(Array(0L, 0L, 0L))
+          var last: Row = null
+          rows.foreach { r =>
+            last = r
+            st(0) += 1
+            if (!r.isNullAt(labIdx) && r.getBoolean(labIdx)) st(1) += 1
+            st(2) += r.getLong(qIdx)
+          }
+          if (last == null) Iterator.empty
+          else {
+            state.update(st)
+            Iterator.single(Row.fromSeq(Seq(
+              if (last.isNullAt(cellIdx)) null else Long.box(last.getLong(cellIdx)),
+              Long.box(st(0)), Long.box(st(1)), Long.box(st(2)))))
+          }
+      }
+  }
+
   /** st5's streaming twin: one SpaceSaving sketch per key in the state
     * store (≤ `k` entries per key regardless of stream length),
     * emitting the running top-`topN` (one row per entry) whenever the

@@ -268,6 +268,39 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("calibrationStream: final per-cell state equals the batch report across slicings") {
+    val ss = StructType(Seq(
+      StructField("cell", LongType), StructField("label", BooleanType),
+      StructField("qscore", LongType)))
+    def cr(c: Long, l: Boolean, q: Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](c, l, q), ss)
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(cr(0L, true, 100L), cr(0L, false, -40L), cr(1L, true, 7L),
+      cr(0L, true, 12L), cr(2L, false, 0L), cr(1L, false, 9L))
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]
+    def sinkTo(df: org.apache.spark.sql.Dataset[Row], @annotation.unused id: Long): Unit =
+      df.collect().foreach(r =>
+        buf.add((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+    val ckpt = Files.createTempDirectory("calib-ckpt").toString
+    val stream = MemoryStream[Row](Encoders.row(ss), sqlCtx)
+    val out = StreamingState.calibrationStream(
+      stream.toDF(), "cell", "label", "qscore")
+    val q = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo _).start()
+    try {
+      // adversarial slicing: 1 + 4 + 1 rows
+      stream.addData(rows.head); q.processAllAvailable()
+      stream.addData(rows.slice(1, 5): _*); q.processAllAvailable()
+      stream.addData(rows.last); q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val fin = buf.asScala.groupBy(_._1).map { case (c, es) => c -> es.maxBy(_._2) }
+    assert(fin(0L) === ((0L, 3L, 2L, 72L)))
+    assert(fin(1L) === ((1L, 2L, 1L, 16L)))
+    assert(fin(2L) === ((2L, 1L, 0L, 0L)))
+  }
+
   test("retentionStream: a period is emitted once, even across batches") {
     val rs = StructType(Seq(
       StructField("user_id", LongType), StructField("ts", TimestampType)))
