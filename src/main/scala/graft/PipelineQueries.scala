@@ -415,6 +415,29 @@ object PipelineQueries {
         .withColumn("recall_at_3", col("n_hit") / lit(3.0))
     }),
 
+    // ---- dimension-truncation (matryoshka) recall audit: top-3 by
+    // cosine over the FIRST d components vs the full-dim ground truth,
+    // for d in {8, 16, 32} — the measured evidence for storing
+    // narrower vectors (each halving of d halves the index bytes and
+    // scan cost at corpus scale; this row says what recall that buys)
+    "s18_dim_truncation_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+        .select(col("qid"), col("cid"))
+      Seq(8, 16, 32).map { d =>
+        val et = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+        val approx = Similarity.bruteForceTopK(
+            et, et.filter(col("vec_id") < 8), "vec_id", "embedding", 3)
+          .select(col("qid"), col("cid"), lit(1L).as("_hit"))
+        exact.join(approx, Seq("qid", "cid"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+          .select(lit(d.toLong).as("dim"), col("qid"), col("n_hit"))
+      }.reduce(_ unionByName _)
+    }),
+
     // ---- two-stage ANN: PQ recall (compressed codes only) + exact
     // re-rank of the per-query candidate pool — compression error is
     // confined to candidate choice, reported scores are exact
@@ -2118,6 +2141,38 @@ object PipelineQueries {
          |       count(a.cid) / 3.0 AS recall_at_3
          |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
          |GROUP BY e.qid""".stripMargin,
+
+    // full-dim ground truth once, one truncated ranking per d; the
+    // per-(d, query) hit count is the gated integer
+    "s18_dim_truncation_recall" -> {
+      def trSql(d: Int) =
+        s"""ts$d AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+           |         ${cosSql(s"q.embedding[1:$d]", s"c.embedding[1:$d]")} AS cosine
+           |  FROM embeddings c JOIN embeddings q ON q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 8),
+           |tr$d AS (SELECT qid, cid FROM (
+           |           SELECT *, row_number() OVER (PARTITION BY qid
+           |             ORDER BY cosine DESC, cid ASC) AS rank FROM ts$d)
+           |         WHERE rank <= 3),
+           |h$d AS (SELECT CAST($d AS BIGINT) AS dim, e.qid,
+           |          CAST(count(a.cid) AS BIGINT) AS n_hit
+           |        FROM exact e LEFT JOIN tr$d a ON e.qid = a.qid AND e.cid = a.cid
+           |        GROUP BY 1, 2)""".stripMargin
+      s"""WITH escored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM embeddings c JOIN embeddings q ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 8),
+         |exact AS (SELECT qid, cid FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY qid
+         |              ORDER BY cosine DESC, cid ASC) AS rank FROM escored)
+         |          WHERE rank <= 3),
+         |${Seq(8, 16, 32).map(trSql).mkString(",\n")}
+         |SELECT dim, qid, n_hit FROM h8
+         |UNION ALL SELECT dim, qid, n_hit FROM h16
+         |UNION ALL SELECT dim, qid, n_hit FROM h32""".stripMargin
+    },
 
     "c3_pq_codes" ->
       s"""WITH ${pqCtes()}
