@@ -438,6 +438,37 @@ object PipelineQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // ---- int8 scalar-quantization recall audit (s18's sibling):
+    // per-vector symmetric quantization q_i = trunc(x_i·127/max|x|),
+    // top-3 by cosine over the INTEGER vectors (cosine is
+    // scale-invariant per vector, so no reconstruction) vs the
+    // full-precision ground truth — the 4x-smaller-index question,
+    // answered with measured hits instead of a rule of thumb
+    "s19_int8_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 3)
+        .select(col("qid"), col("cid"))
+      val qz = emb
+        .withColumn("_mx", aggregate(
+          transform(col("embedding"), x => abs(x.cast("double"))),
+          lit(0.0), (a, x) => greatest(a, x)))
+        .select(col("vec_id"),
+          // trunc-to-long then back to double: the integer grid both
+          // engines agree on, in the element type the cosine kernel
+          // reads (a long-backed array would be misread as doubles)
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(127.0) / col("_mx"))
+              .cast("long").cast("double"))
+            .as("embedding"))
+      val approx = Similarity.bruteForceTopK(
+          qz, qz.filter(col("vec_id") < 8), "vec_id", "embedding", 3)
+        .select(col("qid"), col("cid"), lit(1L).as("_hit"))
+      exact.join(approx, Seq("qid", "cid"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+    }),
+
     // ---- two-stage ANN: PQ recall (compressed codes only) + exact
     // re-rank of the per-query candidate pool — compression error is
     // confined to candidate choice, reported scores are exact
@@ -2141,6 +2172,37 @@ object PipelineQueries {
          |       count(a.cid) / 3.0 AS recall_at_3
          |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
          |GROUP BY e.qid""".stripMargin,
+
+    // per-vector symmetric int8 grid (trunc(x*127/max|x|)), ranking
+    // over the quantized vectors, hits vs the full-precision truth
+    "s19_int8_recall" ->
+      s"""WITH mx AS (SELECT vec_id, embedding,
+         |              list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS m
+         |            FROM embeddings),
+         |qz AS (SELECT vec_id,
+         |         [CAST(trunc(CAST(x AS DOUBLE)*127.0/m) AS BIGINT) for x in embedding] AS qv
+         |       FROM mx),
+         |ascored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         ${cosSql("q.qv", "c.qv")} AS cosine
+         |  FROM qz c JOIN qz q ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 8),
+         |approx AS (SELECT qid, cid FROM (
+         |             SELECT *, row_number() OVER (PARTITION BY qid
+         |               ORDER BY cosine DESC, cid ASC) AS rank FROM ascored)
+         |           WHERE rank <= 3),
+         |escored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM embeddings c JOIN embeddings q ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 8),
+         |exact AS (SELECT qid, cid FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY qid
+         |              ORDER BY cosine DESC, cid ASC) AS rank FROM escored)
+         |          WHERE rank <= 3)
+         |SELECT e.qid, CAST(count(a.cid) AS BIGINT) AS n_hit
+         |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+         |GROUP BY 1""".stripMargin,
 
     // full-dim ground truth once, one truncated ranking per d; the
     // per-(d, query) hit count is the gated integer
