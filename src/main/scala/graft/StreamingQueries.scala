@@ -689,6 +689,16 @@ object StreamingQueries {
     // per-(day, event_type) counts in the state store; the final
     // per-key emission is the batch count, so the share verdict
     // (computed over the final counts) matches the batch oracle
+    // ---- live quota admission: first 10 arrivals per source admitted,
+    // the rest dropped at the door — one counter per stratum of state
+    "p22s_quota_admission_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("source"), col("doc_id"))
+      val (out, _) = runStream(s, Seq((docs, "doc_id")), "append", ticks = 4) {
+        case Seq(d) => StreamingState.quotaAdmissionStream(d, "source", "doc_id", cap = 10)
+      }
+      out
+    }),
+
     // ---- live classifier-calibration monitor: p21's streaming twin —
     // per-cell (n, pos, quantized-score sum) running integers in the
     // state store; the max-n emission per cell equals the batch report
@@ -854,6 +864,12 @@ object StreamingQueries {
     "v2s_drift_stream" -> PipelineQueries.oracles("v2_profile_drift"),
     "v3s_share_drift_stream" -> PipelineQueries.oracles("v3_time_share_drift"),
     "p21s_calibration_stream" -> PipelineQueries.oracles("p21_classifier_calibration"),
+    // admission = first cap ids per stratum (id-ascending feed)
+    "p22s_quota_admission_stream" ->
+      """SELECT source, doc_id, CAST(rn AS BIGINT) AS admit_rank FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10""".stripMargin,
     "d3s_lsh_dedup_stream" -> PipelineQueries.oracles("d3_minhash_lsh"),
     "p2s_pack_stream" -> PipelineQueries.oracles("p2_token_pack"),
     "d5s_embed_neardup_stream" -> PipelineQueries.oracles("d5_embed_neardup"),

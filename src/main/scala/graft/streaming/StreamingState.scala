@@ -267,6 +267,46 @@ object StreamingState {
       .toDF("id", "shard", "n_tokens", "start_tok", "chunk")
   }
 
+  /** LIVE per-stratum quota admission — ingest throttling: the first
+    * `cap` arrivals of each stratum are admitted (with their admission
+    * rank), everything after the cap is dropped at the door. The
+    * batch-side cap rules (p10's hash-uniform survivors) choose a
+    * REPRESENTATIVE sample after the fact; an ingest pipe can't —
+    * admission must be decided the moment a row arrives, with one
+    * counter per stratum of state. Within a micro-batch rows are
+    * processed in id order (and the gate feed arrives id-ascending),
+    * so the admitted set is exactly the first `cap` ids per stratum —
+    * the id-ordered row_number oracle applies verbatim. A null or
+    * non-numeric id fails fast rather than corrupting admission order.
+    */
+  def quotaAdmissionStream(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      cap: Long): DataFrame = {
+    require(cap >= 1, "quotaAdmissionStream: cap must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idOrFail = when(col(idCol).cast("long").isNull,
+      raise_error(lit(s"quotaAdmissionStream: null or non-numeric id in '$idCol'")))
+      .otherwise(col(idCol).cast("long"))
+    df.select(col(keyCol).cast("string").as("k"), idOrFail.as("id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[java.lang.Long, (String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: String, rows: Iterator[(String, Long)], state: GroupState[java.lang.Long]) =>
+          var admitted: Long = state.getOption.map(_.longValue).getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, id) =>
+            if (admitted < cap) { admitted += 1; out += ((k, id, admitted)) }
+          }
+          state.update(java.lang.Long.valueOf(admitted))
+          out.iterator
+      }
+      .toDF(keyCol, idCol, "admit_rank")
+  }
+
   /** p19's streaming twin: LIVE inference-batch assignment. Arrivals
     * are bucketed by power-of-two length and appended to their
     * (shard, bucket)'s current batch; state per group is ONE counter

@@ -301,6 +301,39 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(fin(2L) === ((2L, 1L, 0L, 0L)))
   }
 
+  test("quotaAdmissionStream: cap enforced across batches, ranks contiguous, id-ordered") {
+    val ss = StructType(Seq(
+      StructField("source", StringType), StructField("doc_id", LongType)))
+    def qr(s: String, id: Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](s, id), ss)
+    implicit val sqlCtx = spark.sqlContext
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]
+    def sinkTo(df: org.apache.spark.sql.Dataset[Row], @annotation.unused id: Long): Unit =
+      df.collect().foreach(r => buf.add((r.getString(0), r.getLong(1), r.getLong(2))))
+    val ckpt = Files.createTempDirectory("quota-ckpt").toString
+    val stream = MemoryStream[Row](Encoders.row(ss), sqlCtx)
+    val out = StreamingState.quotaAdmissionStream(
+      stream.toDF(), "source", "doc_id", cap = 3)
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo _).start()
+    try {
+      // batch 1: a has 2 (both admitted), b has 4 (3 admitted, 1 over);
+      // unsorted arrival inside the batch — id order must win
+      stream.addData(qr("b", 14L), qr("a", 1L), qr("b", 11L), qr("b", 13L),
+        qr("a", 2L), qr("b", 12L))
+      q.processAllAvailable()
+      // batch 2: a gets its 3rd (admitted) and 4th (rejected); b is full
+      stream.addData(qr("a", 3L), qr("a", 4L), qr("b", 15L))
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = buf.asScala.toSet
+    assert(got === Set(
+      ("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+      ("b", 11L, 1L), ("b", 12L, 2L), ("b", 13L, 3L)))
+  }
+
   test("retentionStream: a period is emitted once, even across batches") {
     val rs = StructType(Seq(
       StructField("user_id", LongType), StructField("ts", TimestampType)))
