@@ -453,6 +453,10 @@ object PipelineQueries {
         .withColumn("_mx", aggregate(
           transform(col("embedding"), x => abs(x.cast("double"))),
           lit(0.0), (a, x) => greatest(a, x)))
+        // an all-zero vector has no direction to preserve — drop it on
+        // BOTH sides (Spark's 0/0 would be NaN and rank FIRST under
+        // DESC while DuckDB's div-by-zero NULL ranks last)
+        .filter(col("_mx") > 0.0)
         .select(col("vec_id"),
           // trunc-to-long then back to double: the integer grid both
           // engines agree on, in the element type the cosine kernel
@@ -2181,7 +2185,7 @@ object PipelineQueries {
          |            FROM embeddings),
          |qz AS (SELECT vec_id,
          |         [CAST(trunc(CAST(x AS DOUBLE)*127.0/m) AS BIGINT) for x in embedding] AS qv
-         |       FROM mx),
+         |       FROM mx WHERE m > 0.0),
          |ascored AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,
          |         ${cosSql("q.qv", "c.qv")} AS cosine

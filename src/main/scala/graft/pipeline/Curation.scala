@@ -1357,23 +1357,6 @@ object Curation {
       .toDF("dim", "weight")
   }
 
-  /** Reliability-diagram report for a scored classifier — the check a
-    * pipeline runs BEFORE trusting a quality model's threshold on
-    * 100 TB: does predicted confidence track the empirical positive
-    * rate? Scores are binned into `buckets` equal-width cells over
-    * [lo, hi) (out-of-range scores clamp into the end cells, so every
-    * row is counted) and each cell reports its row count, its positive
-    * count, and the exact integer sum of quantized scores — the
-    * consumer reads empirical rate = pos/n against mean score =
-    * score_qsum/(n·2^scaleBits) per cell, and a gap is miscalibration
-    * (the ECE summand). All gated values are integers: counts, and a
-    * per-row `trunc(score·2^scaleBits)` long summed exactly — no float
-    * accumulation, engine-portable.
-    *
-    * Scale shape: one narrow scan, ONE partial-agg'd exchange keyed by
-    * the bucket (≤ `buckets` result rows — bounded metadata at any
-    * corpus size). Nothing else moves.
-    */
   /** The clamped equal-width calibration cell — floor((s−lo)/(hi−lo)·
     * buckets) — shared by [[calibrationReport]] and its streaming twin
     * so batch and live monitor can never disagree on the binning. Each
@@ -1395,6 +1378,23 @@ object Curation {
     (score * lit(java.lang.Math.scalb(1.0, scaleBits))).cast("long")
   }
 
+  /** Reliability-diagram report for a scored classifier — the check a
+    * pipeline runs BEFORE trusting a quality model's threshold on
+    * 100 TB: does predicted confidence track the empirical positive
+    * rate? Scores are binned into `buckets` equal-width cells over
+    * [lo, hi) (out-of-range scores clamp into the end cells, so every
+    * row is counted) and each cell reports its row count, its positive
+    * count, and the exact integer sum of quantized scores — the
+    * consumer reads empirical rate = pos/n against mean score =
+    * score_qsum/(n·2^scaleBits) per cell, and a gap is miscalibration
+    * (the ECE summand). All gated values are integers: counts, and a
+    * per-row `trunc(score·2^scaleBits)` long summed exactly — no float
+    * accumulation, engine-portable.
+    *
+    * Scale shape: one narrow scan, ONE partial-agg'd exchange keyed by
+    * the bucket (≤ `buckets` result rows — bounded metadata at any
+    * corpus size). Nothing else moves.
+    */
   def calibrationReport(
       df: DataFrame,
       scoreCol: String,
@@ -1534,10 +1534,22 @@ object Curation {
     }
     // canonicalize better = smaller: descending signals rank by their
     // negation (exact for any long except Long.MinValue, which the
-    // bounded-quantization contract excludes; ANSI negate would throw)
+    // bounded-quantization contract excludes; ANSI negate would throw).
+    // A NULL signal has no place in a rank (it would silently inflate
+    // every real value's strictly-better mass via the nulls-first
+    // histogram row AND vanish from the non-null-safe rank join, while
+    // SQL rank() keeps it) — fail fast with the column named instead.
     val canon = df.select(col(idCol) +: signals.map { case (c, asc) =>
-      (if (asc) col(c).cast("long") else -col(c).cast("long")).as("_s_" + c)
+      val nn = when(col(c).isNull,
+        raise_error(lit(s"rankEnsemble: null value in signal '$c' — " +
+          "rank semantics are undefined for nulls; filter or impute first")))
+        .otherwise(col(c).cast("long"))
+      (if (asc) nn else -nn).as("_s_" + c)
     }: _*)
+      // the scored projection is read k+1 times (one histogram build
+      // per signal + the final rank pickup); cache it so the signal
+      // expressions run over the corpus ONCE (id + k longs per row)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = canon.select(explode(array(signals.map { case (c, _) =>
       struct(lit(c).as("sig"), col("_s_" + c).as("v"))
     }: _*)).as("p")).select(col("p.sig").as("sig"), col("p.v").as("v"))
@@ -1546,15 +1558,18 @@ object Curation {
     // rows only (domain-bounded metadata, never corpus rows)
     val wStrict = Window.partitionBy("sig").orderBy(col("v").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // not persisted: each signal's rank pickup re-aggregates from the
+    // CACHED canon (a narrow in-memory scan + partial agg of metadata
+    // rows) — the expensive corpus expressions above ran exactly once
     val ranks = hist.select(col("sig"), col("v"),
       (coalesce(sum(col("_c")).over(wStrict), lit(0L)) + 1L).as("_r"))
-    val joined = signals.foldLeft(canon) { case (acc, (c, _)) =>
+    val joined = signals.foldLeft(canon: DataFrame) { case (acc, (c, _)) =>
       acc.join(broadcast(
           ranks.filter(col("sig") === c)
             .select(col("v").as("_s_" + c), col("_r").as("r_" + c))),
         Seq("_s_" + c))
     }
-    val nRow = df.agg(count(lit(1)).as("_n"))
+    val nRow = canon.agg(count(lit(1)).as("_n"))
     val k = signals.size
     joined.crossJoin(broadcast(nRow))
       .withColumn("borda", signals.map(s => col("r_" + s._1)).reduce(_ + _))

@@ -42,6 +42,13 @@ object Pca {
     df.groupBy(keys.map(col): _*)
       .agg(GramMatrix.gramTriples(col(vecCol), dim, scaleBits).as("g"))
       .select(keys.map(col) :+ inline(col("g")): _*)
+      // a group whose vectors were ALL null carries no matrix — drop
+      // its lone (0,0,0) marker row: the grouped SQL mirror (null
+      // vectors filtered before GROUP BY) and the streaming twin
+      // (no-arrival keys emit nothing) both omit such groups, and the
+      // ungrouped gramTriples keeps the n=0 row (its GROUP-BY-less
+      // oracle emits one), so the three surfaces stay aligned
+      .filter(!(col("i") === 0 && col("j") === 0 && col("v") === 0L))
   }
 
   /** Sample mean and covariance recovered from collected gram triples.

@@ -1170,8 +1170,11 @@ final class Gateway(
                |    state.filterCol = document.getElementById('fc').value;
                |    state.filterOp = document.getElementById('fop').value;
                |    state.filterVal = document.getElementById('fv').value;
+               |    // 0 is as useless as a negative limit in a browse
+               |    // grid (a silently empty table) — treat both as
+               |    // "use the default", like the pre-fix || fallback
                |    const lim = parseInt(document.getElementById('lim').value);
-               |    state.limit = isNaN(lim) || lim < 0 ? 500 : lim;
+               |    state.limit = isNaN(lim) || lim <= 0 ? 500 : lim;
                |    render();
                |  };
                |}

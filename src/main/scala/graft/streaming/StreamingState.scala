@@ -924,7 +924,9 @@ object StreamingState {
             last = r
             st(0) += 1
             if (!r.isNullAt(labIdx) && r.getBoolean(labIdx)) st(1) += 1
-            st(2) += r.getLong(qIdx)
+            // null score: counted in n, excluded from the sum — the
+            // batch report's SQL-sum semantics, not an unboxing NPE
+            if (!r.isNullAt(qIdx)) st(2) += r.getLong(qIdx)
           }
           if (last == null) Iterator.empty
           else {

@@ -335,6 +335,16 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Curation.rankEnsemble(df, "doc_id", Seq(("q", true), ("q", false)), keepPct = 10)
     }
+    // a NULL signal fails fast naming the column — silently dropping
+    // the row (rank join) while inflating every other rank (nulls-
+    // first histogram) is the bug this guard exists to prevent
+    val withNull = Seq((1L, java.lang.Long.valueOf(3L)), (2L, null))
+      .toDF("doc_id", "q")
+    val err = intercept[Exception] {
+      Curation.rankEnsemble(withNull, "doc_id", Seq(("q", true)), keepPct = 50)
+        .collect()
+    }
+    assert(err.getMessage.contains("null value in signal 'q'"), err.getMessage)
   }
 
   test("rankEnsemble: randomized parity with rank() windows (heavy ties, negatives)") {

@@ -146,6 +146,28 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("gramTriplesBy: a group whose vectors are all null emits no rows") {
+    // grouped surfaces (SQL mirror filters nulls before GROUP BY;
+    // streaming twin never hears from the key) omit the group — the
+    // (0,0,0) marker row must not leak out as a fake zero matrix
+    val rows = Seq(
+      (1L, 0, Array(1.0f, 2.0f)), (2L, 0, Array(3.0f, 4.0f)),
+      (3L, 1, null.asInstanceOf[Array[Float]]),
+      (4L, 1, null.asInstanceOf[Array[Float]]))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val byKey = Pca.gramTriplesBy(df, Seq("label"), "embedding", 2).collect()
+    assert(byKey.nonEmpty)
+    val labels = byKey.map(r => r.get(0)).toSet
+    assert(labels === Set(0), byKey.mkString(", "))
+    // the ungrouped aggregate on an all-null frame keeps its n=0 row
+    // (its GROUP-BY-less oracle emits one)
+    val empty = Pca.gramTriples(
+      df.filter(col("label") === 1), "embedding", 2).collect()
+    assert(empty.length === 1
+      && empty.head.getInt(0) === 0 && empty.head.getInt(1) === 0
+      && empty.head.getLong(2) === 0L)
+  }
+
   test("outlierScores: chi-square mean on clean data; corrupt vector flagged") {
     val rnd = new scala.util.Random(17)
     val clean = Seq.tabulate(2000) { i =>

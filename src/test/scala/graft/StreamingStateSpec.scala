@@ -276,8 +276,12 @@ class StreamingStateSpec extends AnyFunSuite {
       new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
         Array[Any](c, l, q), ss)
     implicit val sqlCtx = spark.sqlContext
+    // cell 2 includes a NULL score: counted in n, excluded from the
+    // sum — the batch report's SQL-sum semantics, not an NPE
     val rows = Seq(cr(0L, true, 100L), cr(0L, false, -40L), cr(1L, true, 7L),
-      cr(0L, true, 12L), cr(2L, false, 0L), cr(1L, false, 9L))
+      cr(0L, true, 12L), cr(2L, false, 0L), cr(1L, false, 9L)) :+
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](2L, true, null), ss)
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]
     def sinkTo(df: org.apache.spark.sql.Dataset[Row], @annotation.unused id: Long): Unit =
       df.collect().foreach(r =>
@@ -289,16 +293,16 @@ class StreamingStateSpec extends AnyFunSuite {
     val q = out.writeStream.outputMode("update")
       .option("checkpointLocation", ckpt).foreachBatch(sinkTo _).start()
     try {
-      // adversarial slicing: 1 + 4 + 1 rows
+      // adversarial slicing: 1 + 4 + 2 rows
       stream.addData(rows.head); q.processAllAvailable()
       stream.addData(rows.slice(1, 5): _*); q.processAllAvailable()
-      stream.addData(rows.last); q.processAllAvailable()
+      stream.addData(rows.slice(5, 7): _*); q.processAllAvailable()
     } finally q.stop()
     import scala.jdk.CollectionConverters._
     val fin = buf.asScala.groupBy(_._1).map { case (c, es) => c -> es.maxBy(_._2) }
     assert(fin(0L) === ((0L, 3L, 2L, 72L)))
     assert(fin(1L) === ((1L, 2L, 1L, 16L)))
-    assert(fin(2L) === ((2L, 1L, 0L, 0L)))
+    assert(fin(2L) === ((2L, 2L, 1L, 0L)))
   }
 
   test("quotaAdmissionStream: cap enforced across batches, ranks contiguous, id-ordered") {
