@@ -1047,7 +1047,7 @@ final class Gateway(
                |const state = {groupBy: [], splitBy: '', agg: 'count', aggCol: '',
                |               sortCol: '', sortDir: 1,
                |               filterCol: '', filterOp: '==', filterVal: '',
-               |               limit: 500, cols: []};
+               |               limit: 500, cols: [], view: 'grid'};
                |let raw = [];
                |function cmp(a, b){
                |  if (a === b) return 0;
@@ -1124,6 +1124,51 @@ final class Gateway(
                |    return out;
                |  });
                |}
+               |// horizontal grouped-bar SVG over the PIVOTED rows — the
+               |// Perspective chart-plugin use-case without the JS bundle.
+               |// One band per group, one bar per value column (split-by
+               |// crosstabs become grouped bars); negatives extend left of a
+               |// shared zero baseline; scale = max |value| over the frame.
+               |function chartSvg(rows, cols){
+               |  const keyCols = state.groupBy.filter(c => cols.indexOf(c) >= 0);
+               |  const valCols = cols.filter(c => keyCols.indexOf(c) < 0);
+               |  if (!rows.length || !valCols.length)
+               |    return '<p>nothing to chart (group by + aggregate first)</p>';
+               |  let mx = 0;
+               |  for (const r of rows) for (const c of valCols) {
+               |    const v = r[c]; if (typeof v === 'number') mx = Math.max(mx, Math.abs(v));
+               |  }
+               |  if (mx === 0) mx = 1;
+               |  const W = 640, L = 180, bh = 12, gap = 6;
+               |  const hasNeg = rows.some(r => valCols.some(c => r[c] < 0));
+               |  const x0 = hasNeg ? L + (W - L) / 2 : L, span = W - 10 - x0;
+               |  const hue = i => 'hsl(' + (i * 67 % 360) + ',60%,45%)';
+               |  const gh = valCols.length * bh + gap;
+               |  let y = 4, s = '';
+               |  for (const r of rows) {
+               |    const label = keyCols.map(c => r[c]).join(' / ') || '(all)';
+               |    s += '<text x="' + (L - 6) + '" y="' + (y + gh / 2) +
+               |      '" text-anchor="end" font-size="11">' + esc(label) + '</text>';
+               |    valCols.forEach((c, i) => {
+               |      const v = r[c];
+               |      if (typeof v === 'number') {
+               |        const w = Math.abs(v) / mx * span;
+               |        s += '<rect x="' + (v < 0 ? x0 - w : x0) + '" y="' + (y + i * bh) +
+               |          '" width="' + Math.max(w, 0.5) + '" height="' + (bh - 2) +
+               |          '" fill="' + hue(i) + '"><title>' + esc(c + ' = ' + v) +
+               |          '</title></rect>';
+               |      }
+               |    });
+               |    y += gh;
+               |  }
+               |  s += '<line x1="' + x0 + '" y1="0" x2="' + x0 + '" y2="' + y +
+               |    '" stroke="#888"/>';
+               |  const legend = valCols.map((c, i) =>
+               |    '<tspan fill="' + hue(i) + '">&#9632;</tspan> ' + esc(c)).join('  ');
+               |  s += '<text x="' + x0 + '" y="' + (y + 14) + '" font-size="11">' +
+               |    legend + '</text>';
+               |  return '<svg width="' + W + '" height="' + (y + 22) + '">' + s + '</svg>';
+               |}
                |function render(){
                |  let rows = pivot(applyFilter(raw));
                |  if (state.sortCol)
@@ -1131,6 +1176,10 @@ final class Gateway(
                |      state.sortDir * cmp(a[state.sortCol], b[state.sortCol]));
                |  rows = rows.slice(0, state.limit);
                |  const cols = rows.length ? Object.keys(rows[0]) : state.cols;
+               |  if (state.view === 'bar' && state.groupBy.length) {
+               |    document.getElementById('t').innerHTML = chartSvg(rows, cols);
+               |    return;
+               |  }
                |  let h = '<table><tr>' + cols.map(c =>
                |    '<th class="hdr" data-c="' + esc(c) + '">' + esc(c) +
                |    (state.sortCol === c ? (state.sortDir > 0 ? ' ▲' : ' ▼') : '') +
@@ -1159,6 +1208,7 @@ final class Gateway(
                |    ' filter ' + sel('fc', [''].concat(state.cols)) +
                |    sel('fop', ['==','!=','<','<=','>','>=','contains']) +
                |    ' <input id="fv" size="8"> limit <input id="lim" size="5" value="500">' +
+               |    ' view ' + sel('vw', ['grid','bar']) +
                |    ' <button id="apply">apply</button> <span id="n"></span>';
                |  document.getElementById('apply').onclick = () => {
                |    state.groupBy = Array.from(
@@ -1175,6 +1225,7 @@ final class Gateway(
                |    // "use the default", like the pre-fix || fallback
                |    const lim = parseInt(document.getElementById('lim').value);
                |    state.limit = isNaN(lim) || lim <= 0 ? 500 : lim;
+               |    state.view = document.getElementById('vw').value;
                |    render();
                |  };
                |}

@@ -261,7 +261,10 @@ class GatewaySpec extends AnyFunSuite {
       // (group-by/agg/filter/sort/limit — the Perspective use-case)
       Seq("group by", "split by", "function pivot(", "function applyFilter(",
         """sel('agg', ['count','sum','avg','min','max'])""",
-        "state.sortDir * cmp(", "g.subs.get(sv)").foreach(frag =>
+        "state.sortDir * cmp(", "g.subs.get(sv)",
+        // chart view (the Perspective chart-plugin analogue)
+        "function chartSvg(", """sel('vw', ['grid','bar'])""",
+        "state.view === 'bar'").foreach(frag =>
         assert(tablePage.body().contains(frag), s"missing: $frag"))
       assert(get(s"$hostBase/tables/nope").statusCode() === 404)
     }
