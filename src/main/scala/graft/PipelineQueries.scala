@@ -1383,6 +1383,30 @@ object PipelineQueries {
           (col("lang") === "en").as("label")),
         "logit", "label", lo = -30.0, hi = 10.0, buckets = 20)),
 
+    // ---- tokenizer fertility by language: learn the 3 BPE merges,
+    // tokenize every doc, roll up per-language token/word/char masses
+    // + integer milli-fertility (tokens per word × 1000) — the "is
+    // this tokenizer fair to each language" audit run before
+    // committing a vocab to a multilingual corpus (a high-fertility
+    // language pays more sequence length for the same text). One
+    // narrow scoring pass over merge literals, one (lang) exchange of
+    // four longs
+    "tx21_tokenizer_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Curation.bpeLearn(docs, "text", rounds = 3)
+      docs.select(col("lang"),
+          Curation.bpeTokenCount(col("text"), merges).cast("long").as("_bpe"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("_w"),
+          length(col("text")).cast("long").as("_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("_bpe").as("bpe_tokens"),
+          sum("_w").as("words"),
+          sum("_chars").as("chars"))
+        .withColumn("fertility_milli",
+          expr("bpe_tokens * 1000L div words"))
+    }),
+
     // ---- TRAIN the quality classifier (p9 is inference): full-batch
     // logistic regression on hashed token-bucket features, label =
     // "is English". The fixed-point gradient (round(contrib*1e6),
@@ -3115,6 +3139,24 @@ object PipelineQueries {
          |  FROM tok JOIN w3 USING (word) GROUP BY doc_id)
          |SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_bpe
          |FROM documents d LEFT JOIN cnts c USING (doc_id)""".stripMargin,
+
+    // tx15b's per-doc tokenization rolled up per language with the
+    // word/char masses and an integer milli-fertility
+    "tx21_tokenizer_fertility" ->
+      s"""WITH RECURSIVE
+         |${bpeCtes(3)},
+         |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+         |cnts AS (SELECT doc_id, sum(len(syms)) AS n
+         |  FROM tok JOIN w3 USING (word) GROUP BY doc_id),
+         |base AS (SELECT d.lang, coalesce(c.n, 0) AS bpe,
+         |           len(string_split(d.text,' ')) AS wrds, len(d.text) AS chars
+         |         FROM documents d LEFT JOIN cnts c USING (doc_id))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+         |       CAST(sum(wrds) AS BIGINT) AS words,
+         |       CAST(sum(chars) AS BIGINT) AS chars,
+         |       CAST(sum(bpe) * 1000 // sum(wrds) AS BIGINT) AS fertility_milli
+         |FROM base GROUP BY 1""".stripMargin,
 
     // the oracle unrolls the SAME three fixed-point GD iterations: per
     // doc the float tree (normalize → dot → sigmoid → contrib) is

@@ -338,6 +338,67 @@ class StreamingStateSpec extends AnyFunSuite {
       ("b", 11L, 1L), ("b", 12L, 2L), ("b", 13L, 3L)))
   }
 
+  test("checkpoint recovery: calibrationStream cells survive a restart") {
+    val ss = StructType(Seq(
+      StructField("cell", LongType), StructField("label", BooleanType),
+      StructField("qscore", LongType)))
+    def cr(c: Long, l: Boolean, q: Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](c, l, q), ss)
+    implicit val sqlCtx = spark.sqlContext
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]
+    def sinkTo(df: org.apache.spark.sql.Dataset[Row], @annotation.unused id: Long): Unit =
+      df.collect().foreach(r =>
+        buf.add((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+    val ckpt = Files.createTempDirectory("calib-recov-ckpt").toString
+    val stream = MemoryStream[Row](Encoders.row(ss), sqlCtx)
+    val out = StreamingState.calibrationStream(
+      stream.toDF(), "cell", "label", "qscore")
+    val q1 = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo _).start()
+    stream.addData(cr(0L, true, 10L), cr(0L, false, 20L))
+    q1.processAllAvailable()
+    q1.stop()
+    stream.addData(cr(0L, true, 30L))
+    val q2 = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo _).start()
+    try q2.processAllAvailable() finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    // resumed cell reports n=3/pos=2/sum=60, not a fresh n=1/pos=1/sum=30
+    val last = buf.asScala.maxBy(_._2)
+    assert(last === ((0L, 3L, 2L, 60L)))
+  }
+
+  test("checkpoint recovery: quotaAdmissionStream's admission counter survives a restart") {
+    // admit 2 of cap 3, kill, restart, send 2 more: exactly ONE more
+    // admission (rank 3) — a reset counter would re-admit both
+    val ss = StructType(Seq(
+      StructField("source", StringType), StructField("doc_id", LongType)))
+    def qr(s: String, id: Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](s, id), ss)
+    implicit val sqlCtx = spark.sqlContext
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]
+    def sinkTo(df: org.apache.spark.sql.Dataset[Row], @annotation.unused id: Long): Unit =
+      df.collect().foreach(r => buf.add((r.getString(0), r.getLong(1), r.getLong(2))))
+    val ckpt = Files.createTempDirectory("quota-recov-ckpt").toString
+    val stream = MemoryStream[Row](Encoders.row(ss), sqlCtx)
+    val out = StreamingState.quotaAdmissionStream(
+      stream.toDF(), "source", "doc_id", cap = 3)
+    val q1 = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo _).start()
+    stream.addData(qr("a", 1L), qr("a", 2L))
+    q1.processAllAvailable()
+    q1.stop()
+    stream.addData(qr("a", 3L), qr("a", 4L))
+    val q2 = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo _).start()
+    try q2.processAllAvailable() finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(buf.asScala.toSet === Set(
+      ("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L)))
+  }
+
   test("retentionStream: a period is emitted once, even across batches") {
     val rs = StructType(Seq(
       StructField("user_id", LongType), StructField("ts", TimestampType)))
