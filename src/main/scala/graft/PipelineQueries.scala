@@ -763,6 +763,25 @@ object PipelineQueries {
           min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
     }),
 
+    // ---- compaction plan from FOOTERS ONLY: files largest-first,
+    // running row count cut into target-sized bins — one rewrite job
+    // per grp. Deterministic layout (one file per bucket via the z4
+    // write shape) so the bin arithmetic is oracle-checkable from the
+    // logical table; tie order rides min_v (logical), never filenames
+    "z6_compaction_plan" -> ((s, dir) => {
+      val root = scopedTmp("graft_compact", dir)
+      t(s, dir, "lineitem")
+        .withColumn("bucket", pmod(col("l_orderkey"), lit(8)))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(root)
+      graft.pipeline.Layout.compactionPlan(
+          graft.pipeline.Layout.fileStats(s, root, "l_orderkey"),
+          targetRows = 20000L, tieCol = "min_v")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_files"), sum("n_rows").as("total_rows"),
+          min("min_v").as("min_v"))
+    }),
+
     // ---- partition-skew audit from FOOTERS ONLY: per-partition row
     // counts via KB-sized metadata reads (never a data scan), hot
     // partitions flagged at >1.5x the mean by integer
@@ -2697,6 +2716,19 @@ object PipelineQueries {
       """SELECT l_orderkey % 4 AS bucket, count(*) AS n_rows,
         |       min(l_orderkey) AS min_v, max(l_orderkey) AS max_v
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // one file per bucket by construction, so the next-fit bin cut
+    // replays from the logical bucket sizes
+    "z6_compaction_plan" ->
+      """WITH b AS (SELECT l_orderkey % 8 AS bucket, count(*) AS n_rows,
+        |             min(l_orderkey) AS min_v
+        |           FROM lineitem GROUP BY 1),
+        |c AS (SELECT *, sum(n_rows) OVER (ORDER BY n_rows DESC, min_v ASC) AS cum
+        |      FROM b),
+        |g AS (SELECT *, (cum - n_rows) // 20000 AS grp FROM c)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(n_rows) AS BIGINT) AS total_rows, min(min_v) AS min_v
+        |FROM g GROUP BY 1""".stripMargin,
 
     "z3_compacted_corpus" ->
       "SELECT doc_id, source, n_chars FROM documents",

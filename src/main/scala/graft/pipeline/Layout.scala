@@ -232,6 +232,34 @@ object Layout {
     * `spark.hadoop.*` settings (object-store credentials, endpoints)
     * apply to the footer reads exactly as they do to ordinary scans.
     */
+  /** Compaction PLAN from footer stats — the small-files answer at
+    * lake scale, decided without touching a data byte: files are
+    * ordered largest-first (ties by `tieCol`), the running row count
+    * is cut into `targetRows`-sized bins, and each file's bin is
+    * `grp = (cumsum − own) div target` — deterministic next-fit along
+    * the sorted order, so one rewrite job per `grp` yields files of
+    * ~target rows (overshoot bounded by one member file; a file
+    * already ≥ target sits alone in its bin). Input is a
+    * [[fileStats]]-shaped frame (file, n_rows, min_v, max_v);
+    * output adds `grp`.
+    *
+    * The global window runs over FILE METADATA (one row per file —
+    * thousands of rows for a 100 TB table), never data; the plan is
+    * the cheap part, the rewrite it drives is the expensive one.
+    */
+  def compactionPlan(
+      stats: DataFrame,
+      targetRows: Long,
+      tieCol: String = "file"): DataFrame = {
+    require(targetRows >= 1, "compactionPlan: targetRows must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_rows").desc, col(tieCol).asc)
+    stats
+      .withColumn("_cum", sum(col("n_rows")).over(w))
+      .withColumn("grp", expr(s"(_cum - n_rows) div ${targetRows}L"))
+      .drop("_cum")
+  }
+
   def fileStats(
       spark: org.apache.spark.sql.SparkSession,
       path: String,

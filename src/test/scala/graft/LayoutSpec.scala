@@ -112,6 +112,34 @@ class LayoutSpec extends AnyFunSuite {
     assert(rows === Map(1L -> 10L, 2L -> 20L, 3L -> 333L, 4L -> 40L, 9L -> 90L))
   }
 
+  test("compactionPlan: big files sit alone, small files pack near target, ties by tieCol") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // sizes: 250 (>= target: own bin), then 90+90 (bin), 90+30 (bin), 10
+    val stats = Seq(
+      ("f_big", 250L, 0L, 0L), ("f_a", 90L, 1L, 0L), ("f_b", 90L, 2L, 0L),
+      ("f_c", 90L, 3L, 0L), ("f_d", 30L, 4L, 0L), ("f_e", 10L, 5L, 0L))
+      .toDF("file", "n_rows", "min_v", "max_v")
+    val plan = Layout.compactionPlan(stats, targetRows = 180L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    // cumsum order: f_big 250 | f_a 340 | f_b 430 | f_c 520 | f_d 550 | f_e 560
+    // grp = (cum - own) div 180: 0, 1, 1, 2, 2, 3
+    assert(plan === Map("f_big" -> 0L, "f_a" -> 1L, "f_b" -> 1L,
+      "f_c" -> 2L, "f_d" -> 2L, "f_e" -> 3L), plan.toString)
+    // equal sizes break ties on tieCol ascending — deterministic plan
+    val tied = Seq(("x", 50L, 2L, 0L), ("y", 50L, 1L, 0L))
+      .toDF("file", "n_rows", "min_v", "max_v")
+    // target 40: the first-ordered file starts at 0 (bin 0), the
+    // second starts at 50 (bin 1) — so the assignment reveals which
+    // of the equal-sized files the tie order put first (min_v asc: y)
+    val p2 = Layout.compactionPlan(tied, targetRows = 40L, tieCol = "min_v")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(p2 === Map("y" -> 0L, "x" -> 1L), p2.toString)
+    intercept[IllegalArgumentException] {
+      Layout.compactionPlan(tied, targetRows = 0L)
+    }
+  }
+
   test("compaction: crowded partitions collapse to one file, quiet ones untouched") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-compact-spec").toString
