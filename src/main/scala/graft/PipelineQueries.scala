@@ -1041,6 +1041,17 @@ object PipelineQueries {
     "tx18_top_ngram" -> ((s, dir) =>
       Curation.topNgramFraction(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- Gopher duplicate-n-gram coverage (the union-of-windows
+    // `duplicate_ngram_chars_fraction` family, n=3 and n=5): word
+    // positions + char mass inside ANY repeated n-gram occurrence —
+    // the many-different-repeated-phrases signal tx18's single top
+    // gram cannot see
+    "tx22_dup_ngram_coverage" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.dupNgramCoverage(d, "doc_id", "text", 3)
+        .unionByName(Curation.dupNgramCoverage(d, "doc_id", "text", 5))
+    }),
+
     // ---- Unicode NFC normalization audit over a deterministically
     // decomposed copy (combining acute injected after every 'e' — the
     // corpus is ASCII, so the raw audit would be vacuous): changed
@@ -2993,6 +3004,37 @@ object PipelineQueries {
         |       least(1.0, CAST(cnt * len(gram) AS DOUBLE) / CAST(chars AS DOUBLE))
         |         AS top_frac
         |FROM r WHERE rn = 1""".stripMargin,
+
+    // union-of-windows coverage replayed per n: duplicated gram-hash
+    // groups -> distinct covered positions -> word-length mass
+    "tx22_dup_ngram_coverage" -> {
+      def per(n: Int): String = {
+        val gram = s"array_to_string(w[i:i+${n - 1}],' ')"
+        s"""g$n AS (SELECT doc_id, i, ${phSql(gram)} AS gh
+           |  FROM base, LATERAL unnest(generate_series(1, n_words-${n - 1})) s(i)
+           |  WHERE n_words >= $n),
+           |d$n AS (SELECT doc_id, gh FROM g$n GROUP BY 1,2 HAVING count(*) >= 2),
+           |cov$n AS (SELECT DISTINCT g.doc_id, g.i + k AS j
+           |  FROM g$n g JOIN d$n USING (doc_id, gh),
+           |       LATERAL unnest(generate_series(0, ${n - 1})) u(k)),
+           |m$n AS (SELECT c.doc_id, count(*) AS cw, sum(len(b.w[c.j])) AS cc
+           |  FROM cov$n c JOIN base b USING (doc_id) GROUP BY 1),
+           |out$n AS (SELECT b.doc_id, CAST($n AS INT) AS n,
+           |    CAST(b.n_words AS INT) AS n_words,
+           |    CAST(coalesce(m.cw,0) AS INT) AS covered_words,
+           |    CAST(coalesce(m.cc,0) AS BIGINT) AS covered_chars,
+           |    CAST(CASE WHEN b.twc > 0 THEN coalesce(m.cc,0)*1000//b.twc
+           |         ELSE 0 END AS BIGINT) AS frac_milli
+           |  FROM base b LEFT JOIN m$n m USING (doc_id))""".stripMargin
+      }
+      s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS w,
+         |    len(string_split(text,' ')) AS n_words,
+         |    list_sum([len(x) FOR x IN string_split(text,' ')]) AS twc
+         |  FROM documents WHERE text IS NOT NULL),
+         |${per(3)},
+         |${per(5)}
+         |SELECT * FROM out3 UNION ALL SELECT * FROM out5""".stripMargin
+    },
 
     "tx19_nfc_audit" ->
       """WITH inj AS (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS t

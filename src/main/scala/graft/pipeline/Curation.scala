@@ -1899,6 +1899,71 @@ object Curation {
             col("chars").cast("double")).as("top_frac"))
   }
 
+  /** Gopher duplicate-n-gram coverage (Rae et al. 2021 §A1.1, the
+    * `duplicate_ngram_chars_fraction` family): per doc, how many word
+    * positions — and how much character mass — sit inside SOME
+    * occurrence of an n-gram that repeats within the document.
+    * Repetition measured as coverage (union of occurrence windows,
+    * overlaps counted once) is the Gopher contract, and what the
+    * tx18 top-bigram signal cannot see: a doc cycling through many
+    * different repeated phrases scores low on any single gram but
+    * high here.
+    *
+    * Returns (idCol, n, n_words, covered_words, covered_chars,
+    * frac_milli) with `frac_milli = covered_chars·1000 div
+    * total-word-chars` — integer, engine-portable.
+    *
+    * Scale shape: gram occurrences are (id, position, polyHash(gram))
+    * triples — the text itself never shuffles. Two doc-keyed
+    * aggregations (per-(doc, gram-hash) occurrence lists, then the
+    * per-doc flatten) and one doc-keyed join back to the token frame;
+    * the union-of-windows arithmetic is per-row array math bounded by
+    * the document's own length. No global anything.
+    */
+  def dupNgramCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2 && n <= 8, "dupNgramCoverage n must be in [2, 8]")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_tk"))
+      .select(col(idCol), col("_tk"),
+        size(col("_tk")).as("n_words"),
+        transform(col("_tk"), t => length(t).cast("long")).as("_wl"))
+    val occ = base.filter(col("n_words") >= n)
+      .select(col(idCol),
+        explode(sequence(lit(1), col("n_words") - (n - 1))).as("i"),
+        col("_tk"))
+      .select(col(idCol), col("i"),
+        TextFunctions.polyHash(
+          concat_ws(" ", slice(col("_tk"), col("i"), lit(n)))).as("gh"))
+    // duplicated grams' occurrence windows, unioned per doc: the
+    // flatten/sequence/array_distinct chain is doc-local arithmetic
+    val covered = occ.groupBy(col(idCol), col("gh"))
+      .agg(count(lit(1)).as("cnt"), collect_list(col("i")).as("is"))
+      .filter(col("cnt") >= 2)
+      .groupBy(col(idCol))
+      .agg(flatten(collect_list(col("is"))).as("starts"))
+      .select(col(idCol),
+        array_distinct(flatten(transform(col("starts"),
+          i => sequence(i, i + (n - 1))))).as("_cov"))
+    base.join(covered, Seq(idCol), "left")
+      .withColumn("_twc",
+        aggregate(col("_wl"), lit(0L), (a, x) => a + x))
+      .withColumn("covered_words",
+        when(col("_cov").isNull, 0).otherwise(size(col("_cov"))))
+      .withColumn("covered_chars",
+        when(col("_cov").isNull, 0L).otherwise(
+          aggregate(col("_cov"), lit(0L),
+            (a, j) => a + element_at(col("_wl"), j))))
+      .withColumn("frac_milli",
+        when(col("_twc") > 0,
+          expr("covered_chars * 1000L div _twc")).otherwise(lit(0L)))
+      .select(col(idCol), lit(n).as("n"), col("n_words"),
+        col("covered_words"), col("covered_chars"), col("frac_milli"))
+  }
+
   /** Unicode-script profile: per doc, codepoint counts for the major
     * script blocks (Latin letters, digits, Cyrillic, Greek, CJK
     * unified ideographs, Arabic) and the dominant-script label — the

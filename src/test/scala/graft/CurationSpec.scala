@@ -553,6 +553,37 @@ class CurationSpec extends AnyFunSuite {
     assert(even == Map("a" -> false, "b" -> false))
   }
 
+  test("dupNgramCoverage: union-of-windows counted once, short docs zero") {
+    val docs = Seq(
+      // "a b" repeats at 1 and 3 → windows {1,2} ∪ {3,4} cover all 4
+      // dup positions of the 5 words (char mass 4 of 5)
+      (1L, "a b a b c"),
+      // overlapping occurrences ("x x" at 1 and 2) cover 3 positions,
+      // NOT 4 — the union semantics, not the per-occurrence sum
+      (2L, "x x x"),
+      // no repeated bigram → zero coverage, row still present
+      (3L, "q r s t"),
+      // shorter than n → zero coverage, row still present
+      (4L, "q")).toDF("doc_id", "text")
+    val out = Curation.dupNgramCoverage(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out === Map(
+      1L -> ((5, 4, 4L, 800L)),
+      2L -> ((3, 3, 3L, 1000L)),
+      3L -> ((4, 0, 0L, 0L)),
+      4L -> ((1, 0, 0L, 0L))), out.toString)
+    // char mass weights longer words: "aa bb aa bb" dup "aa bb"
+    // covers everything; frac is exactly 1000 even with 2-char words
+    val w = Curation.dupNgramCoverage(
+      Seq((9L, "aa bb aa bb")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .head()
+    assert(w.getLong(4) === 8L && w.getLong(5) === 1000L)
+    assert(intercept[IllegalArgumentException] {
+      Curation.dupNgramCoverage(docs, "doc_id", "text", 1)
+    }.getMessage.contains("dupNgramCoverage"))
+  }
+
   test("topNgramFraction: hand-computed winner, tie-break, short-doc drop") {
     val docs = Seq(
       // "a b" x2 (overlapping at "b a b"), "b a" x1, "b c" x1 — top is "a b"

@@ -957,6 +957,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p2.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p2.take(3000))
   }
 
+  test("tx22 dup-ngram coverage: doc-keyed exchanges, hashed grams, no raw text shuffle") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(graft.pipeline.Curation.dupNgramCoverage(
+      docs, "doc_id", "text", 3))
+    // every exchange keys on the document (occurrence counts group by
+    // (doc_id, gram-hash); coverage and the join key by doc_id alone)
+    val hashEx = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(hashEx.nonEmpty && hashEx.forall(_.startsWith("doc_id")),
+      s"$hashEx\n${p.take(3000)}")
+    assert(!p.contains("Exchange rangepartitioning"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // grams travel as polyHash longs, never as strings: the hash
+    // expression sits in the plan feeding the occurrence aggregation
+    assert(p.contains("graft_polyhash"), p.take(3000))
+  }
+
   test("tx18 top-ngram: fused per-doc kernel — zero exchanges, no explode") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val p = plan(graft.pipeline.Curation.topNgramFraction(docs, "doc_id", "text"))
