@@ -782,6 +782,33 @@ object PipelineQueries {
           min("min_v").as("min_v"))
     }),
 
+    // ---- data-skipping effectiveness from FOOTERS ONLY: the same
+    // table written hash-bucketed vs range-clustered, then per probe
+    // the candidate-file count a `key = probe` scan must read — the
+    // measured proof that clustering separates footer intervals
+    // (hash ~0 skipped, range ~7/8) before a layout is trusted at
+    // scale. Deterministic buckets so the oracle replays the
+    // per-file min/max from the logical table
+    "z7_skipping_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val mx = li.agg(max(col("l_orderkey"))).head.getLong(0)
+      val probes = (0 until 8).map(i => mx * (2L * i + 1) / 16)
+      def audited(frame: org.apache.spark.sql.DataFrame, name: String) = {
+        val root = scopedTmp(s"graft_skip_$name", dir)
+        frame.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(root)
+        graft.pipeline.Layout.skippingEffectiveness(
+            graft.pipeline.Layout.fileStats(s, root, "l_orderkey"), probes)
+          .withColumn("layout", lit(name))
+      }
+      val hash = li.withColumn("bucket", pmod(col("l_orderkey"), lit(8)))
+      val range = li.withColumn("bucket",
+        least(lit(7L), expr(s"l_orderkey * 8 div ${mx + 1}L")))
+      audited(hash, "hash").unionByName(audited(range, "range"))
+        .select(col("layout"), col("probe"), col("n_files"),
+          col("n_candidates"), col("skip_milli"))
+    }),
+
     // ---- partition-skew audit from FOOTERS ONLY: per-partition row
     // counts via KB-sized metadata reads (never a data scan), hot
     // partitions flagged at >1.5x the mean by integer
@@ -2740,6 +2767,33 @@ object PipelineQueries {
         |SELECT grp, CAST(count(*) AS BIGINT) AS n_files,
         |       CAST(sum(n_rows) AS BIGINT) AS total_rows, min(min_v) AS min_v
         |FROM g GROUP BY 1""".stripMargin,
+
+    // one file per bucket by construction, so each file's [min,max]
+    // replays as the per-bucket min/max of the logical table
+    "z7_skipping_audit" ->
+      """WITH mx AS (SELECT max(l_orderkey) AS m FROM lineitem),
+        |p AS (SELECT (m*(2*i+1))//16 AS probe
+        |      FROM mx, LATERAL unnest(generate_series(0,7)) s(i)),
+        |h AS (SELECT l_orderkey % 8 AS b, min(l_orderkey) AS mn,
+        |             max(l_orderkey) AS mxv FROM lineitem GROUP BY 1),
+        |r AS (SELECT least(7, l_orderkey*8 // (m+1)) AS b,
+        |             min(l_orderkey) AS mn, max(l_orderkey) AS mxv
+        |      FROM lineitem, mx GROUP BY 1),
+        |hc AS (SELECT 'hash' AS layout, probe,
+        |         CAST(count(*) AS BIGINT) AS n_files,
+        |         CAST(sum(CASE WHEN mn <= probe AND probe <= mxv
+        |              THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates
+        |       FROM p, h GROUP BY 1,2),
+        |rc AS (SELECT 'range' AS layout, probe,
+        |         CAST(count(*) AS BIGINT) AS n_files,
+        |         CAST(sum(CASE WHEN mn <= probe AND probe <= mxv
+        |              THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates
+        |       FROM p, r GROUP BY 1,2),
+        |u AS (SELECT * FROM hc UNION ALL SELECT * FROM rc)
+        |SELECT layout, probe, n_files, n_candidates,
+        |       CAST((n_files - n_candidates) * 1000 // n_files AS BIGINT)
+        |         AS skip_milli
+        |FROM u""".stripMargin,
 
     "z3_compacted_corpus" ->
       "SELECT doc_id, source, n_chars FROM documents",

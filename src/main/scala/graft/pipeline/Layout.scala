@@ -260,6 +260,35 @@ object Layout {
       .drop("_cum")
   }
 
+  /** Data-skipping effectiveness audit over a [[fileStats]] frame:
+    * for each probe value, how many files a `col = probe` scan must
+    * read because the probe falls inside the file's [min, max] — and
+    * the fraction skipped, as integer milli. A file with missing
+    * stats (null min/max) can never be skipped and counts as a
+    * candidate, exactly as an engine's pruning must treat it.
+    *
+    * This is the "measure your layout before trusting it" companion
+    * to [[compactionPlan]]/[[zOrderKey]]: clustering only pays if the
+    * footer intervals actually separate — a hash-bucketed layout
+    * scores ~0 skipped (every file spans the domain) while a
+    * range-clustered one scores ~(1 − 1/files). Pure metadata
+    * arithmetic: |probes| × |files| rows, KB-scale even at 100 TB.
+    */
+  def skippingEffectiveness(stats: DataFrame, probes: Seq[Long]): DataFrame = {
+    require(probes.nonEmpty, "skippingEffectiveness: need at least one probe")
+    stats
+      .select(col("min_v"), col("max_v"),
+        explode(array(probes.map(lit(_)): _*)).as("probe"))
+      .groupBy(col("probe"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("min_v").isNull || col("max_v").isNull ||
+            (col("min_v") <= col("probe") && col("probe") <= col("max_v")),
+          1L).otherwise(0L)).as("n_candidates"))
+      .withColumn("skip_milli",
+        expr("(n_files - n_candidates) * 1000L div n_files"))
+  }
+
   def fileStats(
       spark: org.apache.spark.sql.SparkSession,
       path: String,

@@ -112,6 +112,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(rows === Map(1L -> 10L, 2L -> 20L, 3L -> 333L, 4L -> 40L, 9L -> 90L))
   }
 
+  test("skippingEffectiveness: inclusive bounds, null stats always candidates") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val stats = Seq(
+      ("f1", 10L, Some(0L), Some(9L)),
+      ("f2", 10L, Some(10L), Some(19L)),
+      ("f3", 10L, None, None)) // stats missing → can never be skipped
+      .toDF("file", "n_rows", "min_v", "max_v")
+    val out = Layout.skippingEffectiveness(stats, Seq(9L, 10L, 50L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // probe 9: f1 (inclusive max) + f3 → 2 of 3; probe 10: f2
+    // (inclusive min) + f3; probe 50: outside every interval, f3 only
+    assert(out === Map(
+      9L -> ((3L, 2L, 333L)),
+      10L -> ((3L, 2L, 333L)),
+      50L -> ((3L, 1L, 666L))), out.toString)
+    intercept[IllegalArgumentException] {
+      Layout.skippingEffectiveness(stats, Seq.empty)
+    }
+  }
+
   test("compactionPlan: big files sit alone, small files pack near target, ties by tieCol") {
     val spark = TestSpark.spark
     import spark.implicits._
