@@ -1025,6 +1025,16 @@ object PipelineQueries {
       graft.pipeline.GraphOps.labelPropagation(edges, iters = 3)
     }),
 
+    // ---- exact triangles by degree-ordered orientation: out-degrees
+    // bounded O(sqrt m) so wedge enumeration survives power-law hubs;
+    // three equi-joins, one keyed count, each triangle found once
+    "g5_triangles" -> ((s, dir) => {
+      val edges = graft.pipeline.GraphOps.transitionEdges(
+        t(s, dir, "events"), "user_id",
+        get_json_object(col("props"), "$.k"), "ts", tieCols = Seq("event_id"))
+      graft.pipeline.GraphOps.triangleCount(edges)
+    }),
+
     "c5_cluster_purity" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Clustering.clusterLabelPurity(
@@ -1829,6 +1839,25 @@ object PipelineQueries {
     "g2_personalized_pagerank" -> personalizedPageRankSql(3),
     "g3_hits" -> hitsSql(2),
     "g4_label_propagation" -> labelPropagationSql(3),
+
+    // canonical x<y<z triangle enumeration over the distinct
+    // undirected edge set — the orientation trick is a physical
+    // strategy, not a semantics change, so the oracle stays naive
+    "g5_triangles" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |              CAST(props->>'$.k' AS BIGINT) AS k FROM events),
+        |p AS (SELECT k AS dst, lag(k) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS src FROM ev),
+        |u AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        |      FROM p WHERE src IS NOT NULL AND src <> dst),
+        |t AS (SELECT a.lo AS x, a.hi AS y, b.hi AS z
+        |      FROM u a JOIN u b ON a.lo = b.lo AND a.hi < b.hi
+        |      JOIN u c ON c.lo = a.hi AND c.hi = b.hi)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT x AS node FROM t
+        |  UNION ALL SELECT y FROM t
+        |  UNION ALL SELECT z FROM t)
+        |GROUP BY 1""".stripMargin,
 
     "d1_dedup_exact" ->
       "SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",

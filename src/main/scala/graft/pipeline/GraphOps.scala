@@ -238,6 +238,62 @@ object GraphOps {
     h.join(a, "id").select(col("id"), col("h").as("s_hub"), col("a").as("s_auth"))
   }
 
+  /** Exact triangle participation counts by degree-ordered
+    * orientation (the compact-forward shape): every undirected edge
+    * is kept once, directed from its (degree, id)-smaller endpoint to
+    * the larger; a wedge joins two out-edges at a common tail (heads
+    * kept in orientation order), and an equi-join against the
+    * oriented edge set closes it. Each triangle is found exactly
+    * once — at its orientation-minimal vertex.
+    *
+    * The orientation is the scale property, not a tie-break nicety:
+    * it bounds every out-degree by O(√m), so the wedge frame cannot
+    * blow up at a hub the way a naive neighbor self-join does on a
+    * power-law graph (a degree-d hub contributes d² wedges unoriented
+    * but only O(m) across ALL nodes oriented). Plan: three equi-joins
+    * and one keyed count — no nested loop anywhere.
+    *
+    * Input is any directed/undirected edge list; self-loops drop and
+    * duplicate/parallel/reversed edges collapse first. Output
+    * `(node, n_tri)` for every node in at least one triangle.
+    */
+  def triangleCount(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val pairs = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+    val deg = pairs.select(col("lo").as("id"))
+      .unionAll(pairs.select(col("hi").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // lo < hi always, so on a degree tie the lower id is the smaller
+    // endpoint in (deg, id) order
+    val o = pairs
+      .join(deg.select(col("id").as("lo"), col("deg").as("dlo")), "lo")
+      .join(deg.select(col("id").as("hi"), col("deg").as("dhi")), "hi")
+      .select(
+        when(col("dlo") <= col("dhi"), col("lo")).otherwise(col("hi")).as("src"),
+        when(col("dlo") <= col("dhi"), col("hi")).otherwise(col("lo")).as("dst"),
+        when(col("dlo") <= col("dhi"), col("dhi")).otherwise(col("dlo")).as("ddst"))
+      .persist()
+    val wedges = o.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
+      .join(o.select(col("src"), col("dst").as("c"), col("ddst").as("dc")),
+        Seq("src"))
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+    // both wedge heads are orientation-greater than the tail, so the
+    // closing edge — if present — is oriented b → c exactly
+    val tri = wedges
+      .join(o.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      .select(col("src").as("ta"), col("b"), col("c"))
+    tri.select(explode(array(col("ta"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
   /** Transition edge list from an event stream: consecutive events per
     * `keyCol` (ordered by `tsCol`, then `tieCols`) become one directed
     * edge `prev node → node`, weighted by occurrence count. The node is

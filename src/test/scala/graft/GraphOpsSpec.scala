@@ -124,6 +124,34 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(tie(6L) === 1L, tie.toString)
   }
 
+  test("triangleCount: shared-edge triangles, each counted once per node") {
+    // triangles {1,2,3} and {2,3,4} share edge 2-3; 4-5 dangles
+    val tri = GraphOps.triangleCount(edges(
+      (1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0),
+      (2L, 4L, 1.0), (3L, 4L, 1.0), (4L, 5L, 1.0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L), tri.toString)
+  }
+
+  test("triangleCount: self-loops, duplicates, and reversed edges collapse") {
+    val tri = GraphOps.triangleCount(edges(
+      (1L, 1L, 1.0), // self-loop ignored
+      (1L, 2L, 1.0), (2L, 1L, 1.0), (1L, 2L, 1.0), // one undirected edge
+      (2L, 3L, 1.0), (1L, 3L, 1.0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri === Map(1L -> 1L, 2L -> 1L, 3L -> 1L), tri.toString)
+    // a star has wedges but no closing edge → empty result
+    assert(GraphOps.triangleCount(edges(
+      (9L, 1L, 1.0), (9L, 2L, 1.0), (9L, 3L, 1.0), (9L, 4L, 1.0))).count() === 0L)
+  }
+
+  test("triangleCount: K5 complete graph — every node in C(4,2)=6 triangles") {
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b, 1.0)
+    val tri = GraphOps.triangleCount(edges(k5: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri === (1L to 5L).map(_ -> 6L).toMap, tri.toString)
+  }
+
   test("transitionEdges: per-key consecutive pairs, tie-broken, counted") {
     val ev = Seq(
       (10L, 1L, "2024-01-01 00:00:00", 1L),

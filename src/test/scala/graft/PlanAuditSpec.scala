@@ -957,6 +957,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p2.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p2.take(3000))
   }
 
+  test("g5 triangles: equi-joins only — orientation kills the hub blowup path") {
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val edges = graft.pipeline.GraphOps.transitionEdges(
+      ev, "user_id", get_json_object(col("props"), "$.k"), "ts",
+      tieCols = Seq("event_id"))
+    val p = plan(graft.pipeline.GraphOps.triangleCount(edges))
+    // wedge build and closure are hash equi-joins; a nested-loop or
+    // cartesian here is the O(d^2)-per-hub shape the orientation exists
+    // to forbid
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
   test("tx22 dup-ngram coverage: doc-keyed exchanges, hashed grams, no raw text shuffle") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val p = plan(graft.pipeline.Curation.dupNgramCoverage(
