@@ -1343,6 +1343,15 @@ object PipelineQueries {
         .select(col("lang"), (col("r0") + 1).cast("long").as("rank"),
           col("e.item").as("token"), col("e.count").as("n"))),
 
+    // ---- robust outlier report on the median/MAD scale: one corpus
+    // scan to a (group, quantized-value) histogram; median, MAD, and
+    // the 3-MAD outlier count are all metadata arithmetic over it —
+    // the profile the outliers themselves cannot drag (unlike
+    // mean/stddev)
+    "st11_mad_outliers" -> ((s, dir) =>
+      Curation.robustOutlierReport(t(s, dir, "events"),
+        "event_type", "value")),
+
     // ---- single-pass numeric profile of lineitem (ANALYZE-style):
     // one scan, one agg row, narrow stack reshape
     "st2_numeric_profile" -> ((s, dir) =>
@@ -3540,6 +3549,25 @@ object PipelineQueries {
         |        ORDER BY n DESC, token ASC) AS rank FROM ct)
         |SELECT lang, CAST(rank AS BIGINT) AS rank, token, CAST(n AS BIGINT) AS n
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    // quantile_disc(0.5) is the lower median — the same smallest-q-
+    // reaching-ceil(n/2) rule the histogram recovers
+    "st11_mad_outliers" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(trunc(CAST(value AS DOUBLE)*1024) AS BIGINT) AS q
+        |  FROM events WHERE value IS NOT NULL),
+        |med AS (SELECT event_type, CAST(quantile_disc(q, 0.5) AS BIGINT) AS med_q,
+        |          CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |d AS (SELECT v.event_type, abs(q - med_q) AS dev
+        |      FROM v JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad_q
+        |        FROM d GROUP BY 1),
+        |o AS (SELECT d.event_type,
+        |        CAST(sum(CASE WHEN dev > 3*mad_q THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_outliers
+        |      FROM d JOIN mad USING (event_type) GROUP BY 1)
+        |SELECT med.event_type, n, med_q, mad_q, n_outliers
+        |FROM med JOIN mad USING (event_type) JOIN o USING (event_type)""".stripMargin,
 
     "st2_numeric_profile" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

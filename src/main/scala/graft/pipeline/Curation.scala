@@ -529,6 +529,63 @@ object Curation {
         sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
         sum(length(col(textCol)).cast("long")).as("n_chars"))
 
+  /** Robust per-group outlier report on the median/MAD scale: the
+    * profile that survives the outliers it is hunting (mean/stddev
+    * move with every extreme row; the median and the median absolute
+    * deviation do not). Values are quantized to the engine-portable
+    * `trunc(v·2^scaleBits)` integer grid; the discrete median is the
+    * LOWER median (smallest value whose ascending cumulative count
+    * reaches ⌈n/2⌉ — SQL `quantile_disc(0.5)`), and a row is an
+    * outlier when `|q − med| > k·MAD`.
+    *
+    * Scale shape — ONE corpus scan, then metadata arithmetic: the
+    * scan partial-aggregates to a (group, quantized-value) histogram;
+    * the deviation histogram is a pure TRANSFORM of that frame (shift
+    * by the group's median, fold |·|), so MAD and the outlier count
+    * never rescan data. Every window runs over histogram rows
+    * partitioned by group — no global sort, no per-row window, no
+    * second pass. Returns (groupCol, n, med_q, mad_q, n_outliers).
+    */
+  def robustOutlierReport(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      scaleBits: Int = 10,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(scaleBits >= 0 && scaleBits <= 40, "scaleBits in [0, 40]")
+    require(k >= 1, "k must be >= 1")
+    val scale = (1L << scaleBits).toDouble
+    // double→long cast truncates toward zero — DuckDB trunc() parity
+    val q = expr(s"CAST(CAST($valueCol AS DOUBLE) * ${scale}D AS LONG)")
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), q.as("q")).agg(count(lit(1)).as("c"))
+      .persist()
+    def lowerMedian(h: DataFrame, vCol: String, out: String): DataFrame = {
+      val asc = Window.partitionBy(groupCol).orderBy(col(vCol).asc)
+      val all = Window.partitionBy(groupCol)
+      h.withColumn("_cum", sum(col("c")).over(asc))
+        .withColumn("_n", sum(col("c")).over(all))
+        .filter(expr("_cum >= (_n + 1) div 2"))
+        .groupBy(groupCol)
+        .agg(min(col(vCol)).as(out), max(col("_n")).as("_n"))
+    }
+    val med = lowerMedian(hist, "q", "med_q")
+    // deviation histogram: a transform of the (group, q, c) METADATA
+    // frame — |q − med| collides buckets, so re-aggregate
+    val dev = hist.join(broadcast(med), groupCol)
+      .groupBy(col(groupCol), abs(col("q") - col("med_q")).as("dv"))
+      .agg(sum(col("c")).as("c"))
+    val mad = lowerMedian(dev, "dv", "mad_q").drop("_n")
+    val out = dev.join(broadcast(mad), groupCol)
+      .groupBy(groupCol)
+      .agg(sum(when(col("dv") > lit(k.toLong) * col("mad_q"), col("c"))
+        .otherwise(lit(0L))).as("n_outliers"))
+    med.join(mad, groupCol).join(out, groupCol)
+      .select(col(groupCol), col("_n").as("n"), col("med_q"),
+        col("mad_q"), col("n_outliers"))
+  }
+
   /** Numeric table profile: per column the null count, distinct
     * count, and min/max (as double — exact for the numeric types
     * profiled), reshaped to (column, n_nulls, n_distinct, min_v,

@@ -553,6 +553,32 @@ class CurationSpec extends AnyFunSuite {
     assert(even == Map("a" -> false, "b" -> false))
   }
 
+  test("robustOutlierReport: lower median, MAD, 3-MAD rule, null skip") {
+    val rows = Seq(
+      // even group: q [1,2,2,9] → med 2 (lower), devs [1,0,0,7] →
+      // MAD 0 → every nonzero deviation is an outlier
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(2.0)), ("a", Some(9.0)),
+      // odd group with one extreme: med 3, devs sorted [0,1,1,2,97]
+      // → MAD 1 → only the extreme row is outside 3·MAD
+      ("b", Some(1.0)), ("b", Some(2.0)), ("b", Some(3.0)), ("b", Some(4.0)),
+      ("b", Some(100.0)),
+      // nulls don't count anywhere
+      ("c", Some(5.0)), ("c", None))
+      .toDF("g", "v")
+    val out = Curation.robustOutlierReport(rows, "g", "v", scaleBits = 0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      "a" -> ((4L, 2L, 0L, 2L)),
+      "b" -> ((5L, 3L, 1L, 1L)),
+      "c" -> ((1L, 5L, 0L, 0L))), out.toString)
+    // the quantized grid: scaleBits=2 puts 0.25-steps on integers
+    val q = Curation.robustOutlierReport(
+      Seq(("x", 0.25), ("x", 0.5), ("x", 0.75)).toDF("g", "v"),
+      "g", "v", scaleBits = 2).head()
+    assert(q.getLong(2) === 2L) // trunc(0.5·4) = 2
+  }
+
   test("dupNgramCoverage: union-of-windows counted once, short docs zero") {
     val docs = Seq(
       // "a b" repeats at 1 and 3 → windows {1,2} ∪ {3,4} cover all 4

@@ -957,6 +957,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p2.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p2.take(3000))
   }
 
+  test("st11 MAD outliers: one corpus scan; median/MAD/outliers ride the cached histogram") {
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val p = plan(graft.pipeline.Curation.robustOutlierReport(
+      ev, "event_type", "value"))
+    // the single data pass: every downstream consumer (median, dev
+    // histogram, MAD, outlier fold) reads the persisted (group, q, c)
+    // histogram — each such read prints as an InMemoryTableScan whose
+    // cached plan ECHOES the one FileScan, so count cache reads, not
+    // scan strings
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4, p.take(4000))
+    // histogram aggregation partial-aggs below its exchange
+    assert(p.contains("partial_count") || p.contains("partial_"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("g5 triangles: equi-joins only — orientation kills the hub blowup path") {
     val ev = graft.core.Tables.load(spark, dir, "events")
     val edges = graft.pipeline.GraphOps.transitionEdges(
