@@ -1519,6 +1519,18 @@ object PipelineQueries {
           TextFunctions.qualityScore(col("text")).as("quality")),
         "lang", "quality", keepPct = 20)),
 
+    // ---- Poisson bootstrap of the corpus mean-quality metric: 32
+    // deterministic resamples (inverse-CDF Poisson(1) weights from the
+    // portable hash), one narrow scan ×32 map-side combined to 32
+    // rows — the error bar a corpus metric should carry before a
+    // mixture decision acts on it
+    "p23_bootstrap_ci" -> ((s, dir) =>
+      Curation.bootstrapReplicates(
+        t(s, dir, "documents").select(col("doc_id"),
+          (TextFunctions.qualityScore(col("text")) * 1048576d)
+            .cast("long").as("qm")),
+        "doc_id", "qm")),
+
     // ---- multi-signal consensus filter: exact per-signal global rank
     // recovered from domain-bounded value histograms (no corpus-scale
     // sort anywhere), Borda sum, keep = mean rank percentile <= 20.
@@ -3641,6 +3653,24 @@ object PipelineQueries {
          |thr AS (SELECT lang, qb AS t FROM r WHERE rn = CAST(floor(n*20/100) AS BIGINT))
          |SELECT bk.doc_id, bk.lang, bk.quality
          |FROM bk JOIN thr USING (lang) WHERE bk.qb >= thr.t""".stripMargin,
+
+    // Poisson(1) weights replayed from the same integer CDF cutoffs
+    // over the same portable hash; integer division for the mean
+    "p23_bootstrap_ci" -> {
+      val u = phSql("CAST(doc_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)")
+      val cases = graft.pipeline.Curation.PoissonUnitCdf20.zipWithIndex
+        .map { case (c, i) => s"WHEN u < $c THEN $i" }.mkString(" ")
+      s"""WITH $qualityCtes,
+         |m AS (SELECT doc_id, CAST(trunc(quality*1048576.0) AS BIGINT) AS qm FROM q),
+         |x AS (SELECT doc_id, qm, unnest(generate_series(0, 31)) AS rep FROM m),
+         |h AS (SELECT rep, qm, $u % 1048576 AS u FROM x),
+         |w AS (SELECT rep, qm, CASE $cases ELSE 7 END AS w FROM h)
+         |SELECT CAST(rep AS INT) AS rep, CAST(sum(w) AS BIGINT) AS n_eff,
+         |       CAST(sum(w*qm) AS BIGINT) AS w_sum,
+         |       CAST(CASE WHEN sum(w) > 0 THEN sum(w*qm)//sum(w)
+         |            ELSE 0 END AS BIGINT) AS mean_q
+         |FROM w GROUP BY 1""".stripMargin
+    },
 
     // reference semantics as plain global rank() windows; the engine
     // side recovers the same ranks from value histograms without a

@@ -702,6 +702,27 @@ object StreamingQueries {
     // ---- live classifier-calibration monitor: p21's streaming twin —
     // per-cell (n, pos, quantized-score sum) running integers in the
     // state store; the max-n emission per cell equals the batch report
+    // p23's live twin: running replicate sums per bootstrap resample —
+    // the corpus metric's error bar updating as docs stream in; final
+    // state == the batch aggregate (shared weight expressions)
+    "p23s_bootstrap_stream" -> ((s, dir) => {
+      import graft.pipeline.Curation
+      import graft.functions.TextFunctions
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        (TextFunctions.qualityScore(col("text")) * 1048576d)
+          .cast("long").as("qm"))
+      val (out, _) = runStream(s, Seq((docs, "doc_id")), "update", ticks = 4) {
+        case Seq(d) => StreamingState.bootstrapStream(
+          Curation.bootstrapWeightedRows(d, "doc_id", "qm", 32))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("rep").orderBy(col("seen").desc)
+      out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .withColumn("mean_q",
+          expr("CASE WHEN n_eff > 0 THEN w_sum div n_eff ELSE 0L END"))
+        .select("rep", "n_eff", "w_sum", "mean_q")
+    }),
+
     "p21s_calibration_stream" -> ((s, dir) => {
       import graft.pipeline.Curation
       val logit = Curation.linearClassifierScore(col("text"),
@@ -864,6 +885,8 @@ object StreamingQueries {
     "v2s_drift_stream" -> PipelineQueries.oracles("v2_profile_drift"),
     "v3s_share_drift_stream" -> PipelineQueries.oracles("v3_time_share_drift"),
     "p21s_calibration_stream" -> PipelineQueries.oracles("p21_classifier_calibration"),
+
+    "p23s_bootstrap_stream" -> PipelineQueries.oracles("p23_bootstrap_ci"),
     // admission = first cap ids per stratum (id-ascending feed)
     "p22s_quota_admission_stream" ->
       """SELECT source, doc_id, CAST(rn AS BIGINT) AS admit_rank FROM (

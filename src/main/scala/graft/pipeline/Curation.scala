@@ -529,6 +529,68 @@ object Curation {
         sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
         sum(length(col(textCol)).cast("long")).as("n_chars"))
 
+  /** Poisson(1) CDF cutoffs on the 2^20 integer grid (P(X≤k)·2^20,
+    * trunc, k = 0..6; mass above 6 is ~1e-5 and caps at weight 7).
+    * Integer literals so the Spark plan and the DuckDB oracle draw
+    * the SAME weight from the same hash — no libm anywhere. */
+  val PoissonUnitCdf20: Array[Long] =
+    Array(385749L, 771499L, 964373L, 1028665L, 1044738L, 1047952L, 1048488L)
+
+  /** Poisson bootstrap of a per-document metric: `reps` independent
+    * resamples of the corpus, each weighting every doc by a
+    * Poisson(1) draw — the distributed-systems bootstrap (a
+    * with-replacement resample without materializing one: for large n
+    * the multinomial row counts converge to independent Poisson(1),
+    * which needs no global coordination). The spread of the replicate
+    * means IS the sampling uncertainty of the corpus metric — the
+    * error bar a quality/mixture decision should quote before acting
+    * on a mean score.
+    *
+    * Determinism: the draw is inverse-CDF over
+    * `polyHash(id:rep) mod 2^20` against [[PoissonUnitCdf20]] —
+    * engine-portable, rerun-stable, append-stable. `metricCol` must
+    * be an already-quantized long (the trunc(x·2^k) discipline).
+    *
+    * Scale shape: one narrow scan exploded ×reps (weight arithmetic
+    * is per-row codegen), map-side combined into `reps` partial rows
+    * per partition — the only exchange carries reps·partitions tiny
+    * rows. Returns (rep, n_eff, w_sum, mean_q = w_sum div n_eff).
+    */
+  /** The narrow weighted-row stage beneath [[bootstrapReplicates]]:
+    * (rep, _w, _m) rows, ×reps per input row, weights drawn per-row
+    * by codegen'd integer arithmetic. Shared with the streaming twin
+    * so live and batch draw identical weights. */
+  private[graft] def bootstrapWeightedRows(
+      df: DataFrame,
+      idCol: String,
+      metricCol: String,
+      reps: Int): DataFrame = {
+    require(reps >= 1 && reps <= 1024, "bootstrapReplicates reps in [1, 1024]")
+    val wExpr = PoissonUnitCdf20.zipWithIndex
+      .foldRight(lit(PoissonUnitCdf20.length.toLong)) { case ((c, i), els) =>
+        when(col("_u") < lit(c), lit(i.toLong)).otherwise(els)
+      }
+    df.select(col(idCol), col(metricCol).as("_m"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      .withColumn("_u", TextFunctions.polyHash(
+        concat(col(idCol).cast("string"), lit(":"), col("rep").cast("string")))
+        % 1048576L)
+      .withColumn("_w", wExpr)
+      .select(col("rep"), col("_w"), col("_m"))
+  }
+
+  def bootstrapReplicates(
+      df: DataFrame,
+      idCol: String,
+      metricCol: String,
+      reps: Int = 32): DataFrame =
+    bootstrapWeightedRows(df, idCol, metricCol, reps)
+      .groupBy(col("rep"))
+      .agg(sum(col("_w")).as("n_eff"),
+        sum(col("_w") * col("_m")).as("w_sum"))
+      .withColumn("mean_q",
+        expr("CASE WHEN n_eff > 0 THEN w_sum div n_eff ELSE 0L END"))
+
   /** Robust per-group outlier report on the median/MAD scale: the
     * profile that survives the outliers it is hunting (mean/stddev
     * move with every extreme row; the median and the median absolute

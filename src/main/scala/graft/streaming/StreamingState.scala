@@ -938,6 +938,59 @@ object StreamingState {
       }
   }
 
+  /** p23's streaming twin: running Poisson-bootstrap replicate sums —
+    * one (seen, n_eff, w_sum) triple per replicate key in the state
+    * store (3 longs × reps keys, constant in stream length). Input is
+    * the shared [[graft.pipeline.Curation.bootstrapWeightedRows]]
+    * frame, so live and batch draw bit-identical weights; the final
+    * emission per replicate (max `seen`) equals the batch aggregate
+    * under any micro-batch slicing. The live read: the corpus
+    * metric's error bar, updating as the corpus streams in.
+    */
+  def bootstrapStream(
+      df: DataFrame,
+      repCol: String = "rep",
+      wCol: String = "_w",
+      mCol: String = "_m"): DataFrame = {
+    val schema = df.schema
+    val n = schema.length
+    val repIdx = schema.fieldIndex(repCol)
+    val wIdx = schema.fieldIndex(wCol)
+    val mIdx = schema.fieldIndex(mCol)
+    val outSchema = StructType(Seq(
+      StructField("rep", IntegerType, nullable = false),
+      StructField("seen", LongType, nullable = false),
+      StructField("n_eff", LongType, nullable = false),
+      StructField("w_sum", LongType, nullable = false)))
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.kryo[Array[Long]]
+    implicit val outEnc = Encoders.row(outSchema)
+    df.withColumn("_graft_gk", groupKeyExpr(schema, Seq(repCol)))
+      .groupByKey((r: Row) => r.getString(n))
+      .flatMapGroupsWithState[Array[Long], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Array[Long]]) =>
+          val st = state.getOption.getOrElse(Array(0L, 0L, 0L))
+          var last: Row = null
+          rows.foreach { r =>
+            last = r
+            st(0) += 1
+            if (!r.isNullAt(wIdx)) {
+              val w = r.getLong(wIdx)
+              st(1) += w
+              if (!r.isNullAt(mIdx)) st(2) += w * r.getLong(mIdx)
+            }
+          }
+          if (last == null) Iterator.empty
+          else {
+            state.update(st)
+            Iterator.single(Row.fromSeq(Seq(
+              Int.box(last.getInt(repIdx)),
+              Long.box(st(0)), Long.box(st(1)), Long.box(st(2)))))
+          }
+      }
+  }
+
   /** st5's streaming twin: one SpaceSaving sketch per key in the state
     * store (≤ `k` entries per key regardless of stream length),
     * emitting the running top-`topN` (one row per entry) whenever the

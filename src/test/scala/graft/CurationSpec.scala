@@ -553,6 +553,40 @@ class CurationSpec extends AnyFunSuite {
     assert(even == Map("a" -> false, "b" -> false))
   }
 
+  test("bootstrapReplicates: exact inverse-CDF weights, mass near n, empty replicate") {
+    import graft.functions.PolyHash
+    import org.apache.spark.unsafe.types.UTF8String
+    def weightOf(id: Long, rep: Int): Long = {
+      val u = PolyHash.hash(UTF8String.fromString(s"$id:$rep")) % 1048576L
+      val i = Curation.PoissonUnitCdf20.indexWhere(u < _)
+      if (i < 0) Curation.PoissonUnitCdf20.length.toLong else i.toLong
+    }
+    val docs = (1L to 200L).map(i => (i, i * 10)).toDF("doc_id", "qm")
+    val out = Curation.bootstrapReplicates(docs, "doc_id", "qm", reps = 8)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === (0 until 8).toSet)
+    (0 until 8).foreach { rep =>
+      // the frame's weights ARE the replayed inverse-CDF draws
+      val ws = (1L to 200L).map(i => i -> weightOf(i, rep))
+      val expN = ws.map(_._2).sum
+      val expS = ws.map { case (i, w) => w * i * 10 }.sum
+      assert(out(rep) === ((expN, expS, if (expN > 0) expS / expN else 0L)),
+        s"rep $rep: ${out(rep)} vs ($expN, $expS)")
+      // Poisson(1) mass: n_eff concentrates near n
+      assert(expN > 140 && expN < 260, s"rep $rep n_eff=$expN")
+    }
+    // a replicate can weight a lone doc 0 → n_eff 0 → mean_q 0, no div-by-zero
+    val one = Curation.bootstrapReplicates(
+      Seq((7L, 100L)).toDF("doc_id", "qm"), "doc_id", "qm", reps = 32)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(one.exists(_._1 === 0L) || one.forall(_._1 > 0L)) // shape holds
+    one.foreach { case (n, m) => assert(if (n == 0) m == 0L else m == 100L) }
+    intercept[IllegalArgumentException] {
+      Curation.bootstrapReplicates(docs, "doc_id", "qm", reps = 0)
+    }
+  }
+
   test("robustOutlierReport: lower median, MAD, 3-MAD rule, null skip") {
     val rows = Seq(
       // even group: q [1,2,2,9] → med 2 (lower), devs [1,0,0,7] →

@@ -933,6 +933,48 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("checkpoint recovery: bootstrap replicate sums survive a restart, final == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val s2 = StructType(Seq(
+      StructField("doc_id", LongType), StructField("qm", LongType)))
+    def r2(id: Long, qm: Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](id, qm), s2)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Long)]
+    def sinkTo(b: java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Long)])(
+        df: org.apache.spark.sql.Dataset[Row], @annotation.unused id: Long): Unit =
+      df.collect().foreach(r =>
+        b.add((r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+    val ckpt = Files.createTempDirectory("recov-boot-ckpt").toString
+    val stream = MemoryStream[Row](Encoders.row(s2), sqlCtx)
+    val out = StreamingState.bootstrapStream(
+      graft.pipeline.Curation.bootstrapWeightedRows(
+        stream.toDF(), "doc_id", "qm", reps = 8))
+    val q1 = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo(buf) _).start()
+    stream.addData((1L to 50L).map(i => r2(i, i * 10)): _*)
+    q1.processAllAvailable()
+    q1.stop() // kill mid-run
+
+    stream.addData((51L to 100L).map(i => r2(i, i * 10)): _*)
+    val q2 = out.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkTo(buf) _).start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val fin = buf.asScala.toSeq.groupBy(_._1)
+        .map { case (rep, rs) => rep -> { val m = rs.maxBy(_._2); (m._3, m._4) } }
+      // the resumed sums must equal the one-shot batch aggregate —
+      // pre-kill weights neither lost nor redrawn
+      val batch = graft.pipeline.Curation.bootstrapReplicates(
+        (1L to 100L).map(i => (i, i * 10)).toDF("doc_id", "qm"),
+        "doc_id", "qm", reps = 8)
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(fin === batch, s"$fin vs $batch")
+    } finally q2.stop()
+  }
+
   test("checkpoint recovery: the fused profile's sketch buffers survive a restart") {
     // st7s stores SEVERAL TypedImperativeAggregate buffers in one
     // state row (null counts + min/max + a distinct sketch per
