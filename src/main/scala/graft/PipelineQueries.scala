@@ -187,6 +187,14 @@ object PipelineQueries {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.8)),
 
+    // ---- asymmetric containment: |A∩B|/|A| catches a small doc
+    // embedded in a big host (J ≤ |A|/|B| — invisible to any Jaccard
+    // threshold); df-capped inverted index for candidates, exact
+    // verify on full shingle-hash sets
+    "d18_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, tMilli = 500, maxDf = 100)),
+
     // ---- MinHash + LSH banding (shingle→minhash→band→bucket-join)
     "d3_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -1903,6 +1911,25 @@ object PipelineQueries {
          |      FROM cand JOIN hs a ON id1 = a.doc_id JOIN hs b ON id2 = b.doc_id),
          |j AS (SELECT id1, id2, i*1.0/(n1 + n2 - i) AS jaccard FROM v)
          |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin,
+
+    // candidates = share one df<=100 gram (the operator's documented
+    // contract); containments exact on the full hash sets
+    "d18_containment" ->
+      s"""WITH $shingleCtes,
+         |shh AS (SELECT DISTINCT doc_id, ${phSql("s")} AS sh FROM sh),
+         |hs AS (SELECT doc_id, list(sh) AS hset, count(*) AS n FROM shh GROUP BY doc_id),
+         |rare AS (SELECT sh FROM shh GROUP BY sh HAVING count(*) <= 100),
+         |idx AS (SELECT doc_id, sh FROM shh JOIN rare USING (sh)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |v AS (SELECT id1, id2, len(list_intersect(a.hset, b.hset)) AS inter,
+         |             a.n AS n1, b.n AS n2
+         |      FROM cand JOIN hs a ON id1 = a.doc_id JOIN hs b ON id2 = b.doc_id)
+         |SELECT id1, id2, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |       CAST(inter AS BIGINT) AS inter,
+         |       CAST(inter*1000//n1 AS BIGINT) AS c1_milli,
+         |       CAST(inter*1000//n2 AS BIGINT) AS c2_milli
+         |FROM v WHERE inter*1000 >= 500 * least(n1, n2)""".stripMargin,
 
     "d3_minhash_lsh" ->
       s"""WITH $shingleCtes,

@@ -162,6 +162,60 @@ object Dedup {
     * Candidates are then verified exactly with a set intersection of
     * the full shingle-hash arrays. Never all-pairs, never unverified.
     */
+  /** Asymmetric containment pairs: the SUBSET duplication detector.
+    * `C(A→B) = |S_A ∩ S_B| / |S_A|` is ~1 when A's shingles sit
+    * inside B — a doc quoted whole inside a bigger page, a partial
+    * scrape, a wrapper — exactly the pairs symmetric Jaccard
+    * structurally misses (`J ≤ |A|/|B|`, vanishing as the host
+    * grows, so no Jaccard threshold can see a small doc inside a
+    * large one). Emits each unordered pair once with BOTH directions'
+    * integer milli-containments; keep rule `max(C₁,C₂) ≥ t` is the
+    * cross-multiplication `inter·1000 ≥ t·min(n₁,n₂)`.
+    *
+    * Scale shape: inverted shingle-hash index with a document-
+    * frequency cap — a gram in more than `maxDf` docs is boilerplate
+    * (its inverted list alone would generate O(maxDf²) candidates and
+    * carries no discriminative signal), so candidates must share at
+    * least one sub-cap gram; the containment itself is then verified
+    * EXACTLY on the full hash sets. That candidate contract is part
+    * of the operator's semantics (deterministic, oracle-replayable),
+    * not a lossy shortcut bolted on.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      tMilli: Int = 500,
+      maxDf: Int = 1000): DataFrame = {
+    require(tMilli >= 1 && tMilli <= 1000, "containmentPairs: tMilli in [1, 1000]")
+    require(maxDf >= 1, "containmentPairs: maxDf >= 1")
+    val hs = trackPersist(
+      df.select(col(idCol).as("_id"), shingleHashes(col(textCol), n).as("_hset"))
+        .withColumn("_n", size(col("_hset")))
+        .filter(col("_n") >= 1))
+    val idx = hs.select(col("_id"), explode(col("_hset")).as("_sh"))
+    val rare = idx.groupBy(col("_sh")).agg(count(lit(1)).as("_f"))
+      .filter(col("_f") <= maxDf).select(col("_sh"))
+    val cand = idx.join(rare, "_sh").as("a")
+      .join(idx.join(rare, "_sh").as("b"),
+        col("a._sh") === col("b._sh") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id1"), col("b._id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    cand
+      .join(hs.select(col("_id").as("id1"), col("_hset").as("_h1"),
+        col("_n").as("n1")), "id1")
+      .join(hs.select(col("_id").as("id2"), col("_hset").as("_h2"),
+        col("_n").as("n2")), "id2")
+      .withColumn("inter", size(array_intersect(col("_h1"), col("_h2"))).cast("long"))
+      .filter(col("inter") * 1000 >= lit(tMilli.toLong) * least(col("n1"), col("n2")))
+      .select(col("id1"), col("id2"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        col("inter"),
+        expr("inter * 1000 div n1").as("c1_milli"),
+        expr("inter * 1000 div n2").as("c2_milli"))
+  }
+
   def jaccardPairs(
       df: DataFrame,
       idCol: String,

@@ -54,6 +54,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("containment pairs: subset duplication invisible to jaccard, df cap honored") {
+    // small doc fully inside a much larger host: C(small→host) = 1
+    // while J = |A|/|B| is far below any dedup threshold
+    val small = "q1 q2 q3 q4 q5 q6"                       // 4 3-gram shingles
+    val host = small + " " + (1 to 40).map(i => s"h$i").mkString(" ")
+    val corpus = Seq((1L, small), (2L, host), (3L, "x1 x2 x3 x4 x5"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(corpus, "doc_id", "text",
+      n = 3, tMilli = 900, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out.keySet === Set((1L, 2L)), out.toString)
+    val (inter, c1, c2) = out((1L, 2L))
+    assert(inter === 4L && c1 === 1000L && c2 < 200L, out.toString)
+    // the same pair is invisible to jaccardPairs at any usable threshold
+    val j = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .collect()
+    assert(!j.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    // df cap: a gram present in EVERY doc cannot generate candidates
+    // on its own — docs overlapping only in boilerplate pair with
+    // maxDf high, not with maxDf 2
+    val boiler = Seq((1L, "b1 b2 b3 z1 z2 z3"), (2L, "b1 b2 b3 y1 y2 y3"),
+      (3L, "b1 b2 b3 w1 w2 w3"), (4L, "b1 b2 b3 v1 v2 v3"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(boiler, "doc_id", "text",
+      n = 3, tMilli = 100, maxDf = 2).count()
+    val uncapped = Dedup.containmentPairs(boiler, "doc_id", "text",
+      n = 3, tMilli = 100, maxDf = 100).count()
+    assert(capped === 0L && uncapped === 6L, s"$capped / $uncapped")
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(corpus, "doc_id", "text", tMilli = 0)
+    }
+  }
+
   test("minhash: identical texts get identical signatures; lsh finds dups") {
     val sigs = docs.select($"doc_id", Dedup.minhashSignature($"text").as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap

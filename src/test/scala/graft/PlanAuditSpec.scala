@@ -91,7 +91,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val plans = Seq(
       graft.pipeline.Dedup.jaccardPairs(docs, "doc_id", "text"),
       graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text"),
-      graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text")).map(plan)
+      graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text"),
+      graft.pipeline.Dedup.containmentPairs(docs, "doc_id", "text")).map(plan)
     plans.foreach { p =>
       assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
       assert(!p.contains("CartesianProduct"), p.take(4000))
