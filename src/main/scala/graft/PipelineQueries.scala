@@ -1119,6 +1119,19 @@ object PipelineQueries {
             "o", "\u043e"), "i", "\u03b9"), "u", "\u4e2d")),
         "doc_id", "text")),
 
+    // ---- lang-ID × script cross-audit over the same transliterated
+    // copy: cells where the two independent signals disagree (en by
+    // stopwords, cyrillic by codepoints) are the wrong-decoder /
+    // transliteration-spam docs each signal alone scores as plausible
+    // injection class keeps the English function words (the/a/of/to/
+    // and) intact so lang-ID stays confident while the letter MASS
+    // goes Cyrillic — the homoglyph-spam shape the audit exists for
+    "tx23_lang_script_mismatch" -> ((s, dir) =>
+      Curation.langScriptAudit(
+        t(s, dir, "documents").withColumn("text",
+          regexp_replace(col("text"), "[bcgijklmprsuvwyz]", "ж")),
+        "doc_id", "text")),
+
     // ---- markup extraction: each doc is deterministically wrapped in
     // an HTML page (script/style/comment blocks, entities, per-word
     // <p> tags) and stripMarkup must recover the text — the tx5
@@ -3197,6 +3210,54 @@ object PipelineQueries {
         |       WHEN mx > 0 AND n_digit = mx THEN 'digit'
         |       ELSE 'none' END AS dominant
         |FROM m""".stripMargin,
+
+    // lang-id replayed over the SAME injected copy as the script
+    // profile; mismatch = language's expected script != dominant
+    "tx23_lang_script_mismatch" -> {
+      def ratio(words: Seq[String]) = {
+        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(w, t2 -> list_contains($arr, t2)))*1.0 / greatest(len(w), 1)"
+      }
+      s"""WITH inj AS (SELECT doc_id,
+         |  regexp_replace(text, '[bcgijklmprsuvwyz]', chr(1078), 'g') AS t
+         |  FROM documents),
+         |b AS (SELECT doc_id, t, string_split(t,' ') AS w FROM inj),
+         |c AS (SELECT doc_id,
+         |  len(regexp_extract_all(t, '[一-鿿]'))*1.0 / greatest(len(t), 1) AS cjk,
+         |  ${ratio(TextFunctions.StopEn)} AS s_en, ${ratio(TextFunctions.StopDe)} AS s_de,
+         |  ${ratio(TextFunctions.StopFr)} AS s_fr, ${ratio(TextFunctions.StopEs)} AS s_es
+         |  FROM b),
+         |l AS (SELECT doc_id,
+         |  CASE WHEN cjk > 0.3 THEN 'zh'
+         |       WHEN s_en = 0.0 AND s_de = 0.0 AND s_fr = 0.0 AND s_es = 0.0 THEN 'und'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS lang_id FROM c),
+         |sc0 AS (SELECT doc_id,
+         |  len(regexp_extract_all(t, '[A-Za-z]')) AS n_latin,
+         |  len(regexp_extract_all(t, '[0-9]')) AS n_digit,
+         |  len(regexp_extract_all(t, '[' || chr(1024) || '-' || chr(1279) || ']')) AS n_cyrillic,
+         |  len(regexp_extract_all(t, '[' || chr(880) || '-' || chr(1023) || ']')) AS n_greek,
+         |  len(regexp_extract_all(t, '[' || chr(19968) || '-' || chr(40959) || ']')) AS n_cjk,
+         |  len(regexp_extract_all(t, '[' || chr(1536) || '-' || chr(1791) || ']')) AS n_arabic
+         |  FROM inj),
+         |m AS (SELECT *, greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_digit) AS mx FROM sc0),
+         |sc AS (SELECT doc_id,
+         |  CASE WHEN mx > 0 AND n_latin = mx THEN 'latin'
+         |       WHEN mx > 0 AND n_cyrillic = mx THEN 'cyrillic'
+         |       WHEN mx > 0 AND n_greek = mx THEN 'greek'
+         |       WHEN mx > 0 AND n_cjk = mx THEN 'cjk'
+         |       WHEN mx > 0 AND n_arabic = mx THEN 'arabic'
+         |       WHEN mx > 0 AND n_digit = mx THEN 'digit'
+         |       ELSE 'none' END AS dominant FROM m),
+         |j AS (SELECT lang_id, dominant FROM l JOIN sc USING (doc_id))
+         |SELECT lang_id, dominant, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CASE WHEN lang_id IN ('en','de','fr','es') THEN dominant <> 'latin'
+         |       WHEN lang_id = 'zh' THEN dominant <> 'cjk'
+         |       ELSE FALSE END AS mismatch
+         |FROM j GROUP BY 1, 2""".stripMargin
+    },
 
     "tx17_vocab_coverage" ->
       """SELECT source,

@@ -2095,15 +2095,19 @@ object Curation {
     * Dominance ties break by the fixed priority order of the CASE
     * chain (latin > cyrillic > greek > cjk > arabic > digit > none).
     */
-  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def scriptProfile(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
-    val counted = df.select(col(idCol),
+    val counted = df.select((col(idCol) +: carry.map(col)) ++ Seq(
       regexp_count(t, lit("[A-Za-z]")).as("n_latin"),
       regexp_count(t, lit("[0-9]")).as("n_digit"),
       regexp_count(t, lit("[\u0400-\u04ff]")).as("n_cyrillic"),
       regexp_count(t, lit("[\u0370-\u03ff]")).as("n_greek"),
       regexp_count(t, lit("[\u4e00-\u9fff]")).as("n_cjk"),
-      regexp_count(t, lit("[\u0600-\u06ff]")).as("n_arabic"))
+      regexp_count(t, lit("[\u0600-\u06ff]")).as("n_arabic")): _*)
     val scripts = Seq("latin" -> col("n_latin"), "cyrillic" -> col("n_cyrillic"),
       "greek" -> col("n_greek"), "cjk" -> col("n_cjk"),
       "arabic" -> col("n_arabic"), "digit" -> col("n_digit"))
@@ -2112,6 +2116,29 @@ object Curation {
       when(mx > 0 && c === mx, lit(name)).otherwise(els)
     }
     counted.withColumn("dominant", dominant)
+  }
+
+  /** Language-ID × script cross-audit: the two independent signals
+    * DISAGREE exactly on the docs worth a second look — stopword
+    * language ID says "en" but the dominant script is Cyrillic
+    * (transliteration spam, mojibake survivors, wrong-decoder
+    * ingests), which each signal alone scores as plausible. Rolls the
+    * corpus up to (lang_id, dominant-script) cells with a mismatch
+    * flag wherever the language has an expected script (latin for
+    * en/de/fr/es, cjk for zh) and the dominant script is not it;
+    * 'und' carries no expectation. Both signals are narrow codegen'd
+    * per-row arithmetic — one exchange, of metadata-sized cells.
+    */
+  def langScriptAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lid = df.withColumn("_lang_id", TextFunctions.langId(col(textCol)))
+    scriptProfile(lid, idCol, textCol, carry = Seq("_lang_id"))
+      .groupBy(col("_lang_id").as("lang_id"), col("dominant"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("mismatch", coalesce(
+        when(col("lang_id").isin("en", "de", "fr", "es"),
+          col("dominant") =!= "latin")
+          .when(col("lang_id") === "zh", col("dominant") =!= "cjk"),
+        lit(false)))
   }
 
   /** Unicode-normalization audit (the ftfy-adjacent NFC pass): per

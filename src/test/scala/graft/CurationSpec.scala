@@ -553,6 +553,23 @@ class CurationSpec extends AnyFunSuite {
     assert(even == Map("a" -> false, "b" -> false))
   }
 
+  test("langScriptAudit: disagreement cells flagged, expected-script langs only") {
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog"), // en + latin: clean
+      (2L, "the жеч托 жзжзж зжзж and жжзз the ж"),   // en by stopwords, cyrillic mass
+      (3L, "中中中中中"),                             // zh via cjk ratio, cjk dominant
+      (4L, "ж жж жжж"))                              // no stopwords: und, no expectation
+      .toDF("doc_id", "text")
+    val out = Curation.langScriptAudit(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out === Map(
+      ("en", "latin") -> ((1L, false)),
+      ("en", "cyrillic") -> ((1L, true)),
+      ("zh", "cjk") -> ((1L, false)),
+      ("und", "cyrillic") -> ((1L, false))), out.toString)
+  }
+
   test("bootstrapReplicates: exact inverse-CDF weights, mass near n, empty replicate") {
     import graft.functions.PolyHash
     import org.apache.spark.unsafe.types.UTF8String
