@@ -495,6 +495,14 @@ object RelationalQueries {
     "a21_decayed_engagement" -> ((s, dir) =>
       EventAnalytics.decayedEngagement(t(s, dir, "events"), "user_id", "ts", "value")),
 
+    // ---- max drawdown per user over the cumulative value path:
+    // running peak minus running sum, worst point per key — the
+    // path-risk statistic a final P&L hides; exact long arithmetic
+    // on the quantized grid, per-key windows only
+    "w7_drawdown" -> ((s, dir) =>
+      EventAnalytics.drawdown(t(s, dir, "events"), "user_id", "ts", "value",
+        orderCols = Seq("event_id"))),
+
     // ---- per-hop conversion latency: converting users' time from
     // stage k to k+1 — count, mean, exact interpolated median (µs)
     "a20_funnel_hop_times" -> ((s, dir) =>
@@ -883,6 +891,24 @@ object RelationalQueries {
         |       arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
         |       arg_max(value, ts) AS close, count(*) AS n_ticks
         |FROM events GROUP BY user_id, day""".stripMargin,
+
+    "w7_drawdown" ->
+      """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |             CAST(trunc(CAST(value AS DOUBLE)*1024) AS BIGINT) AS q
+        |           FROM events),
+        |c AS (SELECT user_id, ts, event_id, q,
+        |        sum(q) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM v),
+        |d AS (SELECT user_id, q, cum,
+        |        max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |      FROM c)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(q) AS BIGINT) AS final_q,
+        |       CAST(max(cum) AS BIGINT) AS peak_q,
+        |       CAST(max(peak - cum) AS BIGINT) AS max_dd_q
+        |FROM d GROUP BY 1""".stripMargin,
 
     "a21_decayed_engagement" ->
       """WITH m AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx FROM events),

@@ -411,6 +411,22 @@ object StreamingQueries {
     // ---- W4 streaming: running TWAP per user — 4 scalars of state;
     // n_intervals grows monotonically, so the max-n emission per user
     // is the final one and equals the batch w4 row (oracle verbatim)
+    // w7's live twin: running (cum, peak, max-drawdown) per key —
+    // the drawdown monitor reading while ticks stream in; final
+    // emission == the batch report (shared quantization)
+    "w7s_drawdown_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"),
+        expr("CAST(CAST(value AS DOUBLE) * 1024D AS LONG)").as("q"))
+      val (out, _) = runStream(s, Seq((ev, "ts")), "update", ticks = 4) {
+        case Seq(e) =>
+          StreamingState.drawdownStream(e, "user_id", "ts", "q", "event_id")
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n").desc)
+      out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    }),
+
     "w4s_twap_stream" -> ((s, dir) => {
       val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 4) {
         case Seq(ev) => StreamingState.twapStream(ev, "user_id", "ts", "value", "event_id")
@@ -953,6 +969,8 @@ object StreamingQueries {
     // the stream's final interval accumulation equals the batch lead()
     // sum — batch oracle verbatim
     "w4s_twap_stream" -> RelationalQueries.oracles("w4_twap"),
+
+    "w7s_drawdown_stream" -> RelationalQueries.oracles("w7_drawdown"),
 
     // the emitted pair stream is the batch lag() pair set — oracle
     // verbatim

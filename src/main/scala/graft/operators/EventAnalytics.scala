@@ -235,6 +235,44 @@ object EventAnalytics {
         count(lit(1)).as("n_events"))
   }
 
+  /** Max drawdown per key over the cumulative value series: ticks
+    * ordered by (ts, orderCols) accumulate into a running sum, the
+    * running PEAK tracks its high-water mark, and the drawdown at
+    * each tick is `peak − cum`; the report row per key carries the
+    * worst of them plus the final and peak levels — the
+    * risk-of-the-path statistic a final P&L number hides (two series
+    * ending at the same value differ enormously in how far underwater
+    * they went). Values quantize to the portable trunc(v·2^bits)
+    * integer grid, so every cumulative sum is exact long arithmetic.
+    *
+    * Shape: one keyed exchange + per-key sort for the two stacked
+    * running windows (same window spec — one Sort, one Window
+    * operator chain), then a partial-agg'd per-key rollup. No global
+    * window anywhere. Returns (key, n, final_q, peak_q, max_dd_q).
+    */
+  def drawdown(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      scaleBits: Int = 10,
+      orderCols: Seq[String] = Nil): DataFrame = {
+    require(scaleBits >= 0 && scaleBits <= 40, "scaleBits in [0, 40]")
+    val scale = (1L << scaleBits).toDouble
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((col(tsCol) +: orderCols.map(col)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("_q", expr(s"CAST(CAST($valCol AS DOUBLE) * ${scale}D AS LONG)"))
+      .withColumn("_cum", sum(col("_q")).over(w))
+      .withColumn("_peak", max(col("_cum")).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_q")).as("final_q"),
+        max(col("_cum")).as("peak_q"),
+        max(col("_peak") - col("_cum")).as("max_dd_q"))
+  }
+
   /** Time-weighted average of `valCol` per key: each observation is
     * weighted by the time it remained current (until the key's next
     * event). The key's last event has no successor and carries no

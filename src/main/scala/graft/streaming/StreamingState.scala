@@ -1280,6 +1280,65 @@ object StreamingState {
     * Cross-batch contract and 100 TB shape as [[funnelStream]]: per-
     * key arrival must be ts-non-decreasing; state is O(keys) scalars.
     */
+  /** w7's streaming twin: the LIVE drawdown monitor — running
+    * (n, cum, peak, max-drawdown) longs per key in the state store
+    * (4 longs + an order cursor, constant in stream length), ticks
+    * sorted within each micro-batch by (ts, order) like [[twapStream]].
+    * With an in-order feed the final emission per key equals the
+    * batch [[graft.operators.EventAnalytics.drawdown]] row exactly —
+    * all-integer arithmetic on the same quantized column.
+    */
+  def drawdownStream(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      qCol: String,
+      orderCol: String): DataFrame = {
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val qIdx = schema.fieldIndex(qCol)
+    val ordIdx = schema.fieldIndex(orderCol)
+    implicit val rowEnc = Encoders.row(StructType(Seq(
+      StructField(keyCol, schema(keyIdx).dataType),
+      StructField("n", LongType, nullable = false),
+      StructField("final_q", LongType, nullable = false),
+      StructField("peak_q", LongType, nullable = false),
+      StructField("max_dd_q", LongType, nullable = false))))
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.kryo[Array[Long]]
+    def micros(r: Row): Long = {
+      val i = r.getTimestamp(tsIdx).toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    requireLongKey(schema, keyCol)
+    df.groupByKey((r: Row) => r.getLong(keyIdx))
+      .flatMapGroupsWithState[Array[Long], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Row], state: GroupState[Array[Long]]) =>
+          // state: n, cum, peak, maxdd — peak/maxdd seeded so the
+          // FIRST tick establishes them (a first tick below zero is
+          // already a drawdown from the flat start? no: peak starts
+          // at the first cum, matching the batch running windows)
+          val st = state.getOption.getOrElse(Array(0L, 0L, Long.MinValue, 0L))
+          val nBefore = st(0)
+          rows.map(r => (micros(r), r.getLong(ordIdx), r.getLong(qIdx)))
+            .toArray.sorted
+            .foreach { case (_, _, q) =>
+              st(0) += 1
+              st(1) += q
+              if (st(1) > st(2)) st(2) = st(1)
+              val dd = st(2) - st(1)
+              if (dd > st(3)) st(3) = dd
+            }
+          if (st(0) == nBefore) Iterator.empty
+          else {
+            state.update(st)
+            Iterator.single(Row(key, st(0), st(1), st(2), st(3)))
+          }
+      }
+  }
+
   def twapStream(
       df: DataFrame,
       keyCol: String,

@@ -12,6 +12,36 @@ class EventAnalyticsSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("drawdown: worst peak-to-trough on the path, zero for monotonic rises") {
+    val ev = Seq(
+      // cum: 5,2,3,-1,9 → peak: 5,5,5,5,9 → dd: 0,3,2,6,0
+      (1L, 5.0, ts("2024-01-01 10:00:00")),
+      (1L, -3.0, ts("2024-01-01 11:00:00")),
+      (1L, 1.0, ts("2024-01-01 12:00:00")),
+      (1L, -4.0, ts("2024-01-01 13:00:00")),
+      (1L, 10.0, ts("2024-01-01 14:00:00")),
+      // monotonic: never underwater
+      (2L, 1.0, ts("2024-01-01 10:00:00")),
+      (2L, 2.0, ts("2024-01-01 11:00:00"))
+    ).toDF("user_id", "value", "ts")
+    val out = EventAnalytics.drawdown(ev, "user_id", "ts", "value",
+      scaleBits = 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      1L -> ((5L, 9L, 9L, 6L)),
+      2L -> ((2L, 3L, 3L, 0L))), out.toString)
+    // ties on ts break by orderCols: (+10, -10) at the same instant in
+    // id order never dips; reversed order dips 10
+    val tied = Seq(
+      (3L, 10.0, ts("2024-01-01 10:00:00"), 1L),
+      (3L, -10.0, ts("2024-01-01 10:00:00"), 2L)
+    ).toDF("user_id", "value", "ts", "event_id")
+    val a = EventAnalytics.drawdown(tied, "user_id", "ts", "value",
+      scaleBits = 0, orderCols = Seq("event_id")).head()
+    assert(a.getLong(3) === 10L && a.getLong(4) === 10L)
+  }
+
   test("funnel requires stages in strict time order") {
     // u1 completes signup→view→click in order; u2 has the click BEFORE
     // the view (out of order — must not reach stage 3); u3 never views.
