@@ -990,6 +990,16 @@ object PipelineQueries {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         StubQuantizer.cents.toSeq, threshold = 0.08)),
 
+    // ---- all-integer assignment-margin audit (silhouette-style
+    // "is k right"): best vs second-best exact integer dot scores
+    // against normalized-quantized centroid literals; margins crowd
+    // zero exactly where clusters overlap. One narrow scoring
+    // projection, one metadata-cell exchange
+    "c7_assignment_margin" -> ((s, dir) =>
+      graft.pipeline.Clustering.assignmentMargin(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        StubQuantizer.qcents)),
+
     // ---- PageRank over the page-transition graph: consecutive events
     // per user edge prev→next on the page id (props.k), weighted by
     // count; 3 power-method steps, dangling mass redistributed — one
@@ -3056,6 +3066,27 @@ object PipelineQueries {
          |         FROM scored WHERE NOT isnan(cos))
          |SELECT vec_id, cell, cos AS cos_to_centroid
          |FROM best WHERE rn = 1 AND cos < 0.08""".stripMargin,
+
+    // rank window replays the struct-max tie-break (s DESC, c ASC);
+    // every gated value is an exact integer — no float trunc anywhere
+    "c7_assignment_margin" ->
+      s"""WITH ${StubQuantizer.qsql},
+         |e AS (SELECT vec_id,
+         |        [CAST(trunc(CAST(x AS DOUBLE)*1024.0) AS BIGINT) FOR x IN embedding] AS qv
+         |      FROM embeddings WHERE embedding IS NOT NULL),
+         |scored AS (SELECT vec_id, c,
+         |             CAST(list_dot_product(qv, qce) AS BIGINT) AS s
+         |           FROM e CROSS JOIN qcents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY s DESC, c ASC) AS rn FROM scored),
+         |own AS (SELECT vec_id, c AS cell, s AS own FROM r WHERE rn = 1 AND s > 0),
+         |sec AS (SELECT vec_id, s AS sec FROM r WHERE rn = 2),
+         |m AS (SELECT cell, (own - sec)*1000//own AS rel
+         |      FROM own JOIN sec USING (vec_id))
+         |SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(min(rel) AS BIGINT) AS min_margin_milli,
+         |       CAST(sum(rel)//count(*) AS BIGINT) AS mean_margin_milli
+         |FROM m GROUP BY 1""".stripMargin,
 
     "c5_cluster_purity" ->
       s"""WITH ${kmeansCtes()},

@@ -44,6 +44,23 @@ object StubQuantizer {
   def sql: String =
     """cents AS (SELECT c, [CAST((c*31 + d*7) % 11 - 5 AS DOUBLE) for d in generate_series(0, 63)] AS ce
       |          FROM (SELECT unnest(generate_series(0, 3)) AS c))""".stripMargin
+
+  /** NORMALIZED-then-quantized integer centroids (trunc(ĉ·2^10)) for
+    * the all-integer margin audit (c7): computed once here and
+    * rendered as literals into BOTH the Spark plan and the oracle
+    * SQL, so no engine ever divides or truncs a float at gate time. */
+  lazy val qcents: Seq[(Long, Seq[Long])] = cents.toSeq.map { case (c, v) =>
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    (c, v.map(x => ((x / norm) * 1024.0).toLong))
+  }
+
+  /** [[qcents]] as a DuckDB `qcents(c, qce)` VALUES CTE body. */
+  def qsql: String = {
+    val rows = qcents.map { case (c, v) =>
+      s"($c, [${v.mkString(", ")}]::BIGINT[])"
+    }.mkString(",\n      ")
+    s"qcents AS (SELECT * FROM (VALUES\n      $rows) t(c, qce))"
+  }
 }
 
 object StreamingQueries {

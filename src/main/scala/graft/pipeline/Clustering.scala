@@ -122,6 +122,65 @@ object Clustering {
       .select(col(idCol), col("cell"), col("cos_to_centroid"))
   }
 
+  /** Integer-exact assignment-margin audit (the silhouette-style
+    * "is k right" report): per vector, the best and second-best
+    * scores against a fixed set of pre-NORMALIZED, pre-QUANTIZED
+    * integer centroids, and the relative margin
+    * `(best − second)·1000 div best` — scale-invariant in the vector
+    * norm (it cancels), so margins compare across vectors. A cell
+    * whose margins crowd zero is indistinguishable from its
+    * neighbor — the measured signal that k is too high or two
+    * clusters overlap, read per cell as (n, min, mean) milli-margins.
+    *
+    * Every value in the pipeline is a long: vectors quantize on the
+    * trunc(x·2^10) grid, centroid literals are already integer, the
+    * scores are exact integer dot products, and the tie-break
+    * (score desc, cell asc) and keep rule (best > 0 — a vector
+    * anti-aligned with every centroid has no meaningful margin) are
+    * integer comparisons. No float ever divides or truncs at query
+    * time, so the DuckDB oracle reproduces the report bit-for-bit —
+    * the same discipline as the s16 Gram gate.
+    *
+    * Shape: one narrow projection computes all scores per row
+    * (array arithmetic over the centroid literal — no explode, no
+    * N×C shuffle), then ONE exchange of metadata-sized (cell,
+    * partial) rows.
+    */
+  def assignmentMargin(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qcents: Seq[(Long, Seq[Long])],
+      scaleBits: Int = 10): DataFrame = {
+    require(qcents.size >= 2, "assignmentMargin needs at least 2 centroids")
+    val scale = (1L << scaleBits).toDouble
+    val centArr = array(qcents.map { case (cid, v) =>
+      struct(lit(cid).as("c"), typedLit(v).as("qce"))
+    }: _*)
+    df.filter(col(vecCol).isNotNull)
+      .withColumn("_qv", transform(col(vecCol),
+        x => (x.cast("double") * scale).cast("long")))
+      .withColumn("_scored", transform(centArr, s => struct(
+        aggregate(zip_with(col("_qv"), s.getField("qce"), (a, b) => a * b),
+          lit(0L), (acc, y) => acc + y).as("s"),
+        (lit(0L) - s.getField("c")).as("nc"))))
+      // struct max = (score asc, −cell asc): highest score, ties to
+      // the SMALLEST cell id — mirrors the oracle's rank-window order
+      .withColumn("_best", array_max(col("_scored")))
+      .withColumn("cell", -col("_best.nc"))
+      .withColumn("_own", col("_best.s"))
+      .withColumn("_sec",
+        array_max(expr("transform(filter(_scored, x -> x.nc != _best.nc), x -> x.s)")))
+      .filter(col("_own") > 0)
+      .withColumn("_rel", expr("(_own - _sec) * 1000 div _own"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("_rel")).as("min_margin_milli"),
+        sum(col("_rel")).as("_s"))
+      .withColumn("mean_margin_milli", expr("_s div n"))
+      .drop("_s")
+  }
+
   /** `iters` Lloyd iterations from the hash-seeded centroids; returns
     * the final centroid set. Each iteration: narrow assignment, then
     * ONE shuffle of (cell, dim, partial-sum) — the refined centroid is

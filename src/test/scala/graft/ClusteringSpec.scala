@@ -19,6 +19,29 @@ class ClusteringSpec extends AnyFunSuite {
     (20L, Array(0.0f, 0.0f, 1.0f))
   ).toDF("id", "vec")
 
+  test("assignmentMargin: exact integer margins, tie to smaller cell, best<=0 dropped") {
+    // axis-aligned integer centroids (already "quantized"): scores
+    // are exact integer dot products on the 2^0 grid
+    val qc = Seq((0L, Seq(10L, 0L, 0L)), (1L, Seq(0L, 10L, 0L)))
+    val rows = Seq(
+      (1L, Array(8.0f, 2.0f, 0.0f)),   // cell 0: own 80, sec 20 → rel 750
+      (2L, Array(5.0f, 5.0f, 0.0f)),   // tie 50/50 → smaller cell 0, rel 0
+      (3L, Array(1.0f, 9.0f, 0.0f)),   // cell 1: own 90, sec 10 → rel 888
+      (4L, Array(-1.0f, -1.0f, 0.0f)), // best score < 0 → dropped
+      (5L, null.asInstanceOf[Array[Float]])) // null vec skipped
+      .toDF("id", "vec")
+    val out = Clustering.assignmentMargin(rows, "id", "vec", qc, scaleBits = 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // cell 0: rels {750, 0} → n 2, min 0, mean 375; cell 1: {888}
+    assert(out === Map(
+      0L -> ((2L, 0L, 375L)),
+      1L -> ((1L, 888L, 888L))), out.toString)
+    intercept[IllegalArgumentException] {
+      Clustering.assignmentMargin(rows, "id", "vec", qc.take(1))
+    }
+  }
+
   test("kmeans assigns co-directional vectors to the same cell") {
     val cells = Clustering.kmeansAssign(vecs, "id", "vec", k = 3, iters = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -958,6 +958,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p2.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p2.take(3000))
   }
 
+  test("c7 assignment margin: scoring is one narrow projection — no explode, one cell exchange") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val p = plan(graft.pipeline.Clustering.assignmentMargin(
+      emb, "vec_id", "embedding", StubQuantizer.qcents))
+    // all centroid scores per row come from array arithmetic over the
+    // literal — an explode or per-centroid join would shuffle N×C rows
+    assert(!p.contains("Generate"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
+    assert(p.contains("partial_count") || p.contains("partial_"), p.take(3000))
+  }
+
   test("st11 MAD outliers: one corpus scan; median/MAD/outliers ride the cached histogram") {
     val ev = graft.core.Tables.load(spark, dir, "events")
     val p = plan(graft.pipeline.Curation.robustOutlierReport(
