@@ -503,6 +503,14 @@ object RelationalQueries {
       EventAnalytics.drawdown(t(s, dir, "events"), "user_id", "ts", "value",
         orderCols = Seq("event_id"))),
 
+    // ---- α=1/2 EWMA over the last 16 ticks per key, exact integer
+    // shift weights (numerator a shifted long sum, denominator
+    // 2^16 − 2^(16−m)) — no float recursion, no drift, bit-equal in
+    // both engines; per-key windows only
+    "w8_ewma" -> ((s, dir) =>
+      EventAnalytics.ewma(t(s, dir, "events"), "user_id", "ts", "value",
+        orderCols = Seq("event_id"))),
+
     // ---- per-hop conversion latency: converting users' time from
     // stage k to k+1 — count, mean, exact interpolated median (µs)
     "a20_funnel_hop_times" -> ((s, dir) =>
@@ -891,6 +899,25 @@ object RelationalQueries {
         |       arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
         |       arg_max(value, ts) AS close, count(*) AS n_ticks
         |FROM events GROUP BY user_id, day""".stripMargin,
+
+    "w8_ewma" ->
+      """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |             CAST(trunc(CAST(value AS DOUBLE)*1024) AS BIGINT) AS q
+        |           FROM events),
+        |w AS (SELECT user_id, event_id,
+        |        list(q) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS win
+        |      FROM v),
+        |f AS (SELECT user_id, event_id, CAST(len(win) AS INT) AS n_win,
+        |        CAST(list_dot_product(win,
+        |          [(1::BIGINT << (15 - len(win) + i)) for i in generate_series(1, len(win))]
+        |        ) AS BIGINT) AS num,
+        |        (1::BIGINT << 16) - (1::BIGINT << (16 - len(win))) AS den
+        |      FROM w)
+        |SELECT user_id, event_id, n_win,
+        |       CAST(CASE WHEN num >= 0 THEN num // den
+        |            ELSE -((-num) // den) END AS BIGINT) AS ewma_q
+        |FROM f""".stripMargin,
 
     "w7_drawdown" ->
       """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

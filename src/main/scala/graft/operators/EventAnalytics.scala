@@ -273,6 +273,56 @@ object EventAnalytics {
         max(col("_peak") - col("_cum")).as("max_dd_q"))
   }
 
+  /** Exponentially-weighted moving average with α = 1/2 over the last
+    * `window` ticks per key, in EXACT integer arithmetic: tick j-back
+    * carries weight 2^(window−1−j), so the numerator is a shifted
+    * long sum and the denominator for m present ticks is
+    * 2^window − 2^(window−m) — no float recursion, no drift, and the
+    * DuckDB oracle reproduces every value bit-for-bit. The truncating
+    * window IS the contract (a 2^-16 tail weight is below the
+    * quantization floor anyway); the warm-up ticks renormalize over
+    * the ticks actually present, the standard adjusted-EWMA start.
+    *
+    * Shape: one keyed exchange + per-key sort; the sliding frame is
+    * a bounded collect (≤ window longs per row) folded by codegen'd
+    * array arithmetic. Returns one row per tick —
+    * (key, orderCols…, n_win, ewma_q).
+    */
+  def ewma(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      scaleBits: Int = 10,
+      window: Int = 16,
+      orderCols: Seq[String] = Nil): DataFrame = {
+    require(window >= 1 && window <= 62, "ewma window in [1, 62]")
+    require(scaleBits >= 0 && scaleBits <= 40, "scaleBits in [0, 40]")
+    val scale = (1L << scaleBits).toDouble
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((col(tsCol) +: orderCols.map(col)): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val wm = window - 1
+    events
+      .withColumn("_q", expr(s"CAST(CAST($valCol AS DOUBLE) * ${scale}D AS LONG)"))
+      .withColumn("_win", collect_list(col("_q")).over(w))
+      .withColumn("n_win", size(col("_win")))
+      // weight of the i-th element (1-based, oldest first) of an
+      // m-long window: 2^(window-1-m+i); denominator 2^w − 2^(w−m)
+      .withColumn("_num", expr(
+        s"""aggregate(
+           |  zip_with(_win, sequence(1, n_win),
+           |    (x, i) -> x * shiftleft(1L, $wm - n_win + i)),
+           |  0L, (a, y) -> a + y)""".stripMargin))
+      .withColumn("_den", expr(
+        s"shiftleft(1L, $window) - shiftleft(1L, $window - n_win)"))
+      .withColumn("ewma_q", expr(
+        "CASE WHEN _num >= 0 THEN _num div _den " +
+          "ELSE -((-_num) div _den) END"))
+      .select((col(keyCol) +: orderCols.map(col)) ++
+        Seq(col("n_win"), col("ewma_q")): _*)
+  }
+
   /** Time-weighted average of `valCol` per key: each observation is
     * weighted by the time it remained current (until the key's next
     * event). The key's last event has no successor and carries no

@@ -42,6 +42,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(a.getLong(3) === 10L && a.getLong(4) === 10L)
   }
 
+  test("ewma: exact shift weights, warm-up renormalizes, negatives trunc toward zero") {
+    val ev = Seq(
+      (1L, 4.0, ts("2024-01-01 10:00:00"), 1L),
+      (1L, 8.0, ts("2024-01-01 11:00:00"), 2L),
+      (1L, 0.0, ts("2024-01-01 12:00:00"), 3L),
+      (2L, -4.0, ts("2024-01-01 10:00:00"), 4L),
+      (2L, -8.0, ts("2024-01-01 11:00:00"), 5L)
+    ).toDF("user_id", "value", "ts", "event_id")
+    val out = EventAnalytics.ewma(ev, "user_id", "ts", "value",
+      scaleBits = 0, window = 2, orderCols = Seq("event_id"))
+      .collect().map(r => r.getLong(1) -> ((r.getInt(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      // warm-up: a single tick is its own EWMA (den renormalizes)
+      1L -> ((1, 4L)),
+      // [4,8]: (4·1 + 8·2) div (4−1) = 20 div 3 = 6 — leans newest
+      2L -> ((2, 6L)),
+      // [8,0]: 8 div 3 = 2 — decays toward the new level
+      3L -> ((2, 2L)),
+      4L -> ((1, -4L)),
+      // negative numerator truncates toward zero in BOTH engines:
+      // −20 div 3 = −6, not floor's −7
+      5L -> ((2, -6L))), out.toString)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.ewma(ev, "user_id", "ts", "value", window = 0)
+    }
+  }
+
   test("funnel requires stages in strict time order") {
     // u1 completes signup→view→click in order; u2 has the click BEFORE
     // the view (out of order — must not reach stage 3); u3 never views.
