@@ -1550,6 +1550,18 @@ object PipelineQueries {
           TextFunctions.qualityScore(col("text")).as("quality")),
         "lang", "quality", keepPct = 20)),
 
+    // ---- k-anonymity audit: group-size histogram under the
+    // (event_type, day, value-band) quasi-identifier combo, sub-k
+    // sizes flagged — the re-identification release gate the tx6
+    // direct-identifier redaction does not cover
+    "p24_k_anonymity" -> ((s, dir) =>
+      Curation.kAnonymityAudit(
+        t(s, dir, "events").select(
+          col("event_type"),
+          date_trunc("day", col("ts")).as("day"),
+          expr("CAST(CAST(value AS DOUBLE) AS LONG) div 100").as("vb")),
+        Seq("event_type", "day", "vb"), k = 5)),
+
     // ---- Poisson bootstrap of the corpus mean-quality metric: 32
     // deterministic resamples (inverse-CDF Poisson(1) weights from the
     // portable hash), one narrow scan ×32 map-side combined to 32
@@ -3772,6 +3784,18 @@ object PipelineQueries {
          |thr AS (SELECT lang, qb AS t FROM r WHERE rn = CAST(floor(n*20/100) AS BIGINT))
          |SELECT bk.doc_id, bk.lang, bk.quality
          |FROM bk JOIN thr USING (lang) WHERE bk.qb >= thr.t""".stripMargin,
+
+    "p24_k_anonymity" ->
+      """WITH g AS (SELECT event_type,
+        |             date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |             CAST(trunc(CAST(value AS DOUBLE)) AS BIGINT) // 100 AS vb,
+        |             count(*) AS sz
+        |           FROM events GROUP BY 1, 2, 3)
+        |SELECT CAST(sz AS BIGINT) AS group_size,
+        |       CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sz * count(*) AS BIGINT) AS n_rows,
+        |       sz < 5 AS risky
+        |FROM g GROUP BY sz""".stripMargin,
 
     // Poisson(1) weights replayed from the same integer CDF cutoffs
     // over the same portable hash; integer division for the mean

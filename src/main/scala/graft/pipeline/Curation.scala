@@ -529,6 +529,35 @@ object Curation {
         sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
         sum(length(col(textCol)).cast("long")).as("n_chars"))
 
+  /** k-anonymity audit over a quasi-identifier combination: the
+    * group-size histogram of the corpus under the given columns, with
+    * each size flagged risky when below `k` — rows in a sub-k group
+    * are re-identifiable by that attribute combination (the release
+    * gate a dataset with PII-adjacent columns must pass; pairs with
+    * the tx6 redaction pass, which removes direct identifiers but
+    * not quasi-identifier joins). Returns (group_size, n_groups,
+    * n_rows, risky) — metadata-sized however large the corpus.
+    *
+    * Shape: one partial-agg'd exchange keyed by the quasi combo (the
+    * unavoidable aggregation), then the size histogram is a second
+    * exchange of group-count rows that map-side combine collapses to
+    * one row per distinct size per partition.
+    */
+  def kAnonymityAudit(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit needs quasi columns")
+    require(k >= 2, "kAnonymityAudit: k must be >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_sz"))
+      .groupBy(col("_sz"))
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("_sz").as("group_size"), col("n_groups"),
+        (col("_sz") * col("n_groups")).as("n_rows"),
+        (col("_sz") < k).as("risky"))
+  }
+
   /** Poisson(1) CDF cutoffs on the 2^20 integer grid (P(X≤k)·2^20,
     * trunc, k = 0..6; mass above 6 is ~1e-5 and caps at weight 7).
     * Integer literals so the Spark plan and the DuckDB oracle draw

@@ -553,6 +553,28 @@ class CurationSpec extends AnyFunSuite {
     assert(even == Map("a" -> false, "b" -> false))
   }
 
+  test("kAnonymityAudit: size histogram, risky strictly below k, multi-column combos") {
+    val rows = Seq(
+      ("a", 1L), ("a", 1L), ("a", 1L),  // ("a",1) ×3
+      ("a", 2L),                        // ("a",2) ×1 — risky
+      ("b", 1L), ("b", 1L), ("b", 1L))  // ("b",1) ×3
+      .toDF("c1", "c2")
+    val out = Curation.kAnonymityAudit(rows, Seq("c1", "c2"), k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // size 3 appears for two groups (6 rows, not risky at k=3 —
+    // strictly-below rule); the singleton is risky
+    assert(out === Map(
+      3L -> ((2L, 6L, false)),
+      1L -> ((1L, 1L, true))), out.toString)
+    intercept[IllegalArgumentException] {
+      Curation.kAnonymityAudit(rows, Seq.empty, k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.kAnonymityAudit(rows, Seq("c1"), k = 1)
+    }
+  }
+
   test("langScriptAudit: disagreement cells flagged, expected-script langs only") {
     val docs = Seq(
       (1L, "the quick brown fox and the lazy dog"), // en + latin: clean
