@@ -1230,6 +1230,20 @@ object PipelineQueries {
       Curation.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "window", "merge"), k = 10)),
 
+    // ---- hybrid retrieval: BM25 lexical top-20 + cosine vector
+    // top-20 fused by reciprocal rank (2^20 div (60+r) — pure integer,
+    // no cross-scorer calibration needed because only RANKS fuse)
+    "s20_rrf_fusion" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val vecRank = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 7), "vec_id", "embedding", k = 20)
+        .select(col("cid").as("id"), col("rank"))
+      val bmRank = Curation.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "window", "merge"), k = 20)
+        .select(col("doc_id").as("id"), col("rank"))
+      Similarity.rrfFuse(Seq(vecRank, bmRank), "id", k = 10)
+    }),
+
     // ---- exact phrase search over a PERSISTED positional inverted
     // index: postings built once (partitioned by term hash bucket),
     // then the query prunes to its terms' partitions and intersects
@@ -3530,6 +3544,44 @@ object PipelineQueries {
          |top AS (SELECT doc_id, score FROM sc WHERE score > 0.0
          |        ORDER BY score DESC, doc_id ASC LIMIT 10)
          |SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |FROM top""".stripMargin
+    },
+
+    // both source rankings replayed exactly (the s1 cosine shape at
+    // k=20, the tx11 BM25 shape at k=20), then pure-integer fusion
+    "s20_rrf_fusion" -> {
+      val (c1, omb, k1s, bs) = Curation.bm25Constants()
+      val terms = Seq("spark", "window", "merge")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(string_split(text,' '), x -> x = '$t')) AS tf$i" }
+      val dfCols = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+      val scoreTerms = terms.indices.map(i =>
+        s"""(CASE WHEN tf$i > 0 THEN ((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) * (CAST(tf$i AS DOUBLE) * $c1) / (CAST(tf$i AS DOUBLE) + $k1s * ($omb + $bs * (CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))) ELSE 0.0 END)""")
+      s"""WITH scored AS (
+         |  SELECT c.vec_id AS cid, ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM embeddings c JOIN embeddings q ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id = 7),
+         |vr0 AS (SELECT cid, row_number() OVER (ORDER BY cosine DESC, cid ASC) AS rank
+         |        FROM scored),
+         |vr AS (SELECT cid AS id, rank FROM vr0 WHERE rank <= 20),
+         |m AS (SELECT doc_id, ${tfCols.mkString(", ")},
+         |        len(string_split(text,' ')) AS dl FROM documents),
+         |st AS (SELECT count(*) AS n, sum(dl) AS tot, ${dfCols.mkString(", ")} FROM m),
+         |sc AS (SELECT doc_id, ${scoreTerms.mkString(" + ")} AS score
+         |       FROM m CROSS JOIN st),
+         |bt AS (SELECT doc_id, score FROM sc WHERE score > 0.0
+         |       ORDER BY score DESC, doc_id ASC LIMIT 20),
+         |br AS (SELECT doc_id AS id,
+         |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |       FROM bt),
+         |u AS (SELECT id, 1048576 // (60 + rank) AS w FROM vr
+         |      UNION ALL SELECT id, 1048576 // (60 + rank) AS w FROM br),
+         |f AS (SELECT id, CAST(sum(w) AS BIGINT) AS rrf_q,
+         |        CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY id),
+         |top AS (SELECT * FROM f ORDER BY rrf_q DESC, id ASC LIMIT 10)
+         |SELECT id, rrf_q, n_lists,
+         |       CAST(row_number() OVER (ORDER BY rrf_q DESC, id ASC) AS INT) AS rank
          |FROM top""".stripMargin
     },
 

@@ -91,6 +91,40 @@ object Similarity {
       }
       .reduce(_ + _)
 
+  /** Reciprocal-rank fusion — the hybrid-retrieval combiner: each
+    * input ranking contributes `2^20 div (c + rank)` to a candidate's
+    * fused score (Cormack et al.'s 1/(c+r) on the integer grid —
+    * 2^20 div (c+r) is PURE integer division, so the fused scores are
+    * exact and engine-portable with no float anywhere), and the
+    * result is the top-k by fused score. Because only RANKS cross the
+    * fusion boundary, incomparable scorers (BM25 logits vs cosine)
+    * combine without calibration — the reason RRF is the default
+    * lexical+vector hybrid in production retrieval.
+    *
+    * Shape: the inputs are already top-k lists (metadata-sized); the
+    * fusion is a union + one keyed aggregate over ≤ Σkᵢ rows, and the
+    * final rank window sees at most k rows. Returns
+    * (idCol, rrf_q, n_lists, rank).
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      rankCol: String = "rank",
+      k: Int = 10,
+      c: Int = 60): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse needs at least two rankings")
+    require(k >= 1 && c >= 1, "rrfFuse: k and c must be >= 1")
+    val weighted = rankings
+      .map(r => r.select(col(idCol),
+        expr(s"CAST(1048576 div ($c + $rankCol) AS LONG)").as("_w")))
+      .reduce(_ unionByName _)
+    weighted.groupBy(col(idCol))
+      .agg(sum(col("_w")).as("rrf_q"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_q").desc, col(idCol).asc).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_q").desc, col(idCol).asc)))
+  }
+
   /** Exact brute-force cosine top-k: for each query row, the `k`
     * corpus rows (self excluded) with highest cosine. The query frame
     * must be small — it is broadcast so the corpus never shuffles; the

@@ -54,6 +54,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("rrfFuse: overlap outranks any single first place, integer weights exact") {
+    import graft.pipeline.Similarity
+    // list A: 1,2,3 — list B: 3,4,5. id 3 (rank 3 + rank 1) fuses
+    // 1048576 div 63 + 1048576 div 61 = 16644 + 17189 = 33833, beating
+    // id 1's solo first place (1048576 div 61 = 17189)
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val b = Seq((3L, 1), (4L, 2), (5L, 3)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), "id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.head === ((3L, 33833L, 2L, 1)), out.toSeq.toString)
+    assert(out(1) === ((1L, 17189L, 1L, 2)), out.toSeq.toString)
+    // equal fused scores tie to the smaller id: ids 2 and 4 both hold
+    // a solo rank 2 (1048576//62 = 16912)
+    val i2 = out.indexWhere(_._1 == 2L)
+    val i4 = out.indexWhere(_._1 == 4L)
+    assert(out(i2)._2 === 16912L && out(i4)._2 === 16912L && i2 < i4)
+    intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq(a), "id")
+    }
+  }
+
   test("containment pairs: subset duplication invisible to jaccard, df cap honored") {
     // small doc fully inside a much larger host: C(small→host) = 1
     // while J = |A|/|B| is far below any dedup threshold
