@@ -1397,6 +1397,22 @@ object PipelineQueries {
       Curation.robustOutlierReport(t(s, dir, "events"),
         "event_type", "value")),
 
+    // ---- cross-COLUMN Gram over a numeric table: the same one-pass
+    // exact integer (n, sums, upper-tri products) buffer as s16, fed
+    // a column vector instead of an embedding — covariance/correlation
+    // between table columns from ONE scan, the measured input to
+    // choosing a z-order / clustering key (columns that co-vary
+    // cluster together). Columns pre-scaled into a common range so
+    // the checked arithmetic has 100 TB headroom
+    "st12_column_gram" -> ((s, dir) =>
+      graft.pipeline.Pca.gramTriples(
+        t(s, dir, "lineitem").select(array(
+          col("l_quantity").cast("double"),
+          col("l_extendedprice").cast("double") / 1000.0,
+          col("l_discount").cast("double") * 10.0,
+          col("l_tax").cast("double") * 10.0).as("v")),
+        "v", 4, scaleBits = 6)),
+
     // ---- single-pass numeric profile of lineitem (ANALYZE-style):
     // one scan, one agg row, narrow stack reshape
     "st2_numeric_profile" -> ((s, dir) =>
@@ -3145,6 +3161,31 @@ object PipelineQueries {
         |       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
         |       CAST(sum(len(text)) AS BIGINT) AS n_chars
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+
+    // the s16 triple encoding over a 4-element COLUMN vector; same
+    // pre-scaling arithmetic before the shared trunc quantization
+    "st12_column_gram" -> {
+      val cols = Seq(
+        "CAST(l_quantity AS DOUBLE)",
+        "CAST(l_extendedprice AS DOUBLE) / 1000.0",
+        "CAST(l_discount AS DOUBLE) * 10.0",
+        "CAST(l_tax AS DOUBLE) * 10.0")
+      val qv = cols.map(c => s"CAST(trunc(($c)*64.0) AS BIGINT)").mkString(", ")
+      s"""WITH q AS (SELECT [$qv] AS qv FROM lineitem),
+         |tri AS (SELECT a.i AS i, b.j AS j
+         |        FROM generate_series(1,4) a(i), generate_series(1,4) b(j)
+         |        WHERE b.j >= a.i),
+         |prods AS (SELECT CAST(tri.i AS INT) AS i, CAST(tri.j AS INT) AS j,
+         |                 CAST(SUM(qv[tri.i]*qv[tri.j]) AS BIGINT) AS v
+         |          FROM q, tri GROUP BY 1, 2),
+         |sums AS (SELECT 0 AS i, CAST(g.j AS INT) AS j,
+         |                CAST(SUM(qv[g.j]) AS BIGINT) AS v
+         |         FROM q, generate_series(1,4) g(j) GROUP BY 1, 2),
+         |cnt AS (SELECT 0 AS i, 0 AS j, COUNT(*) AS v FROM q)
+         |SELECT i, j, v FROM prods
+         |UNION ALL SELECT i, j, v FROM sums
+         |UNION ALL SELECT i, j, v FROM cnt""".stripMargin
+    },
 
     "s16_gram_matrix" -> {
       val quant = "CAST(trunc(CAST(x AS DOUBLE)*1048576.0) AS BIGINT)"

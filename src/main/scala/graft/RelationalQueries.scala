@@ -503,6 +503,13 @@ object RelationalQueries {
       EventAnalytics.drawdown(t(s, dir, "events"), "user_id", "ts", "value",
         orderCols = Seq("event_id"))),
 
+    // ---- realized variance per (user, day): within-day tick returns
+    // r = q_t − q_{t−1}, gated as exact integer masses (n, Σr, Σr²);
+    // vol derives at read time, the gate stays integer
+    "w9_realized_var" -> ((s, dir) =>
+      EventAnalytics.realizedVariance(t(s, dir, "events"), "user_id", "ts",
+        "value", orderCols = Seq("event_id"))),
+
     // ---- α=1/2 EWMA over the last 16 ticks per key, exact integer
     // shift weights (numerator a shifted long sum, denominator
     // 2^16 − 2^(16−m)) — no float recursion, no drift, bit-equal in
@@ -899,6 +906,21 @@ object RelationalQueries {
         |       arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
         |       arg_max(value, ts) AS close, count(*) AS n_ticks
         |FROM events GROUP BY user_id, day""".stripMargin,
+
+    "w9_realized_var" ->
+      """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |             date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
+        |             CAST(trunc(CAST(value AS DOUBLE)*1024) AS BIGINT) AS q
+        |           FROM events),
+        |r AS (SELECT user_id, bucket,
+        |        q - lag(q) OVER (PARTITION BY user_id, bucket
+        |                         ORDER BY ts, event_id) AS r
+        |      FROM v)
+        |SELECT user_id, CAST(bucket AS TIMESTAMP) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_returns,
+        |       CAST(sum(r) AS BIGINT) AS net_q,
+        |       CAST(sum(r*r) AS BIGINT) AS rv_q
+        |FROM r WHERE r IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     "w8_ewma" ->
       """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

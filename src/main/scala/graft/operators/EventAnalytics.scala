@@ -323,6 +323,42 @@ object EventAnalytics {
         Seq(col("n_win"), col("ewma_q")): _*)
   }
 
+  /** Realized variance per (key, bucket): tick-over-tick arithmetic
+    * returns `r_t = q_t − q_{t−1}` within the bucket (the first tick
+    * of a bucket has no predecessor and contributes no return), then
+    * the integer masses (n_returns, net_q = Σr, rv_q = Σr²) — the
+    * realized-volatility building block, exact on the quantized grid
+    * so both engines agree to the last unit. Derive vol as
+    * `sqrt(rv_q)/2^bits` at read time; the GATED values stay integer.
+    *
+    * Shape: one (key, bucket) exchange + per-partition sort for the
+    * lag, then a partial-agg'd rollup on the same keys — the second
+    * aggregation reuses the first exchange's partitioning (no extra
+    * shuffle in the plan).
+    */
+  def realizedVariance(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      bucket: String = "day",
+      scaleBits: Int = 10,
+      orderCols: Seq[String] = Nil): DataFrame = {
+    require(scaleBits >= 0 && scaleBits <= 40, "scaleBits in [0, 40]")
+    val scale = (1L << scaleBits).toDouble
+    val w = Window.partitionBy(col(keyCol), col("_bk"))
+      .orderBy((col(tsCol) +: orderCols.map(col)): _*)
+    events
+      .withColumn("_bk", date_trunc(bucket, col(tsCol)))
+      .withColumn("_q", expr(s"CAST(CAST($valCol AS DOUBLE) * ${scale}D AS LONG)"))
+      .withColumn("_r", col("_q") - lag(col("_q"), 1).over(w))
+      .filter(col("_r").isNotNull)
+      .groupBy(col(keyCol), col("_bk").as("bucket"))
+      .agg(count(lit(1)).as("n_returns"),
+        sum(col("_r")).as("net_q"),
+        sum(col("_r") * col("_r")).as("rv_q"))
+  }
+
   /** Time-weighted average of `valCol` per key: each observation is
     * weighted by the time it remained current (until the key's next
     * event). The key's last event has no successor and carries no

@@ -42,6 +42,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(a.getLong(3) === 10L && a.getLong(4) === 10L)
   }
 
+  test("realizedVariance: within-bucket returns only, exact integer masses") {
+    val ev = Seq(
+      // day 1: q 4 → 7 → 5: returns +3, −2 → n 2, net 1, rv 13
+      (1L, 4.0, ts("2024-01-01 10:00:00"), 1L),
+      (1L, 7.0, ts("2024-01-01 11:00:00"), 2L),
+      (1L, 5.0, ts("2024-01-01 12:00:00"), 3L),
+      // day 2 resets the lag: the overnight 5→9 gap is NOT a return
+      (1L, 9.0, ts("2024-01-02 10:00:00"), 4L),
+      (1L, 9.0, ts("2024-01-02 11:00:00"), 5L), // zero return counts
+      // a single-tick (user, day) produces no returns → no row
+      (2L, 3.0, ts("2024-01-01 10:00:00"), 6L)
+    ).toDF("user_id", "value", "ts", "event_id")
+    val out = EventAnalytics.realizedVariance(ev, "user_id", "ts", "value",
+      scaleBits = 0, orderCols = Seq("event_id"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString.take(10)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      (1L, "2024-01-01") -> ((2L, 1L, 13L)),
+      (1L, "2024-01-02") -> ((1L, 0L, 0L))), out.toString)
+  }
+
   test("ewma: exact shift weights, warm-up renormalizes, negatives trunc toward zero") {
     val ev = Seq(
       (1L, 4.0, ts("2024-01-01 10:00:00"), 1L),

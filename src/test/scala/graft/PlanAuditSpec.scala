@@ -958,6 +958,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p2.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p2.take(3000))
   }
 
+  test("w9 realized variance: the rollup reuses the lag window's exchange") {
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val p = plan(graft.operators.EventAnalytics.realizedVariance(
+      ev, "user_id", "ts", "value", orderCols = Seq("event_id")))
+    // window partition keys == group keys → ONE hash exchange total
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
   test("c7 assignment margin: scoring is one narrow projection — no explode, one cell exchange") {
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
     val p = plan(graft.pipeline.Clustering.assignmentMargin(
