@@ -800,7 +800,9 @@ object PipelineQueries {
     "z7_skipping_audit" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val mx = li.agg(max(col("l_orderkey"))).head.getLong(0)
-      val probes = (0 until 8).map(i => mx * (2L * i + 1) / 16)
+      // distinct: on a tiny key domain the integer probe formula can
+      // collide, and a duplicated probe would double-count every file
+      val probes = (0 until 8).map(i => mx * (2L * i + 1) / 16).distinct
       def audited(frame: org.apache.spark.sql.DataFrame, name: String) = {
         val root = scopedTmp(s"graft_skip_$name", dir)
         frame.repartition(col("bucket"))
@@ -2914,7 +2916,7 @@ object PipelineQueries {
     // replays as the per-bucket min/max of the logical table
     "z7_skipping_audit" ->
       """WITH mx AS (SELECT max(l_orderkey) AS m FROM lineitem),
-        |p AS (SELECT (m*(2*i+1))//16 AS probe
+        |p AS (SELECT DISTINCT (m*(2*i+1))//16 AS probe
         |      FROM mx, LATERAL unnest(generate_series(0,7)) s(i)),
         |h AS (SELECT l_orderkey % 8 AS b, min(l_orderkey) AS mn,
         |             max(l_orderkey) AS mxv FROM lineitem GROUP BY 1),

@@ -599,7 +599,11 @@ object Curation {
       .foldRight(lit(PoissonUnitCdf20.length.toLong)) { case ((c, i), els) =>
         when(col("_u") < lit(c), lit(i.toLong)).otherwise(els)
       }
-    df.select(col(idCol), col(metricCol).as("_m"),
+    // a null metric is excluded from the resample entirely (its weight
+    // never enters n_eff) — silently weighting a row whose metric
+    // cannot contribute would bias every replicate mean downward
+    df.filter(col(metricCol).isNotNull)
+      .select(col(idCol), col(metricCol).as("_m"),
         explode(sequence(lit(0), lit(reps - 1))).as("rep"))
       .withColumn("_u", TextFunctions.polyHash(
         concat(col(idCol).cast("string"), lit(":"), col("rep").cast("string")))

@@ -624,6 +624,13 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Curation.bootstrapReplicates(docs, "doc_id", "qm", reps = 0)
     }
+    // a null metric never enters the resample — n_eff excludes its
+    // weight rather than biasing the mean toward zero
+    val withNull = Curation.bootstrapReplicates(
+      Seq((1L, Some(100L)), (2L, None)).toDF("doc_id", "qm"),
+      "doc_id", "qm", reps = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    withNull.foreach { case (n, m) => assert(if (n == 0) m == 0L else m == 100L) }
   }
 
   test("robustOutlierReport: lower median, MAD, 3-MAD rule, null skip") {
