@@ -819,6 +819,41 @@ object PipelineQueries {
           col("n_candidates"), col("skip_milli"))
     }),
 
+    // ---- the z-order PAYOFF measured: the same table range-bucketed
+    // on ONE column vs on the interleaved z-value, audited with z7's
+    // footer machinery on BOTH columns — linear sorting skips only on
+    // its own column; the z-layout trades a little of that for real
+    // skipping on both. Deterministic buckets replay from the logical
+    // table in the oracle
+    "z8_zorder_skipping" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val Seq((_, pmin, pmax), (_, smin, smax)) =
+        graft.pipeline.Layout.measureRanges(li, Seq("l_partkey", "l_suppkey"))
+      val zc = Seq(graft.pipeline.Layout.ZCol(col("l_partkey"), pmin, pmax),
+        graft.pipeline.Layout.ZCol(col("l_suppkey"), smin, smax))
+      val withZ = li.withColumn("_zv", graft.pipeline.Layout.zValue(zc, 8))
+      val zmax = withZ.agg(max(col("_zv"))).head.getLong(0)
+      val linear = li.withColumn("bucket",
+        expr(s"least(7L, (l_partkey - ${pmin}L) * 8 div ${pmax - pmin + 1}L)"))
+      val zord = withZ.withColumn("bucket",
+        expr(s"least(7L, _zv * 8 div ${zmax + 1}L)")).drop("_zv")
+      val pprobes = (0 until 4).map(i => pmin + (pmax - pmin) * (2L * i + 1) / 8).distinct
+      val sprobes = (0 until 4).map(i => smin + (smax - smin) * (2L * i + 1) / 8).distinct
+      def audited(frame: org.apache.spark.sql.DataFrame, name: String) = {
+        val root = scopedTmp(s"graft_z8_$name", dir)
+        frame.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(root)
+        Seq(("l_partkey", pprobes), ("l_suppkey", sprobes)).map { case (c, ps) =>
+          graft.pipeline.Layout.skippingEffectiveness(
+              graft.pipeline.Layout.fileStats(s, root, c), ps)
+            .withColumn("column", lit(c)).withColumn("layout", lit(name))
+        }.reduce(_ unionByName _)
+      }
+      audited(linear, "linear").unionByName(audited(zord, "zorder"))
+        .select(col("layout"), col("column"), col("probe"), col("n_files"),
+          col("n_candidates"), col("skip_milli"))
+    }),
+
     // ---- partition-skew audit from FOOTERS ONLY: per-partition row
     // counts via KB-sized metadata reads (never a data scan), hot
     // partitions flagged at >1.5x the mean by integer
@@ -2911,6 +2946,58 @@ object PipelineQueries {
         |SELECT grp, CAST(count(*) AS BIGINT) AS n_files,
         |       CAST(sum(n_rows) AS BIGINT) AS total_rows, min(min_v) AS min_v
         |FROM g GROUP BY 1""".stripMargin,
+
+    // z-value interleave replayed (the z1 CTEs), then both layouts'
+    // per-bucket [min,max] for BOTH columns probed as in z7
+    "z8_zorder_skipping" -> {
+      val zTerms = (0 until 8).flatMap(i => Seq(
+        s"(((qp >> $i) & 1) << ${2 * i + 1})",
+        s"(((qs >> $i) & 1) << ${2 * i})")).mkString(" + ")
+      def block(layout: String, colName: String, probeCte: String,
+          statCte: String, mn: String, mx: String): String =
+        s"""SELECT '$layout' AS layout, '$colName' AS "column", probe,
+           |    CAST(count(*) AS BIGINT) AS n_files,
+           |    CAST(sum(CASE WHEN $mn <= probe AND probe <= $mx
+           |         THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates
+           |  FROM $probeCte, $statCte GROUP BY 1, 2, 3""".stripMargin
+      s"""WITH mm AS (SELECT CAST(min(l_partkey) AS BIGINT) AS pmin,
+         |  CAST(max(l_partkey) AS BIGINT) AS pmax,
+         |  CAST(min(l_suppkey) AS BIGINT) AS smin,
+         |  CAST(max(l_suppkey) AS BIGINT) AS smax FROM lineitem),
+         |shft AS (SELECT *,
+         |  CASE WHEN pmax = pmin THEN 0 ELSE length(bin(pmax - pmin)) END AS psh,
+         |  CASE WHEN smax = smin THEN 0 ELSE length(bin(smax - smin)) END AS ssh
+         |  FROM mm),
+         |q AS (SELECT l_partkey, l_suppkey,
+         |  ((CAST(l_partkey AS BIGINT) - pmin) << 8) >> psh AS qp,
+         |  ((CAST(l_suppkey AS BIGINT) - smin) << 8) >> ssh AS qs
+         |  FROM lineitem, shft),
+         |zv AS (SELECT l_partkey, l_suppkey, $zTerms AS z FROM q),
+         |zm AS (SELECT max(z) AS zmax FROM zv),
+         |lin AS (SELECT least(7, (l_partkey - pmin) * 8 // (pmax - pmin + 1)) AS b,
+         |          l_partkey, l_suppkey FROM lineitem, mm),
+         |zb AS (SELECT least(7, z * 8 // (zmax + 1)) AS b,
+         |         l_partkey, l_suppkey FROM zv, zm),
+         |ls AS (SELECT b, min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+         |         min(l_suppkey) AS smn, max(l_suppkey) AS smx FROM lin GROUP BY 1),
+         |zs AS (SELECT b, min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+         |         min(l_suppkey) AS smn, max(l_suppkey) AS smx FROM zb GROUP BY 1),
+         |pp AS (SELECT DISTINCT pmin + (pmax - pmin) * (2*i+1) // 8 AS probe
+         |       FROM mm, LATERAL unnest(generate_series(0,3)) s(i)),
+         |sp AS (SELECT DISTINCT smin + (smax - smin) * (2*i+1) // 8 AS probe
+         |       FROM mm, LATERAL unnest(generate_series(0,3)) s(i)),
+         |u AS (
+         |  ${block("linear", "l_partkey", "pp", "ls", "pmn", "pmx")}
+         |  UNION ALL
+         |  ${block("linear", "l_suppkey", "sp", "ls", "smn", "smx")}
+         |  UNION ALL
+         |  ${block("zorder", "l_partkey", "pp", "zs", "pmn", "pmx")}
+         |  UNION ALL
+         |  ${block("zorder", "l_suppkey", "sp", "zs", "smn", "smx")})
+         |SELECT layout, "column", probe, n_files, n_candidates,
+         |  CAST((n_files - n_candidates) * 1000 // n_files AS BIGINT) AS skip_milli
+         |FROM u""".stripMargin
+    },
 
     // one file per bucket by construction, so each file's [min,max]
     // replays as the per-bucket min/max of the logical table
