@@ -503,6 +503,24 @@ object RelationalQueries {
       EventAnalytics.drawdown(t(s, dir, "events"), "user_id", "ts", "value",
         orderCols = Seq("event_id"))),
 
+    // ---- event-time lateness vs arrival order: the distribution a
+    // watermark delay should be CHOSEN from (exact integer µs vs the
+    // running high-water mark), measured before withWatermark drops
+    // the tail
+    // the corpus arrives in event-time order, so the gate delays every
+    // 7th event's ARRIVAL deterministically — the late tail the audit
+    // exists to measure (and both engines replay)
+    "a22_lateness_audit" -> ((s, dir) =>
+      EventAnalytics.latenessAudit(
+        // ×100 + 2050: the delayed arrivals slot BETWEEN undelayed
+        // ones (2050 is not a multiple of 100), so arrival order
+        // stays a total order — a tie under a ROWS frame would be
+        // engine-order-dependent
+        t(s, dir, "events").withColumn("arr",
+          col("event_id") * 100L + when(pmod(col("event_id"), lit(7)) === 0,
+            2050L).otherwise(0L)),
+        "event_type", "ts", "arr")),
+
     // ---- realized variance per (user, day): within-day tick returns
     // r = q_t − q_{t−1}, gated as exact integer masses (n, Σr, Σr²);
     // vol derives at read time, the gate stays integer
@@ -906,6 +924,23 @@ object RelationalQueries {
         |       arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
         |       arg_max(value, ts) AS close, count(*) AS n_ticks
         |FROM events GROUP BY user_id, day""".stripMargin,
+
+    "a22_lateness_audit" ->
+      """WITH v AS (SELECT event_type,
+        |             event_id * 100 + CASE WHEN event_id % 7 = 0
+        |               THEN 2050 ELSE 0 END AS arr,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |h AS (SELECT event_type, us,
+        |        max(us) OVER (PARTITION BY event_type ORDER BY arr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |      FROM v),
+        |l AS (SELECT event_type,
+        |        CASE WHEN hwm > us THEN hwm - us ELSE 0 END AS late FROM h)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |       CAST(max(late) AS BIGINT) AS max_late_us,
+        |       CAST(sum(late) AS BIGINT) AS sum_late_us
+        |FROM l GROUP BY 1""".stripMargin,
 
     "w9_realized_var" ->
       """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

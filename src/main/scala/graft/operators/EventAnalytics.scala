@@ -359,6 +359,36 @@ object EventAnalytics {
         sum(col("_r") * col("_r")).as("rv_q"))
   }
 
+  /** Event-time lateness audit: in ARRIVAL order (`arrivalCol`), how
+    * far each event's timestamp falls behind the running event-time
+    * high-water mark — the empirical distribution a Structured
+    * Streaming watermark delay should be chosen FROM, measured before
+    * a `withWatermark` guess silently drops the tail. Returns per key
+    * (n, n_late, max_late_us, sum_late_us) — exact integer µs.
+    *
+    * Shape: one keyed exchange + per-key sort for the running max
+    * (frame ends at the PREVIOUS row, so an event is compared to the
+    * frontier before it arrived); the rollup reuses the exchange.
+    */
+  def latenessAudit(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      arrivalCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_hwm", max(col("_us")).over(w))
+      .withColumn("_late",
+        when(col("_hwm") > col("_us"), col("_hwm") - col("_us")).otherwise(0L))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_late") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("_late")).as("max_late_us"),
+        sum(col("_late")).as("sum_late_us"))
+  }
+
   /** Time-weighted average of `valCol` per key: each observation is
     * weighted by the time it remained current (until the key's next
     * event). The key's last event has no successor and carries no

@@ -42,6 +42,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(a.getLong(3) === 10L && a.getLong(4) === 10L)
   }
 
+  test("latenessAudit: lateness vs the running high-water mark, in-order streams zero") {
+    val ev = Seq(
+      // arrival 1,2,3: ts 10:00, 12:00, then 11:00 — the third event
+      // arrives 3600s behind the HWM set by the second
+      ("a", ts("2024-01-01 10:00:00"), 1L),
+      ("a", ts("2024-01-01 12:00:00"), 2L),
+      ("a", ts("2024-01-01 11:00:00"), 3L),
+      // in-order key: zero late mass
+      ("b", ts("2024-01-01 10:00:00"), 4L),
+      ("b", ts("2024-01-01 10:30:00"), 5L)
+    ).toDF("event_type", "ts", "arr")
+    val out = EventAnalytics.latenessAudit(ev, "event_type", "ts", "arr")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      "a" -> ((3L, 1L, 3600000000L, 3600000000L)),
+      "b" -> ((2L, 0L, 0L, 0L))), out.toString)
+  }
+
   test("realizedVariance: within-bucket returns only, exact integer masses") {
     val ev = Seq(
       // day 1: q 4 → 7 → 5: returns +3, −2 → n 2, net 1, rv 13
