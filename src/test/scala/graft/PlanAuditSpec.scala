@@ -958,6 +958,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p2.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p2.take(3000))
   }
 
+  test("w7/w8 tick windows: per-key partitioning only, one exchange end-to-end") {
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val p7 = plan(graft.operators.EventAnalytics.drawdown(
+      ev, "user_id", "ts", "value", orderCols = Seq("event_id")))
+    // two stacked running windows share the sort; the rollup groups on
+    // the same key — one exchange, and never a global (empty-key) window
+    assert("Exchange hashpartitioning".r.findAllIn(p7).size === 1, p7.take(3000))
+    assert(!p7.contains("Exchange SinglePartition"), p7.take(3000))
+    val p8 = plan(graft.operators.EventAnalytics.ewma(
+      ev, "user_id", "ts", "value", orderCols = Seq("event_id")))
+    assert("Exchange hashpartitioning".r.findAllIn(p8).size === 1, p8.take(3000))
+    assert(!p8.contains("Exchange SinglePartition"), p8.take(3000))
+  }
+
   test("w9 realized variance: the rollup reuses the lag window's exchange") {
     val ev = graft.core.Tables.load(spark, dir, "events")
     val p = plan(graft.operators.EventAnalytics.realizedVariance(
