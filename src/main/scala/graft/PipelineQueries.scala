@@ -1103,6 +1103,19 @@ object PipelineQueries {
       Clustering.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, threshold = 0.4, iters = 1)),
 
+    // ---- cross-corpus SEMANTIC decontamination: drop training
+    // vectors within 0.4 cosine of any eval vector — the
+    // embedding-space complement to d8's n-gram decontamination
+    // (catches paraphrased leakage); eval side broadcast, same-cell
+    // candidates only
+    "c8_semantic_decontam" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Clustering.semanticDecontaminate(
+        emb.filter(col("vec_id") % 23 =!= 0),
+        emb.filter(col("vec_id") % 23 === 0),
+        "vec_id", "embedding", k = 8, threshold = 0.4, iters = 1)
+    }),
+
     // ---- corpus composition report: ROLLUP over (lang, source) with
     // doc/token/char totals — one partial-agg'd exchange
     "st1_corpus_stats" -> ((s, dir) =>
@@ -1628,6 +1641,18 @@ object PipelineQueries {
           date_trunc("day", col("ts")).as("day"),
           expr("CAST(CAST(value AS DOUBLE) AS LONG) div 100").as("vb")),
         Seq("event_type", "day", "vb"), k = 5)),
+
+    // ---- epoch/repeat mixture planner: per-language milli-epochs to
+    // hit a 2M-token run at the target weights under a 2.5-epoch
+    // repeat cap — the static plan (one metadata aggregate) that
+    // precedes p6's downsampling and p4's repetition; es carries no
+    // weight (plans zero), en exceeds the cap (carries a deficit)
+    "p25_mixture_plan" -> ((s, dir) =>
+      Curation.mixturePlan(
+        t(s, dir, "documents"), "lang", "text",
+        budget = 2000000L,
+        weightsPm = Map("en" -> 500L, "zh" -> 200L, "de" -> 150L, "fr" -> 100L),
+        maxMilliEpochs = 2500L)),
 
     // ---- Poisson bootstrap of the corpus mean-quality metric: 32
     // deterministic resamples (inverse-CDF Poisson(1) weights from the
@@ -3245,6 +3270,20 @@ object PipelineQueries {
          |SELECT vec_id, cell FROM a1
          |WHERE vec_id NOT IN (SELECT id2 FROM dropped)""".stripMargin,
 
+    "c8_semantic_decontam" ->
+      s"""WITH ${kmeansCtes()},
+         |asg AS (SELECT a1.vec_id, a1.cell, e.embedding
+         |        FROM a1 JOIN embeddings e USING (vec_id)),
+         |ev AS (SELECT cell, embedding FROM asg
+         |       WHERE vec_id % 23 = 0 AND cell >= 0),
+         |cont AS (SELECT DISTINCT t.vec_id
+         |         FROM asg t JOIN ev e ON t.cell = e.cell
+         |         WHERE t.vec_id % 23 <> 0 AND t.cell >= 0
+         |           AND ${cosSql("t.embedding", "e.embedding")} >= 0.4)
+         |SELECT vec_id, cell FROM a1
+         |WHERE vec_id % 23 <> 0
+         |  AND vec_id NOT IN (SELECT vec_id FROM cont)""".stripMargin,
+
     "st1_corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
         |       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
@@ -3978,6 +4017,24 @@ object PipelineQueries {
         |       CAST(sz * count(*) AS BIGINT) AS n_rows,
         |       sz < 5 AS risky
         |FROM g GROUP BY sz""".stripMargin,
+
+    "p25_mixture_plan" ->
+      """WITH t AS (SELECT lang,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available_tokens,
+        |             CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY lang),
+        |w AS (SELECT lang, available_tokens, n_docs,
+        |        CAST(CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 200
+        |                       WHEN 'de' THEN 150 WHEN 'fr' THEN 100
+        |                       ELSE 0 END AS BIGINT) AS weight_pm
+        |      FROM t),
+        |p AS (SELECT *, (2000000 * weight_pm) // 1000 AS target_tokens FROM w),
+        |q AS (SELECT *, least(2500, (target_tokens * 1000) // greatest(available_tokens, 1)) AS milli_epochs FROM p),
+        |r AS (SELECT *, (available_tokens * milli_epochs) // 1000 AS planned_tokens FROM q)
+        |SELECT lang, available_tokens, n_docs, weight_pm, target_tokens,
+        |       milli_epochs, planned_tokens,
+        |       greatest(0, target_tokens - planned_tokens) AS deficit_tokens
+        |FROM r""".stripMargin,
 
     // Poisson(1) weights replayed from the same integer CDF cutoffs
     // over the same portable hash; integer division for the mean

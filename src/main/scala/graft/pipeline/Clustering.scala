@@ -306,6 +306,55 @@ object Clustering {
     assigned.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Cross-corpus SEMANTIC decontamination: drop every training
+    * document whose embedding sits within `threshold` cosine of any
+    * eval-set vector — the embedding-space complement to the n-gram
+    * benchmark decontamination (`Curation.contaminationOverlap`),
+    * catching paraphrased/reworded benchmark leakage that shares no
+    * 5-gram with the eval text. The coarse quantizer is fitted on
+    * corpus ∪ eval so both sides land in consistent cells; candidates
+    * are same-cell pairs ONLY (the SemDeDup pruning contract — a
+    * paraphrase far enough to quantize into a different cell is by
+    * construction below any threshold this op is used with), and the
+    * eval side rides BROADCAST (eval suites are thousands of rows
+    * against a corpus of billions — the d8 asymmetry). Returns
+    * surviving corpus (id, cell); zero-norm corpus vectors (cell −1)
+    * cannot pair and always survive.
+    *
+    * Scale shape: centroid fit is the k-means machinery (integer
+    * centroid sums, metadata-sized driver state); the probe is one
+    * narrow corpus projection + broadcast hash join on the cell +
+    * exact cosine verify; the only corpus exchange is the final
+    * anti-join's, on fixed-width (id) rows.
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      threshold: Double,
+      iters: Int = 1): DataFrame = {
+    val cents = kmeansCentroids(
+      corpus.select(col(idCol), col(vecCol))
+        .unionByName(evalSet.select(col(idCol), col(vecCol))),
+      idCol, vecCol, k, iters)
+    val assigned = corpus.select(col(idCol),
+      assignCell(col(vecCol), cents.toIndexedSeq).as("cell"))
+    val probe = corpus
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        assignCell(col(vecCol), cents.toIndexedSeq).as("_cell"))
+      .filter(col("_cell") >= 0)
+    val ev = evalSet
+      .select(col(vecCol).as("_ev"),
+        assignCell(col(vecCol), cents.toIndexedSeq).as("_cell"))
+      .filter(col("_cell") >= 0)
+    val contaminated = probe.join(broadcast(ev), Seq("_cell"))
+      .filter(Similarity.cosine(col("_v"), col("_ev")) >= lit(threshold))
+      .select(col("_id").as(idCol)).distinct()
+    assigned.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** [[semanticDupPairs]] against an already-fitted quantizer — lets
     * [[semanticDedup]] fit once instead of twice.
     */

@@ -2190,4 +2190,57 @@ object Curation {
       length(norm).as("norm_chars"),
       md5(norm.cast("binary")).as("norm_md5"))
   }
+
+  /** Epoch/repeat mixture planner: given target per-stratum mixture
+    * weights (per-mille of the training run) and a global token
+    * budget, compute from the corpus itself how many milli-epochs of
+    * each stratum the run must take — the static "how many times do I
+    * repeat Wikipedia" table that precedes [[tokenBudgetSample]]
+    * (downsampling covers epochs < 1) and [[upsample]] (repetition
+    * covers epochs > 1). All integer arithmetic, so the plan is
+    * engine-portable exactly:
+    * `target_tokens = budget·weight_pm div 1000`,
+    * `milli_epochs  = min(cap, target·1000 div max(available,1))`,
+    * `planned_tokens = available·milli_epochs div 1000`,
+    * `deficit_tokens = max(0, target − planned)` — a positive deficit
+    * is the signal to relax the repeat cap or re-weight the mixture
+    * (repeating a small stratum past ~4 epochs measurably degrades
+    * models, hence the default cap). Strata absent from `weightsPm`
+    * get weight 0 and plan nothing.
+    *
+    * Shape: ONE corpus scan partial-aggregated to a row per stratum
+    * (the shuffle carries (stratum, count, token-sum) partials, never
+    * corpus rows); the plan arithmetic is a projection over those
+    * metadata rows. The corpus text never moves.
+    */
+  def mixturePlan(
+      df: DataFrame,
+      stratumCol: String,
+      textCol: String,
+      budget: Long,
+      weightsPm: Map[String, Long],
+      maxMilliEpochs: Long = 4000L): DataFrame = {
+    require(budget >= 0, "mixturePlan: budget must be >= 0")
+    require(maxMilliEpochs >= 1, "mixturePlan: maxMilliEpochs must be >= 1")
+    require(weightsPm.values.forall(w => w >= 0 && w <= 1000),
+      "mixturePlan: weights are per-mille in [0, 1000]")
+    val w = weightsPm.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.groupBy(col(stratumCol))
+      .agg(
+        sum(TextFunctions.tokenCount(col(textCol)).cast("long"))
+          .as("available_tokens"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("weight_pm", w)
+      .withColumn("target_tokens",
+        expr(s"${budget}L * weight_pm div 1000"))
+      .withColumn("milli_epochs",
+        least(lit(maxMilliEpochs),
+          expr("target_tokens * 1000 div greatest(available_tokens, 1)")))
+      .withColumn("planned_tokens",
+        expr("available_tokens * milli_epochs div 1000"))
+      .withColumn("deficit_tokens",
+        greatest(lit(0L), col("target_tokens") - col("planned_tokens")))
+  }
 }

@@ -80,6 +80,25 @@ class ClusteringSpec extends AnyFunSuite {
     assert(surv.contains(99L))
   }
 
+  test("semanticDecontaminate: near-eval vectors dropped, far and zero-norm survive") {
+    // eval set sits on the x-axis: corpus 1,2,3 are near-dups of it,
+    // 10/11 and 20 are orthogonal, 99 is zero-norm (cell -1)
+    val corpus = vecs.union(Seq((99L, Array(0.0f, 0.0f, 0.0f))).toDF("id", "vec"))
+    val evalSet = Seq((1000L, Array(1.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val surv = Clustering.semanticDecontaminate(
+      corpus, evalSet, "id", "vec", k = 3, threshold = 0.95, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!surv.contains(1L) && !surv.contains(2L) && !surv.contains(3L),
+      surv.toString) // paraphrase-leaked rows dropped
+    assert(surv.contains(10L) && surv.contains(11L) && surv.contains(20L))
+    assert(surv(99L) === -1L) // zero-norm cannot pair — survives with sentinel
+    // an empty eval set decontaminates nothing
+    val none = Clustering.semanticDecontaminate(
+      corpus, evalSet.filter(col("id") < 0), "id", "vec",
+      k = 3, threshold = 0.95, iters = 1).count()
+    assert(none === 7L)
+  }
+
   test("cluster purity: majority share per cell, vote ties to the smaller label") {
     val assigned = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (10L, 1L), (11L, 1L))
       .toDF("id", "cell")

@@ -791,4 +791,35 @@ class CurationSpec extends AnyFunSuite {
     val twice = graft.functions.NativeExpressions.nfcNormalize(once)
     assert(docs.select((once === twice).as("eq")).collect().forall(_.getBoolean(0)))
   }
+
+  test("mixturePlan: cap binds with a deficit, unweighted stratum plans zero") {
+    // corpus: a has 10 tokens, b has 40, c has 50 (each doc 10 tokens)
+    val docs = Seq(
+      (1L, "a", "t t t t t t t t t t"),
+      (2L, "b", "t t t t t t t t t t"), (3L, "b", "t t t t t t t t t t"),
+      (4L, "b", "t t t t t t t t t t"), (5L, "b", "t t t t t t t t t t"),
+      (6L, "c", "t t t t t t t t t t"), (7L, "c", "t t t t t t t t t t"),
+      (8L, "c", "t t t t t t t t t t"), (9L, "c", "t t t t t t t t t t"),
+      (10L, "c", "t t t t t t t t t t"))
+      .toDF("doc_id", "src", "text")
+    val out = Curation.mixturePlan(docs, "src", "text",
+      budget = 100L, weightsPm = Map("a" -> 600L, "b" -> 400L),
+      maxMilliEpochs = 3000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    // a: target 60 over 10 available -> 6000 milli-epochs, capped at
+    // 3000 -> planned 30, deficit 30 (the relax-the-cap signal)
+    assert(out("a") === ((10L, 600L, 60L, 3000L, 30L, 30L)))
+    // b: target 40 over 40 available -> exactly one epoch, no deficit
+    assert(out("b") === ((40L, 400L, 40L, 1000L, 40L, 0L)))
+    // c: carries no weight -> plans nothing
+    assert(out("c") === ((50L, 0L, 0L, 0L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Curation.mixturePlan(docs, "src", "text", -1L, Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.mixturePlan(docs, "src", "text", 1L, Map("a" -> 1001L))
+    }
+  }
 }

@@ -186,6 +186,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("partial sum"), p.take(3000))
   }
 
+  test("p25 mixture plan: one partial-agg'd stratum exchange, no join, no window") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = plan(graft.pipeline.Curation.mixturePlan(
+      docs, "lang", "text", budget = 1000000L,
+      weightsPm = Map("en" -> 500L, "zh" -> 500L)))
+    // the whole plan is scan -> partial agg -> one stratum exchange ->
+    // final agg -> metadata projection; the plan arithmetic never
+    // touches corpus rows and nothing joins
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("Exchange SinglePartition"), p.take(3000))
+    assert(p.contains("partial_sum") || p.contains("partial sum"), p.take(3000))
+  }
+
   test("tx10 perplexity: threshold windows see histogram rows only, labels broadcast") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val p = plan(graft.pipeline.Curation.perplexityBuckets(
@@ -242,6 +256,19 @@ class PlanAuditSpec extends AnyFunSuite {
       emb, "vec_id", "embedding", cents, 0.4))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("_cell"), p) // the equi-join key is the cell
+  }
+
+  test("c8 semantic decontamination: eval side broadcast, cell equi-join, no nested-loop") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val p = plan(graft.pipeline.Clustering.semanticDecontaminate(
+      emb.filter(col("vec_id") % 23 =!= 0), emb.filter(col("vec_id") % 23 === 0),
+      "vec_id", "embedding", k = 4, threshold = 0.4, iters = 1))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(4000))
+    // the probe join carries the broadcast eval side on the cell key;
+    // a corpus-x-corpus shuffle join here would be the scale-killer
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(p.contains("_cell"), p.take(4000))
   }
 
   test("d9 substring-dup: hash-keyed equi-joins only, partial-agg'd gram counts") {
