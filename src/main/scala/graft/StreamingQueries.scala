@@ -444,6 +444,27 @@ object StreamingQueries {
       out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
     }),
 
+    // w9's live twin: per-key realized-variance masses for the
+    // CURRENT day bucket only in the state store (5 longs/key; closed
+    // buckets flush and leave); max-n emission per (user, bucket) ==
+    // the batch report on the same quantized grid
+    "w9s_realized_var_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"),
+        expr("CAST(CAST(value AS DOUBLE) * 1024D AS LONG)").as("q"),
+        unix_micros(date_trunc("day", col("ts"))).as("bucket_us"))
+      val (out, _) = runStream(s, Seq((ev, "ts")), "update", ticks = 4) {
+        case Seq(e) =>
+          StreamingState.realizedVarianceStream(
+            e, "user_id", "ts", "q", "event_id", "bucket_us")
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "bucket_us").orderBy(col("n_returns").desc)
+      out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("user_id"), timestamp_micros(col("bucket_us")).as("bucket"),
+          col("n_returns"), col("net_q"), col("rv_q"))
+    }),
+
     "w4s_twap_stream" -> ((s, dir) => {
       val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 4) {
         case Seq(ev) => StreamingState.twapStream(ev, "user_id", "ts", "value", "event_id")
@@ -988,6 +1009,10 @@ object StreamingQueries {
     "w4s_twap_stream" -> RelationalQueries.oracles("w4_twap"),
 
     "w7s_drawdown_stream" -> RelationalQueries.oracles("w7_drawdown"),
+
+    // the max-n emission per (user, day bucket) is that bucket's final
+    // realized-variance mass row — oracle verbatim
+    "w9s_realized_var_stream" -> RelationalQueries.oracles("w9_realized_var"),
 
     // the emitted pair stream is the batch lag() pair set — oracle
     // verbatim

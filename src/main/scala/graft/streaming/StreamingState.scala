@@ -1339,6 +1339,82 @@ object StreamingState {
       }
   }
 
+  /** w9's streaming twin: the LIVE realized-variance monitor — per
+    * key, the state is FIVE longs for the CURRENT bucket only
+    * (bucket µs, last tick q, n returns, Σr, Σr²); a tick landing in
+    * a new bucket flushes the closed bucket's final row and resets
+    * (bucket boundaries reset the lag, and overnight gaps are not
+    * returns — the batch [[graft.operators.EventAnalytics
+    * .realizedVariance]] contract). Emits a (key, bucket_us,
+    * n_returns, net_q, rv_q) row for every bucket that gained returns
+    * in the micro-batch; n per bucket grows monotonically, so the
+    * max-n emission per (key, bucket) equals the batch row exactly —
+    * all-integer arithmetic on the caller's pre-quantized `qCol`
+    * (shared with the batch expression). Single-tick buckets carry no
+    * return and never emit, matching the batch frame.
+    *
+    * Cross-batch contract and 100 TB shape as [[drawdownStream]]:
+    * per-key arrival ts-non-decreasing (ticks sort within each batch
+    * by (ts, order)); state is O(keys) scalars — the current bucket
+    * only, closed buckets leave the store.
+    */
+  def realizedVarianceStream(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      qCol: String,
+      orderCol: String,
+      bucketUsCol: String): DataFrame = {
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val qIdx = schema.fieldIndex(qCol)
+    val ordIdx = schema.fieldIndex(orderCol)
+    val bkIdx = schema.fieldIndex(bucketUsCol)
+    implicit val rowEnc = Encoders.row(StructType(Seq(
+      StructField(keyCol, schema(keyIdx).dataType),
+      StructField("bucket_us", LongType, nullable = false),
+      StructField("n_returns", LongType, nullable = false),
+      StructField("net_q", LongType, nullable = false),
+      StructField("rv_q", LongType, nullable = false))))
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.kryo[Array[Long]]
+    def micros(r: Row): Long = {
+      val i = r.getTimestamp(tsIdx).toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    requireLongKey(schema, keyCol)
+    df.groupByKey((r: Row) => r.getLong(keyIdx))
+      .flatMapGroupsWithState[Array[Long], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Row], state: GroupState[Array[Long]]) =>
+          // state: bucket µs, last q, n, Σr, Σr² — current bucket only
+          var cur = state.getOption.orNull
+          var curNew = 0L // returns added to `cur` within THIS batch
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          rows.map(r => (micros(r), r.getLong(ordIdx), r.getLong(bkIdx),
+              r.getLong(qIdx)))
+            .toArray.sorted
+            .foreach { case (_, _, b, q) =>
+              if (cur == null) { cur = Array(b, q, 0L, 0L, 0L); curNew = 0L }
+              else if (b != cur(0)) {
+                // bucket rollover: the closed bucket's row is final
+                if (curNew > 0L) out += Row(key, cur(0), cur(2), cur(3), cur(4))
+                cur = Array(b, q, 0L, 0L, 0L); curNew = 0L
+              } else {
+                val ret = q - cur(1)
+                cur(1) = q; cur(2) += 1L; cur(3) += ret; cur(4) += ret * ret
+                curNew += 1L
+              }
+            }
+          if (cur != null) {
+            state.update(cur)
+            if (curNew > 0L) out += Row(key, cur(0), cur(2), cur(3), cur(4))
+          }
+          out.iterator
+      }
+  }
+
   def twapStream(
       df: DataFrame,
       keyCol: String,

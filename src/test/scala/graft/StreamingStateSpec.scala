@@ -235,6 +235,56 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("realizedVarianceStream: lag crosses batches, bucket rollover resets, single-tick bucket silent") {
+    val ws = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("q", LongType), StructField("event_id", LongType),
+      StructField("bucket_us", LongType)))
+    def us(s: String): Long = {
+      val t = java.sql.Timestamp.valueOf(s).toInstant
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+    }
+    def wr(u: Long, s: String, q: Long, id: Long, bk: String): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](u, java.sql.Timestamp.valueOf(s), q, id, us(bk)), ws)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(ws), sqlCtx)
+    val out = StreamingState.realizedVarianceStream(
+      stream.toDF(), "user_id", "ts", "q", "event_id", "bucket_us")
+    val name = s"rv_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("rv-ckpt").toString)
+      .start()
+    try {
+      // batch 1: day-1 ticks 100 -> 110 (r=10)
+      stream.addData(
+        wr(1L, "2024-01-01 09:00:00", 100L, 1, "2024-01-01 00:00:00"),
+        wr(1L, "2024-01-01 10:00:00", 110L, 2, "2024-01-01 00:00:00"))
+      q.processAllAvailable()
+      // batch 2: day-1 tick 90 (r=-20, lag carried ACROSS the batch
+      // boundary), then day-2 rollover with two ticks (r=5), then a
+      // single-tick day-3 bucket that must never emit
+      stream.addData(
+        wr(1L, "2024-01-01 11:00:00", 90L, 3, "2024-01-01 00:00:00"),
+        wr(1L, "2024-01-02 09:00:00", 200L, 4, "2024-01-02 00:00:00"),
+        wr(1L, "2024-01-02 10:00:00", 205L, 5, "2024-01-02 00:00:00"),
+        wr(1L, "2024-01-03 09:00:00", 7L, 6, "2024-01-03 00:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val fin = rows.groupBy(_._1).map { case (bk, rs) => bk -> rs.maxBy(_._2) }
+      // day 1 final: n=2, net=10-20=-10, rv=100+400=500
+      assert(fin(us("2024-01-01 00:00:00")) ===
+        ((us("2024-01-01 00:00:00"), 2L, -10L, 500L)))
+      // day 2: n=1, net=5, rv=25 (the 90->200 overnight gap is NOT a return)
+      assert(fin(us("2024-01-02 00:00:00")) ===
+        ((us("2024-01-02 00:00:00"), 1L, 5L, 25L)))
+      // day 3 got one tick — no return, no emission
+      assert(!fin.contains(us("2024-01-03 00:00:00")), fin.toString)
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: runningStatsStream counts survive a restart") {
     // kill after 2 rows (n=2, sum=30), restart, add 1 row: the resumed
     // state must report n=3 / sum=70, not a fresh n=1 / sum=40
