@@ -444,6 +444,23 @@ object StreamingQueries {
       out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
     }),
 
+    // a22's live twin: the lateness audit in its natural habitat —
+    // the running event-time high-water mark per key advances as the
+    // (deterministically perturbed) arrival stream plays; 5 longs/key
+    "a22s_lateness_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("arr",
+          col("event_id") * 100L + when(pmod(col("event_id"), lit(7)) === 0,
+            2050L).otherwise(0L))
+        .select(col("event_type"), col("ts"), col("arr"))
+      val (out, _) = runStream(s, Seq((ev, "arr")), "update", ticks = 4) {
+        case Seq(e) => StreamingState.latenessStream(e, "event_type", "ts", "arr")
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("n").desc)
+      out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    }),
+
     // w9's live twin: per-key realized-variance masses for the
     // CURRENT day bucket only in the state store (5 longs/key; closed
     // buckets flush and leave); max-n emission per (user, bucket) ==
@@ -1013,6 +1030,10 @@ object StreamingQueries {
     // the max-n emission per (user, day bucket) is that bucket's final
     // realized-variance mass row — oracle verbatim
     "w9s_realized_var_stream" -> RelationalQueries.oracles("w9_realized_var"),
+
+    // the final per-key high-water-mark masses equal the batch audit —
+    // oracle verbatim
+    "a22s_lateness_stream" -> RelationalQueries.oracles("a22_lateness_audit"),
 
     // the emitted pair stream is the batch lag() pair set — oracle
     // verbatim

@@ -1339,6 +1339,74 @@ object StreamingState {
       }
   }
 
+  /** a22's streaming twin: the LIVE event-time lateness monitor — the
+    * form the audit naturally wants, since arrival order IS the
+    * stream. State per key is FIVE longs (running event-time
+    * high-water mark, n, n_late, max_late_µs, Σlate_µs); each arrival
+    * is compared to the frontier BEFORE it (the batch ROWS-to-(-1)
+    * frame), then advances it. Read the emitted distribution to pick
+    * a `withWatermark` delay from measurement instead of a guess —
+    * before the guess silently drops the tail.
+    *
+    * Cross-batch contract: per-key ARRIVAL must be `arrivalCol`-
+    * ascending across batches (rows sort within each batch; the
+    * micro-batch sequence is the arrival order between them — true of
+    * any real feed, which is the point). Keys are strings (channel /
+    * event-type names); state is O(keys) scalars.
+    */
+  def latenessStream(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      arrivalCol: String): DataFrame = {
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val arrIdx = schema.fieldIndex(arrivalCol)
+    require(schema(keyIdx).dataType == StringType,
+      s"latenessStream key '$keyCol' must be STRING, " +
+        s"got ${schema(keyIdx).dataType.simpleString}")
+    require(schema(arrIdx).dataType == LongType,
+      s"latenessStream arrival '$arrivalCol' must be BIGINT")
+    implicit val rowEnc = Encoders.row(StructType(Seq(
+      StructField(keyCol, StringType),
+      StructField("n", LongType, nullable = false),
+      StructField("n_late", LongType, nullable = false),
+      StructField("max_late_us", LongType, nullable = false),
+      StructField("sum_late_us", LongType, nullable = false))))
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.kryo[Array[Long]]
+    def micros(r: Row): Long = {
+      val i = r.getTimestamp(tsIdx).toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    df.groupByKey((r: Row) => r.getString(keyIdx))
+      .flatMapGroupsWithState[Array[Long], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Row], state: GroupState[Array[Long]]) =>
+          // state: hwm (MinValue until the first arrival), n, n_late,
+          // max_late, sum_late
+          val st = state.getOption.getOrElse(
+            Array(Long.MinValue, 0L, 0L, 0L, 0L))
+          val nBefore = st(1)
+          rows.map(r => (r.getLong(arrIdx), micros(r)))
+            .toArray.sorted
+            .foreach { case (_, us) =>
+              val late = if (st(0) > us) st(0) - us else 0L
+              st(1) += 1L
+              if (late > 0L) st(2) += 1L
+              if (late > st(3)) st(3) = late
+              st(4) += late
+              if (us > st(0)) st(0) = us
+            }
+          if (st(1) == nBefore) Iterator.empty
+          else {
+            state.update(st)
+            Iterator.single(Row(key, st(1), st(2), st(3), st(4)))
+          }
+      }
+  }
+
   /** w9's streaming twin: the LIVE realized-variance monitor — per
     * key, the state is FIVE longs for the CURRENT bucket only
     * (bucket µs, last tick q, n returns, Σr, Σr²); a tick landing in

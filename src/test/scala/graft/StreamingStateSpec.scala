@@ -235,6 +235,45 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("latenessStream: frontier carries across batches, first arrival never late") {
+    val ws = StructType(Seq(
+      StructField("event_type", StringType), StructField("ts", TimestampType),
+      StructField("arr", LongType)))
+    def wr(k: String, s: String, arr: Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](k, java.sql.Timestamp.valueOf(s), arr), ws)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(ws), sqlCtx)
+    val out = StreamingState.latenessStream(stream.toDF(), "event_type", "ts", "arr")
+    val name = s"late_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("late-ckpt").toString)
+      .start()
+    try {
+      // batch 1: frontier moves to 00:10; an in-batch straggler at
+      // 00:05 arrives third (arr order) -> 5s late
+      stream.addData(
+        wr("a", "2024-01-01 00:00:00", 1),
+        wr("a", "2024-01-01 00:00:10", 2),
+        wr("a", "2024-01-01 00:00:05", 3))
+      q.processAllAvailable()
+      // batch 2: a CROSS-batch straggler at 00:02 (8s behind the
+      // carried frontier) and a frontier advance — plus key b's first
+      // arrival, which has no frontier before it and is never late
+      stream.addData(
+        wr("a", "2024-01-01 00:00:02", 4),
+        wr("a", "2024-01-01 00:00:20", 5),
+        wr("b", "2024-01-01 00:00:00", 6))
+      q.processAllAvailable()
+      val fin = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+      assert(fin("a") === (("a", 5L, 2L, 8000000L, 13000000L)), fin.toString)
+      assert(fin("b") === (("b", 1L, 0L, 0L, 0L)))
+    } finally q.stop()
+  }
+
   test("realizedVarianceStream: lag crosses batches, bucket rollover resets, single-tick bucket silent") {
     val ws = StructType(Seq(
       StructField("user_id", LongType), StructField("ts", TimestampType),
