@@ -4029,11 +4029,15 @@ object PipelineQueries {
         |                       ELSE 0 END AS BIGINT) AS weight_pm
         |      FROM t),
         |p AS (SELECT *, (2000000 * weight_pm) // 1000 AS target_tokens FROM w),
-        |q AS (SELECT *, least(2500, (target_tokens * 1000) // greatest(available_tokens, 1)) AS milli_epochs FROM p),
-        |r AS (SELECT *, (available_tokens * milli_epochs) // 1000 AS planned_tokens FROM q)
+        |q AS (SELECT *, (target_tokens * 1000) // greatest(available_tokens, 1) AS unc FROM p),
+        |q2 AS (SELECT *, unc > 2500 AS cap_bound,
+        |         least(2500, unc) AS milli_epochs FROM q),
+        |r AS (SELECT *, (available_tokens * milli_epochs) // 1000 AS planned_tokens FROM q2)
         |SELECT lang, available_tokens, n_docs, weight_pm, target_tokens,
-        |       milli_epochs, planned_tokens,
-        |       greatest(0, target_tokens - planned_tokens) AS deficit_tokens
+        |       milli_epochs, cap_bound, planned_tokens,
+        |       CASE WHEN cap_bound
+        |            THEN greatest(0, target_tokens - planned_tokens)
+        |            ELSE 0 END AS deficit_tokens
         |FROM r""".stripMargin,
 
     // Poisson(1) weights replayed from the same integer CDF cutoffs

@@ -96,7 +96,11 @@ object StreamingQueries {
       val rows = hit._2.get()
       if (rows != null) return rows
     }
-    val rows = df.orderBy(col(orderCol)).collect()
+    // comma-separated composite keys: a feed whose head column ties
+    // (same-ts ticks) must still slice into micro-batches in a TOTAL
+    // order, or the batch boundary splits tied rows in engine order
+    // and order-sensitive state folds diverge from the batch oracle
+    val rows = df.orderBy(orderCol.split(',').map(c => col(c.trim)): _*).collect()
     feedCache.put(key, (plan, new java.lang.ref.SoftReference(rows)))
     rows
   }
@@ -359,7 +363,7 @@ object StreamingQueries {
     "a14s_funnel_stream" -> ((s, dir) => {
       import s.implicits._
       val stages = Seq("signup", "view", "click", "purchase")
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 4) {
         case Seq(ev) => StreamingState.funnelStream(
           ev, "user_id", "event_type", "ts", stages, "event_id")
       }
@@ -378,7 +382,7 @@ object StreamingQueries {
     // batch's last; the batch count/probability rollup runs over the
     // emitted pair stream, so the a17 oracle applies verbatim
     "a17s_transitions_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 4) {
         case Seq(ev) => StreamingState.transitionsStream(
           ev, "user_id", "event_type", "ts", "event_id")
       }
@@ -394,7 +398,7 @@ object StreamingQueries {
     // stream is the batch hop row set and the a20 rollup applies
     "a20s_hop_times_stream" -> ((s, dir) => {
       val stages = Seq("signup", "view", "click", "purchase")
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 4) {
         case Seq(ev) => StreamingState.funnelHopsStream(
           ev, "user_id", "event_type", "ts", stages, "event_id")
       }
@@ -415,7 +419,7 @@ object StreamingQueries {
     // at N triples and freezes once full; n_events is monotone, so the
     // max-n emission per user is the final path (a18 oracle verbatim)
     "a18s_paths_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 4) {
         case Seq(ev) => StreamingState.pathsStream(
           ev, "user_id", "event_type", "ts", "event_id", firstN = 5)
       }
@@ -435,7 +439,7 @@ object StreamingQueries {
       val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
         col("event_id"),
         expr("CAST(CAST(value AS DOUBLE) * 1024D AS LONG)").as("q"))
-      val (out, _) = runStream(s, Seq((ev, "ts")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 4) {
         case Seq(e) =>
           StreamingState.drawdownStream(e, "user_id", "ts", "q", "event_id")
       }
@@ -470,7 +474,7 @@ object StreamingQueries {
         col("event_id"),
         expr("CAST(CAST(value AS DOUBLE) * 1024D AS LONG)").as("q"),
         unix_micros(date_trunc("day", col("ts"))).as("bucket_us"))
-      val (out, _) = runStream(s, Seq((ev, "ts")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 4) {
         case Seq(e) =>
           StreamingState.realizedVarianceStream(
             e, "user_id", "ts", "q", "event_id", "bucket_us")
@@ -483,7 +487,7 @@ object StreamingQueries {
     }),
 
     "w4s_twap_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 4) {
         case Seq(ev) => StreamingState.twapStream(ev, "user_id", "ts", "value", "event_id")
       }
       val w = org.apache.spark.sql.expressions.Window
@@ -513,7 +517,7 @@ object StreamingQueries {
     // in the state store; n_ticks is monotone, so the max-n emission
     // per bar is the final one (batch w6 oracle verbatim)
     "w6s_ohlc_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 4) {
         case Seq(ev) => StreamingState.ohlcStream(ev, "user_id", "ts", "value", "event_id")
       }
       val w = org.apache.spark.sql.expressions.Window

@@ -335,9 +335,16 @@ object Clustering {
       k: Int,
       threshold: Double,
       iters: Int = 1): DataFrame = {
+    // the seed sort is (hash(id), id): an id appearing on BOTH sides
+    // (eval drawn from the corpus — the common overlap) would tie and
+    // seed in engine order; dropDuplicates on (id, vector) makes that
+    // case deterministic. An id naming DIFFERENT vectors on the two
+    // sides is a caller data error — ids must identify vectors
+    // uniquely across corpus ∪ eval.
     val cents = kmeansCentroids(
       corpus.select(col(idCol), col(vecCol))
-        .unionByName(evalSet.select(col(idCol), col(vecCol))),
+        .unionByName(evalSet.select(col(idCol), col(vecCol)))
+        .dropDuplicates(idCol, vecCol),
       idCol, vecCol, k, iters)
     val assigned = corpus.select(col(idCol),
       assignCell(col(vecCol), cents.toIndexedSeq).as("cell"))

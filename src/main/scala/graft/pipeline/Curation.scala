@@ -2201,17 +2201,24 @@ object Curation {
     * engine-portable exactly:
     * `target_tokens = budget·weight_pm div 1000`,
     * `milli_epochs  = min(cap, target·1000 div max(available,1))`,
+    * `cap_bound     = the uncapped ratio exceeded the cap`,
     * `planned_tokens = available·milli_epochs div 1000`,
-    * `deficit_tokens = max(0, target − planned)` — a positive deficit
-    * is the signal to relax the repeat cap or re-weight the mixture
-    * (repeating a small stratum past ~4 epochs measurably degrades
-    * models, hence the default cap). Strata absent from `weightsPm`
-    * get weight 0 and plan nothing.
+    * `deficit_tokens = max(0, target − planned)` WHEN the cap binds,
+    * else 0 — so a positive deficit is PURELY the relax-the-cap /
+    * re-weight signal (repeating a small stratum past ~4 epochs
+    * measurably degrades models, hence the default cap), never
+    * milli-epoch flooring noise (an uncapped stratum's remainder is
+    * < available/1000 tokens and reports 0). The plan is a FULL OUTER
+    * join of the corpus aggregate with the weight table: a weighted
+    * stratum with no corpus rows still plans (available 0, cap bound,
+    * deficit = the whole target — the typo'd-key / missing-source
+    * case surfaces instead of vanishing); corpus strata absent from
+    * `weightsPm` get weight 0 and plan nothing.
     *
     * Shape: ONE corpus scan partial-aggregated to a row per stratum
     * (the shuffle carries (stratum, count, token-sum) partials, never
-    * corpus rows); the plan arithmetic is a projection over those
-    * metadata rows. The corpus text never moves.
+    * corpus rows); the weight table and the join are metadata-sized.
+    * The corpus text never moves.
     */
   def mixturePlan(
       df: DataFrame,
@@ -2224,23 +2231,32 @@ object Curation {
     require(maxMilliEpochs >= 1, "mixturePlan: maxMilliEpochs must be >= 1")
     require(weightsPm.values.forall(w => w >= 0 && w <= 1000),
       "mixturePlan: weights are per-mille in [0, 1000]")
-    val w = weightsPm.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
-      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
-    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val weights = weightsPm.toSeq.sortBy(_._1).toDF(stratumCol, "weight_pm")
     df.groupBy(col(stratumCol))
       .agg(
         sum(TextFunctions.tokenCount(col(textCol)).cast("long"))
           .as("available_tokens"),
         count(lit(1)).as("n_docs"))
-      .withColumn("weight_pm", w)
+      .join(weights, Seq(stratumCol), "full_outer")
+      .withColumn("available_tokens", coalesce(col("available_tokens"), lit(0L)))
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
+      .withColumn("weight_pm", coalesce(col("weight_pm"), lit(0L)))
       .withColumn("target_tokens",
         expr(s"${budget}L * weight_pm div 1000"))
-      .withColumn("milli_epochs",
-        least(lit(maxMilliEpochs),
-          expr("target_tokens * 1000 div greatest(available_tokens, 1)")))
+      .withColumn("_uncapped",
+        expr("target_tokens * 1000 div greatest(available_tokens, 1)"))
+      .withColumn("cap_bound", col("_uncapped") > maxMilliEpochs)
+      .withColumn("milli_epochs", least(lit(maxMilliEpochs), col("_uncapped")))
       .withColumn("planned_tokens",
         expr("available_tokens * milli_epochs div 1000"))
       .withColumn("deficit_tokens",
-        greatest(lit(0L), col("target_tokens") - col("planned_tokens")))
+        when(col("cap_bound"),
+          greatest(lit(0L), col("target_tokens") - col("planned_tokens")))
+          .otherwise(lit(0L)))
+      .select(col(stratumCol), col("available_tokens"), col("n_docs"),
+        col("weight_pm"), col("target_tokens"), col("milli_epochs"),
+        col("cap_bound"), col("planned_tokens"), col("deficit_tokens"))
   }
 }

@@ -1307,10 +1307,7 @@ object StreamingState {
       StructField("max_dd_q", LongType, nullable = false))))
     implicit val keyEnc = Encoders.scalaLong
     implicit val stateEnc = Encoders.kryo[Array[Long]]
-    def micros(r: Row): Long = {
-      val i = r.getTimestamp(tsIdx).toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
+    val micros: Row => Long = rowMicrosOf(tsIdx)
     requireLongKey(schema, keyCol)
     df.groupByKey((r: Row) => r.getLong(keyIdx))
       .flatMapGroupsWithState[Array[Long], Row](
@@ -1376,10 +1373,7 @@ object StreamingState {
       StructField("sum_late_us", LongType, nullable = false))))
     implicit val keyEnc = Encoders.STRING
     implicit val stateEnc = Encoders.kryo[Array[Long]]
-    def micros(r: Row): Long = {
-      val i = r.getTimestamp(tsIdx).toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
+    val micros: Row => Long = rowMicrosOf(tsIdx)
     df.groupByKey((r: Row) => r.getString(keyIdx))
       .flatMapGroupsWithState[Array[Long], Row](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -1439,6 +1433,11 @@ object StreamingState {
     val qIdx = schema.fieldIndex(qCol)
     val ordIdx = schema.fieldIndex(orderCol)
     val bkIdx = schema.fieldIndex(bucketUsCol)
+    Seq(qCol -> qIdx, orderCol -> ordIdx, bucketUsCol -> bkIdx).foreach {
+      case (c, i) => require(schema(i).dataType == LongType,
+        s"realizedVarianceStream column '$c' must be BIGINT, " +
+          s"got ${schema(i).dataType.simpleString}")
+    }
     implicit val rowEnc = Encoders.row(StructType(Seq(
       StructField(keyCol, schema(keyIdx).dataType),
       StructField("bucket_us", LongType, nullable = false),
@@ -1447,10 +1446,7 @@ object StreamingState {
       StructField("rv_q", LongType, nullable = false))))
     implicit val keyEnc = Encoders.scalaLong
     implicit val stateEnc = Encoders.kryo[Array[Long]]
-    def micros(r: Row): Long = {
-      val i = r.getTimestamp(tsIdx).toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
+    val micros: Row => Long = rowMicrosOf(tsIdx)
     requireLongKey(schema, keyCol)
     df.groupByKey((r: Row) => r.getLong(keyIdx))
       .flatMapGroupsWithState[Array[Long], Row](
@@ -1501,10 +1497,7 @@ object StreamingState {
       StructField("span_us", LongType, nullable = false))))
     implicit val keyEnc = Encoders.scalaLong
     implicit val stateEnc = Encoders.BINARY
-    def micros(r: Row): Long = {
-      val i = r.getTimestamp(tsIdx).toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
+    val micros: Row => Long = rowMicrosOf(tsIdx)
     requireLongKey(schema, keyCol)
     df.groupByKey((r: Row) => r.getLong(keyIdx))
       .flatMapGroupsWithState[Array[Byte], Row](
@@ -1584,6 +1577,16 @@ object StreamingState {
 
   /** The event-analytics streams key by a LONG id column (the events
     * channel contract); fail at plan time, not mid-stream. */
+  /** Timestamp column -> epoch microseconds — the ONE event-time
+    * conversion every per-key state fold in this file shares. Returns
+    * a standalone lambda capturing only the column index, so the
+    * state-fold closures that embed it stay serializable (they must
+    * not drag this object across the task boundary). */
+  private def rowMicrosOf(tsIdx: Int): Row => Long = { r =>
+    val i = r.getTimestamp(tsIdx).toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
   private def requireLongKey(schema: StructType, keyCol: String): Unit = {
     val dt = schema(schema.fieldIndex(keyCol)).dataType
     require(dt == LongType,
@@ -1619,10 +1622,7 @@ object StreamingState {
       StructField("n_ticks", LongType, nullable = false))))
     implicit val keyEnc = Encoders.STRING
     implicit val stateEnc = Encoders.BINARY
-    def micros(r: Row): Long = {
-      val i = r.getTimestamp(tsIdx).toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
+    val micros: Row => Long = rowMicrosOf(tsIdx)
     val dayUs = 86400000000L
     // key the state store by (key, day): each bar is its own state row
     df.withColumn("_graft_gk",
@@ -1684,10 +1684,7 @@ object StreamingState {
       StructField("to_type", StringType))))
     implicit val keyEnc = Encoders.scalaLong
     implicit val stateEnc = Encoders.BINARY
-    def micros(r: Row): Long = {
-      val i = r.getTimestamp(tsIdx).toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
+    val micros: Row => Long = rowMicrosOf(tsIdx)
     requireLongKey(schema, keyCol)
     df.groupByKey((r: Row) => r.getLong(keyIdx))
       .flatMapGroupsWithState[Array[Byte], Row](
@@ -1750,10 +1747,7 @@ object StreamingState {
       StructField("n_events", IntegerType, nullable = false))))
     implicit val keyEnc = Encoders.scalaLong
     implicit val stateEnc = Encoders.BINARY
-    def micros(r: Row): Long = {
-      val i = r.getTimestamp(tsIdx).toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
+    val micros: Row => Long = rowMicrosOf(tsIdx)
     requireLongKey(schema, keyCol)
     df.groupByKey((r: Row) => r.getLong(keyIdx))
       .flatMapGroupsWithState[Array[Byte], Row](
@@ -1819,10 +1813,7 @@ object StreamingState {
       StructField("dt_us", LongType, nullable = false))))
     implicit val keyEnc = Encoders.scalaLong
     implicit val stEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
-    def micros(r: Row): Long = {
-      val i = r.getTimestamp(tsIdx).toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
+    val micros: Row => Long = rowMicrosOf(tsIdx)
     requireLongKey(schema, userCol)
     df.groupByKey((r: Row) => r.getLong(userIdx))
       .flatMapGroupsWithState[(Int, Long), Row](
@@ -1885,10 +1876,7 @@ object StreamingState {
       StructField("reached_at_us", LongType, nullable = false))))
     implicit val keyEnc = Encoders.scalaLong
     implicit val stEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
-    def micros(r: Row): Long = {
-      val i = r.getTimestamp(tsIdx).toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
+    val micros: Row => Long = rowMicrosOf(tsIdx)
     requireLongKey(schema, userCol)
     df.groupByKey((r: Row) => r.getLong(userIdx))
       .flatMapGroupsWithState[(Int, Long), Row](

@@ -792,29 +792,38 @@ class CurationSpec extends AnyFunSuite {
     assert(docs.select((once === twice).as("eq")).collect().forall(_.getBoolean(0)))
   }
 
-  test("mixturePlan: cap binds with a deficit, unweighted stratum plans zero") {
-    // corpus: a has 10 tokens, b has 40, c has 50 (each doc 10 tokens)
+  test("mixturePlan: cap deficit, zero-weight, absent stratum, flooring reports no deficit") {
+    // corpus: a has 10 tokens, b 40, c 50, d 7 (docs of 10 or 7 tokens)
     val docs = Seq(
       (1L, "a", "t t t t t t t t t t"),
       (2L, "b", "t t t t t t t t t t"), (3L, "b", "t t t t t t t t t t"),
       (4L, "b", "t t t t t t t t t t"), (5L, "b", "t t t t t t t t t t"),
       (6L, "c", "t t t t t t t t t t"), (7L, "c", "t t t t t t t t t t"),
       (8L, "c", "t t t t t t t t t t"), (9L, "c", "t t t t t t t t t t"),
-      (10L, "c", "t t t t t t t t t t"))
+      (10L, "c", "t t t t t t t t t t"),
+      (11L, "d", "t t t t t t t"))
       .toDF("doc_id", "src", "text")
     val out = Curation.mixturePlan(docs, "src", "text",
-      budget = 100L, weightsPm = Map("a" -> 600L, "b" -> 400L),
+      budget = 100L,
+      weightsPm = Map("a" -> 600L, "b" -> 400L, "z" -> 200L, "d" -> 50L),
       maxMilliEpochs = 3000L)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5),
-          r.getLong(6), r.getLong(7)))).toMap
+          r.getBoolean(6), r.getLong(7), r.getLong(8)))).toMap
     // a: target 60 over 10 available -> 6000 milli-epochs, capped at
     // 3000 -> planned 30, deficit 30 (the relax-the-cap signal)
-    assert(out("a") === ((10L, 600L, 60L, 3000L, 30L, 30L)))
+    assert(out("a") === ((10L, 600L, 60L, 3000L, true, 30L, 30L)))
     // b: target 40 over 40 available -> exactly one epoch, no deficit
-    assert(out("b") === ((40L, 400L, 40L, 1000L, 40L, 0L)))
+    assert(out("b") === ((40L, 400L, 40L, 1000L, false, 40L, 0L)))
     // c: carries no weight -> plans nothing
-    assert(out("c") === ((50L, 0L, 0L, 0L, 0L, 0L)))
+    assert(out("c") === ((50L, 0L, 0L, 0L, false, 0L, 0L)))
+    // z: weighted but ABSENT from the corpus — the row still surfaces,
+    // cap-bound with the whole target as deficit (typo'd-key signal)
+    assert(out("z") === ((0L, 200L, 20L, 3000L, true, 0L, 20L)))
+    // d: target 5 over 7 available floors planned to 4 — but the cap
+    // does not bind, so the 1-token flooring remainder reports NO
+    // deficit (deficit is purely the cap signal, never rounding noise)
+    assert(out("d") === ((7L, 50L, 5L, 714L, false, 4L, 0L)))
     intercept[IllegalArgumentException] {
       Curation.mixturePlan(docs, "src", "text", -1L, Map.empty)
     }

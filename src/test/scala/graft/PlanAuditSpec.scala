@@ -186,18 +186,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("partial sum"), p.take(3000))
   }
 
-  test("p25 mixture plan: one partial-agg'd stratum exchange, no join, no window") {
+  test("p25 mixture plan: corpus feeds one partial-agg'd exchange; the weight join is metadata-only") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val p = plan(graft.pipeline.Curation.mixturePlan(
       docs, "lang", "text", budget = 1000000L,
       weightsPm = Map("en" -> 500L, "zh" -> 500L)))
-    // the whole plan is scan -> partial agg -> one stratum exchange ->
-    // final agg -> metadata projection; the plan arithmetic never
-    // touches corpus rows and nothing joins
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(3000))
-    assert(!p.contains("Join") && !p.contains("Window") &&
-      !p.contains("Exchange SinglePartition"), p.take(3000))
+    // the corpus contributes ONE partial-agg'd stratum exchange; the
+    // FULL OUTER join against the weight table (which surfaces
+    // weighted-but-absent strata) re-exchanges only the ≤|strata|
+    // aggregate rows and the weight literals — never corpus rows
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p.take(3000))
+    assert(p.contains("FullOuter"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("Window"), p.take(3000))
     assert(p.contains("partial_sum") || p.contains("partial sum"), p.take(3000))
+    // the join's children are the aggregate and a LocalTableScan of
+    // the weight literals — the corpus scan sits BELOW the aggregate,
+    // so corpus rows never reach the join
+    assert(p.contains("LocalTableScan"), p.take(3000))
   }
 
   test("tx10 perplexity: threshold windows see histogram rows only, labels broadcast") {
