@@ -528,6 +528,14 @@ object RelationalQueries {
       EventAnalytics.realizedVariance(t(s, dir, "events"), "user_id", "ts",
         "value", orderCols = Seq("event_id"))),
 
+    // ---- rolling z-score anomaly flags: each tick vs the mean/var of
+    // the 16 ticks BEFORE it, exact integer cross-multiplication —
+    // (n·x−S)²·10⁶ > k²·n·(nQ−S²) — so the spike verdict is
+    // engine-portable with no division or float anywhere
+    "w10_rolling_anomaly" -> ((s, dir) =>
+      EventAnalytics.rollingAnomaly(t(s, dir, "events"), "user_id", "ts",
+        "value", orderCols = Seq("event_id"))),
+
     // ---- α=1/2 EWMA over the last 16 ticks per key, exact integer
     // shift weights (numerator a shifted long sum, denominator
     // 2^16 − 2^(16−m)) — no float recursion, no drift, bit-equal in
@@ -956,6 +964,23 @@ object RelationalQueries {
         |       CAST(sum(r) AS BIGINT) AS net_q,
         |       CAST(sum(r*r) AS BIGINT) AS rv_q
         |FROM r WHERE r IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "w10_rolling_anomaly" ->
+      """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |             CAST(trunc(CAST(value AS DOUBLE)) AS BIGINT) AS q
+        |           FROM events),
+        |w AS (SELECT user_id, event_id, q,
+        |        CAST(count(q) OVER win AS BIGINT) AS n_prior,
+        |        CAST(coalesce(sum(q) OVER win, 0) AS BIGINT) AS sum_prior,
+        |        CAST(coalesce(sum(q*q) OVER win, 0) AS BIGINT) AS sumsq_prior
+        |      FROM v WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, n_prior, q, sum_prior, sumsq_prior,
+        |       n_prior >= 8 AND
+        |         (n_prior*q - sum_prior)*(n_prior*q - sum_prior)*1000000
+        |           > 3000*3000*(n_prior*(n_prior*sumsq_prior - sum_prior*sum_prior))
+        |         AS is_anomaly
+        |FROM w""".stripMargin,
 
     "w8_ewma" ->
       """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -448,6 +448,21 @@ object StreamingQueries {
       out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
     }),
 
+    // w10's live twin: spike alerts on a metric stream — ring buffer
+    // of the last 16 quantized ticks per key; every tick judged
+    // against the buffer before joining it, emitted exactly once, so
+    // the sink table IS the batch frame (oracle verbatim)
+    "w10s_anomaly_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"),
+        expr("CAST(CAST(value AS DOUBLE) AS LONG)").as("q"))
+      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 4) {
+        case Seq(e) =>
+          StreamingState.rollingAnomalyStream(e, "user_id", "ts", "q", "event_id")
+      }
+      out
+    }),
+
     // a22's live twin: the lateness audit in its natural habitat —
     // the running event-time high-water mark per key advances as the
     // (deterministically perturbed) arrival stream plays; 5 longs/key
@@ -1038,6 +1053,10 @@ object StreamingQueries {
     // the final per-key high-water-mark masses equal the batch audit —
     // oracle verbatim
     "a22s_lateness_stream" -> RelationalQueries.oracles("a22_lateness_audit"),
+
+    // every tick judged once against its prior window — the emitted
+    // stream IS the batch anomaly frame, oracle verbatim
+    "w10s_anomaly_stream" -> RelationalQueries.oracles("w10_rolling_anomaly"),
 
     // the emitted pair stream is the batch lag() pair set — oracle
     // verbatim

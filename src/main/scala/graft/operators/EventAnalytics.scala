@@ -359,6 +359,65 @@ object EventAnalytics {
         sum(col("_r") * col("_r")).as("rv_q"))
   }
 
+  /** Rolling z-score anomaly flags: each tick is compared against the
+    * mean/variance of the `window` ticks BEFORE it (the prior window —
+    * the tick never judges itself), flagged when
+    * `z² > (kMilli/1000)²`, i.e. exactly when
+    * `(n·x − S)²·10⁶ > kMilli²·(n·(n·Q − S²))` on the quantized
+    * integer grid (S = Σq, Q = Σq² over the prior window) — the spike
+    * detector the tick family (TWAP/OHLC/drawdown/EWMA/realized-var)
+    * was missing, engine-portable because no division or float ever
+    * happens. Ticks with fewer than `minPrior` predecessors never
+    * flag; a zero-variance prior window flags ANY deviation (infinite
+    * z — the constant-metric-just-jumped case, usually the one that
+    * matters). Emits per tick (key, order…, n_prior, q, sum_prior,
+    * sumsq_prior, is_anomaly); the masses are gated, z derives at
+    * read time.
+    *
+    * Overflow envelope (ANSI: exact-or-fail, never a silent wrap):
+    * keep |q| ≲ 2²¹/window for kMilli ≤ ~4000 — at the default
+    * scaleBits = 0 any metric under ~10⁵ units is safe.
+    *
+    * Shape: one keyed exchange + per-key sort; both running masses and
+    * the flag ride the SAME bounded ROWS window — no second shuffle,
+    * state bounded by `window` longs per key however long the stream.
+    */
+  def rollingAnomaly(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      window: Int = 16,
+      kMilli: Long = 3000L,
+      minPrior: Int = 8,
+      scaleBits: Int = 0,
+      orderCols: Seq[String] = Nil): DataFrame = {
+    require(window >= 2 && window <= 64, "rollingAnomaly: window in [2, 64]")
+    require(minPrior >= 2 && minPrior <= window,
+      "rollingAnomaly: minPrior in [2, window]")
+    require(kMilli >= 0 && kMilli <= 1000000L,
+      "rollingAnomaly: kMilli in [0, 1e6]")
+    require(scaleBits >= 0 && scaleBits <= 20, "scaleBits in [0, 20]")
+    val scale = (1L << scaleBits).toDouble
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((col(tsCol) +: orderCols.map(col)): _*)
+      .rowsBetween(-window, -1)
+    val n = col("n_prior")
+    val dev = n * col("q") - col("sum_prior")
+    events
+      .withColumn("q", expr(s"CAST(CAST($valCol AS DOUBLE) * ${scale}D AS LONG)"))
+      .withColumn("n_prior", count(col("q")).over(w))
+      .withColumn("sum_prior", coalesce(sum(col("q")).over(w), lit(0L)))
+      .withColumn("sumsq_prior", coalesce(sum(col("q") * col("q")).over(w), lit(0L)))
+      .withColumn("is_anomaly",
+        n >= minPrior &&
+          dev * dev * lit(1000000L) >
+            lit(kMilli * kMilli) *
+              (n * (n * col("sumsq_prior") - col("sum_prior") * col("sum_prior"))))
+      .select((col(keyCol) +: orderCols.map(col)) ++ Seq(col("n_prior"),
+        col("q"), col("sum_prior"), col("sumsq_prior"), col("is_anomaly")): _*)
+  }
+
   /** Event-time lateness audit: in ARRIVAL order (`arrivalCol`), how
     * far each event's timestamp falls behind the running event-time
     * high-water mark — the empirical distribution a Structured

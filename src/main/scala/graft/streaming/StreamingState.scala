@@ -1336,6 +1336,81 @@ object StreamingState {
       }
   }
 
+  /** w10's streaming twin: LIVE rolling z-score anomaly flags — the
+    * spike alert wired to a metric stream. State per key is a ring
+    * buffer of the last `window` quantized ticks plus a seen counter
+    * (window+1 longs, constant in stream length); each arriving tick
+    * is judged against the buffer BEFORE it joins it (the batch
+    * prior-window frame), with the same integer cross-multiplied
+    * verdict — every tick emits exactly once, so the sink table IS
+    * the batch [[graft.operators.EventAnalytics.rollingAnomaly]]
+    * frame and the oracle applies verbatim.
+    *
+    * Cross-batch contract as [[drawdownStream]]: per-key arrival
+    * (ts, order)-ascending across batches, ticks sorted within each.
+    */
+  def rollingAnomalyStream(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      qCol: String,
+      orderCol: String,
+      window: Int = 16,
+      kMilli: Long = 3000L,
+      minPrior: Int = 8): DataFrame = {
+    require(window >= 2 && window <= 64, "rollingAnomalyStream: window in [2, 64]")
+    require(minPrior >= 2 && minPrior <= window,
+      "rollingAnomalyStream: minPrior in [2, window]")
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val qIdx = schema.fieldIndex(qCol)
+    val ordIdx = schema.fieldIndex(orderCol)
+    Seq(qCol -> qIdx, orderCol -> ordIdx).foreach { case (c, i) =>
+      require(schema(i).dataType == LongType,
+        s"rollingAnomalyStream column '$c' must be BIGINT, " +
+          s"got ${schema(i).dataType.simpleString}")
+    }
+    implicit val rowEnc = Encoders.row(StructType(Seq(
+      StructField(keyCol, schema(keyIdx).dataType),
+      StructField(orderCol, LongType, nullable = false),
+      StructField("n_prior", LongType, nullable = false),
+      StructField("q", LongType, nullable = false),
+      StructField("sum_prior", LongType, nullable = false),
+      StructField("sumsq_prior", LongType, nullable = false),
+      StructField("is_anomaly", org.apache.spark.sql.types.BooleanType,
+        nullable = false))))
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.kryo[Array[Long]]
+    val micros: Row => Long = rowMicrosOf(tsIdx)
+    requireLongKey(schema, keyCol)
+    df.groupByKey((r: Row) => r.getLong(keyIdx))
+      .flatMapGroupsWithState[Array[Long], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Row], state: GroupState[Array[Long]]) =>
+          // state: seen counter + `window` ring slots
+          val st = state.getOption.getOrElse(new Array[Long](window + 1))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          rows.map(r => (micros(r), r.getLong(ordIdx), r.getLong(qIdx)))
+            .toArray.sorted
+            .foreach { case (_, ord, q) =>
+              val seen = st(0)
+              val nPrior = math.min(seen, window.toLong)
+              var s = 0L; var qq = 0L; var i = 0
+              while (i < nPrior) { val v = st(1 + i); s += v; qq += v * v; i += 1 }
+              val dev = nPrior * q - s
+              val anom = nPrior >= minPrior &&
+                dev * dev * 1000000L >
+                  kMilli * kMilli * (nPrior * (nPrior * qq - s * s))
+              out += Row(key, ord, nPrior, q, s, qq, anom)
+              st(1 + (seen % window).toInt) = q
+              st(0) = seen + 1
+            }
+          if (out.isEmpty) Iterator.empty
+          else { state.update(st); out.iterator }
+      }
+  }
+
   /** a22's streaming twin: the LIVE event-time lateness monitor — the
     * form the audit naturally wants, since arrival order IS the
     * stream. State per key is FIVE longs (running event-time

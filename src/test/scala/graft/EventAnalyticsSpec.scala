@@ -245,4 +245,34 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("twap") === 20.0)
     assert(r.getAs[Long]("span_us") === 2000000L)
   }
+
+  test("rollingAnomaly: spike flags, minPrior gate, zero-variance flags any deviation") {
+    // 4 steady ticks at 10, then a spike to 100, then another 10
+    val ev = (1 to 4).map(i =>
+      (1L, ts(f"2024-01-01 00:00:0${i - 1}"), 10.0, i.toLong)) ++ Seq(
+      (1L, ts("2024-01-01 00:00:04"), 100.0, 5L),
+      (1L, ts("2024-01-01 00:00:05"), 10.0, 6L))
+    val out = EventAnalytics.rollingAnomaly(ev.toDF("user_id", "ts", "value", "event_id"),
+      "user_id", "ts", "value", window = 4, kMilli = 3000L, minPrior = 3,
+      orderCols = Seq("event_id"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    // ticks 1-3 have fewer than minPrior=3 predecessors: never flag
+    assert(out(1L) === ((0L, 10L, 0L, 0L, false)))
+    assert(out(3L) === ((2L, 10L, 20L, 200L, false)))
+    // tick 4: prior = {10,10,10}, zero variance, x == mean -> clean
+    assert(out(4L) === ((3L, 10L, 30L, 300L, false)))
+    // tick 5: prior = {10,10,10,10}, zero variance, x deviates -> the
+    // constant-metric-just-jumped case flags (infinite z)
+    assert(out(5L) === ((4L, 100L, 40L, 400L, true)))
+    // tick 6: prior = {10,10,10,100} — the spike inflated σ (σ² =
+    // 24300/16 ≈ 1519, z ≈ 0.58): returning to 10 is NOT an anomaly;
+    // exact check (4·10−130)²·10⁶ = 8.1e9 vs 9e6·4·24300 = 8.75e11
+    assert(out(6L) === ((4L, 10L, 130L, 10300L, false)))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.rollingAnomaly(ev.toDF("user_id", "ts", "value", "event_id"),
+        "user_id", "ts", "value", window = 4, minPrior = 5)
+    }
+  }
 }

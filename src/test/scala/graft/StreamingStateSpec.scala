@@ -235,6 +235,46 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("rollingAnomalyStream: ring buffer carries across batches, spike flags once") {
+    val ws = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("q", LongType), StructField("event_id", LongType)))
+    def wr(s: String, q: Long, id: Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](1L, java.sql.Timestamp.valueOf(s), q, id), ws)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(ws), sqlCtx)
+    val out = StreamingState.rollingAnomalyStream(
+      stream.toDF(), "user_id", "ts", "q", "event_id",
+      window = 4, kMilli = 3000L, minPrior = 3)
+    val name = s"anom_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("anom-ckpt").toString)
+      .start()
+    try {
+      stream.addData(
+        wr("2024-01-01 00:00:00", 10L, 1),
+        wr("2024-01-01 00:00:01", 10L, 2),
+        wr("2024-01-01 00:00:02", 10L, 3))
+      q.processAllAvailable()
+      // the spike arrives in a LATER batch — judged against the ring
+      // carried from batch 1 (zero-variance prior -> flags)
+      stream.addData(
+        wr("2024-01-01 00:00:03", 100L, 4),
+        wr("2024-01-01 00:00:04", 10L, 5))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getBoolean(6)))).toMap
+      assert(rows(1L) === ((0L, false)) && rows(3L) === ((2L, false)))
+      assert(rows(4L) === ((3L, true)))  // spike vs carried {10,10,10}
+      // tick 5's prior {10,10,10,100}: inflated sigma, no flag — and
+      // every tick emitted exactly once
+      assert(rows(5L) === ((4L, false)))
+      assert(spark.table(name).count() === 5L)
+    } finally q.stop()
+  }
+
   test("latenessStream: frontier carries across batches, first arrival never late") {
     val ws = StructType(Seq(
       StructField("event_type", StringType), StructField("ts", TimestampType),
