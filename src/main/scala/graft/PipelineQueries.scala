@@ -1090,6 +1090,17 @@ object PipelineQueries {
       graft.pipeline.GraphOps.triangleCount(edges)
     }),
 
+    // ---- bounded k-core peeling: 3 rounds of drop-degree-<3 over the
+    // transition graph — the density skeleton degree alone cannot see
+    // (star centers die when their leaves go); survivors carry their
+    // subgraph degree
+    "g6_kcore" -> ((s, dir) => {
+      val edges = graft.pipeline.GraphOps.transitionEdges(
+        t(s, dir, "events"), "user_id",
+        get_json_object(col("props"), "$.k"), "ts", tieCols = Seq("event_id"))
+      graft.pipeline.GraphOps.kCore(edges, k = 3, rounds = 3)
+    }),
+
     "c5_cluster_purity" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Clustering.clusterLabelPurity(
@@ -2014,6 +2025,27 @@ object PipelineQueries {
         |  UNION ALL SELECT y FROM t
         |  UNION ALL SELECT z FROM t)
         |GROUP BY 1""".stripMargin,
+
+    "g6_kcore" -> {
+      // peel rounds unrolled into CTE stages — the same bounded
+      // deterministic iteration the Spark loop runs
+      val peels = (1 to 3).map { i =>
+        s"""k$i AS (SELECT src FROM d${i - 1} GROUP BY src HAVING count(*) >= 3),
+           |d$i AS (SELECT d.src, d.dst FROM d${i - 1} d
+           |        JOIN k$i a ON d.src = a.src
+           |        JOIN k$i b ON d.dst = b.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         |              CAST(props->>'$$.k' AS BIGINT) AS k FROM events),
+         |p AS (SELECT k AS dst, lag(k) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id) AS src FROM ev),
+         |e AS (SELECT src, dst FROM p WHERE src IS NOT NULL AND src <> dst),
+         |d0 AS (SELECT DISTINCT src, dst FROM (
+         |         SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
+         |$peels
+         |SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+         |FROM d3 GROUP BY src""".stripMargin
+    },
 
     "d1_dedup_exact" ->
       "SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",

@@ -406,9 +406,13 @@ object EventAnalytics {
     val dev = n * col("q") - col("sum_prior")
     events
       .withColumn("q", expr(s"CAST(CAST($valCol AS DOUBLE) * ${scale}D AS LONG)"))
+      // pre-derive q² so all three running masses land in ONE Window
+      // operator (deriving it between withColumns splits Catalyst's
+      // window grouping into two nodes — same exchange, noisier plan)
+      .withColumn("_qq", col("q") * col("q"))
       .withColumn("n_prior", count(col("q")).over(w))
       .withColumn("sum_prior", coalesce(sum(col("q")).over(w), lit(0L)))
-      .withColumn("sumsq_prior", coalesce(sum(col("q") * col("q")).over(w), lit(0L)))
+      .withColumn("sumsq_prior", coalesce(sum(col("_qq")).over(w), lit(0L)))
       .withColumn("is_anomaly",
         n >= minPrior &&
           dev * dev * lit(1000000L) >

@@ -130,6 +130,55 @@ object GraphOps {
     lbl
   }
 
+  /** Bounded k-core peeling: iteratively drop nodes whose UNDIRECTED
+    * simple-graph degree is below `k`, `rounds` times — the density
+    * skeleton that isolates mutually-reinforcing neighborhoods
+    * (bot/spam rings, tightly-coupled near-dup families) where degree
+    * alone over-counts chains and stars: a star center has huge degree
+    * but dies in one peel once its leaves (degree 1) go. Returns the
+    * surviving (id, degree) with degree measured in the surviving
+    * subgraph. `rounds` bounds the iteration deterministically (an
+    * oracle replays it exactly); a true fixpoint needs at most |V|
+    * rounds, and in practice the peel converges in a handful — pass
+    * `rounds` generously and check the tail (a round that removes
+    * nothing is free: the semi-joins pass everything through).
+    *
+    * Scale shape (the g1/g4 discipline): parallel edges collapse once
+    * up front; each round is one partial-agg'd degree exchange + two
+    * semi-joins on node ids — edge rows shuffle by endpoint, nothing
+    * ever leaves the cluster; `checkpointEvery` truncates the growing
+    * join lineage on long peels.
+    */
+  def kCore(
+      edges: DataFrame,
+      k: Int,
+      rounds: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      checkpointEvery: Int = 0): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    require(rounds >= 1, "kCore: rounds must be >= 1")
+    val dir = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    var und = dir
+      .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    for (i <- 1 to rounds) {
+      val keep = und.groupBy("src").agg(count(lit(1)).as("_deg"))
+        .filter(col("_deg") >= k).select("src")
+      val next = und
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+      und =
+        if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < rounds)
+          next.localCheckpoint(true)
+        else next
+    }
+    und.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Personalized (topic-sensitive) PageRank: teleport and dangling
     * mass return to the SEED set (uniformly) instead of all nodes —
     * rank concentrates around the seeds, the "score everything by

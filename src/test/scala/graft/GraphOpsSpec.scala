@@ -167,4 +167,36 @@ class GraphOpsSpec extends AnyFunSuite {
     // user 10: 1→2, 2→1, 1→2 ; user 20 contributes nothing (single event)
     assert(e == Map((1L, 2L) -> 2.0, (2L, 1L) -> 1.0))
   }
+
+  test("kCore: pendants peel off a clique, chains cascade to nothing, idle rounds are free") {
+    import spark.implicits._
+    // K4 on 1..4 plus a pendant 5-1
+    val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong))
+    val g = (k4 :+ (5L, 1L)).toDF("src", "dst")
+    val core = GraphOps.kCore(g, k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the pendant (degree 1) dies in round 1; the K4 core survives
+    // with its in-subgraph degree 3 — node 1's raw degree 4 is the
+    // over-count k-core exists to correct
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // extra rounds that remove nothing change nothing
+    val more = GraphOps.kCore(g, k = 3, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more === core)
+    // a chain has no 2-core: the ends peel first, the cascade empties
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    assert(GraphOps.kCore(chain, k = 2, rounds = 3).count() === 0L)
+    // bounded rounds stop mid-cascade: after ONE round only the chain
+    // ends are gone (deterministic replay is the oracle contract)
+    val one = GraphOps.kCore(chain, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+    // duplicate / reversed / self-loop edges collapse before peeling
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L)).toDF("src", "dst")
+    assert(GraphOps.kCore(messy, k = 1, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 1L, 2L -> 1L))
+    intercept[IllegalArgumentException] { GraphOps.kCore(g, k = 0, rounds = 1) }
+    intercept[IllegalArgumentException] { GraphOps.kCore(g, k = 1, rounds = 0) }
+  }
 }

@@ -1003,6 +1003,13 @@ class PlanAuditSpec extends AnyFunSuite {
       ev, "user_id", "ts", "value", orderCols = Seq("event_id")))
     assert("Exchange hashpartitioning".r.findAllIn(p8).size === 1, p8.take(3000))
     assert(!p8.contains("Exchange SinglePartition"), p8.take(3000))
+    // w10: running masses and the anomaly verdict share ONE bounded
+    // ROWS window — no second exchange, no unbounded frame
+    val p10 = plan(graft.operators.EventAnalytics.rollingAnomaly(
+      ev, "user_id", "ts", "value", orderCols = Seq("event_id")))
+    assert("Exchange hashpartitioning".r.findAllIn(p10).size === 1, p10.take(3000))
+    assert("Window \\[".r.findAllIn(p10).size === 1, p10.take(3000))
+    assert(!p10.contains("Exchange SinglePartition"), p10.take(3000))
   }
 
   test("w9 realized variance: the rollup reuses the lag window's exchange") {
