@@ -195,6 +195,19 @@ object PipelineQueries {
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, tMilli = 500, maxDf = 100)),
 
+    // ---- winnowing (MOSS) fingerprint pairs: positional copied-
+    // passage detection over the tx4 fingerprint kernel — any shared
+    // verbatim run of >= k+w-1 = 27 chars is GUARANTEED to share a
+    // fingerprint (the set-overlap families d2/d3/d18 dilute as the
+    // host doc grows; this one cannot miss a long-enough quote).
+    // k=20/w=8 chosen by the measured selectivity ladder on this
+    // small-vocab corpus: (8,4) matches 77% of ALL pairs (8-char runs
+    // repeat corpus-wide — output-quadratic noise), (20,8) leaves the
+    // 145 genuinely-copied-passage pairs
+    "d19_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 20, w = 8, minShared = 2, maxDf = 100)),
+
     // ---- MinHash + LSH banding (shingle→minhash→band→bucket-join)
     "d3_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -1168,6 +1181,40 @@ object PipelineQueries {
         .unionByName(Curation.dupNgramCoverage(d, "doc_id", "text", 5))
     }),
 
+    // ---- per-source boilerplate-line report: text is deterministically
+    // pre-lined into 8-word blocks (the d14 convention) and each doc
+    // gets its source's synthetic template header prepended (the
+    // corpus is random words — organic 8-word-block repeats are rare,
+    // so the site-template shape the detector exists for is injected,
+    // the tx19/tx20 pattern); report = lines in >= 10% of a source's
+    // docs
+    "tx24_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val words = split(col("text"), " ")
+      val nl = floor((size(words) + lit(7)) / lit(8)).cast("int")
+      val lined = docs.select(col("doc_id"), col("source"),
+        concat(
+          concat(col("source"), lit(" site banner cookie notice nav")),
+          lit("\n"),
+          concat_ws("\n", transform(sequence(lit(0), nl - 1),
+            i => concat_ws(" ", slice(words, i * 8 + 1, lit(8)))))).as("text"))
+      Curation.boilerplateReport(lined, "doc_id", "text", "source",
+        minDf = 2, minShareMilli = 100)
+    }),
+
+    // ---- Heaps-law vocabulary growth: cumulative type count vs token
+    // mass at 10 id-range checkpoints — the "is more data adding
+    // vocabulary?" curve read before training a tokenizer on a bigger
+    // crawl
+    "tx25_vocab_growth" -> ((s, dir) =>
+      Curation.vocabGrowth(t(s, dir, "documents"), "doc_id", "text", 10)),
+
+    // ---- Zipf rank-frequency audit: top-20 tokens with rank·count
+    // products — the corpus-naturalness check (head-heavy = template
+    // spam, flat = shuffled junk)
+    "tx26_zipf" -> ((s, dir) =>
+      Curation.zipfAudit(t(s, dir, "documents"), "text", 20)),
+
     // ---- Unicode NFC normalization audit over a deterministically
     // decomposed copy (combining acute injected after every 'e' — the
     // corpus is ASCII, so the raw audit would be vacuous): changed
@@ -2089,6 +2136,33 @@ object PipelineQueries {
          |       CAST(inter*1000//n1 AS BIGINT) AS c1_milli,
          |       CAST(inter*1000//n2 AS BIGINT) AS c2_milli
          |FROM v WHERE inter*1000 >= 500 * least(n1, n2)""".stripMargin,
+
+    // winnowing replayed via the tx4 declarative fragment (char
+    // 20-gram hashes, window-8 minima, distinct per doc), then the
+    // df-capped inverted fingerprint index and pair counts
+    "d19_winnow_pairs" ->
+      s"""WITH b AS (SELECT doc_id, text, len(text) AS L FROM documents
+         |           WHERE text IS NOT NULL),
+         |kh AS (SELECT doc_id,
+         |         [${phSql("substr(text, i, 20)")} for i in generate_series(1, L-19)] AS kh
+         |       FROM b WHERE L >= 27),
+         |f0 AS (SELECT doc_id,
+         |         list_distinct([list_min(kh[j:j+7]) for j in generate_series(1, len(kh)-7)]) AS fps
+         |       FROM kh),
+         |f AS (SELECT doc_id, unnest(fps) AS fp FROM f0),
+         |nf AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp FROM f0
+         |       WHERE len(fps) >= 1),
+         |rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 100),
+         |fr AS (SELECT doc_id, fp FROM f JOIN rare USING (fp)),
+         |p AS (SELECT a.doc_id AS id1, b2.doc_id AS id2,
+         |             CAST(count(*) AS BIGINT) AS shared_fps
+         |      FROM fr a JOIN fr b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+         |      GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT id1, id2, shared_fps, n1.n_fp AS n_fp1, n2.n_fp AS n_fp2,
+         |       CAST(shared_fps * 1000 // least(n1.n_fp, n2.n_fp) AS BIGINT)
+         |         AS overlap_milli
+         |FROM p JOIN nf n1 ON id1 = n1.doc_id
+         |       JOIN nf n2 ON id2 = n2.doc_id""".stripMargin,
 
     "d3_minhash_lsh" ->
       s"""WITH $shingleCtes,
@@ -3437,6 +3511,69 @@ object PipelineQueries {
          |${per(5)}
          |SELECT * FROM out3 UNION ALL SELECT * FROM out5""".stripMargin
     },
+
+    // injection + 8-word pre-lining replayed; grouping by the same
+    // line hash as the engine (min(line) carry is collision-identical)
+    "tx24_boilerplate" ->
+      s"""WITH docs AS (SELECT doc_id, source, string_split(text,' ') AS w
+         |              FROM documents WHERE text IS NOT NULL),
+         |lines AS (
+         |  SELECT doc_id, source,
+         |         source || ' site banner cookie notice nav' AS line FROM docs
+         |  UNION ALL
+         |  SELECT doc_id, source, array_to_string(w[(i-1)*8+1:(i-1)*8+8], ' ') AS line
+         |  FROM docs, LATERAL unnest(generate_series(1, (len(w)+7)//8)) AS t(i)),
+         |lh AS (SELECT doc_id, source, line, ${phSql("line")} AS lh FROM lines),
+         |nd AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |       FROM docs GROUP BY 1),
+         |g AS (SELECT source, lh, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |             min(line) AS line
+         |      FROM lh GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT g.source, g.line, g.df, nd.n_docs,
+         |       CAST(g.df * 1000 // nd.n_docs AS BIGINT) AS df_milli
+         |FROM g JOIN nd USING (source)
+         |WHERE g.df * 1000 // nd.n_docs >= 100""".stripMargin,
+
+    // Heaps-law growth: checkpoint = id-range decile; first-bucket per
+    // type, token mass per bucket, cumulative over the 10 metadata rows
+    "tx25_vocab_growth" ->
+      """WITH mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM documents),
+        |tok AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |               unnest(string_split(text,' ')) AS t
+        |        FROM documents WHERE text IS NOT NULL),
+        |wb AS (SELECT id * 10 // (mx + 1) + 1 AS b, t FROM tok, mx),
+        |fb AS (SELECT t, min(b) AS fb FROM wb GROUP BY t),
+        |nt AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS new_types
+        |       FROM fb GROUP BY 1),
+        |tm AS (SELECT b AS bucket, CAST(count(*) AS BIGINT) AS bucket_tokens
+        |       FROM wb GROUP BY 1),
+        |j AS (SELECT coalesce(nt.bucket, tm.bucket) AS bucket,
+        |             coalesce(new_types, 0) AS new_types,
+        |             coalesce(bucket_tokens, 0) AS bucket_tokens
+        |      FROM nt FULL JOIN tm ON nt.bucket = tm.bucket)
+        |SELECT bucket, new_types, bucket_tokens,
+        |       CAST(sum(new_types) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size,
+        |       CAST(sum(bucket_tokens) OVER (ORDER BY bucket) AS BIGINT) AS tokens_seen,
+        |       CAST((sum(new_types) OVER (ORDER BY bucket)) * 1000 //
+        |            greatest(sum(bucket_tokens) OVER (ORDER BY bucket), 1) AS BIGINT)
+        |         AS types_per_kilotoken
+        |FROM j""".stripMargin,
+
+    // Zipf audit: global token counts, top-20 by (cnt desc, token asc),
+    // rank x count products against the rank-1 mass
+    "tx26_zipf" ->
+      """WITH tok AS (SELECT unnest(string_split(text,' ')) AS token
+        |             FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+        |top AS (SELECT * FROM c ORDER BY cnt DESC, token ASC LIMIT 20),
+        |m AS (SELECT max(cnt) AS c1 FROM c),
+        |r AS (SELECT token, cnt,
+        |             CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT)
+        |               AS rank
+        |      FROM top)
+        |SELECT rank, token, cnt, rank * cnt AS rank_cnt,
+        |       CAST(rank * cnt * 1000 // c1 AS BIGINT) AS zipf_milli
+        |FROM r, m""".stripMargin,
 
     "tx19_nfc_audit" ->
       """WITH inj AS (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS t

@@ -536,6 +536,18 @@ object RelationalQueries {
       EventAnalytics.rollingAnomaly(t(s, dir, "events"), "user_id", "ts",
         "value", orderCols = Seq("event_id"))),
 
+    // ---- two-sided CUSUM drift detection: the sequential mean-shift
+    // detector (fires on SUSTAINED drift no single tick reveals — the
+    // complement of w10's per-tick spikes); clamped recursions
+    // computed closed-form on running windows, exact long arithmetic.
+    // ref=50 ≈ corpus mean, slack=10 (~0.2σ), h=300 picked from the
+    // measured alarm ladder (71 of 150 keys alarm — a discriminating
+    // split, not all-or-nothing)
+    "w11_cusum" -> ((s, dir) =>
+      EventAnalytics.cusum(t(s, dir, "events"), "user_id", "ts", "value",
+        refValue = 50.0, slack = 10.0, threshold = 300.0,
+        orderCols = Seq("event_id"))),
+
     // ---- α=1/2 EWMA over the last 16 ticks per key, exact integer
     // shift weights (numerator a shifted long sum, denominator
     // 2^16 − 2^(16−m)) — no float recursion, no drift, bit-equal in
@@ -981,6 +993,31 @@ object RelationalQueries {
         |           > 3000*3000*(n_prior*(n_prior*sumsq_prior - sum_prior*sum_prior))
         |         AS is_anomaly
         |FROM w""".stripMargin,
+
+    // CUSUM replayed closed-form: S = C − min(0, running-min C) per
+    // side; refQ+slackQ = (50+10)·1024, hQ = 300·1024
+    "w11_cusum" ->
+      """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |             CAST(trunc(CAST(value AS DOUBLE)*1024) AS BIGINT) AS q
+        |           FROM events),
+        |c AS (SELECT user_id, ts, event_id,
+        |        sum(q - 61440) OVER w AS cu,
+        |        sum(q - 40960) OVER w AS cd
+        |      FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT user_id, ts,
+        |        CAST(cu - least(min(cu) OVER w2, 0) AS BIGINT) AS su,
+        |        CAST(greatest(max(cd) OVER w2, 0) - cd AS BIGINT) AS sd
+        |      FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(max(su) AS BIGINT) AS max_up_q,
+        |       CAST(max(sd) AS BIGINT) AS max_dn_q,
+        |       CAST(sum(CASE WHEN su >= 307200 OR sd >= 307200 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_alarms,
+        |       min(CASE WHEN su >= 307200 OR sd >= 307200
+        |           THEN epoch_us(ts) END) AS first_alarm_us
+        |FROM s GROUP BY 1""".stripMargin,
 
     "w8_ewma" ->
       """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -448,6 +448,23 @@ object StreamingQueries {
       out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
     }),
 
+    // w11's live twin: the CUSUM drift monitor reading while ticks
+    // stream in — 9 longs of state per key; final emission == the
+    // batch report (shared quantization + integer thresholds)
+    "w11s_cusum_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"),
+        expr("CAST(CAST(value AS DOUBLE) * 1024D AS LONG)").as("q"))
+      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 4) {
+        case Seq(e) =>
+          StreamingState.cusumStream(e, "user_id", "ts", "q", "event_id",
+            refQ = 50L * 1024, slackQ = 10L * 1024, hQ = 300L * 1024)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n").desc)
+      out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    }),
+
     // w10's live twin: spike alerts on a metric stream — ring buffer
     // of the last 16 quantized ticks per key; every tick judged
     // against the buffer before joining it, emitted exactly once, so
@@ -1045,6 +1062,7 @@ object StreamingQueries {
     "w4s_twap_stream" -> RelationalQueries.oracles("w4_twap"),
 
     "w7s_drawdown_stream" -> RelationalQueries.oracles("w7_drawdown"),
+    "w11s_cusum_stream" -> RelationalQueries.oracles("w11_cusum"),
 
     // the max-n emission per (user, day bucket) is that bucket's final
     // realized-variance mass row — oracle verbatim

@@ -273,6 +273,60 @@ object EventAnalytics {
         max(col("_peak") - col("_cum")).as("max_dd_q"))
   }
 
+  /** Two-sided CUSUM change detection per key (Page 1954): the
+    * sequential drift detector that fires on a SUSTAINED shift of the
+    * mean long before any single tick looks anomalous (the complement
+    * of w10's per-tick z-score spikes). Upper side accumulates
+    * `S_i = max(0, S_{i−1} + (x_i − ref − slack))`, lower side the
+    * mirror; an alarm is any tick where either side reaches
+    * `threshold`. The clamped recursions are computed CLOSED-FORM on
+    * the running windows — `S_i = C_i − min(0, min_{j≤i} C_j)` for
+    * the cumulative sum C of the drift-adjusted deltas — so the whole
+    * operator is the w7 drawdown shape: one keyed exchange, one
+    * per-key sort, stacked running windows, exact long arithmetic on
+    * the trunc(v·2^bits) grid.
+    *
+    * Returns one row per key: (key, n, max_up_q, max_dn_q, n_alarms,
+    * first_alarm_us) — n_alarms counts ALARMED TICKS (no reset after
+    * an alarm: the audit reports how long the shift persisted);
+    * first_alarm_us is epoch-µs of the earliest alarm, null if the
+    * key never alarmed.
+    */
+  def cusum(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      refValue: Double,
+      slack: Double,
+      threshold: Double,
+      scaleBits: Int = 10,
+      orderCols: Seq[String] = Nil): DataFrame = {
+    require(scaleBits >= 0 && scaleBits <= 40, "scaleBits in [0, 40]")
+    require(slack >= 0, "cusum: slack must be >= 0")
+    require(threshold > 0, "cusum: threshold must be > 0")
+    val scale = (1L << scaleBits).toDouble
+    val refQ = (refValue * scale).toLong
+    val slackQ = (slack * scale).toLong
+    val hQ = (threshold * scale).toLong
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((col(tsCol) +: orderCols.map(col)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("_q", expr(s"CAST(CAST($valCol AS DOUBLE) * ${scale}D AS LONG)"))
+      .withColumn("_cu", sum(col("_q") - lit(refQ + slackQ)).over(w))
+      .withColumn("_cd", sum(col("_q") - lit(refQ - slackQ)).over(w))
+      .withColumn("_su", col("_cu") - least(min(col("_cu")).over(w), lit(0L)))
+      .withColumn("_sd", greatest(max(col("_cd")).over(w), lit(0L)) - col("_cd"))
+      .withColumn("_al", col("_su") >= hQ || col("_sd") >= hQ)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("_su")).as("max_up_q"),
+        max(col("_sd")).as("max_dn_q"),
+        sum(when(col("_al"), 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("_al"), unix_micros(col(tsCol)))).as("first_alarm_us"))
+  }
+
   /** Exponentially-weighted moving average with α = 1/2 over the last
     * `window` ticks per key, in EXACT integer arithmetic: tick j-back
     * carries weight 2^(window−1−j), so the numerator is a shifted

@@ -2259,4 +2259,137 @@ object Curation {
         col("weight_pm"), col("target_tokens"), col("milli_epochs"),
         col("cap_bound"), col("planned_tokens"), col("deficit_tokens"))
   }
+
+  /** Per-source boilerplate-line report: lines (newline-separated —
+    * callers pre-line flat text, the d14 convention) that repeat
+    * across at least `minDf` DISTINCT documents of the SAME source
+    * and cover at least `minShareMilli`/1000 of that source's docs.
+    * This is the site-template detector (headers, footers, cookie
+    * banners) of the C4/RefinedWeb extraction stage: boilerplate is
+    * source-scoped — the same nav bar on every page of one site —
+    * which the global line dedup ([[lineDedup]], d14) cannot rank,
+    * because it has no notion of "share of this site's pages".
+    *
+    * Returns (source, line, df, n_docs, df_milli) — one row per
+    * (source, boilerplate line), `df_milli = df·1000 div n_docs`.
+    *
+    * Scale shape: lines shuffle as (source, polyHash(line)) with
+    * map-side partial aggregation; the line string itself rides as a
+    * `min` carry (hash collisions are deterministic and
+    * astronomically rare vs the line universe — the shingleIndex
+    * argument — and the oracle groups by the same hash). The source
+    * doc counts are a metadata-sized frame; output is bounded by the
+    * df filter, never corpus-sized.
+    */
+  def boilerplateReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      minDf: Int = 2,
+      minShareMilli: Int = 0): DataFrame = {
+    require(minDf >= 2, "boilerplateReport: minDf must be >= 2")
+    require(minShareMilli >= 0 && minShareMilli <= 1000,
+      "boilerplateReport: minShareMilli in [0, 1000]")
+    val lines = df.filter(col(textCol).isNotNull)
+      .select(col(sourceCol), col(idCol),
+        explode(split(col(textCol), "\n")).as("_line"))
+      .withColumn("_lh", TextFunctions.polyHash(col("_line")))
+    val srcDocs = df.filter(col(textCol).isNotNull)
+      .groupBy(col(sourceCol))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    lines
+      .groupBy(col(sourceCol), col("_lh"))
+      .agg(countDistinct(col(idCol)).as("df"), min(col("_line")).as("line"))
+      .filter(col("df") >= minDf)
+      .join(srcDocs, Seq(sourceCol))
+      .withColumn("df_milli", expr("df * 1000 div n_docs"))
+      .filter(col("df_milli") >= minShareMilli)
+      .select(col(sourceCol), col("line"), col("df"), col("n_docs"),
+        col("df_milli"))
+  }
+
+  /** Heaps-law vocabulary-growth audit: cumulative distinct-token
+    * (type) count and cumulative token mass at `buckets` checkpoints
+    * over the id RANGE `[0, max(id)]` (checkpoint b covers ids with
+    * `id·buckets div (max_id+1) + 1 <= b` — exact doc deciles for
+    * dense ids, well-defined id-range slices otherwise). The curve is
+    * the "is more data still adding vocabulary?" verdict: natural
+    * corpora grow types ~ tokens^β (β≈0.5); a flat tail means the new
+    * data is re-treading the same vocabulary (template spam, crawl
+    * loops), a linear tail means unbounded junk tokens (serial
+    * numbers, mojibake) — both worth knowing before paying to train
+    * a tokenizer on the larger corpus.
+    *
+    * Returns (bucket, new_types, bucket_tokens, vocab_size,
+    * tokens_seen, types_per_kilotoken) — `buckets` metadata rows.
+    *
+    * Scale shape: one token-keyed partial-agg'd exchange computes
+    * each type's FIRST bucket (min over an integer derived per row);
+    * token mass per bucket map-side combines to `buckets` rows. The
+    * cumulative window runs over ≤ `buckets` metadata rows; the max-id
+    * bound rides as a 1-row broadcast frame. Text never shuffles.
+    */
+  def vocabGrowth(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, "vocabGrowth: buckets in [2, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val bound = df.agg(max(col(idCol)).cast("long").as("_mx")) // 1 row
+    val tok = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("_t"))
+      .crossJoin(broadcast(bound))
+      .withColumn("_b", expr(s"_id * $buckets div (_mx + 1) + 1"))
+    val newTypes = tok.groupBy(col("_t")).agg(min(col("_b")).as("_fb"))
+      .groupBy(col("_fb").as("bucket")).agg(count(lit(1)).as("new_types"))
+    val mass = tok.groupBy(col("_b").as("bucket"))
+      .agg(count(lit(1)).as("bucket_tokens"))
+    val w = Window.orderBy(col("bucket")) // <= `buckets` metadata rows
+    newTypes.join(mass, Seq("bucket"), "full_outer")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("bucket_tokens", coalesce(col("bucket_tokens"), lit(0L)))
+      .withColumn("vocab_size", sum(col("new_types")).over(w))
+      .withColumn("tokens_seen", sum(col("bucket_tokens")).over(w))
+      .withColumn("types_per_kilotoken",
+        expr("vocab_size * 1000 div greatest(tokens_seen, 1)"))
+  }
+
+  /** Zipf rank-frequency audit over the global token distribution:
+    * the top-`topK` tokens by count with their rank, the rank·count
+    * product (constant under ideal Zipf), and `zipf_milli =
+    * rank·count·1000 div count₁` (≈1000 at every rank under ideal
+    * Zipf, collapsing toward 0 when the head is heavier — template
+    * spam — and exceeding 1000 when the distribution is flatter than
+    * natural language — shuffled/synthetic junk). The corpus
+    * naturalness check run before trusting token statistics.
+    *
+    * Returns (rank, token, cnt, rank_cnt, zipf_milli), `topK` rows.
+    *
+    * Scale shape: one token-keyed partial-agg'd exchange to the
+    * vocab-sized count frame; the top-K is `TakeOrderedAndProject`
+    * (per-partition heaps, no global sort) and the rank window runs
+    * over the K collected rows. The rank-1 mass rides as a 1-row
+    * broadcast frame.
+    */
+  def zipfAudit(df: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1 && topK <= 10000, "zipfAudit: topK in [1, 10000]")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(textCol).isNotNull)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(topK)
+    val c1 = counts.agg(max(col("cnt")).as("_c1")) // 1 row
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token").asc))
+          .cast("long")) // window over the K collected rows only
+      .crossJoin(broadcast(c1))
+      .withColumn("rank_cnt", expr("rank * cnt"))
+      .withColumn("zipf_milli", expr("rank * cnt * 1000 div _c1"))
+      .select(col("rank"), col("token"), col("cnt"), col("rank_cnt"),
+        col("zipf_milli"))
+  }
 }

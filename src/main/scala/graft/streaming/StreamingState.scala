@@ -1336,6 +1336,79 @@ object StreamingState {
       }
   }
 
+  /** w11's streaming twin: the LIVE CUSUM drift monitor — running
+    * (n, cumUp, minCumUp, cumDn, maxCumDn, maxSUp, maxSDn, nAlarms,
+    * firstAlarmUs) longs per key (9 longs, constant in stream
+    * length), applying the same clamped-recursion arithmetic the
+    * batch [[graft.operators.EventAnalytics.cusum]] computes
+    * closed-form on running windows — with an in-order feed the final
+    * emission per key equals the batch row exactly (shared quantized
+    * column, shared integer thresholds).
+    *
+    * Cross-batch contract as [[drawdownStream]]: per-key arrival
+    * (ts, order)-ascending across batches, ticks sorted within each.
+    */
+  def cusumStream(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      qCol: String,
+      orderCol: String,
+      refQ: Long,
+      slackQ: Long,
+      hQ: Long): DataFrame = {
+    require(slackQ >= 0, "cusumStream: slackQ must be >= 0")
+    require(hQ > 0, "cusumStream: hQ must be > 0")
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val qIdx = schema.fieldIndex(qCol)
+    val ordIdx = schema.fieldIndex(orderCol)
+    implicit val rowEnc = Encoders.row(StructType(Seq(
+      StructField(keyCol, schema(keyIdx).dataType),
+      StructField("n", LongType, nullable = false),
+      StructField("max_up_q", LongType, nullable = false),
+      StructField("max_dn_q", LongType, nullable = false),
+      StructField("n_alarms", LongType, nullable = false),
+      StructField("first_alarm_us", LongType, nullable = true))))
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.kryo[Array[Long]]
+    val micros: Row => Long = rowMicrosOf(tsIdx)
+    requireLongKey(schema, keyCol)
+    df.groupByKey((r: Row) => r.getLong(keyIdx))
+      .flatMapGroupsWithState[Array[Long], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Row], state: GroupState[Array[Long]]) =>
+          // n, cu, minCu, cd, maxCd, maxSu, maxSd, nAlarms, firstUs(-1)
+          val st = state.getOption.getOrElse(
+            Array(0L, 0L, Long.MaxValue, 0L, Long.MinValue, 0L, 0L, 0L, -1L))
+          val nBefore = st(0)
+          rows.map(r => (micros(r), r.getLong(ordIdx), r.getLong(qIdx)))
+            .toArray.sorted
+            .foreach { case (us, _, q) =>
+              st(0) += 1
+              st(1) += q - (refQ + slackQ)
+              if (st(1) < st(2)) st(2) = st(1)
+              val su = st(1) - math.min(st(2), 0L)
+              if (su > st(5)) st(5) = su
+              st(3) += q - (refQ - slackQ)
+              if (st(3) > st(4)) st(4) = st(3)
+              val sd = math.max(st(4), 0L) - st(3)
+              if (sd > st(6)) st(6) = sd
+              if (su >= hQ || sd >= hQ) {
+                st(7) += 1
+                if (st(8) < 0) st(8) = us
+              }
+            }
+          if (st(0) == nBefore) Iterator.empty
+          else {
+            state.update(st)
+            Iterator.single(Row(key, st(0), st(5), st(6), st(7),
+              if (st(8) < 0) null else java.lang.Long.valueOf(st(8))))
+          }
+      }
+  }
+
   /** w10's streaming twin: LIVE rolling z-score anomaly flags — the
     * spike alert wired to a metric stream. State per key is a ring
     * buffer of the last `window` quantized ticks plus a seen counter

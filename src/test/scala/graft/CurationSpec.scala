@@ -831,4 +831,69 @@ class CurationSpec extends AnyFunSuite {
       Curation.mixturePlan(docs, "src", "text", 1L, Map("a" -> 1001L))
     }
   }
+
+  test("boilerplateReport: source-scoped template lines, share gate, per-doc dedup") {
+    val docs = Seq(
+      // siteA: 4 docs, header on all 4, a 2-doc line, a 1-doc line
+      (1L, "A", "header nav\nbody one"),
+      (2L, "A", "header nav\nshared para\nbody two"),
+      (3L, "A", "header nav\nshared para"),
+      (4L, "A", "header nav\nheader nav\nonly here"), // repeated IN-doc: df counts docs, not lines
+      // siteB: 2 docs, its own header — same TEXT as a siteA line but
+      // scoped to B
+      (5L, "B", "header nav\nb body"),
+      (6L, "B", "b body")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.boilerplateReport(docs, "doc_id", "text", "source",
+      minDf = 2, minShareMilli = 500)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // A: header df=4/4 (doc 4's duplicate line counted once), shared para 2/4 = 500
+    assert(out(("A", "header nav")) === ((4L, 4L, 1000L)))
+    assert(out(("A", "shared para")) === ((2L, 4L, 500L)))
+    // B: header nav df=1 of 2 -> below minDf; b body 2/2
+    assert(!out.contains(("B", "header nav")))
+    assert(out(("B", "b body")) === ((2L, 2L, 1000L)))
+    assert(out.size === 3, out.toString)
+    intercept[IllegalArgumentException] {
+      Curation.boilerplateReport(docs, "doc_id", "text", "source", minDf = 1)
+    }
+  }
+
+  test("vocabGrowth: first-bucket attribution, cumulative types and mass") {
+    // ids 0..9, 2 buckets -> bucket 1 = ids 0..4, bucket 2 = ids 5..9
+    val docs = (0L to 9L).map { i =>
+      val text = if (i < 5) "alpha beta" else "alpha gamma delta"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = Curation.vocabGrowth(docs, "doc_id", "text", buckets = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // bucket 1: types {alpha, beta} new, 10 tokens
+    assert(out(1L) === ((2L, 10L, 2L, 10L)))
+    // bucket 2: {gamma, delta} new (alpha already seen), 15 tokens
+    assert(out(2L) === ((2L, 15L, 4L, 25L)))
+    intercept[IllegalArgumentException] {
+      Curation.vocabGrowth(docs, "doc_id", "text", buckets = 1)
+    }
+  }
+
+  test("zipfAudit: rank by (cnt desc, token asc), products vs rank-1 mass") {
+    // counts: the=6, of=3, to=2, zz=1  -> ideal-ish Zipf head
+    val docs = Seq(
+      (1L, "the the the of of to"),
+      (2L, "the the the of to zz")
+    ).toDF("doc_id", "text")
+    val out = Curation.zipfAudit(docs, "text", topK = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(1L) === (("the", 6L, 6L, 1000L)))
+    assert(out(2L) === (("of", 3L, 6L, 1000L)))
+    assert(out(3L) === (("to", 2L, 6L, 1000L)))
+    assert(out.size === 3) // topK honored: zz excluded
+    intercept[IllegalArgumentException] {
+      Curation.zipfAudit(docs, "text", topK = 0)
+    }
+  }
 }

@@ -42,6 +42,37 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(a.getLong(3) === 10L && a.getLong(4) === 10L)
   }
 
+  test("cusum: sustained drift alarms, per-side clamping, null when never alarmed") {
+    // key 1: mean shifts up at tick 3 — upper CUSUM accumulates
+    // su: 0,0,13,26,39,29; alarms (h=15) at ticks 4,5,6
+    // key 2: drifts down — sd: 0,8,16,24; alarms at ticks 3,4
+    // key 3: on-target forever — never alarms, first_alarm_us null
+    val ev = Seq(
+      (1L, 10.0, ts("2024-01-01 10:00:00")), (1L, 10.0, ts("2024-01-01 11:00:00")),
+      (1L, 25.0, ts("2024-01-01 12:00:00")), (1L, 25.0, ts("2024-01-01 13:00:00")),
+      (1L, 25.0, ts("2024-01-01 14:00:00")), (1L, 2.0, ts("2024-01-01 15:00:00")),
+      (2L, 10.0, ts("2024-01-01 10:00:00")), (2L, 0.0, ts("2024-01-01 11:00:00")),
+      (2L, 0.0, ts("2024-01-01 12:00:00")), (2L, 0.0, ts("2024-01-01 13:00:00")),
+      (3L, 10.0, ts("2024-01-01 10:00:00")), (3L, 10.0, ts("2024-01-01 11:00:00"))
+    ).toDF("user_id", "value", "ts")
+    val out = EventAnalytics.cusum(ev, "user_id", "ts", "value",
+      refValue = 10.0, slack = 2.0, threshold = 15.0, scaleBits = 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) null else r.getLong(5)))).toMap
+    val us13 = java.sql.Timestamp.valueOf("2024-01-01 13:00:00").getTime * 1000
+    val us12 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime * 1000
+    assert(out(1L) === ((6L, 39L, 6L, 3L, us13)), out.toString)
+    assert(out(2L) === ((4L, 0L, 24L, 2L, us12)), out.toString)
+    assert(out(3L) === ((2L, 0L, 0L, 0L, null)), out.toString)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.cusum(ev, "user_id", "ts", "value", 10.0, -1.0, 15.0)
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.cusum(ev, "user_id", "ts", "value", 10.0, 2.0, 0.0)
+    }
+  }
+
   test("latenessAudit: lateness vs the running high-water mark, in-order streams zero") {
     val ev = Seq(
       // arrival 1,2,3: ts 10:00, 12:00, then 11:00 — the third event

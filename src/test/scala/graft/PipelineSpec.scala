@@ -109,6 +109,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow pairs: copied passage guaranteed caught, df cap, short docs excluded") {
+    // two docs sharing a verbatim >= k+w-1 = 11-char run MUST share a
+    // fingerprint (the winnowing guarantee); the third is disjoint text
+    val passage = "unmistakable copied passage body"
+    val corpus = Seq(
+      (1L, "lead in words " + passage + " trailing material one"),
+      (2L, "other document entirely " + passage + " with its own tail"),
+      (3L, "completely different content with zero shared substrings"),
+      (4L, "tiny")) // < k+w-1 chars: no fingerprint, excluded
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowPairs(corpus, "doc_id", "text",
+      k = 8, w = 4, minShared = 1, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.contains((1L, 2L)), out.toString)
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // identical docs share ALL fingerprints: overlap_milli = 1000
+    val twin = Seq((1L, passage + " same exact body text"),
+      (2L, passage + " same exact body text")).toDF("doc_id", "text")
+    val tw = Dedup.winnowPairs(twin, "doc_id", "text", minShared = 1)
+      .select("overlap_milli").as[Long].collect()
+    assert(tw === Array(1000L))
+    // df cap: a fingerprint present in every doc generates no
+    // candidates once its doc frequency exceeds maxDf
+    val boiler = (1L to 5L).map(i =>
+      (i, passage + s" unique$i tail$i filler$i")).toDF("doc_id", "text")
+    val capped = Dedup.winnowPairs(boiler, "doc_id", "text",
+      minShared = 1, maxDf = 2).count()
+    val uncapped = Dedup.winnowPairs(boiler, "doc_id", "text",
+      minShared = 1, maxDf = 100).count()
+    assert(capped === 0L && uncapped === 10L, s"$capped / $uncapped")
+    intercept[IllegalArgumentException] {
+      Dedup.winnowPairs(corpus, "doc_id", "text", maxDf = 1)
+    }
+  }
+
   test("minhash: identical texts get identical signatures; lsh finds dups") {
     val sigs = docs.select($"doc_id", Dedup.minhashSignature($"text").as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap

@@ -92,11 +92,33 @@ class PlanAuditSpec extends AnyFunSuite {
       graft.pipeline.Dedup.jaccardPairs(docs, "doc_id", "text"),
       graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text"),
       graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text"),
-      graft.pipeline.Dedup.containmentPairs(docs, "doc_id", "text")).map(plan)
+      graft.pipeline.Dedup.containmentPairs(docs, "doc_id", "text"),
+      graft.pipeline.Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 20, w = 8, minShared = 2, maxDf = 100)).map(plan)
     plans.foreach { p =>
       assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
       assert(!p.contains("CartesianProduct"), p.take(4000))
     }
+  }
+
+  test("corpus text audits: one token exchange, windows only over metadata rows") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    // vocabGrowth: the only SinglePartition window runs over <= buckets
+    // rows; the max-id bound rides as a broadcast, never a shuffle of
+    // the token frame
+    val pg = plan(graft.pipeline.Curation.vocabGrowth(docs, "doc_id", "text", 10))
+    assert(pg.contains("BroadcastExchange"), pg.take(3000))
+    assert(!pg.contains("CartesianProduct"), pg.take(3000))
+    // zipfAudit: global top-K is TakeOrderedAndProject (per-partition
+    // heaps), never a full Sort of the vocabulary frame
+    val pz = plan(graft.pipeline.Curation.zipfAudit(docs, "text", 20))
+    assert(pz.contains("TakeOrderedAndProject"), pz.take(3000))
+    // boilerplateReport: line counts partial-agg'd on (source, hash);
+    // no nested-loop, no global window
+    val pb = plan(graft.pipeline.Curation.boilerplateReport(
+      docs, "doc_id", "text", "source"))
+    assert(!pb.contains("BroadcastNestedLoopJoin"), pb.take(3000))
+    assert(!pb.contains("Exchange SinglePartition"), pb.take(3000))
   }
 
   test("pair REPORTS never materialize doc-level pairs: no doc-id join keys") {

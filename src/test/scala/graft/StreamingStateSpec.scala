@@ -275,6 +275,49 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cusumStream: drift state carries across batches, final row == batch cusum") {
+    val ws = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("q", LongType), StructField("event_id", LongType)))
+    def wr(k: Long, s: String, q: Long, id: Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](k, java.sql.Timestamp.valueOf(s), q, id), ws)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(ws), sqlCtx)
+    // ref=10, slack=2, h=15 on the unscaled grid (the batch spec data)
+    val out = StreamingState.cusumStream(
+      stream.toDF(), "user_id", "ts", "q", "event_id",
+      refQ = 10L, slackQ = 2L, hQ = 15L)
+    val name = s"cusum_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("cusum-ckpt").toString)
+      .start()
+    try {
+      stream.addData(
+        wr(1L, "2024-01-01 10:00:00", 10L, 1), wr(1L, "2024-01-01 11:00:00", 10L, 2),
+        wr(1L, "2024-01-01 12:00:00", 25L, 3))
+      q.processAllAvailable()
+      // the drift continues in a LATER batch — cu/minCu carried over
+      stream.addData(
+        wr(1L, "2024-01-01 13:00:00", 25L, 4), wr(1L, "2024-01-01 14:00:00", 25L, 5),
+        wr(1L, "2024-01-01 15:00:00", 2L, 6),
+        wr(3L, "2024-01-01 10:00:00", 10L, 7))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4),
+            if (r.isNullAt(5)) null else r.getLong(5)))).toMap
+      // batch-1 emission: su so far 0,0,13 — no alarm yet
+      assert(rows((1L, 3L)) === ((13L, 0L, 0L, null)), rows.toString)
+      // final emission equals the batch cusum row for key 1
+      val us13 = java.sql.Timestamp.valueOf("2024-01-01 13:00:00").getTime * 1000
+      assert(rows((1L, 6L)) === ((39L, 6L, 3L, us13)), rows.toString)
+      // a never-alarming key emits null first_alarm_us
+      assert(rows((3L, 1L)) === ((0L, 0L, 0L, null)), rows.toString)
+    } finally q.stop()
+  }
+
   test("latenessStream: frontier carries across batches, first arrival never late") {
     val ws = StructType(Seq(
       StructField("event_type", StringType), StructField("ts", TimestampType),
