@@ -38,6 +38,93 @@ object PipelineQueries {
     * and the oracle SQL so the two can never drift. */
   private val BloomM = 1 << 20
 
+  /** z8's oracle: z-value interleave replayed (the z1 CTEs), both
+    * layouts' per-bucket [min,max] for BOTH columns probed as in z7.
+    * Shared by the z8 gate oracle and z9's advisor wrapper. */
+  private lazy val z8OracleSql: String = {
+    val zTerms = (0 until 8).flatMap(i => Seq(
+      s"(((qp >> $i) & 1) << ${2 * i + 1})",
+      s"(((qs >> $i) & 1) << ${2 * i})")).mkString(" + ")
+    def block(layout: String, colName: String, probeCte: String,
+          statCte: String, mn: String, mx: String): String =
+        s"""SELECT '$layout' AS layout, '$colName' AS "column", probe,
+           |    CAST(count(*) AS BIGINT) AS n_files,
+           |    CAST(sum(CASE WHEN $mn <= probe AND probe <= $mx
+           |         THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates
+           |  FROM $probeCte, $statCte GROUP BY 1, 2, 3""".stripMargin
+    s"""WITH mm AS (SELECT CAST(min(l_partkey) AS BIGINT) AS pmin,
+         |  CAST(max(l_partkey) AS BIGINT) AS pmax,
+         |  CAST(min(l_suppkey) AS BIGINT) AS smin,
+         |  CAST(max(l_suppkey) AS BIGINT) AS smax FROM lineitem),
+         |shft AS (SELECT *,
+         |  CASE WHEN pmax = pmin THEN 0 ELSE length(bin(pmax - pmin)) END AS psh,
+         |  CASE WHEN smax = smin THEN 0 ELSE length(bin(smax - smin)) END AS ssh
+         |  FROM mm),
+         |q AS (SELECT l_partkey, l_suppkey,
+         |  ((CAST(l_partkey AS BIGINT) - pmin) << 8) >> psh AS qp,
+         |  ((CAST(l_suppkey AS BIGINT) - smin) << 8) >> ssh AS qs
+         |  FROM lineitem, shft),
+         |zv AS (SELECT l_partkey, l_suppkey, $zTerms AS z FROM q),
+         |zm AS (SELECT max(z) AS zmax FROM zv),
+         |lin AS (SELECT least(7, (l_partkey - pmin) * 8 // (pmax - pmin + 1)) AS b,
+         |          l_partkey, l_suppkey FROM lineitem, mm),
+         |zb AS (SELECT least(7, z * 8 // (zmax + 1)) AS b,
+         |         l_partkey, l_suppkey FROM zv, zm),
+         |ls AS (SELECT b, min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+         |         min(l_suppkey) AS smn, max(l_suppkey) AS smx FROM lin GROUP BY 1),
+         |zs AS (SELECT b, min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+         |         min(l_suppkey) AS smn, max(l_suppkey) AS smx FROM zb GROUP BY 1),
+         |pp AS (SELECT DISTINCT pmin + (pmax - pmin) * (2*i+1) // 8 AS probe
+         |       FROM mm, LATERAL unnest(generate_series(0,3)) s(i)),
+         |sp AS (SELECT DISTINCT smin + (smax - smin) * (2*i+1) // 8 AS probe
+         |       FROM mm, LATERAL unnest(generate_series(0,3)) s(i)),
+         |u AS (
+         |  ${block("linear", "l_partkey", "pp", "ls", "pmn", "pmx")}
+         |  UNION ALL
+         |  ${block("linear", "l_suppkey", "sp", "ls", "smn", "smx")}
+         |  UNION ALL
+         |  ${block("zorder", "l_partkey", "pp", "zs", "pmn", "pmx")}
+         |  UNION ALL
+         |  ${block("zorder", "l_suppkey", "sp", "zs", "smn", "smx")})
+         |SELECT layout, "column", probe, n_files, n_candidates,
+         |  CAST((n_files - n_candidates) * 1000 // n_files AS BIGINT) AS skip_milli
+         |FROM u""".stripMargin
+  }
+
+  /** z8's measured layout audit (linear vs z-order range buckets,
+    * footer-stats skipping on both key columns) — shared by the z8
+    * gate row and the z9 advisor that consumes the measurements.
+    * Writes are overwrite-idempotent under scoped /tmp roots.
+    */
+  private def z8Audit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val Seq((_, pmin, pmax), (_, smin, smax)) =
+      graft.pipeline.Layout.measureRanges(li, Seq("l_partkey", "l_suppkey"))
+    val zc = Seq(graft.pipeline.Layout.ZCol(col("l_partkey"), pmin, pmax),
+      graft.pipeline.Layout.ZCol(col("l_suppkey"), smin, smax))
+    val withZ = li.withColumn("_zv", graft.pipeline.Layout.zValue(zc, 8))
+    val zmax = withZ.agg(max(col("_zv"))).head.getLong(0)
+    val linear = li.withColumn("bucket",
+      expr(s"least(7L, (l_partkey - ${pmin}L) * 8 div ${pmax - pmin + 1}L)"))
+    val zord = withZ.withColumn("bucket",
+      expr(s"least(7L, _zv * 8 div ${zmax + 1}L)")).drop("_zv")
+    val pprobes = (0 until 4).map(i => pmin + (pmax - pmin) * (2L * i + 1) / 8).distinct
+    val sprobes = (0 until 4).map(i => smin + (smax - smin) * (2L * i + 1) / 8).distinct
+    def audited(frame: DataFrame, name: String) = {
+      val root = scopedTmp(s"graft_z8_$name", dir)
+      frame.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(root)
+      Seq(("l_partkey", pprobes), ("l_suppkey", sprobes)).map { case (c, ps) =>
+        graft.pipeline.Layout.skippingEffectiveness(
+            graft.pipeline.Layout.fileStats(s, root, c), ps)
+          .withColumn("column", lit(c)).withColumn("layout", lit(name))
+      }.reduce(_ unionByName _)
+    }
+    audited(linear, "linear").unionByName(audited(zord, "zorder"))
+      .select(col("layout"), col("column"), col("probe"), col("n_files"),
+        col("n_candidates"), col("skip_milli"))
+  }
+
   /** Deterministic integer axis for the s16b projection gate — shared
     * by the Spark query and the generated oracle SQL. */
   private val PcaAxis: Array[Long] =
@@ -838,34 +925,15 @@ object PipelineQueries {
     // its own column; the z-layout trades a little of that for real
     // skipping on both. Deterministic buckets replay from the logical
     // table in the oracle
-    "z8_zorder_skipping" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val Seq((_, pmin, pmax), (_, smin, smax)) =
-        graft.pipeline.Layout.measureRanges(li, Seq("l_partkey", "l_suppkey"))
-      val zc = Seq(graft.pipeline.Layout.ZCol(col("l_partkey"), pmin, pmax),
-        graft.pipeline.Layout.ZCol(col("l_suppkey"), smin, smax))
-      val withZ = li.withColumn("_zv", graft.pipeline.Layout.zValue(zc, 8))
-      val zmax = withZ.agg(max(col("_zv"))).head.getLong(0)
-      val linear = li.withColumn("bucket",
-        expr(s"least(7L, (l_partkey - ${pmin}L) * 8 div ${pmax - pmin + 1}L)"))
-      val zord = withZ.withColumn("bucket",
-        expr(s"least(7L, _zv * 8 div ${zmax + 1}L)")).drop("_zv")
-      val pprobes = (0 until 4).map(i => pmin + (pmax - pmin) * (2L * i + 1) / 8).distinct
-      val sprobes = (0 until 4).map(i => smin + (smax - smin) * (2L * i + 1) / 8).distinct
-      def audited(frame: org.apache.spark.sql.DataFrame, name: String) = {
-        val root = scopedTmp(s"graft_z8_$name", dir)
-        frame.repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("bucket").parquet(root)
-        Seq(("l_partkey", pprobes), ("l_suppkey", sprobes)).map { case (c, ps) =>
-          graft.pipeline.Layout.skippingEffectiveness(
-              graft.pipeline.Layout.fileStats(s, root, c), ps)
-            .withColumn("column", lit(c)).withColumn("layout", lit(name))
-        }.reduce(_ unionByName _)
-      }
-      audited(linear, "linear").unionByName(audited(zord, "zorder"))
-        .select(col("layout"), col("column"), col("probe"), col("n_files"),
-          col("n_candidates"), col("skip_milli"))
-    }),
+    "z8_zorder_skipping" -> ((s, dir) => z8Audit(s, dir)),
+
+    // ---- the advisor CONSUMING z8's measurements: weighted column
+    // workload (60% partkey probes, 40% suppkey) → per-layout score
+    // from the measured skip rates → the sort-key decision, flagged
+    // on the winner. Metadata arithmetic only (the d3d tuner shape)
+    "z9_layout_advisor" -> ((s, dir) =>
+      graft.pipeline.Layout.layoutAdvisor(z8Audit(s, dir),
+        Map("l_partkey" -> 600L, "l_suppkey" -> 400L))),
 
     // ---- partition-skew audit from FOOTERS ONLY: per-partition row
     // counts via KB-sized metadata reads (never a data scan), hot
@@ -3080,55 +3148,33 @@ object PipelineQueries {
 
     // z-value interleave replayed (the z1 CTEs), then both layouts'
     // per-bucket [min,max] for BOTH columns probed as in z7
-    "z8_zorder_skipping" -> {
-      val zTerms = (0 until 8).flatMap(i => Seq(
-        s"(((qp >> $i) & 1) << ${2 * i + 1})",
-        s"(((qs >> $i) & 1) << ${2 * i})")).mkString(" + ")
-      def block(layout: String, colName: String, probeCte: String,
-          statCte: String, mn: String, mx: String): String =
-        s"""SELECT '$layout' AS layout, '$colName' AS "column", probe,
-           |    CAST(count(*) AS BIGINT) AS n_files,
-           |    CAST(sum(CASE WHEN $mn <= probe AND probe <= $mx
-           |         THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates
-           |  FROM $probeCte, $statCte GROUP BY 1, 2, 3""".stripMargin
-      s"""WITH mm AS (SELECT CAST(min(l_partkey) AS BIGINT) AS pmin,
-         |  CAST(max(l_partkey) AS BIGINT) AS pmax,
-         |  CAST(min(l_suppkey) AS BIGINT) AS smin,
-         |  CAST(max(l_suppkey) AS BIGINT) AS smax FROM lineitem),
-         |shft AS (SELECT *,
-         |  CASE WHEN pmax = pmin THEN 0 ELSE length(bin(pmax - pmin)) END AS psh,
-         |  CASE WHEN smax = smin THEN 0 ELSE length(bin(smax - smin)) END AS ssh
-         |  FROM mm),
-         |q AS (SELECT l_partkey, l_suppkey,
-         |  ((CAST(l_partkey AS BIGINT) - pmin) << 8) >> psh AS qp,
-         |  ((CAST(l_suppkey AS BIGINT) - smin) << 8) >> ssh AS qs
-         |  FROM lineitem, shft),
-         |zv AS (SELECT l_partkey, l_suppkey, $zTerms AS z FROM q),
-         |zm AS (SELECT max(z) AS zmax FROM zv),
-         |lin AS (SELECT least(7, (l_partkey - pmin) * 8 // (pmax - pmin + 1)) AS b,
-         |          l_partkey, l_suppkey FROM lineitem, mm),
-         |zb AS (SELECT least(7, z * 8 // (zmax + 1)) AS b,
-         |         l_partkey, l_suppkey FROM zv, zm),
-         |ls AS (SELECT b, min(l_partkey) AS pmn, max(l_partkey) AS pmx,
-         |         min(l_suppkey) AS smn, max(l_suppkey) AS smx FROM lin GROUP BY 1),
-         |zs AS (SELECT b, min(l_partkey) AS pmn, max(l_partkey) AS pmx,
-         |         min(l_suppkey) AS smn, max(l_suppkey) AS smx FROM zb GROUP BY 1),
-         |pp AS (SELECT DISTINCT pmin + (pmax - pmin) * (2*i+1) // 8 AS probe
-         |       FROM mm, LATERAL unnest(generate_series(0,3)) s(i)),
-         |sp AS (SELECT DISTINCT smin + (smax - smin) * (2*i+1) // 8 AS probe
-         |       FROM mm, LATERAL unnest(generate_series(0,3)) s(i)),
-         |u AS (
-         |  ${block("linear", "l_partkey", "pp", "ls", "pmn", "pmx")}
-         |  UNION ALL
-         |  ${block("linear", "l_suppkey", "sp", "ls", "smn", "smx")}
-         |  UNION ALL
-         |  ${block("zorder", "l_partkey", "pp", "zs", "pmn", "pmx")}
-         |  UNION ALL
-         |  ${block("zorder", "l_suppkey", "sp", "zs", "smn", "smx")})
-         |SELECT layout, "column", probe, n_files, n_candidates,
-         |  CAST((n_files - n_candidates) * 1000 // n_files AS BIGINT) AS skip_milli
-         |FROM u""".stripMargin
-    },
+    "z8_zorder_skipping" -> z8OracleSql,
+
+    // the advisor arithmetic over the replayed z8 audit: per-column
+    // re-aggregation, CASE-literal workload weights, integer score,
+    // min-name tie break
+    "z9_layout_advisor" ->
+      s"""WITH audit AS (SELECT * FROM ($z8OracleSql)),
+         |pc AS (SELECT layout, "column",
+         |         CAST(sum(n_files) AS BIGINT) AS col_files,
+         |         CAST(sum(n_candidates) AS BIGINT) AS col_candidates
+         |       FROM audit GROUP BY 1, 2),
+         |pm AS (SELECT *,
+         |         CAST((col_files - col_candidates) * 1000 // col_files AS BIGINT)
+         |           AS col_skip_milli,
+         |         CAST(CASE "column" WHEN 'l_partkey' THEN 600
+         |              WHEN 'l_suppkey' THEN 400 ELSE 0 END AS BIGINT) AS weight_pm
+         |       FROM pc),
+         |sc AS (SELECT layout,
+         |         CAST(sum(weight_pm * col_skip_milli) // 1000 AS BIGINT)
+         |           AS score_milli
+         |       FROM pm GROUP BY 1),
+         |win AS (SELECT min(layout) AS w FROM sc
+         |        WHERE score_milli = (SELECT max(score_milli) FROM sc))
+         |SELECT pm.layout, pm."column", pm.col_files, pm.col_candidates,
+         |       pm.col_skip_milli, pm.weight_pm, sc.score_milli,
+         |       pm.layout = win.w AS chosen
+         |FROM pm JOIN sc ON pm.layout = sc.layout, win""".stripMargin,
 
     // one file per bucket by construction, so each file's [min,max]
     // replays as the per-bucket min/max of the logical table

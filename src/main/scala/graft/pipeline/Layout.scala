@@ -289,6 +289,50 @@ object Layout {
         expr("(n_files - n_candidates) * 1000L div n_files"))
   }
 
+  /** Layout advisor over a [[skippingEffectiveness]]-shaped audit
+    * frame (layout, column, probe, n_files, n_candidates, …): given a
+    * query workload as per-mille column weights, scores each layout by
+    * its weighted measured skip rate and flags the winner — the
+    * one-step consumer that turns z7/z8's audit numbers into the sort
+    * key DECISION (the d3d tuning-table pattern: measure, then pick
+    * from the measurements, never from shape arguments).
+    *
+    * Per (layout, column) the probe columns re-aggregate exactly
+    * (integer sums, then one division), so two layouts compare on the
+    * same probes; `score_milli = Σ weight·col_skip_milli div 1000`;
+    * ties break to the lexicographically smallest layout name
+    * (deterministic, oracle-replayable). All arithmetic runs over the
+    * metadata-sized audit frame — KB-scale at any corpus size.
+    *
+    * Returns one row per (layout, column): (layout, column,
+    * col_files, col_candidates, col_skip_milli, weight_pm,
+    * score_milli, chosen).
+    */
+  def layoutAdvisor(audit: DataFrame, weightsPm: Map[String, Long]): DataFrame = {
+    require(weightsPm.nonEmpty, "layoutAdvisor: need at least one column weight")
+    require(weightsPm.values.forall(w => w >= 0 && w <= 1000),
+      "layoutAdvisor: weights are per-mille in [0, 1000]")
+    val spark = audit.sparkSession
+    import spark.implicits._
+    val w = weightsPm.toSeq.sortBy(_._1).toDF("column", "weight_pm")
+    val perCol = audit.groupBy(col("layout"), col("column"))
+      .agg(sum(col("n_files")).as("col_files"),
+        sum(col("n_candidates")).as("col_candidates"))
+      .withColumn("col_skip_milli",
+        expr("(col_files - col_candidates) * 1000 div col_files"))
+      .join(broadcast(w), Seq("column"))
+    val scores = perCol.groupBy(col("layout"))
+      .agg(expr("sum(weight_pm * col_skip_milli) div 1000").as("score_milli"))
+    val best = scores.agg(max(col("score_milli")).as("_mx")) // 1 row
+    val winner = scores.crossJoin(broadcast(best))
+      .filter(col("score_milli") === col("_mx"))
+      .agg(min(col("layout")).as("_win")) // 1 row
+    perCol.join(scores, Seq("layout")).crossJoin(broadcast(winner))
+      .select(col("layout"), col("column"), col("col_files"),
+        col("col_candidates"), col("col_skip_milli"), col("weight_pm"),
+        col("score_milli"), (col("layout") === col("_win")).as("chosen"))
+  }
+
   def fileStats(
       spark: org.apache.spark.sql.SparkSession,
       path: String,

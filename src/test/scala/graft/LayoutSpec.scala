@@ -190,4 +190,37 @@ class LayoutSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after === before, "compaction must be content-neutral")
   }
+
+  test("layoutAdvisor: weighted winner from measured skips, min-name tie break") {
+    import spark.implicits._
+    // layout A skips everything on col x (1000) and nothing on y;
+    // layout B skips 500 on both. Weights decide the winner:
+    // x-heavy (800/200) -> A scores 800 vs B 500; y-heavy flips it.
+    val audit = Seq(
+      ("A", "x", 1L, 10L, 0L, 1000L), ("A", "x", 2L, 10L, 0L, 1000L),
+      ("A", "y", 1L, 10L, 10L, 0L), ("A", "y", 2L, 10L, 10L, 0L),
+      ("B", "x", 1L, 10L, 5L, 500L), ("B", "x", 2L, 10L, 5L, 500L),
+      ("B", "y", 1L, 10L, 5L, 500L), ("B", "y", 2L, 10L, 5L, 500L)
+    ).toDF("layout", "column", "probe", "n_files", "n_candidates", "skip_milli")
+    def run(wx: Long, wy: Long) = Layout
+      .layoutAdvisor(audit, Map("x" -> wx, "y" -> wy))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(4), r.getLong(6), r.getBoolean(7)))).toMap
+    val xHeavy = run(800L, 200L)
+    assert(xHeavy(("A", "x")) === ((1000L, 800L, true)))
+    assert(xHeavy(("A", "y")) === ((0L, 800L, true)))
+    assert(xHeavy(("B", "x")) === ((500L, 500L, false)))
+    val yHeavy = run(200L, 800L)
+    assert(yHeavy(("A", "x"))._3 === false && yHeavy(("B", "y"))._3 === true)
+    // exact tie (500/500): A 500 vs B 500 -> min layout name wins
+    val tie = run(500L, 500L)
+    assert(tie(("A", "x")) === ((1000L, 500L, true)))
+    assert(tie(("B", "x")) === ((500L, 500L, false)))
+    intercept[IllegalArgumentException] {
+      Layout.layoutAdvisor(audit, Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.layoutAdvisor(audit, Map("x" -> 1001L))
+    }
+  }
 }
