@@ -402,6 +402,17 @@ object PipelineQueries {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
     }),
 
+    // ---- pseudo-relevance feedback (Rocchio expansion): round-1
+    // top-5 neighbors summed on the integer grid (order-free; cosine
+    // is scale-invariant so the sum IS the mean direction) → round-2
+    // retrieval against the expanded vector — the recall rescue for
+    // off-cluster query embeddings
+    "s21_prf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.prfTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, fb = 5)
+    }),
+
     // ---- kNN label probe: embedding-quality eval — majority label of
     // the 5 exact nearest neighbors vs the query's own label
     "s11_knn_label_probe" -> ((s, dir) => {
@@ -2477,6 +2488,34 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
          |      FROM scored)
          |SELECT qid, cid, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    // Rocchio replayed: round-1 ranks, per-dimension integer sums of
+    // the trunc(x·2^20) grid, round-2 cosine against the summed vector
+    "s21_prf" ->
+      s"""WITH s1 AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM embeddings c JOIN embeddings q ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 8),
+         |r1 AS (SELECT qid, cid FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY qid
+         |           ORDER BY cosine DESC, cid ASC) AS rank FROM s1)
+         |       WHERE rank <= 5),
+         |qe AS (SELECT r1.qid, g.d,
+         |         sum(CAST(trunc(CAST(c.embedding[g.d] AS DOUBLE)*1048576.0) AS BIGINT)) AS sv
+         |       FROM r1 JOIN embeddings c ON r1.cid = c.vec_id,
+         |            generate_series(1, 64) g(d)
+         |       GROUP BY 1, 2),
+         |ev AS (SELECT qid, list(sv ORDER BY d) AS ev FROM qe GROUP BY qid),
+         |s2 AS (SELECT e.qid, c.vec_id AS cid,
+         |         ${cosSql("e.ev", "c.embedding")} AS cosine
+         |       FROM embeddings c JOIN ev e ON e.qid <> c.vec_id),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |         ORDER BY cosine DESC, cid ASC) AS rank FROM s2)
+         |SELECT r2.qid, r2.cid, r2.cosine, CAST(r2.rank AS INT) AS rank,
+         |       r1.cid IS NOT NULL AS was_feedback
+         |FROM r2 LEFT JOIN r1 ON r2.qid = r1.qid AND r2.cid = r1.cid
+         |WHERE r2.rank <= 5""".stripMargin,
 
     "s11_knn_label_probe" ->
       s"""WITH l AS (SELECT vec_id, embedding, label FROM embeddings WHERE label IS NOT NULL),

@@ -144,6 +144,63 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Pseudo-relevance-feedback retrieval (Rocchio query expansion,
+    * β=1/α→0 form): round 1 retrieves each query's `fb` exact nearest
+    * neighbors; the expanded query is the ELEMENT-WISE INTEGER SUM of
+    * those neighbors' trunc(x·2^bits)-quantized vectors (cosine is
+    * scale-invariant, so the sum IS the mean direction — and integer
+    * sums are order-free, keeping the expansion engine-portable where
+    * a float mean would depend on aggregation order); round 2 ranks
+    * the corpus against the expanded vector. The recall rescue for
+    * queries whose own embedding sits off the relevant cluster —
+    * retrieval quality machinery the dense-index family (s1–s19)
+    * doesn't cover.
+    *
+    * Returns (qid, cid, cosine, rank, was_feedback) for round-2 rank
+    * ≤ k; `was_feedback` marks round-1 neighbors re-retrieved in
+    * round 2 (the novelty-vs-anchoring audit column).
+    *
+    * Scale shape: queries broadcast in both rounds (an eval/serving
+    * set, small by construction); the expansion folds ≤ fb·|queries|
+    * collected arrays driver-free via a single groupBy; the corpus is
+    * scanned narrow twice. At index scale, round 2 rides the same IVF
+    * machinery as any other query set.
+    */
+  def prfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      fb: Int = 5,
+      scaleBits: Int = 20): DataFrame = {
+    require(k >= 1, "prfTopK: k must be >= 1")
+    require(fb >= 1, "prfTopK: fb must be >= 1")
+    require(scaleBits >= 0 && scaleBits <= 40, "prfTopK: scaleBits in [0, 40]")
+    val scale = (1L << scaleBits).toDouble
+    val r1 = bruteForceTopK(corpus, queries, idCol, vecCol, fb)
+      .select(col("qid"), col("cid"))
+    val cq = corpus.select(col(idCol).as("cid"),
+      transform(col(vecCol),
+        x => (x.cast("double") * lit(scale)).cast("long")).as("_qv"))
+    val expanded = r1.join(cq, Seq("cid"))
+      .groupBy(col("qid"))
+      .agg(collect_list(col("_qv")).as("_vs"))
+      .select(col("qid"),
+        aggregate(col("_vs"),
+          transform(element_at(col("_vs"), 1), _ => lit(0L)),
+          (acc, v) => zip_with(acc, v, (a, b) => a + b))
+          .cast("array<double>").as("_ev"))
+    val scored = corpus.select(col(idCol).as("cid"), col(vecCol).as("_cv"))
+      .join(broadcast(expanded), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("_ev"), col("_cv")).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .join(r1.withColumn("was_feedback", lit(true)), Seq("qid", "cid"), "left")
+      .select(col("qid"), col("cid"), col("cosine"), col("rank"),
+        coalesce(col("was_feedback"), lit(false)).as("was_feedback"))
+  }
+
   /** kNN label probe — the standard embedding-quality evaluation: each
     * labeled query is classified by the majority label of its `k`
     * nearest corpus neighbors (exact cosine, self excluded; vote ties

@@ -277,6 +277,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.head.getAs[Long]("cid") === 2L)
   }
 
+  test("prfTopK: expansion re-ranks toward the feedback cluster, marks feedback") {
+    // raw query q=(1,0): a (cos .95) > c (cos .90) > b (cos .60).
+    // fb=1 expands to a; round 2 ranks by cos(a, ·), where b (.82)
+    // BEATS c (.72) — the promotion only the expansion can produce
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),       // query
+      (1L, Array(0.95f, 0.312f)),    // a: round-1 top, the feedback doc
+      (2L, Array(0.6f, 0.8f)),       // b: in a's cluster direction
+      (3L, Array(0.9f, -0.436f))     // c: near q but off a's cluster
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0)
+    val raw = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .collect().map(r => r.getAs[Long]("cid") -> r.getAs[Int]("rank")).toMap
+    assert(raw(3L) < raw(2L)) // raw query prefers c over b
+    val prf = Similarity.prfTopK(vecs, q, "vec_id", "embedding", k = 3, fb = 1)
+      .collect().map(r => r.getAs[Long]("cid") ->
+        ((r.getAs[Int]("rank"), r.getAs[Boolean]("was_feedback")))).toMap
+    assert(prf(1L) === ((1, true)), prf.toString)  // a: cos(a,a)=1, marked
+    assert(prf(2L)._1 < prf(3L)._1, prf.toString)  // expansion flips b over c
+    assert(!prf(2L)._2 && !prf(3L)._2)
+    intercept[IllegalArgumentException] {
+      Similarity.prfTopK(vecs, q, "vec_id", "embedding", k = 0)
+    }
+  }
+
   test("hardNegatives: closest cross-label vectors only, null labels never pair") {
     // 2-D toy space: anchor (1,0) label A; a nearly-identical same-label
     // vector (must NOT appear), a close different-label vector (the
