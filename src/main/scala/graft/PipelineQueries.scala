@@ -725,6 +725,16 @@ object PipelineQueries {
       Multimodal.colorStats(graft.testing.MediaFixtures.colorJpegMedia(
         t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)))),
 
+    // ---- multimodal: audio loudness/silence segmentation over
+    // DECODED PCM — 4-sample frames, silent = zero absolute mass,
+    // longest silent run + loudest frame + total energy, all exact
+    // integers recomputable from the fixture's cp&7 samples. The
+    // pre-transcription triage (skip dead air, route loud clips)
+    "mm6_audio_segments" -> ((s, dir) =>
+      Multimodal.audioSegments(
+        graft.testing.MediaFixtures.syntheticMedia(t(s, dir, "documents")),
+        frame = 4)),
+
     // ---- multimodal: video frame sampling
     "mm2_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(graft.testing.MediaFixtures.syntheticMedia(t(s, dir, "documents")), stride = 4)),
@@ -2986,6 +2996,40 @@ object PipelineQueries {
       """SELECT doc_id AS media_id,
         |       unnest(generate_series(0, (n_chars % 32 + 1) - 1, 4)) AS frame_idx
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    // audio segmentation replayed from the fixture construction
+    // (samples = cp & 7 per codepoint): 4-sample frame energies,
+    // silent-run islands by the gaps-and-islands trick. The len>0
+    // guard mirrors mm1's (string_split_regex('','') is [''] with
+    // unicode -1)
+    "mm6_audio_segments" ->
+      """WITH a AS (SELECT doc_id AS media_id,
+        |    CASE WHEN len(text) = 0 THEN CAST([] AS BIGINT[])
+        |         ELSE [CAST(unicode(c) & 7 AS BIGINT)
+        |               for c in string_split_regex(text, '')] END AS sm
+        |  FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL),
+        |f AS (SELECT media_id, i AS fidx,
+        |        list_sum(sm[(i-1)*4+1 : least(i*4, len(sm))]) AS fe
+        |      FROM a, LATERAL unnest(generate_series(1, (len(sm)+3)//4)) s(i)),
+        |si AS (SELECT media_id, fidx,
+        |         fidx - row_number() OVER (PARTITION BY media_id ORDER BY fidx) AS g
+        |       FROM f WHERE fe = 0),
+        |runs AS (SELECT media_id, CAST(max(cnt) AS BIGINT) AS max_run
+        |         FROM (SELECT media_id, g, count(*) AS cnt FROM si GROUP BY 1, 2)
+        |         GROUP BY 1),
+        |agg AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |          CAST(sum(CASE WHEN fe = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+        |          CAST(max(fe) AS BIGINT) AS max_frame_energy,
+        |          CAST(sum(fe) AS BIGINT) AS total_energy
+        |        FROM f GROUP BY 1)
+        |SELECT a.media_id, CAST(len(sm) AS BIGINT) AS n_samples,
+        |       coalesce(agg.n_frames, 0) AS n_frames,
+        |       coalesce(agg.n_silent, 0) AS n_silent,
+        |       coalesce(agg.max_frame_energy, 0) AS max_frame_energy,
+        |       coalesce(runs.max_run, 0) AS longest_silent_run,
+        |       coalesce(agg.total_energy, 0) AS total_energy
+        |FROM a LEFT JOIN agg USING (media_id)
+        |       LEFT JOIN runs USING (media_id)""".stripMargin,
 
     // empty docs decode to the kernel's all-zero feature — zero-norm,
     // NaN cosine against everything — and are excluded on both sides

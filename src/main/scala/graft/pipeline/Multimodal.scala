@@ -100,15 +100,14 @@ object Multimodal {
       tag(payload, 0) == "RIFF" && tag(payload, 8) == "WAVE" &&
       leInt(payload, 4) == payload.length - 8
 
-  /** REAL decode path for WAV payloads: walks the RIFF chunk list
+  /** Raw PCM samples from a WAV payload: walks the RIFF chunk list
     * (arbitrary chunk order, skips unknown chunks — LIST/fact/etc.),
-    * validates PCM 16-bit from the `fmt ` chunk, then histograms the
-    * decoded samples into 8 amplitude-class bins (`sample & 7`,
-    * normalized by sample count). Returns null on any structural
-    * violation (truncated chunk, non-PCM, missing fmt/data) — the
-    * caller decides the fallback, nothing is silently guessed.
+    * validates PCM mono 16-bit from the `fmt ` chunk, returns the
+    * sign-extended samples. Null on any structural violation
+    * (truncated chunk, non-PCM, missing fmt/data) — the caller
+    * decides the fallback, nothing is silently guessed.
     */
-  def decodeWav(payload: Array[Byte]): Array[Double] = {
+  def decodeWavSamples(payload: Array[Byte]): Array[Int] = {
     if (!isWav(payload)) return null
     var off = 12
     var fmtOk = false
@@ -135,11 +134,28 @@ object Multimodal {
     }
     if (!fmtOk || dataOff < 0 || dataLen % 2 != 0) return null
     val n = dataLen / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (leShort(payload, dataOff + 2 * i) << 16) >> 16 // sign-extend
+      i += 1
+    }
+    out
+  }
+
+  /** REAL decode path for WAV payloads — [[decodeWavSamples]]
+    * histogrammed into 8 amplitude-class bins (`sample & 7`,
+    * normalized by sample count). Null propagates from the sample
+    * decode.
+    */
+  def decodeWav(payload: Array[Byte]): Array[Double] = {
+    val samples = decodeWavSamples(payload)
+    if (samples == null) return null
+    val n = samples.length
     val bins = new Array[Double](8)
     var i = 0
     while (i < n) {
-      val sample = (leShort(payload, dataOff + 2 * i) << 16) >> 16 // sign-extend
-      bins(sample & 7) += 1.0
+      bins(samples(i) & 7) += 1.0
       i += 1
     }
     bins.map(_ / math.max(n, 1).toDouble)
@@ -1454,6 +1470,67 @@ object Multimodal {
           val n = img.width * img.height
           while (i < n) { sr += img.r(i); sg += img.g(i); sb += img.b(i); i += 1 }
           Some(Row(r.getLong(0), sr, sg, sb, n.toLong))
+        }
+      }
+    }(enc)
+  }
+
+  private val audioSegSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_samples", LongType), StructField("n_frames", LongType),
+    StructField("n_silent", LongType), StructField("max_frame_energy", LongType),
+    StructField("longest_silent_run", LongType), StructField("total_energy", LongType)))
+
+  /** Audio loudness / silence segmentation over DECODED PCM (round-9
+    * mm6): samples group into fixed `frame`-sample windows (the tail
+    * window may be shorter); a frame is SILENT when its absolute-
+    * amplitude sum is zero. The report per clip — frame count, silent
+    * count, loudest frame, longest silent RUN, total energy — is the
+    * pre-transcription triage every audio pipeline runs (skip dead
+    * air, route the loud clips to VAD), all exact integers so the
+    * oracle recomputes it from the fixture construction. Rows whose
+    * payload is not a structurally valid PCM WAV are dropped (the
+    * codec contract: violations are nulls, never guesses).
+    *
+    * Scale shape: decode + the single segmentation pass run
+    * partition-local on the input's own partitioning; one narrow row
+    * out per clip, nothing shuffles but the result.
+    */
+  def audioSegments(media: DataFrame, frame: Int = 4): DataFrame = {
+    require(frame >= 1 && frame <= 65536, "audioSegments: frame in [1, 65536]")
+    val enc = org.apache.spark.sql.Encoders.row(audioSegSchema)
+    media.select("media_id", "payload").mapPartitions { it: Iterator[Row] =>
+      it.flatMap { r =>
+        val samples = decodeWavSamples(r.getAs[Array[Byte]]("payload"))
+        if (samples == null) None
+        else {
+          val n = samples.length
+          var i = 0
+          var frameEnergy = 0L
+          var total = 0L
+          var nFrames = 0L
+          var nSilent = 0L
+          var maxEnergy = 0L
+          var run = 0L
+          var maxRun = 0L
+          def closeFrame(): Unit = {
+            nFrames += 1
+            if (frameEnergy > maxEnergy) maxEnergy = frameEnergy
+            if (frameEnergy == 0L) {
+              nSilent += 1; run += 1
+              if (run > maxRun) maxRun = run
+            } else run = 0L
+            frameEnergy = 0L
+          }
+          while (i < n) {
+            frameEnergy += math.abs(samples(i))
+            total += math.abs(samples(i))
+            i += 1
+            if (i % frame == 0) closeFrame()
+          }
+          if (n % frame != 0) closeFrame() // short tail window
+          Some(Row(r.getLong(0), n.toLong, nFrames, nSilent, maxEnergy,
+            maxRun, total))
         }
       }
     }(enc)

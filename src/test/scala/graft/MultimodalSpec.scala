@@ -12,6 +12,28 @@ import graft.pipeline.Multimodal
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("audioSegments: frame energies, silent runs, tail window, abs amplitude") {
+    import spark.implicits._
+    // clip 1: [1,0,0,0 | 0,0,0,0 | -2,0,0,0 | 0] -> 4 frames (tail 1),
+    // silent at #2 and #4 (non-adjacent: longest run 1), |−2| loudest
+    val c1 = Multimodal.wavEncode(
+      Array[Short](1, 0, 0, 0, 0, 0, 0, 0, -2, 0, 0, 0, 0))
+    // clip 2: 16 zeros then [5]: 4 silent frames in a row, tail loud
+    val c2 = Multimodal.wavEncode(Array.fill[Short](16)(0) :+ 5.toShort)
+    val media = Seq((1L, c1), (2L, c2), (3L, Array[Byte](1, 2, 3)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.audioSegments(media, frame = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(out(1L) === ((13L, 4L, 2L, 2L, 1L, 3L)), out.toString)
+    assert(out(2L) === ((17L, 5L, 4L, 5L, 4L, 5L)), out.toString)
+    assert(!out.contains(3L)) // malformed payload dropped, never guessed
+    intercept[IllegalArgumentException] {
+      Multimodal.audioSegments(media, frame = 0)
+    }
+  }
+
   test("wavEncode → decodeWav: header walk + PCM samples → histogram") {
     val samples = Array[Short](0, 1, 1, 7, 7, 7, 2, 2)
     val wav = Multimodal.wavEncode(samples)
