@@ -295,6 +295,14 @@ object PipelineQueries {
       Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 20, w = 8, minShared = 2, maxDf = 100)),
 
+    // ---- d19's enumeration-free REPORT twin: fingerprint-df
+    // histogram + the pair-slot mass each df level feeds the candidate
+    // join (metadata-sized where d19's sf1 output is 103k true pairs);
+    // the knob-setting read before a 100 TB winnowing run
+    "d19b_winnow_stats" -> ((s, dir) =>
+      Dedup.winnowFpStats(t(s, dir, "documents"), "doc_id", "text",
+        k = 20, w = 8, maxDf = 100)),
+
     // ---- MinHash + LSH banding (shingle→minhash→band→bucket-join)
     "d3_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -1098,6 +1106,15 @@ object PipelineQueries {
     "p5_shuffle_order" -> ((s, dir) =>
       Curation.shuffleOrder(t(s, dir, "documents"), "doc_id",
         epoch = 2, shards = 8)),
+
+    // ---- curriculum training order: easy→hard per shard (difficulty
+    // = coarse length bucket here), epoch-seeded reshuffle WITHIN each
+    // difficulty level, stable shard placement across epochs
+    "p26_curriculum" -> ((s, dir) =>
+      Curation.curriculumOrder(
+        t(s, dir, "documents")
+          .withColumn("difficulty", expr("n_chars div 50")),
+        "doc_id", "difficulty", epoch = 1, shards = 8)),
 
     // ---- Gopher-style quality filter: word-count / mean-word-length /
     // distinct-fraction / stopword-count rules, keep flag — all narrow
@@ -2252,6 +2269,24 @@ object PipelineQueries {
          |         AS overlap_milli
          |FROM p JOIN nf n1 ON id1 = n1.doc_id
          |       JOIN nf n2 ON id2 = n2.doc_id""".stripMargin,
+
+    // the report twin: the same fingerprint frame folded to its df
+    // histogram — no pair anywhere
+    "d19b_winnow_stats" ->
+      s"""WITH b AS (SELECT doc_id, text, len(text) AS L FROM documents
+         |           WHERE text IS NOT NULL),
+         |kh AS (SELECT doc_id,
+         |         [${phSql("substr(text, i, 20)")} for i in generate_series(1, L-19)] AS kh
+         |       FROM b WHERE L >= 27),
+         |f0 AS (SELECT doc_id,
+         |         list_distinct([list_min(kh[j:j+7]) for j in generate_series(1, len(kh)-7)]) AS fps
+         |       FROM kh),
+         |f AS (SELECT doc_id, unnest(fps) AS fp FROM f0),
+         |d AS (SELECT fp, CAST(count(*) AS BIGINT) AS df FROM f GROUP BY fp)
+         |SELECT df, CAST(count(*) AS BIGINT) AS n_fps,
+         |       CAST(count(*) * (df * (df - 1) // 2) AS BIGINT) AS pair_slots,
+         |       df > 100 AS capped
+         |FROM d GROUP BY df""".stripMargin,
 
     "d3_minhash_lsh" ->
       s"""WITH $shingleCtes,
@@ -3415,11 +3450,26 @@ object PipelineQueries {
          |SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy
          |FROM c WHERE n > 0""".stripMargin,
 
+    // quadratic epoch mix replayed (h·((h + A·e) mod P) mod P — see
+    // Curation.epochMix for why suffix/linear mixes fail); epoch = 2
     "p5_shuffle_order" ->
-      s"""WITH b AS (SELECT doc_id,
-         |  ${phSql("CAST(doc_id AS VARCHAR) || ':2'")} AS h FROM documents)
+      s"""WITH b0 AS (SELECT doc_id,
+         |  ${phSql("CAST(doc_id AS VARCHAR)")} AS s FROM documents),
+         |b AS (SELECT doc_id, (s * ((s + 2 * 2654435761) % $P)) % $P AS h FROM b0)
          |SELECT doc_id, h % 8 AS shard,
          |       row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+         |FROM b""".stripMargin,
+
+    // curriculum replayed: stable id-hash shard, per-shard order by
+    // (difficulty, epoch-mixed hash, id); epoch = 1
+    "p26_curriculum" ->
+      s"""WITH b0 AS (SELECT doc_id, n_chars // 50 AS difficulty,
+         |  ${phSql("CAST(doc_id AS VARCHAR)")} AS s FROM documents),
+         |b AS (SELECT doc_id, difficulty, s % 8 AS shard,
+         |        (s * ((s + 2654435761) % $P)) % $P AS h FROM b0)
+         |SELECT doc_id, difficulty, shard,
+         |       row_number() OVER (PARTITION BY shard
+         |         ORDER BY difficulty, h, doc_id) AS pos
          |FROM b""".stripMargin,
 
     "tx7_gopher_filter" -> {

@@ -1487,6 +1487,38 @@ object Dedup {
 
   // ---- Winnowing (MOSS) fingerprint pairs ---------------------------------
 
+  /** Enumeration-free winnowing audit: the fingerprint document-
+    * frequency histogram with the PAIR-SLOT mass each df level would
+    * contribute to [[winnowPairs]]' candidate join (`n_fps·C(df,2)`),
+    * and the capped flag at `maxDf` — the d3b/d4b report pattern for
+    * the case where enumerating pairs is output-quadratic (measured:
+    * the sf1 replication corpus yields 103k true pairs; this report
+    * stays at ~30 metadata rows). Read it to SET maxDf/minShared
+    * before a 100 TB run: the capped rows' pair_slots is exactly the
+    * join mass the cap removes.
+    *
+    * Scale shape: one fingerprint-keyed partial-agg'd exchange to df
+    * counts, then a ~|distinct df| histogram aggregation. Never a
+    * pair anywhere.
+    */
+  def winnowFpStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      maxDf: Int = 100): DataFrame = {
+    require(maxDf >= 2, "winnowFpStats: maxDf >= 2 (1 admits no pair)")
+    df.filter(col(textCol).isNotNull)
+      .select(
+        explode(graft.functions.TextFunctions.fingerprint(col(textCol), k, w))
+          .as("_fp")) // fps are distinct per doc: count(*) = doc freq
+      .groupBy(col("_fp")).agg(count(lit(1)).as("df"))
+      .groupBy(col("df")).agg(count(lit(1)).as("n_fps"))
+      .withColumn("pair_slots", expr("n_fps * (df * (df - 1) div 2)"))
+      .withColumn("capped", col("df") > maxDf)
+  }
+
   /** Copied-passage candidate pairs from winnowing fingerprints
     * ([[graft.functions.TextFunctions.fingerprint]] — the fused
     * char-gram kernel tx4 gates): unordered doc pairs sharing at

@@ -169,12 +169,25 @@ class CurationSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
     val e1a = orderOf(1)
     assert(e1a === orderOf(1))                 // rerun-stable
-    assert(e1a !== orderOf(2))                 // epoch reshuffles
+    val e2 = orderOf(2)
+    assert(e1a !== e2)                         // epoch reshuffles
     assert(e1a.map(_._1).distinct.size === 300)
     // within every shard, positions are exactly 1..count
     e1a.groupBy(_._2).foreach { case (_, rows) =>
       assert(rows.map(_._3).sorted === (1 to rows.size).toList)
     }
+    // TRUE reshuffle, not a re-slicing of one fixed permutation: some
+    // pair sharing a shard in BOTH epochs flips its relative order
+    // (the string-suffix epoch hash only adds a constant — it can
+    // never flip a pair; this assertion pins the multiplicative mix)
+    val m1 = e1a.map(t => t._1 -> ((t._2, t._3))).toMap
+    val m2 = e2.map(t => t._1 -> ((t._2, t._3))).toMap
+    val flips = for {
+      a <- 0L until 300L; b <- (a + 1) until 300L
+      if m1(a)._1 == m1(b)._1 && m2(a)._1 == m2(b)._1
+      if (m1(a)._2 < m1(b)._2) != (m2(a)._2 < m2(b)._2)
+    } yield (a, b)
+    assert(flips.nonEmpty, "epoch change must flip some within-shard pair order")
   }
 
   test("packChunks: per-shard cumulative offsets, chunk = start/ctx, tokens conserved") {
@@ -829,6 +842,31 @@ class CurationSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       Curation.mixturePlan(docs, "src", "text", 1L, Map("a" -> 1001L))
+    }
+  }
+
+  test("curriculumOrder: difficulty progression per shard, epoch reshuffle within level") {
+    val docs = (0L until 64L).map(i => (i, i % 4)).toDF("doc_id", "difficulty")
+    def run(epoch: Int) = Curation.curriculumOrder(docs, "doc_id", "difficulty",
+      epoch, shards = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    val e1 = run(1)
+    val e2 = run(2)
+    // within every shard, pos order is non-decreasing in difficulty
+    for (e <- Seq(e1, e2); (_, rows) <- e.values.groupBy(_._2)) {
+      val byPos = rows.toSeq.sortBy(_._3).map(_._1)
+      assert(byPos === byPos.sorted, byPos.toString)
+    }
+    // shard placement is epoch-independent; within-level order is not
+    assert(e1.forall { case (id, (_, sh, _)) => e2(id)._2 == sh })
+    assert(e1.exists { case (id, (_, _, pos)) => e2(id)._3 != pos },
+      "epoch seed must reshuffle within difficulty levels")
+    // positions are a permutation of 1..n per shard
+    for ((_, rows) <- e1.values.groupBy(_._2))
+      assert(rows.map(_._3).toSeq.sorted === (1 to rows.size), rows.toString)
+    intercept[IllegalArgumentException] {
+      Curation.curriculumOrder(docs, "doc_id", "difficulty", 1, shards = 0)
     }
   }
 

@@ -144,6 +144,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowFpStats: df histogram with pair-slot mass, capped flag, no pairs") {
+    // 3 identical docs: every fingerprint has df=3 -> one histogram
+    // row with pair_slots = n_fps * C(3,2)
+    val tri = (1L to 3L).map(i => (i, "exactly the same body of copied text here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowFpStats(tri, "doc_id", "text", maxDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.keySet === Set(3L), out.toString)
+    val (nFps, slots, capped) = out(3L)
+    assert(slots === nFps * 3 && capped, out.toString) // df=3 > maxDf=2
+    // the report's pair_slots at df <= maxDf equals what winnowPairs
+    // would enumerate: 2 twins -> df=2 rows, slots = n_fps * 1
+    val twins = (1L to 2L).map(i => (i, "another fully identical passage body"))
+      .toDF("doc_id", "text")
+    val st = Dedup.winnowFpStats(twins, "doc_id", "text", maxDf = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val enumerated = Dedup.winnowPairs(twins, "doc_id", "text", minShared = 1)
+      .select("shared_fps").as[Long].collect().sum
+    assert(st(2L) === enumerated, s"${st(2L)} vs $enumerated")
+  }
+
   test("minhash: identical texts get identical signatures; lsh finds dups") {
     val sigs = docs.select($"doc_id", Dedup.minhashSignature($"text").as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
