@@ -536,6 +536,14 @@ object RelationalQueries {
       EventAnalytics.rollingAnomaly(t(s, dir, "events"), "user_id", "ts",
         "value", orderCols = Seq("event_id"))),
 
+    // ---- event-type co-occurrence with LIFT over activity sessions:
+    // the unordered association the funnel family cannot express —
+    // integer cross-multiplied lift verdict, pair join bounded by the
+    // type domain per session
+    "a23_cooccurrence" -> ((s, dir) =>
+      EventAnalytics.cooccurrence(t(s, dir, "events"), "user_id", "ts",
+        "event_type")),
+
     // ---- two-sided CUSUM drift detection: the sequential mean-shift
     // detector (fires on SUSTAINED drift no single tick reveals — the
     // complement of w10's per-tick spikes); clamped recursions
@@ -993,6 +1001,33 @@ object RelationalQueries {
         |           > 3000*3000*(n_prior*(n_prior*sumsq_prior - sum_prior*sum_prior))
         |         AS is_anomaly
         |FROM w""".stripMargin,
+
+    // a11's session CTE + per-session distinct types + the pair join
+    // and integer lift arithmetic
+    "a23_cooccurrence" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |                  event_type FROM events),
+        |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w >= 43200000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s0 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                                ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |s AS (SELECT DISTINCT user_id, sid, event_type AS t FROM s0),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_sessions
+        |        FROM (SELECT DISTINCT user_id, sid FROM s)),
+        |pt AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY t),
+        |p AS (SELECT a.t AS type_a, b.t AS type_b,
+        |             CAST(count(*) AS BIGINT) AS together
+        |      FROM s a JOIN s b ON a.user_id = b.user_id AND a.sid = b.sid
+        |                        AND a.t < b.t
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.together, na.n AS n_a, nb.n AS n_b,
+        |       tot.total_sessions,
+        |       CAST(p.together * tot.total_sessions * 1000 // (na.n * nb.n)
+        |            AS BIGINT) AS lift_milli,
+        |       p.together * tot.total_sessions > na.n * nb.n AS positive
+        |FROM p JOIN pt na ON p.type_a = na.t
+        |       JOIN pt nb ON p.type_b = nb.t, tot""".stripMargin,
 
     // CUSUM replayed closed-form: S = C − min(0, running-min C) per
     // side; refQ+slackQ = (50+10)·1024, hQ = 300·1024

@@ -273,6 +273,65 @@ object EventAnalytics {
         max(col("_peak") - col("_cum")).as("max_dd_q"))
   }
 
+  /** Event-type co-occurrence with lift over per-key activity
+    * sessions (gap-based, the a11 sessionization): for every
+    * unordered pair of event types, in how many sessions do both
+    * occur, versus what independence predicts — `lift = P(A∩B) /
+    * (P(A)·P(B))`, reported as the integer cross-multiplication
+    * `together·total·1000 div (n_a·n_b)` plus the exact `positive`
+    * verdict `together·total > n_a·n_b`. The UNORDERED association
+    * view the funnel family (a14/a20, ordered) cannot express —
+    * "users who do A in a session also do B", the feature-pairing /
+    * cannibalization read.
+    *
+    * Scale shape: one keyed exchange + per-key sort assigns session
+    * ids (lag + running sum); per-session distinct types bound the
+    * pair self-join by C(|type domain|, 2) rows per session — never
+    * row-quadratic; type totals and the session count ride as
+    * metadata frames. Returns (type_a, type_b, together, n_a, n_b,
+    * total_sessions, lift_milli, positive).
+    */
+  def cooccurrence(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      gapUs: Long = 12L * 3600 * 1000000): DataFrame = {
+    require(gapUs >= 1, "cooccurrence: gapUs must be >= 1")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val wc = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col(tsCol))
+    val sess = events
+      .select(col(keyCol), col(tsCol), col(typeCol))
+      .withColumn("_brk",
+        when(lag(us, 1).over(w).isNull ||
+          us - lag(us, 1).over(w) >= gapUs, 1L).otherwise(0L))
+      .withColumn("_sid", sum(col("_brk")).over(wc))
+      .select(col(keyCol), col("_sid"), col(typeCol).as("_t"))
+      .distinct()
+    val total = sess.select(col(keyCol), col("_sid")).distinct()
+      .agg(count(lit(1)).as("total_sessions")) // 1 row
+    val perType = sess.groupBy(col("_t")).agg(count(lit(1)).as("_n"))
+    val pairs = sess.as("a")
+      .join(sess.as("b"),
+        col(s"a.$keyCol") === col(s"b.$keyCol") &&
+          col("a._sid") === col("b._sid") && col("a._t") < col("b._t"))
+      .groupBy(col("a._t").as("type_a"), col("b._t").as("type_b"))
+      .agg(count(lit(1)).as("together"))
+    pairs
+      .join(broadcast(perType.select(col("_t").as("type_a"), col("_n").as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(perType.select(col("_t").as("type_b"), col("_n").as("n_b"))),
+        Seq("type_b"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift_milli",
+        expr("together * total_sessions * 1000 div (n_a * n_b)"))
+      .withColumn("positive", expr("together * total_sessions > n_a * n_b"))
+      .select(col("type_a"), col("type_b"), col("together"), col("n_a"),
+        col("n_b"), col("total_sessions"), col("lift_milli"), col("positive"))
+  }
+
   /** Two-sided CUSUM change detection per key (Page 1954): the
     * sequential drift detector that fires on a SUSTAINED shift of the
     * mean long before any single tick looks anomalous (the complement

@@ -42,6 +42,29 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(a.getLong(3) === 10L && a.getLong(4) === 10L)
   }
 
+  test("cooccurrence: session-scoped lift, repeats counted once, absent pairs omitted") {
+    // user 1: two sessions both containing {A, B} (A repeated in the
+    // first — counted once); user 2: two singleton sessions {A}, {C}
+    val ev = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00")), (1L, "A", ts("2024-01-01 10:05:00")),
+      (1L, "B", ts("2024-01-01 10:10:00")),
+      (1L, "A", ts("2024-01-02 10:00:00")), (1L, "B", ts("2024-01-02 10:30:00")),
+      (2L, "A", ts("2024-01-01 09:00:00")),
+      (2L, "C", ts("2024-01-03 09:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.cooccurrence(ev, "user_id", "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getBoolean(7)))).toMap
+    // 4 sessions; n_A=3, n_B=2, n_C=1; (A,B) together in 2:
+    // lift = 2*4/(3*2) -> 1333 milli, positive (8 > 6)
+    assert(out === Map(("A", "B") ->
+      ((2L, 3L, 2L, 4L, 1333L, true))), out.toString)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.cooccurrence(ev, "user_id", "ts", "event_type", gapUs = 0)
+    }
+  }
+
   test("cusum: sustained drift alarms, per-side clamping, null when never alarmed") {
     // key 1: mean shifts up at tick 3 — upper CUSUM accumulates
     // su: 0,0,13,26,39,29; alarms (h=15) at ticks 4,5,6
