@@ -536,6 +536,12 @@ object RelationalQueries {
       EventAnalytics.rollingAnomaly(t(s, dir, "events"), "user_id", "ts",
         "value", orderCols = Seq("event_id"))),
 
+    // ---- diurnal periodicity audit: (type, hour-of-day) profile with
+    // peak hour + integer burstiness verdict — the organic-vs-bot
+    // first read on an event stream
+    "a24_hour_profile" -> ((s, dir) =>
+      EventAnalytics.hourOfDayProfile(t(s, dir, "events"), "event_type", "ts")),
+
     // ---- event-type co-occurrence with LIFT over activity sessions:
     // the unordered association the funnel family cannot express —
     // integer cross-multiplied lift verdict, pair join bounded by the
@@ -1001,6 +1007,23 @@ object RelationalQueries {
         |           > 3000*3000*(n_prior*(n_prior*sumsq_prior - sum_prior*sum_prior))
         |         AS is_anomaly
         |FROM w""".stripMargin,
+
+    "a24_hour_profile" ->
+      """WITH c AS (SELECT event_type,
+        |             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hour,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |t0 AS (SELECT *, CAST(sum(n) OVER w AS BIGINT) AS total,
+        |         CAST(max(n) OVER w AS BIGINT) AS mx
+        |       FROM c WINDOW w AS (PARTITION BY event_type)),
+        |t AS (SELECT *, min(CASE WHEN n = mx THEN hour END)
+        |        OVER (PARTITION BY event_type) AS ph
+        |      FROM t0)
+        |SELECT event_type, hour, n, total,
+        |       CAST(n * 1000 // total AS BIGINT) AS share_milli,
+        |       hour = ph AS is_peak,
+        |       mx * 1000 > 500 * total AS bursty
+        |FROM t""".stripMargin,
 
     // a11's session CTE + per-session distinct types + the pair join
     // and integer lift arithmetic

@@ -273,6 +273,48 @@ object EventAnalytics {
         max(col("_peak") - col("_cum")).as("max_dd_q"))
   }
 
+  /** Diurnal periodicity audit: per (type, hour-of-day) event counts
+    * with each type's peak hour and a `bursty` verdict — the peak
+    * hour carrying more than `burstMilli`/1000 OF THE TYPE'S TOTAL
+    * (integer cross-multiplication: `peak·1000 > burstMilli·total`;
+    * default 500 = an absolute majority of events in one wall-clock
+    * hour). Deliberately NOT "× the uniform 1/24 share": human
+    * diurnal traffic concentrates in waking hours and would trip any
+    * uniform-relative threshold; a single-hour majority is the cron
+    * replay / burst-scrape shape. The hour profile itself feeds
+    * capacity planning either way.
+    *
+    * Scale shape: one partial-agg'd exchange to the (type, hour)
+    * cells — ≤ 24·|type domain| metadata rows; peak/total ride as
+    * windows over each type's ≤ 24 rows. Returns (event type, hour,
+    * n, total, share_milli, is_peak, bursty).
+    */
+  def hourOfDayProfile(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      burstMilli: Long = 500L): DataFrame = {
+    require(burstMilli >= 1 && burstMilli <= 1000,
+      "hourOfDayProfile: burstMilli in [1, 1000]")
+    val cells = events
+      .select(col(typeCol),
+        expr(s"(unix_micros($tsCol) div 3600000000L) % 24").as("hour"))
+      .groupBy(col(typeCol), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(typeCol)) // <= 24 rows per type
+    cells
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("_mx", max(col("n")).over(w))
+      .withColumn("_peakHour",
+        min(when(col("n") === col("_mx"), col("hour"))).over(w))
+      .withColumn("share_milli", expr("n * 1000 div total"))
+      .withColumn("is_peak", col("hour") === col("_peakHour"))
+      .withColumn("bursty",
+        expr(s"_mx * 1000 > $burstMilli * total"))
+      .select(col(typeCol), col("hour"), col("n"), col("total"),
+        col("share_milli"), col("is_peak"), col("bursty"))
+  }
+
   /** Event-type co-occurrence with lift over per-key activity
     * sessions (gap-based, the a11 sessionization): for every
     * unordered pair of event types, in how many sessions do both

@@ -42,6 +42,29 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(a.getLong(3) === 10L && a.getLong(4) === 10L)
   }
 
+  test("hourOfDayProfile: peak hour, integer shares, burst verdict both ways") {
+    // bot: 9 of 10 events in hour 02 (peak share 900 > 2x uniform);
+    // organic: spread over 3 hours with a mild 2/4 peak at the
+    // earliest maximal hour (tie at hours 01 and 03 -> peak = 01)
+    val ev = Seq.fill(9)(("bot", ts("2024-01-01 02:10:00"))) ++ Seq(
+      ("bot", ts("2024-01-01 07:00:00")),
+      ("org", ts("2024-01-01 01:00:00")), ("org", ts("2024-01-01 01:30:00")),
+      ("org", ts("2024-01-02 03:00:00")), ("org", ts("2024-01-02 03:30:00")))
+    val out = EventAnalytics.hourOfDayProfile(
+      ev.toDF("event_type", "ts"), "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5),
+          r.getBoolean(6)))).toMap
+    assert(out(("bot", 2L))  === ((9L, 10L, 900L, true, true)), out.toString)
+    assert(out(("bot", 7L))  === ((1L, 10L, 100L, false, true)))
+    assert(out(("org", 1L))  === ((2L, 4L, 500L, true, false))) // tie -> min hour
+    assert(out(("org", 3L))  === ((2L, 4L, 500L, false, false)))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.hourOfDayProfile(ev.toDF("event_type", "ts"),
+        "event_type", "ts", burstMilli = 1001)
+    }
+  }
+
   test("cooccurrence: session-scoped lift, repeats counted once, absent pairs omitted") {
     // user 1: two sessions both containing {A, B} (A repeated in the
     // first — counted once); user 2: two singleton sessions {A}, {C}
