@@ -1107,6 +1107,12 @@ object PipelineQueries {
       Curation.shuffleOrder(t(s, dir, "documents"), "doc_id",
         epoch = 2, shards = 8)),
 
+    // ---- dataset card: the one-row corpus sign-off sheet — mass,
+    // diversity, dup share, exact discrete token-length quantiles
+    "p27_corpus_card" -> ((s, dir) =>
+      Curation.corpusCard(t(s, dir, "documents"), "doc_id", "text",
+        "lang", "source")),
+
     // ---- curriculum training order: easy→hard per shard (difficulty
     // = coarse length bucket here), epoch-seeded reshuffle WITHIN each
     // difficulty level, stable shard placement across epochs
@@ -3449,6 +3455,34 @@ object PipelineQueries {
          |  pct // 100 + CASE WHEN h < pct % 100 THEN 1 ELSE 0 END AS n FROM b)
          |SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy
          |FROM c WHERE n > 0""".stripMargin,
+
+    // explicit discrete quantiles (smallest v with cum·k >= q·n) so no
+    // engine quantile variant is trusted
+    "p27_corpus_card" ->
+      """WITH b AS (SELECT doc_id, text, lang, source,
+        |    CASE WHEN text IS NOT NULL
+        |         THEN CAST(len(string_split(text, ' ')) AS BIGINT) END AS nt
+        |  FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens,
+        |        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |        CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_null_texts,
+        |        CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts
+        |      FROM b),
+        |h AS (SELECT nt, count(*) AS c FROM b WHERE nt IS NOT NULL GROUP BY nt),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM b WHERE nt IS NOT NULL),
+        |cq AS (SELECT nt, sum(c) OVER (ORDER BY nt ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM h),
+        |q AS (SELECT min(CASE WHEN cum * 2 >= nn THEN nt END) AS median_doc_tokens,
+        |             min(CASE WHEN cum * 10 >= nn * 9 THEN nt END) AS p90_doc_tokens
+        |      FROM cq, n)
+        |SELECT n_docs, n_tokens, n_langs, n_sources, n_null_texts, distinct_texts,
+        |       CAST((n_docs - n_null_texts - distinct_texts) * 1000 //
+        |            greatest(n_docs - n_null_texts, 1) AS BIGINT) AS dup_doc_milli,
+        |       median_doc_tokens, p90_doc_tokens
+        |FROM t, q""".stripMargin,
 
     // quadratic epoch mix replayed (h·((h + A·e) mod P) mod P — see
     // Curation.epochMix for why suffix/linear mixes fail); epoch = 2

@@ -462,6 +462,62 @@ object Curation {
     pmod(h * pmod(h + lit(2654435761L * epoch), p), p)
   }
 
+  /** Dataset card: the one-row corpus summary sheet a training run is
+    * signed off against — doc/token mass, language and source
+    * diversity, null-text count, exact-duplicate share, and exact
+    * discrete token-length quantiles (lower median and p90 via the
+    * cumulative histogram over DISTINCT length values — order
+    * statistics without a global sort). All integers; the quantile
+    * definition (smallest v with cum·k ≥ q·n) is explicit so the
+    * oracle replays it rather than trusting engine quantile variants.
+    *
+    * Scale shape: one narrow scan feeds three partial-agg'd
+    * aggregations (global counts; text-hash groups for the dup share;
+    * the token-length histogram, bounded by the longest document);
+    * the quantile window runs over histogram rows. Returns one row:
+    * (n_docs, n_tokens, n_langs, n_sources, n_null_texts,
+    * distinct_texts, dup_doc_milli, median_doc_tokens,
+    * p90_doc_tokens).
+    */
+  def corpusCard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), col(textCol),
+      col(langCol), col(sourceCol),
+      when(col(textCol).isNotNull,
+        TextFunctions.tokenCount(col(textCol)).cast("long")).as("_nt"))
+    val totals = base.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("_nt")), lit(0L)).as("n_tokens"),
+      countDistinct(col(langCol)).as("n_langs"),
+      countDistinct(col(sourceCol)).as("n_sources"),
+      sum(when(col(textCol).isNull, 1L).otherwise(0L)).as("n_null_texts"),
+      countDistinct(col(textCol)).as("distinct_texts"))
+    val hist = base.filter(col("_nt").isNotNull)
+      .groupBy(col("_nt")).agg(count(lit(1)).as("_c"))
+    val wq = Window.orderBy(col("_nt")) // histogram rows only
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("_cum", sum(col("_c")).over(wq))
+      .crossJoin(broadcast(
+        base.filter(col("_nt").isNotNull).agg(count(lit(1)).as("_n"))))
+    val quants = cum.agg(
+      min(when(col("_cum") * 2 >= col("_n"), col("_nt")))
+        .as("median_doc_tokens"),
+      min(when(col("_cum") * 10 >= col("_n") * 9, col("_nt")))
+        .as("p90_doc_tokens"))
+    totals.crossJoin(broadcast(quants))
+      .withColumn("dup_doc_milli",
+        expr("(n_docs - n_null_texts - distinct_texts) * 1000 div " +
+          "greatest(n_docs - n_null_texts, 1)"))
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_sources"), col("n_null_texts"), col("distinct_texts"),
+        col("dup_doc_milli"), col("median_doc_tokens"), col("p90_doc_tokens"))
+  }
+
   /** Curriculum training order: each document's position in an
     * easy→hard reading sequence, sharded. Within a shard documents
     * order by (difficulty asc, epoch-seeded hash, id) — the standard

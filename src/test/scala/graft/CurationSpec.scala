@@ -845,6 +845,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusCard: mass, diversity, dup share, explicit discrete quantiles") {
+    // 10 docs: token lengths 1..9 + one null text; doc 2 duplicates
+    // doc 1's text (9 non-null docs, 8 distinct -> dup 111 milli)
+    val docs = Seq(
+      (1L, "w", "en", "a"), (2L, "w", "en", "a"),
+      (3L, "w w w", "en", "b"), (4L, "w w w w", "de", "b"),
+      (5L, "w w w w w", "de", "b"), (6L, "w w w w w w", "fr", "c"),
+      (7L, "w w w w w w w", "fr", "c"), (8L, "w w w w w w w w", "fr", "c"),
+      (9L, "w w w w w w w w w", "fr", "c"),
+      (10L, null.asInstanceOf[String], "fr", "c")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = Curation.corpusCard(docs, "doc_id", "text", "lang", "source").head()
+    assert(r.getLong(0) === 10L && r.getLong(1) === 44L) // 1+1+3+..+9
+    assert(r.getLong(2) === 3L && r.getLong(3) === 3L)   // langs, sources
+    assert(r.getLong(4) === 1L && r.getLong(5) === 8L)   // null, distinct
+    assert(r.getLong(6) === 111L, r.toString)            // 1/9 dup share
+    // lengths sorted: 1,1,3,4,5,6,7,8,9 (n=9): median = smallest v
+    // with cum*2 >= 9 -> cum >= 5 -> v=5 (the middle order statistic);
+    // p90: cum*10 >= 81 -> cum >= 9 -> v=9
+    assert(r.getLong(7) === 5L && r.getLong(8) === 9L, r.toString)
+  }
+
   test("curriculumOrder: difficulty progression per shard, epoch reshuffle within level") {
     val docs = (0L until 64L).map(i => (i, i % 4)).toDF("doc_id", "difficulty")
     def run(epoch: Int) = Curation.curriculumOrder(docs, "doc_id", "difficulty",
