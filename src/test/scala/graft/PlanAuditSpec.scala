@@ -101,6 +101,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("event-analytics additions: keyed windows, bounded pair joins, no cartesian") {
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    // cusum: both sides + clamping mins ride keyed windows — exactly
+    // one hash exchange on the key, never a global window
+    val pc = plan(graft.operators.EventAnalytics.cusum(
+      ev, "user_id", "ts", "value", 50.0, 10.0, 300.0,
+      orderCols = Seq("event_id")))
+    assert(pc.contains("hashpartitioning(user_id"), pc.take(3000))
+    assert(!pc.contains("Exchange SinglePartition"), pc.take(3000))
+    // co-occurrence: the session pair join is an equi-join on
+    // (key, sid); the only nested-loop is the 1-row totals broadcast
+    val pco = plan(graft.operators.EventAnalytics.cooccurrence(
+      ev, "user_id", "ts", "event_type"))
+    assert(!pco.contains("CartesianProduct"), pco.take(4000))
+    // hour profile: cells partial-agg'd; windows partitioned by type
+    val ph = plan(graft.operators.EventAnalytics.hourOfDayProfile(
+      ev, "event_type", "ts"))
+    assert(ph.contains("hashpartitioning(event_type"), ph.take(3000))
+    assert(!ph.contains("Exchange SinglePartition"), ph.take(3000))
+  }
+
   test("corpus text audits: one token exchange, windows only over metadata rows") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     // vocabGrowth: the only SinglePartition window runs over <= buckets
