@@ -448,6 +448,22 @@ object StreamingQueries {
       out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
     }),
 
+    // a24's live twin: the diurnal profile refreshing as events
+    // stream in — 24 counters per type; each touched type re-emits
+    // its full profile, so the latest emission per (type, hour) IS
+    // the batch frame (oracle verbatim)
+    "a24s_hour_profile_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"), col("ts"),
+        col("event_id"))
+      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 4) {
+        case Seq(e) =>
+          StreamingState.hourProfileStream(e, "event_type", "ts")
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type", "hour").orderBy(col("total").desc)
+      out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    }),
+
     // w11's live twin: the CUSUM drift monitor reading while ticks
     // stream in — 9 longs of state per key; final emission == the
     // batch report (shared quantization + integer thresholds)
@@ -1063,6 +1079,7 @@ object StreamingQueries {
 
     "w7s_drawdown_stream" -> RelationalQueries.oracles("w7_drawdown"),
     "w11s_cusum_stream" -> RelationalQueries.oracles("w11_cusum"),
+    "a24s_hour_profile_stream" -> RelationalQueries.oracles("a24_hour_profile"),
 
     // the max-n emission per (user, day bucket) is that bucket's final
     // realized-variance mass row — oracle verbatim

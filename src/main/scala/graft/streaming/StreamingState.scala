@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Distributed streaming state operators — the cluster-scale
   * implementation of T1 (last-per-key accumulation) and streaming
@@ -1545,6 +1545,63 @@ object StreamingState {
           else {
             state.update(st)
             Iterator.single(Row(key, st(1), st(2), st(3), st(4)))
+          }
+      }
+  }
+
+  /** a24's streaming twin: the LIVE diurnal profile — state per event
+    * type is its 24 hour-of-day counters (24 longs, constant in
+    * stream length); every micro-batch that touches a type re-emits
+    * the type's full refreshed profile (hour rows with total, integer
+    * share, peak hour, burst verdict recomputed from the counters),
+    * so the latest emission per (type, hour) IS the batch
+    * [[graft.operators.EventAnalytics.hourOfDayProfile]] frame and
+    * the oracle applies verbatim. Counting is order-free — no
+    * within-batch sort, no arrival contract needed.
+    */
+  def hourProfileStream(
+      df: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      burstMilli: Long = 500L): DataFrame = {
+    require(burstMilli >= 1 && burstMilli <= 1000,
+      "hourProfileStream: burstMilli in [1, 1000]")
+    val schema = df.schema
+    val typeIdx = schema.fieldIndex(typeCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    require(schema(typeIdx).dataType == StringType,
+      s"hourProfileStream key '$typeCol' must be STRING")
+    implicit val rowEnc = Encoders.row(StructType(Seq(
+      StructField(typeCol, StringType),
+      StructField("hour", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("total", LongType, nullable = false),
+      StructField("share_milli", LongType, nullable = false),
+      StructField("is_peak", BooleanType, nullable = false),
+      StructField("bursty", BooleanType, nullable = false))))
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.kryo[Array[Long]]
+    val micros: Row => Long = rowMicrosOf(tsIdx)
+    df.groupByKey((r: Row) => r.getString(typeIdx))
+      .flatMapGroupsWithState[Array[Long], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Row], state: GroupState[Array[Long]]) =>
+          val st = state.getOption.getOrElse(new Array[Long](24))
+          var touched = false
+          rows.foreach { r =>
+            st(((micros(r) / 3600000000L) % 24).toInt) += 1L
+            touched = true
+          }
+          if (!touched) Iterator.empty
+          else {
+            state.update(st)
+            val total = st.sum
+            val mx = st.max
+            val peakHour = st.indexOf(mx) // first max = min hour
+            (0 until 24).iterator.filter(st(_) > 0L).map { h =>
+              Row(key, h.toLong, st(h), total, st(h) * 1000 / total,
+                h == peakHour, mx * 1000 > burstMilli * total)
+            }
           }
       }
   }

@@ -275,6 +275,39 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hourProfileStream: counters carry across batches, profile refreshes whole") {
+    val ws = StructType(Seq(
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    def wr(t: String, s: String): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](t, java.sql.Timestamp.valueOf(s)), ws)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(ws), sqlCtx)
+    val out = StreamingState.hourProfileStream(stream.toDF(), "event_type", "ts")
+    val name = s"hour_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("hour-ckpt").toString)
+      .start()
+    try {
+      stream.addData(wr("a", "2024-01-01 02:10:00"), wr("a", "2024-01-01 02:20:00"))
+      q.processAllAvailable()
+      // batch 2 touches a NEW hour: the re-emitted profile must
+      // include the refreshed hour-2 row (total now 3) — whole-profile
+      // refresh, not a delta
+      stream.addData(wr("a", "2024-01-01 07:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3)) ->
+          ((r.getLong(2), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+      // batch 1 emission: hour 2 alone, total 2, peak, bursty (1000 > 500)
+      assert(rows(("a", 2L, 2L)) === ((2L, 1000L, true, true)), rows.toString)
+      // final: hour 2 = 2/3 (666 milli, peak, bursty), hour 7 = 1/3
+      assert(rows(("a", 2L, 3L)) === ((2L, 666L, true, true)), rows.toString)
+      assert(rows(("a", 7L, 3L)) === ((1L, 333L, false, true)), rows.toString)
+    } finally q.stop()
+  }
+
   test("cusumStream: drift state carries across batches, final row == batch cusum") {
     val ws = StructType(Seq(
       StructField("user_id", LongType), StructField("ts", TimestampType),
