@@ -743,6 +743,16 @@ object PipelineQueries {
         graft.testing.MediaFixtures.syntheticMedia(t(s, dir, "documents")),
         frame = 4)),
 
+    // ---- multimodal: scene-cut detection over DECODED AVI frames —
+    // consecutive-frame histogram L1 vs the pair mass, integer
+    // cross-multiplied; the shot-boundary pass before per-scene frame
+    // sampling (mm2's stride is the blind alternative)
+    "mm7_scene_cuts" -> ((s, dir) =>
+      Multimodal.sceneCuts(
+        graft.testing.MediaFixtures.syntheticMedia(t(s, dir, "documents"))
+          .filter(col("kind") === "video"),
+        tMilli = 500)),
+
     // ---- multimodal: video frame sampling
     "mm2_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(graft.testing.MediaFixtures.syntheticMedia(t(s, dir, "documents")), stride = 4)),
@@ -3037,6 +3047,45 @@ object PipelineQueries {
       """SELECT doc_id AS media_id,
         |       unnest(generate_series(0, (n_chars % 32 + 1) - 1, 4)) AS frame_idx
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    // scene cuts replayed from the fixture's deterministic frame
+    // chunking (k = n_chars%32+1 frames, first n%k one byte longer):
+    // per-frame 8-class histograms from text slices, consecutive L1
+    "mm7_scene_cuts" ->
+      """WITH v AS (SELECT doc_id AS media_id, text, len(text) AS n,
+        |             n_chars % 32 + 1 AS k
+        |           FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL),
+        |cl AS (SELECT media_id, n, k,
+        |         CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+        |              ELSE [CAST(unicode(c) & 7 AS BIGINT)
+        |                    for c in string_split_regex(text, '')] END AS cls
+        |       FROM v),
+        |fr AS (SELECT media_id, f,
+        |         [CAST(len(list_filter(
+        |            cls[f*(n//k) + least(f, n%k) + 1 :
+        |                f*(n//k) + least(f, n%k) + n//k
+        |                  + CASE WHEN f < n%k THEN 1 ELSE 0 END],
+        |            x -> x = cc)) AS BIGINT)
+        |          for cc in [0, 1, 2, 3, 4, 5, 6, 7]] AS h
+        |       FROM cl, LATERAL unnest(generate_series(0, k-1)) s(f)),
+        |p AS (SELECT a.media_id, a.f,
+        |        CAST(list_sum([abs(a.h[i] - b.h[i])
+        |                       for i in generate_series(1, 8)]) AS BIGINT) AS l1,
+        |        CAST(list_sum(a.h) + list_sum(b.h) AS BIGINT) AS mass
+        |      FROM fr a JOIN fr b ON a.media_id = b.media_id AND a.f = b.f + 1),
+        |agg AS (SELECT media_id,
+        |          CAST(count(*) FILTER (WHERE mass > 0 AND l1*1000 > 500*mass)
+        |               AS BIGINT) AS n_cuts,
+        |          CAST(coalesce(max(CASE WHEN mass > 0 THEN l1*1000 // mass
+        |                             ELSE 0 END), 0) AS BIGINT) AS max_l1_milli,
+        |          min(CASE WHEN mass > 0 AND l1*1000 > 500*mass THEN f END)
+        |            AS first_cut_frame
+        |        FROM p GROUP BY 1)
+        |SELECT v.media_id, CAST(v.k AS BIGINT) AS n_frames,
+        |       coalesce(agg.n_cuts, 0) AS n_cuts,
+        |       coalesce(agg.max_l1_milli, 0) AS max_l1_milli,
+        |       agg.first_cut_frame
+        |FROM v LEFT JOIN agg USING (media_id)""".stripMargin,
 
     // audio segmentation replayed from the fixture construction
     // (samples = cp & 7 per codepoint): 4-sample frame energies,

@@ -12,6 +12,28 @@ import graft.pipeline.Multimodal
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("sceneCuts: L1 boundary verdict, stable scenes null, malformed dropped") {
+    import spark.implicits._
+    def frame(cls: Int, n: Int): Array[Byte] = Array.fill(n)(cls.toByte)
+    // clip 1: two identical frames then a hard content change:
+    // boundary 1 l1=0 (no cut), boundary 2 l1=8/mass=8 -> 1000 milli
+    val cut = Multimodal.aviEncode(Array(frame(0, 4), frame(0, 4), frame(7, 4)))
+    // clip 2: identical frames throughout: never cuts, first_cut null
+    val flat = Multimodal.aviEncode(Array(frame(3, 4), frame(3, 4)))
+    val media = Seq((1L, cut), (2L, flat), (3L, Array[Byte](9, 9)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.sceneCuts(media, tMilli = 500)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4)))).toMap
+    assert(out(1L) === ((3L, 1L, 1000L, 2L)), out.toString)
+    assert(out(2L) === ((2L, 0L, 0L, null)), out.toString)
+    assert(!out.contains(3L))
+    intercept[IllegalArgumentException] {
+      Multimodal.sceneCuts(media, tMilli = 0)
+    }
+  }
+
   test("audioSegments: frame energies, silent runs, tail window, abs amplitude") {
     import spark.implicits._
     // clip 1: [1,0,0,0 | 0,0,0,0 | -2,0,0,0 | 0] -> 4 frames (tail 1),
