@@ -1453,6 +1453,13 @@ object PipelineQueries {
       Curation.timeSlicedShareDrift(t(s, dir, "events"), "ts",
         Seq("event_type"), bucket = "day", driftPct = 20)),
 
+    // ---- entity-novelty curve: per-day active/new/cumulative
+    // distinct (user, type) entities — the temporal Heaps audit ("is
+    // the stream still discovering entities?"); saturation vs churn
+    "v4_entity_novelty" -> ((s, dir) =>
+      graft.operators.EventAnalytics.entityNovelty(
+        t(s, dir, "events"), Seq("user_id", "event_type"), "ts")),
+
     // ---- BM25 ranked retrieval for a literal query-term set: narrow
     // per-row tf folds, one single-row stats broadcast, global top-k
     // via TakeOrderedAndProject (rational idf — no libm ln)
@@ -3991,6 +3998,25 @@ object PipelineQueries {
         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
         |  '\s+', ' ', 'g')) AS extracted
         |FROM h""".stripMargin,
+
+    // per-(entity, day) distinct activity, first day per entity,
+    // cumulative over day rows
+    "v4_entity_novelty" ->
+      """WITH p AS (SELECT DISTINCT user_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |           FROM events),
+        |fd AS (SELECT user_id, event_type, min(day) AS fd FROM p GROUP BY 1, 2),
+        |a AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active FROM p GROUP BY 1),
+        |f AS (SELECT fd AS day, CAST(count(*) AS BIGINT) AS n_new FROM fd GROUP BY 1),
+        |j AS (SELECT coalesce(a.day, f.day) AS day,
+        |             coalesce(n_active, 0) AS n_active,
+        |             coalesce(n_new, 0) AS n_new
+        |      FROM a FULL JOIN f ON a.day = f.day)
+        |SELECT day, n_active, n_new,
+        |       CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |            AS BIGINT) AS cum_entities,
+        |       CAST(n_new * 1000 // greatest(n_active, 1) AS BIGINT) AS new_milli
+        |FROM j""".stripMargin,
 
     // md5 equality inside each engine is content equality — the hashes
     // integer cross-multiplied share drift — boolean exact cross-engine

@@ -273,6 +273,45 @@ object EventAnalytics {
         max(col("_peak") - col("_cum")).as("max_dd_q"))
   }
 
+  /** Entity-novelty curve: per UTC day, how many distinct entities
+    * (the `entityCols` tuple) were active, how many were seen for the
+    * FIRST time, and the cumulative distinct count — the temporal
+    * Heaps audit ("is the stream still discovering new entities, or
+    * re-treading the known set?"): a collapsing new-share means the
+    * population is saturated (retention machinery applies); a flat
+    * high new-share means churn or synthetic id inflation. Integer
+    * day keys (epoch-days), exact counts.
+    *
+    * Scale shape: one entity-keyed partial-agg'd exchange computes
+    * each entity's first day and the (entity, day) activity pairs
+    * collapse map-side; day rows are metadata-sized and the
+    * cumulative window runs over them. Returns (day, n_active,
+    * n_new, cum_entities, new_milli).
+    */
+  def entityNovelty(
+      events: DataFrame,
+      entityCols: Seq[String],
+      tsCol: String): DataFrame = {
+    require(entityCols.nonEmpty, "entityNovelty: need at least one entity column")
+    val day = expr(s"unix_micros($tsCol) div 86400000000L").as("day")
+    val pairs = events
+      .select((entityCols.map(col) :+ day): _*)
+      .distinct() // (entity, day) activity pairs — map-side collapsed
+    val firstDay = pairs.groupBy(entityCols.map(col): _*)
+      .agg(min(col("day")).as("_fd"))
+    val active = pairs.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val fresh = firstDay.groupBy(col("_fd").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("day")) // metadata day rows
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(fresh, Seq("day"), "full_outer")
+      .withColumn("n_active", coalesce(col("n_active"), lit(0L)))
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_entities", sum(col("n_new")).over(w))
+      .withColumn("new_milli",
+        expr("n_new * 1000 div greatest(n_active, 1)"))
+  }
+
   /** Diurnal periodicity audit: per (type, hour-of-day) event counts
     * with each type's peak hour and a `bursty` verdict — the peak
     * hour carrying more than `burstMilli`/1000 OF THE TYPE'S TOTAL

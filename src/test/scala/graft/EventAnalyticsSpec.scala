@@ -42,6 +42,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(a.getLong(3) === 10L && a.getLong(4) === 10L)
   }
 
+  test("entityNovelty: first-day attribution, repeats within a day collapse") {
+    // day 1: entities (1,A), (1,B) both new; day 2: (1,A) returns
+    // (duplicated within the day — counted once) + (2,A) new;
+    // day 3: only returning activity
+    val ev = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00")), (1L, "B", ts("2024-01-01 11:00:00")),
+      (1L, "A", ts("2024-01-02 10:00:00")), (1L, "A", ts("2024-01-02 12:00:00")),
+      (2L, "A", ts("2024-01-02 10:00:00")),
+      (1L, "B", ts("2024-01-03 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.entityNovelty(ev, Seq("user_id", "event_type"), "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val d1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000 / 86400000000L
+    assert(out(d1)     === ((2L, 2L, 2L, 1000L)), out.toString)
+    assert(out(d1 + 1) === ((2L, 1L, 3L, 500L)), out.toString)
+    assert(out(d1 + 2) === ((1L, 0L, 3L, 0L)), out.toString)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.entityNovelty(ev, Seq.empty, "ts")
+    }
+  }
+
   test("hourOfDayProfile: peak hour, integer shares, burst verdict both ways") {
     // bot: 9 of 10 events in hour 02 (peak share 900 > 2x uniform);
     // organic: spread over 3 hours with a mild 2/4 peak at the
