@@ -2305,9 +2305,12 @@ object PipelineQueries {
          |         list_distinct([list_min(kh[j:j+7]) for j in generate_series(1, len(kh)-7)]) AS fps
          |       FROM kh),
          |f AS (SELECT doc_id, unnest(fps) AS fp FROM f0),
-         |d AS (SELECT fp, CAST(count(*) AS BIGINT) AS df FROM f GROUP BY fp)
+         |d AS (SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |      FROM f GROUP BY fp)
          |SELECT df, CAST(count(*) AS BIGINT) AS n_fps,
-         |       CAST(count(*) * (df * (df - 1) // 2) AS BIGINT) AS pair_slots,
+         |       CAST(least(CAST(count(*) AS HUGEINT) *
+         |              (CAST(df AS HUGEINT) * (df - 1) // 2),
+         |            9223372036854775807) AS BIGINT) AS pair_slots,
          |       df > 100 AS capped
          |FROM d GROUP BY df""".stripMargin,
 
@@ -4003,7 +4006,7 @@ object PipelineQueries {
     // cumulative over day rows
     "v4_entity_novelty" ->
       """WITH p AS (SELECT DISTINCT user_id, event_type,
-        |             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
         |           FROM events),
         |fd AS (SELECT user_id, event_type, min(day) AS fd FROM p GROUP BY 1, 2),
         |a AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active FROM p GROUP BY 1),

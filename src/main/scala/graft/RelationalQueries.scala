@@ -1010,7 +1010,7 @@ object RelationalQueries {
 
     "a24_hour_profile" ->
       """WITH c AS (SELECT event_type,
-        |             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hour,
+        |             CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour,
         |             CAST(count(*) AS BIGINT) AS n
         |           FROM events GROUP BY 1, 2),
         |t0 AS (SELECT *, CAST(sum(n) OVER w AS BIGINT) AS total,
@@ -1046,9 +1046,10 @@ object RelationalQueries {
         |      GROUP BY 1, 2)
         |SELECT p.type_a, p.type_b, p.together, na.n AS n_a, nb.n AS n_b,
         |       tot.total_sessions,
-        |       CAST(p.together * tot.total_sessions * 1000 // (na.n * nb.n)
-        |            AS BIGINT) AS lift_milli,
-        |       p.together * tot.total_sessions > na.n * nb.n AS positive
+        |       CAST(CAST(p.together AS HUGEINT) * tot.total_sessions * 1000
+        |            // (CAST(na.n AS HUGEINT) * nb.n) AS BIGINT) AS lift_milli,
+        |       CAST(p.together AS HUGEINT) * tot.total_sessions
+        |         > CAST(na.n AS HUGEINT) * nb.n AS positive
         |FROM p JOIN pt na ON p.type_a = na.t
         |       JOIN pt nb ON p.type_b = nb.t, tot""".stripMargin,
 

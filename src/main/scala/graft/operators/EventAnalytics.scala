@@ -293,7 +293,10 @@ object EventAnalytics {
       entityCols: Seq[String],
       tsCol: String): DataFrame = {
     require(entityCols.nonEmpty, "entityNovelty: need at least one entity column")
-    val day = expr(s"unix_micros($tsCol) div 86400000000L").as("day")
+    // calendar day (to_date floors in every era; truncating epoch
+    // `div` would merge the two days around 1970-01-01 — review
+    // finding), matching the v3 drift convention
+    val day = to_date(col(tsCol)).as("day")
     val pairs = events
       .select((entityCols.map(col) :+ day): _*)
       .distinct() // (entity, day) activity pairs — map-side collapsed
@@ -335,9 +338,13 @@ object EventAnalytics {
       burstMilli: Long = 500L): DataFrame = {
     require(burstMilli >= 1 && burstMilli <= 1000,
       "hourOfDayProfile: burstMilli in [1, 1000]")
+    // calendar hour, not truncating epoch arithmetic: Java-style
+    // `div`/`%` go NEGATIVE for pre-1970 timestamps (an impossible
+    // hour row that diverges from DuckDB's flooring `//`); hour() is
+    // floor-correct in both engines for any era (review finding)
     val cells = events
       .select(col(typeCol),
-        expr(s"(unix_micros($tsCol) div 3600000000L) % 24").as("hour"))
+        expr(s"CAST(hour($tsCol) AS BIGINT)").as("hour"))
       .groupBy(col(typeCol), col("hour"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col(typeCol)) // <= 24 rows per type
@@ -391,6 +398,11 @@ object EventAnalytics {
       .withColumn("_sid", sum(col("_brk")).over(wc))
       .select(col(keyCol), col("_sid"), col(typeCol).as("_t"))
       .distinct()
+      // reused 4x (totals, per-type counts, both pair-join sides):
+      // persist so the keyed sort + stacked windows run once, not per
+      // lineage (review finding); lifecycle = the harness/caller's
+      // clearCache, the Dedup.trackPersist convention
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = sess.select(col(keyCol), col("_sid")).distinct()
       .agg(count(lit(1)).as("total_sessions")) // 1 row
     val perType = sess.groupBy(col("_t")).agg(count(lit(1)).as("_n"))
@@ -406,9 +418,15 @@ object EventAnalytics {
       .join(broadcast(perType.select(col("_t").as("type_b"), col("_n").as("n_b"))),
         Seq("type_b"))
       .crossJoin(broadcast(total))
+      // lift products in DECIMAL(38,0): long arithmetic would wrap at
+      // ~1e8 sessions for a near-ubiquitous pair (review finding);
+      // the FINAL milli value is small, so the cast back is exact
       .withColumn("lift_milli",
-        expr("together * total_sessions * 1000 div (n_a * n_b)"))
-      .withColumn("positive", expr("together * total_sessions > n_a * n_b"))
+        expr("CAST(floor(CAST(together AS DECIMAL(38,0)) * total_sessions " +
+          "* 1000 / (CAST(n_a AS DECIMAL(38,0)) * n_b)) AS BIGINT)"))
+      .withColumn("positive",
+        expr("CAST(together AS DECIMAL(38,0)) * total_sessions " +
+          "> CAST(n_a AS DECIMAL(38,0)) * n_b"))
       .select(col("type_a"), col("type_b"), col("together"), col("n_a"),
         col("n_b"), col("total_sessions"), col("lift_milli"), col("positive"))
   }

@@ -1510,12 +1510,22 @@ object Dedup {
       maxDf: Int = 100): DataFrame = {
     require(maxDf >= 2, "winnowFpStats: maxDf >= 2 (1 admits no pair)")
     df.filter(col(textCol).isNotNull)
-      .select(
+      .select(col(idCol).as("_id"),
         explode(graft.functions.TextFunctions.fingerprint(col(textCol), k, w))
-          .as("_fp")) // fps are distinct per doc: count(*) = doc freq
-      .groupBy(col("_fp")).agg(count(lit(1)).as("df"))
+          .as("_fp"))
+      // countDistinct, not count(*): robust to duplicated input ids
+      // (fps are distinct per doc, but the id makes the df exact even
+      // on re-fed rows — review finding)
+      .groupBy(col("_fp")).agg(countDistinct(col("_id")).as("df"))
       .groupBy(col("df")).agg(count(lit(1)).as("n_fps"))
-      .withColumn("pair_slots", expr("n_fps * (df * (df - 1) div 2)"))
+      // pair-slot mass in DECIMAL(38,0), saturated at Long.MaxValue:
+      // df*(df-1)/2 alone wraps a long at df ~ 4.3e9 — exactly the
+      // boilerplate rows whose removed-mass number this report exists
+      // to show (review finding). df*(df-1) is even, so /2 is exact.
+      .withColumn("pair_slots",
+        expr("CAST(least(CAST(n_fps AS DECIMAL(38,0)) * " +
+          "(CAST(df AS DECIMAL(38,0)) * (df - 1) / 2), " +
+          "9223372036854775807) AS BIGINT)"))
       .withColumn("capped", col("df") > maxDf)
   }
 

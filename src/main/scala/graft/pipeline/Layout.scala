@@ -314,6 +314,21 @@ object Layout {
       "layoutAdvisor: weights are per-mille in [0, 1000]")
     val spark = audit.sparkSession
     import spark.implicits._
+    // coverage validation (metadata-sized collect): the scoring join
+    // would otherwise silently DROP a weighted column a layout never
+    // probed, letting that layout win purely on missing data — the
+    // "two layouts compare on the same probes" guarantee must hold or
+    // fail loudly (review finding)
+    val present = audit.select(col("layout"), col("column")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    require(present.nonEmpty, "layoutAdvisor: empty audit frame")
+    val wanted = weightsPm.keySet
+    present.map(_._1).distinct.foreach { l =>
+      val covered = present.collect { case (`l`, c) => c }.toSet
+      require(wanted.subsetOf(covered),
+        s"layoutAdvisor: layout '$l' has no audit rows for weighted " +
+          s"column(s) ${(wanted -- covered).toSeq.sorted.mkString(", ")}")
+    }
     val w = weightsPm.toSeq.sortBy(_._1).toDF("column", "weight_pm")
     val perCol = audit.groupBy(col("layout"), col("column"))
       .agg(sum(col("n_files")).as("col_files"),

@@ -178,8 +178,13 @@ object Similarity {
     require(fb >= 1, "prfTopK: fb must be >= 1")
     require(scaleBits >= 0 && scaleBits <= 40, "prfTopK: scaleBits in [0, 40]")
     val scale = (1L << scaleBits).toDouble
+    // r1 is metadata-sized (<= fb·|queries| rows) but its lineage is a
+    // full corpus scan + rank window — persist so the expansion and
+    // the was_feedback join don't each recompute round 1 (review
+    // finding); lifecycle = the caller's clearCache
     val r1 = bruteForceTopK(corpus, queries, idCol, vecCol, fb)
       .select(col("qid"), col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cq = corpus.select(col(idCol).as("cid"),
       transform(col(vecCol),
         x => (x.cast("double") * lit(scale)).cast("long")).as("_qv"))

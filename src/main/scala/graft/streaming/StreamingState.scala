@@ -1589,7 +1589,12 @@ object StreamingState {
           val st = state.getOption.getOrElse(new Array[Long](24))
           var touched = false
           rows.foreach { r =>
-            st(((micros(r) / 3600000000L) % 24).toInt) += 1L
+            // floorDiv/floorMod: Java truncating `/`+`%` go negative
+            // for pre-1970 timestamps — st(-1) would be a poison-pill
+            // ArrayIndexOutOfBounds replayed from the checkpoint
+            // forever (review finding); floorMod is the calendar hour
+            st(Math.floorMod(
+              Math.floorDiv(micros(r), 3600000000L), 24L).toInt) += 1L
             touched = true
           }
           if (!touched) Iterator.empty

@@ -53,12 +53,11 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (1L, "B", ts("2024-01-03 10:00:00"))
     ).toDF("user_id", "event_type", "ts")
     val out = EventAnalytics.entityNovelty(ev, Seq("user_id", "event_type"), "ts")
-      .collect().map(r => r.getLong(0) ->
+      .collect().map(r => r.getDate(0).toString ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    val d1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000 / 86400000000L
-    assert(out(d1)     === ((2L, 2L, 2L, 1000L)), out.toString)
-    assert(out(d1 + 1) === ((2L, 1L, 3L, 500L)), out.toString)
-    assert(out(d1 + 2) === ((1L, 0L, 3L, 0L)), out.toString)
+    assert(out("2024-01-01") === ((2L, 2L, 2L, 1000L)), out.toString)
+    assert(out("2024-01-02") === ((2L, 1L, 3L, 500L)), out.toString)
+    assert(out("2024-01-03") === ((1L, 0L, 3L, 0L)), out.toString)
     intercept[IllegalArgumentException] {
       EventAnalytics.entityNovelty(ev, Seq.empty, "ts")
     }
