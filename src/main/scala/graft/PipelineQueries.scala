@@ -360,6 +360,17 @@ object PipelineQueries {
         "id1", "id2")
         .select(col("id").as("doc_id"), col("component"))),
 
+    // ---- the dedup SAVINGS sheet: per group size, exact token mass
+    // a keep-one-representative pass drops — "what does this dedup
+    // buy", read before committing the corpus-wide pass
+    "d20_dedup_savings" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dedupSavings(docs, "doc_id", "text",
+        Dedup.connectedComponents(
+          Dedup.simhashEdges(docs, "doc_id", "text", maxHamming = 2),
+          "id1", "id2"))
+    }),
+
     // ---- end-to-end dedup: canonical doc per simhash near-dup group
     // plus all pair-less docs survive
     "d7_dedup_corpus" -> ((s, dir) =>
@@ -2453,6 +2464,29 @@ object PipelineQueries {
          |  UNION
          |  SELECT e.b, w.l FROM walk w JOIN e ON w.v = e.a)
          |SELECT v AS doc_id, min(l) AS component FROM walk GROUP BY v""".stripMargin,
+
+    // the d6 walk + token masses folded to the per-size savings sheet
+    "d20_dedup_savings" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         |p AS (SELECT id1, id2 FROM hd WHERE hamming <= 2),
+         |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+         |walk(v, l) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.b, w.l FROM walk w JOIN e ON w.v = e.a),
+         |comp AS (SELECT v AS id, min(l) AS component FROM walk GROUP BY v),
+         |tk AS (SELECT doc_id AS id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+         |       FROM documents),
+         |g AS (SELECT component, CAST(count(*) AS BIGINT) AS gsize,
+         |        CAST(sum(nt) AS BIGINT) AS tok,
+         |        CAST(min(CASE WHEN id = component THEN nt END) AS BIGINT) AS kept
+         |      FROM comp JOIN tk USING (id) GROUP BY 1)
+         |SELECT gsize AS group_size, CAST(count(*) AS BIGINT) AS n_groups,
+         |       CAST(sum(gsize) AS BIGINT) AS n_docs,
+         |       CAST(sum(tok) AS BIGINT) AS total_tokens,
+         |       CAST(sum(tok - kept) AS BIGINT) AS saved_tokens
+         |FROM g GROUP BY 1""".stripMargin,
 
     "d7_dedup_corpus" ->
       s"""WITH RECURSIVE $simhashPairCtes,

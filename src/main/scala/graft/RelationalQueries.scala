@@ -536,6 +536,13 @@ object RelationalQueries {
       EventAnalytics.rollingAnomaly(t(s, dir, "events"), "user_id", "ts",
         "value", orderCols = Seq("event_id"))),
 
+    // ---- lead-lag cross-correlation: does `view` activity lead
+    // `purchase` activity, and by how many hours — exact integer dot
+    // of the two hourly count series at every lag in [-6, 6]
+    "w12_lead_lag" -> ((s, dir) =>
+      EventAnalytics.leadLag(t(s, dir, "events"), "event_type", "ts",
+        typeA = "view", typeB = "purchase", maxLag = 6)),
+
     // ---- diurnal periodicity audit: (type, hour-of-day) profile with
     // peak hour + integer burstiness verdict — the organic-vs-bot
     // first read on an event stream
@@ -1007,6 +1014,24 @@ object RelationalQueries {
         |           > 3000*3000*(n_prior*(n_prior*sumsq_prior - sum_prior*sum_prior))
         |         AS is_anomaly
         |FROM w""".stripMargin,
+
+    // hourly count series per type (floor-div buckets), dot at every
+    // lag, best by (dot desc, |lag| asc, lag asc)
+    "w12_lead_lag" ->
+      """WITH sa AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |              CAST(count(*) AS BIGINT) AS n
+        |            FROM events WHERE event_type = 'view' GROUP BY 1),
+        |sb AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |lg AS (SELECT CAST(unnest(generate_series(-6, 6)) AS BIGINT) AS lag),
+        |d AS (SELECT lg.lag, CAST(coalesce(sum(sa.n * sb.n), 0) AS BIGINT) AS dot
+        |      FROM lg LEFT JOIN sa ON TRUE
+        |           LEFT JOIN sb ON sb.h = sa.h + lg.lag
+        |      GROUP BY 1),
+        |b AS (SELECT lag AS bl FROM d
+        |      ORDER BY dot DESC, abs(lag) ASC, lag ASC LIMIT 1)
+        |SELECT d.lag, d.dot, d.lag = b.bl AS is_best FROM d, b""".stripMargin,
 
     "a24_hour_profile" ->
       """WITH c AS (SELECT event_type,

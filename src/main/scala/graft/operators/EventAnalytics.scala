@@ -273,6 +273,60 @@ object EventAnalytics {
         max(col("_peak") - col("_cum")).as("max_dd_q"))
   }
 
+  /** Lead-lag cross-correlation between two event types' activity
+    * series: counts per time bucket for each type, then the exact
+    * integer dot product `Σ_h a(h)·b(h+lag)` for every lag in
+    * [−maxLag, maxLag] — the "does A lead B" read (a positive best
+    * lag means A's activity predicts B's that many buckets later:
+    * deploys→errors, views→purchases). Best lag flagged
+    * deterministically (dot desc, |lag| asc, lag asc).
+    *
+    * Buckets use FLOOR division (`(us − pmod(us, w)) div w` — exact
+    * floor for any sign with pure integer ops; a truncating `div`
+    * would diverge from DuckDB's flooring `//` pre-1970, the a24
+    * review finding).
+    *
+    * Scale shape: two partial-agg'd exchanges to the per-type bucket
+    * count series (metadata-sized — one row per active bucket); the
+    * lag fan-out and dot products run over those series rows only.
+    * Returns (lag, dot, is_best), 2·maxLag+1 rows.
+    */
+  def leadLag(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      typeA: String,
+      typeB: String,
+      maxLag: Int = 6,
+      bucketUs: Long = 3600000000L): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 1000, "leadLag: maxLag in [1, 1000]")
+    require(bucketUs >= 1, "leadLag: bucketUs must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def series(t: String) = events.filter(col(typeCol) === t)
+      .select(expr(
+        s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), ${bucketUs}L))" +
+          s" div ${bucketUs}L").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+    val a = series(typeA)
+    val b = series(typeB)
+    val lags = (-maxLag to maxLag).toDF("lag")
+    val joined = a.select(col("h").as("_ha"), col("n").as("_na"))
+      .crossJoin(broadcast(lags))
+      .join(b.select(col("h").as("_hb"), col("n").as("_nb")),
+        col("_hb") === col("_ha") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(sum(col("_na") * col("_nb")).as("dot"))
+    val full = lags.join(joined, Seq("lag"), "left")
+      .withColumn("dot", coalesce(col("dot"), lit(0L)))
+    val best = full
+      .orderBy(col("dot").desc, abs(col("lag")).asc, col("lag").asc)
+      .limit(1).select(col("lag").as("_bl")) // 1 row
+    full.crossJoin(broadcast(best))
+      .select(col("lag").cast("long").as("lag"), col("dot"),
+        (col("lag") === col("_bl")).as("is_best"))
+  }
+
   /** Entity-novelty curve: per UTC day, how many distinct entities
     * (the `entityCols` tuple) were active, how many were seen for the
     * FIRST time, and the cumulative distinct count — the temporal

@@ -1097,6 +1097,40 @@ object Dedup {
       .select(col("hamming"), col("n_pairs"), col("n_docs")))
   }
 
+  /** Dedup savings sheet: per near-dup GROUP SIZE, how many groups,
+    * docs, and the exact token mass a keep-one-representative pass
+    * would drop — the "what does this dedup buy" read consumed before
+    * committing a corpus-wide pass (pairs and components say who
+    * duplicates whom; this says what it is worth). The kept
+    * representative is the component label itself (the minimum id, by
+    * the [[connectedComponents]] contract), so the saved mass per
+    * group is `Σtokens − tokens(label)` — exact integers.
+    *
+    * Scale shape: one id-keyed join of the component frame to the
+    * narrow token masses, one component-keyed partial-agg'd exchange,
+    * then a ~|distinct size| histogram aggregation. Returns
+    * (group_size, n_groups, n_docs, total_tokens, saved_tokens).
+    */
+  def dedupSavings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      components: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.tokenCount(col(textCol))
+        .cast("long").as("_nt"))
+    components.join(toks, Seq("id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("_size"), sum(col("_nt")).as("_tok"),
+        // the kept representative IS the label (min id)
+        min(when(col("id") === col("component"), col("_nt"))).as("_kept"))
+      .groupBy(col("_size").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("_size")).as("n_docs"),
+        sum(col("_tok")).as("total_tokens"),
+        sum(col("_tok") - col("_kept")).as("saved_tokens"))
+  }
+
   // ---- Dedup group resolution -------------------------------------------
 
   /** Connected components over a near-dup pair graph: every document

@@ -42,6 +42,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(a.getLong(3) === 10L && a.getLong(4) === 10L)
   }
 
+  test("leadLag: A leading B by one bucket wins, zero-dot lags present") {
+    // A: 2 events in hour 10, 1 in hour 11; B: 4 events in hour 11.
+    // dot(0) = a(11)*b(11) = 4; dot(+1) = a(10)*b(11) = 8  -> best +1
+    val ev = Seq(
+      ("A", ts("2024-01-01 10:00:00")), ("A", ts("2024-01-01 10:30:00")),
+      ("A", ts("2024-01-01 11:00:00")),
+      ("B", ts("2024-01-01 11:10:00")), ("B", ts("2024-01-01 11:20:00")),
+      ("B", ts("2024-01-01 11:30:00")), ("B", ts("2024-01-01 11:40:00"))
+    ).toDF("event_type", "ts")
+    val out = EventAnalytics.leadLag(ev, "event_type", "ts", "A", "B", maxLag = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.size === 5) // every lag row present, even zero dots
+    assert(out(1L) === ((8L, true)), out.toString)   // A leads B by 1h
+    assert(out(0L) === ((4L, false)), out.toString)
+    assert(out(-1L) === ((0L, false)) && out(2L) === ((0L, false)))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.leadLag(ev, "event_type", "ts", "A", "B", maxLag = 0)
+    }
+  }
+
   test("entityNovelty: first-day attribution, repeats within a day collapse") {
     // day 1: entities (1,A), (1,B) both new; day 2: (1,A) returns
     // (duplicated within the day — counted once) + (2,A) new;

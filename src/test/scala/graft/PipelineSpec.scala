@@ -144,6 +144,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSavings: per-size groups, kept = label, singletons absent") {
+    // one triple (ids 1,2,3 — keep 1) and one pair (ids 10,11 — keep
+    // 10); doc 20 has no near-dup and must NOT appear (components
+    // only cover paired docs)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta"),
+      (10L, "omega psi chi"), (11L, "omega psi chi"),
+      (20L, "entirely unrelated text here")
+    ).toDF("doc_id", "text")
+    val comps = graft.pipeline.Dedup.connectedComponents(
+      graft.pipeline.Dedup.simhashEdges(docs, "doc_id", "text", maxHamming = 0),
+      "id1", "id2")
+    val out = graft.pipeline.Dedup.dedupSavings(docs, "doc_id", "text", comps)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // triple: 3 docs x 4 tokens = 12 total, keep 4 -> save 8
+    assert(out(3L) === ((1L, 3L, 12L, 8L)), out.toString)
+    // pair: 2 x 3 = 6 total, keep 3 -> save 3
+    assert(out(2L) === ((1L, 2L, 6L, 3L)), out.toString)
+    assert(out.size === 2)
+  }
+
   test("winnowFpStats: df histogram with pair-slot mass, capped flag, no pairs") {
     // 3 identical docs: every fingerprint has df=3 -> one histogram
     // row with pair_slots = n_fps * C(3,2)
