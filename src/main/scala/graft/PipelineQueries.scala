@@ -432,6 +432,16 @@ object PipelineQueries {
         "vec_id", "embedding", k = 5, fb = 5)
     }),
 
+    // ---- MMR diversified retrieval: greedy λ·rel − (1−λ)·max-sim
+    // selection over the top-10 candidates, ALL-INTEGER dot products
+    // on the quantized grid, the greedy loop a pure nested-HOF column
+    // expression — the de-duplicating re-rank plain top-k lacks
+    "s22_mmr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 4, c = 10, lambdaMilli = 700)
+    }),
+
     // ---- kNN label probe: embedding-quality eval — majority label of
     // the 5 exact nearest neighbors vs the query's own label
     "s11_knn_label_probe" -> ((s, dir) => {
@@ -2593,6 +2603,59 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
          |      FROM scored)
          |SELECT qid, cid, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    // greedy MMR replayed as a recursive CTE: each step a correlated
+    // argmax scalar subquery over the unpicked candidates; integer
+    // dots on the same trunc(x·2^20) grid (products ≤ 2^46 — exact in
+    // the double list_dot_product, cast back loss-free)
+    "s22_mmr" ->
+      s"""WITH RECURSIVE
+         |qz AS (SELECT vec_id,
+         |         [CAST(trunc(CAST(x AS DOUBLE)*1048576.0) AS BIGINT)
+         |          for x in embedding] AS qv
+         |       FROM embeddings),
+         |rel AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |          CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
+         |               CAST(c.qv AS DOUBLE[])) AS BIGINT) AS rel
+         |        FROM qz q JOIN qz c ON q.vec_id <> c.vec_id
+         |        WHERE q.vec_id < 8),
+         |cand AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |           ORDER BY rel DESC, cid ASC) AS p
+         |         FROM rel QUALIFY p <= 10),
+         |sims AS (SELECT a.qid, a.p, b.p AS q2,
+         |           CAST(list_dot_product(CAST(va.qv AS DOUBLE[]),
+         |                CAST(vb.qv AS DOUBLE[])) AS BIGINT) AS sim
+         |         FROM cand a JOIN cand b ON a.qid = b.qid
+         |              JOIN qz va ON va.vec_id = a.cid
+         |              JOIN qz vb ON vb.vec_id = b.cid),
+         |sel(qid, picked, step) AS (
+         |  SELECT DISTINCT qid, CAST([] AS INT[]), 0 FROM cand
+         |  UNION ALL
+         |  -- argmax per step as join + two aggregates (no correlated
+         |  -- subqueries — those crash inside recursion); the sort key
+         |  -- packs (score, -p) into one HUGEINT: score*1024 - p, with
+         |  -- p <= 10 < 1024, so max_by is (score desc, p asc)
+         |  SELECT qid, list_append(picked, CAST(max_by(p, key) AS INT)), step + 1
+         |  FROM (
+         |    SELECT s.qid, s.picked, s.step, c.p,
+         |           (CAST(700 AS HUGEINT) * c.rel
+         |            - CAST(300 AS HUGEINT) * coalesce(max(sm.sim), 0)) * 1024
+         |             - c.p AS key
+         |    FROM sel s
+         |    JOIN cand c ON c.qid = s.qid AND NOT list_contains(s.picked, c.p)
+         |    LEFT JOIN sims sm ON sm.qid = s.qid AND sm.p = c.p
+         |                      AND list_contains(s.picked, sm.q2)
+         |    WHERE s.step < 4
+         |    GROUP BY s.qid, s.picked, s.step, c.p, c.rel
+         |  ) GROUP BY qid, picked, step),
+         |fin AS (SELECT qid, picked FROM sel WHERE step = 4),
+         |-- stage the unnest in its own CTE: a list-index predicate in
+         |-- a LATERAL join after the recursion crashes the planner
+         |ex AS (SELECT f.qid, s.i AS sel_rank, f.picked[s.i] AS p
+         |       FROM fin f, LATERAL unnest(generate_series(1, len(f.picked))) s(i))
+         |SELECT ex.qid, CAST(ex.sel_rank AS BIGINT) AS sel_rank, c.cid,
+         |       c.rel AS rel_dot
+         |FROM ex JOIN cand c ON c.qid = ex.qid AND c.p = ex.p""".stripMargin,
 
     // Rocchio replayed: round-1 ranks, per-dimension integer sums of
     // the trunc(x·2^20) grid, round-2 cosine against the summed vector

@@ -206,6 +206,105 @@ object Similarity {
         coalesce(col("was_feedback"), lit(false)).as("was_feedback"))
   }
 
+  /** Maximal-marginal-relevance (MMR) diversified retrieval
+    * (Carbonell & Goldstein 1998): greedily select `k` of the top-`c`
+    * candidates, each step maximizing `λ·rel(d) − (1−λ)·max_{s∈S}
+    * sim(d, s)` — the de-duplicating re-rank that stops a result list
+    * from being k near-copies of the same hit (plain top-k IS that
+    * list on a redundant corpus). All arithmetic is EXACT integer:
+    * relevance and pairwise similarity are dot products on the
+    * trunc(x·2^bits) grid (unnormalized — the cosine-free formulation
+    * avoids every float-tie hazard; for the near-unit-norm embedding
+    * corpora this serves, dot order ≈ cosine order), λ in per-mille.
+    * Ties break to the lower candidate position (= higher relevance,
+    * then lower id).
+    *
+    * The greedy loop itself is a pure column expression — a nested
+    * higher-order `aggregate` over the per-query candidate arrays —
+    * so the operator stays fully distributed: one row per query
+    * carries its `c` relevances and `c×c` similarity matrix
+    * (metadata-sized by construction), and no driver loop or UDF
+    * appears anywhere.
+    *
+    * Returns (qid, sel_rank, cid, rel_dot). Scale shape: queries
+    * broadcast; candidate generation is the brute/IVF family's;
+    * the candidate-pair similarities join `c·|queries|` rows against
+    * the corpus by id.
+    */
+  def mmrTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 4,
+      c: Int = 10,
+      lambdaMilli: Int = 700,
+      scaleBits: Int = 20): DataFrame = {
+    require(k >= 1 && c >= k, "mmrTopK: need c >= k >= 1")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000,
+      "mmrTopK: lambdaMilli in [0, 1000]")
+    require(scaleBits >= 0 && scaleBits <= 24, "mmrTopK: scaleBits in [0, 24]")
+    val scale = (1L << scaleBits).toDouble
+    def qz(df: DataFrame, id: String, out: String) = df.select(
+      col(idCol).as(id),
+      transform(col(vecCol), x => (x.cast("double") * lit(scale)).cast("long"))
+        .as(out))
+    val cq = qz(corpus, "cid", "_cv")
+    val qq = broadcast(qz(queries, "qid", "_qv"))
+    val dot = (x: Column, y: Column) =>
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (s, v) => s + v)
+    // top-c candidates per query by exact integer dot, position 1..c
+    val wr = Window.partitionBy("qid").orderBy(col("rel_dot").desc, col("cid").asc)
+    val cand = cq.join(qq, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), dot(col("_qv"), col("_cv")).as("rel_dot"))
+      .withColumn("p", row_number().over(wr)).filter(col("p") <= c)
+    // candidate-pair similarity matrix per query (c² metadata rows)
+    val withVec = cand.join(cq, Seq("cid"))
+    val sims = withVec.select(col("qid"), col("p"), col("_cv")).as("a")
+      .join(withVec.select(col("qid").as("qid2"), col("p").as("q"),
+        col("_cv").as("_cv2")).as("b"), col("qid") === col("qid2"))
+      .select(col("qid"), col("p"), col("q"),
+        dot(col("_cv"), col("_cv2")).as("sim"))
+    val perQuery = cand.groupBy(col("qid"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("rel_dot"),
+        col("cid")))), e => e.getField("rel_dot")).as("rels"),
+        transform(array_sort(collect_list(struct(col("p"), col("rel_dot"),
+          col("cid")))), e => e.getField("cid")).as("cids"),
+        count(lit(1)).as("_nc"))
+      .join(sims.groupBy(col("qid"))
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("q"),
+          col("sim")))), e => e.getField("sim")).as("simflat")), Seq("qid"))
+    // greedy MMR as a nested HOF fold: acc = picked positions; each of
+    // the k steps scans all positions, skipping picked ones, and keeps
+    // the best (strict > keeps the FIRST maximum = lowest position)
+    val lam = lambdaMilli.toLong
+    val mu = (1000 - lambdaMilli).toLong
+    val sel = perQuery.withColumn("picked", expr(
+      s"""aggregate(
+         |  sequence(1, least($k, _nc)),
+         |  CAST(array() AS ARRAY<INT>),
+         |  (acc, step) -> acc || array(
+         |    aggregate(
+         |      sequence(1, CAST(_nc AS INT)),
+         |      named_struct('s', CAST(-4611686018427387904 AS BIGINT), 'pos', -1),
+         |      (b, p) -> CASE WHEN array_contains(acc, p) THEN b ELSE (
+         |        CASE WHEN ($lam * element_at(rels, p)
+         |                   - $mu * coalesce(array_max(transform(acc,
+         |                       q -> element_at(simflat, (p - 1) * CAST(_nc AS INT) + q))), 0L))
+         |                  > b.s
+         |             THEN named_struct('s',
+         |                    $lam * element_at(rels, p)
+         |                    - $mu * coalesce(array_max(transform(acc,
+         |                        q -> element_at(simflat, (p - 1) * CAST(_nc AS INT) + q))), 0L),
+         |                  'pos', p)
+         |             ELSE b END) END).pos))""".stripMargin))
+    sel.select(col("qid"), col("rels"), col("cids"),
+        posexplode(col("picked")).as(Seq("_i", "_p")))
+      .select(col("qid"), (col("_i") + 1).cast("long").as("sel_rank"),
+        element_at(col("cids"), col("_p")).as("cid"),
+        element_at(col("rels"), col("_p")).as("rel_dot"))
+  }
+
   /** kNN label probe — the standard embedding-quality evaluation: each
     * labeled query is classified by the majority label of its `k`
     * nearest corpus neighbors (exact cosine, self excluded; vote ties

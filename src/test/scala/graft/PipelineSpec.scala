@@ -322,6 +322,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.head.getAs[Long]("cid") === 2L)
   }
 
+  test("mmrTopK: diversification skips the near-copy a plain top-k would take") {
+    // query between two clusters; a1/a2 near-copies in one cluster, b
+    // alone in the other with lower relevance. Plain top-2 = {a1, a2};
+    // MMR picks a1 then b — a2's similarity penalty (cos(a1,a2) ≈ 1)
+    // sinks it while b pays almost none (cos(a1,b) = .19).
+    val vecs = Seq(
+      (0L, Array(0.71f, 0.70f)),     // query
+      (1L, Array(0.98f, 0.19f)),     // a1: rel .829
+      (2L, Array(0.99f, 0.141f)),    // a2: rel .802, near-copy of a1
+      (3L, Array(0.0f, 1.0f))        // b: rel .70, diverse
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0)
+    val out = Similarity.mmrTopK(vecs, q, "vec_id", "embedding",
+      k = 2, c = 3, lambdaMilli = 500)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 3L), out.toString)
+    // λ=1000 degenerates to plain relevance order: a1 then a2
+    val pure = Similarity.mmrTopK(vecs, q, "vec_id", "embedding",
+      k = 2, c = 3, lambdaMilli = 1000)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(pure === Map(1L -> 1L, 2L -> 2L), pure.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(vecs, q, "vec_id", "embedding", k = 5, c = 3)
+    }
+  }
+
   test("prfTopK: expansion re-ranks toward the feedback cluster, marks feedback") {
     // raw query q=(1,0): a (cos .95) > c (cos .90) > b (cos .60).
     // fb=1 expands to a; round 2 ranks by cos(a, ·), where b (.82)
