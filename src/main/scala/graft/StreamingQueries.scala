@@ -448,6 +448,30 @@ object StreamingQueries {
       out.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
     }),
 
+    // v4's live twin: the entity-novelty feed — one emission per
+    // (entity, day) with the first-day flag; aggregating emissions by
+    // day reproduces the batch novelty curve (oracle verbatim)
+    "v4s_novelty_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        concat_ws(":", col("user_id"), col("event_type")).as("ent"),
+        col("ts"), col("event_id"))
+      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 4) {
+        case Seq(e) => StreamingState.noveltyStream(e, "ent", "ts")
+      }
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      out.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+        .withColumn("cum_entities", sum(col("n_new")).over(w))
+        .withColumn("new_milli",
+          expr("n_new * 1000 div greatest(n_active, 1)"))
+        .withColumn("day",
+          date_add(to_date(lit("1970-01-01")), col("day").cast("int")))
+        .select(col("day"), col("n_active"), col("n_new"),
+          col("cum_entities"), col("new_milli"))
+    }),
+
     // a24's live twin: the diurnal profile refreshing as events
     // stream in — 24 counters per type; each touched type re-emits
     // its full profile, so the latest emission per (type, hour) IS
@@ -1080,6 +1104,7 @@ object StreamingQueries {
     "w7s_drawdown_stream" -> RelationalQueries.oracles("w7_drawdown"),
     "w11s_cusum_stream" -> RelationalQueries.oracles("w11_cusum"),
     "a24s_hour_profile_stream" -> RelationalQueries.oracles("a24_hour_profile"),
+    "v4s_novelty_stream" -> PipelineQueries.oracles("v4_entity_novelty"),
 
     // the max-n emission per (user, day bucket) is that bucket's final
     // realized-variance mass row — oracle verbatim

@@ -1611,6 +1611,60 @@ object StreamingState {
       }
   }
 
+  /** v4's streaming twin: the LIVE entity-novelty feed — per entity
+    * (a pre-concatenated string key), two longs of state (first-seen
+    * epoch-day, last-emitted day); each tick landing on a NEW calendar
+    * day for its entity emits one (entity, day, is_new) row, so
+    * aggregating the emissions by day reproduces the batch
+    * [[graft.operators.EventAnalytics.entityNovelty]] counts exactly
+    * (is_new marks the entity's first day ever — the novelty mass).
+    * Days use floorDiv (sign-correct pre-1970, the a24 finding).
+    *
+    * Cross-batch contract as [[drawdownStream]]: per-entity arrival
+    * day-non-decreasing; ticks sort within each batch.
+    */
+  def noveltyStream(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    require(schema(keyIdx).dataType == StringType,
+      s"noveltyStream key '$keyCol' must be STRING")
+    implicit val rowEnc = Encoders.row(StructType(Seq(
+      StructField(keyCol, StringType),
+      StructField("day", LongType, nullable = false),
+      StructField("is_new", BooleanType, nullable = false))))
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.kryo[Array[Long]]
+    val micros: Row => Long = rowMicrosOf(tsIdx)
+    df.groupByKey((r: Row) => r.getString(keyIdx))
+      .flatMapGroupsWithState[Array[Long], Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Row], state: GroupState[Array[Long]]) =>
+          // state: firstDay, lastEmittedDay (MinValue until first tick)
+          val st = state.getOption.getOrElse(Array(Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[Row]
+          rows.map(r => Math.floorDiv(micros(r), 86400000000L))
+            .toArray.sorted
+            .foreach { day =>
+              if (day > st(1)) {
+                val isNew = st(0) == Long.MinValue
+                if (isNew) st(0) = day
+                st(1) = day
+                out += Row(key, day, isNew)
+              }
+            }
+          val res = out.result()
+          if (res.isEmpty) Iterator.empty
+          else {
+            state.update(st)
+            res.iterator
+          }
+      }
+  }
+
   /** w9's streaming twin: the LIVE realized-variance monitor — per
     * key, the state is FIVE longs for the CURRENT bucket only
     * (bucket µs, last tick q, n returns, Σr, Σr²); a tick landing in

@@ -275,6 +275,38 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("noveltyStream: one emission per entity-day, first-day flag carries") {
+    val ws = StructType(Seq(
+      StructField("ent", StringType), StructField("ts", TimestampType)))
+    def wr(e: String, s: String): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](e, java.sql.Timestamp.valueOf(s)), ws)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(ws), sqlCtx)
+    val out = StreamingState.noveltyStream(stream.toDF(), "ent", "ts")
+    val name = s"novelty_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("nov-ckpt").toString)
+      .start()
+    try {
+      stream.addData(
+        wr("a", "2024-01-01 10:00:00"), wr("a", "2024-01-01 12:00:00"), // same day: one row
+        wr("b", "2024-01-01 11:00:00"))
+      q.processAllAvailable()
+      // day 2 in a LATER batch: a re-emits (not new); c debuts (new)
+      stream.addData(
+        wr("a", "2024-01-02 09:00:00"), wr("c", "2024-01-02 10:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+      val d1 = java.time.LocalDate.parse("2024-01-01").toEpochDay
+      assert(rows === Map(
+        ("a", d1) -> true, ("b", d1) -> true,
+        ("a", d1 + 1) -> false, ("c", d1 + 1) -> true), rows.toString)
+    } finally q.stop()
+  }
+
   test("hourProfileStream: counters carry across batches, profile refreshes whole") {
     val ws = StructType(Seq(
       StructField("event_type", StringType), StructField("ts", TimestampType)))
