@@ -274,35 +274,44 @@ object Similarity {
       .join(sims.groupBy(col("qid"))
         .agg(transform(array_sort(collect_list(struct(col("p"), col("q"),
           col("sim")))), e => e.getField("sim")).as("simflat")), Seq("qid"))
-    // greedy MMR as a nested HOF fold: acc = picked positions; each of
-    // the k steps scans all positions, skipping picked ones, and keeps
-    // the best (strict > keeps the FIRST maximum = lowest position)
-    val lam = lambdaMilli.toLong
-    val mu = (1000 - lambdaMilli).toLong
-    val sel = perQuery.withColumn("picked", expr(
-      s"""aggregate(
-         |  sequence(1, least($k, _nc)),
-         |  CAST(array() AS ARRAY<INT>),
-         |  (acc, step) -> acc || array(
-         |    aggregate(
-         |      sequence(1, CAST(_nc AS INT)),
-         |      named_struct('s', CAST(-4611686018427387904 AS BIGINT), 'pos', -1),
-         |      (b, p) -> CASE WHEN array_contains(acc, p) THEN b ELSE (
-         |        CASE WHEN ($lam * element_at(rels, p)
-         |                   - $mu * coalesce(array_max(transform(acc,
-         |                       q -> element_at(simflat, (p - 1) * CAST(_nc AS INT) + q))), 0L))
-         |                  > b.s
-         |             THEN named_struct('s',
-         |                    $lam * element_at(rels, p)
-         |                    - $mu * coalesce(array_max(transform(acc,
-         |                        q -> element_at(simflat, (p - 1) * CAST(_nc AS INT) + q))), 0L),
-         |                  'pos', p)
-         |             ELSE b END) END).pos))""".stripMargin))
+    val sel = perQuery.withColumn("picked", expr(mmrFoldSql(k, lambdaMilli)))
     sel.select(col("qid"), col("rels"), col("cids"),
         posexplode(col("picked")).as(Seq("_i", "_p")))
       .select(col("qid"), (col("_i") + 1).cast("long").as("sel_rank"),
         element_at(col("cids"), col("_p")).as("cid"),
         element_at(col("rels"), col("_p")).as("rel_dot"))
+  }
+
+  /** The greedy MMR selection as a SQL expression over columns
+    * `rels: array<long>`, `simflat: array<long>` (row-major c×c), and
+    * `_nc: long`: a nested HOF fold — acc = picked 1-based positions;
+    * each of the k steps scans all positions, skipping picked ones,
+    * and keeps the best score (strict `>` keeps the FIRST maximum =
+    * lowest position, the deterministic tie break). Exposed so the
+    * property suite pins THIS expression — not a copy — against a
+    * reference Scala greedy on random pools.
+    */
+  private[graft] def mmrFoldSql(k: Int, lambdaMilli: Int): String = {
+    val lam = lambdaMilli.toLong
+    val mu = (1000 - lambdaMilli).toLong
+    s"""aggregate(
+       |  sequence(1, least($k, _nc)),
+       |  CAST(array() AS ARRAY<INT>),
+       |  (acc, step) -> acc || array(
+       |    aggregate(
+       |      sequence(1, CAST(_nc AS INT)),
+       |      named_struct('s', CAST(-4611686018427387904 AS BIGINT), 'pos', -1),
+       |      (b, p) -> CASE WHEN array_contains(acc, p) THEN b ELSE (
+       |        CASE WHEN ($lam * element_at(rels, p)
+       |                   - $mu * coalesce(array_max(transform(acc,
+       |                       q -> element_at(simflat, (p - 1) * CAST(_nc AS INT) + q))), 0L))
+       |                  > b.s
+       |             THEN named_struct('s',
+       |                    $lam * element_at(rels, p)
+       |                    - $mu * coalesce(array_max(transform(acc,
+       |                        q -> element_at(simflat, (p - 1) * CAST(_nc AS INT) + q))), 0L),
+       |                  'pos', p)
+       |             ELSE b END) END).pos))""".stripMargin
   }
 
   /** kNN label probe — the standard embedding-quality evaluation: each

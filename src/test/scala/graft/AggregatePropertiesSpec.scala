@@ -152,4 +152,68 @@ class AggregatePropertiesSpec extends AnyFunSuite {
         java.util.Arrays.equals(whole.serialize, rt.serialize)
     })
   }
+
+  test("CUSUM closed form == the literal clamped recursion on random paths") {
+    // the batch cusum computes S_i = max(0, S_{i-1} + d_i) as
+    // C_i − min(0, min_{j≤i} C_j) on running windows; the streaming
+    // twin runs the same identity incrementally. Pin the identity
+    // itself against the textbook recursion for arbitrary paths.
+    val gen = Gen.listOf(Gen.chooseNum(-1000L, 1000L))
+    check("cusum-closed-form", Prop.forAll(gen) { ds =>
+      var s = 0L // textbook recursion
+      val rec = ds.map { d => s = math.max(0L, s + d); s }
+      var c = 0L
+      var minC = 0L // min over prefix INCLUDING current, clamped at 0
+      val closed = ds.map { d =>
+        c += d
+        if (c < minC) minC = c
+        c - math.min(minC, 0L)
+      }
+      rec == closed
+    })
+  }
+
+  test("MMR greedy column expression == a reference Scala fold") {
+    // random candidate pools: relevances + symmetric similarity
+    // matrices; the nested-HOF selection in Similarity.mmrTopK must
+    // match the straightforward reference greedy, including the
+    // first-maximum (lowest-position) tie break
+    def refGreedy(rels: Array[Long], sim: Array[Array[Long]],
+        k: Int, lam: Long): Seq[Int] = {
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (picked.size < math.min(k, rels.length)) {
+        var bestScore = Long.MinValue
+        var bestP = -1
+        for (p <- rels.indices if !picked.contains(p)) {
+          val pen = if (picked.isEmpty) 0L else picked.map(q => sim(p)(q)).max
+          val score = lam * rels(p) - (1000 - lam) * pen
+          if (score > bestScore) { bestScore = score; bestP = p }
+        }
+        picked += bestP
+      }
+      picked.toSeq
+    }
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 6)
+      rels <- Gen.listOfN(n, Gen.chooseNum(-500L, 500L))
+      flat <- Gen.listOfN(n * n, Gen.chooseNum(-500L, 500L))
+      k <- Gen.chooseNum(1, 4)
+      lam <- Gen.oneOf(0L, 300L, 700L, 1000L)
+    } yield (rels.toArray, flat.toArray, k, lam)
+    check("mmr-greedy", Prop.forAllNoShrink(gen) { case (rels, flat, k, lam) =>
+      val n = rels.length
+      // symmetrize so sim(p)(q) == sim(q)(p) like real dot products
+      val sim = Array.tabulate(n, n)((i, j) =>
+        flat(math.min(i, j) * n + math.max(i, j)))
+      val simflat = (for (p <- 0 until n; q <- 0 until n) yield sim(p)(q))
+      val df = Seq((rels.toSeq, simflat, n)).toDF("rels", "simflat", "_nc")
+      val picked = df.withColumn("picked",
+        org.apache.spark.sql.functions.expr(
+          graft.pipeline.Similarity.mmrFoldSql(k, lam.toInt)))
+        .select("picked").as[Seq[Int]].head()
+      picked.map(_ - 1) == refGreedy(rels, sim, k, lam)
+    })
+  }
 }
