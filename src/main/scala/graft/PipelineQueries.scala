@@ -785,6 +785,15 @@ object PipelineQueries {
           .filter(col("kind") === "video"),
         tMilli = 500)),
 
+    // ---- multimodal: perceptual image dedup — average hash over
+    // DECODED BMP pixels (64 evenly-spaced samples, integer
+    // mean-compare bits) + exact-signature dup groups; the image-side
+    // dedup signature text dedup cannot provide
+    "mm8_image_ahash" -> ((s, dir) =>
+      Multimodal.imageAHashGroups(
+        graft.testing.MediaFixtures.syntheticMedia(t(s, dir, "documents"))
+          .filter(col("kind") === "image"))),
+
     // ---- multimodal: video frame sampling
     "mm2_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(graft.testing.MediaFixtures.syntheticMedia(t(s, dir, "documents")), stride = 4)),
@@ -3204,6 +3213,37 @@ object PipelineQueries {
         |       coalesce(agg.max_l1_milli, 0) AS max_l1_milli,
         |       agg.first_cut_frame
         |FROM v LEFT JOIN agg USING (media_id)""".stripMargin,
+
+    // aHash replayed from the fixture's gray = cp & 7 pixels: 64
+    // floor-spaced samples, integer mean-compare bits summed as
+    // disjoint powers of two (two's-complement sum == the OR packing,
+    // bit 63 included)
+    "mm8_image_ahash" ->
+      """WITH v AS (SELECT doc_id AS media_id, text, len(text) AS n
+        |           FROM documents
+        |           WHERE doc_id % 6 = 0 AND text IS NOT NULL AND len(text) > 0),
+        |cl AS (SELECT media_id, n,
+        |         [CAST(unicode(c) & 7 AS BIGINT)
+        |          for c in string_split_regex(text, '')] AS cls
+        |       FROM v),
+        |sm AS (SELECT media_id, n,
+        |         [cls[(j*n)//64 + 1] for j in generate_series(0, 63)] AS s
+        |       FROM cl),
+        |h0 AS (SELECT media_id, CAST(n AS BIGINT) AS n_px,
+        |         list_sum([CASE WHEN s[j+1]*64 > list_sum(s)
+        |                   THEN 1::HUGEINT << j ELSE 0::HUGEINT END
+        |                   for j in generate_series(0, 63)]) AS u
+        |       FROM sm),
+        |-- wrap the unsigned 64-bit mass to the signed long the engine
+        |-- packs (1::BIGINT << 63 overflows DuckDB's checked shift)
+        |hh AS (SELECT media_id, n_px,
+        |         CAST(CASE WHEN u >= 9223372036854775808
+        |              THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS ahash
+        |       FROM h0),
+        |g AS (SELECT ahash, CAST(count(*) AS BIGINT) AS group_size
+        |      FROM hh GROUP BY 1)
+        |SELECT hh.media_id, hh.ahash, hh.n_px, g.group_size
+        |FROM hh JOIN g USING (ahash)""".stripMargin,
 
     // audio segmentation replayed from the fixture construction
     // (samples = cp & 7 per codepoint): 4-sample frame energies,

@@ -209,6 +209,90 @@ object Multimodal {
     bins.map(_ / math.max(n, 1L).toDouble)
   }
 
+  /** Raw gray values (blue-channel bytes, row-major) from a 24-bit
+    * BMP — the pixel-level view [[decodeBmp]]'s histogram collapses;
+    * same structural-violation contract (null, never a guess).
+    */
+  def decodeBmpGray(payload: Array[Byte]): Array[Int] = {
+    if (!isBmp(payload)) return null
+    val dataOff = leInt(payload, 10)
+    val width = leInt(payload, 18)
+    val height = leInt(payload, 22)
+    val planes = leShort(payload, 26)
+    val bpp = leShort(payload, 28)
+    val compression = leInt(payload, 30)
+    if (planes != 1 || bpp != 24 || compression != 0) return null
+    if (width < 0 || dataOff < 54) return null
+    val rows = math.abs(height)
+    val rowSize = ((3 * width + 3) / 4) * 4
+    if (dataOff.toLong + rowSize.toLong * rows > payload.length) return null
+    val out = new Array[Int](width * rows)
+    var r = 0
+    var i = 0
+    while (r < rows) {
+      var x = 0
+      while (x < width) {
+        out(i) = payload(dataOff + r * rowSize + 3 * x) & 0xFF
+        i += 1
+        x += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  private val aHashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = false),
+    StructField("n_px", LongType, nullable = false)))
+
+  /** Perceptual image hash (average hash) over DECODED pixels
+    * (round-9 mm8): 64 evenly-spaced gray samples (`pixel at
+    * ⌊j·n/64⌋` — the deterministic stand-in for the canonical 8×8
+    * resize, exact on any image size), one bit per sample =
+    * `sample·64 > Σsamples` (integer cross-multiplication, no mean
+    * division), packed into a 64-bit long. Images that crop/recompress
+    * but keep content produce equal or near-equal hashes — the
+    * image-dedup signature text dedup cannot provide. Rows whose
+    * payload fails the strict BMP decode are dropped.
+    *
+    * Scale shape: decode + hash are partition-local; one narrow row
+    * per image.
+    */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(aHashSchema)
+    media.select("media_id", "payload").mapPartitions { it: Iterator[Row] =>
+      it.flatMap { r =>
+        val px = decodeBmpGray(r.getAs[Array[Byte]]("payload"))
+        if (px == null || px.length == 0) None
+        else {
+          val n = px.length
+          val samples = Array.tabulate(64)(j => px(((j.toLong * n) / 64).toInt))
+          val sum = samples.map(_.toLong).sum
+          var hash = 0L
+          var j = 0
+          while (j < 64) {
+            if (samples(j) * 64L > sum) hash |= (1L << j)
+            j += 1
+          }
+          Some(Row(r.getLong(0), hash, n.toLong))
+        }
+      }
+    }(enc)
+  }
+
+  /** [[imageAHash]] with exact-signature dup groups: each image row
+    * carries its hash's group size — group_size ≥ 2 is the
+    * perceptual-duplicate set (identical content up to the sampling
+    * grid). One hash-keyed partial-agg'd exchange on 8-byte keys.
+    */
+  def imageAHashGroups(media: DataFrame): DataFrame = {
+    val h = imageAHash(media)
+    h.join(h.groupBy(col("ahash")).agg(count(lit(1)).as("group_size")),
+      Seq("ahash"))
+      .select(col("media_id"), col("ahash"), col("n_px"), col("group_size"))
+  }
+
   // ---- real PNG codec (pure JVM: java.util.zip Inflater/CRC32) -----------
 
   private def beInt(b: Array[Byte], off: Int): Int =

@@ -12,6 +12,27 @@ import graft.pipeline.Multimodal
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("imageAHash: deterministic bits, identical images group, malformed dropped") {
+    import spark.implicits._
+    // '0' -> class 0, 'g' -> class 7. "00gg" pixels [0,0,7,7]:
+    // 64 floor-spaced samples = 16x{0,0,7,7}, sum 224, bit set iff
+    // sample*64 > 224 -> bits 32..63 -> signed hash 0xFFFFFFFF00000000
+    val withBmp = Seq((1L, "00gg"), (2L, "00gg"), (3L, "0g0g"))
+      .toDF("media_id", "text")
+      .select($"media_id",
+        graft.testing.MediaFixtures.bmpFromText($"text").as("payload"))
+    val media = withBmp.unionByName(
+      Seq((4L, Array[Byte](1, 2, 3))).toDF("media_id", "payload"))
+    val out = graft.pipeline.Multimodal.imageAHashGroups(media)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((-4294967296L, 4L, 2L)), out.toString) // 0xFFFFFFFF00000000
+    assert(out(2L) === out(1L))                // identical content groups
+    assert(out(3L)._1 !== out(1L)._1)          // different layout, new hash
+    assert(out(3L)._3 === 1L)
+    assert(!out.contains(4L))                  // malformed dropped
+  }
+
   test("sceneCuts: L1 boundary verdict, stable scenes null, malformed dropped") {
     import spark.implicits._
     def frame(cls: Int, n: Int): Array[Byte] = Array.fill(n)(cls.toByte)
