@@ -1256,6 +1256,28 @@ object PipelineQueries {
       graft.pipeline.GraphOps.labelPropagation(edges, iters = 3)
     }),
 
+    // ---- modularity of the LPA partition: per-community Newman Q
+    // contributions in exact integer cross-form — "did community
+    // detection find real structure" (Q≈0 = no better than random
+    // wiring), the quality gate run before trusting g4's groups.
+    // The singleton partition rides alongside as the contrast: its
+    // strictly negative Q is the score a structureless assignment
+    // earns, so the row demonstrates the verdict discriminates
+    "g8_modularity" -> ((s, dir) => {
+      val edges = graft.pipeline.GraphOps.transitionEdges(
+        t(s, dir, "events"), "user_id",
+        get_json_object(col("props"), "$.k"), "ts", tieCols = Seq("event_id"))
+      val und = graft.pipeline.GraphOps.undirectedWeighted(edges)
+      val singletons = und.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+      graft.pipeline.GraphOps.modularity(edges,
+          graft.pipeline.GraphOps.labelPropagation(edges, iters = 3))
+        .withColumn("partition", lit("lpa"))
+        .unionByName(
+          graft.pipeline.GraphOps.modularity(edges, singletons)
+            .withColumn("partition", lit("singletons")))
+    }),
+
     // ---- exact triangles by degree-ordered orientation: out-degrees
     // bounded O(sqrt m) so wedge enumeration survives power-law hubs;
     // three equi-joins, one keyed count, each triangle found once
@@ -2158,6 +2180,57 @@ object PipelineQueries {
        |${(1 to iters).map(lpStepSql).mkString(",\n")}
        |SELECT id, lbl FROM lp$iters""".stripMargin
 
+  /** g8's oracle: the [[labelPropagationSql]] chain continued into the
+    * Newman-modularity arithmetic (HUGEINT cross-form, truncating `//`
+    * to match Spark's decimal `div`).
+    */
+  private def modularitySql(iters: Int): String = {
+    val lpa = labelPropagationSql(iters)
+    val body = lpa.substring(0, lpa.lastIndexOf("SELECT id, lbl FROM"))
+      .trim.stripSuffix(",")
+    s"""$body,
+       |lbl AS (SELECT id, lbl FROM lp$iters),
+       |w2 AS (SELECT CAST(sum(w) AS BIGINT) AS w2 FROM eu),
+       |deg AS (SELECT l.lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+       |          CAST(sum(d._d) AS BIGINT) AS deg_w
+       |        FROM (SELECT src AS id, sum(w) AS _d FROM eu GROUP BY 1) d
+       |        JOIN lbl l USING (id) GROUP BY 1),
+       |inw AS (SELECT ls.lbl, CAST(sum(eu.w) AS BIGINT) AS in_w
+       |        FROM eu JOIN lbl ls ON eu.src = ls.id
+       |             JOIN lbl ld ON eu.dst = ld.id
+       |        WHERE ls.lbl = ld.lbl GROUP BY 1),
+       |sing AS (SELECT DISTINCT src AS id, src AS lbl FROM eu),
+       |${Seq(("lbl", "lpa"), ("sing", "singletons")).map { case (lblCte, tag) =>
+           s"""deg_$tag AS (SELECT l.lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+              |          CAST(sum(d._d) AS BIGINT) AS deg_w
+              |        FROM (SELECT src AS id, sum(w) AS _d FROM eu GROUP BY 1) d
+              |        JOIN $lblCte l USING (id) GROUP BY 1),
+              |inw_$tag AS (SELECT ls.lbl, CAST(sum(eu.w) AS BIGINT) AS in_w
+              |        FROM eu JOIN $lblCte ls ON eu.src = ls.id
+              |             JOIN $lblCte ld ON eu.dst = ld.id
+              |        WHERE ls.lbl = ld.lbl GROUP BY 1),
+              |per_$tag AS (SELECT d.lbl, d.n_nodes, coalesce(i.in_w, 0) AS in_w,
+              |          d.deg_w,
+              |          CAST(((CAST(coalesce(i.in_w, 0) AS HUGEINT) * w2.w2
+              |                 - CAST(d.deg_w AS HUGEINT) * d.deg_w) * 1000000)
+              |               // (CAST(w2.w2 AS HUGEINT) * w2.w2) AS BIGINT)
+              |            AS contrib_micro
+              |        FROM deg_$tag d LEFT JOIN inw_$tag i ON d.lbl = i.lbl, w2),
+              |tot_$tag AS (SELECT CAST((sum(CAST(in_w AS HUGEINT) * w2.w2
+              |                    - CAST(deg_w AS HUGEINT) * deg_w) * 1000000)
+              |                 // (CAST(max(w2.w2) AS HUGEINT) * max(w2.w2)) AS BIGINT)
+              |          AS q_micro
+              |        FROM per_$tag, w2)""".stripMargin
+         }.mkString(",\n")}
+       |SELECT p.lbl, p.n_nodes, p.in_w, p.deg_w, p.contrib_micro,
+       |       t.q_micro, 'lpa' AS partition
+       |FROM per_lpa p, tot_lpa t
+       |UNION ALL
+       |SELECT p.lbl, p.n_nodes, p.in_w, p.deg_w, p.contrib_micro,
+       |       t.q_micro, 'singletons' AS partition
+       |FROM per_singletons p, tot_singletons t""".stripMargin
+  }
+
   /** [[prStepSql]]'s personalized twin: teleport rides the seed vector
     * `tv.t` instead of the uniform 1/n. */
   private def pprStepSql(i: Int): String = {
@@ -2223,6 +2296,7 @@ object PipelineQueries {
     "g2_personalized_pagerank" -> personalizedPageRankSql(3),
     "g3_hits" -> hitsSql(2),
     "g4_label_propagation" -> labelPropagationSql(3),
+    "g8_modularity" -> modularitySql(3),
 
     // canonical x<y<z triangle enumeration over the distinct
     // undirected edge set — the orientation trick is a physical

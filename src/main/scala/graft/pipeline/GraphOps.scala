@@ -110,11 +110,7 @@ object GraphOps {
       checkpointEvery: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(iters >= 1, "iters must be >= 1")
-    val dir = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
-    val und = dir
-      .unionByName(dir.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .groupBy("src", "dst").agg(sum("w").as("w")).persist()
+    val und = undirectedWeighted(edges, srcCol, dstCol, wCol).persist()
     var lbl = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
     for (i <- 1 to iters) {
@@ -128,6 +124,80 @@ object GraphOps {
         lbl = lbl.localCheckpoint(true)
     }
     lbl
+  }
+
+  /** The undirected weighted edge view: each directed edge votes both
+    * ways, parallel edges sum — the shared construction of
+    * [[labelPropagation]] and [[modularity]] (one helper so the two
+    * can never disagree about what "the graph" is).
+    */
+  def undirectedWeighted(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      wCol: String = "w"): DataFrame = {
+    val dir = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+    dir
+      .unionByName(dir.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+  }
+
+  /** Weighted modularity of a community assignment (Newman): per
+    * community, `Q_c = in_c/W2 − (deg_c/W2)²` where `W2 = Σw` over
+    * the [[undirectedWeighted]] view, `in_c` its in-community mass
+    * and `deg_c` its degree mass — the "did community detection find
+    * real structure" score (Q ≈ 0: the partition is no better than
+    * random wiring; each community's contribution shows WHICH groups
+    * carry the structure). Per-MILLION contributions (per-mille is too coarse: a k-community
+    * random partition scores ~ −1/k) compute in
+    * DECIMAL(38,0) (in_c·W2 and deg_c² wrap a long once W2 ≳ 3e9 —
+    * exactly web-scale graphs) and cast back exactly (|micro| ≤ 1e6).
+    *
+    * Returns (lbl, n_nodes, in_w, deg_w, contrib_micro, q_micro) —
+    * one row per community, `q_micro` the whole-partition total on
+    * every row.
+    *
+    * Scale shape: two label-keyed joins of the node-label frame onto
+    * the undirected edges (the LPA per-round shape), two partial-agg'd
+    * exchanges to community rows, 1-row W2/total frames broadcast.
+    */
+  def modularity(
+      edges: DataFrame,
+      labels: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      wCol: String = "w"): DataFrame = {
+    val und = undirectedWeighted(edges, srcCol, dstCol, wCol).persist()
+    val lbl = labels.select(col("id"), col("lbl"))
+    val w2 = und.agg(sum(col("w")).as("_w2")) // 1 row
+    val deg = und.groupBy(col("src").as("id")).agg(sum(col("w")).as("_d"))
+      .join(lbl, Seq("id"))
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("_d")).as("deg_w"))
+    val inw = und
+      .join(lbl.select(col("id").as("src"), col("lbl").as("_ls")), Seq("src"))
+      .join(lbl.select(col("id").as("dst"), col("lbl").as("_ld")), Seq("dst"))
+      .filter(col("_ls") === col("_ld"))
+      .groupBy(col("_ls").as("lbl")).agg(sum(col("w")).as("in_w"))
+    // truncating integral division (`div`), NOT floor: DuckDB's `//`
+    // truncates toward zero on negatives, and contributions go
+    // negative whenever deg² > in·W2 — floor would diverge by one
+    val per = deg.join(inw, Seq("lbl"), "left")
+      .withColumn("in_w", coalesce(col("in_w"), lit(0L)))
+      .crossJoin(broadcast(w2))
+      .withColumn("contrib_micro",
+        expr("CAST(((CAST(in_w AS DECIMAL(38,0)) * _w2 " +
+          "- CAST(deg_w AS DECIMAL(38,0)) * deg_w) * 1000000) div " +
+          "(CAST(_w2 AS DECIMAL(38,0)) * _w2) AS BIGINT)"))
+    val total = per.agg(
+      expr("CAST((sum(CAST(in_w AS DECIMAL(38,0)) * _w2 " +
+        "- CAST(deg_w AS DECIMAL(38,0)) * deg_w) * 1000000) div " +
+        "(CAST(max(_w2) AS DECIMAL(38,0)) * max(_w2)) AS BIGINT)")
+        .as("q_micro")) // 1 row
+    per.crossJoin(broadcast(total))
+      .select(col("lbl"), col("n_nodes"), col("in_w"), col("deg_w"),
+        col("contrib_micro"), col("q_micro"))
   }
 
   /** Bounded k-core peeling: iteratively drop nodes whose UNDIRECTED

@@ -199,4 +199,30 @@ class GraphOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { GraphOps.kCore(g, k = 0, rounds = 1) }
     intercept[IllegalArgumentException] { GraphOps.kCore(g, k = 1, rounds = 0) }
   }
+
+  test("modularity: true communities score the textbook Q, singletons negative") {
+    // two triangles bridged by one edge — the canonical Q = 5/14 case:
+    // W2 = 14, each triangle in_c = 6, deg_c = 7 ->
+    // contrib = (6*14 - 49)*1e6 div 196 = 178,571 each; Q = 357,142
+    val g = edges((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0),
+      (4L, 5L, 1.0), (5L, 6L, 1.0), (4L, 6L, 1.0), (3L, 4L, 1.0))
+    val truth = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("id", "lbl")
+    val out = GraphOps.modularity(g, truth)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out(1L) === ((3L, 6L, 7L, 178571L, 357142L)), out.toString)
+    assert(out(4L) === ((3L, 6L, 7L, 178571L, 357142L)), out.toString)
+    // the singleton partition on the same graph scores negative: no
+    // in-community mass anywhere, only the degree penalty
+    val singles = (1L to 6L).map(i => (i, i)).toDF("id", "lbl")
+    val q = GraphOps.modularity(g, singles)
+      .select("q_micro").distinct().as[Long].head()
+    assert(q < 0L, q.toString)
+    // LPA on this graph finds the triangles -> same positive Q
+    val lpaQ = GraphOps.modularity(g, GraphOps.labelPropagation(g, iters = 3))
+      .select("q_micro").distinct().as[Long].head()
+    assert(lpaQ === 357142L, lpaQ.toString)
+  }
 }
