@@ -122,6 +122,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!ph.contains("Exchange SinglePartition"), ph.take(3000))
   }
 
+  test("late-session additions: no cartesian products, metadata frames broadcast") {
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val edges = graft.pipeline.GraphOps.transitionEdges(
+      ev, "user_id", get_json_object(col("props"), "$.k"), "ts",
+      tieCols = Seq("event_id"))
+    val plans = Seq(
+      graft.operators.EventAnalytics.leadLag(ev, "event_type", "ts",
+        "view", "purchase"),
+      graft.pipeline.Dedup.dedupSavings(docs, "doc_id", "text",
+        graft.pipeline.GraphOps.labelPropagation(edges, 1)
+          .select(col("id"), col("lbl").as("component"))),
+      graft.pipeline.GraphOps.modularity(edges,
+        graft.pipeline.GraphOps.labelPropagation(edges, 1))).map(plan)
+    plans.foreach { p =>
+      assert(!p.contains("CartesianProduct"), p.take(4000))
+    }
+  }
+
   test("corpus text audits: one token exchange, windows only over metadata rows") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     // vocabGrowth: the only SinglePartition window runs over <= buckets
