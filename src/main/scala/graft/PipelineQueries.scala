@@ -1164,6 +1164,15 @@ object PipelineQueries {
       Curation.corpusCard(t(s, dir, "documents"), "doc_id", "text",
         "lang", "source")),
 
+    // ---- annealed mixture schedule: per-epoch weights interpolating
+    // from the natural token shares (epoch 0) to the curated target
+    // mix (last epoch) — the mixture curriculum p25's static plan is
+    // the endpoint of
+    "p28_mixture_schedule" -> ((s, dir) =>
+      Curation.mixtureSchedule(t(s, dir, "documents"), "lang", "text",
+        epochs = 4, budgetPerEpoch = 100000L,
+        Map("en" -> 500L, "de" -> 200L, "fr" -> 200L, "zh" -> 100L))),
+
     // ---- curriculum training order: easy→hard per shard (difficulty
     // = coarse length bucket here), epoch-seeded reshuffle WITHIN each
     // difficulty level, stable shard placement across epochs
@@ -3736,6 +3745,27 @@ object PipelineQueries {
          |  pct // 100 + CASE WHEN h < pct % 100 THEN 1 ELSE 0 END AS n FROM b)
          |SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy
          |FROM c WHERE n > 0""".stripMargin,
+
+    // natural shares + literal targets, integer interpolation per epoch
+    "p28_mixture_schedule" ->
+      """WITH n AS (SELECT lang,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+        |           FROM documents GROUP BY lang),
+        |tt AS (SELECT CAST(sum(tok) AS BIGINT) AS tot FROM n),
+        |tg AS (SELECT * FROM (VALUES ('en', 500), ('de', 200), ('fr', 200),
+        |                             ('zh', 100)) t(lang, target_pm)),
+        |sh AS (SELECT coalesce(n.lang, tg.lang) AS lang,
+        |         CAST(coalesce(n.tok * 1000 // greatest(tt.tot, 1), 0) AS BIGINT)
+        |           AS natural_pm,
+        |         CAST(coalesce(tg.target_pm, 0) AS BIGINT) AS target_pm
+        |       FROM n FULL JOIN tg ON n.lang = tg.lang, tt)
+        |SELECT CAST(e.epoch AS BIGINT) AS epoch, sh.lang, sh.natural_pm,
+        |       sh.target_pm,
+        |       CAST(sh.natural_pm + (sh.target_pm - sh.natural_pm) * e.epoch // 3
+        |            AS BIGINT) AS weight_pm,
+        |       CAST(100000 * (sh.natural_pm + (sh.target_pm - sh.natural_pm)
+        |            * e.epoch // 3) // 1000 AS BIGINT) AS planned_tokens
+        |FROM sh, LATERAL unnest(generate_series(0, 3)) e(epoch)""".stripMargin,
 
     // explicit discrete quantiles (smallest v with cum·k >= q·n) so no
     // engine quantile variant is trusted

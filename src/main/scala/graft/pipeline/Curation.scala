@@ -462,6 +462,56 @@ object Curation {
     pmod(h * pmod(h + lit(2654435761L * epoch), p), p)
   }
 
+  /** Annealed mixture schedule: per training epoch, the per-stratum
+    * sampling weight interpolated from the corpus's NATURAL token
+    * share (epoch 0) toward the curated TARGET mix (last epoch) —
+    * `w_e = natural + (target − natural)·e div (E−1)`, exact integer
+    * per-mille — plus the planned token draw under a per-epoch
+    * budget. The standard mixture-annealing curriculum: early epochs
+    * see data in its natural proportions (stable gradients), late
+    * epochs converge on the deliberate mix; [[mixturePlan]] is the
+    * static single-epoch endpoint of this schedule.
+    *
+    * Returns (epoch, stratum, natural_pm, target_pm, weight_pm,
+    * planned_tokens) — epochs·|strata| metadata rows.
+    *
+    * Scale shape: one partial-agg'd stratum exchange for the natural
+    * shares; the schedule fan-out and interpolation run over metadata
+    * rows only.
+    */
+  def mixtureSchedule(
+      df: DataFrame,
+      stratumCol: String,
+      textCol: String,
+      epochs: Int,
+      budgetPerEpoch: Long,
+      targetPm: Map[String, Long]): DataFrame = {
+    require(epochs >= 2, "mixtureSchedule: epochs must be >= 2")
+    require(budgetPerEpoch >= 0, "mixtureSchedule: budget must be >= 0")
+    require(targetPm.values.forall(w => w >= 0 && w <= 1000),
+      "mixtureSchedule: target weights are per-mille in [0, 1000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val target = targetPm.toSeq.sortBy(_._1).toDF(stratumCol, "target_pm")
+    val natural = df.groupBy(col(stratumCol))
+      .agg(sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("_tok"))
+    val shares = natural
+      .crossJoin(broadcast(natural.agg(sum(col("_tok")).as("_tot"))))
+      .withColumn("natural_pm", expr("_tok * 1000 div greatest(_tot, 1)"))
+      .join(broadcast(target), Seq(stratumCol), "full_outer")
+      .withColumn("natural_pm", coalesce(col("natural_pm"), lit(0L)))
+      .withColumn("target_pm", coalesce(col("target_pm"), lit(0L)))
+    shares
+      .crossJoin(broadcast((0 until epochs).toDF("epoch")))
+      .withColumn("weight_pm", expr(
+        s"natural_pm + (target_pm - natural_pm) * epoch div ${epochs - 1}"))
+      .withColumn("planned_tokens",
+        expr(s"${budgetPerEpoch}L * weight_pm div 1000"))
+      .select(col("epoch").cast("long").as("epoch"), col(stratumCol),
+        col("natural_pm"), col("target_pm"), col("weight_pm"),
+        col("planned_tokens"))
+  }
+
   /** Dataset card: the one-row corpus summary sheet a training run is
     * signed off against — doc/token mass, language and source
     * diversity, null-text count, exact-duplicate share, and exact

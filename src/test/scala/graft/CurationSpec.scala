@@ -845,6 +845,33 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureSchedule: endpoints exact, interpolation integer, absent strata surface") {
+    // natural: a = 30/40 = 750pm, b = 10/40 = 250pm; targets a=200, b=600
+    val docs = Seq(
+      ("a", "w w w w w w w w w w w w w w w w w w w w w w w w w w w w w w"),
+      ("b", "w w w w w w w w w w")
+    ).toDF("src", "text")
+    val out = Curation.mixtureSchedule(docs, "src", "text",
+      epochs = 3, budgetPerEpoch = 1000L,
+      Map("a" -> 200L, "b" -> 600L, "z" -> 200L))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // epoch 0 = natural, last epoch = target, middle = integer midpoint
+    assert(out((0L, "a")) === ((750L, 200L, 750L, 750L)))
+    assert(out((2L, "a")) === ((750L, 200L, 200L, 200L)))
+    assert(out((1L, "a")) === ((750L, 200L, 750L + (200L - 750L) / 2, 475L)))
+    assert(out((0L, "b")) === ((250L, 600L, 250L, 250L)))
+    assert(out((2L, "b")) === ((250L, 600L, 600L, 600L)))
+    // z: weighted but absent from the corpus — surfaces, annealing in
+    // from zero natural share
+    assert(out((0L, "z")) === ((0L, 200L, 0L, 0L)))
+    assert(out((2L, "z")) === ((0L, 200L, 200L, 200L)))
+    assert(out.size === 9)
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSchedule(docs, "src", "text", 1, 1000L, Map.empty)
+    }
+  }
+
   test("corpusCard: mass, diversity, dup share, explicit discrete quantiles") {
     // 10 docs: token lengths 1..9 + one null text; doc 2 duplicates
     // doc 1's text (9 non-null docs, 8 distinct -> dup 111 milli)
