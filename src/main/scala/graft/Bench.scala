@@ -12,6 +12,14 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // the status listener retains jobs/stages/executions even with the
+      // UI off; at 269 entries × 2 passes the defaults (1000 each) hold
+      // tens of thousands of task wrappers on the old-gen heap — cap them
+      // so late queries aren't measured under early queries' GC debt
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
+      .config("spark.sql.ui.retainedExecutions", "20")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/JIT/parquet footers so per-query numbers are
@@ -24,8 +32,16 @@ object Bench {
     // warmup (codegen/JIT), the min is the steady-state number — the
     // ASV convention. Cache cleared between queries so none is
     // measured under another's accumulated memory pressure.
+    // Optional canary filter (comma-separated names): run a subset in an
+    // otherwise identical harness — the A/B instrument for separating
+    // per-query regression from catalog-size harness overhead (GC/codegen
+    // cache pressure grows with entries even though queries are identical).
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     def pass(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -38,12 +54,16 @@ object Bench {
     // BASELINE "state_insert" mirror (ASV StateInsertKeyBy: 100k rows,
     // 100 keys): streaming upsert throughput through the
     // flatMapGroupsWithState state store.
-    val insertSec = try stateInsertBench(spark) catch { case _: Throwable => -1.0 }
+    val insertSec =
+      if (only.nonEmpty) -1.0
+      else try stateInsertBench(spark) catch { case _: Throwable => -1.0 }
     // BASELINE `state_query_all` / `state_query_filter` / `replay`
     // mirrors (ASV StateFirstQueryAll / StateFirstQueryFilter /
     // ReplayEngineJSON shapes).
-    val gw = try gatewayBench(spark) catch { case _: Throwable =>
-      Map("state_query_all" -> -1.0, "state_query_filter" -> -1.0, "replay" -> -1.0) }
+    val gw =
+      if (only.nonEmpty) Map.empty[String, Double]
+      else try gatewayBench(spark) catch { case _: Throwable =>
+        Map("state_query_all" -> -1.0, "state_query_filter" -> -1.0, "replay" -> -1.0) }
     val allResults = results + ("state_insert_100k" -> insertSec) ++ gw
     val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -102,10 +102,18 @@ object PipelineQueries {
     * written parquet, so harness clearCache() cannot invalidate it.
     */
   private val z8AuditCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def z8Audit(s: SparkSession, dir: String): DataFrame =
-    z8AuditCache.computeIfAbsent(dir, _ => z8AuditBuild(s, dir))
+  // keyed by (session, dir): a cached frame is bound to the session
+  // that built it, so a later session in the same JVM (suites that
+  // restart sessions) rebuilds instead of reading through a stale
+  // plan; entries whose scratch roots were tmp-cleaned are evicted
+  private def z8Audit(s: SparkSession, dir: String): DataFrame = {
+    val rootsExist = Seq("linear", "zorder")
+      .forall(n => new java.io.File(scopedTmp(s"graft_z8_$n", dir)).exists())
+    if (!rootsExist) z8AuditCache.remove((s, dir))
+    z8AuditCache.computeIfAbsent((s, dir), _ => z8AuditBuild(s, dir))
+  }
 
   private def z8AuditBuild(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -127,7 +135,8 @@ object PipelineQueries {
         .write.mode("overwrite").partitionBy("bucket").parquet(root)
       Seq(("l_partkey", pprobes), ("l_suppkey", sprobes)).map { case (c, ps) =>
         graft.pipeline.Layout.skippingEffectiveness(
-            graft.pipeline.Layout.fileStats(s, root, c), ps)
+            graft.pipeline.Layout.fileStats(s, root, c,
+              requirePathToken = "bucket="), ps)
           .withColumn("column", lit(c)).withColumn("layout", lit(name))
       }.reduce(_ unionByName _)
     }
@@ -944,7 +953,8 @@ object PipelineQueries {
         .withColumn("bucket", pmod(col("l_orderkey"), lit(4)))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(root)
-      graft.pipeline.Layout.fileStats(s, root, "l_orderkey")
+      graft.pipeline.Layout.fileStats(s, root, "l_orderkey",
+          requirePathToken = "bucket=")
         .withColumn("bucket", regexp_extract(col("file"), "bucket=(\\d+)", 1).cast("long"))
         .groupBy(col("bucket"))
         .agg(sum(col("n_rows")).as("n_rows"),
@@ -957,13 +967,25 @@ object PipelineQueries {
     // write shape) so the bin arithmetic is oracle-checkable from the
     // logical table; tie order rides min_v (logical), never filenames
     "z6_compaction_plan" -> ((s, dir) => {
-      val root = scopedTmp("graft_compact", dir)
-      t(s, dir, "lineitem")
-        .withColumn("bucket", pmod(col("l_orderkey"), lit(8)))
+      // scratch prefix UNIQUE to this entry: r9's one red row traced to
+      // z6 and z3 sharing "graft_compact" — any interleaving that let
+      // this fileStats list z3's source=* layout shifted the bin
+      // arithmetic while keeping 3 rows (rows/schema green, hash red)
+      val root = scopedTmp("graft_z6compact", dir)
+      val li = t(s, dir, "lineitem")
+      li.withColumn("bucket", pmod(col("l_orderkey"), lit(8)))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(root)
-      graft.pipeline.Layout.compactionPlan(
-          graft.pipeline.Layout.fileStats(s, root, "l_orderkey"),
+      val stats = graft.pipeline.Layout.fileStats(s, root, "l_orderkey",
+        requirePathToken = "bucket=")
+      // loud invariant: the footer listing must cover EXACTLY the table
+      // just written — Σ n_rows is footer metadata, count() is pushed-
+      // down parquet metadata, both KB-scale at any corpus size
+      val listed = stats.agg(sum(col("n_rows"))).head.getLong(0)
+      val expect = li.count()
+      require(listed == expect,
+        s"z6: footer rows $listed != table count $expect — stale/foreign files under $root")
+      graft.pipeline.Layout.compactionPlan(stats,
           targetRows = 20000L, tieCol = "min_v")
         .groupBy("grp")
         .agg(count(lit(1)).as("n_files"), sum("n_rows").as("total_rows"),
@@ -988,7 +1010,8 @@ object PipelineQueries {
         frame.repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(root)
         graft.pipeline.Layout.skippingEffectiveness(
-            graft.pipeline.Layout.fileStats(s, root, "l_orderkey"), probes)
+            graft.pipeline.Layout.fileStats(s, root, "l_orderkey",
+              requirePathToken = "bucket="), probes)
           .withColumn("layout", lit(name))
       }
       val hash = li.withColumn("bucket", pmod(col("l_orderkey"), lit(8)))
@@ -1026,7 +1049,8 @@ object PipelineQueries {
         .withColumn("bucket", least(pmod(col("l_orderkey"), lit(8)), lit(3)))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(root)
-      val perPart = graft.pipeline.Layout.fileStats(s, root, "l_orderkey")
+      val perPart = graft.pipeline.Layout.fileStats(s, root, "l_orderkey",
+          requirePathToken = "bucket=")
         .withColumn("bucket",
           regexp_extract(col("file"), "bucket=(\\d+)", 1).cast("long"))
         .groupBy(col("bucket")).agg(sum(col("n_rows")).as("n_rows"))

@@ -28,6 +28,20 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** Calendar-arithmetic operators (hour()/to_date()/date_trunc) are
+    * session-timezone-dependent while their streaming twins and the
+    * DuckDB oracles use UTC epoch arithmetic — batch==stream and
+    * batch==oracle equality silently requires a UTC session, so
+    * demand it loudly instead.
+    */
+  private def requireUtc(s: org.apache.spark.sql.SparkSession, op: String): Unit = {
+    val tz = s.conf.get("spark.sql.session.timeZone", "")
+    require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+      s"$op requires a UTC session timezone (got '$tz'): calendar " +
+        "bucketing drifts from the UTC epoch arithmetic of its " +
+        "streaming twin and oracle under any other zone")
+  }
+
   /** Ordered conversion funnel. A user reaches stage k when an event of
     * type `stages(k)` occurs STRICTLY after the time the user reached
     * stage k-1 (stage 0 = the user's earliest `stages(0)` event).
@@ -135,10 +149,7 @@ object EventAnalytics {
       case other  => throw new IllegalArgumentException(
         s"unsupported retention period '$other' (day|week)")
     }
-    val tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
-    require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
-      s"retentionCohorts requires a UTC session timezone (got '$tz'): " +
-        "fixed-length period offsets are wrong under DST — see scaladoc")
+    requireUtc(events.sparkSession, "retentionCohorts")
     val u = col(userCol)
     // One corpus-scale exchange total: the per-user active-period SET is
     // built with map-side partial collect_set (shuffle volume = distinct
@@ -347,6 +358,7 @@ object EventAnalytics {
       entityCols: Seq[String],
       tsCol: String): DataFrame = {
     require(entityCols.nonEmpty, "entityNovelty: need at least one entity column")
+    requireUtc(events.sparkSession, "entityNovelty")
     // calendar day (to_date floors in every era; truncating epoch
     // `div` would merge the two days around 1970-01-01 — review
     // finding), matching the v3 drift convention
@@ -392,6 +404,7 @@ object EventAnalytics {
       burstMilli: Long = 500L): DataFrame = {
     require(burstMilli >= 1 && burstMilli <= 1000,
       "hourOfDayProfile: burstMilli in [1, 1000]")
+    requireUtc(events.sparkSession, "hourOfDayProfile")
     // calendar hour, not truncating epoch arithmetic: Java-style
     // `div`/`%` go NEGATIVE for pre-1970 timestamps (an impossible
     // hour row that diverges from DuckDB's flooring `//`); hour() is

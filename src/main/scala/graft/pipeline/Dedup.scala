@@ -1601,19 +1601,27 @@ object Dedup {
           graft.functions.TextFunctions.fingerprint(col(textCol), k, w).as("fps"))
         .withColumn("n_fp", size(col("fps")).cast("long"))
         .filter(col("n_fp") >= 1))
+    // distinct (id, fp): fps is distinct within one row, but a re-fed
+    // corpus can carry the same id on several rows — without this the
+    // df cap here and the countDistinct-based report in winnowFpStats
+    // would disagree about which fingerprints survive, and shared_fps
+    // would double-count duplicate ids
     val idx = fp.select(col(idCol).as("_id"), explode(col("fps")).as("_fp"))
-    // fps is distinct per doc, so count(*) per fingerprint = doc freq
-    val rare = idx.groupBy(col("_fp")).agg(count(lit(1)).as("_f"))
+      .distinct()
+    val rare = idx.groupBy(col("_fp")).agg(countDistinct(col("_id")).as("_f"))
       .filter(col("_f") <= maxDf).select(col("_fp"))
     val capped = idx.join(rare, Seq("_fp"))
+    // n_fp per id deduped the same way (max is deterministic if a
+    // duplicated id ever carried different texts)
+    val nfp = fp.groupBy(col(idCol).as("_nid")).agg(max(col("n_fp")).as("_nfp"))
     capped.as("a")
       .join(capped.as("b"),
         col("a._fp") === col("b._fp") && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("id1"), col("b._id").as("id2"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
-      .join(fp.select(col(idCol).as("id1"), col("n_fp").as("n_fp1")), Seq("id1"))
-      .join(fp.select(col(idCol).as("id2"), col("n_fp").as("n_fp2")), Seq("id2"))
+      .join(nfp.select(col("_nid").as("id1"), col("_nfp").as("n_fp1")), Seq("id1"))
+      .join(nfp.select(col("_nid").as("id2"), col("_nfp").as("n_fp2")), Seq("id2"))
       .withColumn("overlap_milli",
         expr("shared_fps * 1000 div least(n_fp1, n_fp2)"))
       .select(col("id1"), col("id2"), col("shared_fps"),

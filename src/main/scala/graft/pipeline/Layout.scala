@@ -348,10 +348,22 @@ object Layout {
         col("score_milli"), (col("layout") === col("_win")).as("chosen"))
   }
 
+  /** Footer-only per-file stats (file, n_rows, min_v, max_v) for every
+    * parquet file under `path`.
+    *
+    * `requirePathToken`, when non-null, is a loud provenance guard: every
+    * listed file path must contain the token (e.g. `"bucket="` for a
+    * layout written with `partitionBy("bucket")`). A scratch directory
+    * poisoned by a DIFFERENT writer's layout — the r9 z6/z3 shared-prefix
+    * hazard — then fails immediately with the offending path instead of
+    * silently shifting the downstream bin arithmetic while keeping the
+    * row/schema shape green.
+    */
   def fileStats(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      column: String): DataFrame = {
+      column: String,
+      requirePathToken: String = null): DataFrame = {
     import org.apache.hadoop.fs.Path
     import scala.jdk.CollectionConverters._
     val root = new Path(path)
@@ -364,6 +376,11 @@ object Layout {
         if (f.getPath.getName.endsWith(".parquet")) b += f.getPath.toString
       }
       b.result()
+    }
+    if (requirePathToken != null) files.find(!_.contains(requirePathToken)).foreach { bad =>
+      throw new IllegalStateException(
+        s"fileStats: file '$bad' under '$path' lacks expected partition " +
+          s"token '$requirePathToken' — foreign or stale layout in scratch dir")
     }
     // ship the DRIVER's Hadoop conf to executors: a classpath-default
     // Configuration drops programmatic spark.hadoop.* settings (e.g.

@@ -191,16 +191,26 @@ object Multimodal {
     val bpp = leShort(payload, 28)
     val compression = leInt(payload, 30)
     if (planes != 1 || bpp != 24 || compression != 0) return null
-    if (width < 0 || dataOff < 54) return null
+    // Long arithmetic for the geometry: a crafted width >= ~716M makes
+    // 3*width wrap negative in Int, letting the bound check pass and
+    // the pixel loop throw instead of honoring the null-on-violation
+    // contract; abs(Int.MinValue) is itself negative
+    if (width < 0 || dataOff < 54 || height == Int.MinValue) return null
     val rows = math.abs(height)
-    val rowSize = ((3 * width + 3) / 4) * 4 // rows pad to 4-byte boundaries
-    if (dataOff.toLong + rowSize.toLong * rows > payload.length) return null
+    val rowSize = ((3L * width + 3L) / 4L) * 4L // rows pad to 4-byte boundaries
+    // division-based bound: rowSize·rows can overflow even LONG when
+    // both are ~2^31-scale, which would wrap negative and pass a
+    // multiplicative check
+    if (dataOff > payload.length) return null
+    if (rowSize > 0 && rows.toLong > (payload.length.toLong - dataOff) / rowSize) return null
+    if (width == 0 || rows == 0) return new Array[Double](8) // no pixels, no loop
+    val rowSizeI = rowSize.toInt // safe: bound above caps it under payload.length
     val bins = new Array[Double](8)
     var r = 0
     while (r < rows) {
       var x = 0
       while (x < width) {
-        bins(payload(dataOff + r * rowSize + 3 * x) & 7) += 1.0
+        bins(payload(dataOff + r * rowSizeI + 3 * x) & 7) += 1.0
         x += 1
       }
       r += 1
@@ -222,17 +232,26 @@ object Multimodal {
     val bpp = leShort(payload, 28)
     val compression = leInt(payload, 30)
     if (planes != 1 || bpp != 24 || compression != 0) return null
-    if (width < 0 || dataOff < 54) return null
+    // same Long-geometry hardening as decodeBmp: Int wrap on 3*width /
+    // width*rows must return null, never throw
+    if (width < 0 || dataOff < 54 || height == Int.MinValue) return null
     val rows = math.abs(height)
-    val rowSize = ((3 * width + 3) / 4) * 4
-    if (dataOff.toLong + rowSize.toLong * rows > payload.length) return null
-    val out = new Array[Int](width * rows)
+    val rowSize = ((3L * width + 3L) / 4L) * 4L
+    // same division-based bound as decodeBmp: the product form can
+    // overflow LONG and wrap past the check
+    if (dataOff > payload.length) return null
+    if (rowSize > 0 && rows.toLong > (payload.length.toLong - dataOff) / rowSize) return null
+    if (width == 0 || rows == 0) return new Array[Int](0)
+    val nPx = width.toLong * rows
+    if (nPx > Int.MaxValue) return null // unreachable once bound holds; belt+braces
+    val rowSizeI = rowSize.toInt
+    val out = new Array[Int](nPx.toInt)
     var r = 0
     var i = 0
     while (r < rows) {
       var x = 0
       while (x < width) {
-        out(i) = payload(dataOff + r * rowSize + 3 * x) & 0xFF
+        out(i) = payload(dataOff + r * rowSizeI + 3 * x) & 0xFF
         i += 1
         x += 1
       }

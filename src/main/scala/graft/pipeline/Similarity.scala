@@ -287,7 +287,12 @@ object Similarity {
     * `_nc: long`: a nested HOF fold — acc = picked 1-based positions;
     * each of the k steps scans all positions, skipping picked ones,
     * and keeps the best score (strict `>` keeps the FIRST maximum =
-    * lowest position, the deterministic tie break). Exposed so the
+    * lowest position, the deterministic tie break; the `b.pos = -1`
+    * disjunct makes the FIRST unpicked candidate win outright, so the
+    * argmax can never fall through to the sentinel even if every real
+    * score underflows the seed — `element_at(cids, -1)` would
+    * otherwise silently select the LAST candidate, Spark's negative
+    * indices counting from the end). Exposed so the
     * property suite pins THIS expression — not a copy — against a
     * reference Scala greedy on random pools.
     */
@@ -302,7 +307,7 @@ object Similarity {
        |      sequence(1, CAST(_nc AS INT)),
        |      named_struct('s', CAST(-4611686018427387904 AS BIGINT), 'pos', -1),
        |      (b, p) -> CASE WHEN array_contains(acc, p) THEN b ELSE (
-       |        CASE WHEN ($lam * element_at(rels, p)
+       |        CASE WHEN b.pos = -1 OR ($lam * element_at(rels, p)
        |                   - $mu * coalesce(array_max(transform(acc,
        |                       q -> element_at(simflat, (p - 1) * CAST(_nc AS INT) + q))), 0L))
        |                  > b.s

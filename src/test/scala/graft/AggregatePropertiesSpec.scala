@@ -216,4 +216,22 @@ class AggregatePropertiesSpec extends AnyFunSuite {
       picked.map(_ - 1) == refGreedy(rels, sim, k, lam)
     })
   }
+
+  test("MMR argmax can never fall through to the sentinel (score underflow)") {
+    // every candidate score below the old -2^62 seed: pos=-1 would have
+    // leaked into element_at, silently selecting the LAST candidate
+    // (negative indices count from the end) — the b.pos = -1 disjunct
+    // makes the FIRST unpicked candidate win instead (ADVICE r9)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rels = Seq(-4611686018427388L, -4611686018427389L, -4611686018427390L)
+    val simflat = Seq.fill(9)(0L)
+    val df = Seq((rels, simflat, 3)).toDF("rels", "simflat", "_nc")
+    val picked = df.withColumn("picked",
+      org.apache.spark.sql.functions.expr(
+        graft.pipeline.Similarity.mmrFoldSql(2, 1000)))
+      .select("picked").as[Seq[Int]].head()
+    // greedy on pure relevance: position 1 (best rel), then 2
+    assert(picked == Seq(1, 2), picked.toString)
+  }
 }

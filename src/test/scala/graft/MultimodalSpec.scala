@@ -141,6 +141,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmp(overrun) == null)
   }
 
+  test("BMP geometry overflow: crafted huge width/height return null, never throw") {
+    // widths where 3*width wraps negative in Int made the old Int
+    // rowSize pass the length bound and then throw (ADVICE r9); both
+    // decoders must honor the null-on-violation contract in Long math
+    val base = Multimodal.bmpEncode(Array[Byte](1, 2), width = 2, height = 1)
+    def crafted(width: Int, height: Int): Array[Byte] = {
+      val b = base.clone()
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(18, width)
+      bb.putInt(22, height)
+      b
+    }
+    for (w <- Seq(716000000, Int.MaxValue, Int.MaxValue / 3 + 1);
+         h <- Seq(1, -1, Int.MinValue, Int.MaxValue)) {
+      assert(Multimodal.decodeBmp(crafted(w, h)) == null, s"decodeBmp w=$w h=$h")
+      assert(Multimodal.decodeBmpGray(crafted(w, h)) == null, s"decodeBmpGray w=$w h=$h")
+    }
+    // height = Int.MinValue alone (abs is still negative) must be rejected
+    assert(Multimodal.decodeBmpGray(crafted(2, Int.MinValue)) == null)
+    // sanity: the untouched fixture still decodes on both paths
+    assert(Multimodal.decodeBmp(base) != null && Multimodal.decodeBmpGray(base) != null)
+  }
+
   test("zero-norm (empty-text) features never reach similarity ranking") {
     // an empty doc decodes to the all-zero feature; its cosine is NaN
     // against everything and row_number(cosine DESC) would rank NaN
@@ -373,6 +396,7 @@ class MultimodalSpec extends AnyFunSuite {
     }
     fuzzOne(wav, Multimodal.decodeWav)
     fuzzOne(bmp, Multimodal.decodeBmp)
+    fuzzOne(bmp, Multimodal.decodeBmpGray)
     fuzzOne(png, Multimodal.decodePng)
     fuzzOne(avi, Multimodal.decodeAvi)
     // sanity: originals still decode

@@ -144,6 +144,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow pairs: duplicated input ids neither double-count shared_fps nor shift the df cap") {
+    // a re-fed corpus: doc 1's row appears twice. shared_fps and the
+    // df cap must behave exactly as if each id appeared once (ADVICE
+    // r9: count(*) vs countDistinct drift between operator and report)
+    val passage = "unmistakable copied passage body"
+    val once = Seq(
+      (1L, "lead in words " + passage + " trailing material one"),
+      (2L, "other document entirely " + passage + " with its own tail"))
+      .toDF("doc_id", "text")
+    val refed = once.unionAll(once.filter($"doc_id" === 1L))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      Dedup.winnowPairs(df, "doc_id", "text", minShared = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(snap(refed) === snap(once))
+    // df cap under duplication: 2 distinct docs re-fed to 4 rows must
+    // still pass maxDf = 2 (row-count df would read 4 and drop all)
+    val cappedRefed = Dedup.winnowPairs(refed, "doc_id", "text",
+      minShared = 1, maxDf = 2).count()
+    assert(cappedRefed === 1L, s"$cappedRefed")
+  }
+
   test("dedupSavings: per-size groups, kept = label, singletons absent") {
     // one triple (ids 1,2,3 — keep 1) and one pair (ids 10,11 — keep
     // 10); doc 20 has no near-dup and must NOT appear (components

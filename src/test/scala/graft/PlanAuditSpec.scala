@@ -964,6 +964,35 @@ class PlanAuditSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("pagerank checkpoint cadence bounds lineage at 20+ rounds (no exponential plan)") {
+    // at gate scale g1 runs 3 rounds and an open plan is fine; at 100×
+    // you run 20+ rounds, where each round REFERENCES the previous rank
+    // frame twice (contrib join + dangling mass) — an unchecked plan
+    // grows exponentially in rounds. checkpointEvery must make the
+    // analyzed plan size depend ONLY on the post-checkpoint tail, not
+    // on total rounds.
+    import spark.implicits._
+    val e = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0), (1L, 3L, 2.0))
+      .toDF("src", "dst", "w")
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int = {
+      var n = 0
+      df.queryExecution.analyzed.foreach(_ => n += 1)
+      n
+    }
+    val n10 = planNodes(graft.pipeline.GraphOps.pageRank(e, iters = 10, checkpointEvery = 5))
+    val n20 = planNodes(graft.pipeline.GraphOps.pageRank(e, iters = 20, checkpointEvery = 5))
+    val n25 = planNodes(graft.pipeline.GraphOps.pageRank(e, iters = 25, checkpointEvery = 5))
+    // same 5-round tail after the last checkpoint → identical plan size
+    // regardless of total rounds: bounded, not merely slower-growing
+    assert(n20 === n10, s"lineage grew with round count: $n10 -> $n20")
+    assert(n25 === n10, s"lineage grew with round count: $n10 -> $n25")
+    // and the checkpointed 20-round plan is far below the open one at
+    // HALF the rounds (10 open rounds ≈ 2^10 leaf references)
+    val nOpen10 = planNodes(graft.pipeline.GraphOps.pageRank(e, iters = 10))
+    assert(n20 < nOpen10 / 4, s"ckpt(20)=$n20 vs open(10)=$nOpen10")
+    spark.catalog.clearCache()
+  }
+
   test("u3 correlated EXISTS decorrelates to semi/anti joins, no nested loop") {
     val p = plan(graft.SparkEntry.queries("u3_exists")(spark, dir))
     assert(p.contains("LeftSemi"), p.take(4000))

@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# Round-close correctness gate.
+#
+# The r9 receipts/driver discrepancy (builder claimed 269/269, driver
+# recorded 268/269) came from per-family re-runs: a query that is green
+# in isolation can still go red in the FULL single-JVM catalog run the
+# driver performs (shared /tmp scratch, cache interleaving, catalog-order
+# effects). Round-close receipts therefore MUST come from this script and
+# nothing else:
+#   * one JVM, the complete SparkEntry.queries catalog, driver order
+#     (Verify with exactly two args — no per-query filtering),
+#   * the driver's own comparator (tools/check.py) over ALL entries,
+#   * the report committed verbatim as RECEIPTS.md.
+#
+# Usage: tools/gate.sh [sfDir] [outDir]
+set -uo pipefail
+SF_DIR=${1:-/root/testdata/sf0.01}
+OUT=${2:-/tmp/graft_gate_out}
+cd "$(dirname "$0")/.."
+
+rm -rf "$OUT"
+echo "== gate: full catalog Verify @ $SF_DIR (single JVM, driver order)"
+sbt -batch "runMain graft.Verify $SF_DIR $OUT" 2>&1 | tail -3
+echo "== gate: driver comparator over ALL entries"
+REPORT=$(python3 tools/check.py "$SF_DIR" "$OUT")
+RC=$?
+SUMMARY=$(echo "$REPORT" | tail -1)
+{
+  echo "# RECEIPTS — round-close gate output (committed verbatim)"
+  echo
+  echo "- command: \`tools/gate.sh $SF_DIR $OUT\`"
+  echo "- date: $(date -u +%Y-%m-%dT%H:%M:%SZ)"
+  echo "- git: $(git rev-parse --short HEAD) ($(git status --porcelain | wc -l) dirty files)"
+  echo "- catalog entries: $(ls "$OUT" | grep -vc oracle_sql.json)"
+  echo "- result: $SUMMARY (exit $RC)"
+  echo
+  echo '```'
+  echo "$REPORT" | grep -v '^OK ' || true
+  echo '```'
+} > RECEIPTS.md
+echo "$SUMMARY (exit $RC) — receipt written to RECEIPTS.md"
+exit $RC
