@@ -26,8 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default on the 128 GiB box: at 269 catalog entries the 8g heap
-  // pushed local[32] runs into GC territory — the r8→r9 uniform ~1.2×
-  // bench slip tracked catalog growth, not operators (VERDICT r9 §perf)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+  // 8g, measured: a same-canary A/B at sf0.1/local[32] put 24g at
+  // 1.16× SLOWER than 8g (G1 lets garbage pile deeper on a big heap and
+  // the copying cost + cache misses outweigh the fewer collections) —
+  // the r8→r9 bench slip is NOT heap starvation
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

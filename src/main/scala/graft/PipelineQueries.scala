@@ -1297,9 +1297,12 @@ object PipelineQueries {
     // strictly negative Q is the score a structureless assignment
     // earns, so the row demonstrates the verdict discriminates
     "g8_modularity" -> ((s, dir) => {
+      // persisted: FOUR consumers re-derive the events-scan + user-window
+      // lineage otherwise (LPA, both modularity calls, the singleton ids)
       val edges = graft.pipeline.GraphOps.transitionEdges(
         t(s, dir, "events"), "user_id",
         get_json_object(col("props"), "$.k"), "ts", tieCols = Seq("event_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val und = graft.pipeline.GraphOps.undirectedWeighted(edges)
       val singletons = und.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl"))

@@ -244,7 +244,7 @@ object StreamingQueries {
     // read back via the distributed `statestore` source (the cluster
     // serving path) — NOT re-aggregated from the update log
     "t1s_state_stream" -> ((s, dir) => {
-      val (_, ckpt) = runStream(s, Seq((t(s, dir, "events"), "event_id")), "update", ticks = 4) {
+      val (_, ckpt) = runStream(s, Seq((t(s, dir, "events"), "event_id")), "update", ticks = 3) {
         case Seq(ev) => StreamingState.lastByKeyStream(ev, Seq("user_id"), "event_id")
       }
       StreamingState.stateSnapshot(s, ckpt)
@@ -255,7 +255,7 @@ object StreamingQueries {
     // ascending doc_id with the min-seq in-batch tie-break, the
     // survivor set equals the batch min(doc_id)-per-text dedup
     "d1s_dedup_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "append", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "append", ticks = 3) {
         case Seq(docs) => StreamingState.dedupStream(docs, Seq("text"), seqCol = Some("doc_id"))
       }
       out.select(col("doc_id"), col("n_chars"))
@@ -267,7 +267,7 @@ object StreamingQueries {
     // batch outputs equals the batch run and the mm1 oracle applies
     // verbatim
     "mm1s_media_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "append", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "append", ticks = 3) {
         case Seq(docs) => graft.pipeline.Multimodal.decodeFeatures(
           graft.testing.MediaFixtures.syntheticMedia(docs))
       }
@@ -280,7 +280,7 @@ object StreamingQueries {
     // (possibly batches later); distinct pairs equal the batch
     // band-bucket self-join, so d3's oracle applies verbatim
     "d3s_lsh_dedup_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "append", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "append", ticks = 3) {
         case Seq(docs) => StreamingState.minhashLshDedupStream(
           docs, "doc_id", "text", n = 3, numHashes = 16, bands = 4, threshold = 0.5)
       }
@@ -292,7 +292,7 @@ object StreamingQueries {
     // across micro-batches; ascending-id ticks reproduce the batch
     // packer's per-shard ordering, so p2's oracle applies verbatim
     "p2s_pack_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "append", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "append", ticks = 3) {
         case Seq(docs) => StreamingState.packChunksStream(
           docs, "doc_id", "text", ctxTokens = 512, shards = 8)
       }
@@ -303,7 +303,7 @@ object StreamingQueries {
     // the state store, exact-cosine verify on arrival — the streaming
     // face of the batch d5 bucketed path, so d5's oracle applies
     "d5s_embed_neardup_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "append", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "append", ticks = 3) {
         case Seq(vecs) => StreamingState.embeddingNearDupStream(
           vecs, "vec_id", "embedding", threshold = 0.45)
       }
@@ -317,7 +317,7 @@ object StreamingQueries {
     // plain batch GROUP BY. sum over event_id keeps the sum integer
     // (a double sum's accumulation order can't hash-match)
     "a9s_windowed_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 3) {
         case Seq(ev) => StreamingState.windowedCounts(
           ev, "ts", "1 hour", "10 minutes", Seq("event_type"), "event_id")
       }
@@ -345,7 +345,7 @@ object StreamingQueries {
         }
       }.toSeq)
       val day = 24L * 3600 * 1000
-      val (out, _) = runStream(s, Seq((ev, "ts")), "append", ticks = 4,
+      val (out, _) = runStream(s, Seq((ev, "ts")), "append", ticks = 3,
         flush = Seq(sentinel(100 * day), sentinel(200 * day))) {
         case Seq(e) => StreamingState.sessionCounts(
           e, "ts", "12 hours", "10 minutes", Seq("user_id"), "event_id")
@@ -363,7 +363,7 @@ object StreamingQueries {
     "a14s_funnel_stream" -> ((s, dir) => {
       import s.implicits._
       val stages = Seq("signup", "view", "click", "purchase")
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 3) {
         case Seq(ev) => StreamingState.funnelStream(
           ev, "user_id", "event_type", "ts", stages, "event_id")
       }
@@ -382,7 +382,7 @@ object StreamingQueries {
     // batch's last; the batch count/probability rollup runs over the
     // emitted pair stream, so the a17 oracle applies verbatim
     "a17s_transitions_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 3) {
         case Seq(ev) => StreamingState.transitionsStream(
           ev, "user_id", "event_type", "ts", "event_id")
       }
@@ -398,7 +398,7 @@ object StreamingQueries {
     // stream is the batch hop row set and the a20 rollup applies
     "a20s_hop_times_stream" -> ((s, dir) => {
       val stages = Seq("signup", "view", "click", "purchase")
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 3) {
         case Seq(ev) => StreamingState.funnelHopsStream(
           ev, "user_id", "event_type", "ts", stages, "event_id")
       }
@@ -419,7 +419,7 @@ object StreamingQueries {
     // at N triples and freezes once full; n_events is monotone, so the
     // max-n emission per user is the final path (a18 oracle verbatim)
     "a18s_paths_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 3) {
         case Seq(ev) => StreamingState.pathsStream(
           ev, "user_id", "event_type", "ts", "event_id", firstN = 5)
       }
@@ -439,7 +439,7 @@ object StreamingQueries {
       val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
         col("event_id"),
         expr("CAST(CAST(value AS DOUBLE) * 1024D AS LONG)").as("q"))
-      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 3) {
         case Seq(e) =>
           StreamingState.drawdownStream(e, "user_id", "ts", "q", "event_id")
       }
@@ -455,7 +455,7 @@ object StreamingQueries {
       val ev = t(s, dir, "events").select(
         concat_ws(":", col("user_id"), col("event_type")).as("ent"),
         col("ts"), col("event_id"))
-      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 3) {
         case Seq(e) => StreamingState.noveltyStream(e, "ent", "ts")
       }
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
@@ -479,7 +479,7 @@ object StreamingQueries {
     "a24s_hour_profile_stream" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(col("event_type"), col("ts"),
         col("event_id"))
-      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 3) {
         case Seq(e) =>
           StreamingState.hourProfileStream(e, "event_type", "ts")
       }
@@ -495,7 +495,7 @@ object StreamingQueries {
       val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
         col("event_id"),
         expr("CAST(CAST(value AS DOUBLE) * 1024D AS LONG)").as("q"))
-      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 3) {
         case Seq(e) =>
           StreamingState.cusumStream(e, "user_id", "ts", "q", "event_id",
             refQ = 50L * 1024, slackQ = 10L * 1024, hQ = 300L * 1024)
@@ -513,7 +513,7 @@ object StreamingQueries {
       val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
         col("event_id"),
         expr("CAST(CAST(value AS DOUBLE) AS LONG)").as("q"))
-      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 3) {
         case Seq(e) =>
           StreamingState.rollingAnomalyStream(e, "user_id", "ts", "q", "event_id")
       }
@@ -529,7 +529,7 @@ object StreamingQueries {
           col("event_id") * 100L + when(pmod(col("event_id"), lit(7)) === 0,
             2050L).otherwise(0L))
         .select(col("event_type"), col("ts"), col("arr"))
-      val (out, _) = runStream(s, Seq((ev, "arr")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((ev, "arr")), "update", ticks = 3) {
         case Seq(e) => StreamingState.latenessStream(e, "event_type", "ts", "arr")
       }
       val w = org.apache.spark.sql.expressions.Window
@@ -546,7 +546,7 @@ object StreamingQueries {
         col("event_id"),
         expr("CAST(CAST(value AS DOUBLE) * 1024D AS LONG)").as("q"),
         unix_micros(date_trunc("day", col("ts"))).as("bucket_us"))
-      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 3) {
         case Seq(e) =>
           StreamingState.realizedVarianceStream(
             e, "user_id", "ts", "q", "event_id", "bucket_us")
@@ -559,7 +559,7 @@ object StreamingQueries {
     }),
 
     "w4s_twap_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 3) {
         case Seq(ev) => StreamingState.twapStream(ev, "user_id", "ts", "value", "event_id")
       }
       val w = org.apache.spark.sql.expressions.Window
@@ -571,7 +571,7 @@ object StreamingQueries {
     // pairs IS the batch distinct (user, period) frame; the same
     // single-exchange cohort rollup runs on the sink table
     "a15s_retention_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 3) {
         case Seq(ev) => StreamingState.retentionStream(ev, "user_id", "ts", "week")
       }
       val perUser = out.groupBy(col("user_id"))
@@ -589,7 +589,7 @@ object StreamingQueries {
     // in the state store; n_ticks is monotone, so the max-n emission
     // per bar is the final one (batch w6 oracle verbatim)
     "w6s_ohlc_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 3) {
         case Seq(ev) => StreamingState.ohlcStream(ev, "user_id", "ts", "value", "event_id")
       }
       val w = org.apache.spark.sql.expressions.Window
@@ -605,7 +605,7 @@ object StreamingQueries {
     // so the exact-count oracle applies at the collision-free tier
     "st9s_countmin_stream" -> ((s, dir) => {
       val targets = Seq("scan", "column", "window", "sort", "value")
-      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "update", ticks = 3) {
         case Seq(docs) => StreamingState.countMinStream(
           docs.select(col("lang"),
             explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
@@ -624,7 +624,7 @@ object StreamingQueries {
     // count/sum/sum-of-squares equal the batch quantized Gram exactly
     // (integer accumulation — slicing-independent)
     "s16s_gram_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "update", ticks = 3) {
         case Seq(emb) => StreamingState.gramStream(emb, Seq("label"), "embedding", 64)
       }
       val w = org.apache.spark.sql.expressions.Window
@@ -643,7 +643,7 @@ object StreamingQueries {
       val oldSnap = tagged.filter(col("doc_id") * 2 <= col("_mx")).drop("_mx")
       val newSnap = tagged.filter(col("doc_id") * 2 > col("_mx"))
         .filter(col("source") =!= "src7" || col("doc_id") % 3 === 0).drop("_mx")
-      val (out, _) = runStream(s, Seq((newSnap, "doc_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((newSnap, "doc_id")), "update", ticks = 3) {
         case Seq(nw) => StreamingState.runningStatsStream(
           nw.select(col("source"), col("n_chars")), Seq("source"), "n_chars")
       }
@@ -676,7 +676,7 @@ object StreamingQueries {
     // inside the sketch's exact tier, so the final per-key emission
     // equals the batch st4 rank pick and its oracle applies verbatim
     "st4s_quantile_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "update", ticks = 3) {
         case Seq(docs) => StreamingState.quantileSketchStream(
           docs, Seq("lang"), "n_chars", Seq("p50" -> 0.5, "p90" -> 0.9))
       }
@@ -692,7 +692,7 @@ object StreamingQueries {
     // emission per lang is the final top-10, which at gate scale sits
     // in the sketch's exact tier — the batch st5 oracle applies
     "st5s_heavy_hitters_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "update", ticks = 3) {
         case Seq(docs) => StreamingState.heavyHittersStream(
           docs.select(col("lang"), explode(split(col("text"), " ")).as("token"))
             .filter(col("token") =!= ""),
@@ -708,7 +708,7 @@ object StreamingQueries {
     // state store; fed ≤ k distinct values the final emission per key
     // is EXACT (the batch count-distinct oracle applies verbatim)
     "st6s_distinct_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "event_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "event_id")), "update", ticks = 3) {
         case Seq(ev) => StreamingState.distinctCountStream(
           ev.select(col("event_type"), col("user_id")), Seq("event_type"), "user_id")
       }
@@ -733,7 +733,7 @@ object StreamingQueries {
       // for zero semantic effect (QueryBench A/B: 6.7 s → see SCALE.md)
       val (out, _) = runStream(s,
         Seq((t(s, dir, "lineitem").select(cols.map(col): _*), "l_orderkey")),
-        "complete", ticks = 4) {
+        "complete", ticks = 3) {
         case Seq(li) => graft.pipeline.Curation.numericProfileSketch(
           li, cols, sketchK = 1 << 18)
       }
@@ -746,7 +746,7 @@ object StreamingQueries {
     // state store, merged to (cell, n, centroid sums); integer sums
     // commute, so the stream equals the batch accumulation exactly
     "c4s_kmeans_refit_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "append", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "append", ticks = 3) {
         case Seq(vecs) => StreamingState.kmeansRefitStream(
           vecs.select(col("embedding")), "embedding", stubCentroids, shards = 2)
       }
@@ -767,7 +767,7 @@ object StreamingQueries {
     "d10s_cross_dup_stream" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val (out, _) = runStream(s,
-        Seq((docs.filter(col("doc_id") % 3 =!= 0), "doc_id")), "append", ticks = 4) {
+        Seq((docs.filter(col("doc_id") % 3 =!= 0), "doc_id")), "append", ticks = 3) {
         case Seq(st) => StreamingState.crossCorpusDupStream(
           st, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
           n = 3, numHashes = 16, bands = 4, threshold = 0.5)
@@ -782,7 +782,7 @@ object StreamingQueries {
     // oracle replays exactly with a recursive CTE over the same literal
     // quantizer
     "c2s_semantic_dedup_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "append", ticks = 4) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "append", ticks = 3) {
         case Seq(vecs) => StreamingState.semanticDedupStream(
           vecs.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
           stubCentroids, threshold = 0.12)
@@ -797,7 +797,7 @@ object StreamingQueries {
     "s7s_ann_query_stream" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val (out, _) = runStream(s,
-        Seq((emb.filter(col("vec_id") < 8), "vec_id")), "append", ticks = 4) {
+        Seq((emb.filter(col("vec_id") < 8), "vec_id")), "append", ticks = 3) {
         case Seq(q) => StreamingState.annQueryStream(
           q, emb, "vec_id", "embedding", stubCentroids, k = 3, nprobe = 2)
       }
@@ -840,7 +840,7 @@ object StreamingQueries {
     // the rest dropped at the door — one counter per stratum of state
     "p22s_quota_admission_stream" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("source"), col("doc_id"))
-      val (out, _) = runStream(s, Seq((docs, "doc_id")), "append", ticks = 4) {
+      val (out, _) = runStream(s, Seq((docs, "doc_id")), "append", ticks = 3) {
         case Seq(d) => StreamingState.quotaAdmissionStream(d, "source", "doc_id", cap = 10)
       }
       out
@@ -858,7 +858,7 @@ object StreamingQueries {
       val docs = t(s, dir, "documents").select(col("doc_id"),
         (TextFunctions.qualityScore(col("text")) * 1048576d)
           .cast("long").as("qm"))
-      val (out, _) = runStream(s, Seq((docs, "doc_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((docs, "doc_id")), "update", ticks = 3) {
         case Seq(d) => StreamingState.bootstrapStream(
           Curation.bootstrapWeightedRows(d, "doc_id", "qm", 32))
       }
@@ -878,7 +878,7 @@ object StreamingQueries {
         Curation.calibrationCell(logit, -30.0, 10.0, 20).as("cell"),
         (col("lang") === "en").as("label"),
         Curation.quantizedScore(logit, 20).as("qscore"))
-      val (out, _) = runStream(s, Seq((docs, "doc_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((docs, "doc_id")), "update", ticks = 3) {
         case Seq(d) => StreamingState.calibrationStream(d, "cell", "label", "qscore")
       }
       val w = org.apache.spark.sql.expressions.Window
@@ -891,7 +891,7 @@ object StreamingQueries {
       val ev = t(s, dir, "events").select(
         date_trunc("day", col("ts")).as("bucket"),
         col("event_type"), col("event_id"))
-      val (out, _) = runStream(s, Seq((ev, "event_id")), "update", ticks = 4) {
+      val (out, _) = runStream(s, Seq((ev, "event_id")), "update", ticks = 3) {
         case Seq(e) => StreamingState.runningStatsStream(
           e, Seq("bucket", "event_type"), "event_id")
       }
@@ -928,7 +928,7 @@ object StreamingQueries {
     "p19s_length_batches_stream" -> ((s, dir) => {
       val (out, _) = runStream(s,
         Seq((t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")),
-        "append", ticks = 4) {
+        "append", ticks = 3) {
         case Seq(docs) => StreamingState.lengthBatchesStream(
           docs, "doc_id", "text", maxTokensPerBatch = 4096, shards = 8)
       }

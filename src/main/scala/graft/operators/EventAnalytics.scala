@@ -53,51 +53,86 @@ object EventAnalytics {
       typeCol: String,
       tsCol: String,
       stages: Seq[String],
-      withinUs: Option[Long] = None): DataFrame =
-    funnelFrontiers(events, userCol, typeCol, tsCol, stages, withinUs)
-      .zip(stages).zipWithIndex.map { case ((fr, stage), k) =>
-        fr.groupBy().agg(count(lit(1)).as("n_users"))
-          .select(lit(k + 1).as("stage_idx"), lit(stage).as("stage"),
-            col("n_users"))
-      }.reduce(_.unionAll(_))
+      withinUs: Option[Long] = None): DataFrame = {
+    val reach = funnelReachTimes(events, userCol, typeCol, tsCol, stages, withinUs)
+    // ONE global aggregate (partial-agg'd, 1 row out, emitted even on an
+    // empty corpus): stage k's user count = non-null reach-times in slot k
+    val aggs = stages.indices.map(k =>
+      count(element_at(col("_t"), k + 1)).as(s"_c$k"))
+    val row = reach.agg(aggs.head, aggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    stages.zipWithIndex.map { case (stage, k) =>
+      row.select(lit(k + 1).as("stage_idx"), lit(stage).as("stage"),
+        col(s"_c$k").as("n_users"))
+    }.reduce(_.unionAll(_))
+  }
 
-  /** The funnel's frontier chain: frontiers(k) = (user, _t = time the
-    * user reached stage k). With `withinUs`, stage k must land in
-    * (t_{k-1}, t_{k-1} + within] — the windowed-funnel variant
-    * (conversion deadlines per hop).
+  /** Per-user stage reach-times in ONE pass: (user, _t = array<µs>,
+    * slot k = time the user reached stages(k), null = not reached).
+    * frontier semantics: t_0 = min ts of a stage-0 event; t_k = min ts
+    * of a stage-k event STRICTLY after t_{k-1} (and ≤ t_{k-1} +
+    * `withinUs` in the windowed variant).
+    *
+    * Computed as a sorted-array fold instead of a frontier-join chain:
+    * the chain form scans + shuffles the typed events once per stage
+    * and joins each frontier to the next (O(S) corpus exchanges, ~10
+    * shuffle stages at S=4 — a20's measured 1.26 s outlier); this form
+    * is ONE scan (stage filter pushed to parquet) + ONE user-keyed
+    * exchange, then a codegen'd per-user fold. The fold fills slots in
+    * stage order (acc is prefix-filled, so "first null slot" ⇔
+    * acc[k-1] set ∧ acc[k] null), takes the FIRST qualifying event in
+    * (ts, type) order — exactly the min, since qualification is
+    * monotone once t_{k-1} is fixed — and an out-of-window candidate
+    * is skipped, not terminal (a later in-window event still
+    * converts). Shuffle volume = in-stage events, the same rows the
+    * chain's first frontier join moved.
     */
-  private def funnelFrontiers(
+  private def funnelReachTimes(
       events: DataFrame,
       userCol: String,
       typeCol: String,
       tsCol: String,
       stages: Seq[String],
-      withinUs: Option[Long]): Seq[DataFrame] = {
+      withinUs: Option[Long]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val u = col(userCol)
-    stages.scanLeft(Option.empty[DataFrame]) {
-      case (prev, stage) =>
-        val typed = events.filter(col(typeCol) === stage)
-          .select(u, col(tsCol).as("_ts"))
-        val reached = prev match {
-          case None => typed
-          case Some(fr) =>
-            val after = typed.join(fr, Seq(userCol)).filter(col("_ts") > col("_t"))
-            withinUs match {
-              case Some(w) => after.filter(
-                unix_micros(col("_ts")) - unix_micros(col("_t")) <= w)
-              case None => after
-            }
-        }
-        Some(reached.groupBy(u).agg(min(col("_ts")).as("_t")))
-    }.flatten
+    val win = withinUs
+      .map(w => s"\n       AND (i = 0 OR e.ts <= get(acc, i - 1) + ${w}L)")
+      .getOrElse("")
+    // get() (0-based, null out-of-range) not element_at(): i = 0 must
+    // not evaluate an index-0 access even transiently under ANSI mode
+    val fold =
+      s"""aggregate(_es,
+         |  array_repeat(CAST(NULL AS BIGINT), ${stages.size}),
+         |  (acc, e) -> transform(acc, (t, i) ->
+         |    CASE WHEN t IS NOT NULL THEN t
+         |     WHEN (i = 0 OR get(acc, i - 1) IS NOT NULL)
+         |       AND e.ty = i
+         |       AND (i = 0 OR e.ts > get(acc, i - 1))$win
+         |     THEN e.ts ELSE CAST(NULL AS BIGINT) END))""".stripMargin
+    // the type string is mapped to its stage INDEX before the exchange:
+    // integer shuffle payload + integer fold comparisons. Same-ts tie
+    // order between different stages cannot affect the result (the
+    // strictly-after rule decides independently of intra-ts order), so
+    // sorting by index where the chain sorted by name is semantics-free.
+    val tyIdx = stages.zipWithIndex.foldLeft(lit(-1)) { case (acc, (st, k)) =>
+      when(col(typeCol) === st, lit(k)).otherwise(acc)
+    }
+    events
+      .filter(col(typeCol).isin(stages: _*))
+      .select(col(userCol),
+        struct(unix_micros(col(tsCol)).as("ts"), tyIdx.as("ty")).as("_e"))
+      .groupBy(col(userCol))
+      .agg(array_sort(collect_list(col("_e"))).as("_es"))
+      .select(col(userCol), expr(fold).as("_t"))
   }
 
   /** Per-hop conversion latency: for each consecutive stage pair, the
     * converting users' time-to-convert (µs) — count, mean and exact
     * interpolated median (integer µs inputs, so the midpoint
-    * interpolation is engine-exact, the a13 rule). One user-keyed join
-    * per hop over the (already metadata-thin) frontier frames.
+    * interpolation is engine-exact, the a13 rule). Rides the
+    * [[funnelReachTimes]] single-exchange frame: a hop's Δt is a slot
+    * difference (null-propagating, so only converters count), and all
+    * hops aggregate in ONE global pass — no per-hop frontier joins.
     */
   def funnelHopTimes(
       events: DataFrame,
@@ -107,19 +142,20 @@ object EventAnalytics {
       stages: Seq[String],
       withinUs: Option[Long] = None): DataFrame = {
     require(stages.size >= 2, "funnelHopTimes needs at least two stages")
-    val frontiers =
-      funnelFrontiers(events, userCol, typeCol, tsCol, stages, withinUs)
-    frontiers.zip(frontiers.tail).zipWithIndex.map { case ((a, b), k) =>
-      a.select(col(userCol), col("_t").as("_t0"))
-        .join(b.select(col(userCol), col("_t").as("_t1")), Seq(userCol))
-        .select((unix_micros(col("_t1")) - unix_micros(col("_t0"))).as("_dt"))
-        .groupBy()
-        .agg(count(lit(1)).as("n_converted"),
-          avg(col("_dt")).as("mean_us"),
-          expr("percentile(_dt, 0.5)").as("median_us"))
-        .select(lit(k + 1).as("hop_idx"),
-          lit(s"${stages(k)}->${stages(k + 1)}").as("hop"),
-          col("n_converted"), col("mean_us"), col("median_us"))
+    val reach = funnelReachTimes(events, userCol, typeCol, tsCol, stages, withinUs)
+    val aggs = (1 until stages.size).flatMap { k =>
+      val dt = element_at(col("_t"), k + 1) - element_at(col("_t"), k)
+      Seq(count(dt).as(s"_n$k"), avg(dt).as(s"_m$k"),
+        expr(s"percentile(element_at(_t, ${k + 1}) - element_at(_t, $k), 0.5)")
+          .as(s"_p$k"))
+    }
+    val row = reach.agg(aggs.head, aggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (1 until stages.size).map { k =>
+      row.select(lit(k).as("hop_idx"),
+        lit(s"${stages(k - 1)}->${stages(k)}").as("hop"),
+        col(s"_n$k").as("n_converted"), col(s"_m$k").as("mean_us"),
+        col(s"_p$k").as("median_us"))
     }.reduce(_.unionAll(_))
   }
 

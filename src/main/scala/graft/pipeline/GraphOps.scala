@@ -73,6 +73,12 @@ object GraphOps {
         .select(col("id"),
           (teleport + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("dm") / col("n"))).as("pr"))
+      // NOT persisted per round, measured: pr is |V| rows and the next
+      // round's double reference (contrib + dangling mass) recomputes
+      // only cached-base joins — at gate scale caching the tiny frame
+      // cost MORE than the recompute (g1 3.05 s -> 4.88 s persisted).
+      // For iteration counts beyond ~10, checkpointEvery's EAGER
+      // localCheckpoint both truncates lineage and stops the recompute.
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         pr = pr.localCheckpoint(true)
     }
@@ -169,7 +175,11 @@ object GraphOps {
       dstCol: String = "dst",
       wCol: String = "w"): DataFrame = {
     val und = undirectedWeighted(edges, srcCol, dstCol, wCol).persist()
+    // labels persisted: referenced three times below (degree join + both
+    // endpoint joins), and the caller's label frame often carries an
+    // expensive lineage (a full LPA run) that would re-derive each time
     val lbl = labels.select(col("id"), col("lbl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w2 = und.agg(sum(col("w")).as("_w2")) // 1 row
     val deg = und.groupBy(col("src").as("id")).agg(sum(col("w")).as("_d"))
       .join(lbl, Seq("id"))
@@ -190,6 +200,8 @@ object GraphOps {
         expr("CAST(((CAST(in_w AS DECIMAL(38,0)) * _w2 " +
           "- CAST(deg_w AS DECIMAL(38,0)) * deg_w) * 1000000) div " +
           "(CAST(_w2 AS DECIMAL(38,0)) * _w2) AS BIGINT)"))
+    // per is community-rows-sized and referenced twice (total + output)
+    per.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = per.agg(
       expr("CAST((sum(CAST(in_w AS DECIMAL(38,0)) * _w2 " +
         "- CAST(deg_w AS DECIMAL(38,0)) * deg_w) * 1000000) div " +
@@ -241,6 +253,12 @@ object GraphOps {
         .join(keep, Seq("src"), "left_semi")
         .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
+        // persist EVERY round: a peel references its predecessor three
+        // times (degree agg + both endpoint semi-joins), so unpersisted
+        // rounds recompute 3^i-fold — measured 6.9 s → 2.4 s at gate
+        // scale for 3 rounds. The edge frame shrinks monotonically;
+        // harness clearCache releases the chain.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       und =
         if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < rounds)
           next.localCheckpoint(true)
@@ -307,6 +325,7 @@ object GraphOps {
         .select(col("id"),
           ((lit(1.0) - lit(damping)) * col("t") + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("dm") * col("t"))).as("pr"))
+      // not persisted per round — same measured trade-off as pageRank
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         pr = pr.localCheckpoint(true)
     }
@@ -340,6 +359,9 @@ object GraphOps {
     var h = nodes.select(col("id"), lit(1.0).as("h"))
     var a = nodes.select(col("id"), lit(0.0).as("a"))
     for (i <- 1 to iters) {
+      // raw-score frames not persisted, measured: at gate scale the
+      // cache overhead beats the recompute (g3 3.3 s -> 8.2 s when
+      // persisted); checkpointEvery handles deep iteration counts
       val aRaw = e.join(h, col("src") === col("id"))
         .groupBy("dst").agg(sum(col("w") * col("h")).as("ar"))
       val aTot = aRaw.agg(sum("ar").as("at"))

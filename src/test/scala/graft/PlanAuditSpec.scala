@@ -883,14 +883,22 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally idx.release()
   }
 
-  test("a14 funnel: stage filters push to the scan; every exchange keys on the user") {
+  test("a14 funnel: ONE scan with In-filter pushed, ONE user exchange, fold in-plan") {
     val p = plan(graft.SparkEntry.queries("a14_funnel")(spark, dir))
-    // each stage frame reaches parquet with its event_type predicate
-    assert(p.contains("EqualTo(event_type,signup)"), p.take(4000))
-    assert(p.contains("EqualTo(event_type,purchase)"), p.take(4000))
-    // the chain is user-keyed end to end: no broadcast-nested-loop, no
-    // exchange on anything except user_id (the scalar counts exchange
-    // SinglePartition, which is metadata)
+    // the single-pass fold form: the scan carries the whole stage-set
+    // predicate pushed (not one scan per stage)...
+    assert(p.contains("In(event_type"), p.take(4000))
+    // ...one user-keyed corpus exchange with partial collect_list below
+    // it. The per-stage union branches all read the same CACHED scalar
+    // aggregate row (InMemoryRelation), whose plan prints once per
+    // branch — so count DISTINCT plan ids, not textual occurrences.
+    assert(p.contains("partial_collect_list"), p.take(4000))
+    assert(p.contains("InMemoryRelation"), p.take(4000))
+    val userExIds = "Exchange hashpartitioning\\(user_id[^\\]]*plan_id=(\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(userExIds.size === 1, s"$userExIds\n${p.take(4000)}")
+    val scanLocs = "Location: InMemoryFileIndex[^,]*".r.findAllIn(p).toSet
+    assert(scanLocs.size <= 1, s"$scanLocs")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
     val hashEx = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
       .findAllMatchIn(p).map(_.group(1)).toSet
