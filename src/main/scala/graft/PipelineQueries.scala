@@ -687,11 +687,18 @@ object PipelineQueries {
         .withColumn("bucket", col("window.start"))
         .drop("window")),
 
-    // ---- session windows over event time (per-user activity sessions)
+    // ---- session windows over event time (per-user activity sessions).
+    // The session value mass is an integer-milli sum (floor(value·1000)
+    // as BIGINT): a double sum is accumulation-order-dependent, and at
+    // sf1 the replicated 10-event sessions summed in different orders on
+    // the two engines — last-ulp diffs that re-SORT the compared rows
+    // and break positional alignment (found by the sf1 gate; the a11s
+    // twin already summed integers)
     "a11_session_window" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(session_window(col("ts"), "12 hours"), col("user_id"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_value_milli"))
         .withColumn("session_start", col("session_window.start"))
         .drop("session_window")),
 
@@ -3095,7 +3102,9 @@ object PipelineQueries {
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
         |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
         |                               ROWS UNBOUNDED PRECEDING) AS sid FROM m)
-        |SELECT user_id, count(*) AS n, sum(value) AS sum_value, min(t) AS session_start
+        |SELECT user_id, count(*) AS n,
+        |       sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_milli,
+        |       min(t) AS session_start
         |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "tx1_token_stats" ->
