@@ -1190,7 +1190,9 @@ object RelationalQueries {
         |             (PARTITION BY user_id ORDER BY ts, event_id))
         |           - epoch_us(CAST(ts AS TIMESTAMP)) AS dt
         |  FROM events)
-        |SELECT user_id, sum(value * dt) / sum(dt) AS twap,
+        |SELECT user_id,
+        |       CAST(sum(CAST(floor(value * 1000) AS BIGINT) * dt)
+        |            // sum(dt) AS BIGINT) AS twap_milli,
         |       count(*) AS n_intervals, CAST(sum(dt) AS BIGINT) AS span_us
         |FROM d WHERE dt IS NOT NULL GROUP BY user_id""".stripMargin,
 

@@ -781,14 +781,21 @@ object EventAnalytics {
       orderCols: Seq[String] = Nil): DataFrame = {
     val ord: Seq[Column] = col(tsCol) +: orderCols.map(col)
     val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    // integer-milli mass, not a double weighted sum: Σ value·dt in
+    // doubles is accumulation-order-dependent, and the sf1 gate caught
+    // replicated keys whose last-ulp twap diffs broke sorted-row
+    // alignment across engines (the a11 class). floor(value·1000)·dt
+    // sums exactly; the div is truncating in both engines.
     events
       .withColumn("_dt", unix_micros(lead(col(tsCol), 1).over(w)) -
         unix_micros(col(tsCol)))
       .filter(col("_dt").isNotNull)
       .groupBy(col(keyCol))
       .agg(
-        (sum(col(valCol) * col("_dt")) / sum(col("_dt"))).as("twap"),
+        sum(floor(col(valCol) * 1000).cast("long") * col("_dt")).as("_mass"),
         count(lit(1)).as("n_intervals"),
         sum(col("_dt")).as("span_us"))
+      .select(col(keyCol), expr("_mass div span_us").as("twap_milli"),
+        col("n_intervals"), col("span_us"))
   }
 }

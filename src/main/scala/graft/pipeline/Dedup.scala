@@ -197,8 +197,12 @@ object Dedup {
     val idx = hs.select(col("_id"), explode(col("_hset")).as("_sh"))
     val rare = idx.groupBy(col("_sh")).agg(count(lit(1)).as("_f"))
       .filter(col("_f") <= maxDf).select(col("_sh"))
-    val cand = idx.join(rare, "_sh").as("a")
-      .join(idx.join(rare, "_sh").as("b"),
+    // persisted: BOTH self-join sides read this frame — unpersisted,
+    // each side re-derives the explode AND the df-cap aggregate's
+    // corpus-scale shuffle (measured on the d18 gate row)
+    val capped = trackPersist(idx.join(rare, "_sh"))
+    val cand = capped.as("a")
+      .join(capped.as("b"),
         col("a._sh") === col("b._sh") && col("a._id") < col("b._id"))
       .select(col("a._id").as("id1"), col("b._id").as("id2"))
       .dropDuplicates("id1", "id2")
@@ -1610,7 +1614,9 @@ object Dedup {
       .distinct()
     val rare = idx.groupBy(col("_fp")).agg(countDistinct(col("_id")).as("_f"))
       .filter(col("_f") <= maxDf).select(col("_fp"))
-    val capped = idx.join(rare, Seq("_fp"))
+    // persisted for the same reason as containmentPairs' capped index:
+    // both self-join sides re-derive the distinct+df-cap shuffles
+    val capped = trackPersist(idx.join(rare, Seq("_fp")))
     // n_fp per id deduped the same way (max is deterministic if a
     // duplicated id ever carried different texts)
     val nfp = fp.groupBy(col(idCol).as("_nid")).agg(max(col("n_fp")).as("_nfp"))

@@ -1756,7 +1756,7 @@ object StreamingState {
     val ordIdx = schema.fieldIndex(orderCol)
     implicit val rowEnc = Encoders.row(StructType(Seq(
       StructField(keyCol, schema(keyIdx).dataType),
-      StructField("twap", DoubleType, nullable = false),
+      StructField("twap_milli", LongType, nullable = false),
       StructField("n_intervals", LongType, nullable = false),
       StructField("span_us", LongType, nullable = false))))
     implicit val keyEnc = Encoders.scalaLong
@@ -1767,14 +1767,18 @@ object StreamingState {
       .flatMapGroupsWithState[Array[Byte], Row](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[Row], state: GroupState[Array[Byte]]) =>
-          // state: hasLast(1B) lastTs(8) lastVal(8) wsum(8) span(8) n(8)
-          var (hasLast, lastTs, lastVal, wsum, span, n) =
+          // state: hasLast(1B) lastTs(8) lastValMilli(8) wsumMilli(8)
+          // span(8) n(8) — the weighted mass is an INTEGER milli sum
+          // (floor(value·1000)·dt), matching the batch operator exactly:
+          // a double wsum is accumulation-order-dependent and diverged
+          // from the batch/oracle at sf1 in the last ulp (the a11 class)
+          var (hasLast, lastTs, lastValMilli, wsumMilli, span, n) =
             state.getOption match {
               case Some(b) =>
                 val buf = java.nio.ByteBuffer.wrap(b)
-                (buf.get() == 1, buf.getLong, buf.getDouble, buf.getDouble,
+                (buf.get() == 1, buf.getLong, buf.getLong, buf.getLong,
                   buf.getLong, buf.getLong)
-              case None => (false, 0L, 0.0, 0.0, 0L, 0L)
+              case None => (false, 0L, 0L, 0L, 0L, 0L)
             }
           val nBefore = n
           rows.map(r => (micros(r), r.getLong(ordIdx), r.getDouble(valIdx)))
@@ -1782,16 +1786,17 @@ object StreamingState {
             .foreach { case (tUs, _, v) =>
               if (hasLast) {
                 val dt = tUs - lastTs
-                wsum += lastVal * dt; span += dt; n += 1
+                wsumMilli += lastValMilli * dt; span += dt; n += 1
               }
-              hasLast = true; lastTs = tUs; lastVal = v
+              hasLast = true; lastTs = tUs
+              lastValMilli = math.floor(v * 1000).toLong
             }
           val buf = java.nio.ByteBuffer.allocate(1 + 8 * 5)
           buf.put(if (hasLast) 1.toByte else 0.toByte)
-            .putLong(lastTs).putDouble(lastVal).putDouble(wsum)
+            .putLong(lastTs).putLong(lastValMilli).putLong(wsumMilli)
             .putLong(span).putLong(n)
           state.update(buf.array())
-          if (n > nBefore) Iterator.single(Row(key, wsum / span, n, span))
+          if (n > nBefore) Iterator.single(Row(key, wsumMilli / span, n, span))
           else Iterator.empty
       }
   }

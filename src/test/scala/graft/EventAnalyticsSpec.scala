@@ -335,7 +335,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
 
   test("timeWeightedAvg weights each value by its holding time") {
     // value 10 held 1s, value 20 held 3s, last value carries no weight:
-    // twap = (10*1 + 20*3) / 4 = 17.5
+    // twap_milli = (10000*1s + 20000*3s) div 4s = 17500
     val ev = Seq(
       (1L, ts("2024-01-01 00:00:00"), 10.0, 1L),
       (1L, ts("2024-01-01 00:00:01"), 20.0, 2L),
@@ -344,7 +344,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val r = EventAnalytics.timeWeightedAvg(ev, "user_id", "ts", "value",
       orderCols = Seq("event_id")).collect()
     assert(r.length === 1)
-    assert(r.head.getAs[Double]("twap") === 17.5)
+    assert(r.head.getAs[Long]("twap_milli") === 17500L)
     assert(r.head.getAs[Long]("n_intervals") === 2L)
     assert(r.head.getAs[Long]("span_us") === 4000000L)
   }
@@ -359,8 +359,8 @@ class EventAnalyticsSpec extends AnyFunSuite {
     ).toDF("user_id", "ts", "value", "event_id")
     val r = EventAnalytics.timeWeightedAvg(ev, "user_id", "ts", "value",
       orderCols = Seq("event_id")).collect().head
-    // value 10 holds 0s (tie), value 20 holds 2s → twap = 20
-    assert(r.getAs[Double]("twap") === 20.0)
+    // value 10 holds 0s (tie), value 20 holds 2s → twap_milli = 20000
+    assert(r.getAs[Long]("twap_milli") === 20000L)
     assert(r.getAs[Long]("span_us") === 2000000L)
   }
 

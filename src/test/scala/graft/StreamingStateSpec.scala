@@ -189,7 +189,7 @@ class StreamingStateSpec extends AnyFunSuite {
         wr(1L, "2024-01-01 00:00:04", 99.0, 3))
       q.processAllAvailable()
       val last = spark.table(name).collect().maxBy(_.getLong(2))
-      assert(last.getDouble(1) === (10.0 * 1 + 20.0 * 3) / 4)
+      assert(last.getLong(1) === 17500L) // (10000*1s + 20000*3s) div 4s
       assert(last.getLong(2) === 2L)       // n_intervals
       assert(last.getLong(3) === 4000000L) // span_us
     } finally q.stop()
@@ -207,10 +207,10 @@ class StreamingStateSpec extends AnyFunSuite {
       new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
         Array[Any](u, java.sql.Timestamp.valueOf(s), v, id), ws)
     implicit val sqlCtx = spark.sqlContext
-    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long, Long)]
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]
     def sinkTo(df: org.apache.spark.sql.Dataset[Row], @annotation.unused id: Long): Unit =
       df.collect().foreach(r =>
-        buf.add((r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))))
+        buf.add((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
     val ckpt = Files.createTempDirectory("recov-twap-ckpt").toString
     val stream = MemoryStream[Row](Encoders.row(ws), sqlCtx)
     val out = StreamingState.twapStream(stream.toDF(), "user_id", "ts", "value", "event_id")
@@ -229,7 +229,7 @@ class StreamingStateSpec extends AnyFunSuite {
       q2.processAllAvailable()
       import scala.jdk.CollectionConverters._
       val last = buf.asScala.maxBy(_._3)
-      assert(last._2 === (10.0 * 1 + 20.0 * 3) / 4) // blended, not 20.0
+      assert(last._2 === 17500L) // blended integer milli mass, not plain 20000
       assert(last._3 === 2L)
       assert(last._4 === 4000000L)
     } finally q2.stop()
