@@ -217,6 +217,52 @@ class AggregatePropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("funnel fold == reference frontier-chain semantics on random event streams") {
+    // the r10 single-exchange fold replaced the frontier-join chain; pin
+    // the fold's semantics against a direct Scala transcription of the
+    // chain definition: t_0 = min ts of stage-0 events, t_k = min ts of
+    // stage-k events STRICTLY after t_{k-1} (and <= t_{k-1} + W windowed)
+    def refReach(evs: Seq[(Long, Int)], nStages: Int, win: Option[Long]): Seq[Option[Long]] =
+      (0 until nStages).foldLeft(Seq.empty[Option[Long]]) { (acc, k) =>
+        val prev = if (k == 0) Some(Long.MinValue) else acc.last.map(identity)
+        val t = prev.flatMap { p =>
+          val cands = evs.collect { case (ts, ty) if ty == k &&
+            (k == 0 || (ts > p && win.forall(w => ts <= p + w))) => ts }
+          if (cands.isEmpty) None else Some(cands.min)
+        }
+        acc :+ t
+      }
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val stageNames = Seq("s0", "s1", "s2", "s3")
+    val gen = for {
+      n <- Gen.chooseNum(0, 30)
+      evs <- Gen.listOfN(n, for {
+        ts <- Gen.chooseNum(0L, 20L) // tight domain → plenty of ties
+        ty <- Gen.chooseNum(0, 3)
+      } yield (ts, ty))
+      nStages <- Gen.chooseNum(2, 4)
+      win <- Gen.oneOf(None, Some(3L), Some(8L))
+    } yield (evs, nStages, win)
+    check("funnel-fold", Prop.forAllNoShrink(gen) { case (evs, nStages, win) =>
+      val stages = stageNames.take(nStages)
+      // gen ts is MILLISECONDS (Timestamp(ms)); refReach and withinUs work in µs
+      val df = (evs.zipWithIndex.map { case ((ts, ty), i) =>
+        (1L, new java.sql.Timestamp(ts), stageNames(ty), i.toLong)
+      } :+ ((2L, new java.sql.Timestamp(0L), "s0", 999L))) // second user: engine never degenerates to 0 groups
+        .toDF("user_id", "ts", "event_type", "event_id")
+      val counts = graft.operators.EventAnalytics
+        .funnel(df, "user_id", "event_type", "ts", stages, win.map(_ * 1000L))
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val reach1 = refReach(evs.map { case (ts, ty) => (ts * 1000L, ty) }, nStages,
+        win.map(_ * 1000L))
+      // user 2 contributes one s0 reach; user 1 contributes per the reference
+      val want = (1 to nStages).map(k =>
+        k -> ((if (reach1(k - 1).isDefined) 1L else 0L) + (if (k == 1) 1L else 0L))).toMap
+      counts == want
+    })
+  }
+
   test("MMR argmax can never fall through to the sentinel (score underflow)") {
     // every candidate score below the old -2^62 seed: pos=-1 would have
     // leaked into element_at, silently selecting the LAST candidate

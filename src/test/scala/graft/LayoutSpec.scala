@@ -112,6 +112,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(rows === Map(1L -> 10L, 2L -> 20L, 3L -> 333L, 4L -> 40L, 9L -> 90L))
   }
 
+  test("fileStats requirePathToken: a foreign layout in the scratch dir fails loudly") {
+    // the r9 z6/z3 hazard: two catalog entries sharing a scratch prefix
+    // let one entry's fileStats silently list the OTHER entry's layout,
+    // shifting bin arithmetic while rows/schema stayed green. The guard
+    // turns that into an immediate failure naming the offending file.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_fstats_guard").toString
+    (0L until 100L).map(i => (i, i % 4)).toDF("k", "bucket")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    // expected scheme passes and sums to the table count
+    val ok = Layout.fileStats(spark, dir, "k", requirePathToken = "bucket=")
+    assert(ok.agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0) === 100L)
+    // a "foreign" file (different partition scheme) poisons the listing
+    (0L until 7L).map(i => (i, "x")).toDF("k", "source")
+      .coalesce(1).write.mode("append").partitionBy("source").parquet(dir)
+    val e = intercept[IllegalStateException] {
+      Layout.fileStats(spark, dir, "k", requirePathToken = "bucket=")
+    }
+    assert(e.getMessage.contains("bucket=") && e.getMessage.contains("foreign or stale"))
+    // without the token the old silent-poisoning behavior is what you get
+    val silent = Layout.fileStats(spark, dir, "k")
+    assert(silent.agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0) === 107L)
+  }
+
   test("skippingEffectiveness: inclusive bounds, null stats always candidates") {
     val spark = TestSpark.spark
     import spark.implicits._
