@@ -65,10 +65,28 @@ object Bench {
       else try gatewayBench(spark) catch { case _: Throwable =>
         Map("state_query_all" -> -1.0, "state_query_filter" -> -1.0, "replay" -> -1.0) }
     val allResults = results + ("state_insert_100k" -> insertSec) ++ gw
-    val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (allResults.nonEmpty) allResults.values.filter(_ > 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // ---- output, three tiers (r10 verdict: every BENCH_r*.json had
+    // "parsed": null because the driver keeps only the LAST 2000 stdout
+    // chars and the full named per-query map is ~12 KB):
+    // (1) bench.json on disk — the full named map, committed per round;
+    // (2) verbose named line early in stdout (full-capture consumers);
+    // (3) a compact FINAL line under the tail budget: per-query times
+    //     as ms ints in SORTED-NAME order ("order":"sorted-name"), so
+    //     the complete table is recoverable by zipping with the sorted
+    //     entry names the round's CORRECTNESS/manifest already records.
+    val sorted = allResults.toSeq.sortBy(_._1)
+    val qs = sorted.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val verbose =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench.json"), verbose + "\n")
+    catch { case _: Throwable => () }
+    println(verbose)
+    val msInts = sorted.map { case (_, v) =>
+      if (v < 0) "-1" else math.round(v * 1000).toString }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${math.round(total * 10) / 10.0},"unit":"sec","n":${sorted.size},"order":"sorted-name","q_ms":$msInts,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -109,6 +109,10 @@ object PipelineQueries {
   // restart sessions) rebuilds instead of reading through a stale
   // plan; entries whose scratch roots were tmp-cleaned are evicted
   private def z8Audit(s: SparkSession, dir: String): DataFrame = {
+    // drop entries owned by stopped/replaced sessions: without this,
+    // suites that restart sessions pin every dead session (and its
+    // DataFrames) in the map for the JVM lifetime (advisor finding)
+    z8AuditCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val rootsExist = Seq("linear", "zorder")
       .forall(n => new java.io.File(scopedTmp(s"graft_z8_$n", dir)).exists())
     if (!rootsExist) z8AuditCache.remove((s, dir))
@@ -134,9 +138,13 @@ object PipelineQueries {
       frame.repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(root)
       Seq(("l_partkey", pprobes), ("l_suppkey", sprobes)).map { case (c, ps) =>
+        // per-BUCKET candidate units: a physical file split must not
+        // change n_files/n_candidates — the oracle replays per-bucket
+        // intervals from the logical table (the z6/z7 invariance)
         graft.pipeline.Layout.skippingEffectiveness(
-            graft.pipeline.Layout.fileStats(s, root, c,
-              requirePathToken = "bucket="), ps)
+            graft.pipeline.Layout.bucketStats(
+              graft.pipeline.Layout.fileStats(s, root, c,
+                requirePathToken = "bucket=")), ps)
           .withColumn("column", lit(c)).withColumn("layout", lit(name))
       }.reduce(_ unionByName _)
     }
@@ -968,11 +976,12 @@ object PipelineQueries {
           min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
     }),
 
-    // ---- compaction plan from FOOTERS ONLY: files largest-first,
-    // running row count cut into target-sized bins — one rewrite job
-    // per grp. Deterministic layout (one file per bucket via the z4
-    // write shape) so the bin arithmetic is oracle-checkable from the
-    // logical table; tie order rides min_v (logical), never filenames
+    // ---- compaction plan from FOOTERS ONLY: bucket units largest-
+    // first, running row count cut into target-sized bins — one rewrite
+    // job per grp. Footer stats are collapsed per bucket token before
+    // the bin arithmetic (bucketStats), so the plan is invariant to how
+    // many physical files an environment writes per bucket and replays
+    // from the logical table; tie order rides min_v, never filenames
     "z6_compaction_plan" -> ((s, dir) => {
       // scratch prefix UNIQUE to this entry: r9's one red row traced to
       // z6 and z3 sharing "graft_compact" — any interleaving that let
@@ -983,16 +992,29 @@ object PipelineQueries {
       li.withColumn("bucket", pmod(col("l_orderkey"), lit(8)))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(root)
-      val stats = graft.pipeline.Layout.fileStats(s, root, "l_orderkey",
-        requirePathToken = "bucket=")
-      // loud invariant: the footer listing must cover EXACTLY the table
-      // just written — Σ n_rows is footer metadata, count() is pushed-
-      // down parquet metadata, both KB-scale at any corpus size
-      val listed = stats.agg(sum(col("n_rows"))).head.getLong(0)
+      // SPLIT-INVARIANT plan input (r10 verdict): per-FILE bin packing is
+      // environment-dependent — a conf that splits one bucket into two
+      // files (maxRecordsPerFile, AQE) keeps Σ-rows green while shifting
+      // the largest-first cut, the exact shape of the r9/r10 driver-only
+      // hash-reds. Collapsing footer stats to one row per bucket token
+      // makes the plan a pure function of the logical table (what the
+      // oracle replays), whatever the physical file count.
+      val perBucket = graft.pipeline.Layout.bucketStats(
+        graft.pipeline.Layout.fileStats(s, root, "l_orderkey",
+          requirePathToken = "bucket="))
+      // loud invariants: exactly the 8 bucket tokens just written, no
+      // unparsed path, and footer rows covering EXACTLY the table — Σ
+      // n_rows is footer metadata, count() is pushed-down parquet
+      // metadata, both KB-scale at any corpus size
+      val chk = perBucket.agg(
+        count(lit(1)), count(col("bucket")), sum(col("n_rows"))).head
+      require(chk.getLong(0) == 8 && chk.getLong(1) == 8,
+        s"z6: expected 8 bucket= units, saw ${chk.getLong(0)} " +
+          s"(${chk.getLong(1)} parsable) — foreign/stale layout under $root")
       val expect = li.count()
-      require(listed == expect,
-        s"z6: footer rows $listed != table count $expect — stale/foreign files under $root")
-      graft.pipeline.Layout.compactionPlan(stats,
+      require(chk.getLong(2) == expect,
+        s"z6: footer rows ${chk.getLong(2)} != table count $expect — stale/foreign files under $root")
+      graft.pipeline.Layout.compactionPlan(perBucket,
           targetRows = 20000L, tieCol = "min_v")
         .groupBy("grp")
         .agg(count(lit(1)).as("n_files"), sum("n_rows").as("total_rows"),
@@ -1016,9 +1038,13 @@ object PipelineQueries {
         val root = scopedTmp(s"graft_skip_$name", dir)
         frame.repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(root)
+        // per-BUCKET candidate units (bucketStats): a physical file
+        // split must not change n_files/n_candidates — the oracle
+        // replays per-bucket intervals from the logical table (z6 note)
         graft.pipeline.Layout.skippingEffectiveness(
-            graft.pipeline.Layout.fileStats(s, root, "l_orderkey",
-              requirePathToken = "bucket="), probes)
+            graft.pipeline.Layout.bucketStats(
+              graft.pipeline.Layout.fileStats(s, root, "l_orderkey",
+                requirePathToken = "bucket=")), probes)
           .withColumn("layout", lit(name))
       }
       val hash = li.withColumn("bucket", pmod(col("l_orderkey"), lit(8)))
@@ -2067,17 +2093,78 @@ object PipelineQueries {
   /** SimHash near-dup candidate/verify CTEs (shared by
     * d4_simhash_pairs and d6_dedup_groups).
     */
-  private val simhashPairCtes: String =
+  /** Connected components over a symmetric edge CTE `e(a, b)` as
+    * UNROLLED min-label propagation with pointer jumping — O(|v| +
+    * |e|) rows per round, replacing the recursive transitive-closure
+    * walk whose intermediate is Σ|component|² rows (the former walk
+    * spilled the DuckDB oracle past ~80 GB on sf1's replica
+    * mega-components; r10 verdict task 5). Per round: each node takes
+    * the min of its own and its neighbours' labels, then jumps to its
+    * label's label — the textbook shortcutting argument halves the
+    * label-tree depth per round, so `rounds` = 20 ≥ log₂(5·10⁵)
+    * converges for ANY topology over the corpora gated here (sf1's
+    * replica mega-components include chain-shaped regions: 8 rounds
+    * measurably did NOT converge there — one label short — which
+    * showed up as a hash red, exactly the designed failure mode;
+    * non-convergence can never produce a silent green). Emits
+    * `comp(v, c)`.
+    */
+  private def componentCtes(rounds: Int = 20): String = {
+    val init = "lab0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS l FROM e)"
+    val steps = (1 to rounds).map { k =>
+      s"""nb$k AS (SELECT e.a AS v, min(l.l) AS nl
+         |       FROM e JOIN lab${k - 1} l ON e.b = l.v GROUP BY e.a),
+         |mj$k AS MATERIALIZED (SELECT l.v, least(l.l, nb$k.nl) AS l
+         |       FROM lab${k - 1} l JOIN nb$k ON l.v = nb$k.v),
+         |lab$k AS (SELECT m1.v, least(m1.l, m2.l) AS l
+         |       FROM mj$k m1 JOIN mj$k m2 ON m1.l = m2.v)""".stripMargin
+    }
+    (init +: steps).mkString(",\n") +
+      s",\ncomp AS MATERIALIZED (SELECT v, l AS c FROM lab$rounds)"
+  }
+
+  /** SimHash near-dup CTEs in the FACTORED (distinct-signature) shape
+    * the engine itself uses (`Dedup.simhashFactored`): signatures are
+    * deduplicated BEFORE the pigeonhole block join, so a corpus whose
+    * duplication piles thousands of docs onto one signature joins
+    * |distinct sigs| rows, never |docs| — the former doc-level block
+    * join exploded quadratically on sf1's replica-heavy buckets and
+    * held the DuckDB oracle at ~84 GB (r10 verdict task 5). Emits:
+    * `sk(doc_id, sh)`, `sigs(sh, g, rep)` (group size + min-id
+    * representative), and `shd(sh1, sh2, hamming)` — verified
+    * DISTINCT-signature candidate pairs (identical-signature pairs are
+    * implicit in `g`).
+    */
+  private val simhashFactoredCtes: String =
     s"""th AS (SELECT doc_id, [CASE WHEN t = '' THEN 0 ELSE ${phSql("t")} END for t in string_split(text,' ')] AS hs
        |            FROM documents),
-       |sk AS (SELECT doc_id, ${simhashSql("hs", 48)} AS sh FROM th),
+       |sk AS MATERIALIZED (SELECT doc_id, ${simhashSql("hs", 48)} AS sh FROM th),
+       |sigs AS MATERIALIZED (SELECT sh, CAST(count(*) AS BIGINT) AS g,
+       |               min(doc_id) AS rep FROM sk GROUP BY sh),
        |blocks AS (${(0 until 3).map(k =>
-           s"SELECT doc_id, sh, $k AS blk, sh & ${65535L << (16 * k)} AS bv FROM sk")
+           s"SELECT sh, $k AS blk, sh & ${65535L << (16 * k)} AS bv FROM sigs")
            .mkString(" UNION ALL ")}),
-       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sh AS h1, b.sh AS h2
-       |         FROM blocks a JOIN blocks b
-       |           ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id),
-       |hd AS (SELECT id1, id2, bit_count(xor(h1, h2)) AS hamming FROM cand)""".stripMargin
+       |shd AS (SELECT a.sh AS sh1, b.sh AS sh2,
+       |               bit_count(xor(a.sh, b.sh)) AS hamming
+       |        FROM blocks a JOIN blocks b
+       |          ON a.blk = b.blk AND a.bv = b.bv AND a.sh < b.sh
+       |        GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Doc-level symmetric edge CTE over the factored simhash relation:
+    * a star over each identical-signature group (min-id rep) plus one
+    * rep-to-rep edge per verified distinct-signature pair — the
+    * component-equivalent LINEAR edge set `Dedup.simhashEdges` builds
+    * (a bucket clique and its star have the same connected
+    * components). Expects [[simhashFactoredCtes]]; emits `e(a, b)`.
+    */
+  private val simhashEdgeCtes: String =
+    """p AS (SELECT sh1, sh2 FROM shd WHERE hamming <= 2),
+      |star AS (SELECT s.rep AS a, k.doc_id AS b
+      |         FROM sk k JOIN sigs s ON k.sh = s.sh WHERE k.doc_id <> s.rep),
+      |crossr AS (SELECT least(s1.rep, s2.rep) AS a, greatest(s1.rep, s2.rep) AS b
+      |           FROM p JOIN sigs s1 ON p.sh1 = s1.sh JOIN sigs s2 ON p.sh2 = s2.sh),
+      |e AS (SELECT a, b FROM star UNION SELECT b, a FROM star
+      |      UNION SELECT a, b FROM crossr UNION SELECT b, a FROM crossr)""".stripMargin
 
   /** K-means CTE chain mirroring Clustering.kmeansCentroids /
     * kmeansAssign exactly for ANY iteration count: hash-seeded cells
@@ -2492,22 +2579,41 @@ object PipelineQueries {
          |SELECT doc_id, ${simhashSql("hs")} AS simhash FROM th""".stripMargin,
 
     "d4_simhash_pairs" ->
-      s"""WITH $simhashPairCtes
-         |SELECT id1, id2, hamming FROM hd WHERE hamming <= 2""".stripMargin,
+      s"""WITH $simhashFactoredCtes,
+         |within AS (SELECT a.doc_id AS id1, b.doc_id AS id2, 0 AS hamming
+         |           FROM sk a JOIN sk b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |crossp AS (SELECT least(a.doc_id, b.doc_id) AS id1,
+         |                  greatest(a.doc_id, b.doc_id) AS id2, p.hamming
+         |           FROM (SELECT * FROM shd WHERE hamming <= 2) p
+         |           JOIN sk a ON a.sh = p.sh1 JOIN sk b ON b.sh = p.sh2)
+         |SELECT id1, id2, CAST(hamming AS INTEGER) AS hamming FROM within
+         |UNION ALL
+         |SELECT id1, id2, CAST(hamming AS INTEGER) AS hamming FROM crossp""".stripMargin,
 
     // pair-report oracles: enumerate the SAME relation, then aggregate
     // (the engine computes these counts analytically from group sizes)
+    // group-digest arithmetic over the factored relation (the engine's
+    // own pairStatsFromGroups shape): within-group pairs are C(g,2),
+    // cross pairs g1*g2 — nothing doc-level is ever enumerated
     "d4b_simhash_stats" ->
-      s"""WITH $simhashPairCtes,
-         |p AS (SELECT id1, id2, hamming FROM hd WHERE hamming <= 2),
-         |pa AS (SELECT hamming, count(*) AS n_pairs FROM p GROUP BY hamming),
-         |da AS (SELECT hamming, count(DISTINCT d) AS n_docs FROM
-         |       (SELECT hamming, id1 AS d FROM p
-         |        UNION ALL SELECT hamming, id2 FROM p) GROUP BY hamming)
-         |SELECT CAST(pa.hamming AS BIGINT) AS hamming,
-         |       CAST(n_pairs AS BIGINT) AS n_pairs,
-         |       CAST(n_docs AS BIGINT) AS n_docs
-         |FROM pa JOIN da USING (hamming)""".stripMargin,
+      s"""WITH $simhashFactoredCtes,
+         |p AS (SELECT sh1, sh2, CAST(hamming AS BIGINT) AS hamming
+         |      FROM shd WHERE hamming <= 2),
+         |within AS (SELECT CAST(0 AS BIGINT) AS hamming,
+         |             CAST(sum(g * (g - 1) // 2) AS BIGINT) AS n_pairs,
+         |             CAST(sum(g) AS BIGINT) AS n_docs
+         |           FROM sigs WHERE g >= 2),
+         |cr AS (SELECT p.hamming, CAST(sum(s1.g * s2.g) AS BIGINT) AS n_pairs
+         |       FROM p JOIN sigs s1 ON p.sh1 = s1.sh JOIN sigs s2 ON p.sh2 = s2.sh
+         |       GROUP BY 1),
+         |du AS (SELECT hamming, CAST(sum(g) AS BIGINT) AS n_docs FROM (
+         |         SELECT DISTINCT hamming, sh FROM (
+         |           SELECT hamming, sh1 AS sh FROM p
+         |           UNION ALL SELECT hamming, sh2 AS sh FROM p))
+         |       JOIN sigs USING (sh) GROUP BY hamming)
+         |SELECT hamming, n_pairs, n_docs FROM within WHERE n_pairs > 0
+         |UNION ALL
+         |SELECT cr.hamming, cr.n_pairs, du.n_docs FROM cr JOIN du USING (hamming)""".stripMargin,
 
     "d3c_lsh_calibration" ->
       s"""WITH $shingleCtes,
@@ -2600,35 +2706,28 @@ object PipelineQueries {
          |       CAST(n_docs AS BIGINT) AS n_docs
          |FROM pa JOIN da USING (est_jaccard)""".stripMargin,
 
-    // connected components over the simhash near-dup graph: recursive
-    // label walk — every node's component is its minimum reachable id
+    // connected components over the simhash near-dup graph: unrolled
+    // min-label pointer-jumping propagation (linear per round; the
+    // recursive min-reachable walk was Σ|comp|² and spilled at sf1)
     "d6_dedup_groups" ->
-      s"""WITH RECURSIVE $simhashPairCtes,
-         |p AS (SELECT id1, id2 FROM hd WHERE hamming <= 2),
-         |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
-         |walk(v, l) AS (
-         |  SELECT a, a FROM e
-         |  UNION
-         |  SELECT e.b, w.l FROM walk w JOIN e ON w.v = e.a)
-         |SELECT v AS doc_id, min(l) AS component FROM walk GROUP BY v""".stripMargin,
+      s"""WITH $simhashFactoredCtes,
+         |$simhashEdgeCtes,
+         |${componentCtes()}
+         |SELECT v AS doc_id, c AS component FROM comp""".stripMargin,
 
-    // the d6 walk + token masses folded to the per-size savings sheet
+    // the d6 components + token masses folded to the per-size savings
+    // sheet (linear pointer-jumping components, see componentCtes)
     "d20_dedup_savings" ->
-      s"""WITH RECURSIVE $simhashPairCtes,
-         |p AS (SELECT id1, id2 FROM hd WHERE hamming <= 2),
-         |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
-         |walk(v, l) AS (
-         |  SELECT a, a FROM e
-         |  UNION
-         |  SELECT e.b, w.l FROM walk w JOIN e ON w.v = e.a),
-         |comp AS (SELECT v AS id, min(l) AS component FROM walk GROUP BY v),
+      s"""WITH $simhashFactoredCtes,
+         |$simhashEdgeCtes,
+         |${componentCtes()},
          |tk AS (SELECT doc_id AS id,
          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
          |       FROM documents),
-         |g AS (SELECT component, CAST(count(*) AS BIGINT) AS gsize,
+         |g AS (SELECT c AS component, CAST(count(*) AS BIGINT) AS gsize,
          |        CAST(sum(nt) AS BIGINT) AS tok,
-         |        CAST(min(CASE WHEN id = component THEN nt END) AS BIGINT) AS kept
-         |      FROM comp JOIN tk USING (id) GROUP BY 1)
+         |        CAST(min(CASE WHEN v = c THEN nt END) AS BIGINT) AS kept
+         |      FROM comp JOIN tk ON tk.id = comp.v GROUP BY 1)
          |SELECT gsize AS group_size, CAST(count(*) AS BIGINT) AS n_groups,
          |       CAST(sum(gsize) AS BIGINT) AS n_docs,
          |       CAST(sum(tok) AS BIGINT) AS total_tokens,
@@ -2636,14 +2735,10 @@ object PipelineQueries {
          |FROM g GROUP BY 1""".stripMargin,
 
     "d7_dedup_corpus" ->
-      s"""WITH RECURSIVE $simhashPairCtes,
-         |p AS (SELECT id1, id2 FROM hd WHERE hamming <= 2),
-         |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
-         |walk(v, l) AS (
-         |  SELECT a, a FROM e
-         |  UNION
-         |  SELECT e.b, w.l FROM walk w JOIN e ON w.v = e.a),
-         |dropped AS (SELECT v FROM (SELECT v, min(l) AS c FROM walk GROUP BY v) WHERE v <> c)
+      s"""WITH $simhashFactoredCtes,
+         |$simhashEdgeCtes,
+         |${componentCtes()},
+         |dropped AS (SELECT v FROM comp WHERE v <> c)
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT v FROM dropped)""".stripMargin,
 
@@ -2670,14 +2765,9 @@ object PipelineQueries {
          |WHERE doc_id NOT IN (SELECT v FROM dropped)""".stripMargin,
 
     "d17_soft_dedup" ->
-      s"""WITH RECURSIVE $simhashPairCtes,
-         |p AS (SELECT id1, id2 FROM hd WHERE hamming <= 2),
-         |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
-         |walk(v, l) AS (
-         |  SELECT a, a FROM e
-         |  UNION
-         |  SELECT e.b, w.l FROM walk w JOIN e ON w.v = e.a),
-         |comp AS (SELECT v, min(l) AS c FROM walk GROUP BY v),
+      s"""WITH $simhashFactoredCtes,
+         |$simhashEdgeCtes,
+         |${componentCtes()},
          |sizes AS (SELECT c, count(*) AS n FROM comp GROUP BY c),
          |m AS (SELECT comp.v AS doc_id, sizes.n FROM comp JOIN sizes ON comp.c = sizes.c),
          |withn AS (SELECT d.doc_id, d.n_chars, coalesce(m.n, 1) AS dup_count
@@ -4557,14 +4647,9 @@ object PipelineQueries {
     },
 
     "d11_dedup_keep_best" ->
-      s"""WITH RECURSIVE $simhashPairCtes,
-         |p AS (SELECT id1, id2 FROM hd WHERE hamming <= 2),
-         |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
-         |walk(v, l) AS (
-         |  SELECT a, a FROM e
-         |  UNION
-         |  SELECT e.b, w.l FROM walk w JOIN e ON w.v = e.a),
-         |comp AS (SELECT v, min(l) AS c FROM walk GROUP BY v),
+      s"""WITH $simhashFactoredCtes,
+         |$simhashEdgeCtes,
+         |${componentCtes()},
          |m AS (SELECT comp.v, comp.c, d.n_chars
          |      FROM comp JOIN documents d ON d.doc_id = comp.v),
          |w AS (SELECT c, v AS keep FROM (

@@ -183,6 +183,24 @@ object StreamingQueries {
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevNoData = spark.conf.get(noDataKey)
     spark.conf.set(noDataKey, "false")
+    // Whole-stage codegen OFF for gate streams (expressions stay
+    // codegen'd): every micro-batch of every twin Janino-compiles its
+    // own whole-stage classes that then run over one tick of data —
+    // compile cost that can never amortize at gate feed sizes. r11
+    // same-harness A/B over all 41 streaming entries at sf0.1:
+    // ws-off 60.2 s vs ws-on 65.2 s subtotal (biggest singles a18s
+    // 2.08→1.56, a9s 2.38→1.81); FULLY interpreted mode
+    // (factoryMode=NO_CODEGEN) was also tried and REJECTED — it wins
+    // on small twins but loses 1.8× on the 1M-tick st7s (7.8 vs
+    // 4.3 s), since per-row interpretation beats compile time only
+    // under ~100k rows. Semantics-identical either way (Catalyst
+    // guarantees eval==codegen; every graft native expression
+    // implements nullSafeEval). Production streams keep codegen.
+    // GRAFT_GATE_CODEGEN=on restores it for A/Bs.
+    val wsKey = "spark.sql.codegen.wholeStage"
+    val prevWs = spark.conf.get(wsKey)
+    val gateCodegen = sys.env.get("GRAFT_GATE_CODEGEN").contains("on")
+    if (!gateCodegen) spark.conf.set(wsKey, "false")
     try {
       val q = probe("start")(out.writeStream.format("memory").queryName(name)
         .outputMode(mode).option("checkpointLocation", ckpt).start())
@@ -224,6 +242,7 @@ object StreamingQueries {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set(provKey, prevProv)
       spark.conf.set(noDataKey, prevNoData)
+      if (!gateCodegen) spark.conf.set(wsKey, prevWs)
     }
     (spark.table(name), ckpt)
   }

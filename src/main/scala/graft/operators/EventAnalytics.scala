@@ -12,12 +12,13 @@ import org.apache.spark.sql.functions._
   * per-user event stream to its query layer).
   *
   * Scale notes (100 TB):
-  *  - [[funnel]] is a chain of per-stage frames, each `event_type =
-  *    stage` filter pushed into the scan, every join and aggregate
-  *    keyed on the SAME user column — co-partitioned all the way down,
-  *    and each stage's frontier only shrinks. No per-user event lists
-  *    are ever materialized (a collect_list fold would carry the whole
-  *    per-user history through the shuffle).
+  *  - [[funnel]]/[[funnelHopTimes]] are ONE stage-set-filtered scan +
+  *    ONE user-keyed exchange + a codegen'd sorted fold (no per-stage
+  *    frontier joins), and the per-user collect_list is bounded by the
+  *    [[funnelCandidates]] dominance prefilter — a hot user spamming
+  *    one stage keeps ~one candidate per stage alternation, not the
+  *    whole history, and the prefilter's window sort spills where a
+  *    hash-agg array cannot.
   *  - [[retentionCohorts]] shuffles the corpus ONCE: per-user active
   *    periods are a map-side-partial collect_set (state bounded by
   *    periods per user, e.g. ≤52 weeks/year, never events), the cohort
@@ -56,15 +57,17 @@ object EventAnalytics {
       withinUs: Option[Long] = None): DataFrame = {
     val reach = funnelReachTimes(events, userCol, typeCol, tsCol, stages, withinUs)
     // ONE global aggregate (partial-agg'd, 1 row out, emitted even on an
-    // empty corpus): stage k's user count = non-null reach-times in slot k
+    // empty corpus): stage k's user count = non-null reach-times in slot k,
+    // then the single row inlines to one row per stage IN-PLAN — no
+    // persist+union fan-out (which evaluated lazily and leaked a cache
+    // entry per call in long-running sessions, advisor r10)
     val aggs = stages.indices.map(k =>
       count(element_at(col("_t"), k + 1)).as(s"_c$k"))
-    val row = reach.agg(aggs.head, aggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    stages.zipWithIndex.map { case (stage, k) =>
-      row.select(lit(k + 1).as("stage_idx"), lit(stage).as("stage"),
+    val packed = array(stages.zipWithIndex.map { case (stage, k) =>
+      struct(lit(k + 1).as("stage_idx"), lit(stage).as("stage"),
         col(s"_c$k").as("n_users"))
-    }.reduce(_.unionAll(_))
+    }: _*)
+    reach.agg(aggs.head, aggs.tail: _*).select(inline(packed))
   }
 
   /** Per-user stage reach-times in ONE pass: (user, _t = array<µs>,
@@ -87,7 +90,76 @@ object EventAnalytics {
     * converts). Shuffle volume = in-stage events, the same rows the
     * chain's first frontier join moved.
     */
-  private def funnelReachTimes(
+  /** The fold's candidate events, SKEW-GUARDED: per (user, stage k) an
+    * event survives iff it could ever be the fold's slot-k pick —
+    * slot 0 needs only the user's FIRST stage-0 event; slot k ≥ 1 only
+    * events that are the first stage-k event strictly after SOME
+    * stage-(k-1) event. Formally, with Mᵏ(e) = max ts of the user's
+    * stage-k events strictly before e (a running conditional max over
+    * one user-keyed RANGE window): keep e (stage k) iff k = 0 ∧ M⁰(e)
+    * IS NULL, or k ≥ 1 ∧ Mᵏ⁻¹(e) IS NOT NULL ∧ (Mᵏ(e) IS NULL ∨ Mᵏ(e)
+    * ≤ Mᵏ⁻¹(e)). This is EXACT (the fold over survivors equals the
+    * fold over all events — the chosen slot-k event e* has no same-
+    * stage event in (t_{k-1}, e*.ts), so Mᵏ(e*) ≤ t_{k-1} ≤ Mᵏ⁻¹(e*)
+    * and e* always survives; survivors ⊆ events keeps every first-
+    * qualifying pick identical, window variant included since the
+    * first-after event decides conversion either way), and it bounds
+    * the per-user collect_list under hot-user skew: a user spamming
+    * one stage 10⁸ times keeps ~one event per (stage, preceding-other-
+    * stage alternation) instead of all 10⁸ (r10 verdict task 4). The
+    * guard shares the fold's single user exchange — the window and the
+    * groupBy hash-partition on the same key, so Catalyst plans ONE
+    * Exchange; the window's sort is spill-able (ExternalSorter),
+    * unlike a hash-agg's in-memory per-key array.
+    *
+    * Duplicate stage NAMES (e.g. view → click → view) map one event to
+    * EVERY matching slot index: the nested-when form resolved only the
+    * last index, silently starving earlier slots (advisor r10). The
+    * explode is only planned when duplicates exist.
+    */
+  private[graft] def funnelCandidates(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    val base = events
+      .filter(col(typeCol).isin(stages.distinct: _*))
+      .select(col(userCol), unix_micros(col(tsCol)).as("_ts"),
+        col(typeCol).as("_tyname"))
+    val typed =
+      if (stages.distinct.size == stages.size) {
+        val tyIdx = stages.zipWithIndex.foldLeft(lit(-1)) { case (acc, (st, k)) =>
+          when(col("_tyname") === st, lit(k)).otherwise(acc)
+        }
+        base.select(col(userCol), col("_ts"), tyIdx.as("_ty"))
+      } else {
+        val idxs = array(stages.zipWithIndex.map { case (st, k) =>
+          when(col("_tyname") === st, lit(k))
+        }: _*)
+        base.select(col(userCol), col("_ts"),
+          explode(filter(idxs, _.isNotNull)).as("_ty"))
+      }
+    // strictly-before conditional running maxes: RANGE (not ROWS) frame
+    // so same-ts events are excluded — the fold's qualification is
+    // `ts > t_{k-1}` STRICT, and a ROWS frame would make the guard
+    // depend on intra-timestamp row order
+    val w = Window.partitionBy(col(userCol)).orderBy(col("_ts"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val prevMax = stages.indices.map(k =>
+      max(when(col("_ty") === k, col("_ts"))).over(w).as(s"_m$k"))
+    val keep = stages.indices.map { k =>
+      if (k == 0) col("_ty") === 0 && col("_m0").isNull
+      else col("_ty") === k && col(s"_m${k - 1}").isNotNull &&
+        (col(s"_m$k").isNull || col(s"_m$k") <= col(s"_m${k - 1}"))
+    }.reduce(_ || _)
+    typed
+      .select(col(userCol) +: col("_ts") +: col("_ty") +: prevMax: _*)
+      .filter(keep)
+      .select(col(userCol), col("_ts"), col("_ty"))
+  }
+
+  private[graft] def funnelReachTimes(
       events: DataFrame,
       userCol: String,
       typeCol: String,
@@ -109,18 +181,15 @@ object EventAnalytics {
          |       AND e.ty = i
          |       AND (i = 0 OR e.ts > get(acc, i - 1))$win
          |     THEN e.ts ELSE CAST(NULL AS BIGINT) END))""".stripMargin
-    // the type string is mapped to its stage INDEX before the exchange:
-    // integer shuffle payload + integer fold comparisons. Same-ts tie
-    // order between different stages cannot affect the result (the
-    // strictly-after rule decides independently of intra-ts order), so
-    // sorting by index where the chain sorted by name is semantics-free.
-    val tyIdx = stages.zipWithIndex.foldLeft(lit(-1)) { case (acc, (st, k)) =>
-      when(col(typeCol) === st, lit(k)).otherwise(acc)
-    }
-    events
-      .filter(col(typeCol).isin(stages: _*))
+    // the type string is mapped to its stage INDEX before the exchange
+    // (in funnelCandidates): integer shuffle payload + integer fold
+    // comparisons. Same-ts tie order between different stages cannot
+    // affect the result (the strictly-after rule decides independently
+    // of intra-ts order), so sorting by index where the chain sorted
+    // by name is semantics-free.
+    funnelCandidates(events, userCol, typeCol, tsCol, stages)
       .select(col(userCol),
-        struct(unix_micros(col(tsCol)).as("ts"), tyIdx.as("ty")).as("_e"))
+        struct(col("_ts").as("ts"), col("_ty").as("ty")).as("_e"))
       .groupBy(col(userCol))
       .agg(array_sort(collect_list(col("_e"))).as("_es"))
       .select(col(userCol), expr(fold).as("_t"))
@@ -149,14 +218,15 @@ object EventAnalytics {
         expr(s"percentile(element_at(_t, ${k + 1}) - element_at(_t, $k), 0.5)")
           .as(s"_p$k"))
     }
-    val row = reach.agg(aggs.head, aggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (1 until stages.size).map { k =>
-      row.select(lit(k).as("hop_idx"),
+    // single aggregate row inlined to one row per hop IN-PLAN (no
+    // persist+union fan-out — advisor r10 cache-leak note, see funnel)
+    val packed = array((1 until stages.size).map { k =>
+      struct(lit(k).as("hop_idx"),
         lit(s"${stages(k - 1)}->${stages(k)}").as("hop"),
         col(s"_n$k").as("n_converted"), col(s"_m$k").as("mean_us"),
         col(s"_p$k").as("median_us"))
-    }.reduce(_.unionAll(_))
+    }: _*)
+    reach.agg(aggs.head, aggs.tail: _*).select(inline(packed))
   }
 
   /** Cohort retention: users are cohorted by the period (e.g. 'week')

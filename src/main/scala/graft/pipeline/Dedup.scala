@@ -1079,7 +1079,11 @@ object Dedup {
       if (keyCol == "_sig") lit(1.0) else lit(0L) // identical keys: est 1.0 / hamming 0
     val sizes = members.groupBy(col(keyCol).as("_k")).agg(count(lit(1)).as("_g"))
     val within = sizes.filter(col("_g") >= 2)
-      .agg(sum(col("_g") * (col("_g") - 1) / 2).as("n_pairs"),
+      // g·(g−1) is even, so `div 2` is exact — and the whole pair count
+      // accumulates in LONG (a `/ 2` here summed in DOUBLE, losing
+      // integer exactness past 2^53 pairs and tripping the float-sum
+      // lint; group counts are integers end to end)
+      .agg(sum(expr("_g * (_g - 1) div 2")).as("n_pairs"),
         sum(col("_g")).as("n_docs"))
       .select(withinRel.as("hamming"),
         col("n_pairs").cast("long"), col("n_docs").cast("long"))

@@ -25,15 +25,34 @@ import org.apache.spark.sql.functions._
   *    small one and AQE broadcast-picks it when it fits.
   *
   * Long chains: each iteration extends lineage by one join. For the
-  * fixed small iteration counts of the curation use (3–10) the single
-  * plan is fine; beyond that callers pass `checkpointEvery` to truncate
-  * lineage with `localCheckpoint` (no cluster checkpoint dir needed).
+  * fixed small iteration counts of the curation use (3–6) the single
+  * plan is fine; beyond that lineage must be truncated with
+  * `localCheckpoint` (no cluster checkpoint dir needed) — the
+  * rank-style operators default to [[AutoCadence]], which applies the
+  * measured cadence automatically past ~6 iterations so a plain
+  * `pageRank(e, iters = 30)` gets the bounded-lineage shape.
   *
   * Reference analogue: none (the reference has no graph operators) —
   * this is part of the training-data-pipeline surface, like the dedup
   * and ANN families.
   */
 object GraphOps {
+
+  /** `checkpointEvery = AutoCadence` (the default) resolves to the
+    * `tools/IterBench`-measured guidance: cadence 2 once the iteration
+    * count exceeds ~6 (each deeper open round re-references the
+    * previous frame and the recompute doubles per round — 30 open
+    * PageRank rounds measured 44 s where cadence 2 runs 12 s), open
+    * plan below (at 3–6 rounds the eager checkpoint costs more than
+    * the recompute it saves). Pass 0 to force an open plan, n > 0 for
+    * an explicit cadence.
+    */
+  val AutoCadence: Int = -1
+
+  private def resolveCadence(checkpointEvery: Int, iters: Int): Int =
+    if (checkpointEvery >= 0) checkpointEvery
+    else if (iters > 6) 2
+    else 0
 
   /** Weighted PageRank, `iters` power-method steps from the uniform
     * start. Input: edges `(srcCol, dstCol, wCol)`; parallel edges are
@@ -47,8 +66,9 @@ object GraphOps {
       srcCol: String = "src",
       dstCol: String = "dst",
       wCol: String = "w",
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = AutoCadence): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    val cadence = resolveCadence(checkpointEvery, iters)
     val e = edges
       .groupBy(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .agg(sum(col(wCol).cast("double")).as("w"))
@@ -79,7 +99,7 @@ object GraphOps {
       // cost MORE than the recompute (g1 3.05 s -> 4.88 s persisted).
       // For iteration counts beyond ~10, checkpointEvery's EAGER
       // localCheckpoint both truncates lineage and stops the recompute.
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+      if (cadence > 0 && i % cadence == 0 && i < iters)
         pr = pr.localCheckpoint(true)
     }
     pr
@@ -285,8 +305,9 @@ object GraphOps {
       dstCol: String = "dst",
       wCol: String = "w",
       seedCol: String = "id",
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = AutoCadence): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    val cadence = resolveCadence(checkpointEvery, iters)
     val e = edges
       .groupBy(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .agg(sum(col(wCol).cast("double")).as("w"))
@@ -326,7 +347,7 @@ object GraphOps {
           ((lit(1.0) - lit(damping)) * col("t") + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("dm") * col("t"))).as("pr"))
       // not persisted per round — same measured trade-off as pageRank
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+      if (cadence > 0 && i % cadence == 0 && i < iters)
         pr = pr.localCheckpoint(true)
     }
     pr
@@ -349,8 +370,9 @@ object GraphOps {
       srcCol: String = "src",
       dstCol: String = "dst",
       wCol: String = "w",
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = AutoCadence): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    val cadence = resolveCadence(checkpointEvery, iters)
     val e = edges
       .groupBy(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .agg(sum(col(wCol).cast("double")).as("w")).persist()
@@ -372,7 +394,7 @@ object GraphOps {
       val hTot = hRaw.agg(sum("hr").as("ht"))
       h = nodes.join(hRaw, col("id") === col("src"), "left").crossJoin(hTot)
         .select(col("id"), (coalesce(col("hr"), lit(0.0)) / col("ht")).as("h"))
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+      if (cadence > 0 && i % cadence == 0 && i < iters) {
         h = h.localCheckpoint(true); a = a.localCheckpoint(true)
       }
     }

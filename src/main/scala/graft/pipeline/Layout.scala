@@ -289,6 +289,30 @@ object Layout {
         expr("(n_files - n_candidates) * 1000L div n_files"))
   }
 
+  /** Collapse a [[fileStats]] frame to ONE row per partition-directory
+    * token (`<token>=N` in the file path): row counts summed, min/max
+    * intervals unioned, source-file count kept for observability.
+    *
+    * This is the SPLIT-INVARIANCE layer for footer-driven audits: any
+    * engine conf may legally split one logical bucket into several
+    * physical files (`maxRecordsPerFile`, AQE rebalance, speculative
+    * retries) without changing the table — so any arithmetic that
+    * consumes per-FILE rows (bin packing, candidate-file counting) is
+    * environment-dependent, while per-BUCKET rows are a pure function
+    * of the logical table. The r9/r10 z6 driver-only hash-reds were
+    * exactly this class: rows/schema green, bin packing shifted.
+    * Downstream plans over this frame are reproducible from the
+    * logical table by ANY engine (the DuckDB oracles replay them).
+    */
+  def bucketStats(stats: DataFrame, token: String = "bucket"): DataFrame =
+    stats
+      .withColumn("bucket",
+        regexp_extract(col("file"), token + "=(-?\\d+)", 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
+        count(lit(1)).as("n_source_files"))
+
   /** Layout advisor over a [[skippingEffectiveness]]-shaped audit
     * frame (layout, column, probe, n_files, n_candidates, …): given a
     * query workload as per-mille column weights, scores each layout by

@@ -1756,7 +1756,11 @@ object StreamingState {
     val ordIdx = schema.fieldIndex(orderCol)
     implicit val rowEnc = Encoders.row(StructType(Seq(
       StructField(keyCol, schema(keyIdx).dataType),
-      StructField("twap_milli", LongType, nullable = false),
+      // nullable: a key whose intervals are all zero-length (consecutive
+      // events at the same timestamp) has span 0, and the batch twin's
+      // `_mass div span_us` yields NULL there — the stream must emit the
+      // same NULL, not divide (a Long `/ 0` would kill the whole query)
+      StructField("twap_milli", LongType, nullable = true),
       StructField("n_intervals", LongType, nullable = false),
       StructField("span_us", LongType, nullable = false))))
     implicit val keyEnc = Encoders.scalaLong
@@ -1796,7 +1800,13 @@ object StreamingState {
             .putLong(lastTs).putLong(lastValMilli).putLong(wsumMilli)
             .putLong(span).putLong(n)
           state.update(buf.array())
-          if (n > nBefore) Iterator.single(Row(key, wsumMilli / span, n, span))
+          // span == 0 ⇔ every interval so far is zero-length: the batch
+          // operator's `_mass div span_us` is NULL for that key, so emit
+          // NULL rather than throw ArithmeticException (which would kill
+          // the streaming query on the first same-timestamp pair)
+          if (n > nBefore)
+            Iterator.single(Row(key,
+              if (span > 0L) Long.box(wsumMilli / span) else null, n, span))
           else Iterator.empty
       }
   }

@@ -263,6 +263,54 @@ class AggregatePropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("funnel skew guard: one hot user at 1e5 in-stage events folds a bounded candidate set") {
+    // r10 verdict task 4: the per-user collect_list was unbounded under
+    // a hot key — one user spamming one stage materialized its whole
+    // history in a single hash-agg array. funnelCandidates' dominance
+    // prefilter must collapse the spam run (only the first stage-k
+    // event after each stage-(k-1) event can ever be the fold's pick)
+    // while leaving the funnel result EXACT.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val hot = (0 until 100000).map(i =>
+      (1L, "view", new java.sql.Timestamp(2000L + i))) // 1e5-event view spam
+    val evs = hot ++ Seq(
+      (1L, "signup", new java.sql.Timestamp(1000L)),  // before the spam
+      (1L, "click", new java.sql.Timestamp(200000L)), // strictly after a view
+      (2L, "signup", new java.sql.Timestamp(0L)))
+    val df = evs.toDF("user_id", "event_type", "ts")
+    val stages = Seq("signup", "view", "click")
+    // the guarded candidate set is O(alternations), not O(events): the
+    // spam run keeps only its first event after the lone signup
+    val nCand = graft.operators.EventAnalytics
+      .funnelCandidates(df, "user_id", "event_type", "ts", stages).count()
+    assert(nCand <= 10L, s"guard kept $nCand of ${evs.size} events")
+    // and the result is the exact chain: u1 converts all three stages
+    val counts = graft.operators.EventAnalytics
+      .funnel(df, "user_id", "event_type", "ts", stages)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(counts === Map("signup" -> 2L, "view" -> 1L, "click" -> 1L))
+  }
+
+  test("funnel with a repeated stage name fills every matching slot (advisor r10)") {
+    // stages = [view, click, view]: the old nested-when type→index map
+    // resolved 'view' only to the LAST index, so slot 0 never filled and
+    // the funnel silently reported zero conversions everywhere
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (1L, "view", new java.sql.Timestamp(1000L)),
+      (1L, "click", new java.sql.Timestamp(2000L)),
+      (1L, "view", new java.sql.Timestamp(3000L)),
+      (2L, "view", new java.sql.Timestamp(1000L)),
+      (2L, "click", new java.sql.Timestamp(2000L))) // no second view
+      .toDF("user_id", "event_type", "ts")
+    val rows = graft.operators.EventAnalytics
+      .funnel(df, "user_id", "event_type", "ts", Seq("view", "click", "view"))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(rows === Map(1 -> 2L, 2 -> 2L, 3 -> 1L))
+  }
+
   test("MMR argmax can never fall through to the sentinel (score underflow)") {
     // every candidate score below the old -2^62 seed: pos=-1 would have
     // leaked into element_at, silently selecting the LAST candidate

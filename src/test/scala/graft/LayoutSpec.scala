@@ -137,6 +137,53 @@ class LayoutSpec extends AnyFunSuite {
     assert(silent.agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0) === 107L)
   }
 
+  test("bucketStats: plan input is invariant to physical file splits within a bucket") {
+    // the r9/r10 z6 driver-only hash-red class: an environment that
+    // legally splits one bucket into several files (maxRecordsPerFile,
+    // AQE rebalance) keeps Σ-rows green but shifts per-FILE largest-
+    // first bin packing. bucketStats collapses footers to one row per
+    // bucket token, so the downstream compaction plan is a pure
+    // function of the logical table whatever the file count.
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, i % 4)).toDF("k", "bucket")
+
+    val oneFile = Files.createTempDirectory("graft_bs_one").toString
+    df.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(oneFile)
+
+    val split = Files.createTempDirectory("graft_bs_split").toString
+    df.repartition(col("bucket"))
+      .write.mode("overwrite").option("maxRecordsPerFile", 300)
+      .partitionBy("bucket").parquet(split)
+
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    assert(parquetFiles(oneFile) === 4, "baseline layout must be one file per bucket")
+    assert(parquetFiles(split) > 4, "split layout must have fragmented buckets")
+
+    def bucketRows(dir: String): Seq[(Long, Long, Long, Long)] =
+      Layout.bucketStats(
+          Layout.fileStats(spark, dir, "k", requirePathToken = "bucket="))
+        .select("bucket", "n_rows", "min_v", "max_v")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+    // the SPLIT-INVARIANCE property itself
+    assert(bucketRows(split) === bucketRows(oneFile))
+
+    // and the consumer the property exists for: identical compaction plans
+    def plan(dir: String): Seq[(Long, Long)] =
+      Layout.compactionPlan(
+          Layout.bucketStats(
+            Layout.fileStats(spark, dir, "k", requirePathToken = "bucket=")),
+          targetRows = 1500L, tieCol = "min_v")
+        .select(col("bucket").cast("long"), col("grp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(plan(split) === plan(oneFile))
+  }
+
   test("skippingEffectiveness: inclusive bounds, null stats always candidates") {
     val spark = TestSpark.spark
     import spark.implicits._

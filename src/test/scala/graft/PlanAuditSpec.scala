@@ -888,12 +888,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // the single-pass fold form: the scan carries the whole stage-set
     // predicate pushed (not one scan per stage)...
     assert(p.contains("In(event_type"), p.take(4000))
-    // ...one user-keyed corpus exchange with partial collect_list below
-    // it. The per-stage union branches all read the same CACHED scalar
-    // aggregate row (InMemoryRelation), whose plan prints once per
-    // branch — so count DISTINCT plan ids, not textual occurrences.
+    // ...one user-keyed corpus exchange feeding BOTH the skew-guard
+    // window (funnelCandidates' dominance prefilter) and the fold's
+    // collect_list — same key, so Catalyst plans a single Exchange and
+    // the guard costs a spill-able sort, never a second shuffle
     assert(p.contains("partial_collect_list"), p.take(4000))
-    assert(p.contains("InMemoryRelation"), p.take(4000))
+    assert(p.contains("Window"), p.take(4000))
+    // the per-stage fan-out is an in-plan inline generator over the one
+    // aggregate row — no persisted scalar frame (no cache entry leaked
+    // per call), no union of per-stage branches
+    assert(!p.contains("InMemoryRelation"), p.take(4000))
+    assert(!p.contains("Union"), p.take(4000))
     val userExIds = "Exchange hashpartitioning\\(user_id[^\\]]*plan_id=(\\d+)".r
       .findAllMatchIn(p).map(_.group(1)).toSet
     assert(userExIds.size === 1, s"$userExIds\n${p.take(4000)}")
@@ -995,9 +1000,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n20 === n10, s"lineage grew with round count: $n10 -> $n20")
     assert(n25 === n10, s"lineage grew with round count: $n10 -> $n25")
     // and the checkpointed 20-round plan is far below the open one at
-    // HALF the rounds (10 open rounds ≈ 2^10 leaf references)
-    val nOpen10 = planNodes(graft.pipeline.GraphOps.pageRank(e, iters = 10))
+    // HALF the rounds (10 open rounds ≈ 2^10 leaf references) —
+    // checkpointEvery = 0 forces the open plan, which is now an
+    // explicit opt-out rather than the default
+    val nOpen10 = planNodes(
+      graft.pipeline.GraphOps.pageRank(e, iters = 10, checkpointEvery = 0))
     assert(n20 < nOpen10 / 4, s"ckpt(20)=$n20 vs open(10)=$nOpen10")
+    // the AUTO default (r10 verdict task 7): a plain deep call gets the
+    // measured cadence-2 bounded shape without the caller knowing the
+    // knob exists — and shallow calls stay open (gate entries g1/g3
+    // run 2–3 rounds and an eager checkpoint there costs more than it
+    // saves, the measured trade-off in the operator comment)
+    val nAuto20 = planNodes(graft.pipeline.GraphOps.pageRank(e, iters = 20))
+    val nAuto21 = planNodes(graft.pipeline.GraphOps.pageRank(e, iters = 21))
+    assert(nAuto20 < nOpen10 / 4, s"auto(20)=$nAuto20 vs open(10)=$nOpen10")
+    assert(nAuto21 === nAuto20 || nAuto21 < nOpen10 / 4,
+      s"auto cadence unbounded: $nAuto20 -> $nAuto21")
+    val nAuto3 = planNodes(graft.pipeline.GraphOps.pageRank(e, iters = 3))
+    val nExpl3 = planNodes(
+      graft.pipeline.GraphOps.pageRank(e, iters = 3, checkpointEvery = 0))
+    assert(nAuto3 === nExpl3, "shallow auto call must stay an open plan")
     spark.catalog.clearCache()
   }
 
@@ -1198,5 +1220,72 @@ class PlanAuditSpec extends AnyFunSuite {
     val firstEx = pd.indexOf("Exchange hashpartitioning")
     assert(firstEx > 0 && !pd.substring(0, firstEx).contains("text#"),
       pd.take(3000))
+  }
+
+  test("float-sum lint: no catalog entry sums a floating expression off the allowlist") {
+    // the a11/w4 lesson, promoted (r10 verdict task 8): two rounds
+    // running, a sum() over doubles hash-diverged from the oracle at
+    // sf1 because float accumulation order is partition-dependent —
+    // invisible at sf0.01 where partial sums are short. Sweep EVERY
+    // batch catalog entry's analyzed plan for Sum/Average over a
+    // floating child; each hit must be on the allowlist below, which
+    // exists only for entries whose float outputs are gated under
+    // check.py's 1e-9 RELATIVE tolerance (ratios/means of bounded
+    // magnitude, where accumulation-order jitter stays far below the
+    // tolerance) — never for raw accumulated mass, which is what broke
+    // a11 (µs durations summed as double) and w4 (value·µs mass).
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Sum}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // every entry below is hash-matched green at sf1 (CORRECTNESS_sf1.md)
+    // under check.py's 1e-9 RELATIVE tolerance; the notes say why the
+    // float accumulation stays inside it
+    val allow: Map[String, String] = Map(
+      "q1_agg" -> "avg(l_quantity): TPC-H double column; sf1 ledger 'float-tolerant only'",
+      "a1_json_view" -> "sum(l_quantity): TPC-H double; 3-group partial sums, sf1 green",
+      "a2_pivot" -> "same sum(l_quantity) mass as a1, pivoted",
+      "a10_cube" -> "same sum(l_quantity) mass, cube rollup",
+      "a45_view_filter_expr" -> "sum(revenue): extendedprice*(1-discount), sf1 green",
+      "a9_time_bucket" -> "sum(events.value) per bucket: bounded bucket mass, sf1 green",
+      "a21_decayed_engagement" -> "exp-decayed sum(value): decay keeps per-key mass O(1/(1-λ)); sf1 green at 15k keys",
+      "j1_join_agg" -> "TPC-H revenue sum; sf1 ledger 'float-tolerant'",
+      "j3_profit_rollup" -> "TPC-H revenue sum; sf1 ledger 'float-tolerant'",
+      "j6_salted_join" -> "sum(l_quantity) across salt shards, sf1 green",
+      "g1_pagerank" -> "power-method ranks: normalized, per-node O(1/|V|)",
+      "g2_personalized_pagerank" -> "seeded ranks normalized; edge-weight cast is integral mass < 2^53",
+      "g3_hits" -> "hub/auth scores renormalized to 1 every half-step",
+      "st3_source_overlap" -> "sum(est_jaccard): dyadic rationals k/16, exact in binary FP",
+      "b1_bucketed_join" -> "TPC-H revenue sum over the bucketed table; sf1 ledger 'float-tolerant only'"
+    )
+    val streaming = graft.StreamingQueries.all.keySet
+    val offenders = scala.collection.mutable.SortedMap.empty[String, String]
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      // streaming twins RUN eagerly on construction (MemoryStream
+      // feeds); their accumulation discipline is pinned by the
+      // batch==stream parity gates against these batch plans instead
+      if (!streaming.contains(name)) {
+        val df = fn(spark, dir)
+        df.queryExecution.analyzed.foreach {
+          case agg: Aggregate =>
+            agg.aggregateExpressions.foreach(_.foreach {
+              case s: Sum if s.child.dataType == DoubleType ||
+                  s.child.dataType == FloatType =>
+                offenders(name) = s"sum(${s.child.sql})"
+              case a: Average if a.child.dataType == DoubleType ||
+                  a.child.dataType == FloatType =>
+                offenders(name) = s"avg(${a.child.sql})"
+              case _ => ()
+            })
+          case _ => ()
+        }
+        spark.catalog.clearCache()
+      }
+    }
+    val unlisted = offenders.filterNot { case (n, _) => allow.contains(n) }
+    assert(unlisted.isEmpty,
+      "floating sum/avg outside the allowlist (add integer-exact mass " +
+        s"or document the tolerance): ${unlisted.mkString("; ")}")
+    // the allowlist must not rot: every entry on it still trips the lint
+    val stale = allow.keySet -- offenders.keySet
+    assert(stale.isEmpty, s"allowlist entries no longer floating: $stale")
   }
 }

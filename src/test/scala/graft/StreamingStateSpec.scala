@@ -195,6 +195,42 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("twapStream: a zero-length-interval-only key emits NULL, not a crash (advisor r10)") {
+    // two ticks at the SAME timestamp close one interval of span 0; the
+    // Long division would throw ArithmeticException and kill the whole
+    // streaming query — the batch twin's `_mass div span_us` is NULL
+    // there, and the stream must mirror it. A later real interval then
+    // resumes normal emission for the same key.
+    val ws = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType), StructField("event_id", LongType)))
+    def wr(u: Long, s: String, v: Double, id: Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](u, java.sql.Timestamp.valueOf(s), v, id), ws)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(ws), sqlCtx)
+    val out = StreamingState.twapStream(stream.toDF(), "user_id", "ts", "value", "event_id")
+    val name = s"twap_zero_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("twap0-ckpt").toString)
+      .start()
+    try {
+      stream.addData(
+        wr(1L, "2024-01-01 00:00:00", 10.0, 1),
+        wr(1L, "2024-01-01 00:00:00", 20.0, 2)) // same-ts pair: span 0
+      q.processAllAvailable()
+      val zero = spark.table(name).collect().maxBy(_.getLong(2))
+      assert(zero.isNullAt(1), "span-0 twap must be NULL (batch-twin div semantics)")
+      assert(zero.getLong(2) === 1L && zero.getLong(3) === 0L)
+      // a real interval closes: 20 held 2s → twap = 20000 over span 2s
+      stream.addData(wr(1L, "2024-01-01 00:00:02", 7.0, 3))
+      q.processAllAvailable()
+      val last = spark.table(name).collect().maxBy(_.getLong(2))
+      assert(last.getLong(1) === 20000L && last.getLong(3) === 2000000L)
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: twapStream's running sums survive a restart") {
     // kill after one closed interval (10.0 held 1s), restart from the
     // same checkpoint, close a second interval (20.0 held 3s): the

@@ -86,7 +86,17 @@ def main():
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(gr, wr)) if not close(a, b)]
         exact = gr == wr
         if bad:
-            print(f"FAIL {name}: {len(bad)} differing rows; first: spark={bad[0][1]} duckdb={bad[0][2]}")
+            print(f"FAIL {name}: {len(bad)} differing rows (of {len(gr)}); first {min(5, len(bad))}:")
+            for i, a, b in bad[:5]:
+                print(f"  row[{i}] spark ={a}")
+                print(f"  row[{i}] duckdb={b}")
+            # forensic dump: the full (capped) diff, machine-readable, so a
+            # red row names its rows instead of a bare boolean (r10 verdict)
+            with open(f"{out_dir}/{name}.rowdiff.json", "w") as f:
+                json.dump({"name": name, "n_rows": len(gr), "n_diff": len(bad),
+                           "cols": gc,
+                           "diffs": [{"i": i, "spark": repr(a), "duckdb": repr(b)}
+                                     for i, a, b in bad[:200]]}, f, indent=1)
             fail += 1
         else:
             print(f"OK   {name} rows={len(gr)}" + ("" if exact else "  (float-tolerant only!)"))

@@ -10,7 +10,11 @@
 #   * one JVM, the complete SparkEntry.queries catalog, driver order
 #     (Verify with exactly two args — no per-query filtering),
 #   * the driver's own comparator (tools/check.py) over ALL entries,
-#   * the report committed verbatim as RECEIPTS.md.
+#   * the report committed verbatim as RECEIPTS.md,
+#   * the per-entry row-hash manifest rollup committed as
+#     RECEIPTS_MANIFEST.json — a later driver red diffs its outDir
+#     manifest against this file to name the exact differing rows
+#     (or prove the Spark outputs matched and the red is oracle-side).
 #
 # Usage: tools/gate.sh [sfDir] [outDir]
 set -uo pipefail
@@ -21,6 +25,14 @@ cd "$(dirname "$0")/.."
 rm -rf "$OUT"
 echo "== gate: full catalog Verify @ $SF_DIR (single JVM, driver order)"
 sbt -batch "runMain graft.Verify $SF_DIR $OUT" 2>&1 | tail -3
+VERIFY_RC=${PIPESTATUS[0]}
+if [ "$VERIFY_RC" -ne 0 ]; then
+  # a Verify crash partway through must NOT produce a receipt: the
+  # comparator over partial outputs is exactly the receipts/driver
+  # discrepancy class this script exists to prevent (advisor finding)
+  echo "== gate: Verify exited $VERIFY_RC — ABORTING, no receipt written"
+  exit "$VERIFY_RC"
+fi
 echo "== gate: driver comparator over ALL entries"
 REPORT=$(python3 tools/check.py "$SF_DIR" "$OUT")
 RC=$?
@@ -31,12 +43,15 @@ SUMMARY=$(echo "$REPORT" | tail -1)
   echo "- command: \`tools/gate.sh $SF_DIR $OUT\`"
   echo "- date: $(date -u +%Y-%m-%dT%H:%M:%SZ)"
   echo "- git: $(git rev-parse --short HEAD) ($(git status --porcelain | wc -l) dirty files)"
-  echo "- catalog entries: $(ls "$OUT" | grep -vc oracle_sql.json)"
+  echo "- catalog entries: $(find "$OUT" -maxdepth 1 -type d ! -path "$OUT" | wc -l)"
   echo "- result: $SUMMARY (exit $RC)"
   echo
   echo '```'
   echo "$REPORT" | grep -v '^OK ' || true
   echo '```'
 } > RECEIPTS.md
+# commit the builder-side spark row-hash rollup for cross-environment
+# forensics (driver outDir manifest vs this file names differing rows)
+[ -f "$OUT/manifest.json" ] && python3 -m json.tool "$OUT/manifest.json" > RECEIPTS_MANIFEST.json
 echo "$SUMMARY (exit $RC) — receipt written to RECEIPTS.md"
 exit $RC
