@@ -649,4 +649,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(out3.forall(!_._4))
     assert(out3.filter(_._5).map(x => (x._1, x._2)).toSeq === Seq((8, 2)))
   }
+
+  test("ever-driver-red rows are hash-invariant under a hostile session config") {
+    // z6 (r9+r10) and a11 (r10) went hash-red ONLY on the driver's box;
+    // the full-catalog InvarianceSweep measured both bit-stable across
+    // every plausible environment axis. Pin the sharpest cell here so a
+    // regression reintroducing conf sensitivity (per-FILE bin packing,
+    // partition-order float mass) fails in CI, not in a driver round:
+    // 200 shuffle partitions + AQE off + forced bucket file splits +
+    // interpreted execution must reproduce the baseline hashes exactly.
+    val dir = "/root/testdata/sf0.001"
+    def sig(name: String, conf: Map[String, String]): (Long, Long, Long) = {
+      val s = spark.newSession()
+      conf.foreach { case (k, v) => s.conf.set(k, v) }
+      val df = graft.SparkEntry.queries(name)(s, dir)
+      val cols = df.columns.sorted.map(org.apache.spark.sql.functions.col)
+      val hs = df.select(cols.toIndexedSeq: _*).rdd
+        .map(r => graft.Verify.fnv64(r.toSeq.map(graft.Verify.canonCell).mkString(" ")))
+        .collect()
+      s.catalog.clearCache()
+      var sum = 0L; var xor = 0L
+      hs.foreach { h => sum += h; xor ^= h }
+      (hs.length.toLong, sum, xor)
+    }
+    val hostile = Map(
+      "spark.sql.shuffle.partitions" -> "200",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.files.maxRecordsPerFile" -> "1000",
+      "spark.sql.codegen.wholeStage" -> "false")
+    Seq("z6_compaction_plan", "a11_session_window").foreach { name =>
+      val base = sig(name, Map("spark.sql.shuffle.partitions" -> "32"))
+      val hard = sig(name, hostile)
+      assert(base === hard, s"$name diverged under the hostile config")
+      assert(base._1 > 0, s"$name produced no rows")
+    }
+  }
 }
