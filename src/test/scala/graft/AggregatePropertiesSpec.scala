@@ -292,6 +292,26 @@ class AggregatePropertiesSpec extends AnyFunSuite {
     assert(counts === Map("signup" -> 2L, "view" -> 1L, "click" -> 1L))
   }
 
+  test("funnel skew guard worst case: strict alternation prunes little but stays exact") {
+    // the guard's documented adversarial bound — alternating a,b,a,b…
+    // keeps slot-0's single first event plus EVERY b (each b is the
+    // first b after some a), so pruning degrades to O(alternations);
+    // what must never degrade is exactness
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val n = 2000
+    val evs = (1 to n).map(i =>
+      (1L, if (i % 2 == 1) "a" else "b", new java.sql.Timestamp(i.toLong)))
+    val df = evs.toDF("user_id", "event_type", "ts")
+    val nCand = graft.operators.EventAnalytics
+      .funnelCandidates(df, "user_id", "event_type", "ts", Seq("a", "b")).count()
+    assert(nCand === 1L + n / 2, s"expected 1 + ${n / 2} candidates, got $nCand")
+    val counts = graft.operators.EventAnalytics
+      .funnel(df, "user_id", "event_type", "ts", Seq("a", "b"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(counts === Map("a" -> 1L, "b" -> 1L))
+  }
+
   test("funnel with a repeated stage name fills every matching slot (advisor r10)") {
     // stages = [view, click, view]: the old nested-when type→index map
     // resolved 'view' only to the LAST index, so slot 0 never filled and
