@@ -1339,12 +1339,12 @@ object PipelineQueries {
       val und = graft.pipeline.GraphOps.undirectedWeighted(edges)
       val singletons = und.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl"))
-      graft.pipeline.GraphOps.modularity(edges,
-          graft.pipeline.GraphOps.labelPropagation(edges, iters = 3))
-        .withColumn("partition", lit("lpa"))
-        .unionByName(
-          graft.pipeline.GraphOps.modularity(edges, singletons)
-            .withColumn("partition", lit("singletons")))
+      // ONE modularityMulti pass: the undirected build, per-node
+      // degrees and W2 are partition-independent — two separate
+      // modularity() calls rebuilt all three (r11 bench cut)
+      graft.pipeline.GraphOps.modularityMulti(edges, Seq(
+        "lpa" -> graft.pipeline.GraphOps.labelPropagation(edges, iters = 3),
+        "singletons" -> singletons))
     }),
 
     // ---- exact triangles by degree-ordered orientation: out-degrees

@@ -193,27 +193,53 @@ object GraphOps {
       labels: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
+      wCol: String = "w"): DataFrame =
+    modularityMulti(edges, Seq(("", labels)), srcCol, dstCol, wCol)
+      .drop("partition")
+
+  /** [[modularity]] of SEVERAL partitions of the SAME graph in one
+    * pass: the undirected edge build, the per-node degree aggregate
+    * and the total edge mass W2 are partition-independent and shared
+    * — the comparison use ("does LPA beat singletons / truth / last
+    * week's labels") otherwise rebuilds the corpus-scale edge frame
+    * once per candidate partition. Labels union with a `partition`
+    * tag; every community aggregate and the in-community edge join
+    * key on (partition, lbl), so per-partition results are exactly
+    * [[modularity]]'s. Returns one row per (partition, community)
+    * with `q_micro` the partition's total on each of its rows.
+    */
+  def modularityMulti(
+      edges: DataFrame,
+      parts: Seq[(String, DataFrame)],
+      srcCol: String = "src",
+      dstCol: String = "dst",
       wCol: String = "w"): DataFrame = {
+    require(parts.nonEmpty, "modularityMulti: need at least one partition")
     val und = undirectedWeighted(edges, srcCol, dstCol, wCol).persist()
     // labels persisted: referenced three times below (degree join + both
-    // endpoint joins), and the caller's label frame often carries an
+    // endpoint joins), and the caller's label frames often carry an
     // expensive lineage (a full LPA run) that would re-derive each time
-    val lbl = labels.select(col("id"), col("lbl"))
+    val lbl = parts.map { case (name, labels) =>
+      labels.select(lit(name).as("partition"), col("id"), col("lbl"))
+    }.reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w2 = und.agg(sum(col("w")).as("_w2")) // 1 row
+    val w2 = und.agg(sum(col("w")).as("_w2")) // 1 row, same for every partition
+    // per-node degree is label-independent: build once, fan out per label
     val deg = und.groupBy(col("src").as("id")).agg(sum(col("w")).as("_d"))
       .join(lbl, Seq("id"))
-      .groupBy(col("lbl"))
+      .groupBy(col("partition"), col("lbl"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("_d")).as("deg_w"))
     val inw = und
-      .join(lbl.select(col("id").as("src"), col("lbl").as("_ls")), Seq("src"))
-      .join(lbl.select(col("id").as("dst"), col("lbl").as("_ld")), Seq("dst"))
+      .join(lbl.select(col("id").as("src"), col("partition"), col("lbl").as("_ls")),
+        Seq("src"))
+      .join(lbl.select(col("id").as("dst"), col("partition"), col("lbl").as("_ld")),
+        Seq("dst", "partition"))
       .filter(col("_ls") === col("_ld"))
-      .groupBy(col("_ls").as("lbl")).agg(sum(col("w")).as("in_w"))
+      .groupBy(col("partition"), col("_ls").as("lbl")).agg(sum(col("w")).as("in_w"))
     // truncating integral division (`div`), NOT floor: DuckDB's `//`
     // truncates toward zero on negatives, and contributions go
     // negative whenever deg² > in·W2 — floor would diverge by one
-    val per = deg.join(inw, Seq("lbl"), "left")
+    val per = deg.join(inw, Seq("partition", "lbl"), "left")
       .withColumn("in_w", coalesce(col("in_w"), lit(0L)))
       .crossJoin(broadcast(w2))
       .withColumn("contrib_micro",
@@ -222,14 +248,14 @@ object GraphOps {
           "(CAST(_w2 AS DECIMAL(38,0)) * _w2) AS BIGINT)"))
     // per is community-rows-sized and referenced twice (total + output)
     per.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = per.agg(
+    val total = per.groupBy(col("partition")).agg(
       expr("CAST((sum(CAST(in_w AS DECIMAL(38,0)) * _w2 " +
         "- CAST(deg_w AS DECIMAL(38,0)) * deg_w) * 1000000) div " +
         "(CAST(max(_w2) AS DECIMAL(38,0)) * max(_w2)) AS BIGINT)")
-        .as("q_micro")) // 1 row
-    per.crossJoin(broadcast(total))
+        .as("q_micro")) // one row per partition
+    per.join(broadcast(total), Seq("partition"))
       .select(col("lbl"), col("n_nodes"), col("in_w"), col("deg_w"),
-        col("contrib_micro"), col("q_micro"))
+        col("contrib_micro"), col("q_micro"), col("partition"))
   }
 
   /** Bounded k-core peeling: iteratively drop nodes whose UNDIRECTED
