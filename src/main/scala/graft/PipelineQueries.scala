@@ -2100,16 +2100,19 @@ object PipelineQueries {
     * spilled the DuckDB oracle past ~80 GB on sf1's replica
     * mega-components; r10 verdict task 5). Per round: each node takes
     * the min of its own and its neighbours' labels, then jumps to its
-    * label's label — the textbook shortcutting argument halves the
-    * label-tree depth per round, so `rounds` = 20 ≥ log₂(5·10⁵)
-    * converges for ANY topology over the corpora gated here (sf1's
-    * replica mega-components include chain-shaped regions: 8 rounds
-    * measurably did NOT converge there — one label short — which
-    * showed up as a hash red, exactly the designed failure mode;
-    * non-convergence can never produce a silent green). Emits
-    * `comp(v, c)`.
+    * label's label. Convergence bound, stated honestly: the shortcut
+    * step halves the depth of the CURRENT label forest, but the
+    * neighbour-min hook can re-attach trees, so the clean "log₂(n)
+    * rounds" argument of pure pointer jumping does not directly apply
+    * — the measured behaviour is log-like (8 rounds left sf1's
+    * chain-shaped replica mega-components one label short; 20
+    * converged), and `rounds` = 24 adds margin over log₂(5·10⁵) ≈ 19
+    * at linear cost. The safety property does not depend on the
+    * bound: non-convergence leaves a component under two labels and
+    * reds the gate against the engine's exact star-contraction — it
+    * can never produce a silent green. Emits `comp(v, c)`.
     */
-  private def componentCtes(rounds: Int = 20): String = {
+  private def componentCtes(rounds: Int = 24): String = {
     val init = "lab0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS l FROM e)"
     val steps = (1 to rounds).map { k =>
       s"""nb$k AS (SELECT e.a AS v, min(l.l) AS nl

@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   *
   * Long chains: each iteration extends lineage by one join. For the
   * fixed small iteration counts of the curation use (3–6) the single
-  * plan is fine; beyond that lineage must be truncated with
-  * `localCheckpoint` (no cluster checkpoint dir needed) — the
+  * plan is fine; beyond that lineage must be truncated (lazy
+  * localCheckpoint, or a reliable checkpoint when the session has a
+  * checkpoint dir — see `truncate`) — the
   * rank-style operators default to [[AutoCadence]], which applies the
   * measured cadence automatically past ~6 iterations so a plain
   * `pageRank(e, iters = 30)` gets the bounded-lineage shape.
@@ -53,6 +54,24 @@ object GraphOps {
     if (checkpointEvery >= 0) checkpointEvery
     else if (iters > 6) 2
     else 0
+
+  /** Lineage truncation for the iterative operators — LAZY (eager =
+    * false), so constructing a deep-iteration plan stays a pure,
+    * job-free operation and the cost lands with the caller's action
+    * (review r11: the AutoCadence default must not make
+    * `pageRank(e, 30)` fire ~14 jobs at call time). The returned
+    * frame's analyzed plan is already the truncated LogicalRDD, so
+    * plan-size boundedness is unchanged. RELIABLE checkpoints are
+    * used when the session has `sc.setCheckpointDir` configured:
+    * localCheckpoint blocks live only on executors and do NOT survive
+    * executor loss/decommission — a dynamic-allocation cluster that
+    * scales down mid-job would fail a local-checkpointed lineage
+    * where the open plan would have recomputed, so durability is the
+    * caller's one-line opt-in. */
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
 
   /** Weighted PageRank, `iters` power-method steps from the uniform
     * start. Input: edges `(srcCol, dstCol, wCol)`; parallel edges are
@@ -97,10 +116,11 @@ object GraphOps {
       // round's double reference (contrib + dangling mass) recomputes
       // only cached-base joins — at gate scale caching the tiny frame
       // cost MORE than the recompute (g1 3.05 s -> 4.88 s persisted).
-      // For iteration counts beyond ~10, checkpointEvery's EAGER
-      // localCheckpoint both truncates lineage and stops the recompute.
+      // For iteration counts beyond ~10, the cadence's lineage
+      // truncation also stops the cross-round recompute (lazy: the
+      // materialization lands with the caller's action, see truncate).
       if (cadence > 0 && i % cadence == 0 && i < iters)
-        pr = pr.localCheckpoint(true)
+        pr = truncate(pr)
     }
     pr
   }
@@ -147,7 +167,7 @@ object GraphOps {
       lbl = mass.withColumn("_rn", row_number().over(top))
         .filter(col("_rn") === 1).select("id", "lbl")
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-        lbl = lbl.localCheckpoint(true)
+        lbl = truncate(lbl)
     }
     lbl
   }
@@ -215,6 +235,11 @@ object GraphOps {
       dstCol: String = "dst",
       wCol: String = "w"): DataFrame = {
     require(parts.nonEmpty, "modularityMulti: need at least one partition")
+    // duplicate tags would UNION two labelings into one corrupted
+    // partition (double-counted degrees, cross-matched communities) —
+    // silently wrong Q, so fail loudly instead
+    require(parts.map(_._1).distinct.size == parts.size,
+      s"modularityMulti: duplicate partition names in ${parts.map(_._1)}")
     val und = undirectedWeighted(edges, srcCol, dstCol, wCol).persist()
     // labels persisted: referenced three times below (degree join + both
     // endpoint joins), and the caller's label frames often carry an
@@ -307,7 +332,7 @@ object GraphOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       und =
         if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < rounds)
-          next.localCheckpoint(true)
+          truncate(next)
         else next
     }
     und.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
@@ -374,7 +399,7 @@ object GraphOps {
             (coalesce(col("contrib"), lit(0.0)) + col("dm") * col("t"))).as("pr"))
       // not persisted per round — same measured trade-off as pageRank
       if (cadence > 0 && i % cadence == 0 && i < iters)
-        pr = pr.localCheckpoint(true)
+        pr = truncate(pr)
     }
     pr
   }
@@ -421,7 +446,7 @@ object GraphOps {
       h = nodes.join(hRaw, col("id") === col("src"), "left").crossJoin(hTot)
         .select(col("id"), (coalesce(col("hr"), lit(0.0)) / col("ht")).as("h"))
       if (cadence > 0 && i % cadence == 0 && i < iters) {
-        h = h.localCheckpoint(true); a = a.localCheckpoint(true)
+        h = truncate(h); a = truncate(a)
       }
     }
     h.join(a, "id").select(col("id"), col("h").as("s_hub"), col("a").as("s_auth"))

@@ -310,7 +310,15 @@ object Layout {
         regexp_extract(col("file"), token + "=(-?\\d+)", 1).cast("long"))
       .groupBy(col("bucket"))
       .agg(sum(col("n_rows")).as("n_rows"),
-        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
+        // NULL-POISONED interval: a member file with missing stats can
+        // hold ANY value, so the bucket's interval must become unknown
+        // (⇒ never skippable), exactly the per-file rule
+        // skippingEffectiveness pins — min/max alone would silently
+        // narrow the interval to the stats-bearing files (review r11)
+        when(count(col("min_v")) < count(lit(1)), lit(null))
+          .otherwise(min(col("min_v"))).as("min_v"),
+        when(count(col("max_v")) < count(lit(1)), lit(null))
+          .otherwise(max(col("max_v"))).as("max_v"),
         count(lit(1)).as("n_source_files"))
 
   /** Layout advisor over a [[skippingEffectiveness]]-shaped audit

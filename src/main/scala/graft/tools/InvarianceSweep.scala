@@ -91,18 +91,13 @@ object InvarianceSweep {
       val cells = configs.map { case (label, conf) =>
         val s = base.newSession()
         conf.foreach { case (k, v) => s.conf.set(k, v) }
-        val rows = fn(s, sfDir)
-        // order-independent aggregate of Verify's canonical rendering,
-        // columns in sorted-name order (the comparator's axis)
-        val cols = rows.columns.sorted.map(org.apache.spark.sql.functions.col)
-        val hashes = rows.select(cols.toIndexedSeq: _*).rdd
-          .map(r => graft.Verify.fnv64(
-            r.toSeq.map(graft.Verify.canonCell).mkString(" ")))
-          .collect()
-        var sum = 0L; var xor = 0L
-        hashes.foreach { h => sum += h; xor ^= h }
+        // THE shared signature implementation (Verify.rowHashesOf):
+        // canonical rendering, sorted-name columns, NUL row separator —
+        // same axis and same bytes as the committed manifests
+        val (n, sum, xor) = graft.Verify.sigOf(
+          graft.Verify.rowHashesOf(fn(s, sfDir)))
         s.catalog.clearCache()
-        (label, hashes.length, java.lang.Long.toHexString(sum),
+        (label, n, java.lang.Long.toHexString(sum),
           java.lang.Long.toHexString(xor))
       }
       val distinctSigs = cells.map(c => (c._2, c._3, c._4)).distinct

@@ -184,6 +184,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(plan(split) === plan(oneFile))
   }
 
+  test("bucketStats: a member file with missing stats poisons the bucket interval to NULL") {
+    // the per-file invariant skippingEffectiveness pins ('null stats
+    // always candidates') must survive the per-bucket collapse: a
+    // stats-less file can hold ANY value, so min/max over only the
+    // stats-bearing members would silently narrow the interval and let
+    // a probe skip a bucket that actually contains it
+    import spark.implicits._
+    val stats = Seq(
+      ("x/bucket=0/f1.parquet", 10L, Some(5L), Some(10L)),
+      ("x/bucket=0/f2.parquet", 10L, None, None), // could contain 42
+      ("x/bucket=1/f3.parquet", 10L, Some(1L), Some(2L)))
+      .toDF("file", "n_rows", "min_v", "max_v")
+    val out = Layout.bucketStats(stats).collect()
+      .map(r => r.getLong(0) -> ((r.isNullAt(2), r.isNullAt(3), r.getLong(1)))).toMap
+    assert(out(0L) === ((true, true, 20L)), "mixed bucket must poison to NULL")
+    assert(out(1L) === ((false, false, 10L)), "all-stats bucket keeps its interval")
+    // and the consumer treats the poisoned bucket as a permanent candidate
+    val eff = Layout.skippingEffectiveness(Layout.bucketStats(stats), Seq(42L))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(eff === ((2L, 1L)), "probe 42: bucket 0 candidate (unknown), bucket 1 skipped")
+  }
+
   test("skippingEffectiveness: inclusive bounds, null stats always candidates") {
     val spark = TestSpark.spark
     import spark.implicits._

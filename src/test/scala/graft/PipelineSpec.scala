@@ -662,15 +662,12 @@ class PipelineSpec extends AnyFunSuite {
     def sig(name: String, conf: Map[String, String]): (Long, Long, Long) = {
       val s = spark.newSession()
       conf.foreach { case (k, v) => s.conf.set(k, v) }
-      val df = graft.SparkEntry.queries(name)(s, dir)
-      val cols = df.columns.sorted.map(org.apache.spark.sql.functions.col)
-      val hs = df.select(cols.toIndexedSeq: _*).rdd
-        .map(r => graft.Verify.fnv64(r.toSeq.map(graft.Verify.canonCell).mkString(" ")))
-        .collect()
+      // the shared signature implementation — NOT a local re-derivation
+      // (review r11: a hand-rolled copy here drifted to a space join)
+      val out = graft.Verify.sigOf(graft.Verify.rowHashesOf(
+        graft.SparkEntry.queries(name)(s, dir)))
       s.catalog.clearCache()
-      var sum = 0L; var xor = 0L
-      hs.foreach { h => sum += h; xor ^= h }
-      (hs.length.toLong, sum, xor)
+      out
     }
     val hostile = Map(
       "spark.sql.shuffle.partitions" -> "200",
