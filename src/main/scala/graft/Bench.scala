@@ -86,7 +86,22 @@ object Bench {
     println(verbose)
     val msInts = sorted.map { case (_, v) =>
       if (v < 0) "-1" else math.round(v * 1000).toString }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${math.round(total * 10) / 10.0},"unit":"sec","n":${sorted.size},"order":"sorted-name","q_ms":$msInts,"sf":"$sfDir"}""")
+    val compact =
+      s"""{"metric":"total","value":${math.round(total * 10) / 10.0},"unit":"sec","n":${sorted.size},"order":"sorted-name","q_ms":$msInts,"sf":"$sfDir"}"""
+    // the driver keeps only the LAST ~2000 stdout chars; if catalog
+    // growth ever pushes the per-query array past that budget, fall
+    // back to per-family subtotals (prefix before the first '_') so
+    // the final line stays parseable — the full table is always in
+    // bench.json and the verbose line above
+    if (compact.length <= 1800) println(compact)
+    else {
+      val fams = sorted.groupBy { case (k, _) => k.takeWhile(_ != '_') }
+        .toSeq.sortBy(_._1)
+        .map { case (f, qs) =>
+          s"\"$f\":${math.round(qs.map(_._2).filter(_ > 0).sum * 10) / 10.0}" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${math.round(total * 10) / 10.0},"unit":"sec","n":${sorted.size},"families":$fams,"detail":"bench.json","sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 
