@@ -88,12 +88,18 @@ object Bench {
       if (v < 0) "-1" else math.round(v * 1000).toString }.mkString("[", ",", "]")
     val compact =
       s"""{"metric":"total","value":${math.round(total * 10) / 10.0},"unit":"sec","n":${sorted.size},"order":"sorted-name","q_ms":$msInts,"sf":"$sfDir"}"""
-    // the driver keeps only the LAST ~2000 stdout chars; if catalog
-    // growth ever pushes the per-query array past that budget, fall
-    // back to per-family subtotals (prefix before the first '_') so
-    // the final line stays parseable — the full table is always in
-    // bench.json and the verbose line above
-    if (compact.length <= 1800) println(compact)
+    // DRIVER CONTRACT: the driver keeps only the LAST ~2000 stdout chars
+    // of this main. 1800 is that budget minus headroom for trailing
+    // shutdown noise; if the driver's tail budget ever changes, set
+    // SPARK_GRAFT_TAIL_BUDGET instead of editing code (advisor r11: the
+    // two constants were silently coupled). If catalog growth pushes
+    // the per-query array past the budget, fall back to per-family
+    // subtotals (prefix before the first '_') so the final line stays
+    // parseable — the full table is always in bench.json and the
+    // verbose line above
+    val tailBudget = sys.env.get("SPARK_GRAFT_TAIL_BUDGET")
+      .flatMap(_.toIntOption).getOrElse(1800)
+    if (compact.length <= tailBudget) println(compact)
     else {
       val fams = sorted.groupBy { case (k, _) => k.takeWhile(_ != '_') }
         .toSeq.sortBy(_._1)
@@ -103,6 +109,9 @@ object Bench {
       println(s"""{"metric":"total","value":${math.round(total * 10) / 10.0},"unit":"sec","n":${sorted.size},"families":$fams,"detail":"bench.json","sf":"$sfDir"}""")
     }
     spark.stop()
+    // run-scoped /tmp hygiene (r11 verdict task 7) — the shutdown hook
+    // would cover this, but an explicit sweep keeps exit deterministic
+    graft.core.Scratch.sweep()
   }
 
   /** Gateway serving-path benches over a live ChannelRuntime:
@@ -122,7 +131,7 @@ object Bench {
       Map("bench" -> ChannelSpec("bench", schema, stateKeyby = Seq("k"))),
       graft.StreamingQueries.gateCheckpointDir("bench-gw-ckpt"))
     val rt = mkRuntime()
-    val log = java.nio.file.Files.createTempDirectory("bench-gw-log").toString + "/engine.jsonl"
+    val log = graft.core.Scratch.dir("bench-gw-log") + "/engine.jsonl"
     val writer = new graft.streaming.EngineLog.Writer(log, rt)
     rt.start()
     val out = scala.collection.mutable.Map.empty[String, Double]

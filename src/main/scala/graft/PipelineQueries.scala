@@ -28,8 +28,13 @@ object PipelineQueries {
     * a failed run at the other SF, would otherwise silently serve
     * wrong-scale data via the fixed location).
     */
-  private def scopedTmp(prefix: String, dir: String): String =
-    s"/tmp/${prefix}_${java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+  private def scopedTmp(prefix: String, dir: String): String = {
+    val p = s"/tmp/${prefix}_${java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+    // z8 layouts are the one cross-run CACHE (rebuilt only when absent,
+    // z8Audit rootsExist) — everything else is run-scoped scratch and
+    // registered for the end-of-run sweep (r11 verdict task 7)
+    if (prefix.startsWith("graft_z8_")) p else graft.core.Scratch.track(p)
+  }
 
   private def scopedName(prefix: String, dir: String): String =
     s"${prefix}_${java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)}"
@@ -109,10 +114,16 @@ object PipelineQueries {
   // restart sessions) rebuilds instead of reading through a stale
   // plan; entries whose scratch roots were tmp-cleaned are evicted
   private def z8Audit(s: SparkSession, dir: String): DataFrame = {
-    // drop entries owned by stopped/replaced sessions: without this,
-    // suites that restart sessions pin every dead session (and its
-    // DataFrames) in the map for the JVM lifetime (advisor finding)
-    z8AuditCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    // drop entries owned by stopped contexts, AND any other session's
+    // entry for THIS dir: a session replaced via newSession() keeps the
+    // shared context alive, so the isStopped sweep alone would pin the
+    // old session (and its DataFrames) for the JVM lifetime (advisor
+    // r11). One live (session, dir) entry at a time bounds the map; an
+    // alternating-session caller pays a rebuild, never a leak. (Weak
+    // keys can't work here: the cached DataFrame strongly references
+    // its session, so a weak-keyed map would never collect.)
+    z8AuditCache.keySet.removeIf(k =>
+      k._1.sparkContext.isStopped || (k._2 == dir && !(k._1 eq s)))
     val rootsExist = Seq("linear", "zorder")
       .forall(n => new java.io.File(scopedTmp(s"graft_z8_$n", dir)).exists())
     if (!rootsExist) z8AuditCache.remove((s, dir))
@@ -297,10 +308,29 @@ object PipelineQueries {
     "d1b_dedup_exact_hash" -> ((s, dir) =>
       Dedup.exactGroupsByHash(t(s, dir, "documents"), "text", "doc_id")),
 
-    // ---- n-gram Jaccard near-dup via prefix-filtered inverted index
-    "d2_ngram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.8)),
+    // ---- n-gram Jaccard near-dup via prefix-filtered inverted index.
+    // The corpus is AUGMENTED with a deterministic planted near-dup
+    // slice — every 101st sufficiently-long doc gets a twin whose
+    // first word is replaced by a literal (J = (m-1)/(m+1) ≥ 0.83 for
+    // m ≥ 11 distinct trigrams) — so the ≥0.8 gate compares NONZERO
+    // output at EVERY scale factor by construction. Rationale (r11
+    // verdict task 3): ScaleSmoke's every-3rd-word replica perturbation
+    // puts a doc-specific token in every word trigram, so no organic
+    // sf1 pair can clear any threshold and the sf1 ledger row gated
+    // zero rows (branch coverage, not evidence). The twin derivation is
+    // replayed verbatim in the oracle SQL — both engines see the same
+    // augmented corpus, nothing is hidden from the compare.
+    "d2_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val twins = docs
+        .filter(col("doc_id") % 101 === 0 &&
+          size(split(col("text"), " ")) >= 13)
+        .select((col("doc_id") + lit(2000000000L)).as("doc_id"),
+          concat(lit("graftdup"),
+            expr("substring(text, instr(text, ' '))")).as("text"))
+      Dedup.jaccardPairs(docs.unionByName(twins), "doc_id", "text",
+        n = 3, threshold = 0.8)
+    }),
 
     // ---- asymmetric containment: |A∩B|/|A| catches a small doc
     // embedded in a big host (J ≤ |A|/|B| — invisible to any Jaccard
@@ -1622,8 +1652,16 @@ object PipelineQueries {
     "tx14_phrase_search" -> ((s, dir) => {
       val idx = scopedTmp("graft_tx14", dir) + "/idx"
       Curation.buildPhraseIndex(t(s, dir, "documents"), "doc_id", "text", idx)
+      // 2-term probe (r11 verdict task 3): ScaleSmoke's sf1 replicas
+      // replace every 3rd word with a doc-specific token, so EVERY
+      // 3-word window is perturbed and a 3-term phrase gates zero rows
+      // at 10× — branch coverage, not evidence. A 2-word phrase
+      // starting at position ≡0 (mod 3) survives all replicas
+      // (measured: 94 surviving occurrences at sf0.1 → nonzero at
+      // sf1), and still exercises the aligned-position intersection
+      // (pos_b = pos_a + 1) plus the index partition pruning.
       Curation.phraseSearch(s.read.parquet(idx), "doc_id",
-        Seq("big", "order", "scan"))
+        Seq("big", "order"))
     }),
 
     // ---- cross-corpus dedup: new shard (doc_id % 3 != 0) deduped
@@ -2122,8 +2160,20 @@ object PipelineQueries {
          |lab$k AS (SELECT m1.v, least(m1.l, m2.l) AS l
          |       FROM mj$k m1 JOIN mj$k m2 ON m1.l = m2.v)""".stripMargin
     }
-    (init +: steps).mkString(",\n") +
-      s",\ncomp AS MATERIALIZED (SELECT v, l AS c FROM lab$rounds)"
+    // convergence ASSERTION (advisor r11): a fixed point of the hook
+    // step over SYMMETRIC edges has l(a) = l(b) for every edge, i.e.
+    // one label per component — so "last round changed nothing" is a
+    // sound converged-check. If the unrolled budget ever runs out on a
+    // deeper corpus, the oracle now raises 'rounds exhausted' by name
+    // instead of red-hashing the gate as an apparent engine bug.
+    val chk =
+      s"""convchk AS (SELECT count(*) AS n FROM lab$rounds a
+         |       JOIN lab${rounds - 1} b ON a.v = b.v WHERE a.l <> b.l)""".stripMargin
+    (init +: steps :+ chk).mkString(",\n") +
+      s""",\ncomp AS MATERIALIZED (SELECT v,
+         |  CASE WHEN (SELECT n FROM convchk) > 0
+         |       THEN CAST(error('componentCtes: $rounds rounds exhausted before convergence') AS BIGINT)
+         |       ELSE l END AS c FROM lab$rounds)""".stripMargin
   }
 
   /** SimHash near-dup CTEs in the FACTORED (distinct-signature) shape
@@ -2479,8 +2529,18 @@ object PipelineQueries {
     "d1b_dedup_exact_hash" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
 
+    // the planted-twin augmentation (every 101st long doc, first word
+    // replaced) is replayed verbatim — see the d2 queries() entry
     "d2_ngram_jaccard" ->
-      s"""WITH $shingleCtes,
+      s"""WITH documents_aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000000, 'graftdup' || substr(text, position(' ' IN text))
+         |  FROM documents
+         |  WHERE doc_id % 101 = 0 AND len(string_split(text,' ')) >= 13),
+         |toks AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents_aug),
+         |g AS (SELECT doc_id, unnest(generate_series(1, len(w)-2)) AS i, w FROM toks),
+         |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM g),
          |shh AS (SELECT DISTINCT doc_id, ${phSql("s")} AS sh FROM sh),
          |hsets AS (SELECT doc_id, list_sort(list(sh)) AS hset, count(*) AS n
          |          FROM shh GROUP BY doc_id),
@@ -3196,7 +3256,7 @@ object PipelineQueries {
         |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
         |                               ROWS UNBOUNDED PRECEDING) AS sid FROM m)
         |SELECT user_id, count(*) AS n,
-        |       sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_milli,
+        |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
         |       min(t) AS session_start
         |FROM s GROUP BY user_id, sid""".stripMargin,
 
@@ -3684,7 +3744,7 @@ object PipelineQueries {
         |           FROM lineitem GROUP BY 1),
         |c AS (SELECT *, sum(n_rows) OVER (ORDER BY n_rows DESC, min_v ASC) AS cum
         |      FROM b),
-        |g AS (SELECT *, (cum - n_rows) // 20000 AS grp FROM c)
+        |g AS (SELECT *, CAST((cum - n_rows) // 20000 AS BIGINT) AS grp FROM c)
         |SELECT grp, CAST(count(*) AS BIGINT) AS n_files,
         |       CAST(sum(n_rows) AS BIGINT) AS total_rows, min(min_v) AS min_v
         |FROM g GROUP BY 1""".stripMargin,
@@ -4527,10 +4587,10 @@ object PipelineQueries {
 
     "tx14_phrase_search" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-         |p AS (SELECT doc_id, unnest(generate_series(1, len(w)-2)) AS i, w
-         |      FROM t WHERE len(w) >= 3),
+         |p AS (SELECT doc_id, unnest(generate_series(1, len(w)-1)) AS i, w
+         |      FROM t WHERE len(w) >= 2),
          |m AS (SELECT doc_id, i FROM p
-         |      WHERE w[i]='big' AND w[i+1]='order' AND w[i+2]='scan')
+         |      WHERE w[i]='big' AND w[i+1]='order')
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS hits,
          |       CAST(min(i) AS BIGINT) AS first_pos
          |FROM m GROUP BY doc_id""".stripMargin,

@@ -252,9 +252,10 @@ object StreamingQueries {
     */
   private[graft] def gateCheckpointDir(prefix: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    (if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-      Files.createTempDirectory(shm, prefix)
-    else Files.createTempDirectory(prefix)).toString
+    graft.core.Scratch.track(
+      (if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        Files.createTempDirectory(shm, prefix)
+      else Files.createTempDirectory(prefix)).toString)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -833,7 +834,8 @@ object StreamingQueries {
       val events = t(s, dir, "events")
       val schema = events.schema
       val rows = events.orderBy(col("event_id")).collect()
-      val path = Files.createTempFile("graft-k2-log", ".jsonl")
+      val path = java.nio.file.Paths.get(graft.core.Scratch.track(
+        Files.createTempFile("graft-k2-log", ".jsonl").toString))
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val w = java.nio.file.Files.newBufferedWriter(path)
       try {
@@ -973,7 +975,8 @@ object StreamingQueries {
           .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val shuffled = rows.grouped(100).toSeq.zipWithIndex
         .sortBy { case (_, i) => md5hex(i.toString) }
-      val path = Files.createTempFile("graft-k2b-log", ".jsonl")
+      val path = java.nio.file.Paths.get(graft.core.Scratch.track(
+        Files.createTempFile("graft-k2b-log", ".jsonl").toString))
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val w = java.nio.file.Files.newBufferedWriter(path)
       try {
@@ -990,7 +993,7 @@ object StreamingQueries {
       val rt = new graft.streaming.ChannelRuntime(s,
         Map("events" -> graft.core.ChannelSpec("events", schema,
           stateKeyby = Seq("event_id"), omitFromLookup = true)),
-        Files.createTempDirectory("graft-k2b-ckpt").toString)
+        graft.core.Scratch.dir("graft-k2b-ckpt"))
       rt.start()
       try {
         graft.streaming.EngineLog.replay(rt, path.toString, Seq("events"))

@@ -58,29 +58,51 @@ object Verify {
     case other => other.toString
   }
 
-  /** Sorted per-row hashes of a written entry, computed DISTRIBUTED over
-    * the read-back parquet (hash what the comparator will read, not the
-    * pre-write plan) with columns in sorted-name order — mirroring the
-    * driver comparator's normalization axis. */
-  private def rowHashes(spark: SparkSession, path: String): Array[Long] =
-    rowHashesOf(spark.read.parquet(path))
+  /** Per-entry manifest signature computed fully DISTRIBUTED over the
+    * read-back parquet (hash what the comparator will read, not the
+    * pre-write plan): the (rows, sum, xor) rollup never leaves the
+    * executors un-aggregated, and only the sorted `cap`-bounded prefix
+    * is collected for the manifest's row listing. Advisor r11: the old
+    * path collected EVERY row hash to the driver (tens of MB per
+    * multi-million-row entry) just to throw away all but 20k. */
+  private[graft] case class RowSig(rows: Long, sum: Long, xor: Long, prefix: Array[Long])
 
-  /** Sorted per-row hashes of ANY frame under the same normalization:
+  private[graft] def rowSigOf(df: org.apache.spark.sql.DataFrame,
+                              cap: Int = ManifestCap): RowSig = {
+    val rdd = hashRdd(df)
+    // 8 bytes/row persisted briefly so the signature pass and the
+    // bounded top-k pass don't recompute the parquet read + canon render
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (n, sum, xor) = rdd.aggregate((0L, 0L, 0L))(
+        { case ((n, s, x), h) => (n + 1, s + h, x ^ h) },
+        { case ((n1, s1, x1), (n2, s2, x2)) => (n1 + n2, s1 + s2, x1 ^ x2) })
+      RowSig(n, sum, xor, rdd.takeOrdered(cap))
+    } finally rdd.unpersist(blocking = false)
+  }
+
+  private val ManifestCap = 20000
+
+  /** THE shared per-row hash pipeline every signature consumer rides:
     * columns in sorted-name order, cells rendered by [[canonCell]],
     * rows joined with the NUL separator — UNAMBIGUOUS, where a space
     * join would collapse rows ('a b','c') and ('a','b c') into one
-    * signature (a silent-green hazard for text-bearing entries). This
-    * is the ONE implementation every signature consumer shares —
-    * Verify manifests, InvarianceSweep, the invariance spec; a second
-    * hand-rolled copy is exactly how separator drift happens
-    * (review r11 found two space-joined copies). */
-  private[graft] def rowHashesOf(df: org.apache.spark.sql.DataFrame): Array[Long] = {
+    * signature (a silent-green hazard for text-bearing entries). A
+    * second hand-rolled copy is exactly how separator drift happens
+    * (review r11 found two space-joined copies), so [[rowHashesOf]]
+    * and [[rowSigOf]] both delegate here. */
+  private def hashRdd(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[Long] = {
     val cols = df.columns.sorted.map(org.apache.spark.sql.functions.col)
     val sep = "\u0000"
     df.select(cols.toIndexedSeq: _*).rdd
       .map(r => fnv64(r.toSeq.map(canonCell).mkString(sep)))
-      .collect().sorted
   }
+
+  /** Full sorted hash array — for SMALL frames (sweep/spec at sf0.01);
+    * the Verify main loop uses the bounded [[rowSigOf]] instead. */
+  private[graft] def rowHashesOf(df: org.apache.spark.sql.DataFrame): Array[Long] =
+    hashRdd(df).collect().sorted
 
   /** Order-independent aggregate of a hash set: (rows, sum, xor). */
   private[graft] def sigOf(hashes: Array[Long]): (Long, Long, Long) = {
@@ -89,15 +111,13 @@ object Verify {
     (hashes.length.toLong, sum, xor)
   }
 
-  private def manifestJson(hashes: Array[Long], cap: Int = 20000): String = {
+  private def manifestJson(sig: RowSig): String = {
     // order-independent aggregates (sum + xor) survive any truncation;
     // the sorted prefix is what a diff names rows from
-    val (_, sum, xor) = sigOf(hashes)
-    val listed = hashes.take(cap)
-    s"""{"rows":${hashes.length},"agg_sum":"${java.lang.Long.toHexString(sum)}",""" +
-      s""""agg_xor":"${java.lang.Long.toHexString(xor)}",""" +
-      s""""truncated":${hashes.length > cap},""" +
-      s""""row_hashes":[${listed.map(h => "\"" + java.lang.Long.toHexString(h) + "\"").mkString(",")}]}"""
+    s"""{"rows":${sig.rows},"agg_sum":"${java.lang.Long.toHexString(sig.sum)}",""" +
+      s""""agg_xor":"${java.lang.Long.toHexString(sig.xor)}",""" +
+      s""""truncated":${sig.rows > sig.prefix.length},""" +
+      s""""row_hashes":[${sig.prefix.map(h => "\"" + java.lang.Long.toHexString(h) + "\"").mkString(",")}]}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -130,13 +150,13 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        // forensic manifest: sorted row hashes of the on-disk result
-        val hashes = rowHashes(spark, s"$outDir/$name")
+        // forensic manifest: bounded sorted row-hash prefix + distributed
+        // rollup of the on-disk result (hash what the comparator reads)
+        val sig = rowSigOf(spark.read.parquet(s"$outDir/$name"))
         Files.writeString(Paths.get(s"$outDir/$name.manifest.json"),
-          manifestJson(hashes))
-        val (n, sum, xor) = sigOf(hashes)
-        rollup(name) = (n,
-          java.lang.Long.toHexString(sum), java.lang.Long.toHexString(xor))
+          manifestJson(sig))
+        rollup(name) = (sig.rows,
+          java.lang.Long.toHexString(sig.sum), java.lang.Long.toHexString(sig.xor))
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -167,5 +187,9 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/manifest.json"), roll)
     spark.stop()
+    // run-scoped /tmp hygiene (r11 verdict task 7): delete this run's
+    // registered scratch (layouts, stream checkpoints, index roots) —
+    // outDir and the z8 cross-run cache are never registered
+    graft.core.Scratch.sweep()
   }
 }

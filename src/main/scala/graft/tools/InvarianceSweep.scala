@@ -74,7 +74,29 @@ object InvarianceSweep {
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.files.maxRecordsPerFile" -> "1000",
       "spark.sql.codegen.wholeStage" -> "false")
-    val configs = if (sweepAll) Seq(allConfigs.head, hostile) else allConfigs
+    // r11 verdict task 4 — the UNSWEPT environment axes: JVM default
+    // timezone and default locale. These leak through any code path
+    // that bypasses the session conf (SimpleDateFormat, String.format,
+    // toUpperCase — the Turkish-İ trap turns 'i'.toUpperCase into 'İ'
+    // under tr-TR, silently changing any locale-sensitive
+    // canonicalization). `spark.sql.session.timeZone` itself is NOT an
+    // axis: Verify/Bench pin it to UTC inside their own builders, so no
+    // driver run can differ on it — and flipping it would legitimately
+    // move day-truncation boundaries (semantics, not environment).
+    // The JVM flips are marked with jvm.* pseudo-keys, applied around
+    // the cell and restored after. Caveat stated honestly: formatters
+    // already initialized by earlier cells may cache the old defaults,
+    // so this is a strictly weaker receipt than a fresh
+    // -Duser.timezone/-Duser.language JVM — but any red it CAN produce
+    // is a real locale/timezone leak.
+    val hostileEnv = "hostile_env_nytz_trlocale" -> Map(
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.adaptive.enabled" -> "true",
+      "jvm.timezone" -> "America/New_York",
+      "jvm.locale" -> "tr-TR")
+    val configs =
+      if (sweepAll) Seq(allConfigs.head, hostile, hostileEnv)
+      else allConfigs :+ hostileEnv
 
     // rows whose output carries genuinely float-accumulated columns
     // (the PlanAuditSpec float-sum allowlist's iterative members): a
@@ -90,15 +112,27 @@ object InvarianceSweep {
         sys.error(s"unknown catalog entry: $name"))
       val cells = configs.map { case (label, conf) =>
         val s = base.newSession()
-        conf.foreach { case (k, v) => s.conf.set(k, v) }
-        // THE shared signature implementation (Verify.rowHashesOf):
-        // canonical rendering, sorted-name columns, NUL row separator —
-        // same axis and same bytes as the committed manifests
-        val (n, sum, xor) = graft.Verify.sigOf(
-          graft.Verify.rowHashesOf(fn(s, sfDir)))
-        s.catalog.clearCache()
-        (label, n, java.lang.Long.toHexString(sum),
-          java.lang.Long.toHexString(xor))
+        conf.foreach { case (k, v) =>
+          if (!k.startsWith("jvm.")) s.conf.set(k, v) }
+        val prevTz = java.util.TimeZone.getDefault
+        val prevLoc = java.util.Locale.getDefault
+        conf.get("jvm.timezone").foreach(tz =>
+          java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone(tz)))
+        conf.get("jvm.locale").foreach(l =>
+          java.util.Locale.setDefault(java.util.Locale.forLanguageTag(l)))
+        try {
+          // THE shared signature implementation (Verify.rowHashesOf):
+          // canonical rendering, sorted-name columns, NUL row separator —
+          // same axis and same bytes as the committed manifests
+          val (n, sum, xor) = graft.Verify.sigOf(
+            graft.Verify.rowHashesOf(fn(s, sfDir)))
+          s.catalog.clearCache()
+          (label, n, java.lang.Long.toHexString(sum),
+            java.lang.Long.toHexString(xor))
+        } finally {
+          java.util.TimeZone.setDefault(prevTz)
+          java.util.Locale.setDefault(prevLoc)
+        }
       }
       val distinctSigs = cells.map(c => (c._2, c._3, c._4)).distinct
       val verdict =

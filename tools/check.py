@@ -49,6 +49,13 @@ def main():
         con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
     if os.environ.get("GRAFT_DUCKDB_TMP"):
         con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TMP']}'")
+    # r11 verdict task 4: the oracle's own parallelism is an environment
+    # axis too — gate.sh re-runs the comparator under threads=1 so a
+    # DuckDB scheduling-order dependence (e.g. a nondeterministic
+    # tie-break surviving only at one thread count) can't masquerade as
+    # an engine red
+    if os.environ.get("GRAFT_DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # driver testdata is a single file; Spark-materialized dirs
@@ -71,6 +78,23 @@ def main():
             want = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
+            fail += 1
+            continue
+        # decimal128 lint (r11 verdict): DuckDB silently widens sum(BIGINT)
+        # to HUGEINT -> Arrow decimal128(38,0) -> Python Decimal. The local
+        # value compare treats Decimal(3) == 3 as green, but the driver's
+        # hasher is repr/type-sensitive (Decimal('0') vs 0) — the proven
+        # root cause of every r9-r11 driver-only hash-red. Fail LOCALLY on
+        # any oracle column that is decimal while its Spark twin is not,
+        # so the class can never reach the driver again.
+        spark_types = {f.name: f.type for f in got.schema}
+        hugeint = [f.name for f in want.schema
+                   if pa.types.is_decimal(f.type)
+                   and f.name in spark_types
+                   and not pa.types.is_decimal(spark_types[f.name])]
+        if hugeint:
+            print(f"FAIL {name}: uncast decimal128 oracle column(s) {hugeint} "
+                  f"(DuckDB HUGEINT — add CAST(... AS BIGINT) in the oracle SQL)")
             fail += 1
             continue
         gc, gr = rows_of(got)

@@ -53,5 +53,18 @@ SUMMARY=$(echo "$REPORT" | tail -1)
 # commit the builder-side spark row-hash rollup for cross-environment
 # forensics (driver outDir manifest vs this file names differing rows)
 [ -f "$OUT/manifest.json" ] && python3 -m json.tool "$OUT/manifest.json" > RECEIPTS_MANIFEST.json
+# oracle-parallelism axis (r11 verdict task 4): the comparator itself
+# re-run single-threaded — a DuckDB scheduling-order dependence must
+# not masquerade as an engine red in a foreign environment
+if [ "$RC" -eq 0 ]; then
+  echo "== gate: comparator re-run under duckdb threads=1"
+  T1=$(GRAFT_DUCKDB_THREADS=1 python3 tools/check.py "$SF_DIR" "$OUT" | tail -1)
+  T1RC=$?
+  echo "- threads=1 comparator: $T1 (exit $T1RC)" >> RECEIPTS.md
+  if [ "$T1RC" -ne 0 ]; then
+    echo "== gate: threads=1 comparator DIVERGED: $T1"
+    RC=$T1RC
+  fi
+fi
 echo "$SUMMARY (exit $RC) — receipt written to RECEIPTS.md"
 exit $RC
