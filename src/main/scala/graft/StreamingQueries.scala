@@ -88,6 +88,23 @@ object StreamingQueries {
     * independent — `StreamingStateSpec`). */
   @volatile private[graft] var gatePartitionsOverride: Option[Int] = None
 
+  /** Default gate tick count (r11 verdict task 2). Results are
+    * tick-count independent by the streaming-parity contract — every
+    * twin's final state equals its batch oracle however the feed is
+    * sliced — so ticks buy OVERHEAD COVERAGE, not correctness: each
+    * micro-batch pays the incremental-planner + state-store-commit
+    * floor that dominates gate-sized feeds. Measured (twins-only Bench
+    * A/B at sf0.1, min of 2 passes): 3 ticks 94.7 s subtotal, 2 ticks
+    * 64.7 s (0.68×) — per-batch floor, not data. Two ticks still
+    * exercise one real cross-batch carry on every twin; FIVE
+    * representatives spanning the state classes (t1s keyed-store fold,
+    * d1s first-arrival dedup, a9s windowed agg, a11s session merge +
+    * watermark flush, st7s incremental profile merge) stay at 3 so a
+    * merge bug that only shows past the second boundary still has
+    * gate coverage. `GRAFT_GATE_TICKS` overrides everything for A/Bs.
+    */
+  private[graft] val GateTicks = 2
+
   private def collectFeed(df: DataFrame, orderCol: String): Array[Row] = {
     val plan = df.queryExecution.analyzed.canonicalized
     val key = (plan.semanticHash(), orderCol)
@@ -287,7 +304,7 @@ object StreamingQueries {
     // batch outputs equals the batch run and the mm1 oracle applies
     // verbatim
     "mm1s_media_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "append", ticks = 3) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "append", ticks = GateTicks) {
         case Seq(docs) => graft.pipeline.Multimodal.decodeFeatures(
           graft.testing.MediaFixtures.syntheticMedia(docs))
       }
@@ -300,7 +317,7 @@ object StreamingQueries {
     // (possibly batches later); distinct pairs equal the batch
     // band-bucket self-join, so d3's oracle applies verbatim
     "d3s_lsh_dedup_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "append", ticks = 3) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "append", ticks = GateTicks) {
         case Seq(docs) => StreamingState.minhashLshDedupStream(
           docs, "doc_id", "text", n = 3, numHashes = 16, bands = 4, threshold = 0.5)
       }
@@ -312,7 +329,7 @@ object StreamingQueries {
     // across micro-batches; ascending-id ticks reproduce the batch
     // packer's per-shard ordering, so p2's oracle applies verbatim
     "p2s_pack_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "append", ticks = 3) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "append", ticks = GateTicks) {
         case Seq(docs) => StreamingState.packChunksStream(
           docs, "doc_id", "text", ctxTokens = 512, shards = 8)
       }
@@ -323,7 +340,7 @@ object StreamingQueries {
     // the state store, exact-cosine verify on arrival — the streaming
     // face of the batch d5 bucketed path, so d5's oracle applies
     "d5s_embed_neardup_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "append", ticks = 3) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "append", ticks = GateTicks) {
         case Seq(vecs) => StreamingState.embeddingNearDupStream(
           vecs, "vec_id", "embedding", threshold = 0.45)
       }
@@ -383,7 +400,7 @@ object StreamingQueries {
     "a14s_funnel_stream" -> ((s, dir) => {
       import s.implicits._
       val stages = Seq("signup", "view", "click", "purchase")
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = GateTicks) {
         case Seq(ev) => StreamingState.funnelStream(
           ev, "user_id", "event_type", "ts", stages, "event_id")
       }
@@ -402,7 +419,7 @@ object StreamingQueries {
     // batch's last; the batch count/probability rollup runs over the
     // emitted pair stream, so the a17 oracle applies verbatim
     "a17s_transitions_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = GateTicks) {
         case Seq(ev) => StreamingState.transitionsStream(
           ev, "user_id", "event_type", "ts", "event_id")
       }
@@ -418,7 +435,7 @@ object StreamingQueries {
     // stream is the batch hop row set and the a20 rollup applies
     "a20s_hop_times_stream" -> ((s, dir) => {
       val stages = Seq("signup", "view", "click", "purchase")
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = GateTicks) {
         case Seq(ev) => StreamingState.funnelHopsStream(
           ev, "user_id", "event_type", "ts", stages, "event_id")
       }
@@ -439,7 +456,7 @@ object StreamingQueries {
     // at N triples and freezes once full; n_events is monotone, so the
     // max-n emission per user is the final path (a18 oracle verbatim)
     "a18s_paths_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = GateTicks) {
         case Seq(ev) => StreamingState.pathsStream(
           ev, "user_id", "event_type", "ts", "event_id", firstN = 5)
       }
@@ -459,7 +476,7 @@ object StreamingQueries {
       val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
         col("event_id"),
         expr("CAST(CAST(value AS DOUBLE) * 1024D AS LONG)").as("q"))
-      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = GateTicks) {
         case Seq(e) =>
           StreamingState.drawdownStream(e, "user_id", "ts", "q", "event_id")
       }
@@ -475,7 +492,7 @@ object StreamingQueries {
       val ev = t(s, dir, "events").select(
         concat_ws(":", col("user_id"), col("event_type")).as("ent"),
         col("ts"), col("event_id"))
-      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = GateTicks) {
         case Seq(e) => StreamingState.noveltyStream(e, "ent", "ts")
       }
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
@@ -499,7 +516,7 @@ object StreamingQueries {
     "a24s_hour_profile_stream" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(col("event_type"), col("ts"),
         col("event_id"))
-      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = GateTicks) {
         case Seq(e) =>
           StreamingState.hourProfileStream(e, "event_type", "ts")
       }
@@ -515,7 +532,7 @@ object StreamingQueries {
       val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
         col("event_id"),
         expr("CAST(CAST(value AS DOUBLE) * 1024D AS LONG)").as("q"))
-      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = GateTicks) {
         case Seq(e) =>
           StreamingState.cusumStream(e, "user_id", "ts", "q", "event_id",
             refQ = 50L * 1024, slackQ = 10L * 1024, hQ = 300L * 1024)
@@ -533,7 +550,7 @@ object StreamingQueries {
       val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
         col("event_id"),
         expr("CAST(CAST(value AS DOUBLE) AS LONG)").as("q"))
-      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = GateTicks) {
         case Seq(e) =>
           StreamingState.rollingAnomalyStream(e, "user_id", "ts", "q", "event_id")
       }
@@ -549,7 +566,7 @@ object StreamingQueries {
           col("event_id") * 100L + when(pmod(col("event_id"), lit(7)) === 0,
             2050L).otherwise(0L))
         .select(col("event_type"), col("ts"), col("arr"))
-      val (out, _) = runStream(s, Seq((ev, "arr")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((ev, "arr")), "update", ticks = GateTicks) {
         case Seq(e) => StreamingState.latenessStream(e, "event_type", "ts", "arr")
       }
       val w = org.apache.spark.sql.expressions.Window
@@ -566,7 +583,7 @@ object StreamingQueries {
         col("event_id"),
         expr("CAST(CAST(value AS DOUBLE) * 1024D AS LONG)").as("q"),
         unix_micros(date_trunc("day", col("ts"))).as("bucket_us"))
-      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((ev, "ts,event_id")), "update", ticks = GateTicks) {
         case Seq(e) =>
           StreamingState.realizedVarianceStream(
             e, "user_id", "ts", "q", "event_id", "bucket_us")
@@ -579,7 +596,7 @@ object StreamingQueries {
     }),
 
     "w4s_twap_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = GateTicks) {
         case Seq(ev) => StreamingState.twapStream(ev, "user_id", "ts", "value", "event_id")
       }
       val w = org.apache.spark.sql.expressions.Window
@@ -591,7 +608,7 @@ object StreamingQueries {
     // pairs IS the batch distinct (user, period) frame; the same
     // single-exchange cohort rollup runs on the sink table
     "a15s_retention_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts")), "update", ticks = GateTicks) {
         case Seq(ev) => StreamingState.retentionStream(ev, "user_id", "ts", "week")
       }
       val perUser = out.groupBy(col("user_id"))
@@ -609,7 +626,7 @@ object StreamingQueries {
     // in the state store; n_ticks is monotone, so the max-n emission
     // per bar is the final one (batch w6 oracle verbatim)
     "w6s_ohlc_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "ts,event_id")), "update", ticks = GateTicks) {
         case Seq(ev) => StreamingState.ohlcStream(ev, "user_id", "ts", "value", "event_id")
       }
       val w = org.apache.spark.sql.expressions.Window
@@ -625,7 +642,7 @@ object StreamingQueries {
     // so the exact-count oracle applies at the collision-free tier
     "st9s_countmin_stream" -> ((s, dir) => {
       val targets = Seq("scan", "column", "window", "sort", "value")
-      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "update", ticks = GateTicks) {
         case Seq(docs) => StreamingState.countMinStream(
           docs.select(col("lang"),
             explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
@@ -644,7 +661,7 @@ object StreamingQueries {
     // count/sum/sum-of-squares equal the batch quantized Gram exactly
     // (integer accumulation — slicing-independent)
     "s16s_gram_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "update", ticks = GateTicks) {
         case Seq(emb) => StreamingState.gramStream(emb, Seq("label"), "embedding", 64)
       }
       val w = org.apache.spark.sql.expressions.Window
@@ -663,7 +680,7 @@ object StreamingQueries {
       val oldSnap = tagged.filter(col("doc_id") * 2 <= col("_mx")).drop("_mx")
       val newSnap = tagged.filter(col("doc_id") * 2 > col("_mx"))
         .filter(col("source") =!= "src7" || col("doc_id") % 3 === 0).drop("_mx")
-      val (out, _) = runStream(s, Seq((newSnap, "doc_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((newSnap, "doc_id")), "update", ticks = GateTicks) {
         case Seq(nw) => StreamingState.runningStatsStream(
           nw.select(col("source"), col("n_chars")), Seq("source"), "n_chars")
       }
@@ -696,7 +713,7 @@ object StreamingQueries {
     // inside the sketch's exact tier, so the final per-key emission
     // equals the batch st4 rank pick and its oracle applies verbatim
     "st4s_quantile_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "update", ticks = GateTicks) {
         case Seq(docs) => StreamingState.quantileSketchStream(
           docs, Seq("lang"), "n_chars", Seq("p50" -> 0.5, "p90" -> 0.9))
       }
@@ -712,7 +729,7 @@ object StreamingQueries {
     // emission per lang is the final top-10, which at gate scale sits
     // in the sketch's exact tier — the batch st5 oracle applies
     "st5s_heavy_hitters_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "documents"), "doc_id")), "update", ticks = GateTicks) {
         case Seq(docs) => StreamingState.heavyHittersStream(
           docs.select(col("lang"), explode(split(col("text"), " ")).as("token"))
             .filter(col("token") =!= ""),
@@ -728,7 +745,7 @@ object StreamingQueries {
     // state store; fed ≤ k distinct values the final emission per key
     // is EXACT (the batch count-distinct oracle applies verbatim)
     "st6s_distinct_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "event_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "events"), "event_id")), "update", ticks = GateTicks) {
         case Seq(ev) => StreamingState.distinctCountStream(
           ev.select(col("event_type"), col("user_id")), Seq("event_type"), "user_id")
       }
@@ -753,7 +770,7 @@ object StreamingQueries {
       // for zero semantic effect (QueryBench A/B: 6.7 s → see SCALE.md)
       val (out, _) = runStream(s,
         Seq((t(s, dir, "lineitem").select(cols.map(col): _*), "l_orderkey")),
-        "complete", ticks = 3) {
+        "complete", ticks = GateTicks) {
         case Seq(li) => graft.pipeline.Curation.numericProfileSketch(
           li, cols, sketchK = 1 << 18)
       }
@@ -766,7 +783,7 @@ object StreamingQueries {
     // state store, merged to (cell, n, centroid sums); integer sums
     // commute, so the stream equals the batch accumulation exactly
     "c4s_kmeans_refit_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "append", ticks = 3) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "append", ticks = GateTicks) {
         case Seq(vecs) => StreamingState.kmeansRefitStream(
           vecs.select(col("embedding")), "embedding", stubCentroids, shards = 2)
       }
@@ -787,7 +804,7 @@ object StreamingQueries {
     "d10s_cross_dup_stream" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val (out, _) = runStream(s,
-        Seq((docs.filter(col("doc_id") % 3 =!= 0), "doc_id")), "append", ticks = 3) {
+        Seq((docs.filter(col("doc_id") % 3 =!= 0), "doc_id")), "append", ticks = GateTicks) {
         case Seq(st) => StreamingState.crossCorpusDupStream(
           st, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
           n = 3, numHashes = 16, bands = 4, threshold = 0.5)
@@ -802,7 +819,7 @@ object StreamingQueries {
     // oracle replays exactly with a recursive CTE over the same literal
     // quantizer
     "c2s_semantic_dedup_stream" -> ((s, dir) => {
-      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "append", ticks = 3) {
+      val (out, _) = runStream(s, Seq((t(s, dir, "embeddings"), "vec_id")), "append", ticks = GateTicks) {
         case Seq(vecs) => StreamingState.semanticDedupStream(
           vecs.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
           stubCentroids, threshold = 0.12)
@@ -817,7 +834,7 @@ object StreamingQueries {
     "s7s_ann_query_stream" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val (out, _) = runStream(s,
-        Seq((emb.filter(col("vec_id") < 8), "vec_id")), "append", ticks = 3) {
+        Seq((emb.filter(col("vec_id") < 8), "vec_id")), "append", ticks = GateTicks) {
         case Seq(q) => StreamingState.annQueryStream(
           q, emb, "vec_id", "embedding", stubCentroids, k = 3, nprobe = 2)
       }
@@ -861,7 +878,7 @@ object StreamingQueries {
     // the rest dropped at the door — one counter per stratum of state
     "p22s_quota_admission_stream" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("source"), col("doc_id"))
-      val (out, _) = runStream(s, Seq((docs, "doc_id")), "append", ticks = 3) {
+      val (out, _) = runStream(s, Seq((docs, "doc_id")), "append", ticks = GateTicks) {
         case Seq(d) => StreamingState.quotaAdmissionStream(d, "source", "doc_id", cap = 10)
       }
       out
@@ -879,7 +896,7 @@ object StreamingQueries {
       val docs = t(s, dir, "documents").select(col("doc_id"),
         (TextFunctions.qualityScore(col("text")) * 1048576d)
           .cast("long").as("qm"))
-      val (out, _) = runStream(s, Seq((docs, "doc_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((docs, "doc_id")), "update", ticks = GateTicks) {
         case Seq(d) => StreamingState.bootstrapStream(
           Curation.bootstrapWeightedRows(d, "doc_id", "qm", 32))
       }
@@ -899,7 +916,7 @@ object StreamingQueries {
         Curation.calibrationCell(logit, -30.0, 10.0, 20).as("cell"),
         (col("lang") === "en").as("label"),
         Curation.quantizedScore(logit, 20).as("qscore"))
-      val (out, _) = runStream(s, Seq((docs, "doc_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((docs, "doc_id")), "update", ticks = GateTicks) {
         case Seq(d) => StreamingState.calibrationStream(d, "cell", "label", "qscore")
       }
       val w = org.apache.spark.sql.expressions.Window
@@ -912,7 +929,7 @@ object StreamingQueries {
       val ev = t(s, dir, "events").select(
         date_trunc("day", col("ts")).as("bucket"),
         col("event_type"), col("event_id"))
-      val (out, _) = runStream(s, Seq((ev, "event_id")), "update", ticks = 3) {
+      val (out, _) = runStream(s, Seq((ev, "event_id")), "update", ticks = GateTicks) {
         case Seq(e) => StreamingState.runningStatsStream(
           e, Seq("bucket", "event_type"), "event_id")
       }
@@ -949,7 +966,7 @@ object StreamingQueries {
     "p19s_length_batches_stream" -> ((s, dir) => {
       val (out, _) = runStream(s,
         Seq((t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")),
-        "append", ticks = 3) {
+        "append", ticks = GateTicks) {
         case Seq(docs) => StreamingState.lengthBatchesStream(
           docs, "doc_id", "text", maxTokensPerBatch = 4096, shards = 8)
       }
