@@ -12,6 +12,19 @@ import graft.state.{FilterBy, StateFilter, StateOps, StateQuery}
   */
 object Queries {
 
+  /** Midnight-UTC cutoff literal, built timezone-EXPLICITLY.
+    * `Timestamp.valueOf("yyyy-…")` parses in the JVM default timezone —
+    * under a non-UTC driver box the cutoff instant shifts by the zone
+    * offset and the >= filters silently drop boundary rows (caught by
+    * InvarianceSweep's hostile_env axis in r12: t3b/t9 lost 15/12 rows
+    * under -Duser.timezone=America/New_York). The session timeZone conf
+    * cannot protect a literal constructed before Spark ever sees it.
+    */
+  private def utcTs(y: Int, m: Int, d: Int): java.sql.Timestamp =
+    java.sql.Timestamp.from(
+      java.time.LocalDateTime.of(y, m, d, 0, 0)
+        .toInstant(java.time.ZoneOffset.UTC))
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.core.Tables.load(s, dir, name)
 
@@ -53,7 +66,7 @@ object Queries {
         "_seq",
         StateQuery(Seq(StateFilter(
           "l_shipdate",
-          FilterBy.When(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")),
+          FilterBy.When(utcTs(1997, 1, 1)),
           ">="))))),
 
     // ---- T5: last — most recent tick of a channel (channels.py:747-787)
@@ -67,8 +80,7 @@ object Queries {
     // ---- T9: block-until time gate (channels.py:455-470)
     "t9_time_gate" -> ((s, dir) =>
       StateOps.timeGate(
-        t(s, dir, "orders"), "o_orderdate",
-        java.sql.Timestamp.valueOf("1997-06-01 00:00:00"))
+        t(s, dir, "orders"), "o_orderdate", utcTs(1997, 6, 1))
         .orderBy(col("o_orderkey"))),
 
     // ---- A1: group-by aggregate (perspective server views)

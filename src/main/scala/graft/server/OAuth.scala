@@ -223,7 +223,7 @@ final class OAuthSupport(config: OAuthConfig) {
     val fromCookie = cookieValue.flatMap(sessionIdentity)
     fromCookie.orElse {
       authorizationHeader
-        .filter(_.toLowerCase.startsWith("bearer "))
+        .filter(_.toLowerCase(java.util.Locale.ROOT).startsWith("bearer "))
         .map(_.drop(7).trim)
         .flatMap { token =>
           val info =
@@ -237,7 +237,7 @@ final class OAuthSupport(config: OAuthConfig) {
   /** Userinfo for bookkeeping routes when authenticated by bearer. */
   def userinfoFrom(authorizationHeader: Option[String]): Option[JsonNode] =
     authorizationHeader
-      .filter(_.toLowerCase.startsWith("bearer "))
+      .filter(_.toLowerCase(java.util.Locale.ROOT).startsWith("bearer "))
       .map(_.drop(7).trim)
       .flatMap(fetchUserinfo)
 

@@ -283,7 +283,7 @@ final class WebSocketServer(
     while (line != null && line.nonEmpty) {
       val idx = line.indexOf(':')
       if (idx > 0) {
-        val name = line.substring(0, idx).trim.toLowerCase
+        val name = line.substring(0, idx).trim.toLowerCase(java.util.Locale.ROOT)
         val value = line.substring(idx + 1).trim
         headers(name) = value
         if (name == "sec-websocket-key") wsKey = value
