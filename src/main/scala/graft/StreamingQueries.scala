@@ -172,18 +172,20 @@ object StreamingQueries {
     // batch; every (partition × tick × store) combination pays a state
     // store commit (a stream-stream join keeps FOUR stores per
     // partition), so at 32 shuffle partitions the fixed overhead
-    // dominates the gate-sized data. The optimum moves with batch
-    // size: 4 won at 3 ticks (r8 A/B — commits dominated the ~333k-row
-    // batches); at the r12 2-tick default the ~500k-row batches make
-    // per-batch DATA work the bigger term and 8 wins the twins-only
-    // Bench A/B 54.0 s vs 56.9 s (biggest: st7s 4.19→3.40,
-    // a20s 1.97→1.49; the stream-stream join and tiny-state twins pay
-    // a little — single default, no per-entry tuning). Results are
-    // partitioning-independent (32-partition canary).
+    // dominates the gate-sized data. 4 is the measured optimum IN THE
+    // FULL CATALOG RUN — the number the driver actually records: r12
+    // full-bench twins subtotal 53.4 s at p4 vs 57.0/56.4 s at p8 (two
+    // runs). A twins-only harness says the opposite (p8 54.0 vs p4
+    // 56.9) — cold-JVM per-batch planning rewards parallelism there,
+    // while in-catalog (warm JIT, accumulated heap) the extra per-batch
+    // commits cost more than the parallelism buys. Defaults follow the
+    // in-catalog measurement; the twins-only subset is for RELATIVE
+    // iteration only. Results are partitioning-independent
+    // (32-partition canary).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       gatePartitionsOverride.map(_.toString)
-        .getOrElse(sys.env.getOrElse("GRAFT_GATE_PARTITIONS", "8")))
+        .getOrElse(sys.env.getOrElse("GRAFT_GATE_PARTITIONS", "4")))
     // gate state is a few KB: the per-partition RocksDB instance
     // spin-up + per-commit snapshot upload that makes RocksDB right at
     // 100 TB key cardinality is pure fixed cost here, so gate runs use
