@@ -681,4 +681,41 @@ class PipelineSpec extends AnyFunSuite {
       assert(base._1 > 0, s"$name produced no rows")
     }
   }
+
+  test("timestamp-cutoff rows are hash-invariant under a foreign JVM timezone/locale") {
+    // r12: InvarianceSweep's hostile_env axis caught t3b/t9 building
+    // their cutoff literals via Timestamp.valueOf — parsed in the JVM
+    // DEFAULT timezone, so a non-UTC driver box shifted the cutoff
+    // instant and dropped boundary rows (rows 36425→36410 / 9521→9509
+    // under America/New_York). The fix constructs the instants
+    // timezone-explicitly (Queries.utcTs). Pin the exact cell: the
+    // hashes under a New-York JVM default + Turkish locale (the
+    // case-mapping trap) must equal the UTC baseline bit-for-bit.
+    val dir = "/root/testdata/sf0.001"
+    def sig(name: String): (Long, Long, Long) = {
+      val s = spark.newSession()
+      val out = graft.Verify.sigOf(graft.Verify.rowHashesOf(
+        graft.SparkEntry.queries(name)(s, dir)))
+      s.catalog.clearCache()
+      out
+    }
+    Seq("t3_state_when_filter", "t9_time_gate").foreach { name =>
+      val base = sig(name)
+      val prevTz = java.util.TimeZone.getDefault
+      val prevLoc = java.util.Locale.getDefault
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("America/New_York"))
+      java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+      try {
+        val foreign = sig(name)
+        assert(base === foreign,
+          s"$name diverged under a foreign JVM timezone/locale " +
+            "(a cutoff literal is riding the JVM default timezone again)")
+        assert(base._1 > 0, s"$name produced no rows")
+      } finally {
+        java.util.TimeZone.setDefault(prevTz)
+        java.util.Locale.setDefault(prevLoc)
+      }
+    }
+  }
 }

@@ -80,21 +80,45 @@ def main():
             print(f"FAIL {name}: oracle sql error: {e}")
             fail += 1
             continue
-        # decimal128 lint (r11 verdict): DuckDB silently widens sum(BIGINT)
-        # to HUGEINT -> Arrow decimal128(38,0) -> Python Decimal. The local
-        # value compare treats Decimal(3) == 3 as green, but the driver's
-        # hasher is repr/type-sensitive (Decimal('0') vs 0) — the proven
-        # root cause of every r9-r11 driver-only hash-red. Fail LOCALLY on
-        # any oracle column that is decimal while its Spark twin is not,
-        # so the class can never reach the driver again.
+        # type-KIND lint (r11 verdict, generalized in r12): DuckDB silently
+        # widens sum(BIGINT) to HUGEINT -> Arrow decimal128(38,0) -> Python
+        # Decimal. The local value compare treats Decimal(3) == 3 as green,
+        # but the driver's hasher is repr/type-sensitive (Decimal('0') vs 0)
+        # — the proven root cause of every r9-r11 driver-only hash-red. The
+        # same green-locally/red-at-the-driver shape exists for every pair
+        # Python `==` conflates across types: bool==int (True==1),
+        # float==int (3.0==3), Decimal==float. Fail LOCALLY whenever an
+        # oracle column's Arrow type KIND differs from its Spark twin's
+        # (int widths and string/large_string are the same kind; decimal,
+        # bool, float, int, date, timestamp are all distinct kinds), so no
+        # instance of the class can reach the driver again.
+        def kind(t):
+            if pa.types.is_boolean(t): return "bool"
+            if pa.types.is_integer(t): return "int"
+            if pa.types.is_floating(t): return "float"
+            if pa.types.is_decimal(t): return "decimal"
+            if pa.types.is_string(t) or pa.types.is_large_string(t): return "string"
+            if pa.types.is_binary(t) or pa.types.is_large_binary(t): return "binary"
+            if pa.types.is_date(t): return "date"
+            if pa.types.is_timestamp(t): return "timestamp"
+            if pa.types.is_list(t) or pa.types.is_large_list(t):
+                return f"list<{kind(t.value_type)}>"
+            if pa.types.is_struct(t):
+                return "struct{" + ",".join(
+                    f"{t.field(i).name}:{kind(t.field(i).type)}"
+                    for i in range(t.num_fields)) + "}"
+            if pa.types.is_map(t):
+                return f"map<{kind(t.key_type)},{kind(t.item_type)}>"
+            return str(t)
         spark_types = {f.name: f.type for f in got.schema}
-        hugeint = [f.name for f in want.schema
-                   if pa.types.is_decimal(f.type)
-                   and f.name in spark_types
-                   and not pa.types.is_decimal(spark_types[f.name])]
-        if hugeint:
-            print(f"FAIL {name}: uncast decimal128 oracle column(s) {hugeint} "
-                  f"(DuckDB HUGEINT — add CAST(... AS BIGINT) in the oracle SQL)")
+        kind_mismatch = [
+            (f.name, kind(f.type), kind(spark_types[f.name]))
+            for f in want.schema
+            if f.name in spark_types and kind(f.type) != kind(spark_types[f.name])]
+        if kind_mismatch:
+            print(f"FAIL {name}: oracle/spark type-kind mismatch "
+                  + "; ".join(f"{c}: duckdb={a} spark={b}" for c, a, b in kind_mismatch)
+                  + "  (CAST the oracle column — Python == would hide this, the driver hasher won't)")
             fail += 1
             continue
         gc, gr = rows_of(got)
