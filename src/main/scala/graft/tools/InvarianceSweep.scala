@@ -34,7 +34,10 @@ object InvarianceSweep {
       else if (args.length > 1) args.drop(1).toSeq
       else Seq("z6_compaction_plan", "a11_session_window", "z4_file_stats",
         "z5_partition_skew", "z7_skipping_audit", "z8_zorder_skipping",
-        "z9_layout_advisor", "w4_twap", "a9_time_bucket")
+        "z9_layout_advisor", "w4_twap", "a9_time_bucket",
+        // ever-DIVERGED in a sweep (r12 hostile_env caught their cutoff
+        // literals riding the JVM default timezone — fixed, now pinned)
+        "t3_state_when_filter", "t9_time_gate")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val base = SparkSession.builder()
       .master(s"local[$cpus]")

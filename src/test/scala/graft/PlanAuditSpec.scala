@@ -90,6 +90,9 @@ class PlanAuditSpec extends AnyFunSuite {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val plans = Seq(
       graft.pipeline.Dedup.jaccardPairs(docs, "doc_id", "text"),
+      // the CATALOG d2 entry (r12: corpus augmented with the planted
+      // twin slice) — the union feed must not change the join shape
+      graft.SparkEntry.queries("d2_ngram_jaccard")(spark, dir),
       graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text"),
       graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text"),
       graft.pipeline.Dedup.containmentPairs(docs, "doc_id", "text"),
