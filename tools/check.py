@@ -93,6 +93,10 @@ def main():
         # bool, float, int, date, timestamp are all distinct kinds), so no
         # instance of the class can reach the driver again.
         def kind(t):
+            # dictionary encoding is a layout choice, not a type: unwrap
+            # so a future DuckDB emitting dictionary<string> doesn't read
+            # as a false mismatch against Spark's plain string
+            if pa.types.is_dictionary(t): return kind(t.value_type)
             if pa.types.is_boolean(t): return "bool"
             if pa.types.is_integer(t): return "int"
             if pa.types.is_floating(t): return "float"
