@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.{Encoders, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types._
+
+/** Measures the PURE per-twin engine floor of the streaming gate: a
+  * minimal stateful query (last-by-key over a 100-row, 2-column feed)
+  * driven exactly like a gate twin — memory sink, tmpfs checkpoint,
+  * 2 micro-batches, processAllAvailable, stop, sink read — repeated N
+  * times in one warm JVM. Whatever this prints is the cost a twin pays
+  * BEFORE any data: incremental planning, state-store init/commits,
+  * query start/stop, sink materialization.
+  *
+  * Purpose (r11 verdict task 2 close-out): the ≤45 s streaming-subtotal
+  * target assumed the subtotal was harness waste. floor × 40 twins is
+  * the achievable lower bound for ANY per-entry gate at this engine's
+  * fixed costs — comparing it against the measured subtotal separates
+  * "harness waste left" from "real per-batch data work".
+  *
+  * Run: `sbt "runMain graft.tools.TwinFloorBench [reps]"`.
+  */
+object TwinFloorBench {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(12)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      .config("spark.sql.codegen.wholeStage", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("_seq", LongType)))
+    val rows = (0 until 100).map { i =>
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](i.toLong % 10, i.toLong), schema): Row
+    }
+    val times = (0 until reps).map { rep =>
+      val t0 = System.nanoTime()
+      val stream = MemoryStream[Row](Encoders.row(schema), sqlCtx)
+      val out = graft.streaming.StreamingState.lastByKeyStream(
+        stream.toDF(), Seq("k"), "_seq")
+      val name = s"twin_floor_$rep"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation",
+          graft.StreamingQueries.gateCheckpointDir("twin-floor-ckpt"))
+        .start()
+      try {
+        rows.grouped(50).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // update-mode memory sink appends each batch's updates: 10 keys
+      // emitted in each of the 2 batches
+      val n = spark.table(name).count()
+      require(n == 20, s"floor twin saw $n update rows")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val warm = times.drop(2)
+    println(f"TWIN_FLOOR first=${times.head}%.3f s  " +
+      f"warm_min=${warm.min}%.3f s  warm_med=${warm.sorted.apply(warm.size / 2)}%.3f s" +
+      f"  (x40 twins = ${warm.min * 40}%.1f s lower bound)")
+    spark.stop()
+    graft.core.Scratch.sweep()
+  }
+}
