@@ -36,6 +36,13 @@ object TwinFloorBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // experiment knob: GRAFT_FLOOR_CONF="k=v,k=v" layers extra session
+    // confs so floor-reduction candidates (async progress tracking,
+    // log purge, …) can be probed without editing code
+    sys.env.get("GRAFT_FLOOR_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("_seq", LongType)))
