@@ -776,7 +776,9 @@ object StreamingQueries {
       // for zero semantic effect (QueryBench A/B: 6.7 s → see SCALE.md)
       val (out, _) = runStream(s,
         Seq((t(s, dir, "lineitem").select(cols.map(col): _*), "l_orderkey")),
-        "complete", ticks = GateTicks) {
+        // 3-tick representative (see GateTicks): incremental profile
+        // merge must stay covered past the SECOND batch boundary
+        "complete", ticks = 3) {
         case Seq(li) => graft.pipeline.Curation.numericProfileSketch(
           li, cols, sketchK = 1 << 18)
       }

@@ -38,10 +38,28 @@ object Scratch {
     }
   }
 
+  // walkFileTree WITHOUT FOLLOW_LINKS (the default): a symlink inside
+  // (or planted as) a tracked scratch dir is deleted as a link, never
+  // traversed — review r12: File.listFiles follows directory symlinks,
+  // which would let a link under /tmp scratch point the sweep at data
+  // outside it
   private def deleteRec(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRec)
-    f.delete(); ()
+    val p = f.toPath
+    if (!java.nio.file.Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) return
+    java.nio.file.Files.walkFileTree(p, new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
+      override def visitFile(file: java.nio.file.Path,
+          attrs: java.nio.file.attribute.BasicFileAttributes) = {
+        java.nio.file.Files.deleteIfExists(file)
+        java.nio.file.FileVisitResult.CONTINUE
+      }
+      override def visitFileFailed(file: java.nio.file.Path, exc: java.io.IOException) =
+        java.nio.file.FileVisitResult.CONTINUE
+      override def postVisitDirectory(dir: java.nio.file.Path, exc: java.io.IOException) = {
+        java.nio.file.Files.deleteIfExists(dir)
+        java.nio.file.FileVisitResult.CONTINUE
+      }
+    })
+    ()
   }
 
   // crash-path coverage: an aborted Verify/Bench still sweeps at JVM

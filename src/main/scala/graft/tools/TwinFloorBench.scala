@@ -39,10 +39,11 @@ object TwinFloorBench {
     // experiment knob: GRAFT_FLOOR_CONF="k=v,k=v" layers extra session
     // confs so floor-reduction candidates (async progress tracking,
     // log purge, …) can be probed without editing code
-    sys.env.get("GRAFT_FLOOR_CONF").foreach(_.split(',').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
-    })
+    sys.env.get("GRAFT_FLOOR_CONF").foreach(_.split(',')
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("_seq", LongType)))
@@ -73,7 +74,9 @@ object TwinFloorBench {
       require(n == 20, s"floor twin saw $n update rows")
       (System.nanoTime() - t0) / 1e9
     }
-    val warm = times.drop(2)
+    // first 2 reps are JIT/codegen warmup; with reps <= 2 fall back to
+    // the full set rather than min() over an empty collection
+    val warm = if (times.size > 2) times.drop(2) else times
     println(f"TWIN_FLOOR first=${times.head}%.3f s  " +
       f"warm_min=${warm.min}%.3f s  warm_med=${warm.sorted.apply(warm.size / 2)}%.3f s" +
       f"  (x40 twins = ${warm.min * 40}%.1f s lower bound)")

@@ -38,6 +38,42 @@ def close(a, b):
         return all(close(x, y) for x, y in zip(a, b))
     return a == b
 
+# Arrow type KIND for the oracle/spark schema lint (r11 verdict,
+# generalized in r12): DuckDB silently widens sum(BIGINT) to HUGEINT ->
+# Arrow decimal128(38,0) -> Python Decimal. The value compare treats
+# Decimal(3) == 3 as green, but the driver's hasher is
+# repr/type-sensitive (Decimal('0') vs 0) — the proven root cause of
+# every r9-r11 driver-only hash-red. The same green-locally/
+# red-at-the-driver shape exists for every pair Python `==` conflates
+# across types: bool==int (True==1), float==int (3.0==3),
+# Decimal==float. The comparator fails LOCALLY whenever an oracle
+# column's kind differs from its Spark twin's (int widths and
+# string/large_string are the same kind; decimal, bool, float, int,
+# date, timestamp are all distinct kinds), so no instance of the class
+# can reach the driver again.
+def kind(t):
+    # dictionary encoding is a layout choice, not a type: unwrap so a
+    # future DuckDB emitting dictionary<string> doesn't read as a false
+    # mismatch against Spark's plain string
+    if pa.types.is_dictionary(t): return kind(t.value_type)
+    if pa.types.is_boolean(t): return "bool"
+    if pa.types.is_integer(t): return "int"
+    if pa.types.is_floating(t): return "float"
+    if pa.types.is_decimal(t): return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t): return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t): return "binary"
+    if pa.types.is_date(t): return "date"
+    if pa.types.is_timestamp(t): return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{kind(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct{" + ",".join(
+            f"{t.field(i).name}:{kind(t.field(i).type)}"
+            for i in range(t.num_fields)) + "}"
+    if pa.types.is_map(t):
+        return f"map<{kind(t.key_type)},{kind(t.item_type)}>"
+    return str(t)
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -80,40 +116,6 @@ def main():
             print(f"FAIL {name}: oracle sql error: {e}")
             fail += 1
             continue
-        # type-KIND lint (r11 verdict, generalized in r12): DuckDB silently
-        # widens sum(BIGINT) to HUGEINT -> Arrow decimal128(38,0) -> Python
-        # Decimal. The local value compare treats Decimal(3) == 3 as green,
-        # but the driver's hasher is repr/type-sensitive (Decimal('0') vs 0)
-        # — the proven root cause of every r9-r11 driver-only hash-red. The
-        # same green-locally/red-at-the-driver shape exists for every pair
-        # Python `==` conflates across types: bool==int (True==1),
-        # float==int (3.0==3), Decimal==float. Fail LOCALLY whenever an
-        # oracle column's Arrow type KIND differs from its Spark twin's
-        # (int widths and string/large_string are the same kind; decimal,
-        # bool, float, int, date, timestamp are all distinct kinds), so no
-        # instance of the class can reach the driver again.
-        def kind(t):
-            # dictionary encoding is a layout choice, not a type: unwrap
-            # so a future DuckDB emitting dictionary<string> doesn't read
-            # as a false mismatch against Spark's plain string
-            if pa.types.is_dictionary(t): return kind(t.value_type)
-            if pa.types.is_boolean(t): return "bool"
-            if pa.types.is_integer(t): return "int"
-            if pa.types.is_floating(t): return "float"
-            if pa.types.is_decimal(t): return "decimal"
-            if pa.types.is_string(t) or pa.types.is_large_string(t): return "string"
-            if pa.types.is_binary(t) or pa.types.is_large_binary(t): return "binary"
-            if pa.types.is_date(t): return "date"
-            if pa.types.is_timestamp(t): return "timestamp"
-            if pa.types.is_list(t) or pa.types.is_large_list(t):
-                return f"list<{kind(t.value_type)}>"
-            if pa.types.is_struct(t):
-                return "struct{" + ",".join(
-                    f"{t.field(i).name}:{kind(t.field(i).type)}"
-                    for i in range(t.num_fields)) + "}"
-            if pa.types.is_map(t):
-                return f"map<{kind(t.key_type)},{kind(t.item_type)}>"
-            return str(t)
         spark_types = {f.name: f.type for f in got.schema}
         kind_mismatch = [
             (f.name, kind(f.type), kind(spark_types[f.name]))

@@ -36,8 +36,12 @@ vm.createContext(ctx);
 vm.runInContext(js + '\n;globalThis.__t = {state, tick, render, pivot, applyFilter};', ctx);
 
 (async () => {
-  // initial tick() was kicked off at script end — give it a beat
-  await new Promise(r => setTimeout(r, 400));
+  // initial tick() was kicked off at script end — poll for the grid
+  // rather than sleeping a fixed beat (a cold gateway >400 ms would
+  // otherwise fail the first assert spuriously; review r12)
+  const deadline = Date.now() + 15000;
+  while (!el('t').innerHTML.includes('<table') && Date.now() < deadline)
+    await new Promise(r => setTimeout(r, 100));
   const t = ctx.__t;
   const assert = (cond, msg) => { if (!cond) { console.error('FAIL: ' + msg); process.exit(1); } };
 

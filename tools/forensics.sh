@@ -31,10 +31,13 @@ fi
 DRIVER_OUT=${1:-}
 if [ -z "$DRIVER_OUT" ]; then
   LAST_COMMIT=$(git log -1 --format=%ct)
-  # newest foreign manifest.json: outside /tmp (builder scratch) and
-  # newer than the last commit (the driver runs after the builder)
+  # newest foreign manifest.json: outside /tmp (builder scratch), the
+  # REPO TREE (excluded by the cwd we just cd'd into — not a hardcoded
+  # path, review r12: a gate outDir placed under the repo or under
+  # /root must never self-match and report a trivially green verdict),
+  # and newer than the last commit (the driver runs after the builder)
   DRIVER_OUT=$(find /root -maxdepth 5 -name manifest.json \
-      -not -path '/root/repo/*' -not -path '/tmp/*' 2>/dev/null \
+      -not -path "$PWD/*" -not -path '/root/repo/*' -not -path '/tmp/*' 2>/dev/null \
     | while read -r m; do
         mt=$(stat -c %Y "$m" 2>/dev/null || echo 0)
         [ "$mt" -gt "$LAST_COMMIT" ] && echo "$mt $(dirname "$m")"
