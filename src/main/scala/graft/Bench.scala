@@ -22,6 +22,15 @@ object Bench {
       .config("spark.sql.ui.retainedExecutions", "20")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Drift canary (r12 verdict task 4): the box runs monotonically
+    // slower with uptime (198.8→220.0 s across five same-jar r12 runs,
+    // SCALE.md), poisoning round-over-round absolute comparisons. A
+    // fixed synthetic workload — pure compute, no I/O, no catalog
+    // state — is timed FIRST and LAST and committed in bench.json, so
+    // any consumer can normalize the total by the box-speed the run
+    // actually saw (canary_first ≈ box state at start, canary_last −
+    // canary_first ≈ drift accumulated across the run itself).
+    val canaryFirst = math.min(canary(spark), canary(spark))
     // Warm up codegen/JIT/parquet footers so per-query numbers are
     // steady-state (ASV-style), not first-query JVM warmup.
     graft.core.Tables.names.foreach { t =>
@@ -66,6 +75,25 @@ object Bench {
         Map("state_query_all" -> -1.0, "state_query_filter" -> -1.0, "replay" -> -1.0) }
     val allResults = results + ("state_insert_100k" -> insertSec) ++ gw
     val total = if (allResults.nonEmpty) allResults.values.filter(_ > 0).sum else 0.0
+    // Zero-data twin floor measured IN-RUN under this session's confs
+    // (r12 verdict task 4): the 40-twin streaming subtotal is also
+    // reported as a ratio over (floor × n_twins) — the achievable
+    // lower bound at this engine's fixed per-twin costs (TwinFloorBench
+    // measured 0.84–0.95 s warm in r12; SCALE.md). A subtotal drifting
+    // with the box while its floor-ratio holds ~constant is drift, not
+    // regression.
+    val twinNames = StreamingQueries.all.keySet
+    val streamSubtotal = allResults.collect {
+      case (k, v) if twinNames(k) && v > 0 => v }.sum
+    val twinFloor =
+      if (only.nonEmpty) -1.0
+      else try (0 until 3).map(_ => twinFloorRep(spark)).min
+           catch { case _: Throwable => -1.0 }
+    val floorRatio =
+      if (twinFloor > 0 && twinNames.nonEmpty)
+        streamSubtotal / (twinFloor * twinNames.size)
+      else -1.0
+    val canaryLast = math.min(canary(spark), canary(spark))
     // ---- output, three tiers (r10 verdict: every BENCH_r*.json had
     // "parsed": null because the driver keeps only the LAST 2000 stdout
     // chars and the full named per-query map is ~12 KB):
@@ -78,8 +106,15 @@ object Bench {
     val sorted = allResults.toSeq.sortBy(_._1)
     val qs = sorted.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // drift-normalization fields (NOT in total, NOT in queries — extra
+    // top-level keys a driver that only reads metric/value/queries
+    // ignores): canary pair, twin floor, streaming subtotal + ratio
+    def r3(v: Double) = math.round(v * 1000) / 1000.0
+    val drift = s""""canary_first":${r3(canaryFirst)},"canary_last":${r3(canaryLast)},""" +
+      s""""twin_floor":${r3(twinFloor)},"n_twins":${twinNames.size},""" +
+      s""""stream_subtotal":${r3(streamSubtotal)},"stream_floor_ratio":${r3(floorRatio)}"""
     val verbose =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$drift,"queries":$qs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench.json"), verbose + "\n")
     catch { case _: Throwable => () }
@@ -87,7 +122,7 @@ object Bench {
     val msInts = sorted.map { case (_, v) =>
       if (v < 0) "-1" else math.round(v * 1000).toString }.mkString("[", ",", "]")
     val compact =
-      s"""{"metric":"total","value":${math.round(total * 10) / 10.0},"unit":"sec","n":${sorted.size},"order":"sorted-name","q_ms":$msInts,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${math.round(total * 10) / 10.0},"unit":"sec","n":${sorted.size},$drift,"order":"sorted-name","q_ms":$msInts,"sf":"$sfDir"}"""
     // DRIVER CONTRACT: the driver keeps only the LAST ~2000 stdout chars
     // of this main. 1800 is that budget minus headroom for trailing
     // shutdown noise; if the driver's tail budget ever changes, set
@@ -112,6 +147,59 @@ object Bench {
     // run-scoped /tmp hygiene (r11 verdict task 7) — the shutdown hook
     // would cover this, but an explicit sweep keeps exit deterministic
     graft.core.Scratch.sweep()
+  }
+
+  /** Fixed synthetic drift canary: 10M-row range → keyed sum → top-100,
+    * pure compute (no I/O, no shuffle files beyond one exchange, no
+    * dependence on catalog size or sfDir). Identical work every round,
+    * so its time IS the box speed: run it twice and take the min (the
+    * first call may still be JITing), once at session start and once
+    * after the full catalog.
+    */
+  private[graft] def canary(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val n = spark.range(0L, 10000000L, 1L, 32)
+      .select((org.apache.spark.sql.functions.col("id") % 997L).as("k"),
+        org.apache.spark.sql.functions.col("id").as("v"))
+      .groupBy("k").agg(sum("v").as("s"))
+      .orderBy(desc("s"), asc("k")).limit(100).count()
+    require(n == 100, s"canary saw $n rows")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One zero-data streaming twin — the TwinFloorBench rep shape
+    * (100-row/2-batch last-by-key, memory sink, gate checkpoint dir) —
+    * run under THIS session's confs so the measured floor is the one
+    * the in-run streaming subtotal actually paid per twin. */
+  private def twinFloorRep(spark: SparkSession): Double = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("_seq", LongType)))
+    val rows = (0 until 100).map { i =>
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](i.toLong % 10, i.toLong), schema): Row
+    }
+    val t0 = System.nanoTime()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row](
+      Encoders.row(schema), sqlCtx)
+    val out = graft.streaming.StreamingState.lastByKeyStream(
+      stream.toDF(), Seq("k"), "_seq")
+    val name = s"bench_twin_floor_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        graft.StreamingQueries.gateCheckpointDir("bench-floor-ckpt"))
+      .start()
+    try rows.grouped(50).foreach { chunk =>
+      stream.addData(chunk); q.processAllAvailable()
+    } finally q.stop()
+    val n = spark.table(name).count()
+    require(n == 20, s"floor twin saw $n update rows")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** Gateway serving-path benches over a live ChannelRuntime:

@@ -27,6 +27,22 @@ object Scratch {
   def dir(prefix: String): String =
     track(java.nio.file.Files.createTempDirectory(prefix).toString)
 
+  /** Test isolation (advisor r12): ScratchSpec must not sweep paths
+    * tracked by suites that ran earlier in the same forked test JVM
+    * (stream checkpoints, index roots) — that would make suite order
+    * observable. `drain()` atomically removes and returns the current
+    * set so a spec can run against an empty registry and `restore()`
+    * it afterwards. */
+  private[graft] def drain(): List[String] = {
+    val it = tracked.iterator()
+    val b = List.newBuilder[String]
+    while (it.hasNext) { b += it.next(); it.remove() }
+    b.result()
+  }
+
+  private[graft] def restore(paths: Iterable[String]): Unit =
+    paths.foreach(tracked.add)
+
   /** Delete every tracked path (recursively), then forget it.
     * Idempotent; per-path failures are swallowed — a file pinned open
     * by a late executor thread must not fail the gate. */
@@ -63,9 +79,23 @@ object Scratch {
   }
 
   // crash-path coverage: an aborted Verify/Bench still sweeps at JVM
-  // exit (runs alongside Spark's own shutdown hooks; by then every
-  // streaming query is stopped or abandoned, and failures are
-  // swallowed above)
-  java.lang.Runtime.getRuntime.addShutdownHook(
-    new Thread(() => sweep(), "graft-scratch-sweep"))
+  // exit. Ordering matters (advisor r12): a bare Runtime hook runs
+  // UNORDERED relative to Spark's shutdown chain, so the sweep could
+  // delete a live /dev/shm stream checkpoint while Spark is still
+  // tearing down streaming state and turn a clean crash into noisy
+  // teardown errors. Spark installs its own hook chain into Hadoop's
+  // ShutdownHookManager at priority FileSystem(10)+30 = 40 (higher
+  // runs FIRST there), so registering the sweep at priority 0
+  // guarantees it runs after Spark teardown (and after FileSystem
+  // close — deleteRec is pure java.nio, no Hadoop FS needed) on every
+  // exit path. Fallback to the unordered hook only if the Hadoop
+  // manager is absent/sealed (failures in sweep itself stay swallowed).
+  try
+    org.apache.hadoop.util.ShutdownHookManager.get()
+      .addShutdownHook(new Runnable { def run(): Unit = sweep() }, 0)
+  catch {
+    case _: Throwable =>
+      java.lang.Runtime.getRuntime.addShutdownHook(
+        new Thread(() => sweep(), "graft-scratch-sweep"))
+  }
 }

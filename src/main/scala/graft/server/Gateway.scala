@@ -1047,8 +1047,87 @@ final class Gateway(
                |const state = {groupBy: [], splitBy: '', agg: 'count', aggCol: '',
                |               sortCol: '', sortDir: 1,
                |               filterCol: '', filterOp: '==', filterVal: '',
-               |               limit: 500, cols: [], view: 'grid'};
+               |               limit: 500, cols: [], view: 'grid', exprs: []};
                |let raw = [];
+               |// computed expression columns (the Perspective ExprTK
+               |// use-case, perspective.py:133-142): 'name = "col" * 2'
+               |// entries, ';'-separated. A tiny recursive-descent parser —
+               |// NEVER eval/Function: the page already defends stored XSS
+               |// from /send values, and an expression evaluator must not
+               |// reopen arbitrary-JS execution through a shared URL or a
+               |// pasted workspace config. Grammar: add/sub over mul/div/mod
+               |// over unary-minus/parens/number/"column-ref"/fn(arg) with
+               |// fn in abs sqrt round floor ceil log exp; null propagates.
+               |function compileExpr(src){
+               |  let i = 0;
+               |  const fail = m => { throw new Error('expr: ' + m + ' near pos ' + i); };
+               |  const ws = () => { while (i < src.length && src[i] === ' ') i++; };
+               |  const FNS = {abs: Math.abs, sqrt: Math.sqrt, round: Math.round,
+               |               floor: Math.floor, ceil: Math.ceil, log: Math.log, exp: Math.exp};
+               |  function atom(){
+               |    ws();
+               |    if (src[i] === '(') { i++; const e = add(); ws();
+               |      if (src[i++] !== ')') fail("missing ')'"); return e; }
+               |    if (src[i] === '-') { i++; const e = atom();
+               |      return r => { const v = e(r); return v === null ? null : -v; }; }
+               |    if (src[i] === '"') { const j = src.indexOf('"', i + 1);
+               |      if (j < 0) fail('unterminated column ref');
+               |      const c = src.slice(i + 1, j); i = j + 1;
+               |      return r => { const v = r[c];
+               |        return typeof v === 'number' ? v : v === null || v === undefined ? null : Number(v); }; }
+               |    let m = /^[0-9]+(\\.[0-9]+)?/.exec(src.slice(i));
+               |    if (m) { i += m[0].length; const n = Number(m[0]); return () => n; }
+               |    m = /^[a-z]+/.exec(src.slice(i));
+               |    if (m && FNS[m[0]]) { const f = FNS[m[0]]; i += m[0].length; ws();
+               |      if (src[i++] !== '(') fail("missing '(' after fn"); const e = add(); ws();
+               |      if (src[i++] !== ')') fail("missing ')' after fn arg");
+               |      return r => { const v = e(r); return v === null || isNaN(v) ? null : f(v); }; }
+               |    fail('unparseable');
+               |  }
+               |  function bin(next, ops){
+               |    return function(){
+               |      let e = next();
+               |      for (;;) { ws(); const op = ops[src[i]];
+               |        if (!op) return e;
+               |        i++; const l = e, rhs = next();
+               |        e = r => { const a = l(r), b = rhs(r);
+               |          return a === null || b === null ? null : op(a, b); };
+               |      }
+               |    };
+               |  }
+               |  const mul = bin(atom, {'*': (a,b) => a*b, '/': (a,b) => b === 0 ? null : a/b,
+               |                         '%': (a,b) => b === 0 ? null : a%b});
+               |  const add = bin(mul, {'+': (a,b) => a+b, '-': (a,b) => a-b});
+               |  const e = add(); ws();
+               |  if (i < src.length) fail('trailing input');
+               |  return e;
+               |}
+               |// 'name = expr; name2 = expr2' -> state.exprs; throws on a
+               |// malformed entry (apply shows the message, state unchanged)
+               |function setExprs(text){
+               |  const out = [];
+               |  for (const part of String(text).split(';')) {
+               |    if (!part.trim()) continue;
+               |    const eq = part.indexOf('=');
+               |    if (eq < 0) throw new Error('expr: expected name = expression');
+               |    const name = part.slice(0, eq).trim();
+               |    if (!/^[A-Za-z_][A-Za-z0-9_ ]*$$/.test(name)) throw new Error('expr: bad name ' + name);
+               |    out.push({name: name, fn: compileExpr(part.slice(eq + 1).trim())});
+               |  }
+               |  state.exprs = out;
+               |}
+               |function withComputed(rows){
+               |  if (!state.exprs.length) return rows;
+               |  return rows.map(r => {
+               |    const o = Object.assign({}, r);
+               |    for (const ex of state.exprs) {
+               |      let v = null;
+               |      try { v = ex.fn(o); } catch (e) { v = null; }
+               |      o[ex.name] = typeof v === 'number' && !isFinite(v) ? null : v;
+               |    }
+               |    return o;
+               |  });
+               |}
                |function cmp(a, b){
                |  if (a === b) return 0;
                |  if (a === null || a === undefined) return -1;
@@ -1170,7 +1249,7 @@ final class Gateway(
                |  return '<svg width="' + W + '" height="' + (y + 22) + '">' + s + '</svg>';
                |}
                |function render(){
-               |  let rows = pivot(applyFilter(raw));
+               |  let rows = pivot(applyFilter(withComputed(raw)));
                |  if (state.sortCol)
                |    rows = rows.slice().sort((a, b) =>
                |      state.sortDir * cmp(a[state.sortCol], b[state.sortCol]));
@@ -1200,17 +1279,24 @@ final class Gateway(
                |    (multi ? ' multiple size="3"' : '') + '>' + opts.map(o =>
                |    '<option value="' + esc(o) + '">' + esc(o || '(none)') +
                |    '</option>').join('') + '</select>';
+               |  // expression columns join every column list: group by,
+               |  // aggregate over, split by, and filter all accept them
+               |  const allCols = state.cols.concat(state.exprs.map(ex => ex.name));
                |  document.getElementById('ctl').innerHTML =
-               |    'group by ' + sel('gb', state.cols, true) +
-               |    ' split by ' + sel('sb', [''].concat(state.cols)) +
+               |    'group by ' + sel('gb', allCols, true) +
+               |    ' split by ' + sel('sb', [''].concat(allCols)) +
                |    ' agg ' + sel('agg', ['count','sum','avg','min','max']) +
-               |    ' of ' + sel('aggc', [''].concat(state.cols)) +
-               |    ' filter ' + sel('fc', [''].concat(state.cols)) +
+               |    ' of ' + sel('aggc', [''].concat(allCols)) +
+               |    ' filter ' + sel('fc', [''].concat(allCols)) +
                |    sel('fop', ['==','!=','<','<=','>','>=','contains']) +
                |    ' <input id="fv" size="8"> limit <input id="lim" size="5" value="500">' +
                |    ' view ' + sel('vw', ['grid','bar']) +
-               |    ' <button id="apply">apply</button> <span id="n"></span>';
+               |    ' exprs <input id="ex" size="28" placeholder="notional = &quot;qty&quot; * &quot;price&quot;">' +
+               |    ' <button id="apply">apply</button> <span id="n"></span> <span id="err"></span>';
                |  document.getElementById('apply').onclick = () => {
+               |    document.getElementById('err').textContent = '';
+               |    try { setExprs(document.getElementById('ex').value); }
+               |    catch (e) { document.getElementById('err').textContent = String(e.message || e); return; }
                |    state.groupBy = Array.from(
                |      document.getElementById('gb').selectedOptions).map(o => o.value);
                |    state.splitBy = document.getElementById('sb').value;
@@ -1226,6 +1312,11 @@ final class Gateway(
                |    const lim = parseInt(document.getElementById('lim').value);
                |    state.limit = isNaN(lim) || lim <= 0 ? 500 : lim;
                |    state.view = document.getElementById('vw').value;
+               |    // new expression names must join the column selects —
+               |    // rebuild the controls, preserving the typed expr text
+               |    const exText = document.getElementById('ex').value;
+               |    controls();
+               |    document.getElementById('ex').value = exText;
                |    render();
                |  };
                |}

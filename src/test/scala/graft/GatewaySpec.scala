@@ -264,7 +264,13 @@ class GatewaySpec extends AnyFunSuite {
         "state.sortDir * cmp(", "g.subs.get(sv)",
         // chart view (the Perspective chart-plugin analogue)
         "function chartSvg(", """sel('vw', ['grid','bar'])""",
-        "state.view === 'bar'").foreach(frag =>
+        "state.view === 'bar'",
+        // computed expression columns (the ExprTK analogue,
+        // perspective.py:133-142) — parser, binder, and the row mapper
+        // that applies them before filter/pivot
+        "function compileExpr(", "function setExprs(",
+        "function withComputed(", "pivot(applyFilter(withComputed(raw)))",
+        "state.cols.concat(state.exprs.map(").foreach(frag =>
         assert(tablePage.body().contains(frag), s"missing: $frag"))
       assert(get(s"$hostBase/tables/nope").statusCode() === 404)
     }

@@ -9,10 +9,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * as a LINK, never traversed (review r12: File.listFiles follows
   * directory symlinks, which would let a link under /tmp scratch point
   * the sweep at data outside it).
+  *
+  * Isolation (advisor r12): Scratch is a JVM-global registry, and
+  * earlier suites in the same forked test JVM may have tracked live
+  * paths (stream checkpoints, index roots). Each test drains the
+  * global set first and restores it after, so calling sweep() here
+  * never deletes another suite's scratch and suite order stays
+  * unobservable.
   */
 class ScratchSpec extends AnyFunSuite {
 
-  test("sweep deletes tracked dirs but never traverses symlinks") {
+  private def isolated[A](body: => A): A = {
+    val saved = graft.core.Scratch.drain()
+    try body
+    finally graft.core.Scratch.restore(saved)
+  }
+
+  test("sweep deletes tracked dirs but never traverses symlinks") { isolated {
     val victim = Files.createTempDirectory("graft-scratch-victim")
     val precious = victim.resolve("precious.txt")
     Files.writeString(precious, "do not delete")
@@ -37,14 +50,27 @@ class ScratchSpec extends AnyFunSuite {
     assert(Files.exists(precious))
 
     Files.delete(precious); Files.delete(victim)
-  }
+  } }
 
-  test("track returns its argument and untracked paths are left alone") {
+  test("track returns its argument and untracked paths are left alone") { isolated {
     val untracked = Files.createTempDirectory("graft-scratch-untracked")
     val p = "/tmp/graft-scratch-name-check"
     assert(graft.core.Scratch.track(p) == p)
     graft.core.Scratch.sweep()
     assert(Files.exists(untracked), "untracked dir untouched by sweep")
     Files.delete(untracked)
-  }
+  } }
+
+  test("drain empties the registry and restore reinstates it") { isolated {
+    val a = Files.createTempDirectory("graft-scratch-drain")
+    graft.core.Scratch.track(a.toString)
+    val saved = graft.core.Scratch.drain()
+    assert(saved.contains(a.toString))
+    // registry is empty now: sweep must not touch the drained path
+    graft.core.Scratch.sweep()
+    assert(Files.exists(a), "drained path survives a sweep of the empty registry")
+    graft.core.Scratch.restore(saved)
+    graft.core.Scratch.sweep()
+    assert(!Files.exists(a), "restored path is swept")
+  } }
 }

@@ -63,7 +63,17 @@ def kind(t):
     if pa.types.is_string(t) or pa.types.is_large_string(t): return "string"
     if pa.types.is_binary(t) or pa.types.is_large_binary(t): return "binary"
     if pa.types.is_date(t): return "date"
-    if pa.types.is_timestamp(t): return "timestamp"
+    # tz-awareness is part of the kind (advisor r12): Python == treats
+    # naive and tz-aware datetimes of the same instant as unequal-or-
+    # TypeError, and a repr/type-sensitive hasher diverges on exactly
+    # that attribute. Today BOTH sides are tz-naive (Spark writes
+    # isAdjustedToUTC=false under session tz UTC; DuckDB fetch emits
+    # naive us) and every timestamp entry is driver-green — this keeps
+    # a future flip on either side from passing the lint unchecked.
+    # The unit (ns vs us) stays OUT of the kind, like int widths: both
+    # fetch to datetime values, same hasher rendering (Verify.canonCell
+    # renders epoch micros for the same reason).
+    if pa.types.is_timestamp(t): return f"timestamp[tz={t.tz}]"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return f"list<{kind(t.value_type)}>"
     if pa.types.is_struct(t):
@@ -100,9 +110,55 @@ def main():
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Big-SF bounded-error gates (r12 verdict task 2): the sf1 ledger
+    # carried 4 rows as documented prose ("estimate within the sketch
+    # bound", "output-bound pair mass") instead of machine checks. A
+    # spec file (GRAFT_TOLERANCE_SPEC=tools/sf_tolerances.json) turns
+    # each into an explicit check:
+    #   mode "tolerance": rows aligned on exact key columns; named
+    #     value columns compared within a declared rel/abs bound derived
+    #     from the sketch parameters; everything else exact.
+    #   mode "digest": both sides reduced INSIDE DuckDB to
+    #     (count, sum(hash(cols)), bit_xor(hash(cols))) — an
+    #     order-independent exact signature computed in linear memory,
+    #     for rows too numerous to sort through Python (d4's ~370M
+    #     pairs at sf1; integer columns only, so the hashes are
+    #     engine-deterministic).
+    # NEVER active by default: the driver-mirror sf0.01 gate runs with
+    # the env unset and compares every entry exactly.
+    tol_spec = {}
+    if os.environ.get("GRAFT_TOLERANCE_SPEC"):
+        tol_spec = json.load(open(os.environ["GRAFT_TOLERANCE_SPEC"]))
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
+            continue
+        spec = tol_spec.get(name)
+        if spec and spec.get("mode") == "digest":
+            try:
+                con.execute(f"CREATE OR REPLACE VIEW __spark AS "
+                            f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+                cols = ", ".join(
+                    f'"{c}"' for c in sorted(
+                        r[0] for r in con.execute("DESCRIBE __spark").fetchall()))
+                def sig(src):
+                    return con.execute(
+                        f"SELECT CAST(count(*) AS BIGINT), "
+                        f"CAST(COALESCE(sum(hash({cols})), 0) AS HUGEINT), "
+                        f"CAST(COALESCE(bit_xor(hash({cols})), 0) AS UBIGINT) "
+                        f"FROM {src}").fetchone()
+                got_sig = sig("__spark")
+                want_sig = sig(f"(SELECT {cols} FROM ({sql}))")
+            except Exception as e:
+                print(f"FAIL {name}: digest error: {e}")
+                fail += 1
+                continue
+            if got_sig != want_sig:
+                print(f"FAIL {name}: digest mismatch spark={got_sig} duckdb={want_sig}")
+                fail += 1
+            else:
+                print(f"OK   {name} rows={got_sig[0]}  (digest: count+sum/xor(hash) — {spec.get('why','')})")
+                ok += 1
             continue
         try:
             got = pq.read_table(f"{out_dir}/{name}")
@@ -136,6 +192,45 @@ def main():
         if len(gr) != len(wr):
             print(f"FAIL {name}: rowcount spark={len(gr)} duckdb={len(wr)}")
             fail += 1
+            continue
+        if spec and spec.get("mode") == "tolerance":
+            # align rows on the declared exact KEY columns (the default
+            # full-row sort would mis-align rows whenever the estimate
+            # column diverges), then: key + unlisted columns exact,
+            # listed columns within their declared bound
+            keyc, bounds = spec["key"], spec["cols"]
+            kidx = [gc.index(c) for c in keyc]
+            def bykey(rows):
+                return sorted(rows, key=lambda r: tuple(
+                    (r[i] is None, str(type(r[i])), str(r[i])) for i in kidx))
+            bad = []
+            for i, (a, b) in enumerate(zip(bykey(gr), bykey(wr))):
+                for j, c in enumerate(gc):
+                    x, y = a[j], b[j]
+                    if c in bounds:
+                        if x is None or y is None:
+                            if x is not y:
+                                bad.append((i, a, b)); break
+                            continue
+                        lim = (bounds[c].get("abs", 0.0)
+                               + bounds[c].get("rel", 0.0) * max(1.0, abs(float(y))))
+                        if abs(float(x) - float(y)) > lim:
+                            bad.append((i, a, b)); break
+                    elif not close(x, y):
+                        bad.append((i, a, b)); break
+            if bad:
+                print(f"FAIL {name}: {len(bad)} rows outside tolerance; first {min(3, len(bad))}:")
+                for i, a, b in bad[:3]:
+                    print(f"  row[{i}] spark ={a}")
+                    print(f"  row[{i}] duckdb={b}")
+                fail += 1
+            else:
+                blurb = ", ".join(f"{c} within " +
+                                  "+".join(([f"{v['abs']} abs"] if "abs" in v else [])
+                                           + ([f"{v['rel']:.3%} rel"] if "rel" in v else []))
+                                  for c, v in bounds.items())
+                print(f"OK   {name} rows={len(gr)}  (tolerance: {blurb} — {spec.get('why','')})")
+                ok += 1
             continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(gr, wr)) if not close(a, b)]
         exact = gr == wr

@@ -4,8 +4,10 @@
 // text; this actually RUNS the script). Recipe:
 //
 //   sbt "runMain graft.tools.TablesDemo"        # prints TABLES_DEMO_PORT
-//   curl -s http://127.0.0.1:$PORT/tables/trades_raw | \
-//     sed -n 's/.*<script>//;s,</script>.*,,p' > /tmp/table_page.js   # or any extractor
+//   curl -s http://127.0.0.1:$PORT/tables/trades_raw -o /tmp/page.html
+//   python3 -c "import re; open('/tmp/table_page.js','w').write(
+//     re.search(r'<script>(.*)</script>', open('/tmp/page.html').read(),
+//     re.S).group(1))"     # the page script spans lines — regex, not line-sed
 //   GRAFT_GW_PORT=$PORT node tools/drive_table_page.js
 //
 // Runs the page script in a `vm` context under a minimal DOM shim,
@@ -33,7 +35,7 @@ const ctx = {
   console, JSON, Number, String, Math, isNaN, Promise,
 };
 vm.createContext(ctx);
-vm.runInContext(js + '\n;globalThis.__t = {state, tick, render, pivot, applyFilter};', ctx);
+vm.runInContext(js + '\n;globalThis.__t = {state, tick, render, pivot, applyFilter, setExprs, withComputed};', ctx);
 
 (async () => {
   // initial tick() was kicked off at script end — poll for the grid
@@ -72,7 +74,61 @@ vm.runInContext(js + '\n;globalThis.__t = {state, tick, render, pivot, applyFilt
     `filtered count ${buys} rendered`);
   assert(!grid.includes('sell'), 'filter excludes sell');
 
-  // 4. XSS hardening: a hostile value must arrive escaped
+  // 4. split_by crosstab (the Perspective split_by pivot): group by
+  // side, split by symbol, sum(qty) — every (side, symbol) cell must
+  // equal an independent reduce, and the crosstab headers must name
+  // each split value
+  t.state.groupBy = ['side']; t.state.splitBy = 'symbol';
+  t.state.agg = 'sum'; t.state.aggCol = 'qty';
+  t.state.filterCol = ''; t.state.filterVal = '';
+  await t.tick();
+  grid = el('t').innerHTML;
+  const cell = {};
+  const sides = new Set(), symbols = new Set();
+  for (const r of data) {
+    sides.add(r.side); symbols.add(r.symbol);
+    cell[r.side + '|' + r.symbol] = (cell[r.side + '|' + r.symbol] || 0) + r.qty;
+  }
+  for (const sym of symbols)
+    assert(grid.includes('>sum(qty) | ' + sym + '<'), `crosstab header for ${sym}`);
+  for (const side of sides) {
+    // the row for this side must carry each symbol's sum — a (side,
+    // symbol) combo with no rows must render null — in split-value
+    // (sorted) column order
+    const syms = Array.from(symbols).sort();
+    const want = syms.map(s =>
+      cell[side + '|' + s] === undefined ? 'null' : cell[side + '|' + s]);
+    const rowRe = new RegExp('>' + side + '<' + want.map(v =>
+      '[\\s\\S]{0,40}>' + v + '<').join(''));
+    assert(rowRe.test(grid), `crosstab row for ${side}: ` + want.join(','));
+  }
+
+  // 5. computed expression columns (the ExprTK analogue): define
+  // notional = qty * price, aggregate sum(notional) by symbol, check
+  // against an independent reduce (shared rounding: both sides sum
+  // doubles in row order per group, compare at 1e-6 rel tolerance)
+  t.setExprs('notional = "qty" * "price"');
+  t.state.groupBy = ['symbol']; t.state.splitBy = '';
+  t.state.agg = 'sum'; t.state.aggCol = 'notional';
+  await t.tick();
+  grid = el('t').innerHTML;
+  const notion = {};
+  for (const r of data) notion[r.symbol] = (notion[r.symbol] || 0) + r.qty * r.price;
+  for (const [sym, tot] of Object.entries(notion)) {
+    const m = new RegExp('>' + sym + '<[\\s\\S]{0,40}>([0-9.eE+-]+)<').exec(grid);
+    assert(m, `expression sum row for ${sym}`);
+    const got = Number(m[1]);
+    assert(Math.abs(got - tot) <= 1e-6 * Math.max(1, Math.abs(tot)),
+      `sum(notional) for ${sym}: page ${got} vs reduce ${tot}`);
+  }
+  // malformed expression: setExprs must throw (the page's apply path
+  // surfaces the message in #err and leaves state unchanged)
+  let threw = false;
+  try { t.setExprs('bad = "qty" **'); } catch (e) { threw = true; }
+  assert(threw, 'malformed expression rejected');
+  t.setExprs('');
+
+  // 6. XSS hardening: a hostile value must arrive escaped
   const hostile = '<img src=x onerror=alert(1)>';
   t.state.filterCol = ''; t.state.groupBy = []; t.state.limit = 500;
   ctx.fetch = async () => ({json: async () => [{symbol: hostile, qty: 1}]});
@@ -81,5 +137,5 @@ vm.runInContext(js + '\n;globalThis.__t = {state, tick, render, pivot, applyFilt
   assert(!grid.includes('<img'), 'hostile cell is escaped');
   assert(grid.includes('&lt;img'), 'escaped form present');
 
-  console.log('TABLE_PAGE_DRIVE_OK: grid render, pivot sum, filter count, XSS escape');
+  console.log('TABLE_PAGE_DRIVE_OK: grid render, pivot sum, filter count, split_by crosstab, expression column, XSS escape');
 })().catch(e => { console.error('FAIL:', e); process.exit(1); });

@@ -36,12 +36,33 @@ if [ -z "$DRIVER_OUT" ]; then
   # path, review r12: a gate outDir placed under the repo or under
   # /root must never self-match and report a trivially green verdict),
   # and newer than the last commit (the driver runs after the builder)
-  DRIVER_OUT=$(find /root -maxdepth 5 -name manifest.json \
+  # candidates newest-first; the FIRST that passes the shape check wins.
+  # Shape check (advisor r12): any unrelated tool writing a manifest.json
+  # under /root could otherwise be picked and produce a confident but
+  # wrong verdict — require the JSON to parse as a {name:{rows,agg_sum,
+  # agg_xor}} rollup sharing >=50% of entry names with the committed
+  # RECEIPTS_MANIFEST.json before trusting it.
+  CANDIDATES=$(find /root -maxdepth 5 -name manifest.json \
       -not -path "$PWD/*" -not -path '/root/repo/*' -not -path '/tmp/*' 2>/dev/null \
     | while read -r m; do
         mt=$(stat -c %Y "$m" 2>/dev/null || echo 0)
         [ "$mt" -gt "$LAST_COMMIT" ] && echo "$mt $(dirname "$m")"
-      done | sort -rn | head -1 | cut -d' ' -f2-)
+      done | sort -rn | cut -d' ' -f2-)
+  DRIVER_OUT=""
+  for c in $CANDIDATES; do
+    if python3 - "$c/manifest.json" <<'SHAPE' >/dev/null 2>&1
+import json, sys
+cand = json.load(open(sys.argv[1]))
+ours = json.load(open("RECEIPTS_MANIFEST.json"))
+assert isinstance(cand, dict) and cand
+assert all(isinstance(v, dict) and {"rows", "agg_sum", "agg_xor"} <= set(v)
+           for v in cand.values())
+assert len(set(cand) & set(ours)) * 2 >= len(ours)
+SHAPE
+    then DRIVER_OUT=$c; break
+    else echo "forensics: skipping $c (manifest.json is not a Verify rollup sharing >=50% entry names)" >&2
+    fi
+  done
   if [ -z "$DRIVER_OUT" ]; then
     echo "forensics: no foreign Verify outDir newer than the last commit found" >&2
     echo "           (pass one explicitly: tools/forensics.sh <outDir>)" >&2

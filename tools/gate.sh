@@ -23,6 +23,13 @@ OUT=${2:-/tmp/graft_gate_out}
 cd "$(dirname "$0")/.."
 
 rm -rf "$OUT"
+# /tmp hygiene receipt (r12 verdict task 6): Scratch.sweep is spec-pinned
+# but nothing proved a full run ENDS clean — snapshot /tmp before, diff
+# after, and commit the delta (cross-run caches are the one legitimate
+# residue: the z8 audit layouts, rebuilt only when absent)
+TMP_BEFORE_N=$(find /tmp -mindepth 1 -maxdepth 1 | wc -l)
+TMP_BEFORE_B=$(du -sb /tmp 2>/dev/null | cut -f1)
+find /tmp -mindepth 1 -maxdepth 1 | sort > /tmp/.graft_gate_tmp_before
 echo "== gate: full catalog Verify @ $SF_DIR (single JVM, driver order)"
 sbt -batch "runMain graft.Verify $SF_DIR $OUT" 2>&1 | tail -3
 VERIFY_RC=${PIPESTATUS[0]}
@@ -37,6 +44,13 @@ echo "== gate: driver comparator over ALL entries"
 REPORT=$(python3 tools/check.py "$SF_DIR" "$OUT")
 RC=$?
 SUMMARY=$(echo "$REPORT" | tail -1)
+# /tmp delta AFTER the Verify JVM exited (its shutdown-hook sweep ran);
+# the outDir itself and anything under it are the gate's own product
+TMP_AFTER_N=$(find /tmp -mindepth 1 -maxdepth 1 | wc -l)
+TMP_AFTER_B=$(du -sb /tmp 2>/dev/null | cut -f1)
+TMP_NEW=$(find /tmp -mindepth 1 -maxdepth 1 | sort | comm -13 /tmp/.graft_gate_tmp_before - \
+  | grep -v -e "^$OUT\$" -e '^/tmp/.graft_gate_tmp_before$' || true)
+rm -f /tmp/.graft_gate_tmp_before
 {
   echo "# RECEIPTS — round-close gate output (committed verbatim)"
   echo
@@ -49,6 +63,18 @@ SUMMARY=$(echo "$REPORT" | tail -1)
   echo '```'
   echo "$REPORT" | grep -v '^OK ' || true
   echo '```'
+  echo
+  echo "## /tmp hygiene (r12 verdict task 6)"
+  echo
+  echo "- top-level entries: $TMP_BEFORE_N before, $TMP_AFTER_N after (excl. gate outDir)"
+  echo "- bytes: $TMP_BEFORE_B before, $TMP_AFTER_B after"
+  if [ -n "$TMP_NEW" ]; then
+    echo "- new top-level /tmp entries surviving the run (cross-run caches are the"
+    echo "  one legitimate class — z8 audit layouts, rebuilt only when absent):"
+    echo "$TMP_NEW" | sed 's/^/  - /'
+  else
+    echo "- new top-level /tmp entries surviving the run: NONE"
+  fi
 } > RECEIPTS.md
 # commit the builder-side spark row-hash rollup for cross-environment
 # forensics (driver outDir manifest vs this file names differing rows)
@@ -58,11 +84,21 @@ SUMMARY=$(echo "$REPORT" | tail -1)
 # not masquerade as an engine red in a foreign environment
 if [ "$RC" -eq 0 ]; then
   echo "== gate: comparator re-run under duckdb threads=1"
-  T1=$(GRAFT_DUCKDB_THREADS=1 python3 tools/check.py "$SF_DIR" "$OUT" | tail -1)
+  # keep the FULL report (advisor r12): on divergence the per-entry FAIL
+  # lines naming which queries differed are the whole point of the axis
+  T1REPORT=$(GRAFT_DUCKDB_THREADS=1 python3 tools/check.py "$SF_DIR" "$OUT")
   T1RC=$?
+  T1=$(echo "$T1REPORT" | tail -1)
   echo "- threads=1 comparator: $T1 (exit $T1RC)" >> RECEIPTS.md
   if [ "$T1RC" -ne 0 ]; then
     echo "== gate: threads=1 comparator DIVERGED: $T1"
+    {
+      echo
+      echo "### threads=1 divergence detail"
+      echo '```'
+      echo "$T1REPORT" | grep -v '^OK ' || true
+      echo '```'
+    } >> RECEIPTS.md
     RC=$T1RC
   fi
 fi

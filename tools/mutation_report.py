@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Fold tools/mutate.py shard outputs (JSONL) into MUTATION_MATRIX.md.
+
+Usage: python3 tools/mutation_report.py /tmp/mutants_a.jsonl [/tmp/mutants_b.jsonl ...]
+"""
+import json, sys, time
+
+
+def main():
+    recs = {}
+    for path in sys.argv[1:]:
+        for line in open(path):
+            r = json.loads(line)
+            recs[r["id"]] = r  # later shards win (re-runs supersede)
+    rows = sorted(recs.values(), key=lambda r: r["id"])
+    killed = [r for r in rows if r.get("status") == "KILLED"]
+    survived = [r for r in rows if r.get("status") == "SURVIVED"]
+    other = [r for r in rows if r.get("status") not in ("KILLED", "SURVIVED")]
+    out = []
+    out.append("# MUTATION_MATRIX — gate-sensitivity campaign (r12 verdict task 1)")
+    out.append("")
+    out.append("Each row: one seeded single-site engine mutation, the FULL catalog")
+    out.append("gate run against it (tools/mutate.py; Verify + tools/check.py at")
+    out.append("sf0.01, driver order, one JVM per mutant). KILLED = at least one")
+    out.append("catalog entry failed the comparator. A SURVIVED row is a gate gap:")
+    out.append("it must be fixed (oracle strengthened) or explained with evidence")
+    out.append("before round close.")
+    out.append("")
+    out.append(f"- date: {time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())}")
+    out.append(f"- mutants: {len(rows)} — **{len(killed)} killed, "
+               f"{len(survived)} survived, {len(other)} other**")
+    out.append("")
+    out.append("| mutant | site | mutation | status | entries failing (first few) |")
+    out.append("|---|---|---|---|---|")
+    for r in rows:
+        kb = ", ".join(r.get("killed_by", [])[:6])
+        if r.get("kill_mode") == "verify_crash":
+            kb = "(Verify crashed — every starved entry reds at the driver)"
+        nf = r.get("n_fail")
+        status = r.get("status", "?") + (f" ({nf})" if nf is not None else "")
+        out.append(f"| {r['id']} | `{r.get('file','?').split('/')[-1]}` "
+                   f"| {r.get('note','')} | **{status}** | {kb} |")
+    if survived:
+        out.append("")
+        out.append("## Survivors (gate gaps)")
+        for r in survived:
+            out.append(f"- **{r['id']}** — {r['note']}: `{r['old']}` -> `{r['new']}`")
+    print("\n".join(out))
+
+
+if __name__ == "__main__":
+    main()
