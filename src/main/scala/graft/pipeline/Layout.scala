@@ -133,6 +133,53 @@ object Layout {
     spark.table(table)
   }
 
+  /** [[bucketedTable]] as a CROSS-RUN CACHE (the z8-audit-memo
+    * discipline): the write-once-join-nightly layout's entire point is
+    * that the bucketed write is paid ONCE, so rebuilding both tables on
+    * every gate/bench pass measures the write, not the join (r12
+    * verdict: b1's 4.0 s driver reading was write-I/O-dominated and
+    * box-state-sensitive; the join itself is exchange-free).
+    *
+    * Reuses the existing files when the path holds a completed write
+    * (`_SUCCESS` present — a crashed partial write rebuilds) and the
+    * current session already knows the table, or can re-register it:
+    * bucket metadata lives in the session catalog, so a fresh JVM over
+    * existing files re-registers an external CLUSTERED BY table at the
+    * same LOCATION instead of rewriting the data. `df` is by-name and
+    * never evaluated on the cache path. Paths must be scoped to the
+    * data dir (PipelineQueries.scopedTmp) so scale factors never serve
+    * each other's layout.
+    */
+  def bucketedTableCached(
+      spark: org.apache.spark.sql.SparkSession,
+      df: => DataFrame,
+      table: String,
+      keyCol: String,
+      buckets: Int,
+      path: String,
+      sourceMtime: Long = 0L): DataFrame = {
+    val done = new java.io.File(path, "_SUCCESS")
+    // staleness guard: a cache written before the source table's last
+    // modification serves WRONG data silently (regenerated testdata at
+    // the same path) — rebuild, exactly like an absent cache
+    if (!done.exists() || done.lastModified() < sourceMtime) {
+      if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE `$table`")
+      return bucketedTable(spark, df, table, keyCol, buckets, path)
+    }
+    if (!spark.catalog.tableExists(table)) {
+      // footer-only schema read; the files were written bucketed by
+      // this same code (dir-scoped path), so the CLUSTERED BY claim
+      // re-registered here matches the physical layout
+      val schema = spark.read.parquet(path).schema
+      val cols = schema.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(
+        s"CREATE TABLE `$table` ($cols) USING parquet " +
+          s"CLUSTERED BY (`$keyCol`) SORTED BY (`$keyCol`) " +
+          s"INTO $buckets BUCKETS LOCATION '$path'")
+    }
+    spark.table(table)
+  }
+
   /** Partition-scoped upsert into a partitioned parquet corpus — the
     * maintenance operation a 100 TB table actually gets: corrections
     * and late additions land, and ONLY the partitions they touch are

@@ -23,6 +23,15 @@ object ScaleSmoke {
   private val Sf01 = "/root/testdata/sf0.1"
   private val Sf1 = "/tmp/graft_sf1"
 
+  /** sf10 spot-materialization (r12 verdict task 3): a 100× replication
+    * under /tmp/graft_sf10, same shape-preserving recipe as sf1, for
+    * promoting the most scale-shape-sensitive entries two decades up.
+    * `runMain graft.tools.ScaleSmoke gen-sf10` generates and exits
+    * (the ledger run itself goes through Verify + tools/check.py with
+    * DuckDB memory/spill caps, like the sf1 ledger).
+    */
+  private val Sf10 = "/tmp/graft_sf10"
+
   private val heavy = Seq(
     "q1_agg", "j3_profit_rollup", "tx8_tfidf", "c2_semantic_dedup",
     "d2_ngram_jaccard", "d4_simhash_pairs", "d6_dedup_groups",
@@ -80,7 +89,14 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(s"$Sf1/_DONE").exists()) generate(spark)
+    if (args.headOption.contains("gen-sf10")) {
+      if (!new java.io.File(s"$Sf10/_DONE").exists())
+        generate(spark, Sf10, copies = 100)
+      else println(s"$Sf10 already materialized")
+      spark.stop()
+      return
+    }
+    if (!new java.io.File(s"$Sf1/_DONE").exists()) generate(spark, Sf1, copies = 10)
 
     def time(dir: String, name: String): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -107,19 +123,17 @@ object ScaleSmoke {
     spark.stop()
   }
 
-  private def generate(spark: SparkSession): Unit = {
-    val copies = 10
-
+  private def generate(spark: SparkSession, dst: String, copies: Int): Unit = {
     def fanout(name: String, perturb: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$Sf01/$name.parquet")
       (0 until copies).map(i => perturb(base, i))
         .reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$Sf1/$name.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
     }
     // dimension tables: single copy (star-schema scaling)
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$Sf01/$t.parquet")
-        .write.mode("overwrite").parquet(s"$Sf1/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
     fanout("lineitem", (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
@@ -135,12 +149,24 @@ object ScaleSmoke {
           when(j % 3 === 2,
             concat(lit(s"c${i}x"), pmod(col("doc_id"), lit(97)))).otherwise(w))))
       .withColumn("n_chars", length(col("text")).cast("long")))
-    fanout("embeddings", (df, i) => df
-      .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
-      .withColumn("embedding",
-        if (i == 0) col("embedding")
-        else concat(slice(col("embedding"), i * 6 + 1, 64 - i * 6),
-          slice(col("embedding"), 1, i * 6))))
-    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$Sf1/_DONE"))
+    fanout("embeddings", (df, i) => {
+      // cyclic rotation decorrelates cross-copy cosines; at copies > 10
+      // the raw i*6 offset overruns the 64-dim vector, so rotate by
+      // (i*6 mod 64) and add a tiny copy-specific sign flip on one
+      // coordinate when the rotation aliases back to 0 (i multiple of
+      // 32) — copies must never be bitwise-identical vectors or
+      // SemDeDup/ANN candidate sets go quadratic in the copy count
+      val rot = (i * 6) % 64
+      val rotated =
+        if (rot == 0 && i == 0) col("embedding")
+        else if (rot == 0)
+          concat(slice(col("embedding"), 2, 63),
+            transform(slice(col("embedding"), 1, 1), x => -x))
+        else concat(slice(col("embedding"), rot + 1, 64 - rot),
+          slice(col("embedding"), 1, rot))
+      df.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+        .withColumn("embedding", rotated)
+    })
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dst/_DONE"))
   }
 }
