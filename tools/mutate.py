@@ -134,6 +134,24 @@ MUTANTS = [
 
 SPARK_JARS = "/opt/spark/jars"
 
+# Spark 4.x on JDK 17 outside spark-submit needs the module opens that
+# build.sbt's javaOptions inject when sbt forks — running graft.Verify
+# via bare `java -cp` without them breaks Kryo on ~9 streaming twins
+# ("Unable to make field java.nio.ByteBuffer.hb accessible"), which
+# poisoned the first campaign attempt with identical false kills across
+# unrelated mutants. Keep in sync with build.sbt jdk17AddOpens.
+JVM_OPTS = [o for p in [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+] for o in ("--add-opens", f"{p}=ALL-UNNAMED")] + [
+    "-Xmx8g", "-Dspark.ui.enabled=false",
+    "-Dspark.sql.session.timeZone=UTC"]
+
 
 def sh(cmd, cwd=None, env=None, timeout=None):
     return subprocess.run(cmd, shell=isinstance(cmd, str), cwd=cwd, env=env,
@@ -169,7 +187,7 @@ def run_one(worktree, sfdir, m, outdir):
                    GRAFT_SKIP_MANIFEST="1", SPARK_GRAFT_CPUS="4")
         cp = f"{worktree}/target/scala-2.13/classes:{SPARK_JARS}/*"
         sh(f"rm -rf {outdir}")
-        v = sh(["java", "-cp", cp, "graft.Verify", sfdir, outdir],
+        v = sh(["java"] + JVM_OPTS + ["-cp", cp, "graft.Verify", sfdir, outdir],
                cwd=worktree, env=env, timeout=2400)
         if v.returncode != 0:
             # a Verify crash IS detection: the driver's gate would record
@@ -211,6 +229,26 @@ def main():
     if dirty:
         print(f"worktree dirty:\n{dirty}", file=sys.stderr)
         sys.exit(2)
+    # harness self-test: the UNMUTATED tree must gate clean on a sentinel
+    # subset (two Kryo-exercising streaming twins + one batch row) before
+    # any mutant is scored — a broken run environment (the first campaign
+    # attempt's missing --add-opens) must fail HERE, not masquerade as
+    # kills across every mutant
+    env = dict(os.environ, GRAFT_SKIP_MANIFEST="1", SPARK_GRAFT_CPUS="4")
+    cp = f"{args.worktree}/target/scala-2.13/classes:{SPARK_JARS}/*"
+    sentinels = ["a22s_lateness_stream", "w11s_cusum_stream", "t9_time_gate"]
+    sh(f"rm -rf {outdir}")
+    pv = sh(["java"] + JVM_OPTS + ["-cp", cp, "graft.Verify", args.sfdir, outdir]
+            + sentinels, cwd=args.worktree, env=env, timeout=1200)
+    pc = sh(["python3", os.path.join(args.worktree, "tools/check.py"),
+             args.sfdir, outdir] + sentinels, timeout=600)
+    if pv.returncode != 0 or pc.returncode != 0:
+        print("PRECHECK FAILED — environment broken, refusing to score mutants:",
+              file=sys.stderr)
+        print((pv.stderr or "")[-600:], file=sys.stderr)
+        print(pc.stdout[-600:], file=sys.stderr)
+        sys.exit(3)
+    print(f"== precheck clean ({', '.join(sentinels)})", flush=True)
     for m in todo:
         print(f"== {m[0]} ({m[4]})", flush=True)
         try:
