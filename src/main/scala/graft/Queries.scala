@@ -48,6 +48,27 @@ object Queries {
     "t2_state_scan_two_keys" -> ((s, dir) =>
       StateOps.queryTicks(t(s, dir, "events"), Seq("user_id", "event_type"), "event_id")),
 
+    // ---- T2's ORDERING contract made comparator-visible (r13 mutation
+    // campaign: flipping scan()'s ASC NULLS FIRST survived the whole
+    // catalog — the driver comparator sorts rows before hashing, and
+    // the driver corpus has no null keys, so a pure-order bug was
+    // unobservable). Here the order decides WHICH rows exist: a slice
+    // of the key is nulled, the scan's head is kept — NULLS FIRST puts
+    // every (null, *) group inside the head, NULLS LAST pushes them
+    // out, so the surviving ROW SET differs and the hash gate fires.
+    "t2b_scan_null_head" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("user_id",
+          when(col("event_id") % 97 === 0, lit(null).cast("long"))
+            .otherwise(col("user_id")))
+      StateOps.query(
+        StateOps.lastByKey(ev, Seq("user_id", "event_type"), "event_id"),
+        Seq("user_id", "event_type"),
+        graft.state.StateQuery(),
+        tieBreak = Seq("event_id")
+      ).limit(25)
+    }),
+
     // ---- T3: conjunctive value+attr filters over state (state.py:339-376)
     "t3_state_filter_query" -> ((s, dir) =>
       StateOps.queryTicks(
@@ -107,6 +128,14 @@ object Queries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1
         |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+    "t2b_scan_null_head" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+        |      FROM (SELECT * REPLACE (CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id END AS user_id)
+        |            FROM events)) t
+        |WHERE rn = 1
+        |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST, event_id ASC NULLS FIRST
+        |LIMIT 25""".stripMargin,
     "t3_state_filter_query" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
