@@ -369,6 +369,26 @@ object PipelineQueries {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, numHashes = 16, bands = 4, threshold = 0.5)),
 
+    // ---- per-BAND occupancy audit (r13 mutation campaign: dropping an
+    // LSH band survived the whole gate — every sf0.01 near-dup pair
+    // collides in several bands, and no entry observed band membership
+    // itself). One row per band: bucket count, doc mass, within-bucket
+    // pair mass — the band-balance audit an LSH operator runs before
+    // trusting its recall, and a gate that fails the moment any band
+    // is added, dropped, or re-hashed.
+    "d3e_band_occupancy" -> ((s, dir) => {
+      val sigs = t(s, dir, "documents")
+        .select(col("doc_id").as("_id"),
+          Dedup.minhashSignature(col("text"), 3, 16).as("_sig"))
+        .filter(col("_sig").getItem(0).isNotNull)
+      Dedup.bandBucketsFromSigs(sigs, "_id", "_sig", numHashes = 16, bands = 4)
+        .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("g"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("g")).as("n_docs"),
+          sum(expr("g * (g - 1) DIV 2")).as("pair_mass"))
+    }),
+
     // ---- pair REPORTS: per-relation-value pair/doc counts computed
     // analytically from signature-group occupancies — the audit
     // surface for corpora where enumerating pairs is output-quadratic
@@ -2646,6 +2666,19 @@ object PipelineQueries {
          |est AS (SELECT id1, id2, $sigAgreeSql / 16.0 AS est_jaccard
          |        FROM cand JOIN sig a ON id1 = a.doc_id JOIN sig b ON id2 = b.doc_id)
          |SELECT id1, id2, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin,
+
+    "d3e_band_occupancy" ->
+      s"""WITH $shingleCtes,
+         |hs AS (SELECT doc_id, ${phSql("s")} AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashSigCols FROM hs GROUP BY doc_id),
+         |bands AS (${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, ${bandHashSql(b)} AS bh FROM sig")
+             .mkString(" UNION ALL ")}),
+         |bk AS (SELECT band, bh, count(*) AS g FROM bands GROUP BY 1, 2)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(sum(g) AS BIGINT) AS n_docs,
+         |       CAST(sum(g * (g - 1) // 2) AS BIGINT) AS pair_mass
+         |FROM bk GROUP BY band""".stripMargin,
 
     "d4_simhash" ->
       s"""WITH th AS (SELECT doc_id, [CASE WHEN t = '' THEN 0 ELSE ${phSql("t")} END for t in string_split(text,' ')] AS hs
