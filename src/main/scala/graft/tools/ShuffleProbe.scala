@@ -54,7 +54,13 @@ object ShuffleProbe {
       Thread.sleep(1500)
       write.set(0); read.set(0)
       val t0 = System.nanoTime()
-      val rows = graft.SparkEntry.queries(name)(spark, dir).count()
+      // force the FULL output plan, not count()'s pruned one: count()
+      // lets Catalyst drop unreferenced window/computed columns and
+      // their exchanges (measured: a19's window shuffle vanished under
+      // count(), reporting 59 bytes) — toRdd materializes every output
+      // column exactly as Verify's parquet write does
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val rows = df.queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       Thread.sleep(1500) // async listener bus: let stage events land
