@@ -432,6 +432,16 @@ object PipelineQueries {
     "d4_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2)),
 
+    // ---- the DECLARATIVE simhash under the gate, on a tie-dense
+    // input (r13 mutation campaign: simhashDeclarative was spec-only —
+    // a majority-tie flip `>`→`>=` survived the whole catalog). A
+    // 2-token prefix makes per-bit ties ~50% likely, so the strict
+    // majority rule itself is load-bearing in every output row.
+    "d4c_simhash_declarative" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Dedup.simhashDeclarative(
+          concat_ws(" ", slice(split(col("text"), " "), 1, 2))).as("simhash"))),
+
     // ---- dedup group resolution: connected components over the
     // simhash near-dup graph (keep = doc_id == component). Consumes
     // the component-equivalent linear EDGE set, never pair cliques
@@ -439,6 +449,19 @@ object PipelineQueries {
       Dedup.connectedComponents(
         Dedup.simhashEdges(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2),
         "id1", "id2")
+        .select(col("id").as("doc_id"), col("component"))),
+
+    // ---- d6 with the DISTRIBUTED star-contraction forced
+    // (localEdgeThreshold = 0): r13 mutation campaign — at sf0.01 the
+    // whole edge set fits under the 500k local-tail threshold, so the
+    // contraction rounds (the code path that actually runs at 100 TB)
+    // were never executed by the gate, and a seeded min→max bug in the
+    // neighborhood aggregate survived. Same oracle as d6: the label
+    // choice is path-independent, only the execution branch differs.
+    "d6c_components_distributed" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.simhashEdges(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2),
+        "id1", "id2", localEdgeThreshold = 0L)
         .select(col("id").as("doc_id"), col("component"))),
 
     // ---- the dedup SAVINGS sheet: per group size, exact token mass
@@ -2682,6 +2705,13 @@ object PipelineQueries {
 
     "d4_simhash" ->
       s"""WITH th AS (SELECT doc_id, [CASE WHEN t = '' THEN 0 ELSE ${phSql("t")} END for t in string_split(text,' ')] AS hs
+         |            FROM documents)
+         |SELECT doc_id, ${simhashSql("hs")} AS simhash FROM th""".stripMargin,
+
+    // d4's formula over the tie-dense 2-token prefix (strict majority
+    // replayed in SQL — the rule d4c exists to pin)
+    "d4c_simhash_declarative" ->
+      s"""WITH th AS (SELECT doc_id, [CASE WHEN t = '' THEN 0 ELSE ${phSql("t")} END for t in string_split(text,' ')[1:2]] AS hs
          |            FROM documents)
          |SELECT doc_id, ${simhashSql("hs")} AS simhash FROM th""".stripMargin,
 
@@ -5072,6 +5102,10 @@ object PipelineQueries {
     * in-session build — the s10 oracles are the s3/s5 SQL verbatim.
     */
   val oracles: Map[String, String] = oracles0 ++ Map(
+    // the distributed-contraction twin computes the same relation —
+    // one canonical min-label per component — through the branch the
+    // sf0.01 local tail otherwise masks
+    "d6c_components_distributed" -> oracles0("d6_dedup_groups"),
     "s10_saved_index" -> oracles0("s3_ann_ivf"),
     "s13_incremental_add" -> oracles0("s3_ann_ivf"),
     // filtered serving from the saved index == in-session filtered IVF

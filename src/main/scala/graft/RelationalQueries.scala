@@ -25,6 +25,20 @@ object RelationalQueries {
         .select(col("item.*"))
     }),
 
+    // ---- X2's EMPTY-basket contract (r13 mutation campaign: no entry
+    // exercised Transforms.unroll itself, nor the explode-vs-
+    // explode_outer distinction — an empty basket must emit NO row,
+    // matching SQL UNNEST). Every 7th user's basket is deliberately
+    // empty; an explode_outer drift would add a null row per empty
+    // basket and red the rowcount.
+    "x2b_unroll_empty" -> ((s, dir) => {
+      val baskets = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(
+          when(col("user_id") % 7 =!= 0, col("event_id")))).as("items"))
+      Transforms.unroll(baskets, "items", "item")
+    }),
+
     // ---- X5: struct → JSON → struct serde roundtrip
     "x5_serde_roundtrip" -> ((s, dir) => {
       val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
@@ -613,6 +627,10 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "x2_unroll_roundtrip" ->
       "SELECT event_id, user_id, value FROM events",
+
+    // UNNEST drops empty lists — the explode contract x2b pins
+    "x2b_unroll_empty" ->
+      "SELECT user_id, event_id AS item FROM events WHERE user_id % 7 <> 0",
 
     "x5_serde_roundtrip" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",

@@ -281,6 +281,71 @@ object StreamingQueries {
       else Files.createTempDirectory(prefix)).toString)
   }
 
+  /** Shared k2b/k2c machinery: write the md5-shuffled 100-row-cycle
+    * engine log, replay it through a real ChannelRuntime — optionally
+    * fast-forwarded to `startAtCycle`'s exact engine timestamp (the
+    * reference resume contract, inclusive) — and emit every replayed
+    * row stamped with its emission position.
+    */
+  private def lateReplayThrough(
+      s: SparkSession,
+      dir: String,
+      startTime: Option[Int]): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val events = t(s, dir, "events").filter(col("event_id") <= 2000)
+      .select(cols.map(col): _*)
+    val schema = events.schema
+    val rows = events.orderBy(col("event_id")).collect()
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cycles = rows.grouped(100).toSeq
+    val shuffled = cycles.zipWithIndex
+      .sortBy { case (_, i) => md5hex(i.toString) }
+    // resume point: cycle N's head engine timestamp, EXACTLY — the
+    // boundary cycle must replay (inclusive >=)
+    val startMs = startTime.map(n =>
+      cycles(n).head.getAs[java.sql.Timestamp]("ts").getTime)
+    val path = java.nio.file.Paths.get(graft.core.Scratch.track(
+      Files.createTempFile("graft-k2b-log", ".jsonl").toString))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val w = java.nio.file.Files.newBufferedWriter(path)
+    try {
+      shuffled.foreach { case (cycle, _) =>
+        val root = mapper.createObjectNode()
+        root.put("csp_engine_timestamp",
+          cycle.head.getAs[java.sql.Timestamp]("ts").getTime)
+        val arr = root.putArray("events")
+        cycle.foreach(r => arr.add(
+          graft.streaming.EngineLog.rowToJson(mapper, r, schema)))
+        w.write(mapper.writeValueAsString(root)); w.newLine()
+      }
+    } finally w.close()
+    val rt = new graft.streaming.ChannelRuntime(s,
+      Map("events" -> graft.core.ChannelSpec("events", schema,
+        stateKeyby = Seq("event_id"), omitFromLookup = true)),
+      graft.core.Scratch.dir("graft-k2b-ckpt"))
+    rt.start()
+    try {
+      graft.streaming.EngineLog.replay(rt, path.toString, Seq("events"),
+        startTime = startMs)
+      rt.processAllAvailable()
+      // every replayed row, stamped with its emission position
+      val out = rt.stateFrame("events").collect()
+      val seqIdx = rt.runtimeSchema(rt.specs("events")).fieldNames
+        .indexOf(graft.streaming.ChannelRuntime.SeqCol)
+      val emitted = out.sortBy(_.getLong(seqIdx)).zipWithIndex.map {
+        case (r, i) => Row.fromSeq(
+          cols.indices.map(r.get) :+ (i + 1).toLong)
+      }
+      s.createDataFrame(
+        java.util.Arrays.asList(emitted: _*),
+        org.apache.spark.sql.types.StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField("emit_pos",
+            org.apache.spark.sql.types.LongType)))
+    } finally rt.stop()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- T1, streaming: last-row-per-key accumulated across four
     // micro-batches in the flatMapGroupsWithState state store, result
@@ -989,56 +1054,20 @@ object StreamingQueries {
     // emission sequence must equal the shuffled file order exactly,
     // with no row dropped or reordered. emit_pos is the runtime's
     // arrival seq; the oracle recomputes the same shuffle in SQL.
-    "k2b_late_replay" -> ((s, dir) => {
-      val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
-      val events = t(s, dir, "events").filter(col("event_id") <= 2000)
-        .select(cols.map(col): _*)
-      val schema = events.schema
-      val rows = events.orderBy(col("event_id")).collect()
-      def md5hex(x: String): String =
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val shuffled = rows.grouped(100).toSeq.zipWithIndex
-        .sortBy { case (_, i) => md5hex(i.toString) }
-      val path = java.nio.file.Paths.get(graft.core.Scratch.track(
-        Files.createTempFile("graft-k2b-log", ".jsonl").toString))
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val w = java.nio.file.Files.newBufferedWriter(path)
-      try {
-        shuffled.foreach { case (cycle, _) =>
-          val root = mapper.createObjectNode()
-          root.put("csp_engine_timestamp",
-            cycle.head.getAs[java.sql.Timestamp]("ts").getTime)
-          val arr = root.putArray("events")
-          cycle.foreach(r => arr.add(
-            graft.streaming.EngineLog.rowToJson(mapper, r, schema)))
-          w.write(mapper.writeValueAsString(root)); w.newLine()
-        }
-      } finally w.close()
-      val rt = new graft.streaming.ChannelRuntime(s,
-        Map("events" -> graft.core.ChannelSpec("events", schema,
-          stateKeyby = Seq("event_id"), omitFromLookup = true)),
-        graft.core.Scratch.dir("graft-k2b-ckpt"))
-      rt.start()
-      try {
-        graft.streaming.EngineLog.replay(rt, path.toString, Seq("events"))
-        rt.processAllAvailable()
-        // every replayed row, stamped with its emission position
-        val out = rt.stateFrame("events").collect()
-        val seqIdx = rt.runtimeSchema(rt.specs("events")).fieldNames
-          .indexOf(graft.streaming.ChannelRuntime.SeqCol)
-        val emitted = out.sortBy(_.getLong(seqIdx)).zipWithIndex.map {
-          case (r, i) => Row.fromSeq(
-            cols.indices.map(r.get) :+ (i + 1).toLong)
-        }
-        s.createDataFrame(
-          java.util.Arrays.asList(emitted: _*),
-          org.apache.spark.sql.types.StructType(schema.fields :+
-            org.apache.spark.sql.types.StructField("emit_pos",
-              org.apache.spark.sql.types.LongType)))
-      } finally rt.stop()
-    }),
+    "k2b_late_replay" -> ((s, dir) =>
+      lateReplayThrough(s, dir, startTime = None)),
 
+    // ---- S3 resume fast-forward parity (r13 mutation campaign: the
+    // `startTime` cycle-skip bound was unreachable through the whole
+    // catalog — no entry passed a startTime, so an off-by-one at the
+    // resume boundary survived the gate). Same shuffled log as k2b,
+    // replayed with startTime pinned EXACTLY to cycle 7's engine
+    // timestamp: the reference contract (io/json_pull_adapter.py:22-33)
+    // resumes AT the checkpoint cycle inclusively, so that boundary
+    // cycle's rows must all emit — a `>=`→`>` flip drops precisely
+    // them and reds the row set.
+    "k2c_resume_replay" -> ((s, dir) =>
+      lateReplayThrough(s, dir, startTime = Some(7))),
     // ---- watermarked stream-stream interval join: even-id events
     // (requests) join odd-id events (responses) per user within 1h,
     // both sides ticking through event time in lock-step; the 365-day
@@ -1117,6 +1146,20 @@ object StreamingQueries {
         |           FROM events WHERE event_id <= 2000),
         |o AS (SELECT e.*, row_number() OVER (ORDER BY md5(CAST(cyc AS VARCHAR)), event_id) AS emit_pos
         |      FROM e)
+        |SELECT event_id, ts, user_id, event_type, value,
+        |       CAST(emit_pos AS BIGINT) AS emit_pos FROM o""".stripMargin,
+    // k2b's log resumed at cycle 7's exact engine timestamp (ms, the
+    // log's csp_engine_timestamp unit): cycles whose head timestamp is
+    // >= the boundary replay — INCLUSIVE, so cycle 7's own rows emit
+    "k2c_resume_replay" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+        |                  (row_number() OVER (ORDER BY event_id) - 1) // 100 AS cyc
+        |           FROM events WHERE event_id <= 2000),
+        |h AS (SELECT cyc, epoch_ms(arg_min(ts, event_id)) AS hms FROM e GROUP BY cyc),
+        |st AS (SELECT hms AS s0 FROM h WHERE cyc = 7),
+        |q AS (SELECT e.* FROM e JOIN h USING (cyc), st WHERE h.hms >= st.s0),
+        |o AS (SELECT q.*, row_number() OVER (ORDER BY md5(CAST(cyc AS VARCHAR)), event_id) AS emit_pos
+        |      FROM q)
         |SELECT event_id, ts, user_id, event_type, value,
         |       CAST(emit_pos AS BIGINT) AS emit_pos FROM o""".stripMargin,
 
