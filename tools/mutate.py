@@ -130,6 +130,39 @@ MUTANTS = [
      "when(ones * lit(2) > n, lit(1L << b)).otherwise(lit(0L))",
      "when(ones * lit(2) >= n, lit(1L << b)).otherwise(lit(0L))",
      "declarative simhash: majority tie sets the bit (drifts from the native expr + oracle)"),
+    # ---- wave 2 (r13): families wave 1 did not touch --------------------
+    ("m25_range_halfopen", "src/main/scala/graft/operators/RangeJoin.scala",
+     "Seq(col(pointCol) >= col(loCol), col(pointCol) <= col(hiCol)))",
+     "Seq(col(pointCol) >= col(loCol), col(pointCol) < col(hiCol)))",
+     "range join: closed upper bound flipped half-open (boundary points dropped)"),
+    ("m26_retention_cohort_max", "src/main/scala/graft/operators/EventAnalytics.scala",
+     ".select(array_min(col(\"_ws\")).as(\"_cohort\"), explode(col(\"_ws\")).as(\"_active\"))",
+     ".select(array_max(col(\"_ws\")).as(\"_cohort\"), explode(col(\"_ws\")).as(\"_active\"))",
+     "retention: cohort anchored to LAST active period instead of first"),
+    ("m27_bpe_fold_off1", "src/main/scala/graft/pipeline/Curation.scala",
+     "when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),",
+     "when(size(acc) > 1 && element_at(acc, -1) === lit(a) && s === lit(b),",
+     "BPE merge fold: a merge at word position 1 never happens"),
+    ("m28_transitions_lag2", "src/main/scala/graft/operators/EventAnalytics.scala",
+     ".withColumn(\"_from\", lag(col(typeCol), 1).over(w))",
+     ".withColumn(\"_from\", lag(col(typeCol), 2).over(w))",
+     "transition matrix: skips one event (lag 2 instead of consecutive)"),
+    ("m29_tags_kv_swap", "src/main/scala/graft/operators/Monitoring.scala",
+     "concat(e.getField(\"key\"), lit(\":\"), e.getField(\"value\"))",
+     "concat(e.getField(\"value\"), lit(\":\"), e.getField(\"key\"))",
+     "vendor tags: key and value swapped in the k:v payload list"),
+    ("m30_pq_subspace_off1", "src/main/scala/graft/pipeline/Similarity.scala",
+     "argmaxCell(slice(vec, j * sub + 1, sub), centArr).as(s\"_c$j\")",
+     "argmaxCell(slice(vec, j * sub + 2, sub), centArr).as(s\"_c$j\")",
+     "PQ encode: subvector slice off by one (codes drift across all subspaces)"),
+    ("m31_compaction_order", "src/main/scala/graft/pipeline/Layout.scala",
+     ".orderBy(col(\"n_rows\").desc, col(tieCol).asc)",
+     ".orderBy(col(\"n_rows\").asc, col(tieCol).asc)",
+     "compaction plan: next-fit walks files smallest-first (bin assignment flips)"),
+    ("m32_bmp_dispatch", "src/main/scala/graft/pipeline/Multimodal.scala",
+     "payload(0) == 'B'.toByte && payload(1) == 'M'.toByte &&",
+     "payload(0) == 'B'.toByte && payload(1) == 'N'.toByte &&",
+     "media dispatch: BMP magic misread — no payload ever routes to the BMP decoder"),
 ]
 
 SPARK_JARS = "/opt/spark/jars"
