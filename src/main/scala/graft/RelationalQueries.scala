@@ -294,6 +294,28 @@ object RelationalQueries {
         .select(col("event_id"), col("win_id"))
     }),
 
+    // ---- j5's CLOSED upper bound made observable (r13 mutation wave 2:
+    // flipping `p <= hi` half-open survived — no sf0.01 point lands
+    // exactly on a window's hi). Every window here ends EXACTLY on the
+    // user's next event timestamp, so the boundary point exists by
+    // construction in every window and the bound itself decides the
+    // row set.
+    "j5b_range_boundary" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val pts = ev.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("p"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wins = ev
+        .withColumn("_nx", lead(unix_micros(col("ts")), 1).over(w))
+        .filter(col("event_id") % 53 === 0 && col("_nx").isNotNull)
+        .select(col("event_id").as("win_id"), col("user_id").as("w_user"),
+          unix_micros(col("ts")).as("lo"), col("_nx").as("hi"))
+      graft.operators.RangeJoin.pointInRange(pts, wins, "p", "lo", "hi",
+        bucketWidth = 3600000000L, equiKeys = Seq("user_id" -> "w_user"))
+        .select(col("event_id"), col("win_id"))
+    }),
+
     // ---- salted skew join: lineitem joined to orders on (key, salt)
     // with the orders side replicated per salt — the manual hot-key
     // spread; same answer as the plain join, by construction
@@ -806,6 +828,20 @@ object RelationalQueries {
         |                epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
         |                epoch_us(CAST(ts AS TIMESTAMP)) + 7200000000 AS hi
         |         FROM events WHERE event_id % 97 = 0)
+        |SELECT event_id, win_id FROM pts JOIN wins
+        |ON user_id = w_user AND p >= lo AND p <= hi""".stripMargin,
+
+    // every window's hi IS the user's next event timestamp — the
+    // closed upper bound is load-bearing in every output row
+    "j5b_range_boundary" ->
+      """WITH pts AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p
+        |             FROM events),
+        |wins0 AS (SELECT event_id AS win_id, user_id AS w_user,
+        |                 epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
+        |                 lead(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+        |                   OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS hi
+        |          FROM events),
+        |wins AS (SELECT * FROM wins0 WHERE win_id % 53 = 0 AND hi IS NOT NULL)
         |SELECT event_id, win_id FROM pts JOIN wins
         |ON user_id = w_user AND p >= lo AND p <= hi""".stripMargin,
 
