@@ -221,6 +221,30 @@ object PipelineQueries {
        |${(1 to rounds).map(roundCtes).mkString(",\n")}""".stripMargin
   }
 
+  /** APPLY-only BPE walk over a FIXED merge list (tx15c): the same
+    * leftmost-non-overlapping recursive walk as [[bpeCtes]]' rounds,
+    * without the learning step — literal (a, b) per round. */
+  private def bpeApplyCtes(merges: Seq[(String, String)]): String = {
+    val rounds = merges.zipWithIndex.map { case ((a, b), idx) =>
+      val r = idx + 1
+      val prev = s"w${r - 1}"
+      s"""walk$r AS (
+         |  SELECT word, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM $prev
+         |  UNION ALL
+         |  SELECT word, syms,
+         |    CASE WHEN i < len(syms) AND syms[i]='$a' AND syms[i+1]='$b'
+         |         THEN i+2 ELSE i+1 END,
+         |    CASE WHEN i < len(syms) AND syms[i]='$a' AND syms[i+1]='$b'
+         |         THEN list_append(acc, '${a + b}') ELSE list_append(acc, syms[i]) END
+         |  FROM walk$r WHERE i <= len(syms)),
+         |w$r AS (SELECT word, acc AS syms FROM walk$r WHERE i = len(syms)+1)""".stripMargin
+    }
+    s"""wd AS (SELECT DISTINCT t AS word
+       |  FROM (SELECT unnest(string_split(text,' ')) AS t FROM documents) WHERE t <> ''),
+       |w0 AS (SELECT word, string_split_regex(word,'') AS syms FROM wd),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
   /** doc_id + distinct word-3-gram shingles CTEs over `documents`. */
   private[graft] val shingleCtes =
     """toks AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents),
@@ -1956,6 +1980,17 @@ object PipelineQueries {
     // count over the Zipf-bounded vocab + one argmax row to the
     // driver + a codegen'd greedy array-fold merge. The oracle
     // replays the identical rounds with recursive-CTE greedy walks
+    // ---- BPE APPLY with a word-INITIAL merge pinned (r13 mutation
+    // wave 2: the fold's leftmost-merge rule at word position 1 was
+    // unobservable — the corpus's learned merges (er/in/ow) start no
+    // word, so an off-by-one in the fold position survived). 'jo' and
+    // 'ha' head ~1.9k corpus words; chaining 'joh' exercises a merge
+    // whose LEFT side is itself a merged symbol.
+    "tx15c_bpe_apply_initial" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Curation.bpeTokenCount(col("text"),
+          Seq("j" -> "o", "h" -> "a", "jo" -> "h")).as("n_bpe"))),
+
     "tx15_bpe_merges" -> ((s, dir) =>
       Curation.bpeTrainMerges(t(s, dir, "documents"), "text", rounds = 3)),
 
@@ -4598,6 +4633,17 @@ object PipelineQueries {
     // encode path: every doc's words segmented by the w3 vocab (the
     // walks already applied all three merges per word); left join
     // keeps empty docs at 0
+    // fixed word-initial merge chain (j+o, h+a, jo+h) applied in SQL —
+    // position-1 merges are load-bearing in ~1.9k corpus words
+    "tx15c_bpe_apply_initial" ->
+      s"""WITH RECURSIVE
+         |${bpeApplyCtes(Seq("j" -> "o", "h" -> "a", "jo" -> "h"))},
+         |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+         |cnts AS (SELECT doc_id, sum(len(syms)) AS n
+         |  FROM tok JOIN w3 USING (word) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_bpe
+         |FROM documents d LEFT JOIN cnts c USING (doc_id)""".stripMargin,
+
     "tx15b_bpe_tokens" ->
       s"""WITH RECURSIVE
          |${bpeCtes(3)},
