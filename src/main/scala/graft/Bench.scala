@@ -83,6 +83,12 @@ object Bench {
     // with the box while its floor-ratio holds ~constant is drift, not
     // regression.
     val twinNames = StreamingQueries.all.keySet
+    // advisor r13: the denominator must count the twins actually summed
+    // into the numerator — a failed twin (v <= 0) excluded from the
+    // subtotal but still counted in the floor would silently skew the
+    // committed stream_floor_ratio downward and break cross-round drift
+    // comparisons. n_twins in the output is this included count.
+    val includedTwins = allResults.count { case (k, v) => twinNames(k) && v > 0 }
     val streamSubtotal = allResults.collect {
       case (k, v) if twinNames(k) && v > 0 => v }.sum
     val twinFloor =
@@ -90,8 +96,8 @@ object Bench {
       else try (0 until 3).map(_ => twinFloorRep(spark)).min
            catch { case _: Throwable => -1.0 }
     val floorRatio =
-      if (twinFloor > 0 && twinNames.nonEmpty)
-        streamSubtotal / (twinFloor * twinNames.size)
+      if (twinFloor > 0 && includedTwins > 0)
+        streamSubtotal / (twinFloor * includedTwins)
       else -1.0
     val canaryLast = math.min(canary(spark), canary(spark))
     // ---- output, three tiers (r10 verdict: every BENCH_r*.json had
@@ -111,7 +117,7 @@ object Bench {
     // ignores): canary pair, twin floor, streaming subtotal + ratio
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     val drift = s""""canary_first":${r3(canaryFirst)},"canary_last":${r3(canaryLast)},""" +
-      s""""twin_floor":${r3(twinFloor)},"n_twins":${twinNames.size},""" +
+      s""""twin_floor":${r3(twinFloor)},"n_twins":$includedTwins,"n_twins_catalog":${twinNames.size},""" +
       s""""stream_subtotal":${r3(streamSubtotal)},"stream_floor_ratio":${r3(floorRatio)}"""
     val verbose =
       s"""{"metric":"total","value":$total,"unit":"sec",$drift,"queries":$qs,"sf":"$sfDir"}"""

@@ -1313,18 +1313,43 @@ final class Gateway(
                |    state.limit = isNaN(lim) || lim <= 0 ? 500 : lim;
                |    state.view = document.getElementById('vw').value;
                |    // new expression names must join the column selects —
-               |    // rebuild the controls, preserving the typed expr text
-               |    const exText = document.getElementById('ex').value;
-               |    controls();
-               |    document.getElementById('ex').value = exText;
+               |    // rebuild, then restore EVERY control from state
+               |    rebuildControls();
                |    render();
                |  };
+               |}
+               |// controls() rebuilds the DOM with default values (empty
+               |// group-by, agg=count, limit 500); without restoring from
+               |// state the NEXT apply would read the reset DOM and silently
+               |// wipe the user's prior configuration (advisor r13) — so
+               |// every rebuild goes through here, never bare controls().
+               |function syncControls(){
+               |  const by = id => document.getElementById(id);
+               |  const gb = by('gb');
+               |  if (gb && gb.options)
+               |    for (const o of gb.options)
+               |      o.selected = state.groupBy.indexOf(o.value) >= 0;
+               |  by('sb').value = state.splitBy;
+               |  by('agg').value = state.agg;
+               |  by('aggc').value = state.aggCol;
+               |  by('fc').value = state.filterCol;
+               |  by('fop').value = state.filterOp;
+               |  by('fv').value = state.filterVal;
+               |  by('lim').value = state.limit;
+               |  by('vw').value = state.view;
+               |}
+               |function rebuildControls(){
+               |  const exEl = document.getElementById('ex');
+               |  const exText = exEl ? exEl.value : '';
+               |  controls();
+               |  syncControls();
+               |  if (exText) document.getElementById('ex').value = exText;
                |}
                |async function tick(){
                |  const r = await fetch('/api/v1/table/$name');
                |  raw = await r.json();
                |  const cols = raw.length ? Object.keys(raw[0]) : [];
-               |  if (cols.join() !== state.cols.join()) { state.cols = cols; controls(); }
+               |  if (cols.join() !== state.cols.join()) { state.cols = cols; rebuildControls(); }
                |  document.getElementById('n').textContent = raw.length + ' rows';
                |  render();
                |}

@@ -270,7 +270,11 @@ class GatewaySpec extends AnyFunSuite {
         // that applies them before filter/pivot
         "function compileExpr(", "function setExprs(",
         "function withComputed(", "pivot(applyFilter(withComputed(raw)))",
-        "state.cols.concat(state.exprs.map(").foreach(frag =>
+        "state.cols.concat(state.exprs.map(",
+        // control rebuilds restore the user's configuration from state
+        // (advisor r13: a bare controls() reset the DOM to defaults and
+        // the next apply silently wiped the prior configuration)
+        "function syncControls(", "function rebuildControls(").foreach(frag =>
         assert(tablePage.body().contains(frag), s"missing: $frag"))
       assert(get(s"$hostBase/tables/nope").statusCode() === 404)
     }

@@ -317,4 +317,51 @@ class LayoutSpec extends AnyFunSuite {
       Layout.layoutAdvisor(audit, Map("x" -> 1001L))
     }
   }
+
+  test("bucketedTableCached: param change against an existing cache forces a rebuild") {
+    import spark.implicits._
+    // the silent-wrong-rows hazard (advisor r13): re-registering a
+    // CLUSTERED BY claim over files physically written with DIFFERENT
+    // (keyCol, buckets, schema) — the params marker must force a
+    // rebuild on any mismatch, and must NOT rebuild when params match
+    val root = Files.createTempDirectory("graft_bcache").toString
+    val path = s"$root/t"
+    val data = (0L until 64L).map(i => (i, s"v$i")).toDF("k", "s")
+    def call(keyCol: String, buckets: Int, proj: Seq[String]) =
+      Layout.bucketedTableCached(
+        spark, data.select(proj.map(col): _*), "graft_bcache_spec",
+        keyCol, buckets, path)
+    def markerText: String = new String(
+      Files.readAllBytes(new java.io.File(path, "_GRAFT_BUCKET_PARAMS").toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+    assert(call("k", 4, Seq("k", "s")).count() === 64L)
+    assert(markerText.startsWith("v1|k|4|"))
+    // sentinel survives a params-matching second call (cache HIT, no
+    // overwrite); vanishes on any params mismatch (overwrite rebuild)
+    val sentinel = new java.io.File(path, "probe_sentinel.txt")
+    def plant(): Unit = { val w = new java.io.PrintWriter(sentinel); w.print("x"); w.close() }
+    plant()
+    assert(call("k", 4, Seq("k", "s")).count() === 64L)
+    assert(sentinel.exists(), "matching params must reuse the cache")
+
+    assert(call("k", 8, Seq("k", "s")).count() === 64L) // buckets 4 -> 8
+    assert(!sentinel.exists(), "buckets change must rebuild the files")
+    assert(markerText.startsWith("v1|k|8|"))
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    val nBuckets = spark.table("graft_bcache_spec").queryExecution.optimizedPlan.collectFirst {
+      case lr: LogicalRelation => lr.relation match {
+        case r: HadoopFsRelation => r.bucketSpec.map(_.numBuckets)
+        case _ => None
+      }
+    }.flatten
+    assert(nBuckets === Some(8), "catalog claim must match the rebuilt layout")
+
+    plant()
+    assert(call("k", 8, Seq("k")).count() === 64L) // projection change
+    assert(!sentinel.exists(), "schema change must rebuild the files")
+    assert(!markerText.contains("`s`"))
+    spark.sql("DROP TABLE IF EXISTS graft_bcache_spec")
+  }
 }

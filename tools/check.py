@@ -200,6 +200,30 @@ def main():
             # listed columns within their declared bound
             keyc, bounds = spec["key"], spec["cols"]
             kidx = [gc.index(c) for c in keyc]
+            # advisor r13: the zip pairing below is only meaningful if
+            # the key tuples are UNIQUE on each side and the two key
+            # sets are EQUAL — with duplicate keys the pairing of
+            # non-key columns is arbitrary sort-order luck, so a
+            # genuinely out-of-bound estimate could pass (or a correct
+            # one fail). Fail loudly instead of comparing garbage.
+            def keyset(rows, side):
+                ks = [tuple(row[i] for i in kidx) for row in rows]
+                dupes = len(ks) - len(set(ks))
+                if dupes:
+                    print(f"FAIL {name}: {dupes} duplicate key tuples on "
+                          f"{side} (key={keyc}) — tolerance alignment undefined")
+                    return None
+                return set(ks)
+            gks, wks = keyset(gr, "spark"), keyset(wr, "duckdb")
+            if gks is None or wks is None:
+                fail += 1
+                continue
+            if gks != wks:
+                only_g, only_w = len(gks - wks), len(wks - gks)
+                print(f"FAIL {name}: key sets differ (spark-only={only_g}, "
+                      f"duckdb-only={only_w}, key={keyc})")
+                fail += 1
+                continue
             def bykey(rows):
                 return sorted(rows, key=lambda r: tuple(
                     (r[i] is None, str(type(r[i])), str(r[i])) for i in kidx))

@@ -137,5 +137,42 @@ vm.runInContext(js + '\n;globalThis.__t = {state, tick, render, pivot, applyFilt
   assert(!grid.includes('<img'), 'hostile cell is escaped');
   assert(grid.includes('&lt;img'), 'escaped form present');
 
-  console.log('TABLE_PAGE_DRIVE_OK: grid render, pivot sum, filter count, split_by crosstab, expression column, XSS escape');
+  // 7. apply must NOT wipe prior configuration on rebuild (advisor
+  // r13): emulate the browser faithfully — assigning ctl.innerHTML
+  // rebuilds the controls AT THEIR DEFAULTS — then click apply twice
+  // and require the second apply to read values RESTORED from state
+  // by syncControls(), not the reset defaults.
+  const DEFAULTS = {sb: '', agg: 'count', aggc: '', fc: '', fop: '==',
+                    fv: '', lim: '500', vw: 'grid', ex: ''};
+  const gbEl = el('gb');
+  gbEl.options = ['symbol', 'qty', 'side'].map(v => ({value: v, selected: false}));
+  Object.defineProperty(gbEl, 'selectedOptions',
+    {get: () => gbEl.options.filter(o => o.selected), configurable: true});
+  const ctl = el('ctl');
+  let ctlHtml = ctl.innerHTML;
+  Object.defineProperty(ctl, 'innerHTML', {
+    get: () => ctlHtml,
+    set: (v) => {
+      ctlHtml = v;
+      for (const [id, d] of Object.entries(DEFAULTS)) el(id).value = d;
+      for (const o of gbEl.options) o.selected = false;
+    },
+    configurable: true,
+  });
+  // the user configures the controls and applies
+  gbEl.options[0].selected = true; // group by symbol
+  el('agg').value = 'sum'; el('aggc').value = 'qty';
+  el('lim').value = '25'; el('vw').value = 'grid'; el('ex').value = '';
+  el('apply').onclick();
+  assert(t.state.groupBy.join() === 'symbol' && t.state.limit === 25,
+    'first apply read the controls');
+  // second apply with UNTOUCHED controls: the rebuild between the two
+  // applies must have restored every control from state
+  el('apply').onclick();
+  assert(t.state.groupBy.join() === 'symbol', 'second apply preserves groupBy');
+  assert(t.state.limit === 25, 'second apply preserves limit');
+  assert(t.state.agg === 'sum' && t.state.aggCol === 'qty',
+    'second apply preserves agg/aggCol');
+
+  console.log('TABLE_PAGE_DRIVE_OK: grid render, pivot sum, filter count, split_by crosstab, expression column, XSS escape, apply preserves config');
 })().catch(e => { console.error('FAIL:', e); process.exit(1); });

@@ -191,6 +191,14 @@ def sh(cmd, cwd=None, env=None, timeout=None):
                           capture_output=True, text=True, timeout=timeout)
 
 
+def scoped_tmp(prefix, sfdir):
+    """Mirror PipelineQueries.scopedTmp: /tmp/{prefix}_{hex(javaHash & 0x7fffffff)}."""
+    h = 0
+    for ch in sfdir:
+        h = (31 * h + ord(ch)) & 0xFFFFFFFF
+    return f"/tmp/{prefix}_{format(h & 0x7FFFFFFF, 'x')}"
+
+
 def apply_mutant(worktree, m):
     _id, relpath, old, new, _note = m
     path = os.path.join(worktree, relpath)
@@ -220,6 +228,13 @@ def run_one(worktree, sfdir, m, outdir):
                    GRAFT_SKIP_MANIFEST="1", SPARK_GRAFT_CPUS="4")
         cp = f"{worktree}/target/scala-2.13/classes:{SPARK_JARS}/*"
         sh(f"rm -rf {outdir}")
+        # advisor r13: the graft_b1 CROSS-RUN cache persists across
+        # mutants sharing one sfdir string — the bucketed-write path
+        # would then execute only for the FIRST mutant (a mutant
+        # corrupting that write masked as SURVIVED later; a corrupted
+        # cache bleeding false kills into every subsequent mutant).
+        # Every mutant rebuilds the layout from its own mutated code.
+        sh(f"rm -rf {scoped_tmp('graft_b1', sfdir)}")
         v = sh(["java"] + JVM_OPTS + ["-cp", cp, "graft.Verify", sfdir, outdir],
                cwd=worktree, env=env, timeout=2400)
         if v.returncode != 0:
