@@ -270,6 +270,100 @@ object StreamingQueries {
     (spark.table(name), ckpt)
   }
 
+  /** t1r machinery — the crash-recovery drill [[runStream]] cannot
+    * express: feed ascending micro-batches like runStream, but KILL
+    * the query after `restartAfter`'s commit and start a NEW query
+    * from the SAME checkpoint, then feed the remaining ticks. The
+    * state-store recovery contract (StreamingState.scala:9-21, the
+    * fault-tolerance upgrade over the reference's read→write replay
+    * flip, shared/engine_replay.py:107-118) requires the final
+    * committed state to be identical to an unbroken run's — i.e.
+    * hash-equal to the batch oracle.
+    *
+    * Sink is foreachBatch (the memory sink REFUSES checkpoint
+    * recovery by design — recoverFromCheckpointLocation=false outside
+    * complete mode) and the result is read from the recovered
+    * checkpoint's final committed state snapshot, not a sink table.
+    * Conf discipline mirrors [[runStream]] (4 state partitions, HDFS
+    * provider, no-data batches off, whole-stage codegen off — all
+    * restored after).
+    */
+  private def runStreamRecovery(
+      spark: SparkSession,
+      source: (DataFrame, String),
+      ticks: Int,
+      restartAfter: Int)(op: DataFrame => DataFrame): String = {
+    require(restartAfter >= 0 && restartAfter < ticks - 1,
+      "restartAfter must leave at least one post-restart tick")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (df, orderCol) = source
+    val rows = collectFeed(df, orderCol)
+    val stream = MemoryStream[Row](Encoders.row(df.schema), sqlCtx)
+    val out = op(stream.toDF())
+    val ckpt = gateCheckpointDir("graft-sq-rckpt")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      gatePartitionsOverride.map(_.toString)
+        .getOrElse(sys.env.getOrElse("GRAFT_GATE_PARTITIONS", "4")))
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.get(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.get(noDataKey)
+    spark.conf.set(noDataKey, "false")
+    val wsKey = "spark.sql.codegen.wholeStage"
+    val prevWs = spark.conf.get(wsKey)
+    spark.conf.set(wsKey, "false")
+    // the sink must PROCESS every partition or the state stores never
+    // commit (Spark 4's BatchCommitTracker fails the batch on a
+    // foreachBatch that skips partitions) — count() forces the full
+    // incremental plan; the emissions themselves are discarded, the
+    // result is read from the checkpoint's committed state
+    val noop: (org.apache.spark.sql.Dataset[Row], Long) => Unit = (b, _) => { b.count(); () }
+    def startQ() = out.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(noop)
+      .start()
+    try {
+      var q = startQ()
+      // same watchdog contract as runStream: bound a wedged stream's
+      // blast radius to this entry, not the driver's whole gate run
+      val watchdog = new Thread(() => {
+        try {
+          Thread.sleep(180000L)
+          Console.err.println("[graft] t1r recovery watchdog fired — stopping query")
+          q.stop()
+        } catch { case _: InterruptedException => () }
+      }, "graft-sq-watchdog-t1r")
+      watchdog.setDaemon(true)
+      watchdog.start()
+      try {
+        val per = math.max(1, math.ceil(rows.length.toDouble / ticks).toInt)
+        val batches = rows.grouped(per).toIndexedSeq
+        (0 until ticks).foreach { i =>
+          if (i < batches.length) stream.addData(batches(i).toSeq)
+          q.processAllAvailable()
+          if (i == restartAfter) {
+            // the crash: the query dies after this commit; the restart
+            // resumes from the checkpoint (offsets + state store) and
+            // the SAME MemoryStream instance replays any uncommitted
+            // range, exactly the production source-replay contract
+            q.stop()
+            q = startQ()
+          }
+        }
+      } finally { watchdog.interrupt(); q.stop() }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set(provKey, prevProv)
+      spark.conf.set(noDataKey, prevNoData)
+      spark.conf.set(wsKey, prevWs)
+    }
+    ckpt
+  }
+
   /** Gate-lifetime checkpoint scratch dir — tmpfs (`/dev/shm`) when
     * present, else the default temp root.
     */
@@ -357,6 +451,20 @@ object StreamingQueries {
       }
       StreamingState.stateSnapshot(s, ckpt)
         .getOrElse(sys.error("t1s: no committed state"))
+    }),
+
+    // ---- T1 crash recovery (r13 verdict task 2): the t1s fold KILLED
+    // after its first commit and restarted from the same checkpoint —
+    // the recovered run's final committed state must be hash-equal to
+    // the batch oracle, turning the fault-tolerance claim
+    // (StreamingState.scala:9-21) from prose into a gated contract
+    "t1r_state_recovery" -> ((s, dir) => {
+      val ckpt = runStreamRecovery(
+        s, (t(s, dir, "events"), "event_id"), ticks = 3, restartAfter = 0) {
+        ev => StreamingState.lastByKeyStream(ev, Seq("user_id"), "event_id")
+      }
+      StreamingState.stateSnapshot(s, ckpt)
+        .getOrElse(sys.error("t1r: no committed state"))
     }),
 
     // ---- streaming exact dedup: first arrival per text survives; fed
@@ -1094,6 +1202,14 @@ object StreamingQueries {
     // identical to the batch t1 oracle: the stream's final state IS
     // the last-row-per-key accumulation
     "t1s_state_stream" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+
+    // crash recovery changes NOTHING about the result — that is the
+    // contract: the recovered run's state equals the unbroken run's,
+    // so t1r shares t1s's batch oracle verbatim
+    "t1r_state_recovery" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1""".stripMargin,

@@ -163,6 +163,14 @@ MUTANTS = [
      "payload(0) == 'B'.toByte && payload(1) == 'M'.toByte &&",
      "payload(0) == 'B'.toByte && payload(1) == 'N'.toByte &&",
      "media dispatch: BMP magic misread — no payload ever routes to the BMP decoder"),
+    # ---- wave 3 (r14): crash-recovery resume path ------------------------
+    ("m33_recovery_fresh_ckpt", "src/main/scala/graft/StreamingQueries.scala",
+     "            q.stop()\n            q = startQ()",
+     "            q.stop()\n            q = out.writeStream.outputMode(\"update\")\n"
+     "              .option(\"checkpointLocation\", gateCheckpointDir(\"graft-sq-rckpt\"))\n"
+     "              .foreachBatch(noop).start()",
+     "crash recovery: restart loses the checkpoint (fresh dir) — recovered state "
+     "diverges from the unbroken run; must be killed by t1r_state_recovery"),
 ]
 
 SPARK_JARS = "/opt/spark/jars"
