@@ -196,8 +196,16 @@ object StreamingQueries {
     // (GraftSession default).
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProv = spark.conf.get(provKey)
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    // graft.gate.provider=rocksdb flips the gate twins onto the
+    // PRODUCTION state-store backend (StreamScale's scaling ledger —
+    // the RocksDB claim must be measured on RocksDB, not its in-memory
+    // stand-in); unset = the in-memory provider rationale below
+    spark.conf.set(provKey, sys.props.get("graft.gate.provider") match {
+      case Some("rocksdb") =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case _ =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    })
     // watermark advancement here comes from explicit flush sentinel
     // ROWS (below), never from empty batches — so the no-data
     // micro-batch Spark appends after each data batch (watermark/
@@ -259,6 +267,17 @@ object StreamingQueries {
         flush.foreach { r =>
           feeds.head._1.addData(Seq(r))
           q.processAllAvailable()
+        }
+        // per-batch progress dump for the scaling ledger (StreamScale):
+        // batch durations + state-operator rows/bytes, one JSON line per
+        // micro-batch, named by the caller via graft.stream.metrics.file
+        // (a property only the measurement main sets — zero cost in
+        // gate/driver runs)
+        sys.props.get("graft.stream.metrics.file").foreach { f =>
+          val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+            new java.io.FileOutputStream(f, /*append=*/ true),
+            java.nio.charset.StandardCharsets.UTF_8))
+          try q.recentProgress.foreach(p => w.println(p.json)) finally w.close()
         }
       } finally { watchdog.interrupt(); q.stop() }
     } finally {

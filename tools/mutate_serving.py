@@ -35,8 +35,10 @@ CR = "src/main/scala/graft/streaming/ChannelRuntime.scala"
 # (id, file, old, new, note); `old` must occur EXACTLY once.
 MUTANTS = [
     ("s01_unknown_route_200", GW,
-     'case _ => respond(ex, 404, """{"detail":"Not Found"}""")',
-     'case _ => respond(ex, 200, """{"detail":"Not Found"}""")',
+     '''          }, "graft-shutdown").start()
+        case _ => respond(ex, 404, """{"detail":"Not Found"}""")''',
+     '''          }, "graft-shutdown").start()
+        case _ => respond(ex, 200, """{"detail":"Not Found"}""")''',
      "unknown REST route answers 200 instead of 404 (reference 404 rule)"),
     ("s02_identity_filter_anon_leak", GW,
      "case (Some(_), None) => Nil // auth-filtered channel, anonymous caller",
