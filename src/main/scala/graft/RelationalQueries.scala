@@ -593,6 +593,26 @@ object RelationalQueries {
       EventAnalytics.cooccurrence(t(s, dir, "events"), "user_id", "ts",
         "event_type")),
 
+    // ---- a23's session-break BOUNDARY made observable (mutation g009:
+    // `>= gapUs` flipped to `>` survived the full gate because no event
+    // pair in the driver data lands EXACTLY on the 12h boundary):
+    // deterministic timestamps put even keys' consecutive events exactly
+    // gapUs apart (every event its own session — singleton sessions, no
+    // pairs) and odd keys' exactly gapUs−1µs apart (one session per key,
+    // all pairs) — the flip merges every even key into one session and
+    // the pair counts explode
+    "a23b_cooccur_gap_boundary" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("event_id"))
+      val stepped = t(s, dir, "events").filter(col("event_id") <= 400)
+        .select((col("event_id") % 7).as("k"), col("event_id"), col("event_type"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("ts2", timestamp_micros(lit(1704067200000000L) +
+          col("rk") * when(col("k") % 2 === 0, lit(43200000000L))
+            .otherwise(lit(43200000000L - 1L))))
+      EventAnalytics.cooccurrence(stepped, "k", "ts2", "event_type")
+    }),
+
     // ---- two-sided CUSUM drift detection: the sequential mean-shift
     // detector (fires on SUSTAINED drift no single tick reveals — the
     // complement of w10's per-tick spikes); clamped recursions
@@ -1122,6 +1142,41 @@ object RelationalQueries {
         |             CAST(count(*) AS BIGINT) AS together
         |      FROM s a JOIN s b ON a.user_id = b.user_id AND a.sid = b.sid
         |                        AND a.t < b.t
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.together, na.n AS n_a, nb.n AS n_b,
+        |       tot.total_sessions,
+        |       CAST(CAST(p.together AS HUGEINT) * tot.total_sessions * 1000
+        |            // (CAST(na.n AS HUGEINT) * nb.n) AS BIGINT) AS lift_milli,
+        |       CAST(p.together AS HUGEINT) * tot.total_sessions
+        |         > CAST(na.n AS HUGEINT) * nb.n AS positive
+        |FROM p JOIN pt na ON p.type_a = na.t
+        |       JOIN pt nb ON p.type_b = nb.t, tot""".stripMargin,
+
+    // a23's pipeline over the CONSTRUCTED boundary feed (µs positions
+    // computed arithmetically — identical to unix_micros of the Spark
+    // frame's timestamp_micros by construction); the session break
+    // keeps a23's inclusive `>= gapUs` contract
+    "a23b_cooccur_gap_boundary" ->
+      """WITH b AS (SELECT event_id % 7 AS k, event_id, event_type
+        |           FROM events WHERE event_id <= 400),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY event_id) AS rk
+        |      FROM b),
+        |e AS (SELECT k, event_type,
+        |             1704067200000000 + CAST(rk AS BIGINT) *
+        |               (CASE WHEN k % 2 = 0 THEN 43200000000 ELSE 43199999999 END) AS us
+        |      FROM r),
+        |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w >= 43200000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY k ORDER BY us)),
+        |s0 AS (SELECT *, sum(brk) OVER (PARTITION BY k ORDER BY us
+        |                                ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |s AS (SELECT DISTINCT k, sid, event_type AS t FROM s0),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_sessions
+        |        FROM (SELECT DISTINCT k, sid FROM s)),
+        |pt AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY t),
+        |p AS (SELECT a.t AS type_a, b.t AS type_b,
+        |             CAST(count(*) AS BIGINT) AS together
+        |      FROM s a JOIN s b ON a.k = b.k AND a.sid = b.sid AND a.t < b.t
         |      GROUP BY 1, 2)
         |SELECT p.type_a, p.type_b, p.together, na.n AS n_a, nb.n AS n_b,
         |       tot.total_sessions,

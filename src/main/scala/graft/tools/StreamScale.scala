@@ -70,6 +70,9 @@ object StreamScale {
       var stateRows = 0L
       var stateMem = 0L
       var sstBytes = 0L
+      var peakRows = 0L
+      var peakMem = 0L
+      var peakSst = 0L
       val src = scala.io.Source.fromFile(mfile, "UTF-8")
       try src.getLines().foreach { line =>
         val p = mapper.readTree(line)
@@ -85,16 +88,24 @@ object StreamScale {
             m += o.path("memoryUsedBytes").asLong(0L)
             s += o.path("customMetrics").path("rocksdbSstFileSize").asLong(0L)
           }
-          // progress lines arrive oldest-first: keep the last batch's
+          // progress lines arrive oldest-first: last = post-flush
+          // residue; PEAK is the working-set number the scaling claim
+          // is about (watermark-flushed operators evict on the final
+          // sentinel batch, so last alone under-reports, e.g. a11s)
           stateRows = r; stateMem = m; sstBytes = s
+          peakRows = math.max(peakRows, r)
+          peakMem = math.max(peakMem, m)
+          peakSst = math.max(peakSst, s)
         }
       } finally src.close()
       println(
         s"""{"entry":"$name","scale":"$label","secs":${math.round(secs * 100) / 100.0},""" +
           s""""rows":${sig.rows},"agg_xor":"${java.lang.Long.toHexString(sig.xor)}",""" +
           s""""batches":$batches,"batch_ms_sum":$sumMs,"batch_ms_max":$maxMs,""" +
-          s""""state_rows":$stateRows,"state_mem_bytes":$stateMem,""" +
-          s""""rocksdb_sst_bytes":$sstBytes,"progress_file":"$mfile"}""")
+          s""""state_rows_peak":$peakRows,"state_mem_bytes_peak":$peakMem,""" +
+          s""""rocksdb_sst_bytes_peak":$peakSst,""" +
+          s""""state_rows_last":$stateRows,"state_mem_bytes_last":$stateMem,""" +
+          s""""rocksdb_sst_bytes_last":$sstBytes,"progress_file":"$mfile"}""")
     }
     println("STREAM_SCALE_OK")
     spark.stop()

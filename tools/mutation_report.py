@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
-"""Fold tools/mutate.py shard outputs (JSONL) into MUTATION_MATRIX.md.
+"""Fold mutation-campaign shard outputs (JSONL) into MUTATION_MATRIX.md.
 
-Usage: python3 tools/mutation_report.py /tmp/mutants_a.jsonl [/tmp/mutants_b.jsonl ...]
+Handles all three harnesses' record shapes: tools/mutate.py (engine
+waves, comparator-scored), tools/mutate_serving.py (wave 3, ScalaTest-
+scored, `stage` = prefilter/full), and tools/mutgen.py (auto-generated
+comparison flips, family-subset prefilter + full-gate escalation).
+
+Usage: python3 tools/mutation_report.py shard.jsonl [...]
 """
 import json, sys, time
 
@@ -33,13 +38,18 @@ def main():
     out.append("| mutant | site | mutation | status | entries failing (first few) |")
     out.append("|---|---|---|---|---|")
     for r in rows:
-        kb = ", ".join(r.get("killed_by", [])[:6])
+        kb = ", ".join(str(k) for k in r.get("killed_by", [])[:6])
         if r.get("kill_mode") == "verify_crash":
             kb = "(Verify crashed — every starved entry reds at the driver)"
         nf = r.get("n_fail")
         status = r.get("status", "?") + (f" ({nf})" if nf is not None else "")
+        if r.get("stage"):
+            status += f" @{r['stage']}"
+        note = r.get("note") or (
+            f"auto flip `{r['tok']}` at {r.get('file','?').split('/')[-1]}:{r.get('line','?')}"
+            if r.get("tok") else "")
         out.append(f"| {r['id']} | `{r.get('file','?').split('/')[-1]}` "
-                   f"| {r.get('note','')} | **{status}** | {kb} |")
+                   f"| {note} | **{status}** | {kb} |")
     if survived:
         out.append("")
         out.append("## Survivors (gate gaps)")
