@@ -406,6 +406,32 @@ class GatewaySpec extends AnyFunSuite {
     } finally { gw.stop(); rt.stop() }
   }
 
+  test("whoami without a session is 401 even for an api-key-authorized caller (mutation s14)") {
+    // the only reachable path to the whoami handler's own 401 branch:
+    // a co-mounted api-key middleware authorizes the request past the
+    // gate, but no simple-auth session exists — the reference's
+    // /whoami still answers 401 "Session not found" (simple.py). The
+    // s14 serving mutant (401 -> 200 on exactly this branch) survived
+    // the full 486-test suite because no test exercised the co-mounted
+    // configuration; this pins it.
+    val rt = new ChannelRuntime(spark,
+      Map("example" -> ChannelSpec("example", schema, stateKeyby = Seq("owner"))),
+      Files.createTempDirectory("graft-gw-ckpt").toString)
+    rt.start()
+    val gw = new Gateway(rt, 0,
+      apiKeys = Seq("k123"),
+      simpleAuthUsers = Map("alice" -> "secret")).start()
+    try {
+      val base = s"http://127.0.0.1:${gw.boundPort}"
+      // the api key passes the gate (state route answers)...
+      assert(get(s"$base/api/v1/state/example", Map("token" -> "k123")).statusCode() === 200)
+      // ...but whoami without a session is still 401, not 200
+      val who = get(s"$base/api/v1/whoami", Map("token" -> "k123"))
+      assert(who.statusCode() === 401, s"whoami sessionless must be 401, got ${who.statusCode()}")
+      assert(who.body().contains("Session not found"))
+    } finally { gw.stop(); rt.stop() }
+  }
+
   test("identity row filter (X13): reads filtered, writes validated") {
     withGateway(Map("example" -> "owner")) { (base, rt) =>
       assert(post(s"$base/send/example", """{"x":1,"owner":"alice"}""",
