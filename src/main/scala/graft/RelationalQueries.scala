@@ -316,6 +316,42 @@ object RelationalQueries {
         .select(col("event_id"), col("win_id"))
     }),
 
+    // ---- j5's DEGENERATE intervals made observable (mutation g011:
+    // flipping the valid-interval filter `lo <= hi` to `<` survived —
+    // the j5/j5b windows are all strictly positive-width). Every window
+    // here is zero-width (hi == lo == the anchor's own timestamp), so
+    // it contains exactly the point p == lo; the flipped filter drops
+    // every window and the result empties.
+    "j5c_range_degenerate" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val pts = ev.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("p"))
+      val wins = ev.filter(col("event_id") % 89 === 0)
+        .select(col("event_id").as("win_id"), col("user_id").as("w_user"),
+          unix_micros(col("ts")).as("lo"), unix_micros(col("ts")).as("hi"))
+      graft.operators.RangeJoin.pointInRange(pts, wins, "p", "lo", "hi",
+        bucketWidth = 3600000000L, equiKeys = Seq("user_id" -> "w_user"))
+        .select(col("event_id"), col("win_id"))
+    }),
+
+    // ---- w10's minPrior gate made observable at the BOUNDARY
+    // (mutation g010: `n >= minPrior` flipped to `>` survived — no
+    // driver-data tick is anomalous at exactly n_prior == minPrior):
+    // each key gets exactly 8 constant ticks then one spike, so the
+    // spike tick sits at n_prior == minPrior == 8 with zero prior
+    // variance — anomalous under >=, silent under >
+    "w10b_anomaly_min_prior" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("event_id"))
+      val feed = t(s, dir, "events").filter(col("event_id") <= 450)
+        .select((col("event_id") % 50).as("k"), col("event_id"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 9)
+        .withColumn("v", when(col("rk") <= 8, lit(5.0)).otherwise(lit(105.0)))
+      EventAnalytics.rollingAnomaly(feed, "k", "rk", "v",
+        orderCols = Seq("event_id"))
+    }),
+
     // ---- salted skew join: lineitem joined to orders on (key, salt)
     // with the orders side replicated per salt — the manual hot-key
     // spread; same answer as the plain join, by construction
@@ -850,6 +886,43 @@ object RelationalQueries {
         |         FROM events WHERE event_id % 97 = 0)
         |SELECT event_id, win_id FROM pts JOIN wins
         |ON user_id = w_user AND p >= lo AND p <= hi""".stripMargin,
+
+    // zero-width windows (hi == lo): each contains exactly its
+    // anchor's own point — the `lo <= hi` valid-interval filter (not
+    // `<`) is load-bearing for every output row
+    "j5c_range_degenerate" ->
+      """WITH pts AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p
+        |             FROM events),
+        |wins AS (SELECT event_id AS win_id, user_id AS w_user,
+        |                epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
+        |                epoch_us(CAST(ts AS TIMESTAMP)) AS hi
+        |         FROM events WHERE event_id % 89 = 0)
+        |SELECT event_id, win_id FROM pts JOIN wins
+        |ON user_id = w_user AND p >= lo AND p <= hi""".stripMargin,
+
+    // w10's pipeline over the constructed boundary feed: the spike
+    // tick has n_prior == minPrior == 8 exactly (inclusive gate)
+    "w10b_anomaly_min_prior" ->
+      """WITH b AS (SELECT event_id % 50 AS k, event_id FROM events
+        |           WHERE event_id <= 450),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY event_id) AS rk
+        |      FROM b),
+        |f AS (SELECT k, event_id, rk,
+        |             CASE WHEN rk <= 8 THEN 5 ELSE 105 END AS q
+        |      FROM r WHERE rk <= 9),
+        |w AS (SELECT k, event_id, q,
+        |        CAST(count(q) OVER win AS BIGINT) AS n_prior,
+        |        CAST(coalesce(sum(q) OVER win, 0) AS BIGINT) AS sum_prior,
+        |        CAST(coalesce(sum(q*q) OVER win, 0) AS BIGINT) AS sumsq_prior
+        |      FROM f WINDOW win AS (PARTITION BY k ORDER BY rk, event_id
+        |        ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING))
+        |SELECT k, event_id, n_prior, CAST(q AS BIGINT) AS q, sum_prior,
+        |       sumsq_prior,
+        |       n_prior >= 8 AND
+        |         (n_prior*q - sum_prior)*(n_prior*q - sum_prior)*1000000
+        |           > 3000*3000*(n_prior*(n_prior*sumsq_prior - sum_prior*sum_prior))
+        |         AS is_anomaly
+        |FROM w""".stripMargin,
 
     // every window's hi IS the user's next event timestamp — the
     // closed upper bound is load-bearing in every output row
