@@ -1281,6 +1281,22 @@ object PipelineQueries {
         "doc_id", "source", "text", budget = 3000L)
         .select(col("doc_id"), col("source"))),
 
+    // ---- p15 with SKEWED strata (mutation g015: flipping the
+    // per-stratum rate dispatch `=== s` to `=!=` survived — the
+    // driver corpus' sources carry near-equal token masses, so every
+    // stratum's per-mille rate tied and the scramble was invisible).
+    // doc_id % 10 carves 7:2:1 strata -> distinct isqrt masses ->
+    // distinct rates, and a scrambled dispatch changes the sample.
+    "p15b_temperature_mix_skew" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("stratum",
+        when(col("doc_id") % 10 < 7, lit("big"))
+          .when(col("doc_id") % 10 < 9, lit("mid"))
+          .otherwise(lit("small")))
+      Curation.temperatureMixSample(docs, "doc_id", "stratum", "text",
+        budget = 3000L)
+        .select(col("doc_id"), col("stratum"))
+    }),
+
     // ---- exact-size stratified sample: proportional integer quotas
     // per source, filled by each stratum's deterministic bottom-k —
     // returns exactly Σ quotas rows, unlike the rate-based gates
@@ -3997,6 +4013,26 @@ object PipelineQueries {
          |              ELSE least(1000, 3000 * 1000 // (isq * sumisq)) END AS pm
          |       FROM w, s)
          |SELECT doc_id, source FROM documents JOIN pm USING (source)
+         |WHERE ${phSql("CAST(doc_id AS VARCHAR)")} % 1000 < pm""".stripMargin,
+
+    // p15's pipeline over the 7:2:1 constructed strata — rates differ
+    // per stratum, so the `=== s` dispatch is load-bearing
+    "p15b_temperature_mix_skew" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |             CASE WHEN doc_id % 10 < 7 THEN 'big'
+         |                  WHEN doc_id % 10 < 9 THEN 'mid'
+         |                  ELSE 'small' END AS stratum
+         |           FROM documents),
+         |tot AS (SELECT stratum, sum(len(string_split(text,' '))) AS total
+         |        FROM d GROUP BY stratum),
+         |w AS (SELECT stratum, CAST(floor(sqrt(CAST(coalesce(total, 0) AS DOUBLE))) AS BIGINT) AS isq
+         |      FROM tot),
+         |s AS (SELECT sum(isq) AS sumisq FROM w),
+         |pm AS (SELECT stratum,
+         |         CASE WHEN isq * sumisq = 0 THEN 1000
+         |              ELSE least(1000, 3000 * 1000 // (isq * sumisq)) END AS pm
+         |       FROM w, s)
+         |SELECT doc_id, stratum FROM d JOIN pm USING (stratum)
          |WHERE ${phSql("CAST(doc_id AS VARCHAR)")} % 1000 < pm""".stripMargin,
 
     "st9_countmin" ->
