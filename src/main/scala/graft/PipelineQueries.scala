@@ -1293,7 +1293,7 @@ object PipelineQueries {
           .when(col("doc_id") % 10 < 9, lit("mid"))
           .otherwise(lit("small")))
       Curation.temperatureMixSample(docs, "doc_id", "stratum", "text",
-        budget = 3000L)
+        budget = 12000L)
         .select(col("doc_id"), col("stratum"))
     }),
 
@@ -4030,7 +4030,7 @@ object PipelineQueries {
          |s AS (SELECT sum(isq) AS sumisq FROM w),
          |pm AS (SELECT stratum,
          |         CASE WHEN isq * sumisq = 0 THEN 1000
-         |              ELSE least(1000, 3000 * 1000 // (isq * sumisq)) END AS pm
+         |              ELSE least(1000, 12000 * 1000 // (isq * sumisq)) END AS pm
          |       FROM w, s)
          |SELECT doc_id, stratum FROM d JOIN pm USING (stratum)
          |WHERE ${phSql("CAST(doc_id AS VARCHAR)")} % 1000 < pm""".stripMargin,
