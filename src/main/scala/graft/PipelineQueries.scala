@@ -1758,6 +1758,19 @@ object PipelineQueries {
         Seq("big", "order"))
     }),
 
+    // ---- tx14's SCAN-path sibling (mutation g018: phraseHits' exact-
+    // length gate `size(toks) >= phrase.size` flipped to `>` survived —
+    // phraseHits had no oracle entry and no corpus doc is exactly
+    // phrase-length). Every 13th doc's text is replaced with the phrase
+    // itself, so the boundary (doc == phrase, one hit at position 1) is
+    // load-bearing for ~1/13 of the rows.
+    "tx27_phrase_hits" -> ((s, dir) => {
+      val feed = t(s, dir, "documents").withColumn("text2",
+        when(col("doc_id") % 13 === 0, lit("big order")).otherwise(col("text")))
+      feed.select(col("doc_id"),
+        Curation.phraseHits(col("text2"), Seq("big", "order")).as("hits"))
+    }),
+
     // ---- cross-corpus dedup: new shard (doc_id % 3 != 0) deduped
     // against the reference shard via MinHash band buckets — survivors
     "d10_cross_dedup" -> ((s, dir) => {
@@ -4750,6 +4763,21 @@ object PipelineQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS hits,
          |       CAST(min(i) AS BIGINT) AS first_pos
          |FROM m GROUP BY doc_id""".stripMargin,
+
+    // phraseHits replayed per doc over the boundary-bearing feed: hits
+    // for EVERY doc (zero when absent), exact-length docs count their
+    // single position — the `>=` gate is the decided branch
+    "tx27_phrase_hits" ->
+      """WITH d AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 13 = 0 THEN 'big order' ELSE text END AS t
+        |           FROM documents),
+        |tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM d)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN len(w) >= 2 THEN
+        |         len(list_filter(generate_series(1, len(w)-1),
+        |                         i -> w[i]='big' AND w[i+1]='order'))
+        |       ELSE 0 END AS INT) AS hits
+        |FROM tk""".stripMargin,
 
     // the engine folds (k1+1), (1-b) driver-side; the SAME doubles are
     // rendered here so both engines replay one float expression tree
