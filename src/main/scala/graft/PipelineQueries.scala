@@ -868,6 +868,33 @@ object PipelineQueries {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           posexplode(col("feature")).as(Seq("bin", "value")))),
 
+    // ---- codec dispatch at MINIMUM payload length (mutations g028/
+    // g029/g042: flipping a `length >= min` dispatch guard to `>`
+    // survived — every fixture payload exceeds its format's minimum).
+    // Exact-minimum, zero-content media are VALID inputs with
+    // hand-derivable features: a 44-byte header-only WAV (0 samples)
+    // and a 54-byte 0x0 BMP both decode to the all-zeros histogram; a
+    // 4-byte SOI+EOI JPEG routes to the strict decoder, which nulls it
+    // (no frame) so it emits NO rows — under a flipped guard each
+    // falls through to the stub codepoint histogram instead (nonzero
+    // values / phantom rows).
+    "mm9_payload_boundaries" -> ((s, dir) => {
+      import s.implicits._
+      val wavHex = "52494646" + "24000000" + "57415645" +
+        "666d7420" + "10000000" + "0100" + "0100" + "401f0000" +
+        "803e0000" + "0200" + "1000" + "64617461" + "00000000"
+      val bmpHex = "424d" + "36000000" + "00000000" + "36000000" +
+        "28000000" + "00000000" + "00000000" + "0100" + "1800" +
+        "00000000" + "00000000" + "0000000000000000" + "0000000000000000"
+      val media = Seq((1L, "wav", wavHex), (2L, "bmp", bmpHex),
+        (3L, "jpeg", "ffd8ffd9"))
+        .toDF("media_id", "kind", "hex")
+        .select(col("media_id"), col("kind"), unhex(col("hex")).as("payload"))
+      Multimodal.decodeFeatures(media)
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          posexplode(col("feature")).as(Seq("bin", "value")))
+    }),
+
     // ---- multimodal: MJPEG intra-frame decode — video features from
     // DECODED PIXELS (real per-frame JPEG bitstream decode inside the
     // AVI demux), not frame bytes; constant 8×8 blocks make the decode
@@ -3541,6 +3568,18 @@ object PipelineQueries {
         |  ELSE 0.0 END AS value
         |FROM documents, (SELECT unnest(generate_series(0, 7)) AS k)
         |WHERE text IS NOT NULL""".stripMargin,
+
+    // hand-derived: header-only WAV and 0x0 BMP decode to the
+    // all-zeros histogram; the SOI+EOI JPEG nulls in the strict
+    // decoder and emits NO rows
+    "mm9_payload_boundaries" ->
+      """WITH m AS (SELECT * FROM (VALUES
+        |            (CAST(1 AS BIGINT), 'wav', CAST(44 AS INT)),
+        |            (CAST(2 AS BIGINT), 'bmp', CAST(54 AS INT)))
+        |          AS t(media_id, kind, n_bytes)),
+        |b AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS bin)
+        |SELECT media_id, kind, n_bytes, bin, CAST(0.0 AS DOUBLE) AS "value"
+        |FROM m, b""".stripMargin,
 
     // MJPEG path: decoded pixels of constant DC-only blocks recover
     // the codepoint classes exactly — one 64-pixel block per
