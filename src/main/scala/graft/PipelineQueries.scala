@@ -869,15 +869,18 @@ object PipelineQueries {
           posexplode(col("feature")).as(Seq("bin", "value")))),
 
     // ---- codec dispatch at MINIMUM payload length (mutations g028/
-    // g029/g042: flipping a `length >= min` dispatch guard to `>`
-    // survived — every fixture payload exceeds its format's minimum).
-    // Exact-minimum, zero-content media are VALID inputs with
-    // hand-derivable features: a 44-byte header-only WAV (0 samples)
-    // and a 54-byte 0x0 BMP both decode to the all-zeros histogram; a
-    // 4-byte SOI+EOI JPEG routes to the strict decoder, which nulls it
-    // (no frame) so it emits NO rows — under a flipped guard each
-    // falls through to the stub codepoint histogram instead (nonzero
-    // values / phantom rows).
+    // g029/g030/g031/g042: flipping a `length >= min` dispatch guard
+    // or the chunk-walk bound to strict survived — every fixture
+    // payload exceeds its format's minimum). Exact-minimum,
+    // zero-content media are VALID inputs with hand-derivable
+    // features: a 44-byte header-only WAV (0 samples), a 54-byte 0x0
+    // BMP, and a 57-byte 0x0 PNG (sig + IHDR + empty IDAT + IEND,
+    // CRCs real) all decode to the all-zeros histogram; a 4-byte
+    // SOI+EOI JPEG routes to the strict decoder, which nulls it (no
+    // frame) so it emits NO rows — under a flipped guard each falls
+    // through to the stub codepoint histogram instead (nonzero values
+    // / phantom rows), and a strict chunk-walk bound never sees the
+    // PNG's final IEND (null, rows vanish).
     "mm9_payload_boundaries" -> ((s, dir) => {
       import s.implicits._
       val wavHex = "52494646" + "24000000" + "57415645" +
@@ -886,8 +889,13 @@ object PipelineQueries {
       val bmpHex = "424d" + "36000000" + "00000000" + "36000000" +
         "28000000" + "00000000" + "00000000" + "0100" + "1800" +
         "00000000" + "00000000" + "0000000000000000" + "0000000000000000"
+      val pngHex = "89504e470d0a1a0a" +
+        "0000000d" + "49484452" + "00000000" + "00000000" + "08" + "00" +
+        "00" + "00" + "00" + "1ee023ce" +
+        "00000000" + "49444154" + "35af061e" +
+        "00000000" + "49454e44" + "ae426082"
       val media = Seq((1L, "wav", wavHex), (2L, "bmp", bmpHex),
-        (3L, "jpeg", "ffd8ffd9"))
+        (3L, "jpeg", "ffd8ffd9"), (4L, "png", pngHex))
         .toDF("media_id", "kind", "hex")
         .select(col("media_id"), col("kind"), unhex(col("hex")).as("payload"))
       Multimodal.decodeFeatures(media)
@@ -3575,7 +3583,8 @@ object PipelineQueries {
     "mm9_payload_boundaries" ->
       """WITH m AS (SELECT * FROM (VALUES
         |            (CAST(1 AS BIGINT), 'wav', CAST(44 AS INT)),
-        |            (CAST(2 AS BIGINT), 'bmp', CAST(54 AS INT)))
+        |            (CAST(2 AS BIGINT), 'bmp', CAST(54 AS INT)),
+        |            (CAST(4 AS BIGINT), 'png', CAST(57 AS INT)))
         |          AS t(media_id, kind, n_bytes)),
         |b AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS bin)
         |SELECT media_id, kind, n_bytes, bin, CAST(0.0 AS DOUBLE) AS "value"

@@ -19,8 +19,13 @@ def main():
             recs[r["id"]] = r  # later shards win (re-runs supersede)
     rows = sorted(recs.values(), key=lambda r: r["id"])
     killed = [r for r in rows if r.get("status") == "KILLED"]
-    survived = [r for r in rows if r.get("status") == "SURVIVED"]
-    other = [r for r in rows if r.get("status") not in ("KILLED", "SURVIVED")]
+    survived = [r for r in rows
+                if r.get("status") == "SURVIVED" and not r.get("explained")]
+    explained = [r for r in rows
+                 if (r.get("status") == "SURVIVED" and r.get("explained"))
+                 or r.get("status") == "EXCLUDED_EQUIVALENT"]
+    other = [r for r in rows if r.get("status") not in
+             ("KILLED", "SURVIVED", "EXCLUDED_EQUIVALENT")]
     out = []
     out.append("# MUTATION_MATRIX — gate-sensitivity campaign (r12 verdict task 1)")
     out.append("")
@@ -33,7 +38,9 @@ def main():
     out.append("")
     out.append(f"- date: {time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())}")
     out.append(f"- mutants: {len(rows)} — **{len(killed)} killed, "
-               f"{len(survived)} survived, {len(other)} other**")
+               f"{len(survived)} unexplained survivors, "
+               f"{len(explained)} explained (equivalent or suite-killed), "
+               f"{len(other)} other**")
     out.append("")
     out.append("| mutant | site | mutation | status | entries failing (first few) |")
     out.append("|---|---|---|---|---|")
@@ -54,7 +61,18 @@ def main():
         out.append("")
         out.append("## Survivors (gate gaps)")
         for r in survived:
-            out.append(f"- **{r['id']}** — {r['note']}: `{r['old']}` -> `{r['new']}`")
+            out.append(f"- **{r['id']}** — {r.get('note','')}: `{r['old']}` -> `{r['new']}`")
+    if explained:
+        out.append("")
+        out.append("## Explained survivors (equivalent mutants / suite-killed sites)")
+        out.append("")
+        out.append("A SURVIVED verdict from the comparator harness is not a pass —")
+        out.append("each of these carries verified evidence of WHY the comparator")
+        out.append("cannot see it (result-equivalent branch selection, or a")
+        out.append("spec-pinned parity twin killed by `sbt test` instead):")
+        for r in explained:
+            why = r.get("explained") or r.get("note", "")
+            out.append(f"- **{r['id']}** ({r.get('file','?').split('/')[-1]}:{r.get('line','?')}) — {why}")
     print("\n".join(out))
 
 
