@@ -894,8 +894,16 @@ object PipelineQueries {
         "00" + "00" + "00" + "1ee023ce" +
         "00000000" + "49444154" + "35af061e" +
         "00000000" + "49454e44" + "ae426082"
+      // 4x2 gray PNG, every scanline Paeth-filtered, pixels chosen so
+      // the predictor hits BOTH value-differing tie patterns — occ1
+      // (pa==pc, spec picks a=13 over c=9) and occ2 (pb==pc, picks
+      // b=6 over c=10) — making the tie-break ORDER itself oracle-
+      // visible (mutations g035/g036); pixels [9,7,10,6,13,25,12,30]
+      val pngTieHex = "89504e470d0a1a0a0000000d4948445200000004000000020" +
+        "8000000005ac322bf0000001249444154789c63e1fcc7fc878585e7b3040010" +
+        "b6032afc1580a10000000049454e44ae426082"
       val media = Seq((1L, "wav", wavHex), (2L, "bmp", bmpHex),
-        (3L, "jpeg", "ffd8ffd9"), (4L, "png", pngHex))
+        (3L, "jpeg", "ffd8ffd9"), (4L, "png", pngHex), (5L, "png", pngTieHex))
         .toDF("media_id", "kind", "hex")
         .select(col("media_id"), col("kind"), unhex(col("hex")).as("payload"))
       Multimodal.decodeFeatures(media)
@@ -3588,7 +3596,13 @@ object PipelineQueries {
         |          AS t(media_id, kind, n_bytes)),
         |b AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS bin)
         |SELECT media_id, kind, n_bytes, bin, CAST(0.0 AS DOUBLE) AS "value"
-        |FROM m, b""".stripMargin,
+        |FROM m, b
+        |UNION ALL
+        |SELECT CAST(5 AS BIGINT), 'png', CAST(75 AS INT),
+        |       CAST(v.bin AS INT), CAST(v.val AS DOUBLE)
+        |FROM (VALUES (0, 0.0), (1, 0.25), (2, 0.125), (3, 0.0),
+        |             (4, 0.125), (5, 0.125), (6, 0.25), (7, 0.125))
+        |     AS v(bin, val)""".stripMargin,
 
     // MJPEG path: decoded pixels of constant DC-only blocks recover
     // the codepoint classes exactly — one 64-pixel block per

@@ -271,6 +271,19 @@ class MultimodalSpec extends AnyFunSuite {
         Multimodal.pngEncode(pixels, width = 6, height = 4, filterType = ft))
       assert(g.toSeq === expected.toSeq, s"filter $ft")
     }
+    // Paeth tie-break order is part of the PNG spec (mutations g035/
+    // g036/g040/g041): these pixels put BOTH value-differing tie
+    // patterns in the predictor context — (a,b,c)=(13,7,9) has
+    // pa==pc (spec picks a over c) and (12,6,10) has pb==pc (picks b
+    // over c). A single-side tie flip (encoder or decoder) breaks the
+    // round-trip; the provably-equivalent pa==pb tie (forces a==b)
+    // has no such pixels because none exist.
+    val tiePx = Array[Byte](9, 7, 10, 6, 13, 25, 12, 30)
+    val tieExpected = Multimodal.decodePng(
+      Multimodal.pngEncode(tiePx, width = 4, height = 2, filterType = 0))
+    val tiePaeth = Multimodal.decodePng(
+      Multimodal.pngEncode(tiePx, width = 4, height = 2, filterType = 4))
+    assert(tiePaeth.toSeq === tieExpected.toSeq, "paeth tie round-trip")
   }
 
   test("decodePng handles genuinely COMPRESSED deflate and truecolor RGB") {
