@@ -375,6 +375,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(maxErr <= 16, s"AC round-trip error $maxErr exceeds quantization bound")
   }
 
+  test("jpeg AC TAIL coefficient survives encoding (mutation g043)") {
+    // a pure (7,7)-basis block (pixels = round(128 + 100·b7(x)·b7(y))):
+    // its quantized spectrum is EXACTLY {(7,7): 13} — one AC
+    // coefficient, sitting at zigzag position 63, the LAST nonzero.
+    // An encoder whose run-length walk stops before lastNz
+    // (k <= lastNz flipped strict) drops it entirely and the decoded
+    // block collapses to flat DC. The gradient test above cannot see
+    // this (its per-pixel quant bound absorbs one tail coefficient).
+    val px = Array(
+      129, 125, 132, 123, 133, 124, 131, 127, 125, 136, 116, 142, 114, 140, 120, 131,
+      132, 116, 145, 108, 148, 111, 140, 124, 123, 142, 108, 152, 104, 148, 114, 133,
+      133, 114, 148, 104, 152, 108, 142, 123, 124, 140, 111, 148, 108, 145, 116, 132,
+      131, 120, 140, 114, 142, 116, 136, 125, 127, 131, 124, 133, 123, 132, 125, 129)
+    val img = Multimodal.decodeJpeg(Multimodal.jpegEncodeGray(px, 8, 8))
+    assert(img != null)
+    val spread = img.pixels.max - img.pixels.min
+    assert(spread >= 30,
+      s"(7,7)-basis spread $spread collapsed — tail AC coefficient lost in encoding")
+  }
+
   test("malformed payloads never reach the JPEG decode path") {
     val good = Multimodal.jpegEncodeGray(Array.fill(64)(40), 8, 8)
     assert(Multimodal.decodeJpeg(good) != null)
