@@ -902,8 +902,12 @@ object PipelineQueries {
       val pngTieHex = "89504e470d0a1a0a0000000d4948445200000004000000020" +
         "8000000005ac322bf0000001249444154789c63e1fcc7fc878585e7b3040010" +
         "b6032afc1580a10000000049454e44ae426082"
+      // media 6: the 12-byte RIFF/AVI boundary — routes to the strict
+      // demuxer (no hdrl -> null, NO rows); a flipped length guard
+      // (g051) sends it to the stub instead (8 phantom rows)
       val media = Seq((1L, "wav", wavHex), (2L, "bmp", bmpHex),
-        (3L, "jpeg", "ffd8ffd9"), (4L, "png", pngHex), (5L, "png", pngTieHex))
+        (3L, "jpeg", "ffd8ffd9"), (4L, "png", pngHex), (5L, "png", pngTieHex),
+        (6L, "avi", "5249464604000000" + "41564920"))
         .toDF("media_id", "kind", "hex")
         .select(col("media_id"), col("kind"), unhex(col("hex")).as("payload"))
       Multimodal.decodeFeatures(media)

