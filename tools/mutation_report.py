@@ -27,14 +27,19 @@ def main():
     other = [r for r in rows if r.get("status") not in
              ("KILLED", "SURVIVED", "EXCLUDED_EQUIVALENT")]
     out = []
-    out.append("# MUTATION_MATRIX — gate-sensitivity campaign (r12 verdict task 1)")
+    out.append("# MUTATION_MATRIX — gate-sensitivity campaign (r12 task 1; waves 3-4 r13 tasks 1/4)")
     out.append("")
-    out.append("Each row: one seeded single-site engine mutation, the FULL catalog")
-    out.append("gate run against it (tools/mutate.py; Verify + tools/check.py at")
-    out.append("sf0.01, driver order, one JVM per mutant). KILLED = at least one")
-    out.append("catalog entry failed the comparator. A SURVIVED row is a gate gap:")
-    out.append("it must be fixed (oracle strengthened) or explained with evidence")
-    out.append("before round close.")
+    out.append("Each row: one seeded single-site mutation and the verdict of its")
+    out.append("scoring harness — engine waves run the FULL catalog gate")
+    out.append("(tools/mutate.py; Verify + tools/check.py at sf0.01, driver order,")
+    out.append("one JVM per mutant), the serving wave runs the ScalaTest suite")
+    out.append("(tools/mutate_serving.py, prefilter + full escalation), and the")
+    out.append("auto-generated comparison-flip wave (tools/mutgen.py) prefilters by")
+    out.append("the mutated file's family entry subset then escalates survivors to")
+    out.append("the full gate. KILLED = at least one check failed. A SURVIVED row")
+    out.append("is a gate gap: fixed (oracle/suite strengthened, then re-killed")
+    out.append("through the harness) or explained with verified evidence before")
+    out.append("round close — never left bare.")
     out.append("")
     out.append(f"- date: {time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())}")
     out.append(f"- mutants: {len(rows)} — **{len(killed)} killed, "
