@@ -197,7 +197,22 @@ def main():
     ap.add_argument("--no-escalate", action="store_true",
                     help="stop at the prefilter (quick pass; survivors "
                          "still need the full-suite run before they count)")
+    ap.add_argument("--suites", default="",
+                    help="comma-separated override of the prefilter suites "
+                         "(e.g. re-scoring codec-parity mutants against "
+                         "graft.MultimodalSpec)")
+    ap.add_argument("--mutants-from", default="",
+                    help="JSONL file of {id,file,old,new,note} records to "
+                         "score instead of the built-in MUTANTS list "
+                         "(e.g. suite-scoring tools/mutgen.py survivors)")
     args = ap.parse_args()
+    if args.suites:
+        global PREFILTER_SUITES
+        PREFILTER_SUITES = [s for s in args.suites.split(",") if s]
+    global MUTANTS
+    if args.mutants_from:
+        MUTANTS = [(r["id"], r["file"], r["old"], r["new"], r.get("note", ""))
+                   for r in map(json.loads, open(args.mutants_from))]
     ids = set(x for x in args.ids.split(",") if x)
     todo = [m for m in MUTANTS if not ids or m[0] in ids]
     dirty = sh(["git", "status", "--porcelain"], cwd=args.worktree).stdout.strip()
