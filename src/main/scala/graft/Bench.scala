@@ -117,7 +117,12 @@ object Bench {
     // ignores): canary pair, twin floor, streaming subtotal + ratio
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     val drift = s""""canary_first":${r3(canaryFirst)},"canary_last":${r3(canaryLast)},""" +
-      s""""twin_floor":${r3(twinFloor)},"n_twins":$includedTwins,"n_twins_catalog":${twinNames.size},""" +
+      // n_twins keeps its HISTORICAL meaning (catalog twin count, the
+      // key every BENCH_r*.json before r14 carried) so cross-round
+      // comparisons stay apples-to-apples; the subset actually included
+      // in this run's floor denominator is the new n_twins_included
+      // (advisor r14: r14's silent semantic change, reverted)
+      s""""twin_floor":${r3(twinFloor)},"n_twins":${twinNames.size},"n_twins_included":$includedTwins,"n_twins_catalog":${twinNames.size},""" +
       s""""stream_subtotal":${r3(streamSubtotal)},"stream_floor_ratio":${r3(floorRatio)}"""
     val verbose =
       s"""{"metric":"total","value":$total,"unit":"sec",$drift,"queries":$qs,"sf":"$sfDir"}"""

@@ -985,6 +985,25 @@ object PipelineQueries {
         "media_id", "feature", 3)
     }),
 
+    // ---- multimodal: dispatch-route audit (r14 verdict task 5) —
+    // fences the documented stubDecode `???` boundary OUTSIDE the
+    // gated surface: every payload of every gated media fixture
+    // family must route to a real codec (the oracle pins the exact
+    // per-(src, kind, route) counts as a pure doc_id/text function,
+    // so a single fixture falling through to the stub reds this row)
+    "mm10_dispatch_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.testing.MediaFixtures
+      val cols = Seq(col("media_id"), col("kind"), col("payload"))
+      val all = m.syntheticMedia(docs).select(cols: _*)
+        .withColumn("src", lit("synthetic"))
+        .unionByName(m.mjpegMedia(docs).select(cols: _*)
+          .withColumn("src", lit("mjpeg")))
+        .unionByName(m.colorJpegMedia(docs).select(cols: _*)
+          .withColumn("src", lit("colorjpeg")))
+      Multimodal.dispatchAudit(all)
+    }),
+
     // ---- benchmark decontamination: corpus docs sharing any word
     // 5-gram with the (broadcast) benchmark suite, with overlap counts
     // (long grams, GPT-3/Pile style — short ones false-positive)
@@ -3607,6 +3626,33 @@ object PipelineQueries {
         |FROM (VALUES (0, 0.0), (1, 0.25), (2, 0.125), (3, 0.0),
         |             (4, 0.125), (5, 0.125), (6, 0.25), (7, 0.125))
         |     AS v(bin, val)""".stripMargin,
+
+    // dispatch fence: the per-fixture route is a pure doc_id/text
+    // function (syntheticMedia's when-chain, mjpeg = RIFF container,
+    // colorjpeg = JFIF unless empty) — and NO arm ever yields 'stub',
+    // so any fixture falling through to stubDecode breaks the counts
+    "mm10_dispatch_audit" ->
+      """SELECT src, kind, route, count(*) AS n FROM (
+        |  SELECT 'synthetic' AS src,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |         CASE WHEN text IS NULL THEN 'null'
+        |              WHEN doc_id % 3 = 1 THEN 'wav'
+        |              WHEN doc_id % 6 = 0 THEN 'bmp'
+        |              WHEN doc_id % 6 = 3 THEN 'png'
+        |              ELSE 'avi' END AS route
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'mjpeg', 'video',
+        |         CASE WHEN text IS NULL THEN 'null' ELSE 'avi' END
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'colorjpeg', 'image',
+        |         CASE WHEN text IS NULL OR len(text) = 0 THEN 'null'
+        |              ELSE 'jpeg' END
+        |  FROM documents
+        |) GROUP BY 1, 2, 3""".stripMargin,
 
     // MJPEG path: decoded pixels of constant DC-only blocks recover
     // the codepoint classes exactly — one 64-pixel block per

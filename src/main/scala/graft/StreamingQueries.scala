@@ -214,6 +214,15 @@ object StreamingQueries {
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevNoData = spark.conf.get(noDataKey)
     spark.conf.set(noDataKey, "false")
+    // Measurement runs dump q.recentProgress at end-of-run; Spark keeps
+    // only the last numRecentProgressUpdates (default 100) progress
+    // entries, so a StreamScale entry exceeding ~100 micro-batches
+    // would silently under-count batches and under-report peak state
+    // (advisor r14 — latent at today's 3-6-batch entries, fixed before
+    // it can bite). Only set under the metrics hook: gate/driver runs
+    // keep Spark's default retention.
+    if (sys.props.contains("graft.stream.metrics.file"))
+      spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     // Whole-stage codegen OFF for gate streams (expressions stay
     // codegen'd): every micro-batch of every twin Janino-compiles its
     // own whole-stage classes that then run over one tick of data —
@@ -331,6 +340,15 @@ object StreamingQueries {
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevNoData = spark.conf.get(noDataKey)
     spark.conf.set(noDataKey, "false")
+    // Measurement runs dump q.recentProgress at end-of-run; Spark keeps
+    // only the last numRecentProgressUpdates (default 100) progress
+    // entries, so a StreamScale entry exceeding ~100 micro-batches
+    // would silently under-count batches and under-report peak state
+    // (advisor r14 — latent at today's 3-6-batch entries, fixed before
+    // it can bite). Only set under the metrics hook: gate/driver runs
+    // keep Spark's default retention.
+    if (sys.props.contains("graft.stream.metrics.file"))
+      spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     val wsKey = "spark.sql.codegen.wholeStage"
     val prevWs = spark.conf.get(wsKey)
     spark.conf.set(wsKey, "false")

@@ -195,18 +195,24 @@ object Layout {
       recorded == paramsLine()
     }
     if (!markerOk) return rebuild()
-    if (!spark.catalog.tableExists(table)) {
-      // footer-only schema read; the marker just proved the files were
-      // written under exactly this (keyCol, buckets, schema), so the
-      // CLUSTERED BY claim re-registered here matches the physical
-      // layout by verification, not by convention
-      val schema = spark.read.parquet(path).schema
-      val cols = schema.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-      spark.sql(
-        s"CREATE TABLE `$table` ($cols) USING parquet " +
-          s"CLUSTERED BY (`$keyCol`) SORTED BY (`$keyCol`) " +
-          s"INTO $buckets BUCKETS LOCATION '$path'")
-    }
+    // ALWAYS drop + re-register (advisor r14): a catalog entry left by
+    // an earlier session could have been registered under older
+    // (keyCol, buckets) over the same path — trusting it would skip the
+    // marker verification on exactly the cache-hit path. The table is
+    // external (LOCATION-based), so the drop is metadata-only and the
+    // re-registration below is footer-schema + one CREATE TABLE — the
+    // CLUSTERED BY claim is now verified on EVERY path.
+    if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE `$table`")
+    // footer-only schema read; the marker just proved the files were
+    // written under exactly this (keyCol, buckets, schema), so the
+    // CLUSTERED BY claim re-registered here matches the physical
+    // layout by verification, not by convention
+    val schema = spark.read.parquet(path).schema
+    val cols = schema.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(
+      s"CREATE TABLE `$table` ($cols) USING parquet " +
+        s"CLUSTERED BY (`$keyCol`) SORTED BY (`$keyCol`) " +
+        s"INTO $buckets BUCKETS LOCATION '$path'")
     spark.table(table)
   }
 

@@ -1649,11 +1649,11 @@ object Multimodal {
       it.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val nBytes = if (payload == null) 0 else payload.length
-        val feature =
-          if (isWav(payload)) decodeWav(payload)
-          else if (isBmp(payload)) decodeBmp(payload)
-          else if (isPng(payload)) decodePng(payload)
-          else if (isJpeg(payload)) {
+        val feature = dispatchRoute(payload) match {
+          case "wav" => decodeWav(payload)
+          case "bmp" => decodeBmp(payload)
+          case "png" => decodePng(payload)
+          case "jpeg" =>
             val img = decodeJpeg(payload)
             if (img == null) null
             else {
@@ -1661,13 +1661,51 @@ object Multimodal {
               img.pixels.foreach(px => bins((px >> 4) & 7) += 1.0)
               bins.map(_ / math.max(img.pixels.length, 1).toDouble)
             }
-          } else if (isAvi(payload)) {
+          case "avi" =>
             val info = decodeAvi(payload)
             if (info == null) null else info.bins
-          } else stubDecode(r.getString(1), payload)
+          case _ => stubDecode(r.getString(1), payload)
+        }
         Row(r.getLong(0), r.getString(1), nBytes, feature)
       }
     }(enc)
+  }
+
+  /** Decoder route [[decodeFeatures]] takes for a payload — the SINGLE
+    * source of truth for content dispatch (decodeFeatures matches on
+    * this string), so the audit below can never drift from the real
+    * dispatch. "stub" is the documented [[stubDecode]] `???` boundary;
+    * "null" is the null-payload pass-through (feature stays null).
+    */
+  def dispatchRoute(payload: Array[Byte]): String =
+    if (payload == null) "null"
+    else if (isWav(payload)) "wav"
+    else if (isBmp(payload)) "bmp"
+    else if (isPng(payload)) "png"
+    else if (isJpeg(payload)) "jpeg"
+    else if (isAvi(payload)) "avi"
+    else "stub"
+
+  /** Dispatch-route audit (r14 verdict task 5 — fence the stub
+    * boundary): counts payloads of a `(src, kind, payload)` frame by
+    * the decoder route [[decodeFeatures]] would take. Gate entry
+    * `mm10_dispatch_audit` runs it over EVERY gated media fixture
+    * family and pins the counts to a pure doc_id/text function the
+    * oracle mirrors — in particular the absence of any `stub` row: no
+    * gated fixture may silently fall through to [[stubDecode]].
+    */
+  def dispatchAudit(media: DataFrame): DataFrame = {
+    val auditSchema = StructType(Seq(
+      StructField("src", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("route", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(auditSchema)
+    media.select("src", "kind", "payload").mapPartitions { it: Iterator[Row] =>
+      it.map(r => Row(r.getString(0), r.getString(1),
+        dispatchRoute(r.getAs[Array[Byte]]("payload"))))
+    }(enc).groupBy("src", "kind", "route")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
   }
 
   private val colorStatsSchema = StructType(Seq(

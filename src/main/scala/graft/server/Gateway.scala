@@ -1325,14 +1325,29 @@ final class Gateway(
                |// every rebuild goes through here, never bare controls().
                |function syncControls(){
                |  const by = id => document.getElementById(id);
+               |  // assigning a value whose option no longer exists (an
+               |  // expression column the current apply just removed)
+               |  // silently resets the select, and the NEXT apply would
+               |  // persist that reset into state (advisor r14) — re-add
+               |  // the user's choice as an explicit stale option instead
+               |  const setSel = (id, val) => {
+               |    const s = by(id); if (!s) return;
+               |    s.value = val;
+               |    if (val && s.value !== val) {
+               |      const o = document.createElement('option');
+               |      o.value = val; o.textContent = val + ' (stale)';
+               |      s.appendChild(o); s.value = val;
+               |      by('err').textContent = 'stale column kept: ' + val;
+               |    }
+               |  };
                |  const gb = by('gb');
                |  if (gb && gb.options)
                |    for (const o of gb.options)
                |      o.selected = state.groupBy.indexOf(o.value) >= 0;
-               |  by('sb').value = state.splitBy;
+               |  setSel('sb', state.splitBy);
                |  by('agg').value = state.agg;
-               |  by('aggc').value = state.aggCol;
-               |  by('fc').value = state.filterCol;
+               |  setSel('aggc', state.aggCol);
+               |  setSel('fc', state.filterCol);
                |  by('fop').value = state.filterOp;
                |  by('fv').value = state.filterVal;
                |  by('lim').value = state.limit;

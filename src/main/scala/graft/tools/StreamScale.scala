@@ -2,28 +2,43 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Streaming-twin scale ledger (r13 verdict task 5): the sf1/sf10
-  * ledgers measured BATCH scaling; the state-store claim — RocksDB
-  * backend, shuffle-once per micro-batch, state linear in key
-  * cardinality — had no measured curve. This main runs the three
-  * state-class representatives (st7s incremental profile, a11s
-  * session merge + watermark flush, d3s streaming LSH dedup) at
-  * sf0.1 and at the 10× feed (/tmp/graft_sf1, built by ScaleSmoke),
-  * on the PRODUCTION RocksDB provider, and emits one JSON line per
-  * (entry, scale) with wall time, row count, the order-independent
-  * row-hash signature (for cross-checking against the batch oracle
-  * run), and per-batch progress parsed from the engine's own
-  * StreamingQueryProgress (batch durations, state rows, state bytes).
+/** Streaming-twin scale ledger (r13 verdict task 5; widened per r14
+  * task 3): the sf1/sf10 ledgers measured BATCH scaling; the
+  * state-store claim — RocksDB backend, shuffle-once per micro-batch,
+  * state linear in key cardinality — had no measured curve. This main
+  * runs one representative per stateful-operator SHAPE, each with a
+  * distinct state layout whose bytes/row curve is measured
+  * independently:
+  *   - st7s incremental profile  (O(columns) sketch partials)
+  *   - a11s session merge        (watermark-flushed session windows)
+  *   - d3s  streaming LSH dedup  (grows-with-keys roster)
+  *   - a14s funnel               (per-user stage vector)
+  *   - a15s retention            (per-user cohort + seen-period set)
+  *   - w11s cusum                (per-series two-sided cusum scalars)
+  *   - d10s cross dedup          (cross-corpus seen-hash roster)
+  *   - c4s  k-means refit        (per-cell centroid accumulators)
+  * at sf0.1 and at the 10× feed (/tmp/graft_sf1, built by
+  * ScaleSmoke), on the PRODUCTION RocksDB provider, and emits one
+  * JSON line per (entry, scale) with wall time, row count, the
+  * order-independent row-hash signature (for cross-checking against
+  * the batch oracle run), and per-batch progress parsed from the
+  * engine's own StreamingQueryProgress (batch durations, state rows,
+  * state bytes).
   *
   * Correctness at each scale is earned separately through the
   * standard Verify + tools/check.py flow over the same entries — this
   * main is the MEASUREMENT instrument.
   *
   * Usage: runMain graft.tools.StreamScale [entry ...]
+  * Env: GRAFT_STREAMSCALE_SCALES=sf0.1[,sf1] — run a subset of the
+  * scale axis; only the selected dirs are required to exist
+  * (advisor r14: sf0.1-only runs must not demand /tmp/graft_sf1).
   */
 object StreamScale {
-  private val DefaultEntries =
-    Seq("st7s_profile_stream", "a11s_session_stream", "d3s_lsh_dedup_stream")
+  private val DefaultEntries = Seq(
+    "st7s_profile_stream", "a11s_session_stream", "d3s_lsh_dedup_stream",
+    "a14s_funnel_stream", "a15s_retention_stream", "w11s_cusum_stream",
+    "d10s_cross_dup_stream", "c4s_kmeans_refit_stream")
 
   def main(args: Array[String]): Unit = {
     val entries = if (args.nonEmpty) args.toSeq else DefaultEntries
@@ -42,9 +57,13 @@ object StreamScale {
     sys.props("graft.gate.provider") = "rocksdb"
     val outDir = java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get("/tmp/graft_streamscale")).toString
-    val scales = Seq(
+    val allScales = Seq(
       ("sf0.1", "/root/testdata/sf0.1"),
       ("sf1", "/tmp/graft_sf1"))
+    val wanted = sys.env.get("GRAFT_STREAMSCALE_SCALES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val scales = allScales.filter { case (l, _) => wanted.forall(_(l)) }
+    // only the scale dirs this run actually uses are required
     scales.foreach { case (_, dir) =>
       require(new java.io.File(dir).isDirectory,
         s"$dir missing — run `runMain graft.tools.ScaleSmoke` once to build sf1")
@@ -73,7 +92,17 @@ object StreamScale {
       var peakRows = 0L
       var peakMem = 0L
       var peakSst = 0L
-      val src = scala.io.Source.fromFile(mfile, "UTF-8")
+      // a non-streaming (or metrics-silent) entry writes no progress
+      // file; emit batches:0 with a note instead of crashing the whole
+      // ledger run on FileNotFoundException (advisor r14)
+      val mexists = new java.io.File(mfile).exists()
+      if (!mexists)
+        Console.err.println(
+          s"note: $name@$label wrote no progress file (non-streaming " +
+            "or metrics-silent entry) — batches:0 below")
+      val src =
+        if (mexists) scala.io.Source.fromFile(mfile, "UTF-8")
+        else scala.io.Source.fromString("")
       try src.getLines().foreach { line =>
         val p = mapper.readTree(line)
         batches += 1

@@ -204,6 +204,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stubbed.getAs[Seq[Double]]("feature") === expected)
   }
 
+  test("no gated media fixture reaches the stubDecode boundary (r14 fence)") {
+    import spark.implicits._
+    // doc ids cover every syntheticMedia dispatch arm (%6 residues
+    // 0..5) plus degenerate 1-char text; mjpeg + colorjpeg families
+    // run over the same docs — the gated surface's full fixture space
+    val docs = (0L to 11L).map(i => (i, if (i % 4 == 3) "x" else s"doc $i text ©"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val m = graft.testing.MediaFixtures
+    val cols = Seq(col("media_id"), col("kind"), col("payload"))
+    val all = m.syntheticMedia(docs).select(cols: _*)
+      .withColumn("src", lit("synthetic"))
+      .unionByName(m.mjpegMedia(docs).select(cols: _*)
+        .withColumn("src", lit("mjpeg")))
+      .unionByName(m.colorJpegMedia(docs).select(cols: _*)
+        .withColumn("src", lit("colorjpeg")))
+    val routes = Multimodal.dispatchAudit(all).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(!routes.keySet.exists(_._3 == "stub"),
+      s"gated fixture fell through to stubDecode: $routes")
+    assert(!routes.keySet.exists(_._3 == "null"),
+      s"gated fixture produced a null payload for non-null text: $routes")
+    // and each family lands on exactly the codec its arm promises
+    assert(routes.keySet.filter(_._1 == "mjpeg").map(_._3) === Set("avi"))
+    assert(routes.keySet.filter(_._1 == "colorjpeg").map(_._3) === Set("jpeg"))
+    assert(routes.keySet.filter(_._1 == "synthetic").map(_._3) ===
+      Set("wav", "bmp", "png", "avi"))
+  }
+
   test("aviEncode → decodeAvi: RIFF demux — hdrl/avih frame count + movi frame walk") {
     // three frames, one odd-length (word-align pad exercised)
     val avi = Multimodal.aviEncode(Array(
