@@ -35,7 +35,7 @@ const ctx = {
   console, JSON, Number, String, Math, isNaN, Promise,
 };
 vm.createContext(ctx);
-vm.runInContext(js + '\n;globalThis.__t = {state, tick, render, pivot, applyFilter, setExprs, withComputed};', ctx);
+vm.runInContext(js + '\n;globalThis.__t = {state, tick, render, pivot, applyFilter, setExprs, withComputed, rebuildControls};', ctx);
 
 (async () => {
   // initial tick() was kicked off at script end — poll for the grid
@@ -174,5 +174,27 @@ vm.runInContext(js + '\n;globalThis.__t = {state, tick, render, pivot, applyFilt
   assert(t.state.agg === 'sum' && t.state.aggCol === 'qty',
     'second apply preserves agg/aggCol');
 
-  console.log('TABLE_PAGE_DRIVE_OK: grid render, pivot sum, filter count, split_by crosstab, expression column, XSS escape, apply preserves config');
+  // 8. stale select value survives a rebuild (advisor r14): emulate
+  // the BROWSER's select semantics — assigning a value with no
+  // matching option silently resets to '' — and require syncControls
+  // to re-add the stale choice as an explicit option instead of
+  // letting the NEXT apply persist the wipe into state.
+  const sb = el('sb');
+  sb.options = [{value: ''}, {value: 'symbol'}, {value: 'side'}];
+  let sbVal = '';
+  Object.defineProperty(sb, 'value', {
+    get: () => sbVal,
+    set: (v) => { sbVal = sb.options.some(o => o.value === v) ? String(v) : ''; },
+    configurable: true,
+  });
+  sb.appendChild = (o) => sb.options.push(o);
+  ctx.document.createElement = () => ({});
+  t.state.splitBy = 'notional'; // an expr column the rebuild dropped
+  t.rebuildControls();
+  assert(sb.value === 'notional', 'stale splitBy re-added as an option');
+  el('apply').onclick();
+  assert(t.state.splitBy === 'notional',
+    'state.splitBy survives the rebuild (no silent wipe on next apply)');
+
+  console.log('TABLE_PAGE_DRIVE_OK: grid render, pivot sum, filter count, split_by crosstab, expression column, XSS escape, apply preserves config, stale select kept');
 })().catch(e => { console.error('FAIL:', e); process.exit(1); });

@@ -102,5 +102,26 @@ if [ "$RC" -eq 0 ]; then
     RC=$T1RC
   fi
 fi
+# /tables workspace e2e (r14 verdict task 4): the inline-JS pivot page
+# driven for real (node + DOM shim against a live TablesDemo gateway)
+# at EVERY round close — the advisor-r13 apply-reset bug class only
+# surfaces here, and this step used to run only when someone
+# remembered. Verdict committed into the receipt; a FAIL reds the gate.
+echo "== gate: /tables workspace e2e (tools/tables_e2e.sh)"
+E2E_OUT=$(tools/tables_e2e.sh 2>&1)
+E2E_RC=$?
+{
+  echo
+  echo "## /tables workspace e2e (r14 verdict task 4)"
+  echo
+  echo "- command: \`tools/tables_e2e.sh\` (exit $E2E_RC)"
+  echo '```'
+  echo "$E2E_OUT" | tail -8
+  echo '```'
+} >> RECEIPTS.md
+if [ "$E2E_RC" -ne 0 ]; then
+  echo "== gate: /tables e2e FAILED (exit $E2E_RC)"
+  RC=$E2E_RC
+fi
 echo "$SUMMARY (exit $RC) — receipt written to RECEIPTS.md"
 exit $RC
