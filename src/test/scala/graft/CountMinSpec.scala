@@ -43,6 +43,37 @@ class CountMinSpec extends AnyFunSuite {
     assert(res.passed, res.toString)
   }
 
+  test("bucket layout is a WIRE contract: K-M row positions pinned (mutation h001)") {
+    // Persisted sketches (the d15/d16 saved-index pattern) merge
+    // across sessions: two engine versions disagreeing on bucket()
+    // silently corrupt merged estimates while every per-version
+    // property (upper bound, merge additivity) still passes — exactly
+    // how auto-mutant h001 (multiplier i+1 -> i-1) survived the gate.
+    // Pin the documented Kirsch–Mitzenmacher scheme
+    // (CountMin.scala:42-55): row-i bucket =
+    // avalanche(h1 + (i+1)*h2) >>> 17 masked to width, recomputed here
+    // from the doc formula, independently of the implementation.
+    val (w, d) = (1024, 5)
+    val s = new CMSketch(w, d)
+    val items = Seq("alpha", "beta", "graft")
+    items.foreach { it => val (h1, h2) = ph(it); s.add(h1, h2) }
+    val buf = java.nio.ByteBuffer.wrap(s.serialize)
+    assert(buf.getInt === w && buf.getInt === d && buf.getLong === items.size.toLong)
+    val rows = Array.fill(d)(Array.fill(w)(buf.getLong))
+    def kmBucket(h1: Long, h2: Long, i: Int): Int = {
+      var m = h1 + (i + 1).toLong * h2
+      m = (m ^ (m >>> 30)) * 0xbf58476d1ce4e5b9L
+      ((m >>> 17) & (w - 1)).toInt
+    }
+    for (it <- items; i <- 0 until d) {
+      val (h1, h2) = ph(it)
+      assert(rows(i)(kmBucket(h1, h2, i)) >= 1L,
+        s"row $i counter for '$it' not at the K-M bucket — wire layout drifted")
+    }
+    // each add increments exactly one counter per row
+    rows.foreach(r => assert(r.sum === items.size.toLong))
+  }
+
   test("serialization round-trips") {
     val s = new CMSketch(128, 4)
     (1 to 500).foreach { x => val h = ph((x % 37).toString); s.add(h._1, h._2) }

@@ -406,6 +406,44 @@ class GatewaySpec extends AnyFunSuite {
     } finally { gw.stop(); rt.stop() }
   }
 
+  test("expired simple-auth session is rejected everywhere (mutation c01)") {
+    // credential wave r15: mutant c01 (sessionUserByUuid's expiry
+    // check neutered) SURVIVED the full suite — no test ever let a
+    // session AGE. Mint one with a 150 ms lifetime, prove it works,
+    // wait past expiry, and require the same cookie to be dead on
+    // whoami, the API gate, and as an X13 write identity.
+    def basic(u: String, p: String): String =
+      "Basic " + java.util.Base64.getEncoder.encodeToString(
+        s"$u:$p".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val rt = new ChannelRuntime(spark,
+      Map("example" -> ChannelSpec("example", schema, stateKeyby = Seq("owner"))),
+      Files.createTempDirectory("graft-gw-ckpt").toString)
+    rt.start()
+    val gw = new Gateway(rt, 0, Map("example" -> "owner"),
+      simpleAuthUsers = Map("alice" -> "secret"),
+      sessionTimeoutMillis = 150L).start()
+    try {
+      val base = s"http://127.0.0.1:${gw.boundPort}"
+      val ok = get(s"$base/login", Map("Authorization" -> basic("alice", "secret")))
+      assert(ok.statusCode() === 303)
+      val cookie = ok.headers().firstValue("Set-Cookie").orElse("").split(";")(0)
+      assert(cookie.startsWith("session="))
+      // live session authorizes
+      assert(get(s"$base/api/v1/whoami", Map("Cookie" -> cookie)).statusCode() === 200)
+      Thread.sleep(400) // > sessionTimeoutMillis: the session has expired
+      assert(get(s"$base/api/v1/whoami", Map("Cookie" -> cookie)).statusCode() === 401,
+        "expired session must not answer whoami")
+      assert(get(s"$base/api/v1/state/example", Map("Cookie" -> cookie)).statusCode() === 401,
+        "expired session must not pass the API gate")
+      assert(post(s"$base/api/v1/send/example", """{"x":1,"owner":"alice"}""",
+        Map("Cookie" -> cookie)).statusCode() === 401,
+        "expired session must not authenticate a write")
+      // fresh Basic credentials still work (expiry is per-session)
+      assert(get(s"$base/api/v1/state/example",
+        Map("Authorization" -> basic("alice", "secret"))).statusCode() === 200)
+    } finally { gw.stop(); rt.stop() }
+  }
+
   test("whoami without a session is 401 even for an api-key-authorized caller (mutation s14)") {
     // the only reachable path to the whoami handler's own 401 branch:
     // a co-mounted api-key middleware authorizes the request past the
