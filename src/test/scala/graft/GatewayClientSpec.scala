@@ -365,6 +365,19 @@ class GatewayClientSpec extends AnyFunSuite {
         host = "127.0.0.1", port = gw.boundPort))
       val err = intercept[ServerUnknownException](anon.openApiSpec)
       assert(err.getMessage.contains("403") || err.getMessage.contains("openapi"))
+
+      // credential wave r15 (mutation c02): membership must be EXACT —
+      // a strict PREFIX of a configured key (and a key the configured
+      // one is a prefix OF) must both be rejected. The c02 mutant
+      // (contains -> exists(_.startsWith(t))) survived the full suite
+      // because every negative test used a disjoint wrong key.
+      for (almost <- Seq("sek", "sekre", "sekrets", "ekret")) {
+        val near = new GatewayClient(GatewayClientConfig(
+          host = "127.0.0.1", port = gw.boundPort, apiKey = Some(almost)))
+        val e = intercept[ServerUnknownException](near.openApiSpec)
+        assert(e.getMessage.contains("403"),
+          s"near-key '$almost' must be rejected, got: ${e.getMessage}")
+      }
     } finally { gw.stop(); rt.stop() }
   }
 }
