@@ -206,6 +206,39 @@ class ServerMiddlewareSpec extends AnyFunSuite {
     }
   }
 
+  test("expired oauth session is rejected (mutation c04)") {
+    // credential wave r15: the OAuth session store's expiry check had
+    // no test that let a session AGE (c01's twin on the OAuth side).
+    withOidcProvider { issuer =>
+      withRuntime { rt =>
+        val gw = new Gateway(rt, 0,
+          oauth = Some(OAuthConfig(issuer, clientId = "graft-app",
+            clientSecret = Some("s3"),
+            sessionTimeoutMillis = 150L))).start()
+        val base = s"http://127.0.0.1:${gw.boundPort}"
+        try {
+          val login = get(s"$base/login")
+          val state = login.headers().firstValue("Location").orElse("")
+            .split("state=").last.split("&").head
+          val cb = get(s"$base/auth/callback?code=good-code&state=$state")
+          assert(cb.statusCode() === 303)
+          val cookie = cb.headers().firstValue("Set-Cookie").orElse("").split(";").head
+          assert(cookie.startsWith("oauth_session="))
+          // live session authorizes
+          assert(get(s"$base/api/v1/state/example",
+            Map("Cookie" -> cookie)).statusCode() === 200)
+          Thread.sleep(400) // > sessionTimeoutMillis
+          assert(get(s"$base/api/v1/state/example",
+            Map("Cookie" -> cookie)).statusCode() === 401,
+            "expired oauth session must not pass the API gate")
+          assert(get(s"$base/auth/userinfo",
+            Map("Cookie" -> cookie)).statusCode() === 401,
+            "expired oauth session must not serve userinfo")
+        } finally gw.stop()
+      }
+    }
+  }
+
   test("oauth bearer token validates via userinfo and via introspection") {
     withOidcProvider { issuer =>
       withRuntime { rt =>
