@@ -239,6 +239,31 @@ class ServerMiddlewareSpec extends AnyFunSuite {
     }
   }
 
+  test("non-bearer Authorization schemes never validate as bearer (mutation c07)") {
+    // credential wave r15: the bearer path must check the SCHEME, not
+    // just strip to the first space — a Basic/Token header carrying a
+    // string that happens to be a valid access token must not
+    // authenticate (c07: scheme filter dropped).
+    withOidcProvider { issuer =>
+      withRuntime { rt =>
+        val gw = new Gateway(rt, 0,
+          oauth = Some(OAuthConfig(issuer, clientId = "graft-app"))).start()
+        val base = s"http://127.0.0.1:${gw.boundPort}"
+        try {
+          // control: the real bearer scheme authorizes
+          assert(get(s"$base/api/v1/state/example",
+            Map("Authorization" -> "Bearer tok-alice")).statusCode() === 200)
+          // the same valid token under any other scheme must not
+          for (h <- Seq("Basic tok-alice", "Token tok-alice",
+                        "Bearer-ish tok-alice", "tok-alice"))
+            assert(get(s"$base/api/v1/state/example",
+              Map("Authorization" -> h)).statusCode() === 401,
+              s"scheme-less/mis-schemed header '$h' must not authenticate")
+        } finally gw.stop()
+      }
+    }
+  }
+
   test("oauth bearer token validates via userinfo and via introspection") {
     withOidcProvider { issuer =>
       withRuntime { rt =>
