@@ -339,7 +339,13 @@ class LayoutSpec extends AnyFunSuite {
     assert(markerText.startsWith("v1|k|4|"))
     // sentinel survives a params-matching second call (cache HIT, no
     // overwrite); vanishes on any params mismatch (overwrite rebuild)
-    val sentinel = new java.io.File(path, "probe_sentinel.txt")
+    // underscore-prefixed so Spark's file listing ignores it: the
+    // advisor-r14 fix re-registers (and re-LISTS) the table on every
+    // cache hit — a foreign visible file in a parquet dir correctly
+    // fails the scan now, but the sentinel's only job is to prove
+    // reuse-vs-rebuild on DISK, which _-invisibility doesn't change
+    // (the Overwrite rebuild still clears it)
+    val sentinel = new java.io.File(path, "_probe_sentinel.txt")
     def plant(): Unit = { val w = new java.io.PrintWriter(sentinel); w.print("x"); w.close() }
     plant()
     assert(call("k", 4, Seq("k", "s")).count() === 64L)
