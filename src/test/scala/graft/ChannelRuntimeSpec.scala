@@ -236,6 +236,33 @@ class ChannelRuntimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally rt3.stop()
   }
 
+  test("engine log: cycle timestamp honors a timestamp-FIRST channel schema") {
+    // Channel schemas are user-declared, so `timestamp` can be field 0;
+    // the cycle stamp must still come from the rows' event time, never
+    // fall back to wall clock. Kills the h165 `idx >= 0` -> `idx > 0`
+    // tsOf mutant (which drops a position-0 timestamp column).
+    val tsFirst = StructType(Seq(
+      StructField("timestamp", TimestampType),
+      StructField("id", StringType),
+      StructField("x", LongType)))
+    val rt = new ChannelRuntime(spark,
+      Map("tsf" -> ChannelSpec("tsf", tsFirst)),
+      Files.createTempDirectory("graft-test-ckpt").toString)
+    val log = Files.createTempFile("graft", ".jsonl").toString
+    new java.io.File(log).delete()
+    val writer = new EngineLog.Writer(log, rt)
+    rt.start()
+    try {
+      rt.send("tsf", Seq(Map("x" -> 1L, "timestamp" -> "2020-06-01T00:00:00Z")))
+      rt.processAllAvailable(); writer.flushCycle(); writer.close()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val line = Files.readAllLines(java.nio.file.Paths.get(log)).get(0)
+      val want = java.time.Instant.parse("2020-06-01T00:00:00Z").toEpochMilli
+      assert(mapper.readTree(line).get("csp_engine_timestamp").asLong === want,
+        "engine cycle timestamp must be the rows' event time, not wall clock")
+    } finally rt.stop()
+  }
+
   test("replay logs lagging engine cycles but still emits them in file order") {
     // cycles stamped 10, 30, 20: the third is BEHIND engine time 30 —
     // the late-data contract (json_converter.py:126-133) emits it

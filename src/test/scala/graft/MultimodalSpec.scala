@@ -233,6 +233,20 @@ class MultimodalSpec extends AnyFunSuite {
       Set("wav", "bmp", "png", "avi"))
   }
 
+  test("stubDecode: feature is an L1-normalized codepoint histogram") {
+    // The stub's published contract (Multimodal.scala stubDecode doc):
+    // an 8-bin codepoint histogram normalized by TOTAL codepoints, so
+    // features are payload-length-invariant. Pins the denominator
+    // (kills the h090 max->min denominator mutant: unnormalized bins
+    // for n >= 2, NaN for the empty payload).
+    val f = Multimodal.stubDecode("opaque", "abcdefgh".getBytes("UTF-8"))
+    assert(math.abs(f.sum - 1.0) < 1e-12, s"histogram not L1-normalized: ${f.toSeq}")
+    assert(f.forall(v => v >= 0.0 && v <= 1.0))
+    // empty payload: guarded denominator -> all-zero feature, never NaN
+    val e = Multimodal.stubDecode("opaque", Array.emptyByteArray)
+    assert(e.forall(_ == 0.0), s"empty payload must yield zeros: ${e.toSeq}")
+  }
+
   test("aviEncode → decodeAvi: RIFF demux — hdrl/avih frame count + movi frame walk") {
     // three frames, one odd-length (word-align pad exercised)
     val avi = Multimodal.aviEncode(Array(

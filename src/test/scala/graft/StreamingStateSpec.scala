@@ -48,6 +48,33 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lastByKeyStream: equal-seq rows in one batch — first delivery wins") {
+    // Tie contract: a row with the SAME seq as the current winner never
+    // replaces it. The cross-batch rule already keeps `prev` on equal
+    // seq (redelivery idempotence under at-least-once sources); the
+    // within-batch reduce must agree, keeping the FIRST-delivered row.
+    // coalesce(1) pins map-side arrival order so the tie is observable
+    // deterministically. Kills the h167 `>=` -> `>` reduce mutant
+    // (which would resolve the tie to the LAST-delivered row).
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(schema), sqlCtx)
+    val out = StreamingState.lastByKeyStream(
+      stream.toDF().coalesce(1), Seq("k"), "seq")
+    val name = s"lbk_tie_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("lbk-tie").toString)
+      .start()
+    try {
+      stream.addData(row("a", 1, 5), row("a", 2, 5), row("b", 7, 1))
+      q.processAllAvailable()
+      val last = spark.table(name).collect()
+        .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.last.getLong(1) }
+      assert(last("a") === 1L, "equal-seq tie must keep the first-delivered row")
+      assert(last("b") === 7L)
+    } finally q.stop()
+  }
+
   test("multi-key grouping does not collide adjacent key fragments") {
     // ("ab","c") vs ("a","bc") must be distinct groups
     val s2 = StructType(Seq(
