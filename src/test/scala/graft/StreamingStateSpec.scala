@@ -75,6 +75,34 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lastByKeyStream: equal-seq redelivery in a LATER batch never replaces state") {
+    // Cross-batch half of the tie contract (the within-batch half is
+    // pinned above): an at-least-once source redelivering the winning
+    // seq in a later micro-batch must leave state untouched — `prev`
+    // wins on equal seq. Kills the h168 `>=` -> `>` state-compare
+    // mutant (under which the redelivered row would overwrite state
+    // and re-emit with the new payload).
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(schema), sqlCtx)
+    val out = StreamingState.lastByKeyStream(stream.toDF(), Seq("k"), "seq")
+    val name = s"lbk_redeliver_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("lbk-rd").toString)
+      .start()
+    try {
+      stream.addData(row("a", 1, 5))
+      q.processAllAvailable()
+      // same key, same seq, different payload — a redelivery, not news
+      stream.addData(row("a", 2, 5))
+      q.processAllAvailable()
+      val vals = spark.table(name).collect()
+        .filter(_.getString(0) == "a").map(_.getLong(1)).toSet
+      assert(vals === Set(1L),
+        s"equal-seq redelivery must not overwrite or re-emit: got $vals")
+    } finally q.stop()
+  }
+
   test("multi-key grouping does not collide adjacent key fragments") {
     // ("ab","c") vs ("a","bc") must be distinct groups
     val s2 = StructType(Seq(
