@@ -236,6 +236,31 @@ class ChannelRuntimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally rt3.stop()
   }
 
+  test("set_state keyby on the FIRST schema field keys rows distinctly") {
+    // stateKeyby is user-declared, so the keyed column can sit at
+    // schema index 0; each distinct key must still hold its own state
+    // row. Kills the h163 `i >= 0` -> `i > 0` key-index mutant (which
+    // nulls a position-0 key and collapses every row into one bucket).
+    val keyFirst = StructType(Seq(
+      StructField("k", StringType),
+      StructField("id", StringType),
+      StructField("timestamp", TimestampType),
+      StructField("x", LongType)))
+    val rt = new ChannelRuntime(spark,
+      Map("kf" -> ChannelSpec("kf", keyFirst, stateKeyby = Seq("k"))),
+      Files.createTempDirectory("graft-test-ckpt").toString)
+    rt.start()
+    try {
+      rt.send("kf", Seq(
+        Map("k" -> "a", "x" -> 1L), Map("k" -> "b", "x" -> 2L),
+        Map("k" -> "a", "x" -> 3L)))
+      rt.processAllAvailable()
+      val st = rt.state("kf").map(r => r.getAs[String]("k") -> r.getAs[Long]("x")).toMap
+      assert(st === Map("a" -> 3L, "b" -> 2L),
+        "distinct position-0 keys must occupy distinct state rows")
+    } finally rt.stop()
+  }
+
   test("engine log: cycle timestamp honors a timestamp-FIRST channel schema") {
     // Channel schemas are user-declared, so `timestamp` can be field 0;
     // the cycle stamp must still come from the rows' event time, never
