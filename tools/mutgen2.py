@@ -293,6 +293,7 @@ def main():
         else:
             open(path, "w").write(src.replace(s["old"], s["new"]))
             try:
+                import subprocess as _sp
                 c = mutgen.sh("sbt -batch compile", cwd=wt, timeout=1800)
                 if c.returncode != 0:
                     rec.update(status="COMPILE_FAIL",
@@ -312,6 +313,18 @@ def main():
                                        n_fail=nf, killed_by=kb, detail=detail)
                         else:
                             rec.update(status="SURVIVED", stage="full")
+            except _sp.TimeoutExpired as te:
+                # A gate run 20x over its normal wall is a HANG, and a
+                # mutant that hangs the engine is dead: the gate would
+                # never go green under it. Record the kill with the
+                # timed-out stage so the receipt is auditable (h005:
+                # the DistinctSketch presize loop goes infinite when
+                # the Int capacity doubles to negative under the
+                # flipped bound).
+                rec.update(status="KILLED", stage="timeout",
+                           kill_mode="timeout",
+                           detail=f"gate run exceeded {te.timeout:.0f}s "
+                                  "(mutant hangs the engine)")
             finally:
                 import subprocess
                 subprocess.run(["git", "checkout", "--", s["file"]],
