@@ -76,6 +76,22 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(back.count === s.count + 1)
   }
 
+  test("merge into an empty sketch is the identity on the wire image") {
+    // State-store blob stability: partial-aggregation merges must not
+    // grow the serialized form with trailing empty levels — the blob a
+    // checkpoint persists is the same bytes whether a partial passed
+    // through an empty merge buffer or not. Kills the h041
+    // `ensureLevel(o.levels.size - 1)` -> `+ 1` over-allocation mutant
+    // (quantiles unchanged, wire image padded by two empty levels).
+    val o = new QSketch(64)
+    (0 until 5000).foreach(i => o.add((i * 104729L) % 4000)) // forces compaction
+    val a = new QSketch(64)
+    a.mergeWith(o)
+    assert(a.count === o.count)
+    assert(java.util.Arrays.equals(a.serialize, o.serialize),
+      s"merge-into-empty must be wire-identical: ${a.serialize.length}B vs ${o.serialize.length}B")
+  }
+
   test("heavy hitters exact tier: under capacity, counts and merge are exact") {
     import graft.functions.{HHSketch, HeavyHitters => HH}
     val a = new HHSketch(64); val b = new HHSketch(64)
