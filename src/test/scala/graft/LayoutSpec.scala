@@ -112,6 +112,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(rows === Map(1L -> 10L, 2L -> 20L, 3L -> 333L, 4L -> 40L, 9L -> 90L))
   }
 
+  test("fileStats parallelizes one slice per file (capped at 64)") {
+    // The footer scan's 100 TB contract: reading N file footers is an
+    // N-way parallel job, not a single-slice driver-adjacent loop and
+    // not a fixed 64-partition fan-out over 3 files. Pins the
+    // max(1, min(files, 64)) slice count — kills the h086 (always 1
+    // slice) and h087 (always 64 slices) parallelism mutants, which
+    // are result-identical and therefore gate-invisible.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_fstats_par").toString
+    (0L until 90L).map(i => (i, i % 3)).toDF("k", "b")
+      .repartition(3, col("b"))
+      .write.mode("overwrite").parquet(dir)
+    val out = Layout.fileStats(spark, dir, "k")
+    val nFiles = out.count()
+    assert(nFiles >= 2L, s"fixture must span several files, got $nFiles")
+    assert(out.rdd.getNumPartitions === nFiles.toInt,
+      "footer scan must run one slice per file below the 64 cap")
+  }
+
   test("fileStats requirePathToken: a foreign layout in the scratch dir fails loudly") {
     // the r9 z6/z3 hazard: two catalog entries sharing a scratch prefix
     // let one entry's fileStats silently list the OTHER entry's layout,
