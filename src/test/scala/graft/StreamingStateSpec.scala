@@ -790,6 +790,29 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream: equal-seq rows in one batch — first delivery wins") {
+    // Tie half of the min-seq contract (the distinct-seq half is pinned
+    // above): equal seq resolves to the FIRST-delivered row, agreeing
+    // with the lastByKeyStream tie rule (redelivery idempotence).
+    // coalesce(1) pins map-side arrival order. Kills the h169
+    // `<=` -> `<` reduce mutant (which keeps the LAST-delivered row).
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Row](Encoders.row(schema), sqlCtx)
+    val out = StreamingState.dedupStream(
+      stream.toDF().coalesce(1), Seq("v"), seqCol = Some("seq"))
+    val name = s"dedup_tie_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("dtie-ckpt").toString)
+      .start()
+    try {
+      stream.addData(row("first", 7, 5), row("second", 7, 5))
+      q.processAllAvailable()
+      val winners = spark.table(name).collect().map(_.getString(0)).toSeq
+      assert(winners === Seq("first"),
+        "equal-seq dedup winner must be the first-delivered row")
+    } finally q.stop()
+  }
+
   test("intervalJoinStream: left column colliding with an '_r' output name fails fast") {
     implicit val sqlCtx = spark.sqlContext
     val collSchema = StructType(Seq(
