@@ -20,8 +20,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Inferred-schema cache, keyed by (path, nanosAsLong conf): the
+    * driver-provided tables are immutable per dir, but every
+    * `spark.read.parquet` re-reads the footer to re-infer the schema —
+    * pure per-query planning overhead in a catalog run that loads the
+    * same ten tables hundreds of times (r15 optimization, guide §6:
+    * pass an explicit schema so the scan skips inference). Keyed on the
+    * nanos conf because it changes what type the SAME footer infers to
+    * (events.ts NANOS → long vs ntz), and test JVMs mix sessions.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val nanosConf = spark.conf.getOption(
+      "spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
+    val key = (path, nanosConf)
+    val cached = schemaCache.get(key)
+    val df =
+      if (cached != null) spark.read.schema(cached).parquet(path)
+      else {
+        val inferred = spark.read.parquet(path)
+        schemaCache.put(key, inferred.schema)
+        inferred
+      }
     if (name == "events")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>

@@ -64,14 +64,22 @@ object StreamingState {
       .flatMapGroupsWithState[Row, Row](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
-          val incoming = rows.map(r => Row.fromSeq(r.toSeq.take(n)))
-            .reduceOption((a, b) =>
-              if (a.getLong(seqIdx) >= b.getLong(seqIdx)) a else b)
+          // reduce on the raw (n+1-field) rows and strip the appended
+          // group-key column from the single WINNER only — the old
+          // per-row `Row.fromSeq(r.toSeq.take(n))` allocated a Seq +
+          // Row for every incoming row of the batch (r15 optimization;
+          // seqIdx < n so the comparison reads the same field either
+          // way, and holding rows across next() is safe for external
+          // Row iterators — dedupStream's reduceLeft already relies on
+          // it). Tie semantics unchanged: first delivery wins (`>=`
+          // keeps `a` within the batch, the stored row across batches).
+          val incoming = rows.reduceOption((a, b) =>
+            if (a.getLong(seqIdx) >= b.getLong(seqIdx)) a else b)
           incoming match {
-            case Some(newest) =>
+            case Some(newestRaw) =>
               val winner = state.getOption match {
-                case Some(prev) if prev.getLong(seqIdx) >= newest.getLong(seqIdx) => prev
-                case _ => newest
+                case Some(prev) if prev.getLong(seqIdx) >= newestRaw.getLong(seqIdx) => prev
+                case _ => Row.fromSeq(newestRaw.toSeq.take(n))
               }
               state.update(winner)
               Iterator.single(winner)
