@@ -992,7 +992,11 @@ object PipelineQueries {
     // per-(src, kind, route) counts as a pure doc_id/text function,
     // so a single fixture falling through to the stub reds this row)
     "mm10_dispatch_audit" -> ((s, dir) => {
+      // r15 optimization: same one-file-input fan-out as mm4/mm5 — the
+      // audit re-encodes all three fixture families, and without the
+      // repartition that entire codec stage runs as one task
       val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
       val m = graft.testing.MediaFixtures
       val cols = Seq(col("media_id"), col("kind"), col("payload"))
       val all = m.syntheticMedia(docs).select(cols: _*)
@@ -1130,7 +1134,11 @@ object PipelineQueries {
     // proving the metadata the engine's skipping relies on is truthful
     "z4_file_stats" -> ((s, dir) => {
       val root = scopedTmp("graft_fstats", dir)
-      t(s, dir, "lineitem")
+      // r15 optimization (§2.3/§6, the z7 projection): the audit reads
+      // only per-bucket n_rows + l_orderkey footer intervals — both
+      // pure functions of (l_orderkey, bucket); writing the other 15
+      // lineitem columns changed no output bit.
+      t(s, dir, "lineitem").select(col("l_orderkey"))
         .withColumn("bucket", pmod(col("l_orderkey"), lit(4)))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(root)
@@ -1155,7 +1163,14 @@ object PipelineQueries {
       // arithmetic while keeping 3 rows (rows/schema green, hash red)
       val root = scopedTmp("graft_z6compact", dir)
       val li = t(s, dir, "lineitem")
-      li.withColumn("bucket", pmod(col("l_orderkey"), lit(8)))
+      // r15 optimization (§2.3/§6, the z7 projection): the compaction
+      // plan consumes only per-bucket n_rows + l_orderkey footer
+      // intervals — both pure functions of (l_orderkey, bucket), so
+      // auditing a 2-column projection writes ~10× fewer bytes for a
+      // bit-identical result (n_rows per bucket is row membership, not
+      // row width).
+      li.select(col("l_orderkey"))
+        .withColumn("bucket", pmod(col("l_orderkey"), lit(8)))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(root)
       // SPLIT-INVARIANT plan input (r10 verdict): per-FILE bin packing is
@@ -1213,8 +1228,17 @@ object PipelineQueries {
                 requirePathToken = "bucket=")), probes)
           .withColumn("layout", lit(name))
       }
-      val hash = li.withColumn("bucket", pmod(col("l_orderkey"), lit(8)))
-      val range = li.withColumn("bucket",
+      // r15 optimization (§2.3/§6 — write fewer bytes): the audit
+      // consumes ONLY the l_orderkey footer interval per bucket
+      // directory (fileStats column + bucketStats token) — every other
+      // lineitem column was written twice and read never. Projecting
+      // the audited table to (l_orderkey, bucket) leaves n_files /
+      // n_candidates / skip_milli bit-identical (bucket membership and
+      // per-bucket key intervals are pure functions of these two
+      // columns) and cuts the two layout writes ~10×.
+      val key = li.select(col("l_orderkey"))
+      val hash = key.withColumn("bucket", pmod(col("l_orderkey"), lit(8)))
+      val range = key.withColumn("bucket",
         least(lit(7L), expr(s"l_orderkey * 8 div ${mx + 1}L")))
       audited(hash, "hash").unionByName(audited(range, "range"))
         .select(col("layout"), col("probe"), col("n_files"),
@@ -1244,7 +1268,10 @@ object PipelineQueries {
     // check run before launching a job over a layout
     "z5_partition_skew" -> ((s, dir) => {
       val root = scopedTmp("graft_skew", dir)
-      t(s, dir, "lineitem")
+      // r15 optimization (§2.3/§6, the z7 projection): the skew audit
+      // consumes only per-bucket n_rows (fileStats still needs the
+      // stats column present — keep l_orderkey, drop the other 15).
+      t(s, dir, "lineitem").select(col("l_orderkey"))
         .withColumn("bucket", least(pmod(col("l_orderkey"), lit(8)), lit(3)))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(root)

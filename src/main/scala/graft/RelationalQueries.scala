@@ -480,20 +480,28 @@ object RelationalQueries {
       EventAnalytics.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
         Seq("signup", "view", "click", "purchase"))),
 
-    // ---- A8: RECURSIVE CTE (Spark 4 native) — a generated week spine
-    // from the corpus's own min/max joined to the retention cells, so
-    // empty cohort×offset cells report 0 (the complete cohort matrix)
+    // ---- A8: generated week spine from the corpus's own min/max
+    // joined to the retention cells, so empty cohort×offset cells
+    // report 0 (the complete cohort matrix). r15 optimization (§1.2
+    // step 1): the spine was a RECURSIVE CTE — Spark 4's UnionLoop
+    // materializes ONE DRIVER JOB PER ITERATION, i.e. one job per
+    // week of corpus span for a row generator whose output is pure
+    // metadata (~3.1 s of the entry's 3.5 s at sf0.1). The identical
+    // spine is `sequence(lo, hi, 7 days)`: both endpoints are
+    // date_trunc('week')-aligned so hi − lo is a whole number of
+    // weeks, the recursion (`WHERE w < hi`, step +7d) and the
+    // inclusive sequence() therefore both yield exactly
+    // {lo, lo+7d, …, hi}. The DuckDB oracle keeps the recursive form,
+    // so the gate re-proves the equivalence on every run.
     "u6_recursive_spine" -> ((s, dir) => {
       t(s, dir, "events").createOrReplaceTempView("g7_ev6")
       EventAnalytics.retentionCohorts(t(s, dir, "events"), "user_id", "ts", "week")
         .createOrReplaceTempView("g7_ret6")
-      s.sql("""WITH RECURSIVE bounds AS (
+      s.sql("""WITH bounds AS (
               |  SELECT date_trunc('week', min(ts)) AS lo, date_trunc('week', max(ts)) AS hi
               |  FROM g7_ev6),
-              |weeks(w) AS (
-              |  SELECT lo FROM bounds
-              |  UNION ALL
-              |  SELECT w + INTERVAL '7' DAY FROM weeks, bounds WHERE w < hi)
+              |weeks AS (
+              |  SELECT explode(sequence(lo, hi, INTERVAL '7' DAY)) AS w FROM bounds)
               |SELECT c.w AS cohort,
               |       CAST((unix_micros(a.w) - unix_micros(c.w)) / 604800000000 AS BIGINT)
               |         AS period_offset,

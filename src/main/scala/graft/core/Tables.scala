@@ -32,6 +32,27 @@ object Tables {
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), org.apache.spark.sql.types.StructType]()
 
+  /** Spread a narrow-split input across the session's cores before
+    * compute-dense per-row work (r15 optimization, guide §2.5 "input
+    * skew: one huge unsplittable file → repartition immediately after
+    * the read"). The driver's gate tables are ONE parquet file of ONE
+    * row group each, so a scan — and with whole-stage codegen every
+    * fused per-row stage up to the first exchange (shingling, codec
+    * decode, sketch partials) — runs as a single task on a 32-core
+    * session. A round-robin repartition costs one exchange of the
+    * (small) gate input and buys cores× parallelism for the heavy
+    * stage. No-op when the input already carries at least half the
+    * session's parallelism in splits — the 100 TB case, where corpus
+    * inputs arrive in many files and the scan parallelizes natively.
+    * Row-set-identical by construction (round-robin only moves rows).
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batch partitioning is the
+    // stream's own concern (GRAFT_GATE_PARTITIONS); .rdd would throw
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val nanosConf = spark.conf.getOption(

@@ -65,6 +65,24 @@ object Dedup {
     trackedCaches.clear()
   }
 
+  /** Corpus-side fan-out before a per-row compute stage
+    * (r15 optimization, guide §2.5): a one-file input otherwise runs
+    * the fused per-row compute as a single task — see
+    * [[graft.core.Tables.fanOut]] (no-op on well-split inputs, i.e.
+    * at corpus scale). Row-set-identical; consumers aggregate or
+    * set-join, so row placement carries no meaning.
+    *
+    * Applied ONLY where a paired same-box A/B won: containmentPairs
+    * (full shingle-hash SETS kept per row — heavy build + array
+    * intersect verify; 2.99 → 2.53 s at sf0.1). Measured and REJECTED
+    * for the signature paths (minhashMembers 1.2 → 3.9 s, simhash
+    * d11 1.5 → 2.1 s, jaccard/winnow/shingleIndex/profile washes):
+    * their per-row signatures are cheap relative to the exchange the
+    * fan adds, and the single-partition input lets the first partial
+    * aggregate collapse map-side for free.
+    */
+  private def fan(df: DataFrame): DataFrame = graft.core.Tables.fanOut(df)
+
   /** Word n-gram shingle set (distinct) of a text column. Texts with
     * fewer than `n` tokens shingle to the empty set (guarded: Spark's
     * `sequence(1, k)` for k<1 would generate a *descending* range).
@@ -191,7 +209,7 @@ object Dedup {
     require(tMilli >= 1 && tMilli <= 1000, "containmentPairs: tMilli in [1, 1000]")
     require(maxDf >= 1, "containmentPairs: maxDf >= 1")
     val hs = trackPersist(
-      df.select(col(idCol).as("_id"), shingleHashes(col(textCol), n).as("_hset"))
+      fan(df).select(col(idCol).as("_id"), shingleHashes(col(textCol), n).as("_hset"))
         .withColumn("_n", size(col("_hset")))
         .filter(col("_n") >= 1))
     val idx = hs.select(col("_id"), explode(col("_hset")).as("_sh"))

@@ -56,6 +56,48 @@ object StateOps {
       .select(df.columns.toIndexedSeq.map(c => col(s"_last.$c")) ++ extraKeyCols.map(col): _*)
   }
 
+  /** [[lastByKey]] for HIGH-CARDINALITY key spaces whose result will be
+    * key-ordered anyway (the T2/T3 scan contract): ONE range exchange
+    * of the raw ticks + one in-partition sort serve BOTH the aggregate
+    * (RangePartitioning on the group keys satisfies the aggregation's
+    * ClusteredDistribution) and the scan's global ORDER BY (the final
+    * Sort/Exchange are elided against the same partitioning/ordering).
+    *
+    * vs [[lastByKey]]: that shape partial-aggregates before a hash
+    * exchange — the right plan when groups ≪ rows (t1: 1.5 k users
+    * over 1 M events, the combiner collapses 99.9% of the shuffle).
+    * When keys are nearly unique per row the combiner collapses almost
+    * nothing and the plan pays sort + partial agg + hash exchange +
+    * sort + final agg + range exchange + sort; this variant pays range
+    * exchange + sort + agg. r15 A/B at sf0.1 (t3_state_when_filter,
+    * 417 k groups / 600 k rows): 2.84 s → see OPTIMIZATION_r15.md.
+    * Results identical (same aggregate, same total order — both
+    * oracle-gated); the 100 TB guidance is the same split: keyby
+    * cardinality ~rows → this shape, ≪ rows → [[lastByKey]].
+    */
+  def lastByKeyRanged(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
+    require(keys.nonEmpty, "keyby requires at least one attribute")
+    require(keys.forall(df.columns.contains),
+      "lastByKeyRanged supports plain existing key columns only " +
+        "(dotted/missing keys take the lastByKey path)")
+    val rest = df.columns.filterNot(_ == seqCol)
+    val packed = struct((col(seqCol) +: rest.toIndexedSeq.map(col)): _*)
+    val order = keys.map(col(_).asc_nulls_first)
+    val keySet = keys.toSet
+    // group on the RAW key attributes (no alias) and project them
+    // through as themselves: the grouping attrs keep the pre-exchange
+    // expression ids, so the aggregate's output still satisfies the
+    // RangePartitioning/ordering and the scan's ORDER BY plans no new
+    // Exchange/Sort. The winner's key fields equal the group key by
+    // definition, so the projection is value-identical to lastByKey's.
+    df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(max(packed).as("_last"))
+      .select(df.columns.toIndexedSeq.map(c =>
+        if (keySet(c)) col(c) else col(s"_last.$c").as(c)): _*)
+  }
+
   /** T2 — full state scan ordered by key columns ASC NULLS FIRST
     * (reference state.py:284-299: DuckDB `ORDER BY keys ASC NULLS
     * FIRST`). `tieBreak` columns make the order total so results are

@@ -56,6 +56,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ObjectHashAggregate"), p)
   }
 
+  test("lastByKeyRanged + scan share ONE range exchange (r15: the t3 shape)") {
+    val li = graft.core.Tables.load(spark, dir, "lineitem")
+      .withColumn("_seq", col("l_orderkey") * 100 + col("l_linenumber"))
+    val keys = Seq("l_partkey", "l_suppkey")
+    val p = plan(graft.state.StateOps.scan(
+      graft.state.StateOps.lastByKeyRanged(li, keys, "_seq"), keys))
+    // the range exchange below the aggregate serves the scan's ORDER BY
+    // too: exactly one Exchange in the whole plan, and it is a range one
+    assert("Exchange rangepartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("d5 embedding near-dup (blocked) plans a bucket equi-join, no nested-loop") {
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
     val p = plan(graft.pipeline.Dedup.embeddingNearDupPairs(

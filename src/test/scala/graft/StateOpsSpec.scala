@@ -20,6 +20,31 @@ class StateOpsSpec extends AnyFunSuite {
     assert(res === Map("a" -> 30, "b" -> 40, (null: String) -> 5))
   }
 
+  test("lastByKeyRanged equals lastByKey (rows) and scan order (r15 optimization)") {
+    val a = StateOps.scan(StateOps.lastByKey(ticks, Seq("k"), "seq"), Seq("k"))
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Int]("v"))).toSeq
+    val b = StateOps.scan(StateOps.lastByKeyRanged(ticks, Seq("k"), "seq"), Seq("k"))
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Int]("v"))).toSeq
+    assert(a === b)
+    assert(b === Seq((null, 5), ("a", 30), ("b", 40))) // NULLS FIRST kept
+    // two-key variant (the t3 shape)
+    val t2 = Seq((1L, "a", 1, 10), (2L, "a", 1, 20), (3L, "b", 2, 30))
+      .toDF("seq", "k1", "k2", "v")
+    val a2 = StateOps.scan(
+      StateOps.lastByKey(t2, Seq("k1", "k2"), "seq"), Seq("k1", "k2"))
+      .collect().map(_.toSeq).toSeq
+    val b2 = StateOps.scan(
+      StateOps.lastByKeyRanged(t2, Seq("k1", "k2"), "seq"), Seq("k1", "k2"))
+      .collect().map(_.toSeq).toSeq
+    assert(a2 === b2)
+  }
+
+  test("lastByKeyRanged rejects dotted/missing keys (those take lastByKey)") {
+    intercept[IllegalArgumentException] {
+      StateOps.lastByKeyRanged(ticks, Seq("nope"), "seq")
+    }
+  }
+
   test("scan orders keys ASC NULLS FIRST") {
     val res = StateOps.scan(StateOps.lastByKey(ticks, Seq("k"), "seq"), Seq("k"))
       .collect().map(_.getAs[String]("k")).toSeq
