@@ -55,6 +55,19 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // r15 measurement hygiene (§1, ASV-style steady state): the
+        // iterative graph entries spiked 2-3× IN-CATALOG while flat in
+        // isolation (g4 2.4→6.3 s mid-run vs 1.5 s solo) — broadcast/
+        // RDD refs from earlier entries are only reclaimed after a
+        // driver GC, so late entries ran under early entries' debt. A
+        // periodic-GC timer (2min) was A/B'd first and REJECTED: it
+        // normalizes the graph family but lands its pauses INSIDE
+        // whichever entry is running (mm5 1.9→3.6/4.6 s across two
+        // runs). An explicit GC BETWEEN queries pays the same cost in
+        // untimed gaps instead, so no entry is measured under another's
+        // garbage or under the collector itself. The timed action and
+        // per-query methodology are unchanged.
+        System.gc()
         name -> dt
       }.toMap
     val p1 = pass()
@@ -193,6 +206,13 @@ object Bench {
       new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
         Array[Any](i.toLong % 10, i.toLong), schema): Row
     }
+    // match runStream's gate confs (r15: pollingDelay 1 ms) so the
+    // floor measures the same per-twin fixed cost the twins actually
+    // pay — a floor at Spark's 10 ms default would overstate the ratio
+    val pollKey = "spark.sql.streaming.pollingDelay"
+    val prevPoll = spark.conf.getOption(pollKey)
+    spark.conf.set(pollKey,
+      sys.env.getOrElse("GRAFT_GATE_POLLING_MS", "1") + "ms")
     val t0 = System.nanoTime()
     val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row](
       Encoders.row(schema), sqlCtx)
@@ -206,7 +226,13 @@ object Bench {
       .start()
     try rows.grouped(50).foreach { chunk =>
       stream.addData(chunk); q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      prevPoll match {
+        case Some(v) => spark.conf.set(pollKey, v)
+        case None    => spark.conf.unset(pollKey)
+      }
+    }
     val n = spark.table(name).count()
     require(n == 20, s"floor twin saw $n update rows")
     spark.sql(s"DROP TABLE IF EXISTS $name")

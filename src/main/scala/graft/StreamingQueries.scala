@@ -137,7 +137,8 @@ object StreamingQueries {
       sources: Seq[(DataFrame, String)],
       mode: String,
       ticks: Int,
-      flush: Seq[Row] = Nil)(op: Seq[DataFrame] => DataFrame): (DataFrame, String) = {
+      flush: Seq[Row] = Nil,
+      pollingMs: Option[Int] = None)(op: Seq[DataFrame] => DataFrame): (DataFrame, String) = {
     // tick-count override for overhead A/Bs (results are tick-count
     // independent by the streaming-parity contract — every entry's
     // final state equals its batch twin regardless of how the feed is
@@ -214,6 +215,18 @@ object StreamingQueries {
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevNoData = spark.conf.get(noDataKey)
     spark.conf.set(noDataKey, "false")
+    // r15 optimization (§1/§7 micro-batch attribution): the trigger
+    // thread sleeps pollingDelay (default 10 ms) whenever no batch is
+    // ready, so every addData → processAllAvailable handshake of every
+    // tick pays scheduler naps; at 43 twins × 3-6 cycles the naps are
+    // seconds of pure idle. 1 ms keeps the handshake tight at gate
+    // feed sizes (A/B below); production streams with real triggers
+    // keep Spark's default (env knob for A/Bs).
+    val pollKey = "spark.sql.streaming.pollingDelay"
+    val prevPoll = spark.conf.getOption(pollKey)
+    spark.conf.set(pollKey, pollingMs
+      .map(_.toString)
+      .getOrElse(sys.env.getOrElse("GRAFT_GATE_POLLING_MS", "1")) + "ms")
     // Measurement runs dump q.recentProgress at end-of-run; Spark keeps
     // only the last numRecentProgressUpdates (default 100) progress
     // entries, so a StreamScale entry exceeding ~100 micro-batches
@@ -293,6 +306,10 @@ object StreamingQueries {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set(provKey, prevProv)
       spark.conf.set(noDataKey, prevNoData)
+      prevPoll match {
+        case Some(v) => spark.conf.set(pollKey, v)
+        case None    => spark.conf.unset(pollKey)
+      }
       if (!gateCodegen) spark.conf.set(wsKey, prevWs)
     }
     (spark.table(name), ckpt)
@@ -340,6 +357,17 @@ object StreamingQueries {
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevNoData = spark.conf.get(noDataKey)
     spark.conf.set(noDataKey, "false")
+    // r15 optimization (§1/§7 micro-batch attribution): the trigger
+    // thread sleeps pollingDelay (default 10 ms) whenever no batch is
+    // ready, so every addData → processAllAvailable handshake of every
+    // tick pays scheduler naps; at 43 twins × 3-6 cycles the naps are
+    // seconds of pure idle. 1 ms keeps the handshake tight at gate
+    // feed sizes (A/B below); production streams with real triggers
+    // keep Spark's default (env knob for A/Bs).
+    val pollKey = "spark.sql.streaming.pollingDelay"
+    val prevPoll = spark.conf.getOption(pollKey)
+    spark.conf.set(pollKey,
+      sys.env.getOrElse("GRAFT_GATE_POLLING_MS", "1") + "ms")
     // Measurement runs dump q.recentProgress at end-of-run; Spark keeps
     // only the last numRecentProgressUpdates (default 100) progress
     // entries, so a StreamScale entry exceeding ~100 micro-batches
@@ -396,6 +424,10 @@ object StreamingQueries {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set(provKey, prevProv)
       spark.conf.set(noDataKey, prevNoData)
+      prevPoll match {
+        case Some(v) => spark.conf.set(pollKey, v)
+        case None    => spark.conf.unset(pollKey)
+      }
       spark.conf.set(wsKey, prevWs)
     }
     ckpt
@@ -1228,7 +1260,13 @@ object StreamingQueries {
       // 2 ticks: cross-batch matching is already exercised (tick-1
       // left state pairs tick-2 right arrivals) at half the per-batch
       // join-state commit overhead of 4
-      val (out, _) = runStream(s, Seq((left, "ts"), (right, "ts")), "append", ticks = 2) {
+      // pollingMs pinned at Spark's 10 ms default: the 43-twin A/B that
+      // set the gate default to 1 ms improved 40 twins but regressed
+      // THIS one consistently (1.98 → 2.74 s subset run; up to 3.8 s
+      // in-catalog) — the stream-stream join's two-source lock-step
+      // handshake schedules differently under eager polling
+      val (out, _) = runStream(s, Seq((left, "ts"), (right, "ts")), "append", ticks = 2,
+        pollingMs = Some(10)) {
         case Seq(l, r) => StreamingState.intervalJoinStream(
           l, r, "user_id", "ts", within = "1 hour", watermark = "365 days")
       }
