@@ -75,7 +75,12 @@ object ScaleSmoke {
     // (1/group-size gate over components), inference batching
     // (per-(shard,bucket) windows), time-sliced mixture drift
     "d4b_simhash_stats", "d3b_minhash_stats", "d3c_lsh_calibration",
-    "d17_soft_dedup", "p19_length_batches", "v3_time_share_drift")
+    "d17_soft_dedup", "p19_length_batches", "v3_time_share_drift",
+    // round 15 (optimization): the two reshaped batch queries — the
+    // one-range-exchange state build (high-cardinality keyby) and the
+    // sequence() week spine — so their scale curves are smoke-checked
+    // in the same harness that vetted the originals
+    "t3_state_when_filter", "u6_recursive_spine")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
