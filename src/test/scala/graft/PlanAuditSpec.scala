@@ -56,6 +56,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ObjectHashAggregate"), p)
   }
 
+  test("fanOut: repartitions a one-file input, no-ops a well-split one (r15)") {
+    val one = graft.core.Tables.load(spark, dir, "documents") // 1 split
+    val cores = spark.sparkContext.defaultParallelism
+    assert(one.rdd.getNumPartitions < cores) // precondition of the test
+    val fanned = graft.core.Tables.fanOut(one)
+    assert(fanned.rdd.getNumPartitions === cores)
+    // same row multiset either way (round-robin only moves rows)
+    assert(fanned.groupBy().count().head.getLong(0) ===
+      one.groupBy().count().head.getLong(0))
+    val wide = one.repartition(cores) // already at session parallelism
+    assert(graft.core.Tables.fanOut(wide) eq wide) // literal no-op
+  }
+
   test("lastByKeyRanged + scan share ONE range exchange (r15: the t3 shape)") {
     val li = graft.core.Tables.load(spark, dir, "lineitem")
       .withColumn("_seq", col("l_orderkey") * 100 + col("l_linenumber"))
