@@ -142,6 +142,20 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench.json"), verbose + "\n")
     catch { case _: Throwable => () }
+    // r15 verdict task 1: the driver's PERF comparator had n_common=0
+    // because the final line's q_ms array is nameless and the named map
+    // (bench.json) is overwritten by the driver's own run. The zip key
+    // — the sorted entry-name list, one name per q_ms slot — is written
+    // as a COMMITTED sidecar so any consumer (tools/bench_trend.py
+    // --compare, the judge, a future driver) can reconstruct the full
+    // named table from ANY round's q_ms without out-of-band knowledge.
+    // Names are stable per catalog (sorted), so the file only changes
+    // when entries are added.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_names.json"),
+      sorted.map(e => "\"" + e._1 + "\"")
+        .mkString("{\"order\":\"sorted-name\",\"names\":[", ",", "]}\n"))
+    catch { case _: Throwable => () }
     println(verbose)
     val msInts = sorted.map { case (_, v) =>
       if (v < 0) "-1" else math.round(v * 1000).toString }.mkString("[", ",", "]")
@@ -211,23 +225,27 @@ object Bench {
     // pay — a floor at Spark's 10 ms default would overstate the ratio
     val pollKey = "spark.sql.streaming.pollingDelay"
     val prevPoll = spark.conf.getOption(pollKey)
-    spark.conf.set(pollKey,
-      sys.env.getOrElse("GRAFT_GATE_POLLING_MS", "1") + "ms")
-    val t0 = System.nanoTime()
-    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row](
-      Encoders.row(schema), sqlCtx)
-    val out = graft.streaming.StreamingState.lastByKeyStream(
-      stream.toDF(), Seq("k"), "_seq")
     val name = s"bench_twin_floor_${System.nanoTime()}"
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("update")
-      .option("checkpointLocation",
-        graft.StreamingQueries.gateCheckpointDir("bench-floor-ckpt"))
-      .start()
-    try rows.grouped(50).foreach { chunk =>
-      stream.addData(chunk); q.processAllAvailable()
+    val t0 = System.nanoTime()
+    // conf mutation INSIDE the try (advisor r15): a throw during
+    // MemoryStream/query construction must not leak the gate polling
+    // conf into the session
+    try {
+      spark.conf.set(pollKey,
+        sys.env.getOrElse("GRAFT_GATE_POLLING_MS", "1") + "ms")
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row](
+        Encoders.row(schema), sqlCtx)
+      val out = graft.streaming.StreamingState.lastByKeyStream(
+        stream.toDF(), Seq("k"), "_seq")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation",
+          graft.StreamingQueries.gateCheckpointDir("bench-floor-ckpt"))
+        .start()
+      try rows.grouped(50).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      } finally q.stop()
     } finally {
-      q.stop()
       prevPoll match {
         case Some(v) => spark.conf.set(pollKey, v)
         case None    => spark.conf.unset(pollKey)

@@ -493,6 +493,11 @@ object RelationalQueries {
     // inclusive sequence() therefore both yield exactly
     // {lo, lo+7d, …, hi}. The DuckDB oracle keeps the recursive form,
     // so the gate re-proves the equivalence on every run.
+    // Timezone assumption (advisor r15): sequence-with-interval equals
+    // the +7d recursion only when no step crosses a DST transition —
+    // guaranteed here because every graft session pins
+    // spark.sql.session.timeZone=UTC (GraftSession/Verify/Bench); in a
+    // DST zone the last week could fall out of the sequence.
     "u6_recursive_spine" -> ((s, dir) => {
       t(s, dir, "events").createOrReplaceTempView("g7_ev6")
       EventAnalytics.retentionCohorts(t(s, dir, "events"), "user_id", "ts", "week")

@@ -20,17 +20,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Inferred-schema cache, keyed by (path, nanosAsLong conf): the
-    * driver-provided tables are immutable per dir, but every
+  /** Inferred-schema cache, keyed by (path, inference-conf fingerprint):
+    * the driver-provided tables are immutable per dir, but every
     * `spark.read.parquet` re-reads the footer to re-infer the schema —
     * pure per-query planning overhead in a catalog run that loads the
     * same ten tables hundreds of times (r15 optimization, guide §6:
-    * pass an explicit schema so the scan skips inference). Keyed on the
-    * nanos conf because it changes what type the SAME footer infers to
-    * (events.ts NANOS → long vs ntz), and test JVMs mix sessions.
+    * pass an explicit schema so the scan skips inference). The key
+    * folds in EVERY session conf that changes what type the SAME
+    * footer infers to (advisor r15: nanosAsLong alone left
+    * inferTimestampNTZ/binaryAsString/int96AsTimestamp able to serve a
+    * stale schema across mixed-conf sessions in one JVM). Assumption
+    * documented here because the cache cannot check it: a path is
+    * never REWRITTEN IN PLACE with a different schema within one JVM —
+    * true for the driver tables (immutable per dir) and for scratch
+    * layouts (new dir per (data-dir, params) hash).
     */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), org.apache.spark.sql.types.StructType]()
+
+  /** The parquet-inference conf fingerprint for [[schemaCache]] keys. */
+  private def inferenceConfKey(spark: SparkSession): String =
+    Seq("spark.sql.legacy.parquet.nanosAsLong",
+      "spark.sql.parquet.inferTimestampNTZ.enabled",
+      "spark.sql.parquet.binaryAsString",
+      "spark.sql.parquet.int96AsTimestamp",
+      "spark.sql.parquet.fieldId.read.enabled")
+      .map(k => spark.conf.getOption(k).getOrElse("-")).mkString("|")
 
   /** Spread a narrow-split input across the session's cores before
     * compute-dense per-row work (r15 optimization, guide §2.5 "input
@@ -49,15 +64,27 @@ object Tables {
   def fanOut(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batch partitioning is the
     // stream's own concern (GRAFT_GATE_PARTITIONS); .rdd would throw
+    // advisor r15: `.rdd` on a shuffling plan materializes upstream
+    // query stages eagerly under AQE (executing work the caller will
+    // run again) — probe the split count only for bare scans
+    // (Project/Filter over leaf relations), where `.rdd` is
+    // partition-metadata only; anything richer returns unchanged
+    import org.apache.spark.sql.catalyst.plans.logical
+    def bareScan(p: logical.LogicalPlan): Boolean = p match {
+      case logical.Project(_, c)   => bareScan(c)
+      case logical.Filter(_, c)    => bareScan(c)
+      case logical.SubqueryAlias(_, c) => bareScan(c)
+      case _: logical.LeafNode     => true
+      case _                       => false
+    }
+    if (!bareScan(df.queryExecution.analyzed)) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val nanosConf = spark.conf.getOption(
-      "spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
-    val key = (path, nanosConf)
+    val key = (path, inferenceConfKey(spark))
     val cached = schemaCache.get(key)
     val df =
       if (cached != null) spark.read.schema(cached).parquet(path)

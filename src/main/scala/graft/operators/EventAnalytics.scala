@@ -563,27 +563,45 @@ object EventAnalytics {
     val wc = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val us = unix_micros(col(tsCol))
+    // r16 optimization (§2.4 remove shuffles / §2.3 shuffle fewer
+    // bytes): the former shape materialized distinct (key, sid, type)
+    // ROWS and self-joined them on (key, sid) — two extra corpus-keyed
+    // exchanges plus a pair join whose probe side re-shuffled the
+    // whole session table. Types per session are bounded by the type
+    // DOMAIN, so the same pairs fall out of one per-session sorted
+    // distinct-type ARRAY: the groupBy(key, sid) rides the window's
+    // existing hash(key) partitioning (subset clustering — no new
+    // exchange), and everything after it is session-level metadata
+    // (one row per session). Pair enumeration `x < y over a sorted
+    // distinct array` emits exactly the rows the `a._t < b._t`
+    // self-join produced; per-type session counts explode the same
+    // arrays. Output identical (oracle keeps the self-join form).
     val sess = events
       .select(col(keyCol), col(tsCol), col(typeCol))
       .withColumn("_brk",
         when(lag(us, 1).over(w).isNull ||
           us - lag(us, 1).over(w) >= gapUs, 1L).otherwise(0L))
       .withColumn("_sid", sum(col("_brk")).over(wc))
-      .select(col(keyCol), col("_sid"), col(typeCol).as("_t"))
-      .distinct()
-      // reused 4x (totals, per-type counts, both pair-join sides):
-      // persist so the keyed sort + stacked windows run once, not per
-      // lineage (review finding); lifecycle = the harness/caller's
-      // clearCache, the Dedup.trackPersist convention
+      .groupBy(col(keyCol), col("_sid"))
+      .agg(sort_array(collect_set(col(typeCol))).as("_ts"))
+      // session-level frame (one row per session, array bounded by the
+      // type domain) reused 3x: total count, per-type counts, pair
+      // counts; lifecycle = the harness/caller's clearCache, the
+      // Dedup.trackPersist convention
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = sess.select(col(keyCol), col("_sid")).distinct()
-      .agg(count(lit(1)).as("total_sessions")) // 1 row
-    val perType = sess.groupBy(col("_t")).agg(count(lit(1)).as("_n"))
-    val pairs = sess.as("a")
-      .join(sess.as("b"),
-        col(s"a.$keyCol") === col(s"b.$keyCol") &&
-          col("a._sid") === col("b._sid") && col("a._t") < col("b._t"))
-      .groupBy(col("a._t").as("type_a"), col("b._t").as("type_b"))
+    val total = sess.agg(count(lit(1)).as("total_sessions")) // 1 row
+    // sessions containing type t — collect_set already dedup'd within
+    // a session, so the explode emits each (session, type) once
+    val perType = sess.select(explode(col("_ts")).as("_t"))
+      .groupBy(col("_t")).agg(count(lit(1)).as("_n"))
+    // unordered pairs within the sorted distinct array: element i with
+    // every later element — the `_t < _t'` condition by construction
+    val pairs = sess
+      .select(explode(expr(
+        "flatten(transform(_ts, (x, i) -> " +
+          "transform(slice(_ts, i + 2, size(_ts)), y -> struct(x, y))))"))
+        .as("_p"))
+      .groupBy(col("_p.x").as("type_a"), col("_p.y").as("type_b"))
       .agg(count(lit(1)).as("together"))
     pairs
       .join(broadcast(perType.select(col("_t").as("type_a"), col("_n").as("n_a"))),

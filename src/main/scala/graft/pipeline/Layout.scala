@@ -151,6 +151,21 @@ object Layout {
     * data dir (PipelineQueries.scopedTmp) so scale factors never serve
     * each other's layout.
     */
+  /** Verified-registration memo for [[bucketedTableCached]] (r15
+    * verdict task 3): after a session has ONCE verified the marker and
+    * re-registered the CLUSTERED BY table over a given path, repeat
+    * calls in the same session skip the drop + footer-schema read +
+    * CREATE TABLE DDL — which otherwise run INSIDE every timed b1
+    * query (driver r15: 0.61 → 1.52 s). The advisor-r14 guarantee
+    * (never trust a catalog entry this session did not verify) is
+    * intact: the memo records only registrations THIS code performed
+    * after a marker match, keyed per session instance, and revalidates
+    * whenever the marker file changes (mtime+params) or the catalog
+    * entry disappears. Only Layout writes these scoped table names.
+    */
+  private val verifiedReg = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long)]()
+
   def bucketedTableCached(
       spark: org.apache.spark.sql.SparkSession,
       df: => DataFrame,
@@ -174,11 +189,16 @@ object Layout {
         .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
       s"v1|$keyCol|$buckets|$schemaSql"
     }
+    val memoKey =
+      s"${System.identityHashCode(spark)}|$table|$path"
     def rebuild(): DataFrame = {
       if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE `$table`")
       val out = bucketedTable(spark, frame, table, keyCol, buckets, path)
       val w = new java.io.PrintWriter(marker, "UTF-8")
       try w.print(paramsLine()) finally w.close()
+      // the write path registered the table itself under exactly these
+      // params — record it so the next call takes the memo hit path
+      verifiedReg.put(memoKey, (paramsLine(), marker.lastModified()))
       out
     }
     // staleness guards, all rebuild exactly like an absent cache:
@@ -195,13 +215,24 @@ object Layout {
       recorded == paramsLine()
     }
     if (!markerOk) return rebuild()
-    // ALWAYS drop + re-register (advisor r14): a catalog entry left by
-    // an earlier session could have been registered under older
-    // (keyCol, buckets) over the same path — trusting it would skip the
-    // marker verification on exactly the cache-hit path. The table is
-    // external (LOCATION-based), so the drop is metadata-only and the
-    // re-registration below is footer-schema + one CREATE TABLE — the
-    // CLUSTERED BY claim is now verified on EVERY path.
+    // memo hit (r15 verdict task 3): THIS session already verified the
+    // marker and performed the registration below for exactly these
+    // (params, marker mtime), and the catalog entry is still present —
+    // the DDL round-trip is one-time per (session, path), not per call
+    verifiedReg.get(memoKey) match {
+      case (p, m) if p == paramsLine() && m == marker.lastModified() &&
+          spark.catalog.tableExists(table) =>
+        return spark.table(table)
+      case _ => ()
+    }
+    // First verification in this session: ALWAYS drop + re-register
+    // (advisor r14) — a catalog entry left by an EARLIER session could
+    // have been registered under older (keyCol, buckets) over the same
+    // path; trusting it would skip the marker verification on exactly
+    // the cache-hit path. The table is external (LOCATION-based), so
+    // the drop is metadata-only and the re-registration below is
+    // footer-schema + one CREATE TABLE — the CLUSTERED BY claim is
+    // verified on every path, once per session instead of per call.
     if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE `$table`")
     // footer-only schema read; the marker just proved the files were
     // written under exactly this (keyCol, buckets, schema), so the
@@ -213,6 +244,7 @@ object Layout {
       s"CREATE TABLE `$table` ($cols) USING parquet " +
         s"CLUSTERED BY (`$keyCol`) SORTED BY (`$keyCol`) " +
         s"INTO $buckets BUCKETS LOCATION '$path'")
+    verifiedReg.put(memoKey, (paramsLine(), marker.lastModified()))
     spark.table(table)
   }
 
