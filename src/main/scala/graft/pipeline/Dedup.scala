@@ -468,8 +468,22 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
+      adaptive: Boolean = true): DataFrame =
+    minhashLshPairsFromMembers(
+      minhashMembers(df, idCol, textCol, n, numHashes),
+      numHashes, bands, threshold, adaptive)
+
+  /** [[minhashLshPairs]] from an already-built (persisted) members
+    * frame — lets callers that also need the raw shingle-hash arrays
+    * (lshCalibrationReport's exact-verify rejoin) derive signatures
+    * from ONE shared shingle pass instead of re-shingling the corpus.
+    */
+  private[pipeline] def minhashLshPairsFromMembers(
+      members: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
       adaptive: Boolean = true): DataFrame = {
-    val members = minhashMembers(df, idCol, textCol, n, numHashes)
     if (adaptive && sketchMaxOccupancy(members, "_sig") <= directPathMaxOccupancy) {
       // direct path: band-bucket self-join on doc rows. Identical-sig
       // pairs need no separate handling — they agree on every band
@@ -992,6 +1006,15 @@ object Dedup {
       threshold: Double = 0.5,
       sampleMod: Int = 7): DataFrame = {
     require(sampleMod >= 1, "sampleMod must be >= 1")
+    // NOT shared through a persisted (id, shingle-hashes) frame (r16
+    // A/B): deriving the signatures and both rejoin sides from one
+    // cached hash-array frame was a measured wash at sf0.1 (d3d
+    // 1.63 s no-share vs 1.64/1.96 s shared; d3c 0.82 both) — the
+    // columnar encode/decode of corpus-scale long arrays costs what
+    // the saved fused shingle kernels earn, the same lesson as the
+    // r15 signature-path fan-out rejections. The real d3d cost was
+    // downstream re-evaluation, fixed in lshThresholdPick (lv
+    // persist).
     val pairs = minhashLshPairs(df, idCol, textCol, n, numHashes, bands, threshold)
       .filter((col("id1") * lit(1000003L) + col("id2")) % lit(sampleMod.toLong) === 0)
     val sets = df.select(col(idCol).as("_sid"), shingleHashes(col(textCol), n).as("_hs"))
@@ -1045,9 +1068,16 @@ object Dedup {
     require(targetNum >= 0 && targetDen > 0, "target must be a valid ratio")
     val spark = calib.sparkSession
     val H = numHashes.toLong
-    val lv = calib.select(
+    // r16 optimization (§5 caching — reused and expensive to
+    // recompute): this tuner references the calibration frame through
+    // a suffix-mass self-join plus two crossJoin tails, so an
+    // UNPERSISTED calib re-ran the whole corpus-scale sampled rejoin
+    // 4-5× per query (measured: d3d 2.3 s vs d3c 0.8 s for the same
+    // calibration). The frame is at most numHashes+1 rows — persist
+    // the metadata, never the corpus.
+    val lv = trackPersist(calib.select(
       (col("est_jaccard") * H).cast("long").as("k"),
-      col("n_pairs"), col("sum_inter"), col("sum_union"))
+      col("n_pairs"), col("sum_inter"), col("sum_union")))
     // suffix mass per level (range self-join on a <= H+1-row frame)
     val agg = lv.as("a").join(lv.as("b"), col("b.k") >= col("a.k"))
       .groupBy(col("a.k").as("k"))
