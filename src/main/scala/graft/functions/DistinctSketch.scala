@@ -187,18 +187,40 @@ final class DSketch(val k: Int, val p: Int) extends Serializable {
       math.rint(corrected).toLong
     }
 
+  /** Wire form for shuffle/state-store ROUND-TRIPS (r16, guide §1.2
+    * per-task work): exact-tier values in table-iteration order — no
+    * sort. st7s round-trips up to 2^18 values per column per
+    * micro-batch hop, and the canonical sort was ~75% of serialize
+    * time (SketchSerdeProbe: 13 ms sorted vs ~3 ms raw at 139k
+    * values) for bytes nobody compares. The PERSISTABLE image stays
+    * [[canonicalSerialize]] (one byte image per value set — the
+    * emitState contract st7/st10 write to parquet).
+    */
   def serialize: Array[Byte] =
     if (registers == null) {
-      val vals = exact.toSortedArray // canonical bytes for a given set
-      val buf = java.nio.ByteBuffer.allocate(1 + 4 + 4 + 4 + vals.length * 8)
-      buf.put(0: Byte).putInt(k).putInt(p).putInt(vals.length)
-      vals.foreach(buf.putLong)
+      val buf = java.nio.ByteBuffer.allocate(1 + 4 + 4 + 4 + exact.size * 8)
+      buf.put(2: Byte).putInt(k).putInt(p).putInt(exact.size)
+      exact.foreach(v => buf.putLong(v))
       buf.array()
     } else {
       val buf = java.nio.ByteBuffer.allocate(1 + 4 + 4 + m)
       buf.put(1: Byte).putInt(k).putInt(p).put(registers)
       buf.array()
     }
+
+  /** Canonical bytes: exact tier sorts its value set, so a given
+    * value SET has exactly ONE byte image — the persistable partial
+    * for incremental profile maintenance (emitState). HLL registers
+    * are already canonical (pointwise max over the value set).
+    */
+  def canonicalSerialize: Array[Byte] =
+    if (registers == null) {
+      val vals = exact.toSortedArray
+      val buf = java.nio.ByteBuffer.allocate(1 + 4 + 4 + 4 + vals.length * 8)
+      buf.put(0: Byte).putInt(k).putInt(p).putInt(vals.length)
+      vals.foreach(buf.putLong)
+      buf.array()
+    } else serialize
 }
 
 object DSketch {
@@ -206,7 +228,10 @@ object DSketch {
     val buf = java.nio.ByteBuffer.wrap(bytes)
     val tier = buf.get()
     val s = new DSketch(buf.getInt, buf.getInt)
-    if (tier == 0) {
+    // tiers 0 (canonical sorted) and 2 (round-trip, table order) are
+    // the same exact-tier payload — a value list; order never matters
+    // on load
+    if (tier == 0 || tier == 2) {
       val n = buf.getInt
       s.exact = new LongSet(n + 1) // presized: no growth during load
       var i = 0
@@ -253,10 +278,12 @@ case class DistinctSketchAgg(
 
   override def merge(b: DSketch, o: DSketch): DSketch = { b.mergeWith(o); b }
 
-  // emitState: the sketch's canonical bytes (exact tier sorts its
+  // emitState: the sketch's CANONICAL bytes (exact tier sorts its
   // value set, so a given value SET has ONE byte image) — the
-  // persistable partial for incremental profile maintenance
-  override def eval(b: DSketch): Any = if (emitState) b.serialize else b.estimate
+  // persistable partial for incremental profile maintenance. The
+  // shuffle/state round-trip below stays on the unsorted wire form.
+  override def eval(b: DSketch): Any =
+    if (emitState) b.canonicalSerialize else b.estimate
 
   override def serialize(b: DSketch): Array[Byte] = b.serialize
   override def deserialize(bytes: Array[Byte]): DSketch = DSketch.deserialize(bytes)

@@ -21,7 +21,11 @@ private[functions] final class PState(k: Int, p: Int) extends Serializable {
   var n: Long = 0L
   var mn: Double = 0.0
   var mx: Double = 0.0
-  val sketch = new DSketch(k, p)
+  // var (r16): deserialize ADOPTS the restored sketch instead of
+  // merging it into a fresh one — the merge re-inserted every exact
+  // value a second time on every state-store restore (st7s pays this
+  // per column per micro-batch)
+  var sketch = new DSketch(k, p)
 
   /** Spark double ordering (java Double.compare: NaN largest,
     * -0.0 < 0.0) — min/max must match the declarative aggregates. */
@@ -64,7 +68,7 @@ private[functions] object PState {
     val sk = DSketch.deserialize(skBytes)
     val s = new PState(sk.k, sk.p)
     s.nulls = nulls; s.n = n; s.mn = mn; s.mx = mx
-    s.sketch.mergeWith(sk)
+    s.sketch = sk // adopt, don't re-insert (same set, same estimate)
     s
   }
 }

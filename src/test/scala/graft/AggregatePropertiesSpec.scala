@@ -144,12 +144,17 @@ class AggregatePropertiesSpec extends AnyFunSuite {
       val b = new graft.functions.DSketch(k, 12)
       l.foreach(a.add); r.foreach(b.add)
       a.mergeWith(b)
+      // round-trip through the UNSORTED wire form (r16): bytes are
+      // insertion-order dependent, but the SET they carry is not —
+      // the canonical image after any serde/merge history must match
       val rt = graft.functions.DSketch.deserialize(whole.serialize)
       whole.estimate == ref.size.toLong &&
         a.estimate == ref.size.toLong &&
         rt.estimate == ref.size.toLong &&
-        java.util.Arrays.equals(whole.serialize, a.serialize) &&
-        java.util.Arrays.equals(whole.serialize, rt.serialize)
+        java.util.Arrays.equals(whole.canonicalSerialize, a.canonicalSerialize) &&
+        java.util.Arrays.equals(whole.canonicalSerialize, rt.canonicalSerialize) &&
+        java.util.Arrays.equals(whole.canonicalSerialize,
+          graft.functions.DSketch.deserialize(a.serialize).canonicalSerialize)
     })
   }
 
