@@ -1553,15 +1553,21 @@ object PipelineQueries {
         t(s, dir, "events"), "user_id",
         get_json_object(col("props"), "$.k"), "ts", tieCols = Seq("event_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // ONE undirected view for all three consumers (r16 §2.4): LPA's
+      // internal build, modularityMulti's, and the singleton id set
+      // each rebuilt the same corpus-scale exchange from `edges`
       val und = graft.pipeline.GraphOps.undirectedWeighted(edges)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val singletons = und.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl"))
       // ONE modularityMulti pass: the undirected build, per-node
       // degrees and W2 are partition-independent — two separate
       // modularity() calls rebuilt all three (r11 bench cut)
       graft.pipeline.GraphOps.modularityMulti(edges, Seq(
-        "lpa" -> graft.pipeline.GraphOps.labelPropagation(edges, iters = 3),
-        "singletons" -> singletons))
+        "lpa" -> graft.pipeline.GraphOps.labelPropagation(
+          edges, iters = 3, undirected = Some(und)),
+        "singletons" -> singletons),
+        undirected = Some(und))
     }),
 
     // ---- exact triangles by degree-ordered orientation: out-degrees

@@ -153,10 +153,17 @@ object GraphOps {
       srcCol: String = "src",
       dstCol: String = "dst",
       wCol: String = "w",
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0,
+      undirected: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(iters >= 1, "iters must be >= 1")
-    val und = undirectedWeighted(edges, srcCol, dstCol, wCol).persist()
+    // `undirected`: an already-built (and caller-persisted)
+    // undirectedWeighted view of the SAME edges — callers that also
+    // score the labeling (g8: LPA + modularityMulti + singletons over
+    // one graph) otherwise rebuild the corpus-scale undirected
+    // exchange once per consumer (r16, §2.4)
+    val und = undirected.getOrElse(
+      undirectedWeighted(edges, srcCol, dstCol, wCol).persist())
     var lbl = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
     for (i <- 1 to iters) {
@@ -233,14 +240,17 @@ object GraphOps {
       parts: Seq[(String, DataFrame)],
       srcCol: String = "src",
       dstCol: String = "dst",
-      wCol: String = "w"): DataFrame = {
+      wCol: String = "w",
+      undirected: Option[DataFrame] = None): DataFrame = {
     require(parts.nonEmpty, "modularityMulti: need at least one partition")
     // duplicate tags would UNION two labelings into one corrupted
     // partition (double-counted degrees, cross-matched communities) —
     // silently wrong Q, so fail loudly instead
     require(parts.map(_._1).distinct.size == parts.size,
       s"modularityMulti: duplicate partition names in ${parts.map(_._1)}")
-    val und = undirectedWeighted(edges, srcCol, dstCol, wCol).persist()
+    // see labelPropagation's `undirected` note: same shared-view knob
+    val und = undirected.getOrElse(
+      undirectedWeighted(edges, srcCol, dstCol, wCol).persist())
     // labels persisted: referenced three times below (degree join + both
     // endpoint joins), and the caller's label frames often carry an
     // expensive lineage (a full LPA run) that would re-derive each time
